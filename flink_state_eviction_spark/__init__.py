@@ -1,0 +1,30 @@
+"""flink_state_eviction_spark — a PySpark-native analytics engine with the
+capabilities of the reference project esyekas/flink-state-eviction.
+
+The reference (see SURVEY.md) is a Flink 1.1 stateful-streaming PoC:
+a keyed map operator with TTL state eviction (MapWithState.java:51-393),
+parallelized windowAll aggregation (WindowAllTimeKeyedPoC.java:57-89),
+count windows (WindowAllKeyedPoC.java:39-50), and deterministic test
+sources/sinks. This package re-expresses those *semantics* Spark-first:
+DataFrame/SQL + Catalyst for all batch analytics, Structured Streaming
+(`applyInPandasWithState` + native timeouts) for the stateful-streaming
+path, and adds the large-scale training-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing) that a
+100 TB deployment of such an engine needs.
+
+Layout:
+- ``session``    — SparkSession factory tuned for the local[] harness.
+- ``tables``     — loaders for the driver's parquet test tables.
+- ``operators``  — batch operator library (map_with_state, windows,
+                   reduce, dedup, similarity, multimodal).
+- ``functions``  — reusable column-expression builders (text analysis,
+                   portable hashing, vector math).
+- ``sources``    — deterministic test-source builders (gap source,
+                   event-time-delayed source) mirroring the reference's
+                   test infrastructure.
+- ``streaming``  — Structured Streaming variants (TTL state eviction via
+                   GroupStateTimeout, memory-sink assertion helpers).
+- ``plans``      — plan-inspection helpers (pushdown/broadcast asserts).
+"""
+
+__version__ = "0.1.0"

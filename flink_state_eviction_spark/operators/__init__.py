@@ -1,0 +1,6 @@
+"""Batch operator library.
+
+Each module documents which reference construct (SURVEY.md §2 / file:line
+into /root/reference) it covers and the Spark-first design used instead
+of the reference's mechanism.
+"""

@@ -1,0 +1,126 @@
+"""Batch semantics of the reference's flagship operator: keyed map with
+TTL-evicted per-key state.
+
+Reference: ``MapWithState.java:51-393`` (generic operator; state read
+refreshes ``lastAccessTimestamp`` at :248-252, eviction of keys idle
+>= ttl at :360-372) and the concrete per-key running sum PoC
+``MapWithStateIterPoC.java:246-359`` (running sum ``in.f1 + state`` at
+:311-313). Test semantics: ``MapWithStateTest.java:41-101`` — running
+sums restart after a key has been idle for at least the TTL.
+
+Spark-first design
+------------------
+The reference implements eviction with a tombstone feedback loop over
+Flink iterative streams plus a scheduler thread. None of that mechanism
+is ported. In *batch*, "state evicted after ttl of key idleness" is
+exactly *session-splitting by idle gap*: a key's state timeline breaks
+wherever ``ts - lag(ts) > ttl``, and any running (fold-style) state
+computation restarts at each break. That is two analytic window
+functions — one shuffle on the key, sort within partitions, no UDFs,
+fully whole-stage-codegen'd.
+
+Scale notes (100 TB): the single shuffle partitions by key; AQE splits
+skewed key partitions. The per-key sort is a spillable ``WindowExec``
+sort — no unbounded buffering beyond one partition's run. For the
+streaming variant (true incremental TTL state) see
+``flink_state_eviction_spark.streaming.map_with_state``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _require_positive_ttl(ttl_ms: int) -> None:
+    # Mirrors the precondition at MapWithState.java:93-94.
+    if ttl_ms is None or ttl_ms <= 0:
+        raise ValueError("ttl must be a positive duration in milliseconds")
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    ttl_ms: int,
+    order_cols: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Add a ``session_col`` that increments each time the key was idle
+    longer than ``ttl_ms`` — i.e. each time the reference would have
+    evicted the key's state (MapWithState.java:360-372).
+
+    ``order_cols`` break ties within equal timestamps deterministically.
+    """
+    _require_positive_ttl(ttl_ms)
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *order_cols)
+    ts_ms = F.unix_millis(F.col(ts_col))
+    prev_ms = F.lag(ts_ms).over(w)
+    is_new = F.when(
+        prev_ms.isNull() | ((ts_ms - prev_ms) > F.lit(ttl_ms)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def map_with_state(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    ttl_ms: int,
+    state_exprs: dict[str, Column],
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Generic batch ``map_with_state``: evaluate running (cumulative)
+    aggregate expressions over each key's state *session*, where a
+    session ends after ``ttl_ms`` of idleness.
+
+    ``state_exprs`` maps output column name -> aggregate Column (e.g.
+    ``F.sum(...)``, ``F.count(...)``); each is evaluated over the frame
+    ``(key, session) rows between unbounded preceding and current row``
+    — the batch-exact equivalent of the reference's per-record
+    ``map(value, state)`` with state reset on eviction
+    (MapWithStateIterPoC.java:308-332).
+    """
+    _require_positive_ttl(ttl_ms)
+    out = sessionize(df, key_cols, ts_col, ttl_ms, order_cols)
+    frame = (
+        Window.partitionBy(*key_cols, "session_id")
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for name, agg in state_exprs.items():
+        out = out.withColumn(name, agg.over(frame))
+    return out
+
+
+def running_sum_with_ttl(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    ttl_ms: int,
+    order_cols: Sequence[str] = (),
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """The reference's concrete PoC query (MapWithStateIterPoC.java:311-313):
+    per-key running sum whose accumulator resets after >= ttl idleness.
+
+    The value is summed as DECIMAL so the result is order-independent
+    and bit-exact against the SQL oracle; the output column is cast back
+    to double.
+    """
+    dec = F.col(value_col).cast("decimal(18,2)")
+    out = map_with_state(
+        df,
+        key_cols,
+        ts_col,
+        ttl_ms,
+        {out_col: F.sum(dec)},
+        order_cols=order_cols,
+    )
+    return out.withColumn(out_col, F.col(out_col).cast("double"))

@@ -1,0 +1,55 @@
+"""Keyed running reduce — the reference's ``keyBy(key).reduce(sum)``
+(WindowAllKeyedPoC.java:145-151), which emits the per-key prefix
+aggregate at every element.
+
+Batch-exact equivalent: an analytic window aggregate over
+``partitionBy(key).orderBy(ts).rowsBetween(unboundedPreceding, 0)`` —
+one shuffle on the key, spillable sort, whole-stage codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keyed_running_reduce(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    aggs: dict[str, Column],
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key running (prefix) aggregates, one output row per input row.
+
+    ``aggs`` maps output name -> aggregate Column evaluated over the
+    growing per-key frame, e.g. ``{"running_sum": F.sum("value")}``.
+    """
+    frame = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(frame))
+    return out
+
+
+def keyed_running_sum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: Sequence[str] = (),
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """The concrete reference query: running sum per key (decimal-exact,
+    output cast to double)."""
+    dec = F.col(value_col).cast("decimal(18,2)")
+    out = keyed_running_reduce(
+        df, key_cols, ts_col, {out_col: F.sum(dec)}, order_cols=order_cols
+    )
+    return out.withColumn(out_col, F.col(out_col).cast("double"))

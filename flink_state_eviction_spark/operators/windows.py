@@ -1,0 +1,182 @@
+"""Time and count windows.
+
+Reference constructs covered:
+- tumbling time windows  — ``window(TumblingEventTimeWindows.of(...))``
+  (WindowAllTimeKeyedPoC.java:143-146) → ``F.window(ts, dur)``.
+- non-keyed ``windowAll`` + the hand-rolled two-stage parallelization
+  (``ParAllWindowedStream``, WindowAllTimeKeyedPoC.java:57-89) →
+  ``groupBy(F.window(...))`` with *no* key: Catalyst always plans
+  partial (map-side) + final HashAggregate around the exchange, so the
+  reference's entire partial/final apparatus is the built-in plan.
+- count windows — ``countWindow(n)`` / ``countWindowAll(n)``
+  (WindowAllKeyedPoC.java:39-50,86-88). No Spark builtin; batch
+  semantics = row_number bucketing with incomplete trailing windows
+  *discarded* (Flink behavior, WindowAllKeyedPoC.java:98-103).
+- the window "UDAF" concatenating labels + summing values
+  (``WindowAgg``, WindowAllKeyedPoC.java:20-33) → ``collect_list`` of a
+  (order, label) struct, ``array_sort``, ``transform`` + ``concat_ws``
+  — order pinned explicitly (the reference tolerates reorder; we pin by
+  timestamp so results are deterministic and oracle-checkable).
+
+Scale: the global row_number needed by ``countWindowAll`` is NOT
+implemented as ``row_number().over(Window.orderBy(...))`` — that plans
+an Exchange SinglePartition (one task sorts everything; dead at 100 TB).
+Instead ``bucketed_global_row_number`` does a two-phase rank: local
+row_number within a deterministic coarse bucket (e.g. the event's day)
+plus broadcast prefix offsets of the tiny per-bucket counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch_ms(c: Column) -> Column:
+    return F.unix_millis(c)
+
+
+def time_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggs: dict[str, Column],
+    key_cols: Sequence[str] = (),
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or, with ``slide``, sliding/hopping) time-window
+    aggregation; keyless call = the reference's ``windowAll``.
+
+    Output carries ``w_start``/``w_end`` as epoch-millis BIGINT so the
+    result is oracle-comparable without timestamp-type coercion.
+    """
+    win = (
+        F.window(F.col(ts_col), duration, slide)
+        if slide
+        else F.window(F.col(ts_col), duration)
+    )
+    grouped = df.groupBy(*key_cols, win.alias("w"))
+    out = grouped.agg(*[a.alias(n) for n, a in aggs.items()])
+    return out.select(
+        *key_cols,
+        _epoch_ms(F.col("w.start")).alias("w_start"),
+        _epoch_ms(F.col("w.end")).alias("w_end"),
+        *aggs.keys(),
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: dict[str, Column],
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Session windows (gap-merged) via the native ``F.session_window``.
+
+    Semantics: a session's end is ``last_event_ts + gap``; an event at
+    ts >= current end starts a new session. This is exactly the TTL
+    eviction boundary of MapWithState.java:360-372, which is why the
+    flagship map_with_state batch oracle is a sessionization.
+    """
+    win = F.session_window(F.col(ts_col), gap)
+    out = df.groupBy(*key_cols, win.alias("w")).agg(
+        *[a.alias(n) for n, a in aggs.items()]
+    )
+    return out.select(
+        *key_cols,
+        F.unix_micros(F.col("w.start")).alias("s_start_us"),
+        F.unix_micros(F.col("w.end")).alias("s_end_us"),
+        *aggs.keys(),
+    )
+
+
+def bucketed_global_row_number(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: Sequence[str],
+    out_col: str = "rn",
+) -> DataFrame:
+    """Exact global row_number over ``order_cols`` without a
+    single-partition sort.
+
+    ``bucket`` must be a deterministic, coarse, *monotone* function of
+    the leading order column (e.g. ``F.to_date(ts)`` when ordering by
+    ``ts``): rows in a lower bucket always precede rows in a higher
+    bucket. Then:
+
+      global_rn = row_number within bucket + Σ counts of lower buckets
+
+    The per-bucket count table is tiny (one row per bucket) and is
+    broadcast — no second shuffle of the data. This survives 100× scale:
+    work is bounded by the largest bucket, not the full table.
+    """
+    d = df.withColumn("_bucket", bucket)
+    w_local = Window.partitionBy("_bucket").orderBy(*order_cols)
+    d = d.withColumn("_lrn", F.row_number().over(w_local))
+    counts = d.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_bucket", "_off")
+    return (
+        d.join(F.broadcast(offsets), "_bucket")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_bucket", "_lrn", "_off")
+    )
+
+
+def ordered_label_concat(
+    order_struct_cols: Sequence[str], label_col: str, sep: str = "-"
+) -> Column:
+    """The reference's WindowAgg label concatenation
+    (WindowAllKeyedPoC.java:25-31), order pinned by the given columns:
+    collect (order..., label) structs, sort, project label, join."""
+    struct = F.struct(
+        *[F.col(c) for c in order_struct_cols], F.col(label_col).alias("_lbl")
+    )
+    arr = F.array_sort(F.collect_list(struct))
+    return F.concat_ws(sep, F.transform(arr, lambda x: x["_lbl"]))
+
+
+def count_window_agg(
+    df: DataFrame,
+    size: int,
+    order_cols: Sequence[str],
+    aggs: dict[str, Column],
+    key_cols: Sequence[str] = (),
+    bucket: Column | None = None,
+    discard_incomplete: bool = True,
+    window_col: str = "w_id",
+) -> DataFrame:
+    """Count windows: consecutive groups of ``size`` rows in
+    ``order_cols`` order, per key (``countWindow``) or globally
+    (``countWindowAll`` when ``key_cols`` is empty — pass ``bucket`` for
+    the scalable global rank).
+
+    Incomplete trailing windows are discarded by default, replicating
+    Flink (WindowAllKeyedPoC.java:98-103).
+    """
+    if size <= 0:
+        raise ValueError("count window size must be positive")
+    if key_cols:
+        w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+        d = df.withColumn("_rn", F.row_number().over(w))
+    else:
+        if bucket is None:
+            raise ValueError(
+                "global count windows need a deterministic `bucket` column "
+                "for the scalable two-phase global row_number"
+            )
+        d = bucketed_global_row_number(df, bucket, order_cols, out_col="_rn")
+    d = d.withColumn(window_col, F.floor((F.col("_rn") - 1) / size).cast("long"))
+    out = d.groupBy(*key_cols, window_col).agg(
+        F.count(F.lit(1)).alias("_n"), *[a.alias(n) for n, a in aggs.items()]
+    )
+    if discard_incomplete:
+        out = out.where(F.col("_n") == size)
+    return out.drop("_n")

@@ -1,0 +1,81 @@
+"""Query registry: every implemented operator exposed as a named query
+over the driver test tables, paired with an ANSI-SQL DuckDB oracle.
+
+This is the driver-contract surface (`__spark_entry__.queries()` /
+``oracle_sql()``). Conventions that make Spark and DuckDB agree
+bit-for-bit:
+
+- timestamps are output as epoch-millis BIGINT (``unix_millis`` /
+  ``epoch_ms``), never raw timestamps;
+- double aggregates are computed over DECIMAL casts (order-independent,
+  exact — the inputs are 2-decimal values) and cast back to double;
+- every computed column is aliased identically on both sides;
+- ties are broken by a deterministic id column wherever ordering or
+  ranking matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    headline: bool = False  # included in bench.py
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Query(name, fn, oracle, headline, tags)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+def headline_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: q.fn for name, q in REGISTRY.items() if q.headline}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import all query-defining modules (they self-register)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from flink_state_eviction_spark.querydefs import (  # noqa: F401
+        core,
+        pipeline,
+        tpch,
+    )
+
+    _LOADED = True

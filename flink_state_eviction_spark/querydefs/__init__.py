@@ -1,0 +1,12 @@
+"""Query definitions, grouped by surface:
+
+- ``core``     — the reference's operator inventory (SURVEY.md §2):
+                 map_with_state TTL eviction, keyed running reduce,
+                 time/count windows, window UDAFs, projection/filter.
+- ``pipeline`` — training-data-pipeline extensions: dedup (exact,
+                 minhash-LSH, simhash, n-gram jaccard), similarity
+                 search, text analysis, multimodal plumbing.
+- ``tpch``     — classic relational queries over the TPC-H-ish tables
+                 exercising joins/aggregation at scale (broadcast
+                 strategy, partial aggregation).
+"""

@@ -1,0 +1,359 @@
+"""Core queries: the reference operator inventory (SURVEY.md §2) over
+the driver's ``events``/``lineitem`` tables, each with a DuckDB oracle.
+
+Flagship (`mws_running_sum_ttl`) = the reference's MapWithState PoC
+semantics (MapWithStateIterPoC.java:311-313, MapWithStateTest.java:41-101)
+at data scale: per-key running sum whose state resets after TTL idleness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.map_with_state import (
+    running_sum_with_ttl,
+)
+from flink_state_eviction_spark.operators.reduce import keyed_running_sum
+from flink_state_eviction_spark.operators.windows import (
+    count_window_agg,
+    ordered_label_concat,
+    session_window_agg,
+    time_window_agg,
+)
+from flink_state_eviction_spark.queries import register
+from flink_state_eviction_spark.tables import load_table
+
+TTL_MS = 6 * 3600 * 1000  # 6h TTL against the events table's ts spread
+
+_MWS_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+           CAST(value AS DECIMAL(18,2)) AS v
+    FROM events
+), s AS (
+    SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                     OR ts_ms - lag(ts_ms) OVER w > {TTL_MS}
+                   THEN 1 ELSE 0 END AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), t AS (
+    SELECT user_id, event_id, ts_ms, v,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+    FROM s
+)
+SELECT user_id, event_id, ts_ms, session_id,
+       CAST(SUM(v) OVER (PARTITION BY user_id, session_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_sum
+FROM t
+"""
+
+
+@register("mws_running_sum_ttl", _MWS_ORACLE, headline=True, tags=("core", "flagship"))
+def mws_running_sum_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = running_sum_with_ttl(
+        ev, ["user_id"], "ts", "value", TTL_MS, order_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("session_id").cast("long").alias("session_id"),
+        "running_sum",
+    )
+
+
+_REDUCE_ORACLE = """
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_sum
+FROM events
+"""
+
+
+@register("keyed_running_reduce", _REDUCE_ORACLE, tags=("core",))
+def keyed_running_reduce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = keyed_running_sum(ev, ["user_id"], "ts", "value", order_cols=["event_id"])
+    return out.select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "running_sum"
+    )
+
+
+def _dec_sum_sql(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+_HOUR = 3600 * 1000
+
+_TUMBLING_ORACLE = f"""
+SELECT user_id,
+       epoch_ms(ts) - epoch_ms(ts) % {_HOUR} AS w_start,
+       epoch_ms(ts) - epoch_ms(ts) % {_HOUR} + {_HOUR} AS w_end,
+       COUNT(*) AS n_events,
+       {_dec_sum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("tumbling_window_sum", _TUMBLING_ORACLE, headline=True, tags=("core",))
+def tumbling_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return time_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+        key_cols=["user_id"],
+    )
+
+
+_Q15 = 15 * 60 * 1000
+
+_WINDOW_ALL_ORACLE = f"""
+SELECT epoch_ms(ts) - epoch_ms(ts) % {_Q15} AS w_start,
+       epoch_ms(ts) - epoch_ms(ts) % {_Q15} + {_Q15} AS w_end,
+       COUNT(*) AS n_events,
+       {_dec_sum_sql('value')} AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("tumbling_window_all", _WINDOW_ALL_ORACLE, tags=("core",))
+def tumbling_window_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-keyed windowAll (WindowAllTimeKeyedPoC.java:157-159). The
+    reference hand-parallelizes this (ParAllWindowedStream, :57-89);
+    Spark's partial+final HashAggregate is that strategy natively."""
+    ev = load_table(spark, sf_dir, "events")
+    return time_window_agg(
+        ev,
+        "ts",
+        "15 minutes",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+    )
+
+
+_SLIDE = 30 * 60 * 1000  # 30 min
+_WIN = 2 * 3600 * 1000  # 2 h (4 slides per window)
+
+_SLIDING_ORACLE = f"""
+SELECT (epoch_ms(ts) // {_SLIDE} - i.i) * {_SLIDE} AS w_start,
+       (epoch_ms(ts) // {_SLIDE} - i.i) * {_SLIDE} + {_WIN} AS w_end,
+       COUNT(*) AS n_events,
+       {_dec_sum_sql('value')} AS sum_value
+FROM events
+CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+GROUP BY 1, 2
+"""
+
+
+@register("sliding_window_sum", _SLIDING_ORACLE, tags=("core",))
+def sliding_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return time_window_agg(
+        ev,
+        "ts",
+        "2 hours",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+        slide="30 minutes",
+    )
+
+
+_GAP_MIN = 30
+_GAP_US = _GAP_MIN * 60 * 1000 * 1000
+
+_SESSION_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CAST(value AS DECIMAL(18,2)) AS v
+    FROM events
+), s AS (
+    SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w >= {_GAP_US}
+                   THEN 1 ELSE 0 END AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), t AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM s
+)
+SELECT user_id, MIN(ts_us) AS s_start_us, MAX(ts_us) + {_GAP_US} AS s_end_us,
+       COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM t
+GROUP BY user_id, sid
+"""
+
+
+@register("session_window_sum", _SESSION_ORACLE, tags=("core",))
+def session_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows — the same idle-gap boundary as the TTL
+    eviction in MapWithState.java:360-372."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_agg(
+        ev,
+        "ts",
+        f"{_GAP_MIN} minutes",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+        key_cols=["user_id"],
+    )
+
+
+_CW_SIZE = 50
+
+_COUNT_WINDOW_ALL_ORACLE = f"""
+WITH r AS (
+    SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+           row_number() OVER (ORDER BY ts, event_id) AS rn
+    FROM events
+)
+SELECT CAST((rn - 1) // {_CW_SIZE} AS BIGINT) AS w_id,
+       string_agg(event_type, '-' ORDER BY rn) AS label,
+       CAST(SUM(v) AS DOUBLE) AS total
+FROM r
+GROUP BY 1
+HAVING COUNT(*) = {_CW_SIZE}
+"""
+
+
+@register("count_window_all_label", _COUNT_WINDOW_ALL_ORACLE, tags=("core",))
+def count_window_all_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countWindowAll(n) + the label-concat/sum window UDAF
+    (WindowAllKeyedPoC.java:20-33,86-88; F4 fixture), on events with the
+    scalable bucketed global row_number (bucket = event day)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = count_window_agg(
+        ev,
+        _CW_SIZE,
+        order_cols=["ts", "event_id"],
+        aggs={
+            "label": ordered_label_concat(["ts", "event_id"], "event_type"),
+            "total": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+        bucket=F.to_date("ts"),
+    )
+    return out.select("w_id", "label", "total")
+
+
+_KCW_SIZE = 10
+
+_COUNT_WINDOW_KEYED_ORACLE = f"""
+WITH r AS (
+    SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS v,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+)
+SELECT user_id, CAST((rn - 1) // {_KCW_SIZE} AS BIGINT) AS w_id,
+       string_agg(event_type, '-' ORDER BY rn) AS label,
+       CAST(SUM(v) AS DOUBLE) AS total
+FROM r
+GROUP BY 1, 2
+HAVING COUNT(*) = {_KCW_SIZE}
+"""
+
+
+@register("count_window_keyed", _COUNT_WINDOW_KEYED_ORACLE, tags=("core",))
+def count_window_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed countWindow(n) (WindowAllKeyedPoC.java:111-131)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = count_window_agg(
+        ev,
+        _KCW_SIZE,
+        order_cols=["ts", "event_id"],
+        aggs={
+            "label": ordered_label_concat(["ts", "event_id"], "event_type"),
+            "total": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+        key_cols=["user_id"],
+    )
+    return out.select("user_id", "w_id", "label", "total")
+
+
+_PROJECT_FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       upper(l_returnflag) AS flag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_quantity > 25
+"""
+
+
+@register("project_filter", _PROJECT_FILTER_ORACLE, tags=("core",))
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map/filter surface (B1-B3): predicate + projection, both
+    pushed into the parquet scan by Catalyst (check: PushedFilters /
+    ReadSchema in .explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 25)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.upper("l_returnflag").alias("flag"),
+        )
+    )
+
+
+_H6 = 6 * 3600 * 1000
+
+_TUMBLING_LABEL_ORACLE = f"""
+SELECT epoch_ms(ts) - epoch_ms(ts) % {_H6} AS w_start,
+       string_agg(event_type, '-' ORDER BY ts, event_id) AS label,
+       {_dec_sum_sql('value')} AS total
+FROM events
+GROUP BY 1
+"""
+
+
+@register("tumbling_window_all_label", _TUMBLING_LABEL_ORACLE, tags=("core",))
+def tumbling_window_all_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: tumbling windowAll with the concat-labels+sum UDAF
+    (WindowAllTimeKeyedPoC.java:148-159), order pinned by (ts, id)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = time_window_agg(
+        ev,
+        "ts",
+        "6 hours",
+        {
+            "label": ordered_label_concat(["ts", "event_id"], "event_type"),
+            "total": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        },
+    )
+    return out.select("w_start", "label", "total")

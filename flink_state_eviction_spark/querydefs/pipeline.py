@@ -1,0 +1,7 @@
+"""Training-data-pipeline queries (dedup, similarity, text analysis).
+
+Populated incrementally; see operators/dedup.py, operators/similarity.py,
+functions/text.py.
+"""
+
+from __future__ import annotations

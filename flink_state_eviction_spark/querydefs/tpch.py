@@ -1,0 +1,5 @@
+"""Classic relational queries over the TPC-H-ish tables (joins,
+grouped aggregation, top-k) exercising broadcast/partial-agg strategy.
+"""
+
+from __future__ import annotations

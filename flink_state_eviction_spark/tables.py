@@ -1,0 +1,53 @@
+"""Loaders for the driver's parquet test tables (TESTDATA.md).
+
+All reads go through ``spark.read.parquet`` so Catalyst predicate
+pushdown / column pruning apply to every downstream query. At 100 TB the
+same code path works unchanged — parquet scans parallelize per row-group
+and the pushed filters / pruned columns are what keep the scan cheap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Runtime conf (not builder-only) so sessions built by callers — e.g.
+    # the driver harness — can read TIMESTAMP(NANOS) parquet too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns arrive as long nanos (see session.py);
+    # convert to µs timestamps — same truncation DuckDB applies on read.
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            # integer division — float division would lose precision on
+            # ~1.7e18 nano values (> 2^53)
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_state_eviction_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    s = get_spark("fse-tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+EPOCH = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def ts_ms(ms: int) -> datetime.datetime:
+    """Fixture timestamps: fixed epoch + offset millis (FIXTURES.md)."""
+    return EPOCH + datetime.timedelta(milliseconds=ms)

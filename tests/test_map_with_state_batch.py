@@ -1,0 +1,68 @@
+"""F1 fixture (MapWithStateTest.java:45-100): per-key running sum with
+TTL eviction; ttl=1100ms. Expected running sums restart where a key was
+idle >= ttl — `(a,3)` not `(a,8)`, final `(c,1)` not `(c,8)`.
+"""
+
+from __future__ import annotations
+
+from conftest import ts_ms
+
+from flink_state_eviction_spark.operators.map_with_state import (
+    running_sum_with_ttl,
+    sessionize,
+)
+
+# F1 input: (key, value, ts_ms) — ts = cumulative gaps.
+F1 = [
+    ("a", 2, 0),
+    ("a", 3, 500),
+    ("b", 1, 1000),
+    ("c", 5, 1500),
+    ("d", 2, 1500),
+    ("c", 2, 2500),
+    ("a", 3, 3500),
+    ("c", 1, 5500),
+]
+TTL_MS = 1100
+
+
+def _f1_df(spark):
+    rows = [(k, float(v), ts_ms(t), i) for i, (k, v, t) in enumerate(F1)]
+    return spark.createDataFrame(rows, "key string, value double, ts timestamp, seq long")
+
+
+def test_running_sum_with_ttl_matches_reference_trace(spark):
+    df = _f1_df(spark)
+    out = running_sum_with_ttl(df, ["key"], "ts", "value", TTL_MS, order_cols=["seq"])
+    got = {(r["key"], r["seq"]): r["running_sum"] for r in out.collect()}
+    # Expected from MapWithStateTest.java:83-100 (order-insensitive here;
+    # the driver-tolerated orderings only concern emission order).
+    expected = {
+        ("a", 0): 2.0,
+        ("a", 1): 5.0,
+        ("b", 2): 1.0,
+        ("c", 3): 5.0,
+        ("d", 4): 2.0,
+        ("c", 5): 7.0,   # gap 1000 < ttl → state kept
+        ("a", 6): 3.0,   # a idle 3000ms >= ttl → evicted, restart
+        ("c", 7): 1.0,   # c idle 3000ms >= ttl → evicted, restart
+    }
+    assert got == expected
+
+
+def test_sessionize_breaks_on_ttl(spark):
+    df = _f1_df(spark)
+    out = sessionize(df, ["key"], "ts", TTL_MS, order_cols=["seq"])
+    sess = {(r["key"], r["seq"]): r["session_id"] for r in out.collect()}
+    assert sess[("a", 0)] == sess[("a", 1)] == 1
+    assert sess[("a", 6)] == 2
+    assert sess[("c", 3)] == sess[("c", 5)] == 1
+    assert sess[("c", 7)] == 2
+
+
+def test_ttl_must_be_positive(spark):
+    import pytest
+
+    df = _f1_df(spark)
+    with pytest.raises(ValueError):
+        running_sum_with_ttl(df, ["key"], "ts", "value", 0)

@@ -1,0 +1,83 @@
+"""Mirror of the driver's correctness gate: run every ``queries()``
+entry on Spark and its ``oracle_sql()`` on DuckDB over the same parquet
+tables, then compare row count, column names, and (column-name-sorted,
+row-sorted) values exactly.
+
+Runs at sf0.001 for speed; the driver runs sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from flink_state_eviction_spark import queries as Q
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def _rows(pdf):
+    cols = sorted(pdf.columns)
+    return sorted(
+        tuple(_norm(v) for v in row) for row in pdf[cols].itertuples(index=False)
+    )
+
+
+ALL = sorted(Q.queries())
+ORACLES = Q.oracle_sql()
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, name):
+    fn = Q.queries()[name]
+    sdf = fn(spark, SF_DIR)
+    spark_pdf = sdf.toPandas()
+    if name not in ORACLES:
+        assert len(spark_pdf) >= 0  # rows-only check (non-SQL-expressible)
+        return
+    con = _duck()
+    duck_pdf = con.execute(ORACLES[name]).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: rowcount {len(spark_pdf)} != {len(duck_pdf)}"
+    )
+    s_rows, d_rows = _rows(spark_pdf), _rows(duck_pdf)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
