@@ -1,0 +1,6 @@
+"""Reusable column-expression builders (JVM-side, codegen-friendly).
+
+Everything here returns pyspark Columns built from built-in functions —
+no Python UDFs — so the hot path stays inside whole-stage codegen, and
+each builder has an exact ANSI-SQL twin used by the DuckDB oracles.
+"""

@@ -1,0 +1,34 @@
+"""Portable 60-bit hashing, identical in Spark and DuckDB.
+
+Both engines md5 the same bytes and parse the first 15 hex chars as a
+base-16 integer (60 bits, always non-negative, fits BIGINT):
+
+- Spark : ``CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)``
+- DuckDB: ``CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)``
+
+This gives the engine a deterministic, seedable hash family (seed is
+prefixed into the hashed string) usable for minhash signatures, simhash
+bit sampling, LSH band keys — with oracle results matching bit-for-bit.
+Scale note: md5 is ~GB/s per core and computed streaming in codegen; at
+100 TB hashing parallelizes with the scan, no shuffle implied.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def h64(col: Column, seed: Column | int = 0) -> Column:
+    """60-bit non-negative hash of a string column under a seed."""
+    seed_col = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
+    payload = F.concat(seed_col, F.lit(":"), col)
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def sql_h64(expr: str, seed_expr: str = "'0'") -> str:
+    """DuckDB twin of :func:`h64`; ``expr``/``seed_expr`` are SQL text."""
+    return (
+        f"CAST(('0x' || substring(md5(CAST({seed_expr} AS VARCHAR) || ':' "
+        f"|| {expr}), 1, 15)) AS BIGINT)"
+    )

@@ -1,0 +1,102 @@
+"""Text-analysis column builders: tokenization, shingling, minhash,
+simhash, language-ID scoring, quality metrics.
+
+All pure built-in-function expressions (no Python UDFs): tokenization
+and hashing run inside whole-stage codegen per row — at 100 TB this is
+scan-parallel work with zero shuffle. Every builder has an exact SQL
+twin in the pipeline oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.hashing import h64
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and fixed — they are part of the
+# operator contract (the oracle embeds the same lists).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "les", "et", "est", "une", "dans"),
+    "es": ("el", "los", "y", "es", "una", "en"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alphanumeric word tokens (empty strings filtered)."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """k-word shingles joined by single spaces; empty when < k tokens."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    make = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    return F.when(F.size(toks) >= k, F.transform(idx, make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """Minhash signature: for each seed s, min over shingles of
+    h64(shingle, s). Null-free only when `shingles` is non-empty."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(F.transform(shingles, lambda sh: h64(sh, s))),
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """LSH banding: md5 over each band's comma-joined signature slice.
+    Two docs sharing any band key are candidate near-duplicates."""
+    def band_key(b: Column) -> Column:
+        vals = F.transform(
+            F.sequence(F.lit(0), F.lit(rows - 1)),
+            lambda r: F.element_at(sig, b * rows + r + 1).cast("string"),
+        )
+        return F.md5(F.array_join(vals, ","))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
+
+
+def token_hashes(toks: Column) -> Column:
+    """h64(token, seed=0) per token — hash ONCE, reuse for all simhash
+    bits (the naive nested form recomputes T md5s for each of 60 bits)."""
+    return F.transform(toks, lambda t: h64(t, 0))
+
+
+def simhash60(tokh_col_name: str) -> Column:
+    """60-bit simhash over a pre-computed token-hash array column
+    (see :func:`token_hashes`): bit b of the fingerprint is set iff
+    Σ_tokens (±1 by bit b of hash) > 0.
+
+    A per-row expression aggregate (60 × T integer adds, zero md5
+    recomputation, zero shuffle) — at 100 TB this is scan-parallel work.
+    """
+    bit_sum = (
+        f"aggregate({tokh_col_name}, cast(0 as bigint), "
+        f"(a2, h) -> a2 + IF((h div cast(pow(2, b) as bigint)) % 2 = 1, 1, -1))"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, 59), cast(0 as bigint), "
+        f"(acc, b) -> acc + IF({bit_sum} > 0, cast(pow(2, b) as bigint), "
+        f"cast(0 as bigint)))"
+    )
+
+
+def stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens (with multiplicity) that are in `words`."""
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: stopword_count(toks, ws) for lang, ws in LANG_STOPWORDS.items()}

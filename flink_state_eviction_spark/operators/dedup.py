@@ -1,0 +1,137 @@
+"""Deduplication operators over document tables.
+
+Three tiers, in increasing fuzziness — all shuffle-frugal designs that
+hold at 100 TB:
+
+- exact: hash-groupBy on md5(text). One shuffle on the 128-bit digest
+  (uniform keys, no skew); canonical "keeper" per group via min(id).
+- minhash-LSH: shingle → seeded-hash signature → banded bucket keys →
+  self-join *within buckets only*, then exact-jaccard verification of
+  candidates. The self-join is on (band, band_key) — cost scales with
+  bucket sizes, not N², which is the whole point of LSH at scale.
+- blocked n-gram jaccard: exact pairwise jaccard, but only within a
+  cheap blocking key (language), for corpora where a full LSH pass is
+  overkill.
+
+No UDFs anywhere — shingling/hashing are codegen'd expressions
+(functions/text.py), joins and groupBys are plain Catalyst operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.text import (
+    lsh_band_keys,
+    minhash_signature,
+    tokens,
+    word_shingles,
+)
+
+
+def exact_dedup_mapping(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Map every row to the canonical keeper (min id) of its exact-text
+    duplicate group. Output: (id, keeper_id, n_copies)."""
+    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    w = Window.partitionBy("_h")
+    return (
+        hashed.withColumn("keeper_id", F.min(id_col).over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .select(id_col, "keeper_id", "n_copies")
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, distinct k-word shingles) for rows with >= k tokens."""
+    toks = tokens(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.array_distinct(word_shingles(toks, k)).alias("sh"))
+        .where(F.size("sh") > 0)
+    )
+
+
+def _jaccard(a, b):
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_distinct(F.concat(a, b)))
+    return (inter.cast("double") / union.cast("double")).alias("jaccard")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via minhash LSH + exact-jaccard verify.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard >= threshold. Deterministic: the hash family is the seeded
+    md5-based h64 (functions/hashing.py), so the oracle reproduces the
+    exact same candidates and values.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sh = shingle_sets(df, id_col, text_col, k)
+    # Two-step projection with a lineage cut in between: band keys
+    # reference the signature 16× via element_at, and Catalyst would
+    # otherwise inline the full (hashes × shingles) md5 computation into
+    # every reference — a 16× expression blowup. localCheckpoint
+    # materializes the small signature table once (at 100 TB you would
+    # persist the signature table anyway: it is tiny next to the text).
+    sig0 = sh.select(
+        F.col(id_col), "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    ).localCheckpoint(eager=False)
+    sig = sig0.select(
+        F.col(id_col), "sh", lsh_band_keys(F.col("sig"), bands, rows).alias("bk")
+    )
+    exploded = sig.select(id_col, "sh", F.posexplode("bk").alias("band", "bkey"))
+    a = exploded.select(
+        F.col("band"), F.col("bkey"), F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = exploded.select(
+        F.col("band"), F.col("bkey"), F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.select(
+        "doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b"))
+    ).where(F.col("jaccard") >= threshold)
+
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact pairwise jaccard within blocks (e.g. same language).
+    Output: (doc_a, doc_b, jaccard). The block join bounds the pair
+    count; at scale prefer minhash_lsh_pairs unless blocks are small."""
+    base = df.select(F.col(id_col), F.col(block_col).alias("_blk"), F.col(text_col))
+    sh = shingle_sets(base, id_col, text_col, k).join(
+        base.select(id_col, "_blk"), id_col
+    )
+    a = sh.select(
+        F.col("_blk"), F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("_blk"), F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — the query set is broadcast, the
+corpus side streams through, so the plan is scan-parallel with a single
+shuffle for the per-query top-k window. Vector math is expressed with
+higher-order functions (zip_with + aggregate): sequential left-fold in
+doubles, which the DuckDB oracle (list_dot_product on DOUBLE[]) matches
+bit-for-bit.
+
+Scale path: `ivf_cosine_topk` prunes the corpus to the `nprobe` closest
+coarse partitions (here: the `label` column as the IVF cell) before the
+brute-force pass — the classic IVF trade of recall for a ~cells/nprobe
+scan reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_vec(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in doubles (matches list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot(a, b) / (norm_a * norm_b)
+
+
+def _with_vec_and_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = as_double_vec(F.col(vec_col))
+    return df.select(F.col(id_col), v.alias("_v")).withColumn(
+        "_n", l2_norm(F.col("_v"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query row, the k nearest
+    corpus rows (self-matches excluded). Output:
+    (query_id, neighbor_id, rank, sim).
+
+    The query side is broadcast — corpus never shuffles for the join;
+    the only exchange is the per-query top-k ranking.
+    """
+    c = _with_vec_and_norm(corpus, id_col, vec_col)
+    q = _with_vec_and_norm(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    sim = (
+        c.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "sim", cosine(F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_n"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "rank",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: centroids per `cell_col` (exact decimal-summed
+    means, so they are deterministic), each query probes its `nprobe`
+    nearest cells, brute-force cosine within the probed cells only.
+
+    Output: (query_id, neighbor_id, rank, sim). Recall < 1 by design;
+    the scan cost drops by ~n_cells/nprobe versus brute force.
+    """
+    dims = F.size(F.col(vec_col))
+    # element-wise mean per cell: posexplode → decimal-exact avg → regroup
+    comp = corpus.select(
+        F.col(cell_col).alias("_cell"),
+        F.posexplode(as_double_vec(F.col(vec_col))).alias("_i", "_x"),
+    )
+    cent = (
+        comp.groupBy("_cell", "_i")
+        .agg(
+            (
+                F.sum(F.col("_x").cast("decimal(27,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m")
+        )
+        .groupBy("_cell")
+        .agg(F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_im"))
+        .select(
+            "_cell", F.transform("_im", lambda s: s["_m"]).alias("_cv")
+        )
+        .withColumn("_cn", l2_norm(F.col("_cv")))
+    )
+    q = _with_vec_and_norm(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("_csim"), F.col("_cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "_csim", cosine(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"))
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", "_qn", "_cell")
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(cell_col).alias("_cell")
+    ).join(_with_vec_and_norm(corpus, id_col, vec_col), id_col)
+    sim = (
+        c.join(F.broadcast(probes), "_cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "sim", cosine(F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_n"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "rank",
+            F.round("sim", 6).alias("sim"),
+        )
+    )

@@ -1,7 +1,394 @@
-"""Training-data-pipeline queries (dedup, similarity, text analysis).
-
-Populated incrementally; see operators/dedup.py, operators/similarity.py,
-functions/text.py.
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis over the `documents` / `embeddings` tables — each with a
+DuckDB oracle that reproduces the exact same deterministic hash family
+(functions/hashing.py) and float arithmetic.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.text import (
+    LANG_STOPWORDS,
+    lang_scores,
+    minhash_signature,
+    simhash60,
+    stopword_count,
+    token_hashes,
+    tokens,
+)
+from flink_state_eviction_spark.operators.dedup import (
+    blocked_jaccard_pairs,
+    exact_dedup_mapping,
+    minhash_lsh_pairs,
+    shingle_sets,
+)
+from flink_state_eviction_spark.operators.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+)
+from flink_state_eviction_spark.queries import register
+from flink_state_eviction_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB twins of functions/text.py)
+
+_SQL_TOKS = """
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS toks
+    FROM documents
+)
+"""
+
+_SQL_SHINGLES = """
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                ELSE [] END AS sh
+    FROM toks
+)
+"""
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+_EXACT_ORACLE = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+       count(*) OVER (PARTITION BY md5(text)) AS n_copies
+FROM documents
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE, tags=("pipeline", "dedup"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_mapping(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# minhash LSH near-dup (16 hashes, 4 bands x 4 rows, jaccard >= 0.8)
+
+_MINHASH_ORACLE = f"""
+WITH {_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
+shn AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+ex AS (SELECT doc_id, unnest(sh) AS sh1 FROM shn),
+seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+mh AS (
+    SELECT ex.doc_id, seeds.seed,
+           min(CAST(('0x' || substring(md5(CAST(seeds.seed AS VARCHAR)
+                || ':' || ex.sh1), 1, 15)) AS BIGINT)) AS h
+    FROM ex CROSS JOIN seeds
+    GROUP BY 1, 2
+),
+bk AS (
+    SELECT doc_id, seed // 4 AS band,
+           md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS bkey
+    FROM mh GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bk a JOIN bk b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+           AS jaccard
+FROM cand c
+JOIN shn sa ON sa.doc_id = c.doc_a
+JOIN shn sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.8
+"""
+
+
+@register(
+    "dedup_minhash_lsh", _MINHASH_ORACLE, headline=True, tags=("pipeline", "dedup")
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked exact n-gram jaccard (block = lang)
+
+_BLOCKED_ORACLE = f"""
+WITH {_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
+shn AS (
+    SELECT s.doc_id, s.sh, d.lang AS blk
+    FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+    WHERE len(s.sh) > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+           AS jaccard
+FROM shn a JOIN shn b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
+"""
+
+
+@register("dedup_ngram_jaccard", _BLOCKED_ORACLE, tags=("pipeline", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return blocked_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", k=3, threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprints (simhash60 + minhash seed 0 + md5)
+
+_FPRINT_ORACLE = f"""
+WITH {_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
+tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+th AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('0:' || t), 1, 15)) AS BIGINT) AS h
+    FROM tok
+),
+bits AS (
+    SELECT th.doc_id, b.b,
+           SUM(CASE WHEN (h // CAST(pow(2, b.b) AS BIGINT)) % 2 = 1
+                    THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+    GROUP BY 1, 2
+),
+fp AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY 1
+),
+ex AS (SELECT doc_id, unnest(sh) AS sh1 FROM sh),
+mh0 AS (
+    SELECT doc_id,
+           min(CAST(('0x' || substring(md5('0:' || sh1), 1, 15)) AS BIGINT))
+               AS minhash_0
+    FROM ex GROUP BY 1
+)
+SELECT d.doc_id, md5(d.text) AS text_md5,
+       COALESCE(fp.simhash, 0) AS simhash, mh0.minhash_0
+FROM documents d
+LEFT JOIN fp ON fp.doc_id = d.doc_id
+LEFT JOIN mh0 ON mh0.doc_id = d.doc_id
+"""
+
+
+@register("doc_fingerprint", _FPRINT_ORACLE, tags=("pipeline", "text"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        token_hashes(tokens(F.col("text"))).alias("tokh"),
+    )
+    sh = shingle_sets(docs, "doc_id", "text", k=3)
+    return (
+        toked.withColumn("simhash", simhash60("tokh"))
+        .join(
+            sh.select(
+                "doc_id",
+                F.element_at(minhash_signature(F.col("sh"), 1), 1).alias("minhash_0"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", "text_md5", "simhash", "minhash_0")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text quality metrics
+
+_QUALITY_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+m AS (
+    SELECT d.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_words,
+           CAST(length(d.text) AS BIGINT) AS n_chars_text,
+           CAST(list_sum(list_transform(t.toks, x -> length(x))) AS BIGINT)
+               AS n_token_chars,
+           CAST(len(list_filter(t.toks,
+                x -> list_contains({list(LANG_STOPWORDS["en"])!r}, x)))
+               AS BIGINT) AS n_stop,
+           CAST(length(lower(d.text))
+                - length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g'))
+               AS BIGINT) AS n_punct
+    FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+)
+SELECT doc_id, n_words, n_chars_text,
+       CAST(n_token_chars AS DOUBLE) / NULLIF(n_words, 0) AS avg_word_len,
+       CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0) AS stop_ratio,
+       CAST(n_punct AS DOUBLE) / NULLIF(n_chars_text, 0) AS punct_ratio,
+       2.0 * (CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0))
+         - 3.0 * (CAST(n_punct AS DOUBLE) / NULLIF(n_chars_text, 0))
+         + 0.05 * (CAST(n_token_chars AS DOUBLE) / NULLIF(n_words, 0))
+           AS quality_score
+FROM m
+"""
+
+
+@register("text_quality", _QUALITY_ORACLE, headline=True, tags=("pipeline", "text"))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    n_words = F.size("toks").cast("long")
+    n_chars = F.length("text").cast("long")
+    n_token_chars = F.aggregate(
+        F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
+    ).cast("long")
+    n_stop = stopword_count(F.col("toks"), LANG_STOPWORDS["en"]).cast("long")
+    n_punct = (
+        F.length(F.lower("text"))
+        - F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", ""))
+    ).cast("long")
+    d = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_text"),
+        n_token_chars.alias("n_token_chars"),
+        n_stop.alias("n_stop"),
+        n_punct.alias("n_punct"),
+    )
+    nw = F.nullif(F.col("n_words"), F.lit(0))
+    nc = F.nullif(F.col("n_chars_text"), F.lit(0))
+    avg_wl = F.col("n_token_chars").cast("double") / nw
+    stop_r = F.col("n_stop").cast("double") / nw
+    punct_r = F.col("n_punct").cast("double") / nc
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_chars_text",
+        avg_wl.alias("avg_word_len"),
+        stop_r.alias("stop_ratio"),
+        punct_r.alias("punct_ratio"),
+        (2.0 * stop_r - 3.0 * punct_r + 0.05 * avg_wl).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic (stopword-list scoring, fixed priority argmax)
+
+
+def _langid_sql() -> str:
+    score = lambda lang: (  # noqa: E731
+        f"CAST(len(list_filter(toks, x -> "
+        f"list_contains({list(LANG_STOPWORDS[lang])!r}, x))) AS BIGINT)"
+    )
+    return f"""
+WITH {_SQL_TOKS.strip()},
+s AS (
+    SELECT doc_id, {score("en")} AS s_en, {score("de")} AS s_de,
+           {score("fr")} AS s_fr, {score("es")} AS s_es
+    FROM toks
+)
+SELECT doc_id, s_en, s_de, s_fr, s_es,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS detected
+FROM s
+"""
+
+
+@register("text_langid", _langid_sql(), tags=("pipeline", "text"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sc = {k: v.cast("long") for k, v in lang_scores(F.col("toks")).items()}
+    d = t.select(
+        "doc_id", *[c.alias(f"s_{lang}") for lang, c in sc.items()]
+    )
+    e, g, fr, s = (F.col("s_en"), F.col("s_de"), F.col("s_fr"), F.col("s_es"))
+    detected = (
+        F.when((e >= g) & (e >= fr) & (e >= s), "en")
+        .when((g >= fr) & (g >= s), "de")
+        .when(fr >= s, "fr")
+        .otherwise("es")
+    )
+    return d.withColumn("detected", detected)
+
+
+# ---------------------------------------------------------------------------
+# token counting (regex word/number/punct splitter + bytes/4 BPE proxy)
+
+_TOKEN_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS BIGINT)
+           AS n_re_tokens,
+       CAST((length(text) + 3) // 4 AS BIGINT) AS approx_bpe_tokens
+FROM documents
+"""
+
+
+@register("token_count", _TOKEN_COUNT_ORACLE, tags=("pipeline", "text"))
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_re_tokens"),
+        F.expr("(length(text) + 3) div 4").cast("long").alias("approx_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search: brute-force cosine top-k (queries = vec_id < 8)
+
+_TOPK_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nn AS qn FROM n WHERE vec_id < 8),
+s AS (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           list_dot_product(q.qv, n.v) / (q.qn * n.nn) AS sim0
+    FROM q JOIN n ON n.vec_id <> q.query_id
+),
+r AS (
+    SELECT query_id, neighbor_id, sim0,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim0 DESC, neighbor_id) AS INT) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, rank, round(sim0, 6) AS sim
+FROM r WHERE rank <= 10
+"""
+
+
+@register(
+    "similarity_topk", _TOPK_ORACLE, headline=True, tags=("pipeline", "similarity")
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 8), "vec_id", "embedding", k=10)
+
+
+@register("similarity_ivf_topk", None, tags=("pipeline", "similarity"))
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN variant (recall < 1 — rows-only check; correctness is
+    covered by tests/test_similarity.py recall assertions)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        emb,
+        emb.where(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        cell_col="label",
+        k=10,
+        nprobe=3,
+    )

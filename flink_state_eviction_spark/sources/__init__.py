@@ -1,0 +1,2 @@
+"""Deterministic test sources — Spark-first re-expression of the
+reference's stream-test infrastructure (SURVEY.md §2.2)."""

@@ -1,0 +1,137 @@
+"""Deterministic test-source builders.
+
+Reference sources re-expressed for Spark:
+
+- ``ElementsWithGapsSource`` (ElementsWithGapsSource.java:34-180): a
+  finite processing-time source built as addElem/addGap; the *time
+  structure* is what matters, so the batch form materializes
+  ``ts = fixture_epoch + cumulative gap`` (FIXTURES.md convention) and
+  the streaming form replays the same rows as a file stream with
+  ``maxFilesPerTrigger=1`` — one micro-batch per file, deterministic
+  batch boundaries, no sleeping source threads.
+- ``EventTimeDelayedElementsSource``
+  (EventTimeDelayedElementsSource.java:50-206): elements carry relative
+  event-time delays; emission order is irrelevant, only timestamps and
+  the watermark policy matter. ``late`` mode pairs the data with a
+  bounded-out-of-orderness watermark of 2× the total delay (so nothing
+  drops, :155-181); ``early`` mode sorts ascending with zero lateness
+  (:183-205).
+
+The reference's checkpointing machinery (emit-under-lock,
+snapshot/restore — ElementsWithGapsSource.java:131-172) is subsumed by
+Spark's file-source offsets + checkpointLocation.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+FIXTURE_EPOCH = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+GAP = object()  # sentinel tag
+
+
+def gap(ms: int) -> tuple[object, int]:
+    """A processing-time gap entry for :func:`elements_with_gaps`."""
+    return (GAP, ms)
+
+
+def elements_with_gaps(
+    spark: SparkSession,
+    entries: Sequence[Any],
+    schema: str = "key string, value int",
+) -> DataFrame:
+    """Build the gap-source fixture as a batch DataFrame.
+
+    ``entries`` mixes element tuples and :func:`gap` markers, mirroring
+    the reference's ``addElem(e).addGap(t)`` builder
+    (ElementsWithGapsSource.java:41-98). Each element gets
+    ``ts = FIXTURE_EPOCH + cumulative-gap`` and a ``seq`` order column.
+    """
+    rows = []
+    t_ms = 0
+    seq = 0
+    for e in entries:
+        if isinstance(e, tuple) and len(e) == 2 and e[0] is GAP:
+            t_ms += e[1]
+            continue
+        elem = e if isinstance(e, tuple) else (e,)
+        rows.append(
+            (*elem, FIXTURE_EPOCH + datetime.timedelta(milliseconds=t_ms), seq)
+        )
+        seq += 1
+    return spark.createDataFrame(rows, f"{schema}, ts timestamp, seq long")
+
+
+def event_time_delayed(
+    spark: SparkSession,
+    elements: Sequence[tuple[Any, int]],
+    schema: str = "value int",
+    mode: str = "late",
+) -> tuple[DataFrame, str]:
+    """Event-time source: (element, relative delay ms) pairs.
+
+    Returns ``(df, watermark_delay)`` — the watermark policy string to
+    pass to ``withWatermark`` on the streaming side:
+    - ``late`` (default): elements as given, watermark = 2 × total delay
+      so nothing is late-dropped (EventTimeDelayedElementsSource.java:155-181);
+    - ``early``: elements sorted by delay, ascending-timestamps
+      watermark (0 ms lateness) (:183-205).
+    """
+    if mode not in ("late", "early"):
+        raise ValueError("mode must be 'late' or 'early'")
+    elems = list(elements)
+    if mode == "early":
+        elems = sorted(elems, key=lambda p: p[1])
+    total = sum(d for _, d in elems)
+    rows = []
+    for i, (e, delay) in enumerate(elems):
+        elem = e if isinstance(e, tuple) else (e,)
+        rows.append(
+            (*elem, FIXTURE_EPOCH + datetime.timedelta(milliseconds=delay), i)
+        )
+    df = spark.createDataFrame(rows, f"{schema}, ts timestamp, seq long")
+    wm_ms = 2 * total if mode == "late" else 0
+    return df, f"{wm_ms} milliseconds"
+
+
+def with_equal_gaps(
+    values: Sequence[Any], gap_ms: int
+) -> list[tuple[Any, int]]:
+    """Equal-gap helper (EventTimeDelayedElementsSource.java:106-142):
+    element i gets delay i * gap_ms."""
+    return [(v, i * gap_ms) for i, v in enumerate(values)]
+
+
+def as_file_stream(
+    df: DataFrame,
+    workdir: str,
+    num_batches: int,
+    order_col: str = "seq",
+) -> DataFrame:
+    """Replay a fixture DataFrame as a deterministic stream: rows are
+    range-split by ``order_col`` into ``num_batches`` parquet files and
+    read back with ``maxFilesPerTrigger=1`` — one micro-batch per file
+    under an ``availableNow`` trigger."""
+    spark = df.sparkSession
+    rows = df.orderBy(order_col).collect()
+    per = max(1, -(-len(rows) // num_batches))
+    data_dir = os.path.join(workdir, "stream-in")
+    os.makedirs(data_dir, exist_ok=True)
+    schema = df.schema
+    for b in range(0, len(rows), per):
+        chunk = spark.createDataFrame(rows[b : b + per], schema)
+        # one parquet file per batch, named in replay order
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"batch-{b // per:05d}")
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(data_dir, "batch-*"))
+    )

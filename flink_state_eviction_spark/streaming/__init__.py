@@ -1,0 +1,3 @@
+"""Structured Streaming layer: the true incremental form of the
+reference's stateful operators, plus deterministic stream-test tooling.
+"""

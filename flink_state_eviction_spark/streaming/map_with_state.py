@@ -1,0 +1,184 @@
+"""Streaming ``map_with_state`` — keyed map with TTL-evicted per-key
+state over an unbounded stream.
+
+Reference: ``MapWithState.java:51-393``. The reference implements TTL
+with a tombstone feedback loop over Flink iterative streams plus a
+scheduler thread (``MapWithState.java:106-150, 304-329``); none of that
+mechanism is needed on Spark — ``applyInPandasWithState`` with
+``GroupStateTimeout.ProcessingTimeTimeout`` provides per-key timers and
+eviction natively, and the ``ttlRefreshInterval`` knob becomes advisory
+(Spark checks timeouts every micro-batch, strictly tighter than the
+reference's tombstone cadence).
+
+Two eviction clocks:
+
+- ``time_mode="processing"`` — wall clock, like the reference
+  (IngestionTime PoCs). State times out via the native timer AND is
+  double-checked on read, because a timeout that expired while no
+  micro-batch was running must still evict before the next use —
+  matching "evict if idle >= ttl" (MapWithState.java:360-372).
+- ``time_mode="event"`` — the event-time analogue: the idle test uses
+  the gap between consecutive event timestamps. Fully deterministic;
+  this is exactly what the batch oracle (operators/map_with_state.py)
+  computes, so streaming output ≡ batch output row-for-row.
+
+State layout mirrors the reference's ``TimeStampedValue``
+(MapWithState.java:232-245): (user state ..., last_access_ms); the
+``firstTombstoneSent`` flag is tombstone-protocol bookkeeping, dropped.
+
+Scale: state lives in the partitioned state store (RocksDB provider for
+large keyspaces), co-located with the groupBy hash partitioning; the
+Python side sees Arrow batches per key group.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+try:  # Spark 3.4+ / 4.x
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    HAVE_STATE_API = True
+except ImportError:  # pragma: no cover
+    HAVE_STATE_API = False
+
+# map_fn: (key tuple, pandas batch, user state tuple | None) ->
+#         (output pandas DataFrame, new user state tuple)
+MapFn = Callable[[tuple, pd.DataFrame, "tuple | None"], "tuple[pd.DataFrame, tuple]"]
+
+
+def map_with_state(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    map_fn: MapFn,
+    state_schema: str,
+    output_schema: str,
+    ttl_ms: int,
+    time_mode: str = "event",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Apply ``map_fn`` per key with TTL-evicted state.
+
+    ``state_schema`` must end with ``last_access_ms long`` — the engine
+    owns that field (read-refresh semantics, MapWithState.java:248-252).
+    """
+    if ttl_ms is None or ttl_ms <= 0:
+        # mirrors the precondition at MapWithState.java:93-94
+        raise ValueError("ttl must be a positive duration in milliseconds")
+    if time_mode not in ("event", "processing"):
+        raise ValueError("time_mode must be 'event' or 'processing'")
+    if not HAVE_STATE_API:  # pragma: no cover
+        raise NotImplementedError("pyspark streaming state API unavailable")
+
+    def handle(key: tuple, pdf_iter, state: "GroupState"):
+        if time_mode == "processing" and state.hasTimedOut:
+            if state.exists:
+                state.remove()  # eviction (MapWithState.java:360-367)
+            return
+        st: "tuple[Any, ...] | None" = tuple(state.get) if state.exists else None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            if time_mode == "event":
+                pdf = pdf.sort_values(ts_col, kind="stable").reset_index(drop=True)
+                ts_ms = (
+                    pdf[ts_col].astype("datetime64[ns]").astype("int64")
+                    // 1_000_000
+                ).tolist()
+            else:
+                now = int(time.time() * 1000)
+                ts_ms = [now] * len(pdf)
+            # Split the batch at TTL-exceeding idle gaps (including the
+            # gap since the stored last_access), evicting state at each
+            # split — the read-time equivalent of the tombstone check.
+            last = st[-1] if st is not None else None
+            seg_start = 0
+            for i in range(len(pdf) + 1):
+                at_end = i == len(pdf)
+                gap_breaks = (
+                    not at_end and last is not None and ts_ms[i] - last > ttl_ms
+                )
+                if at_end or gap_breaks:
+                    if seg_start < i:
+                        out_pdf, user_state = map_fn(
+                            key,
+                            pdf.iloc[seg_start:i],
+                            None if st is None else st[:-1],
+                        )
+                        st = (*user_state, ts_ms[i - 1])
+                        seg_start = i
+                        yield out_pdf
+                    if gap_breaks:
+                        st = None  # evict: key idle > ttl
+                if not at_end:
+                    last = ts_ms[i]
+        if st is not None:
+            state.update(st)
+            if time_mode == "processing":
+                # re-arm the processing-time timer on every access
+                # (read-refresh, MapWithState.java:248-252)
+                state.setTimeoutDuration(ttl_ms)
+
+    # Event mode needs no native timers — the read-time idle check IS
+    # the eviction semantics, and skipping timers lets finite
+    # (availableNow) runs terminate without draining timer batches.
+    # Processing mode keeps the native timer so idle keys are physically
+    # evicted from the store even if they never reappear.
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if time_mode == "processing"
+        else GroupStateTimeout.NoTimeout
+    )
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        handle, output_schema, state_schema, "update", timeout
+    )
+
+
+def running_sum_stream(
+    sdf: DataFrame,
+    key_col: str,
+    value_col: str,
+    ttl_ms: int,
+    time_mode: str = "event",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The reference PoC query as a stream: per-key running sum with TTL
+    state eviction (MapWithStateIterPoC.java:311-313). Output one row
+    per input element: (key, ts, value, running_sum)."""
+
+    def fn(key, pdf: pd.DataFrame, st):
+        acc = float(st[0]) if st is not None else 0.0
+        sums = []
+        for v in pdf[value_col]:
+            acc += float(v)
+            sums.append(acc)
+        out = pd.DataFrame(
+            {
+                key_col: [key[0]] * len(pdf),
+                ts_col: pdf[ts_col].tolist(),
+                value_col: pdf[value_col].tolist(),
+                "running_sum": sums,
+            }
+        )
+        return out, (acc,)
+
+    key_t = dict(sdf.dtypes)[key_col]
+    val_t = dict(sdf.dtypes)[value_col]
+    return map_with_state(
+        sdf,
+        [key_col],
+        fn,
+        state_schema="acc double, last_access_ms long",
+        output_schema=(
+            f"{key_col} {key_t}, {ts_col} timestamp, "
+            f"{value_col} {val_t}, running_sum double"
+        ),
+        ttl_ms=ttl_ms,
+        time_mode=time_mode,
+        ts_col=ts_col,
+    )

@@ -1,0 +1,134 @@
+"""Stream-test execution + assertion helpers.
+
+Replaces the reference's assertion sink (``ElementsWithGapsSink.java:
+46-99`` — which its own docs admit breaks under parallel sink
+instances, :19-25) with Spark's memory sink + order-tolerant
+comparison: run the query with an ``availableNow`` trigger, read the
+memory table, compare as multisets (the reference's Hamcrest ``anyOf``
+order tolerance, MapWithStateTest.java:88-100, generalized).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def run_available_now(
+    sdf: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+    table: str | None = None,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink; returns the result as a batch DataFrame."""
+    name = table or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError("streaming query did not finish in time")
+    return sdf.sparkSession.table(name)
+
+
+def run_until_rows(
+    sdf: DataFrame,
+    checkpoint_dir: str,
+    min_rows: int,
+    output_mode: str = "update",
+    table: str | None = None,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Start a streaming query and stop it once the memory table holds
+    at least ``min_rows`` rows.
+
+    Needed for processing-time-timeout queries: with
+    ``GroupStateTimeout.ProcessingTimeTimeout`` Spark keeps scheduling
+    micro-batches to serve future timers, so ``availableNow`` never
+    self-terminates — termination must be driven by the observed output.
+    """
+    import time
+
+    name = table or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    spark = sdf.sparkSession
+    deadline = time.time() + timeout_sec
+    try:
+        while time.time() < deadline:
+            if spark.table(name).count() >= min_rows:
+                break
+            time.sleep(0.5)
+        else:  # pragma: no cover
+            raise TimeoutError(
+                f"memory table {name} did not reach {min_rows} rows"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+def run_foreach_until_rows(
+    sdf: DataFrame,
+    checkpoint_dir: str,
+    min_rows: int,
+    output_mode: str = "update",
+    timeout_sec: int = 120,
+) -> list:
+    """Like :func:`run_until_rows` but collects via ``foreachBatch`` —
+    the only sink that both supports update mode and can RESUME from a
+    checkpoint (memory sink cannot), which cross-run state/TTL tests
+    need."""
+    import time
+
+    rows: list = []
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        rows.extend(batch_df.collect())
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    deadline = time.time() + timeout_sec
+    try:
+        while time.time() < deadline and len(rows) < min_rows:
+            time.sleep(0.5)
+        if len(rows) < min_rows:  # pragma: no cover
+            raise TimeoutError(f"collected {len(rows)} < {min_rows} rows")
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return rows
+
+
+def assert_same_rows(actual: DataFrame, expected: DataFrame) -> None:
+    """Order-insensitive multiset equality of two DataFrames with the
+    same columns (sorted by name before compare)."""
+    cols = sorted(actual.columns)
+    assert sorted(expected.columns) == cols, (
+        f"columns differ: {sorted(expected.columns)} vs {cols}"
+    )
+    a = sorted(map(tuple, actual.select(*cols).collect()))
+    b = sorted(map(tuple, expected.select(*cols).collect()))
+    assert a == b, (
+        f"row multisets differ; first diff: "
+        f"{next(((x, y) for x, y in zip(a, b) if x != y), (len(a), len(b)))}"
+    )

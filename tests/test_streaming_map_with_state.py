@@ -1,0 +1,83 @@
+"""Streaming map_with_state parity: the F1 fixture streamed through
+``applyInPandasWithState`` must equal the batch TTL-sessionized result
+(MapWithStateTest.java:41-101 semantics), including across micro-batch
+boundaries (state carried in the state store between batches).
+"""
+
+from __future__ import annotations
+
+import pytest
+from conftest import ts_ms
+
+from flink_state_eviction_spark.operators.map_with_state import (
+    running_sum_with_ttl,
+)
+from flink_state_eviction_spark.sources.fixtures import (
+    as_file_stream,
+    elements_with_gaps,
+    gap,
+)
+from flink_state_eviction_spark.streaming.map_with_state import (
+    map_with_state,
+    running_sum_stream,
+)
+from flink_state_eviction_spark.streaming.testing import run_available_now
+
+# F1 (MapWithStateTest.java:45-52): addElem/addGap sequence
+F1_ENTRIES = [
+    ("a", 2), gap(500),
+    ("a", 3), gap(500),
+    ("b", 1), gap(500),
+    ("c", 5),
+    ("d", 2), gap(1000),
+    ("c", 2), gap(1000),
+    ("a", 3), gap(2000),
+    ("c", 1),
+]
+TTL_MS = 1100
+
+EXPECTED = {
+    ("a", 0, 2.0), ("a", 500, 5.0), ("b", 1000, 1.0),
+    ("c", 1500, 5.0), ("d", 1500, 2.0), ("c", 2500, 7.0),
+    ("a", 3500, 3.0), ("c", 5500, 1.0),
+}
+
+
+def _expected_from_batch(spark):
+    df = elements_with_gaps(spark, F1_ENTRIES)
+    out = running_sum_with_ttl(df, ["key"], "ts", "value", TTL_MS, order_cols=["seq"])
+    return {
+        (r["key"], r["seq"], r["running_sum"]) for r in out.collect()
+    }
+
+
+@pytest.mark.parametrize("num_batches", [1, 3, 8])
+def test_stream_equals_batch_and_reference_trace(spark, tmp_path, num_batches):
+    df = elements_with_gaps(spark, F1_ENTRIES)
+    sdf = as_file_stream(df, str(tmp_path / f"nb{num_batches}"), num_batches)
+    out = running_sum_stream(sdf, "key", "value", TTL_MS, time_mode="event")
+    res = run_available_now(
+        out, str(tmp_path / f"ck{num_batches}"), output_mode="update"
+    )
+    got = {
+        (r["key"], (r["ts"].timestamp() - ts_ms(0).timestamp()) * 1000, r["running_sum"])
+        for r in res.collect()
+    }
+    want = {(k, float(t), s) for (k, t, s) in EXPECTED}
+    assert got == want
+    # and parity with the batch operator
+    batch = {(k, s) for (k, _, s) in _expected_from_batch(spark)}
+    assert {(k, s) for (k, _, s) in got} == batch
+
+
+def test_ttl_validation_streaming(spark):
+    with pytest.raises(ValueError):
+        map_with_state(
+            None, ["k"], lambda *a: None, "acc double, last_access_ms long",
+            "k string", ttl_ms=0,
+        )
+    with pytest.raises(ValueError):
+        map_with_state(
+            None, ["k"], lambda *a: None, "acc double, last_access_ms long",
+            "k string", ttl_ms=100, time_mode="bogus",
+        )
