@@ -32,3 +32,33 @@ def sql_h64(expr: str, seed_expr: str = "'0'") -> str:
         f"CAST(('0x' || substring(md5(CAST({seed_expr} AS VARCHAR) || ':' "
         f"|| {expr}), 1, 15)) AS BIGINT)"
     )
+
+
+# Universal hash family over the Mersenne prime 2^31-1: f_i(h) =
+# (A_i * (h mod P) + B_i) mod P. One md5 per input, then pure 64-bit
+# integer arithmetic per family member — ~100x cheaper than md5-per-seed
+# (higher-order-function lambdas evaluate interpreted, so per-element
+# md5 cost dominates otherwise). Products stay < 2^62: no overflow in
+# either engine. The (A, B) pairs are fixed constants shared verbatim
+# with the SQL oracles.
+MERSENNE_P = 2147483647  # 2^31 - 1
+
+MINHASH_AB: tuple[tuple[int, int], ...] = (
+    (1373158607, 239081663), (53710185, 1592467581),
+    (590620972, 525901256), (479341424, 299655412),
+    (1581559893, 220106707), (1453201079, 1590571865),
+    (1915941033, 1171165722), (186699714, 1268073012),
+    (906070221, 68252793), (63989048, 201209005),
+    (469521478, 499635468), (1085242217, 1292825378),
+    (56985562, 1205264595), (427000597, 1537640408),
+    (1395616197, 1506083910), (1170252924, 900911954),
+)
+
+
+def perm_hash(h: Column, a: int, b: int) -> Column:
+    """One member of the universal family applied to a base hash."""
+    return (F.lit(a) * (h % F.lit(MERSENNE_P)) + F.lit(b)) % F.lit(MERSENNE_P)
+
+
+def sql_perm_hash(h_expr: str, a: int, b: int) -> str:
+    return f"(({a} * (({h_expr}) % {MERSENNE_P}) + {b}) % {MERSENNE_P})"

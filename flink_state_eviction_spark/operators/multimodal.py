@@ -1,0 +1,99 @@
+"""Multimodal column conventions + decode/feature plumbing.
+
+Convention: media are opaque ``binary`` columns with a typed metadata
+struct alongside:
+
+    media:      binary
+    media_type: string            ('image' | 'audio' | 'video')
+    media_meta: struct<width int, height int, n_frames int,
+                       sample_rate int>
+
+The Spark-side plumbing (schemas, Arrow batch shape, partition-parallel
+``mapInPandas``) is real and tested; the actual codec step is STUBBED:
+this container has no image/audio libraries, so ``decode_media``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (byte-length / md5-derived features) stands
+in. Swapping the fake for PIL/torchaudio/ffmpeg later changes only the
+body of ``_decode_batch`` — the distributed plumbing is unchanged.
+
+Scale: mapInPandas streams Arrow batches per partition — no shuffle; a
+100 TB media table decodes scan-parallel. Keep batches bounded via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` when frames are large.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media binary, media_type string, "
+    "media_meta struct<width:int, height:int, n_frames:int, sample_rate:int>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, content_md5 string, "
+    "fake_width int, fake_height int, n_frames_sampled int"
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media table following the convention from the documents
+    table (text bytes as the opaque payload; metadata derived
+    deterministically) — the test stand-in for a real media lake."""
+    h = F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("int")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("media"),
+        F.lit("image").alias("media_type"),
+        F.struct(
+            (F.pmod(h, F.lit(1024)) + 1).cast("int").alias("width"),
+            (F.pmod(h, F.lit(768)) + 1).cast("int").alias("height"),
+            (F.pmod(h, F.lit(64)) + 1).cast("int").alias("n_frames"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_batch_fake(pdf: pd.DataFrame, frame_stride: int) -> pd.DataFrame:
+    """Deterministic fake decode: features derived from the raw bytes.
+    Replace with a real codec (PIL/ffmpeg) for production use."""
+    out = {
+        "doc_id": pdf["doc_id"],
+        "n_bytes": pdf["media"].map(len).astype("int64"),
+        "content_md5": pdf["media"].map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+        "fake_width": pdf["media_meta"].map(lambda m: m["width"]).astype("int32"),
+        "fake_height": pdf["media_meta"].map(lambda m: m["height"]).astype("int32"),
+        "n_frames_sampled": pdf["media_meta"]
+        .map(lambda m: len(range(0, m["n_frames"], frame_stride)))
+        .astype("int32"),
+    }
+    return pd.DataFrame(out)
+
+
+def decode_media(
+    media_df: DataFrame, frame_stride: int = 4, fake: bool = False
+) -> DataFrame:
+    """Decode/feature-extract media via partition-parallel mapInPandas.
+
+    ``fake=False`` requires real codec libraries (not present in this
+    environment) and raises ``NotImplementedError``; ``fake=True`` runs
+    the deterministic byte-derived stand-in so the full distributed
+    pipeline (Arrow batching, schema, partitioning) is exercised.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real media decoding needs image/audio libraries; "
+            "pass fake=True for the deterministic stand-in"
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _decode_batch_fake(pdf, frame_stride)
+
+    return media_df.mapInPandas(op, FEATURE_SCHEMA)

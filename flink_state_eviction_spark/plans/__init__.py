@@ -1,0 +1,1 @@
+"""Plan-inspection helpers (pushdown / broadcast / exchange asserts)."""

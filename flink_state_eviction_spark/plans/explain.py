@@ -1,0 +1,58 @@
+"""Physical-plan inspection: the engine's "is this the plan I'd want at
+100 TB?" checks, usable both in tests and interactively.
+
+The reference has no optimizer (SURVEY.md §4); on Spark the optimizer
+IS the execution strategy, so these assertions are how the engine pins
+its scale properties: filters/columns reach the parquet scan, small
+dimensions broadcast, nothing collapses to a single partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def assert_in_plan(df: DataFrame, fragment: str, mode: str = "formatted") -> str:
+    plan = physical_plan(df, mode)
+    assert fragment in plan, f"expected {fragment!r} in plan:\n{plan}"
+    return plan
+
+
+def assert_not_in_plan(
+    df: DataFrame, fragment: str, mode: str = "formatted"
+) -> str:
+    plan = physical_plan(df, mode)
+    assert fragment not in plan, f"did not expect {fragment!r} in plan:\n{plan}"
+    return plan
+
+
+def assert_pushed_filter(df: DataFrame, column: str) -> None:
+    """The parquet scan must carry a pushed filter on `column`."""
+    plan = physical_plan(df)
+    assert "PushedFilters: [" in plan, f"no pushed filters in plan:\n{plan}"
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert any(column in line for line in pushed), (
+        f"filter on {column} not pushed; pushed lines: {pushed}"
+    )
+
+
+def assert_broadcast_join(df: DataFrame, n_joins: int = 1) -> None:
+    plan = physical_plan(df)
+    got = plan.count("BroadcastHashJoin")
+    assert got >= n_joins, f"expected >= {n_joins} BroadcastHashJoin:\n{plan}"
+
+
+def assert_no_single_partition_exchange(df: DataFrame) -> None:
+    """No Exchange SinglePartition in the plan — the scale killer the
+    bucketed global row_number exists to avoid. (A SinglePartition
+    exchange over an already-tiny aggregate, e.g. counts-per-bucket, is
+    matched too, so call this on plans meant to be fully parallel.)"""
+    assert_not_in_plan(df, "Exchange SinglePartition")

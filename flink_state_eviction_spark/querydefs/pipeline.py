@@ -9,10 +9,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_state_eviction_spark.functions.hashing import (
+    MERSENNE_P,
+    MINHASH_AB,
+)
 from flink_state_eviction_spark.functions.text import (
     LANG_STOPWORDS,
     lang_scores,
     minhash_signature,
+    shingle_hashes,
     simhash60,
     stopword_count,
     token_hashes,
@@ -75,16 +80,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # minhash LSH near-dup (16 hashes, 4 bands x 4 rows, jaccard >= 0.8)
 
+_SEED_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_AB)
+)
+_P = MERSENNE_P
+
 _MINHASH_ORACLE = f"""
 WITH {_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
 shn AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
 ex AS (SELECT doc_id, unnest(sh) AS sh1 FROM shn),
-seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+bh AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('0:' || sh1), 1, 15)) AS BIGINT) AS h
+    FROM ex
+),
+seeds(seed, a, b) AS (VALUES {_SEED_VALUES}),
 mh AS (
-    SELECT ex.doc_id, seeds.seed,
-           min(CAST(('0x' || substring(md5(CAST(seeds.seed AS VARCHAR)
-                || ':' || ex.sh1), 1, 15)) AS BIGINT)) AS h
-    FROM ex CROSS JOIN seeds
+    SELECT bh.doc_id, seeds.seed,
+           min((seeds.a * (bh.h % {_P}) + seeds.b) % {_P}) AS h
+    FROM bh CROSS JOIN seeds
     GROUP BY 1, 2
 ),
 bk AS (
@@ -174,7 +188,8 @@ fp AS (
 ex AS (SELECT doc_id, unnest(sh) AS sh1 FROM sh),
 mh0 AS (
     SELECT doc_id,
-           min(CAST(('0x' || substring(md5('0:' || sh1), 1, 15)) AS BIGINT))
+           min((1373158607 * (CAST(('0x' || substring(md5('0:' || sh1), 1, 15))
+                AS BIGINT) % 2147483647) + 239081663) % 2147483647)
                AS minhash_0
     FROM ex GROUP BY 1
 )
@@ -200,7 +215,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             sh.select(
                 "doc_id",
-                F.element_at(minhash_signature(F.col("sh"), 1), 1).alias("minhash_0"),
+                F.element_at(
+                    minhash_signature(shingle_hashes(F.col("sh")), 1), 1
+                ).alias("minhash_0"),
             ),
             "doc_id",
             "left",

@@ -1,5 +1,243 @@
-"""Classic relational queries over the TPC-H-ish tables (joins,
-grouped aggregation, top-k) exercising broadcast/partial-agg strategy.
+"""Relational queries over the TPC-H-ish tables.
+
+The reference has no joins/sorts/set-ops at all (SURVEY.md §2.6) — this
+module is the engine's relational surface beyond the reference,
+exercising the strategies that matter at 100 TB:
+
+- grouped aggregation with map-side partial agg (q1);
+- star joins with *broadcast* dimension tables — no shuffle of the
+  fact table for the join (revenue_by_nation);
+- top-k as TakeOrderedAndProject (no global sort materialization);
+- semi/anti joins for EXISTS / NOT EXISTS;
+- rollup (grouping sets) aggregation.
+
+All money arithmetic goes through DECIMAL casts so Spark and DuckDB
+agree bit-for-bit regardless of aggregation order.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import register
+from flink_state_eviction_spark.tables import load_table
+
+_DEC = "decimal(18,2)"
+
+
+def _d(col: str):
+    return F.col(col).cast(_DEC)
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1", _Q1_ORACLE, headline=True, tags=("tpch",))
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    charge = disc_price * (F.lit(1) + _d("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_d("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(_d("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+_REVENUE_ORACLE = """
+SELECT n.n_name AS nation, r.r_name AS region,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2
+"""
+
+
+@register("revenue_by_nation", _REVENUE_ORACLE, headline=True, tags=("tpch",))
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact table streams, every dimension side broadcast —
+    the fact table is never shuffled for the joins (only for the final
+    small groupBy). Check: .explain shows BroadcastHashJoin chain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    revenue = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+    ).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("topk_orders", _TOPK_ORACLE, tags=("tpch",))
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: planned as TakeOrderedAndProject — per-partition heaps +
+    driver merge of k rows, never a global sort of the table."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("customers_without_orders", _ANTI_ORACLE, tags=("tpch",))
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (broadcastable key-only side)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select("o_custkey"),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("lineitem_rollup", _ROLLUP_ORACLE, tags=("tpch",))
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets aggregation (rollup) — absent from the reference
+    (SURVEY.md §2.6); native in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_SETOP_ORACLE = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+
+
+@register("custkeys_churned", _SETOP_ORACLE, tags=("tpch",))
+def custkeys_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT): customers ordering in 1995 but not 1996."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def keys(y0: str, y1: str) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+        ).select("o_custkey")
+
+    # set semantics (SQL EXCEPT): a single 1996 order removes the key
+    return keys("1995-01-01", "1996-01-01").distinct().subtract(
+        keys("1996-01-01", "1997-01-01")
+    )
+
+
+_WORDCOUNT_ORACLE = """
+SELECT t AS token, COUNT(*) AS cnt
+FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS t
+    FROM documents
+)
+GROUP BY 1
+"""
+
+
+@register("word_count", _WORDCOUNT_ORACLE, tags=("tpch", "text"))
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flatMap surface (B2): explode tokens, count per token —
+    partial aggregation makes the shuffle carry only distinct tokens."""
+    from flink_state_eviction_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,49 @@
+"""Multimodal plumbing: schema conventions, mapInPandas decode pipeline
+(deterministic fake codec), and parity of the distributed result with a
+driver-side recomputation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from flink_state_eviction_spark.operators.multimodal import (
+    decode_media,
+    media_from_documents,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_decode_requires_explicit_fake_optin(spark, sf_dir):
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    with pytest.raises(NotImplementedError):
+        decode_media(media)
+
+
+def test_fake_decode_pipeline_matches_local_recompute(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = media_from_documents(docs)
+    feats = decode_media(media, frame_stride=4, fake=True)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    src = {r["doc_id"]: r for r in media.collect()}
+    assert rows.keys() == src.keys()
+    for doc_id, m in src.items():
+        f = rows[doc_id]
+        payload = bytes(m["media"])
+        assert f["n_bytes"] == len(payload)
+        assert f["content_md5"] == hashlib.md5(payload).hexdigest()
+        assert f["fake_width"] == m["media_meta"]["width"]
+        assert f["n_frames_sampled"] == len(
+            range(0, m["media_meta"]["n_frames"], 4)
+        )
+
+
+def test_media_schema_convention(spark, sf_dir):
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    assert media.schema.simpleString() == (
+        "struct<doc_id:bigint,media:binary,media_type:string,"
+        "media_meta:struct<width:int,height:int,n_frames:int,"
+        "sample_rate:int>>"
+    )

@@ -51,9 +51,11 @@ def _norm(v):
 
 def _rows(pdf):
     cols = sorted(pdf.columns)
-    return sorted(
+    rows = [
         tuple(_norm(v) for v in row) for row in pdf[cols].itertuples(index=False)
-    )
+    ]
+    # sort key tolerates None/mixed types; equality stays exact
+    return sorted(rows, key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
 ALL = sorted(Q.queries())

@@ -1,0 +1,70 @@
+"""Plan-quality gates: the scale properties each operator's physical
+plan must keep (pushdown, broadcast, no single-partition collapse of
+the data path). These are the '100 TB checks' run on every build.
+"""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark import queries as Q
+from flink_state_eviction_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_in_plan,
+    assert_pushed_filter,
+    physical_plan,
+)
+
+
+def _q(name, spark, sf_dir):
+    return Q.queries()[name](spark, sf_dir)
+
+
+def test_project_filter_pushdown(spark, sf_dir):
+    df = _q("project_filter", spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_quantity")
+    # column pruning: untouched wide columns don't reach the scan
+    plan = physical_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and all("l_comment" not in l for l in scan_lines)
+
+
+def test_star_join_is_all_broadcast(spark, sf_dir):
+    df = _q("revenue_by_nation", spark, sf_dir)
+    assert_broadcast_join(df, n_joins=4)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    df = _q("topk_orders", spark, sf_dir)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_window_all_has_partial_aggregation(spark, sf_dir):
+    # the reference hand-built partial+final agg (ParAllWindowedStream,
+    # WindowAllTimeKeyedPoC.java:57-89); Catalyst must plan it natively
+    df = _q("tumbling_window_all", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "partial" in plan.lower(), plan
+
+
+def test_count_window_data_path_not_single_partition(spark, sf_dir):
+    # bucketed global row_number: the *data* path must shuffle by
+    # bucket, never collapse the full table to one partition. A
+    # SinglePartition exchange is allowed only on the tiny per-bucket
+    # counts side (broadcast offsets).
+    df = _q("count_window_all_label", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    data_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert data_exchanges, plan  # bucket shuffle present
+
+
+def test_mws_flagship_single_shuffle(spark, sf_dir):
+    # the TTL sessionization needs exactly one hash exchange (by key);
+    # both window functions must reuse the same partitioning
+    df = _q("mws_running_sum_ttl", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan}"
