@@ -1,0 +1,42 @@
+"""Generic window-function application — the reference's
+``WindowFunction``/``AllWindowFunction`` ``apply`` surface
+(WindowAllKeyedPoC.java:86-88, 118-131; SURVEY.md B7): a user function
+sees the window's full buffer and emits one result per window.
+
+Spark-first tiering (SURVEY.md §7.3): when the aggregate is expressible
+with built-ins, use ``groupBy(window).agg`` (tier a, codegen). This
+module is tier (b): ``applyInPandas`` over the window group for
+arbitrary Python/pandas logic — Arrow-batched, one shuffle on
+(key, window), the same partitioning a built-in agg would need.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def window_apply(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    output_schema: str,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Apply ``fn`` to each (keys, tumbling-window) group's full buffer.
+
+    ``fn`` receives the group as a pandas DataFrame including
+    ``w_start``/``w_end`` epoch-millis columns and must return a pandas
+    DataFrame matching ``output_schema``.
+    """
+    win = F.window(F.col(ts_col), duration)
+    with_w = df.withColumn("w_start", F.unix_millis(win.start)).withColumn(
+        "w_end", F.unix_millis(win.end)
+    )
+    return with_w.groupBy(*key_cols, "w_start", "w_end").applyInPandas(
+        fn, output_schema
+    )

@@ -21,6 +21,7 @@ from flink_state_eviction_spark.operators.windows import (
     session_window_agg,
     time_window_agg,
 )
+from flink_state_eviction_spark.operators.window_apply import window_apply
 from flink_state_eviction_spark.queries import register
 from flink_state_eviction_spark.tables import load_table
 
@@ -340,6 +341,56 @@ SELECT epoch_ms(ts) - epoch_ms(ts) % {_H6} AS w_start,
 FROM events
 GROUP BY 1
 """
+
+
+_H = 3600 * 1000
+
+_WINDOW_MEDIAN_ORACLE = f"""
+SELECT user_id,
+       epoch_ms(ts) - epoch_ms(ts) % {_H} AS w_start,
+       epoch_ms(ts) - epoch_ms(ts) % {_H} + {_H} AS w_end,
+       COUNT(*) AS n_events,
+       median(value) AS med_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("window_median_apply", _WINDOW_MEDIAN_ORACLE, tags=("core",))
+def window_median_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 — the generic window-UDAF `apply` surface via applyInPandas:
+    exact median per (user, hour) window. The even-count interpolation
+    replicates DuckDB's median formula ((lo + hi) / 2) so values match
+    bit-for-bit."""
+    import pandas as pd
+
+    def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(float(v) for v in pdf["value"])
+        n = len(vals)
+        if n % 2 == 1:
+            med = vals[n // 2]
+        else:
+            lo, hi = vals[n // 2 - 1], vals[n // 2]
+            med = (lo + hi) / 2
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "w_start": [pdf["w_start"].iloc[0]],
+                "w_end": [pdf["w_end"].iloc[0]],
+                "n_events": [n],
+                "med_value": [med],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return window_apply(
+        ev.select("user_id", "ts", "value"),
+        "ts",
+        "1 hour",
+        median_fn,
+        "user_id long, w_start long, w_end long, n_events long, med_value double",
+        key_cols=["user_id"],
+    )
 
 
 @register("tumbling_window_all_label", _TUMBLING_LABEL_ORACLE, tags=("core",))

@@ -1,0 +1,96 @@
+"""Streaming count windows — ``countWindow(n)`` per key
+(WindowAllKeyedPoC.java:111-131; SURVEY.md O10/B10).
+
+Spark has no native streaming count-trigger window; this is custom
+counting state over ``applyInPandasWithState``: per key, buffer
+elements until ``size`` have arrived, emit one aggregate row per full
+window, keep the remainder buffered. Incomplete trailing windows are
+never emitted — exactly Flink's behavior, where a partial window sits
+in state forever (WindowAllKeyedPoC.java:98-103).
+
+State is the buffered remainder (< size elements) plus the running
+window index — bounded by ``size``, so state stays O(size) per key
+regardless of stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+try:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    HAVE_STATE_API = True
+except ImportError:  # pragma: no cover
+    HAVE_STATE_API = False
+
+
+def count_window_stream(
+    sdf: DataFrame,
+    key_col: str,
+    value_col: str,
+    size: int,
+    ts_col: str = "ts",
+    label_col: str | None = None,
+) -> DataFrame:
+    """Per-key streaming count windows of ``size`` rows (ordered by
+    ``ts_col`` within each micro-batch): emits
+    (key, w_id, total[, label]) per completed window; the label is the
+    '-'-joined ``label_col`` values in window order (the reference's
+    WindowAgg, WindowAllKeyedPoC.java:20-33)."""
+    if size <= 0:
+        raise ValueError("count window size must be positive")
+    if not HAVE_STATE_API:  # pragma: no cover
+        raise NotImplementedError("pyspark streaming state API unavailable")
+
+    use_label = label_col is not None
+
+    def handle(key, pdf_iter, state):
+        # state: (w_id, buffered values..., buffered labels...) encoded as
+        # (next_w_id long, buf_vals array<double>, buf_labels array<string>)
+        if state.exists:
+            next_w, buf_vals, buf_labels = state.get
+            buf_vals = list(buf_vals)
+            buf_labels = list(buf_labels)
+        else:
+            next_w, buf_vals, buf_labels = 0, [], []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            buf_vals.extend(float(v) for v in pdf[value_col])
+            if use_label:
+                buf_labels.extend(str(x) for x in pdf[label_col])
+            else:
+                buf_labels.extend("" for _ in range(len(pdf)))
+            out_rows = []
+            while len(buf_vals) >= size:
+                window_vals, buf_vals = buf_vals[:size], buf_vals[size:]
+                window_lbls, buf_labels = buf_labels[:size], buf_labels[size:]
+                row = {
+                    key_col: key[0],
+                    "w_id": next_w,
+                    "total": sum(window_vals),
+                }
+                if use_label:
+                    row["label"] = "-".join(window_lbls)
+                out_rows.append(row)
+                next_w += 1
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+        state.update((next_w, buf_vals, buf_labels))
+
+    key_t = dict(sdf.dtypes)[key_col]
+    out_schema = f"{key_col} {key_t}, w_id long, total double"
+    if use_label:
+        out_schema += ", label string"
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        handle,
+        out_schema,
+        "next_w long, buf_vals array<double>, buf_labels array<string>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,64 @@
+"""Property-based check: the batch TTL sessionization
+(operators/map_with_state.py) against a direct Python simulation of the
+reference semantics (MapWithState.java:248-252, 360-372 — state read
+refreshes last access; idle > ttl evicts) over random keyed sequences.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from conftest import ts_ms
+
+from flink_state_eviction_spark.operators.map_with_state import (
+    running_sum_with_ttl,
+)
+
+events = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),      # key
+        st.integers(min_value=0, max_value=9),  # value
+        st.integers(min_value=0, max_value=4000),  # gap after, ms
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def simulate(rows, ttl_ms):
+    """Direct per-record simulation of the reference operator."""
+    state: dict[str, tuple[float, int]] = {}  # key -> (sum, last_ts)
+    out = []
+    for seq, (k, v, t) in enumerate(rows):
+        if k in state and t - state[k][1] > ttl_ms:
+            del state[k]  # evicted: idle > ttl
+        acc = state.get(k, (0.0, 0))[0] + v
+        state[k] = (acc, t)
+        out.append((k, seq, acc))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(evs=events, ttl=st.sampled_from([700, 1100, 2500]))
+def test_batch_matches_reference_simulation(spark, evs, ttl):
+    # materialize gaps into absolute ts (FIXTURES.md convention)
+    rows = []
+    t = 0
+    for k, v, gap_after in evs:
+        rows.append((k, v, t))
+        t += gap_after
+    df = spark.createDataFrame(
+        [
+            (k, float(v), ts_ms(t), i)
+            for i, (k, v, t) in enumerate(rows)
+        ],
+        "key string, value double, ts timestamp, seq long",
+    )
+    got = running_sum_with_ttl(df, ["key"], "ts", "value", ttl, order_cols=["seq"])
+    actual = sorted(
+        (r["key"], r["seq"], r["running_sum"]) for r in got.collect()
+    )
+    assert actual == simulate(rows, ttl)

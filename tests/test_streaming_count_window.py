@@ -1,0 +1,55 @@
+"""F4 fixture streamed through the custom streaming count window
+(WindowAllKeyedPoC.java:111-131): per-key windows of 2, label-concat +
+sum; incomplete trailing windows withheld. Verified across micro-batch
+splits (buffered remainder carried in state).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_state_eviction_spark.sources.fixtures import (
+    as_file_stream,
+    elements_with_gaps,
+)
+from flink_state_eviction_spark.streaming.count_window import (
+    count_window_stream,
+)
+from flink_state_eviction_spark.streaming.testing import run_available_now
+
+# F4: (a,1),(b,2),(a,3),(c,4),(b,5),(c,7),(a,8),(c,9) — no gaps
+F4 = [("a", 1), ("b", 2), ("a", 3), ("c", 4), ("b", 5), ("c", 7), ("a", 8), ("c", 9)]
+
+# keyed countWindow(2): full windows only
+# a: [1,3] -> 4 ; (8 buffered, never emitted)
+# b: [2,5] -> 7
+# c: [4,7] -> 11 ; (9 buffered)
+EXPECTED = {
+    ("a", 0, 4.0, "1-3"),
+    ("b", 0, 7.0, "2-5"),
+    ("c", 0, 11.0, "4-7"),
+}
+
+
+@pytest.mark.parametrize("num_batches", [1, 4])
+def test_keyed_count_window_stream(spark, tmp_path, num_batches):
+    df = elements_with_gaps(spark, F4)
+    sdf = as_file_stream(df, str(tmp_path / f"n{num_batches}"), num_batches)
+    out = count_window_stream(
+        sdf.withColumn("lbl", sdf.value.cast("string")),
+        "key",
+        "value",
+        size=2,
+        ts_col="seq",
+        label_col="lbl",
+    )
+    res = run_available_now(out, str(tmp_path / f"ck{num_batches}"))
+    got = {
+        (r["key"], r["w_id"], r["total"], r["label"]) for r in res.collect()
+    }
+    assert got == EXPECTED
+
+
+def test_count_window_stream_validation(spark):
+    with pytest.raises(ValueError):
+        count_window_stream(None, "k", "v", size=0)
