@@ -162,6 +162,143 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# simhash near-dup: 60-bit simhash, blocked by 4 x 15-bit bands
+# (pigeonhole: hamming <= 3 guarantees at least one intact band),
+# verified by exact hamming distance <= 3.
+
+_SIMHASH_FP_CTE = f"""
+{_SQL_TOKS.strip()},
+tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+th AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('0:' || t), 1, 15)) AS BIGINT) AS h
+    FROM tok
+),
+bits AS (
+    SELECT th.doc_id, b.b,
+           SUM(CASE WHEN (h // CAST(pow(2, b.b) AS BIGINT)) % 2 = 1
+                    THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+    GROUP BY 1, 2
+),
+fp AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY 1
+)
+"""
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_FP_CTE.strip()},
+bands AS (
+    SELECT doc_id, simhash, i.i AS band,
+           (simhash // CAST(pow(2, i.i * 15) AS BIGINT)) % 32768 AS bval
+    FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sh_a, b.simhash AS sh_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+@register("dedup_simhash", _SIMHASH_PAIRS_ORACLE, tags=("pipeline", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-blocked candidates (4 x 15-bit),
+    exact hamming <= 3 verify. Scale: the band self-join is the same
+    bounded-bucket pattern as minhash LSH — never O(n^2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", token_hashes(tokens(F.col("text"))).alias("tokh")
+    )
+    fp = toked.select("doc_id", simhash60("tokh").alias("simhash")).localCheckpoint(
+        eager=False
+    )
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        # integer div — double division would lose low bits on 60-bit values
+        "bval",
+        F.expr("(simhash div cast(pow(2, band * 15) as bigint)) % 32768"),
+    )
+    a = bands.select(
+        "band", "bval", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    b = bands.select(
+        "band", "bval", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (blocked by label cell)
+
+_EMB_DEDUP_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nn FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) AS sim
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.4
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_DEDUP_ORACLE, tags=("pipeline", "dedup"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact cosine within label blocks.
+    Blocking bounds the pair count; at scale swap the label for an LSH
+    or IVF cell id (operators/similarity.py)."""
+    from flink_state_eviction_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_vec(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn("nn", l2_norm(F.col("v")))
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nn").alias("na"),
+    )
+    b = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nn").alias("nb"),
+    )
+    sim = cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim0", sim)
+        .where(F.col("sim0") >= 0.4)
+        .select("vec_a", "vec_b", F.round("sim0", 6).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprints (simhash60 + minhash seed 0 + md5)
 
 _FPRINT_ORACLE = f"""

@@ -1,0 +1,45 @@
+"""Similarity-search quality: IVF ANN recall against the brute-force
+ground truth, and determinism of the vector math."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _neighbors(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    exact = _neighbors(cosine_topk(emb, q, "vec_id", "embedding", k=10))
+    approx = _neighbors(
+        ivf_cosine_topk(
+            emb, q, "vec_id", "embedding", cell_col="label", k=10, nprobe=3
+        )
+    )
+    assert exact.keys() == approx.keys()
+    recalls = [
+        len(exact[k] & approx[k]) / len(exact[k]) for k in exact
+    ]
+    # random embeddings + 3 of ~10 cells probed: recall well above the
+    # ~nprobe/cells floor; assert a sane lower bound
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_brute_force_topk_is_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()))
+    b = sorted(map(tuple, cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()))
+    assert a == b

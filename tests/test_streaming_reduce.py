@@ -1,0 +1,35 @@
+"""B5 streaming parity: `keyBy(key).reduce(sum)` emits per-key running
+aggregates (WindowAllKeyedPoC.java:145-151). In Spark update mode, a
+streaming `groupBy(key).agg(sum)` emits the per-key aggregate once per
+micro-batch per key — the reference's per-record emission collapsed to
+batch granularity (SURVEY.md §7.4 risk 2). Parity contract: the LAST
+update per key equals the batch aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.sources.fixtures import (
+    as_file_stream,
+    elements_with_gaps,
+)
+from flink_state_eviction_spark.streaming.testing import run_available_now
+
+F4 = [("a", 1), ("b", 2), ("a", 3), ("c", 4), ("b", 5), ("c", 7), ("a", 8), ("c", 9)]
+
+
+def test_update_mode_final_state_equals_batch(spark, tmp_path):
+    df = elements_with_gaps(spark, F4)
+    sdf = as_file_stream(df, str(tmp_path / "in"), 4)
+    agg = sdf.groupBy("key").agg(F.sum("value").alias("total"))
+    res = run_available_now(
+        agg, str(tmp_path / "ck"), output_mode="complete", table="b5_reduce"
+    )
+    # memory sink in complete mode holds the final table
+    got = {(r["key"], r["total"]) for r in res.collect()}
+    want = {
+        (r["key"], r["total"])
+        for r in df.groupBy("key").agg(F.sum("value").alias("total")).collect()
+    }
+    assert got == want
