@@ -218,6 +218,72 @@ def custkeys_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k
+FROM events
+GROUP BY 1
+"""
+
+
+@register("json_extract_agg", _JSON_ORACLE, tags=("tpch", "functions"))
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (absent from the reference, §2.5) —
+    get_json_object stays JVM-side and integer sums are exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("pivot_flag_status", _PIVOT_ORACLE, tags=("tpch",))
+def pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_d("l_quantity")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("distinct_cust_per_priority", _DISTINCT_ORACLE, tags=("tpch",))
+def distinct_cust_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase partial distinct plan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
 _WORDCOUNT_ORACLE = """
 SELECT t AS token, COUNT(*) AS cnt
 FROM (

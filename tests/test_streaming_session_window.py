@@ -1,0 +1,55 @@
+"""Streaming session windows (native F.session_window + watermark)
+parity with the batch result — the same idle-gap semantics as the TTL
+eviction boundary (MapWithState.java:360-372).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.sources.fixtures import (
+    as_file_stream,
+    elements_with_gaps,
+    gap,
+)
+from flink_state_eviction_spark.streaming.testing import (
+    assert_same_rows,
+    run_available_now,
+)
+
+ENTRIES = [
+    ("a", 1), gap(200), ("a", 2), gap(2000),     # session 1 of a
+    ("a", 3), gap(100), ("b", 4), gap(3000),     # session 2 of a; b.1
+    ("b", 5),                                    # b.2
+]
+GAP = "1 second"
+
+
+def _agg(df):
+    return (
+        df.groupBy("key", F.session_window("ts", GAP).alias("w"))
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "key",
+            F.unix_millis("w.start").alias("s_start"),
+            "total",
+            "n",
+        )
+    )
+
+
+def test_streaming_session_window_equals_batch(spark, tmp_path):
+    df = elements_with_gaps(spark, ENTRIES)
+    batch = _agg(df)
+    # sanity against the fixture: a splits into {1,2} and {3}; b into {4},{5}
+    got = {(r["key"], r["total"], r["n"]) for r in batch.collect()}
+    assert got == {("a", 3, 2), ("a", 3, 1), ("b", 4, 1), ("b", 5, 1)}
+
+    # far-future sentinel flushes append-mode windows in a finite run
+    df_s = elements_with_gaps(spark, ENTRIES + [gap(3_600_000), ("zz", 99)])
+    sdf = as_file_stream(df_s, str(tmp_path / "in"), 3)
+    out = _agg(sdf.withWatermark("ts", "2 seconds"))
+    res = run_available_now(
+        out, str(tmp_path / "ck"), output_mode="append"
+    ).where(F.col("key") != "zz")
+    assert_same_rows(res, batch)
