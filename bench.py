@@ -28,9 +28,15 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("fse-bench")
-    # Warm up the JVM/session so the first measured query isn't paying
-    # session start-up costs.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm up codegen/readers/Python workers per query at the smallest
+    # scale so measured numbers reflect data-proportional work, not
+    # one-time JVM + compile costs.
+    warm_dir = "/root/testdata/sf0.001"
+    for name, fn in Q.headline_queries().items():
+        try:
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in Q.headline_queries().items():

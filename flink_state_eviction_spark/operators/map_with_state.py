@@ -110,17 +110,32 @@ def running_sum_with_ttl(
     """The reference's concrete PoC query (MapWithStateIterPoC.java:311-313):
     per-key running sum whose accumulator resets after >= ttl idleness.
 
-    The value is summed as DECIMAL so the result is order-independent
-    and bit-exact against the SQL oracle; the output column is cast back
-    to double.
+    Single-sort formulation: instead of re-sorting by (key, session) for
+    a per-session cumulative sum, compute the per-KEY cumulative sum and
+    subtract the cumulative total at each session's start — every window
+    function shares one (key)-partitioned (ts, order)-sorted pass, so
+    the plan is exactly one exchange + one sort. The subtraction is
+    EXACT because sums run over DECIMAL casts (with doubles this rewrite
+    would not be bit-stable); output is cast back to double.
     """
+    _require_positive_ttl(ttl_ms)
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    ts_ms = F.unix_millis(F.col(ts_col))
+    prev_ms = F.lag(ts_ms).over(w)
+    is_new = F.when(
+        prev_ms.isNull() | ((ts_ms - prev_ms) > F.lit(ttl_ms)), F.lit(1)
+    ).otherwise(F.lit(0))
     dec = F.col(value_col).cast("decimal(18,2)")
-    out = map_with_state(
-        df,
-        key_cols,
-        ts_col,
-        ttl_ms,
-        {out_col: F.sum(dec)},
-        order_cols=order_cols,
+    out = (
+        df.withColumn("session_id", F.sum(is_new).over(run))
+        .withColumn("_c", F.sum(dec).over(run))
+        .withColumn(
+            "_base",
+            F.last(
+                F.when(is_new == 1, F.col("_c") - dec), ignorenulls=True
+            ).over(run),
+        )
+        .withColumn(out_col, (F.col("_c") - F.col("_base")).cast("double"))
     )
-    return out.withColumn(out_col, F.col(out_col).cast("double"))
+    return out.drop("_c", "_base")

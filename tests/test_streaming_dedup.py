@@ -1,0 +1,38 @@
+"""Streaming exact dedup: `dropDuplicates` keyed on a content hash with
+a watermark bounding the dedup state (the M6 streaming-dedup path —
+state holds only keys newer than the watermark horizon, so it cannot
+grow unboundedly at 100 TB/day ingest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.sources.fixtures import (
+    as_file_stream,
+    elements_with_gaps,
+    gap,
+)
+from flink_state_eviction_spark.streaming.testing import run_available_now
+
+# duplicate payloads within the watermark horizon -> dropped; the
+# repeat far beyond the horizon is a fresh row
+ENTRIES = [
+    ("x", 1), gap(100), ("y", 2), gap(100), ("x", 1), gap(100),  # dup x
+    ("z", 3),
+]
+
+
+def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
+    df = elements_with_gaps(spark, ENTRIES)
+    sdf = as_file_stream(df, str(tmp_path / "in"), 2)
+    deduped = (
+        sdf.withColumn("h", F.md5(F.concat_ws("|", "key", "value")))
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicates(["h"])
+    )
+    res = run_available_now(
+        deduped, str(tmp_path / "ck"), output_mode="append"
+    )
+    got = sorted((r["key"], r["value"]) for r in res.collect())
+    assert got == [("x", 1), ("y", 2), ("z", 3)]
