@@ -1,0 +1,87 @@
+"""Skew-resistant aggregation: two-phase salted groupBy.
+
+AQE's skew-join splitting handles skewed JOINS automatically, but a
+grouped aggregation whose hot key dwarfs the others still lands that
+key's entire partial output on one reducer. For algebraic aggregates
+the classic fix is salting: group on (key, salt) first — the hot key's
+rows spread over `n_salts` reducers — then combine the partials.
+
+Only algebraic aggregates decompose this way (sum/count/min/max; avg as
+sum+count). The helper takes the partial and final expressions
+explicitly so the decomposition is visible and exact (decimal sums
+recombine exactly).
+
+At 100 TB: needed when one user/tenant/hostname owns a double-digit
+percentage of events — the per-key sort/agg otherwise serializes on one
+task regardless of cluster size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    partial_aggs: dict[str, Column],
+    final_aggs: dict[str, Column],
+    n_salts: int = 16,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Two-phase aggregation over (key, salt) then (key).
+
+    ``partial_aggs``: name -> aggregate over raw rows (phase 1).
+    ``final_aggs``: name -> aggregate over the phase-1 columns (phase 2);
+    reference phase-1 outputs by name.
+    ``salt_source``: deterministic column to derive the salt from
+    (default: a uniform random salt; pass e.g. an id column for
+    reproducible plans/tests).
+    """
+    if n_salts <= 0:
+        raise ValueError("n_salts must be positive")
+    salt = (
+        F.pmod(F.hash(salt_source), F.lit(n_salts))
+        if salt_source is not None
+        else (F.rand() * n_salts).cast("int")
+    )
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(*[a.alias(n) for n, a in partial_aggs.items()])
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[a.alias(n) for n, a in final_aggs.items()]
+    )
+
+
+def salted_sum_count(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    n_salts: int = 16,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Salted sum/count/avg for a 2-decimal value column (decimal-exact
+    recombination). Output: keys, n_rows, sum_value, avg_value."""
+    dec = F.col(value_col).cast("decimal(18,2)")
+    return salted_agg(
+        df,
+        key_cols,
+        partial_aggs={
+            "_psum": F.sum(dec),
+            "_pcnt": F.count(F.lit(1)),
+        },
+        final_aggs={
+            "n_rows": F.sum("_pcnt"),
+            "sum_value": F.sum("_psum").cast("double"),
+            "avg_value": (
+                F.sum("_psum").cast("double") / F.sum("_pcnt")
+            ),
+        },
+        n_salts=n_salts,
+        salt_source=salt_source,
+    )

@@ -502,6 +502,59 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF (rational idf variant (N+1)/(df+1) — no transcendentals, so
+# Spark and DuckDB agree bit-for-bit; swap in log() at deployment if
+# classic idf is wanted)
+
+_TFIDF_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+t AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+dfx AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM t GROUP BY 1),
+n AS (SELECT COUNT(*) AS nn FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, dfx.doc_freq,
+       CAST(n.nn + 1 AS DOUBLE) / CAST(dfx.doc_freq + 1 AS DOUBLE)
+           AS idf_ratio,
+       CAST(tf.tf AS DOUBLE)
+         * (CAST(n.nn + 1 AS DOUBLE) / CAST(dfx.doc_freq + 1 AS DOUBLE))
+           AS tfidf
+FROM tf JOIN dfx ON tf.token = dfx.token CROSS JOIN n
+"""
+
+
+@register("text_tfidf", _TFIDF_ORACLE, tags=("pipeline", "text"))
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the token stream: explode -> per-(doc, token) counts
+    -> broadcast-joined document frequencies. The doc-frequency and
+    corpus-count sides are tiny (vocabulary-sized) broadcasts; the
+    exploded token stream never shuffles twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = t.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("nn"))
+    idf = (F.col("nn") + 1).cast("double") / (F.col("doc_freq") + 1).cast(
+        "double"
+    )
+    return (
+        tf.join(F.broadcast(dfx), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "doc_freq",
+            idf.alias("idf_ratio"),
+            (F.col("tf").cast("double") * idf).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # similarity search: brute-force cosine top-k (queries = vec_id < 8)
 
 _TOPK_ORACLE = """

@@ -1,0 +1,93 @@
+"""`transformWithStateInPandas` backend for the TTL stateful map —
+the Spark 4.x successor API to `applyInPandasWithState`
+(SURVEY.md §7.4 risk 6: keep both behind one surface).
+
+This is the *most direct* mapping of the reference operator that any
+Spark version offers: `ValueState` with native TTL
+(`handle.getValueState(..., ttlDurationMs=...)`) IS the reference's
+"state evicted after ttl of idleness" — every `update()` refreshes the
+TTL clock (read-refresh, MapWithState.java:248-252), and an expired
+value reads back as absent (eviction, MapWithState.java:360-372). The
+entire tombstone/iteration machinery of the reference collapses into
+one constructor argument.
+
+TTL here is wall-clock (processing-time), matching the reference's
+IngestionTime PoCs. For the deterministic event-time variant use
+`streaming.map_with_state` (time_mode="event").
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+try:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # the transformWithState protocol speaks protobuf to the JVM state
+    # server; without google.protobuf the Python runner crashes at init
+    from google.protobuf import descriptor as _descriptor  # noqa: F401
+
+    HAVE_TWS = True
+except ImportError:  # pragma: no cover
+    HAVE_TWS = False
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class RunningSumTTLProcessor(StatefulProcessor):
+    """Per-key running sum with TTL-evicted accumulator
+    (MapWithStateIterPoC.java:311-313 semantics)."""
+
+    def __init__(self, key_col: str, value_col: str, ttl_ms: int):
+        if ttl_ms is None or ttl_ms <= 0:
+            # mirrors MapWithState.java:93-94
+            raise ValueError("ttl must be a positive duration in milliseconds")
+        self._key_col = key_col
+        self._value_col = value_col
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._acc = handle.getValueState(
+            "acc", "acc double", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        acc = self._acc.get()[0] if self._acc.exists() else 0.0
+        for pdf in rows:
+            sums = []
+            for v in pdf[self._value_col]:
+                acc += float(v)
+                sums.append(acc)
+            # update() also re-arms the TTL clock — read-refresh
+            self._acc.update((acc,))
+            yield pd.DataFrame(
+                {
+                    self._key_col: [key[0]] * len(pdf),
+                    self._value_col: pdf[self._value_col].tolist(),
+                    "running_sum": sums,
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def running_sum_stream_tws(
+    sdf: DataFrame, key_col: str, value_col: str, ttl_ms: int
+) -> DataFrame:
+    """TTL running sum on the transformWithStateInPandas backend."""
+    if not HAVE_TWS:  # pragma: no cover
+        raise NotImplementedError(
+            "transformWithStateInPandas unavailable in this Spark version"
+        )
+    key_t = dict(sdf.dtypes)[key_col]
+    val_t = dict(sdf.dtypes)[value_col]
+    return sdf.groupBy(key_col).transformWithStateInPandas(
+        RunningSumTTLProcessor(key_col, value_col, ttl_ms),
+        f"{key_col} {key_t}, {value_col} {val_t}, running_sum double",
+        "Update",
+        "ProcessingTime",
+    )

@@ -1,0 +1,38 @@
+"""Salted aggregation equals plain aggregation (decimal-exact
+recombination), including under a pathologically hot key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.skew import salted_sum_count
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    # make user 0 pathologically hot: remap 80% of keys onto it
+    skewed = ev.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 5 != 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    salted = salted_sum_count(
+        skewed, ["user_id"], "value", n_salts=8, salt_source=F.col("event_id")
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    plain = skewed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec).cast("double").alias("sum_value"),
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+    )
+    a = {r["user_id"]: (r["n_rows"], r["sum_value"]) for r in salted.collect()}
+    b = {r["user_id"]: (r["n_rows"], r["sum_value"]) for r in plain.collect()}
+    assert a == b
+
+
+def test_salted_agg_validation(spark, sf_dir):
+    import pytest
+
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        salted_sum_count(ev, ["user_id"], "value", n_salts=0)

@@ -1,0 +1,64 @@
+"""transformWithStateInPandas backend: native-TTL value state carries
+across query restarts, and an idle gap past the TTL evicts it."""
+
+from __future__ import annotations
+
+import time as _time
+
+import pytest
+
+from flink_state_eviction_spark.sources.fixtures import elements_with_gaps
+from flink_state_eviction_spark.streaming.map_with_state_tws import (
+    HAVE_TWS,
+    RunningSumTTLProcessor,
+    running_sum_stream_tws,
+)
+from flink_state_eviction_spark.streaming.testing import (
+    run_foreach_until_rows,
+)
+
+pytestmark = pytest.mark.skipif(
+    not HAVE_TWS, reason="transformWithStateInPandas not available"
+)
+
+SCHEMA = "key string, value int, ts timestamp, seq long"
+TTL_MS = 2000
+
+
+def _run(spark, data_dir, ck, min_rows):
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data_dir / "*"))
+    )
+    out = running_sum_stream_tws(sdf, "key", "value", TTL_MS)
+    return run_foreach_until_rows(out, str(ck), min_rows, output_mode="update")
+
+
+def test_state_persists_across_runs_and_evicts_after_ttl(spark, tmp_path):
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    ck = tmp_path / "ck"
+
+    d1 = elements_with_gaps(spark, [("a", 2), ("a", 3)])
+    d1.coalesce(1).write.parquet(str(data_dir / "f1"))
+    res1 = sorted(r["running_sum"] for r in _run(spark, data_dir, ck, 2))
+    assert res1 == [2.0, 5.0]
+
+    # quick restart (well inside TTL): state carries over -> 5 + 4 = 9
+    d2 = elements_with_gaps(spark, [("a", 4)])
+    d2.coalesce(1).write.parquet(str(data_dir / "f2"))
+    res2 = [r["running_sum"] for r in _run(spark, data_dir, ck, 1)]
+    assert res2 == [9.0]
+
+    # idle past TTL: state evicted -> restart at 7
+    _time.sleep((TTL_MS + 1500) / 1000)
+    d3 = elements_with_gaps(spark, [("a", 7)])
+    d3.coalesce(1).write.parquet(str(data_dir / "f3"))
+    res3 = [r["running_sum"] for r in _run(spark, data_dir, ck, 1)]
+    assert res3 == [7.0]
+
+
+def test_tws_ttl_validation():
+    with pytest.raises(ValueError):
+        RunningSumTTLProcessor("k", "v", 0)
