@@ -585,10 +585,55 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.where(F.col("vec_id") < 8), "vec_id", "embedding", k=10)
 
 
-@register("similarity_ivf_topk", None, tags=("pipeline", "similarity"))
+_IVF_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+comp AS (
+    SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e
+),
+cent_comp AS (
+    SELECT label, i,
+           CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*) AS m
+    FROM comp GROUP BY 1, 2
+),
+cent AS (
+    SELECT label, list(m ORDER BY i) AS cv FROM cent_comp GROUP BY 1
+),
+centn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+q AS (SELECT vec_id AS query_id, v AS qv, nn AS qn FROM n WHERE vec_id < 8),
+probes AS (
+    SELECT query_id, qv, qn, label
+    FROM (
+        SELECT q.query_id, q.qv, q.qn, c.label,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
+                            c.label
+               ) AS pr
+        FROM q CROSS JOIN centn c
+    ) WHERE pr <= 3
+),
+s AS (
+    SELECT p.query_id, n.vec_id AS neighbor_id,
+           list_dot_product(p.qv, n.v) / (p.qn * n.nn) AS sim0
+    FROM probes p JOIN n ON n.label = p.label AND n.vec_id <> p.query_id
+),
+r AS (
+    SELECT query_id, neighbor_id, sim0,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim0 DESC, neighbor_id) AS INT) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, rank, round(sim0, 6) AS sim
+FROM r WHERE rank <= 10
+"""
+
+
+@register("similarity_ivf_topk", _IVF_ORACLE, tags=("pipeline", "similarity"))
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN variant (recall < 1 — rows-only check; correctness is
-    covered by tests/test_similarity.py recall assertions)."""
+    """IVF ANN: oracle-checked — centroids are decimal-exact elementwise
+    means, so probe selection and ranking are deterministic in both
+    engines; recall-vs-brute-force asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(
         emb,

@@ -1,0 +1,63 @@
+"""The generic user-function contract of streaming map_with_state
+(MapWithState.Function, MapWithState.java:209-220): arbitrary state
+shape, not just the running-sum PoC. State here is (count, max_value);
+TTL eviction resets both.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from flink_state_eviction_spark.sources.fixtures import (
+    as_file_stream,
+    elements_with_gaps,
+    gap,
+)
+from flink_state_eviction_spark.streaming.map_with_state import map_with_state
+from flink_state_eviction_spark.streaming.testing import run_available_now
+
+ENTRIES = [
+    ("a", 5), gap(300), ("a", 2), gap(2000),  # idle > ttl -> evict a
+    ("a", 9), gap(100), ("b", 1),
+]
+TTL_MS = 1100
+
+
+def test_count_max_state(spark, tmp_path):
+    def fn(key, pdf: pd.DataFrame, st):
+        cnt, mx = (int(st[0]), float(st[1])) if st is not None else (0, float("-inf"))
+        counts, maxes = [], []
+        for v in pdf["value"]:
+            cnt += 1
+            mx = max(mx, float(v))
+            counts.append(cnt)
+            maxes.append(mx)
+        out = pd.DataFrame(
+            {
+                "key": [key[0]] * len(pdf),
+                "seq": pdf["seq"].tolist(),
+                "n_seen": counts,
+                "max_value": maxes,
+            }
+        )
+        return out, (cnt, mx)
+
+    df = elements_with_gaps(spark, ENTRIES)
+    sdf = as_file_stream(df, str(tmp_path / "in"), 2)
+    out = map_with_state(
+        sdf,
+        ["key"],
+        fn,
+        state_schema="cnt long, mx double, last_access_ms long",
+        output_schema="key string, seq long, n_seen long, max_value double",
+        ttl_ms=TTL_MS,
+        time_mode="event",
+    )
+    res = run_available_now(out, str(tmp_path / "ck"))
+    got = {(r["key"], r["seq"]): (r["n_seen"], r["max_value"]) for r in res.collect()}
+    assert got == {
+        ("a", 0): (1, 5.0),
+        ("a", 1): (2, 5.0),
+        ("a", 2): (1, 9.0),  # evicted after 2000ms idle: count and max reset
+        ("b", 3): (1, 1.0),
+    }
