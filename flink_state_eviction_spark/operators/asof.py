@@ -1,0 +1,68 @@
+"""As-of join — for each left row, the most recent right row with
+``right.ts <= left.ts`` per key. Absent from both the reference and
+core Spark; a first-class operator for event-stream enrichment.
+
+Spark-first design: NOT a pairwise range join (which explodes to
+O(|L|·|R|) before picking the max). Instead the union-LOCF (last
+observation carried forward) formulation:
+
+    union(tag right=0, left=1) → window over (key) ordered by
+    (ts, side, id) → last(right payload, ignorenulls) → keep left rows
+
+One shuffle on the key, one sort — the same cost as the flagship
+running aggregate, independent of how many right rows precede each
+left row. At 100 TB this is the only formulation that survives dense
+right-hand streams. Right rows order before left rows at equal ts, so
+ties respect the `<=` bound.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    right_cols: Sequence[str],
+    order_cols: Sequence[str] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, enriched with the latest
+    ``right_cols`` values among right rows at or before its ``ts_col``
+    (per key); nulls when no prior right row exists."""
+    lcols = [c for c in left.columns]
+    tagged_r = right.select(
+        *key_cols,
+        ts_col,
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in lcols if c not in key_cols and c != ts_col],
+    )
+    tagged_l = left.select(
+        *key_cols,
+        ts_col,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}")
+          for c in right_cols],
+        *[F.col(c) for c in lcols if c not in key_cols and c != ts_col],
+    )
+    unioned = tagged_r.unionByName(tagged_l)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, "_side", *order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = unioned
+    for c in right_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w),
+        )
+    return out.where(F.col("_side") == 1).drop("_side")

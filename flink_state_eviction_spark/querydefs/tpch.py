@@ -284,6 +284,80 @@ def distinct_cust_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+       c.event_id AS click_id, epoch_ms(c.ts) AS click_ts_ms
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("asof_join_purchase_click", _ASOF_ORACLE, tags=("tpch", "asof"))
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase enriched with the user's most recent
+    click at or before it (union-LOCF formulation — one shuffle + one
+    sort, never a pairwise range explosion). Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    from flink_state_eviction_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = as_of_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        ts_col="ts",
+        right_cols=["event_id", "ts"],
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("event_id_asof").alias("click_id"),
+        F.unix_millis("ts_asof").alias("click_ts_ms"),
+    )
+
+
+_RANGE_ORACLE = """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("range_rolling_1h", _RANGE_ORACLE, tags=("tpch", "range"))
+def range_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour interval aggregate per key — a range join
+    expressed as a native RANGE window frame: one shuffle + one sort,
+    no pairwise self-join. Range frames include ts ties in both
+    engines, so results are deterministic without a tiebreak."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3600000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
 _WORDCOUNT_ORACLE = """
 SELECT t AS token, COUNT(*) AS cnt
 FROM (
