@@ -293,7 +293,9 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
-@register("asof_join_purchase_click", _ASOF_ORACLE, tags=("tpch", "asof"))
+@register(
+    "asof_join_purchase_click", _ASOF_ORACLE, headline=True, tags=("tpch", "asof")
+)
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase enriched with the user's most recent
     click at or before it (union-LOCF formulation — one shuffle + one
@@ -335,7 +337,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
 """
 
 
-@register("range_rolling_1h", _RANGE_ORACLE, tags=("tpch", "range"))
+@register("range_rolling_1h", _RANGE_ORACLE, headline=True, tags=("tpch", "range"))
 def range_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 1-hour interval aggregate per key — a range join
     expressed as a native RANGE window frame: one shuffle + one sort,
