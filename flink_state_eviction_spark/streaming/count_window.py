@@ -28,6 +28,26 @@ except ImportError:  # pragma: no cover
     HAVE_STATE_API = False
 
 
+def count_window_all_stream(
+    sdf: DataFrame,
+    value_col: str,
+    size: int,
+    ts_col: str = "ts",
+    label_col: str | None = None,
+) -> DataFrame:
+    """Non-keyed ``countWindowAll(n)`` (WindowAllKeyedPoC.java:86-88):
+    all rows share one logical key, so like the reference's windowAll
+    this runs at parallelism 1 — by definition a global count window
+    needs a total order. Output: (w_id, total[, label])."""
+    from pyspark.sql import functions as F
+
+    tagged = sdf.withColumn("_all", F.lit(1))
+    out = count_window_stream(
+        tagged, "_all", value_col, size, ts_col=ts_col, label_col=label_col
+    )
+    return out.drop("_all")
+
+
 def count_window_stream(
     sdf: DataFrame,
     key_col: str,

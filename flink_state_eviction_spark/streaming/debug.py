@@ -1,0 +1,23 @@
+"""Debug output helpers — the reference's ``StreamingUtils.printWithName``
+(StreamingUtils.java:8-15): label each element with a stream name and
+print it."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def print_with_name(df: DataFrame, name: str, n: int = 20) -> DataFrame:
+    """Label rows with the stream name; batch prints via show, streams
+    attach a console sink. Returns the labeled frame either way."""
+    labeled = df.select(
+        F.concat_ws(": ", F.lit(name), F.to_json(F.struct(*df.columns))).alias(
+            "line"
+        )
+    )
+    if df.isStreaming:
+        labeled.writeStream.format("console").start()
+    else:
+        labeled.show(n, truncate=False)
+    return labeled

@@ -1,0 +1,75 @@
+"""Fixture-source tests mirroring the reference's own source tests.
+
+F6 (ElementsWithGapsSourceTest.java:40-89): gap-source elements piped
+through a projection and compared against the expected sequence — here
+with the order-tolerant assert that replaces the reference's (admittedly
+parallelism-broken) assertion sink.
+"""
+
+from __future__ import annotations
+
+from conftest import ts_ms
+
+from flink_state_eviction_spark.sources.fixtures import (
+    elements_with_gaps,
+    event_time_delayed,
+    gap,
+    with_equal_gaps,
+)
+from flink_state_eviction_spark.streaming.testing import assert_same_rows
+
+# F6: (a,2) gap 500, (b,1) gap 1000, (a,2) gap 500, (c,5), (d,2) gap 1000, (h,3)
+F6 = [
+    ("a", 2), gap(500), ("b", 1), gap(1000), ("a", 2), gap(500),
+    ("c", 5), ("d", 2), gap(1000), ("h", 3),
+]
+
+
+def test_gap_source_sequence_and_timestamps(spark):
+    df = elements_with_gaps(spark, F6)
+    rows = sorted(df.collect(), key=lambda r: r["seq"])
+    assert [r["key"] for r in rows] == ["a", "b", "a", "c", "d", "h"]
+    offsets = [
+        (r["ts"] - ts_ms(0)).total_seconds() * 1000 for r in rows
+    ]
+    assert offsets == [0, 500, 1500, 2000, 2000, 3000]
+
+
+def test_projection_to_keys_matches_expected(spark):
+    # the reference pipes the source through a key projection into the
+    # assertion sink; order-tolerant multiset compare replaces the sink
+    df = elements_with_gaps(spark, F6).select("key")
+    expected = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("c",), ("d",), ("h",)], "key string"
+    )
+    assert_same_rows(df, expected)
+
+
+def test_event_time_delayed_modes(spark):
+    late, wm_late = event_time_delayed(
+        spark, [(1, 1000), (2, 0), (3, 500)], mode="late"
+    )
+    early, wm_early = event_time_delayed(
+        spark, [(1, 1000), (2, 0), (3, 500)], mode="early"
+    )
+    # late: watermark 2x total delay so nothing drops (reference :155-181)
+    assert wm_late == "3000 milliseconds"
+    assert wm_early == "0 milliseconds"
+    # early mode sorts ascending by delay
+    assert [r["value"] for r in early.orderBy("seq").collect()] == [2, 3, 1]
+    assert [r["value"] for r in late.orderBy("seq").collect()] == [1, 2, 3]
+
+
+def test_with_equal_gaps_helper(spark):
+    assert with_equal_gaps(["x", "y", "z"], 500) == [
+        ("x", 0), ("y", 500), ("z", 1000),
+    ]
+
+
+def test_print_with_name_batch(spark, capsys):
+    from flink_state_eviction_spark.streaming.debug import print_with_name
+
+    df = spark.createDataFrame([("a", 1)], "key string, value int")
+    print_with_name(df, "probe")
+    outp = capsys.readouterr().out
+    assert "probe" in outp

@@ -1,0 +1,54 @@
+"""Streaming map_with_state over the real events table (sf0.001,
+1000 rows, 150 keys) split across micro-batches must equal the batch
+flagship result row-for-row — the stream/batch parity contract on
+data-scale input, not just the 8-row fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.map_with_state import (
+    running_sum_with_ttl,
+)
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.map_with_state import (
+    running_sum_stream,
+)
+from flink_state_eviction_spark.streaming.testing import run_available_now
+from flink_state_eviction_spark.tables import load_table
+
+TTL_MS = 6 * 3600 * 1000  # matches the flagship query
+
+
+def test_events_stream_equals_batch_flagship(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    batch = running_sum_with_ttl(
+        ev, ["user_id"], "ts", "value", TTL_MS, order_cols=["event_id"]
+    )
+    want = {
+        (r["user_id"], r["event_id"]): round(r["running_sum"], 9)
+        for r in batch.collect()
+    }
+
+    sdf = as_file_stream(ev, str(tmp_path / "in"), 5, order_col="ts")
+    out = running_sum_stream(
+        sdf, "user_id", "value", TTL_MS, time_mode="event"
+    )
+    res = run_available_now(out, str(tmp_path / "ck"))
+    got = {
+        (r["user_id"], r["ts"]): r["running_sum"] for r in res.collect()
+    }
+    # join on (user, ts): map event_id -> ts from the source
+    ts_of = {
+        (r["user_id"], r["event_id"]): r["ts"] for r in ev.collect()
+    }
+    assert len(got) == len(want)
+    mismatches = [
+        k
+        for k, s in want.items()
+        if round(got[(k[0], ts_of[k])], 9) != s
+    ]
+    assert not mismatches, mismatches[:5]

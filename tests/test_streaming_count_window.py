@@ -50,6 +50,31 @@ def test_keyed_count_window_stream(spark, tmp_path, num_batches):
     assert got == EXPECTED
 
 
+def test_count_window_all_stream_matches_reference_trace(spark, tmp_path):
+    """countWindowAll(2) on F4 → the exact reference trace
+    (WindowAllKeyedPoC.java:65-68): ("a-b",3),("a-c",7),("b-c",12),
+    ("a-c",17) — trailing incomplete window withheld (there is none:
+    8 rows / size 2)."""
+    from flink_state_eviction_spark.streaming.count_window import (
+        count_window_all_stream,
+    )
+
+    df = elements_with_gaps(spark, F4)
+    sdf = as_file_stream(df, str(tmp_path / "in"), 3)
+    out = count_window_all_stream(
+        sdf.withColumn("lbl", sdf.key), "value", size=2, ts_col="seq",
+        label_col="lbl",
+    )
+    res = run_available_now(out, str(tmp_path / "ck"))
+    got = {(r["w_id"], r["total"], r["label"]) for r in res.collect()}
+    assert got == {
+        (0, 3.0, "a-b"),
+        (1, 7.0, "a-c"),
+        (2, 12.0, "b-c"),
+        (3, 17.0, "a-c"),
+    }
+
+
 def test_count_window_stream_validation(spark):
     with pytest.raises(ValueError):
         count_window_stream(None, "k", "v", size=0)
