@@ -1,0 +1,87 @@
+"""B12 late-data policy: the reference's only late-data handling is the
+watermark lateness bound (BoundedOutOfOrdernessTimestampExtractor,
+EventTimeDelayedElementsSource.java:155-181) — data later than the
+bound is dropped, with no side-output. Demonstrate both sides on Spark:
+a tight watermark drops a straggler; the reference's 2x-total-delay
+'late mode' bound keeps it.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.sources.fixtures import FIXTURE_EPOCH
+from flink_state_eviction_spark.streaming.testing import run_available_now
+
+
+def _write_batches(spark, path, batches):
+    import time
+
+    schema = "value int, ts timestamp"
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [
+                (v, FIXTURE_EPOCH + datetime.timedelta(milliseconds=ms))
+                for v, ms in rows
+            ],
+            schema,
+        )
+        df.coalesce(1).write.parquet(f"{path}/b{i:03d}")
+        time.sleep(0.3)  # distinct mtimes -> deterministic replay order
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/b*")
+    )
+
+
+def _windowed(sdf, lateness):
+    return (
+        sdf.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 second").alias("w"))
+        .agg(F.sum("value").alias("total"))
+        .select(F.unix_millis("w.start").alias("w_start"), "total")
+    )
+
+
+EPOCH_MS = 1767225600000  # FIXTURE_EPOCH as epoch millis (UTC)
+
+# Spark applies the advanced watermark with one micro-batch of lag
+# (state finalization uses the PREVIOUS batch's watermark), so the
+# straggler must arrive two batches after the watermark-advancing event
+# to be dropped.
+BATCHES = [
+    [(1, 0), (2, 500)],          # window 0: 1+2
+    [(10, 30_000)],              # advances the watermark past window 0
+    [(11, 31_000)],              # one more batch -> advanced wm now applies
+    [(100, 800)],                # straggler for window 0
+    [(5, 600_000)],              # flush sentinel
+]
+
+
+def _rel(res):
+    return {(r["w_start"] - EPOCH_MS, r["total"]) for r in res.collect()}
+
+
+def test_tight_watermark_drops_straggler(spark, tmp_path):
+    sdf = _write_batches(spark, str(tmp_path / "tight"), BATCHES)
+    res = run_available_now(
+        _windowed(sdf, "1 second"), str(tmp_path / "ck1"), output_mode="append"
+    )
+    got = _rel(res)
+    # window 0 finalized as 3 before the straggler arrived; 100 dropped
+    assert (0, 3) in got, got
+    assert not any(t == 103 for _, t in got), got
+
+
+def test_generous_watermark_keeps_straggler(spark, tmp_path):
+    sdf = _write_batches(spark, str(tmp_path / "loose"), BATCHES)
+    # the reference's late mode: lateness bound >= max disorder, so the
+    # straggler is merged into its window instead of dropped
+    res = run_available_now(
+        _windowed(sdf, "2 minutes"), str(tmp_path / "ck2"), output_mode="append"
+    )
+    got = _rel(res)
+    assert (0, 103) in got, got
