@@ -203,7 +203,7 @@ cand AS (
       ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
-       bit_count(xor(sh_a, sh_b)) AS hamming
+       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
 FROM cand
 WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
@@ -242,7 +242,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "sh_a", "sh_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= 3)

@@ -75,6 +75,12 @@ def test_query_matches_oracle(spark, name):
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
     )
+    dtype_diffs = [
+        (c, str(spark_pdf[c].dtype), str(duck_pdf[c].dtype))
+        for c in spark_pdf.columns
+        if str(spark_pdf[c].dtype) != str(duck_pdf[c].dtype)
+    ]
+    assert not dtype_diffs, f"{name}: dtype mismatches {dtype_diffs}"
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: rowcount {len(spark_pdf)} != {len(duck_pdf)}"
     )
