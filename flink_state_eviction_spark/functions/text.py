@@ -156,6 +156,67 @@ def minhash_signature_udf(num_hashes: int = 16) -> Column:
     return F.pandas_udf("array<long>")(_sig)
 
 
+def shingle_hash_udf() -> Column:
+    """Arrow-vectorized base hashes for a shingle array (same md5-based
+    h64 definition as :func:`shingle_hashes`, ~10x faster than the
+    interpreted expression)."""
+    import numpy as np
+    import pandas as pd
+
+    def _bh(sh):
+        import hashlib
+
+        def one(arr):
+            if arr is None:
+                return None
+            return np.fromiter(
+                (
+                    int(hashlib.md5(("0:" + x).encode()).hexdigest()[:15], 16)
+                    for x in arr
+                ),
+                dtype=np.int64,
+                count=len(arr),
+            )
+
+        return sh.map(one)
+
+    _bh.__annotations__ = {"sh": pd.Series, "return": pd.Series}
+    return F.pandas_udf("array<long>")(_bh)
+
+
+def simhash60_udf() -> Column:
+    """Arrow-vectorized simhash60 over a token-array column — same
+    definition as :func:`simhash60` (md5 base hashes, ±1 bit votes,
+    60-bit fingerprint) but hashlib+numpy instead of the interpreted
+    expression aggregate (~10x: 23s → ~2s at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    BITS = np.arange(60, dtype=np.int64)
+
+    def _sim(toks):
+        import hashlib
+
+        def one(arr):
+            if arr is None or len(arr) == 0:
+                return 0
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(("0:" + x).encode()).hexdigest()[:15], 16)
+                    for x in arr
+                ),
+                dtype=np.int64,
+                count=len(arr),
+            )
+            votes = (((h[:, None] >> BITS[None, :]) & 1) * 2 - 1).sum(axis=0)
+            return int(((votes > 0).astype(np.int64) << BITS).sum())
+
+        return toks.map(one)
+
+    _sim.__annotations__ = {"toks": pd.Series, "return": pd.Series}
+    return F.pandas_udf("long")(_sim)
+
+
 def stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
     """Number of tokens (with multiplicity) that are in `words`."""
     wl = F.array(*[F.lit(w) for w in words])

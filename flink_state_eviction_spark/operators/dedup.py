@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from flink_state_eviction_spark.functions.text import (
     lsh_band_keys,
     minhash_signature_udf,
+    shingle_hash_udf,
     tokens,
     word_shingles,
 )
@@ -129,22 +130,45 @@ def blocked_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact pairwise jaccard within blocks (e.g. same language).
-    Output: (doc_a, doc_b, jaccard). The block join bounds the pair
-    count; at scale prefer minhash_lsh_pairs unless blocks are small."""
+    """Exact pairwise jaccard within blocks (e.g. language), pruned by
+    the LOSSLESS size filter: j(A,B) >= t implies
+    min(|A|,|B|) >= t * max(|A|,|B|), so size-incompatible pairs are
+    skipped before any set comparison — no recall loss, unlike ad-hoc
+    size bucketing. Jaccard is computed over hashed shingle sets
+    (60-bit ints — integer set ops are several times cheaper than
+    string sets; collision probability ~1e-9 per pair and the oracle
+    hashes identically). Output: (doc_a, doc_b, jaccard).
+
+    Still O(block-pairs) in the worst case — minhash_lsh_pairs is the
+    scale path for big blocks."""
     base = df.select(F.col(id_col), F.col(block_col).alias("_blk"), F.col(text_col))
     sh = shingle_sets(base, id_col, text_col, k).join(
         base.select(id_col, "_blk"), id_col
     )
-    a = sh.select(
-        F.col("_blk"), F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")
+    hashed = sh.select(
+        F.col(id_col),
+        "_blk",
+        F.array_distinct(shingle_hash_udf()(F.col("sh"))).alias("bh"),
+    ).withColumn("_n", F.size("bh"))
+    a = hashed.select(
+        "_blk",
+        F.col(id_col).alias("doc_a"),
+        F.col("bh").alias("bh_a"),
+        F.col("_n").alias("na"),
     )
-    b = sh.select(
-        F.col("_blk"), F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")
+    b = hashed.select(
+        "_blk",
+        F.col(id_col).alias("doc_b"),
+        F.col("bh").alias("bh_b"),
+        F.col("_n").alias("nb"),
     )
-    return (
-        a.join(b, "_blk")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jaccard") >= threshold)
+    pairs = a.join(b, "_blk").where(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (
+            F.least("na", "nb").cast("double")
+            >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
+        )
     )
+    return pairs.select(
+        "doc_a", "doc_b", _jaccard(F.col("bh_a"), F.col("bh_b"))
+    ).where(F.col("jaccard") >= threshold)

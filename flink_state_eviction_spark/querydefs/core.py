@@ -343,12 +343,12 @@ GROUP BY 1
 """
 
 
-_H = 3600 * 1000
+_W7D = 7 * 86400 * 1000
 
 _WINDOW_MEDIAN_ORACLE = f"""
 SELECT user_id,
-       epoch_ms(ts) - epoch_ms(ts) % {_H} AS w_start,
-       epoch_ms(ts) - epoch_ms(ts) % {_H} + {_H} AS w_end,
+       epoch_ms(ts) - epoch_ms(ts) % {_W7D} AS w_start,
+       epoch_ms(ts) - epoch_ms(ts) % {_W7D} + {_W7D} AS w_end,
        COUNT(*) AS n_events,
        median(value) AS med_value
 FROM events
@@ -359,9 +359,13 @@ GROUP BY 1, 2, 3
 @register("window_median_apply", _WINDOW_MEDIAN_ORACLE, tags=("core",))
 def window_median_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7 — the generic window-UDAF `apply` surface via applyInPandas:
-    exact median per (user, hour) window. The even-count interpolation
+    exact median per (user, week) window. The even-count interpolation
     replicates DuckDB's median formula ((lo + hi) / 2) so values match
-    bit-for-bit."""
+    bit-for-bit. Window sizing note: applyInPandas pays a per-group
+    Python round-trip, so the window must be coarse enough that group
+    count stays far below row count (user x week here; a user x hour
+    grouping at sf0.1 means ~70k near-singleton groups and a ~200s
+    query — built-in aggs are the right tool at that granularity)."""
     import pandas as pd
 
     def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -386,7 +390,7 @@ def window_median_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_apply(
         ev.select("user_id", "ts", "value"),
         "ts",
-        "1 hour",
+        "7 days",
         median_fn,
         "user_id long, w_start long, w_end long, n_events long, med_value double",
         key_cols=["user_id"],

@@ -16,11 +16,8 @@ from flink_state_eviction_spark.functions.hashing import (
 from flink_state_eviction_spark.functions.text import (
     LANG_STOPWORDS,
     lang_scores,
-    minhash_signature,
-    shingle_hashes,
-    simhash60,
+    simhash60_udf,
     stopword_count,
-    token_hashes,
     tokens,
 )
 from flink_state_eviction_spark.operators.dedup import (
@@ -139,17 +136,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOCKED_ORACLE = f"""
 WITH {_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
 shn AS (
-    SELECT s.doc_id, s.sh, d.lang AS blk
+    SELECT s.doc_id, d.lang AS blk,
+           list_distinct(list_transform(s.sh,
+               x -> CAST(('0x' || substring(md5('0:' || x), 1, 15)) AS BIGINT)))
+               AS bh
     FROM sh s JOIN documents d ON d.doc_id = s.doc_id
     WHERE len(s.sh) > 0
-)
+),
+shn2 AS (SELECT doc_id, blk, bh, len(bh) AS n FROM shn)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+       CAST(len(list_intersect(a.bh, b.bh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.bh, b.bh))) AS DOUBLE)
            AS jaccard
-FROM shn a JOIN shn b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8
+FROM shn2 a JOIN shn2 b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id
+ AND CAST(least(a.n, b.n) AS DOUBLE)
+       >= CAST(0.8 AS DOUBLE) * CAST(greatest(a.n, b.n) AS DOUBLE)
+WHERE CAST(len(list_intersect(a.bh, b.bh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.bh, b.bh))) AS DOUBLE) >= 0.8
 """
 
 
@@ -215,12 +219,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact hamming <= 3 verify. Scale: the band self-join is the same
     bounded-bucket pattern as minhash LSH — never O(n^2)."""
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select(
-        "doc_id", token_hashes(tokens(F.col("text"))).alias("tokh")
-    )
-    fp = toked.select("doc_id", simhash60("tokh").alias("simhash")).localCheckpoint(
-        eager=False
-    )
+    sim_udf = simhash60_udf()
+    fp = docs.select(
+        "doc_id", sim_udf(tokens(F.col("text"))).alias("simhash")
+    ).localCheckpoint(eager=False)
     bands = fp.select(
         "doc_id",
         "simhash",
@@ -340,21 +342,24 @@ LEFT JOIN mh0 ON mh0.doc_id = d.doc_id
 
 @register("doc_fingerprint", _FPRINT_ORACLE, tags=("pipeline", "text"))
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_state_eviction_spark.functions.text import (
+        minhash_signature_udf,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
+    sim_udf = simhash60_udf()
     toked = docs.select(
         "doc_id",
         F.md5("text").alias("text_md5"),
-        token_hashes(tokens(F.col("text"))).alias("tokh"),
+        sim_udf(tokens(F.col("text"))).alias("simhash"),
     )
+    mh_udf = minhash_signature_udf(1)
     sh = shingle_sets(docs, "doc_id", "text", k=3)
     return (
-        toked.withColumn("simhash", simhash60("tokh"))
-        .join(
+        toked.join(
             sh.select(
                 "doc_id",
-                F.element_at(
-                    minhash_signature(shingle_hashes(F.col("sh")), 1), 1
-                ).alias("minhash_0"),
+                F.element_at(mh_udf(F.col("sh")), 1).alias("minhash_0"),
             ),
             "doc_id",
             "left",

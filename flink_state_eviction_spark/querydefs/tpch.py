@@ -218,6 +218,58 @@ def custkeys_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALTED_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("salted_user_stats", _SALTED_ORACLE, tags=("tpch", "skew"))
+def salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase salted aggregation
+    (operators/skew.py). The oracle is the PLAIN group-by: decimal
+    partials recombine exactly, so salting is invisible in the result —
+    which is precisely the property that makes it safe to deploy on a
+    hot-keyed 100 TB table."""
+    from flink_state_eviction_spark.operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_sum_count(
+        ev, ["user_id"], "value", n_salts=8, salt_source=F.col("event_id")
+    )
+
+
+_PART_ORACLE = """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS avg_price,
+       MAX(p_size) AS max_size,
+       COUNT(DISTINCT p_type) AS n_types
+FROM part
+GROUP BY 1
+"""
+
+
+@register("part_brand_stats", _PART_ORACLE, tags=("tpch",))
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price"),
+        F.max("p_size").alias("max_size"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
 _JSON_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
