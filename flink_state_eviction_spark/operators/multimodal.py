@@ -75,6 +75,26 @@ def _decode_batch_fake(pdf: pd.DataFrame, frame_stride: int) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def frame_sample(media_df: DataFrame, stride: int = 4) -> DataFrame:
+    """Video frame sampling: expand each media row into one row per
+    sampled frame index (every ``stride``-th of ``media_meta.n_frames``).
+    Pure expression-level 1→N expansion (explode of a sequence) — no
+    Python in the row path; the downstream per-frame decode is then a
+    ``mapInPandas`` like :func:`decode_media`.
+
+    Output: (doc_id, frame_idx, n_frames)."""
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    idx = F.sequence(
+        F.lit(0), F.col("media_meta.n_frames") - 1, F.lit(stride)
+    )
+    return media_df.select(
+        "doc_id",
+        F.explode(idx).alias("frame_idx"),
+        F.col("media_meta.n_frames").alias("n_frames"),
+    )
+
+
 def decode_media(
     media_df: DataFrame, frame_stride: int = 4, fake: bool = False
 ) -> DataFrame:

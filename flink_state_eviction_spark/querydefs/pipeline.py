@@ -507,6 +507,37 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal: mapInPandas decode pipeline (deterministic fake codec).
+# The fake features are byte-derived, so the oracle recomputes them in
+# SQL — the Spark side still exercises the real distributed plumbing
+# (binary columns, Arrow batches, partition-parallel mapInPandas).
+
+_MM_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(CAST(('0x' || substring(md5(text), 1, 6)) AS INTEGER) % 1024 + 1
+            AS INTEGER) AS fake_width,
+       CAST(CAST(('0x' || substring(md5(text), 1, 6)) AS INTEGER) % 768 + 1
+            AS INTEGER) AS fake_height,
+       CAST((CAST(('0x' || substring(md5(text), 1, 6)) AS INTEGER) % 64 + 1
+             + 3) // 4 AS INTEGER) AS n_frames_sampled
+FROM documents
+"""
+
+
+@register("multimodal_features", _MM_ORACLE, tags=("pipeline", "multimodal"))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_state_eviction_spark.operators.multimodal import (
+        decode_media,
+        media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(media_from_documents(docs), frame_stride=4, fake=True)
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF (rational idf variant (N+1)/(df+1) — no transcendentals, so
 # Spark and DuckDB agree bit-for-bit; swap in log() at deployment if
 # classic idf is wanted)

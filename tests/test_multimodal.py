@@ -40,6 +40,25 @@ def test_fake_decode_pipeline_matches_local_recompute(spark, sf_dir):
         )
 
 
+def test_frame_sample_expansion(spark, sf_dir):
+    from flink_state_eviction_spark.operators.multimodal import frame_sample
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents")).limit(20)
+    frames = frame_sample(media, stride=4)
+    rows = frames.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    src = {r["doc_id"]: r["media_meta"]["n_frames"] for r in media.collect()}
+    for doc_id, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(0, src[doc_id], 4))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        frame_sample(media, stride=0)
+
+
 def test_media_schema_convention(spark, sf_dir):
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     assert media.schema.simpleString() == (

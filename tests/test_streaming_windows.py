@@ -62,6 +62,37 @@ def test_event_time_tumbling_window_all(spark, tmp_path, mode):
     assert_same_rows(res, batch)
 
 
+def test_streaming_sliding_window_equals_batch(spark, tmp_path):
+    """Sliding (hopping) windows: 1s window / 500ms slide, streamed with
+    a watermark, equals the batch result."""
+    df, _ = event_time_delayed(
+        spark, with_equal_gaps([1, 2, 3, 4, 5, 6], 400), mode="late"
+    )
+
+    def agg(d):
+        return (
+            d.groupBy(F.window("ts", "1 second", "500 milliseconds").alias("w"))
+            .agg(F.sum("value").alias("total"))
+            .select(F.unix_millis("w.start").alias("w_start"), "total")
+        )
+
+    batch = agg(df)
+    df_s, _ = event_time_delayed(
+        spark,
+        with_equal_gaps([1, 2, 3, 4, 5, 6], 400) + [(999, 3_600_000)],
+        mode="late",
+    )
+    sdf = as_file_stream(df_s, str(tmp_path / "sw"), 2)
+    res = run_available_now(
+        agg(sdf.withWatermark("ts", "1 second")),
+        str(tmp_path / "cksw"),
+        output_mode="append",
+    ).where(~F.col("total").isin(999, 999 * 2))
+    # sentinel contributes only its own far-future windows; real rows
+    # are unaffected
+    assert_same_rows(res, batch)
+
+
 def test_processing_time_ttl_eviction_across_runs(spark, tmp_path):
     """Processing-time mode (the reference's IngestionTime PoC): state
     for key 'a' must be evicted when the key stays idle past the TTL
