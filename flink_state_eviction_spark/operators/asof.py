@@ -30,12 +30,23 @@ def as_of_join(
     key_cols: Sequence[str],
     ts_col: str,
     right_cols: Sequence[str],
-    order_cols: Sequence[str] = (),
+    right_order_cols: Sequence[str] = (),
     suffix: str = "_asof",
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, enriched with the latest
     ``right_cols`` values among right rows at or before its ``ts_col``
-    (per key); nulls when no prior right row exists."""
+    (per key); nulls when no prior right row exists.
+
+    ``right_order_cols`` (names from ``right``, must be in
+    ``right_cols``) break ties among right rows sharing a timestamp:
+    the greatest wins. They are ordered via their suffixed union
+    columns — naming a raw right column in the window would be
+    unresolvable after the union renames the right payload."""
+    for c in right_order_cols:
+        if c not in right_cols:
+            raise ValueError(
+                f"right_order_cols entry {c!r} must be included in right_cols"
+            )
     lcols = [c for c in left.columns]
     tagged_r = right.select(
         *key_cols,
@@ -56,7 +67,11 @@ def as_of_join(
     unioned = tagged_r.unionByName(tagged_l)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(ts_col, "_side", *order_cols)
+        .orderBy(
+            ts_col,
+            "_side",
+            *[F.col(f"{c}{suffix}") for c in right_order_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = unioned

@@ -55,6 +55,7 @@ FROM t
 
 @register("mws_running_sum_ttl", _MWS_ORACLE, headline=True, tags=("core", "flagship"))
 def mws_running_sum_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-key running sum with TTL state eviction (MapWithStateTest.java:41-101)."""
     ev = load_table(spark, sf_dir, "events")
     out = running_sum_with_ttl(
         ev, ["user_id"], "ts", "value", TTL_MS, order_cols=["event_id"]
@@ -80,6 +81,7 @@ FROM events
 
 @register("keyed_running_reduce", _REDUCE_ORACLE, tags=("core",))
 def keyed_running_reduce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running sum at every element (keyBy.reduce, WindowAllKeyedPoC.java:145-151)."""
     ev = load_table(spark, sf_dir, "events")
     out = keyed_running_sum(ev, ["user_id"], "ts", "value", order_cols=["event_id"])
     return out.select(
@@ -106,6 +108,7 @@ GROUP BY 1, 2, 3
 
 @register("tumbling_window_sum", _TUMBLING_ORACLE, headline=True, tags=("core",))
 def tumbling_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed 1h tumbling window count+sum (B6/B9)."""
     ev = load_table(spark, sf_dir, "events")
     return time_window_agg(
         ev,
@@ -168,6 +171,7 @@ GROUP BY 1, 2
 
 @register("sliding_window_sum", _SLIDING_ORACLE, tags=("core",))
 def sliding_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/30min windows over events (each event in 4 windows)."""
     ev = load_table(spark, sf_dir, "events")
     return time_window_agg(
         ev,

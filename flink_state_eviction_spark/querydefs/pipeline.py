@@ -70,6 +70,7 @@ FROM documents
 
 @register("dedup_exact", _EXACT_ORACLE, tags=("pipeline", "dedup"))
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 hash-groupBy mapping every doc to its canonical keeper (min id)."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup_mapping(docs, "doc_id", "text")
 
@@ -124,6 +125,7 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
     "dedup_minhash_lsh", _MINHASH_ORACLE, headline=True, tags=("pipeline", "dedup")
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (16 hashes, 4x4 bands), exact-jaccard verified at >= 0.8."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
@@ -159,6 +161,7 @@ WHERE CAST(len(list_intersect(a.bh, b.bh)) AS DOUBLE)
 
 @register("dedup_ngram_jaccard", _BLOCKED_ORACLE, tags=("pipeline", "dedup"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact 3-gram jaccard pairs (lossless size-ratio prune, hashed shingle sets)."""
     docs = load_table(spark, sf_dir, "documents")
     return blocked_jaccard_pairs(
         docs, "doc_id", "text", block_col="lang", k=3, threshold=0.8
@@ -342,6 +345,7 @@ LEFT JOIN mh0 ON mh0.doc_id = d.doc_id
 
 @register("doc_fingerprint", _FPRINT_ORACLE, tags=("pipeline", "text"))
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fingerprints: simhash60, minhash seed 0, md5 digest."""
     from flink_state_eviction_spark.functions.text import (
         minhash_signature_udf,
     )
@@ -401,6 +405,7 @@ FROM m
 
 @register("text_quality", _QUALITY_ORACLE, headline=True, tags=("pipeline", "text"))
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics per doc: word/char counts, stopword+punct ratios, linear score."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
     n_words = F.size("toks").cast("long")
@@ -464,6 +469,7 @@ FROM s
 
 @register("text_langid", _langid_sql(), tags=("pipeline", "text"))
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-scoring language-ID heuristic with fixed-priority argmax."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     sc = {k: v.cast("long") for k, v in lang_scores(F.col("toks")).items()}
@@ -496,6 +502,7 @@ FROM documents
 
 @register("token_count", _TOKEN_COUNT_ORACLE, tags=("pipeline", "text"))
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenizer count + bytes/4 BPE-proxy token estimate."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -528,6 +535,7 @@ FROM documents
 
 @register("multimodal_features", _MM_ORACLE, tags=("pipeline", "multimodal"))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas media decode pipeline (deterministic fake codec) over binary media columns."""
     from flink_state_eviction_spark.operators.multimodal import (
         decode_media,
         media_from_documents,
@@ -617,6 +625,7 @@ FROM r WHERE rank <= 10
     "similarity_topk", _TOPK_ORACLE, headline=True, tags=("pipeline", "similarity")
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors for 8 query vectors (broadcast queries)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.where(F.col("vec_id") < 8), "vec_id", "embedding", k=10)
 

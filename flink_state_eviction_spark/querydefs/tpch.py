@@ -55,6 +55,7 @@ GROUP BY l_returnflag, l_linestatus
 
 @register("tpch_q1", _Q1_ORACLE, headline=True, tags=("tpch",))
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (decimal-exact sums/averages)."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
     charge = disc_price * (F.lit(1) + _d("l_tax"))
@@ -258,6 +259,7 @@ GROUP BY 1
 
 @register("part_brand_stats", _PART_ORACLE, tags=("tpch",))
 def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped stats per part brand (count, decimal-exact avg price, distinct types)."""
     part = load_table(spark, sf_dir, "part")
     return part.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_parts"),
@@ -304,6 +306,7 @@ GROUP BY 1
 
 @register("pivot_flag_status", _PIVOT_ORACLE, tags=("tpch",))
 def pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity by returnflag x linestatus as columns."""
     li = load_table(spark, sf_dir, "lineitem")
     out = (
         li.groupBy("l_returnflag")
@@ -368,7 +371,7 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["user_id"],
         ts_col="ts",
         right_cols=["event_id", "ts"],
-        order_cols=["event_id"],
+        right_order_cols=["event_id"],
     )
     return out.select(
         "event_id",

@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Regenerate QUERIES.md from the query registry."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_state_eviction_spark import queries as Q  # noqa: E402
+
+
+def main() -> None:
+    Q._ensure_loaded()
+    lines = [
+        "# Query catalog",
+        "",
+        "Auto-generated from the registry (`scripts/gen_queries_md.py`).",
+        "Every query is a `queries()` entry; `oracle` = paired DuckDB SQL",
+        "checked bit-for-bit by the driver (and `tests/test_oracle_parity.py`).",
+        "",
+        "| query | tags | oracle | headline | summary |",
+        "|---|---|---|---|---|",
+    ]
+    for name in sorted(Q.REGISTRY):
+        q = Q.REGISTRY[name]
+        doc = (q.fn.__doc__ or "").strip().split("\n")[0].rstrip(".")
+        lines.append(
+            f"| `{name}` | {', '.join(q.tags)} | "
+            f"{'yes' if q.oracle else 'rows-only'} | "
+            f"{'yes' if q.headline else ''} | {doc} |"
+        )
+    n_oracle = sum(1 for q in Q.REGISTRY.values() if q.oracle)
+    lines += [
+        "",
+        f"{len(Q.REGISTRY)} queries, {n_oracle} oracle-checked, "
+        f"{sum(1 for q in Q.REGISTRY.values() if q.headline)} in the bench "
+        "headline set.",
+        "",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "QUERIES.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}: {len(Q.REGISTRY)} queries")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Property check: union-LOCF as_of_join equals the brute-force
+definition (latest right row with ts <= left ts per key) on random
+inputs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from conftest import ts_ms
+
+from flink_state_eviction_spark.operators.asof import as_of_join
+
+sides = st.tuples(
+    st.lists(  # left rows: (key, ts_ms)
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(  # right rows: (key, ts_ms)
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 50)),
+        max_size=12,
+    ),
+)
+
+
+def brute_force(left, right):
+    out = {}
+    for i, (k, t) in enumerate(left):
+        cands = [
+            (rt, j) for j, (rk, rt) in enumerate(right) if rk == k and rt <= t
+        ]
+        # ties on ts resolved toward the larger right id, matching the
+        # operator's (ts, side, id) ordering where last-written wins
+        out[i] = max(cands)[1] if cands else None
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(data=sides)
+def test_asof_matches_brute_force(spark, data):
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(k, ts_ms(t), i) for i, (k, t) in enumerate(left_rows)],
+        "key string, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts_ms(t), j) for j, (k, t) in enumerate(right_rows)],
+        "key string, ts timestamp, rid long",
+    )
+    got = {
+        r["lid"]: r["rid_asof"]
+        for r in as_of_join(
+            left, right, ["key"], "ts", ["rid"], right_order_cols=["rid"]
+        ).collect()
+    }
+    assert got == brute_force(left_rows, right_rows)
