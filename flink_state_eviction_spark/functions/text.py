@@ -156,6 +156,57 @@ def minhash_signature_udf(num_hashes: int = 16) -> Column:
     return F.pandas_udf("array<long>")(_sig)
 
 
+def minhash_pack_udf(num_hashes: int = 16, k: int = 3) -> Column:
+    """One Arrow round-trip from a TOKEN array to everything minhash-LSH
+    needs: struct(bh: distinct k-shingle hashes, sig: minhash
+    signature). Shingle strings (' '-joined k-grams, identical to
+    word_shingles/SQL `toks[i] || ' ' || ...`) are built in Python —
+    building them as interpreted Catalyst expressions costs ~2s at
+    sf0.1 vs ~0.3s vectorized here."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_state_eviction_spark.functions.hashing import (
+        MERSENNE_P,
+        MINHASH_AB,
+    )
+
+    A = np.array([a for a, _ in MINHASH_AB[:num_hashes]], dtype=np.int64)
+    B = np.array([b for _, b in MINHASH_AB[:num_hashes]], dtype=np.int64)
+
+    def _pack(toks):
+        import hashlib
+
+        bhs, sigs = [], []
+        for arr in toks:
+            if arr is None or len(arr) < k:
+                bhs.append(None)
+                sigs.append(None)
+                continue
+            sh = {
+                " ".join(arr[i : i + k]) for i in range(len(arr) - k + 1)
+            }
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(("0:" + x).encode()).hexdigest()[:15], 16)
+                    for x in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            hp = h % MERSENNE_P
+            sig = ((A[:, None] * hp[None, :] + B[:, None]) % MERSENNE_P).min(
+                axis=1
+            )
+            bhs.append(np.sort(h))
+            sigs.append(sig)
+        # struct return type => pandas DataFrame with one column per field
+        return pd.DataFrame({"bh": bhs, "sig": sigs})
+
+    _pack.__annotations__ = {"toks": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf("struct<bh: array<long>, sig: array<long>>")(_pack)
+
+
 def shingle_hash_udf() -> Column:
     """Arrow-vectorized base hashes for a shingle array (same md5-based
     h64 definition as :func:`shingle_hashes`, ~10x faster than the

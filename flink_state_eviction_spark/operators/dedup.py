@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from flink_state_eviction_spark.functions.text import (
     lsh_band_keys,
-    minhash_signature_udf,
+    minhash_pack_udf,
     shingle_hash_udf,
     tokens,
     word_shingles,
@@ -90,35 +90,42 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sh = shingle_sets(df, id_col, text_col, k)
-    # Two-step projection with a lineage cut in between: band keys
-    # reference the signature 16× via element_at, and Catalyst would
-    # otherwise inline the full (hashes × shingles) md5 computation into
-    # every reference — a 16× expression blowup. localCheckpoint
-    # materializes the small signature table once (at 100 TB you would
-    # persist the signature table anyway: it is tiny next to the text).
-    sig_udf = minhash_signature_udf(num_hashes)
-    sig0 = sh.select(
-        F.col(id_col), "sh", sig_udf(F.col("sh")).alias("sig")
-    ).localCheckpoint(eager=False)
-    sig = sig0.select(
-        F.col(id_col), "sh", lsh_band_keys(F.col("sig"), bands, rows).alias("bk")
+    # One Arrow round-trip: tokens -> (distinct shingle hashes, minhash
+    # signature). Then a lineage cut: band keys reference the signature
+    # 16x via element_at, and Catalyst would otherwise inline the packed
+    # computation into every reference. localCheckpoint materializes the
+    # small signature table once (at 100 TB you would persist it as a
+    # table anyway: it is tiny next to the text).
+    pack = minhash_pack_udf(num_hashes, k)
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    # Too-short docs yield null signatures; they are filtered ABOVE the
+    # checkpoint, which acts as a pushdown barrier — filtering below it
+    # (or on the base table) would re-evaluate the tokenizer or the UDF
+    # a second time.
+    sig0 = (
+        toked.select(F.col(id_col), pack(F.col("_toks")).alias("p"))
+        .select(F.col(id_col), F.col("p.bh").alias("bh"), F.col("p.sig").alias("sig"))
+        .localCheckpoint(eager=False)
+        .where(F.col("sig").isNotNull())
     )
-    exploded = sig.select(id_col, "sh", F.posexplode("bk").alias("band", "bkey"))
+    sig = sig0.select(
+        F.col(id_col), "bh", lsh_band_keys(F.col("sig"), bands, rows).alias("bk")
+    )
+    exploded = sig.select(id_col, "bh", F.posexplode("bk").alias("band", "bkey"))
     a = exploded.select(
-        F.col("band"), F.col("bkey"), F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")
+        F.col("band"), F.col("bkey"), F.col(id_col).alias("doc_a"), F.col("bh").alias("bh_a")
     )
     b = exploded.select(
-        F.col("band"), F.col("bkey"), F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")
+        F.col("band"), F.col("bkey"), F.col(id_col).alias("doc_b"), F.col("bh").alias("bh_b")
     )
     cand = (
         a.join(b, ["band", "bkey"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b", "bh_a", "bh_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return cand.select(
-        "doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b"))
+        "doc_a", "doc_b", _jaccard(F.col("bh_a"), F.col("bh_b"))
     ).where(F.col("jaccard") >= threshold)
 
 

@@ -108,16 +108,19 @@ cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bk a JOIN bk b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+bhs AS (
+    SELECT doc_id, list_distinct(list(h)) AS bh FROM bh GROUP BY 1
 )
 SELECT c.doc_a, c.doc_b,
-       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+       CAST(len(list_intersect(sa.bh, sb.bh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(sa.bh, sb.bh))) AS DOUBLE)
            AS jaccard
 FROM cand c
-JOIN shn sa ON sa.doc_id = c.doc_a
-JOIN shn sb ON sb.doc_id = c.doc_b
-WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.8
+JOIN bhs sa ON sa.doc_id = c.doc_a
+JOIN bhs sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.bh, sb.bh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.bh, sb.bh))) AS DOUBLE) >= 0.8
 """
 
 
