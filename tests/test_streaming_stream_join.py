@@ -1,0 +1,79 @@
+"""Stream-stream inner join with watermarks + a time-bound condition —
+beyond the reference (it has no joins at all, SURVEY.md §2.6), but part
+of the complete streaming surface: purchases joined to the clicks that
+preceded them by at most one hour, streamed, must equal the batch join.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.sources.fixtures import FIXTURE_EPOCH
+from flink_state_eviction_spark.streaming.testing import (
+    assert_same_rows,
+    run_available_now,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (uid, eid, FIXTURE_EPOCH + datetime.timedelta(milliseconds=ms))
+            for uid, eid, ms in rows
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+
+
+CLICKS = [
+    (1, 100, 0), (1, 101, 30 * 60_000),      # u1: clicks at 0min, 30min
+    (2, 200, 10 * 60_000),                   # u2: click at 10min
+]
+PURCHASES = [
+    (1, 900, 45 * 60_000),   # joins clicks 100 (45m gap) and 101 (15m)
+    (1, 901, 70 * 60_000),   # joins 101 only (100 is 70m back)
+    (2, 902, 80 * 60_000),   # joins 200 (70m back? -> 70m > 60m: no)  # noqa: ERA001
+]
+
+
+def _join(clicks, purchases):
+    c = clicks.select(
+        F.col("user_id").alias("c_uid"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_uid"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("c_uid") == F.col("p_uid"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return c.join(p, cond).select("purchase_id", "click_id")
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    cb, pb = _df(spark, CLICKS), _df(spark, PURCHASES)
+    batch = _join(cb, pb)
+    got = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert got == {(900, 100), (900, 101), (901, 101)}
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    cb.coalesce(1).write.parquet(str(cdir / "f0"))
+    pb.coalesce(1).write.parquet(str(pdir / "f0"))
+    schema = "user_id long, event_id long, ts timestamp"
+    cs = spark.readStream.schema(schema).parquet(str(cdir / "*")).withWatermark(
+        "ts", "2 hours"
+    )
+    ps = spark.readStream.schema(schema).parquet(str(pdir / "*")).withWatermark(
+        "ts", "2 hours"
+    )
+    res = run_available_now(
+        _join(cs, ps), str(tmp_path / "ck"), output_mode="append"
+    )
+    assert_same_rows(res, batch)
