@@ -75,6 +75,63 @@ def _decode_batch_fake(pdf: pd.DataFrame, frame_stride: int) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def resize_media(
+    media_df: DataFrame,
+    target_width: int,
+    target_height: int,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize step of the media pipeline. Real resizing needs an image
+    library (absent here — ``fake=True`` runs the deterministic
+    stand-in, which passes the payload through and records the scale
+    factors the real codec would apply). Plumbing (binary in/out,
+    metadata rewrite, mapInPandas batching) is the real distributed
+    path either way.
+
+    Output schema: same convention as the input media table with
+    ``media_meta.width/height`` rewritten, plus scale_x/scale_y.
+    """
+    if target_width <= 0 or target_height <= 0:
+        raise ValueError("target dimensions must be positive")
+    if not fake:
+        raise NotImplementedError(
+            "real image resizing needs an image library; pass fake=True "
+            "for the deterministic stand-in"
+        )
+
+    out_schema = (
+        "doc_id bigint, media binary, media_type string, "
+        "media_meta struct<width:int, height:int, n_frames:int, "
+        "sample_rate:int>, scale_x double, scale_y double"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            metas = pdf["media_meta"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pdf["media"],  # real codec would re-encode
+                    "media_type": pdf["media_type"],
+                    "media_meta": [
+                        {
+                            "width": target_width,
+                            "height": target_height,
+                            "n_frames": m["n_frames"],
+                            "sample_rate": m["sample_rate"],
+                        }
+                        for m in metas
+                    ],
+                    "scale_x": [target_width / m["width"] for m in metas],
+                    "scale_y": [target_height / m["height"] for m in metas],
+                }
+            )
+
+    return media_df.mapInPandas(op, out_schema)
+
+
 def frame_sample(media_df: DataFrame, stride: int = 4) -> DataFrame:
     """Video frame sampling: expand each media row into one row per
     sampled frame index (every ``stride``-th of ``media_meta.n_frames``).

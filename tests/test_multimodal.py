@@ -59,6 +59,24 @@ def test_frame_sample_expansion(spark, sf_dir):
         frame_sample(media, stride=0)
 
 
+def test_resize_stub_rewrites_metadata(spark, sf_dir):
+    from flink_state_eviction_spark.operators.multimodal import resize_media
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents")).limit(10)
+    out = resize_media(media, 224, 224, fake=True)
+    src = {r["doc_id"]: r["media_meta"] for r in media.collect()}
+    for r in out.collect():
+        m = src[r["doc_id"]]
+        assert r["media_meta"]["width"] == 224
+        assert r["media_meta"]["height"] == 224
+        assert r["media_meta"]["n_frames"] == m["n_frames"]
+        assert abs(r["scale_x"] - 224 / m["width"]) < 1e-12
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 224, 224)
+    with pytest.raises(ValueError):
+        resize_media(media, 0, 224, fake=True)
+
+
 def test_media_schema_convention(spark, sf_dir):
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     assert media.schema.simpleString() == (
