@@ -336,6 +336,47 @@ def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPN_ORACLE = """
+WITH r AS (
+    SELECT user_id, event_id, value,
+           CAST(row_number() OVER w AS INT) AS rn,
+           CAST(rank() OVER w AS INT) AS rnk,
+           lag(value) OVER w AS prev_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+)
+SELECT user_id, event_id, value, rn, rnk,
+       value - COALESCE(prev_value, value) AS delta_prev
+FROM r WHERE rn <= 3
+"""
+
+
+@register("events_topn_per_user", _TOPN_ORACLE, tags=("core", "ranking"))
+def events_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic/ranking window functions (row_number, rank, lag) —
+    absent from the reference (SURVEY.md §2.6); top-3 events by value
+    per user with the gap to the previous-ranked value. Ties broken by
+    event_id so ranking is deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    prev = F.lag("value").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            (F.col("value") - F.coalesce(prev, F.col("value"))).alias(
+                "delta_prev"
+            ),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
 _H6 = 6 * 3600 * 1000
 
 _TUMBLING_LABEL_ORACLE = f"""
