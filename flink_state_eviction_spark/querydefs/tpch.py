@@ -415,6 +415,54 @@ def range_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERSECT_ORACLE = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+
+
+@register("custkeys_retained", _INTERSECT_ORACLE, tags=("tpch",))
+def custkeys_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (INTERSECT): customers ordering in both 1995
+    and 1996."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def keys(y0: str, y1: str) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+        ).select("o_custkey")
+
+    return keys("1995-01-01", "1996-01-01").intersect(
+        keys("1996-01-01", "1997-01-01")
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("lineitem_cube", _CUBE_ORACLE, tags=("tpch",))
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-sets cube over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_d("l_extendedprice")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 _WORDCOUNT_ORACLE = """
 SELECT t AS token, COUNT(*) AS cnt
 FROM (
