@@ -1,0 +1,56 @@
+"""F5 streamed (WindowAllTimeKeyedPoC.java:133-146): tumbling windows
+with the label-concat+sum UDAF, streaming output equal to the batch
+result and to the reference trace ("a-b",3),("a-c",7),("b-c",12),
+("a-c",17) — order pinned by (ts, seq) where the reference tolerates
+in-window reorder."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.windows import ordered_label_concat
+from flink_state_eviction_spark.sources.fixtures import (
+    as_file_stream,
+    elements_with_gaps,
+    gap,
+)
+from flink_state_eviction_spark.streaming.testing import (
+    assert_same_rows,
+    run_available_now,
+)
+
+# F5: pairs with 500ms gaps between element pairs
+F5 = [
+    ("a", 1), ("b", 2), gap(500),
+    ("a", 3), ("c", 4), gap(500),
+    ("b", 5), ("c", 7), gap(500),
+    ("a", 8), ("c", 9),
+]
+
+
+def _agg(df):
+    return (
+        df.groupBy(F.window("ts", "500 milliseconds").alias("w"))
+        .agg(
+            ordered_label_concat(["ts", "seq"], "key").alias("label"),
+            F.sum("value").alias("total"),
+        )
+        .select(F.unix_millis("w.start").alias("w_start"), "label", "total")
+    )
+
+
+def test_f5_label_window_stream_equals_batch_and_trace(spark, tmp_path):
+    df = elements_with_gaps(spark, F5)
+    batch = _agg(df)
+    assert {(r["label"], r["total"]) for r in batch.collect()} == {
+        ("a-b", 3), ("a-c", 7), ("b-c", 12), ("a-c", 17),
+    }
+
+    df_s = elements_with_gaps(spark, F5 + [gap(3_600_000), ("zz", 99)])
+    sdf = as_file_stream(df_s, str(tmp_path / "in"), 3)
+    res = run_available_now(
+        _agg(sdf.withWatermark("ts", "1 second")),
+        str(tmp_path / "ck"),
+        output_mode="append",
+    ).where(F.col("label") != "zz")
+    assert_same_rows(res, batch)
