@@ -77,9 +77,18 @@ def count_window_stream(
             buf_labels = list(buf_labels)
         else:
             next_w, buf_vals, buf_labels = 0, [], []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
+        # Concatenate ALL Arrow chunks for the key before sorting: a key
+        # whose micro-batch exceeds arrow.maxRecordsPerBatch arrives as
+        # multiple chunks that are not globally ts-ordered, and windows
+        # must fill in global ts order (same multi-chunk hazard as
+        # streaming/map_with_state.py).
+        frames = [p for p in pdf_iter if len(p) > 0]
+        if frames:
+            pdf = (
+                pd.concat(frames, ignore_index=True)
+                if len(frames) > 1
+                else frames[0]
+            )
             pdf = pdf.sort_values(ts_col, kind="stable")
             buf_vals.extend(float(v) for v in pdf[value_col])
             if use_label:

@@ -81,9 +81,21 @@ def map_with_state(
                 state.remove()  # eviction (MapWithState.java:360-367)
             return
         st: "tuple[Any, ...] | None" = tuple(state.get) if state.exists else None
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
+        # A key whose micro-batch data exceeds
+        # spark.sql.execution.arrow.maxRecordsPerBatch arrives as MULTIPLE
+        # Arrow chunks, and the chunks are not globally ts-ordered.  The
+        # idle-gap eviction below carries `last` across rows, so the whole
+        # key-batch must be concatenated and sorted ONCE — per-chunk sorting
+        # would silently mis-evict exactly at large-key scale.  Per-key
+        # per-micro-batch data must therefore fit in worker memory, which
+        # the TTL segmentation semantics already require.
+        frames = [p for p in pdf_iter if len(p) > 0]
+        if frames:
+            pdf = (
+                pd.concat(frames, ignore_index=True)
+                if len(frames) > 1
+                else frames[0]
+            )
             if time_mode == "event":
                 pdf = pdf.sort_values(ts_col, kind="stable").reset_index(drop=True)
                 ts_ms = (

@@ -1,0 +1,107 @@
+"""Multi-chunk Arrow correctness: a key whose micro-batch exceeds
+``spark.sql.execution.arrow.maxRecordsPerBatch`` reaches the
+``applyInPandasWithState`` handler as SEVERAL pandas chunks that are not
+globally ts-ordered.  The TTL idle-gap eviction and the count-window
+fill both carry order-sensitive state across rows, so the handler must
+concatenate + sort the whole key-batch once (streaming/map_with_state.py,
+streaming/count_window.py) — these tests pin that by shrinking the Arrow
+batch size far below the per-key row count and feeding rows in
+descending-ts file order, then asserting streaming ≡ batch oracle.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from flink_state_eviction_spark.operators.map_with_state import (
+    running_sum_with_ttl,
+)
+from flink_state_eviction_spark.sources.fixtures import FIXTURE_EPOCH
+from flink_state_eviction_spark.streaming.count_window import (
+    count_window_stream,
+)
+from flink_state_eviction_spark.streaming.map_with_state import (
+    running_sum_stream,
+)
+from flink_state_eviction_spark.streaming.testing import run_available_now
+
+TTL_MS = 1100
+
+
+def _ts(ms: int) -> datetime.datetime:
+    return FIXTURE_EPOCH + datetime.timedelta(milliseconds=ms)
+
+
+def _fixture_df(spark):
+    """One hot key, 40 rows, a TTL-exceeding idle gap in the middle —
+    written to the stream file in DESCENDING ts order so that Arrow
+    chunks are individually sortable but globally unsorted."""
+    ts_offsets = [i * 100 for i in range(20)] + [
+        5000 + i * 100 for i in range(20)
+    ]
+    rows = [
+        ("a", i + 1, _ts(off), seq)
+        for seq, (i, off) in enumerate(
+            (i, off) for i, off in reversed(list(enumerate(ts_offsets)))
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "key string, value int, ts timestamp, seq long"
+    )
+
+
+@pytest.fixture()
+def tiny_arrow_batches(spark):
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "7")
+    yield
+    spark.conf.set(conf, prev)
+
+
+def test_mws_multichunk_equals_batch(spark, tmp_path, tiny_arrow_batches):
+    from flink_state_eviction_spark.sources.fixtures import as_file_stream
+
+    df = _fixture_df(spark)
+    # single micro-batch holding all 40 rows -> ceil(40/7) = 6 chunks
+    sdf = as_file_stream(df, str(tmp_path / "in"), 1)
+    out = running_sum_stream(sdf, "key", "value", TTL_MS, time_mode="event")
+    res = run_available_now(out, str(tmp_path / "ck"), output_mode="update")
+    got = {(r["key"], r["ts"], r["running_sum"]) for r in res.collect()}
+
+    batch = running_sum_with_ttl(
+        df, ["key"], "ts", "value", TTL_MS, order_cols=["ts"]
+    )
+    want = {(r["key"], r["ts"], r["running_sum"]) for r in batch.collect()}
+    assert got == want
+    # sanity: the idle gap really evicts (second block restarts the sum)
+    by_ts = {ts: s for (_, ts, s) in got}
+    assert by_ts[_ts(5000)] != by_ts[_ts(1900)] + 21.0
+
+
+def test_count_window_multichunk_fills_in_ts_order(
+    spark, tmp_path, tiny_arrow_batches
+):
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.sources.fixtures import as_file_stream
+
+    df = _fixture_df(spark).withColumn("lbl", F.col("value").cast("string"))
+    sdf = as_file_stream(df, str(tmp_path / "in"), 1)
+    out = count_window_stream(
+        sdf, "key", "value", size=5, ts_col="ts", label_col="lbl"
+    )
+    res = run_available_now(out, str(tmp_path / "ck"))
+    got = {(r["w_id"], r["total"], r["label"]) for r in res.collect()}
+    # global ts order is value order 1..40 -> windows of 5 in sequence
+    want = {
+        (
+            w,
+            float(sum(range(5 * w + 1, 5 * w + 6))),
+            "-".join(str(v) for v in range(5 * w + 1, 5 * w + 6)),
+        )
+        for w in range(8)
+    }
+    assert got == want
