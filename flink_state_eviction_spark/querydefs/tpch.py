@@ -94,9 +94,20 @@ GROUP BY 1, 2
 
 @register("revenue_by_nation", _REVENUE_ORACLE, headline=True, tags=("tpch",))
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: fact table streams, every dimension side broadcast —
-    the fact table is never shuffled for the joins (only for the final
-    small groupBy). Check: .explain shows BroadcastHashJoin chain."""
+    """Star join, dims-only broadcast.
+
+    Only the FIXED-cardinality dimensions (nation: 25 rows, region: 5)
+    are force-broadcast — they stay tiny at any scale factor.  orders
+    and customer grow linearly with SF (~1.5M and ~150k rows per SF):
+    at the 100 TB design point broadcasting them is a driver/executor
+    OOM, so those joins are left to Catalyst/AQE, which size-picks
+    broadcast when the side is genuinely under
+    ``autoBroadcastJoinThreshold`` (true at small SF) and a shuffled
+    hash / sort-merge join on the join key when it is not.  The
+    orderdate filter is pushed to the orders scan either way.
+    Plan gates: tests/test_plan_quality.py::test_star_join_dims_broadcast
+    (dims broadcast, no nested-loop/cartesian, and with auto-broadcast
+    disabled the fact-fact joins become shuffle joins)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -107,11 +118,11 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     joined = (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             li.l_orderkey == orders.o_orderkey,
         )
         .join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            cust.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(

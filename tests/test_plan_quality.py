@@ -28,11 +28,31 @@ def test_project_filter_pushdown(spark, sf_dir):
     assert scan_lines and all("l_comment" not in l for l in scan_lines)
 
 
-def test_star_join_is_all_broadcast(spark, sf_dir):
+def test_star_join_dims_broadcast(spark, sf_dir):
+    # Scale contract: fixed-cardinality dims (nation, region) broadcast;
+    # SF-proportional sides (orders, customer) are NOT force-broadcast —
+    # Catalyst size-picks their strategy. No nested-loop/cartesian ever.
     df = _q("revenue_by_nation", spark, sf_dir)
-    assert_broadcast_join(df, n_joins=4)
+    assert_broadcast_join(df, n_joins=2)
     plan = physical_plan(df)
-    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    # With auto-broadcast disabled (what stats report at 100 TB), the
+    # fact-fact joins must degrade to shuffle joins on the key while the
+    # explicit dim broadcasts survive.
+    conf = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "-1")
+        df_big = _q("revenue_by_nation", spark, sf_dir)
+        big_plan = physical_plan(df_big, "simple")
+        assert ("SortMergeJoin" in big_plan) or (
+            "ShuffledHashJoin" in big_plan
+        ), big_plan
+        assert big_plan.count("BroadcastHashJoin") == 2, big_plan
+    finally:
+        spark.conf.set(conf, prev)
 
 
 def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
