@@ -47,6 +47,54 @@ def _with_vec_and_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _local_truncate_topk(sim: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Phase 1 of two-phase top-k: within each input partition keep at
+    most k rows per ``query_id`` (ordered sim desc, id asc — the same
+    total order as the final rank, so every global top-k row survives).
+
+    This is the step that makes per-query top-k scale: without it the
+    final ``row_number`` window sends corpus×|Q| rows to |Q| tasks, each
+    sorting the whole corpus. With it, the window input is at most
+    partitions×|Q|×k narrow rows.  Shuffle-free: ``mapInPandas`` runs
+    per input partition (Arrow-vectorized; pandas sort + grouped head),
+    folding chunk-by-chunk so worker memory stays O(|Q|×k + chunk).
+    """
+    narrow = sim.select("query_id", id_col, "sim")
+    schema = narrow.schema
+
+    def trunc(pdf_iter):
+        import pandas as pd
+
+        best = None
+        for pdf in pdf_iter:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            cur = cur.sort_values(
+                ["query_id", "sim", id_col],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    return narrow.mapInPandas(trunc, schema)
+
+
+def _rank_topk(truncated: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Phase 2: exact per-query rank over the pre-truncated candidates."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        truncated.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "rank",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -58,8 +106,10 @@ def cosine_topk(
     corpus rows (self-matches excluded). Output:
     (query_id, neighbor_id, rank, sim).
 
-    The query side is broadcast — corpus never shuffles for the join;
-    the only exchange is the per-query top-k ranking.
+    The query side is broadcast — corpus never shuffles for the join —
+    and the ranking is two-phase (shuffle-free local truncation to k per
+    query per partition, then the exact per-query rank over ≤ P×|Q|×k
+    rows), so no task ever sorts the whole similarity stream.
     """
     c = _with_vec_and_norm(corpus, id_col, vec_col)
     q = _with_vec_and_norm(queries, id_col, vec_col).select(
@@ -73,17 +123,7 @@ def cosine_topk(
             "sim", cosine(F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_n"))
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            "rank",
-            F.round("sim", 6).alias("sim"),
-        )
-    )
+    return _rank_topk(_local_truncate_topk(sim, id_col, k), id_col, k)
 
 
 def ivf_cosine_topk(
@@ -150,14 +190,4 @@ def ivf_cosine_topk(
             "sim", cosine(F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_n"))
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col(id_col))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            "rank",
-            F.round("sim", 6).alias("sim"),
-        )
-    )
+    return _rank_topk(_local_truncate_topk(sim, id_col, k), id_col, k)

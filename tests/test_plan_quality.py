@@ -55,6 +55,18 @@ def test_star_join_dims_broadcast(spark, sf_dir):
         spark.conf.set(conf, prev)
 
 
+def test_similarity_topk_is_two_phase(spark, sf_dir):
+    # Phase 1 (shuffle-free MapInPandas truncation to k per query per
+    # partition) must sit BELOW the per-query rank window, so the window
+    # exchange carries at most P x |Q| x k rows, never corpus x |Q|.
+    for name in ("similarity_topk", "similarity_ivf_topk"):
+        df = _q(name, spark, sf_dir)
+        plan = physical_plan(df, "simple")
+        assert "MapInPandas" in plan, plan
+        # tree order: Window (top) ... MapInPandas (below it)
+        assert plan.index("Window") < plan.rindex("MapInPandas"), plan
+
+
 def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
     df = _q("topk_orders", spark, sf_dir)
     assert_in_plan(df, "TakeOrderedAndProject")
