@@ -48,11 +48,20 @@ def as_of_join(
                 f"right_order_cols entry {c!r} must be included in right_cols"
             )
     lcols = [c for c in left.columns]
+    rtypes = dict(right.dtypes)
+    # The whole right payload travels as ONE struct and is carried
+    # forward with ONE last(ignorenulls): a matched right row's fields
+    # stay together, so a genuinely-NULL field in that row remains NULL
+    # instead of being back-filled from an older right row (which would
+    # emit a row mixing attributes of different right rows).
+    pay_type = (
+        "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
+    )
     tagged_r = right.select(
         *key_cols,
         ts_col,
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rpay"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
           for c in lcols if c not in key_cols and c != ts_col],
     )
@@ -60,8 +69,7 @@ def as_of_join(
         *key_cols,
         ts_col,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}")
-          for c in right_cols],
+        F.lit(None).cast(pay_type).alias("_rpay"),
         *[F.col(c) for c in lcols if c not in key_cols and c != ts_col],
     )
     unioned = tagged_r.unionByName(tagged_l)
@@ -70,14 +78,13 @@ def as_of_join(
         .orderBy(
             ts_col,
             "_side",
-            *[F.col(f"{c}{suffix}") for c in right_order_cols],
+            *[F.col("_rpay").getField(c) for c in right_order_cols],
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = unioned
+    out = unioned.withColumn(
+        "_rpay", F.last(F.col("_rpay"), ignorenulls=True).over(w)
+    )
     for c in right_cols:
-        out = out.withColumn(
-            f"{c}{suffix}",
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w),
-        )
-    return out.where(F.col("_side") == 1).drop("_side")
+        out = out.withColumn(f"{c}{suffix}", F.col("_rpay").getField(c))
+    return out.where(F.col("_side") == 1).drop("_side", "_rpay")

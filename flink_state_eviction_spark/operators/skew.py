@@ -37,16 +37,20 @@ def salted_agg(
     ``partial_aggs``: name -> aggregate over raw rows (phase 1).
     ``final_aggs``: name -> aggregate over the phase-1 columns (phase 2);
     reference phase-1 outputs by name.
-    ``salt_source``: deterministic column to derive the salt from
-    (default: a uniform random salt; pass e.g. an id column for
-    reproducible plans/tests).
+    ``salt_source``: column to derive the salt from (e.g. an id column).
+    Default: hash of ALL input columns — deterministic, so task retries
+    and speculative execution recompute the same (key, salt) assignment.
+    A random salt here would be the classic nondeterministic-grouping
+    trap: a retried task re-salts rows differently from the partials
+    already aggregated, silently double-counting or dropping rows.
     """
     if n_salts <= 0:
         raise ValueError("n_salts must be positive")
-    salt = (
-        F.pmod(F.hash(salt_source), F.lit(n_salts))
+    salt = F.pmod(
+        F.hash(salt_source)
         if salt_source is not None
-        else (F.rand() * n_salts).cast("int")
+        else F.hash(*[F.col(c) for c in df.columns]),
+        F.lit(n_salts),
     )
     partial = (
         df.withColumn("_salt", salt)

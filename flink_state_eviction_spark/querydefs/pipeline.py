@@ -226,9 +226,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-bucket pattern as minhash LSH — never O(n^2)."""
     docs = load_table(spark, sf_dir, "documents")
     sim_udf = simhash60_udf()
-    fp = docs.select(
-        "doc_id", sim_udf(tokens(F.col("text"))).alias("simhash")
-    ).localCheckpoint(eager=False)
+    # Token-free documents (empty/punctuation-only text) must not be
+    # fingerprinted: simhash60 of zero tokens is 0, so two such docs
+    # would band-match (bval 0, hamming 0) while the oracle's fp CTE
+    # drops them (unnest of an empty token list yields no rows).
+    # `rlike '[a-z0-9]'` on the lowered text is exactly
+    # size(tokens(text)) > 0 (TOKEN_SPLIT_RE = [^a-z0-9]+) without
+    # filtering on an interpreted-HOF column (no CSE; see CLAUDE.md).
+    fp = (
+        docs.where(F.lower(F.col("text")).rlike("[a-z0-9]"))
+        .select("doc_id", sim_udf(tokens(F.col("text"))).alias("simhash"))
+        .localCheckpoint(eager=False)
+    )
     bands = fp.select(
         "doc_id",
         "simhash",

@@ -354,7 +354,9 @@ _ASOF_ORACLE = """
 SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
        c.event_id AS click_id, epoch_ms(c.ts) AS click_ts_ms
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS event_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY 1, 2) c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
@@ -366,15 +368,23 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase enriched with the user's most recent
     click at or before it (union-LOCF formulation — one shuffle + one
     sort, never a pairwise range explosion). Oracle: DuckDB's native
-    ASOF LEFT JOIN."""
+    ASOF LEFT JOIN.
+
+    Tie-break is made EXPLICIT on both sides: clicks are pre-reduced to
+    one row per (user_id, ts) keeping the max event_id, because DuckDB's
+    ASOF JOIN gives no ordering guarantee when several right rows share
+    the boundary timestamp — without the pre-reduce the parity would be
+    nondeterministic on such data."""
     from flink_state_eviction_spark.operators.asof import as_of_join
 
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
     )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
     )
     out = as_of_join(
         purchases,
@@ -382,7 +392,6 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["user_id"],
         ts_col="ts",
         right_cols=["event_id", "ts"],
-        right_order_cols=["event_id"],
     )
     return out.select(
         "event_id",

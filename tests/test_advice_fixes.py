@@ -1,0 +1,85 @@
+"""Regression tests for parity/robustness edge cases:
+
+- as_of_join must not mix attributes of different right rows when the
+  matched right row has NULL payload fields (struct LOCF);
+- dedup_simhash must not pair token-free documents (simhash(∅)=0 would
+  band-match every empty doc with every other);
+- salted_agg's DEFAULT salt must be deterministic (retry/speculation
+  safe) — no rand() anywhere in the plan.
+"""
+
+from __future__ import annotations
+
+from conftest import ts_ms
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.asof import as_of_join
+from flink_state_eviction_spark.operators.skew import salted_sum_count
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_asof_null_payload_fields_stay_null(spark):
+    left = spark.createDataFrame(
+        [("k", ts_ms(30), 1)], "key string, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [("k", ts_ms(10), 1, "x"), ("k", ts_ms(20), None, "y")],
+        "key string, ts timestamp, a int, b string",
+    )
+    [row] = as_of_join(
+        left, right, ["key"], "ts", right_cols=["a", "b"]
+    ).collect()
+    # matched right row is ts=20 (a NULL, b 'y'): a must stay NULL, not
+    # be back-filled from the older ts=10 row
+    assert row["b_asof"] == "y"
+    assert row["a_asof"] is None
+
+
+def test_asof_no_prior_right_row_all_null(spark):
+    left = spark.createDataFrame(
+        [("k", ts_ms(5), 1)], "key string, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [("k", ts_ms(10), 7, "x")], "key string, ts timestamp, a int, b string"
+    )
+    [row] = as_of_join(
+        left, right, ["key"], "ts", right_cols=["a", "b"]
+    ).collect()
+    assert row["a_asof"] is None and row["b_asof"] is None
+
+
+def test_simhash_skips_token_free_docs(spark, tmp_path):
+    from flink_state_eviction_spark.queries import queries
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "t", 0),
+            (2, "?!... --- !!!", "en", "t", 13),
+            (3, "the quick brown fox jumps over the lazy dog", "en", "t", 43),
+            (4, "the quick brown fox jumps over the lazy dog", "en", "t", 43),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = queries()["dedup_simhash"](spark, str(tmp_path)).collect()
+    # empty docs 1,2 must NOT pair (oracle's fp CTE drops them); the two
+    # identical real docs must
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(3, 4)}
+
+
+def test_salted_default_salt_deterministic(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    salted = salted_sum_count(ev, ["user_id"], "value", n_salts=8)
+    # retry-safety: the salt expression must be deterministic
+    analyzed = salted._jdf.queryExecution().analyzed().toString()
+    assert "rand(" not in analyzed, analyzed
+    dec = F.col("value").cast("decimal(18,2)")
+    plain = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec).cast("double").alias("sum_value"),
+    )
+    a = {r["user_id"]: (r["n_rows"], r["sum_value"]) for r in salted.collect()}
+    b = {r["user_id"]: (r["n_rows"], r["sum_value"]) for r in plain.collect()}
+    assert a == b
