@@ -1,0 +1,136 @@
+"""Pure-Python media codecs: BMP (24-bit BI_RGB) and WAV (PCM16 mono).
+
+This makes the multimodal decode path REAL without any external
+libraries (extension beyond the reference, which has no media surface):
+the bytes on the wire are genuine, spec-conformant BMP/WAV containers —
+BMP rows are stored bottom-up in BGR order with 4-byte row padding,
+WAV is a RIFF file with fmt/data chunks — and the decoders parse the
+headers field-by-field rather than trusting any sidecar metadata.
+
+Codecs operate on one payload at a time; the distributed side
+(``operators/multimodal.py``) calls them per row inside Arrow-batched
+``mapInPandas``, so a 100 TB media table decodes scan-parallel with no
+shuffle. Golden-byte fixtures in tests/test_multimodal_codecs.py pin
+the exact container layout.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP — 24 bpp, uncompressed (BI_RGB), BITMAPINFOHEADER
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (row 0 = top) as a 24-bit
+    uncompressed BMP: rows bottom-up, channels BGR, rows padded to 4
+    bytes."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3)")
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    data_size = stride * h
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up + RGB -> BGR
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Parse a 24-bit uncompressed BMP; returns (h, w, 3) uint8 RGB,
+    row 0 = top. Header fields are validated, not trusted blindly."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (hdr={hdr_size} planes={planes} "
+            f"bpp={bpp} comp={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if data_off + stride * h > len(buf):
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return (px[::-1] if bottom_up else px).copy()
+
+
+def resize_nearest(pixels: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resize with the floor mapping
+    src = (dst * src_dim) // dst_dim — the convention the SQL oracle
+    reproduces."""
+    h, w, _ = pixels.shape
+    sx = (np.arange(tw) * w) // tw
+    sy = (np.arange(th) * h) // th
+    return pixels[sy][:, sx]
+
+
+# ---------------------------------------------------------------------------
+# WAV — RIFF container, PCM 16-bit mono
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 mono samples as a PCM WAV file."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
+    """Parse a PCM16 mono WAV; returns (sample_rate, int16 samples).
+    Walks the RIFF chunk list (fmt may not be adjacent to data)."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from(
+                "<HHI", body, 0
+            )
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt} ch={channels} "
+                    f"bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return sample_rate, np.frombuffer(data, dtype="<i2")
+
+
+def sniff_container(buf: bytes) -> str:
+    """Identify the container from magic bytes: 'bmp' | 'wav'."""
+    if len(buf) >= 2 and buf[:2] == b"BM":
+        return "bmp"
+    if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        return "wav"
+    raise ValueError("unrecognized media container")

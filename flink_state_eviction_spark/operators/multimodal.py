@@ -9,12 +9,15 @@ struct alongside:
                        sample_rate int>
 
 The Spark-side plumbing (schemas, Arrow batch shape, partition-parallel
-``mapInPandas``) is real and tested; the actual codec step is STUBBED:
-this container has no image/audio libraries, so ``decode_media``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (byte-length / md5-derived features) stands
-in. Swapping the fake for PIL/torchaudio/ffmpeg later changes only the
-body of ``_decode_batch`` — the distributed plumbing is unchanged.
+``mapInPandas``) is real and tested, and so is the codec for two
+containers: ``decode_media``/``resize_media`` with the default
+``fake=False`` parse and re-encode genuine BMP (24-bit BI_RGB) and WAV
+(PCM16 mono) payloads via the pure-Python codecs in
+functions/codecs.py — no external image/audio libraries needed.
+``fake=True`` keeps a deterministic byte-derived stand-in for payloads
+that are not real containers (e.g. text bytes posing as media in the
+fixture lake); swapping in PIL/ffmpeg for more formats changes only the
+per-row codec call, not the distributed plumbing.
 
 Scale: mapInPandas streams Arrow batches per partition — no shuffle; a
 100 TB media table decodes scan-parallel. Keep batches bounded via
@@ -39,6 +42,80 @@ FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, content_md5 string, "
     "fake_width int, fake_height int, n_frames_sampled int"
 )
+
+# Real-decode output: one unified row shape for both containers
+# (width/height for images, sample_rate for audio; NULL otherwise).
+# wsum_values is position-weighted (sum of (i+1)*value over the decoded
+# value stream) so channel-order / row-order decoder bugs cannot hide
+# in the permutation-invariant plain sum.
+REAL_FEATURE_SCHEMA = (
+    "doc_id bigint, container string, width int, height int, "
+    "sample_rate int, n_values bigint, sum_values bigint, "
+    "wsum_values bigint, mean_value double"
+)
+
+
+def _h48(text: str) -> int:
+    """48-bit md5 prefix of the utf-8 text — reproducible in Spark
+    (conv(substring(md5(x),1,6),16,10)) and DuckDB
+    (CAST('0x'||substring(md5(x),1,6) AS BIGINT))."""
+    return int(hashlib.md5(text.encode("utf-8")).hexdigest()[:6], 16)
+
+
+def bmp_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL BMP payloads from the documents table: each
+    doc gets a (h48%10+1) x (h48%12+1) 24-bit image whose top-down
+    row-major RGB byte j equals (doc_id%256 + j) % 256 — a formula a
+    SQL oracle can integrate in closed form, while the bytes on the
+    wire are a genuine padded bottom-up BGR BMP container.
+    Output: (doc_id, media binary)."""
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import encode_bmp
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            medias = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _h48(text)
+                w, ht, d = h % 12 + 1, h % 10 + 1, int(doc_id) % 256
+                j = np.arange(w * ht * 3, dtype=np.int64)
+                px = ((d + j) % 256).astype(np.uint8).reshape(ht, w, 3)
+                medias.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, media binary"
+    )
+
+
+def wav_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PCM16 WAV payloads: n = h48%300+10 samples at
+    8000+(doc_id%256%5)*1000 Hz, sample i = ((d*31 + i*7) % 2048) - 1024.
+    Output: (doc_id, media binary)."""
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            medias = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _h48(text)
+                d = int(doc_id) % 256
+                n = h % 300 + 10
+                i = np.arange(n, dtype=np.int64)
+                s = (((d * 31 + i * 7) % 2048) - 1024).astype(np.int16)
+                medias.append(encode_wav(s, 8000 + (d % 5) * 1000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, media binary"
+    )
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -81,12 +158,15 @@ def resize_media(
     target_height: int,
     fake: bool = False,
 ) -> DataFrame:
-    """Resize step of the media pipeline. Real resizing needs an image
-    library (absent here — ``fake=True`` runs the deterministic
-    stand-in, which passes the payload through and records the scale
-    factors the real codec would apply). Plumbing (binary in/out,
-    metadata rewrite, mapInPandas batching) is the real distributed
-    path either way.
+    """Resize step of the media pipeline.
+
+    ``fake=False`` (default) REALLY resizes: each payload is parsed as
+    a BMP (functions/codecs.py), nearest-neighbor resampled with the
+    floor mapping src = (dst*src_dim)//dst_dim, and re-encoded as a
+    BMP — binary in, binary out, scale factors computed from the
+    PARSED dimensions, not metadata. ``fake=True`` keeps the
+    metadata-only stand-in for non-container payloads. Plumbing
+    (mapInPandas Arrow batching, schema) is identical either way.
 
     Output schema: same convention as the input media table with
     ``media_meta.width/height`` rewritten, plus scale_x/scale_y.
@@ -94,9 +174,44 @@ def resize_media(
     if target_width <= 0 or target_height <= 0:
         raise ValueError("target dimensions must be positive")
     if not fake:
-        raise NotImplementedError(
-            "real image resizing needs an image library; pass fake=True "
-            "for the deterministic stand-in"
+        from flink_state_eviction_spark.functions.codecs import (
+            decode_bmp,
+            encode_bmp,
+            resize_nearest,
+        )
+
+        real_schema = (
+            "doc_id bigint, media binary, scale_x double, scale_y double"
+        )
+
+        def real_op(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                medias, sxs, sys_ = [], [], []
+                for media in pdf["media"]:
+                    px = decode_bmp(bytes(media))
+                    h, w, _ = px.shape
+                    medias.append(
+                        encode_bmp(
+                            resize_nearest(px, target_width, target_height)
+                        )
+                    )
+                    sxs.append(target_width / w)
+                    sys_.append(target_height / h)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "media": medias,
+                        "scale_x": sxs,
+                        "scale_y": sys_,
+                    }
+                )
+
+        return media_df.select("doc_id", "media").mapInPandas(
+            real_op, real_schema
         )
 
     out_schema = (
@@ -157,20 +272,63 @@ def decode_media(
 ) -> DataFrame:
     """Decode/feature-extract media via partition-parallel mapInPandas.
 
-    ``fake=False`` requires real codec libraries (not present in this
-    environment) and raises ``NotImplementedError``; ``fake=True`` runs
-    the deterministic byte-derived stand-in so the full distributed
-    pipeline (Arrow batching, schema, partitioning) is exercised.
+    ``fake=False`` (the default) runs the REAL pure-Python codecs
+    (functions/codecs.py): the container is sniffed from magic bytes
+    and the BMP/WAV headers + payload are actually parsed — no sidecar
+    metadata is trusted. Output: ``REAL_FEATURE_SCHEMA``.
+
+    ``fake=True`` keeps the byte-derived stand-in (``FEATURE_SCHEMA``)
+    for media tables whose payloads are not real containers.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real media decoding needs image/audio libraries; "
-            "pass fake=True for the deterministic stand-in"
-        )
+    if fake:
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf):
+                    yield _decode_batch_fake(pdf, frame_stride)
+
+        return media_df.mapInPandas(op, FEATURE_SCHEMA)
+
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import (
+        decode_bmp,
+        decode_wav,
+        sniff_container,
+    )
+
+    def real_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf):
-                yield _decode_batch_fake(pdf, frame_stride)
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                buf = bytes(media)
+                kind = sniff_container(buf)
+                if kind == "bmp":
+                    px = decode_bmp(buf)
+                    vals = px.reshape(-1).astype(np.int64)
+                    width, height, sr = px.shape[1], px.shape[0], None
+                else:
+                    sr, samples = decode_wav(buf)
+                    vals = samples.astype(np.int64)
+                    width = height = None
+                n = int(vals.size)
+                total = int(vals.sum())
+                wsum = int(((np.arange(n, dtype=np.int64) + 1) * vals).sum())
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "container": kind,
+                        "width": width,
+                        "height": height,
+                        "sample_rate": sr,
+                        "n_values": n,
+                        "sum_values": total,
+                        "wsum_values": wsum,
+                        "mean_value": round(total / n, 6),
+                    }
+                )
+            yield pd.DataFrame(rows)
 
-    return media_df.mapInPandas(op, FEATURE_SCHEMA)
+    return media_df.mapInPandas(real_op, REAL_FEATURE_SCHEMA)

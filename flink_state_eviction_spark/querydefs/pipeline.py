@@ -558,6 +558,173 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL multimodal codecs: genuine BMP/WAV containers generated from a
+# closed-form byte formula, decoded by parsing the actual container
+# headers + payload (functions/codecs.py — no sidecar metadata), with
+# the DuckDB oracle integrating the same formula symbolically. The
+# position-weighted wsum_values makes the checks order-sensitive, so
+# BGR/bottom-up/padding decoder bugs cannot cancel out.
+
+_BMP_DECODE_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, CAST(h % 12 + 1 AS INT) AS width,
+           CAST(h % 10 + 1 AS INT) AS height, d
+    FROM m
+),
+px AS (
+    SELECT doc_id, width, height, d,
+           unnest(generate_series(0, width * height * 3 - 1)) AS j
+    FROM dims
+)
+SELECT doc_id, width, height,
+       CAST(width * height * 3 AS BIGINT) AS n_values,
+       CAST(SUM((d + j) % 256) AS BIGINT) AS sum_values,
+       CAST(SUM((j + 1) * ((d + j) % 256)) AS BIGINT) AS wsum_values,
+       round(CAST(SUM((d + j) % 256) AS DOUBLE)
+             / (width * height * 3), 6) AS mean_value
+FROM px GROUP BY 1, 2, 3, d
+"""
+
+
+@register(
+    "multimodal_decode_bmp", _BMP_DECODE_ORACLE, tags=("pipeline", "multimodal")
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode: spec-conformant 24-bit BMP payloads (bottom-up
+    BGR padded rows) are generated per document, then parsed back by the
+    pure-Python decoder; the oracle integrates the pixel formula
+    directly. Scan-parallel mapInPandas both ways — no shuffle."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_media_from_documents,
+        decode_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_media(bmp_media_from_documents(docs))
+    return out.select(
+        "doc_id", "width", "height", "n_values", "sum_values",
+        "wsum_values", "mean_value",
+    )
+
+
+_WAV_DECODE_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, CAST(8000 + (d % 5) * 1000 AS INT) AS sample_rate,
+           h % 300 + 10 AS n, d
+    FROM m
+),
+sm AS (
+    SELECT doc_id, sample_rate, n, d,
+           unnest(generate_series(0, n - 1)) AS i
+    FROM dims
+)
+SELECT doc_id, sample_rate,
+       CAST(n AS BIGINT) AS n_values,
+       CAST(SUM(((d * 31 + i * 7) % 2048) - 1024) AS BIGINT) AS sum_values,
+       CAST(SUM((i + 1) * (((d * 31 + i * 7) % 2048) - 1024)) AS BIGINT)
+           AS wsum_values,
+       round(CAST(SUM(((d * 31 + i * 7) % 2048) - 1024) AS DOUBLE) / n, 6)
+           AS mean_value
+FROM sm GROUP BY doc_id, sample_rate, n, d
+"""
+
+
+@register(
+    "multimodal_decode_wav", _WAV_DECODE_ORACLE, tags=("pipeline", "multimodal")
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode: PCM16 mono RIFF payloads parsed chunk-by-chunk;
+    sample_rate read from the fmt chunk, samples from the data chunk."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        decode_media,
+        wav_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_media(wav_media_from_documents(docs))
+    return out.select(
+        "doc_id", "sample_rate", "n_values", "sum_values",
+        "wsum_values", "mean_value",
+    )
+
+
+# resize-then-decode: nearest-neighbor (floor mapping) to 5x3, so the
+# oracle maps each target byte back to its source byte symbolically.
+_RESIZE_TW, _RESIZE_TH = 5, 3
+
+_RESIZE_DECODE_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, CAST(h % 12 + 1 AS INT) AS sw,
+           CAST(h % 10 + 1 AS INT) AS sh, d
+    FROM m
+),
+tgt AS (
+    SELECT doc_id, sw, sh, d,
+           unnest(generate_series(0, 5 * 3 * 3 - 1)) AS j
+    FROM dims
+),
+mapped AS (
+    SELECT doc_id, sw, sh, d, j,
+           ((((j // 15) * sh) // 3) * sw + (((j // 3) % 5) * sw) // 5) * 3
+             + j % 3 AS jsrc
+    FROM tgt
+)
+SELECT doc_id,
+       CAST(5 AS INT) AS width, CAST(3 AS INT) AS height,
+       CAST(45 AS BIGINT) AS n_values,
+       CAST(SUM((d + jsrc) % 256) AS BIGINT) AS sum_values,
+       CAST(SUM((j + 1) * ((d + jsrc) % 256)) AS BIGINT) AS wsum_values,
+       round(CAST(SUM((d + jsrc) % 256) AS DOUBLE) / 45, 6) AS mean_value
+FROM mapped GROUP BY 1, d
+"""
+
+
+@register(
+    "multimodal_resize_decode",
+    _RESIZE_DECODE_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_resize_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize: BMP payloads are decoded, nearest-neighbor resampled
+    to 5x3, re-encoded as BMP, and decoded again — the oracle computes
+    the source-index mapping in closed form. Exercises decode → resize →
+    encode → decode end to end on real container bytes."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_media_from_documents,
+        decode_media,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_media(
+        bmp_media_from_documents(docs), _RESIZE_TW, _RESIZE_TH
+    )
+    out = decode_media(resized.select("doc_id", "media"))
+    return out.select(
+        "doc_id", "width", "height", "n_values", "sum_values",
+        "wsum_values", "mean_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF (rational idf variant (N+1)/(df+1) — no transcendentals, so
 # Spark and DuckDB agree bit-for-bit; swap in log() at deployment if
 # classic idf is wanted)

@@ -16,10 +16,85 @@ from flink_state_eviction_spark.operators.multimodal import (
 from flink_state_eviction_spark.tables import load_table
 
 
-def test_decode_requires_explicit_fake_optin(spark, sf_dir):
-    media = media_from_documents(load_table(spark, sf_dir, "documents"))
-    with pytest.raises(NotImplementedError):
-        decode_media(media)
+def test_real_decode_rejects_non_container_payloads(spark, sf_dir):
+    # media_from_documents wraps raw text bytes — NOT a real container;
+    # the real decoder must refuse it (magic-byte sniff), it is only
+    # consumable with the fake=True stand-in.
+    from pyspark.errors import PythonException
+
+    media = media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).limit(5)
+    with pytest.raises(PythonException, match="unrecognized media container"):
+        decode_media(media).collect()
+
+
+def test_real_bmp_decode_matches_local_recompute(spark, sf_dir):
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import decode_bmp
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = bmp_media_from_documents(docs)
+    feats = {r["doc_id"]: r for r in decode_media(media).collect()}
+    for r in media.collect():
+        px = decode_bmp(bytes(r["media"]))
+        f = feats[r["doc_id"]]
+        vals = px.reshape(-1).astype(np.int64)
+        assert (f["width"], f["height"]) == (px.shape[1], px.shape[0])
+        assert f["container"] == "bmp" and f["sample_rate"] is None
+        assert f["sum_values"] == int(vals.sum())
+        assert f["wsum_values"] == int(
+            ((np.arange(vals.size) + 1) * vals).sum()
+        )
+
+
+def test_real_wav_decode_matches_local_recompute(spark, sf_dir):
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import decode_wav
+    from flink_state_eviction_spark.operators.multimodal import (
+        wav_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = wav_media_from_documents(docs)
+    feats = {r["doc_id"]: r for r in decode_media(media).collect()}
+    for r in media.collect():
+        sr, s = decode_wav(bytes(r["media"]))
+        f = feats[r["doc_id"]]
+        assert f["container"] == "wav"
+        assert f["sample_rate"] == sr and f["width"] is None
+        assert f["n_values"] == s.size
+        assert f["sum_values"] == int(s.astype(np.int64).sum())
+
+
+def test_real_resize_resamples_pixels(spark, sf_dir):
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import (
+        decode_bmp,
+        resize_nearest,
+    )
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_media_from_documents,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = bmp_media_from_documents(docs)
+    originals = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    out = resize_media(media, 6, 4)
+    for r in out.collect():
+        src = decode_bmp(originals[r["doc_id"]])
+        got = decode_bmp(bytes(r["media"]))
+        assert got.shape == (4, 6, 3)
+        assert np.array_equal(got, resize_nearest(src, 6, 4))
+        assert abs(r["scale_x"] - 6 / src.shape[1]) < 1e-12
+        assert abs(r["scale_y"] - 4 / src.shape[0]) < 1e-12
 
 
 def test_fake_decode_pipeline_matches_local_recompute(spark, sf_dir):
@@ -71,8 +146,6 @@ def test_resize_stub_rewrites_metadata(spark, sf_dir):
         assert r["media_meta"]["height"] == 224
         assert r["media_meta"]["n_frames"] == m["n_frames"]
         assert abs(r["scale_x"] - 224 / m["width"]) < 1e-12
-    with pytest.raises(NotImplementedError):
-        resize_media(media, 224, 224)
     with pytest.raises(ValueError):
         resize_media(media, 0, 224, fake=True)
 

@@ -1,0 +1,139 @@
+"""Golden-byte + roundtrip tests for the pure-Python BMP/WAV codecs.
+
+The golden fixtures are hand-assembled from the container specs, so an
+encoder/decoder pair that is wrong in compensating ways (e.g. both
+ignore the bottom-up row order or the BGR channel order) cannot pass.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from flink_state_eviction_spark.functions.codecs import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    resize_nearest,
+    sniff_container,
+)
+
+GOLDEN_PX = np.array(
+    [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+    dtype=np.uint8,
+)
+
+# 2x2 24-bit BMP: 54-byte headers + 2 rows of stride 8 (6 px bytes + 2
+# pad). Rows bottom-up, channels BGR.
+GOLDEN_BMP = (
+    struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54)
+    + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 2835, 2835, 0, 0)
+    + bytes([255, 0, 0, 255, 255, 255, 0, 0])  # bottom row: blue, white
+    + bytes([0, 0, 255, 0, 255, 0, 0, 0])  # top row: red, green
+)
+
+# PCM16 mono WAV, 8 kHz, samples [0, 1000, -1000]
+GOLDEN_WAV = (
+    struct.pack("<4sI4s", b"RIFF", 42, b"WAVE")
+    + struct.pack("<4sI", b"fmt ", 16)
+    + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    + struct.pack("<4sI", b"data", 6)
+    + struct.pack("<3h", 0, 1000, -1000)
+)
+
+
+def test_bmp_encode_matches_golden_bytes():
+    assert encode_bmp(GOLDEN_PX) == GOLDEN_BMP
+
+
+def test_bmp_decode_golden():
+    assert np.array_equal(decode_bmp(GOLDEN_BMP), GOLDEN_PX)
+
+
+def test_bmp_decode_top_down_negative_height():
+    # same image stored top-down (negative height, rows NOT flipped)
+    buf = (
+        struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, 16, 2835, 2835, 0, 0
+        )
+        + bytes([0, 0, 255, 0, 255, 0, 0, 0])  # top row: red, green
+        + bytes([255, 0, 0, 255, 255, 255, 0, 0])  # bottom row
+    )
+    assert np.array_equal(decode_bmp(buf), GOLDEN_PX)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 3), (3, 2), (4, 4), (5, 7)])
+def test_bmp_roundtrip_all_padding_widths(w, h):
+    rng = np.random.default_rng(w * 100 + h)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_bmp_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_bmp(b"notabmp" * 20)
+    with pytest.raises(ValueError):
+        decode_bmp(GOLDEN_BMP[:40])  # truncated header
+    with pytest.raises(ValueError):
+        decode_bmp(GOLDEN_BMP[:-4])  # truncated pixel array
+
+
+def test_wav_encode_matches_golden_bytes():
+    assert encode_wav(np.array([0, 1000, -1000], dtype=np.int16), 8000) == (
+        GOLDEN_WAV
+    )
+
+
+def test_wav_decode_golden():
+    sr, s = decode_wav(GOLDEN_WAV)
+    assert sr == 8000
+    assert s.tolist() == [0, 1000, -1000]
+
+
+def test_wav_decode_skips_extra_chunks():
+    # LIST chunk between fmt and data; odd-sized chunk is word-padded
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"
+    buf = (
+        GOLDEN_WAV[:12]
+        + GOLDEN_WAV[12:36]  # fmt chunk
+        + extra
+        + GOLDEN_WAV[36:]  # data chunk
+    )
+    sr, s = decode_wav(buf)
+    assert sr == 8000 and s.tolist() == [0, 1000, -1000]
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(7)
+    s = rng.integers(-(2**15), 2**15, size=301, dtype=np.int16)
+    sr, out = decode_wav(encode_wav(s, 44100))
+    assert sr == 44100 and np.array_equal(out, s)
+
+
+def test_resize_nearest_floor_mapping():
+    # 4x2 -> 2x1: sx = (dst*4)//2 = [0, 2]; sy = (0*2)//1 = [0]
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    out = resize_nearest(px, 2, 1)
+    assert out.shape == (1, 2, 3)
+    assert np.array_equal(out[0, 0], px[0, 0])
+    assert np.array_equal(out[0, 1], px[0, 2])
+
+
+def test_resize_upscale():
+    px = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)  # 1x2
+    out = resize_nearest(px, 4, 2)
+    assert out.shape == (2, 4, 3)
+    # sx = [0, 0, 1, 1], sy = [0, 0]
+    assert np.array_equal(out[1, 1], px[0, 0])
+    assert np.array_equal(out[0, 3], px[0, 1])
+
+
+def test_sniff_container():
+    assert sniff_container(GOLDEN_BMP) == "bmp"
+    assert sniff_container(GOLDEN_WAV) == "wav"
+    with pytest.raises(ValueError):
+        sniff_container(b"\x00\x01\x02")
