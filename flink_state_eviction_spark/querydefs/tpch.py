@@ -506,3 +506,66 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery, decorrelated (TPC-H Q17 pattern)
+
+_BELOW_AVG_ORACLE = """
+SELECT l.l_partkey AS partkey,
+       COUNT(*) AS n_below,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 *
+      (SELECT COUNT(*) FROM lineitem l2
+       WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY 1
+"""
+
+
+@register("parts_below_avg_qty", _BELOW_AVG_ORACLE, tags=("tpch",))
+def parts_below_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern: lineitems with quantity below 20% of their
+    part's average quantity, for one brand's parts.
+
+    The SQL a user writes is a CORRELATED scalar subquery (see the
+    oracle); executed naively that is one aggregate per outer row. The
+    Spark formulation decorrelates it explicitly: semi-restrict
+    lineitem to the brand's parts FIRST via a broadcast join (the
+    filtered part list is tiny), aggregate per-part sum/count over only
+    those rows (small output), and broadcast that aggregate back into
+    the row-level predicate — no per-row subquery, no fact-fact
+    shuffle; two pushed-down scans of lineitem instead.
+
+    The predicate multiplies through the average (qty * 5 * cnt < sum)
+    so both engines compare exact decimals — no double rounding at the
+    threshold boundary."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li_sel = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    ).drop("p_partkey")
+    per_part = li_sel.groupBy("l_partkey").agg(
+        F.sum(_d("l_quantity")).alias("_sq"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    return (
+        li_sel.join(F.broadcast(per_part), "l_partkey")
+        .where(_d("l_quantity") * 5 * F.col("_cnt") < F.col("_sq"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_below"),
+            F.sum(_d("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )

@@ -67,6 +67,18 @@ def test_similarity_topk_is_two_phase(spark, sf_dir):
         assert plan.index("Window") < plan.rindex("MapInPandas"), plan
 
 
+def test_decorrelated_subquery_broadcasts_agg_side(spark, sf_dir):
+    # Q17 pattern: the correlated scalar subquery must run as ONE
+    # grouped aggregation broadcast back into the predicate — never a
+    # per-row subquery (no nested-loop join), and the brand part-list
+    # restriction must be a broadcast too.
+    df = _q("parts_below_avg_qty", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
     df = _q("topk_orders", spark, sf_dir)
     assert_in_plan(df, "TakeOrderedAndProject")
