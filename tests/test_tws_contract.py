@@ -1,0 +1,158 @@
+"""Contract-level verification of the transformWithStateInPandas
+backend (streaming/map_with_state_tws.py) without the protobuf-broken
+runtime: a faithful in-memory double of the TWS ``ValueState`` TTL
+contract (update() re-arms the TTL clock; an expired value reads back
+as absent — exactly the documented Spark 4.x semantics and the
+reference's read-refresh eviction, MapWithState.java:248-252,360-372)
+drives the REAL ``RunningSumTTLProcessor.handleInputRows`` logic, and
+the outputs are asserted equal to the reference F1 trace and to the
+batch TTL oracle on a random trace.
+
+This executes the same code the real backend runs — only the state
+transport is substituted — so the backend is no longer covered purely
+by environment-gated skips.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from flink_state_eviction_spark.streaming.map_with_state_tws import (
+    RunningSumTTLProcessor,
+)
+
+
+class FakeClock:
+    def __init__(self) -> None:
+        self.now_ms = 0
+
+
+class FakeValueState:
+    """The TWS ValueState TTL contract: TTL measured from the last
+    update(); expired state is absent on read."""
+
+    def __init__(self, clock: FakeClock, ttl_ms: int | None) -> None:
+        self._clock = clock
+        self._ttl_ms = ttl_ms
+        self._val: tuple | None = None
+        self._expires_at: float | None = None
+
+    def exists(self) -> bool:
+        if self._val is None:
+            return False
+        # boundary: state survives an idle gap of exactly ttl — the
+        # engine's established semantics (batch + applyInPandasWithState
+        # both evict on gap > ttl), kept identical here so all three
+        # backends agree row-for-row
+        if self._ttl_ms is not None and self._clock.now_ms > self._expires_at:
+            return False
+        return True
+
+    def get(self):
+        return self._val if self.exists() else None
+
+    def update(self, value) -> None:
+        self._val = tuple(value)
+        if self._ttl_ms is not None:
+            self._expires_at = self._clock.now_ms + self._ttl_ms
+
+    def clear(self) -> None:
+        self._val = None
+
+
+class FakeHandle:
+    def __init__(self, clock: FakeClock) -> None:
+        self._clock = clock
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return FakeValueState(self._clock, ttlDurationMs)
+
+
+def drive(entries, ttl_ms):
+    """Feed (key, value, at_ms) elements one micro-batch each through
+    per-key RunningSumTTLProcessor instances sharing one clock."""
+    clock = FakeClock()
+    procs: dict[str, RunningSumTTLProcessor] = {}
+    out = []
+    for key, value, at_ms in entries:
+        clock.now_ms = at_ms
+        if key not in procs:
+            p = RunningSumTTLProcessor("key", "value", ttl_ms)
+            p.init(FakeHandle(clock))
+            procs[key] = p
+        pdf = pd.DataFrame({"key": [key], "value": [value]})
+        for res in procs[key].handleInputRows((key,), iter([pdf]), None):
+            out.extend(
+                (r["key"], at_ms, r["running_sum"])
+                for _, r in res.iterrows()
+            )
+    return out
+
+
+# F1 (MapWithStateTest.java:45-52) as (key, value, at_ms) with the
+# reference's expected running sums (TTL 1100 ms)
+F1 = [
+    ("a", 2, 0), ("a", 3, 500), ("b", 1, 1000), ("c", 5, 1500),
+    ("d", 2, 1500), ("c", 2, 2500), ("a", 3, 3500), ("c", 1, 5500),
+]
+F1_EXPECTED = [
+    ("a", 0, 2.0), ("a", 500, 5.0), ("b", 1000, 1.0), ("c", 1500, 5.0),
+    ("d", 1500, 2.0), ("c", 2500, 7.0), ("a", 3500, 3.0), ("c", 5500, 1.0),
+]
+
+
+def test_tws_processor_reproduces_reference_trace():
+    assert drive(F1, ttl_ms=1100) == F1_EXPECTED
+
+
+def test_tws_processor_matches_batch_oracle_on_random_trace(spark):
+    from conftest import ts_ms
+
+    from flink_state_eviction_spark.operators.map_with_state import (
+        running_sum_with_ttl,
+    )
+
+    rng = random.Random(42)
+    t, entries = 0, []
+    for _ in range(120):
+        t += rng.choice([100, 400, 900, 1300])
+        entries.append((rng.choice("abc"), rng.randint(1, 9), t))
+
+    got = drive(entries, ttl_ms=1000)
+
+    df = spark.createDataFrame(
+        [(k, v, ts_ms(at), i) for i, (k, v, at) in enumerate(entries)],
+        "key string, value int, ts timestamp, seq long",
+    )
+    batch = running_sum_with_ttl(
+        df, ["key"], "ts", "value", 1000, order_cols=["seq"]
+    )
+    want = [
+        (r["key"], r["seq"], r["running_sum"])
+        for r in batch.orderBy("seq").collect()
+    ]
+    assert [(k, s) for (k, _, s) in got] == [(k, s) for (k, _, s) in want]
+
+
+def test_fake_state_contract_itself():
+    clock = FakeClock()
+    st = FakeValueState(clock, 1000)
+    assert not st.exists() and st.get() is None
+    st.update((5.0,))
+    clock.now_ms = 1000  # exactly ttl idle: still alive (evict on >)
+    assert st.exists() and st.get() == (5.0,)
+    clock.now_ms = 1001
+    assert not st.exists()
+    # read-refresh: an update inside the window re-arms the clock
+    clock.now_ms = 500
+    st.update((6.0,))
+    clock.now_ms = 1499
+    assert st.get() == (6.0,)
+
+
+def test_tws_ttl_validation_contract():
+    with pytest.raises(ValueError):
+        RunningSumTTLProcessor("k", "v", 0)
