@@ -108,6 +108,61 @@ def with_equal_gaps(
     return [(v, i * gap_ms) for i, v in enumerate(values)]
 
 
+def elements_with_gaps_rate_stream(
+    spark: SparkSession,
+    entries: Sequence[Any],
+    schema: str = "key string, value int",
+    tick_ms: int = 200,
+) -> DataFrame:
+    """WALL-CLOCK-paced replay of the gap source — the true
+    processing-time variant of :func:`elements_with_gaps`
+    (ElementsWithGapsSource.java:131-151 paces emission with
+    ``Thread.sleep(gap)``; SURVEY §7.2-M4).
+
+    A rate source ticks every ``tick_ms``; each element is assigned to
+    the first tick at/after its cumulative-gap offset and emitted by a
+    stream-static broadcast join on the tick number — so elements reach
+    the query at real elapsed-time offsets, and processing-time
+    semantics (wall-clock TTL, ingestion-time maps) can be exercised
+    against real gaps. Emission is exactly-once per element (tick
+    numbers are unique) but timing is approximate by up to the
+    micro-batch scheduling delay — tests must use the reference's
+    ``anyOf`` tolerance for TTL-boundary elements
+    (MapWithStateTest.java:88-100).
+
+    Output columns: ``schema`` fields + ``ts`` (the tick's rate-source
+    timestamp) + ``seq``.
+    """
+    if tick_ms <= 0 or 1000 % tick_ms != 0:
+        raise ValueError("tick_ms must divide 1000")
+    rows = []
+    t_ms = 0
+    seq = 0
+    for e in entries:
+        if isinstance(e, tuple) and len(e) == 2 and e[0] is GAP:
+            t_ms += e[1]
+            continue
+        elem = e if isinstance(e, tuple) else (e,)
+        # ceil: never emit before the element's scheduled offset
+        rows.append((-(-t_ms // tick_ms), *elem, seq))
+        seq += 1
+    from pyspark.sql import functions as F
+
+    sched = spark.createDataFrame(rows, f"tick long, {schema}, seq long")
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1000 // tick_ms)
+        .load()
+        # the user schema may itself contain a `value` column
+        .withColumnRenamed("value", "_tickno")
+    )
+    return (
+        rate.join(F.broadcast(sched), F.col("_tickno") == sched["tick"])
+        .drop("tick", "_tickno")
+        .withColumnRenamed("timestamp", "ts")
+    )
+
+
 def as_file_stream(
     df: DataFrame,
     workdir: str,

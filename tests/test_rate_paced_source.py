@@ -1,0 +1,52 @@
+"""Processing-time TTL over the WALL-CLOCK-paced gap source
+(ElementsWithGapsSource.java:131-151's sleep pacing; SURVEY §7.2-M4):
+real elapsed-time gaps drive eviction via the wall clock, not event
+timestamps. Assertions use the reference's ``anyOf`` tolerance
+(MapWithStateTest.java:88-100) for the element whose observed idle gap
+can straddle the TTL under micro-batch scheduling jitter; the
+far-beyond-TTL eviction is asserted strictly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_state_eviction_spark.sources.fixtures import (
+    elements_with_gaps_rate_stream,
+    gap,
+)
+from flink_state_eviction_spark.streaming.map_with_state import (
+    running_sum_stream,
+)
+from flink_state_eviction_spark.streaming.testing import (
+    run_foreach_until_rows,
+)
+
+# (a,2) --1s-- (a,3) --6s-- (a,7), TTL 2.5s:
+#   expected 2, 5 (1s < ttl), then 7 (6s >> ttl evicts)
+ENTRIES = [("a", 2), gap(1000), ("a", 3), gap(6000), ("a", 7)]
+TTL_MS = 2500
+
+
+@pytest.mark.slow
+def test_wall_clock_ttl_eviction(spark, tmp_path):
+    sdf = elements_with_gaps_rate_stream(spark, ENTRIES, tick_ms=250)
+    out = running_sum_stream(
+        sdf, "key", "value", TTL_MS, time_mode="processing"
+    )
+    rows = run_foreach_until_rows(
+        out, str(tmp_path / "ck"), min_rows=3, timeout_sec=90
+    )
+    sums = [r["running_sum"] for r in sorted(rows, key=lambda r: r["ts"])]
+    assert len(sums) == 3
+    assert sums[0] == 2.0
+    # anyOf: 5.0 normally; 3.0 only if the scheduler stalled > ttl
+    # between the first two elements (the reference's own tolerance)
+    assert sums[1] in (5.0, 3.0)
+    # 6 s idle >> 2.5 s TTL: eviction must have happened
+    assert sums[2] == 7.0
+
+
+def test_rate_stream_schedule_validation(spark):
+    with pytest.raises(ValueError):
+        elements_with_gaps_rate_stream(spark, ENTRIES, tick_ms=300)
