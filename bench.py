@@ -44,17 +44,59 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # Regression gate: compare per-query times against the best recorded
+    # round at the same SF (BENCH_HISTORY.json). Regressions are
+    # reported in the JSON (extra key) and on stderr — the one-line
+    # stdout contract is preserved.
+    regressions = check_regressions(timings, sf)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if regressions:
+        out["regressions"] = regressions
+    print(json.dumps(out))
+
+
+REGRESSION_FACTOR = 2.0
+
+
+def load_history() -> dict:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_HISTORY.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def check_regressions(
+    timings: dict[str, float], sf: "float | None"
+) -> list[str]:
+    """Names of queries slower than REGRESSION_FACTOR x their best
+    recorded time at the same SF across all rounds in history."""
+    best: dict[str, float] = {}
+    for rec in load_history().values():
+        if rec.get("sf") != sf:
+            continue
+        for name, t in rec.get("queries", {}).items():
+            if name not in best or t < best[name]:
+                best[name] = t
+    regressions = []
+    for name, t in timings.items():
+        if name in best and t > REGRESSION_FACTOR * best[name]:
+            regressions.append(name)
+            print(
+                f"REGRESSION {name}: {t:.3f}s > {REGRESSION_FACTOR}x "
+                f"best {best[name]:.3f}s",
+                file=sys.stderr,
+            )
+    return regressions
 
 
 if __name__ == "__main__":

@@ -1,0 +1,25 @@
+"""The bench regression gate itself: history loading and the 2x
+per-query comparison logic (the expensive sf0.1 run happens in
+bench.py, driver-side; this pins the gate's behavior)."""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_history_has_round1_baseline():
+    hist = bench.load_history()
+    assert "r01" in hist
+    assert hist["r01"]["queries"]["tpch_q1"] > 0
+
+
+def test_check_regressions_flags_2x():
+    base = bench.load_history()["r01"]["queries"]
+    ok = {name: t for name, t in base.items()}
+    assert bench.check_regressions(ok, 0.1) == []
+    slow = dict(ok)
+    slow["tpch_q1"] = base["tpch_q1"] * 2.5
+    assert bench.check_regressions(slow, 0.1) == ["tpch_q1"]
+    # unknown queries and other SFs never flag
+    assert bench.check_regressions({"new_query": 99.0}, 0.1) == []
+    assert bench.check_regressions(slow, 0.01) == []
