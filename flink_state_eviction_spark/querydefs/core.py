@@ -69,6 +69,69 @@ def mws_running_sum_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MWS_HOTKEY_ORACLE = f"""
+WITH e AS (
+    SELECT CASE WHEN user_id % 10 <> 0 THEN 0 ELSE user_id END AS user_id,
+           event_id, epoch_ms(ts) AS ts_ms,
+           CAST(value AS DECIMAL(18,2)) AS v
+    FROM events
+), s AS (
+    SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                     OR ts_ms - lag(ts_ms) OVER w > {TTL_MS}
+                   THEN 1 ELSE 0 END AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), t AS (
+    SELECT user_id, event_id, ts_ms, v,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+    FROM s
+)
+SELECT user_id, event_id, ts_ms, session_id,
+       CAST(SUM(v) OVER (PARTITION BY user_id, session_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_sum
+FROM t
+"""
+
+
+@register(
+    "mws_running_sum_ttl_hotkey",
+    _MWS_HOTKEY_ORACLE,
+    headline=True,
+    tags=("core", "flagship", "skew"),
+)
+def mws_running_sum_ttl_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship under pathological key skew: 90% of events remapped
+    onto one user, run through the BUCKETED hot-key formulation
+    (operators/map_with_state.py:running_sum_with_ttl_bucketed) — the
+    per-key sequential pass decomposed into (key, time-bucket) units so
+    the mega-key no longer serializes on one task. Output is
+    bit-identical to the plain operator (tests/test_mws_bucketed.py);
+    this registration keeps the skew path oracle-checked and benched."""
+    from flink_state_eviction_spark.operators.map_with_state import (
+        running_sum_with_ttl_bucketed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 10 != 0, F.lit(0)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    out = running_sum_with_ttl_bucketed(
+        ev, ["user_id"], "ts", "value", TTL_MS, order_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("session_id").cast("long").alias("session_id"),
+        "running_sum",
+    )
+
+
 _REDUCE_ORACLE = """
 SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
        CAST(SUM(CAST(value AS DECIMAL(18,2)))

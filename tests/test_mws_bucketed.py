@@ -1,0 +1,102 @@
+"""Bucketed (hot-key-parallel) flagship ≡ plain flagship, bit for bit —
+including under pathological skew (90% of rows on one key) and across
+bucket-boundary edge cases (sessions spanning buckets, empty buckets,
+TTL-boundary gaps, ties)."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import ts_ms
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.map_with_state import (
+    running_sum_with_ttl,
+    running_sum_with_ttl_bucketed,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _collect(df):
+    return sorted(
+        (
+            r["user_id"],
+            r["event_id"],
+            r["session_id"],
+            r["running_sum"],
+        )
+        for r in df.collect()
+    )
+
+
+TTL_MS = 6 * 3600 * 1000
+
+
+@pytest.mark.parametrize("bucket_ms", [3600 * 1000, 24 * 3600 * 1000])
+def test_bucketed_equals_plain_on_events(spark, sf_dir, bucket_ms):
+    ev = load_table(spark, sf_dir, "events")
+    plain = running_sum_with_ttl(
+        ev, ["user_id"], "ts", "value", TTL_MS, order_cols=["event_id"]
+    )
+    bucketed = running_sum_with_ttl_bucketed(
+        ev, ["user_id"], "ts", "value", TTL_MS,
+        order_cols=["event_id"], bucket_ms=bucket_ms,
+    )
+    assert _collect(plain) == _collect(bucketed)
+
+
+def test_bucketed_equals_plain_under_hot_key(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 10 != 0, F.lit(0)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    plain = running_sum_with_ttl(
+        ev, ["user_id"], "ts", "value", TTL_MS, order_cols=["event_id"]
+    )
+    bucketed = running_sum_with_ttl_bucketed(
+        ev, ["user_id"], "ts", "value", TTL_MS, order_cols=["event_id"]
+    )
+    assert _collect(plain) == _collect(bucketed)
+
+
+def test_bucketed_boundary_cases(spark):
+    # gaps exactly == ttl (no evict), > ttl (evict), sessions spanning
+    # several buckets, whole buckets empty, ties broken by event_id
+    ttl = 1000
+    rows = [
+        ("k", 0, 1, 1.0),       # s1
+        ("k", 1000, 2, 2.0),    # gap == ttl -> same session
+        ("k", 2001, 3, 3.0),    # gap 1001 > ttl -> s2
+        ("k", 2001, 4, 4.0),    # tie, ordered by event_id
+        ("k", 9000, 5, 5.0),    # several empty buckets later -> s3
+        ("k", 9900, 6, 6.0),    # same session, next bucket
+        ("x", 9900, 7, 7.0),    # other key
+    ]
+    df = spark.createDataFrame(
+        [(k, ts_ms(t), e, v) for (k, t, e, v) in rows],
+        "user_id string, ts timestamp, event_id long, value double",
+    )
+    plain = running_sum_with_ttl(
+        df, ["user_id"], "ts", "value", ttl, order_cols=["event_id"]
+    )
+    bucketed = running_sum_with_ttl_bucketed(
+        df, ["user_id"], "ts", "value", ttl,
+        order_cols=["event_id"], bucket_ms=2000,
+    )
+    got = _collect(bucketed)
+    assert got == _collect(plain)
+    by_event = {e: (s, rs) for (_, e, s, rs) in got}
+    assert by_event[2] == (1, 3.0)   # ttl-boundary gap keeps session
+    assert by_event[4] == (2, 7.0)   # tie joins session 2
+    assert by_event[6] == (3, 11.0)  # cross-bucket carry
+
+
+def test_bucketed_validation(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        running_sum_with_ttl_bucketed(
+            ev, ["user_id"], "ts", "value", 1000, bucket_ms=0
+        )
+    with pytest.raises(ValueError):
+        running_sum_with_ttl_bucketed(ev, ["user_id"], "ts", "value", 0)
