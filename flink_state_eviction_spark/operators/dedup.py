@@ -179,3 +179,100 @@ def blocked_jaccard_pairs(
     return pairs.select(
         "doc_a", "doc_b", _jaccard(F.col("bh_a"), F.col("bh_b"))
     ).where(F.col("jaccard") >= threshold)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_out: str = "doc_id",
+    comp_out: str = "component",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list: every
+    vertex labeled with the MINIMUM vertex id reachable from it — the
+    step a real dedup pipeline runs between pair generation and
+    canonical-document selection (near-dup relations are not
+    transitive; components make them so). Extension beyond the
+    reference (which stops at per-key state).
+
+    Hash-min label propagation: each round, every vertex takes the min
+    of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds — near-dup clusters are shallow, so a
+    handful. Each round is one join + one groupBy over the EDGE list
+    (duplicate pairs only, orders of magnitude smaller than the
+    corpus), with a ``localCheckpoint`` lineage cut per round (on a
+    cluster: checkpoint to durable storage) and an early-exit
+    convergence check. Deterministic throughout — no rand, no
+    iteration-order dependence.
+
+    Output: one row per vertex that appears in any edge.
+    """
+    if max_iter <= 0:
+        raise ValueError("max_iter must be positive")
+    sym = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select("_u").distinct().withColumn("_l", F.col("_u"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("_u").alias("_v"), F.col("_l").alias("_lv")
+                ),
+                "_v",
+            )
+            .groupBy("_u")
+            .agg(F.min("_lv").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(nbr, "_u", "left")
+            .select(
+                "_u",
+                F.least(
+                    F.col("_l"), F.coalesce(F.col("_nl"), F.col("_l"))
+                ).alias("_l"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_u")
+            .where(F.col("n._l") != F.col("o._l"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("_u").alias(id_out), F.col("_l").alias(comp_out)
+    )
+
+
+def canonical_mapping(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Map EVERY document to its canonical keeper: the component
+    representative (min id) for docs in any duplicate pair, itself
+    otherwise. Output: (id, keeper_id, is_kept).
+
+    The components table is tiny relative to the corpus (paired docs
+    only) — the join broadcasts; the corpus never shuffles."""
+    return docs.select(id_col).join(
+        F.broadcast(components), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col(comp_col), F.col(id_col)).alias("keeper_id"),
+        (
+            F.coalesce(F.col(comp_col), F.col(id_col)) == F.col(id_col)
+        ).alias("is_kept"),
+    )

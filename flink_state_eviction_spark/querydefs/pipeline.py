@@ -83,8 +83,7 @@ _SEED_VALUES = ", ".join(
 )
 _P = MERSENNE_P
 
-_MINHASH_ORACLE = f"""
-WITH {_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
+_MINHASH_BODY = f"""{_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
 shn AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
 ex AS (SELECT doc_id, unnest(sh) AS sh1 FROM shn),
 bh AS (
@@ -111,7 +110,10 @@ cand AS (
 ),
 bhs AS (
     SELECT doc_id, list_distinct(list(h)) AS bh FROM bh GROUP BY 1
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_BODY}
 SELECT c.doc_a, c.doc_b,
        CAST(len(list_intersect(sa.bh, sb.bh)) AS DOUBLE)
          / CAST(len(list_distinct(list_concat(sa.bh, sb.bh))) AS DOUBLE)
@@ -133,6 +135,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup connected components -> canonical document selection.
+# Near-duplicate relations are not transitive; a real dedup pipeline
+# closes the pair list into components and keeps one representative
+# per component. Oracle: DuckDB recursive CTE (transitive closure over
+# the pair list — clusters are tiny, closure is cheap).
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_BODY},
+mh_pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN bhs sa ON sa.doc_id = c.doc_a
+    JOIN bhs sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.bh, sb.bh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.bh, sb.bh))) AS DOUBLE)
+          >= 0.8
+),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+    UNION
+    SELECT doc_b, doc_a FROM mh_pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+    SELECT u AS doc_id, least(u, MIN(v)) AS component
+    FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS keeper_id,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_kept
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
+@register("dedup_near_canonical", _CANONICAL_ORACLE, tags=("pipeline", "dedup"))
+def dedup_near_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: minhash-LSH pairs -> connected components
+    (hash-min propagation over the tiny edge list,
+    operators/dedup.py:connected_components) -> every document mapped to
+    its canonical keeper (component min id; itself if unpaired).
+    Extension beyond the reference."""
+    from flink_state_eviction_spark.operators.dedup import (
+        canonical_mapping,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    return canonical_mapping(docs, comp)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,57 @@
+"""connected_components: hash-min propagation over a duplicate-pair
+edge list equals the true components on crafted graphs (chains force
+multi-round convergence; the early-exit must not stop short)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_state_eviction_spark.operators.dedup import (
+    canonical_mapping,
+    connected_components,
+)
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_chain_triangle_and_pair(spark):
+    # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+             (20, 21)]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_min_label_is_global_not_local(spark):
+    # min id (0) sits at one END of a long chain: propagation must walk
+    # the whole diameter, not settle on a local minimum
+    edges = [(7, 6), (6, 5), (5, 4), (4, 3), (3, 0)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+
+
+def test_max_iter_validation(spark):
+    with pytest.raises(ValueError):
+        _cc(spark, [(1, 2)], max_iter=0)
+
+
+def test_canonical_mapping_keeps_unpaired_docs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    comp = spark.createDataFrame(
+        [(1, 1), (3, 1), (4, 4), (5, 4)], "doc_id long, component long"
+    )
+    got = {
+        r["doc_id"]: (r["keeper_id"], r["is_kept"])
+        for r in canonical_mapping(docs, comp).collect()
+    }
+    assert got == {
+        0: (0, True), 1: (1, True), 2: (2, True),
+        3: (1, False), 4: (4, True), 5: (4, False),
+    }
