@@ -460,8 +460,7 @@ m AS (
            CAST(len(list_filter(t.toks,
                 x -> list_contains({list(LANG_STOPWORDS["en"])!r}, x)))
                AS BIGINT) AS n_stop,
-           CAST(length(lower(d.text))
-                - length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g'))
+           CAST(length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g'))
                AS BIGINT) AS n_punct
     FROM documents d JOIN toks t ON t.doc_id = d.doc_id
 )
@@ -488,9 +487,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
     ).cast("long")
     n_stop = stopword_count(F.col("toks"), LANG_STOPWORDS["en"]).cast("long")
-    n_punct = (
-        F.length(F.lower("text"))
-        - F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", ""))
+    n_punct = F.length(
+        F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")
     ).cast("long")
     d = t.select(
         "doc_id",
@@ -513,6 +511,114 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_r.alias("stop_ratio"),
         punct_r.alias("punct_ratio"),
         (2.0 * stop_r - 3.0 * punct_r + 0.05 * avg_wl).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-battery FILTER (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 — public heuristics, thresholds adapted to
+# the fixture corpus): the downstream stage that text_quality's metrics
+# feed in a real training-data pipeline — per-rule boolean flags plus
+# the conjunction, so filter decisions are auditable per document.
+
+_GOPHER_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+m AS (
+    SELECT d.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(t.toks, x -> length(x))) AS BIGINT)
+               AS n_token_chars,
+           CAST(len(list_filter(t.toks,
+                x -> list_contains({{stop!r}}, x))) AS BIGINT) AS n_stop,
+           CAST(len(list_filter(t.toks, x -> regexp_matches(x, '[a-z]')))
+               AS BIGINT) AS n_alpha,
+           CAST(len(list_distinct(t.toks)) AS BIGINT) AS n_distinct,
+           CAST(length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g'))
+               AS BIGINT) AS n_punct,
+           CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+)
+SELECT doc_id,
+       COALESCE(n_words BETWEEN 5 AND 10000, FALSE) AS rule_word_count,
+       COALESCE(CAST(n_token_chars AS DOUBLE) / NULLIF(n_words, 0)
+                BETWEEN 2.0 AND 12.0, FALSE) AS rule_avg_word_len,
+       COALESCE(CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0) >= 0.02, FALSE)
+           AS rule_stopwords,
+       COALESCE(CAST(n_alpha AS DOUBLE) / NULLIF(n_words, 0) >= 0.7, FALSE)
+           AS rule_alpha_words,
+       COALESCE(CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0) <= 0.3, FALSE)
+           AS rule_symbol_ratio,
+       COALESCE(CAST(n_distinct AS DOUBLE) / NULLIF(n_words, 0) >= 0.3,
+                FALSE) AS rule_repetition,
+       COALESCE(n_words BETWEEN 5 AND 10000, FALSE)
+       AND COALESCE(CAST(n_token_chars AS DOUBLE) / NULLIF(n_words, 0)
+                    BETWEEN 2.0 AND 12.0, FALSE)
+       AND COALESCE(CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0) >= 0.02,
+                    FALSE)
+       AND COALESCE(CAST(n_alpha AS DOUBLE) / NULLIF(n_words, 0) >= 0.7,
+                    FALSE)
+       AND COALESCE(CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0) <= 0.3,
+                    FALSE)
+       AND COALESCE(CAST(n_distinct AS DOUBLE) / NULLIF(n_words, 0) >= 0.3,
+                    FALSE) AS passes
+FROM m
+""".replace("{stop!r}", repr(list(LANG_STOPWORDS["en"])))
+
+
+@register("quality_filter_gopher", _GOPHER_ORACLE, tags=("pipeline", "text"))
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery: word count, mean word length, stopword
+    presence, alphabetic-word fraction, symbol ratio, and a repetition
+    proxy (distinct-token ratio) — per-rule flags + the conjunction.
+    Pure codegen expressions over one projected token array (no HOF
+    re-evaluation: every metric is a named column first), zero shuffle —
+    scan-parallel at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    m = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
+        ).cast("long").alias("n_token_chars"),
+        stopword_count(F.col("toks"), LANG_STOPWORDS["en"])
+        .cast("long").alias("n_stop"),
+        F.size(F.filter("toks", lambda x: x.rlike("[a-z]")))
+        .cast("long").alias("n_alpha"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.length(
+            F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")
+        ).cast("long").alias("n_punct"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    nw = F.nullif(F.col("n_words"), F.lit(0))
+    nc = F.nullif(F.col("n_chars"), F.lit(0))
+    fb = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731
+    rules = {
+        "rule_word_count": fb(F.col("n_words").between(5, 10000)),
+        "rule_avg_word_len": fb(
+            (F.col("n_token_chars").cast("double") / nw).between(2.0, 12.0)
+        ),
+        "rule_stopwords": fb(
+            F.col("n_stop").cast("double") / nw >= 0.02
+        ),
+        "rule_alpha_words": fb(
+            F.col("n_alpha").cast("double") / nw >= 0.7
+        ),
+        "rule_symbol_ratio": fb(
+            F.col("n_punct").cast("double") / nc <= 0.3
+        ),
+        "rule_repetition": fb(
+            F.col("n_distinct").cast("double") / nw >= 0.3
+        ),
+    }
+    passes = rules["rule_word_count"]
+    for name in list(rules)[1:]:
+        passes = passes & rules[name]
+    return m.select(
+        "doc_id",
+        *[c.alias(n) for n, c in rules.items()],
+        passes.alias("passes"),
     )
 
 
