@@ -1,0 +1,8 @@
+"""Sinks: partitioned / bucketed parquet writers (the batch analogue
+of the reference's sink surface, SURVEY.md §2.3, extended with the
+layouts that matter at 100 TB)."""
+
+from flink_state_eviction_spark.sinks.parquet import (  # noqa: F401
+    write_bucketed_table,
+    write_partitioned,
+)

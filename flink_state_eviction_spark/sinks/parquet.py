@@ -1,0 +1,82 @@
+"""Parquet sink layouts for scale.
+
+The reference's sinks are test-assertion and print sinks
+(ElementsWithGapsSink.java:46-99, SURVEY.md §2.3) — subsumed by
+Spark's memory/console sinks (streaming/testing.py, streaming/debug.py).
+This module is the PRODUCTION sink surface a 100 TB deployment needs:
+
+- hive-partitioned parquet: coarse, low-cardinality partition columns
+  (date, tenant) so downstream readers get PARTITION PRUNING — a
+  filtered scan touches only matching directories;
+- bucketed tables: pre-hash the rows into a fixed number of buckets on
+  the join/group key at WRITE time, so repeated downstream joins and
+  aggregations on that key run with NO exchange at all (the classic
+  write-once-shuffle, read-many-join-free trade).
+
+Both are plan-testable properties, pinned in tests/test_sinks.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write hive-partitioned parquet; optional within-file sort so
+    min/max row-group statistics make downstream range filters
+    effective (sorted files -> tight rowgroup bounds -> skipped pages).
+
+    Partition columns should be LOW cardinality (a date, a tenant, a
+    shard) — one directory per value; a high-cardinality partition
+    column produces millions of tiny files, the classic small-files
+    failure."""
+    if not partition_cols:
+        raise ValueError("partition_cols must be non-empty")
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] = (),
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a BUCKETED parquet table: rows are hash-assigned
+    to ``num_buckets`` files per partition on ``bucket_cols`` at write
+    time. Two tables bucketed the same way join WITHOUT any exchange —
+    the shuffle was paid once at write; every subsequent join/groupBy
+    on the bucket key is co-located (plan-asserted in
+    tests/test_sinks.py: zero ``Exchange hashpartitioning``).
+
+    ``num_buckets`` sizes the parallelism of future reads: pick
+    ~(largest expected scan / healthy task size)."""
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    if num_buckets <= 0:
+        raise ValueError("num_buckets must be positive")
+    w = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -1,0 +1,87 @@
+"""Sink layout properties: hive-partition pruning reaches the scan,
+and same-bucketed tables join with ZERO exchange (the write-once
+shuffle, read-many join-free contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.plans.explain import physical_plan
+from flink_state_eviction_spark.sinks import (
+    write_bucketed_table,
+    write_partitioned,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "ev_part")
+    write_partitioned(ev, path, ["day"], sort_cols=["ts"])
+    back = spark.read.parquet(path)
+    one_day = back.select(F.min("day")).first()[0]
+    q = back.where(F.col("day") == F.lit(one_day))
+    plan = physical_plan(q)
+    # partition filter must prune directories, not filter rows post-scan
+    assert "PartitionFilters" in plan, plan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("day" in l for l in pf_lines), plan
+    assert q.count() == ev.where(F.to_date("ts") == one_day).count()
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed_table(
+        orders, "t_orders_b", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "ob"),
+    )
+    write_bucketed_table(
+        li, "t_lineitem_b", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=str(tmp_path / "lb"),
+    )
+    conf = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(conf)
+    try:
+        # at 100 TB neither side broadcasts; disable the small-SF
+        # auto-broadcast so the bucketed-join property is what's tested
+        spark.conf.set(conf, "-1")
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = physical_plan(joined, "simple")
+        # the join itself must be exchange-free (bucket co-location);
+        # the only allowed exchange is the small post-join aggregation
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Bucketed: true" in physical_plan(joined), plan
+        # correctness unchanged vs the unbucketed plan
+        expect = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+    finally:
+        spark.conf.set(conf, prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_sink_validation(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        write_partitioned(ev, "/tmp/x", [])
+    with pytest.raises(ValueError):
+        write_bucketed_table(ev, "t", [], 8)
+    with pytest.raises(ValueError):
+        write_bucketed_table(ev, "t", ["user_id"], 0)
