@@ -191,3 +191,89 @@ def ivf_cosine_topk(
         )
     )
     return _rank_topk(_local_truncate_topk(sim, id_col, k), id_col, k)
+
+
+def kmeans_cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the
+    LEARNED-centroid upgrade of the IVF cell assignment (extension;
+    standard k-means, e.g. Lloyd 1982). Returns (id, cell).
+
+    Deterministic by construction so a SQL oracle can replay it
+    bit-for-bit:
+    - init: the vectors of the ``k`` smallest ids are the starting
+      centroids (cell = rank of that id, 0-based);
+    - assignment: argmin squared L2, computed as
+      ``dot(v,v) - 2*dot(v,c) + dot(c,c)`` with the same sequential
+      double folds both engines use; ties break toward the smaller
+      cell id;
+    - update: element-wise DECIMAL(27,15)-summed mean (exact,
+      order-independent), cast to double once.
+
+    Scale: centroids are a k-row broadcast; each iteration is one
+    scan + one (cell, dim)-grouped aggregation of posexploded
+    components — shuffle volume k x dims rows, never the corpus; a
+    ``localCheckpoint`` per iteration cuts the growing plan. Empty
+    clusters drop out (consistently on both sides).
+    """
+    if k <= 0 or iters <= 0:
+        raise ValueError("k and iters must be positive")
+    v = corpus.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
+    ).localCheckpoint(eager=False)
+
+    init_w = Window.orderBy(id_col)
+    cent = (
+        v.orderBy(id_col)
+        .limit(k)
+        .withColumn("_cell", F.row_number().over(init_w) - 1)
+        .select("_cell", F.col("_v").alias("_cv"))
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        d2 = (
+            dot(F.col("_v"), F.col("_v"))
+            - 2 * dot(F.col("_v"), F.col("_cv"))
+            + dot(F.col("_cv"), F.col("_cv"))
+        )
+        w = Window.partitionBy(id_col).orderBy("_d2", "_cell")
+        return (
+            v.crossJoin(F.broadcast(cent_df))
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(id_col, "_v", "_cell")
+        )
+
+    assigned = assign(cent)
+    for _ in range(iters - 1):
+        cent = (
+            assigned.select(
+                "_cell", F.posexplode("_v").alias("_i", "_x")
+            )
+            .groupBy("_cell", "_i")
+            .agg(
+                (
+                    F.sum(F.col("_x").cast("decimal(27,15)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_m")
+            )
+            .groupBy("_cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias(
+                    "_im"
+                )
+            )
+            .select(
+                "_cell", F.transform("_im", lambda s: s["_m"]).alias("_cv")
+            )
+            .localCheckpoint()
+        )
+        assigned = assign(cent)
+
+    return assigned.select(F.col(id_col), F.col("_cell").alias("cell"))

@@ -1036,3 +1036,148 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# learned IVF cells: deterministic Lloyd's k-means (k-smallest-id init,
+# argmin squared-L2 with small-cell tie-break, decimal-exact centroid
+# means). The oracle unrolls the iterations — assignment rounds are
+# window ranks over the corpus x centroid cross product.
+
+_KMEANS_D2 = """list_dot_product(e.v, e.v)
+                      - 2 * list_dot_product(e.v, c.cv)
+                      + list_dot_product(c.cv, c.cv)"""
+
+_KMEANS_CELLS_BODY = f"""e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+           v AS cv
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+),
+a1 AS (
+    SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_KMEANS_D2}, c.cell) AS rn
+        FROM e CROSS JOIN c0 c
+    ) WHERE rn = 1
+),
+c1 AS (
+    SELECT cell, list(m ORDER BY i) AS cv FROM (
+        SELECT cell, i,
+               CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*)
+                   AS m
+        FROM (SELECT cell, generate_subscripts(v, 1) AS i,
+                     unnest(v) AS x FROM a1)
+        GROUP BY 1, 2
+    ) GROUP BY 1
+),
+a2 AS (
+    SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_KMEANS_D2}, c.cell) AS rn
+        FROM e CROSS JOIN c1 c
+    ) WHERE rn = 1
+)"""
+
+_KMEANS_CELLS_ORACLE = f"""
+WITH {_KMEANS_CELLS_BODY}
+SELECT vec_id, cell FROM a2
+"""
+
+
+@register(
+    "similarity_kmeans_cells",
+    _KMEANS_CELLS_ORACLE,
+    tags=("pipeline", "similarity"),
+)
+def similarity_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means cell assignment over the embeddings table
+    (k=8, 2 assignment rounds) — the learned-centroid IVF index build,
+    oracle-checked bit-for-bit via unrolled iterations."""
+    from flink_state_eviction_spark.operators.similarity import kmeans_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_cells(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+_IVF_KMEANS_ORACLE = f"""
+WITH {_KMEANS_CELLS_BODY},
+n AS (
+    SELECT a.vec_id, a.cell, a.v, sqrt(list_dot_product(a.v, a.v)) AS nn
+    FROM a2 a
+),
+cent_comp AS (
+    SELECT cell, i,
+           CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*) AS m
+    FROM (SELECT cell, generate_subscripts(v, 1) AS i, unnest(v) AS x
+          FROM a2)
+    GROUP BY 1, 2
+),
+cent AS (
+    SELECT cell, list(m ORDER BY i) AS cv FROM cent_comp GROUP BY 1
+),
+centn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+q AS (SELECT vec_id AS query_id, v AS qv, nn AS qn FROM n WHERE vec_id < 8),
+probes AS (
+    SELECT query_id, qv, qn, cell
+    FROM (
+        SELECT q.query_id, q.qv, q.qn, c.cell,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn)
+                                DESC,
+                            c.cell
+               ) AS pr
+        FROM q CROSS JOIN centn c
+    ) WHERE pr <= 3
+),
+s AS (
+    SELECT p.query_id, n.vec_id AS neighbor_id,
+           list_dot_product(p.qv, n.v) / (p.qn * n.nn) AS sim0
+    FROM probes p JOIN n ON n.cell = p.cell AND n.vec_id <> p.query_id
+),
+r AS (
+    SELECT query_id, neighbor_id, sim0,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim0 DESC, neighbor_id) AS INT) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, rank, round(sim0, 6) AS sim
+FROM r WHERE rank <= 10
+"""
+
+
+@register(
+    "similarity_ivf_kmeans_topk",
+    _IVF_KMEANS_ORACLE,
+    tags=("pipeline", "similarity"),
+)
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over LEARNED cells: k-means assignment (k=8, 2 rounds)
+    replaces the label column as the coarse quantizer, then the same
+    nprobe-pruned two-phase cosine top-k. The cell table is tiny
+    ((id, cell)) and localCheckpointed so the IVF pass reuses it
+    without replaying the clustering."""
+    from flink_state_eviction_spark.operators.similarity import (
+        ivf_cosine_topk,
+        kmeans_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_cells(
+        emb, "vec_id", "embedding", k=8, iters=2
+    ).localCheckpoint(eager=False)
+    corpus = emb.join(cells, "vec_id")
+    return ivf_cosine_topk(
+        corpus,
+        corpus.where(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        cell_col="cell",
+        k=10,
+        nprobe=3,
+    )

@@ -43,3 +43,58 @@ def test_brute_force_topk_is_deterministic(spark, sf_dir):
     a = sorted(map(tuple, cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()))
     b = sorted(map(tuple, cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()))
     assert a == b
+
+
+def test_kmeans_cells_partition_and_determinism(spark, sf_dir):
+    from flink_state_eviction_spark.operators.similarity import kmeans_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_cells(emb, "vec_id", "embedding", k=8, iters=2)
+    rows = cells.collect()
+    # total partition: every vector gets exactly one cell
+    assert len(rows) == emb.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    assert {r["cell"] for r in rows} <= set(range(8))
+    # deterministic across runs
+    again = {
+        (r["vec_id"], r["cell"])
+        for r in kmeans_cells(
+            emb, "vec_id", "embedding", k=8, iters=2
+        ).collect()
+    }
+    assert {(r["vec_id"], r["cell"]) for r in rows} == again
+
+
+def test_kmeans_improves_cluster_tightness_over_init(spark, sf_dir):
+    # one Lloyd update must not increase total within-cluster squared
+    # distance versus the init assignment (the monotonicity property)
+    from flink_state_eviction_spark.operators.similarity import (
+        as_double_vec,
+        dot,
+        kmeans_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def cost(iters):
+        cells = kmeans_cells(emb, "vec_id", "embedding", k=8, iters=iters)
+        j = emb.join(cells, "vec_id").select(
+            "cell", as_double_vec(F.col("embedding")).alias("v")
+        )
+        comp = j.select("cell", F.posexplode("v").alias("i", "x"))
+        cent = comp.groupBy("cell", "i").agg(F.avg("x").alias("m"))
+        centv = (
+            cent.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+            .select("cell", F.transform("im", lambda s: s["m"]).alias("cv"))
+        )
+        d2 = (
+            dot(F.col("v"), F.col("v"))
+            - 2 * dot(F.col("v"), F.col("cv"))
+            + dot(F.col("cv"), F.col("cv"))
+        )
+        return (
+            j.join(centv, "cell").select(F.sum(d2).alias("c")).first()["c"]
+        )
+
+    assert cost(2) <= cost(1) + 1e-6
