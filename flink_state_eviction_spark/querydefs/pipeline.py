@@ -1181,3 +1181,116 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (symmetric absmax — the standard storage/
+# serving compression for embedding tables). Rounding is floor(x+0.5),
+# NOT round(): Spark rounds HALF_UP and DuckDB HALF_EVEN, so round()
+# would diverge on exact .5 boundaries; floor-based rounding is
+# identical in both engines. Quantized checksums are position-weighted
+# so permutation bugs can't cancel.
+
+_QUANT_ORACLE = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) AS scale,
+           len(v) AS n_dims
+    FROM e
+),
+q AS (
+    SELECT vec_id, v, scale, n_dims,
+           list_transform(v, x ->
+               CAST(least(greatest(floor(x * 127 / NULLIF(scale, 0) + 0.5),
+                                   -127), 127) AS INT)) AS qv
+    FROM s
+)
+SELECT vec_id,
+       CAST(n_dims AS INT) AS n_dims,
+       scale,
+       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+       CAST(list_dot_product(
+                list_transform(qv, x -> CAST(x AS DOUBLE)),
+                list_transform(generate_series(1, CAST(n_dims AS INT)),
+                               i -> CAST(i AS DOUBLE))) AS BIGINT)
+           AS wsum_q,
+       round(list_sum(list_transform(
+                 list_zip(v, qv),
+                 p -> abs(p[1] - p[2] * scale / 127))) / n_dims, 6)
+           AS mean_abs_err
+FROM q
+"""
+
+
+@register(
+    "embedding_quantize_int8", _QUANT_ORACLE, tags=("pipeline", "similarity")
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric absmax int8 quantization per embedding: scale =
+    max(|x|), q = clamp(floor(x*127/scale + 0.5), ±127); reports the
+    quantized checksums and mean reconstruction error. Pure
+    higher-order expressions with every intermediate array projected to
+    a named column (no HOF re-evaluation) — zero shuffle, scan-parallel.
+    """
+    from flink_state_eviction_spark.operators.similarity import as_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("_v")
+    )
+    scaled = base.select(
+        "vec_id",
+        "_v",
+        F.array_max(F.transform("_v", lambda x: F.abs(x))).alias("_s"),
+        F.size("_v").alias("n_dims"),
+    )
+    qexpr = F.transform(
+        "_v",
+        lambda x: F.least(
+            F.greatest(
+                F.floor(
+                    x * 127 / F.nullif(F.col("_s"), F.lit(0.0)) + 0.5
+                ),
+                F.lit(-127),
+            ),
+            F.lit(127),
+        ).cast("int"),
+    )
+    q = scaled.select(
+        "vec_id", "_v", "_s", "n_dims", qexpr.alias("_q")
+    )
+    sum_q = F.aggregate(
+        "_q", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    qd = F.transform("_q", lambda x: x.cast("double"))
+    idx = F.transform(
+        F.sequence(F.lit(1), F.col("n_dims")), lambda i: i.cast("double")
+    )
+    wsum_q = F.aggregate(
+        F.zip_with(qd, idx, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ).cast("long")
+    err = (
+        F.aggregate(
+            F.zip_with(
+                "_v",
+                "_q",
+                lambda x, qv: F.abs(x - qv.cast("double") * F.col("_s") / 127),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.col("n_dims")
+    )
+    return q.select(
+        "vec_id",
+        F.col("n_dims").cast("int").alias("n_dims"),
+        F.col("_s").alias("scale"),
+        sum_q.alias("sum_q"),
+        wsum_q.alias("wsum_q"),
+        F.round(err, 6).alias("mean_abs_err"),
+    )
