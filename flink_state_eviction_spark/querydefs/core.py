@@ -520,3 +520,38 @@ def tumbling_window_all_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.select("w_start", "label", "total")
+
+
+_QUANTILES_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+@register("value_quantiles_by_type", _QUANTILES_ORACLE, tags=("core",))
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped EXACT quantiles (linear interpolation): Spark's
+    `percentile` and DuckDB's `quantile_cont` share the Hive
+    interpolation formula, so results match bit-for-bit. Exact grouped
+    quantiles sort within each group — at 100 TB prefer
+    `percentile_approx` (t-digest, mergeable partial agg) when 1e-3
+    relative error is acceptable; this query pins the exact path."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("_q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("_q")[0].alias("p25"),
+            F.col("_q")[1].alias("p50"),
+            F.col("_q")[2].alias("p75"),
+            "n",
+        )
+    )

@@ -59,7 +59,11 @@ def test_similarity_topk_is_two_phase(spark, sf_dir):
     # Phase 1 (shuffle-free MapInPandas truncation to k per query per
     # partition) must sit BELOW the per-query rank window, so the window
     # exchange carries at most P x |Q| x k rows, never corpus x |Q|.
-    for name in ("similarity_topk", "similarity_ivf_topk"):
+    for name in (
+        "similarity_topk",
+        "similarity_ivf_topk",
+        "similarity_ivf_kmeans_topk",
+    ):
         df = _q(name, spark, sf_dir)
         plan = physical_plan(df, "simple")
         assert "MapInPandas" in plan, plan
