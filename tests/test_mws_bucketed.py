@@ -100,3 +100,36 @@ def test_bucketed_validation(spark, sf_dir):
         )
     with pytest.raises(ValueError):
         running_sum_with_ttl_bucketed(ev, ["user_id"], "ts", "value", 0)
+
+
+# property: bucketed == plain on random traces, random bucket sizes
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_trace = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),          # key
+        st.integers(min_value=0, max_value=9),  # value
+        st.integers(min_value=0, max_value=2500),  # ts offset ms
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_trace, bucket_ms=st.sampled_from([300, 700, 1000, 5000]))
+def test_bucketed_equals_plain_property(spark, rows, bucket_ms):
+    ttl = 800
+    df = spark.createDataFrame(
+        [(k, ts_ms(t), i, float(v)) for i, (k, v, t) in enumerate(rows)],
+        "user_id string, ts timestamp, event_id long, value double",
+    )
+    plain = running_sum_with_ttl(
+        df, ["user_id"], "ts", "value", ttl, order_cols=["event_id"]
+    )
+    bucketed = running_sum_with_ttl_bucketed(
+        df, ["user_id"], "ts", "value", ttl,
+        order_cols=["event_id"], bucket_ms=bucket_ms,
+    )
+    assert _collect(plain) == _collect(bucketed)

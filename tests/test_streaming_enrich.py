@@ -1,0 +1,33 @@
+"""Stream-static enrichment: a micro-batch stream joined against a
+static dimension DataFrame (the everyday production pattern the
+reference's PoCs never needed). The static side is broadcast per
+micro-batch — no stream-side shuffle, no state store involvement."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.sources.fixtures import (
+    as_file_stream,
+    elements_with_gaps,
+)
+from flink_state_eviction_spark.streaming.testing import run_available_now
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    df = elements_with_gaps(
+        spark, [("a", 1), ("b", 2), ("a", 3), ("c", 4), ("b", 5)]
+    )
+    sdf = as_file_stream(df, str(tmp_path / "in"), 2)
+    dim = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "key string, label string"
+    )
+    out = sdf.join(F.broadcast(dim), "key", "left").select(
+        "key", "value", F.coalesce("label", F.lit("unknown")).alias("label")
+    )
+    res = run_available_now(out, str(tmp_path / "ck"), output_mode="append")
+    got = {(r["key"], r["value"], r["label"]) for r in res.collect()}
+    assert got == {
+        ("a", 1, "alpha"), ("b", 2, "beta"), ("a", 3, "alpha"),
+        ("c", 4, "unknown"), ("b", 5, "beta"),
+    }
