@@ -236,18 +236,39 @@ def kmeans_cells(
     )
 
     def assign(cent_df: DataFrame) -> DataFrame:
-        d2 = (
-            dot(F.col("_v"), F.col("_v"))
-            - 2 * dot(F.col("_v"), F.col("_cv"))
-            + dot(F.col("_cv"), F.col("_cv"))
+        # ZERO-shuffle argmin: pack the k centroids into one array
+        # literal (1-row broadcast cross join — no row blowup), compute
+        # (d2, cell) per centroid with a HOF, take array_min (struct
+        # ordering = min d2, tie -> min cell). A window-rank over the
+        # corpus x k exploded rows would re-shuffle the whole corpus by
+        # id every iteration — prohibitive at embedding-table scale.
+        cent_arr = cent_df.agg(
+            F.collect_list(F.struct("_cell", "_cv")).alias("_cents")
         )
-        w = Window.partitionBy(id_col).orderBy("_d2", "_cell")
-        return (
-            v.crossJoin(F.broadcast(cent_df))
-            .withColumn("_d2", d2)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(id_col, "_v", "_cell")
+
+        def d2_of(c):
+            return (
+                dot(F.col("_v"), F.col("_v"))
+                - 2 * dot(F.col("_v"), c["_cv"])
+                + dot(c["_cv"], c["_cv"])
+            )
+
+        scored = (
+            v.crossJoin(F.broadcast(cent_arr))
+            .withColumn(
+                "_best",
+                F.array_min(
+                    F.transform(
+                        "_cents",
+                        lambda c: F.struct(
+                            d2_of(c).alias("_d2"), c["_cell"].alias("_cell")
+                        ),
+                    )
+                ),
+            )
+        )
+        return scored.select(
+            id_col, "_v", F.col("_best")["_cell"].alias("_cell")
         )
 
     assigned = assign(cent)

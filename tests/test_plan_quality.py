@@ -71,6 +71,14 @@ def test_similarity_topk_is_two_phase(spark, sf_dir):
         assert plan.index("Window") < plan.rindex("MapInPandas"), plan
 
 
+def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
+    # the cell argmin is a HOF over a 1-row broadcast centroid array —
+    # the corpus must NOT re-shuffle by id for a window rank
+    df = _q("similarity_kmeans_cells", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
 def test_decorrelated_subquery_broadcasts_agg_side(spark, sf_dir):
     # Q17 pattern: the correlated scalar subquery must run as ONE
     # grouped aggregation broadcast back into the predicate — never a
