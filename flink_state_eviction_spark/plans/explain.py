@@ -56,3 +56,35 @@ def assert_no_single_partition_exchange(df: DataFrame) -> None:
     exchange over an already-tiny aggregate, e.g. counts-per-bucket, is
     matched too, so call this on plans meant to be fully parallel.)"""
     assert_not_in_plan(df, "Exchange SinglePartition")
+
+
+def main(argv: "list[str] | None" = None) -> None:
+    """CLI: print the physical plan of any registered query.
+
+    Usage: python -m flink_state_eviction_spark.plans.explain \
+               <query_name> [sf_dir] [mode]
+    """
+    import sys
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    if not args:
+        from flink_state_eviction_spark import queries as Q
+
+        print("registered queries:")
+        for name in sorted(Q.queries()):
+            print(" ", name)
+        return
+    name = args[0]
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+    mode = args[2] if len(args) > 2 else "formatted"
+
+    from flink_state_eviction_spark import queries as Q
+    from flink_state_eviction_spark.session import get_spark
+
+    spark = get_spark("fse-explain")
+    df = Q.queries()[name](spark, sf_dir)
+    print(physical_plan(df, mode))
+
+
+if __name__ == "__main__":
+    main()
