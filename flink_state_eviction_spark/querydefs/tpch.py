@@ -569,3 +569,189 @@ def parts_below_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_d("l_extendedprice")).cast("double").alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 pattern: shipping-priority top-k (join + agg + TakeOrdered)
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey AS orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
+       epoch_ms(o.o_orderdate) AS orderdate_ms
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-03-15'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY 1, 3
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+@register("tpch_q3_shipping_priority", _Q3_ORACLE, tags=("tpch",))
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 pattern: segment-filtered customers (small, auto-broadcast)
+    restrict orders, lineitem joins on the key, grouped revenue, top-10
+    via TakeOrderedAndProject — no global sort materializes."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    revenue = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            # o_orderdate is parquet TIMESTAMP_NTZ; session TZ is UTC so
+            # the cast is an identity relabel, matching DuckDB epoch_ms
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_ms"
+            ),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate_ms")
+        .orderBy(F.desc("revenue"), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 pattern: pure conjunctive-range filter aggregation —
+# every predicate must reach the parquet scan (plan-gated)
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast_revenue", _Q6_ORACLE, tags=("tpch",))
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 pattern: conjunctive range predicates + global agg. The whole
+    WHERE clause pushes to the scan (PushedFilters gated); at 100 TB
+    this is a pure scan problem with rowgroup-stat skipping."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_d("l_extendedprice") * _d("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 pattern: HAVING-filtered keys joined back (large orders)
+
+_Q18_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+    FROM lineitem GROUP BY 1
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+       o.o_totalprice AS totalprice, b.total_qty
+FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+@register("tpch_q18_large_orders", _Q18_ORACLE, tags=("tpch",))
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 pattern: grouped HAVING produces a small key set that joins
+    back to orders (broadcastable after aggregation) — aggregate-then-
+    join, never join-then-aggregate-twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_d("l_quantity")).alias("_q"))
+        .where(F.col("_q") > 150)
+        .select(
+            "l_orderkey", F.col("_q").cast("double").alias("total_qty")
+        )
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.col("orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 pattern: disjunctive (OR-of-ANDs) join predicate
+
+_Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("tpch_q19_disjunctive", _Q19_ORACLE, tags=("tpch",))
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 pattern: OR-of-ANDs across both join sides. Catalyst derives
+    the single-side implications (brand IN (...), quantity range) and
+    pushes them below the join while keeping the cross-side residual —
+    the part side broadcasts, lineitem never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    revenue = _d("l_extendedprice") * (F.lit(1) - _d("l_discount"))
+    return joined.where(
+        arm("Brand#1", 1, 15, 1, 11)
+        | arm("Brand#2", 10, 30, 10, 20)
+        | arm("Brand#3", 20, 50, 20, 30)
+    ).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

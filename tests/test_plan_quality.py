@@ -71,6 +71,29 @@ def test_similarity_topk_is_two_phase(spark, sf_dir):
         assert plan.index("Window") < plan.rindex("MapInPandas"), plan
 
 
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    df = _q("tpch_q6_forecast_revenue", spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert_pushed_filter(df, col)
+
+
+def test_q3_topk_and_q19_broadcast(spark, sf_dir):
+    from flink_state_eviction_spark.plans.explain import (
+        assert_broadcast_join,
+        assert_in_plan,
+    )
+
+    assert_in_plan(
+        _q("tpch_q3_shipping_priority", spark, sf_dir),
+        "TakeOrderedAndProject",
+    )
+    df = _q("tpch_q19_disjunctive", spark, sf_dir)
+    assert_broadcast_join(df, n_joins=1)
+    # the disjunction's single-side implications push to the scans
+    plan = physical_plan(df)
+    assert "PushedFilters" in plan
+
+
 def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
     # the cell argmin is a HOF over a 1-row broadcast centroid array —
     # the corpus must NOT re-shuffle by id for a window rank
