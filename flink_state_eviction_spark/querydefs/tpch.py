@@ -755,3 +755,81 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(revenue).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# analytic distribution functions (ntile / percent_rank / cume_dist)
+
+_ANALYTIC_ORACLE = """
+SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("orders_price_distribution", _ANALYTIC_ORACLE, tags=("tpch",))
+def orders_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per priority group: ntile quartiles,
+    percent_rank, cume_dist — one exchange on the partition key, one
+    sort shared by all three window functions (standard SQL semantics,
+    identical in both engines; ties broken by orderkey)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching: blocked Levenshtein pairs (edit distance <= 2)
+
+_LEVENSHTEIN_ORACLE = """
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+@register("fuzzy_customer_names", _LEVENSHTEIN_ORACLE, tags=("tpch", "text"))
+def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance matching: candidate pairs only within the
+    nation block (never all-pairs), exact Levenshtein verify <= 2 —
+    the entity-resolution analogue of the blocked-jaccard dedup path.
+    At 100 TB the block key would be a coarser signature (sorted
+    name-token prefix); the plan shape is the same bounded self-join."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = cust.select(
+        F.col("c_nationkey").alias("_blk"),
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("_na"),
+    )
+    b = cust.select(
+        F.col("c_nationkey").alias("_blk"),
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("_nb"),
+    )
+    dist = F.levenshtein(F.col("_na"), F.col("_nb"))
+    return (
+        a.join(b, "_blk")
+        .where(F.col("cust_a") < F.col("cust_b"))
+        .withColumn("distance", dist)
+        .where(F.col("distance") <= 2)
+        .select("cust_a", "cust_b", F.col("distance").cast("int").alias("distance"))
+    )
