@@ -833,3 +833,51 @@ def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("distance") <= 2)
         .select("cust_a", "cust_b", F.col("distance").cast("int").alias("distance"))
     )
+
+
+# ---------------------------------------------------------------------------
+# interval join (Flink DataStream `intervalJoin` analogue — the
+# reference has no joins, SURVEY.md §2.6; streaming twin tested in
+# tests/test_streaming_stream_join.py)
+
+_INTERVAL_ORACLE = """
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+       epoch_ms(v.ts) AS view_ts_ms, epoch_ms(c.ts) AS click_ts_ms
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 10 MINUTE
+"""
+
+
+@register("interval_join_view_click", _INTERVAL_ORACLE, tags=("tpch", "asof"))
+def interval_join_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every (view, click-within-10-min-after) pair per
+    user. Planned as an EQUI-join on user_id (one shuffle each side)
+    with the time bounds as a residual filter — never a pairwise range
+    explosion across users; output is bounded by pairs within the
+    interval. The streaming twin (watermarked stream-stream join with
+    the same bounds) is covered in tests/test_streaming_stream_join.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("_vts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("_cts"),
+    )
+    return (
+        v.join(c, "user_id")
+        .where(
+            (F.col("_cts") >= F.col("_vts"))
+            & (F.col("_cts") <= F.col("_vts") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .select(
+            "view_id", "click_id", "user_id",
+            F.unix_millis("_vts").alias("view_ts_ms"),
+            F.unix_millis("_cts").alias("click_ts_ms"),
+        )
+    )
