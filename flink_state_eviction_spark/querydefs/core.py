@@ -469,11 +469,12 @@ def window_median_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7 — the generic window-UDAF `apply` surface via applyInPandas:
     exact median per (user, week) window. The even-count interpolation
     replicates DuckDB's median formula ((lo + hi) / 2) so values match
-    bit-for-bit. Window sizing note: applyInPandas pays a per-group
-    Python round-trip, so the window must be coarse enough that group
-    count stays far below row count (user x week here; a user x hour
-    grouping at sf0.1 means ~70k near-singleton groups and a ~200s
-    query — built-in aggs are the right tool at that granularity)."""
+    bit-for-bit. Execution note: window_apply streams many contiguous
+    groups per Arrow chunk (chunked mapInPandas — measured ~2x faster
+    than per-group applyInPandas at sf0.1); still, when the aggregate
+    is expressible with built-ins, tier (a) codegen aggs remain the
+    right tool — this query exists to cover the reference's arbitrary
+    per-window `apply` contract (B7)."""
     import pandas as pd
 
     def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
