@@ -1,0 +1,66 @@
+"""Degenerate-input robustness: every registered query must run (and
+return zero rows, schema intact) against EMPTY tables. Catches
+null-handling crashes that real pipelines hit on empty partitions /
+fresh datasets — array_max of nothing, limit(k) of nothing, k-means
+with fewer rows than k, LSH with no signatures, etc."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from flink_state_eviction_spark import queries as Q
+from flink_state_eviction_spark.tables import TABLES, load_table
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_sf")
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name).limit(0)
+        df.write.mode("overwrite").parquet(
+            os.path.join(str(out), f"{name}.parquet")
+        )
+    return str(out)
+
+
+# Sample spanning every family: stateful core, windows, joins, set ops,
+# dedup (exact + LSH + components), similarity (brute, IVF, k-means),
+# text, multimodal, quantization, quantiles, fuzzy, interval.
+SAMPLE = [
+    "mws_running_sum_ttl",
+    "mws_running_sum_ttl_hotkey",
+    "tumbling_window_sum",
+    "count_window_all_label",
+    "window_median_apply",
+    "tpch_q1",
+    "revenue_by_nation",
+    "topk_orders",
+    "parts_below_avg_qty",
+    "lineitem_cube",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_canonical",
+    "similarity_topk",
+    "similarity_ivf_topk",
+    "similarity_kmeans_cells",
+    "similarity_ivf_kmeans_topk",
+    "embedding_quantize_int8",
+    "text_quality",
+    "quality_filter_gopher",
+    "multimodal_decode_bmp",
+    "multimodal_resize_decode",
+    "value_quantiles_by_type",
+    "fuzzy_customer_names",
+    "interval_join_view_click",
+    "asof_join_purchase_click",
+    "word_count",
+]
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_survives_empty_tables(spark, empty_sf_dir, name):
+    df = Q.queries()[name](spark, empty_sf_dir)
+    assert df.count() == 0
+    assert len(df.schema.fields) > 0
