@@ -1294,3 +1294,104 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         wsum_q.alias("wsum_q"),
         F.round(err, 6).alias("mean_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset split (train/val/test) — the reproducible-split
+# primitive every training pipeline needs: assignment is a pure
+# function of content (md5), not of partitioning, sampling order, or
+# cluster size, so re-runs and backfills land every doc in the same
+# split. 90/5/5 by md5 bucket.
+
+_SPLIT_ORACLE = """
+WITH b AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                   1, 6)) AS BIGINT) % 100 AS bucket
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("dataset_split_assign", _SPLIT_ORACLE, tags=("pipeline",))
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dataset split: bucket = md5('split:'||id) mod 100,
+    train <90, val <95, test otherwise. Zero shuffle, scan-parallel,
+    stable under re-partitioning and re-runs (unlike rand() or
+    df.randomSplit, which are partition-order dependent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis: users completing view -> click -> purchase in order
+
+_FUNNEL_ORACLE = """
+WITH stage AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY 1
+)
+SELECT
+    COUNT(*) AS n_users,
+    COUNT(t_view) AS n_view,
+    COUNT(CASE WHEN t_click >= t_view THEN 1 END) AS n_view_click,
+    COUNT(CASE WHEN t_click >= t_view AND t_purchase >= t_click
+          THEN 1 END) AS n_full_funnel
+FROM stage
+"""
+
+
+@register("funnel_view_click_purchase", _FUNNEL_ORACLE, tags=("pipeline",))
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, first-view -> first-click-after ->
+    first-purchase-after counts. One grouped aggregation (conditional
+    MINs) + one global rollup — two shuffles total, no self-joins, no
+    window sorts; the standard funnel formulation that survives any
+    event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    stage = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(
+            F.when(F.col("t_click") >= F.col("t_view"), F.lit(1))
+        ).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_click") >= F.col("t_view"))
+                & (F.col("t_purchase") >= F.col("t_click")),
+                F.lit(1),
+            )
+        ).alias("n_full_funnel"),
+    )
