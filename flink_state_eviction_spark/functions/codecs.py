@@ -58,6 +58,11 @@ def decode_bmp(buf: bytes) -> np.ndarray:
             f"unsupported BMP (hdr={hdr_size} planes={planes} "
             f"bpp={bpp} comp={compression})"
         )
+    # w <= 0 would make stride*h non-positive, defeating the truncation
+    # check below and surfacing as a raw numpy error (or an empty
+    # "image" that divides by zero downstream)
+    if w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP dimensions ({w} x {h})")
     bottom_up = h > 0
     h = abs(h)
     stride = (w * 3 + 3) & ~3

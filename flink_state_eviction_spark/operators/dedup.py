@@ -250,6 +250,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would emit WRONG labels (several
+        # "keepers" inside one true component). Components deeper than
+        # max_iter must fail loudly so the caller raises the bound.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(
         F.col("_u").alias(id_out), F.col("_l").alias(comp_out)
     )

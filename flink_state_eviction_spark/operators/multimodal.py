@@ -180,8 +180,15 @@ def resize_media(
             resize_nearest,
         )
 
+        # keep the media-table convention (docstring contract): the
+        # payload is re-encoded, media_type stays 'image', media_meta
+        # is rewritten with the target dims (n_frames/sample_rate carry
+        # over from the input when present, else default to 1/NULL)
+        has_meta = "media_meta" in media_df.columns
         real_schema = (
-            "doc_id bigint, media binary, scale_x double, scale_y double"
+            "doc_id bigint, media binary, media_type string, "
+            "media_meta struct<width:int, height:int, n_frames:int, "
+            "sample_rate:int>, scale_x double, scale_y double"
         )
 
         def real_op(
@@ -190,8 +197,9 @@ def resize_media(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                medias, sxs, sys_ = [], [], []
-                for media in pdf["media"]:
+                medias, metas, sxs, sys_ = [], [], [], []
+                old_metas = pdf["media_meta"] if has_meta else None
+                for i, media in enumerate(pdf["media"]):
                     px = decode_bmp(bytes(media))
                     h, w, _ = px.shape
                     medias.append(
@@ -199,20 +207,30 @@ def resize_media(
                             resize_nearest(px, target_width, target_height)
                         )
                     )
+                    old = old_metas.iloc[i] if has_meta else None
+                    metas.append(
+                        {
+                            "width": target_width,
+                            "height": target_height,
+                            "n_frames": old["n_frames"] if old else 1,
+                            "sample_rate": old["sample_rate"] if old else None,
+                        }
+                    )
                     sxs.append(target_width / w)
                     sys_.append(target_height / h)
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"],
                         "media": medias,
+                        "media_type": ["image"] * len(medias),
+                        "media_meta": metas,
                         "scale_x": sxs,
                         "scale_y": sys_,
                     }
                 )
 
-        return media_df.select("doc_id", "media").mapInPandas(
-            real_op, real_schema
-        )
+        cols = ["doc_id", "media"] + (["media_meta"] if has_meta else [])
+        return media_df.select(*cols).mapInPandas(real_op, real_schema)
 
     out_schema = (
         "doc_id bigint, media binary, media_type string, "
@@ -326,7 +344,10 @@ def decode_media(
                         "n_values": n,
                         "sum_values": total,
                         "wsum_values": wsum,
-                        "mean_value": round(total / n, 6),
+                        # spec-valid payloads can carry zero values
+                        # (empty WAV data chunk): mean is NULL, not a
+                        # ZeroDivisionError in the executor
+                        "mean_value": round(total / n, 6) if n else None,
                     }
                 )
             yield pd.DataFrame(rows)

@@ -37,7 +37,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
-    return dot(a, b) / (norm_a * norm_b)
+    # try_divide: a zero-norm vector yields NULL similarity — exactly
+    # DuckDB's 0/0 (NULL), and no DIVIDE_BY_ZERO under ANSI mode
+    # (Spark 4 default). NULL sims rank LAST under desc in BOTH engines.
+    return F.try_divide(dot(a, b), norm_a * norm_b)
 
 
 def _with_vec_and_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -68,10 +71,15 @@ def _local_truncate_topk(sim: DataFrame, id_col: str, k: int) -> DataFrame:
         best = None
         for pdf in pdf_iter:
             cur = pd.concat([best, pdf]) if best is not None else pdf
+            # na_position='last' mirrors the final rank's NULLS LAST
+            # (zero-norm vectors carry NULL sim via try_divide, and
+            # both Spark desc and DuckDB DESC order NULLs last), so
+            # phase-1 truncation keeps a superset of the final top-k
             cur = cur.sort_values(
                 ["query_id", "sim", id_col],
                 ascending=[True, False, True],
                 kind="mergesort",
+                na_position="last",
             )
             best = cur.groupby("query_id", sort=False).head(k)
         if best is not None and len(best):
@@ -92,6 +100,29 @@ def _rank_topk(truncated: DataFrame, id_col: str, k: int) -> DataFrame:
             "rank",
             F.round("sim", 6).alias("sim"),
         )
+    )
+
+
+def _cell_means(df: DataFrame) -> DataFrame:
+    """Element-wise DECIMAL(27,15)-exact mean vector per cell over a
+    (_cell, _v: array<double>) frame: posexplode → exact avg per
+    (cell, dim) → regroup in dim order. The ONE implementation shared
+    by ivf_cosine_topk (index centroids) and kmeans_cells (Lloyd
+    update) so a precision or ordering change cannot silently diverge
+    between them (both have SQL oracle twins that replay this exact
+    arithmetic). Output: (_cell, _cv)."""
+    return (
+        df.select("_cell", F.posexplode("_v").alias("_i", "_x"))
+        .groupBy("_cell", "_i")
+        .agg(
+            (
+                F.sum(F.col("_x").cast("decimal(27,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m")
+        )
+        .groupBy("_cell")
+        .agg(F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_im"))
+        .select("_cell", F.transform("_im", lambda s: s["_m"]).alias("_cv"))
     )
 
 
@@ -142,27 +173,12 @@ def ivf_cosine_topk(
     Output: (query_id, neighbor_id, rank, sim). Recall < 1 by design;
     the scan cost drops by ~n_cells/nprobe versus brute force.
     """
-    dims = F.size(F.col(vec_col))
-    # element-wise mean per cell: posexplode → decimal-exact avg → regroup
-    comp = corpus.select(
-        F.col(cell_col).alias("_cell"),
-        F.posexplode(as_double_vec(F.col(vec_col))).alias("_i", "_x"),
-    )
-    cent = (
-        comp.groupBy("_cell", "_i")
-        .agg(
-            (
-                F.sum(F.col("_x").cast("decimal(27,15)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("_m")
+    cent = _cell_means(
+        corpus.select(
+            F.col(cell_col).alias("_cell"),
+            as_double_vec(F.col(vec_col)).alias("_v"),
         )
-        .groupBy("_cell")
-        .agg(F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_im"))
-        .select(
-            "_cell", F.transform("_im", lambda s: s["_m"]).alias("_cv")
-        )
-        .withColumn("_cn", l2_norm(F.col("_cv")))
-    )
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
     q = _with_vec_and_norm(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_qv"),
@@ -273,28 +289,7 @@ def kmeans_cells(
 
     assigned = assign(cent)
     for _ in range(iters - 1):
-        cent = (
-            assigned.select(
-                "_cell", F.posexplode("_v").alias("_i", "_x")
-            )
-            .groupBy("_cell", "_i")
-            .agg(
-                (
-                    F.sum(F.col("_x").cast("decimal(27,15)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("_m")
-            )
-            .groupBy("_cell")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias(
-                    "_im"
-                )
-            )
-            .select(
-                "_cell", F.transform("_im", lambda s: s["_m"]).alias("_cv")
-            )
-            .localCheckpoint()
-        )
+        cent = _cell_means(assigned).localCheckpoint()
         assigned = assign(cent)
 
     return assigned.select(F.col(id_col), F.col("_cell").alias("cell"))

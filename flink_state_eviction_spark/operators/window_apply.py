@@ -63,7 +63,12 @@ def window_apply(
             if not len(pdf):
                 continue
             keys = pdf[part_cols]
-            gid = keys.ne(keys.shift()).any(axis=1).cumsum()
+            # null-safe group change detection: plain ne() treats
+            # NaN != NaN as True, which would split a NULL-keyed group
+            # into one group per row (groupBy treats NULLs as one group)
+            shifted = keys.shift()
+            changed = keys.ne(shifted) & ~(keys.isna() & shifted.isna())
+            gid = changed.any(axis=1).cumsum()
             last_gid = gid.iloc[-1]
             leftover = pdf[gid == last_gid]
             done = pdf[gid != last_gid]

@@ -135,6 +135,16 @@ def elements_with_gaps_rate_stream(
     """
     if tick_ms <= 0 or 1000 % tick_ms != 0:
         raise ValueError("tick_ms must divide 1000")
+    # the output adds ts/seq and internally uses tick/timestamp/_tickno;
+    # a user schema reusing those names would produce ambiguous columns
+    field_names = {
+        f.strip().split()[0] for f in schema.split(",") if f.strip()
+    }
+    reserved = field_names & {"ts", "seq", "tick", "timestamp", "_tickno"}
+    if reserved:
+        raise ValueError(
+            f"schema may not contain reserved column(s): {sorted(reserved)}"
+        )
     rows = []
     t_ms = 0
     seq = 0

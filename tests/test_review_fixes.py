@@ -1,0 +1,153 @@
+"""Regression tests for the round-2 self-review findings: NULL-keyed
+window groups, NaN similarity ordering, CC non-convergence, zero-value
+media payloads, resize output contract, degenerate BMP headers, and
+rate-stream column collisions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from conftest import ts_ms
+from pyspark.sql import functions as F
+
+
+def test_window_apply_null_key_is_one_group(spark):
+    from flink_state_eviction_spark.operators.window_apply import (
+        window_apply,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (None, ts_ms(0), 1.0),
+            (None, ts_ms(1000), 2.0),
+            (None, ts_ms(2000), 3.0),
+            ("a", ts_ms(0), 5.0),
+        ],
+        "key string, ts timestamp, value double",
+    )
+
+    def agg_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "n": [len(pdf)],
+                "total": [float(pdf["value"].sum())],
+            }
+        )
+
+    out = window_apply(
+        df, "ts", "1 hour", agg_fn, "key string, n long, total double",
+        key_cols=["key"],
+    ).collect()
+    got = {r["key"]: (r["n"], r["total"]) for r in out}
+    # the three NULL-keyed rows share ONE window group, not one each
+    assert got[None] == (3, 6.0)
+    assert got["a"] == (1, 5.0)
+    assert len(out) == 2
+
+
+def test_topk_zero_norm_vector_is_null_sim_ranked_last(spark):
+    from flink_state_eviction_spark.operators.similarity import cosine_topk
+
+    # vec_id 99 is all-zero: cosine = try_divide(0, 0) = NULL — no ANSI
+    # DIVIDE_BY_ZERO crash — and NULL sims rank LAST (both engines'
+    # desc semantics), so real neighbors fill the top-k first
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.5, 0.5]),
+            (3, [0.1, 0.9]), (99, [0.0, 0.0])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(1)  # all candidates in one partition => truncation bites
+    out = cosine_topk(
+        emb, emb.where(F.col("vec_id") == 0), "vec_id", "embedding", k=3
+    ).collect()
+    by_rank = {r["rank"]: r["neighbor_id"] for r in out}
+    assert by_rank == {1: 1, 2: 2, 3: 3}  # 99 (NULL sim) truncated last
+    # and with k covering everything, the NULL-sim row ranks dead last
+    out4 = cosine_topk(
+        emb, emb.where(F.col("vec_id") == 0), "vec_id", "embedding", k=4
+    ).collect()
+    assert {r["rank"]: r["neighbor_id"] for r in out4}[4] == 99
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from flink_state_eviction_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain of diameter 4 with the min id at the end: needs 4 rounds
+    edges = spark.createDataFrame(
+        [(7, 6), (6, 5), (5, 4), (4, 0)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    ok = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, max_iter=10).collect()
+    }
+    assert set(ok.values()) == {0}
+
+
+def test_decode_media_zero_value_payload_yields_null_mean(spark):
+    from flink_state_eviction_spark.functions.codecs import encode_wav
+    from flink_state_eviction_spark.operators.multimodal import decode_media
+
+    empty_wav = encode_wav(np.array([], dtype=np.int16), 8000)
+    df = spark.createDataFrame([(1, bytearray(empty_wav))],
+                               "doc_id long, media binary")
+    [row] = decode_media(df).collect()
+    assert row["n_values"] == 0
+    assert row["mean_value"] is None
+    assert row["sample_rate"] == 8000
+
+
+def test_real_resize_keeps_media_table_convention(spark):
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_media_from_documents,
+        resize_media,
+    )
+    from flink_state_eviction_spark.tables import load_table
+    from tests.conftest import SF_DIR  # noqa: F401  (sf_dir fixture used below)
+
+    docs_dir = SF_DIR
+    media = bmp_media_from_documents(
+        load_table(spark, docs_dir, "documents").limit(3)
+    )
+    out = resize_media(media, 4, 4)
+    assert set(out.columns) == {
+        "doc_id", "media", "media_type", "media_meta", "scale_x", "scale_y"
+    }
+    for r in out.collect():
+        assert r["media_type"] == "image"
+        assert r["media_meta"]["width"] == 4
+        assert r["media_meta"]["height"] == 4
+
+
+def test_decode_bmp_rejects_degenerate_dimensions():
+    import struct
+
+    from flink_state_eviction_spark.functions.codecs import decode_bmp
+
+    def bmp_with_dims(w, h):
+        return (
+            struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, 16, 2835, 2835, 0, 0
+            )
+            + b"\x00" * 16
+        )
+
+    for w, h in [(-1, 2), (0, 2), (2, 0)]:
+        with pytest.raises(ValueError, match="BMP dimensions"):
+            decode_bmp(bmp_with_dims(w, h))
+
+
+def test_rate_stream_rejects_reserved_columns(spark):
+    from flink_state_eviction_spark.sources.fixtures import (
+        elements_with_gaps_rate_stream,
+    )
+
+    with pytest.raises(ValueError, match="reserved"):
+        elements_with_gaps_rate_stream(
+            spark, [("a", 1)], schema="key string, ts timestamp"
+        )
