@@ -22,7 +22,7 @@ from flink_state_eviction_spark.operators.windows import (
     time_window_agg,
 )
 from flink_state_eviction_spark.operators.window_apply import window_apply
-from flink_state_eviction_spark.queries import register
+from flink_state_eviction_spark.queries import register, register_supplementary
 from flink_state_eviction_spark.tables import load_table
 
 TTL_MS = 6 * 3600 * 1000  # 6h TTL against the events table's ts spread
@@ -199,11 +199,15 @@ GROUP BY 1, 2
 """
 
 
-@register("tumbling_window_all", _WINDOW_ALL_ORACLE, tags=("core",))
+@register_supplementary("tumbling_window_all", _WINDOW_ALL_ORACLE, tags=("core",))
 def tumbling_window_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-keyed windowAll (WindowAllTimeKeyedPoC.java:157-159). The
     reference hand-parallelizes this (ParAllWindowedStream, :57-89);
-    Spark's partial+final HashAggregate is that strategy natively."""
+    Spark's partial+final HashAggregate is that strategy natively.
+
+    Supplementary (oracle-parity + plan-gate signal only): the driver
+    row for windowAll + the label UDAF is `tumbling_window_all_label`,
+    which runs the same keyless time_window_agg path."""
     ev = load_table(spark, sf_dir, "events")
     return time_window_agg(
         ev,
@@ -308,11 +312,19 @@ HAVING COUNT(*) = {_CW_SIZE}
 """
 
 
-@register("count_window_all_label", _COUNT_WINDOW_ALL_ORACLE, tags=("core",))
+@register_supplementary(
+    "count_window_all_label", _COUNT_WINDOW_ALL_ORACLE, tags=("core",)
+)
 def count_window_all_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """countWindowAll(n) + the label-concat/sum window UDAF
     (WindowAllKeyedPoC.java:20-33,86-88; F4 fixture), on events with the
-    scalable bucketed global row_number (bucket = event day)."""
+    scalable bucketed global row_number (bucket = event day).
+
+    Supplementary (oracle-parity + plan-gate signal only): the driver
+    rows for count windows / the label UDAF are `count_window_keyed`
+    (same count_window_agg path, keyed) and `tumbling_window_all_label`
+    (keyless label UDAF); the streaming twin is
+    tests/test_streaming_count_window.py."""
     ev = load_table(spark, sf_dir, "events")
     out = count_window_agg(
         ev,

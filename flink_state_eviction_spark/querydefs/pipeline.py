@@ -30,7 +30,7 @@ from flink_state_eviction_spark.operators.similarity import (
     cosine_topk,
     ivf_cosine_topk,
 )
-from flink_state_eviction_spark.queries import register
+from flink_state_eviction_spark.queries import register, register_supplementary
 from flink_state_eviction_spark.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -380,8 +380,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # document fingerprints (simhash60 + minhash seed 0 + md5)
 
-_FPRINT_ORACLE = f"""
-WITH {_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
+_FPRINT_BODY = """
 tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
 th AS (
     SELECT doc_id,
@@ -408,7 +407,11 @@ mh0 AS (
                 AS BIGINT) % 2147483647) + 239081663) % 2147483647)
                AS minhash_0
     FROM ex GROUP BY 1
-)
+)"""
+
+_FPRINT_ORACLE = f"""
+WITH {_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
+{_FPRINT_BODY.strip()}
 SELECT d.doc_id, md5(d.text) AS text_md5,
        COALESCE(fp.simhash, 0) AS simhash, mh0.minhash_0
 FROM documents d
@@ -417,9 +420,11 @@ LEFT JOIN mh0 ON mh0.doc_id = d.doc_id
 """
 
 
-@register("doc_fingerprint", _FPRINT_ORACLE, tags=("pipeline", "text"))
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document fingerprints: simhash60, minhash seed 0, md5 digest."""
+def _doc_fingerprint_cols(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """(base fingerprint columns, minhash_0 side) shared by
+    `doc_fingerprint` and `text_profile`."""
     from flink_state_eviction_spark.functions.text import (
         minhash_signature_udf,
     )
@@ -433,16 +438,22 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mh_udf = minhash_signature_udf(1)
     sh = shingle_sets(docs, "doc_id", "text", k=3)
-    return (
-        toked.join(
-            sh.select(
-                "doc_id",
-                F.element_at(mh_udf(F.col("sh")), 1).alias("minhash_0"),
-            ),
-            "doc_id",
-            "left",
-        )
-        .select("doc_id", "text_md5", "simhash", "minhash_0")
+    mh = sh.select(
+        "doc_id", F.element_at(mh_udf(F.col("sh")), 1).alias("minhash_0")
+    )
+    return toked, mh
+
+
+@register_supplementary("doc_fingerprint", _FPRINT_ORACLE, tags=("pipeline", "text"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fingerprints: simhash60, minhash seed 0, md5 digest.
+
+    Supplementary (oracle-parity signal only): the driver row for the
+    fingerprint family is `text_profile`, which carries these exact
+    columns."""
+    toked, mh = _doc_fingerprint_cols(spark, sf_dir)
+    return toked.join(mh, "doc_id", "left").select(
+        "doc_id", "text_md5", "simhash", "minhash_0"
     )
 
 
@@ -626,44 +637,60 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 # language-ID heuristic (stopword-list scoring, fixed priority argmax)
 
 
-def _langid_sql() -> str:
-    score = lambda lang: (  # noqa: E731
+def _lang_score_sql(lang: str) -> str:
+    return (
         f"CAST(len(list_filter(toks, x -> "
         f"list_contains({list(LANG_STOPWORDS[lang])!r}, x))) AS BIGINT)"
     )
-    return f"""
-WITH {_SQL_TOKS.strip()},
-s AS (
-    SELECT doc_id, {score("en")} AS s_en, {score("de")} AS s_de,
-           {score("fr")} AS s_fr, {score("es")} AS s_es
+
+
+_LANGID_SCORES_CTE = f"""ls AS (
+    SELECT doc_id, {_lang_score_sql("en")} AS s_en,
+           {_lang_score_sql("de")} AS s_de,
+           {_lang_score_sql("fr")} AS s_fr,
+           {_lang_score_sql("es")} AS s_es
     FROM toks
-)
-SELECT doc_id, s_en, s_de, s_fr, s_es,
+)"""
+
+_DETECTED_CASE_SQL = """
        CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
             WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
             WHEN s_fr >= s_es THEN 'fr'
             ELSE 'es' END AS detected
-FROM s
+""".strip()
+
+_LANGID_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+{_LANGID_SCORES_CTE}
+SELECT doc_id, s_en, s_de, s_fr, s_es,
+       {_DETECTED_CASE_SQL}
+FROM ls
 """
 
 
-@register("text_langid", _langid_sql(), tags=("pipeline", "text"))
+def _detected_col():
+    e, g, fr, s = (F.col("s_en"), F.col("s_de"), F.col("s_fr"), F.col("s_es"))
+    return (
+        F.when((e >= g) & (e >= fr) & (e >= s), "en")
+        .when((g >= fr) & (g >= s), "de")
+        .when(fr >= s, "fr")
+        .otherwise("es")
+    )
+
+
+@register_supplementary("text_langid", _LANGID_ORACLE, tags=("pipeline", "text"))
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-scoring language-ID heuristic with fixed-priority argmax."""
+    """Stopword-scoring language-ID heuristic with fixed-priority argmax.
+
+    Supplementary (oracle-parity signal only): the driver row for
+    language-ID is `text_profile`, which carries these exact columns."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     sc = {k: v.cast("long") for k, v in lang_scores(F.col("toks")).items()}
     d = t.select(
         "doc_id", *[c.alias(f"s_{lang}") for lang, c in sc.items()]
     )
-    e, g, fr, s = (F.col("s_en"), F.col("s_de"), F.col("s_fr"), F.col("s_es"))
-    detected = (
-        F.when((e >= g) & (e >= fr) & (e >= s), "en")
-        .when((g >= fr) & (g >= s), "de")
-        .when(fr >= s, "fr")
-        .otherwise("es")
-    )
-    return d.withColumn("detected", detected)
+    return d.withColumn("detected", _detected_col())
 
 
 # ---------------------------------------------------------------------------
@@ -680,16 +707,93 @@ FROM documents
 """
 
 
-@register("token_count", _TOKEN_COUNT_ORACLE, tags=("pipeline", "text"))
-def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex tokenizer count + bytes/4 BPE-proxy token estimate."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
+def _token_count_cols() -> "list":
+    return [
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), 0))
         .cast("long")
         .alias("n_re_tokens"),
-        F.expr("(length(text) + 3) div 4").cast("long").alias("approx_bpe_tokens"),
+        F.expr("(length(text) + 3) div 4").cast("long").alias(
+            "approx_bpe_tokens"
+        ),
+    ]
+
+
+@register_supplementary("token_count", _TOKEN_COUNT_ORACLE, tags=("pipeline", "text"))
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenizer count + bytes/4 BPE-proxy token estimate.
+
+    Supplementary (oracle-parity signal only): the driver row for token
+    counting is `text_profile`, which carries these exact columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *_token_count_cols())
+
+
+# ---------------------------------------------------------------------------
+# unified per-document text profile: the "featurize" stage of a
+# training-data pipeline — fingerprints (md5/simhash/minhash), language
+# ID, and token counts in ONE scan of the corpus. Merges the former
+# standalone driver queries `doc_fingerprint` + `text_langid` +
+# `token_count` (each still oracle-parity-tested standalone) into a
+# single driver row without losing any column-level hash check.
+
+_TOKEN_COUNT_SELECT_SQL = f"""
+       CAST(len(regexp_extract_all(lower(d.text), '{_TOKEN_RE}')) AS BIGINT)
+           AS n_re_tokens,
+       CAST((length(d.text) + 3) // 4 AS BIGINT) AS approx_bpe_tokens
+""".strip()
+
+_PROFILE_ORACLE = f"""
+WITH {_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
+{_FPRINT_BODY.strip()},
+{_LANGID_SCORES_CTE}
+SELECT d.doc_id, md5(d.text) AS text_md5,
+       COALESCE(fp.simhash, 0) AS simhash, mh0.minhash_0,
+       ls.s_en, ls.s_de, ls.s_fr, ls.s_es,
+       {_DETECTED_CASE_SQL},
+       {_TOKEN_COUNT_SELECT_SQL}
+FROM documents d
+LEFT JOIN fp ON fp.doc_id = d.doc_id
+LEFT JOIN mh0 ON mh0.doc_id = d.doc_id
+JOIN ls ON ls.doc_id = d.doc_id
+"""
+
+
+@register("text_profile", _PROFILE_ORACLE, tags=("pipeline", "text"))
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile: md5/simhash60/minhash fingerprints,
+    stopword-scoring language ID, and token-count estimates in one
+    corpus scan (plus the shingle→minhash Arrow pass). All expressions
+    are codegen or Arrow-vectorized; the only shuffle-free-breaking op
+    is the doc_id equi-join of the minhash side — scan-parallel at any
+    corpus size."""
+    from flink_state_eviction_spark.functions.text import (
+        minhash_signature_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sim_udf = simhash60_udf()
+    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    sc = {k: v.cast("long") for k, v in lang_scores(F.col("toks")).items()}
+    base = t.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        sim_udf(F.col("toks")).alias("simhash"),
+        *[c.alias(f"s_{lang}") for lang, c in sc.items()],
+        *_token_count_cols(),
+    )
+    mh_udf = minhash_signature_udf(1)
+    sh = shingle_sets(docs, "doc_id", "text", k=3)
+    mh = sh.select(
+        "doc_id", F.element_at(mh_udf(F.col("sh")), 1).alias("minhash_0")
+    )
+    return (
+        base.join(mh, "doc_id", "left")
+        .withColumn("detected", _detected_col())
+        .select(
+            "doc_id", "text_md5", "simhash", "minhash_0",
+            "s_en", "s_de", "s_fr", "s_es", "detected",
+            "n_re_tokens", "approx_bpe_tokens",
+        )
     )
 
 
@@ -1021,11 +1125,17 @@ FROM r WHERE rank <= 10
 """
 
 
-@register("similarity_ivf_topk", _IVF_ORACLE, tags=("pipeline", "similarity"))
+@register_supplementary(
+    "similarity_ivf_topk", _IVF_ORACLE, tags=("pipeline", "similarity")
+)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: oracle-checked — centroids are decimal-exact elementwise
     means, so probe selection and ranking are deterministic in both
-    engines; recall-vs-brute-force asserted in tests/test_similarity.py."""
+    engines; recall-vs-brute-force asserted in tests/test_similarity.py.
+
+    Supplementary (oracle-parity + plan-gate signal only): the driver
+    row for the ivf_cosine_topk operator is `similarity_ivf_kmeans_topk`
+    (same code path, learned cells instead of the label column)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(
         emb,

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_state_eviction_spark.queries import register
+from flink_state_eviction_spark.queries import register, register_supplementary
 from flink_state_eviction_spark.tables import load_table
 
 _DEC = "decimal(18,2)"
@@ -151,10 +151,14 @@ LIMIT 10
 """
 
 
-@register("topk_orders", _TOPK_ORACLE, tags=("tpch",))
+@register_supplementary("topk_orders", _TOPK_ORACLE, tags=("tpch",))
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k: planned as TakeOrderedAndProject — per-partition heaps +
-    driver merge of k rows, never a global sort of the table."""
+    driver merge of k rows, never a global sort of the table.
+
+    Supplementary (oracle-parity + plan-gate signal only): the
+    TakeOrderedAndProject strategy has driver rows via
+    `tpch_q3_shipping_priority` / `tpch_q18_large_orders`."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.select("o_orderkey", "o_custkey", "o_totalprice")
@@ -170,9 +174,14 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
-@register("customers_without_orders", _ANTI_ORACLE, tags=("tpch",))
+@register_supplementary("customers_without_orders", _ANTI_ORACLE, tags=("tpch",))
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS as a left-anti join (broadcastable key-only side)."""
+    """NOT EXISTS as a left-anti join (broadcastable key-only side).
+
+    Supplementary (oracle-parity signal only): returns 0 rows on the
+    driver tables (every customer has orders), so the driver row it
+    consumed was near-informationless; set-difference semantics keep a
+    driver row via `custkeys_churn_retention`."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return cust.join(
@@ -191,10 +200,14 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
-@register("lineitem_rollup", _ROLLUP_ORACLE, tags=("tpch",))
+@register_supplementary("lineitem_rollup", _ROLLUP_ORACLE, tags=("tpch",))
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets aggregation (rollup) — absent from the reference
-    (SURVEY.md §2.6); native in both engines."""
+    (SURVEY.md §2.6); native in both engines.
+
+    Supplementary (oracle-parity signal only): `lineitem_cube` is the
+    driver row for grouping sets — its CUBE groupings are a strict
+    superset of these ROLLUP groupings and it carries grouping_id."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
@@ -213,21 +226,66 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 """
 
 
-@register("custkeys_churned", _SETOP_ORACLE, tags=("tpch",))
+def _order_keys(orders: DataFrame, y0: str, y1: str) -> DataFrame:
+    return orders.where(
+        (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+    ).select("o_custkey")
+
+
+@register_supplementary("custkeys_churned", _SETOP_ORACLE, tags=("tpch",))
 def custkeys_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference (EXCEPT): customers ordering in 1995 but not 1996."""
+    """Set difference (EXCEPT): customers ordering in 1995 but not 1996.
+
+    Supplementary (oracle-parity signal only): the driver row for both
+    set ops is `custkeys_churn_retention` (EXCEPT + INTERSECT merged)."""
     orders = load_table(spark, sf_dir, "orders")
-
-    def keys(y0: str, y1: str) -> DataFrame:
-        return orders.where(
-            (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
-        ).select("o_custkey")
-
     # set semantics (SQL EXCEPT): a single 1996 order removes the key
-    return keys("1995-01-01", "1996-01-01").distinct().subtract(
-        keys("1996-01-01", "1997-01-01")
+    return _order_keys(orders, "1995-01-01", "1996-01-01").distinct().subtract(
+        _order_keys(orders, "1996-01-01", "1997-01-01")
     )
+
+
+_CHURN_RETENTION_ORACLE = """
+SELECT o_custkey, 'churned' AS status FROM (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+UNION ALL
+SELECT o_custkey, 'retained' AS status FROM (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+"""
+
+
+@register("custkeys_churn_retention", _CHURN_RETENTION_ORACLE, tags=("tpch",))
+def custkeys_churn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both set ops in one result: 1995 customers partitioned into
+    'churned' (EXCEPT 1996) and 'retained' (INTERSECT 1996) — the merge
+    of `custkeys_churned` + `custkeys_retained` (each still
+    oracle-parity-tested standalone). Set ops are absent from the
+    reference (SURVEY.md §2.6). Both branches shuffle on o_custkey, so
+    AQE can reuse the exchange; neither side ever materializes the full
+    orders table."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = _order_keys(orders, "1995-01-01", "1996-01-01")
+    y96 = _order_keys(orders, "1996-01-01", "1997-01-01")
+    churned = y95.distinct().subtract(y96).withColumn(
+        "status", F.lit("churned")
+    )
+    retained = y95.intersect(y96).withColumn("status", F.lit("retained"))
+    return churned.unionByName(retained)
 
 
 _SALTED_ORACLE = """
@@ -268,9 +326,13 @@ GROUP BY 1
 """
 
 
-@register("part_brand_stats", _PART_ORACLE, tags=("tpch",))
+@register_supplementary("part_brand_stats", _PART_ORACLE, tags=("tpch",))
 def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped stats per part brand (count, decimal-exact avg price, distinct types)."""
+    """Grouped stats per part brand (count, decimal-exact avg price, distinct types).
+
+    Supplementary (oracle-parity signal only): plain multi-aggregate
+    groupBy has driver rows via `tpch_q1` / `salted_user_stats`; the
+    distinct aggregate via `json_extract_agg.n_users`."""
     part = load_table(spark, sf_dir, "part")
     return part.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_parts"),
@@ -287,7 +349,8 @@ _JSON_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-           AS sum_k
+           AS sum_k,
+       COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1
 """
@@ -296,11 +359,15 @@ GROUP BY 1
 @register("json_extract_agg", _JSON_ORACLE, tags=("tpch", "functions"))
 def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction (absent from the reference, §2.5) —
-    get_json_object stays JVM-side and integer sums are exact."""
+    get_json_object stays JVM-side and integer sums are exact. Also the
+    driver row for exact DISTINCT aggregation (n_users — two-phase
+    partial-distinct plan; `distinct_cust_per_priority` keeps its own
+    oracle-parity signal)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.countDistinct("user_id").alias("n_users"),
     )
 
 
@@ -340,9 +407,14 @@ GROUP BY 1
 """
 
 
-@register("distinct_cust_per_priority", _DISTINCT_ORACLE, tags=("tpch",))
+@register_supplementary(
+    "distinct_cust_per_priority", _DISTINCT_ORACLE, tags=("tpch",)
+)
 def distinct_cust_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct aggregation (two-phase partial distinct plan)."""
+    """Exact distinct aggregation (two-phase partial distinct plan).
+
+    Supplementary (oracle-parity signal only): the driver row for exact
+    distinct aggregation is `json_extract_agg.n_users`."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -446,20 +518,16 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 """
 
 
-@register("custkeys_retained", _INTERSECT_ORACLE, tags=("tpch",))
+@register_supplementary("custkeys_retained", _INTERSECT_ORACLE, tags=("tpch",))
 def custkeys_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set intersection (INTERSECT): customers ordering in both 1995
-    and 1996."""
+    and 1996.
+
+    Supplementary (oracle-parity signal only): the driver row for both
+    set ops is `custkeys_churn_retention`."""
     orders = load_table(spark, sf_dir, "orders")
-
-    def keys(y0: str, y1: str) -> DataFrame:
-        return orders.where(
-            (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
-        ).select("o_custkey")
-
-    return keys("1995-01-01", "1996-01-01").intersect(
-        keys("1996-01-01", "1997-01-01")
+    return _order_keys(orders, "1995-01-01", "1996-01-01").intersect(
+        _order_keys(orders, "1996-01-01", "1997-01-01")
     )
 
 
@@ -467,7 +535,10 @@ _CUBE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
            AS sum_price,
-       COUNT(*) AS n_rows
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+           AS gid
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -475,11 +546,17 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 
 @register("lineitem_cube", _CUBE_ORACLE, tags=("tpch",))
 def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full grouping-sets cube over (returnflag, linestatus)."""
+    """Full grouping-sets cube over (returnflag, linestatus) with
+    grouping_id — the driver row for grouping-sets aggregation: its
+    groupings strictly include `lineitem_rollup`'s (which keeps its own
+    oracle-parity signal). One expand + one partial+final aggregate —
+    no per-grouping rescans."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.sum(_d("l_extendedprice")).cast("double").alias("sum_price"),
+        F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.grouping_id().alias("gid"),
     )
 
 
@@ -859,30 +936,28 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 @register("interval_join_view_click", _INTERVAL_ORACLE, tags=("tpch", "asof"))
 def interval_join_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: every (view, click-within-10-min-after) pair per
-    user. Planned as an EQUI-join on user_id (one shuffle each side)
-    with the time bounds as a residual filter — never a pairwise range
-    explosion across users; output is bounded by pairs within the
-    interval. The streaming twin (watermarked stream-stream join with
-    the same bounds) is covered in tests/test_streaming_stream_join.py.
+    user (operators/interval.py). Planned as an EQUI-join on user_id
+    (one shuffle each side) with the time bounds as a residual filter —
+    never a pairwise range explosion across users; output is bounded by
+    pairs within the interval. For mega-hot keys the engine ships
+    `interval_join_bucketed` ((user, time-bucket) join key — parity +
+    hot-key test in tests/test_interval_join.py). The streaming twin
+    (watermarked stream-stream join with the same bounds) is covered in
+    tests/test_streaming_stream_join.py.
     """
+    from flink_state_eviction_spark.operators.interval import interval_join
+
     ev = load_table(spark, sf_dir, "events")
     v = ev.where(F.col("event_type") == "view").select(
-        F.col("user_id"), F.col("event_id").alias("view_id"),
-        F.col("ts").alias("_vts"),
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts")
     )
     c = ev.where(F.col("event_type") == "click").select(
-        F.col("user_id"), F.col("event_id").alias("click_id"),
-        F.col("ts").alias("_cts"),
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts")
     )
-    return (
-        v.join(c, "user_id")
-        .where(
-            (F.col("_cts") >= F.col("_vts"))
-            & (F.col("_cts") <= F.col("_vts") + F.expr("INTERVAL 10 MINUTES"))
-        )
-        .select(
-            "view_id", "click_id", "user_id",
-            F.unix_millis("_vts").alias("view_ts_ms"),
-            F.unix_millis("_cts").alias("click_ts_ms"),
-        )
+    return interval_join(
+        v, c, "user_id", "ts", "ts", 0, 10 * 60_000
+    ).select(
+        "view_id", "click_id", "user_id",
+        F.unix_millis("_lts").alias("view_ts_ms"),
+        F.unix_millis("_rts").alias("click_ts_ms"),
     )

@@ -20,23 +20,47 @@ def main() -> None:
         "Every query is a `queries()` entry; `oracle` = paired DuckDB SQL",
         "checked bit-for-bit by the driver (and `tests/test_oracle_parity.py`).",
         "",
+        "The driver's correctness sweep covers the first "
+        f"{Q.DRIVER_WINDOW} registry entries, so driver registration is "
+        f"capped at {Q.DRIVER_WINDOW} (tests/test_registry_contract.py).",
+        "Queries whose semantics are carried by a merged/extended driver",
+        "query are SUPPLEMENTARY: same oracle-parity pytest gate, no",
+        "driver slot (second table below).",
+        "",
         "| query | tags | oracle | headline | summary |",
         "|---|---|---|---|---|",
     ]
-    for name in sorted(Q.REGISTRY):
-        q = Q.REGISTRY[name]
+
+    def row(q) -> str:
         doc = (q.fn.__doc__ or "").strip().split("\n")[0].rstrip(".")
-        lines.append(
-            f"| `{name}` | {', '.join(q.tags)} | "
+        return (
+            f"| `{q.name}` | {', '.join(q.tags)} | "
             f"{'yes' if q.oracle else 'rows-only'} | "
             f"{'yes' if q.headline else ''} | {doc} |"
         )
+
+    for name in sorted(Q.REGISTRY):
+        lines.append(row(Q.REGISTRY[name]))
     n_oracle = sum(1 for q in Q.REGISTRY.values() if q.oracle)
     lines += [
         "",
-        f"{len(Q.REGISTRY)} queries, {n_oracle} oracle-checked, "
+        f"{len(Q.REGISTRY)} driver queries, {n_oracle} oracle-checked, "
         f"{sum(1 for q in Q.REGISTRY.values() if q.headline)} in the bench "
         "headline set.",
+        "",
+        "## Supplementary queries (oracle-parity signal, no driver slot)",
+        "",
+        "Each docstring names the driver query that carries its",
+        "semantics.",
+        "",
+        "| query | tags | oracle | headline | summary |",
+        "|---|---|---|---|---|",
+    ]
+    for name in sorted(Q.SUPPLEMENTARY):
+        lines.append(row(Q.SUPPLEMENTARY[name]))
+    lines += [
+        "",
+        f"{len(Q.SUPPLEMENTARY)} supplementary queries.",
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "QUERIES.md")

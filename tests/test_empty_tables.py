@@ -50,7 +50,10 @@ SAMPLE = [
     "text_quality",
     "quality_filter_gopher",
     "multimodal_decode_bmp",
+    "multimodal_decode_wav",
     "multimodal_resize_decode",
+    "text_profile",
+    "custkeys_churn_retention",
     "value_quantiles_by_type",
     "fuzzy_customer_names",
     "interval_join_view_click",
@@ -61,6 +64,6 @@ SAMPLE = [
 
 @pytest.mark.parametrize("name", SAMPLE)
 def test_query_survives_empty_tables(spark, empty_sf_dir, name):
-    df = Q.queries()[name](spark, empty_sf_dir)
+    df = Q.all_queries()[name](spark, empty_sf_dir)
     assert df.count() == 0
     assert len(df.schema.fields) > 0

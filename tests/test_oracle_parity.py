@@ -58,13 +58,16 @@ def _rows(pdf):
     return sorted(rows, key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
-ALL = sorted(Q.queries())
-ORACLES = Q.oracle_sql()
+# driver-registered + supplementary (demoted-from-driver) queries: the
+# supplementary set keeps the exact same parity gate without consuming
+# one of the driver's 50 correctness slots.
+ALL = sorted(Q.all_queries())
+ORACLES = Q.all_oracle_sql()
 
 
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(spark, name):
-    fn = Q.queries()[name]
+    fn = Q.all_queries()[name]
     sdf = fn(spark, SF_DIR)
     spark_pdf = sdf.toPandas()
     if name not in ORACLES:

@@ -15,7 +15,7 @@ from flink_state_eviction_spark.plans.explain import (
 
 
 def _q(name, spark, sf_dir):
-    return Q.queries()[name](spark, sf_dir)
+    return Q.all_queries()[name](spark, sf_dir)
 
 
 def test_project_filter_pushdown(spark, sf_dir):
@@ -138,6 +138,25 @@ def test_count_window_data_path_not_single_partition(spark, sf_dir):
         l for l in plan.splitlines() if "Exchange hashpartitioning" in l
     ]
     assert data_exchanges, plan  # bucket shuffle present
+
+
+def test_canonical_mapping_not_forced_broadcast(spark, sf_dir):
+    # The components side of canonical_mapping is corpus-proportional
+    # on high-dup-rate corpora (one row per doc in any near-dup pair) —
+    # a FORCED broadcast there is a 100 TB OOM. With auto-broadcast
+    # disabled (what stats report at scale) the join must degrade to a
+    # shuffled join; with it enabled, AQE/Catalyst may still size-pick
+    # a broadcast, which is fine.
+    conf = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "-1")
+        df = _q("dedup_near_canonical", spark, sf_dir)
+        plan = physical_plan(df, "simple")
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    finally:
+        spark.conf.set(conf, prev)
 
 
 def test_mws_flagship_single_shuffle(spark, sf_dir):

@@ -1,0 +1,116 @@
+"""Driver-window contract: the correctness sweep checks only the FIRST
+50 entries of ``queries()`` in registration order, so the registry must
+never grow past 50 — round 2 silently dropped 11 queries (including 3
+that were driver-green in round 1) out of the window by exceeding it.
+
+These gates pin: the cap, the presence of every operator-family
+evidence query inside the window, and that every driver query has a
+DuckDB oracle (no accidental rows-only demotions).
+"""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark import queries as Q
+
+# One query per operator family / headline surface that must keep a
+# hard driver correctness row (SURVEY.md §2 evidence + VERDICT r02
+# "Next round" item 1). Additions to the registry must displace or
+# merge something, never push these out.
+MUST_HAVE = {
+    # reference §2 core
+    "mws_running_sum_ttl",
+    "mws_running_sum_ttl_hotkey",
+    "keyed_running_reduce",
+    "tumbling_window_sum",
+    "sliding_window_sum",
+    "session_window_sum",
+    "count_window_keyed",
+    "tumbling_window_all_label",
+    "project_filter",
+    "events_topn_per_user",
+    "window_median_apply",
+    "value_quantiles_by_type",
+    "word_count",
+    # dedup family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_canonical",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # text family
+    "text_quality",
+    "quality_filter_gopher",
+    "text_profile",
+    "text_tfidf",
+    # multimodal family
+    "multimodal_features",
+    "multimodal_decode_bmp",
+    "multimodal_decode_wav",
+    "multimodal_resize_decode",
+    # similarity family
+    "similarity_topk",
+    "similarity_kmeans_cells",
+    "similarity_ivf_kmeans_topk",
+    "embedding_quantize_int8",
+    # pipeline extensions
+    "dataset_split_assign",
+    "funnel_view_click_purchase",
+    "salted_user_stats",
+    # relational surface
+    "tpch_q1",
+    "revenue_by_nation",
+    "custkeys_churn_retention",
+    "json_extract_agg",
+    "pivot_flag_status",
+    "asof_join_purchase_click",
+    "range_rolling_1h",
+    "lineitem_cube",
+    "parts_below_avg_qty",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "orders_price_distribution",
+    "fuzzy_customer_names",
+    "interval_join_view_click",
+}
+
+
+def test_registry_fits_driver_window():
+    names = list(Q.queries())
+    assert len(names) <= Q.DRIVER_WINDOW, (
+        f"{len(names)} registered driver queries > the driver's "
+        f"{Q.DRIVER_WINDOW}-entry correctness window: "
+        f"{names[Q.DRIVER_WINDOW:]} would silently lose their rows. "
+        "Merge or demote (register_supplementary) before adding."
+    )
+
+
+def test_every_family_keeps_a_driver_row():
+    window = set(list(Q.queries())[: Q.DRIVER_WINDOW])
+    missing = MUST_HAVE - window
+    assert not missing, f"operator-family queries outside driver window: {sorted(missing)}"
+
+
+def test_every_driver_query_has_an_oracle():
+    # every driver row should be a full value-hash check; genuinely
+    # non-SQL-expressible ops must be listed here explicitly
+    rows_only_allowed: set[str] = set()
+    missing = set(Q.queries()) - set(Q.oracle_sql()) - rows_only_allowed
+    assert not missing, f"driver queries without DuckDB oracle: {sorted(missing)}"
+
+
+def test_supplementary_queries_all_have_oracles():
+    # supplementary demotions keep full parity signal, not rows-only
+    Q.all_queries()  # force registration
+    missing = [
+        n for n, q in Q.SUPPLEMENTARY.items() if q.oracle is None
+    ]
+    assert not missing, missing
+
+
+def test_no_name_collisions_between_registries():
+    Q.all_queries()  # force registration
+    both = set(Q.REGISTRY) & set(Q.SUPPLEMENTARY)
+    assert not both, f"names in both registries: {sorted(both)}"
