@@ -273,10 +273,17 @@ def canonical_mapping(
     representative (min id) for docs in any duplicate pair, itself
     otherwise. Output: (id, keeper_id, is_kept).
 
-    The components table is tiny relative to the corpus (paired docs
-    only) — the join broadcasts; the corpus never shuffles."""
+    No broadcast hint on the components side: it holds one row per
+    document that appears in ANY near-dup pair, and on a web-scale
+    corpus dup-pair membership is commonly 30%+ of all docs — an
+    absolutely corpus-proportional side that a forced broadcast would
+    OOM on. A plain equi-join on the id lets AQE size-pick: broadcast
+    when the components side really is small, shuffle-hash/sort-merge
+    on the id otherwise (each side shuffles at most once). Plan-gated
+    in tests/test_plan_quality.py (no forced BroadcastExchange when
+    auto-broadcast is disabled)."""
     return docs.select(id_col).join(
-        F.broadcast(components), id_col, "left"
+        components, id_col, "left"
     ).select(
         F.col(id_col),
         F.coalesce(F.col(comp_col), F.col(id_col)).alias("keeper_id"),
