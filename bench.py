@@ -57,6 +57,14 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Like-for-like subtotal vs the FIRST recorded round at this SF:
+    # the headline set grows over rounds (e.g. the bucketed hot-key
+    # flagship), so the raw total is not comparable across rounds —
+    # this subtotal is (per-query history in BENCH_HISTORY.json stays
+    # authoritative).
+    lfl = like_for_like(timings, sf)
+    if lfl is not None:
+        out["like_for_like"] = lfl
     if regressions:
         out["regressions"] = regressions
     print(json.dumps(out))
@@ -71,8 +79,44 @@ def load_history() -> dict:
     try:
         with open(path) as f:
             return json.load(f)
-    except (OSError, ValueError):
+    except OSError:
+        if os.path.exists(path):
+            print(
+                f"WARNING: {path} unreadable - regression gate disabled",
+                file=sys.stderr,
+            )
         return {}
+    except ValueError as e:
+        print(
+            f"WARNING: {path} failed to parse ({e}) - regression gate "
+            "disabled",
+            file=sys.stderr,
+        )
+        return {}
+
+
+def like_for_like(
+    timings: dict[str, float], sf: "float | None"
+) -> "dict | None":
+    """Subtotal over the queries shared with the earliest recorded
+    round at this SF, alongside that round's subtotal."""
+    history = load_history()
+    for round_name in sorted(history):
+        rec = history[round_name]
+        if rec.get("sf") != sf:
+            continue
+        shared = sorted(set(rec.get("queries", {})) & set(timings))
+        if not shared:
+            return None
+        return {
+            "vs": round_name,
+            "queries": shared,
+            "value": round(sum(timings[q] for q in shared), 3),
+            "baseline_value": round(
+                sum(rec["queries"][q] for q in shared), 3
+            ),
+        }
+    return None
 
 
 def check_regressions(

@@ -114,7 +114,19 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(buf):
         cid, size = struct.unpack_from("<4sI", buf, pos)
         body = buf[pos + 8 : pos + 8 + size]
+        # a declared size past EOF silently truncates the slice — treat
+        # it as corruption (ValueError contract), not a numpy/struct
+        # error deep in the decode
+        if len(body) < size:
+            raise ValueError(
+                f"WAV chunk {cid!r} declares {size} bytes but only "
+                f"{len(body)} remain"
+            )
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"WAV fmt chunk too short ({len(body)} < 16 bytes)"
+                )
             audio_fmt, channels, sample_rate = struct.unpack_from(
                 "<HHI", body, 0
             )
@@ -125,6 +137,10 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
                     f"bits={bits})"
                 )
         elif cid == b"data":
+            if size % 2 != 0:
+                raise ValueError(
+                    f"WAV data chunk has odd byte length {size} (PCM16)"
+                )
             data = body
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if sample_rate is None or data is None:

@@ -245,6 +245,10 @@ def kmeans_cells(
     v = corpus.select(
         F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
     ).localCheckpoint(eager=False)
+    # interpreted HOFs don't CSE: project the self-dot ONCE as a named
+    # column, or the transform lambda below re-evaluates it k times per
+    # row every iteration
+    v = v.withColumn("_vv", dot(F.col("_v"), F.col("_v")))
 
     init_w = Window.orderBy(id_col)
     cent = (
@@ -267,7 +271,7 @@ def kmeans_cells(
 
         def d2_of(c):
             return (
-                dot(F.col("_v"), F.col("_v"))
+                F.col("_vv")
                 - 2 * dot(F.col("_v"), c["_cv"])
                 + dot(c["_cv"], c["_cv"])
             )

@@ -23,3 +23,14 @@ def test_check_regressions_flags_2x():
     # unknown queries and other SFs never flag
     assert bench.check_regressions({"new_query": 99.0}, 0.1) == []
     assert bench.check_regressions(slow, 0.01) == []
+
+
+def test_like_for_like_subtotal_vs_r01():
+    base = bench.load_history()["r01"]["queries"]
+    timings = {name: t for name, t in base.items()}
+    timings["brand_new_headline"] = 99.0  # excluded from the subtotal
+    lfl = bench.like_for_like(timings, 0.1)
+    assert lfl is not None and lfl["vs"] == "r01"
+    assert "brand_new_headline" not in lfl["queries"]
+    assert lfl["value"] == lfl["baseline_value"]
+    assert bench.like_for_like(timings, 123.0) is None
