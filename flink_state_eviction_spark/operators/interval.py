@@ -1,0 +1,110 @@
+"""Batch interval join — the Flink DataStream ``intervalJoin`` analogue
+(the reference has no joins at all, SURVEY.md §2.6; extension). Pairs
+every left row with the right rows of the same key whose timestamp
+falls in ``[l.ts + lower, l.ts + upper]``.
+
+Two formulations with identical output:
+
+- :func:`interval_join` — equi-join on the key with the time bounds as
+  a residual filter. One shuffle per side, no cross-key explosion; the
+  right default. Its weakness is a mega-hot key: all of that key's
+  left×right pairs form on ONE task before the residual filter, which
+  is quadratic in the key's row count.
+- :func:`interval_join_bucketed` — join key extended to
+  (key, time-bucket): left rows are replicated to every bucket their
+  interval can touch (≤ ceil(span/bucket) + 1 copies — 2 for
+  bucket ≥ span), right rows keep their own bucket. Per-task work is
+  then bounded by a single (key, bucket) cell, so a mega-hot key
+  parallelizes over its time span instead of serializing on one task —
+  the same decomposition the bucketed TTL flagship uses
+  (operators/map_with_state.py).
+
+Streaming twin (watermarked stream-stream join with the same bounds):
+tests/test_streaming_stream_join.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _prep(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> tuple[DataFrame, DataFrame]:
+    l = left.withColumnRenamed(left_ts, "_lts")  # noqa: E741
+    r = right.withColumnRenamed(right_ts, "_rts")
+    return l, r
+
+
+def _residual(lower_ms: int, upper_ms: int) -> Column:
+    lts_ms = F.unix_millis(F.col("_lts"))
+    rts_ms = F.unix_millis(F.col("_rts"))
+    return (rts_ms >= lts_ms + F.lit(lower_ms)) & (
+        rts_ms <= lts_ms + F.lit(upper_ms)
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_ms: int,
+    upper_ms: int,
+) -> DataFrame:
+    """Equi-join on ``key`` + residual time bounds. Output columns: all
+    of left's + right's (ts columns as ``_lts`` / ``_rts``)."""
+    if lower_ms > upper_ms:
+        raise ValueError("lower_ms must be <= upper_ms")
+    l, r = _prep(left, right, key, left_ts, right_ts)  # noqa: E741
+    return l.join(r, key).where(_residual(lower_ms, upper_ms))
+
+
+def interval_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_ms: int,
+    upper_ms: int,
+    bucket_ms: int | None = None,
+) -> DataFrame:
+    """Hot-key-resistant interval join: identical rows to
+    :func:`interval_join`, but the join key is (key, time-bucket), so a
+    single hot key's pairing work spreads over its time span.
+
+    ``bucket_ms`` defaults to the interval span (→ each left row is
+    replicated to at most 2 buckets). The left side explodes a compact
+    bucket-id sequence (pure codegen, no Python); the residual filter
+    is unchanged, so replication can never duplicate an output pair —
+    each (left, right) pair matches in exactly one bucket: the right
+    row's own.
+    """
+    if lower_ms > upper_ms:
+        raise ValueError("lower_ms must be <= upper_ms")
+    if bucket_ms is None:
+        bucket_ms = max(upper_ms - lower_ms, 1)
+    if bucket_ms <= 0:
+        raise ValueError("bucket_ms must be positive")
+    l, r = _prep(left, right, key, left_ts, right_ts)  # noqa: E741
+
+    def bucket_of(ts_ms: Column) -> Column:
+        return F.floor(ts_ms / F.lit(bucket_ms)).cast("long")
+
+    lts_ms = F.unix_millis(F.col("_lts"))
+    lo_b = bucket_of(lts_ms + F.lit(lower_ms))
+    hi_b = bucket_of(lts_ms + F.lit(upper_ms))
+    l_rep = l.withColumn("_bucket", F.explode(F.sequence(lo_b, hi_b)))
+    r_b = r.withColumn("_bucket", bucket_of(F.unix_millis(F.col("_rts"))))
+    return (
+        l_rep.join(r_b, [key, "_bucket"])
+        .where(_residual(lower_ms, upper_ms))
+        .drop("_bucket")
+    )

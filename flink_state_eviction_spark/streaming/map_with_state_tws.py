@@ -14,6 +14,13 @@ one constructor argument.
 TTL here is wall-clock (processing-time), matching the reference's
 IngestionTime PoCs. For the deterministic event-time variant use
 `streaming.map_with_state` (time_mode="event").
+
+Environment probe log (the gate below re-checks every run):
+- round 2: `import google.protobuf` -> ModuleNotFoundError; runtime
+  gated, contract double added (tests/test_tws_contract.py).
+- round 3 (2026-08-13): still ModuleNotFoundError — env unchanged, the
+  2 runtime skips remain; the contract double keeps executing the real
+  `handleInputRows` logic against the batch oracle.
 """
 
 from __future__ import annotations

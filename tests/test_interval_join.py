@@ -1,0 +1,87 @@
+"""interval_join vs interval_join_bucketed: bit-identical output on
+real tables, on a mega-hot-user fixture (the case the bucketed variant
+exists for), and across bucket widths (replication can never duplicate
+a pair — each pair matches only in the right row's own bucket)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.interval import (
+    interval_join,
+    interval_join_bucketed,
+)
+from flink_state_eviction_spark.tables import load_table
+
+SPAN_MS = 10 * 60_000
+
+
+def _sides(ev):
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    return v, c
+
+
+def _pairs(df):
+    return {(r["view_id"], r["click_id"]) for r in df.collect()}
+
+
+def test_bucketed_matches_plain_on_events(spark, sf_dir):
+    v, c = _sides(load_table(spark, sf_dir, "events"))
+    plain = interval_join(v, c, "user_id", "ts", "ts", 0, SPAN_MS)
+    for bucket_ms in (None, SPAN_MS // 3, SPAN_MS * 4):
+        bucketed = interval_join_bucketed(
+            v, c, "user_id", "ts", "ts", 0, SPAN_MS, bucket_ms=bucket_ms
+        )
+        assert _pairs(bucketed) == _pairs(plain)
+        assert bucketed.count() == plain.count()  # no dup rows either
+
+
+def test_bucketed_matches_plain_hot_user(spark):
+    # 90% of events on one user — the per-user quadratic case
+    epoch = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(2000):
+        uid = 7 if i % 10 else i
+        etype = "view" if i % 2 else "click"
+        rows.append(
+            (uid, i, etype, epoch + datetime.timedelta(seconds=37 * i))
+        )
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    v, c = _sides(ev)
+    plain = interval_join(v, c, "user_id", "ts", "ts", 0, SPAN_MS)
+    bucketed = interval_join_bucketed(
+        v, c, "user_id", "ts", "ts", 0, SPAN_MS
+    )
+    got = _pairs(bucketed)
+    assert got == _pairs(plain)
+    assert len(got) > 0  # fixture actually produces pairs
+
+
+def test_negative_lower_bound(spark):
+    # clicks within +/-5 min of the view (lower < 0 exercises the
+    # bucket floor on negative offsets)
+    epoch = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "view", epoch),
+            (1, 2, "click", epoch - datetime.timedelta(minutes=4)),
+            (1, 3, "click", epoch + datetime.timedelta(minutes=4)),
+            (1, 4, "click", epoch + datetime.timedelta(minutes=6)),
+        ],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    v, c = _sides(ev)
+    args = ("user_id", "ts", "ts", -5 * 60_000, 5 * 60_000)
+    plain = interval_join(v, c, *args)
+    bucketed = interval_join_bucketed(v, c, *args)
+    assert _pairs(plain) == {(1, 2), (1, 3)}
+    assert _pairs(bucketed) == {(1, 2), (1, 3)}
