@@ -80,6 +80,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via minhash LSH + exact-jaccard verify.
 
@@ -87,6 +88,16 @@ def minhash_lsh_pairs(
     jaccard >= threshold. Deterministic: the hash family is the seeded
     md5-based h64 (functions/hashing.py), so the oracle reproduces the
     exact same candidates and values.
+
+    ``max_bucket_size``: production skew guard for high-dup-rate /
+    boilerplate corpora, where one (band, key) bucket collects m docs
+    and the self-join forms m^2/2 candidate pairs on one task. Buckets
+    larger than the cap are DROPPED before the join (cost becomes
+    bounded by cap^2 per bucket); pairs only reachable through capped
+    buckets are lost, so this trades bounded recall loss inside
+    mega-cliques for a hard runtime bound — measured in SCALE.md, where
+    replica cliques grow candidate pairs ~N^2. The oracle-checked query
+    leaves it off (the DuckDB twin must see the exact candidate set).
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -112,6 +123,21 @@ def minhash_lsh_pairs(
         F.col(id_col), "bh", lsh_band_keys(F.col("sig"), bands, rows).alias("bk")
     )
     exploded = sig.select(id_col, "bh", F.posexplode("bk").alias("band", "bkey"))
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError("max_bucket_size must be >= 2")
+        # one extra agg over the (band, key) space; the oversized-bucket
+        # list is at most n_docs/cap rows, so AQE normally broadcasts
+        # the anti-join side (no forced hint — same OOM reasoning as
+        # canonical_mapping)
+        sizes = exploded.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        exploded = exploded.join(
+            sizes.where(F.col("_bsz") > max_bucket_size),
+            ["band", "bkey"],
+            "left_anti",
+        )
     a = exploded.select(
         F.col("band"), F.col("bkey"), F.col(id_col).alias("doc_a"), F.col("bh").alias("bh_a")
     )

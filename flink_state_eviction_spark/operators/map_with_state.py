@@ -223,6 +223,14 @@ def running_sum_with_ttl_bucketed(
         .withColumn("_last_run", F.last("_run_local").over(full2))
         .withColumn("_nb", F.max("_lp").over(full2))
     )
+    # NOTE: both the summary aggregation and the join-back consume this
+    # windowed pass, and Spark recomputes the subtree for each consumer
+    # (no exchange reuse across the applyInPandas boundary). A
+    # localCheckpoint here was MEASURED SLOWER at 5M rows (materializing
+    # the wide intermediate costs more than the recompute: 44s vs 30s,
+    # scripts/scale_stress.py) — on a cluster with a hot key too big for
+    # one task both recomputed passes stay bounded per (key, bucket),
+    # which is the property that matters.
 
     summary = rows.groupBy(*key_cols, "_b").agg(
         F.min(ts_ms).alias("_first_ts"),

@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""One-off scale stress (VERDICT r02 item 3): generate x10-x50 scaled
+events/documents/embeddings tables from sf0.1 and measure the queries
+whose scale story matters most — plain vs bucketed TTL flagship,
+MinHash LSH, brute-force similarity top-k. Results go into SCALE.md.
+
+Usage:
+    python scripts/scale_stress.py [--factors 10,25,50] [--out DIR]
+
+Scaling is perturbed, not copied, so the workload stays realistic:
+- events: replicas shift event_id/ts; 90% of rows collapse onto one
+  hot user (the skew the bucketed flagship exists for);
+- documents: each replica appends a distinct token, so shingle sets
+  differ and LSH buckets don't degenerate into x-factor-sized cliques
+  of exact copies;
+- embeddings: replicas get fresh vec_ids (cosine cost is O(n*d)
+  regardless of values); the 8 query vectors stay the originals.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_state_eviction_spark import queries as Q  # noqa: E402
+from flink_state_eviction_spark.session import get_spark  # noqa: E402
+from flink_state_eviction_spark.tables import load_table  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OFFSET = 100_000_000
+
+
+def _reps(spark, factor):
+    return spark.range(factor).select(F.col("id").alias("_rep"))
+
+
+def build_scaled(spark, factor: int, out_dir: str) -> str:
+    d = os.path.join(out_dir, f"x{factor}")
+    os.makedirs(d, exist_ok=True)
+
+    ev = load_table(spark, SRC, "events")
+    scaled_ev = (
+        ev.crossJoin(_reps(spark, factor))
+        .select(
+            (F.col("event_id") + F.col("_rep") * OFFSET).alias("event_id"),
+            # 90% of rows onto one hot user; replica-disjoint cold tail
+            F.when(F.col("event_id") % 10 != 0, F.lit(1))
+            .otherwise(F.col("user_id") + F.col("_rep") * OFFSET)
+            .alias("user_id"),
+            "event_type",
+            (
+                F.col("ts")
+                + (F.col("_rep") * F.expr("INTERVAL 1 SECOND"))
+            ).alias("ts"),
+            "value",
+            "props",
+        )
+    )
+    scaled_ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    docs = load_table(spark, SRC, "documents")
+    (
+        docs.crossJoin(_reps(spark, factor))
+        .select(
+            (F.col("doc_id") + F.col("_rep") * OFFSET).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" replica"), F.col("_rep").cast("string")
+            ).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "documents.parquet"))
+    )
+
+    emb = load_table(spark, SRC, "embeddings")
+    (
+        emb.crossJoin(_reps(spark, factor))
+        .select(
+            (F.col("vec_id") + F.col("_rep") * OFFSET).alias("vec_id"),
+            *[c for c in emb.columns if c != "vec_id"],
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "embeddings.parquet"))
+    )
+    return d
+
+
+def timed(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def flagship_plain(spark, sf_dir):
+    from flink_state_eviction_spark.operators.map_with_state import (
+        running_sum_with_ttl,
+    )
+
+    return running_sum_with_ttl(
+        load_table(spark, sf_dir, "events"),
+        ["user_id"], "ts", "value",
+        ttl_ms=6 * 3600 * 1000,
+        order_cols=["event_id"],
+    )
+
+
+def flagship_bucketed(spark, sf_dir):
+    from flink_state_eviction_spark.operators.map_with_state import (
+        running_sum_with_ttl_bucketed,
+    )
+
+    return running_sum_with_ttl_bucketed(
+        load_table(spark, sf_dir, "events"),
+        ["user_id"], "ts", "value",
+        ttl_ms=6 * 3600 * 1000,
+        order_cols=["event_id"],
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="10,25,50")
+    ap.add_argument("--out", default="/tmp/scale_stress")
+    ap.add_argument(
+        "--only",
+        default="mws,lsh,topk",
+        help="comma subset of mws,lsh,topk",
+    )
+    args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")]
+    only = set(args.only.split(","))
+
+    spark = get_spark("fse-scale-stress")
+    qs = Q.queries()
+    for factor in factors:
+        d = build_scaled(spark, factor, args.out)
+        n_ev = spark.read.parquet(os.path.join(d, "events.parquet")).count()
+        rec = {"factor": factor, "events_rows": n_ev}
+        if "mws" in only:
+            rec["mws_plain_sec"] = timed(flagship_plain(spark, d))
+            rec["mws_bucketed_sec"] = timed(flagship_bucketed(spark, d))
+        if "lsh" in only:
+            rec["dedup_minhash_lsh_sec"] = timed(
+                qs["dedup_minhash_lsh"](spark, d)
+            )
+        if "topk" in only:
+            rec["similarity_topk_sec"] = timed(qs["similarity_topk"](spark, d))
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""minhash_lsh_pairs max_bucket_size: the production skew guard for
+mega-clique buckets — capped buckets drop out of the self-join, pairs
+outside capped buckets are untouched, and without a cap the output is
+unchanged from the default path."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_state_eviction_spark.operators.dedup import minhash_lsh_pairs
+
+
+def _docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the sun sets slowly behind the tall green hills tonight"
+    )
+    other = (
+        "completely different content about spark catalyst optimizer "
+        "plans shuffles partitions broadcast joins and arrow batches here"
+    )
+    rows = []
+    # a 6-doc near-dup clique (same text + tiny suffix)
+    for i in range(6):
+        rows.append((i, f"{base} replica{i}"))
+    # an unrelated near-dup pair
+    rows.append((100, other + " alpha"))
+    rows.append((101, other + " beta"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_no_cap_matches_default(spark):
+    docs = _docs(spark)
+    got = _pairs(minhash_lsh_pairs(docs, "doc_id", "text"))
+    capped = _pairs(
+        minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=10_000)
+    )
+    assert capped == got
+    # the clique produces its full pair set; the separate pair survives
+    assert (100, 101) in got
+    assert sum(1 for a, b in got if a < 100) == 15  # C(6,2)
+
+
+def test_cap_drops_only_clique_buckets(spark):
+    docs = _docs(spark)
+    capped = _pairs(
+        minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=3)
+    )
+    # the 6-doc clique's buckets exceed the cap and are dropped;
+    # the 2-doc pair's buckets are under it and survive
+    assert (100, 101) in capped
+    assert not any(a < 100 for a, _b in capped)
+
+
+def test_cap_validation(spark):
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(
+            _docs(spark), "doc_id", "text", max_bucket_size=1
+        )
