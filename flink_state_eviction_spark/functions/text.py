@@ -276,3 +276,43 @@ def stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
 
 def lang_scores(toks: Column) -> dict[str, Column]:
     return {lang: stopword_count(toks, ws) for lang, ws in LANG_STOPWORDS.items()}
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing stage; extension — the
+# reference has no text surface at all, SURVEY.md §2.5). Patterns are
+# deliberately ASCII-simple so the Java-regex (Spark) and RE2 (DuckDB
+# oracle) engines match identically; applied in a fixed order so
+# replacements compose deterministically.
+
+PII_PATTERNS: dict[str, str] = {
+    # order matters: emails first (contain dots/digits), then IPv4
+    # (dotted digits), then the greedier phone pattern
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9().\- ]{6,}[0-9]",
+}
+
+PII_REPLACEMENTS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "ipv4": "<IP>",
+    "phone": "<PHONE>",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (computed on the UNredacted text)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask every PII match with its placeholder, in the fixed
+    PII_PATTERNS order. Pure regexp_replace chain — codegen per row,
+    zero shuffle, scan-parallel at any corpus size."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, PII_REPLACEMENTS[kind])
+    return out

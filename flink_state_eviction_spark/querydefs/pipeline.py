@@ -1505,3 +1505,96 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (supplementary: the driver registry is at its 50-entry
+# cap; same oracle-parity gate via pytest). The fixture corpus contains
+# no PII, so the query deterministically injects doc_id-derived
+# email/IP/phone strings IDENTICALLY in both engines before redacting —
+# the parity check then exercises real masking, not a no-op. Counts are
+# stage-wise (each kind counted after the previous kinds are masked) so
+# an IPv4 is never double-counted by the greedier phone pattern.
+
+def _pii_oracle() -> str:
+    from flink_state_eviction_spark.functions.text import (
+        PII_PATTERNS,
+        PII_REPLACEMENTS,
+    )
+
+    e, i, p = (PII_PATTERNS[k] for k in ("email", "ipv4", "phone"))
+    re_, ri, rp = (PII_REPLACEMENTS[k] for k in ("email", "ipv4", "phone"))
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           'contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or +1 (555) 010-'
+           || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+           || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.' || CAST(doc_id % 100 AS VARCHAR) || ' ' || text AS t0
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t0, '{e}')) AS BIGINT) AS n_emails,
+           regexp_replace(t0, '{e}', '{re_}', 'g') AS t1
+    FROM base
+),
+s2 AS (
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1, '{i}')) AS BIGINT) AS n_ipv4,
+           regexp_replace(t1, '{i}', '{ri}', 'g') AS t2
+    FROM s1
+),
+s3 AS (
+    SELECT doc_id, n_emails, n_ipv4,
+           CAST(len(regexp_extract_all(t2, '{p}')) AS BIGINT) AS n_phones,
+           regexp_replace(t2, '{p}', '{rp}', 'g') AS t3
+    FROM s2
+)
+SELECT doc_id, n_emails, n_ipv4, n_phones, md5(t3) AS redacted_md5
+FROM s3
+"""
+
+
+@register_supplementary(
+    "text_redact_pii", _pii_oracle(), tags=("pipeline", "text")
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing stage: mask emails/IPv4s/phones (fixed order),
+    count matches per kind stage-wise, hash the redacted text. Pure
+    regexp codegen — zero shuffle, scan-parallel (functions/text.py:
+    PII_PATTERNS / redact_pii; operator-level masking behavior pinned
+    in tests/test_pii_redaction.py)."""
+    from flink_state_eviction_spark.functions.text import (
+        PII_PATTERNS,
+        PII_REPLACEMENTS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.lit("contact user"), did, F.lit("@example.com or +1 (555) 010-"),
+        (F.col("doc_id") % 9000 + 1000).cast("string"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" "), F.col("text"),
+    )
+    cur = docs.select("doc_id", injected.alias("_t"))
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        cname = {"email": "n_emails", "ipv4": "n_ipv4", "phone": "n_phones"}[
+            kind
+        ]
+        cur = cur.select(
+            "doc_id",
+            *counts,
+            F.size(F.regexp_extract_all("_t", F.lit(pat), 0))
+            .cast("long")
+            .alias(cname),
+            F.regexp_replace("_t", pat, PII_REPLACEMENTS[kind]).alias("_t"),
+        )
+        counts.append(cname)
+    return cur.select(
+        "doc_id", *counts, F.md5("_t").alias("redacted_md5")
+    )

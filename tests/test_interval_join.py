@@ -66,6 +66,28 @@ def test_bucketed_matches_plain_hot_user(spark):
     assert len(got) > 0  # fixture actually produces pairs
 
 
+def test_bucketed_plan_shape(spark, sf_dir):
+    # scale contract: equi-join on (key, bucket) — never a cartesian /
+    # nested-loop pairing, and the residual bounds stay a post-join
+    # filter; with auto-broadcast off both sides shuffle on the
+    # composite key (hot-key rows spread over buckets by construction)
+    from flink_state_eviction_spark.plans.explain import physical_plan
+
+    v, c = _sides(load_table(spark, sf_dir, "events"))
+    conf = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "-1")
+        df = interval_join_bucketed(v, c, "user_id", "ts", "ts", 0, SPAN_MS)
+        plan = physical_plan(df, "simple")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+        assert "_bucket" in plan, plan  # composite join key present
+    finally:
+        spark.conf.set(conf, prev)
+
+
 def test_negative_lower_bound(spark):
     # clicks within +/-5 min of the view (lower < 0 exercises the
     # bucket floor on negative offsets)

@@ -1,0 +1,43 @@
+"""PII redaction operator: masking behavior on crafted strings (the
+corpus-level parity twin is the supplementary query text_redact_pii)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.text import pii_counts, redact_pii
+
+
+def _one(spark, text: str):
+    df = spark.createDataFrame([(text,)], "text string")
+    counts = pii_counts(F.col("text"))
+    row = df.select(
+        redact_pii(F.col("text")).alias("red"),
+        *[c.alias(k) for k, c in counts.items()],
+    ).first()
+    return row["red"], row
+
+
+def test_masks_all_kinds(spark):
+    red, row = _one(
+        spark,
+        "mail a.user+x@sub.example.org, host 192.168.0.1, "
+        "call +44 (020) 7946-0958 please",
+    )
+    assert "<EMAIL>" in red and "example.org" not in red
+    assert "<IP>" in red and "192.168.0.1" not in red
+    assert "<PHONE>" in red and "7946" not in red
+    assert row["email"] == 1 and row["ipv4"] == 1
+
+
+def test_clean_text_untouched(spark):
+    text = "no personal data here, just words and spark plans"
+    red, row = _one(spark, text)
+    assert red == text
+    assert row["email"] == row["ipv4"] == row["phone"] == 0
+
+
+def test_multiple_matches_all_masked(spark):
+    red, _ = _one(spark, "a@b.co c@d.io then 10.1.2.3 and 10.4.5.6")
+    assert red.count("<EMAIL>") == 2
+    assert red.count("<IP>") == 2
