@@ -1,0 +1,67 @@
+"""Property check: interval_join and interval_join_bucketed both equal
+the brute-force pair definition (same key, r.ts in [l.ts+lower,
+l.ts+upper]) on random inputs, bounds, and bucket widths — including
+negative lower bounds and bucket widths smaller than the span."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from conftest import ts_ms
+
+from flink_state_eviction_spark.operators.interval import (
+    interval_join,
+    interval_join_bucketed,
+)
+
+S = 1000  # work in whole seconds -> ms
+
+rows = st.lists(
+    st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 40)),
+    max_size=10,
+)
+bounds = st.tuples(st.integers(-10, 10), st.integers(-10, 10)).map(
+    lambda t: (min(t) * S, max(t) * S)
+)
+bucket = st.sampled_from([1 * S, 3 * S, 7 * S, 60 * S])
+
+
+def brute_force(left, right, lower_ms, upper_ms):
+    out = set()
+    for i, (lk, lt) in enumerate(left):
+        for j, (rk, rt) in enumerate(right):
+            d = (rt - lt) * S
+            if rk == lk and lower_ms <= d <= upper_ms:
+                out.add((i, j))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=rows, right=rows, b=bounds, bucket_ms=bucket)
+def test_both_formulations_match_brute_force(spark, left, right, b, bucket_ms):
+    lower_ms, upper_ms = b
+    ldf = spark.createDataFrame(
+        [(k, ts_ms(t * 1000), i) for i, (k, t) in enumerate(left)],
+        "key string, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts_ms(t * 1000), j) for j, (k, t) in enumerate(right)],
+        "key string, ts timestamp, rid long",
+    )
+    want = brute_force(left, right, lower_ms, upper_ms)
+    plain = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            ldf, rdf, "key", "ts", "ts", lower_ms, upper_ms
+        ).collect()
+    }
+    assert plain == want
+    bucketed = {
+        (r["lid"], r["rid"])
+        for r in interval_join_bucketed(
+            ldf, rdf, "key", "ts", "ts", lower_ms, upper_ms,
+            bucket_ms=bucket_ms,
+        ).collect()
+    }
+    assert bucketed == want
