@@ -140,6 +140,18 @@ def test_count_window_data_path_not_single_partition(spark, sf_dir):
     assert data_exchanges, plan  # bucket shuffle present
 
 
+def test_text_profile_single_pass_per_side(spark, sf_dir):
+    # the merged profile must stay ONE Arrow UDF eval per scan side
+    # (simhash on the base side, minhash on the shingle side) joined
+    # once on doc_id — no extra exchanges of the corpus, no Python
+    # row-path (BatchEvalPython)
+    df = _q("text_profile", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("ArrowEvalPython") == 2, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
 def test_canonical_mapping_not_forced_broadcast(spark, sf_dir):
     # The components side of canonical_mapping is corpus-proportional
     # on high-dup-rate corpora (one row per doc in any near-dup pair) —
