@@ -137,6 +137,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_CAP = 2
+
+_MINHASH_CAPPED_ORACLE = f"""
+WITH {_MINHASH_BODY},
+bkc AS (
+    SELECT bk.doc_id, bk.band, bk.bkey
+    FROM bk
+    JOIN (SELECT band, bkey FROM bk
+          GROUP BY 1, 2 HAVING COUNT(*) <= {_LSH_CAP}) ok
+      ON ok.band = bk.band AND ok.bkey = bk.bkey
+),
+candc AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bkc a JOIN bkc b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.bh, sb.bh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(sa.bh, sb.bh))) AS DOUBLE)
+           AS jaccard
+FROM candc c
+JOIN bhs sa ON sa.doc_id = c.doc_a
+JOIN bhs sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.bh, sb.bh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.bh, sb.bh))) AS DOUBLE) >= 0.8
+"""
+
+
+@register_supplementary(
+    "dedup_minhash_lsh_capped", _MINHASH_CAPPED_ORACLE, tags=("pipeline", "dedup")
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production bucket-size skew guard, parity-proven: LSH pairs
+    with buckets over max_bucket_size dropped before the self-join —
+    the DuckDB twin replicates the cap exactly, so the recall trade of
+    the guard is pinned, not just asserted. Supplementary (the uncapped
+    `dedup_minhash_lsh` holds the driver row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8,
+        max_bucket_size=_LSH_CAP,
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-dup connected components -> canonical document selection.
 # Near-duplicate relations are not transitive; a real dedup pipeline
