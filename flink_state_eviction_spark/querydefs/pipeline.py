@@ -805,39 +805,43 @@ JOIN ls ON ls.doc_id = d.doc_id
 @register("text_profile", _PROFILE_ORACLE, tags=("pipeline", "text"))
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: md5/simhash60/minhash fingerprints,
-    stopword-scoring language ID, and token-count estimates in one
-    corpus scan (plus the shingle→minhash Arrow pass). All expressions
-    are codegen or Arrow-vectorized; the only shuffle-free-breaking op
-    is the doc_id equi-join of the minhash side — scan-parallel at any
-    corpus size."""
+    stopword-scoring language ID, and token-count estimates in ONE
+    corpus scan — both Arrow UDFs (simhash over tokens, minhash over
+    inlined shingles) evaluate in a single ArrowEvalPython pass, no
+    join, no shuffle (plan-gated). The shingle guard reproduces
+    shingle_sets' semantics inline: <3-token docs get an empty shingle
+    set, and the minhash UDF maps empty -> null, matching the oracle's
+    left-join miss."""
     from flink_state_eviction_spark.functions.text import (
         minhash_signature_udf,
+        word_shingles,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     sim_udf = simhash60_udf()
+    mh_udf = minhash_signature_udf(1)
     t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    # project shingles as a named column (HOFs don't CSE) with the same
+    # len>=3 guard as shingle_sets — sequence(1, len-2) on short docs
+    # would produce a DESCENDING range, not an empty one
+    sh = F.when(
+        F.size("toks") >= 3,
+        F.array_distinct(word_shingles(F.col("toks"), 3)),
+    ).otherwise(F.array().cast("array<string>"))
+    t = t.withColumn("sh", sh)
     sc = {k: v.cast("long") for k, v in lang_scores(F.col("toks")).items()}
     base = t.select(
         "doc_id",
         F.md5("text").alias("text_md5"),
         sim_udf(F.col("toks")).alias("simhash"),
+        F.element_at(mh_udf(F.col("sh")), 1).alias("minhash_0"),
         *[c.alias(f"s_{lang}") for lang, c in sc.items()],
         *_token_count_cols(),
     )
-    mh_udf = minhash_signature_udf(1)
-    sh = shingle_sets(docs, "doc_id", "text", k=3)
-    mh = sh.select(
-        "doc_id", F.element_at(mh_udf(F.col("sh")), 1).alias("minhash_0")
-    )
-    return (
-        base.join(mh, "doc_id", "left")
-        .withColumn("detected", _detected_col())
-        .select(
-            "doc_id", "text_md5", "simhash", "minhash_0",
-            "s_en", "s_de", "s_fr", "s_es", "detected",
-            "n_re_tokens", "approx_bpe_tokens",
-        )
+    return base.withColumn("detected", _detected_col()).select(
+        "doc_id", "text_md5", "simhash", "minhash_0",
+        "s_en", "s_de", "s_fr", "s_es", "detected",
+        "n_re_tokens", "approx_bpe_tokens",
     )
 
 

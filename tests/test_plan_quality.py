@@ -140,16 +140,17 @@ def test_count_window_data_path_not_single_partition(spark, sf_dir):
     assert data_exchanges, plan  # bucket shuffle present
 
 
-def test_text_profile_single_pass_per_side(spark, sf_dir):
-    # the merged profile must stay ONE Arrow UDF eval per scan side
-    # (simhash on the base side, minhash on the shingle side) joined
-    # once on doc_id — no extra exchanges of the corpus, no Python
-    # row-path (BatchEvalPython)
+def test_text_profile_single_scan_single_arrow_pass(spark, sf_dir):
+    # the merged profile is ONE corpus scan with both Arrow UDFs
+    # (simhash, minhash) batched into a single ArrowEvalPython node —
+    # no join, no exchange, no Python row-path (BatchEvalPython)
     df = _q("text_profile", spark, sf_dir)
     plan = physical_plan(df, "simple")
-    assert plan.count("ArrowEvalPython") == 2, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 0, plan
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_canonical_mapping_not_forced_broadcast(spark, sf_dir):
