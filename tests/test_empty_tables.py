@@ -54,6 +54,8 @@ SAMPLE = [
     "multimodal_resize_decode",
     "text_profile",
     "custkeys_churn_retention",
+    "text_redact_pii",
+    "dedup_minhash_lsh_capped",
     "value_quantiles_by_type",
     "fuzzy_customer_names",
     "interval_join_view_click",

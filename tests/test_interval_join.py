@@ -88,6 +88,23 @@ def test_bucketed_plan_shape(spark, sf_dir):
         spark.conf.set(conf, prev)
 
 
+def test_bound_validation(spark):
+    import pytest
+
+    ev = spark.createDataFrame(
+        [], "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    v, c = _sides(ev)
+    with pytest.raises(ValueError):
+        interval_join(v, c, "user_id", "ts", "ts", 100, -100)
+    with pytest.raises(ValueError):
+        interval_join_bucketed(v, c, "user_id", "ts", "ts", 100, -100)
+    with pytest.raises(ValueError):
+        interval_join_bucketed(
+            v, c, "user_id", "ts", "ts", 0, 100, bucket_ms=0
+        )
+
+
 def test_negative_lower_bound(spark):
     # clicks within +/-5 min of the view (lower < 0 exercises the
     # bucket floor on negative offsets)
