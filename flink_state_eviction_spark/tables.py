@@ -37,13 +37,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver harness — can read TIMESTAMP(NANOS) parquet too.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # TIMESTAMP(NANOS) columns arrive as long nanos (see session.py);
-    # convert to µs timestamps — same truncation DuckDB applies on read.
+    # The driver's testdata has stored events.ts two ways across
+    # generations: TIMESTAMP(NANOS) (arrives as long nanos under the
+    # nanosAsLong conf) and plain µs TIMESTAMP_NTZ. Normalize both to a
+    # session-timezone TIMESTAMP so downstream instant math
+    # (unix_millis, window(), interval arithmetic) resolves; the session
+    # timezone is UTC (session.py), so the NTZ relabel keeps the same
+    # wall-clock values DuckDB sees — oracle parity is unchanged.
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             # integer division — float division would lose precision on
             # ~1.7e18 nano values (> 2^53)
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
