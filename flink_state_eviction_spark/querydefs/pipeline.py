@@ -1646,3 +1646,260 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.select(
         "doc_id", *counts, F.md5("_t").alias("redacted_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition profile (Gopher-style repetition signals:
+# "Scaling Language Models" app. A: duplicate n-gram fraction, top
+# n-gram fraction). Extension beyond the reference surface.
+
+_REPETITION_ORACLE = """
+WITH g AS (
+    SELECT doc_id,
+           string_split(text, ' ') AS words
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           [words[i] || ' ' || words[i + 1] FOR i IN range(1, len(words))]
+               AS bigrams,
+           [words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]
+            FOR i IN range(1, len(words) - 1)] AS trigrams
+    FROM g
+),
+tri AS (
+    SELECT doc_id,
+           CAST(len(trigrams) AS BIGINT) AS n_trigrams,
+           CASE WHEN len(trigrams) = 0 THEN 0.0
+                ELSE CAST(len(trigrams) - len(list_distinct(trigrams))
+                          AS DOUBLE) / CAST(len(trigrams) AS DOUBLE)
+           END AS dup_trigram_frac
+    FROM grams
+),
+bigc AS (
+    SELECT doc_id, bigram, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(bigrams) AS bigram FROM grams)
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT doc_id,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               AS top_bigram_frac
+    FROM bigc GROUP BY 1
+)
+SELECT tri.doc_id,
+       tri.n_trigrams,
+       tri.dup_trigram_frac,
+       COALESCE(top.top_bigram_frac, 0.0) AS top_bigram_frac,
+       (tri.dup_trigram_frac > 0.5 OR COALESCE(top.top_bigram_frac, 0.0)
+        > 0.18) AS is_repetitive
+FROM tri LEFT JOIN top ON tri.doc_id = top.doc_id
+"""
+
+
+@register_supplementary(
+    "text_repetition_profile", _REPETITION_ORACLE, tags=("pipeline", "text")
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (Gopher repetition-removal
+    style, an extension beyond the reference surface): duplicate
+    word-trigram fraction and most-frequent-bigram mass per document.
+
+    Scale shape: the trigram side is zero-shuffle — gram arrays are
+    built scan-side with codegen'd array expressions and reduced with
+    size/array_distinct per row (work bounded by document length, never
+    corpus size). Only the top-bigram mode needs grouping: explode ->
+    partial-agg'd count per (doc, bigram) -> per-doc max/sum, both
+    shuffles keyed by doc_id so skew is bounded by the longest single
+    document. Arrays are projected to named columns before reuse
+    (interpreted HOFs don't CSE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    # sequence(1, n) DESCENDS when n < 1, so gate short docs explicitly.
+    grams = words.select(
+        "doc_id",
+        F.when(
+            F.size("words") >= 2,
+            F.expr(
+                "transform(sequence(1, size(words) - 1),"
+                " i -> concat(words[i - 1], ' ', words[i]))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bigrams"),
+        F.when(
+            F.size("words") >= 3,
+            F.expr(
+                "transform(sequence(1, size(words) - 2),"
+                " i -> concat(words[i - 1], ' ', words[i], ' ',"
+                " words[i + 1]))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("trigrams"),
+    )
+    tri = grams.select(
+        "doc_id",
+        F.size("trigrams").cast("long").alias("n_trigrams"),
+        F.when(F.size("trigrams") == 0, F.lit(0.0))
+        .otherwise(
+            (F.size("trigrams") - F.size(F.array_distinct("trigrams")))
+            .cast("double")
+            / F.size("trigrams").cast("double")
+        )
+        .alias("dup_trigram_frac"),
+    )
+    top = (
+        grams.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+    out = tri.join(top, "doc_id", "left")
+    top_frac = F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_trigrams",
+        "dup_trigram_frac",
+        top_frac.alias("top_bigram_frac"),
+        (
+            (F.col("dup_trigram_frac") > 0.5) | (top_frac > 0.18)
+        ).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling: per-language Bernoulli sample keyed
+# by a content hash, so the sample is stable under re-partitioning,
+# re-runs, and incremental appends (rand()/sample() are none of those).
+
+_STRAT_RATES = {"en": 1000, "de": 4000, "fr": 4000, "es": 4000, "zh": 4000}
+
+_STRAT_SAMPLE_ORACLE = """
+WITH k AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)),
+                                   1, 6)) AS BIGINT) % 10000 AS strat_key
+    FROM documents
+)
+SELECT doc_id, lang, strat_key
+FROM k
+WHERE strat_key < CASE lang WHEN 'en' THEN 1000 ELSE 4000 END
+"""
+
+
+@register_supplementary(
+    "stratified_sample_docs", _STRAT_SAMPLE_ORACLE, tags=("pipeline",)
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) Bernoulli sample:
+    keep doc iff md5('sample:'||doc_id) mod 10000 < rate(lang) — 10%
+    of English, 40% of everything else. Extension beyond the reference
+    surface (training-data downsampling stage).
+
+    Scale shape: pure scan-side expressions, zero shuffle, and the
+    decision depends only on the row itself — identical output at any
+    parallelism, under AQE re-plans, and when the corpus is appended to
+    (previously kept docs stay kept), unlike rand()/df.sample whose
+    draws are partition-order dependent."""
+    docs = load_table(spark, sf_dir, "documents")
+    strat_key = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sample:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10000),
+    )
+    keyed = docs.select(
+        "doc_id", "lang", strat_key.alias("strat_key")
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(1000)).otherwise(F.lit(4000))
+    return keyed.where(F.col("strat_key") < rate)
+
+
+# ---------------------------------------------------------------------------
+# CDC-style snapshot diff: per-user aggregate state before vs after a
+# cutoff, classified insert/delete/update/unchanged — the merge pattern
+# behind SCD-2 / incremental materialization. Extension beyond the
+# reference surface.
+
+_CDC_CUTOFF = "2024-01-16 00:00:00"
+
+_CDC_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           COUNT(CASE WHEN ts <  TIMESTAMP '{_CDC_CUTOFF}' THEN 1 END)
+               AS old_n,
+           COUNT(CASE WHEN ts >= TIMESTAMP '{_CDC_CUTOFF}' THEN 1 END)
+               AS new_n,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CDC_CUTOFF}'
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS old_sum,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CDC_CUTOFF}'
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS new_sum
+    FROM events GROUP BY 1
+)
+SELECT user_id, old_n, new_n, old_sum, new_sum,
+       CASE WHEN old_n = 0 THEN 'insert'
+            WHEN new_n = 0 THEN 'delete'
+            WHEN old_sum <> new_sum OR old_n <> new_n THEN 'update'
+            ELSE 'unchanged' END AS change_type
+FROM per_user
+"""
+
+
+@register_supplementary("user_snapshot_cdc", _CDC_ORACLE, tags=("pipeline",))
+def user_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC/SCD-2 merge shape): compare each user's
+    aggregate state in the window before a cutoff against the window
+    after it, classifying rows insert / delete / update / unchanged.
+
+    Scale shape: ONE conditional grouped aggregation — not two
+    aggregates + full-outer join, which is the naive formulation and
+    costs two extra shuffles plus a join. Partial (map-side) aggregation
+    absorbs the event volume before the single user_id exchange; the
+    change classification is a scan of the aggregated (small) result."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    dec = F.col("value").cast("decimal(18,2)")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < cutoff, 1)).alias("old_n"),
+        F.count(F.when(F.col("ts") >= cutoff, 1)).alias("new_n"),
+        F.sum(F.when(F.col("ts") < cutoff, dec))
+        .cast("double")
+        .alias("old_sum"),
+        F.sum(F.when(F.col("ts") >= cutoff, dec))
+        .cast("double")
+        .alias("new_sum"),
+    )
+    return per_user.select(
+        "user_id",
+        "old_n",
+        "new_n",
+        "old_sum",
+        "new_sum",
+        F.when(F.col("old_n") == 0, "insert")
+        .when(F.col("new_n") == 0, "delete")
+        .when(
+            (F.col("old_sum") != F.col("new_sum"))
+            | (F.col("old_n") != F.col("new_n")),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )

@@ -61,6 +61,9 @@ SAMPLE = [
     "interval_join_view_click",
     "asof_join_purchase_click",
     "word_count",
+    "text_repetition_profile",
+    "stratified_sample_docs",
+    "user_snapshot_cdc",
 ]
 
 
