@@ -1,0 +1,84 @@
+"""Z-order (Morton) keys for multi-dimensional data layout.
+
+Extension beyond the reference surface (the reference has no storage
+layer at all — SURVEY.md §2.6): at 100 TB, a table can only be sorted
+one way, and a linear sort on column A gives parquet row-group min/max
+bounds that prune scans filtered on A but not on B. Interleaving the
+bits of d bucketized columns into one Morton key and range-sorting by
+it bounds EVERY participating dimension within each file, so a box
+predicate (A BETWEEN .. AND B BETWEEN ..) skips most files — the
+standard layout trick behind Delta/Iceberg ``ZORDER BY``, expressed
+here as plain codegen'd integer arithmetic (no UDF, no shuffle beyond
+the one range-exchange the write itself needs).
+
+The key is built from pure shift/mask terms, so the DuckDB oracle twin
+(:func:`sql_interleave_bits`) produces bit-identical values and query
+parity is checkable like any other query (`zorder_key_events`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def interleave_bits(cols: Sequence[Column], bits: int = 12) -> Column:
+    """Morton-interleave ``bits`` low bits of each column in ``cols``.
+
+    Inputs must be non-negative integers < 2**bits (bucketize first —
+    e.g. ``pmod(col, 2**bits)`` or a floor-scaled value). Bit ``i`` of
+    column ``j`` lands at output position ``i * d + j``; with d columns
+    the key uses ``bits * d`` bits (keep <= 62 for BIGINT).
+
+    The expansion is ``bits * d`` OR'd shift/mask terms — all JVM
+    codegen, scan-parallel, zero shuffle."""
+    d = len(cols)
+    if d < 2:
+        raise ValueError("interleave_bits needs >= 2 columns")
+    if bits * d > 62:
+        raise ValueError(f"bits*d = {bits * d} exceeds BIGINT capacity")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            term = F.shiftleft(
+                F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)),
+                i * d + j,
+            )
+            key = key.bitwiseOR(term)
+    return key
+
+
+def sql_interleave_bits(exprs: Sequence[str], bits: int = 12) -> str:
+    """DuckDB twin of :func:`interleave_bits`; ``exprs`` are SQL text
+    for the bucketized integer inputs. Same bit placement, same result."""
+    d = len(exprs)
+    terms = [
+        f"(((({e}) >> {i}) & 1) << {i * d + j})"
+        for i in range(bits)
+        for j, e in enumerate(exprs)
+    ]
+    return " | ".join(terms)
+
+
+def normalize_to_bits(
+    col: Column, lo: Column, hi: Column, bits: int = 12
+) -> Column:
+    """Scale an integer column with data range [lo, hi] onto the full
+    [0, 2**bits) key range: ``((col - lo) * (2^bits - 1)) div
+    max(hi - lo, 1)`` — exact BIGINT arithmetic, no doubles.
+
+    Interleaving only clusters well when every dimension uses the SAME
+    number of significant bits; feeding raw values with different
+    magnitudes (a 4-bit id next to a 12-bit measure) degenerates the
+    Morton key into a linear sort on the wide column. Compute lo/hi
+    with one cheap min/max aggregate and broadcast them (the same
+    range-binning pass production ZORDER implementations do)."""
+    span = F.greatest(hi.cast("long") - lo.cast("long"), F.lit(1))
+    scaled = (col.cast("long") - lo.cast("long")) * F.lit((1 << bits) - 1)
+    # floor-div via decimal division: double division would lose
+    # precision past 2^53; decimal(38,0)/decimal keeps it exact.
+    return F.floor(
+        scaled.cast("decimal(38,0)") / span.cast("decimal(38,0)")
+    ).cast("long")

@@ -1903,3 +1903,89 @@ def user_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("change_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout key — the data-layout story for 100 TB box
+# predicates (functions/zorder.py; clustered write in sinks/parquet.py
+# write_zordered, effectiveness pinned in tests/test_zorder.py). The
+# key arithmetic itself is oracle-checked here bit-for-bit.
+
+_ZORDER_BITS = 12
+
+
+def _zorder_oracle() -> str:
+    from flink_state_eviction_spark.functions.zorder import (
+        sql_interleave_bits,
+    )
+
+    m = (1 << _ZORDER_BITS) - 1
+    z = sql_interleave_bits(["ub", "vb"], _ZORDER_BITS)
+    return f"""
+WITH iv AS (
+    SELECT event_id, user_id,
+           CAST(FLOOR(value * 10) AS BIGINT) AS v10
+    FROM events
+),
+bounds AS (
+    SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+           MIN(v10) AS vlo, MAX(v10) AS vhi
+    FROM iv
+),
+b AS (
+    SELECT event_id,
+           ((user_id - ulo) * {m}) // GREATEST(uhi - ulo, 1) AS ub,
+           ((v10 - vlo) * {m}) // GREATEST(vhi - vlo, 1) AS vb
+    FROM iv, bounds
+)
+SELECT event_id, ub, vb, {z} AS zkey
+FROM b
+"""
+
+
+@register_supplementary(
+    "zorder_key_events", _zorder_oracle(), tags=("pipeline",)
+)
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key over (user_id, value decile) for every event — the
+    column ``sinks.parquet.write_zordered`` clusters by. Each dimension
+    is min/max-normalized onto the full 12-bit range first (one tiny
+    broadcast aggregate — unbalanced bit widths degenerate the curve
+    into a linear sort, see functions/zorder.normalize_to_bits), then
+    interleaved with pure shift/mask codegen: zero data shuffle, and
+    parity with the DuckDB twin proves the bit placement is
+    engine-independent."""
+    from flink_state_eviction_spark.functions.zorder import (
+        interleave_bits,
+        normalize_to_bits,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 10).cast("long").alias("v10"),
+    )
+    bounds = iv.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("v10").alias("vlo"),
+        F.max("v10").alias("vhi"),
+    )
+    b = iv.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        normalize_to_bits(
+            F.col("user_id"), F.col("ulo"), F.col("uhi"), _ZORDER_BITS
+        ).alias("ub"),
+        normalize_to_bits(
+            F.col("v10"), F.col("vlo"), F.col("vhi"), _ZORDER_BITS
+        ).alias("vb"),
+    )
+    return b.select(
+        "event_id",
+        "ub",
+        "vb",
+        interleave_bits(
+            [F.col("ub"), F.col("vb")], _ZORDER_BITS
+        ).alias("zkey"),
+    )

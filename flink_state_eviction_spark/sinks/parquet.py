@@ -80,3 +80,38 @@ def write_bucketed_table(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zkey,
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by a Z-order key (build one with
+    functions/zorder.interleave_bits): range-partition on the key so
+    each output file owns a contiguous Morton-curve segment, then sort
+    within files so row-group min/max stats are tight in EVERY
+    interleaved dimension.
+
+    Why this matters at 100 TB: a linear sort bounds one column; a box
+    predicate on two columns then has to scan every file for the
+    unsorted one. Z-clustered files bound all participating dimensions
+    at once, so the same predicate prunes most files from the manifest
+    before any IO (effectiveness pinned in tests/test_zorder.py: the
+    z-layout scans strictly fewer files than a linear layout for the
+    same box predicate).
+
+    Cost: ONE range exchange (sampled bounds) + local sorts — the same
+    price as any sorted write; the key itself is scan-side codegen."""
+    if num_files <= 0:
+        raise ValueError("num_files must be positive")
+    (
+        df.withColumn("_zkey", zkey)
+        .repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -64,6 +64,7 @@ SAMPLE = [
     "text_repetition_profile",
     "stratified_sample_docs",
     "user_snapshot_cdc",
+    "zorder_key_events",
 ]
 
 
