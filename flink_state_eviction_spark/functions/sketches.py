@@ -1,0 +1,74 @@
+"""Portable deterministic HyperLogLog (Flajolet et al. 2007).
+
+Extension beyond the reference surface. The point of carrying our own
+HLL next to ``approx_count_distinct`` is twofold:
+
+- **Portability/determinism**: registers derive from the engine's
+  md5-based h64 hash family (functions/hashing.py), so the estimate is
+  bit-identical in Spark and DuckDB — an *approximate* algorithm whose
+  implementation is still oracle-parity-checkable, and whose results
+  don't drift across engine versions or plan changes (Spark's builtin
+  HLL++ value depends on its internal hash and is not reproducible
+  outside Spark).
+- **Mergeability at 100 TB**: the register table IS the sketch. The
+  grouped ``MAX(rank) per register`` is exactly the merge operator, so
+  partial sketches from shards/days union and re-max without touching
+  raw data; the final estimate reads 2**p tiny rows. Map-side partial
+  aggregation absorbs the scan volume before the single 2**p-key
+  exchange.
+
+All arithmetic that must agree bit-for-bit is exact BIGINT math
+(ranks, register sums as numerators over the fixed denominator 2**52);
+doubles appear only in the final one-row estimate where both engines
+perform the identical operation sequence on identical exact inputs.
+"""
+
+from __future__ import annotations
+
+HLL_P = 9  # 2**9 = 512 registers; std err ~ 1.04/sqrt(512) = 4.6%
+HLL_M = 1 << HLL_P
+# hash is 60 bits (h64); p index bits leave 51 value bits, rank in 1..52
+_VALUE_BITS = 60 - HLL_P
+_RANK_CAP = _VALUE_BITS + 1
+# alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def sql_rank(v: str) -> str:
+    """Leading-zero rank of the 51-bit hash remainder as portable SQL:
+    rank = 52 - bit_length(v), unrolled into integer comparisons so no
+    engine-specific bit_length / log2 (whose double rounding could
+    disagree) is involved. Valid in Spark SQL and DuckDB unchanged."""
+    branches = " ".join(
+        f"WHEN ({v}) >= {1 << (bl - 1)} THEN {_RANK_CAP - bl}"
+        for bl in range(_VALUE_BITS, 0, -1)
+    )
+    return f"CASE {branches} ELSE {_RANK_CAP} END"
+
+
+def sql_hll_estimate(sum_expr: str, nregs_expr: str) -> str:
+    """Estimate from exact aggregates: ``sum_expr`` = BIGINT
+    SUM(1 << (52 - rank)) over present registers, ``nregs_expr`` =
+    number of present registers. Missing registers contribute 2**52
+    each (rank 0). Small-range (linear counting) correction included.
+    Identical text runs on both engines; every input is exact, the
+    double ops are the same sequence, so results match bit-for-bit."""
+    m = HLL_M
+
+    def dbl(x: float) -> str:
+        # both engines parse bare float literals as DECIMAL (and DuckDB
+        # overflows multiplying them); force binary doubles explicitly
+        return f"CAST({x!r} AS DOUBLE)"
+
+    p52 = float(1 << _VALUE_BITS + 1)  # 2^52 as exact double
+    s_full = f"(({sum_expr}) + ({m} - ({nregs_expr})) * {1 << (_VALUE_BITS + 1)})"
+    raw = (
+        f"(({dbl(HLL_ALPHA)} * {dbl(float(m * m))}) * {dbl(p52)}"
+        f" / CAST({s_full} AS DOUBLE))"
+    )
+    zeros = f"({m} - ({nregs_expr}))"
+    return (
+        f"CASE WHEN {raw} <= {dbl(2.5 * m)} AND {zeros} > 0 "
+        f"THEN {dbl(float(m))} * LN({dbl(float(m))} / CAST({zeros} AS DOUBLE)) "
+        f"ELSE {raw} END"
+    )

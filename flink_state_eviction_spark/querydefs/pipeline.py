@@ -1989,3 +1989,103 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.col("ub"), F.col("vb")], _ZORDER_BITS
         ).alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# portable deterministic HyperLogLog (functions/sketches.py): an
+# APPROXIMATE distinct-count whose implementation is still
+# oracle-parity-checkable, because registers derive from the engine's
+# portable md5 hash family rather than an engine-internal hash.
+
+def _hll_oracle() -> str:
+    from flink_state_eviction_spark.functions.hashing import sql_h64
+    from flink_state_eviction_spark.functions.sketches import (
+        HLL_M,
+        sql_hll_estimate,
+        sql_rank,
+    )
+
+    est = sql_hll_estimate("ssum", "nregs")
+    return f"""
+WITH s AS (
+    SELECT CAST(l_orderkey AS VARCHAR) || ':'
+           || CAST(l_linenumber AS VARCHAR) AS s
+    FROM lineitem
+),
+v AS (
+    SELECT h & {HLL_M - 1} AS idx, h >> 9 AS v
+    FROM (SELECT {sql_h64("s")} AS h FROM s)
+),
+regs AS (
+    SELECT idx, MAX({sql_rank("v")}) AS mj FROM v GROUP BY 1
+),
+agg AS (
+    SELECT COALESCE(SUM((CAST(1 AS BIGINT) << (52 - mj))), 0) AS ssum,
+           COUNT(*) AS nregs
+    FROM regs
+),
+ex AS (SELECT COUNT(DISTINCT s) AS n_exact FROM s)
+SELECT n_exact, n_est,
+       CASE WHEN n_exact = 0 THEN 0.0
+            ELSE ABS(n_est - n_exact) / CAST(n_exact AS DOUBLE)
+       END AS rel_err
+FROM (SELECT n_exact, {est} AS n_est FROM agg, ex)
+"""
+
+
+@register_supplementary(
+    "hll_distinct_lineitem", _hll_oracle(), tags=("pipeline",)
+)
+def hll_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (orderkey, linenumber) keys estimated with the portable
+    HLL sketch, reported next to the exact count and relative error.
+
+    Scale shape: one scan -> map-side partial MAX per register -> a
+    512-key exchange -> one-row estimate; the register table is the
+    sketch and grouped MAX is its merge operator, so shard/day partial
+    sketches combine without re-reading data. The exact count (for the
+    error column) is the expensive side — a real deployment keeps only
+    the sketch. Error-bound property (<= 3 std errors) pinned in
+    tests/test_sketches.py."""
+    from flink_state_eviction_spark.functions.hashing import h64
+    from flink_state_eviction_spark.functions.sketches import (
+        HLL_M,
+        sql_hll_estimate,
+        sql_rank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("s")
+    )
+    v = li.select(h64(F.col("s")).alias("h")).select(
+        F.expr(f"h & {HLL_M - 1}").alias("idx"),
+        F.expr("h >> 9").alias("v"),
+    )
+    regs = v.select("idx", F.expr(sql_rank("v")).alias("rank")).groupBy(
+        "idx"
+    ).agg(F.max("rank").alias("mj"))
+    agg = regs.agg(
+        F.coalesce(
+            F.sum(F.expr("CAST(1 AS BIGINT) << (52 - mj)")), F.lit(0)
+        ).alias("ssum"),
+        F.count(F.lit(1)).alias("nregs"),
+    )
+    ex = li.agg(F.countDistinct("s").alias("n_exact"))
+    est = agg.crossJoin(F.broadcast(ex)).select(
+        "n_exact",
+        F.expr(sql_hll_estimate("ssum", "nregs")).alias("n_est"),
+    )
+    return est.select(
+        "n_exact",
+        "n_est",
+        F.when(F.col("n_exact") == 0, F.lit(0.0))
+        .otherwise(
+            F.abs(F.col("n_est") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+        )
+        .alias("rel_err"),
+    )

@@ -1,0 +1,65 @@
+"""Portable HLL: error-bound property and merge identity.
+
+Bit-for-bit Spark/DuckDB parity of `hll_distinct_lineitem` is covered
+by tests/test_oracle_parity.py; here we pin the properties that make
+the sketch trustworthy: the estimate lands within 3 standard errors of
+exact, and merging per-shard sketches (grouped MAX of registers) gives
+the same registers as sketching the union.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.hashing import h64
+from flink_state_eviction_spark.functions.sketches import (
+    HLL_M,
+    HLL_P,
+    sql_rank,
+)
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    row = all_queries()["hll_distinct_lineitem"](spark, sf_dir).head()
+    assert row.n_exact > 0
+    # std err for m=512 is 1.04/sqrt(512) ~ 4.6%; 3 sigma ~ 13.8%
+    bound = 3 * 1.04 / math.sqrt(HLL_M)
+    assert row.rel_err <= bound, (row.n_est, row.n_exact, row.rel_err)
+
+
+def _registers(df):
+    v = df.select(h64(F.col("s")).alias("h")).select(
+        F.expr(f"h & {HLL_M - 1}").alias("idx"),
+        F.expr(f"h >> {HLL_P}").alias("v"),
+    )
+    regs = (
+        v.select("idx", F.expr(sql_rank("v")).alias("rank"))
+        .groupBy("idx")
+        .agg(F.max("rank").alias("mj"))
+    )
+    return {r.idx: r.mj for r in regs.collect()}
+
+
+def test_hll_shard_merge_equals_union_sketch(spark, sf_dir):
+    """MAX-merging two shard sketches == sketching the union: the
+    property that lets per-day/per-shard sketches roll up without
+    touching raw data."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("s"),
+        F.col("l_orderkey"),
+    )
+    a = li.where(F.col("l_orderkey") % 2 == 0).select("s")
+    b = li.where(F.col("l_orderkey") % 2 == 1).select("s")
+    merged = {}
+    for shard in (_registers(a), _registers(b)):
+        for idx, mj in shard.items():
+            merged[idx] = max(merged.get(idx, 0), mj)
+    assert merged == _registers(li.select("s"))
