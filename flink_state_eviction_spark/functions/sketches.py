@@ -34,6 +34,17 @@ _RANK_CAP = _VALUE_BITS + 1
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 
+# Count-min sketch: d independent h64 seeds x w counters. Estimates
+# only ever OVERCOUNT (min over d rows of colliding counters), with
+# overcount <= e/w * total mass at ~1-1/e^d confidence. Like the HLL,
+# counters derive from the portable hash family, so the whole sketch —
+# an approximate structure — is still oracle-parity-checkable, and the
+# counter table (grouped SUM per (row, idx)) is mergeable across
+# shards/days by plain addition.
+CMS_D = 3
+CMS_W = 64
+
+
 def sql_rank(v: str) -> str:
     """Leading-zero rank of the 51-bit hash remainder as portable SQL:
     rank = 52 - bit_length(v), unrolled into integer comparisons so no

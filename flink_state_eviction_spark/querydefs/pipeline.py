@@ -2089,3 +2089,92 @@ def hll_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# portable count-min sketch (functions/sketches.py): frequency
+# estimation with the same parity-checkable, mergeable design as the
+# HLL — counters from the portable hash family, exact integer
+# arithmetic end to end.
+
+def _cms_oracle() -> str:
+    from flink_state_eviction_spark.functions.hashing import sql_h64
+    from flink_state_eviction_spark.functions.sketches import CMS_D, CMS_W
+
+    seeds = ", ".join(f"({r})" for r in range(CMS_D))
+    return f"""
+WITH rows_ AS (SELECT * FROM (VALUES {seeds}) AS rr(r)),
+counters AS (
+    SELECT r, {sql_h64("event_type", "r")} % {CMS_W} AS idx,
+           COUNT(*) AS c
+    FROM events CROSS JOIN rows_
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT event_type, COUNT(*) AS n_exact FROM events GROUP BY 1
+),
+probe AS (
+    SELECT e.event_type, e.n_exact, MIN(c.c) AS n_est
+    FROM exact e
+    CROSS JOIN rows_ r
+    JOIN counters c
+      ON c.r = r.r
+     AND c.idx = {sql_h64("e.event_type", "r.r")} % {CMS_W}
+    GROUP BY 1, 2
+)
+SELECT event_type, n_exact, n_est, n_est - n_exact AS overcount
+FROM probe
+"""
+
+
+@register_supplementary(
+    "cms_event_type_counts", _cms_oracle(), tags=("pipeline",)
+)
+def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type frequency estimated from a portable count-min
+    sketch, next to the exact count and the (always non-negative)
+    overcount.
+
+    Scale shape: the counter table is d*w tiny rows built with map-side
+    partial counting before one (d*w)-key exchange — the sketch absorbs
+    any event volume into a fixed footprint and merges across shards by
+    addition. Probing joins the (small) key set against d counters via
+    the same hash expressions; estimates only ever overcount
+    (property pinned in tests/test_sketches.py)."""
+    from flink_state_eviction_spark.functions.hashing import h64
+    from flink_state_eviction_spark.functions.sketches import CMS_D, CMS_W
+
+    ev = load_table(spark, sf_dir, "events")
+    rows_ = spark.range(CMS_D).select(F.col("id").cast("int").alias("r"))
+    counters = (
+        ev.crossJoin(F.broadcast(rows_))
+        .select(
+            "r",
+            F.pmod(h64(F.col("event_type"), F.col("r")), F.lit(CMS_W)).alias(
+                "idx"
+            ),
+        )
+        .groupBy("r", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    probe = (
+        exact.crossJoin(F.broadcast(rows_))
+        .select(
+            "event_type",
+            "n_exact",
+            "r",
+            F.pmod(h64(F.col("event_type"), F.col("r")), F.lit(CMS_W)).alias(
+                "idx"
+            ),
+        )
+        .join(F.broadcast(counters), ["r", "idx"])
+        .groupBy("event_type", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return probe.select(
+        "event_type",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+    )

@@ -44,6 +44,14 @@ def _registers(df):
     return {r.idx: r.mj for r in regs.collect()}
 
 
+def test_cms_never_undercounts(spark, sf_dir):
+    rows = all_queries()["cms_event_type_counts"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_est >= r.n_exact, r
+        assert r.overcount == r.n_est - r.n_exact
+
+
 def test_hll_shard_merge_equals_union_sketch(spark, sf_dir):
     """MAX-merging two shard sketches == sketching the union: the
     property that lets per-day/per-shard sketches roll up without

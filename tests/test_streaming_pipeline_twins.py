@@ -112,3 +112,68 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         ).alias("n_full_funnel"),
     )
     assert_same_rows(rollup, batch)
+
+
+def test_streaming_cdc_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of `user_snapshot_cdc`: the per-user conditional
+    aggregation runs as an update-mode streaming agg (its state is the
+    CDC accumulator); classification is a stateless projection over the
+    final state."""
+    from flink_state_eviction_spark.querydefs.pipeline import _CDC_CUTOFF
+
+    batch = Q.all_queries()["user_snapshot_cdc"](spark, sf_dir)
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sev = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # mirror tables.load_table's ts normalization for the raw stream
+    ts_type = dict(sev.dtypes).get("ts")
+    if ts_type == "bigint":
+        sev = sev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        sev = sev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    dec = F.col("value").cast("decimal(18,2)")
+    per_user = sev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < cutoff, 1)).alias("old_n"),
+        F.count(F.when(F.col("ts") >= cutoff, 1)).alias("new_n"),
+        F.sum(F.when(F.col("ts") < cutoff, dec))
+        .cast("double")
+        .alias("old_sum"),
+        F.sum(F.when(F.col("ts") >= cutoff, dec))
+        .cast("double")
+        .alias("new_sum"),
+    )
+    mem = run_available_now(
+        per_user, str(tmp_path / "ck_cdc"), output_mode="update"
+    )
+    # update mode re-emits a user's row per micro-batch; every column
+    # is monotone nondecreasing (counts; sums of positive values), so
+    # the final state is the per-user max
+    latest = mem.groupBy("user_id").agg(
+        F.max("old_n").alias("old_n"),
+        F.max("new_n").alias("new_n"),
+        F.max("old_sum").alias("old_sum"),
+        F.max("new_sum").alias("new_sum"),
+    )
+    out = latest.select(
+        "user_id",
+        "old_n",
+        "new_n",
+        "old_sum",
+        "new_sum",
+        F.when(F.col("old_n") == 0, "insert")
+        .when(F.col("new_n") == 0, "delete")
+        .when(
+            (F.col("old_sum") != F.col("new_sum"))
+            | (F.col("old_n") != F.col("new_n")),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    assert_same_rows(out, batch)
