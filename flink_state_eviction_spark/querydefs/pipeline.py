@@ -2178,3 +2178,102 @@ def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_est",
         (F.col("n_est") - F.col("n_exact")).alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: flag training documents sharing word
+# 5-grams with a benchmark/eval set — the standard n-gram-overlap
+# contamination check run before LLM training. The "benchmark" here is
+# the deterministic doc_id % 97 == 0 slice of the corpus (the fixture
+# has no separate eval table), which also self-verifies: benchmark
+# members must come out with overlap_frac = 1.0.
+
+_DECONTAM_ORACLE = """
+WITH g AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           list_distinct(
+               [words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]
+                || ' ' || words[i + 3] || ' ' || words[i + 4]
+                FOR i IN range(1, len(words) - 3)]) AS gs
+    FROM g
+),
+doc_g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+bench_g AS (SELECT DISTINCT gram FROM doc_g WHERE doc_id % 97 = 0),
+tot AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams FROM grams),
+hit AS (
+    SELECT d.doc_id, COUNT(*) AS n_hit
+    FROM doc_g d JOIN bench_g b USING (gram)
+    GROUP BY 1
+)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(h.n_hit, 0) AS n_overlap,
+       CASE WHEN t.n_grams = 0 THEN 0.0
+            ELSE CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                 / CAST(t.n_grams AS DOUBLE) END AS overlap_frac,
+       (CASE WHEN t.n_grams = 0 THEN 0.0
+             ELSE CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                  / CAST(t.n_grams AS DOUBLE) END >= 0.5) AS is_contaminated
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+"""
+
+
+@register_supplementary(
+    "decontaminate_benchmark_overlap", _DECONTAM_ORACLE, tags=("pipeline", "text")
+)
+def decontaminate_benchmark_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benchmark-overlap decontamination: per document, the fraction of
+    its distinct word 5-grams that appear in the benchmark set's gram
+    inventory; frac >= 0.5 flags the doc for removal.
+
+    Scale shape (the real decontamination geometry): benchmark suites
+    are tiny next to a 100 TB corpus, so the benchmark gram inventory
+    is BROADCAST and the corpus side never shuffles its grams — one
+    scan-side gram build (arrays projected to named columns, distinct
+    per doc via array_distinct), one explode, a broadcast-hash join,
+    and a doc_id-keyed count bounded by the longest document. If the
+    inventory ever outgrows broadcast, swap the join for a bloom-filter
+    prefilter + shuffled semi join; nothing else changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    gram_expr = F.expr(
+        "transform(sequence(1, size(words) - 4), i -> concat("
+        "words[i - 1], ' ', words[i], ' ', words[i + 1], ' ',"
+        " words[i + 2], ' ', words[i + 3]))"
+    )
+    grams = words.select(
+        "doc_id",
+        F.array_distinct(
+            F.when(F.size("words") >= 5, gram_expr).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("gs"),
+    )
+    doc_g = grams.select("doc_id", F.explode("gs").alias("gram"))
+    bench_g = (
+        doc_g.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    tot = grams.select(
+        "doc_id", F.size("gs").cast("long").alias("n_grams")
+    )
+    hit = (
+        doc_g.join(F.broadcast(bench_g), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    out = tot.join(hit, "doc_id", "left")
+    frac = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+        / F.col("n_grams").cast("double")
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_overlap"),
+        frac.alias("overlap_frac"),
+        (frac >= 0.5).alias("is_contaminated"),
+    )

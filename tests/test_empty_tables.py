@@ -65,6 +65,7 @@ SAMPLE = [
     "stratified_sample_docs",
     "user_snapshot_cdc",
     "zorder_key_events",
+    "decontaminate_benchmark_overlap",
 ]
 
 
