@@ -6,7 +6,7 @@ DuckDB oracle that reproduces the exact same deterministic hash family
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_state_eviction_spark.functions.hashing import (
@@ -2276,4 +2276,88 @@ def decontaminate_benchmark_overlap(
         F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_overlap"),
         frac.alias("overlap_frac"),
         (frac >= 0.5).alias("is_contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-histogram approximate quantiles: the deterministic scale
+# alternative to exact sorts / rank windows — error bounded by bin
+# width BY CONSTRUCTION, and (unlike t-digest / approx_percentile)
+# reproducible bit-for-bit across engines, partitionings, and retries.
+
+_HIST_BINS = 256
+_HIST_WIDTH = 2  # covers [0, 512); events.value tops out ~327
+
+_HIST_QUANTILES_ORACLE = f"""
+WITH b AS (
+    SELECT LEAST(CAST(FLOOR(value / {_HIST_WIDTH}) AS BIGINT),
+                 {_HIST_BINS - 1}) AS bin
+    FROM events
+),
+c AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY 1),
+cum AS (
+    SELECT bin,
+           SUM(cnt) OVER (ORDER BY bin) AS cum,
+           SUM(cnt) OVER () AS n
+    FROM c
+),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) AS t(q))
+SELECT q,
+       CAST(MIN(CASE WHEN cum >= q * n
+                THEN (bin + 1) * {_HIST_WIDTH} END) AS DOUBLE)
+           AS approx_value
+FROM qs CROSS JOIN cum
+GROUP BY q
+"""
+
+
+@register_supplementary(
+    "histogram_quantiles_value", _HIST_QUANTILES_ORACLE, tags=("pipeline",)
+)
+def histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of events.value from a fixed 256-bin
+    histogram: the estimate is the upper edge of the first bin whose
+    cumulative count crosses q*n, so |approx - exact| <= bin width by
+    construction (pinned in tests/test_sketches.py).
+
+    Scale shape: one scan -> map-side partial counts -> a 256-key
+    exchange; the cumulative pass runs over 256 rows (single tiny
+    partition — the histogram, like the sketches, has a FIXED footprint
+    however large the input). The histogram is also the merge: shard
+    histograms add bin-wise. Contrast with exact quantiles, which need
+    a full sort or rank pass over the data."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.least(
+            F.floor(F.col("value") / _HIST_WIDTH).cast("long"),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin")
+    )
+    c = b.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = c.select(
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    return (
+        qs.crossJoin(cum)
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.col("q") * F.col("n"),
+                    (F.col("bin") + 1) * _HIST_WIDTH,
+                )
+            )
+            .cast("double")
+            .alias("approx_value")
+        )
     )

@@ -66,6 +66,7 @@ SAMPLE = [
     "user_snapshot_cdc",
     "zorder_key_events",
     "decontaminate_benchmark_overlap",
+    "histogram_quantiles_value",
 ]
 
 

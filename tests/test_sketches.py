@@ -52,6 +52,72 @@ def test_cms_never_undercounts(spark, sf_dir):
         assert r.overcount == r.n_est - r.n_exact
 
 
+def test_histogram_quantiles_within_bin_width(spark, sf_dir):
+    """|approx - exact| <= bin width, by construction."""
+    from flink_state_eviction_spark.querydefs.pipeline import _HIST_WIDTH
+
+    rows = {
+        r.q: r.approx_value
+        for r in all_queries()["histogram_quantiles_value"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.expr(
+            "percentile(value, array(0.5, 0.9, 0.99))"
+        ).alias("p")
+    ).head().p
+    for q, ex in zip((0.5, 0.9, 0.99), exact):
+        assert abs(rows[q] - ex) <= _HIST_WIDTH, (q, rows[q], ex)
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
+    """The register sketch runs as an update-mode streaming aggregation
+    (grouped MAX per register is both the streaming state transition
+    and the shard merge); its final registers equal the batch sketch's."""
+    from flink_state_eviction_spark.streaming.testing import (
+        run_available_now,
+    )
+
+    li_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    sli = (
+        spark.readStream.schema(li_schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+    s = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    ).alias("s")
+    v = sli.select(h64(s).alias("h")).select(
+        F.expr(f"h & {HLL_M - 1}").alias("idx"),
+        F.expr(f"h >> {HLL_P}").alias("v"),
+    )
+    regs_stream = (
+        v.select("idx", F.expr(sql_rank("v")).alias("rank"))
+        .groupBy("idx")
+        .agg(F.max("rank").alias("mj"))
+    )
+    mem = run_available_now(
+        regs_stream, str(tmp_path / "ck_hll"), output_mode="update"
+    )
+    # update mode re-emits registers per micro-batch; MAX is the state
+    final = {
+        r.idx: r.mj
+        for r in mem.groupBy("idx").agg(F.max("mj").alias("mj")).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("s")
+    )
+    assert final == _registers(li)
+
+
 def test_hll_shard_merge_equals_union_sketch(spark, sf_dir):
     """MAX-merging two shard sketches == sketching the union: the
     property that lets per-day/per-shard sketches roll up without
