@@ -49,6 +49,31 @@ def test_sql_twin_shape():
         assert f"<< {pos})" in sql
 
 
+def _py_morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_interleave_matches_python_model(spark):
+    """Sweep 1000 seeded pseudo-random pairs through the Spark
+    expression and an independent Python model in one job."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (rng.randrange(1 << 12), rng.randrange(1 << 12)) for _ in range(1000)
+    ] + [(0, 0), (4095, 4095), (0, 4095), (4095, 0)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", interleave_bits([F.col("x"), F.col("y")], bits=12).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == _py_morton(r.x, r.y, 12), (r.x, r.y, r.z)
+
+
 def _candidate_files(spark, path, lo_u, hi_u, lo_v, hi_v):
     """Files whose (user_id, value) min/max box intersects the query
     box — what a stats-based reader would have to scan."""
