@@ -179,3 +179,36 @@ def test_mws_flagship_single_shuffle(spark, sf_dir):
     plan = physical_plan(df, "simple")
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan}"
+
+
+def test_stratified_sample_is_scan_side(spark, sf_dir):
+    # the sampling decision depends only on the row: no exchange of any
+    # kind may appear — the scan IS the whole plan
+    df = _q("stratified_sample_docs", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_decontamination_gram_join_broadcasts(spark, sf_dir):
+    # the benchmark gram inventory is the broadcast side; the corpus
+    # grams must NOT shuffle for the membership join
+    df = _q("decontaminate_benchmark_overlap", spark, sf_dir)
+    assert_broadcast_join(df, n_joins=1)
+
+
+def test_hll_has_partial_aggregation(spark, sf_dir):
+    # register MAX must partial-aggregate map-side so the exchange
+    # carries at most 2^p rows per task, never the scan volume
+    df = _q("hll_distinct_lineitem", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "partial_max" in plan, plan
+    assert "hashpartitioning(idx" in plan, plan
+
+
+def test_cdc_single_shuffle(spark, sf_dir):
+    # one conditional grouped aggregation — exactly one hash exchange,
+    # not the two-aggregates-plus-join formulation
+    df = _q("user_snapshot_cdc", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 shuffle, got {n}:\n{plan}"
