@@ -1,0 +1,91 @@
+"""Reproducible sketch-vs-exact stress: amplify lineitem xN (shifting
+keys per replica so the distinct count scales too), then time exact
+COUNT(DISTINCT) against the portable HLL register pipeline on the same
+amplified frame.
+
+Usage: python scripts/sketch_stress.py [N ...]   (default: 5 20)
+Appends one line per N to stdout; paste results into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from flink_state_eviction_spark.functions.hashing import h64  # noqa: E402
+from flink_state_eviction_spark.functions.sketches import (  # noqa: E402
+    HLL_M,
+    HLL_P,
+    sql_hll_estimate,
+    sql_rank,
+)
+from flink_state_eviction_spark.session import get_spark  # noqa: E402
+from flink_state_eviction_spark.tables import load_table  # noqa: E402
+
+
+def amplified_keys(spark, sf_dir: str, n: int):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    reps = spark.range(n).select(F.col("id").alias("rep"))
+    return li.crossJoin(reps).select(
+        F.concat(
+            (F.col("l_orderkey") + F.col("rep") * 10_000_000).cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("s")
+    )
+
+
+def time_exact(df) -> tuple[float, int]:
+    t0 = time.time()
+    n = df.agg(F.countDistinct("s").alias("n")).head().n
+    return time.time() - t0, n
+
+
+def time_hll(df) -> tuple[float, float]:
+    t0 = time.time()
+    v = df.select(h64(F.col("s")).alias("h")).select(
+        F.expr(f"h & {HLL_M - 1}").alias("idx"),
+        F.expr(f"h >> {HLL_P}").alias("v"),
+    )
+    agg = (
+        v.select("idx", F.expr(sql_rank("v")).alias("rank"))
+        .groupBy("idx")
+        .agg(F.max("rank").alias("mj"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(1 AS BIGINT) << (52 - mj)")), F.lit(0)
+            ).alias("ssum"),
+            F.count(F.lit(1)).alias("nregs"),
+        )
+    )
+    est = agg.select(
+        F.expr(sql_hll_estimate("ssum", "nregs")).alias("n_est")
+    ).head().n_est
+    return time.time() - t0, est
+
+
+def main() -> None:
+    ns = [int(a) for a in sys.argv[1:]] or [5, 20]
+    spark = get_spark("sketch-stress")
+    sf_dir = "/root/testdata/sf0.1"
+    for n in ns:
+        df = amplified_keys(spark, sf_dir, n)
+        rows = df.count()
+        t_ex, n_exact = time_exact(df)
+        t_hll, n_est = time_hll(df)
+        err = abs(n_est - n_exact) / n_exact
+        print(
+            f"x{n}: rows={rows:,} exact={t_ex:.1f}s ({n_exact:,}) "
+            f"hll={t_hll:.1f}s (est {n_est:,.0f}, err {err:.1%})",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
