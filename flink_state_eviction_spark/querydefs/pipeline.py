@@ -2361,3 +2361,119 @@ def histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("approx_value")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics rollup: the per-(lang x source) monitoring table a
+# training-data pipeline publishes every run — doc/char/token volumes
+# and mean quality proxy at every grouping-set level in one pass.
+
+_CORPUS_STATS_ORACLE = """
+SELECT COALESCE(lang, '_all') AS lang,
+       COALESCE(source, '_all') AS source,
+       GROUPING(lang) * 2 + GROUPING(source) AS gid,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+           AS total_words,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS mean_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+@register_supplementary(
+    "corpus_stats_rollup", _CORPUS_STATS_ORACLE, tags=("pipeline", "text")
+)
+def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang x source) corpus volumes at every cube level — docs,
+    chars, whitespace words, mean doc length. One pass: Catalyst
+    expands the cube map-side and partial-aggregates before a single
+    exchange keyed by the grouping tuple, so the shuffle carries one
+    row per (level, group), never the corpus. NULL group values are
+    folded to '_all' with GROUPING() disambiguating real-NULL rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("long")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            (F.grouping("lang") * 2 + F.grouping("source"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(words).alias("total_words"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("_all")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("_all")).alias("source"),
+            "gid",
+            "n_docs",
+            "total_chars",
+            "total_words",
+            "mean_chars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: dedupe a NEW ingestion batch against the already-
+# accepted corpus by content digest — the daily-crawl shape (history is
+# append-only; the batch never re-reads, re-hashes, or re-shuffles the
+# historical raw text, only its digest index).
+
+_INCR_DEDUP_ORACLE = """
+WITH history AS (
+    SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250
+),
+batch AS (
+    SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id >= 250
+),
+first_in_batch AS (
+    SELECT doc_id, digest,
+           ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id)
+               AS rn
+    FROM batch
+)
+SELECT b.doc_id, b.digest
+FROM first_in_batch b
+LEFT JOIN history h ON b.digest = h.digest
+WHERE h.digest IS NULL AND b.rn = 1
+"""
+
+
+@register_supplementary(
+    "dedup_incremental_batch", _INCR_DEDUP_ORACLE, tags=("pipeline", "dedup")
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accept the docs of a new batch (doc_id >= 250 stands in for
+    "today's crawl") that are exact-duplicates of neither the
+    historical corpus nor an earlier doc in the same batch.
+
+    Scale shape: history participates only as its DIGEST index (in
+    production a stored table maintained incrementally — here derived
+    inline from the same fixture), so the anti join moves 16-byte
+    digests, not text; within-batch dedup is a digest-keyed
+    ROW_NUMBER bounded by batch size. Both shuffles are keyed on the
+    digest — uniform by construction, no skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    history = (
+        docs.where(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    batch = docs.where(F.col("doc_id") >= 250).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    first_in_batch = batch.withColumn(
+        "rn", F.row_number().over(w)
+    ).where(F.col("rn") == 1)
+    return first_in_batch.join(history, "digest", "left_anti").select(
+        "doc_id", "digest"
+    )

@@ -67,6 +67,8 @@ SAMPLE = [
     "zorder_key_events",
     "decontaminate_benchmark_overlap",
     "histogram_quantiles_value",
+    "corpus_stats_rollup",
+    "dedup_incremental_batch",
 ]
 
 

@@ -1,0 +1,37 @@
+"""The SQL entry point: a user can register the tables as views and
+query with plain `spark.sql(...)` — and for any oracle-backed query,
+running the ORACLE text itself through Spark SQL is a strong
+cross-dialect check (both engines execute the same ANSI SQL over the
+same data and must agree with the DataFrame formulation).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_state_eviction_spark import queries as Q
+from flink_state_eviction_spark.streaming.testing import assert_same_rows
+from flink_state_eviction_spark.tables import register_views
+
+# Oracle texts that are ANSI enough to run unchanged on Spark SQL (no
+# DuckDB-only syntax like list comprehensions / '0x' hex casts).
+ANSI_PORTABLE = [
+    "funnel_view_click_purchase",
+    "user_snapshot_cdc",
+    "corpus_stats_rollup",
+    "dedup_incremental_batch",
+]
+
+
+@pytest.mark.parametrize("name", ANSI_PORTABLE)
+def test_oracle_sql_runs_on_spark_and_matches_dataframe(
+    spark, sf_dir, name
+):
+    register_views(spark, sf_dir)
+    sql = Q.all_oracle_sql()[name]
+    # dialect deltas small enough to normalize textually
+    sql = sql.replace("string_split", "split")
+    sql = sql.replace("len(split", "size(split")  # array length
+    via_sql = spark.sql(sql)
+    via_df = Q.all_queries()[name](spark, sf_dir)
+    assert_same_rows(via_sql, via_df)
