@@ -112,6 +112,7 @@ def _ensure_loaded() -> None:
         return
     from flink_state_eviction_spark.querydefs import (  # noqa: F401
         core,
+        corpus,
         pipeline,
         tpch,
     )

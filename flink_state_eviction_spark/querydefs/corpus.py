@@ -1,0 +1,585 @@
+"""Corpus-preparation operators: sequence packing, exact-substring span
+dedup, Bloom-filter membership, inverted-index postings, and
+language-mix resampling weights.
+
+Extensions beyond the reference surface (the reference,
+/root/reference MapWithState.java:51-393 etc., is a stateful-streaming
+PoC with no batch corpus tooling) — these are the remaining operators a
+large-scale LLM training-data pipeline runs between "crawl" and
+"tokenized shards". Every query here is supplementary-tier: the
+pytest oracle-parity gate (tests/test_oracle_parity.py) checks values
+AND pandas dtypes against DuckDB, same as the driver's method.
+
+Shared conventions (queries.py module docstring): exact BIGINT math
+everywhere doubles could drift, identical aliases both sides,
+deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.hashing import h64, sql_h64
+from flink_state_eviction_spark.functions.text import tokens
+from flink_state_eviction_spark.queries import register_supplementary
+from flink_state_eviction_spark.tables import load_table
+
+# DuckDB CTE for the corpus word tokenizer (same convention as
+# querydefs/pipeline.py _SQL_TOKS: lowercase, split on non-alnum,
+# drop empties).
+_SQL_TOKS = """
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS toks
+    FROM documents
+)
+"""
+
+# ---------------------------------------------------------------------------
+# X55: sequence packing (concat-and-chunk)
+#
+# GPT-style pretraining concatenates the corpus in a fixed document
+# order and slices it into fixed-length training sequences; a document
+# may straddle a sequence boundary. The operator emits the (chunk,
+# doc, token-span) assignment table: for every training sequence
+# (chunk_id), which slice [begin_tok, end_tok) of which document fills
+# it.
+
+CHUNK_TOKENS = 128
+_PACK_BUCKETS = 16
+
+_PACK_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+counts AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM toks
+),
+nz AS (
+    SELECT doc_id, n_tok,
+           COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    CAST(0 AS BIGINT)) AS off
+    FROM counts WHERE n_tok > 0
+),
+spans AS (
+    SELECT doc_id, n_tok, off,
+           UNNEST(range(CAST(off // {CHUNK_TOKENS} AS BIGINT),
+                        CAST((off + n_tok - 1) // {CHUNK_TOKENS} + 1
+                             AS BIGINT))) AS chunk_id
+    FROM nz
+)
+SELECT chunk_id, doc_id,
+       CAST(GREATEST(CAST(0 AS BIGINT), chunk_id * {CHUNK_TOKENS} - off)
+            AS BIGINT) AS begin_tok,
+       CAST(LEAST(n_tok, (chunk_id + 1) * {CHUNK_TOKENS} - off) AS BIGINT)
+           AS end_tok
+FROM spans
+"""
+
+
+@register_supplementary(
+    "sequence_pack_chunks", _PACK_ORACLE, tags=("pipeline", "corpus")
+)
+def sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed 128-token training sequences.
+
+    The global token offset of each document is a corpus-wide prefix
+    sum over the deterministic doc_id order. A naive window
+    (``ORDER BY doc_id`` with no partition) serializes the corpus
+    through one task, so the offset is computed with the two-level
+    decomposition that scales:
+
+    1. bucket docs by contiguous doc_id range (bucket width from one
+       tiny max() agg — with non-dense ids use repartitionByRange, same
+       shape);
+    2. per-bucket token subtotals (map-side partial agg, ~B rows);
+    3. prefix-sum the B subtotals in a single tiny window task;
+    4. broadcast-join the bucket offsets back and finish with a
+       bucket-local cumulative window.
+
+    At 100 TB the only full-data exchange is the hash shuffle on
+    ``bucket`` carrying (doc_id, n_tok) — 16 bytes/row, never the
+    text — and every window sort is bucket-local. Chunk spans then
+    explode scan-parallel: a doc covering [off, off+n) lands in chunks
+    off/C .. (off+n-1)/C with clamped per-chunk slices. All divided
+    quantities are non-negative by construction (Spark ``div``
+    truncates toward zero, DuckDB ``//`` floors — they only agree on
+    non-negative arguments).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok"))
+        .where(F.col("n_tok") > 0)
+    )
+    bounds = counts.agg(F.max("doc_id").alias("max_id"))
+    bucketed = counts.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr(f"doc_id div (max_id div {_PACK_BUCKETS} + 1)")
+    )
+    bucket_sums = bucketed.groupBy("bucket").agg(F.sum("n_tok").alias("b_toks"))
+    w_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # <= _PACK_BUCKETS + 1 rows: single-task window is the point
+    bucket_offs = bucket_sums.withColumn(
+        "b_off", F.coalesce(F.sum("b_toks").over(w_buckets), F.lit(0).cast("long"))
+    ).select("bucket", "b_off")
+    w_local = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        bucketed.join(F.broadcast(bucket_offs), "bucket")
+        .withColumn(
+            "off",
+            F.col("b_off")
+            + F.coalesce(F.sum("n_tok").over(w_local), F.lit(0).cast("long")),
+        )
+        .select("doc_id", "n_tok", "off")
+    )
+    c = CHUNK_TOKENS
+    return (
+        offs.withColumn(
+            "chunk_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"off div {c}"), F.expr(f"(off + n_tok - 1) div {c}")
+                )
+            ),
+        )
+        .select(
+            "chunk_id",
+            "doc_id",
+            F.greatest(
+                F.lit(0).cast("long"), F.col("chunk_id") * c - F.col("off")
+            ).alias("begin_tok"),
+            F.least(
+                F.col("n_tok"), (F.col("chunk_id") + 1) * c - F.col("off")
+            ).alias("end_tok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X56: exact-substring span dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the suffix-array exact
+# substring pass, approximated distributively with fixed-length token
+# shingles at a stride).
+
+_SPAN_K = 8  # span length in tokens
+_SPAN_S = 4  # stride between sampled spans
+
+_SPAN_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+sh AS (
+    SELECT t.doc_id,
+           {sql_h64(f"array_to_string(t.toks[u.i*{_SPAN_S}+1 : u.i*{_SPAN_S}+{_SPAN_K}], ' ')")}
+               AS span_h
+    FROM toks t,
+         UNNEST(range(0, (len(t.toks) - {_SPAN_K}) // {_SPAN_S} + 1)) AS u(i)
+    WHERE len(t.toks) >= {_SPAN_K}
+),
+cnt AS (
+    SELECT span_h, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY span_h
+),
+pd AS (
+    SELECT s.doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+    FROM sh s JOIN cnt c USING (span_h)
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(pd.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       COALESCE(pd.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+       CAST(COALESCE(pd.n_dup_spans, 0) AS DOUBLE)
+           / NULLIF(COALESCE(pd.n_spans, CAST(0 AS BIGINT)), 0)
+           AS dup_span_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+@register_supplementary(
+    "span_dedup_frac", _SPAN_ORACLE, tags=("pipeline", "dedup")
+)
+def span_dedup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of sampled 8-token spans that also occur in
+    another document — the distributive approximation of exact
+    substring dedup (a doc with a high dup_span_frac contains long
+    verbatim copies even when the whole doc is unique).
+
+    Scale shape: sampling every S-th span bounds the explode factor at
+    n_tokens/S rows per doc, each a 16-byte (doc_id, span_h) pair —
+    the text itself never shuffles. Both aggregations key on the
+    64-bit span hash / doc_id, uniform by construction; the span-count
+    join moves only (span_h, nd) pairs. The known blind spot (spans
+    aligned differently than the stride) is the standard
+    recall/compute knob: S=1 is exact at Kx the rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks_df = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    spans = (
+        toks_df.where(F.col("n") >= _SPAN_K)
+        .select(
+            "doc_id",
+            "toks",
+            # sequence over INTs: `i` feeds slice(), whose start
+            # argument must be int-typed. n >= _SPAN_K here, so the
+            # upper bound is non-negative (div/floor-division parity).
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.expr(f"(n - {_SPAN_K}) div {_SPAN_S}")
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            h64(
+                F.array_join(
+                    F.expr(f"slice(toks, i * {_SPAN_S} + 1, {_SPAN_K})"), " "
+                )
+            ).alias("span_h"),
+        )
+    )
+    counts = spans.groupBy("span_h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        spans.join(counts, "span_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias(
+                "n_dup_spans"
+            ),
+            F.expr(
+                "CAST(COALESCE(n_dup_spans, 0) AS DOUBLE)"
+                " / NULLIF(COALESCE(n_spans, CAST(0 AS BIGINT)), 0)"
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X57: Bloom-filter digest membership (constant-size dedup index)
+#
+# Companion to `dedup_incremental_batch` (querydefs/pipeline.py): that
+# query anti-joins today's digests against the full historical digest
+# index; this one compresses the index into a fixed-size Bloom bitset
+# so the probe side is a broadcast + scan instead of a shuffle. The
+# query builds the filter from the "history" half of the fixture,
+# probes the "batch" half, and reports bloom hits vs exact hits — the
+# false-positive overcount is visible (and never a false negative,
+# pinned by tests/test_corpus_ops.py).
+
+_BLOOM_BITS = 8192  # 2**13
+_BLOOM_WORD = 32  # bits packed per register word (shifts stay positive)
+_BLOOM_SEEDS = (201, 202, 203, 204)
+
+_BLOOM_POS_SQL = " UNION ALL ".join(
+    f"SELECT digest, ({sql_h64('digest', str(seed))}) % {_BLOOM_BITS} AS pos"
+    " FROM {src}" for seed in _BLOOM_SEEDS
+)
+
+
+def _bloom_oracle() -> str:
+    hist_pos = _BLOOM_POS_SQL.format(src="hist")
+    batch_pos = _BLOOM_POS_SQL.format(src="batch")
+    return f"""
+WITH hist AS (
+    SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250
+),
+batch AS (
+    SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id >= 250
+),
+words AS (
+    SELECT pos // {_BLOOM_WORD} AS word_idx,
+           bit_or(1::BIGINT << (pos % {_BLOOM_WORD})) AS word
+    FROM ({hist_pos}) GROUP BY 1
+),
+probe AS (
+    SELECT p.digest,
+           bool_and((COALESCE(w.word, 0)
+                     & (1::BIGINT << (p.pos % {_BLOOM_WORD}))) <> 0)
+               AS bloom_hit
+    FROM ({batch_pos}) p
+    LEFT JOIN words w ON w.word_idx = p.pos // {_BLOOM_WORD}
+    GROUP BY p.digest
+),
+flags AS (
+    SELECT b.digest, p.bloom_hit, h.digest IS NOT NULL AS exact_hit
+    FROM batch b
+    JOIN probe p USING (digest)
+    LEFT JOIN hist h USING (digest)
+)
+SELECT COUNT(*) AS n_batch,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_hits,
+       CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_hits,
+       CAST(SUM(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM flags
+"""
+
+
+def _bloom_positions(digests: DataFrame) -> DataFrame:
+    """(digest, pos) rows: _BLOOM_SEEDS hash positions per digest."""
+    per_seed = [
+        digests.select(
+            "digest",
+            (h64(F.col("digest"), seed) % _BLOOM_BITS).alias("pos"),
+        )
+        for seed in _BLOOM_SEEDS
+    ]
+    out = per_seed[0]
+    for nxt in per_seed[1:]:
+        out = out.unionAll(nxt)
+    return out
+
+
+@register_supplementary(
+    "bloom_digest_probe", _bloom_oracle(), tags=("pipeline", "dedup")
+)
+def bloom_digest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 8192-bit / 4-hash Bloom filter over historical doc
+    digests, probe a new batch, report bloom vs exact membership.
+
+    Scale shape: the filter is 256 x 32-bit register words REGARDLESS
+    of corpus size (m is a capacity parameter — size it ~10 bits/key
+    for ~1% FP at the design point), so the probe plan is a broadcast
+    hash join against a constant-size table plus a scan-parallel
+    bool_and — the batch side never shuffles its digests. That is the
+    difference from the exact anti-join in dedup_incremental_batch,
+    which moves every digest across the wire; production pipelines
+    probe the Bloom first and anti-join only the survivors (here both
+    sides are reported instead so the FP overcount is measurable).
+    The register build is a map-side-combinable bit_or groupBy over
+    <= 256 keys; merging shards = bit_or of their word tables.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.where(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    batch = (
+        docs.where(F.col("doc_id") >= 250)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    words = (
+        _bloom_positions(hist)
+        .groupBy(F.expr(f"pos div {_BLOOM_WORD}").alias("word_idx"))
+        .agg(
+            F.bit_or(F.expr(f"shiftleft(1L, int(pos % {_BLOOM_WORD}))")).alias(
+                "word"
+            )
+        )
+    )
+    probe = (
+        _bloom_positions(batch)
+        .withColumn("word_idx", F.expr(f"pos div {_BLOOM_WORD}"))
+        .join(F.broadcast(words), "word_idx", "left")
+        .groupBy("digest")
+        .agg(
+            F.bool_and(
+                F.expr(
+                    f"(COALESCE(word, 0L)"
+                    f" & shiftleft(1L, int(pos % {_BLOOM_WORD}))) <> 0"
+                )
+            ).alias("bloom_hit")
+        )
+    )
+    flags = (
+        batch.join(probe, "digest")
+        .join(hist.withColumnRenamed("digest", "h_digest"),
+              F.col("digest") == F.col("h_digest"), "left")
+        .select("digest", "bloom_hit", F.col("h_digest").isNotNull().alias("exact_hit"))
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_hits"),
+        F.sum(F.when(F.col("exact_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_hits"),
+        F.sum(F.when(F.col("bloom_hit") & ~F.col("exact_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X58: inverted-index postings (token -> document frequency + top-k
+# posting list). The retrieval-side building block: BM25/keyword
+# search over the corpus starts from exactly this table.
+
+_POSTINGS_K = 8
+
+_POSTINGS_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+tf AS (
+    SELECT u.tok AS token, t.doc_id, COUNT(*) AS tf
+    FROM toks t, UNNEST(t.toks) AS u(tok)
+    GROUP BY u.tok, t.doc_id
+),
+ranked AS (
+    SELECT token, doc_id, tf,
+           ROW_NUMBER() OVER (PARTITION BY token
+                              ORDER BY tf DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY token) AS df
+    FROM tf
+)
+SELECT token, df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS postings
+FROM ranked WHERE rn <= {_POSTINGS_K}
+GROUP BY token, df
+"""
+
+
+@register_supplementary(
+    "inverted_index_postings", _POSTINGS_ORACLE, tags=("pipeline", "text")
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token -> (document frequency, top-8 posting list by tf desc,
+    doc_id-tiebroken), postings rendered as a comma-joined string so
+    the value hash is engine-neutral.
+
+    Scale shape: the explode emits (token, doc_id) pairs that
+    pre-aggregate map-side into (token, doc_id, tf) before the one
+    hash exchange on token; the per-token top-k is a bounded
+    row_number (never a collect_list over an unbounded group — the
+    group here is capped at k=8 before the final concat). Stopword-
+    grade hot tokens skew the token partition at corpus scale; the
+    production mitigations (drop df > threshold tokens, or salt the
+    tf pre-aggregation) compose with this plan unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w_rank = Window.partitionBy("token").orderBy(
+        F.desc("tf"), F.asc("doc_id")
+    )
+    w_all = Window.partitionBy("token")
+    ranked = tf.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "df", F.count(F.lit(1)).over(w_all)
+    )
+    return (
+        ranked.where(F.col("rn") <= _POSTINGS_K)
+        .groupBy("token", "df")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                    lambda s: s.getField("doc_id").cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X59: language-mix resampling weights (data mixing)
+#
+# Given a target language mix for the training corpus, compute the
+# per-language sampling weight target_share / actual_token_share —
+# the table a weighted sampler (stratified_sample_docs is the
+# content-hash Bernoulli machinery) consumes to hit the mix.
+
+_MIX_TARGETS = {
+    "en": 0.40,
+    "zh": 0.15,
+    "de": 0.15,
+    "fr": 0.15,
+    "es": 0.15,
+}
+_MIX_DEFAULT = 0.05
+_MIX_CAP = 4.0
+
+
+def _mix_case_sql() -> str:
+    # CAST each branch: both engines parse a bare `0.4` literal as
+    # DECIMAL, which would make the output column decimal-typed (and
+    # differently scaled per engine).
+    branches = " ".join(
+        f"WHEN lang = '{k}' THEN CAST({v!r} AS DOUBLE)"
+        for k, v in _MIX_TARGETS.items()
+    )
+    return f"CASE {branches} ELSE CAST({_MIX_DEFAULT!r} AS DOUBLE) END"
+
+
+_MIX_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+per_lang AS (
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(t.toks)) AS BIGINT) AS n_tokens
+    FROM documents d JOIN toks t USING (doc_id)
+    GROUP BY d.lang
+)
+SELECT lang, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+           AS actual_share,
+       {_mix_case_sql()} AS target_share,
+       LEAST(CAST({_MIX_CAP!r} AS DOUBLE),
+             ({_mix_case_sql()})
+             / (CAST(n_tokens AS DOUBLE)
+                / CAST(SUM(n_tokens) OVER () AS DOUBLE))) AS weight
+FROM per_lang
+"""
+
+
+@register_supplementary(
+    "domain_mix_weights", _MIX_ORACLE, tags=("pipeline", "text")
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token shares and the resampling weight
+    (target_share / actual_share, capped) that achieves a fixed
+    target language mix.
+
+    Scale shape: one map-side-combinable aggregation over (lang) —
+    the token counting happens in the scan projection, so the only
+    exchange carries one row per language. The over-all-languages
+    total is a window over that tiny aggregate. Doubles appear only
+    after the exact BIGINT sums, and both engines execute the
+    identical division/LEAST sequence, so parity holds bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select("lang", F.size(tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    target = F.expr(_mix_case_sql())
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    actual = F.col("n_tokens").cast("double") / total.cast("double")
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        actual.alias("actual_share"),
+        target.alias("target_share"),
+        F.least(F.lit(_MIX_CAP), target / actual).alias("weight"),
+    )

@@ -1,0 +1,153 @@
+"""Semantic properties of the corpus-prep operators (querydefs/corpus).
+
+Bit-for-bit Spark/DuckDB parity is covered by test_oracle_parity; here
+we pin the invariants that make each operator trustworthy:
+
+- sequence packing tiles every document's tokens exactly once and
+  fills every chunk except the last to capacity;
+- the Bloom probe never reports a false negative;
+- exact-duplicate documents have dup_span_frac == 1;
+- posting lists are bounded, rank-consistent, and df-complete;
+- mix weights renormalize shares to the target mix under the cap.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.text import tokens
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.querydefs.corpus import (
+    _MIX_CAP,
+    _POSTINGS_K,
+    _SPAN_K,
+    _SPAN_S,
+    CHUNK_TOKENS,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_sequence_packing_tiles_exactly(spark, sf_dir):
+    out = all_queries()["sequence_pack_chunks"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("n")
+        ).collect()
+        if r.n > 0
+    }
+
+    by_doc = defaultdict(list)
+    chunk_fill = defaultdict(int)
+    for r in out:
+        assert 0 <= r.begin_tok < r.end_tok <= n_tok[r.doc_id]
+        by_doc[r.doc_id].append((r.chunk_id, r.begin_tok, r.end_tok))
+        chunk_fill[r.chunk_id] += r.end_tok - r.begin_tok
+
+    # every non-empty doc appears, and its spans tile [0, n_tok)
+    assert set(by_doc) == set(n_tok)
+    for doc_id, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][1] == 0
+        assert spans[-1][2] == n_tok[doc_id]
+        for (c0, _, e0), (c1, b1, _) in zip(spans, spans[1:]):
+            assert c1 == c0 + 1 and b1 == e0  # contiguous, no overlap
+
+    # chunk ids dense from 0; all but the last filled to capacity
+    assert set(chunk_fill) == set(range(len(chunk_fill)))
+    last = max(chunk_fill)
+    for chunk_id, fill in chunk_fill.items():
+        if chunk_id == last:
+            assert 0 < fill <= CHUNK_TOKENS
+        else:
+            assert fill == CHUNK_TOKENS
+
+
+def test_bloom_probe_has_no_false_negatives(spark, sf_dir):
+    row = all_queries()["bloom_digest_probe"](spark, sf_dir).head()
+    assert row.n_batch > 0
+    # bloom_hits - false_pos = |bloom AND exact|; equality with
+    # n_exact_hits means every exact member passed the filter.
+    assert row.n_bloom_hits - row.n_false_pos == row.n_exact_hits
+    assert 0 <= row.n_false_pos <= row.n_batch - row.n_exact_hits
+
+
+def _py_spans(text: str):
+    """Python model of the sampled-span hashing (same tokenizer, same
+    h64 hash family: md5 of '0:<span>', first 15 hex chars)."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    out = []
+    for i in range(0, (len(toks) - _SPAN_K) // _SPAN_S + 1 if len(toks) >= _SPAN_K else 0):
+        span = " ".join(toks[i * _SPAN_S : i * _SPAN_S + _SPAN_K])
+        h = hashlib.md5(("0:" + span).encode()).hexdigest()[:15]
+        out.append(int(h, 16))
+    return out
+
+
+def test_span_dedup_matches_python_model(spark, sf_dir):
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in all_queries()["span_dedup_frac"](spark, sf_dir).collect()
+    }
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    spans = {doc_id: _py_spans(t) for doc_id, t in texts.items()}
+    docs_of = defaultdict(set)
+    for doc_id, hs in spans.items():
+        for h in hs:
+            docs_of[h].add(doc_id)
+    for doc_id, hs in spans.items():
+        n_dup = sum(1 for h in hs if len(docs_of[h]) > 1)
+        assert got[doc_id] == (len(hs), n_dup), doc_id
+
+
+def test_inverted_index_postings_bounded_and_ranked(spark, sf_dir):
+    rows = all_queries()["inverted_index_postings"](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    tf = {
+        (r.token, r.doc_id): r.tf
+        for r in docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    }
+    df_exact = defaultdict(int)
+    for token, _ in tf:
+        df_exact[token] += 1
+    assert len(rows) == len(df_exact)
+    for r in rows:
+        ids = [int(x) for x in r.postings.split(",")]
+        assert 1 <= len(ids) <= _POSTINGS_K
+        assert len(ids) == min(r.df, _POSTINGS_K)
+        assert r.df == df_exact[r.token]
+        ranked = [(-tf[(r.token, i)], i) for i in ids]
+        assert ranked == sorted(ranked), (r.token, ids)
+
+
+def test_domain_mix_weights_normalized(spark, sf_dir):
+    rows = all_queries()["domain_mix_weights"](spark, sf_dir).collect()
+    assert abs(sum(r.actual_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0 < r.weight <= _MIX_CAP
+        uncapped = r.target_share / r.actual_share
+        assert r.weight == min(_MIX_CAP, uncapped)
+
+
+def test_span_K_consistent_with_min_doc():
+    # guard: the sampled-span parameters keep the explode factor
+    # bounded (stride shares the K window)
+    assert _SPAN_K >= 2
+    assert CHUNK_TOKENS > 0
