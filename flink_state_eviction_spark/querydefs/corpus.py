@@ -112,7 +112,11 @@ def sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok"))
         .where(F.col("n_tok") > 0)
     )
-    bounds = counts.agg(F.max("doc_id").alias("max_id"))
+    # Bucket bounds from ALL docs (not the n_tok > 0 subset): the
+    # bucketing only needs a deterministic partition of the doc_id
+    # space, and dropping the token filter lets the scan prune down to
+    # the doc_id column — no second tokenization pass for the bounds.
+    bounds = docs.agg(F.max("doc_id").alias("max_id"))
     bucketed = counts.crossJoin(F.broadcast(bounds)).withColumn(
         "bucket", F.expr(f"doc_id div (max_id div {_PACK_BUCKETS} + 1)")
     )
@@ -241,15 +245,22 @@ def span_dedup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span_h"),
         )
     )
-    counts = spans.groupBy("span_h").agg(
-        F.count_distinct("doc_id").alias("nd")
+    # Single chain, no self-join: pre-aggregate span instances to
+    # unique (span_h, doc_id) pairs with their occurrence count, count
+    # cross-doc membership with a window over span_h (rows are unique
+    # per doc there, so COUNT(*) IS the distinct-doc count), then roll
+    # up per doc. The corpus text is scanned and tokenized exactly
+    # once; every exchange after the explode carries ~24-byte rows.
+    pairs = spans.groupBy("span_h", "doc_id").agg(
+        F.count(F.lit(1)).alias("occ")
     )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("span_h"))
     per_doc = (
-        spans.join(counts, "span_h")
+        pairs.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            F.sum("occ").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("nd") > 1, F.col("occ")).otherwise(0))
             .cast("long")
             .alias("n_dup_spans"),
         )
@@ -335,18 +346,19 @@ FROM flags
 
 
 def _bloom_positions(digests: DataFrame) -> DataFrame:
-    """(digest, pos) rows: _BLOOM_SEEDS hash positions per digest."""
-    per_seed = [
-        digests.select(
-            "digest",
-            (h64(F.col("digest"), seed) % _BLOOM_BITS).alias("pos"),
-        )
-        for seed in _BLOOM_SEEDS
-    ]
-    out = per_seed[0]
-    for nxt in per_seed[1:]:
-        out = out.unionAll(nxt)
-    return out
+    """(digest, pos) rows: _BLOOM_SEEDS hash positions per digest.
+
+    Seeds come from ONE exploded literal array, not a unionAll of
+    per-seed selects: a union expands the upstream digest subtree once
+    per seed in the physical plan (k full scans of the corpus), while
+    the explode keeps a single scan and widens it k-fold after the
+    projection."""
+    seeds = F.array(*[F.lit(s) for s in _BLOOM_SEEDS])
+    return digests.select(
+        "digest", F.explode(seeds).alias("seed")
+    ).select(
+        "digest", (h64(F.col("digest"), F.col("seed")) % _BLOOM_BITS).alias("pos")
+    )
 
 
 @register_supplementary(
@@ -402,10 +414,12 @@ def bloom_digest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bloom_hit")
         )
     )
+    # probe already carries exactly the distinct batch digests, so the
+    # exact-membership comparison joins probe (not batch again — one
+    # less corpus scan).
     flags = (
-        batch.join(probe, "digest")
-        .join(hist.withColumnRenamed("digest", "h_digest"),
-              F.col("digest") == F.col("h_digest"), "left")
+        probe.join(hist.withColumnRenamed("digest", "h_digest"),
+                   F.col("digest") == F.col("h_digest"), "left")
         .select("digest", "bloom_hit", F.col("h_digest").isNotNull().alias("exact_hit"))
     )
     return flags.agg(

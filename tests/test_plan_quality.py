@@ -212,3 +212,54 @@ def test_cdc_single_shuffle(spark, sf_dir):
     plan = physical_plan(df, "simple")
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"expected 1 shuffle, got {n}:\n{plan}"
+
+
+def _scan_counts(plan: str) -> "tuple[int, int]":
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    return len(scans), sum(1 for l in scans if "text#" in l)
+
+
+def test_sequence_packing_scan_and_shuffle_budget(spark, sf_dir):
+    # The two-level prefix sum needs the tokenized corpus twice (local
+    # cumsum branch + bucket-subtotal branch); everything else must be
+    # column-pruned bounds scans or tiny aggregates. The bucket-offset
+    # table joins back via broadcast, and full-data exchanges are on
+    # `bucket` only.
+    df = _q("sequence_pack_chunks", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    _, text_scans = _scan_counts(plan)
+    assert text_scans <= 2, plan
+    assert_broadcast_join(df, n_joins=1)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_span_dedup_single_tokenize_pass(spark, sf_dir):
+    # single-chain formulation: the corpus text is scanned/tokenized
+    # exactly once; cross-doc counting is a window over the
+    # pre-aggregated (span_h, doc_id) pairs, not a self-join
+    df = _q("span_dedup_frac", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    _, text_scans = _scan_counts(plan)
+    assert text_scans == 1, plan
+
+
+def test_bloom_probe_broadcasts_registers(spark, sf_dir):
+    # the register table is constant-size: the probe must join it as a
+    # broadcast, and the seed fan-out must come from one explode (3
+    # corpus scans total: build + probe + exact-comparison), never a
+    # per-seed union of scans
+    df = _q("bloom_digest_probe", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    n_scans, text_scans = _scan_counts(plan)
+    assert text_scans <= 3, plan
+    assert_broadcast_join(df, n_joins=2)
+
+
+def test_inverted_index_single_scan(spark, sf_dir):
+    # explode -> map-side-combined tf -> one token exchange for the
+    # bounded top-k; no second corpus pass for df counting
+    df = _q("inverted_index_postings", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    n_scans, _ = _scan_counts(plan)
+    assert n_scans == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
