@@ -151,3 +151,59 @@ def test_span_K_consistent_with_min_doc():
     # bounded (stride shares the K window)
     assert _SPAN_K >= 2
     assert CHUNK_TOKENS > 0
+
+
+def test_streaming_bloom_registers_match_batch(spark, sf_dir, tmp_path):
+    """The Bloom register build runs as an update-mode streaming
+    aggregation (grouped bit_or per word is both the state transition
+    and the shard merge); its final words equal the batch filter's.
+    Mirrors the streaming-HLL twin: sketches whose merge operator is a
+    plain grouped aggregate stream for free."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        _BLOOM_WORD,
+        _bloom_positions,
+    )
+    from flink_state_eviction_spark.streaming.testing import (
+        run_available_now,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdocs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def words_of(digests):
+        return (
+            _bloom_positions(digests)
+            .groupBy(F.expr(f"pos div {_BLOOM_WORD}").alias("word_idx"))
+            .agg(
+                F.bit_or(
+                    F.expr(f"shiftleft(1L, int(pos % {_BLOOM_WORD}))")
+                ).alias("word")
+            )
+        )
+
+    stream_words = words_of(
+        sdocs.where(F.col("doc_id") < 250).select(
+            F.md5("text").alias("digest")
+        )
+    )
+    mem = run_available_now(
+        stream_words, str(tmp_path / "ck_bloom"), output_mode="update"
+    )
+    final = {
+        r.word_idx: r.word
+        for r in mem.groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    }
+
+    batch = words_of(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    assert final == {r.word_idx: r.word for r in batch.collect()}
