@@ -131,7 +131,7 @@ def main() -> None:
     ap.add_argument(
         "--only",
         default="mws,lsh,topk",
-        help="comma subset of mws,lsh,topk",
+        help="comma subset of mws,lsh,topk,pack,span,bloom,postings",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -152,6 +152,26 @@ def main() -> None:
             )
         if "topk" in only:
             rec["similarity_topk_sec"] = timed(qs["similarity_topk"](spark, d))
+        # corpus-prep ops (querydefs/corpus.py) — supplementary tier
+        all_qs = Q.all_queries()
+        if "pack" in only:
+            rec["sequence_pack_chunks_sec"] = timed(
+                all_qs["sequence_pack_chunks"](spark, d)
+            )
+        if "span" in only:
+            rec["span_dedup_frac_sec"] = timed(
+                all_qs["span_dedup_frac"](spark, d)
+            )
+        if "bloom" in only:
+            # history side stays the original 250 docs (scaled ids are
+            # all >= OFFSET): constant-size filter, scaling probe
+            rec["bloom_digest_probe_sec"] = timed(
+                all_qs["bloom_digest_probe"](spark, d)
+            )
+        if "postings" in only:
+            rec["inverted_index_postings_sec"] = timed(
+                all_qs["inverted_index_postings"](spark, d)
+            )
         print(json.dumps(rec), flush=True)
 
 
