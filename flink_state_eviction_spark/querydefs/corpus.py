@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_state_eviction_spark.functions.hashing import h64, sql_h64
-from flink_state_eviction_spark.functions.text import tokens
+from flink_state_eviction_spark.functions.text import (
+    LANG_STOPWORDS,
+    stopword_count,
+    tokens,
+)
 from flink_state_eviction_spark.queries import register_supplementary
 from flink_state_eviction_spark.tables import load_table
 
@@ -596,4 +600,166 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         actual.alias("actual_share"),
         target.alias("target_share"),
         F.least(F.lit(_MIX_CAP), target / actual).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X60: quality-based data selection under a token budget
+#
+# The data-selection stage: rank the corpus by a quality score and
+# keep documents greedily until a fixed fraction of the corpus token
+# mass is reached. The score is text_quality's linear score
+# (querydefs/pipeline.py _QUALITY_ORACLE) so the two stages compose;
+# the selection itself is a corpus-wide prefix sum over the quality
+# ordering — the same two-level decomposition as sequence_pack_chunks,
+# with score-range buckets instead of doc_id ranges.
+
+_BUDGET_NUM = 4  # budget = 4/10 (40%) of total corpus tokens
+_BUDGET_DEN = 10
+_SEL_BUCKETS = 16
+
+_SCORE_SQL = """
+m AS (
+    SELECT d.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tok,
+           2.0 * (CAST(len(list_filter(t.toks,
+                      x -> list_contains({stops}, x))) AS DOUBLE)
+                  / NULLIF(len(t.toks), 0))
+           - 3.0 * (CAST(length(regexp_replace(lower(d.text), '[a-z0-9 ]',
+                                               '', 'g')) AS DOUBLE)
+                    / NULLIF(length(d.text), 0))
+           + 0.05 * (CAST(list_sum(list_transform(t.toks, x -> length(x)))
+                          AS DOUBLE)
+                     / NULLIF(len(t.toks), 0)) AS quality_score
+    FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+    WHERE len(t.toks) > 0
+)
+"""
+
+
+def _budget_oracle() -> str:
+    score_cte = _SCORE_SQL.format(stops=list(LANG_STOPWORDS["en"])).strip()
+    return f"""
+WITH {_SQL_TOKS.strip()},
+{score_cte},
+ord AS (
+    SELECT doc_id, quality_score, n_tok,
+           CAST(COALESCE(SUM(n_tok) OVER (ORDER BY quality_score DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         CAST(0 AS BIGINT)) AS BIGINT) AS cum_before,
+           SUM(n_tok) OVER () AS total
+    FROM m
+)
+SELECT doc_id, quality_score, n_tok, cum_before,
+       cum_before * {_BUDGET_DEN} < total * {_BUDGET_NUM} AS selected
+FROM ord
+"""
+
+
+def _quality_and_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, quality_score) for docs with tokens — the same
+    linear score as text_quality."""
+    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    n_tok = F.size("toks").cast("long")
+    nw = F.nullif(n_tok, F.lit(0))
+    nc = F.nullif(F.length("text").cast("long"), F.lit(0))
+    stop_r = stopword_count(F.col("toks"), LANG_STOPWORDS["en"]).cast(
+        "double"
+    ) / nw
+    punct_r = (
+        F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")).cast(
+            "double"
+        )
+        / nc
+    )
+    avg_wl = (
+        F.aggregate(F.transform("toks", F.length), F.lit(0), lambda a, x: a + x)
+        .cast("double")
+        / nw
+    )
+    return t.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (2.0 * stop_r - 3.0 * punct_r + 0.05 * avg_wl).alias("quality_score"),
+    ).where(F.col("n_tok") > 0)
+
+
+@register_supplementary(
+    "quality_budget_select", _budget_oracle(), tags=("pipeline", "text")
+)
+def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select documents by descending quality score until 40% of the
+    corpus token mass is kept (the straddling document is included).
+
+    Scale shape: the greedy-by-score selection is a prefix sum over
+    the (quality_score DESC, doc_id) order — computed with the same
+    two-level decomposition as sequence_pack_chunks, except buckets
+    are score ranges (from one tiny min/max agg) rather than doc_id
+    ranges. floor((max-score)/width) is monotone in the sort key and
+    maps equal scores to one bucket, so bucket-asc + within-bucket
+    order IS the global order. Full data shuffles once as ~24-byte
+    (doc_id, n_tok, score) rows; the budget predicate is exact BIGINT
+    cross-multiplication (no double drift on the cutoff).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _quality_and_tokens(docs)
+    b = _SEL_BUCKETS
+    # Fixed score-range buckets: the linear score is analytically
+    # bounded (2*stop_r in [0,2], -3*punct_r in [-3,0], 0.05*avg_wl
+    # small-positive), so [-3, 4] clamped covers it without a min/max
+    # pass over the corpus — a data-derived bounds agg would tokenize
+    # the text twice more (it cannot column-prune like packing's
+    # max(doc_id) can). floor((hi - score)/width) is monotone in the
+    # sort key and equal scores share a bucket, so bucket-asc +
+    # within-bucket order IS the global order; clamping only merges
+    # the extreme buckets. At 100 TB, skewed score mass is the risk —
+    # there, compute sampled quantile boundaries once (what
+    # repartitionByRange does) and keep the same plan shape.
+    lo, hi = -3.0, 4.0
+    width = (hi - lo) / b
+    bucketed = scored.withColumn(
+        "bucket",
+        F.least(
+            F.lit(b - 1),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((F.lit(hi) - F.col("quality_score")) / width),
+            ),
+        ),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_sums = bucketed.groupBy("bucket").agg(
+        F.sum("n_tok").alias("b_toks")
+    )
+    w_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # <= _SEL_BUCKETS rows
+    bucket_offs = bucket_sums.select(
+        "bucket",
+        F.coalesce(F.sum("b_toks").over(w_buckets), F.lit(0).cast("long")).alias(
+            "b_off"
+        ),
+        F.sum("b_toks").over(Window.partitionBy()).alias("total"),
+    )
+    return (
+        bucketed.join(F.broadcast(bucket_offs), "bucket")
+        .withColumn(
+            "cum_before",
+            F.col("b_off")
+            + F.coalesce(F.sum("n_tok").over(w_local), F.lit(0).cast("long")),
+        )
+        .select(
+            "doc_id",
+            "quality_score",
+            "n_tok",
+            "cum_before",
+            (
+                F.col("cum_before") * _BUDGET_DEN
+                < F.col("total") * _BUDGET_NUM
+            ).alias("selected"),
+        )
     )

@@ -207,3 +207,28 @@ def test_streaming_bloom_registers_match_batch(spark, sf_dir, tmp_path):
         .distinct()
     )
     assert final == {r.word_idx: r.word for r in batch.collect()}
+
+
+def test_quality_budget_select_is_greedy_prefix(spark, sf_dir):
+    """selected == greedy take in (quality_score DESC, doc_id) order
+    until 40% of corpus tokens, straddling doc included; cum_before is
+    the exact running sum of that order."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        _BUDGET_DEN,
+        _BUDGET_NUM,
+    )
+
+    rows = all_queries()["quality_budget_select"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_tok for r in rows)
+    ordered = sorted(rows, key=lambda r: (-r.quality_score, r.doc_id))
+    cum = 0
+    for r in ordered:
+        assert r.cum_before == cum, r
+        assert r.selected == (cum * _BUDGET_DEN < total * _BUDGET_NUM), r
+        cum += r.n_tok
+    assert cum == total
+    # a strict subset is selected (budget < corpus) unless the corpus
+    # is so small one doc straddles everything
+    n_sel = sum(1 for r in rows if r.selected)
+    assert 1 <= n_sel <= len(rows)

@@ -263,3 +263,15 @@ def test_inverted_index_single_scan(spark, sf_dir):
     n_scans, _ = _scan_counts(plan)
     assert n_scans == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_quality_budget_select_scan_and_shuffle_budget(spark, sf_dir):
+    # same two-level prefix-sum contract as sequence packing, with
+    # score-range buckets: <= 2 tokenize passes, bucket offsets join
+    # back as a broadcast, full-data exchanges on `bucket` only
+    df = _q("quality_budget_select", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    _, text_scans = _scan_counts(plan)
+    assert text_scans <= 2, plan
+    assert_broadcast_join(df, n_joins=1)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
