@@ -69,6 +69,11 @@ SAMPLE = [
     "histogram_quantiles_value",
     "corpus_stats_rollup",
     "dedup_incremental_batch",
+    "sequence_pack_chunks",
+    "span_dedup_frac",
+    "inverted_index_postings",
+    "domain_mix_weights",
+    "quality_budget_select",
 ]
 
 
@@ -77,3 +82,9 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     df = Q.all_queries()[name](spark, empty_sf_dir)
     assert df.count() == 0
     assert len(df.schema.fields) > 0
+
+
+def test_bloom_probe_survives_empty_tables(spark, empty_sf_dir):
+    # global aggregate: one row even on empty input, with a zero batch
+    row = Q.all_queries()["bloom_digest_probe"](spark, empty_sf_dir).head()
+    assert row.n_batch == 0
