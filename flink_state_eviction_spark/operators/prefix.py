@@ -1,0 +1,84 @@
+"""Distributed exact prefix sum over a global ordering.
+
+Extension beyond the reference surface (the reference's only
+aggregation machinery is streaming window reduce,
+/root/reference WindowAllTimeKeyedPoC.java:57-89). Several corpus
+operators need "the exact running total of X in a deterministic global
+order" — sequence packing (token offsets), budgeted data selection
+(greedy cutoff). A naive ``ORDER BY`` window with no partition
+serializes the corpus through a single task; this operator is the
+two-level decomposition that scales:
+
+1. the caller supplies a ``bucket`` column that is monotone,
+   contiguous in the global order (range buckets of the sort key);
+2. bucket-local cumulative sums run partition-parallel;
+3. per-bucket subtotals — at most ``n_buckets`` rows after map-side
+   partial aggregation — are prefix-summed in one tiny window task;
+4. bucket base offsets broadcast-join back.
+
+The only full-data exchange is the hash shuffle on ``bucket`` carrying
+the projected (order, value) columns, never the payload; every sort is
+bucket-local. At 100 TB with unknown sort-key distributions, compute
+the bucket boundaries from a sample (what repartitionByRange does) and
+keep the same shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    out_col: str = "cum_before",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = exact sum of ``value_col`` over all rows that
+    precede the row in the (bucket, *order_cols) global order —
+    exclusive (the row's own value is not included).
+
+    ``bucket_col`` must partition the global order into contiguous
+    ranges: for any two rows a < b in the intended order,
+    bucket(a) <= bucket(b), with ties in the order sharing a bucket or
+    ordered by ``order_cols`` within one. If ``total_col`` is given,
+    the grand total is attached to every row as well (it rides the
+    same tiny broadcast — no extra pass).
+    """
+    w_local = (
+        Window.partitionBy(bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_buckets = Window.orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # <= n_buckets rows: the single-task window is the point
+    bucket_offs = (
+        df.groupBy(bucket_col)
+        .agg(F.sum(value_col).alias("_b_toks"))
+        .select(
+            bucket_col,
+            F.coalesce(
+                F.sum("_b_toks").over(w_buckets), F.lit(0).cast("long")
+            ).alias("_b_off"),
+            F.sum("_b_toks").over(Window.partitionBy()).alias("_b_total"),
+        )
+    )
+    out = (
+        df.join(F.broadcast(bucket_offs), bucket_col)
+        .withColumn(
+            out_col,
+            F.col("_b_off")
+            + F.coalesce(
+                F.sum(value_col).over(w_local), F.lit(0).cast("long")
+            ),
+        )
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_b_total"))
+    return out.drop("_b_off", "_b_total")

@@ -26,6 +26,7 @@ from flink_state_eviction_spark.functions.text import (
     stopword_count,
     tokens,
 )
+from flink_state_eviction_spark.operators.prefix import bucketed_prefix_sum
 from flink_state_eviction_spark.queries import register_supplementary
 from flink_state_eviction_spark.tables import load_table
 
@@ -124,25 +125,9 @@ def sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = counts.crossJoin(F.broadcast(bounds)).withColumn(
         "bucket", F.expr(f"doc_id div (max_id div {_PACK_BUCKETS} + 1)")
     )
-    bucket_sums = bucketed.groupBy("bucket").agg(F.sum("n_tok").alias("b_toks"))
-    w_buckets = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # <= _PACK_BUCKETS + 1 rows: single-task window is the point
-    bucket_offs = bucket_sums.withColumn(
-        "b_off", F.coalesce(F.sum("b_toks").over(w_buckets), F.lit(0).cast("long"))
-    ).select("bucket", "b_off")
-    w_local = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offs = (
-        bucketed.join(F.broadcast(bucket_offs), "bucket")
-        .withColumn(
-            "off",
-            F.col("b_off")
-            + F.coalesce(F.sum("n_tok").over(w_local), F.lit(0).cast("long")),
-        )
-        .select("doc_id", "n_tok", "off")
-    )
+    offs = bucketed_prefix_sum(
+        bucketed, "bucket", ["doc_id"], "n_tok", out_col="off"
+    ).select("doc_id", "n_tok", "off")
     c = CHUNK_TOKENS
     return (
         offs.withColumn(
@@ -727,30 +712,14 @@ def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    w_local = (
-        Window.partitionBy("bucket")
-        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bucket_sums = bucketed.groupBy("bucket").agg(
-        F.sum("n_tok").alias("b_toks")
-    )
-    w_buckets = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # <= _SEL_BUCKETS rows
-    bucket_offs = bucket_sums.select(
-        "bucket",
-        F.coalesce(F.sum("b_toks").over(w_buckets), F.lit(0).cast("long")).alias(
-            "b_off"
-        ),
-        F.sum("b_toks").over(Window.partitionBy()).alias("total"),
-    )
     return (
-        bucketed.join(F.broadcast(bucket_offs), "bucket")
-        .withColumn(
-            "cum_before",
-            F.col("b_off")
-            + F.coalesce(F.sum("n_tok").over(w_local), F.lit(0).cast("long")),
+        bucketed_prefix_sum(
+            bucketed,
+            "bucket",
+            [F.desc("quality_score"), F.asc("doc_id")],
+            "n_tok",
+            out_col="cum_before",
+            total_col="total",
         )
         .select(
             "doc_id",

@@ -1,0 +1,75 @@
+"""Property test for operators/prefix.bucketed_prefix_sum: the
+distributed two-level decomposition equals the sequential prefix sum
+for arbitrary value lists and arbitrary contiguous bucketings —
+including empty buckets, zero values, single-bucket and
+one-row-per-bucket extremes."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.prefix import bucketed_prefix_sum
+
+rows_strategy = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    values=rows_strategy,
+    n_buckets=st.sampled_from([1, 3, 7, 64]),
+    data=st.data(),
+)
+def test_bucketed_prefix_sum_matches_sequential(
+    spark, values, n_buckets, data
+):
+    # contiguous bucketing: sorted non-decreasing bucket ids per row
+    buckets = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n_buckets - 1),
+                min_size=len(values),
+                max_size=len(values),
+            )
+        )
+    )
+    df = spark.createDataFrame(
+        [(i, b, v) for i, (b, v) in enumerate(zip(buckets, values))],
+        "ord bigint, bucket bigint, v bigint",
+    )
+    got = {
+        r.ord: (r.cum_before, r.total)
+        for r in bucketed_prefix_sum(
+            df, "bucket", ["ord"], "v", total_col="total"
+        ).collect()
+    }
+    total = sum(values)
+    cum = 0
+    for i, v in enumerate(values):
+        assert got[i] == (cum, total), (i, got[i], cum, total)
+        cum += v
+
+
+def test_bucketed_prefix_sum_respects_order_cols(spark):
+    # descending secondary order within a bucket (the budget-select
+    # shape): prefix follows (bucket asc, score desc, id asc)
+    rows = [
+        # (id, bucket, score, v)
+        (0, 0, 9.0, 5),
+        (1, 0, 7.0, 3),
+        (2, 1, 7.0, 2),  # same score, later bucket
+        (3, 1, 1.0, 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, bucket bigint, score double, v bigint"
+    )
+    got = {
+        r.id: r.cum_before
+        for r in bucketed_prefix_sum(
+            df, "bucket", [F.desc("score"), F.asc("id")], "v"
+        ).collect()
+    }
+    assert got == {0: 0, 1: 5, 2: 8, 3: 10}
