@@ -84,7 +84,8 @@ FROM spans
 
 
 @register_supplementary(
-    "sequence_pack_chunks", _PACK_ORACLE, tags=("pipeline", "corpus")
+    "sequence_pack_chunks", _PACK_ORACLE, headline=True,
+    tags=("pipeline", "corpus"),
 )
 def sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into fixed 128-token training sequences.
@@ -191,7 +192,8 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 
 
 @register_supplementary(
-    "span_dedup_frac", _SPAN_ORACLE, tags=("pipeline", "dedup")
+    "span_dedup_frac", _SPAN_ORACLE, headline=True,
+    tags=("pipeline", "dedup"),
 )
 def span_dedup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc fraction of sampled 8-token spans that also occur in
