@@ -1,0 +1,139 @@
+"""Sequence packing: concat-and-chunk a document corpus into
+fixed-length training sequences, and assemble the actual token
+payloads per sequence.
+
+Extension beyond the reference surface (the reference,
+/root/reference MapWithState.java:51-393, is a stateful-streaming PoC
+with no batch corpus tooling). GPT-style pretraining concatenates the
+corpus in a deterministic document order and slices it into
+fixed-length sequences; a document may straddle a boundary.
+
+Two stages, deliberately separable:
+
+- :func:`pack_chunk_spans` computes the ASSIGNMENT table
+  (chunk_id, doc_id, begin_tok, end_tok) — tiny rows, built on the
+  distributed prefix sum (operators/prefix.py); nothing heavier than
+  (doc_id, n_tok) pairs ever shuffles.
+- :func:`assemble_sequences` joins the assignment back to the token
+  arrays and materializes one row per training sequence. This is the
+  only stage that moves corpus-sized data, and it moves it exactly
+  once (token arrays shuffle on doc_id for the join, sequence pieces
+  shuffle on chunk_id for the bounded assembly — every chunk group
+  holds at most ``chunk_tokens`` tokens, so the collect_list is
+  bounded by construction, never by luck).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.text import tokens
+from flink_state_eviction_spark.operators.prefix import bucketed_prefix_sum
+
+CHUNK_TOKENS = 128
+PACK_BUCKETS = 16
+
+
+def pack_chunk_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """(chunk_id, doc_id, begin_tok, end_tok): which slice of which
+    document fills each fixed-size training sequence.
+
+    The global token offset is an exact corpus-wide prefix sum over
+    the deterministic ``id_col`` order, decomposed via
+    :func:`bucketed_prefix_sum` (contiguous id-range buckets whose
+    width comes from one column-pruned max() scan — with non-dense ids
+    use repartitionByRange, same shape). Chunk spans then explode
+    scan-parallel. All divided quantities are non-negative by
+    construction (Spark ``div`` truncates toward zero, DuckDB ``//``
+    floors — they only agree on non-negative arguments).
+    """
+    counts = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    # Bucket bounds from ALL docs (not the n_tok > 0 subset): the
+    # bucketing only needs a deterministic partition of the id space,
+    # and dropping the token filter lets this scan prune down to the
+    # id column — no second tokenization pass.
+    bounds = docs.agg(F.max(id_col).alias("max_id"))
+    bucketed = counts.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket", F.expr(f"{id_col} div (max_id div {n_buckets} + 1)")
+    )
+    offs = bucketed_prefix_sum(
+        bucketed, "bucket", [id_col], "n_tok", out_col="off"
+    ).select(id_col, "n_tok", "off")
+    c = chunk_tokens
+    return (
+        offs.withColumn(
+            "chunk_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"off div {c}"), F.expr(f"(off + n_tok - 1) div {c}")
+                )
+            ),
+        )
+        .select(
+            "chunk_id",
+            id_col,
+            F.greatest(
+                F.lit(0).cast("long"), F.col("chunk_id") * c - F.col("off")
+            ).alias("begin_tok"),
+            F.least(
+                F.col("n_tok"), (F.col("chunk_id") + 1) * c - F.col("off")
+            ).alias("end_tok"),
+        )
+    )
+
+
+def assemble_sequences(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+) -> DataFrame:
+    """One row per training sequence: (chunk_id, toks, n_tokens,
+    n_docs), where ``toks`` is the packed token array in corpus order.
+
+    Per-chunk assembly sorts the (at most chunk_tokens-sized) piece
+    list by doc_id — the packing order — then flattens; the
+    collect_list group is bounded by the chunk capacity, so this is
+    NOT an unbounded-group collect. The token-array join shuffles the
+    tokenized corpus once on ``id_col``; at 100 TB, pre-bucketing the
+    corpus on the id makes it exchange-free (sinks/parquet.py:
+    write_bucketed_table).
+    """
+    if spans is None:
+        spans = pack_chunk_spans(
+            docs, id_col, text_col, chunk_tokens=chunk_tokens
+        )
+    toked = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    pieces = spans.join(toked, id_col).select(
+        "chunk_id",
+        F.col(id_col),
+        F.expr(
+            "slice(_toks, CAST(begin_tok + 1 AS INT),"
+            " CAST(end_tok - begin_tok AS INT))"
+        ).alias("piece"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("d"), F.col("piece")))
+    )
+    return (
+        pieces.groupBy("chunk_id")
+        .agg(
+            F.flatten(
+                F.transform(ordered, lambda s: s.getField("piece"))
+            ).alias("toks"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+    )

@@ -26,6 +26,7 @@ from flink_state_eviction_spark.functions.text import (
     stopword_count,
     tokens,
 )
+from flink_state_eviction_spark.operators.packing import pack_chunk_spans
 from flink_state_eviction_spark.operators.prefix import bucketed_prefix_sum
 from flink_state_eviction_spark.queries import register_supplementary
 from flink_state_eviction_spark.tables import load_table
@@ -114,41 +115,8 @@ def sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-negative arguments).
     """
     docs = load_table(spark, sf_dir, "documents")
-    counts = (
-        docs.select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok"))
-        .where(F.col("n_tok") > 0)
-    )
-    # Bucket bounds from ALL docs (not the n_tok > 0 subset): the
-    # bucketing only needs a deterministic partition of the doc_id
-    # space, and dropping the token filter lets the scan prune down to
-    # the doc_id column — no second tokenization pass for the bounds.
-    bounds = docs.agg(F.max("doc_id").alias("max_id"))
-    bucketed = counts.crossJoin(F.broadcast(bounds)).withColumn(
-        "bucket", F.expr(f"doc_id div (max_id div {_PACK_BUCKETS} + 1)")
-    )
-    offs = bucketed_prefix_sum(
-        bucketed, "bucket", ["doc_id"], "n_tok", out_col="off"
-    ).select("doc_id", "n_tok", "off")
-    c = CHUNK_TOKENS
-    return (
-        offs.withColumn(
-            "chunk_id",
-            F.explode(
-                F.sequence(
-                    F.expr(f"off div {c}"), F.expr(f"(off + n_tok - 1) div {c}")
-                )
-            ),
-        )
-        .select(
-            "chunk_id",
-            "doc_id",
-            F.greatest(
-                F.lit(0).cast("long"), F.col("chunk_id") * c - F.col("off")
-            ).alias("begin_tok"),
-            F.least(
-                F.col("n_tok"), (F.col("chunk_id") + 1) * c - F.col("off")
-            ).alias("end_tok"),
-        )
+    return pack_chunk_spans(
+        docs, chunk_tokens=CHUNK_TOKENS, n_buckets=_PACK_BUCKETS
     )
 
 

@@ -1,0 +1,81 @@
+"""End-to-end training-shard materialization: quality-select -> pack
+-> assemble -> write sharded parquet. Pins that the assembled
+sequences are EXACTLY the corpus token stream re-chunked (round-trip
+equality against a Python model), that every sequence except the last
+is full, and that the shard layout partition-prunes on read."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.packing import (
+    CHUNK_TOKENS,
+    assemble_sequences,
+)
+from flink_state_eviction_spark.plans.explain import physical_plan
+from flink_state_eviction_spark.sinks.parquet import write_partitioned
+from flink_state_eviction_spark.tables import load_table
+
+CHUNKS_PER_SHARD = 8
+
+
+def _py_tokens(text: str):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def test_assembled_sequences_are_the_corpus_stream(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    seqs = {
+        r.chunk_id: (list(r.toks), r.n_docs, r.n_tokens)
+        for r in assemble_sequences(docs).collect()
+    }
+    # python model: concat all docs' tokens in doc_id order, chunk
+    stream = []
+    docs_rows = sorted(
+        docs.select("doc_id", "text").collect(), key=lambda r: r.doc_id
+    )
+    starts = {}
+    for r in docs_rows:
+        toks = _py_tokens(r.text)
+        if toks:
+            starts[r.doc_id] = len(stream)
+            stream.extend(toks)
+    expected = {
+        i: stream[i * CHUNK_TOKENS : (i + 1) * CHUNK_TOKENS]
+        for i in range((len(stream) + CHUNK_TOKENS - 1) // CHUNK_TOKENS)
+    }
+    assert set(seqs) == set(expected)
+    for cid, (toks, n_docs, n_tokens) in seqs.items():
+        assert toks == expected[cid], cid
+        assert n_tokens == len(toks)
+        assert n_docs >= 1
+        if cid != max(seqs):
+            assert n_tokens == CHUNK_TOKENS
+
+
+def test_training_shards_write_and_prune(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(str(tmp_path), "shards")
+    shards = assemble_sequences(docs).withColumn(
+        "shard", F.expr(f"chunk_id div {CHUNKS_PER_SHARD}")
+    )
+    write_partitioned(shards, out, ["shard"], sort_cols=["chunk_id"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == shards.count()
+
+    # a shard-bounded read must partition-prune, not scan-and-filter
+    q = back.where(F.col("shard") == 0)
+    plan = physical_plan(q)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("shard" in l for l in pf), plan
+    assert q.count() == min(CHUNKS_PER_SHARD, back.count())
+
+    # round-trip token integrity inside the pruned shard
+    first = sorted(
+        q.select("chunk_id", "n_tokens").collect(), key=lambda r: r.chunk_id
+    )
+    assert all(r.n_tokens == CHUNK_TOKENS for r in first[:-1])
