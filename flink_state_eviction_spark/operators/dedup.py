@@ -317,3 +317,82 @@ def canonical_mapping(
             F.coalesce(F.col(comp_col), F.col(id_col)) == F.col(id_col)
         ).alias("is_kept"),
     )
+
+
+def span_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    s: int = 4,
+) -> DataFrame:
+    """Per-doc duplicated-span statistics: the distributive
+    approximation of exact substring dedup (Lee et al. 2022 — the
+    suffix-array pass, re-expressed as strided k-token span hashing).
+
+    Output: (id, n_spans, n_dup_spans, dup_span_frac) where a span
+    instance counts as duplicated if its hash occurs in more than one
+    document. Sampling every ``s``-th span bounds the explode at
+    n_tokens/s rows per doc, each a 16-byte (id, span_h) pair — the
+    text itself never shuffles. Single chain, no self-join:
+    pre-aggregate (span_h, id) pairs with occurrence counts, COUNT(*)
+    window over span_h (rows are per-doc unique there, so it IS the
+    distinct-doc count), then roll up per doc. ``s`` is the
+    recall/compute knob — s=1 is exact at k x the rows; a span
+    duplicated under stride s is always duplicated under s=1 (the
+    sampled sets shrink monotonically), measured in
+    tests/test_span_recall.py."""
+    from flink_state_eviction_spark.functions.hashing import h64
+    from flink_state_eviction_spark.functions.text import tokens
+
+    toks_df = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    spans = (
+        toks_df.where(F.col("n") >= k)
+        .select(
+            id_col,
+            "toks",
+            # sequence over INTs: `i` feeds slice(), whose start
+            # argument must be int-typed. n >= k here, so the upper
+            # bound is non-negative (div/floor-division parity).
+            F.explode(
+                F.sequence(F.lit(0), F.expr(f"(n - {k}) div {s}"))
+            ).alias("i"),
+        )
+        .select(
+            id_col,
+            h64(
+                F.array_join(F.expr(f"slice(toks, i * {s} + 1, {k})"), " ")
+            ).alias("span_h"),
+        )
+    )
+    pairs = spans.groupBy("span_h", id_col).agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("span_h"))
+    per_doc = (
+        pairs.withColumn("nd", nd)
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("nd") > 1, F.col("occ")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias(
+                "n_dup_spans"
+            ),
+            F.expr(
+                "CAST(COALESCE(n_dup_spans, 0) AS DOUBLE)"
+                " / NULLIF(COALESCE(n_spans, CAST(0 AS BIGINT)), 0)"
+            ).alias("dup_span_frac"),
+        )
+    )

@@ -26,6 +26,7 @@ from flink_state_eviction_spark.functions.text import (
     stopword_count,
     tokens,
 )
+from flink_state_eviction_spark.operators.dedup import span_dup_stats
 from flink_state_eviction_spark.operators.packing import pack_chunk_spans
 from flink_state_eviction_spark.operators.prefix import bucketed_prefix_sum
 from flink_state_eviction_spark.queries import register_supplementary
@@ -178,67 +179,7 @@ def span_dedup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/compute knob: S=1 is exact at Kx the rows.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks_df = docs.select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    ).withColumn("n", F.size("toks"))
-    spans = (
-        toks_df.where(F.col("n") >= _SPAN_K)
-        .select(
-            "doc_id",
-            "toks",
-            # sequence over INTs: `i` feeds slice(), whose start
-            # argument must be int-typed. n >= _SPAN_K here, so the
-            # upper bound is non-negative (div/floor-division parity).
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.expr(f"(n - {_SPAN_K}) div {_SPAN_S}")
-                )
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            h64(
-                F.array_join(
-                    F.expr(f"slice(toks, i * {_SPAN_S} + 1, {_SPAN_K})"), " "
-                )
-            ).alias("span_h"),
-        )
-    )
-    # Single chain, no self-join: pre-aggregate span instances to
-    # unique (span_h, doc_id) pairs with their occurrence count, count
-    # cross-doc membership with a window over span_h (rows are unique
-    # per doc there, so COUNT(*) IS the distinct-doc count), then roll
-    # up per doc. The corpus text is scanned and tokenized exactly
-    # once; every exchange after the explode carries ~24-byte rows.
-    pairs = spans.groupBy("span_h", "doc_id").agg(
-        F.count(F.lit(1)).alias("occ")
-    )
-    nd = F.count(F.lit(1)).over(Window.partitionBy("span_h"))
-    per_doc = (
-        pairs.withColumn("nd", nd)
-        .groupBy("doc_id")
-        .agg(
-            F.sum("occ").cast("long").alias("n_spans"),
-            F.sum(F.when(F.col("nd") > 1, F.col("occ")).otherwise(0))
-            .cast("long")
-            .alias("n_dup_spans"),
-        )
-    )
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
-            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias(
-                "n_dup_spans"
-            ),
-            F.expr(
-                "CAST(COALESCE(n_dup_spans, 0) AS DOUBLE)"
-                " / NULLIF(COALESCE(n_spans, CAST(0 AS BIGINT)), 0)"
-            ).alias("dup_span_frac"),
-        )
-    )
+    return span_dup_stats(docs, k=_SPAN_K, s=_SPAN_S)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,38 @@
+"""Stride-recall measurement for the span-dedup operator: stride s=1
+is the exact reference (every k-token window hashed); the shipped s=4
+sampling must (a) never flag a doc the exact pass doesn't — sampled
+span sets shrink monotonically with the stride, so a stride-s
+duplicate is always a stride-1 duplicate — and (b) keep doc-level
+recall above a floor on the fixture corpus. This is the honesty
+metric for the recall/compute knob the operator docstring advertises
+(same spirit as the IVF recall floor in test_similarity)."""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark.operators.dedup import span_dup_stats
+from flink_state_eviction_spark.querydefs.corpus import _SPAN_K, _SPAN_S
+from flink_state_eviction_spark.tables import load_table
+
+RECALL_FLOOR = 0.6
+
+
+def test_strided_span_recall_vs_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    flagged_sampled = {
+        r.doc_id
+        for r in span_dup_stats(docs, k=_SPAN_K, s=_SPAN_S).collect()
+        if r.n_dup_spans > 0
+    }
+    flagged_exact = {
+        r.doc_id
+        for r in span_dup_stats(docs, k=_SPAN_K, s=1).collect()
+        if r.n_dup_spans > 0
+    }
+    assert flagged_exact, "fixture should contain cross-doc spans"
+    # no false positives relative to exact
+    assert flagged_sampled <= flagged_exact
+    recall = len(flagged_sampled) / len(flagged_exact)
+    assert recall >= RECALL_FLOOR, (
+        f"doc-flag recall {recall:.2f} "
+        f"({len(flagged_sampled)}/{len(flagged_exact)})"
+    )
