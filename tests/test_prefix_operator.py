@@ -73,3 +73,56 @@ def test_bucketed_prefix_sum_respects_order_cols(spark):
         ).collect()
     }
     assert got == {0: 0, 1: 5, 2: 8, 3: 10}
+
+
+# ---------------------------------------------------------------------------
+# packing over synthetic corpora: random token counts (including empty
+# docs, 1-token docs, and docs spanning many chunks) must tile exactly
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_toks=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=100, max_value=700),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pack_chunk_spans_tiles_synthetic_corpora(spark, n_toks):
+    from flink_state_eviction_spark.operators.packing import (
+        pack_chunk_spans,
+    )
+
+    chunk = 128
+    docs = spark.createDataFrame(
+        [(i, "tok " * n) for i, n in enumerate(n_toks)],
+        "doc_id bigint, text string",
+    )
+    spans = pack_chunk_spans(docs, chunk_tokens=chunk).collect()
+
+    # sequential model
+    stream_len = sum(n_toks)
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {i for i, n in enumerate(n_toks) if n > 0}
+    off = 0
+    for i, n in enumerate(n_toks):
+        if n == 0:
+            continue
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert rows[0].chunk_id == off // chunk
+        assert rows[-1].chunk_id == (off + n - 1) // chunk
+        covered = 0
+        for r in rows:
+            assert (
+                r.begin_tok == max(0, r.chunk_id * chunk - off)
+            ), (i, r)
+            assert r.end_tok == min(n, (r.chunk_id + 1) * chunk - off)
+            covered += r.end_tok - r.begin_tok
+        assert covered == n
+        off += n
+    assert off == stream_len
