@@ -1,0 +1,100 @@
+"""End-to-end streaming ingest: the daily-crawl composition.
+
+One streaming query replays the corpus as three deterministic
+micro-batches ("days") and, per batch inside foreachBatch — the
+production shape for cross-run mutable state — runs the pipeline
+stages against a persistent digest-index table:
+
+1. within-batch exact dedup (first instance per digest);
+2. anti-join against the accumulated historical digest index;
+3. a token-count quality gate on the survivors;
+4. append accepted docs to the output table, append the batch's
+   digests to the index.
+
+The end state must equal the BATCH answer over the whole corpus:
+accepted == quality-passing first-instances per digest in global
+doc_id order (the replay order). Each component has its own oracle
+query (dedup_exact, dedup_incremental_batch, token_count); this test
+pins that the composition over micro-batches loses nothing."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.text import tokens
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.tables import load_table
+
+MIN_TOKENS = 3
+
+
+def test_streaming_daily_ingest_matches_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+
+    idx_dir = os.path.join(str(tmp_path), "digest-index")
+    out_dir = os.path.join(str(tmp_path), "accepted")
+
+    def ingest(batch_df, _batch_id):
+        b = batch_df.select(
+            "doc_id",
+            F.md5("text").alias("digest"),
+            F.size(tokens(F.col("text"))).alias("n_tok"),
+        )
+        w = Window.partitionBy("digest").orderBy("doc_id")
+        first = (
+            b.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        sess = batch_df.sparkSession
+        try:
+            hist = sess.read.parquet(idx_dir)
+        except Exception:  # first batch: no index yet
+            hist = sess.createDataFrame([], "digest string")
+        fresh = first.join(hist, "digest", "left_anti")
+        accepted = fresh.where(F.col("n_tok") >= MIN_TOKENS)
+        accepted.select("doc_id", "digest").write.mode("append").parquet(
+            out_dir
+        )
+        # the index tracks every digest seen (dedup precedes quality)
+        fresh.select("digest").write.mode("append").parquet(idx_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # batch answer: first instance per digest in doc_id order (= the
+    # dedup_exact keeper), quality-gated
+    expected = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).alias("n_tok"),
+            F.min("doc_id")
+            .over(Window.partitionBy(F.md5("text")))
+            .alias("keeper"),
+        )
+        .where(
+            (F.col("doc_id") == F.col("keeper"))
+            & (F.col("n_tok") >= MIN_TOKENS)
+        )
+        .collect()
+    }
+    assert got == expected
+    # (whether the gate/dedup drop anything depends on the SF fixture;
+    # the equality above is the real check)
+    assert 0 < len(got) <= docs.count()
