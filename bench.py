@@ -43,11 +43,18 @@ def main() -> None:
         # One untimed pass at the target SF first: the timed number is
         # steady-state throughput (JIT-compiled, readers warm), not the
         # one-time first-run cost — measured spread on a cold VM was
-        # ~2x between first and second run of the same plan.
+        # ~2x between first and second run of the same plan. Then take
+        # the min of two timed passes: a single timed pass still showed
+        # >2x outliers from VM-level interference (page-cache refill,
+        # GC from the previous query), which tripped the regression
+        # gate on queries whose steady state was unchanged.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best_t = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best_t = min(best_t, time.perf_counter() - t0)
+        timings[name] = round(best_t, 3)
 
     # Regression gate: compare per-query times against the best recorded
     # round at the same SF (BENCH_HISTORY.json). Regressions are
