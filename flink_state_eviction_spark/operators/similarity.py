@@ -300,3 +300,46 @@ def kmeans_cells(
         assigned = assign(cent)
 
     return assigned.select(F.col(id_col), F.col("_cell").alias("cell"))
+
+
+# ---------------------------------------------------------------------------
+# signed random projection (SRP) LSH for cosine near-dup
+
+
+def srp_hyperplanes(n_bits: int, dims: int, seed: int = 0x5EED) -> list[list[float]]:
+    """Deterministic Rademacher (+-1) hyperplanes via a splitmix64-style
+    hash of (seed, bit, dim). +-1 entries keep the projection exact in
+    float arithmetic (the dot product is a signed sum of components, no
+    rounding surprises), and let the DuckDB oracle embed the SAME matrix
+    as integer literals — bit-for-bit reproducible on both engines."""
+    out = []
+    for i in range(n_bits):
+        row = []
+        for j in range(dims):
+            x = (seed + i * 1000003 + j * 7919) & 0xFFFFFFFFFFFFFFFF
+            x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 31
+            row.append(1.0 if (x & 1) else -1.0)
+        out.append(row)
+    return out
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """SRP bit signature of ``vec`` as a BIGINT: bit i = 1 iff
+    dot(vec, planes[i]) >= 0. Each dot is the same sequential
+    left-fold as :func:`dot` (matches DuckDB ``list_dot_product``).
+
+    The n_bits interpreted-HOF folds are fine for signature-sized
+    n_bits (each plane used once — no CSE hazard); at 100 TB swap this
+    projection for an Arrow-batched matmul ``mapInPandas`` and keep the
+    banding/verify stages unchanged (only sign(dot) is consumed, so any
+    faithful dot implementation that agrees on signs is drop-in)."""
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        h = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec, h) >= 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = sig + bit
+    return sig

@@ -422,6 +422,128 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embedding near-dup, SRP-LSH blocked (the scale path the label-blocked
+# variant's docstring promises: no label / no O(n^2))
+
+_SRP_BITS = 32
+_SRP_BAND_BITS = 4
+_SRP_DIMS = 64
+
+
+def _srp_oracle() -> str:
+    """DuckDB oracle sharing the EXACT hyperplane matrix with the Spark
+    side (integer +-1 literals), so banding is bit-identical."""
+    from flink_state_eviction_spark.operators.similarity import srp_hyperplanes
+
+    planes = srp_hyperplanes(_SRP_BITS, _SRP_DIMS)
+    bits = []
+    for i, plane in enumerate(planes):
+        lits = ",".join(str(int(x)) for x in plane)
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]::DOUBLE[]) >= 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        )
+    sig = " + ".join(bits)
+    n_bands = _SRP_BITS // _SRP_BAND_BITS
+    band_mod = 1 << _SRP_BAND_BITS
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn,
+             {sig} AS sig
+      FROM e),
+bands AS (SELECT vec_id,
+                 b.band,
+                 (sig // CAST(pow(2, band * {_SRP_BAND_BITS}) AS BIGINT))
+                     % {band_mod} AS bval
+          FROM s CROSS JOIN
+               (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) b),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id)
+SELECT c.vec_a, c.vec_b,
+       round(list_dot_product(sa.v, sb.v) / (sa.nn * sb.nn), 6) AS sim
+FROM cand c
+JOIN s sa ON sa.vec_id = c.vec_a
+JOIN s sb ON sb.vec_id = c.vec_b
+WHERE list_dot_product(sa.v, sb.v) / (sa.nn * sb.nn) >= 0.4
+"""
+
+
+@register_supplementary(
+    "dedup_embedding_srp_lsh", _srp_oracle(), tags=("pipeline", "dedup")
+)
+def dedup_embedding_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via signed-random-projection LSH:
+    32-bit Rademacher signature, 8 bands x 4 bits, exact-cosine verify
+    of band-colliding candidates (threshold 0.4).
+
+    Extension beyond the reference surface (nearest reference analogue
+    is keyed grouping, MapWithState.java:55). This is the no-blocking
+    scale path for `dedup_embedding_cosine`: candidates come from
+    bounded band buckets (never an O(n^2) or label-bounded self-join),
+    the banded join carries only (band, bval, id) — vectors are fetched
+    back by id for the verify stage, so the 8x explode never moves the
+    64-double payload. Measured recall at the fixture's 0.4 threshold
+    is ~0.7 (tests/test_similarity.py floor 0.55); SRP recall rises
+    steeply with the threshold (near-dup corpora sit at 0.9+, where
+    8 bands x 4 bits gives >0.95) — band count is the recall knob.
+    """
+    from flink_state_eviction_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+        l2_norm,
+        srp_hyperplanes,
+        srp_signature,
+    )
+
+    planes = srp_hyperplanes(_SRP_BITS, _SRP_DIMS)
+    n_bands = _SRP_BITS // _SRP_BAND_BITS
+    band_mod = 1 << _SRP_BAND_BITS
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    sigd = (
+        emb.withColumn("sig", srp_signature(F.col("v"), planes))
+        .withColumn("nn", l2_norm(F.col("v")))
+        .localCheckpoint(eager=False)  # signature once, not per join side
+    )
+    bands = sigd.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        F.col("sig"),
+    ).withColumn(
+        # integer div, same arithmetic as the oracle (and simhash above)
+        "bval",
+        F.expr(
+            f"(sig div cast(pow(2, band * {_SRP_BAND_BITS}) as bigint))"
+            f" % {band_mod}"
+        ),
+    )
+    a = bands.select("band", "bval", F.col("vec_id").alias("vec_a"))
+    b = bands.select("band", "bval", F.col("vec_id").alias("vec_b"))
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    sa = sigd.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nn").alias("na")
+    )
+    sb = sigd.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nn").alias("nb")
+    )
+    sim = cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        cand.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .withColumn("sim0", sim)
+        .where(F.col("sim0") >= 0.4)
+        .select("vec_a", "vec_b", F.round("sim0", 6).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprints (simhash60 + minhash seed 0 + md5)
 
 _FPRINT_BODY = """

@@ -121,3 +121,51 @@ def test_kmeans_improves_cluster_tightness_over_init(spark, sf_dir):
         )
 
     assert cost(2) <= cost(1) + 1e-6
+
+
+def test_srp_lsh_recall_and_no_false_positives(spark, sf_dir):
+    """SRP-LSH near-dup: every emitted pair really is >= the threshold
+    (the verify stage is exact), and recall vs the exact all-pairs set
+    clears a floor at the fixture's low 0.4 threshold (SRP recall only
+    rises with the threshold, so this is the worst case)."""
+    from flink_state_eviction_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+        l2_norm,
+    )
+    from flink_state_eviction_spark.queries import all_queries
+
+    lsh = (
+        all_queries()["dedup_embedding_srp_lsh"](spark, sf_dir)
+        .select("vec_a", "vec_b", "sim")
+        .collect()
+    )
+    assert lsh, "fixture should contain near-dup pairs"
+    assert all(r["sim"] >= 0.4 for r in lsh)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nn", l2_norm(F.col("v")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nn").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nn").alias("nb"),
+    )
+    exact = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(
+            cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")) >= 0.4
+        )
+        .select("vec_a", "vec_b")
+        .collect()
+    )
+    exact_pairs = {(r["vec_a"], r["vec_b"]) for r in exact}
+    got = {(r["vec_a"], r["vec_b"]) for r in lsh}
+    assert got <= exact_pairs  # verify stage admits no false positives
+    recall = len(got) / len(exact_pairs)
+    assert recall >= 0.55, (recall, len(got), len(exact_pairs))
