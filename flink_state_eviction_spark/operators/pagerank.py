@@ -1,0 +1,84 @@
+"""Deterministic fixed-iteration PageRank over an edge list.
+
+Extension beyond the reference surface (the reference's only iterative
+machinery is the per-key streaming loop in MapWithState.java:55; graph
+iteration has no analogue there). Shape shared with
+``operators/dedup.py:connected_components``: a Python-side loop that
+BUILDS the plan (fixed iteration count, no driver-side data movement),
+with each round cut by ``localCheckpoint`` so lineage stays flat.
+
+Exactness: ranks are kept in integer micro-units and every division is
+integer division, so per-node contribution sums are order-independent
+and the result is bit-identical on any engine / any partitioning — a
+DuckDB CTE oracle can replay the same arithmetic. The usual float
+formulation is NOT reproducible across engines (sum order changes the
+low bits); the integer formulation loses < 1 micro-unit per edge per
+iteration, which is noise at rank scale 1e12.
+
+Scale: each iteration is one shuffle of the edge-contribution table on
+``dst`` (partial aggregation applies) plus a join of ranks onto edges
+on ``src`` — both keyed by graph topology, never a broadcast of a
+corpus-proportional side. Dangling-node mass (nodes with no out-edges)
+evaporates, as in the simplified PageRank variant; the damping base
+keeps totals bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 1_000_000_000_000  # 1.0 of rank, in micro-units (divisible by 100)
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-``iters`` PageRank over directed ``edges`` (one row per
+    distinct edge). Returns (node, rank_micro: bigint).
+
+    rank'(v) = ((100 - d) * SCALE + d * sum_{u->v} (rank(u) div outdeg(u))) div 100
+
+    with d = ``damping_pct`` — all integer ops, order-independent.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (src, dst, outdeg) is iteration-invariant: build once, reuse.
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+
+    base = (100 - damping_pct) * RANK_SCALE
+    ranks = nodes.select(
+        "node", F.lit(RANK_SCALE).cast("long").alias("rank_micro")
+    )
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.expr("rank_micro div outdeg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.expr(
+                    f"cast(({base} + {damping_pct} * coalesce(in_sum, 0)) "
+                    "div 100 as long)"
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

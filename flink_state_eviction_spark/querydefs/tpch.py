@@ -961,3 +961,78 @@ def interval_join_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("_lts").alias("view_ts_ms"),
         F.unix_millis("_rts").alias("click_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# supplier PageRank over the customer->supplier purchase graph
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Replays operators/pagerank.py's integer arithmetic as chained
+    CTEs — bit-exact because every op is integer div / bigint sum."""
+    base = 15 * 1_000_000_000_000
+    head = """
+WITH edges AS (
+    SELECT DISTINCT o.o_custkey AS src,
+           1000000000 + l.l_suppkey AS dst
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+nodes AS (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_micro FROM nodes)"""
+    prev = "r0"
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""",
+r{i} AS (
+    SELECT n.node,
+           CAST(({base} + 85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT)
+               AS rank_micro
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst, p.rank_micro // d.outdeg AS contrib
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+    ) c ON c.dst = n.node
+    GROUP BY n.node
+)""")
+        prev = f"r{i}"
+    return head + "".join(its) + f"""
+SELECT node - 1000000000 AS suppkey, rank_micro
+FROM {prev} WHERE node >= 1000000000
+"""
+
+
+@register_supplementary(
+    "supplier_pagerank", _pagerank_oracle(), tags=("tpch", "graph")
+)
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85, integer micro-units) over the
+    bipartite customer->supplier purchase graph: an edge per distinct
+    (o_custkey, l_suppkey) pair. Returns supplier ranks — "which
+    suppliers are bought from by well-connected customers".
+
+    Extension beyond the reference surface; iterative-plan shape shared
+    with operators/dedup.py:connected_components. Integer arithmetic
+    makes the result engine- and partitioning-independent (see
+    operators/pagerank.py docstring); the oracle replays the identical
+    div/sum chain in SQL CTEs.
+    """
+    from flink_state_eviction_spark.operators.pagerank import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=3)
+    return ranks.where(F.col("node") >= 1_000_000_000).select(
+        (F.col("node") - 1_000_000_000).alias("suppkey"), "rank_micro"
+    )

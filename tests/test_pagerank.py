@@ -1,0 +1,55 @@
+"""PageRank operator: Spark plan vs a sequential Python model of the
+same integer arithmetic (order-independence is the operator's whole
+exactness claim), plus dangling/damping behavior on a hand graph."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from flink_state_eviction_spark.operators.pagerank import RANK_SCALE, pagerank
+
+
+def _model(edges, iters=3, damping_pct=85):
+    nodes = {n for e in edges for n in e}
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = {n: RANK_SCALE for n in nodes}
+    base = (100 - damping_pct) * RANK_SCALE
+    for _ in range(iters):
+        in_sum = defaultdict(int)
+        for s, d in edges:
+            in_sum[d] += r[s] // outdeg[s]
+        r = {n: (base + damping_pct * in_sum[n]) // 100 for n in nodes}
+    return r
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 2), (5, 4),
+    (6, 3),  # 6 has no in-edges; 2,3 are popular
+]
+
+
+def test_pagerank_matches_python_model(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r["node"]: r["rank_micro"] for r in pagerank(df, iters=3).collect()
+    }
+    assert got == _model(EDGES, iters=3)
+
+
+def test_pagerank_sink_heavy_node_ranks_highest(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r["node"]: r["rank_micro"] for r in pagerank(df, iters=3).collect()
+    }
+    # node 3 has the most in-links (from 1, 2, 4, 6)
+    assert max(got, key=got.get) == 3
+    # a node with no in-edges holds exactly the damping base
+    assert got[5] == 15 * RANK_SCALE // 100
+
+
+def test_pagerank_iteration_zero_is_uniform(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: r["rank_micro"] for r in pagerank(df, iters=0).collect()}
+    assert set(got.values()) == {RANK_SCALE}
