@@ -1,0 +1,64 @@
+"""SCD2 dimension versioning + point-in-time (temporal validity) join.
+
+Extension beyond the reference surface (nearest analogue: the as-of
+join family, operators/asof.py, which answers "latest value at or
+before t" over a merged stream; SCD2 materializes the validity
+intervals instead — the classic warehouse "type 2 slowly changing
+dimension" — and the point-in-time join probes them).
+
+Scale shape: version construction is one shuffle on the dimension key
+(a per-key window: ts-ordered ``lead``); the point-in-time join is an
+EQUI-join on the key with the validity bounds as a residual filter —
+same never-cross-key discipline as operators/interval.py. Validity
+ranges are non-overlapping per key by construction, so the join emits
+at most one dimension row per fact row (no post-join dedup needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_versions(
+    changes: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Turn a change stream (one row per attribute change) into a
+    versioned dimension: adds ``version`` (1-based per key, ordered by
+    (ts, tiebreak)), ``valid_from`` = the change's ts and ``valid_to``
+    = the next change's ts (NULL = current). All non-key input columns
+    are carried through. Equal-``ts`` changes within a key produce
+    zero-length [ts, ts) intervals for all but the last — dead versions
+    that a half-open point-in-time probe can never match (deterministic
+    last-writer-wins)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    return (
+        changes.withColumn("version", F.row_number().over(w))
+        .withColumn("valid_from", F.col(ts))
+        .withColumn("valid_to", F.lead(ts).over(w))
+    )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact row to the dimension version valid at its
+    timestamp: ``valid_from <= fact_ts < valid_to`` (half-open;
+    NULL ``valid_to`` = open-ended current version). ``facts`` and
+    ``dim`` must not share column names other than ``key``."""
+    f, d = facts.alias("_f"), dim.alias("_d")
+    fk, dk = F.col(f"_f.{key}"), F.col(f"_d.{key}")
+    fts = F.col(f"_f.{fact_ts}")
+    cond = (
+        (fk == dk)
+        & (fts >= F.col("_d.valid_from"))
+        & (F.col("_d.valid_to").isNull() | (fts < F.col("_d.valid_to")))
+    )
+    return f.join(d, cond, how).drop(dk)

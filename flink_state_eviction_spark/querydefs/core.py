@@ -568,3 +568,74 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join: purchase-defined tier periods probed by clicks
+
+_SCD2_ORACLE = """
+WITH dim AS (
+    SELECT user_id,
+           CAST(row_number() OVER w AS INTEGER) AS tier_version,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT c.event_id AS click_id, c.user_id,
+       epoch_ms(c.ts) AS click_ts_ms,
+       d.tier_version,
+       epoch_ms(d.valid_from) AS tier_since_ms
+FROM events c
+LEFT JOIN dim d
+  ON d.user_id = c.user_id
+ AND c.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+WHERE c.event_type = 'click'
+"""
+
+
+@register_supplementary(
+    "scd2_point_in_time", _SCD2_ORACLE, tags=("core", "asof")
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 temporal-validity join (operators/scd2.py): purchases open
+    type-2 dimension versions ("tier periods") per user; every click is
+    joined to the version valid at its timestamp (NULL before the first
+    purchase). Complements the as-of join (X3): as-of answers the probe
+    over a merged stream, SCD2 materializes reusable validity intervals
+    — the warehouse-dimension formulation. Equi-join on user_id with
+    residual validity bounds; never a cross-user range explosion.
+    """
+    from flink_state_eviction_spark.operators.scd2 import (
+        point_in_time_join,
+        scd2_versions,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_versions(
+        ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        ),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    ).select(
+        "user_id",
+        F.col("version").cast("int").alias("tier_version"),
+        "valid_from",
+        "valid_to",
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    joined = point_in_time_join(clicks, dim, key="user_id", fact_ts="click_ts")
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.unix_millis("click_ts").alias("click_ts_ms"),
+        "tier_version",
+        F.unix_millis("valid_from").alias("tier_since_ms"),
+    )

@@ -1,0 +1,80 @@
+"""SCD2 versioning + point-in-time join: interval semantics on a hand
+fixture, and the equi-join plan discipline (never a cross-key nested
+loop)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.scd2 import (
+    point_in_time_join,
+    scd2_versions,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _dim(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), 10),
+            (1, _ts("2024-01-03T00:00:00"), 11),
+            # same-ts pair: event 13 must win (zero-length interval for 12)
+            (1, _ts("2024-01-05T00:00:00"), 12),
+            (1, _ts("2024-01-05T00:00:00"), 13),
+            (2, _ts("2024-02-01T00:00:00"), 20),
+        ],
+        "k long, ts timestamp, change_id long",
+    )
+    return scd2_versions(changes, key="k", ts="ts", tiebreak="change_id")
+
+
+def test_scd2_versions_intervals(spark):
+    rows = {r["change_id"]: r for r in _dim(spark).collect()}
+    assert [rows[i]["version"] for i in (10, 11, 12, 13)] == [1, 2, 3, 4]
+    assert rows[10]["valid_to"] == _ts("2024-01-03T00:00:00")
+    # zero-length interval for the earlier same-ts change
+    assert rows[12]["valid_from"] == rows[12]["valid_to"]
+    assert rows[13]["valid_to"] is None  # current
+    assert rows[20]["version"] == 1 and rows[20]["valid_to"] is None
+
+
+def test_point_in_time_join_semantics(spark):
+    dim = _dim(spark)
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _ts("2023-12-31T00:00:00")),  # before first version
+            (101, 1, _ts("2024-01-01T00:00:00")),  # inclusive valid_from
+            (102, 1, _ts("2024-01-02T23:59:59")),  # still v1
+            (103, 1, _ts("2024-01-03T00:00:00")),  # exclusive valid_to -> v2
+            (104, 1, _ts("2024-01-05T00:00:00")),  # same-ts pair -> winner 13
+            (105, 1, _ts("2024-06-01T00:00:00")),  # open-ended current
+            (106, 2, _ts("2024-03-01T00:00:00")),  # other key isolated
+            (107, 3, _ts("2024-03-01T00:00:00")),  # unknown key -> NULL
+        ],
+        "fact_id long, k long, fts timestamp",
+    )
+    out = point_in_time_join(facts, dim, key="k", fact_ts="fts")
+    got = {r["fact_id"]: r["change_id"] for r in out.collect()}
+    assert got == {
+        100: None, 101: 10, 102: 10, 103: 11,
+        104: 13, 105: 13, 106: 20, 107: None,
+    }
+    # exactly one output row per fact row (non-overlapping intervals)
+    assert out.count() == facts.count()
+
+
+def test_point_in_time_join_is_equi_join(spark):
+    dim = _dim(spark)
+    facts = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-02T00:00:00"))], "fact_id long, k long, fts timestamp"
+    )
+    plan = (
+        point_in_time_join(facts, dim, key="k", fact_ts="fts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan, plan
