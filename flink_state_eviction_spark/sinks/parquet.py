@@ -115,3 +115,52 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_to_target_file_size(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> int:
+    """Rewrite a parquet dataset into files of ~``target_file_bytes``
+    each (the lake-maintenance "small files compaction" job). Returns
+    the number of output files written.
+
+    File count = ceil(total on-disk bytes / target): sized from the
+    source's OWN compressed footprint (filesystem listing, no data
+    scan), so the estimate already reflects this dataset's real
+    compression ratio — no bytes-per-row sampling pass needed. One
+    round-robin repartition (or a range partition when ``sort_cols``
+    given, preserving cluster order for downstream pruning) is the only
+    exchange; at 100 TB this is the nightly job that turns a
+    streaming-ingest dribble of 10k x 10 MB files into 800 x 128 MB
+    scan-friendly ones, bounding both NameNode/manifest pressure and
+    per-task scheduling overhead.
+
+    Small-file reads are also why the READ side stays healthy here:
+    Spark coalesces tiny source files into tasks via
+    ``spark.sql.files.openCostInBytes``, so the rewrite itself doesn't
+    schedule one task per dribble file."""
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+    # Compressed size straight from the source listing — in_memory_size
+    # estimates decompressed width and would oversplit by the codec
+    # ratio.
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(dest_path)
+    return n_files

@@ -85,3 +85,61 @@ def test_sink_validation(spark, sf_dir):
         write_bucketed_table(ev, "t", [], 8)
     with pytest.raises(ValueError):
         write_bucketed_table(ev, "t", ["user_id"], 0)
+
+
+def test_compaction_hits_target_file_count(spark, sf_dir, tmp_path):
+    from flink_state_eviction_spark.sinks.parquet import (
+        compact_to_target_file_size,
+    )
+    import glob
+    import os
+
+    # simulate a streaming-ingest dribble: many small files
+    src = str(tmp_path / "dribble")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(40).write.parquet(src)
+    small = glob.glob(src + "/*.parquet")
+    assert len(small) == 40
+    total = sum(os.path.getsize(f) for f in small)
+
+    dest = str(tmp_path / "compacted")
+    target = total // 4  # expect ~4-5 output files
+    n = compact_to_target_file_size(spark, src, dest, target_file_bytes=target)
+    out_files = glob.glob(dest + "/*.parquet")
+    assert len(out_files) == n
+    assert 4 <= n <= 6, n
+    # lossless rewrite
+    assert spark.read.parquet(dest).count() == li.count()
+
+
+def test_compaction_sorted_mode_keeps_cluster_pruning(spark, sf_dir, tmp_path):
+    from flink_state_eviction_spark.sinks.parquet import (
+        compact_to_target_file_size,
+    )
+    import glob
+    import os
+
+    src = str(tmp_path / "dribble2")
+    load_table(spark, sf_dir, "events").repartition(20).write.parquet(src)
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(src + "/*.parquet")
+    )
+    dest = str(tmp_path / "compacted2")
+    n = compact_to_target_file_size(
+        spark, src, dest, target_file_bytes=total // 4, sort_cols=["user_id"]
+    )
+    assert n >= 2
+    # range-partitioned + sorted output: each file owns a contiguous
+    # user_id range, so footer min/max spans are disjoint across files
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(dest + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("user_id")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
