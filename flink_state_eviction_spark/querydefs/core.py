@@ -639,3 +639,165 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tier_version",
         F.unix_millis("valid_from").alias("tier_since_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling z-score anomaly detection (exact integer-cents moments)
+
+_ANOMALY_ORACLE = """
+WITH c AS (
+    SELECT event_id, user_id, ts, value,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), w AS (
+    SELECT event_id, user_id, ts, value, cents,
+           COUNT(*) OVER win AS n_win,
+           SUM(cents) OVER win AS s1,
+           SUM(cents * cents) OVER win AS s2
+    FROM c
+    WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value, n_win,
+       s1 / n_win / 100 AS mean_win
+FROM w
+WHERE n_win >= 5
+  AND 4 * ((cents - s1 / n_win) * (cents - s1 / n_win))
+      > 9 * (s2 / n_win - (s1 / n_win) * (s1 / n_win))
+"""
+
+
+@register_supplementary(
+    "events_anomaly_zscore", _ANOMALY_ORACLE, tags=("core", "range")
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value
+    deviates > 1.5 sigma from the mean of the same user's trailing 30
+    days (4 z^2 > 9, windows with n >= 5; the threshold sits below the
+    sqrt(3) z-ceiling of uniformly distributed values so the fixture
+    exercises the flag, and the wide frame keeps n >= 5 satisfiable at
+    the sparse test densities — at production event rates the frame
+    would be minutes, same plan).
+
+    Extension beyond the reference surface; the frame is the X4 range
+    window (one shuffle + one per-key sort, no self-join). Exactness:
+    the 2-decimal values become integer CENTS, so the windowed moment
+    sums (s1, s2) are order-independent BIGINTs; the z test and mean
+    then evaluate one fixed double expression over those exact inputs
+    — bit-identical on any engine/partitioning, where a float variance
+    aggregate would drift with sum order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-2592000000, 0)
+    )
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_win")  # double, same op both engines
+    dev = F.col("cents") - mean
+    var = F.col("s2") / F.col("n_win") - mean * mean
+    return (
+        stats.where((F.col("n_win") >= 5) & (4 * (dev * dev) > 9 * var))
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "value",
+            "n_win",
+            (mean / 100).alias("mean_win"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-grid resampling with LOCF fill
+
+_RESAMPLE_ORACLE = """
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS hour, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+), last_per_hour AS (
+    SELECT user_id, hour, value AS v_last FROM hourly WHERE rn = 1
+), span AS (
+    SELECT user_id, min(hour) AS lo, max(hour) AS hi
+    FROM hourly GROUP BY user_id
+), grid AS (
+    SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+    FROM span
+)
+SELECT g.user_id, epoch_ms(g.hour) AS hour_ms,
+       last_value(l.v_last IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_value
+FROM grid g LEFT JOIN last_per_hour l
+  ON l.user_id = g.user_id AND l.hour = g.hour
+"""
+
+
+@register_supplementary(
+    "events_resample_1h_locf", _RESAMPLE_ORACLE, tags=("core", "range")
+)
+def events_resample_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: a dense hourly grid per user (from the
+    user's first to last active hour), carrying the value of the last
+    event seen up to each grid hour's end (last-observation-carried-
+    forward). The standard gap-filling step before any fixed-step
+    model / join.
+
+    Extension beyond the reference surface. Scale shape: the grid is
+    GENERATED per key with sequence+explode (span/step rows per key,
+    no cross join against a calendar table), the per-hour last value is
+    a map-side-combinable max_by agg, and the fill is one per-key
+    ordered window — everything shuffles on user_id exactly once.
+    Grid cardinality is (active span / step) per key, independent of
+    event count — bounded and predictable at 100 TB."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    last_per_hour = ev.groupBy("user_id", "hour").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("v_last")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(last_per_hour, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.unix_millis("hour").alias("hour_ms"),
+            F.last("v_last", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )

@@ -2599,3 +2599,40 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_in_batch.join(history, "digest", "left_anti").select(
         "doc_id", "digest"
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic exact-k global sample
+
+_SAMPLE_K_ORACLE = """
+SELECT doc_id, md5('sample:' || doc_id) AS hk
+FROM documents
+ORDER BY hk, doc_id
+LIMIT 100
+"""
+
+
+@register_supplementary(
+    "sample_exact_k_docs", _SAMPLE_K_ORACLE, tags=("pipeline",)
+)
+def sample_exact_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample, deterministic: order by a content hash
+    and keep the k smallest. Complements X44's per-stratum Bernoulli
+    sample (fractional, size varies) when a pipeline needs a FIXED
+    budget (eval sets, spot-check batches) that is stable across reruns
+    and engine versions.
+
+    Scale shape: Catalyst plans ORDER BY + LIMIT as
+    TakeOrderedAndProject — each partition keeps its local top-k, the
+    driver merges k x n_partitions PRE-TRUNCATED rows; no global sort,
+    no full-data exchange (plan-gated in tests/test_plan_quality.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.concat(F.lit("sample:"), F.col("doc_id"))).alias("hk"),
+        )
+        .orderBy("hk", "doc_id")
+        .limit(100)
+    )

@@ -275,3 +275,30 @@ def test_quality_budget_select_scan_and_shuffle_budget(spark, sf_dir):
     assert text_scans <= 2, plan
     assert_broadcast_join(df, n_joins=1)
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_sample_exact_k_is_take_ordered(spark, sf_dir):
+    # ORDER BY hash LIMIT k must plan as TakeOrderedAndProject
+    # (per-partition local top-k, driver merges k*n pre-truncated rows)
+    # — never a global Sort + single-partition Exchange.
+    df = _q("sample_exact_k_docs", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_anomaly_zscore_single_window_pass(spark, sf_dir):
+    # all three windowed moments share one frame: exactly one user_id
+    # exchange + one per-key sort, no self-join
+    df = _q("events_anomaly_zscore", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_resample_locf_shuffle_budget(spark, sf_dir):
+    # grid generation + per-hour last + LOCF window: everything keyed
+    # on user_id; no cross join against a calendar table
+    df = _q("events_resample_1h_locf", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
