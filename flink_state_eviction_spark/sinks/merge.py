@@ -1,0 +1,139 @@
+"""MERGE/UPSERT onto a parquet lake table, and an idempotent
+exactly-once foreachBatch parquet sink.
+
+Extension beyond the reference surface (the reference's sinks are
+assertion/print sinks, ElementsWithGapsSink.java:46-99). These are the
+two write-side primitives a plain-parquet lake (no Delta/Iceberg in
+this environment) needs for correct continuous ingest:
+
+- ``merge_upsert``: last-writer-wins key merge of an updates batch into
+  a keyed table — the batch CDC-apply step (pairs with the
+  ``user_snapshot_cdc`` diff, X45).
+- ``IdempotentBatchSink``: foreachBatch replays micro-batches after a
+  restart (Structured Streaming guarantees at-least-once delivery to
+  the sink); writing each batch under a ``batch_id`` marker directory
+  and skipping already-committed ids upgrades that to exactly-once for
+  parquet output. This is the documented Spark recipe for non-
+  transactional sinks ("use batchId to deduplicate").
+
+Scale notes: ``merge_upsert`` rewrites only the PARTITIONS touched by
+the updates batch when ``partition_col`` is given (dynamic partition
+overwrite) — a nightly CDC apply touching 3 of 3650 day-partitions
+rewrites 3. The anti-join/union is one shuffle on the key; with the
+base table bucketed on the key (X28) even that exchange disappears on
+the base side. The idempotent sink adds zero data movement — only a
+marker-file existence check per micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    partition_col: str | None = None,
+) -> None:
+    """Upsert ``updates`` into the parquet table at ``base_path``:
+    rows whose ``key_cols`` match an existing row replace it (highest
+    ``order_col`` wins, within-batch duplicates included), new keys
+    append. Creates the table if absent.
+
+    With ``partition_col``: only partitions present in ``updates`` are
+    rewritten (dynamic overwrite); updates MUST NOT move a key across
+    partitions (enforced by the caller's model — e.g. key includes the
+    partition value or the partition is derived from the key).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    dedup = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        base = spark.read.parquet(base_path)
+        exists = True
+    except Exception:
+        exists = False
+    if not exists:
+        if partition_col:
+            dedup.write.partitionBy(partition_col).parquet(base_path)
+        else:
+            dedup.write.parquet(base_path)
+        return
+
+    if partition_col:
+        touched = [
+            r[0] for r in dedup.select(partition_col).distinct().collect()
+        ]
+        survivors = base.where(
+            F.col(partition_col).isin(touched)
+        ).join(dedup.select(*key_cols), key_cols, "left_anti")
+        merged = survivors.unionByName(dedup)
+        # dynamic overwrite: only the touched partition dirs rewrite
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(base_path)
+        )
+    else:
+        survivors = base.join(dedup.select(*key_cols), key_cols, "left_anti")
+        merged = survivors.unionByName(dedup)
+        # full rewrite; stage to a temp dir is unnecessary because
+        # Spark's overwrite stages via _temporary and commits at the end
+        merged.localCheckpoint(eager=True)  # cut the read-from-target cycle
+        merged.write.mode("overwrite").parquet(base_path)
+
+
+class IdempotentBatchSink:
+    """foreachBatch target producing exactly-once parquet output under
+    replays: every micro-batch lands in ``<path>/batch_id=<id>/`` and a
+    commit marker records completion; a replayed batch_id whose marker
+    exists is skipped. Readers scan ``<path>`` as one dataset (the
+    ``batch_id`` partition column is dropped by ``read``); half-written
+    replay victims are invisible because the marker is written LAST and
+    ``read`` selects only marker-committed batch directories."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"_committed_{batch_id}")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(self._marker(batch_id)):
+            return  # replayed batch: already fully committed
+        out = os.path.join(self.path, f"batch_id={batch_id}")
+        batch_df.write.mode("overwrite").parquet(out)
+        with open(self._marker(batch_id), "w") as f:
+            f.write("ok")
+
+    def committed_batch_ids(self) -> list[int]:
+        return sorted(
+            int(name.rsplit("_", 1)[1])
+            for name in os.listdir(self.path)
+            if name.startswith("_committed_")
+        )
+
+    def read(self) -> DataFrame:
+        ids = self.committed_batch_ids()
+        if not ids:
+            raise FileNotFoundError(f"no committed batches under {self.path}")
+        paths = [
+            os.path.join(self.path, f"batch_id={i}") for i in ids
+        ]
+        return self.spark.read.option("basePath", self.path).parquet(*paths).drop(
+            "batch_id"
+        )
