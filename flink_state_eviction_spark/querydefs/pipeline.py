@@ -2636,3 +2636,91 @@ def sample_exact_k_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hk", "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL: per-group distinct cardinality from per-group sketches
+
+
+def _hll_grouped_oracle() -> str:
+    from flink_state_eviction_spark.functions.hashing import sql_h64
+    from flink_state_eviction_spark.functions.sketches import (
+        HLL_M,
+        sql_hll_estimate,
+        sql_rank,
+    )
+
+    est = sql_hll_estimate("ssum", "nregs")
+    return f"""
+WITH s AS (
+    SELECT event_type, CAST(user_id AS VARCHAR) AS s FROM events
+),
+v AS (
+    SELECT event_type, h & {HLL_M - 1} AS idx, h >> 9 AS v
+    FROM (SELECT event_type, {sql_h64("s")} AS h FROM s)
+),
+regs AS (
+    SELECT event_type, idx, MAX({sql_rank("v")}) AS mj
+    FROM v GROUP BY 1, 2
+),
+agg AS (
+    SELECT event_type,
+           COALESCE(SUM((CAST(1 AS BIGINT) << (52 - mj))), 0) AS ssum,
+           COUNT(*) AS nregs
+    FROM regs GROUP BY event_type
+),
+ex AS (
+    SELECT event_type, COUNT(DISTINCT s) AS n_exact FROM s GROUP BY event_type
+)
+SELECT ex.event_type, ex.n_exact, {est} AS n_est
+FROM agg JOIN ex ON agg.event_type = ex.event_type
+"""
+
+
+@register_supplementary(
+    "hll_distinct_users_by_type", _hll_grouped_oracle(), tags=("pipeline",)
+)
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distinct cardinality (users per event type) from
+    per-group HLL register sketches — the grouped form of X47.
+
+    Scale shape: one scan -> map-side partial MAX per (group, register)
+    -> one exchange of <= groups x 512 register rows -> per-group
+    estimate. The register table remains the sketch: per-day per-group
+    partials union + re-MAX into monthly sketches without touching raw
+    events, and cross-group unions (distinct users over ANY type) are
+    the same re-MAX — the reason to sketch per group rather than
+    keeping exact per-group sets. The exact column here is only the
+    parity/error reference."""
+    from flink_state_eviction_spark.functions.hashing import h64
+    from flink_state_eviction_spark.functions.sketches import (
+        HLL_M,
+        sql_hll_estimate,
+        sql_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("s")
+    )
+    v = ev.select("event_type", h64(F.col("s")).alias("h")).select(
+        "event_type",
+        F.expr(f"h & {HLL_M - 1}").alias("idx"),
+        F.expr("h >> 9").alias("v"),
+    )
+    regs = (
+        v.select("event_type", "idx", F.expr(sql_rank("v")).alias("rank"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("rank").alias("mj"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.coalesce(
+            F.sum(F.expr("CAST(1 AS BIGINT) << (52 - mj)")), F.lit(0)
+        ).alias("ssum"),
+        F.count(F.lit(1)).alias("nregs"),
+    )
+    ex = ev.groupBy("event_type").agg(F.countDistinct("s").alias("n_exact"))
+    return agg.join(ex, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.expr(sql_hll_estimate("ssum", "nregs")).alias("n_est"),
+    )

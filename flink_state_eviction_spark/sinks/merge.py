@@ -78,7 +78,9 @@ def merge_upsert(
         survivors = base.where(
             F.col(partition_col).isin(touched)
         ).join(dedup.select(*key_cols), key_cols, "left_anti")
-        merged = survivors.unionByName(dedup)
+        # materialize before the dynamic overwrite deletes the touched
+        # partitions this lineage still reads (see non-partitioned note)
+        merged = survivors.unionByName(dedup).localCheckpoint(eager=True)
         # dynamic overwrite: only the touched partition dirs rewrite
         (
             merged.write.mode("overwrite")
@@ -88,10 +90,11 @@ def merge_upsert(
         )
     else:
         survivors = base.join(dedup.select(*key_cols), key_cols, "left_anti")
-        merged = survivors.unionByName(dedup)
-        # full rewrite; stage to a temp dir is unnecessary because
-        # Spark's overwrite stages via _temporary and commits at the end
-        merged.localCheckpoint(eager=True)  # cut the read-from-target cycle
+        # the merged rows must be MATERIALIZED (eager localCheckpoint)
+        # before mode("overwrite") deletes the files its own lineage
+        # still reads from — on a cluster, checkpoint() to durable
+        # storage or stage to a temp dir + rename instead
+        merged = survivors.unionByName(dedup).localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(base_path)
 
 

@@ -1,0 +1,117 @@
+"""Streaming SCD2 maintenance: incremental type-2 dimension upkeep via
+foreachBatch + merge_upsert (sinks/merge.py), converging to the batch
+scd2_versions answer.
+
+Composition test in the test_streaming_ingest_pipeline mold: each
+micro-batch of change events (a) closes the affected keys' open
+versions (valid_to = first new change ts) and (b) appends the batch's
+new version rows, all through one last-writer-wins MERGE on
+(key, version). The final table must equal operators/scd2.py's batch
+versioning of the full change history."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.scd2 import scd2_versions
+from flink_state_eviction_spark.sinks.merge import merge_upsert
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_streaming_scd2_matches_batch(spark, sf_dir, tmp_path):
+    changes = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    # drip in event-time order so per-key versions arrive in order (the
+    # in-order-ingest contract of incremental SCD2; late changes would
+    # need a rewrite pass)
+    stream = as_file_stream(changes, str(tmp_path), num_batches=3, order_col="ts")
+    dim_path = os.path.join(str(tmp_path), "dim")
+
+    def apply_batch(batch_df, _batch_id):
+        sess = batch_df.sparkSession
+        try:
+            dim = sess.read.parquet(dim_path)
+        except Exception:
+            dim = sess.createDataFrame(
+                [],
+                "user_id long, ts timestamp, event_id long, version int, "
+                "valid_from timestamp, valid_to timestamp",
+            )
+        # current open version + max version per affected key
+        open_cur = (
+            dim.groupBy("user_id")
+            .agg(
+                F.max("version").alias("max_v"),
+                F.max_by(
+                    F.struct("ts", "event_id", "valid_from", "version"),
+                    "version",
+                ).alias("cur"),
+            )
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        fresh = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .withColumn("next_ts", F.lead("ts").over(w))
+            .join(open_cur, "user_id", "left")
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                (F.coalesce(F.col("max_v"), F.lit(0)) + F.col("rn"))
+                .cast("int")
+                .alias("version"),
+                F.col("ts").alias("valid_from"),
+                F.col("next_ts").alias("valid_to"),
+                F.col("rn"),
+                F.col("cur"),
+            )
+        )
+        # close the previously-open version: its valid_to becomes the
+        # batch's FIRST change ts for that key (rn == 1 row carries it)
+        closed = fresh.where(F.col("rn") == 1).where(
+            F.col("cur").isNotNull()
+        ).select(
+            "user_id",
+            F.col("cur")["ts"].alias("ts"),
+            F.col("cur")["event_id"].alias("event_id"),
+            F.col("cur")["version"].alias("version"),
+            F.col("cur")["valid_from"].alias("valid_from"),
+            F.col("valid_from").alias("valid_to"),
+        )
+        upserts = fresh.select(
+            "user_id", "ts", "event_id", "version", "valid_from", "valid_to"
+        ).unionByName(closed)
+        merge_upsert(
+            sess,
+            dim_path,
+            upserts.withColumn("ord", F.unix_millis("valid_from")),
+            key_cols=["user_id", "version"],
+            order_col="ord",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = (
+        spark.read.parquet(dim_path)
+        .drop("ord")
+        .select("user_id", "event_id", "version", "valid_from", "valid_to")
+    )
+    want = scd2_versions(changes, key="user_id", ts="ts", tiebreak="event_id").select(
+        "user_id", "event_id", "version", "valid_from", "valid_to"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
