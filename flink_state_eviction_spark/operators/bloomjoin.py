@@ -1,0 +1,92 @@
+"""Bloom-pruned join: semi-join reduction of the fact side before the
+join shuffle.
+
+Extension beyond the reference surface (the reference has no joins at
+all, SURVEY.md §2.6). The classic 100 TB pattern this encodes: a big
+fact table joining a SELECTIVE dimension subset shuffles every fact row
+— including the vast majority that will never match — unless the join
+key set is pushed down. A Bloom filter of the dimension keys is a
+CONSTANT-size summary (m bits regardless of dim cardinality), so it
+rides a 1-row broadcast into the fact scan and eliminates non-matching
+rows BEFORE the exchange. No false negatives — the subsequent exact
+join sees every true match, so the operator is semantics-invisible
+(its oracle is the plain join); false positives only cost wasted
+shuffle rows (~1% at 10 bits/key).
+
+Spark 3.3+ has an automatic runtime-filter version of this
+(spark.sql.optimizer.runtime.bloomFilter.enabled) gated on cost
+heuristics; this operator is the explicit, deterministic form —
+portable arithmetic (md5-derived h64 positions), so the filter itself
+is oracle-checkable and shard-mergeable (bit_or of word tables).
+
+Build cost: one pass over dim keys -> <= m/32 register words
+(map-side-combined bit_or). Probe cost: 4 scan-side hashes per fact
+row against a broadcast 1-row map — no exchange, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.hashing import h64
+
+BLOOM_BITS = 8192  # m; size ~10 bits per expected dim key at the design point
+BLOOM_WORD = 32  # bits per packed register word (shifts stay positive)
+BLOOM_SEEDS = (301, 302, 303, 304)  # k = 4 hash functions
+
+
+def _word_map(dim_keys: DataFrame, key: str) -> DataFrame:
+    """1-row DataFrame holding the Bloom register words as an
+    int -> long map (word_idx -> word). Seeds explode from one literal
+    array: a unionAll per seed would re-expand the dim subtree k times
+    in the physical plan."""
+    seeds = F.array(*[F.lit(s) for s in BLOOM_SEEDS])
+    pos = dim_keys.select(
+        F.explode(seeds).alias("seed"), F.col(key).cast("string").alias("_k")
+    ).select((h64(F.col("_k"), F.col("seed")) % BLOOM_BITS).alias("pos"))
+    words = pos.groupBy(
+        F.expr(f"int(pos div {BLOOM_WORD})").alias("word_idx")
+    ).agg(
+        F.bit_or(F.expr(f"shiftleft(1L, int(pos % {BLOOM_WORD}))")).alias("word")
+    )
+    return words.agg(
+        F.map_from_arrays(
+            F.collect_list("word_idx"), F.collect_list("word")
+        ).alias("_bloom_words")
+    )
+
+
+def bloom_prune(fact: DataFrame, dim_keys: DataFrame, key: str) -> DataFrame:
+    """Filter ``fact`` to rows whose ``key`` MIGHT appear in
+    ``dim_keys[key]`` (no false negatives). The filter evaluates in the
+    fact's scan stage against a broadcast 1-row register map — rows are
+    dropped before any exchange. The k probe positions are projected to
+    named columns first (shiftleft takes its shift from a column only
+    via SQL text, and the projection keeps each h64 evaluated once)."""
+    wm = _word_map(dim_keys, key)
+    probed = fact.crossJoin(F.broadcast(wm))
+    cond = F.lit(True)
+    for i, s in enumerate(BLOOM_SEEDS):
+        probed = probed.withColumn(
+            f"_bp{i}", h64(F.col(key).cast("string"), F.lit(s)) % BLOOM_BITS
+        )
+        hit = F.expr(
+            f"coalesce(element_at(_bloom_words, int(_bp{i} div {BLOOM_WORD})), 0L)"
+            f" & shiftleft(1L, int(_bp{i} % {BLOOM_WORD})) <> 0"
+        )
+        cond = cond & hit
+    return probed.where(cond).drop(
+        "_bloom_words", *[f"_bp{i}" for i in range(len(BLOOM_SEEDS))]
+    )
+
+
+def bloom_pruned_join(
+    fact: DataFrame, dim: DataFrame, key: str, how: str = "inner"
+) -> DataFrame:
+    """Exact ``fact JOIN dim ON key`` with the fact side Bloom-pruned
+    first. Result is identical to the plain join (false positives are
+    removed by the exact join); the win is the shuffle volume of the
+    pruned fact side."""
+    pruned = bloom_prune(fact, dim.select(key).distinct(), key)
+    return pruned.join(dim, key, how)

@@ -1036,3 +1036,51 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.where(F.col("node") >= 1_000_000_000).select(
         (F.col("node") - 1_000_000_000).alias("suppkey"), "rank_micro"
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-pruned selective join
+
+_BLOOM_JOIN_ORACLE = """
+SELECT p.p_brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size = 1
+GROUP BY p.p_brand
+"""
+
+
+@register_supplementary(
+    "bloom_pruned_revenue_smallparts", _BLOOM_JOIN_ORACLE, tags=("tpch",)
+)
+def bloom_pruned_revenue_smallparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by brand for size-1 parts, computed through
+    operators/bloomjoin.py: the lineitem side is Bloom-pruned against
+    the selective part subset BEFORE its join shuffle, so ~98% of fact
+    rows never reach the exchange. The oracle is the PLAIN join — the
+    Bloom pass has no false negatives and the exact join removes false
+    positives, so the optimization is semantics-invisible (that
+    property is the whole test). Plan + pruning-volume gates in
+    tests/test_bloomjoin.py."""
+    from flink_state_eviction_spark.operators.bloomjoin import bloom_pruned_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") == 1).select(
+        "p_partkey", "p_brand"
+    )
+    joined = bloom_pruned_join(li, part, "p_partkey")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )

@@ -1,0 +1,76 @@
+"""Bloom-pruned join (operators/bloomjoin.py): no false negatives,
+real pruning on a selective dim, and exact-join equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.bloomjoin import (
+    bloom_prune,
+    bloom_pruned_join,
+)
+from flink_state_eviction_spark.plans.explain import physical_plan
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_bloom_prune_no_false_negatives(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") == 1).select(
+        "p_partkey"
+    )
+    pruned = bloom_prune(li, part, "p_partkey")
+    true_matches = li.join(part, "p_partkey", "left_semi")
+    assert true_matches.exceptAll(
+        pruned.join(part, "p_partkey", "left_semi")
+    ).count() == 0
+    # every true match survives the prune
+    assert pruned.join(part, "p_partkey", "left_semi").count() == (
+        true_matches.count()
+    )
+
+
+def test_bloom_prune_actually_prunes(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") == 1).select(
+        "p_partkey"
+    )
+    n_fact = li.count()
+    n_match = li.join(part, "p_partkey", "left_semi").count()
+    n_pruned = bloom_prune(li, part, "p_partkey").count()
+    # survivors = matches + false positives; FP rate over non-matching
+    # rows must stay small (k=4, m=8192, sparse key set -> ~1%; allow 5%)
+    assert n_match <= n_pruned
+    fp_rate = (n_pruned - n_match) / max(1, n_fact - n_match)
+    assert fp_rate <= 0.05, (n_pruned, n_match, n_fact, fp_rate)
+
+
+def test_bloom_pruned_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3).select(
+        "p_partkey", "p_brand"
+    )
+    got = bloom_pruned_join(li, part, "p_partkey")
+    want = li.join(part, "p_partkey")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_filter_runs_before_fact_exchange(spark, sf_dir):
+    from flink_state_eviction_spark.queries import all_queries
+
+    df = all_queries()["bloom_pruned_revenue_smallparts"](spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    # the probe map rides a 1-row broadcast (nested-loop cross) and the
+    # exact join broadcasts the dim — the FACT side never hash-shuffles
+    # (no sort-merge join anywhere); the only exchanges are the tiny
+    # word-table build, the dim-key distinct, and the final group-by
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan

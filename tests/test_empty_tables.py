@@ -74,6 +74,13 @@ SAMPLE = [
     "inverted_index_postings",
     "domain_mix_weights",
     "quality_budget_select",
+    "dedup_embedding_srp_lsh",
+    "supplier_pagerank",
+    "scd2_point_in_time",
+    "events_anomaly_zscore",
+    "events_resample_1h_locf",
+    "sample_exact_k_docs",
+    "hll_distinct_users_by_type",
 ]
 
 
