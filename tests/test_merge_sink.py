@@ -103,3 +103,28 @@ def test_idempotent_sink_streaming_end_to_end(spark, sf_dir, tmp_path):
     got = sink.read()
     assert got.count() == ev.count()
     assert got.select(F.countDistinct("event_id")).first()[0] == ev.count()
+
+
+def test_merge_upsert_multi_round_matches_dict_model(spark, tmp_path):
+    """Five sequential merge rounds against a plain dict model —
+    last-writer-wins across rounds AND within batches, inserts and
+    updates interleaved."""
+    base_path = str(tmp_path / "seq")
+    rounds = [
+        [(1, "a", 1), (2, "b", 1)],
+        [(2, "b2", 2), (3, "c", 2)],
+        [(1, "a2", 3), (1, "a3", 4), (4, "d", 3)],  # in-batch dup on k=1
+        [(5, "e", 5)],
+        [(3, "c2", 6), (5, "e2", 6), (6, "f", 6)],
+    ]
+    model: dict[int, tuple[str, int]] = {}
+    for batch in rounds:
+        df = spark.createDataFrame(batch, "k long, v string, ver long")
+        merge_upsert(spark, base_path, df, ["k"], "ver")
+        for k, v, ver in sorted(batch, key=lambda r: r[2]):
+            model[k] = (v, ver)
+        got = {
+            r["k"]: (r["v"], r["ver"])
+            for r in spark.read.parquet(base_path).collect()
+        }
+        assert got == model
