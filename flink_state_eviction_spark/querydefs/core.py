@@ -801,3 +801,60 @@ def events_resample_1h_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v_last", ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weekly cohort retention
+
+_COHORT_ORACLE = """
+WITH weeks AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+    FROM events
+),
+cohort AS (
+    SELECT user_id, min(wk) AS cwk FROM weeks GROUP BY user_id
+)
+SELECT epoch_ms(c.cwk) AS cohort_week_ms,
+       CAST(datediff('day', c.cwk, w.wk) // 7 AS INTEGER) AS week_offset,
+       count(DISTINCT w.user_id) AS n_users
+FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+@register_supplementary(
+    "cohort_retention_weekly", _COHORT_ORACLE, tags=("core",)
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-active week,
+    counted in each subsequent week they return (offset 0 row = cohort
+    size, so retention rates divide out downstream). The standard
+    product-analytics rollup.
+
+    Extension beyond the reference surface. Scale shape: the (user,
+    week) activity set is a map-side-combinable distinct, the cohort
+    assignment is a min-agg on user_id, and the join back is user-keyed
+    (reusing the same partitioning); the final agg runs over at most
+    |users| x active-weeks rows — no window, no self-join over raw
+    events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    weeks = ev.distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    j = weeks.join(cohort, "user_id")
+    return (
+        j.groupBy(
+            "cwk",
+            F.expr("cast(datediff(wk, cwk) div 7 as int)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.unix_millis("cwk").alias("cohort_week_ms"),
+            "week_offset",
+            "n_users",
+        )
+    )

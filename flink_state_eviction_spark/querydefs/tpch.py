@@ -1084,3 +1084,32 @@ def bloom_pruned_revenue_smallparts(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_items"),
         F.sum(rev).cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unpivot (melt): wide metrics to long
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val
+FROM part
+"""
+
+
+@register_supplementary("part_metrics_unpivot", _UNPIVOT_ORACLE, tags=("tpch",))
+def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of `pivot_flag_status`: wide per-part
+    metric columns to (key, metric, val) long form via `stack`, which
+    Catalyst expands in the scan projection (one pass, no union of two
+    scans — the oracle's UNION ALL is the semantic spec, not the plan).
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', cast(p_size as double), "
+            "'retailprice', p_retailprice) as (metric, val)"
+        ),
+    )

@@ -81,6 +81,9 @@ SAMPLE = [
     "events_resample_1h_locf",
     "sample_exact_k_docs",
     "hll_distinct_users_by_type",
+    "bloom_pruned_revenue_smallparts",
+    "cohort_retention_weekly",
+    "part_metrics_unpivot",
 ]
 
 
