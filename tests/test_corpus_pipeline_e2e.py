@@ -1,0 +1,99 @@
+"""End-to-end batch corpus-prep pipeline: the chained recipe a
+reference user would actually run, composed from the operator APIs —
+exact dedup -> near-dup canonical selection -> quality gate -> token
+budget -> sequence packing -> sharded parquet write. Pins that the
+stages COMPOSE (each consumes the previous stage's real output) and
+that the invariants hold at every boundary."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.text import tokens
+from flink_state_eviction_spark.operators.dedup import (
+    canonical_mapping,
+    connected_components,
+    exact_dedup_mapping,
+    minhash_lsh_pairs,
+)
+from flink_state_eviction_spark.operators.packing import assemble_sequences
+from flink_state_eviction_spark.operators.prefix import bucketed_prefix_sum
+from flink_state_eviction_spark.sinks.parquet import write_partitioned
+from flink_state_eviction_spark.tables import load_table
+
+MIN_TOKENS = 3
+TOKEN_BUDGET = 5_000
+CHUNK = 128
+
+
+def test_corpus_prep_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n0 = docs.count()
+
+    # 1. exact dedup: keep the min-id instance of each exact text
+    exact = exact_dedup_mapping(docs, "doc_id", "text")
+    docs1 = docs.join(
+        exact.where(F.col("doc_id") == F.col("keeper_id")).select("doc_id"),
+        "doc_id",
+    ).localCheckpoint(eager=False)
+    n1 = docs1.count()
+    assert 0 < n1 <= n0
+    # survivors are pairwise distinct texts
+    assert docs1.select("text").distinct().count() == n1
+
+    # 2. near-dup: LSH pairs -> components -> canonical keeper
+    pairs = minhash_lsh_pairs(docs1, "doc_id", "text", threshold=0.8)
+    comps = connected_components(pairs)
+    canon = canonical_mapping(docs1, comps)
+    docs2 = docs1.join(
+        canon.where(F.col("is_kept")).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    n2 = docs2.count()
+    assert 0 < n2 <= n1
+    # no surviving near-dup pair: each component kept exactly one doc
+    assert minhash_lsh_pairs(docs2, "doc_id", "text", threshold=0.8).count() == 0
+
+    # 3. quality gate (token floor)
+    docs3 = docs2.withColumn(
+        "n_tok", F.size(tokens(F.col("text"))).cast("long")
+    ).where(F.col("n_tok") >= MIN_TOKENS)
+    n3 = docs3.count()
+    assert 0 < n3 <= n2
+
+    # 4. token budget: greedy by doc_id order via the exact prefix sum
+    with_cum = bucketed_prefix_sum(
+        docs3.withColumn("bucket", F.expr("doc_id div 100")),
+        "bucket",
+        ["doc_id"],
+        "n_tok",
+    )
+    selected = with_cum.where(F.col("cum_before") < TOKEN_BUDGET).select(
+        "doc_id", "text", "n_tok"
+    ).localCheckpoint(eager=False)
+    sel_tokens = selected.agg(F.sum("n_tok")).first()[0]
+    assert 0 < sel_tokens < TOKEN_BUDGET + selected.agg(F.max("n_tok")).first()[0]
+
+    # 5. pack into fixed-size training sequences
+    seqs = assemble_sequences(selected, chunk_tokens=CHUNK).localCheckpoint(
+        eager=False
+    )
+    packed_tokens = seqs.agg(F.sum("n_tokens")).first()[0]
+    assert packed_tokens == sel_tokens  # lossless packing
+    n_chunks = seqs.count()
+    assert n_chunks == -(-sel_tokens // CHUNK)  # ceil: all full but last
+    # every chunk except possibly the last is exactly CHUNK tokens
+    assert seqs.where(F.col("n_tokens") != CHUNK).count() <= 1
+
+    # 6. sharded write + read-back
+    out = os.path.join(str(tmp_path), "shards")
+    write_partitioned(
+        seqs.withColumn("shard", F.expr("chunk_id % 4")),
+        out,
+        ["shard"],
+        sort_cols=["chunk_id"],
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == n_chunks
+    assert back.agg(F.sum("n_tokens")).first()[0] == packed_tokens

@@ -1,0 +1,74 @@
+"""Property test: scd2_versions + point_in_time_join vs a sequential
+Python model over hypothesis-generated change streams and probes —
+random keys, colliding timestamps, probes before/after/at every
+boundary."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_state_eviction_spark.operators.scd2 import (
+    point_in_time_join,
+    scd2_versions,
+)
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes: int) -> dt.datetime:
+    return EPOCH + dt.timedelta(minutes=minutes)
+
+
+def _model_lookup(changes, key, t):
+    """Value valid at time t for key: the change with the greatest
+    (ts, change_id) among those with ts <= t (last-writer-wins —
+    matches the zero-length-interval semantics)."""
+    cand = [c for c in changes if c[0] == key and c[1] <= t]
+    if not cand:
+        return None
+    return max(cand, key=lambda c: (c[1], c[2]))[2]
+
+
+changes_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),   # key
+        st.integers(min_value=0, max_value=20),  # ts minute
+    ),
+    min_size=1,
+    max_size=12,
+)
+probes_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),   # key (4 = never-seen)
+        st.integers(min_value=-1, max_value=21), # ts minute
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(changes=changes_strategy, probes=probes_strategy)
+def test_point_in_time_matches_python_model(spark, changes, probes):
+    # change_id = position; (key, ts) collisions are the interesting case
+    ch = [(k, _ts(m), i) for i, (k, m) in enumerate(changes)]
+    dim = scd2_versions(
+        spark.createDataFrame(ch, "k long, ts timestamp, change_id long"),
+        key="k",
+        ts="ts",
+        tiebreak="change_id",
+    )
+    facts = spark.createDataFrame(
+        [(i, k, _ts(m)) for i, (k, m) in enumerate(probes)],
+        "fact_id long, k long, fts timestamp",
+    )
+    out = point_in_time_join(facts, dim, key="k", fact_ts="fts")
+    got = {r["fact_id"]: r["change_id"] for r in out.collect()}
+    want = {
+        i: _model_lookup(ch, k, _ts(m)) for i, (k, m) in enumerate(probes)
+    }
+    assert got == want
+    assert out.count() == len(probes)  # exactly one row per probe
