@@ -1113,3 +1113,182 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'retailprice', p_retailprice) as (metric, val)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q4 / q12 / q14 / q22 (adapted to the driver schema where the
+# full TPC-H columns are absent; adaptations noted per query)
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register_supplementary("tpch_q4_priority_semi", _Q4_ORACLE, tags=("tpch",))
+def tpch_q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter
+    having at least one late lineitem, counted per priority. Adapted:
+    the driver schema has no l_commitdate/l_receiptdate, so "late" =
+    shipped > 30 days after the order date. The point is the
+    decorrelated EXISTS -> LEFT SEMI join with a non-equi residual
+    (never a count-then-filter subquery per order)."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@register_supplementary("tpch_q12_priority_mix", _Q12_ORACLE, tags=("tpch",))
+def tpch_q12_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority mix): lineitems shipped
+    in a year, split per group into high/low-priority order counts via
+    conditional aggregation. Adapted: no l_shipmode column — the group
+    is l_returnflag. Fact-fact equi-join with the ship-date filter
+    pushed to the lineitem scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+_Q14_ORACLE = """
+SELECT CAST(CAST(100 AS DOUBLE)
+            * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                            ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+
+@register_supplementary("tpch_q14_promo_revenue", _Q14_ORACLE, tags=("tpch",))
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of a month's revenue from
+    promo parts. Decimal-exact numerator/denominator sums, one double
+    division at the end (same op sequence both engines). The part side
+    broadcasts; the lineitem date filter is scan-pushed."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-02-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    joined = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    )
+    return joined.agg(
+        (
+            F.lit(100).cast("double")
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+            .cast("double")
+            / F.sum(rev).cast("double")
+        )
+        .cast("double")
+        .alias("promo_revenue_pct")
+    )
+
+
+_Q22_ORACLE = """
+WITH stats AS (
+    SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot,
+           COUNT(*) AS n
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, stats
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > tot
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+@register_supplementary("tpch_q22_global_sales_opp", _Q22_ORACLE, tags=("tpch",))
+def tpch_q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balance and no RECENT orders (none since
+    2000 — every fixture customer has some lifetime order), rolled up
+    per segment. Adapted: no c_phone — the group is c_mktsegment. The
+    above-average test multiplies through by the count
+    (c_acctbal * n > total) so both engines compare exact decimals —
+    an AVG would be a decimal division whose scale rules differ
+    between engines. Scalar aggregate rides a 1-row broadcast; the
+    NOT EXISTS is a LEFT ANTI join."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("decimal(18,2)").alias("bal")
+    )
+    stats = cust.where(F.col("bal") > 0).agg(
+        F.sum("bal").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    rich = (
+        cust.crossJoin(F.broadcast(stats))
+        .where(F.col("bal") * F.col("n") > F.col("tot"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal").cast("double").alias("totacctbal"),
+    )

@@ -84,6 +84,8 @@ SAMPLE = [
     "bloom_pruned_revenue_smallparts",
     "cohort_retention_weekly",
     "part_metrics_unpivot",
+    "tpch_q4_priority_semi",
+    "tpch_q22_global_sales_opp",
 ]
 
 
