@@ -1006,7 +1006,10 @@ FROM {prev} WHERE node >= 1000000000
 
 
 @register_supplementary(
-    "supplier_pagerank", _pagerank_oracle(), tags=("tpch", "graph")
+    "supplier_pagerank",
+    _pagerank_oracle(),
+    headline=True,  # the iterative-algorithm flagship in bench.py
+    tags=("tpch", "graph"),
 )
 def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 iterations, d=0.85, integer micro-units) over the
