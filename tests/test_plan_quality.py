@@ -302,3 +302,28 @@ def test_resample_locf_shuffle_budget(spark, sf_dir):
     df = _q("events_resample_1h_locf", spark, sf_dir)
     plan = physical_plan(df, "simple")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_q4_semi_join_with_pushed_date_filter(spark, sf_dir):
+    # EXISTS plans as a single semi join; the quarter filter reaches
+    # the orders scan (PushedFilters), never a per-order subquery
+    df = _q("tpch_q4_priority_semi", spark, sf_dir)
+    plan = physical_plan(df, "formatted")
+    assert "LeftSemi" in plan, plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_q14_broadcasts_part_and_pushes_shipdate(spark, sf_dir):
+    df = _q("tpch_q14_promo_revenue", spark, sf_dir)
+    plan = physical_plan(df, "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_q22_anti_join_single_pass(spark, sf_dir):
+    # NOT EXISTS -> one LeftAnti join; the scalar stats ride a 1-row
+    # broadcast (no recompute per row)
+    df = _q("tpch_q22_global_sales_opp", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "LeftAnti" in plan, plan
+    assert plan.count("FileScan parquet") <= 3, plan  # customer x2 + orders
