@@ -353,3 +353,53 @@ def decode_media(
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(real_op, REAL_FEATURE_SCHEMA)
+
+
+WAV_FRAME_SCHEMA = (
+    "doc_id long, sample_rate int, frame_idx int, frame_n int, "
+    "energy_sum long"
+)
+
+
+def wav_frame_energy(media_df: DataFrame, frame: int = 64) -> DataFrame:
+    """Frame-level energy profile of WAV media: decode with the REAL
+    codec (functions/codecs.py:decode_wav), then per non-overlapping
+    ``frame``-sample window emit the exact integer sum of squares —
+    the standard first feature of any audio pipeline (silence
+    trimming, VAD, loudness normalization).
+
+    Extension beyond the reference surface. Arithmetic stays integer
+    (int16 samples -> int64 squares; |s| <= 2^15 so a frame sum is
+    < frame * 2^30 — no float drift), which is what lets a SQL oracle
+    regenerate the expected energies from the fixture's generator
+    formula. Scan-parallel mapInPandas; output rows ~ n_samples/frame
+    per doc, exploded executor-side (never a driver loop)."""
+    if frame <= 0:
+        raise ValueError("frame must be positive")
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import decode_wav
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "frame_idx": [],
+                "frame_n": [], "energy_sum": [],
+            }
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                sr, samples = decode_wav(bytes(media))
+                vals = samples.astype(np.int64)
+                n = int(vals.size)
+                n_frames = -(-n // frame) if n else 0
+                for f in range(n_frames):
+                    seg = vals[f * frame : (f + 1) * frame]
+                    out["doc_id"].append(int(doc_id))
+                    out["sample_rate"].append(int(sr))
+                    out["frame_idx"].append(f)
+                    out["frame_n"].append(int(seg.size))
+                    out["energy_sum"].append(int((seg * seg).sum()))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(op, WAV_FRAME_SCHEMA)

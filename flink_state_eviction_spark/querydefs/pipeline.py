@@ -2724,3 +2724,52 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         F.expr(sql_hll_estimate("ssum", "nregs")).alias("n_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV frame-energy profile (real decode; oracle regenerates the signal)
+
+_WAV_ENERGY_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, CAST(8000 + (d % 5) * 1000 AS INT) AS sample_rate,
+           h % 300 + 10 AS n, d
+    FROM m
+),
+sm AS (
+    SELECT doc_id, sample_rate, d,
+           unnest(generate_series(0, n - 1)) AS i
+    FROM dims
+)
+SELECT doc_id, sample_rate,
+       CAST(i // 64 AS INTEGER) AS frame_idx,
+       CAST(count(*) AS INTEGER) AS frame_n,
+       CAST(SUM((((d * 31 + i * 7) % 2048) - 1024)
+                * (((d * 31 + i * 7) % 2048) - 1024)) AS BIGINT)
+           AS energy_sum
+FROM sm GROUP BY doc_id, sample_rate, i // 64
+"""
+
+
+@register_supplementary(
+    "multimodal_wav_energy", _WAV_ENERGY_ORACLE, tags=("pipeline", "multimodal")
+)
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy (64-sample windows, exact integer sums of
+    squares) computed by REALLY decoding the generated PCM16 WAV
+    payloads (operators/multimodal.py:wav_frame_energy); the oracle
+    re-derives every sample from the fixture's generator formula, so a
+    decoder bug anywhere in the chunk walk or sample decode breaks
+    parity."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        wav_frame_energy,
+        wav_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_frame_energy(wav_media_from_documents(docs), frame=64)

@@ -86,6 +86,7 @@ SAMPLE = [
     "part_metrics_unpivot",
     "tpch_q4_priority_semi",
     "tpch_q22_global_sales_opp",
+    "multimodal_wav_energy",
 ]
 
 
