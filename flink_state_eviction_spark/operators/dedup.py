@@ -396,3 +396,58 @@ def span_dup_stats(
             ).alias("dup_span_frac"),
         )
     )
+
+
+def blocked_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment(A in B) = |sh(A) n sh(B)| /
+    |sh(A)| — catches a short document embedded in a longer one (quote
+    farms, concatenated crawls), which symmetric jaccard misses (the
+    union denominator dilutes it). Same blocked + hashed-shingle
+    machinery as :func:`blocked_jaccard_pairs`; the lossless size prune
+    becomes one-sided: containment >= t requires |B| >= t * |A|.
+    Output: (doc_src, doc_dst, containment) with doc_src != doc_dst —
+    both directions can fire. The scale path for huge blocks is the
+    same LSH bucketing as jaccard's (minhash also estimates
+    containment under a size-ratio correction)."""
+    base = df.select(F.col(id_col), F.col(block_col).alias("_blk"), F.col(text_col))
+    sh = shingle_sets(base, id_col, text_col, k).join(
+        base.select(id_col, "_blk"), id_col
+    )
+    hashed = sh.select(
+        F.col(id_col),
+        "_blk",
+        F.array_distinct(shingle_hash_udf()(F.col("sh"))).alias("bh"),
+    ).withColumn("_n", F.size("bh"))
+    a = hashed.select(
+        "_blk",
+        F.col(id_col).alias("doc_src"),
+        F.col("bh").alias("bh_a"),
+        F.col("_n").alias("na"),
+    )
+    b = hashed.select(
+        "_blk",
+        F.col(id_col).alias("doc_dst"),
+        F.col("bh").alias("bh_b"),
+        F.col("_n").alias("nb"),
+    )
+    pairs = a.join(b, "_blk").where(
+        (F.col("doc_src") != F.col("doc_dst"))
+        & (
+            F.col("nb").cast("double")
+            >= F.lit(threshold) * F.col("na").cast("double")
+        )
+    )
+    containment = (
+        F.size(F.array_intersect("bh_a", "bh_b")).cast("double")
+        / F.col("na").cast("double")
+    )
+    return pairs.select(
+        "doc_src", "doc_dst", containment.alias("containment")
+    ).where(F.col("containment") >= threshold)

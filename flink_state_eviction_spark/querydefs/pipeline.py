@@ -2773,3 +2773,48 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return wav_frame_energy(wav_media_from_documents(docs), frame=64)
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment dedup (doc embedded in doc)
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
+shn AS (
+    SELECT s.doc_id, d.lang AS blk,
+           list_distinct(list_transform(s.sh,
+               x -> CAST(('0x' || substring(md5('0:' || x), 1, 15)) AS BIGINT)))
+               AS bh
+    FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+    WHERE len(s.sh) > 0
+),
+shn2 AS (SELECT doc_id, blk, bh, len(bh) AS n FROM shn)
+SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
+       CAST(len(list_intersect(a.bh, b.bh)) AS DOUBLE)
+         / CAST(a.n AS DOUBLE) AS containment
+FROM shn2 a JOIN shn2 b
+  ON a.blk = b.blk AND a.doc_id <> b.doc_id
+ AND CAST(b.n AS DOUBLE) >= CAST(0.8 AS DOUBLE) * CAST(a.n AS DOUBLE)
+WHERE CAST(len(list_intersect(a.bh, b.bh)) AS DOUBLE)
+        / CAST(a.n AS DOUBLE) >= 0.8
+"""
+
+
+@register_supplementary(
+    "dedup_containment", _CONTAINMENT_ORACLE, tags=("pipeline", "dedup")
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (doc-embedded-in-doc) within
+    language blocks: containment(A in B) = |sh(A) n sh(B)| / |sh(A)|
+    >= 0.8 (operators/dedup.py:blocked_containment_pairs). Catches
+    short-doc-inside-long-doc relations whose symmetric jaccard falls
+    under the radar — the standard companion to X10 in a crawl
+    pipeline."""
+    from flink_state_eviction_spark.operators.dedup import (
+        blocked_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocked_containment_pairs(
+        docs, "doc_id", "text", "lang", k=3, threshold=0.8
+    )

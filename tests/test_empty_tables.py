@@ -87,6 +87,7 @@ SAMPLE = [
     "tpch_q4_priority_semi",
     "tpch_q22_global_sales_opp",
     "multimodal_wav_energy",
+    "dedup_containment",
 ]
 
 
