@@ -41,19 +41,29 @@ def _reps(spark, factor):
     return spark.range(factor).select(F.col("id").alias("_rep"))
 
 
-def build_scaled(spark, factor: int, out_dir: str) -> str:
-    d = os.path.join(out_dir, f"x{factor}")
+def build_scaled(
+    spark, factor: int, out_dir: str, uniform: bool = False
+) -> str:
+    d = os.path.join(out_dir, f"x{factor}{'u' if uniform else ''}")
     os.makedirs(d, exist_ok=True)
 
     ev = load_table(spark, SRC, "events")
+    # default: 90% of rows onto one hot user (the skew the bucketed
+    # flagship exists for). --uniform: replica-disjoint users with the
+    # per-user row count unchanged — pure throughput scaling for the
+    # per-key window ops, whose hot-key ceiling is measured separately.
+    user_expr = (
+        (F.col("user_id") + F.col("_rep") * OFFSET)
+        if uniform
+        else F.when(F.col("event_id") % 10 != 0, F.lit(1)).otherwise(
+            F.col("user_id") + F.col("_rep") * OFFSET
+        )
+    )
     scaled_ev = (
         ev.crossJoin(_reps(spark, factor))
         .select(
             (F.col("event_id") + F.col("_rep") * OFFSET).alias("event_id"),
-            # 90% of rows onto one hot user; replica-disjoint cold tail
-            F.when(F.col("event_id") % 10 != 0, F.lit(1))
-            .otherwise(F.col("user_id") + F.col("_rep") * OFFSET)
-            .alias("user_id"),
+            user_expr.alias("user_id"),
             "event_type",
             (
                 F.col("ts")
@@ -89,11 +99,43 @@ def build_scaled(spark, factor: int, out_dir: str) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(d, "embeddings.parquet"))
     )
+
+    # orders/lineitem for the graph ops: replica-offset keys, so the
+    # purchase graph becomes `factor` disjoint copies (pure throughput
+    # scaling; component structure preserved per copy)
+    orders = load_table(spark, SRC, "orders")
+    (
+        orders.crossJoin(_reps(spark, factor))
+        .select(
+            (F.col("o_orderkey") + F.col("_rep") * OFFSET).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("_rep") * OFFSET).alias("o_custkey"),
+            *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "orders.parquet"))
+    )
+    li = load_table(spark, SRC, "lineitem")
+    (
+        li.crossJoin(_reps(spark, factor))
+        .select(
+            (F.col("l_orderkey") + F.col("_rep") * OFFSET).alias("l_orderkey"),
+            (F.col("l_suppkey") + F.col("_rep") * OFFSET).alias("l_suppkey"),
+            *[c for c in li.columns if c not in ("l_orderkey", "l_suppkey")],
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "lineitem.parquet"))
+    )
     return d
 
 
-def timed(df) -> float:
+def timed(thunk) -> float:
+    """Time plan CONSTRUCTION + execution: operators with iterative
+    localCheckpoint rounds (pagerank, connected components, k-means)
+    run those rounds while the DataFrame is being BUILT, so timing only
+    the final write undercounts by the whole iteration cost (measured
+    0.17s vs 20s real on x10 pagerank)."""
     t0 = time.perf_counter()
+    df = thunk()
     df.write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 2)
 
@@ -128,10 +170,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="10,25,50")
     ap.add_argument("--out", default="/tmp/scale_stress")
+    ap.add_argument("--uniform", action="store_true",
+                    help="scale users disjointly instead of 90%%-hot-key")
     ap.add_argument(
         "--only",
         default="mws,lsh,topk",
-        help="comma subset of mws,lsh,topk,pack,span,bloom,postings",
+        help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
+        "pagerank,anomaly,resample",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -140,38 +185,36 @@ def main() -> None:
     spark = get_spark("fse-scale-stress")
     qs = Q.queries()
     for factor in factors:
-        d = build_scaled(spark, factor, args.out)
+        d = build_scaled(spark, factor, args.out, uniform=args.uniform)
         n_ev = spark.read.parquet(os.path.join(d, "events.parquet")).count()
         rec = {"factor": factor, "events_rows": n_ev}
         if "mws" in only:
-            rec["mws_plain_sec"] = timed(flagship_plain(spark, d))
-            rec["mws_bucketed_sec"] = timed(flagship_bucketed(spark, d))
+            rec["mws_plain_sec"] = timed(lambda: flagship_plain(spark, d))
+            rec["mws_bucketed_sec"] = timed(lambda: flagship_bucketed(spark, d))
         if "lsh" in only:
-            rec["dedup_minhash_lsh_sec"] = timed(
-                qs["dedup_minhash_lsh"](spark, d)
-            )
+            rec["dedup_minhash_lsh_sec"] = timed(lambda: qs["dedup_minhash_lsh"](spark, d))
         if "topk" in only:
-            rec["similarity_topk_sec"] = timed(qs["similarity_topk"](spark, d))
+            rec["similarity_topk_sec"] = timed(lambda: qs["similarity_topk"](spark, d))
         # corpus-prep ops (querydefs/corpus.py) — supplementary tier
         all_qs = Q.all_queries()
         if "pack" in only:
-            rec["sequence_pack_chunks_sec"] = timed(
-                all_qs["sequence_pack_chunks"](spark, d)
-            )
+            rec["sequence_pack_chunks_sec"] = timed(lambda: all_qs["sequence_pack_chunks"](spark, d))
         if "span" in only:
-            rec["span_dedup_frac_sec"] = timed(
-                all_qs["span_dedup_frac"](spark, d)
-            )
+            rec["span_dedup_frac_sec"] = timed(lambda: all_qs["span_dedup_frac"](spark, d))
         if "bloom" in only:
             # history side stays the original 250 docs (scaled ids are
             # all >= OFFSET): constant-size filter, scaling probe
-            rec["bloom_digest_probe_sec"] = timed(
-                all_qs["bloom_digest_probe"](spark, d)
-            )
+            rec["bloom_digest_probe_sec"] = timed(lambda: all_qs["bloom_digest_probe"](spark, d))
         if "postings" in only:
-            rec["inverted_index_postings_sec"] = timed(
-                all_qs["inverted_index_postings"](spark, d)
-            )
+            rec["inverted_index_postings_sec"] = timed(lambda: all_qs["inverted_index_postings"](spark, d))
+        if "pagerank" in only:
+            rec["supplier_pagerank_sec"] = timed(lambda: all_qs["supplier_pagerank"](spark, d))
+        if "anomaly" in only:
+            # NOTE: the 90%-hot-user skew puts most rows in ONE range-
+            # window partition — this measures the per-key sort ceiling
+            rec["events_anomaly_zscore_sec"] = timed(lambda: all_qs["events_anomaly_zscore"](spark, d))
+        if "resample" in only:
+            rec["events_resample_1h_locf_sec"] = timed(lambda: all_qs["events_resample_1h_locf"](spark, d))
         print(json.dumps(rec), flush=True)
 
 
