@@ -858,3 +858,48 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register_supplementary(
+    "events_anomaly_zscore_bucketed", _ANOMALY_ORACLE, tags=("core", "range")
+)
+def events_anomaly_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events_anomaly_zscore` computed through the (key, time-bucket)
+    range-window decomposition (operators/windows.py:
+    trailing_range_agg_bucketed) — bit-identical output (same oracle),
+    but a mega-hot key's timeline splits across buckets instead of
+    serializing one window task (the measured >10-min straggler in
+    SCALE.md). Two shuffled copies per row buy (key x buckets)
+    parallelism; crossover economics mirror the X6 TTL flagship."""
+    from flink_state_eviction_spark.operators.windows import (
+        trailing_range_agg_bucketed,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    stats = trailing_range_agg_bucketed(
+        ev,
+        keys=["user_id"],
+        ts_ms=F.unix_millis("ts"),
+        aggs={
+            "n_win": F.count(F.lit(1)),
+            "s1": F.sum("cents"),
+            "s2": F.sum(F.col("cents") * F.col("cents")),
+        },
+        window_ms=2592000000,
+    )
+    mean = F.col("s1") / F.col("n_win")
+    dev = F.col("cents") - mean
+    var = F.col("s2") / F.col("n_win") - mean * mean
+    return (
+        stats.where((F.col("n_win") >= 5) & (4 * (dev * dev) > 9 * var))
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "value",
+            "n_win",
+            (mean / 100).alias("mean_win"),
+        )
+    )

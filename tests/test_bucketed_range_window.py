@@ -1,0 +1,73 @@
+"""Bucketed trailing range window (operators/windows.py:
+trailing_range_agg_bucketed): bit-parity with the plain per-key frame
+on hot-key and bucket-boundary fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.windows import (
+    trailing_range_agg_bucketed,
+)
+
+W_MS = 1000  # 1s window -> bucket width 1s
+
+
+def _plain(df):
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t")
+        .rangeBetween(-W_MS, 0)
+    )
+    return df.select(
+        "k",
+        "t",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+    )
+
+
+def _bucketed(df):
+    return trailing_range_agg_bucketed(
+        df,
+        keys=["k"],
+        ts_ms=F.col("t"),
+        aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+        window_ms=W_MS,
+    ).select("k", "t", "v", "n", "s")
+
+
+def _rows(df):
+    return sorted(
+        (r["k"], r["t"], r["v"], r["n"], r["s"]) for r in df.collect()
+    )
+
+
+def test_bucketed_matches_plain_on_hot_key(spark):
+    # one hot key spanning many buckets + a cold key; includes ts ties
+    data = [(1, t * 137, t % 7) for t in range(400)]
+    data += [(1, 5000, 99), (1, 5000, 100)]  # exact tie inside a bucket
+    data += [(2, t * 997, t) for t in range(40)]
+    df = spark.createDataFrame(data, "k long, t long, v long")
+    assert _rows(_bucketed(df)) == _rows(_plain(df))
+
+
+def test_bucketed_matches_plain_on_boundaries(spark):
+    # rows exactly AT bucket edges and frames exactly window_ms wide:
+    # t=1000 frame [0,1000] must include t=0 (range inclusive both ends)
+    data = [
+        (1, 0, 1), (1, 999, 2), (1, 1000, 3), (1, 1001, 4),
+        (1, 1999, 5), (1, 2000, 6), (1, 3001, 7),
+    ]
+    df = spark.createDataFrame(data, "k long, t long, v long")
+    got = {r["t"]: (r["n"], r["s"]) for r in _bucketed(df).collect()}
+    assert got[1000] == (3, 6)  # frame [0,1000]: rows 0,999,1000
+    assert got[1001] == (3, 9)  # frame [1,1001]: 999,1000,1001 (0 ages out)
+    assert _rows(_bucketed(df)) == _rows(_plain(df))
+
+
+def test_bucketed_validation_empty(spark):
+    df = spark.createDataFrame([], "k long, t long, v long")
+    assert _bucketed(df).count() == 0

@@ -88,6 +88,7 @@ SAMPLE = [
     "tpch_q22_global_sales_opp",
     "multimodal_wav_energy",
     "dedup_containment",
+    "events_anomaly_zscore_bucketed",
 ]
 
 
