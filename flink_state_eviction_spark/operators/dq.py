@@ -1,0 +1,95 @@
+"""Data-quality expectation checks — the validation pass a production
+ingest runs before promoting a batch (null-rate, range, uniqueness,
+referential integrity).
+
+Extension beyond the reference surface (its only validation is the
+assertion sink, ElementsWithGapsSink.java:46-99, which compares a tiny
+expected list; these checks validate arbitrarily large tables
+declaratively).
+
+Scale shape: all ROW-LEVEL checks for a table fold into ONE scan — a
+single aggregate of conditional sums (map-side combined, no shuffle of
+data rows). Uniqueness adds one exchange on the checked key (count>1
+groups only travel); referential integrity is one LEFT ANTI join
+against the parent keys (broadcast when the parent is a dim). The
+result is a tiny (check, violations) table — fit for a gate in
+foreachBatch (see IdempotentBatchSink) or a nightly report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEMA = "check string, n_violations long"
+
+
+def row_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """(check, n_violations) for named row-level predicates — each
+    predicate states what MUST hold; violations = rows where it is
+    false or NULL. One scan, one aggregate row, exploded to rows."""
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+        ).cast("long").alias(name)
+        for name, cond in checks.items()
+    ]
+    one = df.agg(*aggs)
+    stacked = ", ".join(f"'{n}', `{n}`" for n in checks)
+    return one.select(
+        F.expr(
+            f"stack({len(checks)}, {stacked}) as (check, n_violations)"
+        )
+    ).select(
+        "check", F.coalesce("n_violations", F.lit(0)).alias("n_violations")
+    )
+
+
+def uniqueness_check(
+    df: DataFrame, key_cols: list[str], name: str | None = None
+) -> DataFrame:
+    """(check, n_violations): rows beyond the first per duplicated key."""
+    label = name or ("unique_" + "_".join(key_cols))
+    dups = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).cast("long").alias(
+                "n_violations"
+            )
+        )
+    )
+    return dups.select(F.lit(label).alias("check"), "n_violations")
+
+
+def fk_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    name: str | None = None,
+) -> DataFrame:
+    """(check, n_violations): child rows whose key has no parent
+    (NULL child keys are orphans too — an FK must resolve)."""
+    label = name or f"fk_{child_key}"
+    orphans = child.select(F.col(child_key)).join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+    return orphans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations")
+    ).select(F.lit(label).alias("check"), "n_violations")
+
+
+def dq_report(parts: list[DataFrame]) -> DataFrame:
+    """Union the per-check result tables into one report."""
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1295,3 +1295,83 @@ def tpch_q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum("bal").cast("double").alias("totacctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectation report
+
+_DQ_ORACLE = """
+SELECT 'not_null_orderkey' AS check,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+FROM orders
+UNION ALL
+SELECT 'nonneg_totalprice',
+       CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice >= 0, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orderdate_in_range',
+       CAST(SUM(CASE WHEN NOT COALESCE(
+                o_orderdate >= TIMESTAMP '1990-01-01'
+                AND o_orderdate < TIMESTAMP '2010-01-01', FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'valid_priority',
+       CAST(SUM(CASE WHEN NOT COALESCE(o_orderpriority IN
+                ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'),
+                FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique_o_orderkey',
+       COALESCE((SELECT CAST(SUM(n - 1) AS BIGINT)
+                 FROM (SELECT count(*) AS n FROM orders
+                       GROUP BY o_orderkey HAVING count(*) > 1)), 0)
+UNION ALL
+SELECT 'fk_o_custkey',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+"""
+
+
+@register_supplementary("dq_orders_report", _DQ_ORACLE, tags=("tpch", "dq"))
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation report over `orders`
+    (operators/dq.py): four row-level predicates folded into ONE scan,
+    a key-uniqueness check (one exchange, only dup groups travel), and
+    referential integrity to `customer` (anti join, broadcast-size
+    parent). The gate a production ingest runs before promoting a
+    batch; composes with IdempotentBatchSink/merge_upsert in
+    foreachBatch."""
+    from flink_state_eviction_spark.operators.dq import (
+        dq_report,
+        fk_check,
+        row_checks,
+        uniqueness_check,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rows = row_checks(
+        orders,
+        {
+            "not_null_orderkey": F.col("o_orderkey").isNotNull(),
+            "nonneg_totalprice": F.col("o_totalprice") >= 0,
+            "orderdate_in_range": (
+                (F.col("o_orderdate") >= "1990-01-01")
+                & (F.col("o_orderdate") < "2010-01-01")
+            ),
+            "valid_priority": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        },
+    )
+    return dq_report(
+        [
+            rows,
+            uniqueness_check(orders, ["o_orderkey"]),
+            fk_check(orders, cust, "o_custkey", "c_custkey"),
+        ]
+    )

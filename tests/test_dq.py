@@ -1,0 +1,87 @@
+"""Data-quality checks (operators/dq.py) against a deliberately dirty
+fixture — every check must actually fire, with exact counts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.dq import (
+    dq_report,
+    fk_check,
+    row_checks,
+    uniqueness_check,
+)
+
+
+def _dirty(spark):
+    rows = [
+        (1, 10.0, dt.datetime(2024, 1, 1), 100),
+        (1, 20.0, dt.datetime(2024, 1, 2), 100),   # dup key 1 (x2)
+        (1, 30.0, dt.datetime(2024, 1, 3), 100),   # dup key 1 (x3)
+        (2, -5.0, dt.datetime(2024, 1, 4), 100),   # negative price
+        (3, None, dt.datetime(2024, 1, 5), 200),   # NULL price -> violation
+        (None, 7.0, dt.datetime(2024, 1, 6), 100), # NULL key
+        (4, 8.0, dt.datetime(1980, 1, 1), 100),    # date out of range
+        (5, 9.0, None, 999),                       # NULL date + orphan FK
+    ]
+    return spark.createDataFrame(
+        rows, "k long, price double, d timestamp, fk long"
+    )
+
+
+def test_row_checks_exact_counts(spark):
+    got = {
+        r["check"]: r["n_violations"]
+        for r in row_checks(
+            _dirty(spark),
+            {
+                "not_null_k": F.col("k").isNotNull(),
+                "nonneg_price": F.col("price") >= 0,  # NULL -> violation
+                "date_in_range": (
+                    (F.col("d") >= "2000-01-01") & (F.col("d") < "2030-01-01")
+                ),
+            },
+        ).collect()
+    }
+    assert got == {"not_null_k": 1, "nonneg_price": 2, "date_in_range": 2}
+
+
+def test_uniqueness_counts_rows_beyond_first(spark):
+    r = uniqueness_check(_dirty(spark), ["k"]).first()
+    assert r["check"] == "unique_k"
+    assert r["n_violations"] == 2  # key 1 appears 3x -> 2 extras
+
+
+def test_fk_check_counts_orphans_and_null_keys(spark):
+    parent = spark.createDataFrame([(100,), (200,)], "pid long")
+    r = fk_check(_dirty(spark), parent, "fk", "pid").first()
+    assert r["n_violations"] == 1  # fk=999 (NULL fk absent from fixture)
+
+
+def test_dq_report_unions_all(spark):
+    df = _dirty(spark)
+    rep = dq_report(
+        [
+            row_checks(df, {"not_null_k": F.col("k").isNotNull()}),
+            uniqueness_check(df, ["k"]),
+        ]
+    )
+    assert {r["check"] for r in rep.collect()} == {"not_null_k", "unique_k"}
+
+
+def test_row_checks_single_scan(spark, sf_dir):
+    from flink_state_eviction_spark.plans.explain import physical_plan
+    from flink_state_eviction_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    df = row_checks(
+        orders,
+        {
+            "a": F.col("o_orderkey").isNotNull(),
+            "b": F.col("o_totalprice") >= 0,
+        },
+    )
+    plan = physical_plan(df, "simple")
+    assert plan.count("FileScan parquet") == 1, plan

@@ -89,6 +89,7 @@ SAMPLE = [
     "multimodal_wav_energy",
     "dedup_containment",
     "events_anomaly_zscore_bucketed",
+    "dq_orders_report",
 ]
 
 
