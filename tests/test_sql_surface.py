@@ -20,6 +20,11 @@ ANSI_PORTABLE = [
     "user_snapshot_cdc",
     "corpus_stats_rollup",
     "dedup_incremental_batch",
+    "tpch_q4_priority_semi",
+    "tpch_q12_priority_mix",
+    "tpch_q14_promo_revenue",
+    "tpch_q22_global_sales_opp",
+    "part_metrics_unpivot",
 ]
 
 
