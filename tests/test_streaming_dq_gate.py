@@ -1,0 +1,76 @@
+"""Streaming ingest with a data-quality gate: per micro-batch, the DQ
+row checks (operators/dq.py) decide accept vs quarantine, and accepted
+batches land through the idempotent sink — the composed production
+shape promised in dq.py's docstring."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.dq import row_checks
+from flink_state_eviction_spark.sinks.merge import IdempotentBatchSink
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_streaming_dq_gate_quarantines_dirty_batch(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    n = ev.count()
+    # dirty exactly the SECOND micro-batch's id range (the file stream
+    # splits into ceil(n/3)-row chunks in event_id order): that batch
+    # must be quarantined, the other two accepted
+    ids = sorted(r["event_id"] for r in ev.select("event_id").collect())
+    per = -(-n // 3)
+    lo, hi = ids[per], ids[2 * per]
+    dirtied = ev.withColumn(
+        "value",
+        F.when(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi),
+            -F.col("value"),
+        ).otherwise(F.col("value")),
+    )
+    stream = as_file_stream(
+        dirtied, str(tmp_path), num_batches=3, order_col="event_id"
+    )
+
+    accepted = IdempotentBatchSink(spark, str(tmp_path / "accepted"))
+    quarantine_dir = str(tmp_path / "quarantine")
+    decisions = []
+
+    def gate(batch_df, batch_id):
+        bad = sum(
+            r["n_violations"]
+            for r in row_checks(
+                batch_df,
+                {
+                    "nonneg_value": F.col("value") >= 0,
+                    "not_null_id": F.col("event_id").isNotNull(),
+                },
+            ).collect()
+        )
+        if bad == 0:
+            accepted(batch_df, batch_id)
+            decisions.append((batch_id, "accept"))
+        else:
+            batch_df.write.mode("append").parquet(quarantine_dir)
+            decisions.append((batch_id, "quarantine"))
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kinds = [d for _, d in sorted(decisions)]
+    assert kinds == ["accept", "quarantine", "accept"], decisions
+    good = accepted.read()
+    quarantined = spark.read.parquet(quarantine_dir)
+    assert good.count() + quarantined.count() == n
+    assert good.where(F.col("value") < 0).count() == 0
+    assert quarantined.where(F.col("value") < 0).count() > 0
