@@ -903,3 +903,77 @@ def events_anomaly_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
             (mean / 100).alias("mean_win"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cumulative (expanding-window) z-score — streaming-twin-able moments
+
+_RUNNING_Z_ORACLE = """
+WITH c AS (
+    SELECT event_id, user_id, ts, value,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), w AS (
+    SELECT event_id, user_id, ts, value, cents,
+           COUNT(*) OVER win AS n_seen,
+           SUM(cents) OVER win AS s1,
+           SUM(cents * cents) OVER win AS s2
+    FROM c
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value, n_seen,
+       s1 / n_seen / 100 AS mean_run
+FROM w
+WHERE n_seen >= 5
+  AND 4 * ((cents - s1 / n_seen) * (cents - s1 / n_seen))
+      > 9 * (s2 / n_seen - (s1 / n_seen) * (s1 / n_seen))
+"""
+
+
+@register_supplementary(
+    "events_running_zscore", _RUNNING_Z_ORACLE, tags=("core", "range")
+)
+def events_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative z-score: flag events > 1.5 sigma from the mean of the
+    same user's ENTIRE history so far (expanding ROWS frame ordered by
+    (ts, event_id), n >= 5). The cumulative moments (n, s1, s2) are the
+    state a streaming job carries per key — bit-equal streaming twin in
+    tests/test_streaming_running_zscore.py — and, unlike the trailing
+    frame (X69), they are mergeable across time buckets via the
+    prefix-sum decomposition, so the hot-key ceiling has an exact
+    bucketed answer too (SCALE.md)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n_seen"),
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_seen")
+    dev = F.col("cents") - mean
+    var = F.col("s2") / F.col("n_seen") - mean * mean
+    return (
+        stats.where((F.col("n_seen") >= 5) & (4 * (dev * dev) > 9 * var))
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "value",
+            "n_seen",
+            (mean / 100).alias("mean_run"),
+        )
+    )

@@ -90,6 +90,7 @@ SAMPLE = [
     "dedup_containment",
     "events_anomaly_zscore_bucketed",
     "dq_orders_report",
+    "events_running_zscore",
 ]
 
 

@@ -1,0 +1,68 @@
+"""Streaming twin of `events_running_zscore`: the cumulative moments
+(n, s1, s2) ride per-key state through map_with_state; the flags the
+stream emits must equal the batch expanding-window answer exactly.
+The in-order-ingest contract holds because the drip replays events in
+ts order and the fixture has no per-user ts collisions (checked)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.map_with_state import map_with_state
+from flink_state_eviction_spark.streaming.testing import run_available_now
+from flink_state_eviction_spark.tables import load_table
+
+NO_TTL_MS = 10**12  # cumulative state: never evict
+
+
+def test_streaming_running_zscore_matches_batch(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # the in-order contract needs unique (user, ts) — pinned here so a
+    # future testdata regeneration that breaks it fails loudly
+    assert (
+        ev.groupBy("user_id", "ts").count().where(F.col("count") > 1).count()
+        == 0
+    )
+    stream = as_file_stream(ev, str(tmp_path), num_batches=3, order_col="ts")
+
+    def fn(key, pdf: pd.DataFrame, st):
+        n, s1, s2 = (int(st[0]), int(st[1]), int(st[2])) if st else (0, 0, 0)
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out = {"event_id": [], "n_seen": [], "flagged": []}
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            cents = int(round(v * 100))
+            n += 1
+            s1 += cents
+            s2 += cents * cents
+            mean = s1 / n
+            dev = cents - mean
+            var = s2 / n - mean * mean
+            out["event_id"].append(int(eid))
+            out["n_seen"].append(n)
+            out["flagged"].append(bool(n >= 5 and 4 * (dev * dev) > 9 * var))
+        return pd.DataFrame(out), (n, s1, s2)
+
+    sdf = map_with_state(
+        stream,
+        ["user_id"],
+        fn,
+        state_schema="n long, s1 long, s2 long, last_access_ms long",
+        output_schema="event_id long, n_seen long, flagged boolean",
+        ttl_ms=NO_TTL_MS,
+        time_mode="event",
+        ts_col="ts",
+    )
+    got = run_available_now(sdf, str(tmp_path / "ck"))
+    flagged = {r["event_id"] for r in got.collect() if r["flagged"]}
+
+    want_df = all_queries()["events_running_zscore"](spark, sf_dir)
+    want = {r["event_id"] for r in want_df.collect()}
+    assert flagged == want
+    # every event produced exactly one output row
+    assert got.count() == ev.count()
