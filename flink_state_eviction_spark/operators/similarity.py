@@ -218,10 +218,16 @@ def kmeans_cells(
     vec_col: str,
     k: int = 8,
     iters: int = 2,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column — the
     LEARNED-centroid upgrade of the IVF cell assignment (extension;
     standard k-means, e.g. Lloyd 1982). Returns (id, cell).
+
+    With ``return_centroids=True`` returns the pair
+    ``(assignments, centroids)`` where ``centroids`` is the (cell, cv)
+    table the FINAL assignment round used — what a product-quantization
+    encoder needs for asymmetric-distance scoring (pq_topk below).
 
     Deterministic by construction so a SQL oracle can replay it
     bit-for-bit:
@@ -299,7 +305,12 @@ def kmeans_cells(
         cent = _cell_means(assigned).localCheckpoint()
         assigned = assign(cent)
 
-    return assigned.select(F.col(id_col), F.col("_cell").alias("cell"))
+    out = assigned.select(F.col(id_col), F.col("_cell").alias("cell"))
+    if return_centroids:
+        return out, cent.select(
+            F.col("_cell").alias("cell"), F.col("_cv").alias("cv")
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -343,3 +354,135 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
         )
         sig = sig + bit
     return sig
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): subspace codebooks + asymmetric distance
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    dsub: int = 16,
+    k: int = 16,
+    iters: int = 2,
+) -> "tuple[DataFrame, DataFrame]":
+    """Product-quantization encoder (Jegou et al. 2011, standard
+    construction; extension beyond the reference surface): split each
+    vector into ``m`` contiguous ``dsub``-dim subvectors, learn a
+    ``k``-cell codebook per subspace with the SAME deterministic
+    k-means as IVF (so the whole index build stays oracle-replayable),
+    and store each vector as m small codes.
+
+    Returns ``(codes, codebooks)``:
+    - codes: (id, code_0 .. code_{m-1}) — m*log2(k) bits per vector
+      (here 4 x 4 = 16 bits vs 64 x 32-bit floats = 2048: a 128x
+      compression of the distance-serving footprint);
+    - codebooks: (subspace, cell, cv) — m * k rows, broadcast-size
+      REGARDLESS of corpus size.
+
+    Scale: one k-means per subspace (each: k x dsub-row shuffles per
+    iteration, corpus never moves except one scan per round), then an
+    id-keyed join chain to widen codes — at 100 TB the codes table is
+    what serves queries, ~1/100th the bytes of the raw vectors."""
+    if 0 < m and 0 < dsub and 0 < k:
+        pass
+    else:
+        raise ValueError("m, dsub, k must be positive")
+    codes = None
+    books = None
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(
+                as_double_vec(F.col(vec_col)), s * dsub + 1, dsub
+            ).alias("subv"),
+        )
+        assigned, cent = kmeans_cells(
+            sub, id_col, "subv", k=k, iters=iters, return_centroids=True
+        )
+        a = assigned.select(
+            F.col(id_col), F.col("cell").alias(f"code_{s}")
+        )
+        codes = a if codes is None else codes.join(a, id_col)
+        b = cent.select(F.lit(s).alias("subspace"), "cell", "cv")
+        books = b if books is None else books.unionByName(b)
+    return codes, books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    dsub: int = 16,
+    kcodes: int = 16,
+    iters: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k nearest neighbors by PQ asymmetric distance:
+    the query stays EXACT, the corpus is its codes — approx_d2(q, x) =
+    sum_s d2(q_s, codebook_s[code_s(x)]).
+
+    The per-query distance TABLE (m * kcodes entries) is a broadcast;
+    scoring a corpus vector is m integer lookups + an (m-1)-term add in
+    FIXED order (d_0 + d_1 + ... — a SUM aggregate would re-associate
+    doubles nondeterministically and break oracle parity). Output:
+    (query_id, neighbor_id, approx_d2, rank), ranked by (approx_d2,
+    neighbor id) per query. Recall floor vs exact cosine is pinned in
+    tests/test_similarity.py."""
+    codes, books = pq_encode(
+        corpus, id_col, vec_col, m=m, dsub=dsub, k=kcodes, iters=iters
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("_qv"),
+    )
+    # distance table: d2 between each query subvector and each codebook
+    # centroid — m * kcodes rows per query, a broadcast however big the
+    # corpus is
+    cand = codes.crossJoin(F.broadcast(q.select("query_id")))
+    for s in range(m):
+        qs = q.select(
+            F.col("query_id").alias(f"_q{s}"),
+            F.slice(F.col("_qv"), s * dsub + 1, dsub).alias("_qs"),
+        )
+        b = books.where(F.col("subspace") == s)
+        d2 = (
+            dot(F.col("_qs"), F.col("_qs"))
+            - 2 * dot(F.col("_qs"), F.col("cv"))
+            + dot(F.col("cv"), F.col("cv"))
+        )
+        part = qs.crossJoin(F.broadcast(b)).select(
+            f"_q{s}",
+            F.col("cell").alias(f"_c{s}"),
+            d2.alias(f"_d{s}"),
+        )
+        cand = cand.join(
+            F.broadcast(part),
+            (F.col("query_id") == F.col(f"_q{s}"))
+            & (F.col(f"code_{s}") == F.col(f"_c{s}")),
+        ).drop(f"_q{s}", f"_c{s}")
+    approx = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        sum(
+            [F.col(f"_d{s}") for s in range(1, m)], F.col("_d0")
+        ).alias("_ad2"),  # fixed-order left fold: _d0 + _d1 + ...
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_ad2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_ad2", 6).alias("approx_d2"),
+            "rank",
+        )
+    )

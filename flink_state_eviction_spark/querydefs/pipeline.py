@@ -2818,3 +2818,109 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_containment_pairs(
         docs, "doc_id", "text", "lang", k=3, threshold=0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization: per-subspace codebooks + asymmetric distance
+
+
+def _pq_oracle(m: int = 4, dsub: int = 16, kcodes: int = 16) -> str:
+    """Unrolls the whole PQ build in SQL: per subspace, the same
+    2-round deterministic k-means as _KMEANS_CELLS_BODY over the
+    sliced subvectors; then the ADC distance table and the fixed-order
+    4-term sum (left-to-right, matching the Spark fold)."""
+    ctes = ["""e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)"""]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        d2_c0 = (f"list_dot_product(es.sv, es.sv)"
+                 f" - 2 * list_dot_product(es.sv, c.cv)"
+                 f" + list_dot_product(c.cv, c.cv)")
+        ctes.append(f"""es{s} AS (
+    SELECT vec_id, list_slice(v, {lo}, {hi}) AS sv FROM e
+),
+c0_{s} AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+           sv AS cv
+    FROM (SELECT vec_id, sv FROM es{s} ORDER BY vec_id LIMIT {kcodes})
+),
+a1_{s} AS (
+    SELECT vec_id, sv, cell FROM (
+        SELECT es.vec_id, es.sv, c.cell,
+               row_number() OVER (PARTITION BY es.vec_id
+                   ORDER BY {d2_c0}, c.cell) AS rn
+        FROM es{s} es CROSS JOIN c0_{s} c
+    ) WHERE rn = 1
+),
+c1_{s} AS (
+    SELECT cell, list(mm ORDER BY i) AS cv FROM (
+        SELECT cell, i,
+               CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*)
+                   AS mm
+        FROM (SELECT cell, generate_subscripts(sv, 1) AS i,
+                     unnest(sv) AS x FROM a1_{s})
+        GROUP BY 1, 2
+    ) GROUP BY 1
+),
+a2_{s} AS (
+    SELECT vec_id, cell AS code_{s} FROM (
+        SELECT es.vec_id, c.cell,
+               row_number() OVER (PARTITION BY es.vec_id
+                   ORDER BY {d2_c0}, c.cell) AS rn
+        FROM es{s} es CROSS JOIN c1_{s} c
+    ) WHERE rn = 1
+),
+dt{s} AS (
+    SELECT q.vec_id AS query_id, c.cell,
+           list_dot_product(q.sv, q.sv)
+             - 2 * list_dot_product(q.sv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS d2
+    FROM (SELECT vec_id, sv FROM es{s} WHERE vec_id < 8) q
+    CROSS JOIN c1_{s} c
+)""")
+    codes_join = "a2_0"
+    for s in range(1, m):
+        codes_join += f" JOIN a2_{s} USING (vec_id)"
+    dsum = " + ".join(f"dt{s}.d2" for s in range(m))
+    dt_joins = "\n".join(
+        f"    JOIN dt{s} ON dt{s}.query_id = q.query_id"
+        f" AND dt{s}.cell = x.code_{s}"
+        for s in range(m)
+    )
+    return f"""
+WITH {",".join(ctes)},
+codes AS (SELECT * FROM {codes_join}),
+qids AS (SELECT DISTINCT vec_id AS query_id FROM e WHERE vec_id < 8),
+scored AS (
+    SELECT q.query_id, x.vec_id AS neighbor_id,
+           {dsum} AS ad2,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {dsum}, x.vec_id) AS rank
+    FROM codes x CROSS JOIN qids q
+{dt_joins}
+)
+SELECT query_id, neighbor_id, round(ad2, 6) AS approx_d2,
+       CAST(rank AS INTEGER) AS rank
+FROM scored WHERE rank <= 10
+"""
+
+
+@register_supplementary(
+    "similarity_pq_topk", _pq_oracle(), tags=("pipeline", "similarity")
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (operators/similarity.py:
+    pq_topk): 4 subspaces x 16-dim, 16-cell codebooks learned with the
+    same deterministic k-means as the IVF index, asymmetric-distance
+    scoring against exact queries. 128x compression of the
+    distance-serving footprint; the oracle unrolls all four codebook
+    builds and the fixed-order distance sum, so the ENTIRE compressed
+    index is bit-reproducible. Recall floor vs exact cosine pinned in
+    tests/test_similarity.py."""
+    from flink_state_eviction_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, emb.where(F.col("vec_id") < 8), "vec_id", "embedding", k=10
+    )

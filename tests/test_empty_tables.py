@@ -91,6 +91,7 @@ SAMPLE = [
     "events_anomaly_zscore_bucketed",
     "dq_orders_report",
     "events_running_zscore",
+    "similarity_pq_topk",
 ]
 
 
