@@ -45,7 +45,13 @@ def pagerank(
 
     with d = ``damping_pct`` — all integer ops, order-independent.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # the edge list is often an expensive upstream (join + distinct):
+    # nodes, deg, and ed below each consume it, so materialize ONCE —
+    # without this the x25 stress recomputed the 14M-edge build four
+    # times (287s -> 78s after the cut; SCALE.md)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

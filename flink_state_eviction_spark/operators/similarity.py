@@ -445,6 +445,22 @@ def pq_topk(
     # centroid — m * kcodes rows per query, a broadcast however big the
     # corpus is
     cand = codes.crossJoin(F.broadcast(q.select("query_id")))
+    return _adc_rank(cand, q, books, id_col, m, dsub, k)
+
+
+def _adc_rank(
+    cand: DataFrame,
+    q: DataFrame,
+    books: DataFrame,
+    id_col: str,
+    m: int,
+    dsub: int,
+    k: int,
+) -> DataFrame:
+    """Shared ADC scoring: join the per-subspace distance tables onto
+    ``cand`` rows (query_id + code_0..code_{m-1}), sum the m terms in
+    FIXED left-to-right order, rank per query. ``q`` must carry
+    (query_id, _qv)."""
     for s in range(m):
         qs = q.select(
             F.col("query_id").alias(f"_q{s}"),
@@ -486,3 +502,67 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse_k: int = 8,
+    nprobe: int = 3,
+    m: int = 4,
+    dsub: int = 16,
+    kcodes: int = 16,
+    iters: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-PQ: the standard large-scale ANN serving architecture
+    (coarse inverted lists prune the corpus to ``nprobe`` cells, PQ
+    codes score the survivors by asymmetric distance). Both stages are
+    the engine's deterministic builds (kmeans_cells + pq_encode), so
+    the COMPOSED index remains bit-reproducible via an unrolled SQL
+    oracle. Simplification vs Jegou et al. 2011: codes quantize the
+    RAW vectors, not the coarse residuals — lower accuracy at equal
+    bits, but the residual variant only changes the encode input, not
+    the plan shape.
+
+    Scale: scan cost drops ~coarse_k/nprobe before any distance math;
+    codes + both codebooks are broadcast-size; the only corpus-wide
+    exchanges are the k-means rounds at INDEX BUILD time. Serving = a
+    cell-pruned join + m broadcast lookups per candidate."""
+    coarse_assigned, coarse_cent = kmeans_cells(
+        corpus, id_col, vec_col, k=coarse_k, iters=iters,
+        return_centroids=True,
+    )
+    codes, books = pq_encode(
+        corpus, id_col, vec_col, m=m, dsub=dsub, k=kcodes, iters=iters
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("_qv"),
+    )
+    cd2 = (
+        dot(F.col("_qv"), F.col("_qv"))
+        - 2 * dot(F.col("_qv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_cd2").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(coarse_cent))
+        .withColumn("_cd2", cd2)
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cand = (
+        coarse_assigned.join(
+            F.broadcast(probes),
+            coarse_assigned["cell"] == probes["cell"],
+        )
+        .drop("cell")
+        .join(codes, id_col)
+    )
+    return _adc_rank(cand, q, books, id_col, m, dsub, k)

@@ -2824,14 +2824,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # product quantization: per-subspace codebooks + asymmetric distance
 
 
-def _pq_oracle(m: int = 4, dsub: int = 16, kcodes: int = 16) -> str:
-    """Unrolls the whole PQ build in SQL: per subspace, the same
-    2-round deterministic k-means as _KMEANS_CELLS_BODY over the
-    sliced subvectors; then the ADC distance table and the fixed-order
-    4-term sum (left-to-right, matching the Spark fold)."""
-    ctes = ["""e AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-)"""]
+def _pq_subspace_ctes(m: int, dsub: int, kcodes: int) -> "list[str]":
+    """Per-subspace PQ CTE chains (codebook build + codes + query
+    distance table), referencing an `e(vec_id, v)` CTE the caller
+    provides. Shared by the PQ and IVF-PQ oracles."""
+    ctes = []
     for s in range(m):
         lo, hi = s * dsub + 1, (s + 1) * dsub
         d2_c0 = (f"list_dot_product(es.sv, es.sv)"
@@ -2879,6 +2876,10 @@ dt{s} AS (
     FROM (SELECT vec_id, sv FROM es{s} WHERE vec_id < 8) q
     CROSS JOIN c1_{s} c
 )""")
+    return ctes
+
+
+def _pq_codes_and_joins(m: int) -> "tuple[str, str, str]":
     codes_join = "a2_0"
     for s in range(1, m):
         codes_join += f" JOIN a2_{s} USING (vec_id)"
@@ -2888,6 +2889,18 @@ dt{s} AS (
         f" AND dt{s}.cell = x.code_{s}"
         for s in range(m)
     )
+    return codes_join, dsum, dt_joins
+
+
+def _pq_oracle(m: int = 4, dsub: int = 16, kcodes: int = 16) -> str:
+    """Unrolls the whole PQ build in SQL: per subspace, the same
+    2-round deterministic k-means as _KMEANS_CELLS_BODY over the
+    sliced subvectors; then the ADC distance table and the fixed-order
+    4-term sum (left-to-right, matching the Spark fold)."""
+    ctes = ["""e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)"""] + _pq_subspace_ctes(m, dsub, kcodes)
+    codes_join, dsum, dt_joins = _pq_codes_and_joins(m)
     return f"""
 WITH {",".join(ctes)},
 codes AS (SELECT * FROM {codes_join}),
@@ -2923,4 +2936,76 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(
         emb, emb.where(F.col("vec_id") < 8), "vec_id", "embedding", k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted-list pruning + PQ asymmetric distance
+
+
+def _ivfpq_oracle(
+    m: int = 4,
+    dsub: int = 16,
+    kcodes: int = 16,
+    nprobe: int = 3,
+    k: int = 10,
+) -> str:
+    """Combines the coarse k-means unroll (_KMEANS_CELLS_BODY: e, c0,
+    a1, c1, a2 — the SAME coarse index as similarity_kmeans_cells) with
+    the PQ subspace chains, probe selection by full-vector d2 against
+    the coarse c1 centroids, and ADC over the probed cells only."""
+    sub = _pq_subspace_ctes(m, dsub, kcodes)
+    codes_join, dsum, dt_joins = _pq_codes_and_joins(m)
+    probe_d2 = (
+        "list_dot_product(q.v, q.v)"
+        " - 2 * list_dot_product(q.v, c.cv)"
+        " + list_dot_product(c.cv, c.cv)"
+    )
+    return f"""
+WITH {_KMEANS_CELLS_BODY},
+{",".join(sub)},
+codes AS (SELECT * FROM {codes_join}),
+probes AS (
+    SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {probe_d2}, c.cell) AS rn
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < 8) q
+        CROSS JOIN c1 c
+    ) WHERE rn <= {nprobe}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id
+    FROM a2 a JOIN probes p ON a.cell = p.cell
+),
+scored AS (
+    SELECT q.query_id, x.vec_id AS neighbor_id,
+           {dsum} AS ad2,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {dsum}, x.vec_id) AS rank
+    FROM cand q JOIN codes x ON x.vec_id = q.vec_id
+{dt_joins}
+)
+SELECT query_id, neighbor_id, round(ad2, 6) AS approx_d2,
+       CAST(rank AS INTEGER) AS rank
+FROM scored WHERE rank <= {k}
+"""
+
+
+@register_supplementary(
+    "similarity_ivf_pq_topk", _ivfpq_oracle(), tags=("pipeline", "similarity")
+)
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-10 (operators/similarity.py:ivf_pq_topk): the
+    standard serving architecture — the learned 8-cell coarse index
+    prunes each query to its 3 nearest cells, PQ codes (4 x 16-dim,
+    16 cells) score the survivors by asymmetric distance. Every stage
+    (both k-means builds, probe selection, the fixed-order ADC sum) is
+    deterministic, so the composed index is bit-reproducible via the
+    unrolled oracle."""
+    from flink_state_eviction_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, emb.where(F.col("vec_id") < 8), "vec_id", "embedding"
     )

@@ -92,6 +92,7 @@ SAMPLE = [
     "dq_orders_report",
     "events_running_zscore",
     "similarity_pq_topk",
+    "similarity_ivf_pq_topk",
 ]
 
 

@@ -220,3 +220,30 @@ def test_pq_recall_floor_vs_exact_l2(spark, sf_dir):
         for k in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.25, recalls
+
+
+def test_ivf_pq_recall_floor_and_subset_of_probed(spark, sf_dir):
+    """IVF-PQ keeps a usable fraction of the PQ-only answer (its loss
+    vs plain PQ is exactly the probe pruning) and never returns a
+    neighbor from an unprobed cell."""
+    from flink_state_eviction_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    full = pq_topk(emb, queries, "vec_id", "embedding", k=10)
+    pruned = ivf_pq_topk(emb, queries, "vec_id", "embedding", k=10)
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    f, p = sets(full), sets(pruned)
+    assert f.keys() == p.keys()
+    recalls = [len(f[k_] & p[k_]) / len(f[k_]) for k_ in f]
+    # 3 of 8 cells probed: well above the random nprobe/cells floor
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
