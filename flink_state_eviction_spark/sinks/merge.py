@@ -140,3 +140,64 @@ class IdempotentBatchSink:
         return self.spark.read.option("basePath", self.path).parquet(*paths).drop(
             "batch_id"
         )
+
+
+def merge_delete(
+    spark: SparkSession,
+    base_path: str,
+    delete_keys: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> int:
+    """Propagate deletions into the parquet table at ``base_path``:
+    every row whose ``key_cols`` appear in ``delete_keys`` is removed
+    (the right-to-be-forgotten / tombstone-apply step that pairs with
+    ``merge_upsert``). Returns the number of rows deleted.
+
+    With ``partition_col``, only partitions that actually CONTAIN a
+    matching key are rewritten (computed from the matching rows
+    themselves, not from the delete set — a key absent from the table
+    rewrites nothing). An anti join is the whole data path; at 100 TB
+    the delete set is normally broadcast-size and the rewrite touches
+    a handful of partitions."""
+    base = spark.read.parquet(base_path)
+    keys = delete_keys.select(*key_cols).distinct()
+    matches = base.join(keys, key_cols, "left_semi")
+    n_deleted = matches.count()
+    if n_deleted == 0:
+        return 0
+    if partition_col:
+        touched = [
+            r[0] for r in matches.select(partition_col).distinct().collect()
+        ]
+        survivors = base.where(
+            F.col(partition_col).isin(touched)
+        ).join(keys, key_cols, "left_anti").localCheckpoint(eager=True)
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # written data — a partition fully emptied by the delete never
+        # appears, so its stale files would survive; remove those dirs
+        # explicitly
+        still = {
+            r[0] for r in survivors.select(partition_col).distinct().collect()
+        }
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for p in touched:
+            if p not in still:
+                hp = jvm.org.apache.hadoop.fs.Path(
+                    f"{base_path}/{partition_col}={p}"
+                )
+                hp.getFileSystem(conf).delete(hp, True)
+        if still:
+            (
+                survivors.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col)
+                .parquet(base_path)
+            )
+    else:
+        survivors = base.join(keys, key_cols, "left_anti").localCheckpoint(
+            eager=True
+        )
+        survivors.write.mode("overwrite").parquet(base_path)
+    return n_deleted
