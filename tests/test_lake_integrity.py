@@ -111,3 +111,30 @@ def test_manifest_detects_tampering(spark, sf_dir, tmp_path):
         os.remove(crc)
     with pytest.raises(ValueError, match="manifest mismatch"):
         verify_manifest(spark, path)
+
+
+def test_manifest_merges_incrementally_across_batches(spark, sf_dir, tmp_path):
+    """The digest is a mod-sum, so per-batch digests ADD: a streaming
+    ingest can maintain the dataset manifest in O(batch) without
+    rescanning history. Pin: folding per-batch digests equals the
+    full-recompute digest."""
+    from flink_state_eviction_spark.sinks.manifest import MOD
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    ids = sorted(r["event_id"] for r in ev.select("event_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    batches = [
+        ev.where(F.col("event_id") < cuts[0]),
+        ev.where(
+            (F.col("event_id") >= cuts[0]) & (F.col("event_id") < cuts[1])
+        ),
+        ev.where(F.col("event_id") >= cuts[1]),
+    ]
+    rolling_rows, rolling_digest = 0, 0
+    for b in batches:
+        d = content_digest(b)
+        rolling_rows += d["rows"]
+        rolling_digest = (rolling_digest + d["digest"]) % MOD
+    full = content_digest(ev)
+    assert rolling_rows == full["rows"]
+    assert rolling_digest == full["digest"]
