@@ -643,3 +643,77 @@ def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary build + numericalization (tokenize-to-ids)
+
+_VOCAB_SIZE = 1024
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tk
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS t
+    FROM toks
+),
+vocab AS (
+    SELECT t, CAST(row_number() OVER (ORDER BY cnt DESC, t) AS INTEGER) AS id
+    FROM (SELECT t, count(*) AS cnt FROM tok GROUP BY t)
+    QUALIFY id <= {_VOCAB_SIZE}
+)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST(SUM(tok.pos * COALESCE(v.id, 0)) AS BIGINT) AS ids_checksum
+FROM tok LEFT JOIN vocab v ON v.t = tok.t
+GROUP BY tok.doc_id
+"""
+
+
+@register_supplementary(
+    "vocab_numericalize", _VOCAB_ORACLE, tags=("pipeline", "corpus", "text")
+)
+def vocab_numericalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + numericalization — the tokenize-to-ids step
+    between corpus prep (X55 packs token sequences) and training:
+    the top-{vocab} tokens by global count (ties: lexicographic) get
+    ids 1..{vocab} (0 = OOV), and every document's token stream maps
+    through the vocab. Output per doc: token count, OOV count, and a
+    POSITION-WEIGHTED id checksum (sum of pos*id — order-sensitive, so
+    a shuffled or re-joined id stream cannot silently pass).
+
+    Scale shape: the token count is a map-side-combined groupBy; the
+    vocab is {vocab} rows — broadcast however big the corpus is; the
+    doc-side mapping is posexplode + broadcast join, one scan, one
+    (doc_id) re-agg. The vocab-rank window runs over distinct tokens
+    only (bounded by vocabulary size of the language, not corpus
+    rows)."""
+    from flink_state_eviction_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "t")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("t").asc())
+    vocab = (
+        counts.withColumn("id", F.row_number().over(w).cast("int"))
+        .where(F.col("id") <= _VOCAB_SIZE)
+        .select("t", "id")
+    )
+    mapped = tok.join(F.broadcast(vocab), "t", "left")
+    return mapped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.sum(F.col("pos") * F.coalesce(F.col("id"), F.lit(0)))
+        .cast("bigint")
+        .alias("ids_checksum"),
+    )

@@ -93,6 +93,7 @@ SAMPLE = [
     "events_running_zscore",
     "similarity_pq_topk",
     "similarity_ivf_pq_topk",
+    "vocab_numericalize",
 ]
 
 
