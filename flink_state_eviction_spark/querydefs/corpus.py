@@ -717,3 +717,83 @@ def vocab_numericalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ids_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram surprisal scoring (rank-based LM-perplexity proxy)
+
+_SURPRISAL_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> len(x) > 0) AS tk
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(tk) >= 2
+             THEN list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1])
+             ELSE [] END) AS b
+    FROM toks
+),
+rank_tbl AS (
+    SELECT b, CAST(row_number() OVER (ORDER BY cnt DESC, b) AS BIGINT)
+               AS rarity
+    FROM (SELECT b, count(*) AS cnt FROM bg GROUP BY b)
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(r.rarity) AS BIGINT) AS surprisal_sum,
+       CAST((SUM(r.rarity) * 1000) // count(*) AS BIGINT)
+           AS mean_surprisal_x1000
+FROM bg JOIN rank_tbl r ON r.b = bg.b
+GROUP BY bg.doc_id
+"""
+
+
+@register_supplementary(
+    "text_bigram_surprisal", _SURPRISAL_ORACLE, tags=("pipeline", "text")
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-rarity quality score: every bigram gets a global
+    rarity rank (1 = most frequent; ties break lexicographically), and
+    a document's surprisal is the sum/mean of its bigrams' ranks — the
+    rank-based stand-in for LM-perplexity filtering (CCNet-style).
+    Deliberately LOG-FREE: ln() is not correctly-rounded and differs
+    in ulps between JVM and libm, so a log-prob sum cannot be
+    bit-reproduced across engines — ranks are integers and the whole
+    score stays exact (mean reported as an integer-division x1000
+    fixed-point).
+
+    Scale shape: bigram counting is a map-side-combined groupBy; the
+    rank window runs over DISTINCT bigrams (vocabulary-bounded, and at
+    web scale capped by hashing or a min-count floor — rare-tail ties
+    keep determinism via the text tie-break); the doc-side join is
+    rank-table-sized, broadcast when it fits."""
+    from flink_state_eviction_spark.functions.text import (
+        tokens,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    bg = toked.select(
+        "doc_id", F.explode(word_shingles(F.col("tk"), 2)).alias("b")
+    )
+    counts = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("b").asc())
+    rank_tbl = counts.select(
+        "b", F.row_number().over(w).cast("bigint").alias("rarity")
+    )
+    return (
+        bg.join(rank_tbl, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("rarity").cast("bigint").alias("surprisal_sum"),
+            F.expr("cast((sum(rarity) * 1000) div count(1) as bigint)").alias(
+                "mean_surprisal_x1000"
+            ),
+        )
+    )

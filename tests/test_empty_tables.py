@@ -94,6 +94,7 @@ SAMPLE = [
     "similarity_pq_topk",
     "similarity_ivf_pq_topk",
     "vocab_numericalize",
+    "text_bigram_surprisal",
 ]
 
 
