@@ -1,0 +1,83 @@
+"""JSONL / CSV ingestion with explicit schemas and corrupt-record
+quarantine — the entry path for raw crawl/export drops before any of
+the corpus-prep operators run.
+
+Extension beyond the reference surface (its sources are in-memory
+fixtures, ElementsWithGapsSource.java:34; SURVEY.md §2.2 notes the
+absence of file formats). Design points a 100 TB ingest needs:
+
+- ALWAYS an explicit schema: schema inference is a full extra pass
+  over the data and is nondeterministic under drift — the schema is a
+  contract, not a guess.
+- PERMISSIVE parsing with a captured ``_corrupt_record`` column: a
+  single bad line must neither kill the job (FAILFAST) nor silently
+  vanish (DROPMALFORMED); it lands in a quarantine output with the
+  raw text preserved for replay (pairs with the DQ gate, X85/X86).
+- Both readers are plain Spark scans: schema projection and filters
+  push down, partition parallelism comes from file splits as usual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: StructType) -> StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        raise ValueError(f"schema must not predefine {CORRUPT_COL}")
+    return StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType
+) -> "tuple[DataFrame, DataFrame]":
+    """Read newline-delimited JSON under an explicit schema. Returns
+    ``(good, quarantine)``: rows that parsed clean, and the RAW text of
+    every line that did not (wrong type, truncated JSON, junk)."""
+    df = (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    # Spark requires caching/materializing before filtering on the
+    # corrupt column alone (SPARK-21610: the pushed-down projection
+    # would otherwise skip parsing entirely); keep the split derived
+    # from one cached parse
+    df = df.cache()
+    good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw")
+    )
+    return good, bad
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> "tuple[DataFrame, DataFrame]":
+    """CSV twin of :func:`read_jsonl` (same PERMISSIVE + quarantine
+    contract)."""
+    df = (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+    df = df.cache()
+    good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw")
+    )
+    return good, bad

@@ -1,0 +1,83 @@
+"""JSONL/CSV ingestion (sources/text_files.py): clean rows parse under
+the explicit schema, corrupt lines land in quarantine with their raw
+text intact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flink_state_eviction_spark.sources.text_files import (
+    read_csv,
+    read_jsonl,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def test_jsonl_good_and_quarantine(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "ok"}\n'
+        '{"doc_id": "NOT_A_NUMBER", "text": "bad type"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 3, "text": "fine"}\n'
+    )
+    good, bad = read_jsonl(spark, str(p), SCHEMA)
+    assert {r["doc_id"] for r in good.collect()} == {1, 2, 3}
+    raws = [r["raw"] for r in bad.collect()]
+    assert len(raws) == 2
+    assert "this is not json at all" in raws
+    assert any("NOT_A_NUMBER" in r for r in raws)
+
+
+def test_csv_good_and_quarantine(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "doc_id,text\n"
+        "1,alpha\n"
+        "oops,beta\n"  # non-numeric id -> corrupt
+        "2,gamma\n"
+    )
+    good, bad = read_csv(spark, str(p), SCHEMA)
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    raws = [r["raw"] for r in bad.collect()]
+    assert raws == ["oops,beta"]
+
+
+def test_schema_must_not_predefine_corrupt_col(spark):
+    s = StructType([StructField("_corrupt_record", StringType(), True)])
+    with pytest.raises(ValueError):
+        read_jsonl(spark, "/nonexistent", s)
+
+
+def test_jsonl_composes_with_corpus_ops(spark, tmp_path):
+    """The quarantined read feeds the normal operator surface."""
+    from flink_state_eviction_spark.operators.dedup import (
+        exact_dedup_mapping,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "same text"}\n'
+        '{"doc_id": 2, "text": "same text"}\n'
+        "garbage line\n"
+        '{"doc_id": 3, "text": "unique"}\n'
+    )
+    good, bad = read_jsonl(spark, str(p), SCHEMA)
+    keepers = exact_dedup_mapping(good, "doc_id", "text").where(
+        "doc_id = keeper_id"
+    )
+    assert keepers.count() == 2  # 1 (keeper of the pair) and 3
+    assert bad.count() == 1
