@@ -403,3 +403,51 @@ def wav_frame_energy(media_df: DataFrame, frame: int = 64) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(op, WAV_FRAME_SCHEMA)
+
+
+TILE_SCHEMA = (
+    "doc_id long, tile_y int, tile_x int, n_vals long, tile_sum long"
+)
+
+
+def bmp_tile_stats(media_df: DataFrame, tile: int = 4) -> DataFrame:
+    """Spatial tile aggregation over REAL-decoded BMP media: the image
+    splits into a ``tile`` x ``tile`` grid (ragged edge tiles kept) and
+    each tile reports its channel-value count and exact integer sum —
+    the patch-level feature pass of an image pipeline (patch
+    embeddings, saliency crops), exercising the decoder's 2-D layout
+    (a transposed or BGR-flipped decode shifts tile sums, unlike
+    whole-image totals). Scan-parallel mapInPandas; rows out =
+    ceil(h/tile) * ceil(w/tile) per image."""
+    if tile <= 0:
+        raise ValueError("tile must be positive")
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import decode_bmp
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {
+                "doc_id": [], "tile_y": [], "tile_x": [],
+                "n_vals": [], "tile_sum": [],
+            }
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                px = decode_bmp(bytes(media)).astype(np.int64)
+                h, w, _ = px.shape
+                for ty in range(-(-h // tile)):
+                    for tx in range(-(-w // tile)):
+                        seg = px[
+                            ty * tile : (ty + 1) * tile,
+                            tx * tile : (tx + 1) * tile,
+                            :,
+                        ]
+                        out["doc_id"].append(int(doc_id))
+                        out["tile_y"].append(ty)
+                        out["tile_x"].append(tx)
+                        out["n_vals"].append(int(seg.size))
+                        out["tile_sum"].append(int(seg.sum()))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(op, TILE_SCHEMA)

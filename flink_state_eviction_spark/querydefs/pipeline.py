@@ -3009,3 +3009,51 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         emb, emb.where(F.col("vec_id") < 8), "vec_id", "embedding"
     )
+
+
+# ---------------------------------------------------------------------------
+# BMP spatial tiles (real decode; oracle integrates the pixel formula in 2-D)
+
+_BMP_TILES_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, CAST(h % 12 + 1 AS INT) AS width,
+           CAST(h % 10 + 1 AS INT) AS height, d
+    FROM m
+),
+px AS (
+    SELECT doc_id, width, d,
+           unnest(generate_series(0, width * height * 3 - 1)) AS j
+    FROM dims
+)
+SELECT doc_id,
+       CAST(((j // 3) // width) // 4 AS INT) AS tile_y,
+       CAST(((j // 3) % width) // 4 AS INT) AS tile_x,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(SUM((d + j) % 256) AS BIGINT) AS tile_sum
+FROM px
+GROUP BY doc_id, ((j // 3) // width) // 4, ((j // 3) % width) // 4
+"""
+
+
+@register_supplementary(
+    "multimodal_bmp_tiles", _BMP_TILES_ORACLE, tags=("pipeline", "multimodal")
+)
+def multimodal_bmp_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4x4 spatial tile sums over REALLY-decoded BMP payloads
+    (operators/multimodal.py:bmp_tile_stats). The oracle integrates
+    the generator's pixel formula in 2-D — any decoder bug in row
+    order, BGR ordering, or padding shifts some tile's sum and breaks
+    parity (whole-image totals would mask exactly those bugs)."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_media_from_documents,
+        bmp_tile_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bmp_tile_stats(bmp_media_from_documents(docs), tile=4)

@@ -95,6 +95,7 @@ SAMPLE = [
     "similarity_ivf_pq_topk",
     "vocab_numericalize",
     "text_bigram_surprisal",
+    "multimodal_bmp_tiles",
 ]
 
 
