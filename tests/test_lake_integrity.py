@@ -138,3 +138,27 @@ def test_manifest_merges_incrementally_across_batches(spark, sf_dir, tmp_path):
     full = content_digest(ev)
     assert rolling_rows == full["rows"]
     assert rolling_digest == full["digest"]
+
+
+def test_compaction_preserves_content_digest(spark, sf_dir, tmp_path):
+    """Compaction is a pure re-layout: the content digest (order- and
+    partitioning-independent) must survive it unchanged — the cheap
+    post-maintenance integrity gate."""
+    import glob as _glob
+    import os as _os
+
+    from flink_state_eviction_spark.sinks.parquet import (
+        compact_to_target_file_size,
+    )
+
+    src = str(tmp_path / "dribble")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ev.repartition(20).write.parquet(src)
+    before = content_digest(spark.read.parquet(src))
+    total = sum(
+        _os.path.getsize(f) for f in _glob.glob(src + "/*.parquet")
+    )
+    dest = str(tmp_path / "compacted")
+    compact_to_target_file_size(spark, src, dest, target_file_bytes=total // 3)
+    after = content_digest(spark.read.parquet(dest))
+    assert after == before
