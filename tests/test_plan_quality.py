@@ -327,3 +327,22 @@ def test_q22_anti_join_single_pass(spark, sf_dir):
     plan = physical_plan(df, "simple")
     assert "LeftAnti" in plan, plan
     assert plan.count("FileScan parquet") <= 3, plan  # customer x2 + orders
+
+
+def test_pq_scoring_is_broadcast_only(spark, sf_dir):
+    # the distance tables and codes ride broadcasts; no sort-merge
+    # join and no full-corpus re-exchange in the serving path
+    df = _q("similarity_pq_topk", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_pq_prunes_before_scoring(spark, sf_dir):
+    # everything QUERY-side (probes + 4 distance tables) is broadcast;
+    # the one corpus-by-corpus join (cell assignment x codes on the id)
+    # is legitimately a shuffled join — it must never be a nested loop
+    df = _q("similarity_ivf_pq_topk", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("BroadcastExchange") >= 5, plan  # probes + 4 dts
+    assert "CartesianProduct" not in plan, plan
