@@ -96,6 +96,7 @@ SAMPLE = [
     "vocab_numericalize",
     "text_bigram_surprisal",
     "multimodal_bmp_tiles",
+    "tpch_q7_nation_volume",
 ]
 
 
