@@ -97,6 +97,7 @@ SAMPLE = [
     "text_bigram_surprisal",
     "multimodal_bmp_tiles",
     "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
 ]
 
 
