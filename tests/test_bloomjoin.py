@@ -74,3 +74,32 @@ def test_bloom_filter_runs_before_fact_exchange(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_bloom_prune_no_false_negatives_property(spark):
+    """Hypothesis sweep: for random fact/dim key sets (including
+    negatives, zero, and colliding values) every true match survives
+    the prune — the no-false-negative invariant the exact join relies
+    on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        fact_keys=st.lists(
+            st.integers(min_value=-1000, max_value=1000), min_size=1,
+            max_size=30,
+        ),
+        dim_keys=st.sets(
+            st.integers(min_value=-1000, max_value=1000), min_size=1,
+            max_size=10,
+        ),
+    )
+    def check(fact_keys, dim_keys):
+        fact = spark.createDataFrame([(k,) for k in fact_keys], "k long")
+        dim = spark.createDataFrame([(k,) for k in dim_keys], "k long")
+        pruned = {r["k"] for r in bloom_prune(fact, dim, "k").collect()}
+        matches = {k for k in fact_keys if k in dim_keys}
+        assert matches <= pruned
+
+    check()
