@@ -1,0 +1,59 @@
+"""CDC apply composition: the snapshot-diff classification (X45)
+drives merge_upsert / merge_delete (X72/X90) against the OLD snapshot
+table, and the result must equal the NEW snapshot exactly — the full
+change-data-capture round trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sinks.merge import merge_delete, merge_upsert
+from flink_state_eviction_spark.querydefs.pipeline import _CDC_CUTOFF as CUTOFF
+from flink_state_eviction_spark.tables import load_table
+
+
+def _snapshot(ev, before: bool):
+    cond = (
+        F.col("ts") < F.lit(CUTOFF).cast("timestamp")
+        if before
+        else F.col("ts") >= F.lit(CUTOFF).cast("timestamp")
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.where(cond)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("total"),
+        )
+    )
+
+
+def test_cdc_diff_plus_merge_reproduces_new_snapshot(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "state")
+    old = _snapshot(ev, before=True)
+    merge_upsert(spark, path, old.withColumn("ver", F.lit(0)), ["user_id"], "ver")
+
+    diff = all_queries()["user_snapshot_cdc"](spark, sf_dir)
+    # apply: upsert inserts+updates with the NEW aggregate, delete the
+    # deletes (the diff's new_* columns ARE the new snapshot values)
+    ups = diff.where(
+        F.col("change_type").isin("insert", "update")
+    ).select(
+        "user_id",
+        F.col("new_n").alias("n"),
+        F.col("new_sum").alias("total"),
+        F.lit(1).alias("ver"),
+    )
+    merge_upsert(spark, path, ups, ["user_id"], "ver")
+    dels = diff.where(F.col("change_type") == "delete").select("user_id")
+    n_del = merge_delete(spark, path, dels, ["user_id"])
+    assert n_del == dels.count()
+
+    got = spark.read.parquet(path).select("user_id", "n", "total")
+    want = _snapshot(ev, before=False)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
