@@ -1520,3 +1520,57 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15: top supplier (global-max scalar subquery)
+
+_Q15_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_rev AS DOUBLE) AS total_rev
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+"""
+
+
+@register_supplementary("tpch_q15_top_supplier", _Q15_ORACLE, tags=("tpch",))
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) whose quarterly revenue
+    equals the global maximum — the scalar-subquery argmax shape. The
+    revenue aggregate computes ONCE (localCheckpoint) and the max rides
+    a 1-row broadcast back onto it; exact DECIMAL revenue makes the
+    equality well-defined (a double aggregate would make `= max`
+    flaky). Ties all surface, per spec."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("total_rev")
+        )
+        .localCheckpoint(eager=False)  # consumed twice: rows + max
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+        )
+    )

@@ -98,6 +98,7 @@ SAMPLE = [
     "multimodal_bmp_tiles",
     "tpch_q7_nation_volume",
     "tpch_q10_returned_items",
+    "tpch_q15_top_supplier",
 ]
 
 
