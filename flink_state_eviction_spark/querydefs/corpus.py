@@ -797,3 +797,43 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# document token-length histogram (packing/seq-len planning input)
+
+_LEN_HIST_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> len(x) > 0)) AS n_tok
+    FROM documents
+)
+SELECT CAST((n_tok // 16) * 16 AS BIGINT) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM toks GROUP BY n_tok // 16
+"""
+
+
+@register_supplementary(
+    "doc_length_histogram", _LEN_HIST_ORACLE, tags=("pipeline", "corpus")
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram over documents (16-token bins, doc and
+    token mass per bin) — the planning input for sequence-packing
+    chunk size (X55) and truncation policy: what fraction of token
+    mass lives in docs longer than the training context. One scan,
+    map-side-combined groupBy over ~max_len/16 keys."""
+    from flink_state_eviction_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    return n.groupBy(
+        (F.expr("n_tok div 16") * 16).cast("bigint").alias("bin_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )

@@ -99,6 +99,7 @@ SAMPLE = [
     "tpch_q7_nation_volume",
     "tpch_q10_returned_items",
     "tpch_q15_top_supplier",
+    "doc_length_histogram",
 ]
 
 
