@@ -1,0 +1,92 @@
+"""Exact distributed heavy hitters in two scans with bounded memory.
+
+Extension beyond the reference surface (the reference's per-key state
+PoC — MapWithStateTest.java:41-101 — tracks *all* keys; a frequency
+query over a 100 TB corpus cannot). The classic exact-at-scale shape:
+
+1. **Candidates** — each partition maintains a Misra-Gries summary of
+   at most ``k`` counters (merge-and-prune over Arrow batches; Agarwal
+   et al., *Mergeable Summaries*, PODS 2012). MG guarantees any key
+   with partition count > n_p/(k+1) survives its partition's summary,
+   and by pigeonhole any key with GLOBAL count > N/k exceeds that bound
+   in at least one partition — so the union of summaries is a lossless
+   candidate superset, at most k keys per partition, with NO shuffle of
+   the raw key space.
+2. **Confirm** — a second scan counts ONLY the candidate keys (tiny,
+   broadcast) exactly, and keeps those above the global threshold.
+
+Two scans is the price of exactness; the single-scan alternative is the
+approximate count-min path (functions/sketches.py). At 100 TB the
+phase-1 shuffle moves <= k keys x n_partitions rows and phase 2's
+group-by touches only candidate keys — the full key space (billions of
+uniques) is never exchanged.
+
+The per-partition summary is imperative per-partition state, so this is
+one of the few legitimate ``mapInPandas`` sites (Arrow-batched,
+vectorized ``value_counts`` per batch — never per-row Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_candidates(key: str, cap: int):
+    """Partition-local Misra-Gries summary: merge value_counts per
+    Arrow batch, prune to ``cap`` counters by subtracting the
+    (cap+1)-th largest count (the mergeable-summaries prune, which
+    preserves the n_p/(cap+1) undercount bound)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.Series | None = None
+        for pdf in batches:
+            vc = pdf[key].value_counts()  # vectorized, drops nulls
+            if acc is None:
+                acc = vc.astype("int64")
+            else:
+                acc = acc.add(vc, fill_value=0).astype("int64")
+            if len(acc) > cap:
+                thr = acc.nlargest(cap + 1).iloc[-1]
+                acc = acc[acc > thr] - thr
+        if acc is not None and len(acc):
+            yield pd.DataFrame({key: acc.index})
+
+    return gen
+
+
+def exact_heavy_hitters(
+    df: DataFrame, key_col: str, k: int, count_col: str = "cnt"
+) -> DataFrame:
+    """All keys whose count strictly exceeds N/k (phi = 1/k heavy
+    hitters), with their EXACT global counts and frequency share.
+
+    Output columns: ``key_col``, ``count_col`` (bigint), ``share``
+    (double, cnt / N). Requires a non-null key column.
+    """
+    if k <= 1:
+        raise ValueError("k must be > 1 (threshold is count*k > N)")
+    keyed = df.select(key_col)
+    cand_schema = keyed.schema
+    candidates = (
+        keyed.mapInPandas(_mg_candidates(key_col, k), schema=cand_schema)
+        .distinct()
+    )
+    counts = (
+        keyed.join(F.broadcast(candidates), key_col)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+    total = keyed.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col(count_col) * k > F.col("_n"))
+        .select(
+            key_col,
+            count_col,
+            (F.col(count_col).cast("double") / F.col("_n")).alias("share"),
+        )
+    )

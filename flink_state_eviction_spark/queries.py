@@ -119,6 +119,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from flink_state_eviction_spark.querydefs import (  # noqa: F401
+        analytics,
         core,
         corpus,
         pipeline,

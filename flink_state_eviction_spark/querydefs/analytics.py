@@ -1,0 +1,70 @@
+"""Distributed-analytics extensions: heavy hitters, weighted sampling,
+graph triangles, Markov transitions.
+
+All registrations here are SUPPLEMENTARY (driver window is full): same
+DuckDB bit-for-bit oracle gate via tests/test_oracle_parity.py, no
+driver slot. Extensions beyond the reference surface — each docstring
+says what 100 TB problem the shape solves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import register_supplementary
+from flink_state_eviction_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters over a skewed key (phi = 1/K_HH)
+
+K_HH = 8
+
+# Same 90 %-hot skew recipe as the mws hotkey flagship (user_id % 10
+# != 0 -> hot), split over 3 hot groups so several keys clear the 1/8
+# frequency bar at every SF while thousands of cold keys do not.
+_HH_KEY_SQL = (
+    "CASE WHEN user_id % 10 <> 0 THEN 'hot-' || CAST(user_id % 3 AS VARCHAR) "
+    "ELSE 'cold-' || CAST(user_id AS VARCHAR) END"
+)
+
+_HH_ORACLE = f"""
+WITH keyed AS (SELECT {_HH_KEY_SQL} AS skey FROM events),
+tot AS (SELECT COUNT(*) AS n FROM keyed)
+SELECT skey, COUNT(*) AS cnt,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS share
+FROM keyed
+GROUP BY skey
+HAVING COUNT(*) * {K_HH} > (SELECT n FROM tot)
+"""
+
+
+@register_supplementary(
+    "events_heavy_hitters", _HH_ORACLE, tags=("pipeline", "skew")
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi=1/8 heavy hitters over a 90 %-skewed key
+    (operators/heavy_hitters.py): per-partition bounded Misra-Gries
+    candidate summaries (no raw-key shuffle), then an exact broadcast
+    confirm pass. The oracle is the full GROUP BY ... HAVING — proving
+    the two-scan bounded-memory plan loses nothing.
+
+    Scale shape: phase 1 shuffles <= k keys per partition; phase 2
+    groups only candidate keys after a broadcast semi join. The full
+    key space (cold keys — billions at 100 TB) is never exchanged.
+    """
+    from flink_state_eviction_spark.operators.heavy_hitters import (
+        exact_heavy_hitters,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(
+            F.col("user_id") % 10 != 0,
+            F.concat(F.lit("hot-"), (F.col("user_id") % 3).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("cold-"), F.col("user_id").cast("string"))
+        )
+        .alias("skey")
+    )
+    return exact_heavy_hitters(ev, "skey", K_HH, count_col="cnt")

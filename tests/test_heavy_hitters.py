@@ -1,0 +1,69 @@
+"""operators/heavy_hitters.py: the two-scan exact heavy-hitter op.
+
+The load-bearing claim is the candidate-superset guarantee: with cap=k,
+every key whose GLOBAL count strictly exceeds N/k survives phase 1's
+per-partition Misra-Gries prune, whatever the partitioning — so the
+confirmed output equals the full GROUP BY ... HAVING. The tests force
+heavy pruning (small cap, many partitions, adversarial spread) and
+compare against the exact answer computed in pandas.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.heavy_hitters import (
+    exact_heavy_hitters,
+)
+
+
+def _exact(rows, k):
+    c = collections.Counter(rows)
+    n = len(rows)
+    return {key: cnt for key, cnt in c.items() if cnt * k > n}
+
+
+def _run(spark, rows, k, parts):
+    df = spark.createDataFrame(
+        [(r,) for r in rows], "key string"
+    ).repartition(parts)
+    out = exact_heavy_hitters(df, "key", k)
+    got = {r["key"]: r["cnt"] for r in out.collect()}
+    assert got == _exact(rows, k)
+    shares = {r["key"]: r["share"] for r in out.collect()}
+    for key, cnt in got.items():
+        assert shares[key] == pytest.approx(cnt / len(rows))
+
+
+def test_skewed_exactness_under_pruning(spark):
+    # 3 hot keys ~25% each, 200 cold singletons; k=8 with 16 partitions
+    # forces every partition summary to prune hard (cap 8 << uniques).
+    rows = (
+        ["hot-a"] * 250 + ["hot-b"] * 250 + ["hot-c"] * 240
+        + [f"cold-{i}" for i in range(200)]
+    )
+    _run(spark, rows, k=8, parts=16)
+
+
+def test_adversarial_spread_key_still_found(spark):
+    # one key just above N/k, spread evenly so no partition sees it as
+    # locally dominant; plus enough distinct noise to trigger pruning.
+    rows = ["edge"] * 130 + [f"n{i}" for i in range(770)]  # N=900, N/8=112.5
+    _run(spark, rows, k=8, parts=8)
+
+
+def test_threshold_is_strict(spark):
+    # count == N/k exactly must NOT qualify (strict > threshold)
+    rows = ["x"] * 25 + [f"n{i}" for i in range(75)]  # N=100, k=4 -> 25*4 == 100
+    _run(spark, rows, k=4, parts=4)
+    assert _exact(rows, 4) == {}
+
+
+def test_empty_and_validation(spark):
+    df = spark.createDataFrame([], "key string")
+    assert exact_heavy_hitters(df, "key", 8).count() == 0
+    with pytest.raises(ValueError):
+        exact_heavy_hitters(df, "key", 1)
