@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_state_eviction_spark.functions.hashing import h64, sql_h64
 from flink_state_eviction_spark.queries import register_supplementary
 from flink_state_eviction_spark.tables import load_table
 
@@ -68,3 +69,110 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("skey")
     )
     return exact_heavy_hitters(ev, "skey", K_HH, count_col="cnt")
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling without replacement (Efraimidis-
+# Spirakis 2006): key_i = u_i^(1/w_i), keep the k largest. Ordering by
+# ln(u)/w DESC is monotone-equivalent and avoids POW. u derives from
+# the portable md5 hash, so reruns, retries, and the oracle all draw
+# the SAME sample.
+
+SAMPLE_W_K = 64
+_TWO60 = float(1 << 60)
+
+_WSAMPLE_ORACLE = f"""
+SELECT doc_id, n_chars FROM (
+    SELECT doc_id, n_chars,
+           LN(CAST(({sql_h64("CAST(doc_id AS VARCHAR)", "'wsample'")} + 1)
+                   AS DOUBLE) / CAST({1 << 60} AS DOUBLE)) / n_chars AS es_key
+    FROM documents
+) ORDER BY es_key DESC, doc_id LIMIT {SAMPLE_W_K}
+"""
+
+
+@register_supplementary(
+    "weighted_sample_docs", _WSAMPLE_ORACLE, tags=("pipeline",)
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k sample WITHOUT replacement, inclusion probability
+    proportional to document length (Efraimidis-Spirakis exponential
+    keys) — the length-weighted counterpart of `sample_exact_k_docs`
+    for token-budgeted eval-set draws. u in (0, 1] comes from the
+    portable hash of the doc id, so the draw is deterministic and
+    engine-independent; the ES key orders, never appears in the output
+    (the doubles that ARE compared across engines stay division-only).
+
+    Scale shape: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    per-partition top-k heaps, driver merges k x n_partitions
+    pre-truncated rows; no global sort of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (h64(F.col("doc_id").cast("string"), F.lit("wsample")) + 1).cast(
+        "double"
+    ) / F.lit(_TWO60)
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            (F.log(u) / F.col("n_chars")).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(SAMPLE_W_K)
+        .select("doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev
+    FROM events
+)
+SELECT prev AS src, event_type AS dst, COUNT(*) AS cnt,
+       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY prev)
+           AS prob
+FROM seq WHERE prev IS NOT NULL
+GROUP BY prev, event_type
+"""
+
+
+@register_supplementary(
+    "event_transition_matrix", _TRANSITIONS_ORACLE, tags=("core", "range")
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: count and row-normalized probability of every
+    (previous type -> next type) step. The user-journey analytics twin
+    of `funnel_view_click_purchase` (that one fixes a stage order;
+    this one learns the full transition structure).
+
+    Scale shape: ONE shuffle — the per-user LAG window (keyed on
+    user_id, same partitioning sessionization already needs). The
+    transition counts aggregate map-side down to |types|^2 rows, and
+    the row-normalizing window runs over that tiny aggregate, not the
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    counts = seq.groupBy(
+        F.col("prev").alias("src"), F.col("event_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    norm = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(norm)).alias(
+            "prob"
+        ),
+    )
