@@ -1,0 +1,77 @@
+"""Distributed triangle counting by degree orientation.
+
+Extension beyond the reference surface, completing the graph trio next
+to PageRank (operators/pagerank.py) and the near-dup connected
+components (operators/dedup.py).
+
+The naive wedge-close join (adjacency self-join on the center vertex,
+then probe the closing edge) explodes on hub vertices: a degree-d hub
+contributes d^2 wedges. The standard fix (Cohen 2009; Suri &
+Vassilvitskii, WWW 2011) orients every undirected edge from the
+lower-(degree, id) endpoint to the higher one — a total order, so each
+triangle is generated EXACTLY once from its minimal vertex — and bounds
+every out-degree by O(sqrt(m)): wedge volume drops from sum(d^2) to
+O(m^1.5) worst case, far less on power-law graphs.
+
+At 100 TB all three steps are plain shuffled equi-joins on vertex ids
+(degree join, wedge join on the center, closure probe on the edge
+pair) — AQE handles residual skew; no per-vertex state, no broadcast
+of anything corpus-proportional.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in an undirected simple graph.
+
+    ``edges``: columns ``u``, ``v`` with u < v, one row per undirected
+    edge (no duplicates, no self-loops). Returns ONE row:
+    ``n_edges``, ``n_wedges`` (oriented open wedges), ``n_triangles``.
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        edges.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("d", "du")
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+    )
+    forward = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(forward, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(forward, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(forward, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("w_v"), F.col("ddeg").alias("d1")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("w_w"), F.col("ddeg").alias("d2")
+    )
+    wedges = e1.join(e2, "src").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("w_v") < F.col("w_w")))
+    )
+    closure = oriented.select(
+        F.col("src").alias("w_v"), F.col("dst").alias("w_w")
+    )
+    tri = wedges.join(closure, ["w_v", "w_w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(tri)
+    )

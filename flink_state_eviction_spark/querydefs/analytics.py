@@ -176,3 +176,67 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the part co-purchase graph
+
+_TRIANGLES_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+    ) GROUP BY node
+),
+o AS (
+    SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                THEN u ELSE v END AS src,
+           CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                THEN v ELSE u END AS dst,
+           CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                THEN dv.d ELSE du.d END AS ddeg
+    FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+w AS (
+    SELECT e1.dst AS w_v, e2.dst AS w_w
+    FROM o e1 JOIN o e2 ON e1.src = e2.src
+    WHERE e1.ddeg < e2.ddeg
+       OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)
+)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM w) AS n_wedges,
+       (SELECT COUNT(*) FROM w JOIN o
+          ON w.w_v = o.src AND w.w_w = o.dst) AS n_triangles
+"""
+
+
+@register_supplementary(
+    "part_copurchase_triangles", _TRIANGLES_ORACLE, tags=("tpch", "graph")
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts linked when
+    some order contains both), via degree-oriented wedge closing
+    (operators/graph.py) — each triangle counted exactly once from its
+    minimal-(degree, id) vertex, hub out-degrees bounded O(sqrt(m)).
+    Completes the graph-analytics trio with `supplier_pagerank` and the
+    near-dup connected components."""
+    from flink_state_eviction_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    return triangle_count(edges)

@@ -1,0 +1,50 @@
+"""Format-agnostic columnar table IO: parquet + ORC.
+
+Extension beyond the reference surface (its only sinks are test
+sinks — ElementsWithGapsSink.java:46-99). Parquet is this engine's
+native interchange format (the driver tables, every sink in
+sinks/parquet.py); ORC is the other columnar format a large
+deployment actually meets (Hive/Trino warehouses). Spark's ORC
+datasource is built in and keeps the scale properties that matter:
+column pruning, predicate pushdown into stripe/row-group statistics,
+and hive-partition pruning — pinned in tests/test_orc_format.py.
+
+CSV/JSONL line formats (with corrupt-record quarantine) live in
+sources/text_files.py; this module is the columnar pair.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+COLUMNAR_FORMATS = ("parquet", "orc")
+
+
+def write_columnar(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_cols: Sequence[str] = (),
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet or ORC, optionally hive-partitioned,
+    optionally sorted within files so min/max statistics (row groups /
+    ORC stripes) make downstream range predicates skip IO."""
+    if fmt not in COLUMNAR_FORMATS:
+        raise ValueError(f"fmt must be one of {COLUMNAR_FORMATS}: {fmt!r}")
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
+    writer = out.write.mode(mode).format(fmt)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+
+
+def read_columnar(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    if fmt not in COLUMNAR_FORMATS:
+        raise ValueError(f"fmt must be one of {COLUMNAR_FORMATS}: {fmt!r}")
+    return spark.read.format(fmt).load(path)

@@ -1,0 +1,46 @@
+"""operators/graph.py triangle_count on graphs with known censuses.
+
+Parity with the SQL oracle is covered by test_oracle_parity
+(part_copurchase_triangles); these pin the combinatorics directly —
+exactly-once counting under the degree orientation, including the
+all-degrees-equal tie-break path.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from flink_state_eviction_spark.operators.graph import triangle_count
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "u long, v long"
+    )
+    row = triangle_count(df).collect()[0]
+    return row["n_edges"], row["n_wedges"], row["n_triangles"]
+
+
+def test_k4_all_degrees_tie(spark):
+    # complete graph on 4 vertices: every degree 3 (pure id tie-break);
+    # C(4,3)=4 triangles, each counted once
+    k4 = list(combinations(range(4), 2))
+    n_e, n_w, n_t = _run(spark, k4)
+    assert (n_e, n_t) == (6, 4)
+    assert n_w >= n_t  # every triangle closes exactly one wedge
+
+
+def test_square_plus_diagonal(spark):
+    # 4-cycle has 0 triangles; adding one diagonal makes exactly 2
+    square = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    assert _run(spark, square)[2] == 0
+    assert _run(spark, square + [(0, 2)])[2] == 2
+
+
+def test_hub_star_no_triangles(spark):
+    # star graph: max wedge pressure on the hub, zero triangles — and
+    # orientation points every edge INTO the hub (leaves have degree 1),
+    # so the oriented wedge count is 0, not C(n,2)
+    star = [(0, i) for i in range(1, 30)]
+    n_e, n_w, n_t = _run(spark, star)
+    assert (n_e, n_w, n_t) == (29, 0, 0)
