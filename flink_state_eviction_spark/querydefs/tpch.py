@@ -1574,3 +1574,306 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5: local supplier volume (customer and supplier in the same
+# nation, nations restricted to one region)
+
+_Q5_ORACLE = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register_supplementary("tpch_q5_local_supplier", _Q5_ORACLE, tags=("tpch",))
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue where the customer and
+    the line's supplier share a nation, nations limited to one region.
+    The distinguishing join is the NON-key equality c_nationkey =
+    s_nationkey riding on the l_suppkey equi-join. Fact-fact
+    (lineitem-orders) shuffles on the order key; customer, supplier,
+    nation, region all broadcast — dims-only-broadcast discipline."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(vol.cast("decimal(18,4)")).cast("double").alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8: national market share
+
+_Q8_ORACLE = """
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN nation = 'CHINA' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4)) AS volume,
+           n2.n_name AS nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'PROMO'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register_supplementary("tpch_q8_market_share", _Q8_ORACLE, tags=("tpch",))
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of regional
+    revenue for one part type, per order year — the conditional-sum-
+    over-total ratio shape. Exact DECIMAL numerator and denominator,
+    one double division at the end (identical op in the oracle).
+    Two fact shuffles (lineitem-orders on the order key); part,
+    supplier, customer, nations, region broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount",
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_regionkey").alias("c_rk"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("nation"),
+    )
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(18,4)")
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return joined.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("nation") == "CHINA", F.col("volume"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).cast("double").alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13: customer order-count distribution
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                       AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register_supplementary("tpch_q13_custdist", _Q13_ORACLE, tags=("tpch",))
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of per-customer
+    order counts INCLUDING zero-order customers — the left-outer-join-
+    then-count-non-null shape (COUNT(col) skipping the unmatched
+    NULLs), with the join-side filter in the ON clause, not WHERE
+    (reference spec filters o_comment; the driver schema carries
+    priority instead — same shape). Second aggregate is over the tiny
+    (customer-count-sized) intermediate."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: multi-supplier blame (EXISTS another supplier in the
+# order, NOT EXISTS one shipping later) adapted to the driver schema
+
+_Q21_ORACLE = """
+WITH last_ship AS (
+    SELECT l_orderkey, MAX(l_shipdate) AS max_ship
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN last_ship ls ON ls.l_orderkey = l1.l_orderkey
+                  AND l1.l_shipdate = ls.max_ship
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+)
+GROUP BY s.s_name
+"""
+
+
+@register_supplementary("tpch_q21_waiting_supplier", _Q21_ORACLE, tags=("tpch",))
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept the order waiting): for
+    finished orders, count per supplier the lines that shipped LAST in
+    a multi-supplier order — EXISTS (another supplier participated) +
+    NOT EXISTS (another supplier shipped later). The spec's
+    receipt/commit dates aren't in the driver schema; shipdate carries
+    the same correlated-exists structure.
+
+    Spark-first shape: both correlated subqueries collapse into ONE
+    per-order aggregate (max shipdate overall + max over OTHER
+    suppliers via a two-top approach: max and max-excluding-self from
+    the per-(order, supplier) maxima), then an equi-join back — no
+    correlated per-row re-scan, one shuffle on the order key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    # per-order facts: supplier count, global max shipdate
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    blamed = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(order_stats, "l_orderkey")
+        .where(
+            (F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("max_ship"))
+        )
+    )
+    # NOT EXISTS (another supplier shipped strictly later) is implied by
+    # l_shipdate == max_ship; EXISTS (another supplier) needs care when
+    # several lines tie at max_ship: blame requires that NO OTHER
+    # supplier also sits at the max (otherwise another supplier shipped
+    # "as late", and the spec's l3.l_shipdate > l1.l_shipdate clause
+    # still blames both — a tie at max means no one shipped LATER, so
+    # EVERY tied supplier with another supplier present is blamed).
+    return (
+        blamed.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "l_orderkey", "l_suppkey", "l_shipdate")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
