@@ -32,6 +32,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     edge (no duplicates, no self-loops). Returns ONE row:
     ``n_edges``, ``n_wedges`` (oriented open wedges), ``n_triangles``.
     """
+    # the edge list feeds four lineages (degrees, orientation, n_edges
+    # — and oriented feeds three more). Exchange reuse often dedupes
+    # the common subplan (measured neutral at x10, SCALE.md), but it is
+    # best-effort — a lineage cut guarantees the expensive upstream
+    # derivation (self-join + distinct) runs once (the guarantee the
+    # x25 pagerank stress showed matters when reuse misses)
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -53,7 +60,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(forward, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(forward, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(forward, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
-    )
+    ).localCheckpoint(eager=False)  # consumed by e1, e2, closure
     e1 = oriented.select(
         F.col("src"), F.col("dst").alias("w_v"), F.col("ddeg").alias("d1")
     )

@@ -33,17 +33,24 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _mg_candidates(key: str, cap: int):
     """Partition-local Misra-Gries summary: merge value_counts per
     Arrow batch, prune to ``cap`` counters by subtracting the
     (cap+1)-th largest count (the mergeable-summaries prune, which
-    preserves the n_p/(cap+1) undercount bound)."""
+    preserves the n_p/(cap+1) undercount bound).
+
+    Emits candidate keys with ``_pn = 0`` plus ONE null-key row
+    carrying the partition's row count, so the global total rides the
+    same (tiny) summary output and phase 2 needs no third scan."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: pd.Series | None = None
+        n_p = 0
         for pdf in batches:
+            n_p += len(pdf)
             vc = pdf[key].value_counts()  # vectorized, drops nulls
             if acc is None:
                 acc = vc.astype("int64")
@@ -52,8 +59,11 @@ def _mg_candidates(key: str, cap: int):
             if len(acc) > cap:
                 thr = acc.nlargest(cap + 1).iloc[-1]
                 acc = acc[acc > thr] - thr
-        if acc is not None and len(acc):
-            yield pd.DataFrame({key: acc.index})
+        keys = list(acc.index) if acc is not None else []
+        if keys or n_p:
+            yield pd.DataFrame(
+                {key: keys + [None], "_pn": [0] * len(keys) + [n_p]}
+            )
 
     return gen
 
@@ -70,17 +80,30 @@ def exact_heavy_hitters(
     if k <= 1:
         raise ValueError("k must be > 1 (threshold is count*k > N)")
     keyed = df.select(key_col)
-    cand_schema = keyed.schema
+    summary_schema = T.StructType(
+        [
+            # nullable regardless of the input field: null keys carry
+            # the per-partition row counts
+            T.StructField(key_col, keyed.schema[key_col].dataType, True),
+            T.StructField("_pn", T.LongType()),
+        ]
+    )
+    # ONE scan produces both the candidate superset and the global row
+    # count (null-key rows carry per-partition totals); the summary is
+    # tiny (<= k keys + 1 row per partition), so the lineage cut keeps
+    # the two consumers below from re-scanning the input
+    summary = keyed.mapInPandas(
+        _mg_candidates(key_col, k), schema=summary_schema
+    ).localCheckpoint(eager=False)
     candidates = (
-        keyed.mapInPandas(_mg_candidates(key_col, k), schema=cand_schema)
-        .distinct()
+        summary.where(F.col(key_col).isNotNull()).select(key_col).distinct()
     )
     counts = (
         keyed.join(F.broadcast(candidates), key_col)
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias(count_col))
     )
-    total = keyed.agg(F.count(F.lit(1)).alias("_n"))
+    total = summary.agg(F.sum("_pn").alias("_n"))
     return (
         counts.crossJoin(F.broadcast(total))
         .where(F.col(count_col) * k > F.col("_n"))

@@ -240,3 +240,87 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: learned-cluster blocking + exact
+# within-cluster cosine, drop-against-smaller-id
+
+_SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_oracle() -> str:
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _KMEANS_CELLS_BODY,
+    )
+
+    cos = "list_dot_product(a.v, b.v) / (a.nn * b.nn)"
+    return f"""
+WITH {_KMEANS_CELLS_BODY},
+n AS (
+    SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM a2
+)
+SELECT b.vec_id AS dropped, MIN(a.vec_id) AS keeper,
+       COUNT(*) AS n_dups, round(MAX({cos}), 6) AS max_sim
+FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {cos} >= {_SEMDEDUP_TAU}
+GROUP BY b.vec_id
+"""
+
+
+@register_supplementary(
+    "dedup_semantic_clustered", _semdedup_oracle(), tags=("pipeline", "dedup")
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means clusters bound the candidate pairs (the learned-cell
+    analogue of `dedup_embedding_cosine`'s label blocks), exact cosine
+    within each cluster, and every vector with a HIGHER id than a
+    >= tau neighbor is dropped against its smallest-id keeper. The
+    oracle replays the full pipeline — deterministic Lloyd rounds
+    included — bit-for-bit.
+
+    Scale shape: clustering is the O(n^2) killer — pairs explode only
+    within a cell (n/k average), and the cell count scales with the
+    corpus; the quadratic-within-block core is the same discipline as
+    every other blocked dedup here. Assignment itself is the
+    zero-shuffle packed-centroid argmin (operators/similarity.py)."""
+    from flink_state_eviction_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+        kmeans_cells,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_cells(emb, "vec_id", "embedding", k=8, iters=2)
+    e = (
+        emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+        .join(cells, "vec_id")
+        .withColumn("nn", l2_norm(F.col("v")))
+    )
+    a = e.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nn").alias("na"),
+    )
+    b = e.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nn").alias("nb"),
+    )
+    sim = cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim0", sim)
+        .where(F.col("sim0") >= _SEMDEDUP_TAU)
+        .groupBy(F.col("vec_b").alias("dropped"))
+        .agg(
+            F.min("vec_a").alias("keeper"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.round(F.max("sim0"), 6).alias("max_sim"),
+        )
+    )

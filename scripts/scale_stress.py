@@ -176,7 +176,7 @@ def main() -> None:
         "--only",
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
-        "pagerank,anomaly,resample",
+        "pagerank,anomaly,resample,hh,tri,trans",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -215,6 +215,18 @@ def main() -> None:
             rec["events_anomaly_zscore_sec"] = timed(lambda: all_qs["events_anomaly_zscore"](spark, d))
         if "resample" in only:
             rec["events_resample_1h_locf_sec"] = timed(lambda: all_qs["events_resample_1h_locf"](spark, d))
+        if "hh" in only:
+            # two-scan exact heavy hitters; the 90%-hot default is its
+            # design point (one mega key + factor*... cold keys)
+            rec["events_heavy_hitters_sec"] = timed(lambda: all_qs["events_heavy_hitters"](spark, d))
+        if "tri" in only:
+            # replicas reuse the ORIGINAL partkeys, so the distinct edge
+            # set stays ~constant while the scan and the distinct() over
+            # factor x lineitem grow — input-throughput stress for the
+            # edge-derivation stages above a fixed-size closure
+            rec["part_copurchase_triangles_sec"] = timed(lambda: all_qs["part_copurchase_triangles"](spark, d))
+        if "trans" in only:
+            rec["event_transition_matrix_sec"] = timed(lambda: all_qs["event_transition_matrix"](spark, d))
         print(json.dumps(rec), flush=True)
 
 

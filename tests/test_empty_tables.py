@@ -43,6 +43,11 @@ SAMPLE = [
     "dedup_minhash_lsh",
     "dedup_near_canonical",
     "similarity_topk",
+    "events_heavy_hitters",
+    "part_copurchase_triangles",
+    "event_transition_matrix",
+    "weighted_sample_docs",
+    "dedup_semantic_clustered",
     "similarity_ivf_topk",
     "similarity_kmeans_cells",
     "similarity_ivf_kmeans_topk",
@@ -105,7 +110,11 @@ SAMPLE = [
 
 # report-style global aggregates legitimately emit rows on empty
 # input: the DQ report yields one zero-violation row per check
-NONEMPTY_ON_EMPTY = {"dq_orders_report": 6}
+NONEMPTY_ON_EMPTY = {
+    "dq_orders_report": 6,
+    # global-aggregate census: one row of zero counts
+    "part_copurchase_triangles": 1,
+}
 
 
 @pytest.mark.parametrize("name", SAMPLE)

@@ -346,3 +346,25 @@ def test_ivf_pq_prunes_before_scoring(spark, sf_dir):
     plan = physical_plan(df, "simple")
     assert plan.count("BroadcastExchange") >= 5, plan  # probes + 4 dts
     assert "CartesianProduct" not in plan, plan
+
+
+def test_heavy_hitters_confirm_is_broadcast(spark, sf_dir):
+    # phase-2 contract: candidates and the 1-row total ride broadcasts;
+    # the raw key space is never sort-merge-exchanged
+    df = _q("events_heavy_hitters", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("BroadcastExchange") >= 2, plan  # candidates + total
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_joins_never_nested_loop(spark, sf_dir):
+    # every step is an equi-join on vertex ids (degree attach, wedge
+    # join, closure probe) — a nested-loop/cartesian anywhere here is
+    # quadratic in EDGES and means the orientation bound was lost
+    df = _q("part_copurchase_triangles", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", "CROSS_OK", 2
+    ), plan
+    assert "CartesianProduct" not in plan, plan

@@ -1,0 +1,108 @@
+"""Streaming twin of the exact heavy-hitter operator
+(operators/heavy_hitters.py, X101): a count-min counter table
+maintained as an update-mode streaming aggregation — the grouped SUM
+per (row, idx) is both the per-micro-batch state transition and the
+cross-shard merge — plus the running total. Because CMS only ever
+OVERCOUNTS, the keys whose min-estimate clears the N/k bar are a
+candidate SUPERSET at every point in the stream; the exact confirm
+pass then reproduces the batch operator's answer bit-for-bit.
+
+This is the streaming analogue of the batch phase split: bounded
+sketch state on the hot path (d x w counters, key-cardinality-
+independent), exactness restored by one targeted second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.hashing import h64
+from flink_state_eviction_spark.functions.sketches import CMS_D, CMS_W
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.streaming.testing import run_available_now
+from flink_state_eviction_spark.tables import load_table
+
+K_HH = 8
+
+
+def _skey():
+    return (
+        F.when(
+            F.col("user_id") % 10 != 0,
+            F.concat(F.lit("hot-"), (F.col("user_id") % 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold-"), F.col("user_id").cast("string")))
+        .alias("skey")
+    )
+
+
+def test_streaming_cms_candidates_confirm_batch(spark, sf_dir, tmp_path):
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sev = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    rows_ = spark.range(CMS_D).select(F.col("id").cast("int").alias("r"))
+    counters_stream = (
+        sev.select(_skey())
+        .crossJoin(rows_)
+        .select(
+            "r",
+            F.pmod(h64(F.col("skey"), F.col("r")), F.lit(CMS_W)).alias("idx"),
+        )
+        .groupBy("r", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mem = run_available_now(
+        counters_stream, str(tmp_path / "ck_cms_hh"), output_mode="update"
+    )
+    # update mode re-emits counters per micro-batch; SUM-per-cell state
+    # means the LAST emission per (r, idx) is the total — MAX recovers
+    # it (counts are monotone under accumulation)
+    counters = mem.groupBy("r", "idx").agg(F.max("c").alias("c"))
+
+    ev = load_table(spark, sf_dir, "events").select(_skey())
+    total = ev.count()
+    probe = (
+        ev.distinct()
+        .crossJoin(F.broadcast(rows_))
+        .select(
+            "skey",
+            F.pmod(h64(F.col("skey"), F.col("r")), F.lit(CMS_W)).alias("idx"),
+            "r",
+        )
+        .join(F.broadcast(counters), ["r", "idx"])
+        .groupBy("skey")
+        .agg(F.min("c").alias("n_est"))
+    )
+    candidates = {
+        r.skey for r in probe.where(F.col("n_est") * K_HH > total).collect()
+    }
+
+    exact = {
+        (r.skey, r.cnt)
+        for r in ev.groupBy("skey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * K_HH > total)
+        .collect()
+    }
+    # CMS never undercounts -> candidates is a superset of the true set
+    assert {k for k, _ in exact} <= candidates
+
+    # exact confirm over candidates == the batch operator's driver query
+    confirmed = {
+        (r.skey, r.cnt)
+        for r in ev.where(F.col("skey").isin(list(candidates)))
+        .groupBy("skey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * K_HH > total)
+        .collect()
+    }
+    assert confirmed == exact
+
+    batch = {
+        (r.skey, r.cnt)
+        for r in all_queries()["events_heavy_hitters"](spark, sf_dir).collect()
+    }
+    assert batch == exact
