@@ -451,3 +451,76 @@ def blocked_containment_pairs(
     return pairs.select(
         "doc_src", "doc_dst", containment.alias("containment")
     ).where(F.col("containment") >= threshold)
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact jaccard >= t pairs via PREFIX FILTERING (Chaudhuri et al.
+    SSJoin, ICDE 2006; Bayardo et al., WWW 2007) — the lossless
+    candidate-generation upgrade over block+size pruning
+    (blocked_jaccard_pairs): order every shingle set by a GLOBAL
+    rarest-first total order (document frequency, then hash); two sets
+    with j >= t MUST share an element within their first
+    n - ceil(t*n) + 1 elements, so only prefix tokens generate
+    candidates. Rare-token prefixes produce tiny candidate buckets
+    where naive token-bucket joins explode on stopword shingles.
+
+    Scale shape: one shuffle by shingle hash (document frequencies),
+    one by doc id (prefix rank), then the candidate self-join touches
+    ONLY prefix postings — bucket sizes are df-bounded and skew-capped
+    by construction (the rarest-first order puts the most selective
+    tokens in prefixes). Verification joins the full (hashed) sets back
+    by id. No recall loss at any step; minhash LSH remains the
+    approximate alternative when even prefix postings are too hot.
+    Output: (doc_a, doc_b, jaccard).
+    """
+    base = df.select(F.col(id_col), F.col(text_col))
+    sh = shingle_sets(base, id_col, text_col, k)
+    hashed = (
+        sh.select(
+            F.col(id_col),
+            F.array_distinct(shingle_hash_udf()(F.col("sh"))).alias("bh"),
+        )
+        .withColumn("_n", F.size("bh"))
+        .where(F.col("_n") > 0)
+        .localCheckpoint(eager=False)  # feeds df-count, prefix, verify
+    )
+    ex = hashed.select(F.col(id_col), F.explode("bh").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    rank_w = Window.partitionBy(id_col).orderBy("_df", "h")
+    prefix_len = (
+        F.col("_n")
+        - F.ceil(F.lit(threshold) * F.col("_n")).cast("int")
+        + F.lit(1)
+    )
+    pref = (
+        ex.join(dfreq, "h")
+        .withColumn("_rn", F.row_number().over(rank_w))
+        .join(hashed.select(id_col, "_n"), id_col)
+        .where(F.col("_rn") <= prefix_len)
+        .select(F.col(id_col), "h")
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("doc_a"), "h")
+        .join(pref.select(F.col(id_col).alias("doc_b"), "h"), "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = hashed.select(
+        F.col(id_col).alias("doc_a"), F.col("bh").alias("bh_a")
+    )
+    b = hashed.select(
+        F.col(id_col).alias("doc_b"), F.col("bh").alias("bh_b")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", _jaccard(F.col("bh_a"), F.col("bh_b")))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -3057,3 +3057,69 @@ def multimodal_bmp_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bmp_tile_stats(bmp_media_from_documents(docs), tile=4)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtering exact jaccard join (X108): the lossless SSJoin
+# candidate-generation strategy — global rarest-first token order, only
+# the first n - ceil(t*n) + 1 tokens of each set generate candidates
+
+_PREFIX_JACCARD_ORACLE = f"""
+WITH {_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
+shn AS (
+    SELECT s.doc_id,
+           list_distinct(list_transform(s.sh,
+               x -> CAST(('0x' || substring(md5('0:' || x), 1, 15)) AS BIGINT)))
+               AS bh
+    FROM sh s WHERE len(s.sh) > 0
+),
+shn2 AS (SELECT doc_id, bh, len(bh) AS n FROM shn WHERE len(bh) > 0),
+ex AS (SELECT doc_id, unnest(bh) AS h FROM shn2),
+dfreq AS (SELECT h, COUNT(*) AS dfh FROM ex GROUP BY h),
+ranked AS (
+    SELECT e.doc_id, e.h,
+           row_number() OVER (PARTITION BY e.doc_id ORDER BY d.dfh, e.h)
+               AS rn
+    FROM ex e JOIN dfreq d ON d.h = e.h
+),
+pref AS (
+    SELECT r.doc_id, r.h
+    FROM ranked r JOIN shn2 s ON s.doc_id = r.doc_id
+    WHERE r.rn <= s.n - CAST(ceil(0.8 * s.n) AS INT) + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(a.bh, b.bh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.bh, b.bh))) AS DOUBLE)
+           AS jaccard
+FROM cand c
+JOIN shn2 a ON a.doc_id = c.doc_a
+JOIN shn2 b ON b.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(a.bh, b.bh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.bh, b.bh))) AS DOUBLE) >= 0.8
+"""
+
+
+@register_supplementary(
+    "dedup_prefix_filter_jaccard",
+    _PREFIX_JACCARD_ORACLE,
+    tags=("pipeline", "dedup"),
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (NO language blocking) exact 3-gram jaccard >= 0.8 pairs
+    via prefix filtering (operators/dedup.py:prefix_filter_jaccard_
+    pairs) — candidates only from the rarest n - ceil(0.8n) + 1 tokens
+    of each set, in rarest-first global order. The unblocked-but-still-
+    lossless counterpart of `dedup_ngram_jaccard` (whose language blocks
+    would split cross-language dup pairs)."""
+    from flink_state_eviction_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.8
+    )

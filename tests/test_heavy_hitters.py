@@ -67,3 +67,25 @@ def test_empty_and_validation(spark):
     assert exact_heavy_hitters(df, "key", 8).count() == 0
     with pytest.raises(ValueError):
         exact_heavy_hitters(df, "key", 1)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property: exactness holds for ARBITRARY key multisets and
+# partition counts (the superset guarantee is combinatorial — random
+# data probes the prune paths fixed fixtures miss)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+key_lists = st.lists(
+    st.integers(min_value=0, max_value=40).map(lambda i: f"k{i}"),
+    min_size=1,
+    max_size=300,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=key_lists, k=st.integers(min_value=2, max_value=10),
+       parts=st.integers(min_value=1, max_value=12))
+def test_property_matches_exact(spark, rows, k, parts):
+    _run(spark, rows, k, parts)

@@ -1,0 +1,37 @@
+"""Prefix filtering (operators/dedup.py:prefix_filter_jaccard_pairs) is
+LOSSLESS: restricted to same-language pairs, the global prefix-filter
+join must reproduce the language-blocked exact join EXACTLY — blocking
+can only lose cross-language pairs, prefix filtering loses nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark import queries as Q
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_prefix_filter_supersets_blocked(spark, sf_dir):
+    blocked = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in Q.all_queries()["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    prefix_rows = Q.all_queries()["dedup_prefix_filter_jaccard"](
+        spark, sf_dir
+    ).collect()
+    prefix = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in prefix_rows
+    }
+    assert blocked <= prefix or blocked == prefix
+
+    lang = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    same_lang_prefix = {
+        (a, b, j) for (a, b, j) in prefix if lang[a] == lang[b]
+    }
+    assert same_lang_prefix == blocked

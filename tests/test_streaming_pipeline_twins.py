@@ -177,3 +177,64 @@ def test_streaming_cdc_matches_batch(spark, sf_dir, tmp_path):
         .alias("change_type"),
     )
     assert_same_rows(out, batch)
+
+
+def test_streaming_transition_matrix_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of X103: transition COUNTS accumulate as an
+    update-mode aggregation keyed on (src, dst) — monotone, so the last
+    emission per pair is the total — after a stateless per-user LAG
+    computed with applyInPandas... which streaming can't do statelessly:
+    instead the pairing is derived per micro-batch; with ONE availableNow
+    batch over the file source the batch/stream pairings coincide, which
+    is exactly the backfill-parity claim (same code path, batch
+    semantics). Row-normalized probabilities are a stateless projection
+    over the final (tiny) counts table."""
+    from pyspark.sql import Window
+
+    batch = Q.all_queries()["event_transition_matrix"](spark, sf_dir)
+
+    ev = load_table(spark, sf_dir, "events")
+    sev = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def pair_counts(batch_df, _id):
+        # per-micro-batch LAG + count; foreachBatch appends partials
+        out = (
+            batch_df.select(
+                "user_id",
+                "event_type",
+                F.lag("event_type").over(w).alias("prev"),
+            )
+            .where(F.col("prev").isNotNull())
+            .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        out.write.mode("append").parquet(str(tmp_path / "pairs"))
+
+    q = (
+        sev.writeStream.foreachBatch(pair_counts)
+        .option("checkpointLocation", str(tmp_path / "ck_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    counts = (
+        spark.read.parquet(str(tmp_path / "pairs"))
+        .groupBy("src", "dst")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    norm = Window.partitionBy("src")
+    stream_out = counts.select(
+        "src",
+        "dst",
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(norm)).alias("prob"),
+    )
+    assert_same_rows(stream_out, batch)
