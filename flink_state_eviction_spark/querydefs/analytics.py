@@ -324,3 +324,108 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("sim0"), 6).alias("max_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus drift: chi-square token-distribution shift between source
+# groups (training-data monitoring: "did the mix change?")
+
+_DRIFT_ORACLE = """
+WITH toks AS (
+    SELECT CAST(substring(source, 4) AS INT) % 2 AS grp,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+tok AS (SELECT grp, unnest(toks) AS token FROM toks),
+counts AS (
+    SELECT token,
+           CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+           CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o_b
+    FROM tok GROUP BY token
+),
+tot AS (
+    SELECT SUM(o_a) AS na, SUM(o_b) AS nb, SUM(o_a) + SUM(o_b) AS n
+    FROM counts
+)
+SELECT token, o_a, o_b,
+       round(
+         (CAST(o_a AS DOUBLE) - e_a) * (CAST(o_a AS DOUBLE) - e_a) / e_a
+       + (CAST(o_b AS DOUBLE) - e_b) * (CAST(o_b AS DOUBLE) - e_b) / e_b,
+         6) AS chi2
+FROM (
+    SELECT c.token, c.o_a, c.o_b,
+           CAST(c.o_a + c.o_b AS DOUBLE) * CAST(t.na AS DOUBLE)
+               / CAST(t.n AS DOUBLE) AS e_a,
+           CAST(c.o_a + c.o_b AS DOUBLE) * CAST(t.nb AS DOUBLE)
+               / CAST(t.n AS DOUBLE) AS e_b
+    FROM counts c CROSS JOIN tot t
+    WHERE c.o_a + c.o_b >= 5
+)
+ORDER BY chi2 DESC, token
+LIMIT 20
+"""
+
+
+@register_supplementary(
+    "corpus_drift_chisq", _DRIFT_ORACLE, tags=("pipeline", "text")
+)
+def corpus_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 drifted tokens between two source groups (even vs odd
+    source index) by chi-square contribution over the 2 x V token
+    contingency table — the distribution-shift monitor a training-data
+    pipeline runs between corpus snapshots / mixture revisions.
+    Low-count tokens (row total < 5, the classic expected-count rule)
+    are excluded. All inputs to the double arithmetic are exact counts
+    and the op sequence is identical in the oracle, so the statistic is
+    engine-identical.
+
+    Scale shape: one explode + one (token)-keyed aggregation with
+    map-side partial counts; the totals ride a 1-row broadcast; final
+    ranking is TakeOrderedAndProject over per-token rows. Nothing is
+    corpus-proportional after the first aggregation."""
+    from flink_state_eviction_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.substring("source", 4, 10).cast("int") % 2).alias("grp"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("o_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("o_b"),
+    )
+    tot = counts.agg(
+        F.sum("o_a").alias("na"),
+        F.sum("o_b").alias("nb"),
+        (F.sum("o_a") + F.sum("o_b")).alias("n"),
+    )
+    rowtot = F.col("o_a") + F.col("o_b")
+    joined = (
+        counts.crossJoin(F.broadcast(tot))
+        .where(rowtot >= 5)
+        .withColumn(
+            "e_a",
+            rowtot.cast("double") * F.col("na").cast("double")
+            / F.col("n").cast("double"),
+        )
+        .withColumn(
+            "e_b",
+            rowtot.cast("double") * F.col("nb").cast("double")
+            / F.col("n").cast("double"),
+        )
+    )
+    da = F.col("o_a").cast("double") - F.col("e_a")
+    db = F.col("o_b").cast("double") - F.col("e_b")
+    return (
+        joined.select(
+            "token",
+            "o_a",
+            "o_b",
+            F.round(
+                da * da / F.col("e_a") + db * db / F.col("e_b"), 6
+            ).alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), "token")
+        .limit(20)
+    )
