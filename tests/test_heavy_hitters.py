@@ -31,9 +31,10 @@ def _run(spark, rows, k, parts):
         [(r,) for r in rows], "key string"
     ).repartition(parts)
     out = exact_heavy_hitters(df, "key", k)
-    got = {r["key"]: r["cnt"] for r in out.collect()}
+    collected = out.collect()
+    got = {r["key"]: r["cnt"] for r in collected}
     assert got == _exact(rows, k)
-    shares = {r["key"]: r["share"] for r in out.collect()}
+    shares = {r["key"]: r["share"] for r in collected}
     for key, cnt in got.items():
         assert shares[key] == pytest.approx(cnt / len(rows))
 

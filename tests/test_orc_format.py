@@ -18,15 +18,13 @@ from flink_state_eviction_spark.sinks.formats import (
 )
 from flink_state_eviction_spark.tables import load_table
 
-SF_DIR = "/root/testdata/sf0.001"
-
 
 def _sorted_rows(df):
     return [tuple(r) for r in df.orderBy("event_id").collect()]
 
 
-def test_orc_roundtrip_values(spark, tmp_path):
-    ev = load_table(spark, SF_DIR, "events")
+def test_orc_roundtrip_values(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
     path = str(tmp_path / "events_orc")
     write_columnar(ev, path, fmt="orc")
     back = read_columnar(spark, path, fmt="orc")
@@ -34,8 +32,8 @@ def test_orc_roundtrip_values(spark, tmp_path):
     assert _sorted_rows(back) == _sorted_rows(ev)
 
 
-def test_orc_partition_pruning_and_pushdown(spark, tmp_path):
-    ev = load_table(spark, SF_DIR, "events")
+def test_orc_partition_pruning_and_pushdown(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
     path = str(tmp_path / "events_orc_part")
     write_columnar(
         ev, path, fmt="orc", partition_cols=("event_type",),
@@ -61,8 +59,8 @@ def test_orc_partition_pruning_and_pushdown(spark, tmp_path):
     assert q.count() == expect
 
 
-def test_bad_format_rejected(spark, tmp_path):
-    ev = load_table(spark, SF_DIR, "events")
+def test_bad_format_rejected(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError):
         write_columnar(ev, str(tmp_path / "x"), fmt="avro")
     with pytest.raises(ValueError):

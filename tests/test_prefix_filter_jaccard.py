@@ -23,7 +23,7 @@ def test_prefix_filter_supersets_blocked(spark, sf_dir):
     prefix = {
         (r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in prefix_rows
     }
-    assert blocked <= prefix or blocked == prefix
+    assert blocked <= prefix
 
     lang = {
         r.doc_id: r.lang
