@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Run any registered query by name from the command line.
+
+    python scripts/run_query.py QUERY [--sf-dir DIR] [--explain]
+        [--oracle] [--limit N] [--out PATH]
+
+    python scripts/run_query.py --list [--tag TAG]
+
+The operational entry point for a user poking at the engine: resolves
+the query in the full registry (driver + supplementary), runs it on the
+engine's own SparkSession, shows rows (or writes parquet with --out),
+optionally the formatted physical plan and the DuckDB oracle text.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("query", nargs="?", help="registered query name")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan")
+    ap.add_argument("--oracle", action="store_true",
+                    help="print the DuckDB oracle SQL")
+    ap.add_argument("--limit", type=int, default=20)
+    ap.add_argument("--out", help="write full result as parquet here")
+    ap.add_argument("--list", action="store_true",
+                    help="list registered queries")
+    ap.add_argument("--tag", help="filter --list by tag")
+    args = ap.parse_args()
+
+    from flink_state_eviction_spark import queries as Q
+
+    Q.queries()  # force registration
+    merged = {**Q.REGISTRY, **Q.SUPPLEMENTARY}
+
+    if args.list:
+        for name in sorted(merged):
+            q = merged[name]
+            if args.tag and args.tag not in q.tags:
+                continue
+            tier = "driver" if name in Q.REGISTRY else "suppl."
+            print(f"{name:40s} {tier}  [{', '.join(q.tags)}]")
+        return 0
+
+    if not args.query or args.query not in merged:
+        sys.stderr.write(
+            f"unknown query {args.query!r}; use --list to enumerate\n"
+        )
+        return 2
+
+    q = merged[args.query]
+    if args.oracle:
+        print(q.oracle or "-- no SQL oracle (rows-only check)")
+        return 0
+
+    from flink_state_eviction_spark.session import get_spark
+
+    spark = get_spark(f"run-{args.query}")
+    t0 = time.perf_counter()
+    df = q.fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"{n} rows -> {args.out}  ({time.perf_counter() - t0:.2f}s)")
+    else:
+        df.show(args.limit, truncate=False)
+        print(f"({time.perf_counter() - t0:.2f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
