@@ -176,7 +176,7 @@ def main() -> None:
         "--only",
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
-        "pagerank,anomaly,resample,hh,tri,trans",
+        "pagerank,anomaly,resample,hh,tri,trans,pfx",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -227,6 +227,11 @@ def main() -> None:
             rec["part_copurchase_triangles_sec"] = timed(lambda: all_qs["part_copurchase_triangles"](spark, d))
         if "trans" in only:
             rec["event_transition_matrix_sec"] = timed(lambda: all_qs["event_transition_matrix"](spark, d))
+        if "pfx" in only:
+            # like LSH, output grows ~N^2 per replica clique (every
+            # replica pair is a true >= 0.8 pair) — candidate volume is
+            # the df-bounded prefix postings, the honest cost driver
+            rec["dedup_prefix_filter_jaccard_sec"] = timed(lambda: all_qs["dedup_prefix_filter_jaccard"](spark, d))
         print(json.dumps(rec), flush=True)
 
 
