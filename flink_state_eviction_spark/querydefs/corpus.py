@@ -837,3 +837,81 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X110: overlapping chunking (RAG / long-context prep): fixed-size
+# token windows with overlap, provenance preserved
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 8
+_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+nt AS (SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+starts AS (
+    SELECT doc_id, toks, n, unnest(range(0, n, {_STRIDE})) AS start_tok
+    FROM nt
+)
+SELECT doc_id,
+       CAST(start_tok / {_STRIDE} AS BIGINT) AS chunk_idx,
+       start_tok,
+       least({CHUNK_TOKENS}, n - start_tok) AS n_tok,
+       md5(array_to_string(
+           toks[start_tok + 1 : start_tok + {CHUNK_TOKENS}], ' '))
+           AS chunk_md5
+FROM starts
+"""
+
+
+@register_supplementary(
+    "doc_chunk_overlap", _CHUNK_ORACLE, tags=("pipeline", "corpus")
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunking — the retrieval/long-context prep step next
+    to training-sequence packing (X55): each document becomes
+    ceil(n/stride) fixed-size token windows (64 tokens, 8 overlap) with
+    provenance (doc_id, chunk_idx, start_tok, n_tok) and a content md5
+    so downstream chunk-level dedup/indexing needs no re-tokenization.
+    Stride starts are exact on both engines; the md5 runs over the
+    space-joined token slice, identical text both sides.
+
+    Scale shape: tokenize once, explode only the START OFFSETS
+    (ceil(n/stride) rows per doc — ~n/56, not n), slice per row from
+    the projected token array. No shuffle at all: the whole operator is
+    scan-parallel (plan has no exchange before any downstream sink
+    partitioning)."""
+    from flink_state_eviction_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    ).withColumn("n", F.size("_toks")).where(F.col("n") > 0)
+    starts = toked.select(
+        "doc_id",
+        "_toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_STRIDE))
+        ).alias("start_tok"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start_tok") / _STRIDE).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_tok"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_toks"), F.col("start_tok") + 1, CHUNK_TOKENS),
+            )
+        ).alias("chunk_md5"),
+    )

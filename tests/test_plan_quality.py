@@ -371,3 +371,12 @@ def test_triangle_joins_never_nested_loop(spark, sf_dir):
     bnlj = re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan)
     assert len(bnlj) <= 2 and all("Cross" in j for j in bnlj), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_chunking_is_scan_parallel(spark, sf_dir):
+    # tokenize -> explode starts -> slice: the whole operator must run
+    # in the scan stage with NO exchange (any shuffle here would move
+    # the token arrays — corpus-proportional traffic for nothing)
+    df = _q("doc_chunk_overlap", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "Exchange" not in plan, plan
