@@ -232,3 +232,42 @@ def test_quality_budget_select_is_greedy_prefix(spark, sf_dir):
     # is so small one doc straddles everything
     n_sel = sum(1 for r in rows if r.selected)
     assert 1 <= n_sel <= len(rows)
+
+
+def test_chunk_overlap_composes_with_exact_dedup(spark, sf_dir):
+    """X110 -> X7 composition: chunk the corpus, then chunk-level exact
+    dedup on chunk_md5 — the de-duplicated retrieval index build. The
+    invariants pinned: provenance tiles the token stream (stride
+    arithmetic), every duplicate group keeps its smallest (doc_id,
+    chunk_idx), and dedup'd chunk count == distinct md5 count."""
+    from flink_state_eviction_spark.queries import all_queries
+    from pyspark.sql import Window
+
+    chunks = all_queries()["doc_chunk_overlap"](spark, sf_dir)
+    rows = chunks.collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        # starts advance by exactly the stride; indices are dense
+        for i, r in enumerate(rs):
+            assert r.chunk_idx == i and r.start_tok == i * 56
+            assert 1 <= r.n_tok <= 64
+        # a non-last chunk has a successor at start+56 <= n-1, so it
+        # holds at least stride+1 = 57 tokens (not necessarily 64)
+        assert all(r.n_tok >= 57 for r in rs[:-1])
+
+    w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    deduped = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    n_distinct = chunks.select("chunk_md5").distinct().count()
+    assert deduped.count() == n_distinct
+    # keeper is the minimal (doc_id, chunk_idx) of its md5 group
+    keep = {(r.chunk_md5): (r.doc_id, r.chunk_idx) for r in deduped.collect()}
+    for r in rows:
+        assert keep[r.chunk_md5] <= (r.doc_id, r.chunk_idx)
