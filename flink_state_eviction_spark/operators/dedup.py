@@ -459,26 +459,36 @@ def prefix_filter_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    order: str = "df",
 ) -> DataFrame:
     """Exact jaccard >= t pairs via PREFIX FILTERING (Chaudhuri et al.
     SSJoin, ICDE 2006; Bayardo et al., WWW 2007) — the lossless
     candidate-generation upgrade over block+size pruning
-    (blocked_jaccard_pairs): order every shingle set by a GLOBAL
-    rarest-first total order (document frequency, then hash); two sets
-    with j >= t MUST share an element within their first
-    n - ceil(t*n) + 1 elements, so only prefix tokens generate
-    candidates. Rare-token prefixes produce tiny candidate buckets
-    where naive token-bucket joins explode on stopword shingles.
+    (blocked_jaccard_pairs): order every shingle set by a GLOBAL total
+    order; two sets with j >= t MUST share an element within their
+    first n - ceil(t*n) + 1 elements, so only prefix tokens generate
+    candidates. Losslessness holds for ANY total order; the choice
+    trades candidate-generation cost against bucket skew:
 
-    Scale shape: one shuffle by shingle hash (document frequencies),
-    one by doc id (prefix rank), then the candidate self-join touches
-    ONLY prefix postings — bucket sizes are df-bounded and skew-capped
-    by construction (the rarest-first order puts the most selective
-    tokens in prefixes). Verification joins the full (hashed) sets back
-    by id. No recall loss at any step; minhash LSH remains the
-    approximate alternative when even prefix postings are too hot.
+    - ``order="df"`` (default): rarest-first (document frequency, then
+      hash). Costs one shuffle by shingle (df counts) + one by doc id
+      (prefix rank), but prefixes hold the most SELECTIVE tokens —
+      candidate buckets are df-bounded, stopword shingles never reach a
+      prefix. The production default for open-vocabulary text.
+    - ``order="hash"``: the hash itself is the order. Candidate
+      generation becomes ZERO-shuffle (prefix = array_sort + slice on
+      the already-materialized set, scan-parallel), but a prefix can
+      contain a high-df shingle whose posting bucket joins
+      quadratically — acceptable when the vocabulary has no heavy
+      hitters (measured trade in SCALE.md).
+
+    Verification joins the full (hashed) sets back by id. No recall
+    loss at any step; minhash LSH remains the approximate alternative
+    when even prefix postings are too hot.
     Output: (doc_a, doc_b, jaccard).
     """
+    if order not in ("df", "hash"):
+        raise ValueError(f"order must be 'df' or 'hash': {order!r}")
     base = df.select(F.col(id_col), F.col(text_col))
     sh = shingle_sets(base, id_col, text_col, k)
     hashed = (
@@ -490,21 +500,29 @@ def prefix_filter_jaccard_pairs(
         .where(F.col("_n") > 0)
         .localCheckpoint(eager=False)  # feeds df-count, prefix, verify
     )
-    ex = hashed.select(F.col(id_col), F.explode("bh").alias("h"))
-    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-    rank_w = Window.partitionBy(id_col).orderBy("_df", "h")
     prefix_len = (
         F.col("_n")
         - F.ceil(F.lit(threshold) * F.col("_n")).cast("int")
         + F.lit(1)
     )
-    pref = (
-        ex.join(dfreq, "h")
-        .withColumn("_rn", F.row_number().over(rank_w))
-        .join(hashed.select(id_col, "_n"), id_col)
-        .where(F.col("_rn") <= prefix_len)
-        .select(F.col(id_col), "h")
-    )
+    if order == "hash":
+        pref = hashed.select(
+            F.col(id_col),
+            F.explode(
+                F.slice(F.array_sort("bh"), 1, prefix_len)
+            ).alias("h"),
+        )
+    else:
+        ex = hashed.select(F.col(id_col), F.explode("bh").alias("h"))
+        dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        rank_w = Window.partitionBy(id_col).orderBy("_df", "h")
+        pref = (
+            ex.join(dfreq, "h")
+            .withColumn("_rn", F.row_number().over(rank_w))
+            .join(hashed.select(id_col, "_n"), id_col)
+            .where(F.col("_rn") <= prefix_len)
+            .select(F.col(id_col), "h")
+        )
     cand = (
         pref.select(F.col(id_col).alias("doc_a"), "h")
         .join(pref.select(F.col(id_col).alias("doc_b"), "h"), "h")

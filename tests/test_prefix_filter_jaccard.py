@@ -35,3 +35,27 @@ def test_prefix_filter_supersets_blocked(spark, sf_dir):
         (a, b, j) for (a, b, j) in prefix if lang[a] == lang[b]
     }
     assert same_lang_prefix == blocked
+
+
+def test_hash_order_equals_df_order(spark, sf_dir):
+    """Losslessness is order-independent: the zero-shuffle hash-order
+    variant must produce the identical pair set (candidates differ,
+    the verified output cannot)."""
+    from flink_state_eviction_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df_pairs = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", order="df"
+        ).collect()
+    }
+    hash_pairs = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", order="hash"
+        ).collect()
+    }
+    assert df_pairs == hash_pairs and df_pairs
