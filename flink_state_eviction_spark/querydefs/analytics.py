@@ -429,3 +429,75 @@ def corpus_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2"), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-key OLS trend: slope/intercept of value over time from exact sums
+
+_TREND_ORACLE = """
+WITH s AS (
+    SELECT user_id,
+           COUNT(*) AS n,
+           SUM((epoch_ms(ts) // 60000)) AS sx,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+           SUM((epoch_ms(ts) // 60000)
+               * (epoch_ms(ts) // 60000)) AS sxx,
+           SUM(CAST((epoch_ms(ts) // 60000) AS DECIMAL(28,2))
+               * CAST(value AS DECIMAL(18,2))) AS sxy
+    FROM events GROUP BY user_id HAVING COUNT(*) >= 2
+)
+SELECT user_id, n,
+       CAST(
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS DOUBLE) AS slope_per_min
+FROM s
+WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+"""
+
+
+@register_supplementary(
+    "user_value_trend", _TREND_ORACLE, tags=("core", "range")
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time (slope per minute),
+    computed from EXACT aggregates: integer minute timestamps, DECIMAL
+    value sums and cross-products — one grouped pass, the five
+    sufficient statistics, then one double evaluation of the
+    closed-form slope (identical op order in the oracle). The classic
+    map-side-combinable formulation: no window, no per-key sort, no
+    second scan — trend detection at 100 TB is ONE aggregation.
+    Degenerate keys (single event, zero time variance) are excluded
+    exactly on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.expr("unix_millis(ts) div 60000")
+    y = F.col("value").cast("decimal(18,2)")
+    s = (
+        ev.select("user_id", x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x").cast("decimal(28,2)") * F.col("y")).alias(
+                "sxy"
+            ),
+        )
+        .where(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    det = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / det
+    return (
+        s.where(det != 0)
+        .select("user_id", "n", slope.cast("double").alias("slope_per_min"))
+    )
