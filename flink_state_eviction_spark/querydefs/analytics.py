@@ -501,3 +501,75 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.where(det != 0)
         .select("user_id", "n", slope.cast("double").alias("slope_per_min"))
     )
+
+
+# ---------------------------------------------------------------------------
+# robust outliers: median / MAD per event type (two exact grouped
+# quantile passes — the robust sibling of the z-score queries)
+
+_MAD_ORACLE = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY 1
+),
+mad AS (
+    SELECT e.event_type,
+           quantile_cont(abs(e.value - m.med), 0.5) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - m.med) / (0.6744897501960817 * d.mad), 6)
+           AS robust_z
+FROM events e
+JOIN med m ON e.event_type = m.event_type
+JOIN mad d ON e.event_type = d.event_type
+WHERE d.mad > 0
+  AND abs((e.value - m.med) / (0.6744897501960817 * d.mad)) > 3.5
+"""
+
+
+@register_supplementary(
+    "events_outliers_mad", _MAD_ORACLE, tags=("core", "range")
+)
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags per event type: modified z-score
+    (value - median) / (0.6745 * MAD) > 3.5 (Iglewicz & Hoaglin 1993)
+    — the robust sibling of `events_anomaly_zscore`, immune to the
+    outliers inflating mean/stddev. Median and MAD are EXACT grouped
+    quantiles (Spark `percentile` == DuckDB `quantile_cont`, Hive
+    interpolation, identical bit-level results).
+
+    Scale shape: two grouped exact-quantile passes (each sorts within
+    the event_type groups) + one broadcast of the |types|-row stats
+    back onto the scan. At 100 TB swap `percentile` for
+    `percentile_approx` (mergeable t-digest) — same plan, bounded
+    error; this query pins the exact path."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    consistency = 0.6744897501960817
+    rz = (F.col("value") - F.col("med")) / (
+        F.lit(consistency) * F.col("mad")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .withColumn("robust_z", rz)
+        .where(F.abs(F.col("robust_z")) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("robust_z", 6).alias("robust_z"),
+        )
+    )
