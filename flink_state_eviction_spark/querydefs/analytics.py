@@ -41,7 +41,7 @@ HAVING COUNT(*) * {K_HH} > (SELECT n FROM tot)
 
 
 @register_supplementary(
-    "events_heavy_hitters", _HH_ORACLE, tags=("pipeline", "skew")
+    "events_heavy_hitters", _HH_ORACLE, headline=True, tags=("pipeline", "skew")
 )
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phi=1/8 heavy hitters over a 90 %-skewed key

@@ -843,9 +843,9 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X110: overlapping chunking (RAG / long-context prep): fixed-size
 # token windows with overlap, provenance preserved
 
-CHUNK_TOKENS = 64
-CHUNK_OVERLAP = 8
-_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+RAG_CHUNK_TOKENS = 64
+RAG_CHUNK_OVERLAP = 8
+_RAG_STRIDE = RAG_CHUNK_TOKENS - RAG_CHUNK_OVERLAP
 
 _CHUNK_ORACLE = f"""
 WITH toks AS (
@@ -856,15 +856,15 @@ WITH toks AS (
 ),
 nt AS (SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
 starts AS (
-    SELECT doc_id, toks, n, unnest(range(0, n, {_STRIDE})) AS start_tok
+    SELECT doc_id, toks, n, unnest(range(0, n, {_RAG_STRIDE})) AS start_tok
     FROM nt
 )
 SELECT doc_id,
-       CAST(start_tok / {_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start_tok / {_RAG_STRIDE} AS BIGINT) AS chunk_idx,
        start_tok,
-       least({CHUNK_TOKENS}, n - start_tok) AS n_tok,
+       least({RAG_CHUNK_TOKENS}, n - start_tok) AS n_tok,
        md5(array_to_string(
-           toks[start_tok + 1 : start_tok + {CHUNK_TOKENS}], ' '))
+           toks[start_tok + 1 : start_tok + {RAG_CHUNK_TOKENS}], ' '))
            AS chunk_md5
 FROM starts
 """
@@ -898,20 +898,20 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_toks",
         "n",
         F.explode(
-            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_STRIDE))
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_RAG_STRIDE))
         ).alias("start_tok"),
     )
     return starts.select(
         "doc_id",
-        (F.col("start_tok") / _STRIDE).cast("long").alias("chunk_idx"),
+        (F.col("start_tok") / _RAG_STRIDE).cast("long").alias("chunk_idx"),
         F.col("start_tok").cast("long").alias("start_tok"),
-        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start_tok"))
+        F.least(F.lit(RAG_CHUNK_TOKENS), F.col("n") - F.col("start_tok"))
         .cast("long")
         .alias("n_tok"),
         F.md5(
             F.concat_ws(
                 " ",
-                F.slice(F.col("_toks"), F.col("start_tok") + 1, CHUNK_TOKENS),
+                F.slice(F.col("_toks"), F.col("start_tok") + 1, RAG_CHUNK_TOKENS),
             )
         ).alias("chunk_md5"),
     )
