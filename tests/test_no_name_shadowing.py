@@ -1,0 +1,34 @@
+"""Guard against module-level name shadowing in querydefs: a later
+constant redefinition silently rewires earlier queries' runtime
+behavior while their import-time oracle strings keep the old value —
+exactly the bug that repacked sequence_pack_chunks at 64 tokens when a
+new query introduced its own CHUNK_TOKENS. AST-level, so it catches
+the collision even when every individual query test still passes."""
+
+from __future__ import annotations
+
+import ast
+import collections
+import glob
+import os
+
+QUERYDEFS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "flink_state_eviction_spark",
+    "querydefs",
+)
+
+
+def test_no_duplicate_module_level_names():
+    for path in sorted(glob.glob(os.path.join(QUERYDEFS, "*.py"))):
+        tree = ast.parse(open(path).read())
+        names = collections.Counter()
+        for node in tree.body:
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        names[t.id] += 1
+            elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                names[node.name] += 1
+        dups = {k: v for k, v in names.items() if v > 1}
+        assert not dups, f"{os.path.basename(path)}: shadowed names {dups}"
