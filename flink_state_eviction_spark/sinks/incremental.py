@@ -1,0 +1,104 @@
+"""Incremental aggregate maintenance (materialized-view refresh) over a
+plain-parquet partial-aggregate store.
+
+Extension beyond the reference surface, completing the write-side lake
+trio (merge.py, manifest.py): a grouped aggregate over an append-only
+fact stream maintained WITHOUT rescanning history. The store holds one
+row per group of ALGEBRAIC partials (sum/count/min/max — decimal-exact
+where exactness matters); each refresh:
+
+1. aggregates ONLY the new batch to batch-partials (map-side
+   combinable, batch-sized),
+2. hash-shards the group key into a partition column, reads back ONLY
+   the store shards containing touched groups,
+3. re-merges (union + one grouped pass over store-rows + batch-rows of
+   the touched shards) and rewrites ONLY those shard directories
+   (dynamic partition overwrite, eager materialization first — the
+   overwrite-reads-own-input rule, see merge.py).
+
+At 100 TB: refresh cost is O(batch + touched shards), never O(history).
+The shard count bounds rewrite amplification (a batch touching k groups
+rewrites <= min(k, n_shards) directories); the serving read computes
+finals from partials (e.g. avg = sum/count) — the classic algebraic
+materialized-view contract. Idempotent replay safety composes with
+IdempotentBatchSink markers when driven from foreachBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SHARD_COL = "_shard"
+
+
+def _with_shard(df: DataFrame, key_cols: Sequence[str], n_shards: int) -> DataFrame:
+    return df.withColumn(
+        SHARD_COL,
+        F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_shards)),
+    )
+
+
+def refresh_partial_aggregate(
+    spark: SparkSession,
+    store_path: str,
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    partial_aggs: dict[str, Column],
+    merge_aggs: dict[str, Column],
+    n_shards: int = 16,
+) -> None:
+    """Fold ``batch`` into the partial-aggregate store at
+    ``store_path``. ``partial_aggs``: name -> aggregate over raw batch
+    rows. ``merge_aggs``: name -> aggregate over partial columns (must
+    be the algebraic merge: SUM over sums/counts, MIN over mins, ...).
+    Creates the store on first call."""
+    batch_part = _with_shard(
+        batch.groupBy(*key_cols).agg(
+            *[a.alias(n) for n, a in partial_aggs.items()]
+        ),
+        key_cols,
+        n_shards,
+    )
+    try:
+        stored = spark.read.parquet(store_path)
+        exists = True
+    except Exception:
+        exists = False
+    if not exists:
+        (
+            batch_part.write.partitionBy(SHARD_COL)
+            .parquet(store_path)
+        )
+        return
+    touched = [
+        r[0] for r in batch_part.select(SHARD_COL).distinct().collect()
+    ]
+    merged = (
+        stored.where(F.col(SHARD_COL).isin(touched))
+        .unionByName(batch_part)
+        .groupBy(*key_cols, SHARD_COL)
+        .agg(*[a.alias(n) for n, a in merge_aggs.items()])
+        .localCheckpoint(eager=True)  # materialize before the overwrite
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(SHARD_COL)
+        .parquet(store_path)
+    )
+
+
+def read_aggregate(
+    spark: SparkSession,
+    store_path: str,
+    final_exprs: dict[str, Column],
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Serve finals from the partial store: one scan of the (tiny,
+    one-row-per-group) store, no fact access."""
+    return spark.read.parquet(store_path).select(
+        *key_cols, *[e.alias(n) for n, e in final_exprs.items()]
+    )

@@ -1,0 +1,122 @@
+"""sinks/incremental.py: incremental aggregate maintenance equals the
+full recompute — batch-by-batch refresh over event splits, decimal-
+exact partials, untouched shards not rewritten, serving reads touch
+only the store.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.sinks.incremental import (
+    SHARD_COL,
+    read_aggregate,
+    refresh_partial_aggregate,
+)
+from flink_state_eviction_spark.tables import load_table
+
+PARTIALS = {
+    "psum": lambda: F.sum(F.col("value").cast("decimal(18,2)")),
+    "pcnt": lambda: F.count(F.lit(1)),
+}
+MERGES = {
+    "psum": lambda: F.sum("psum"),
+    "pcnt": lambda: F.sum("pcnt"),
+}
+FINALS = {
+    "n_rows": lambda: F.col("pcnt"),
+    "sum_value": lambda: F.col("psum").cast("double"),
+    "avg_value": lambda: F.col("psum").cast("double") / F.col("pcnt"),
+}
+
+
+def _refresh(spark, path, batch):
+    refresh_partial_aggregate(
+        spark,
+        path,
+        batch,
+        ["user_id"],
+        {n: f() for n, f in PARTIALS.items()},
+        {n: f() for n, f in MERGES.items()},
+        n_shards=8,
+    )
+
+
+def test_incremental_equals_full_recompute(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "store")
+    # three refresh rounds over disjoint event slices
+    for lo, hi in ((0, 300), (300, 700), (700, 10**9)):
+        _refresh(
+            spark,
+            path,
+            ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi)),
+        )
+    served = {
+        r.user_id: (r.n_rows, r.sum_value, round(r.avg_value, 9))
+        for r in read_aggregate(
+            spark, path, {n: f() for n, f in FINALS.items()}, ["user_id"]
+        ).collect()
+    }
+    full = {
+        r.user_id: (r.n_rows, r.sum_value, round(r.avg_value, 9))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+        .collect()
+    }
+    assert served == full
+    # one row per group in the store
+    store = spark.read.parquet(path)
+    assert store.count() == store.select("user_id").distinct().count()
+
+
+def test_untouched_shards_not_rewritten(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "store2")
+    _refresh(spark, path, ev)
+    # find one user and its shard; refresh with ONLY that user's rows
+    store = spark.read.parquet(path)
+    probe = store.select("user_id", SHARD_COL).head()
+    victim_shard = [
+        r[0]
+        for r in store.select(SHARD_COL).distinct().collect()
+        if r[0] != probe[SHARD_COL]
+    ][0]
+    victim_dir = os.path.join(path, f"{SHARD_COL}={victim_shard}")
+    before = {
+        f: os.path.getmtime(os.path.join(victim_dir, f))
+        for f in os.listdir(victim_dir)
+    }
+    time.sleep(1.1)
+    _refresh(spark, path, ev.where(F.col("user_id") == probe.user_id))
+    after = {
+        f: os.path.getmtime(os.path.join(victim_dir, f))
+        for f in os.listdir(victim_dir)
+    }
+    assert before == after  # untouched shard directory survived intact
+
+
+def test_refresh_is_o_batch_not_o_history(spark, sf_dir, tmp_path):
+    # the refresh plan must not scan the FACT table beyond the batch:
+    # it reads the batch plus the touched STORE shards. We assert the
+    # store read carries a shard-partition filter (partition pruning).
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "store3")
+    _refresh(spark, path, ev.where(F.col("event_id") < 500))
+    stored = spark.read.parquet(path)
+    pruned = stored.where(F.col(SHARD_COL).isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert SHARD_COL in plan.split("PartitionFilters")[1][:200]
