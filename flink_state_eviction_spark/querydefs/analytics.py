@@ -573,3 +573,104 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("robust_z", 6).alias("robust_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# association rules over co-purchased parts (market-basket analytics)
+
+_ASSOC_MIN_PAIR = 3
+
+_ASSOC_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+item AS (SELECT l_partkey, COUNT(*) AS cnt FROM op GROUP BY 1),
+pair AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS cnt_ab
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_ASSOC_MIN_PAIR}
+)
+SELECT part_a, part_b, cnt_ab,
+       round(CAST(cnt_ab AS DOUBLE) / (SELECT n_orders FROM n), 6)
+           AS support,
+       round(CAST(cnt_ab AS DOUBLE) / ia.cnt, 6) AS confidence_a_to_b,
+       round(CAST(cnt_ab AS DOUBLE) * (SELECT n_orders FROM n)
+             / (CAST(ia.cnt AS DOUBLE) * ib.cnt), 6) AS lift
+FROM pair
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+ORDER BY lift DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register_supplementary(
+    "part_association_rules", _ASSOC_ORACLE, tags=("tpch", "graph")
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased part pairs:
+    support, confidence(a->b), lift — the frequent-itemset-of-size-2
+    core of recommendation mining, top-20 by lift (deterministic
+    tie-break). Exact integer counts everywhere; the three ratios are
+    single double divisions in identical order on both engines.
+
+    Scale shape: pair counts come from the per-order self-join
+    (bounded by order size squared — order sizes are domain-bounded),
+    aggregated with map-side combine; item counts and the 1-row order
+    total ride broadcasts onto the (already small, min-support-pruned)
+    pair table; final ranking is TakeOrderedAndProject. The min-support
+    HAVING prunes the pair table before any join — the a-priori
+    property applied at the first aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=False
+    )  # feeds order total, item counts, pair counts
+    n_orders = op.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item = op.groupBy(F.col("l_partkey")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pair = (
+        op.alias("a")
+        .join(op.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt_ab"))
+        .where(F.col("cnt_ab") >= _ASSOC_MIN_PAIR)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    joined = (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return (
+        joined.select(
+            "part_a",
+            "part_b",
+            "cnt_ab",
+            F.round(
+                F.col("cnt_ab").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(
+                F.col("cnt_ab").cast("double") / F.col("cnt_a"), 6
+            ).alias("confidence_a_to_b"),
+            F.round(
+                F.col("cnt_ab").cast("double") * F.col("n_orders")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )
