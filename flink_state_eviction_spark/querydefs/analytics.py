@@ -674,3 +674,94 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped approximate quantiles from per-group fixed histograms — the
+# scalable per-group sibling of the exact `value_quantiles_by_type`
+
+
+def _grouped_hist_oracle() -> str:
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _HIST_BINS,
+        _HIST_WIDTH,
+    )
+
+    return f"""
+WITH b AS (
+    SELECT event_type,
+           LEAST(CAST(FLOOR(value / {_HIST_WIDTH}) AS BIGINT),
+                 {_HIST_BINS - 1}) AS bin
+    FROM events
+),
+c AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+    SELECT event_type, bin,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM c
+),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) AS t(q))
+SELECT event_type, q,
+       CAST(MIN(CASE WHEN cum >= q * n
+                THEN (bin + 1) * {_HIST_WIDTH} END) AS DOUBLE)
+           AS approx_value
+FROM qs CROSS JOIN cum
+GROUP BY event_type, q
+"""
+
+
+@register_supplementary(
+    "histogram_quantiles_by_type", _grouped_hist_oracle(), tags=("pipeline",)
+)
+def histogram_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group approximate p50/p90/p99 from per-group 256-bin
+    histograms — the mergeable, bounded-error (<= bin width) per-group
+    path where the exact `value_quantiles_by_type` sorts every group.
+
+    Scale shape: one scan -> map-side partial (group, bin) counts ->
+    one exchange of |groups| x 256 rows; the cumulative pass and the
+    quantile extraction run over that fixed-footprint table. Shard
+    histograms merge by bin-wise addition, so per-day partials roll up
+    without touching raw data."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _HIST_BINS,
+        _HIST_WIDTH,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / _HIST_WIDTH).cast("long"),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin"),
+    )
+    c = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    return (
+        qs.crossJoin(cum)
+        .groupBy("event_type", "q")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.col("q") * F.col("n"),
+                    (F.col("bin") + 1) * _HIST_WIDTH,
+                )
+            )
+            .cast("double")
+            .alias("approx_value")
+        )
+    )

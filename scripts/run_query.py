@@ -31,6 +31,9 @@ def main() -> int:
                     help="print the formatted physical plan")
     ap.add_argument("--oracle", action="store_true",
                     help="print the DuckDB oracle SQL")
+    ap.add_argument("--compare", action="store_true",
+                    help="run Spark AND the DuckDB oracle, report the "
+                    "driver-style match verdict")
     ap.add_argument("--limit", type=int, default=20)
     ap.add_argument("--out", help="write full result as parquet here")
     ap.add_argument("--list", action="store_true",
@@ -66,6 +69,53 @@ def main() -> int:
     from flink_state_eviction_spark.session import get_spark
 
     spark = get_spark(f"run-{args.query}")
+
+    if args.compare:
+        import math
+
+        import duckdb
+
+        if q.oracle is None:
+            print("no SQL oracle registered (rows-only query)")
+            return 0
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{args.sf_dir}/{t}.parquet'"
+            )
+        sp = q.fn(spark, args.sf_dir).toPandas()
+        du = con.execute(q.oracle).fetchdf()
+
+        def norm(v):
+            return (
+                "NaN" if isinstance(v, float) and math.isnan(v) else v
+            )
+
+        def rows(pdf):
+            cols = sorted(pdf.columns)
+            rs = [
+                tuple(norm(v) for v in r)
+                for r in pdf[cols].itertuples(index=False)
+            ]
+            return sorted(
+                rs, key=lambda t: tuple((v is None, str(v)) for v in t)
+            )
+
+        ok_cols = sorted(sp.columns) == sorted(du.columns)
+        ok_dtypes = ok_cols and all(
+            str(sp[c].dtype) == str(du[c].dtype) for c in sp.columns
+        )
+        ok_rows = len(sp) == len(du) and rows(sp) == rows(du)
+        print(
+            f"{args.query}: spark_rows={len(sp)} oracle_rows={len(du)} "
+            f"columns={'OK' if ok_cols else 'MISMATCH'} "
+            f"dtypes={'OK' if ok_dtypes else 'MISMATCH'} "
+            f"values={'OK' if ok_rows else 'MISMATCH'}"
+        )
+        return 0 if (ok_cols and ok_dtypes and ok_rows) else 1
+
     t0 = time.perf_counter()
     df = q.fn(spark, args.sf_dir)
     if args.explain:
