@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Fleet-wide physical-plan audit: build EVERY registered query at
+sf0.001 and flag the two classic scale-killers —
+
+- ``CartesianProduct`` (a non-broadcast cross join: O(n*m) tasks);
+- ``Exchange SinglePartition`` on a data-bearing path (the whole
+  input serializes through one task). Global aggregates legitimately
+  produce a 1-row single partition, so findings here are REVIEW
+  flags, not hard failures; the per-query plan gates in
+  tests/test_plan_quality.py pin the paths already audited.
+
+Usage: python scripts/plan_audit.py [--sf-dir DIR]
+Prints one line per finding; exits 1 if any CartesianProduct found.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    from flink_state_eviction_spark import queries as Q
+    from flink_state_eviction_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    bad = 0
+    for name, fn in sorted(Q.all_queries().items()):
+        try:
+            plan = (
+                fn(spark, args.sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: PLAN BUILD FAILED: {e}")
+            bad += 1
+            continue
+        if "CartesianProduct" in plan:
+            print(f"{name}: CartesianProduct")
+            bad += 1
+        n_single = plan.count("Exchange SinglePartition")
+        if n_single:
+            print(f"{name}: {n_single}x Exchange SinglePartition (review)")
+    print(f"audited {len(Q.all_queries())} queries, {bad} hard findings")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
