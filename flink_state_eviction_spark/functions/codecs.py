@@ -148,10 +148,70 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     return sample_rate, np.frombuffer(data, dtype="<i2")
 
 
+def encode_ppm(px: "np.ndarray") -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM (P6, maxval 255):
+    ASCII header, then raw top-down row-major RGB bytes — the simplest
+    REAL image container (Netpbm spec)."""
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (H, W, 3) pixel array")
+    h, w = px.shape[:2]
+    return (
+        f"P6\n{w} {h}\n255\n".encode("ascii")
+        + px.astype(np.uint8).tobytes()
+    )
+
+
+def decode_ppm(buf: bytes) -> "np.ndarray":
+    """Parse a binary PPM (P6): whitespace-separated width/height/
+    maxval header (comments '#' to end-of-line allowed, per spec),
+    single whitespace byte, then w*h*3 raw bytes. Raises ValueError on
+    any malformation — the decode_media executors rely on the
+    ValueError contract for corrupt payloads."""
+    if len(buf) < 2 or buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(buf):
+            raise ValueError("PPM header truncated")
+        c = buf[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            nl = buf.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("PPM comment runs past EOF")
+            pos = nl + 1
+        elif ord("0") <= c <= ord("9"):
+            end = pos
+            while end < len(buf) and ord("0") <= buf[end] <= ord("9"):
+                end += 1
+            fields.append(int(buf[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"unexpected byte {c!r} in PPM header")
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PPM dimensions {w}x{h}")
+    if pos >= len(buf) or buf[pos] not in b" \t\r\n":
+        raise ValueError("PPM header not terminated by whitespace")
+    pos += 1
+    need = w * h * 3
+    raster = buf[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(
+            f"PPM raster declares {need} bytes, {len(raster)} present"
+        )
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
 def sniff_container(buf: bytes) -> str:
-    """Identify the container from magic bytes: 'bmp' | 'wav'."""
+    """Identify the container from magic bytes: 'bmp' | 'wav' | 'ppm'."""
     if len(buf) >= 2 and buf[:2] == b"BM":
         return "bmp"
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if len(buf) >= 3 and buf[:2] == b"P6" and buf[2] in b" \t\r\n#":
+        return "ppm"
     raise ValueError("unrecognized media container")

@@ -91,6 +91,33 @@ def bmp_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def ppm_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL binary-PPM payloads: each doc gets a
+    (h48%9+1) x (h48%7+1) P6 image whose raster byte j equals
+    (doc_id%256 * 3 + j * 5) % 256 — closed-form for the SQL oracle,
+    genuine Netpbm container on the wire. Output: (doc_id, media)."""
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import encode_ppm
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            medias = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _h48(text)
+                w, ht, d = h % 9 + 1, h % 7 + 1, int(doc_id) % 256
+                j = np.arange(w * ht * 3, dtype=np.int64)
+                px = ((d * 3 + j * 5) % 256).astype(np.uint8).reshape(ht, w, 3)
+                medias.append(encode_ppm(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, media binary"
+    )
+
+
 def wav_media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic REAL PCM16 WAV payloads: n = h48%300+10 samples at
     8000+(doc_id%256%5)*1000 Hz, sample i = ((d*31 + i*7) % 2048) - 1024.
@@ -311,6 +338,7 @@ def decode_media(
 
     from flink_state_eviction_spark.functions.codecs import (
         decode_bmp,
+        decode_ppm,
         decode_wav,
         sniff_container,
     )
@@ -323,8 +351,8 @@ def decode_media(
             for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
                 buf = bytes(media)
                 kind = sniff_container(buf)
-                if kind == "bmp":
-                    px = decode_bmp(buf)
+                if kind in ("bmp", "ppm"):
+                    px = decode_bmp(buf) if kind == "bmp" else decode_ppm(buf)
                     vals = px.reshape(-1).astype(np.int64)
                     width, height, sr = px.shape[1], px.shape[0], None
                 else:

@@ -765,3 +765,60 @@ def histogram_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("approx_value")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# third REAL codec: binary PPM (Netpbm P6)
+
+_PPM_DECODE_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, CAST(h % 9 + 1 AS INT) AS width,
+           CAST(h % 7 + 1 AS INT) AS height, d
+    FROM m
+),
+px AS (
+    SELECT doc_id, width, height, d,
+           unnest(generate_series(0, width * height * 3 - 1)) AS j
+    FROM dims
+)
+SELECT doc_id, width, height,
+       CAST(width * height * 3 AS BIGINT) AS n_values,
+       CAST(SUM((d * 3 + j * 5) % 256) AS BIGINT) AS sum_values,
+       CAST(SUM((j + 1) * ((d * 3 + j * 5) % 256)) AS BIGINT)
+           AS wsum_values,
+       round(CAST(SUM((d * 3 + j * 5) % 256) AS DOUBLE)
+             / (width * height * 3), 6) AS mean_value
+FROM px GROUP BY 1, 2, 3, d
+"""
+
+
+@register_supplementary(
+    "multimodal_decode_ppm",
+    _PPM_DECODE_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary-PPM decode (third container next to BMP X23 and WAV
+    X24): spec-conformant P6 payloads — ASCII header with comment
+    support, raw RGB raster — generated per document, parsed back by
+    the pure-Python decoder (functions/codecs.py:decode_ppm), features
+    position-weighted so layout bugs can't cancel. The oracle
+    integrates the raster formula in closed form. Scan-parallel
+    mapInPandas both ways — no shuffle."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        decode_media,
+        ppm_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_media(ppm_media_from_documents(docs))
+    return out.select(
+        "doc_id", "width", "height", "n_values", "sum_values",
+        "wsum_values", "mean_value",
+    )

@@ -56,6 +56,7 @@ SAMPLE = [
     "quality_filter_gopher",
     "multimodal_decode_bmp",
     "multimodal_decode_wav",
+    "multimodal_decode_ppm",
     "multimodal_resize_decode",
     "text_profile",
     "custkeys_churn_retention",

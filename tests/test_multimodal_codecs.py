@@ -137,3 +137,50 @@ def test_sniff_container():
     assert sniff_container(GOLDEN_WAV) == "wav"
     with pytest.raises(ValueError):
         sniff_container(b"\x00\x01\x02")
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6) codec
+
+
+def test_ppm_roundtrip_and_comments():
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import (
+        decode_ppm,
+        encode_ppm,
+        sniff_container,
+    )
+
+    px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    buf = encode_ppm(px)
+    assert sniff_container(buf) == "ppm"
+    assert (decode_ppm(buf) == px).all()
+    # spec allows comments and arbitrary whitespace in the header
+    commented = b"P6 # inline\n# full line\n 5\t4 \n255\n" + px.tobytes()
+    assert (decode_ppm(commented) == px).all()
+
+
+def test_ppm_corrupt_payloads_raise_valueerror():
+    import numpy as np
+    import pytest
+
+    from flink_state_eviction_spark.functions.codecs import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_ppm(px)
+    bad = [
+        b"P5\n2 2\n255\n" + b"\0" * 12,   # wrong magic
+        b"P6\n2 2\n65535\n" + b"\0" * 24,  # unsupported maxval
+        b"P6\n0 2\n255\n",                 # zero dimension
+        good[:-1],                         # truncated raster
+        b"P6\n2 2\n255",                   # header not terminated
+        b"P6\n# endless comment",          # comment past EOF
+        b"P6\nx 2\n255\n",                 # junk in header
+    ]
+    for buf in bad:
+        with pytest.raises(ValueError):
+            decode_ppm(buf)
