@@ -822,3 +822,90 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "width", "height", "n_values", "sum_values",
         "wsum_values", "mean_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# mixed-container media table: the sniffer path under heterogeneity
+
+_MIXED_MEDIA_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d, doc_id % 3 AS pick
+    FROM documents
+),
+bmp AS (
+    SELECT doc_id, 'bmp' AS container, (h % 12 + 1) * (h % 10 + 1) * 3 AS n,
+           d FROM m WHERE pick = 0
+),
+wav AS (
+    SELECT doc_id, 'wav' AS container, h % 300 + 10 AS n, d
+    FROM m WHERE pick = 1
+),
+ppm AS (
+    SELECT doc_id, 'ppm' AS container, (h % 9 + 1) * (h % 7 + 1) * 3 AS n,
+           d FROM m WHERE pick = 2
+),
+allm AS (
+    SELECT * FROM bmp UNION ALL SELECT * FROM wav UNION ALL
+    SELECT * FROM ppm
+),
+vals AS (
+    SELECT doc_id, container, n, d,
+           unnest(generate_series(0, n - 1)) AS j
+    FROM allm
+),
+pv AS (
+    SELECT doc_id, container, n,
+           CASE container
+               WHEN 'bmp' THEN (d + j) % 256
+               WHEN 'ppm' THEN (d * 3 + j * 5) % 256
+               ELSE ((d * 31 + j * 7) % 2048) - 1024
+           END AS v
+    FROM vals
+)
+SELECT container, COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(v) AS BIGINT) AS sum_values
+FROM pv GROUP BY container
+"""
+
+
+@register_supplementary(
+    "multimodal_mixed_media",
+    _MIXED_MEDIA_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One media table holding ALL THREE real containers (doc_id % 3
+    picks BMP / WAV / PPM), decoded through the magic-byte sniffer —
+    the realistic heterogeneous-lake case the single-container queries
+    don't exercise. Per-container doc counts and exact value sums; the
+    oracle regenerates each container's formula behind the same pick.
+
+    Scale shape: union of three scan-parallel generators, one
+    mapInPandas decode pass, |containers|-row aggregate."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_media_from_documents,
+        decode_media,
+        ppm_media_from_documents,
+        wav_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        bmp_media_from_documents(docs.where(F.col("doc_id") % 3 == 0))
+        .unionByName(
+            wav_media_from_documents(docs.where(F.col("doc_id") % 3 == 1))
+        )
+        .unionByName(
+            ppm_media_from_documents(docs.where(F.col("doc_id") % 3 == 2))
+        )
+    )
+    return (
+        decode_media(media)
+        .groupBy("container")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("sum_values").alias("sum_values"),
+        )
+    )
