@@ -1877,3 +1877,119 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# month-over-month revenue growth (time-series growth analytics)
+
+_MOM_ORACLE = """
+WITH monthly AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1, 2
+)
+SELECT y, m, revenue,
+       round(
+         (revenue - LAG(revenue) OVER (ORDER BY y, m))
+         / LAG(revenue) OVER (ORDER BY y, m), 6) AS mom_growth
+FROM monthly
+"""
+
+
+@register_supplementary("orders_mom_growth", _MOM_ORACLE, tags=("tpch",))
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: decimal-exact monthly sums,
+    then LAG over the (tiny, months-sized) aggregate — the time-series
+    growth-rate shape. The window runs over one row per month, never
+    the fact table; NULL growth on the first month on both engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("y", "m")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "y",
+        "m",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+
+_RFM_ORACLE = """
+WITH rfm AS (
+    SELECT o_custkey AS custkey,
+           MAX(o_orderdate) AS last_order,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+    FROM orders GROUP BY 1
+),
+scored AS (
+    SELECT custkey, frequency, monetary,
+           epoch_ms(last_order) AS last_order_ms,
+           ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r,
+           ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f,
+           ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m
+    FROM rfm
+)
+SELECT custkey, last_order_ms, frequency, monetary, r, f, m,
+       CASE WHEN r = 1 AND f = 1 AND m = 1 THEN 'champion'
+            WHEN r = 4 AND f >= 3 THEN 'lost'
+            WHEN r >= 3 THEN 'at_risk'
+            ELSE 'active' END AS segment
+FROM scored
+"""
+
+
+@register_supplementary("customer_rfm_segments", _RFM_ORACLE, tags=("tpch",))
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quartiles (deterministic ntile tie-breaks on custkey) and the
+    classic segment labels — the standard CRM scoring pass. The ntile
+    windows run over the customer-count-sized aggregate (one row per
+    customer), not the orders; at 100 TB the three global quartile
+    windows become per-shard ntiles or exact-quantile cutoffs
+    (X34/X115) — the aggregate shape is what this query pins."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_order"), "custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "custkey")
+    m_w = Window.orderBy(F.desc("monetary"), "custkey")
+    scored = rfm.select(
+        "custkey",
+        F.unix_millis("last_order").alias("last_order_ms"),
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("long").alias("r"),
+        F.ntile(4).over(f_w).cast("long").alias("f"),
+        F.ntile(4).over(m_w).cast("long").alias("m"),
+    )
+    seg = (
+        F.when((F.col("r") == 1) & (F.col("f") == 1) & (F.col("m") == 1),
+               "champion")
+        .when((F.col("r") == 4) & (F.col("f") >= 3), "lost")
+        .when(F.col("r") >= 3, "at_risk")
+        .otherwise("active")
+    )
+    return scored.withColumn("segment", seg)

@@ -143,3 +143,41 @@ def test_compaction_sorted_mode_keeps_cluster_pruning(spark, sf_dir, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, spans
+
+
+def test_partitioned_lake_schema_evolution(spark, sf_dir, tmp_path):
+    """A later batch adds a column (the realistic lake evolution):
+    appended with the wider schema, the table reads back with
+    mergeSchema — old rows NULL in the new column, new rows complete,
+    and partition pruning still works across the mixed files."""
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "evolving")
+    v1 = ev.where(F.col("event_id") < 500).select(
+        "event_id", "event_type", "value"
+    )
+    v1.write.partitionBy("event_type").parquet(path)
+    v2 = ev.where(F.col("event_id") >= 500).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lit("v2").alias("schema_rev"),  # the new column
+    )
+    v2.write.mode("append").partitionBy("event_type").parquet(path)
+
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "schema_rev" in back.columns
+    old = back.where(F.col("event_id") < 500)
+    new = back.where(F.col("event_id") >= 500)
+    assert old.where(F.col("schema_rev").isNotNull()).count() == 0
+    assert new.where(F.col("schema_rev") != "v2").count() == 0
+    assert back.count() == ev.count()
+    # pruning still engages on the partition column over mixed files
+    q = back.where(F.col("event_type") == "click")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+    assert q.count() == ev.where(F.col("event_type") == "click").count()
