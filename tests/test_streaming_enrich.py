@@ -31,3 +31,82 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
         ("a", 1, "alpha"), ("b", 2, "beta"), ("a", 3, "alpha"),
         ("c", 4, "unknown"), ("b", 5, "beta"),
     }
+
+
+def test_control_stream_rule_updates_between_batches(spark, tmp_path):
+    """Dynamic control-plane updates — the micro-batch analogue of the
+    reference's Either data/control multiplexing (EitherKeySelector,
+    SURVEY.md O6) and of Flink broadcast state: the enrichment rules
+    live in a tiny table RE-READ at the top of every foreachBatch, so
+    a rule change takes effect at the next micro-batch boundary. The
+    control update itself is issued from inside batch 0 (deterministic
+    under availableNow, where wall-clock racing is impossible)."""
+    import os
+
+    from flink_state_eviction_spark.tables import load_table
+
+    rules_path = str(tmp_path / "rules")
+    out_path = str(tmp_path / "out")
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    # the control table covers EVERY live key (a partial rule table
+    # left-joins NULLs and the parity below would miss them)
+    ev.select("event_type").distinct().withColumn(
+        "rule", F.lit("v1")
+    ).write.parquet(rules_path)
+
+    def fold(batch_df, batch_id):
+        rules = spark.read.parquet(rules_path)  # control-plane read
+        (
+            batch_df.join(F.broadcast(rules), "event_type", "left")
+            .select("event_id", "event_type", "rule")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        if batch_id == 0:
+            # control update: next batch must see v2 (eager materialize
+            # before overwriting the table this lineage read)
+            v2 = (
+                rules.withColumn("rule", F.lit("v2"))
+                .localCheckpoint(eager=True)
+            )
+            v2.write.mode("overwrite").parquet(rules_path)
+
+    # two single-file triggers -> two batches over the same events file
+    # won't happen from ONE file; split the source into two drops
+    half1 = ev.where(F.col("event_id") < 500)
+    half2 = ev.where(F.col("event_id") >= 500)
+    src = str(tmp_path / "src")
+    half1.coalesce(1).write.parquet(os.path.join(src, "d1"))
+    sev = (
+        spark.readStream.schema(half1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "d*"))
+    )
+    q = (
+        sev.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    half2.coalesce(1).write.parquet(os.path.join(src, "d2"))
+    q2 = (
+        spark.readStream.schema(half1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "d*"))
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(out_path)
+    v1_ids = {r.event_id for r in out.where(F.col("rule") == "v1").collect()}
+    v2_ids = {r.event_id for r in out.where(F.col("rule") == "v2").collect()}
+    assert v1_ids == {r.event_id for r in half1.collect()}
+    assert v2_ids == {r.event_id for r in half2.collect()}
