@@ -909,3 +909,103 @@ def multimodal_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_values").alias("sum_values"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# split leakage check: near-dup pairs crossing the train/val/test split
+
+
+def _leakage_oracle() -> str:
+    from flink_state_eviction_spark.querydefs.pipeline import _MINHASH_BODY
+
+    jac = (
+        "CAST(len(list_intersect(sa.bh, sb.bh)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(sa.bh, sb.bh))) AS DOUBLE)"
+    )
+    return f"""
+WITH {_MINHASH_BODY},
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN bhs sa ON sa.doc_id = c.doc_a
+    JOIN bhs sb ON sb.doc_id = c.doc_b
+    WHERE {jac} >= 0.8
+),
+sp AS (
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substring(
+                    md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST(('0x' || substring(
+                    md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT LEAST(a.split, b.split) AS split_a,
+       GREATEST(a.split, b.split) AS split_b,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaks
+FROM pairs p
+JOIN sp a ON a.doc_id = p.doc_a
+JOIN sp b ON b.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+
+
+@register_supplementary(
+    "split_leakage_check", _leakage_oracle(), tags=("pipeline", "dedup")
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval LEAKAGE detector: LSH near-dup pairs bucketed by the
+    (deterministic content-hash) split of each endpoint — any pair
+    whose endpoints land in different splits is an eval-set leak
+    (near-identical documents on both sides of the boundary). The
+    composition every training-data pipeline should run after
+    splitting: X8's pair generation x X39's split assignment.
+
+    Scale shape: exactly the LSH join's cost (the split assignment is
+    two pure-expression columns and the split join rides the pair
+    list, orders of magnitude smaller than the corpus)."""
+    from flink_state_eviction_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
+    ).select("doc_a", "doc_b")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    a = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)
+            ).cast("long").alias("n_leaks"),
+        )
+    )
