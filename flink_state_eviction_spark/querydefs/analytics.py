@@ -438,10 +438,10 @@ _TREND_ORACLE = """
 WITH s AS (
     SELECT user_id,
            COUNT(*) AS n,
-           SUM((epoch_ms(ts) // 60000)) AS sx,
+           SUM(CAST((epoch_ms(ts) // 60000) AS DECIMAL(38,0))) AS sx,
            SUM(CAST(value AS DECIMAL(18,2))) AS sy,
-           SUM((epoch_ms(ts) // 60000)
-               * (epoch_ms(ts) // 60000)) AS sxx,
+           SUM(CAST((epoch_ms(ts) // 60000)
+                    * (epoch_ms(ts) // 60000) AS DECIMAL(38,0))) AS sxx,
            SUM(CAST((epoch_ms(ts) // 60000) AS DECIMAL(28,2))
                * CAST(value AS DECIMAL(18,2))) AS sxy
     FROM events GROUP BY user_id HAVING COUNT(*) >= 2
@@ -480,9 +480,13 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
+            # ANSI mode: bigint SUMs of minute-scale x (and x^2 ~ 1e15
+            # per element) overflow on big keys — accumulate decimal
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
             F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(
+                (F.col("x") * F.col("x")).cast("decimal(38,0)")
+            ).alias("sxx"),
             F.sum(F.col("x").cast("decimal(28,2)") * F.col("y")).alias(
                 "sxy"
             ),

@@ -30,6 +30,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 SHARD_COL = "_shard"
 
@@ -55,17 +56,22 @@ def refresh_partial_aggregate(
     rows. ``merge_aggs``: name -> aggregate over partial columns (must
     be the algebraic merge: SUM over sums/counts, MIN over mins, ...).
     Creates the store on first call."""
+    # materialize the batch partials ONCE: they feed both the touched-
+    # shard collect and the merge — without the cut, the whole batch
+    # lineage (fact scan + groupBy) executes twice per refresh
     batch_part = _with_shard(
         batch.groupBy(*key_cols).agg(
             *[a.alias(n) for n, a in partial_aggs.items()]
         ),
         key_cols,
         n_shards,
-    )
+    ).localCheckpoint(eager=True)
     try:
         stored = spark.read.parquet(store_path)
         exists = True
-    except Exception:
+    except AnalysisException:
+        # only "store absent" flows into create; a real read failure on
+        # an existing store must surface, not be misread as first-call
         exists = False
     if not exists:
         (
@@ -81,8 +87,21 @@ def refresh_partial_aggregate(
         .unionByName(batch_part)
         .groupBy(*key_cols, SHARD_COL)
         .agg(*[a.alias(n) for n, a in merge_aggs.items()])
-        .localCheckpoint(eager=True)  # materialize before the overwrite
     )
+    # Spark WIDENS aggregate result types (sum(decimal(28,2)) ->
+    # decimal(38,2)): a partial rewrite with the widened schema would
+    # leave shard directories with CONFLICTING parquet types and break
+    # every later read. Cast every merged column back to the schema the
+    # store was created with (pinned in test_incremental_aggregate).
+    stored_types = {f.name: f.dataType for f in stored.schema.fields}
+    merged = merged.select(
+        *[
+            F.col(c).cast(stored_types[c]).alias(c)
+            if c in stored_types
+            else F.col(c)
+            for c in merged.columns
+        ]
+    ).localCheckpoint(eager=True)  # materialize before the overwrite
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

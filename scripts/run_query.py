@@ -78,9 +78,10 @@ def main() -> int:
         if q.oracle is None:
             print("no SQL oracle registered (rows-only query)")
             return 0
+        from flink_state_eviction_spark.tables import TABLES
+
         con = duckdb.connect()
-        for t in ("region nation customer supplier part orders lineitem "
-                  "events documents embeddings").split():
+        for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"'{args.sf_dir}/{t}.parquet'"

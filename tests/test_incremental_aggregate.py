@@ -106,6 +106,15 @@ def test_untouched_shards_not_rewritten(spark, sf_dir, tmp_path):
         for f in os.listdir(victim_dir)
     }
     assert before == after  # untouched shard directory survived intact
+    # and the store must still READ as one consistent table after the
+    # partial rewrite (a widened-decimal rewrite of only the touched
+    # shards leaves conflicting parquet schemas — the corruption this
+    # pins out)
+    served = read_aggregate(
+        spark, path, {n: f() for n, f in FINALS.items()}, ["user_id"]
+    )
+    assert served.count() == spark.read.parquet(path).count()
+    _refresh(spark, path, ev.where(F.col("user_id") == probe.user_id))
 
 
 def test_refresh_is_o_batch_not_o_history(spark, sf_dir, tmp_path):
