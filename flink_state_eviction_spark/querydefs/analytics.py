@@ -619,13 +619,15 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break). Exact integer counts everywhere; the three ratios are
     single double divisions in identical order on both engines.
 
-    Scale shape: pair counts come from the per-order self-join
-    (bounded by order size squared — order sizes are domain-bounded),
-    aggregated with map-side combine; item counts and the 1-row order
-    total ride broadcasts onto the (already small, min-support-pruned)
-    pair table; final ranking is TakeOrderedAndProject. The min-support
-    HAVING prunes the pair table before any join — the a-priori
-    property applied at the first aggregation."""
+    Scale shape: the A-PRIORI prune runs at the ITEM level first — an
+    item in fewer than min_pair baskets cannot appear in a frequent
+    pair, so infrequent items are semi-joined OUT before the per-order
+    self-join ever forms a pair (lossless; this is where the classic
+    algorithm saves its work). Pair counts then come from the pruned
+    self-join (bounded by order size squared — order sizes are
+    domain-bounded), aggregated with map-side combine; item counts and
+    the 1-row order total ride broadcasts onto the min-support-pruned
+    pair table; final ranking is TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
         eager=False
@@ -636,9 +638,13 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = op.groupBy(F.col("l_partkey")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    frequent = item.where(F.col("cnt") >= _ASSOC_MIN_PAIR).select(
+        "l_partkey"
+    )
+    opf = op.join(F.broadcast(frequent), "l_partkey", "left_semi")
     pair = (
-        op.alias("a")
-        .join(op.alias("b"), "l_orderkey")
+        opf.alias("a")
+        .join(opf.alias("b"), "l_orderkey")
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .groupBy(
             F.col("a.l_partkey").alias("part_a"),
