@@ -24,6 +24,12 @@ uniques) is never exchanged.
 The per-partition summary is imperative per-partition state, so this is
 one of the few legitimate ``mapInPandas`` sites (Arrow-batched,
 vectorized ``value_counts`` per batch — never per-row Python).
+
+Retry-safety: the CANDIDATE set depends on Arrow batch boundaries, so
+a retried phase-1 task may emit a different (still lossless) summary —
+harmless, because candidates only ever feed the exact confirm pass;
+the final output is a pure function of the data under any batching,
+partitioning, or retry schedule.
 """
 
 from __future__ import annotations
