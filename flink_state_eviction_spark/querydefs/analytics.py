@@ -1019,3 +1019,53 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_leaks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source quality scorecard (observability over the Gopher gate)
+
+
+def _scorecard_oracle() -> str:
+    from flink_state_eviction_spark.querydefs.pipeline import _GOPHER_ORACLE
+
+    return f"""
+WITH g AS ({_GOPHER_ORACLE})
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN g.passes THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass,
+       round(CAST(SUM(CASE WHEN g.passes THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS pass_rate
+FROM g JOIN documents d ON d.doc_id = g.doc_id
+GROUP BY d.source
+"""
+
+
+@register_supplementary(
+    "source_quality_scorecard", _scorecard_oracle(), tags=("pipeline", "text")
+)
+def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pass rate under the Gopher rule battery — the
+    observability table a corpus pipeline publishes per ingest run
+    ("which feed degraded?"). Pure composition: the registered
+    `quality_filter_gopher` output grouped by source; the oracle wraps
+    the registered oracle text as a CTE, so the rule battery exists in
+    exactly one place on each side."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        quality_filter_gopher,
+    )
+
+    g = quality_filter_gopher(spark, sf_dir).select("doc_id", "passes")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return g.join(docs, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        F.round(
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pass_rate"),
+    )
