@@ -1069,3 +1069,51 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pass_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# table profile: the one-scan describe/profiling pass
+
+_PROFILE_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_user,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value,
+       epoch_ms(MIN(ts)) AS min_ts_ms,
+       epoch_ms(MAX(ts)) AS max_ts_ms,
+       CAST(AVG(length(props)) AS DOUBLE) AS avg_props_len
+FROM events
+"""
+
+
+@register_supplementary(
+    "events_table_profile", _PROFILE_ORACLE, tags=("core", "dq")
+)
+def events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan table profile — the describe/data-profiling pass a
+    pipeline runs on every new partition before trusting it: row and
+    null counts, exact distincts, value/time ranges, mean payload
+    size. Complements the rule-based DQ report (X85: expectations with
+    violation counts) with the unconditional statistics side.
+
+    Scale shape: a single aggregation; the two exact DISTINCTs plan as
+    partial-distinct expand (Spark's two-phase distinct agg) — at
+    100 TB swap them for the portable HLL sketches (X47/X75) when 5%
+    error is acceptable; everything else is plain algebraic."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_user"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+        F.unix_millis(F.min("ts")).alias("min_ts_ms"),
+        F.unix_millis(F.max("ts")).alias("max_ts_ms"),
+        F.avg(F.length("props")).cast("double").alias("avg_props_len"),
+    )
