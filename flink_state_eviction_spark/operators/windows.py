@@ -98,6 +98,7 @@ def bucketed_global_row_number(
     bucket: Column,
     order_cols: Sequence[str],
     out_col: str = "rn",
+    limit: int | None = None,
 ) -> DataFrame:
     """Exact global row_number over ``order_cols`` without a
     single-partition sort.
@@ -110,12 +111,19 @@ def bucketed_global_row_number(
       global_rn = row_number within bucket + Σ counts of lower buckets
 
     The per-bucket count table is tiny (one row per bucket) and is
-    broadcast — no second shuffle of the data. This survives 100× scale:
-    work is bounded by the largest bucket, not the full table.
+    broadcast — the data itself is shuffled exactly once (for the
+    per-bucket sort; the count aggregation map-side-combines). This
+    survives 100× scale: work is bounded by the largest bucket, not the
+    full table.
+
+    ``limit``: when only ranks ``<= limit`` are needed (top-K vocab,
+    leaderboards), buckets whose prefix offset already exceeds ``limit``
+    are pruned BEFORE the per-bucket sort — rows in them cannot rank
+    within the limit — so the sort cost is bounded by the buckets that
+    can, not the corpus. Kept buckets may still emit ranks > limit
+    (their tail); the caller filters ``out_col <= limit``.
     """
     d = df.withColumn("_bucket", bucket)
-    w_local = Window.partitionBy("_bucket").orderBy(*order_cols)
-    d = d.withColumn("_lrn", F.row_number().over(w_local))
     counts = d.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = Window.orderBy("_bucket").rowsBetween(
         Window.unboundedPreceding, -1
@@ -123,10 +131,99 @@ def bucketed_global_row_number(
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
     ).select("_bucket", "_off")
+    if limit is not None:
+        offsets = offsets.where(F.col("_off") < F.lit(limit))
+    # Inner broadcast join BEFORE the window: with a limit this prunes
+    # whole buckets ahead of the sort; without one it is a no-op filter.
+    d = d.join(F.broadcast(offsets), "_bucket")
+    w_local = Window.partitionBy("_bucket").orderBy(*order_cols)
     return (
-        d.join(F.broadcast(offsets), "_bucket")
+        d.withColumn("_lrn", F.row_number().over(w_local))
         .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
         .drop("_bucket", "_lrn", "_off")
+    )
+
+
+def count_rank_bucket(
+    cnt_col: Column,
+    key_col: Column,
+    cap: int = 16,
+    prefix_len: int = 2,
+) -> Column:
+    """Monotone composite bucket for ranking by ``(cnt DESC, key ASC)``
+    with ``bucketed_global_row_number`` — the frequency-rank shape
+    (vocabulary ids, bigram rarity ranks).
+
+    ``-least(cnt, cap)`` alone is monotone in the sort order, but at web
+    scale it collapses: the ``cnt = 1`` singleton tail is most of the
+    distinct keys and would sort in ONE task. Below the cap each count
+    value is its own bucket, so every row in it ties on ``cnt`` and the
+    order within is ``key ASC`` alone — which means the bucket can be
+    subdivided by a *prefix* of the key (monotone in ``key ASC``)
+    without breaking the global order. At/above the cap several count
+    values share the bucket, so the prefix is pinned constant there;
+    that bucket holds only keys with ``cnt >= cap`` — the head of the
+    frequency distribution, small by construction.
+
+    Result: the sort parallelism is ``cap × alphabet^prefix_len`` tasks
+    with the singleton tail spread across ``alphabet^prefix_len`` of
+    them, instead of one global task.
+    """
+    neg = (-F.least(cnt_col, F.lit(cap))).cast("long")
+    sub = F.when(
+        cnt_col < F.lit(cap), F.substring(key_col, 1, prefix_len)
+    ).otherwise(F.lit(""))
+    return F.struct(neg.alias("m"), sub.alias("s"))
+
+
+def range_partitioned_global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number over a TOTAL order (``order_cols`` must
+    be tie-free, e.g. end with a unique key) without a single-partition
+    sort and without a hand-built monotone bucket — the general-purpose
+    sibling of ``bucketed_global_row_number`` for continuous sort keys
+    (doubles, timestamps) where no natural coarse bucket exists.
+
+    Mechanism: ``repartitionByRange`` samples split points
+    (RangePartitioner) so partition ``i``'s rows all precede partition
+    ``i+1``'s in the sort order AND partitions are load-balanced even
+    under value skew — the sampler adapts where a fixed bucket function
+    cannot. Then
+
+      global_rn = row_number within partition + Σ counts of lower
+                  partitions  (tiny per-partition count table, broadcast)
+
+    The *ranks* are exact and deterministic regardless of where the
+    sampled boundaries land, because the order is total: boundaries only
+    move rows between partitions, never reorder them. Cost: two full
+    shuffles of the ranked relation (range exchange + the pid-keyed
+    window) — the price of skew-proof exactness; prefer the bucketed
+    variant when a monotone bucket is available (one shuffle).
+    """
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    d = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
     )
 
 

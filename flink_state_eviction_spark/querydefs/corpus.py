@@ -691,21 +691,35 @@ def vocab_numericalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the token count is a map-side-combined groupBy; the
     vocab is {vocab} rows — broadcast however big the corpus is; the
     doc-side mapping is posexplode + broadcast join, one scan, one
-    (doc_id) re-agg. The vocab-rank window runs over distinct tokens
-    only (bounded by vocabulary size of the language, not corpus
-    rows)."""
+    (doc_id) re-agg. The vocab rank is NOT a global window (that plans
+    an Exchange SinglePartition sorting every distinct token in one
+    task — dead at a 100× vocabulary): it is the two-phase
+    ``bucketed_global_row_number`` over a monotone count bucket
+    (count_rank_bucket), with ``limit=vocab_size`` pruning every bucket
+    that cannot contain a top-{vocab} token BEFORE the sort — at web
+    scale that discards the singleton tail (most distinct tokens)
+    unsorted."""
     from flink_state_eviction_spark.functions.text import tokens
+    from flink_state_eviction_spark.operators.windows import (
+        bucketed_global_row_number,
+        count_rank_bucket,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "t")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
     counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("t").asc())
     vocab = (
-        counts.withColumn("id", F.row_number().over(w).cast("int"))
+        bucketed_global_row_number(
+            counts,
+            count_rank_bucket(F.col("cnt"), F.col("t")),
+            [F.col("cnt").desc(), F.col("t").asc()],
+            out_col="id",
+            limit=_VOCAB_SIZE,
+        )
         .where(F.col("id") <= _VOCAB_SIZE)
-        .select("t", "id")
+        .select("t", F.col("id").cast("int").alias("id"))
     )
     mapped = tok.join(F.broadcast(vocab), "t", "left")
     return mapped.groupBy("doc_id").agg(
@@ -767,13 +781,21 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point).
 
     Scale shape: bigram counting is a map-side-combined groupBy; the
-    rank window runs over DISTINCT bigrams (vocabulary-bounded, and at
-    web scale capped by hashing or a min-count floor — rare-tail ties
-    keep determinism via the text tie-break); the doc-side join is
-    rank-table-sized, broadcast when it fits."""
+    rank is the two-phase ``bucketed_global_row_number`` over a
+    monotone count bucket (count_rank_bucket) — every bigram needs a
+    rank (no top-N truncation), and on a web corpus distinct bigrams
+    are billions of rows, so the naive global window's single sort task
+    is the exact scale-killer this shape avoids: the composite bucket
+    spreads even the ``cnt = 1`` singleton tail (most distinct bigrams)
+    across prefix sub-buckets. The doc-side join is rank-table-sized,
+    broadcast when it fits."""
     from flink_state_eviction_spark.functions.text import (
         tokens,
         word_shingles,
+    )
+    from flink_state_eviction_spark.operators.windows import (
+        bucketed_global_row_number,
+        count_rank_bucket,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -782,10 +804,12 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(word_shingles(F.col("tk"), 2)).alias("b")
     )
     counts = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("b").asc())
-    rank_tbl = counts.select(
-        "b", F.row_number().over(w).cast("bigint").alias("rarity")
-    )
+    rank_tbl = bucketed_global_row_number(
+        counts,
+        count_rank_bucket(F.col("cnt"), F.col("b")),
+        [F.col("cnt").desc(), F.col("b").asc()],
+        out_col="_rn",
+    ).select("b", F.col("_rn").cast("bigint").alias("rarity"))
     return (
         bg.join(rank_tbl, "b")
         .groupBy("doc_id")

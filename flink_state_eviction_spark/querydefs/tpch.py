@@ -17,7 +17,7 @@ agree bit-for-bit regardless of aggregation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_state_eviction_spark.queries import register, register_supplementary
@@ -1958,12 +1958,21 @@ FROM scored
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary
     quartiles (deterministic ntile tie-breaks on custkey) and the
-    classic segment labels — the standard CRM scoring pass. The ntile
-    windows run over the customer-count-sized aggregate (one row per
-    customer), not the orders; at 100 TB the three global quartile
-    windows become per-shard ntiles or exact-quantile cutoffs
-    (X34/X115) — the aggregate shape is what this query pins."""
-    from pyspark.sql import Window
+    classic segment labels — the standard CRM scoring pass.
+
+    Scale shape: ntile(k) is a pure function of (global rank, N), so
+    each quartile is computed WITHOUT a global window — a skew-proof
+    exact global rank per dimension (range_partitioned_global_row_number:
+    sampled range partitioning + broadcast prefix offsets; the order is
+    total thanks to the custkey tie-break, so ranks are exact wherever
+    the sampled boundaries land) and then the ntile bucket arithmetic
+    against the broadcast 1-row customer count. Bit-identical to the
+    three ntile windows of the oracle, but no Exchange SinglePartition
+    touches the per-customer aggregate — at 100× customers the sort is
+    still spread over the cluster."""
+    from flink_state_eviction_spark.operators.windows import (
+        range_partitioned_global_row_number,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -1973,17 +1982,38 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    r_w = Window.orderBy(F.desc("last_order"), "custkey")
-    f_w = Window.orderBy(F.desc("frequency"), "custkey")
-    m_w = Window.orderBy(F.desc("monetary"), "custkey")
-    scored = rfm.select(
+    ranked = rfm
+    for rn_col, order in (
+        ("_rn_r", [F.col("last_order").desc(), F.col("custkey").asc()]),
+        ("_rn_f", [F.col("frequency").desc(), F.col("custkey").asc()]),
+        ("_rn_m", [F.col("monetary").desc(), F.col("custkey").asc()]),
+    ):
+        ranked = range_partitioned_global_row_number(
+            ranked, order, out_col=rn_col
+        )
+    n_df = rfm.agg(F.count(F.lit(1)).alias("_n"))
+
+    def _ntile(rn: str, k: int = 4) -> Column:
+        # ntile(k) at 1-based global rank rn among _n rows: the first
+        # (_n mod k) buckets hold (_n div k)+1 rows, the rest (_n div k)
+        # — identical row-splitting to the SQL window function. CASE
+        # keeps the q=0 division unevaluated when _n < k.
+        return F.expr(
+            f"CASE WHEN {rn} <= (_n % {k}) * ((_n DIV {k}) + 1)"
+            f" THEN ({rn} - 1) DIV ((_n DIV {k}) + 1) + 1"
+            f" ELSE (_n % {k})"
+            f"  + ({rn} - 1 - (_n % {k}) * ((_n DIV {k}) + 1))"
+            f"    DIV (_n DIV {k}) + 1 END"
+        ).cast("long")
+
+    scored = ranked.crossJoin(F.broadcast(n_df)).select(
         "custkey",
         F.unix_millis("last_order").alias("last_order_ms"),
         "frequency",
         "monetary",
-        F.ntile(4).over(r_w).cast("long").alias("r"),
-        F.ntile(4).over(f_w).cast("long").alias("f"),
-        F.ntile(4).over(m_w).cast("long").alias("m"),
+        _ntile("_rn_r").alias("r"),
+        _ntile("_rn_f").alias("f"),
+        _ntile("_rn_m").alias("m"),
     )
     seg = (
         F.when((F.col("r") == 1) & (F.col("f") == 1) & (F.col("m") == 1),

@@ -1,0 +1,98 @@
+"""Fleet-wide physical-plan audit, ENFORCED.
+
+scripts/plan_audit.py reports scale-killers as review lines; this test
+pins them:
+
+- ``CartesianProduct``: zero tolerance, fleet-wide.
+- ``Exchange SinglePartition``: every occurrence must be on a BOUNDED
+  path (1-row global scalar aggregate, per-bucket/per-partition count
+  table, per-language/month-sized aggregate, k-row codebook). The
+  allowlist below snapshots today's audited sites per query; any query
+  gaining a NEW single-partition exchange — e.g. reintroducing a global
+  ``row_number().over(Window.orderBy(...))`` on a data-bearing relation
+  — fails here. A query whose count DROPS also fails (stale allowlist:
+  tighten the entry so the gate stays exact).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_state_eviction_spark import queries as Q
+
+# query -> exact number of Exchange SinglePartition sites, each audited
+# bounded. Categories:
+#   scalar  — global 1-row aggregate (totals, thresholds, counts)
+#   offsets — per-bucket / per-range-partition count table of a
+#             two-phase global rank or prefix sum (bucket-count rows)
+#   tiny    — window/sort over a k-row statistic (codebook distances,
+#             per-language or per-month aggregates, top-k candidates)
+_SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
+    "bloom_digest_probe": 1,  # scalar: bloom bitmap OR-fold to one row
+    "bloom_pruned_revenue_smallparts": 1,  # scalar: bloom bitmap fold
+    "corpus_drift_chisq": 1,  # tiny: chi-sq over per-source rows
+    "count_window_all_label": 1,  # offsets: bucket counts (two-phase rank)
+    "customer_rfm_segments": 4,  # offsets x3 (range-rank pids) + scalar N
+    "dedup_semantic_clustered": 2,  # tiny: k-row centroid updates
+    "domain_mix_weights": 1,  # tiny: total over per-language aggregate
+    "dq_orders_report": 3,  # scalar: report-wide totals/rates
+    "events_heavy_hitters": 1,  # scalar: global N for the N/k threshold
+    "events_table_profile": 1,  # scalar: one-scan profile row
+    "funnel_view_click_purchase": 1,  # scalar: funnel stage totals
+    "histogram_quantiles_value": 1,  # tiny: quantiles over bin table
+    "hll_distinct_lineitem": 2,  # scalar: register merge to one row
+    "orders_mom_growth": 1,  # tiny: LAG over months-sized aggregate
+    "part_association_rules": 1,  # scalar: basket count for support
+    "part_copurchase_triangles": 3,  # scalar: census totals
+    "quality_budget_select": 1,  # offsets: score-bucket prefix counts
+    "sequence_pack_chunks": 3,  # offsets/scalar: doc-range prefix sums
+    "similarity_ivf_pq_topk": 5,  # tiny: k-row codebooks + probe lists
+    "similarity_kmeans_cells": 1,  # tiny: k-row centroid table
+    "similarity_pq_topk": 4,  # tiny: k-row codebooks
+    "text_bigram_surprisal": 1,  # offsets: count-bucket prefix table
+    "text_tfidf": 1,  # scalar: corpus doc count for idf
+    "tpch_q14_promo_revenue": 1,  # scalar: promo/total revenue row
+    "tpch_q15_top_supplier": 1,  # scalar: max revenue threshold
+    "tpch_q19_disjunctive": 1,  # scalar: single revenue row
+    "tpch_q22_global_sales_opp": 1,  # scalar: avg balance threshold
+    "tpch_q6_forecast_revenue": 1,  # scalar: single revenue row
+    "vocab_numericalize": 1,  # offsets: count-bucket prefix table
+    "zorder_key_events": 1,  # tiny: z-order bounds row
+}
+
+
+@pytest.fixture(scope="module")
+def fleet_plans(spark, sf_dir):
+    plans = {}
+    for name, fn in sorted(Q.all_queries().items()):
+        plans[name] = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+    return plans
+
+
+def test_no_cartesian_product_fleet_wide(fleet_plans):
+    offenders = [n for n, p in fleet_plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_single_partition_exchanges_pinned(fleet_plans):
+    drift = {}
+    for name, plan in fleet_plans.items():
+        n = plan.count("Exchange SinglePartition")
+        allowed = _SINGLE_PARTITION_ALLOWLIST.get(name, 0)
+        if n != allowed:
+            drift[name] = (n, allowed)
+    assert not drift, (
+        "Exchange SinglePartition drift {query: (actual, allowed)}: "
+        f"{drift} — a new site means a data-bearing relation now "
+        "serializes through one task (fix the plan, don't widen the "
+        "allowlist unless the path is provably bounded); a lower count "
+        "means the allowlist is stale (tighten it)."
+    )
+
+
+def test_allowlist_has_no_stale_queries():
+    known = set(Q.all_queries())
+    stale = set(_SINGLE_PARTITION_ALLOWLIST) - known
+    assert not stale, f"allowlisted queries no longer registered: {stale}"

@@ -380,3 +380,41 @@ def test_chunking_is_scan_parallel(spark, sf_dir):
     df = _q("doc_chunk_overlap", spark, sf_dir)
     plan = physical_plan(df, "simple")
     assert "Exchange" not in plan, plan
+
+def test_frequency_ranks_are_bucketed_not_global(spark, sf_dir):
+    # vocab_numericalize / text_bigram_surprisal rank distinct
+    # tokens/bigrams by count. A global row_number window would plan
+    # Exchange SinglePartition -> Sort over EVERY distinct key (one
+    # task sorts the whole vocabulary; dead at a 100x corpus). The
+    # two-phase rank must show: every row_number window partitioned by
+    # the composite count bucket, never unpartitioned.
+    for name in ("vocab_numericalize", "text_bigram_surprisal"):
+        df = _q(name, spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rn_lines = [l for l in plan.splitlines() if "row_number()" in l]
+        assert rn_lines, plan
+        assert all(
+            "windowspecdefinition(_bucket#" in l for l in rn_lines
+        ), f"{name}: unpartitioned row_number window:\n{plan}"
+        # the only SinglePartition site is the per-bucket offsets table
+        # (bucket-count rows), pinned exactly by test_plan_audit.py
+        assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_rfm_quartiles_are_range_ranked_not_global(spark, sf_dir):
+    # customer_rfm_segments derives each ntile from a range-partitioned
+    # global rank: all three row_number windows must be partitioned by
+    # the range-partition id (skew-balanced by the sampler), and the
+    # plan must carry the three range exchanges instead of three
+    # single-partition sorts of the per-customer aggregate.
+    df = _q("customer_rfm_segments", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rn_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert len(rn_lines) >= 3, plan
+    assert all(
+        "windowspecdefinition(_pid#" in l for l in rn_lines
+    ), f"unpartitioned row_number window:\n{plan}"
+    assert "rangepartitioning(" in plan, plan
+    # 4 allowed SinglePartition sites: 3 pid-count offset tables + the
+    # 1-row customer count N (pinned exactly by test_plan_audit.py)
+    assert plan.count("Exchange SinglePartition") == 4, plan
