@@ -198,12 +198,11 @@ def decode_ppm(buf: bytes) -> "np.ndarray":
         raise ValueError("PPM header not terminated by whitespace")
     pos += 1
     need = w * h * 3
-    raster = buf[pos : pos + need]
-    if len(raster) != need:
+    if len(buf) - pos != need:
         raise ValueError(
-            f"PPM raster declares {need} bytes, {len(raster)} present"
+            f"PPM raster declares {need} bytes, {len(buf) - pos} present"
         )
-    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    return np.frombuffer(buf[pos:], dtype=np.uint8).reshape(h, w, 3)
 
 
 def sniff_container(buf: bytes) -> str:

@@ -81,11 +81,16 @@ def exact_heavy_hitters(
     hitters), with their EXACT global counts and frequency share.
 
     Output columns: ``key_col``, ``count_col`` (bigint), ``share``
-    (double, cnt / N). Requires a non-null key column.
+    (double, cnt / N). NULL keys are excluded entirely — from the
+    candidate set AND from N — so results are independent of the null
+    share (pandas ``value_counts`` skips nulls in the summary pass;
+    without the filter those rows would still inflate the N the
+    threshold and shares divide by, silently diverging from a GROUP BY
+    that emits a NULL group).
     """
     if k <= 1:
         raise ValueError("k must be > 1 (threshold is count*k > N)")
-    keyed = df.select(key_col)
+    keyed = df.select(key_col).where(F.col(key_col).isNotNull())
     summary_schema = T.StructType(
         [
             # nullable regardless of the input field: null keys carry

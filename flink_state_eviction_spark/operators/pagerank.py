@@ -4,8 +4,10 @@ Extension beyond the reference surface (the reference's only iterative
 machinery is the per-key streaming loop in MapWithState.java:55; graph
 iteration has no analogue there). Shape shared with
 ``operators/dedup.py:connected_components``: a Python-side loop that
-BUILDS the plan (fixed iteration count, no driver-side data movement),
-with each round cut by ``localCheckpoint`` so lineage stays flat.
+BUILDS the plan (fixed iteration count, no driver-side data movement);
+the expensive upstream edge build is cut by ``localCheckpoint`` once,
+while the rounds themselves share one query DAG so AQE reuses the
+iteration-invariant shuffles (see ``pagerank`` docstring).
 
 Exactness: ranks are kept in integer micro-units and every division is
 integer division, so per-node contribution sums are order-independent
@@ -37,6 +39,7 @@ def pagerank(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_interval: int = 0,
 ) -> DataFrame:
     """Fixed-``iters`` PageRank over directed ``edges`` (one row per
     distinct edge). Returns (node, rank_micro: bigint).
@@ -44,6 +47,25 @@ def pagerank(
     rank'(v) = ((100 - d) * SCALE + d * sum_{u->v} (rank(u) div outdeg(u))) div 100
 
     with d = ``damping_pct`` — all integer ops, order-independent.
+    Edges with a NULL endpoint are excluded from the vertex set (they
+    cannot carry rank mass either way).
+
+    ONE shuffle write per iteration: all ``iters`` rounds stay in a
+    single query DAG (no per-round localCheckpoint — round 3's version
+    cut lineage every round, which under AQE erases the known
+    outputPartitioning and forced ed/ranks re-exchanges each
+    iteration). In one DAG, AQE's shuffle-stage reuse materializes the
+    iteration-invariant exchanges (edge list on src, out-degrees,
+    vertex set) exactly once (``ReusedExchange``), and each round's
+    ``ranks`` arrives at the next round already hash-partitioned on the
+    join key from its own left join — so the only NEW shuffle per
+    iteration is the contribution groupBy on ``dst``, the irreducible
+    PageRank shuffle, still map-side-combined (plan-gated:
+    tests/test_plan_quality.py). ``checkpoint_interval`` bounds lineage
+    for deep loops: every k rounds ``ranks`` is localCheckpointed,
+    which splits the DAG — the next segment re-materializes the
+    invariant exchanges (one-time cost per segment) — appropriate from
+    ~10 iterations up where plan depth and recovery cost dominate.
     """
     # the edge list is often an expensive upstream (join + distinct):
     # nodes, deg, and ed below each consume it, so materialize ONCE —
@@ -52,21 +74,25 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=False)
+    # the explicit isNotNull matches the filter Catalyst pushes into the
+    # inner-join side, so both consumers of the vertex set canonicalize
+    # identically and AQE reuses ONE distinct-stage for it
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
+        .where(F.col("node").isNotNull())
         .distinct()
-        .localCheckpoint(eager=False)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # (src, dst, outdeg) is iteration-invariant: build once, reuse.
-    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    # (src, dst, outdeg) is iteration-invariant: built once, its join
+    # exchange reused every round
+    ed = e.join(deg, "src")
 
     base = (100 - damping_pct) * RANK_SCALE
     ranks = nodes.select(
         "node", F.lit(RANK_SCALE).cast("long").alias("rank_micro")
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select(
@@ -76,15 +102,19 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_sum"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                F.expr(
-                    f"cast(({base} + {damping_pct} * coalesce(in_sum, 0)) "
-                    "div 100 as long)"
-                ).alias("rank_micro"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            F.expr(
+                f"cast(({base} + {damping_pct} * coalesce(in_sum, 0)) "
+                "div 100 as long)"
+            ).alias("rank_micro"),
         )
+        if (
+            checkpoint_interval
+            and (i + 1) % checkpoint_interval == 0
+            and (i + 1) < iters
+        ):
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

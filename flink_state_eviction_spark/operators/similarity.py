@@ -387,9 +387,7 @@ def pq_encode(
     iteration, corpus never moves except one scan per round), then an
     id-keyed join chain to widen codes — at 100 TB the codes table is
     what serves queries, ~1/100th the bytes of the raw vectors."""
-    if 0 < m and 0 < dsub and 0 < k:
-        pass
-    else:
+    if not (m > 0 and dsub > 0 and k > 0):
         raise ValueError("m, dsub, k must be positive")
     codes = None
     books = None

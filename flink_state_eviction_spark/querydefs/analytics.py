@@ -30,7 +30,8 @@ _HH_KEY_SQL = (
 )
 
 _HH_ORACLE = f"""
-WITH keyed AS (SELECT {_HH_KEY_SQL} AS skey FROM events),
+WITH keyed AS (SELECT {_HH_KEY_SQL} AS skey FROM events
+               WHERE {_HH_KEY_SQL} IS NOT NULL),
 tot AS (SELECT COUNT(*) AS n FROM keyed)
 SELECT skey, COUNT(*) AS cnt,
        CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS share

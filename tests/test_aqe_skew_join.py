@@ -45,7 +45,9 @@ def skew_conf(spark):
 
 
 def _skewed_join(spark):
-    # 90% of rows on key 0, the rest uniform over N_KEYS
+    # 90% of rows on key 0 (id % 10 != 0 zeroes the key); the rest
+    # (ids divisible by 10) land on (id % N_KEYS) — i.e. spread over
+    # the multiples of 10 below N_KEYS, ~N_KEYS/10 distinct cold keys
     big = spark.range(N_ROWS).select(
         (
             F.col("id")

@@ -90,3 +90,20 @@ key_lists = st.lists(
        parts=st.integers(min_value=1, max_value=12))
 def test_property_matches_exact(spark, rows, k, parts):
     _run(spark, rows, k, parts)
+
+def test_null_keys_excluded_from_candidates_and_n(spark):
+    # NULL keys must not appear as hitters AND must not inflate N: with
+    # 60 nulls, 30 'a', 10 'b' (k=4), N must be the 40 non-null rows so
+    # 'a' (30*4 > 40) and 'b' (10*4 = 40, strict) resolve against the
+    # non-null total — counting nulls in N (the pre-fix behavior) would
+    # give N=100 and drop 'a' via 30*4 > 100 ... (passes) but shift
+    # every share; the share assert pins the denominator.
+    rows = [None] * 60 + ["a"] * 30 + ["b"] * 10
+    df = spark.createDataFrame(
+        [(r,) for r in rows], "key string"
+    ).repartition(8)
+    out = exact_heavy_hitters(df, "key", 4).collect()
+    got = {r["key"]: (r["cnt"], r["share"]) for r in out}
+    assert set(got) == {"a"}
+    assert got["a"][0] == 30
+    assert got["a"][1] == pytest.approx(30 / 40)

@@ -177,6 +177,7 @@ def test_ppm_corrupt_payloads_raise_valueerror():
         b"P6\n2 2\n65535\n" + b"\0" * 24,  # unsupported maxval
         b"P6\n0 2\n255\n",                 # zero dimension
         good[:-1],                         # truncated raster
+        good + b"\0",                      # trailing garbage after raster
         b"P6\n2 2\n255",                   # header not terminated
         b"P6\n# endless comment",          # comment past EOF
         b"P6\nx 2\n255\n",                 # junk in header

@@ -418,3 +418,47 @@ def test_rfm_quartiles_are_range_ranked_not_global(spark, sf_dir):
     # 4 allowed SinglePartition sites: 3 pid-count offset tables + the
     # 1-row customer count N (pinned exactly by test_plan_audit.py)
     assert plan.count("Exchange SinglePartition") == 4, plan
+
+def test_pagerank_one_new_shuffle_per_iteration(spark):
+    # the iteration-invariant exchanges (edge list on src, out-degrees,
+    # vertex set) must materialize ONCE and be AQE-stage-reused; each
+    # extra round may add only its contribution groupBy shuffle. A
+    # regression to per-round lineage cuts (which erase partitioning
+    # and re-exchange ed/ranks every round) fails the growth check.
+    import re
+
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.operators.pagerank import pagerank
+
+    conf = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "-1")
+        edges = spark.range(0, 2000).select(
+            (F.col("id") % 200).alias("src"),
+            ((F.col("id") * 7 + 3) % 200).alias("dst"),
+        ).distinct()
+
+        def materialized_shuffles(iters):
+            qe = pagerank(edges, iters=iters)._jdf.queryExecution()
+            qe.executedPlan().execute().count()  # finalize AQE
+            plan = qe.executedPlan().toString()
+            # a shuffle stage whose child is a fresh Exchange wrote
+            # shuffle data; one wrapping ReusedExchange re-read another
+            # stage's output. (toString also prints the AQE Initial
+            # Plan, whose bare Exchange nodes never ran — only count
+            # inside materialized ShuffleQueryStages.)
+            pairs = re.findall(
+                r"ShuffleQueryStage (\d+)[^\n]*\n[^\n]*?\+- (\w+)", plan
+            )
+            mat = {s for s, op in pairs if op == "Exchange"}
+            reused = len({s for s, op in pairs if op == "ReusedExchange"})
+            return len(mat), reused
+
+        m1, _ = materialized_shuffles(1)
+        m3, r3 = materialized_shuffles(3)
+        assert m3 - m1 == 2, (m1, m3)  # +1 contribution shuffle per round
+        assert r3 >= 2, r3  # ed + deg exchanges reused across rounds
+    finally:
+        spark.conf.set(conf, prev)
