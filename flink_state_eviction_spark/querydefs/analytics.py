@@ -1,9 +1,9 @@
 """Distributed-analytics extensions: heavy hitters, weighted sampling,
 graph triangles, Markov transitions.
 
-All registrations here are SUPPLEMENTARY (driver window is full): same
-DuckDB bit-for-bit oracle gate via tests/test_oracle_parity.py, no
-driver slot. Extensions beyond the reference surface — each docstring
+Registrations here are mostly SUPPLEMENTARY (same DuckDB bit-for-bit
+oracle gate via tests/test_oracle_parity.py, no driver slot);
+events_heavy_hitters holds a driver row (rotated in, round 4). Extensions beyond the reference surface — each docstring
 says what 100 TB problem the shape solves.
 """
 
@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_state_eviction_spark.functions.hashing import h64, sql_h64
-from flink_state_eviction_spark.queries import register_supplementary
+from flink_state_eviction_spark.queries import register, register_supplementary
 from flink_state_eviction_spark.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -41,7 +41,7 @@ HAVING COUNT(*) * {K_HH} > (SELECT n FROM tot)
 """
 
 
-@register_supplementary(
+@register(
     "events_heavy_hitters", _HH_ORACLE, headline=True, tags=("pipeline", "skew")
 )
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

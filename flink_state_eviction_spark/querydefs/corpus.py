@@ -29,7 +29,7 @@ from flink_state_eviction_spark.functions.text import (
 from flink_state_eviction_spark.operators.dedup import span_dup_stats
 from flink_state_eviction_spark.operators.packing import pack_chunk_spans
 from flink_state_eviction_spark.operators.prefix import bucketed_prefix_sum
-from flink_state_eviction_spark.queries import register_supplementary
+from flink_state_eviction_spark.queries import register, register_supplementary
 from flink_state_eviction_spark.tables import load_table
 
 # DuckDB CTE for the corpus word tokenizer (same convention as
@@ -160,7 +160,7 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
-@register_supplementary(
+@register(
     "span_dedup_frac", _SPAN_ORACLE, headline=True,
     tags=("pipeline", "dedup"),
 )

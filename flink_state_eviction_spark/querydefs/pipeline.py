@@ -83,7 +83,11 @@ _SEED_VALUES = ", ".join(
 )
 _P = MERSENNE_P
 
-_MINHASH_BODY = f"""{_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
+# minhash CTE chain from a `toks(doc_id, toks)` relation onward —
+# shared between document-level (toks = tokenized documents) and
+# paragraph-level (toks = fixed token windows keyed by paragraph id)
+# dedup oracles
+_MINHASH_AFTER_TOKS = f"""{_SQL_SHINGLES.strip()},
 shn AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
 ex AS (SELECT doc_id, unnest(sh) AS sh1 FROM shn),
 bh AS (
@@ -110,6 +114,35 @@ cand AS (
 ),
 bhs AS (
     SELECT doc_id, list_distinct(list(h)) AS bh FROM bh GROUP BY 1
+)"""
+
+_MINHASH_BODY = f"""{_SQL_TOKS.strip()}, {_MINHASH_AFTER_TOKS}"""
+
+# exact-jaccard-confirmed pair list + transitive closure -> components,
+# from the minhash CTEs above (requires WITH RECURSIVE)
+_CC_FROM_PAIRS = """
+mh_pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN bhs sa ON sa.doc_id = c.doc_a
+    JOIN bhs sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.bh, sb.bh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.bh, sb.bh))) AS DOUBLE)
+          >= 0.8
+),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+    UNION
+    SELECT doc_b, doc_a FROM mh_pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+    SELECT u AS doc_id, least(u, MIN(v)) AS component
+    FROM reach GROUP BY u
 )"""
 
 _MINHASH_ORACLE = f"""
@@ -190,29 +223,7 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CANONICAL_ORACLE = f"""
 WITH RECURSIVE {_MINHASH_BODY},
-mh_pairs AS (
-    SELECT c.doc_a, c.doc_b
-    FROM cand c
-    JOIN bhs sa ON sa.doc_id = c.doc_a
-    JOIN bhs sb ON sb.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(sa.bh, sb.bh)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(sa.bh, sb.bh))) AS DOUBLE)
-          >= 0.8
-),
-sym AS (
-    SELECT doc_a AS u, doc_b AS v FROM mh_pairs
-    UNION
-    SELECT doc_b, doc_a FROM mh_pairs
-),
-reach(u, v) AS (
-    SELECT u, v FROM sym
-    UNION
-    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
-),
-comp AS (
-    SELECT u AS doc_id, least(u, MIN(v)) AS component
-    FROM reach GROUP BY u
-)
+{_CC_FROM_PAIRS.strip()}
 SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS keeper_id,
        COALESCE(c.component, d.doc_id) = d.doc_id AS is_kept
@@ -239,6 +250,125 @@ def dedup_near_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     return canonical_mapping(docs, comp)
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level near-dup (the Lee et al. / RefinedWeb granularity the
+# doc-level family misses: boilerplate paragraphs shared across
+# otherwise-distinct documents). The corpus has no newline structure,
+# so "paragraph" = non-overlapping 32-token window (the structural
+# proxy doc_chunk_overlap also uses); each paragraph gets a synthetic
+# id doc_id * 2^20 + window_idx so the doc-level minhash/CC machinery
+# applies unchanged and provenance is recoverable arithmetically
+# (pid div 2^20) without a join.
+
+PARA_TOKENS = 32
+_PID_SHIFT = 1 << 20
+
+_PARA_ORACLE = f"""
+WITH RECURSIVE
+dtoks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS dt
+    FROM documents
+),
+dnt AS (SELECT doc_id, dt, len(dt) AS n FROM dtoks WHERE len(dt) > 0),
+pstart AS (
+    SELECT doc_id, dt, n, unnest(range(0, n, {PARA_TOKENS})) AS start_tok
+    FROM dnt
+),
+paras AS (
+    SELECT doc_id AS orig_doc,
+           doc_id * {_PID_SHIFT} + start_tok // {PARA_TOKENS} AS doc_id,
+           dt[start_tok + 1 : start_tok + {PARA_TOKENS}] AS toks
+    FROM pstart
+),
+toks AS (SELECT doc_id, toks FROM paras),
+{_MINHASH_AFTER_TOKS},
+{_CC_FROM_PAIRS.strip()}
+SELECT p.orig_doc AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN COALESCE(c.component, p.doc_id) <> p.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       CAST(SUM(CASE WHEN COALESCE(c.component, p.doc_id) <> p.doc_id
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_para_frac
+FROM paras p LEFT JOIN comp c ON c.doc_id = p.doc_id
+GROUP BY p.orig_doc
+"""
+
+
+@register_supplementary(
+    "dedup_paragraph_near", _PARA_ORACLE, tags=("pipeline", "dedup")
+)
+def dedup_paragraph_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level near-dup: explode documents into 32-token
+    paragraphs, run the SAME minhash-LSH -> exact-jaccard -> connected
+    components -> canonical chain as the doc-level pipeline over the
+    paragraph table, and report each document's duplicated-paragraph
+    fraction (paragraphs whose canonical keeper is another paragraph).
+    Extension beyond the reference.
+
+    Scale shape: identical to dedup_near_canonical with paragraphs as
+    the unit — banded bucket self-join (never all-pairs), edge-list-only
+    CC; the paragraph explosion multiplies rows by ~tokens/32 but each
+    minhash signature is over a BOUNDED window, so signature cost per
+    corpus byte is unchanged. The per-doc rollup is one arithmetic
+    groupBy on pid div 2^20 — provenance without a join."""
+    from flink_state_eviction_spark.functions.text import tokens
+    from flink_state_eviction_spark.operators.dedup import (
+        canonical_mapping,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = (
+        docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .withColumn("n", F.size("_toks"))
+        .where(F.col("n") > 0)
+    )
+    paras = toked.select(
+        "doc_id",
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(PARA_TOKENS))
+        ).alias("start_tok"),
+    ).select(
+        (
+            F.col("doc_id") * _PID_SHIFT
+            + F.floor(F.col("start_tok") / PARA_TOKENS)
+        ).alias("pid"),
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), F.col("start_tok") + 1, PARA_TOKENS)
+        ).alias("ptext"),
+    )
+    pairs = minhash_lsh_pairs(
+        paras, "pid", "ptext", k=3, num_hashes=16, bands=4, threshold=0.8
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, id_out="pid")
+    mapping = canonical_mapping(paras, comp, id_col="pid")
+    return (
+        mapping.groupBy(
+            F.expr(f"pid div {_PID_SHIFT}").alias("doc_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+            F.sum(F.when(~F.col("is_kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_paras"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_dup_paras",
+            (
+                F.col("n_dup_paras").cast("double")
+                / F.col("n_paras").cast("double")
+            ).alias("dup_para_frac"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2919,7 +3049,7 @@ FROM scored WHERE rank <= 10
 """
 
 
-@register_supplementary(
+@register(
     "similarity_pq_topk", _pq_oracle(), tags=("pipeline", "similarity")
 )
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

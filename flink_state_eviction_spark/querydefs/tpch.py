@@ -299,7 +299,7 @@ GROUP BY 1
 """
 
 
-@register("salted_user_stats", _SALTED_ORACLE, tags=("tpch", "skew"))
+@register_supplementary("salted_user_stats", _SALTED_ORACLE, tags=("tpch", "skew"))
 def salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant two-phase salted aggregation
     (operators/skew.py). The oracle is the PLAIN group-by: decimal
@@ -382,7 +382,7 @@ GROUP BY 1
 """
 
 
-@register("pivot_flag_status", _PIVOT_ORACLE, tags=("tpch",))
+@register_supplementary("pivot_flag_status", _PIVOT_ORACLE, tags=("tpch",))
 def pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: quantity by returnflag x linestatus as columns."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -848,7 +848,7 @@ WINDOW w AS (PARTITION BY o_orderpriority
 """
 
 
-@register("orders_price_distribution", _ANALYTIC_ORACLE, tags=("tpch",))
+@register_supplementary("orders_price_distribution", _ANALYTIC_ORACLE, tags=("tpch",))
 def orders_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution analytics per priority group: ntile quartiles,
     percent_rank, cume_dist — one exchange on the partition key, one

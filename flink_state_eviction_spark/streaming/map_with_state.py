@@ -20,7 +20,14 @@ Two eviction clocks:
 - ``time_mode="event"`` — the event-time analogue: the idle test uses
   the gap between consecutive event timestamps. Fully deterministic;
   this is exactly what the batch oracle (operators/map_with_state.py)
-  computes, so streaming output ≡ batch output row-for-row.
+  computes, so streaming output ≡ batch output row-for-row. With
+  ``watermark_delay`` set, ``GroupStateTimeout.EventTimeTimeout``
+  timers additionally evict idle state PHYSICALLY once the watermark
+  passes last_access + ttl (extension beyond the reference, whose
+  eviction clock is wall time only, MapWithState.java:360-372) — the
+  variant that keeps replays/backfills bit-deterministic: eviction is
+  a pure function of the event timestamps, never of wall-clock
+  scheduling, and the store cannot accumulate dead keys.
 
 State layout mirrors the reference's ``TimeStampedValue``
 (MapWithState.java:232-245): (user state ..., last_access_ms); the
@@ -61,24 +68,42 @@ def map_with_state(
     ttl_ms: int,
     time_mode: str = "event",
     ts_col: str = "ts",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Apply ``map_fn`` per key with TTL-evicted state.
 
     ``state_schema`` must end with ``last_access_ms long`` — the engine
     owns that field (read-refresh semantics, MapWithState.java:248-252).
+
+    ``watermark_delay`` (event mode only, e.g. ``"2 seconds"``): apply
+    ``withWatermark(ts_col, delay)`` and arm an event-time timer at
+    last_access + ttl per access. When the watermark passes it, the
+    key's state is physically removed from the store — equivalent to
+    the read-time idle-gap split for every non-late row (any future
+    row above the watermark is > ttl past last_access, so the batch
+    oracle would start a fresh session too), and deterministic under
+    replay because only event timestamps drive it. Rows later than the
+    watermark carry no cross-engine guarantee (standard watermark
+    contract).
     """
     if ttl_ms is None or ttl_ms <= 0:
         # mirrors the precondition at MapWithState.java:93-94
         raise ValueError("ttl must be a positive duration in milliseconds")
     if time_mode not in ("event", "processing"):
         raise ValueError("time_mode must be 'event' or 'processing'")
+    if watermark_delay is not None and time_mode != "event":
+        raise ValueError("watermark_delay requires time_mode='event'")
     if not HAVE_STATE_API:  # pragma: no cover
         raise NotImplementedError("pyspark streaming state API unavailable")
+    event_timers = time_mode == "event" and watermark_delay is not None
 
     def handle(key: tuple, pdf_iter, state: "GroupState"):
-        if time_mode == "processing" and state.hasTimedOut:
+        if state.hasTimedOut:
+            # processing mode: wall-clock idle >= ttl
+            # (MapWithState.java:360-367); event+watermark mode: the
+            # watermark passed last_access + ttl
             if state.exists:
-                state.remove()  # eviction (MapWithState.java:360-367)
+                state.remove()
             return
         st: "tuple[Any, ...] | None" = tuple(state.get) if state.exists else None
         # A key whose micro-batch data exceeds
@@ -135,17 +160,28 @@ def map_with_state(
                 # re-arm the processing-time timer on every access
                 # (read-refresh, MapWithState.java:248-252)
                 state.setTimeoutDuration(ttl_ms)
+            elif event_timers:
+                # evict when the watermark passes last_access + ttl;
+                # Spark rejects a timestamp at/below the current
+                # watermark, in which case the key is already idle
+                # past ttl in event time — fire at the next advance
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(st[-1] + ttl_ms, wm + 1))
 
-    # Event mode needs no native timers — the read-time idle check IS
-    # the eviction semantics, and skipping timers lets finite
+    # Plain event mode needs no native timers — the read-time idle
+    # check IS the eviction semantics, and skipping timers lets finite
     # (availableNow) runs terminate without draining timer batches.
-    # Processing mode keeps the native timer so idle keys are physically
-    # evicted from the store even if they never reappear.
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if time_mode == "processing"
-        else GroupStateTimeout.NoTimeout
-    )
+    # Processing mode keeps the native timer so idle keys are
+    # physically evicted even if they never reappear;
+    # event + watermark_delay gets the same physical eviction from the
+    # deterministic event-time clock instead.
+    if time_mode == "processing":
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    elif event_timers:
+        timeout = GroupStateTimeout.EventTimeTimeout
+        sdf = sdf.withWatermark(ts_col, watermark_delay)
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return sdf.groupBy(*key_cols).applyInPandasWithState(
         handle, output_schema, state_schema, "update", timeout
     )
@@ -158,6 +194,7 @@ def running_sum_stream(
     ttl_ms: int,
     time_mode: str = "event",
     ts_col: str = "ts",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """The reference PoC query as a stream: per-key running sum with TTL
     state eviction (MapWithStateIterPoC.java:311-313). Output one row
@@ -193,4 +230,5 @@ def running_sum_stream(
         ttl_ms=ttl_ms,
         time_mode=time_mode,
         ts_col=ts_col,
+        watermark_delay=watermark_delay,
     )

@@ -21,6 +21,8 @@ Environment probe log (the gate below re-checks every run):
 - round 3 (2026-08-13): still ModuleNotFoundError — env unchanged, the
   2 runtime skips remain; the contract double keeps executing the real
   `handleInputRows` logic against the batch oracle.
+- round 4 (2026-08-14): `import google.protobuf` -> "No module named
+  'google'" — still broken, skips remain.
 """
 
 from __future__ import annotations

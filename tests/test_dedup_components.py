@@ -55,3 +55,58 @@ def test_canonical_mapping_keeps_unpaired_docs(spark):
         0: (0, True), 1: (1, True), 2: (2, True),
         3: (1, False), 4: (4, True), 5: (4, False),
     }
+
+
+def test_paragraph_dedup_composes_with_exact_dedup(spark, tmp_path):
+    # Fixture corpus written as a documents.parquet "sf dir":
+    #   A1 (id 1) and A2 (id 2): byte-identical, 3 full paragraphs
+    #   B  (id 3): fully distinct
+    #   C  (id 4): SHARES exactly one paragraph with A (boilerplate) —
+    #              the paragraph-level signal doc-level dedup misses
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        PARA_TOKENS,
+        dedup_exact,
+        dedup_near_canonical,
+        dedup_paragraph_near,
+    )
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}{i}x" for i in range(n))
+
+    a_text = words("alpha", 3 * PARA_TOKENS)
+    shared_para = " ".join(a_text.split()[:PARA_TOKENS])
+    rows = [
+        (1, a_text, "en", "s", len(a_text)),
+        (2, a_text, "en", "s", len(a_text)),
+        (3, words("beta", 2 * PARA_TOKENS), "en", "s", 0),
+        (4, shared_para + " " + words("gamma", 2 * PARA_TOKENS), "en", "s", 0),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    exact = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup_exact(spark, sf_dir).collect()
+    }
+    assert exact[2] == 1 and exact[1] == 1  # A2 collapses onto A1
+    assert exact[3] == 3 and exact[4] == 4
+
+    para = {
+        r["doc_id"]: (r["n_paras"], r["n_dup_paras"], r["dup_para_frac"])
+        for r in dedup_paragraph_near(spark, sf_dir).collect()
+    }
+    # composition: the exact-dup copy is 100% dup paragraphs, keeper 0%
+    assert para[1] == (3, 0, 0.0)
+    assert para[2] == (3, 3, 1.0)
+    assert para[3][1] == 0
+    # the boilerplate paragraph in C is caught at paragraph granularity
+    assert para[4] == (3, 1, pytest.approx(1 / 3))
+    # ... while doc-level near-dup does NOT cluster C with A (jaccard
+    # across whole docs is far below 0.8) — the granularity win
+    doc_level = {
+        r["doc_id"]: r["is_kept"]
+        for r in dedup_near_canonical(spark, sf_dir).collect()
+    }
+    assert doc_level[4] is True

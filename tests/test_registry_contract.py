@@ -56,13 +56,15 @@ MUST_HAVE = {
     # pipeline extensions
     "dataset_split_assign",
     "funnel_view_click_purchase",
-    "salted_user_stats",
+    # rotated into the window in round 4 (VERDICT r03 item 6)
+    "events_heavy_hitters",
+    "similarity_pq_topk",
+    "span_dedup_frac",
     # relational surface
     "tpch_q1",
     "revenue_by_nation",
     "custkeys_churn_retention",
     "json_extract_agg",
-    "pivot_flag_status",
     "asof_join_purchase_click",
     "range_rolling_1h",
     "lineitem_cube",
@@ -71,7 +73,6 @@ MUST_HAVE = {
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
-    "orders_price_distribution",
     "fuzzy_customer_names",
     "interval_join_view_click",
 }

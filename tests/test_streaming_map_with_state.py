@@ -81,3 +81,117 @@ def test_ttl_validation_streaming(spark):
             None, ["k"], lambda *a: None, "acc double, last_access_ms long",
             "k string", ttl_ms=100, time_mode="bogus",
         )
+
+
+def _chunk_shuffled_stream(spark, df, workdir, num_batches):
+    """as_file_stream with each chunk's rows REVERSED (intra-batch
+    event-time disorder) while chunk membership stays seq-ranged."""
+    rows = df.orderBy("seq").collect()
+    per = max(1, -(-len(rows) // num_batches))
+    remap = {}
+    for b in range(0, len(rows), per):
+        chunk = rows[b : b + per]
+        for i, r in enumerate(chunk):
+            remap[r["seq"]] = b + (len(chunk) - 1 - i)
+    from pyspark.sql import functions as F
+
+    mapping = F.create_map(
+        *[F.lit(x) for kv in remap.items() for x in kv]
+    )
+    shuf = df.withColumn("seq2", mapping[F.col("seq")])
+    return as_file_stream(shuf, workdir, num_batches, order_col="seq2")
+
+
+@pytest.mark.parametrize("num_batches", [1, 4])
+def test_event_time_timeout_parity_out_of_order(spark, tmp_path, num_batches):
+    # EventTimeTimeout variant: same F1 trace, rows arriving
+    # out-of-order WITHIN each micro-batch, watermark generous enough
+    # that nothing is late — the flag set must still equal the batch
+    # sessionize oracle exactly (eviction driven only by event time).
+    df = elements_with_gaps(spark, F1_ENTRIES)
+    sdf = _chunk_shuffled_stream(
+        spark, df, str(tmp_path / f"ooo{num_batches}"), num_batches
+    )
+    out = running_sum_stream(
+        sdf, "key", "value", TTL_MS,
+        time_mode="event", watermark_delay="20 seconds",
+    )
+    res = run_available_now(
+        out, str(tmp_path / f"oock{num_batches}"), output_mode="update"
+    )
+    got = {
+        (r["key"], (r["ts"].timestamp() - ts_ms(0).timestamp()) * 1000,
+         r["running_sum"])
+        for r in res.collect()
+    }
+    want = {(k, float(t), s) for (k, t, s) in EXPECTED}
+    assert got == want
+    batch = {(k, s) for (k, _, s) in _expected_from_batch(spark)}
+    assert {(k, s) for (k, _, s) in got} == batch
+
+
+def test_event_time_watermark_evicts_idle_state(spark, tmp_path):
+    # Watermark-driven PHYSICAL eviction: key a idle past ttl in event
+    # time must be removed from the state store once the watermark
+    # passes last_access + ttl, while a still-live key's state stays.
+    import os
+
+    data_dir = str(tmp_path / "wm-in")
+    ck = str(tmp_path / "wm-ck")
+    os.makedirs(data_dir, exist_ok=True)
+    schema = "key string, value int, ts timestamp, seq long"
+
+    def write_batch(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(data_dir, f"batch-{i:05d}"))
+
+    def run(collected):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(data_dir, "batch-*"))
+        )
+        out = running_sum_stream(
+            sdf, "key", "value", TTL_MS,
+            time_mode="event", watermark_delay="1 second",
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, _i: collected.extend(b.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # run 1: a and b at t=0, then b again at t=5s. After the second
+    # batch the watermark is 4s > a.last(0) + ttl(1.1s): a's timer is
+    # due but fires only in a later batch.
+    write_batch(0, [("a", 2, ts_ms(0), 0), ("b", 1, ts_ms(0), 1)])
+    write_batch(1, [("b", 4, ts_ms(5000), 2)])
+    rows1: list = []
+    run(rows1)
+    assert {(r["key"], r["running_sum"]) for r in rows1} == {
+        ("a", 2.0), ("b", 1.0), ("b", 4.0)  # b re-sessionized (gap 5s)
+    }
+
+    # run 2 (same checkpoint): one fresh key advances the stream; a's
+    # due timer fires (emitting nothing) and removes its state.
+    write_batch(2, [("c", 7, ts_ms(6000), 3)])
+    rows2: list = []
+    run(rows2)
+    assert {(r["key"], r["running_sum"]) for r in rows2} == {("c", 7.0)}
+
+    state = (
+        spark.read.format("statestore")
+        .load(ck)
+        .selectExpr("key.key AS k")
+        .collect()
+    )
+    keys = {r["k"] for r in state}
+    assert "a" not in keys, keys  # physically evicted by the watermark
+    assert {"b", "c"} <= keys, keys  # live state survives
