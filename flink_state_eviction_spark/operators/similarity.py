@@ -212,6 +212,73 @@ def ivf_cosine_topk(
     return _rank_topk(_local_truncate_topk(sim, id_col, k), id_col, k)
 
 
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the corpus itself: every vector's
+    top-k cosine neighbors among the vectors of its ``nprobe`` nearest
+    cells — the neighborhood structure SemDeDup-style semantic dedup,
+    graph clustering, and diversity sampling consume. Extension beyond
+    the reference surface.
+
+    Output: (query_id, neighbor_id, rank, sim), self-edges excluded.
+
+    Scale shape: this is NOT ``ivf_cosine_topk(corpus, corpus)`` — that
+    operator broadcasts its probe side, which is correct for a small
+    query set and fatal when the queries ARE the corpus. Here the
+    probe table (corpus × nprobe rows) meets the cell members in a
+    plain cell-keyed equi-join: both sides shuffle once on the cell id,
+    AQE size-picks the join strategy and splits skewed mega-cells.
+    Candidate work per cell is |members| × |probes into it| — bounded
+    by cell granularity, never corpus². The only broadcast is the
+    k-row centroid table; per-query top-k uses the two-phase
+    truncate-then-rank (partition-local heads, then a keyed window over
+    ≤ partitions×k rows per query).
+    """
+    cent = _cell_means(
+        corpus.select(
+            F.col(cell_col).alias("_cell"),
+            as_double_vec(F.col(vec_col)).alias("_v"),
+        )
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    q = _with_vec_and_norm(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("_csim"), F.col("_cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "_csim",
+            cosine(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", "_qn", "_cell")
+    )
+    mem = corpus.select(
+        F.col(id_col),
+        F.col(cell_col).alias("_cell"),
+        as_double_vec(F.col(vec_col)).alias("_v"),
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    sim = (
+        mem.join(probes, "_cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "sim", cosine(F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_n"))
+        )
+    )
+    return _rank_topk(_local_truncate_topk(sim, id_col, k), id_col, k)
+
+
 def kmeans_cells(
     corpus: DataFrame,
     id_col: str,

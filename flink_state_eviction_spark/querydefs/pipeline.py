@@ -1449,6 +1449,70 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# approximate k-NN graph over the embedding corpus (label cells,
+# nprobe=2, k=5): the neighborhood structure semantic dedup /
+# clustering / diversity sampling consume.
+
+_KNN_GRAPH_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+comp AS (
+    SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e
+),
+cent_comp AS (
+    SELECT label, i,
+           CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*) AS m
+    FROM comp GROUP BY 1, 2
+),
+cent AS (
+    SELECT label, list(m ORDER BY i) AS cv FROM cent_comp GROUP BY 1
+),
+centn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+probes AS (
+    SELECT query_id, qv, qn, label
+    FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.nn AS qn, c.label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.cv) / (q.nn * c.cn) DESC,
+                            c.label
+               ) AS pr
+        FROM n q CROSS JOIN centn c
+    ) WHERE pr <= 2
+),
+s AS (
+    SELECT p.query_id, n.vec_id AS neighbor_id,
+           list_dot_product(p.qv, n.v) / (p.qn * n.nn) AS sim0
+    FROM probes p JOIN n ON n.label = p.label AND n.vec_id <> p.query_id
+),
+r AS (
+    SELECT query_id, neighbor_id, sim0,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim0 DESC, neighbor_id) AS INT) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, rank, round(sim0, 6) AS sim
+FROM r WHERE rank <= 5
+"""
+
+
+@register_supplementary(
+    "embedding_knn_graph", _KNN_GRAPH_ORACLE, tags=("pipeline", "similarity")
+)
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph: every embedding's top-5 cosine neighbors
+    within its 2 nearest label-cells (operators/similarity.py:knn_graph)
+    — probe side and members meet in a plain cell-keyed join, never a
+    corpus-proportional broadcast (plan-gated). Centroids are
+    decimal-exact means, so probes and ranks replay bit-for-bit in the
+    oracle."""
+    from flink_state_eviction_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, "vec_id", "embedding", "label", k=5, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
 # learned IVF cells: deterministic Lloyd's k-means (k-smallest-id init,
 # argmin squared-L2 with small-cell tie-break, decimal-exact centroid
 # means). The oracle unrolls the iterations — assignment rounds are

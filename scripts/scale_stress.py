@@ -176,7 +176,7 @@ def main() -> None:
         "--only",
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
-        "pagerank,anomaly,resample,hh,tri,trans,pfx",
+        "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -232,6 +232,20 @@ def main() -> None:
             # replica pair is a true >= 0.8 pair) — candidate volume is
             # the df-bounded prefix postings, the honest cost driver
             rec["dedup_prefix_filter_jaccard_sec"] = timed(lambda: all_qs["dedup_prefix_filter_jaccard"](spark, d))
+        if "rank" in only:
+            # the round-4 distributed-rank rewrites (X126): distinct
+            # tokens/bigrams are vocabulary-bounded on the replica
+            # fixture, so expect parity with the old global window
+            # locally — the rewrite is a capacity fix (SCALE.md)
+            rec["vocab_numericalize_sec"] = timed(lambda: all_qs["vocab_numericalize"](spark, d))
+            rec["text_bigram_surprisal_sec"] = timed(lambda: all_qs["text_bigram_surprisal"](spark, d))
+        if "para" in only:
+            # replica docs are exact copies + a distinct replica-tag
+            # tail paragraph: dup-paragraph mass grows with factor^2
+            # candidate pairs inside each clique, like lsh
+            rec["dedup_paragraph_near_sec"] = timed(lambda: all_qs["dedup_paragraph_near"](spark, d))
+        if "knn" in only:
+            rec["embedding_knn_graph_sec"] = timed(lambda: all_qs["embedding_knn_graph"](spark, d))
         print(json.dumps(rec), flush=True)
 
 

@@ -462,3 +462,20 @@ def test_pagerank_one_new_shuffle_per_iteration(spark):
         assert r3 >= 2, r3  # ed + deg exchanges reused across rounds
     finally:
         spark.conf.set(conf, prev)
+
+def test_knn_graph_never_broadcasts_corpus(spark, sf_dir):
+    # the probe side of the k-NN graph is corpus-proportional: with
+    # auto-broadcast off, the ONLY broadcast allowed is the k-row
+    # centroid table (the explicit hint); probes must meet cell
+    # members in a shuffled equi-join on the cell id
+    conf = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "-1")
+        df = _q("embedding_knn_graph", spark, sf_dir)
+        plan = physical_plan(df, "simple")
+        assert plan.count("BroadcastExchange") == 1, plan
+        assert "CartesianProduct" not in plan, plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    finally:
+        spark.conf.set(conf, prev)
