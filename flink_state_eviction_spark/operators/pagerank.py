@@ -71,9 +71,15 @@ def pagerank(
     # nodes, deg, and ed below each consume it, so materialize ONCE —
     # without this the x25 stress recomputed the 14M-edge build four
     # times (287s -> 78s after the cut; SCALE.md)
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
+    # NULL-endpoint edges are dropped BEFORE degree counting: a
+    # (u, NULL) edge must not inflate outdeg(u) — its contribution
+    # would be computed and then silently discarded at the dangling
+    # left join, evaporating rank mass the remaining edges should carry
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .localCheckpoint(eager=False)
+    )
     # the explicit isNotNull matches the filter Catalyst pushes into the
     # inner-join side, so both consumers of the vertex set canonicalize
     # identically and AQE reuses ONE distinct-stage for it

@@ -160,6 +160,44 @@ def cosine_topk(
     return _rank_topk(_local_truncate_topk(sim, id_col, k), id_col, k)
 
 
+def _cell_centroids(corpus: DataFrame, cell_col: str, vec_col: str) -> DataFrame:
+    """Normed decimal-exact centroid per cell: (_cell, _cv, _cn)."""
+    return _cell_means(
+        corpus.select(
+            F.col(cell_col).alias("_cell"),
+            as_double_vec(F.col(vec_col)).alias("_v"),
+        )
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+
+
+def _probe_cells(
+    queries: DataFrame, id_col: str, vec_col: str, cent: DataFrame, nprobe: int
+) -> DataFrame:
+    """Each query row's ``nprobe`` nearest cells by centroid cosine
+    (ties: cell id) — the ONE probe implementation shared by
+    ivf_cosine_topk and knn_graph, so tie-break or norm-handling edits
+    cannot diverge between their oracle twins. Output:
+    (query_id, _qv, _qn, _cell), one row per probed cell."""
+    q = _with_vec_and_norm(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("_csim"), F.col("_cell")
+    )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "_csim",
+            cosine(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", "_qn", "_cell")
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -176,29 +214,8 @@ def ivf_cosine_topk(
     Output: (query_id, neighbor_id, rank, sim). Recall < 1 by design;
     the scan cost drops by ~n_cells/nprobe versus brute force.
     """
-    cent = _cell_means(
-        corpus.select(
-            F.col(cell_col).alias("_cell"),
-            as_double_vec(F.col(vec_col)).alias("_v"),
-        )
-    ).withColumn("_cn", l2_norm(F.col("_cv")))
-    q = _with_vec_and_norm(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_v").alias("_qv"),
-        F.col("_n").alias("_qn"),
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("_csim"), F.col("_cell")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "_csim", cosine(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"))
-        )
-        .withColumn("_pr", F.row_number().over(probe_w))
-        .where(F.col("_pr") <= nprobe)
-        .select("query_id", "_qv", "_qn", "_cell")
-    )
+    cent = _cell_centroids(corpus, cell_col, vec_col)
+    probes = _probe_cells(queries, id_col, vec_col, cent, nprobe)
     c = corpus.select(
         F.col(id_col), F.col(cell_col).alias("_cell")
     ).join(_with_vec_and_norm(corpus, id_col, vec_col), id_col)
@@ -240,30 +257,8 @@ def knn_graph(
     truncate-then-rank (partition-local heads, then a keyed window over
     ≤ partitions×k rows per query).
     """
-    cent = _cell_means(
-        corpus.select(
-            F.col(cell_col).alias("_cell"),
-            as_double_vec(F.col(vec_col)).alias("_v"),
-        )
-    ).withColumn("_cn", l2_norm(F.col("_cv")))
-    q = _with_vec_and_norm(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_v").alias("_qv"),
-        F.col("_n").alias("_qn"),
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("_csim"), F.col("_cell")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "_csim",
-            cosine(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
-        )
-        .withColumn("_pr", F.row_number().over(probe_w))
-        .where(F.col("_pr") <= nprobe)
-        .select("query_id", "_qv", "_qn", "_cell")
-    )
+    cent = _cell_centroids(corpus, cell_col, vec_col)
+    probes = _probe_cells(corpus, id_col, vec_col, cent, nprobe)
     mem = corpus.select(
         F.col(id_col),
         F.col(cell_col).alias("_cell"),

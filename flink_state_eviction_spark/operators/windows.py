@@ -152,7 +152,8 @@ def count_rank_bucket(
 ) -> Column:
     """Monotone composite bucket for ranking by ``(cnt DESC, key ASC)``
     with ``bucketed_global_row_number`` — the frequency-rank shape
-    (vocabulary ids, bigram rarity ranks).
+    (vocabulary ids, bigram rarity ranks). Extension beyond the
+    reference surface (no ranking machinery exists there; SURVEY §2.6).
 
     ``-least(cnt, cap)`` alone is monotone in the sort order, but at web
     scale it collapses: the ``cnt = 1`` singleton tail is most of the
@@ -187,6 +188,7 @@ def range_partitioned_global_row_number(
     sort and without a hand-built monotone bucket — the general-purpose
     sibling of ``bucketed_global_row_number`` for continuous sort keys
     (doubles, timestamps) where no natural coarse bucket exists.
+    Extension beyond the reference surface (SURVEY §2.6).
 
     Mechanism: ``repartitionByRange`` samples split points
     (RangePartitioner) so partition ``i``'s rows all precede partition
@@ -203,6 +205,15 @@ def range_partitioned_global_row_number(
     shuffles of the ranked relation (range exchange + the pid-keyed
     window) — the price of skew-proof exactness; prefer the bucketed
     variant when a monotone bucket is available (one shuffle).
+
+    The (row, _pid) assignment is localCheckpointed before fanning out
+    to its two consumers (the per-pid count table and the ranking
+    window): both MUST observe the same sampled boundaries, and without
+    the materialization that hinges on exchange reuse deduplicating the
+    two subtrees — correct under default confs, but silently wrong
+    ranks if reuse is ever disabled or the subtrees stop
+    canonicalizing identically. The checkpoint makes the sampled
+    assignment a fact, not a plan-identity coincidence.
     """
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -210,6 +221,7 @@ def range_partitioned_global_row_number(
     d = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(

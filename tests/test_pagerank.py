@@ -53,3 +53,26 @@ def test_pagerank_iteration_zero_is_uniform(spark):
     df = spark.createDataFrame(EDGES, "src long, dst long")
     got = {r["node"]: r["rank_micro"] for r in pagerank(df, iters=0).collect()}
     assert set(got.values()) == {RANK_SCALE}
+
+
+def test_null_endpoint_edges_do_not_inflate_outdeg(spark):
+    # (1, NULL) must be dropped entirely: node 2 receives rank(1) div 1,
+    # not div 2 — a NULL edge cannot carry rank mass either way
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.operators.pagerank import (
+        RANK_SCALE,
+        pagerank,
+    )
+
+    clean = spark.createDataFrame([(1, 2)], "src long, dst long")
+    dirty = spark.createDataFrame(
+        [(1, 2), (1, None), (None, 2)], "src long, dst long"
+    )
+    want = {r["node"]: r["rank_micro"] for r in pagerank(clean, iters=2).collect()}
+    got = {r["node"]: r["rank_micro"] for r in pagerank(dirty, iters=2).collect()}
+    assert got == want
+    # hand-check: iter1 rank(1)=0.15 (no inbound), iter2 rank(2) =
+    # 0.15 + 0.85*rank(1) = 0.2775 — i.e. 1's FULL mass (div 1, not
+    # div 2: the NULL edge did not inflate outdeg)
+    assert got[2] == (15 * RANK_SCALE + 85 * ((15 * RANK_SCALE) // 100)) // 100

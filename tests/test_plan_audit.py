@@ -32,7 +32,9 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "bloom_pruned_revenue_smallparts": 1,  # scalar: bloom bitmap fold
     "corpus_drift_chisq": 1,  # tiny: chi-sq over per-source rows
     "count_window_all_label": 1,  # offsets: bucket counts (two-phase rank)
-    "customer_rfm_segments": 4,  # offsets x3 (range-rank pids) + scalar N
+    # visible plan = last rank call only (first two sit behind the
+    # helper's boundary-pinning localCheckpoint): 1 offsets + scalar N
+    "customer_rfm_segments": 2,
     "dedup_semantic_clustered": 2,  # tiny: k-row centroid updates
     "domain_mix_weights": 1,  # tiny: total over per-language aggregate
     "dq_orders_report": 3,  # scalar: report-wide totals/rates

