@@ -1453,8 +1453,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nprobe=2, k=5): the neighborhood structure semantic dedup /
 # clustering / diversity sampling consume.
 
-_KNN_GRAPH_ORACLE = """
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+# knn CTE chain ending in ranked neighbors `r(query_id, neighbor_id,
+# sim0, rank)` — shared by the graph query and the mutual-kNN
+# clustering query
+_KNN_GRAPH_BODY = """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
 comp AS (
     SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e
@@ -1490,7 +1492,10 @@ r AS (
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY sim0 DESC, neighbor_id) AS INT) AS rank
     FROM s
-)
+)"""
+
+_KNN_GRAPH_ORACLE = f"""
+WITH {_KNN_GRAPH_BODY}
 SELECT query_id, neighbor_id, rank, round(sim0, 6) AS sim
 FROM r WHERE rank <= 5
 """
@@ -1510,6 +1515,100 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph(emb, "vec_id", "embedding", "label", k=5, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# mutual-kNN clustering: keep only RECIPROCATED kNN edges (the standard
+# noise-robust sparsification — one-sided edges from an outlier into a
+# dense region disappear), then connected components over the mutual
+# graph. The embedding-space clustering pass (topic buckets for
+# curriculum mixing, SemDeDup-adjacent grouping).
+
+_MUTUAL_KNN_ORACLE = f"""
+WITH RECURSIVE {_KNN_GRAPH_BODY},
+knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+mutual AS (
+    SELECT a.query_id AS u, a.neighbor_id AS v
+    FROM knn a JOIN knn b
+      ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+    WHERE a.query_id < a.neighbor_id
+),
+sym AS (SELECT u, v FROM mutual UNION SELECT v, u FROM mutual),
+reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r2.u, s2.v FROM reach r2 JOIN sym s2 ON r2.v = s2.u
+),
+cl_comp AS (
+    SELECT u AS vec_id, least(u, MIN(v)) AS cluster
+    FROM reach GROUP BY u
+),
+asg AS (
+    SELECT e.vec_id, COALESCE(c.cluster, e.vec_id) AS cluster
+    FROM e LEFT JOIN cl_comp c ON c.vec_id = e.vec_id
+)
+SELECT vec_id, cluster,
+       CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
+           AS cluster_size
+FROM asg
+"""
+
+
+@register_supplementary(
+    "embedding_cluster_mutual_knn",
+    _MUTUAL_KNN_ORACLE,
+    tags=("pipeline", "similarity"),
+)
+def embedding_cluster_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN clustering: the X128 k-NN graph sparsified to
+    reciprocated edges (`intersect` with its own reversal — an outlier
+    pointing INTO a dense region keeps no edge, so noise stays
+    singleton), closed into components (X39 machinery), every vector
+    labeled with its cluster id (component min; itself if unclustered)
+    and the cluster size. Extension beyond the reference.
+
+    Scale shape: the mutual filter is a self-intersect of the kNN edge
+    list (corpus×k rows, NOT corpus² — one shuffle on the edge pair);
+    CC runs on the even smaller mutual list; the size window is keyed
+    by cluster. Nothing corpus-proportional broadcasts (the CC/label
+    join inherits canonical_mapping's AQE size-picking)."""
+    from flink_state_eviction_spark.operators.dedup import (
+        connected_components,
+    )
+    from flink_state_eviction_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph(emb, "vec_id", "embedding", "label", k=5, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    rev = g.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+    )
+    mutual = g.intersect(rev).where(
+        F.col("query_id") < F.col("neighbor_id")
+    )
+    comp = connected_components(
+        mutual,
+        src="query_id",
+        dst="neighbor_id",
+        id_out="vec_id",
+        comp_out="cluster",
+    )
+    asg = (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster"), F.col("vec_id")).alias("cluster"),
+        )
+    )
+    w = Window.partitionBy("cluster")
+    return asg.select(
+        "vec_id",
+        "cluster",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )
 
 
 # ---------------------------------------------------------------------------
