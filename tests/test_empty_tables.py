@@ -82,6 +82,12 @@ SAMPLE = [
     "quality_budget_select",
     "dedup_embedding_srp_lsh",
     "supplier_pagerank",
+    "dedup_paragraph_near",
+    "embedding_knn_graph",
+    "embedding_cluster_mutual_knn",
+    "vocab_numericalize",
+    "text_bigram_surprisal",
+    "customer_rfm_segments",
     "scd2_point_in_time",
     "events_anomaly_zscore",
     "events_resample_1h_locf",
