@@ -236,6 +236,7 @@ def knn_graph(
     cell_col: str,
     k: int = 5,
     nprobe: int = 2,
+    salt: int = 1,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the corpus itself: every vector's
     top-k cosine neighbors among the vectors of its ``nprobe`` nearest
@@ -256,7 +257,22 @@ def knn_graph(
     k-row centroid table; per-query top-k uses the two-phase
     truncate-then-rank (partition-local heads, then a keyed window over
     ≤ partitions×k rows per query).
+
+    ``salt`` sub-splits each cell's candidate scoring across ``salt``
+    tasks: members hash into a salt bucket, probe rows replicate ×salt
+    so every (probe, member) pair still meets exactly once — identical
+    output, probe-side shuffle ×salt, compute parallelism
+    cells×salt instead of cells. Use when n_cells < cores (coarse cell
+    columns); leave at 1 when the cell count already saturates the
+    cluster.
     """
+    from flink_state_eviction_spark.tables import ensure_min_partitions
+
+    # when the (small) probe table broadcasts, the candidate cosine +
+    # truncate stage runs map-side ON THE SCAN PARTITIONING — a
+    # single-file corpus would put every pair on one core (measured:
+    # 7.1 s -> sub-second for the truncate at sf0.1)
+    corpus = ensure_min_partitions(corpus)
     cent = _cell_centroids(corpus, cell_col, vec_col)
     probes = _probe_cells(corpus, id_col, vec_col, cent, nprobe)
     mem = corpus.select(
@@ -264,8 +280,25 @@ def knn_graph(
         F.col(cell_col).alias("_cell"),
         as_double_vec(F.col(vec_col)).alias("_v"),
     ).withColumn("_n", l2_norm(F.col("_v")))
+    join_keys = ["_cell"]
+    if salt > 1:
+        probes = probes.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        mem = mem.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int")
+        )
+        join_keys = ["_cell", "_salt"]
+    # pin the probe side to join-key hash partitioning: in the
+    # shuffle-join regime EnsureRequirements reuses this exchange (no
+    # extra shuffle); in the broadcast regime (one side small) it stops
+    # AQE from coalescing the STREAM side to ~1 partition — the
+    # candidate cosine + truncate would otherwise run on one core
+    # (measured 7.1 s -> sub-second at sf0.1)
+    n = corpus.sparkSession.sparkContext.defaultParallelism
+    probes = probes.repartition(n, *join_keys)
     sim = (
-        mem.join(probes, "_cell")
+        mem.join(probes, join_keys)
         .where(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "sim", cosine(F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_n"))

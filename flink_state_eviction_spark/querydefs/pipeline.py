@@ -1514,7 +1514,7 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_state_eviction_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_graph(emb, "vec_id", "embedding", "label", k=5, nprobe=2)
+    return knn_graph(emb, "vec_id", "embedding", "label", k=5, nprobe=2, salt=8)
 
 
 # ---------------------------------------------------------------------------
@@ -1573,13 +1573,17 @@ def embedding_cluster_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     by cluster. Nothing corpus-proportional broadcasts (the CC/label
     join inherits canonical_mapping's AQE size-picking)."""
     from flink_state_eviction_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
     )
     from flink_state_eviction_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    g = knn_graph(emb, "vec_id", "embedding", "label", k=5, nprobe=2).select(
-        "query_id", "neighbor_id"
+    # both intersect sides consume the kNN edge list — materialize it
+    # once or the whole graph build runs twice
+    g = (
+        knn_graph(emb, "vec_id", "embedding", "label", k=5, nprobe=2, salt=8)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     rev = g.select(
         F.col("neighbor_id").alias("query_id"),
@@ -1588,7 +1592,9 @@ def embedding_cluster_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutual = g.intersect(rev).where(
         F.col("query_id") < F.col("neighbor_id")
     )
-    comp = connected_components(
+    # star CC, not propagation: mutual-kNN components are DEEP (the
+    # sf0.1 graph needs 27 propagation rounds vs 4 star alternations)
+    comp = connected_components_star(
         mutual,
         src="query_id",
         dst="neighbor_id",

@@ -110,3 +110,44 @@ def test_paragraph_dedup_composes_with_exact_dedup(spark, tmp_path):
         for r in dedup_near_canonical(spark, sf_dir).collect()
     }
     assert doc_level[4] is True
+
+
+def test_star_cc_matches_propagation_on_deep_and_random_graphs(spark):
+    # the O(log) alternating-star algorithm must produce EXACTLY the
+    # propagation labels (component min per vertex) — deep chain (the
+    # shape propagation is worst at), bridge graph, random, self-loop
+    import random
+
+    from flink_state_eviction_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    random.seed(11)
+    cases = {
+        "chain": [(i, i + 1) for i in range(80)],
+        "bridged_cliques": (
+            [(i, j) for i in range(5) for j in range(i + 1, 5)]
+            + [(100 + i, 100 + j) for i in range(4) for j in range(i + 1, 4)]
+            + [(4, 100)]
+        ),
+        "random": list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    sorted(random.sample(range(150), 2)) for _ in range(120)
+                )
+            }
+        ),
+        "self_loop": [(5, 5), (1, 2)],
+    }
+    for name, edges in cases.items():
+        e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        want = {
+            (r["doc_id"], r["component"])
+            for r in connected_components(e, max_iter=200).collect()
+        }
+        got = {
+            (r["doc_id"], r["component"])
+            for r in connected_components_star(e).collect()
+        }
+        assert got == want, name
