@@ -164,3 +164,49 @@ def compact_to_target_file_size(
         out = df.repartition(n_files)
     out.write.mode(mode).parquet(dest_path)
     return n_files
+
+
+def write_ordered_shards(
+    df: DataFrame,
+    path: str,
+    order_cols: Sequence,
+    num_shards: int,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Globally ORDERED shard export — the curriculum / quality-ordered
+    corpus layout: shard ``i`` holds a contiguous range of the global
+    ``order_cols`` order (range-partitioned boundaries, skew-balanced
+    by the sampler), each shard internally sorted, so reading shards
+    0..N-1 in sequence replays the exact global order without any
+    consumer-side sort. Extension beyond the reference surface.
+
+    No single-partition sort anywhere: ``repartitionByRange`` samples
+    split points, each shard sorts locally — the same skew-proof shape
+    as ``range_partitioned_global_row_number`` (operators/windows.py).
+    ``order_cols`` should be tie-free (end with a unique id) so the
+    layout is deterministic.
+
+    Returns the shard manifest (shard, rows) read back from the
+    written layout — one row per shard directory.
+    """
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    from pyspark.sql import functions as F
+
+    # the sort leads with _shard (constant per partition, so it does
+    # not change the order) because FileFormatWriter requires child
+    # ordering by the partition columns — without the prefix it inserts
+    # its OWN non-stable sort on _shard and scrambles the payload order
+    d = (
+        df.repartitionByRange(num_shards, *order_cols)
+        .withColumn("_shard", F.spark_partition_id())
+        .sortWithinPartitions("_shard", *order_cols)
+    )
+    d.write.mode(mode).partitionBy("_shard").parquet(path)
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("_shard")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .select(F.col("_shard").cast("int").alias("shard"), "rows")
+    )

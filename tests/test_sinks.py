@@ -181,3 +181,34 @@ def test_partitioned_lake_schema_evolution(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     assert "event_type" in plan.split("PartitionFilters")[1][:200]
     assert q.count() == ev.where(F.col("event_type") == "click").count()
+
+
+def test_ordered_shards_replay_global_order(spark, sf_dir, tmp_path):
+    # shards must tile the global (quality desc, doc_id) order: reading
+    # shard 0..N-1 in sequence, each in file order, equals the global
+    # orderBy — no consumer-side sort, no single-partition write
+    from flink_state_eviction_spark.sinks.parquet import (
+        write_ordered_shards,
+    )
+    from flink_state_eviction_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("q")
+    )
+    path = str(tmp_path / "ordered")
+    manifest = write_ordered_shards(
+        docs, path, [F.desc("q"), F.asc("doc_id")], num_shards=8
+    )
+    m = {r["shard"]: r["rows"] for r in manifest.collect()}
+    assert sum(m.values()) == docs.count()
+    assert len(m) > 1  # boundaries actually split the data
+
+    got = []
+    for shard in sorted(m):
+        part = spark.read.parquet(f"{path}/_shard={shard}")
+        got.extend((r["q"], r["doc_id"]) for r in part.collect())
+    want = [
+        (r["q"], r["doc_id"])
+        for r in docs.orderBy(F.desc("q"), F.asc("doc_id")).collect()
+    ]
+    assert [(-q, i) for q, i in got] == [(-q, i) for q, i in want]
