@@ -363,9 +363,11 @@ def connected_components_star(
             .join(m_all, "_u")
             .select(F.col("_v").alias("a"), F.col("_m").alias("b"))
         )
-        # not checkpointed: consumed once (by small-star below), so a
-        # materialization job would only add driver latency
-        sym_l = _sym(large)
+        # checkpointed: small-star references this subtree many times
+        # (the union/join fan-out below multiplies references ~12x) —
+        # without the cut the large-star join re-evaluates per
+        # reference, only partially deduped by exchange reuse
+        sym_l = _sym(large).localCheckpoint()
         # small-star: (v, m) for v in S(u) + {u}; m = min(S(u) + {u})
         smaller = sym_l.where(F.col("_v") < F.col("_u"))
         m_small = smaller.groupBy("_u").agg(F.min("_v").alias("_m"))

@@ -1502,7 +1502,10 @@ FROM r WHERE rank <= 5
 
 
 @register_supplementary(
-    "embedding_knn_graph", _KNN_GRAPH_ORACLE, tags=("pipeline", "similarity")
+    "embedding_knn_graph",
+    _KNN_GRAPH_ORACLE,
+    headline=True,
+    tags=("pipeline", "similarity"),
 )
 def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph: every embedding's top-5 cosine neighbors
@@ -1563,15 +1566,16 @@ def embedding_cluster_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-kNN clustering: the X128 k-NN graph sparsified to
     reciprocated edges (`intersect` with its own reversal — an outlier
     pointing INTO a dense region keeps no edge, so noise stays
-    singleton), closed into components (X39 machinery), every vector
-    labeled with its cluster id (component min; itself if unclustered)
-    and the cluster size. Extension beyond the reference.
+    singleton), closed into components by the O(log) alternating-star
+    algorithm (X130), every vector labeled with its cluster id
+    (component min; itself if unclustered) and the cluster size.
+    Extension beyond the reference.
 
     Scale shape: the mutual filter is a self-intersect of the kNN edge
     list (corpus×k rows, NOT corpus² — one shuffle on the edge pair);
     CC runs on the even smaller mutual list; the size window is keyed
-    by cluster. Nothing corpus-proportional broadcasts (the CC/label
-    join inherits canonical_mapping's AQE size-picking)."""
+    by cluster; the label attach is a plain id equi-join that AQE
+    size-picks (broadcast only when the component table is small)."""
     from flink_state_eviction_spark.operators.dedup import (
         connected_components_star,
     )

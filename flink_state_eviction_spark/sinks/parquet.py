@@ -191,7 +191,13 @@ def write_ordered_shards(
     """
     if num_shards <= 0:
         raise ValueError("num_shards must be positive")
+    if "_shard" in df.columns:
+        raise ValueError(
+            "input already has a _shard column — drop or rename it "
+            "(write_ordered_shards owns that name for the shard layout)"
+        )
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     # the sort leads with _shard (constant per partition, so it does
     # not change the order) because FileFormatWriter requires child
@@ -204,8 +210,15 @@ def write_ordered_shards(
     )
     d.write.mode(mode).partitionBy("_shard").parquet(path)
     spark = df.sparkSession
+    # explicit schema: an empty input writes only _SUCCESS, and a
+    # schema-less read of that directory cannot infer one (crashes);
+    # with the schema pinned it is simply an empty manifest
+    read_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("_shard", T.IntegerType())]
+    )
     return (
-        spark.read.parquet(path)
+        spark.read.schema(read_schema)
+        .parquet(path)
         .groupBy("_shard")
         .agg(F.count(F.lit(1)).alias("rows"))
         .select(F.col("_shard").cast("int").alias("shard"), "rows")

@@ -212,3 +212,28 @@ def test_ordered_shards_replay_global_order(spark, sf_dir, tmp_path):
         for r in docs.orderBy(F.desc("q"), F.asc("doc_id")).collect()
     ]
     assert [(-q, i) for q, i in got] == [(-q, i) for q, i in want]
+
+
+def test_ordered_shards_empty_input_and_name_collision(spark, sf_dir, tmp_path):
+    import pytest
+
+    from flink_state_eviction_spark.sinks.parquet import (
+        write_ordered_shards,
+    )
+    from flink_state_eviction_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("q")
+    )
+    # empty input: write succeeds, manifest is simply empty
+    manifest = write_ordered_shards(
+        docs.where(F.lit(False)), str(tmp_path / "empty"),
+        [F.desc("q"), F.asc("doc_id")], num_shards=4,
+    )
+    assert manifest.count() == 0
+    # reserved column name is rejected, not silently overwritten
+    with pytest.raises(ValueError, match="_shard"):
+        write_ordered_shards(
+            docs.withColumn("_shard", F.lit(1)), str(tmp_path / "c"),
+            [F.asc("doc_id")], num_shards=2,
+        )
