@@ -511,6 +511,89 @@ def span_dup_stats(
     )
 
 
+def span_dedup_remove(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    s: int = 4,
+) -> DataFrame:
+    """Exact-substring REMOVAL (the rewrite pass of Lee et al. 2022's
+    suffix-array dedup, distributively approximated with strided
+    k-token span hashes): every span instance whose hash occurs more
+    than once corpus-wide is deleted from the text EXCEPT the globally
+    first occurrence (min (doc_id, span_index) — deterministic), and
+    each document's surviving tokens are re-joined in order.
+
+    Output: (id, n_tokens, n_removed, clean_md5) — the md5 of the
+    cleaned text stands in for shipping the rewritten corpus (a real
+    pipeline would write the cleaned text column; the hash keeps the
+    oracle comparison narrow).
+
+    Scale shape: the token arrays NEVER shuffle. What moves: 16-byte
+    (span_h, id, idx) rows to rank occurrences (span_h-keyed, uniform
+    64-bit hashes), and the removed POSITION lists back to each doc
+    (bounded by removed-span count × k). The rewrite itself is a
+    scan-side higher-order filter against the doc's sorted removed-set
+    (O(n × |removed|) per doc interpreted; an Arrow two-pointer pass is
+    the drop-in upgrade for pathological removal densities).
+    """
+    from flink_state_eviction_spark.functions.hashing import h64
+    from flink_state_eviction_spark.functions.text import tokens
+
+    toks_df = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    spans = (
+        toks_df.where(F.col("n") >= k)
+        .select(
+            id_col,
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.expr(f"(n - {k}) div {s}"))
+            ).alias("i"),
+        )
+        .select(
+            id_col,
+            "i",
+            h64(
+                F.array_join(F.expr(f"slice(toks, i * {s} + 1, {k})"), " ")
+            ).alias("span_h"),
+        )
+    )
+    w_h = Window.partitionBy("span_h")
+    w_first = Window.partitionBy("span_h").orderBy(id_col, "i")
+    removed = (
+        spans.withColumn("_cnt", F.count(F.lit(1)).over(w_h))
+        .withColumn("_rn", F.row_number().over(w_first))
+        .where((F.col("_cnt") > 1) & (F.col("_rn") > 1))
+    )
+    rem_sets = (
+        removed.select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("i") * s + 1, F.col("i") * s + k
+                )
+            ).alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("_rem"))
+    )
+    joined = toks_df.join(rem_sets, id_col, "left").withColumn(
+        "_rem", F.coalesce(F.col("_rem"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("toks"), lambda x, i: ~F.array_contains(F.col("_rem"), i + 1)
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size("_rem").cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
+    )
+
+
 def blocked_containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -182,6 +182,77 @@ def span_dedup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(docs, k=_SPAN_K, s=_SPAN_S)
 
 
+_SPAN_REMOVE_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+sh AS (
+    SELECT t.doc_id, u.i,
+           {sql_h64(f"array_to_string(t.toks[u.i*{_SPAN_S}+1 : u.i*{_SPAN_S}+{_SPAN_K}], ' ')")}
+               AS span_h
+    FROM toks t,
+         UNNEST(range(0, (len(t.toks) - {_SPAN_K}) // {_SPAN_S} + 1)) AS u(i)
+    WHERE len(t.toks) >= {_SPAN_K}
+),
+ranked AS (
+    SELECT doc_id, i,
+           COUNT(*) OVER (PARTITION BY span_h) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY span_h ORDER BY doc_id, i)
+               AS rn
+    FROM sh
+),
+rem AS (
+    SELECT DISTINCT doc_id,
+           unnest(range(i*{_SPAN_S}+1, i*{_SPAN_S}+{_SPAN_K}+1)) AS pos
+    FROM ranked WHERE cnt > 1 AND rn > 1
+),
+tokpos AS (
+    SELECT doc_id, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) AS pos
+    FROM toks
+),
+kept AS (
+    SELECT tp.doc_id, tp.tok, tp.pos
+    FROM tokpos tp
+    LEFT JOIN rem r ON r.doc_id = tp.doc_id AND r.pos = tp.pos
+    WHERE r.pos IS NULL
+),
+cleaned AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ctext
+    FROM kept GROUP BY doc_id
+),
+remcnt AS (SELECT doc_id, COUNT(*) AS n_removed FROM rem GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(rc.n_removed, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(c.ctext, '')) AS clean_md5
+FROM toks t
+LEFT JOIN cleaned c USING (doc_id)
+LEFT JOIN remcnt rc USING (doc_id)
+"""
+
+
+@register_supplementary(
+    "span_dedup_remove", _SPAN_REMOVE_ORACLE, tags=("pipeline", "dedup")
+)
+def span_dedup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (the rewrite pass X56's measurement
+    query stops short of): duplicated 8-token spans are deleted from
+    every document except the globally first occurrence, and the
+    cleaned text's md5 + removed-token count come back per doc
+    (operators/dedup.py:span_dedup_remove; Lee et al. 2022 rewrite
+    semantics under the strided-span approximation).
+
+    Scale shape: token arrays never shuffle — only 16-byte span-hash
+    rows (to rank occurrences) and the removed position lists (bounded
+    by removed spans × K) move; the rewrite is a scan-side
+    higher-order filter."""
+    from flink_state_eviction_spark.operators.dedup import (
+        span_dedup_remove as _remove,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _remove(docs, k=_SPAN_K, s=_SPAN_S)
+
+
 # ---------------------------------------------------------------------------
 # X57: Bloom-filter digest membership (constant-size dedup index)
 #

@@ -36,3 +36,31 @@ def test_strided_span_recall_vs_exact(spark, sf_dir):
         f"doc-flag recall {recall:.2f} "
         f"({len(flagged_sampled)}/{len(flagged_exact)})"
     )
+
+
+def test_span_remove_keeps_first_occurrence_and_guts_copies(spark):
+    # doc 1 and doc 2 share their full text; doc 3 is distinct. The
+    # rewrite must keep doc 1 verbatim (first occurrence), remove every
+    # sampled-span token from doc 2, and leave doc 3 untouched.
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.operators.dedup import (
+        span_dedup_remove,
+    )
+
+    shared = " ".join(f"w{i}x" for i in range(16))  # 16 tokens = spans 0,1,2 (k=8, s=4)
+    other = " ".join(f"z{i}y" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, other)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_md5"])
+        for r in span_dedup_remove(docs).collect()
+    }
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
+    assert out[1] == (16, 0, md5(shared))  # first occurrence intact
+    # doc 2: spans at 0,4,8 cover positions 1..16 entirely -> all gone
+    assert out[2] == (16, 16, md5(""))
+    assert out[3] == (16, 0, md5(other))
