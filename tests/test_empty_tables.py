@@ -82,6 +82,7 @@ SAMPLE = [
     "quality_budget_select",
     "dedup_embedding_srp_lsh",
     "supplier_pagerank",
+    "span_dedup_remove",
     "dedup_paragraph_near",
     "embedding_knn_graph",
     "embedding_cluster_mutual_knn",
