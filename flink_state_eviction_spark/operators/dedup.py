@@ -432,6 +432,44 @@ def canonical_mapping(
     )
 
 
+def _strided_spans(
+    docs: DataFrame, id_col: str, text_col: str, k: int, s: int
+) -> DataFrame:
+    """Tokenize and enumerate strided k-token span hashes — the ONE
+    span convention shared by span_dup_stats (measurement) and
+    span_dedup_remove (rewrite), so k/s arithmetic, the n >= k guard,
+    and the hash payload cannot silently diverge between them (both
+    have SQL oracle twins built from the shared _SPAN_SH CTE).
+    Output: (id, i, span_h) plus the (id, toks, n) token frame."""
+    from flink_state_eviction_spark.functions.hashing import h64
+    from flink_state_eviction_spark.functions.text import tokens
+
+    toks_df = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    spans = (
+        toks_df.where(F.col("n") >= k)
+        .select(
+            id_col,
+            "toks",
+            # sequence over INTs: `i` feeds slice(), whose start
+            # argument must be int-typed. n >= k here, so the upper
+            # bound is non-negative (div/floor-division parity).
+            F.explode(
+                F.sequence(F.lit(0), F.expr(f"(n - {k}) div {s}"))
+            ).alias("i"),
+        )
+        .select(
+            id_col,
+            "i",
+            h64(
+                F.array_join(F.expr(f"slice(toks, i * {s} + 1, {k})"), " ")
+            ).alias("span_h"),
+        )
+    )
+    return toks_df, spans
+
+
 def span_dup_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -455,31 +493,7 @@ def span_dup_stats(
     duplicated under stride s is always duplicated under s=1 (the
     sampled sets shrink monotonically), measured in
     tests/test_span_recall.py."""
-    from flink_state_eviction_spark.functions.hashing import h64
-    from flink_state_eviction_spark.functions.text import tokens
-
-    toks_df = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("toks")
-    ).withColumn("n", F.size("toks"))
-    spans = (
-        toks_df.where(F.col("n") >= k)
-        .select(
-            id_col,
-            "toks",
-            # sequence over INTs: `i` feeds slice(), whose start
-            # argument must be int-typed. n >= k here, so the upper
-            # bound is non-negative (div/floor-division parity).
-            F.explode(
-                F.sequence(F.lit(0), F.expr(f"(n - {k}) div {s}"))
-            ).alias("i"),
-        )
-        .select(
-            id_col,
-            h64(
-                F.array_join(F.expr(f"slice(toks, i * {s} + 1, {k})"), " ")
-            ).alias("span_h"),
-        )
-    )
+    _, spans = _strided_spans(docs, id_col, text_col, k, s)
     pairs = spans.groupBy("span_h", id_col).agg(
         F.count(F.lit(1)).alias("occ")
     )
@@ -530,44 +544,30 @@ def span_dedup_remove(
     pipeline would write the cleaned text column; the hash keeps the
     oracle comparison narrow).
 
-    Scale shape: the token arrays NEVER shuffle. What moves: 16-byte
-    (span_h, id, idx) rows to rank occurrences (span_h-keyed, uniform
-    64-bit hashes), and the removed POSITION lists back to each doc
-    (bounded by removed-span count × k). The rewrite itself is a
-    scan-side higher-order filter against the doc's sorted removed-set
+    Extension beyond the reference surface (SURVEY.md X132; the
+    reference has no batch corpus tooling).
+
+    Scale shape: the span-ranking chain moves only 16-byte
+    (span_h, id, idx) rows (span_h-keyed, uniform 64-bit hashes) and
+    the removed POSITION lists (bounded by removed-span count × k).
+    The final rewrite joins those lists back onto the token frame on
+    the doc id: when the removed-set side fits the broadcast threshold
+    the token arrays stay scan-side; on a heavily duplicated corpus
+    AQE degrades it to a doc-id shuffle of the token frame — one
+    exchange of the corpus, the honest floor for a rewrite that must
+    colocate every doc with its removal list. The rewrite itself is a
+    higher-order filter against the doc's sorted removed-set
     (O(n × |removed|) per doc interpreted; an Arrow two-pointer pass is
     the drop-in upgrade for pathological removal densities).
     """
-    from flink_state_eviction_spark.functions.hashing import h64
-    from flink_state_eviction_spark.functions.text import tokens
-
-    toks_df = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("toks")
-    ).withColumn("n", F.size("toks"))
-    spans = (
-        toks_df.where(F.col("n") >= k)
-        .select(
-            id_col,
-            "toks",
-            F.explode(
-                F.sequence(F.lit(0), F.expr(f"(n - {k}) div {s}"))
-            ).alias("i"),
-        )
-        .select(
-            id_col,
-            "i",
-            h64(
-                F.array_join(F.expr(f"slice(toks, i * {s} + 1, {k})"), " ")
-            ).alias("span_h"),
-        )
-    )
-    w_h = Window.partitionBy("span_h")
+    toks_df, spans = _strided_spans(docs, id_col, text_col, k, s)
+    # _rn > 1 alone marks removals: a hash occurring once has its only
+    # instance at _rn == 1 (a separate COUNT window would be a
+    # tautological second pass)
     w_first = Window.partitionBy("span_h").orderBy(id_col, "i")
-    removed = (
-        spans.withColumn("_cnt", F.count(F.lit(1)).over(w_h))
-        .withColumn("_rn", F.row_number().over(w_first))
-        .where((F.col("_cnt") > 1) & (F.col("_rn") > 1))
-    )
+    removed = spans.withColumn(
+        "_rn", F.row_number().over(w_first)
+    ).where(F.col("_rn") > 1)
     rem_sets = (
         removed.select(
             id_col,

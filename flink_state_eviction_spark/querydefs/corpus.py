@@ -130,16 +130,21 @@ def sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_K = 8  # span length in tokens
 _SPAN_S = 4  # stride between sampled spans
 
-_SPAN_ORACLE = f"""
-WITH {_SQL_TOKS.strip()},
+# one SQL span convention for both the measurement (X56) and removal
+# (X132) oracles — k/s arithmetic and hash payload cannot diverge
+_SPAN_SH_CTE = f"""
 sh AS (
-    SELECT t.doc_id,
+    SELECT t.doc_id, u.i,
            {sql_h64(f"array_to_string(t.toks[u.i*{_SPAN_S}+1 : u.i*{_SPAN_S}+{_SPAN_K}], ' ')")}
                AS span_h
     FROM toks t,
          UNNEST(range(0, (len(t.toks) - {_SPAN_K}) // {_SPAN_S} + 1)) AS u(i)
     WHERE len(t.toks) >= {_SPAN_K}
-),
+)"""
+
+_SPAN_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+{_SPAN_SH_CTE.strip()},
 cnt AS (
     SELECT span_h, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY span_h
 ),
@@ -184,17 +189,9 @@ def span_dedup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_REMOVE_ORACLE = f"""
 WITH {_SQL_TOKS.strip()},
-sh AS (
-    SELECT t.doc_id, u.i,
-           {sql_h64(f"array_to_string(t.toks[u.i*{_SPAN_S}+1 : u.i*{_SPAN_S}+{_SPAN_K}], ' ')")}
-               AS span_h
-    FROM toks t,
-         UNNEST(range(0, (len(t.toks) - {_SPAN_K}) // {_SPAN_S} + 1)) AS u(i)
-    WHERE len(t.toks) >= {_SPAN_K}
-),
+{_SPAN_SH_CTE.strip()},
 ranked AS (
     SELECT doc_id, i,
-           COUNT(*) OVER (PARTITION BY span_h) AS cnt,
            ROW_NUMBER() OVER (PARTITION BY span_h ORDER BY doc_id, i)
                AS rn
     FROM sh
@@ -202,7 +199,7 @@ ranked AS (
 rem AS (
     SELECT DISTINCT doc_id,
            unnest(range(i*{_SPAN_S}+1, i*{_SPAN_S}+{_SPAN_K}+1)) AS pos
-    FROM ranked WHERE cnt > 1 AND rn > 1
+    FROM ranked WHERE rn > 1
 ),
 tokpos AS (
     SELECT doc_id, unnest(toks) AS tok,
@@ -241,10 +238,11 @@ def span_dedup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:span_dedup_remove; Lee et al. 2022 rewrite
     semantics under the strided-span approximation).
 
-    Scale shape: token arrays never shuffle — only 16-byte span-hash
-    rows (to rank occurrences) and the removed position lists (bounded
-    by removed spans × K) move; the rewrite is a scan-side
-    higher-order filter."""
+    Scale shape: the ranking chain moves only 16-byte span-hash rows
+    and the removed position lists (bounded by removed spans × K); the
+    rewrite join keeps token arrays scan-side while the removal lists
+    broadcast, degrading to one doc-id exchange of the token frame on
+    heavily duplicated corpora (the colocation floor for a rewrite)."""
     from flink_state_eviction_spark.operators.dedup import (
         span_dedup_remove as _remove,
     )
