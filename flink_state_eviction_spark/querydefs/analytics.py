@@ -1118,3 +1118,64 @@ def events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.max("ts")).alias("max_ts_ms"),
         F.avg(F.length("props")).cast("double").alias("avg_props_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# metadata-only table stats (parquet footer aggregate pushdown)
+
+_FOOTER_STATS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       MAX(o_totalprice) AS max_price
+FROM orders
+"""
+
+
+@register_supplementary(
+    "orders_footer_stats", _FOOTER_STATS_ORACLE, tags=("core", "dq")
+)
+def orders_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX answered from parquet FOOTER metadata — zero data
+    pages read. At 100 TB this is the difference between a statistics
+    probe that finishes in seconds (one footer read per file) and a
+    full-table scan: Spark's DSv2 parquet reader pushes the whole
+    aggregate into the scan (`PushedAggregation` in the plan,
+    plan-gated) when no filter needs row-level evaluation.
+    Extension beyond the reference surface.
+
+    The DSv2 reader + pushdown confs are set only while the plan is
+    BUILT and restored immediately (the relation is captured in the
+    returned DataFrame), so the rest of the fleet keeps its V1 scans;
+    the complementary full-scan profile is X124
+    (`events_table_profile`)."""
+    import os
+
+    conf = spark.conf
+    # get WITHOUT a default: with one, pyspark returns only explicitly
+    # set values (None for session defaults) and the restore would be
+    # silently skipped, leaving the whole session on the DSv2 reader
+    prev_v1 = conf.get("spark.sql.sources.useV1SourceList")
+    prev_agg = conf.get("spark.sql.parquet.aggregatePushdown")
+    # same runtime self-configuration contract as tables.load_table
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    conf.set("spark.sql.sources.useV1SourceList", "")
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        out = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        # force planning NOW: V2ScanRelationPushDown reads the live
+        # conf at plan time, and planning is lazy — without this the
+        # caller plans after the finally below restored the confs and
+        # the aggregate silently stops pushing. The QueryExecution is
+        # cached on the DataFrame, so later actions reuse this plan.
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)

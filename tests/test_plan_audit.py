@@ -43,6 +43,7 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "funnel_view_click_purchase": 1,  # scalar: funnel stage totals
     "histogram_quantiles_value": 1,  # tiny: quantiles over bin table
     "hll_distinct_lineitem": 2,  # scalar: register merge to one row
+    "orders_footer_stats": 1,  # scalar: footer-agg partials to one row
     "orders_mom_growth": 1,  # tiny: LAG over months-sized aggregate
     "part_association_rules": 1,  # scalar: basket count for support
     "part_copurchase_triangles": 3,  # scalar: census totals

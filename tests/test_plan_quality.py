@@ -513,3 +513,15 @@ def test_knn_graph_never_broadcasts_corpus(spark, sf_dir):
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
     finally:
         spark.conf.set(conf, prev)
+
+def test_footer_stats_pushes_aggregate_into_scan(spark, sf_dir):
+    # the whole COUNT/MIN/MAX must be answered from parquet footers —
+    # the plan carries PushedAggregation and no separate partial-agg
+    # scan of data pages; and building the query must NOT leave the
+    # session flipped to the DSv2 reader (the rest of the fleet pins
+    # V1 plan shapes)
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,parquet,text")
+    df = _q("orders_footer_stats", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [COUNT(*)" in plan, plan
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == prev
