@@ -83,6 +83,7 @@ SAMPLE = [
     "dedup_embedding_srp_lsh",
     "supplier_pagerank",
     "span_dedup_remove",
+    "orders_footer_stats",
     "dedup_paragraph_near",
     "embedding_knn_graph",
     "embedding_cluster_mutual_knn",
@@ -122,6 +123,8 @@ NONEMPTY_ON_EMPTY = {
     "dq_orders_report": 6,
     # global-aggregate census: one row of zero counts
     "part_copurchase_triangles": 1,
+    # global footer-stats aggregate: one row (count 0, NULL min/max)
+    "orders_footer_stats": 1,
 }
 
 
