@@ -381,9 +381,16 @@ def connected_components_star(
             )
         )
         new_sym = _sym(small).localCheckpoint()
+        # single-action convergence probe: symmetric multiset difference
+        # (both sides are eager-checkpointed, so this is one job over
+        # materialized data — round 4 ran count() + exceptAll() as two
+        # driver-blocking jobs per alternation)
         stable = (
-            new_sym.count() == sym.count()
-            and new_sym.exceptAll(sym).limit(1).count() == 0
+            new_sym.exceptAll(sym)
+            .unionByName(sym.exceptAll(new_sym))
+            .limit(1)
+            .count()
+            == 0
         )
         sym = new_sym
         if stable:

@@ -39,7 +39,7 @@ def pagerank(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_interval: int = 0,
+    checkpoint_interval: int | None = None,
 ) -> DataFrame:
     """Fixed-``iters`` PageRank over directed ``edges`` (one row per
     distinct edge). Returns (node, rank_micro: bigint).
@@ -66,7 +66,12 @@ def pagerank(
     which splits the DAG — the next segment re-materializes the
     invariant exchanges (one-time cost per segment) — appropriate from
     ~10 iterations up where plan depth and recovery cost dominate.
+    Default ``None`` auto-enables a cut every 10 rounds once ``iters``
+    exceeds 10 (a caller asking for 50 rounds must not silently build a
+    50-deep plan); pass ``0`` to explicitly disable.
     """
+    if checkpoint_interval is None:
+        checkpoint_interval = 10 if iters > 10 else 0
     # the edge list is often an expensive upstream (join + distinct):
     # nodes, deg, and ed below each consume it, so materialize ONCE —
     # without this the x25 stress recomputed the 14M-edge build four

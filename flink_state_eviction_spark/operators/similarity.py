@@ -294,8 +294,13 @@ def knn_graph(
     # extra shuffle); in the broadcast regime (one side small) it stops
     # AQE from coalescing the STREAM side to ~1 partition — the
     # candidate cosine + truncate would otherwise run on one core
-    # (measured 7.1 s -> sub-second at sf0.1)
-    n = corpus.sparkSession.sparkContext.defaultParallelism
+    # (measured 7.1 s -> sub-second at sf0.1). Pin at the SESSION's
+    # shuffle partition count, not defaultParallelism: the member side's
+    # shuffle lands at spark.sql.shuffle.partitions, and a mismatched
+    # probe-side count would make EnsureRequirements re-exchange one
+    # side anyway on clusters where the two settings differ
+    spark = corpus.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     probes = probes.repartition(n, *join_keys)
     sim = (
         mem.join(probes, join_keys)

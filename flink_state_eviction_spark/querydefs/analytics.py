@@ -1148,8 +1148,18 @@ def orders_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     BUILT and restored immediately (the relation is captured in the
     returned DataFrame), so the rest of the fleet keeps its V1 scans;
     the complementary full-scan profile is X124
-    (`events_table_profile`)."""
-    import os
+    (`events_table_profile`).
+
+    CONSUME AS-IS: do not apply further transformations to the returned
+    DataFrame — any new operator triggers a re-plan AFTER the conf
+    restore below, which silently drops the footer pushdown and falls
+    back to a full scan (correct values, full-scan cost). This is a
+    leaf statistics probe, not a composable relation. The raw
+    ``spark.read.parquet`` (bypassing ``tables.load_table``) is
+    deliberate — aggregate pushdown needs the unadorned DSv2 relation,
+    and no timestamp column is touched; path resolution still goes
+    through ``tables.table_path`` so layout drift stays centralized."""
+    from flink_state_eviction_spark.tables import table_path
 
     conf = spark.conf
     # get WITHOUT a default: with one, pyspark returns only explicitly
@@ -1162,7 +1172,7 @@ def orders_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf.set("spark.sql.sources.useV1SourceList", "")
     conf.set("spark.sql.parquet.aggregatePushdown", "true")
     try:
-        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        df = spark.read.parquet(table_path(sf_dir, "orders"))
         out = df.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.min("o_orderkey").alias("min_key"),

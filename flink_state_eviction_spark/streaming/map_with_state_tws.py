@@ -23,6 +23,8 @@ Environment probe log (the gate below re-checks every run):
   `handleInputRows` logic against the batch oracle.
 - round 4 (2026-08-14): `import google.protobuf` -> "No module named
   'google'" — still broken, skips remain.
+- round 5 (2026-08-14): re-probed at round start — still "No module
+  named 'google'"; env unchanged, the 2 runtime skips remain.
 """
 
 from __future__ import annotations

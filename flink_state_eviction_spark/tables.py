@@ -53,11 +53,19 @@ def _nanos_timestamp_cols(path: str) -> "set[str]":
         return {"ts"}
 
 
+def table_path(sf_dir: str, name: str) -> str:
+    """Single source of truth for resolving a driver table to its
+    parquet path — the rare raw-read paths (orders_footer_stats' DSv2
+    footer probe) share it with ``load_table`` so testdata layout drift
+    is handled in exactly one place."""
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Runtime conf (not builder-only) so sessions built by callers — e.g.
     # the driver harness — can read TIMESTAMP(NANOS) parquet too.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     # The driver regenerates testdata between rounds and the physical
     # timestamp layout drifts: events.ts was TIMESTAMP(NANOS) in r1-2
