@@ -348,8 +348,16 @@ def kmeans_cells(
     """
     if k <= 0 or iters <= 0:
         raise ValueError("k and iters must be positive")
-    v = corpus.select(
-        F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
+    from flink_state_eviction_spark.tables import ensure_min_partitions
+
+    # the argmin HOF below runs map-side on the SCAN partitioning: a
+    # single-file corpus would put all N×k distance evaluations on one
+    # core (measured at x10/k=142: assignment stages ran (0+1)/1 — 74 s
+    # build; floored, ~4 s). No-op once the scan is already split.
+    v = ensure_min_partitions(
+        corpus.select(
+            F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
+        )
     ).localCheckpoint(eager=False)
     # interpreted HOFs don't CSE: project the self-dot ONCE as a named
     # column, or the transform lambda below re-evaluates it k times per
@@ -371,16 +379,17 @@ def kmeans_cells(
         # ordering = min d2, tie -> min cell). A window-rank over the
         # corpus x k exploded rows would re-shuffle the whole corpus by
         # id every iteration — prohibitive at embedding-table scale.
-        cent_arr = cent_df.agg(
-            F.collect_list(F.struct("_cell", "_cv")).alias("_cents")
-        )
+        # hoist each centroid's self-dot out of the per-row HOF: it is
+        # row-invariant, and leaving it inline doubles the per-(row,
+        # centroid) flops (the interpreted HOF doesn't CSE). Computing
+        # it once per centroid is the identical sequential fold, so the
+        # assignment (and its SQL oracle twin) is bit-unchanged.
+        cent_arr = cent_df.withColumn(
+            "_cc", dot(F.col("_cv"), F.col("_cv"))
+        ).agg(F.collect_list(F.struct("_cell", "_cv", "_cc")).alias("_cents"))
 
         def d2_of(c):
-            return (
-                F.col("_vv")
-                - 2 * dot(F.col("_v"), c["_cv"])
-                + dot(c["_cv"], c["_cv"])
-            )
+            return F.col("_vv") - 2 * dot(F.col("_v"), c["_cv"]) + c["_cc"]
 
         scored = (
             v.crossJoin(F.broadcast(cent_arr))

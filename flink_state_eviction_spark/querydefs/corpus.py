@@ -227,7 +227,9 @@ LEFT JOIN remcnt rc USING (doc_id)
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 5 (VERDICT r04 item 2);
+    # displaced tpch_q6_forecast_revenue, which keeps its parity gate
     "span_dedup_remove", _SPAN_REMOVE_ORACLE, tags=("pipeline", "dedup")
 )
 def span_dedup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -299,7 +299,9 @@ GROUP BY p.orig_doc
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 5 (VERDICT r04 item 2);
+    # displaced fuzzy_customer_names, which keeps its parity gate
     "dedup_paragraph_near", _PARA_ORACLE, tags=("pipeline", "dedup")
 )
 def dedup_paragraph_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,43 +1451,110 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# approximate k-NN graph over the embedding corpus (label cells,
-# nprobe=2, k=5): the neighborhood structure semantic dedup /
-# clustering / diversity sampling consume.
+# deterministic k-means CTE machinery (shared by the learned-cell k-NN
+# graph below and the fixed-k IVF index queries further down)
 
-# knn CTE chain ending in ranked neighbors `r(query_id, neighbor_id,
-# sim0, rank)` — shared by the graph query and the mutual-kNN
-# clustering query
-_KNN_GRAPH_BODY = """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
-comp AS (
-    SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e
+_KMEANS_D2 = """list_dot_product(e.v, e.v)
+                      - 2 * list_dot_product(e.v, c.cv)
+                      + list_dot_product(c.cv, c.cv)"""
+
+
+def _kmeans_cells_body(k_sql: str) -> str:
+    """The unrolled 2-iteration deterministic-k-means CTE chain with a
+    parameterized cell count: ``k_sql`` is a SQL expression for k — a
+    literal for the fixed-k index queries, or the scale-adaptive
+    ``ceil(sqrt(N))`` subquery the k-NN graph family uses (cells must
+    GROW with the corpus or candidate volume is quadratic)."""
+    return f"""e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+           v AS cv
+    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k_sql})
+),
+a1 AS (
+    SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_KMEANS_D2}, c.cell) AS rn
+        FROM e CROSS JOIN c0 c
+    ) WHERE rn = 1
+),
+c1 AS (
+    SELECT cell, list(m ORDER BY i) AS cv FROM (
+        SELECT cell, i,
+               CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*)
+                   AS m
+        FROM (SELECT cell, generate_subscripts(v, 1) AS i,
+                     unnest(v) AS x FROM a1)
+        GROUP BY 1, 2
+    ) GROUP BY 1
+),
+a2 AS (
+    SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_KMEANS_D2}, c.cell) AS rn
+        FROM e CROSS JOIN c1 c
+    ) WHERE rn = 1
+)"""
+
+
+# ---------------------------------------------------------------------------
+# approximate k-NN graph over the embedding corpus (LEARNED k-means
+# cells at k = ceil(sqrt(N)), nprobe=4, k=5): the neighborhood
+# structure semantic dedup / clustering / diversity sampling consume.
+#
+# Cells MUST grow with the corpus: at any fixed cell count candidate
+# volume is N²·(nprobe/cells) — quadratic. With cells ≈ sqrt(N) the
+# per-query candidate list is ~4·sqrt(N) and total scoring work is
+# N^1.5 (round-4 x10 stress: 121.5 s on the 10 fixed label cells vs
+# 11.4 s on learned sqrt(N) cells — SCALE.md).
+
+# the adaptive cell count, evaluated inside the oracle itself so both
+# engines derive k from the SAME corpus
+_KNN_ADAPTIVE_K = "(SELECT CAST(ceil(sqrt(COUNT(*))) AS INT) FROM e)"
+
+# learned-cell knn CTE chain ending in ranked neighbors
+# `r(query_id, neighbor_id, sim0, rank)` — shared by the graph query
+# and the mutual-kNN clustering query. Reuses the unrolled
+# deterministic-k-means body (a2 = final assignments), recomputes
+# decimal-exact centroids of the FINAL cells (what knn_graph's
+# _cell_centroids does on the Spark side), probes each vector's 4
+# nearest cells, scores within probed cells only.
+_KNN_GRAPH_BODY = f"""{_kmeans_cells_body(_KNN_ADAPTIVE_K)},
+n AS (
+    SELECT a.vec_id, a.cell, a.v, sqrt(list_dot_product(a.v, a.v)) AS nn
+    FROM a2 a
 ),
 cent_comp AS (
-    SELECT label, i,
+    SELECT cell, i,
            CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*) AS m
-    FROM comp GROUP BY 1, 2
+    FROM (SELECT cell, generate_subscripts(v, 1) AS i, unnest(v) AS x
+          FROM a2)
+    GROUP BY 1, 2
 ),
 cent AS (
-    SELECT label, list(m ORDER BY i) AS cv FROM cent_comp GROUP BY 1
+    SELECT cell, list(m ORDER BY i) AS cv FROM cent_comp GROUP BY 1
 ),
-centn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+centn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
 probes AS (
-    SELECT query_id, qv, qn, label
+    SELECT query_id, qv, qn, cell
     FROM (
-        SELECT q.vec_id AS query_id, q.v AS qv, q.nn AS qn, c.label,
+        SELECT q.vec_id AS query_id, q.v AS qv, q.nn AS qn, c.cell,
                row_number() OVER (
                    PARTITION BY q.vec_id
                    ORDER BY list_dot_product(q.v, c.cv) / (q.nn * c.cn) DESC,
-                            c.label
+                            c.cell
                ) AS pr
         FROM n q CROSS JOIN centn c
-    ) WHERE pr <= 2
+    ) WHERE pr <= 4
 ),
 s AS (
     SELECT p.query_id, n.vec_id AS neighbor_id,
            list_dot_product(p.qv, n.v) / (p.qn * n.nn) AS sim0
-    FROM probes p JOIN n ON n.label = p.label AND n.vec_id <> p.query_id
+    FROM probes p JOIN n ON n.cell = p.cell AND n.vec_id <> p.query_id
 ),
 r AS (
     SELECT query_id, neighbor_id, sim0,
@@ -1501,23 +1570,57 @@ FROM r WHERE rank <= 5
 """
 
 
-@register_supplementary(
+def _learned_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE learned-cell k-NN graph composition both the graph query
+    and the mutual-kNN clustering consume: deterministic k-means at
+    k = ceil(sqrt(N)) cells (2 assignment rounds), then the cell-keyed
+    knn_graph with nprobe=4, k=5 (candidates per query ≈ 4·sqrt(N);
+    measured mean recall@5 vs brute force ~0.52 on the RANDOM sf0.01
+    embeddings — the no-cluster-structure worst case, nprobe/cells
+    would give 0.17 unclustered)."""
+    import math
+
+    from flink_state_eviction_spark.operators.similarity import (
+        kmeans_cells,
+        knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # one count() on the index-build path — k must track the corpus
+    # (floor 1 so an empty/tiny corpus still builds a valid index)
+    k_cells = max(1, math.ceil(math.sqrt(emb.count())))
+    # lazy checkpoint: the (id, cell) table is consumed by three
+    # subtrees inside knn_graph (centroids, probes, members) — without
+    # the cut each would replay the k-means assignment scan
+    cells = kmeans_cells(
+        emb, "vec_id", "embedding", k=k_cells, iters=2
+    ).localCheckpoint(eager=False)
+    corpus = emb.join(cells, "vec_id")
+    return knn_graph(corpus, "vec_id", "embedding", "cell", k=5, nprobe=4)
+
+
+@register(
+    # rotated into the driver window in round 5 (VERDICT r04 items 1+2)
+    # as the LEARNED-cell path; displaced interval_join_view_click,
+    # which keeps its parity gate
     "embedding_knn_graph",
     _KNN_GRAPH_ORACLE,
     headline=True,
     tags=("pipeline", "similarity"),
 )
 def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate k-NN graph: every embedding's top-5 cosine neighbors
-    within its 2 nearest label-cells (operators/similarity.py:knn_graph)
-    — probe side and members meet in a plain cell-keyed join, never a
-    corpus-proportional broadcast (plan-gated). Centroids are
-    decimal-exact means, so probes and ranks replay bit-for-bit in the
-    oracle."""
-    from flink_state_eviction_spark.operators.similarity import knn_graph
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return knn_graph(emb, "vec_id", "embedding", "label", k=5, nprobe=2, salt=8)
+    """Approximate k-NN graph over LEARNED cells: every embedding's
+    top-5 cosine neighbors within its 4 nearest k-means cells, with the
+    cell count scaling as ceil(sqrt(N)) so candidate volume is N^1.5,
+    never quadratic (operators/similarity.py:knn_graph; round-4 x10
+    stress measured 121.5 s for fixed 10-label cells vs 11.4 s for
+    learned sqrt(N) cells). Probe side and members meet in a plain
+    cell-keyed join, never a corpus-proportional broadcast (plan-gated);
+    k-means init/assignment/update and the centroid means are
+    deterministic decimal-exact arithmetic, so cells, probes and ranks
+    replay bit-for-bit in the oracle. Recall floor vs exact brute-force
+    top-k asserted in tests/test_similarity.py."""
+    return _learned_knn_graph(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1571,21 +1674,22 @@ def embedding_cluster_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (component min; itself if unclustered) and the cluster size.
     Extension beyond the reference.
 
-    Scale shape: the mutual filter is a self-intersect of the kNN edge
-    list (corpus×k rows, NOT corpus² — one shuffle on the edge pair);
-    CC runs on the even smaller mutual list; the size window is keyed
-    by cluster; the label attach is a plain id equi-join that AQE
-    size-picks (broadcast only when the component table is small)."""
+    Scale shape: consumes the LEARNED-cell graph (cells ≈ sqrt(N), so
+    the edge build is N^1.5, never quadratic); the mutual filter is a
+    self-intersect of the kNN edge list (corpus×k rows, NOT corpus² —
+    one shuffle on the edge pair); CC runs on the even smaller mutual
+    list; the size window is keyed by cluster; the label attach is a
+    plain id equi-join that AQE size-picks (broadcast only when the
+    component table is small)."""
     from flink_state_eviction_spark.operators.dedup import (
         connected_components_star,
     )
-    from flink_state_eviction_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
     # both intersect sides consume the kNN edge list — materialize it
     # once or the whole graph build runs twice
     g = (
-        knn_graph(emb, "vec_id", "embedding", "label", k=5, nprobe=2, salt=8)
+        _learned_knn_graph(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=False)
     )
@@ -1627,44 +1731,8 @@ def embedding_cluster_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # means). The oracle unrolls the iterations — assignment rounds are
 # window ranks over the corpus x centroid cross product.
 
-_KMEANS_D2 = """list_dot_product(e.v, e.v)
-                      - 2 * list_dot_product(e.v, c.cv)
-                      + list_dot_product(c.cv, c.cv)"""
-
-_KMEANS_CELLS_BODY = f"""e AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-c0 AS (
-    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-           v AS cv
-    FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
-),
-a1 AS (
-    SELECT vec_id, v, cell FROM (
-        SELECT e.vec_id, e.v, c.cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY {_KMEANS_D2}, c.cell) AS rn
-        FROM e CROSS JOIN c0 c
-    ) WHERE rn = 1
-),
-c1 AS (
-    SELECT cell, list(m ORDER BY i) AS cv FROM (
-        SELECT cell, i,
-               CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*)
-                   AS m
-        FROM (SELECT cell, generate_subscripts(v, 1) AS i,
-                     unnest(v) AS x FROM a1)
-        GROUP BY 1, 2
-    ) GROUP BY 1
-),
-a2 AS (
-    SELECT vec_id, v, cell FROM (
-        SELECT e.vec_id, e.v, c.cell,
-               row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY {_KMEANS_D2}, c.cell) AS rn
-        FROM e CROSS JOIN c1 c
-    ) WHERE rn = 1
-)"""
+# fixed k=8 — the IVF index-build queries
+_KMEANS_CELLS_BODY = _kmeans_cells_body("8")
 
 _KMEANS_CELLS_ORACLE = f"""
 WITH {_KMEANS_CELLS_BODY}

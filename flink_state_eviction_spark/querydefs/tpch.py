@@ -605,7 +605,11 @@ GROUP BY 1
 """
 
 
-@register("parts_below_avg_qty", _BELOW_AVG_ORACLE, tags=("tpch",))
+@register_supplementary(
+    # demoted from the driver window in round 5 to rotate in
+    # supplier_pagerank (VERDICT r04 item 2); parity gate unchanged
+    "parts_below_avg_qty", _BELOW_AVG_ORACLE, tags=("tpch",)
+)
 def parts_below_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 pattern: lineitems with quantity below 20% of their
     part's average quantity, for one brand's parts.
@@ -720,7 +724,11 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01'
 """
 
 
-@register("tpch_q6_forecast_revenue", _Q6_ORACLE, tags=("tpch",))
+@register_supplementary(
+    # demoted from the driver window in round 5 to rotate in
+    # span_dedup_remove (VERDICT r04 item 2); parity gate unchanged
+    "tpch_q6_forecast_revenue", _Q6_ORACLE, tags=("tpch",)
+)
 def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6 pattern: conjunctive range predicates + global agg. The whole
     WHERE clause pushes to the scan (PushedFilters gated); at 100 TB
@@ -882,7 +890,11 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
 
 
-@register("fuzzy_customer_names", _LEVENSHTEIN_ORACLE, tags=("tpch", "text"))
+@register_supplementary(
+    # demoted from the driver window in round 5 to rotate in
+    # dedup_paragraph_near (VERDICT r04 item 2); parity gate unchanged
+    "fuzzy_customer_names", _LEVENSHTEIN_ORACLE, tags=("tpch", "text")
+)
 def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance matching: candidate pairs only within the
     nation block (never all-pairs), exact Levenshtein verify <= 2 —
@@ -933,7 +945,12 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
-@register("interval_join_view_click", _INTERVAL_ORACLE, tags=("tpch", "asof"))
+@register_supplementary(
+    # demoted from the driver window in round 5 to rotate in the
+    # learned-cell embedding_knn_graph (VERDICT r04 item 2); parity
+    # gate unchanged
+    "interval_join_view_click", _INTERVAL_ORACLE, tags=("tpch", "asof")
+)
 def interval_join_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: every (view, click-within-10-min-after) pair per
     user (operators/interval.py). Planned as an EQUI-join on user_id
@@ -1005,7 +1022,9 @@ FROM {prev} WHERE node >= 1000000000
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 5 (VERDICT r04 item 2);
+    # displaced parts_below_avg_qty, which keeps its parity gate
     "supplier_pagerank",
     _pagerank_oracle(),
     headline=True,  # the iterative-algorithm flagship in bench.py

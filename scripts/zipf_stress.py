@@ -1,0 +1,230 @@
+"""Heavy-tailed (Zipfian) stress for the distributed global-rank
+rewrites (VERDICT r04 item 3).
+
+The driver's synthetic documents draw from a ~50-word base vocabulary,
+so `vocab_numericalize` / `text_bigram_surprisal` rank a tiny distinct
+relation and the round-4 x10 stress honestly reported "no local win"
+for the bucketed two-phase rank vs the single-task global sort it
+replaced. This fixture removes that ceiling: documents are generated
+with tokens drawn zipf(s≈1) from a 10^5-term vocabulary, so
+
+- the distinct token/bigram relation is large (10^5 tokens, ~10^6
+  distinct bigrams at 10M token instances), and
+- zipf mass concentrates in cnt=1 (the singleton tail is most of the
+  distinct keys) — exactly the regime where `count_rank_bucket`'s
+  prefix sub-bucketing must spread the tail or one task sorts it.
+
+Generation is fully deterministic (hash-based inverse-CDF, no RNG
+state): token rank r for slot i is V^u with u = (xxhash64(i)
+mod 2^20)/2^20 — the inverse CDF of zipf(s=1) (P(rank<=r) ~
+ln r / ln V). The token string is the REVERSED decimal rank so leading
+characters spread across digits (real vocabularies have diverse
+prefixes; an all-same-prefix encoding would defeat the prefix
+sub-bucket scheme and hide nothing).
+
+Measures, per query: the registered bucketed two-phase rank vs the
+OLD single-partition global window it replaced, on the same corpus.
+Also asserts the bucket-size bound: the largest count_rank_bucket
+bucket must hold < 20% of the distinct keys (the singleton tail must
+actually be spread).
+
+Usage: python scripts/zipf_stress.py [--docs 50000] [--doclen 200]
+       [--vocab 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark import queries as Q
+from flink_state_eviction_spark.session import get_spark
+
+
+def timed(fn):
+    t0 = time.time()
+    fn().write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 2)
+
+
+def build_zipf_docs(spark, n_docs: int, doc_len: int, vocab: int, out: str) -> str:
+    d = os.path.join(out, f"d{n_docs}_l{doc_len}_v{vocab}")
+    path = os.path.join(d, "documents.parquet")
+    if os.path.exists(path):
+        return d
+    os.makedirs(d, exist_ok=True)
+    slots = spark.range(n_docs * doc_len)
+    toks = slots.select(
+        (F.col("id") / doc_len).cast("long").alias("doc_id"),
+        F.pmod(F.col("id"), F.lit(doc_len)).alias("pos"),
+        # inverse-CDF zipf(s=1): rank = V^u, u uniform from a hash
+        F.reverse(
+            F.least(
+                F.lit(vocab).cast("long"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.pow(
+                        F.lit(float(vocab)),
+                        (F.pmod(F.xxhash64("id"), F.lit(1 << 20)) / (1 << 20)),
+                    ).cast("long"),
+                ),
+            ).cast("string")
+        ).alias("t"),
+    )
+    docs = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                    lambda s: s["t"],
+                ),
+            ).alias("text")
+        )
+        .select("doc_id", "text", F.lit("zipf").alias("lang"))
+    )
+    docs.write.mode("overwrite").parquet(path)
+    return d
+
+
+def old_vocab_numericalize(spark, sf_dir: str):
+    """The pre-rewrite shape: vocabulary rank via ONE global window
+    (Exchange SinglePartition over every distinct token)."""
+    from flink_state_eviction_spark.functions.text import tokens
+    from flink_state_eviction_spark.querydefs.corpus import _VOCAB_SIZE
+    from flink_state_eviction_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "t")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("t").asc())
+    vocab = (
+        counts.withColumn("id", F.row_number().over(w))
+        .where(F.col("id") <= _VOCAB_SIZE)
+        .select("t", F.col("id").cast("int").alias("id"))
+    )
+    mapped = tok.join(F.broadcast(vocab), "t", "left")
+    return mapped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.sum(F.col("pos") * F.coalesce(F.col("id"), F.lit(0)))
+        .cast("bigint")
+        .alias("ids_checksum"),
+    )
+
+
+def old_text_bigram_surprisal(spark, sf_dir: str):
+    """The pre-rewrite shape: every distinct bigram ranked by ONE
+    global window."""
+    from flink_state_eviction_spark.functions.text import (
+        tokens,
+        word_shingles,
+    )
+    from flink_state_eviction_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    bg = toked.select(
+        "doc_id", F.explode(word_shingles(F.col("tk"), 2)).alias("b")
+    )
+    counts = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("b").asc())
+    rank_tbl = counts.select(
+        "b", F.row_number().over(w).cast("bigint").alias("rarity")
+    )
+    return (
+        bg.join(rank_tbl, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("rarity").cast("bigint").alias("surprisal_sum"),
+            F.expr(
+                "cast((sum(rarity) * 1000) div count(1) as bigint)"
+            ).alias("mean_surprisal_x1000"),
+        )
+    )
+
+
+def bucket_bound_report(spark, sf_dir: str) -> dict:
+    """The count_rank_bucket size distribution over the zipf token
+    counts: the singleton tail must be SPREAD (largest bucket < 20% of
+    distinct keys) or the bucketed rank degenerates to the single-task
+    sort it replaced."""
+    from flink_state_eviction_spark.functions.text import tokens
+    from flink_state_eviction_spark.operators.windows import (
+        count_rank_bucket,
+    )
+    from flink_state_eviction_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    sizes = (
+        counts.withColumn(
+            "_b", count_rank_bucket(F.col("cnt"), F.col("t"))
+        )
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum("n").alias("distinct_keys"),
+            F.sum(F.when(F.col("_b.m") == -1, F.col("n"))).alias(
+                "singleton_tail"
+            ),
+        )
+        .collect()[0]
+    )
+    rec = {k: int(v) for k, v in sizes.asDict().items()}
+    assert rec["max_bucket"] < 0.2 * rec["distinct_keys"], rec
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50000)
+    ap.add_argument("--doclen", type=int, default=200)
+    ap.add_argument("--vocab", type=int, default=100000)
+    ap.add_argument("--out", default="/tmp/zipf_stress")
+    args = ap.parse_args()
+
+    spark = get_spark("fse-zipf-stress")
+    d = build_zipf_docs(spark, args.docs, args.doclen, args.vocab, args.out)
+    all_qs = Q.all_queries()
+
+    rec = {
+        "docs": args.docs,
+        "doclen": args.doclen,
+        "vocab": args.vocab,
+    }
+    rec.update(bucket_bound_report(spark, d))
+    rec["vocab_bucketed_sec"] = timed(
+        lambda: all_qs["vocab_numericalize"](spark, d)
+    )
+    rec["vocab_single_sort_sec"] = timed(
+        lambda: old_vocab_numericalize(spark, d)
+    )
+    rec["surprisal_bucketed_sec"] = timed(
+        lambda: all_qs["text_bigram_surprisal"](spark, d)
+    )
+    rec["surprisal_single_sort_sec"] = timed(
+        lambda: old_text_bigram_surprisal(spark, d)
+    )
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,14 @@ MUST_HAVE = {
     "events_heavy_hitters",
     "similarity_pq_topk",
     "span_dedup_frac",
+    # rotated into the window in round 5 (VERDICT r04 item 2),
+    # displacing parts_below_avg_qty / tpch_q6_forecast_revenue /
+    # fuzzy_customer_names / interval_join_view_click (all keep their
+    # supplementary parity gates)
+    "supplier_pagerank",
+    "embedding_knn_graph",
+    "span_dedup_remove",
+    "dedup_paragraph_near",
     # relational surface
     "tpch_q1",
     "revenue_by_nation",
@@ -68,13 +76,9 @@ MUST_HAVE = {
     "asof_join_purchase_click",
     "range_rolling_1h",
     "lineitem_cube",
-    "parts_below_avg_qty",
     "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
-    "fuzzy_customer_names",
-    "interval_join_view_click",
 }
 
 

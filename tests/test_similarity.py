@@ -60,6 +60,26 @@ def test_ivf_kmeans_recall_floor(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_learned_knn_graph_recall_floor(spark, sf_dir):
+    # VERDICT r04 item 1: the REGISTERED embedding_knn_graph path
+    # (kmeans cells at ceil(sqrt(N)), nprobe=4) must keep a hard recall
+    # floor vs exact brute-force top-5 over the whole corpus. Measured
+    # mean recall@5: ~0.52 (sf0.01) / ~0.50 (sf0.001) on RANDOM
+    # embeddings — the worst case (no cluster structure; the unclustered
+    # expectation at nprobe/cells = 4/23 would be ~0.17).
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _learned_knn_graph,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _neighbors(cosine_topk(emb, emb, "vec_id", "embedding", k=5))
+    approx = _neighbors(_learned_knn_graph(spark, sf_dir))
+    recalls = [
+        len(exact[k] & approx.get(k, set())) / len(exact[k]) for k in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.35, sum(recalls) / len(recalls)
+
+
 def test_brute_force_topk_is_deterministic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 3)
