@@ -147,7 +147,7 @@ def bucketed_global_row_number(
 def count_rank_bucket(
     cnt_col: Column,
     key_col: Column,
-    cap: int = 16,
+    cap: int = 64,
     prefix_len: int = 2,
 ) -> Column:
     """Monotone composite bucket for ranking by ``(cnt DESC, key ASC)``
@@ -155,22 +155,40 @@ def count_rank_bucket(
     (vocabulary ids, bigram rarity ranks). Extension beyond the
     reference surface (no ranking machinery exists there; SURVEY §2.6).
 
-    ``-least(cnt, cap)`` alone is monotone in the sort order, but at web
-    scale it collapses: the ``cnt = 1`` singleton tail is most of the
-    distinct keys and would sort in ONE task. Below the cap each count
-    value is its own bucket, so every row in it ties on ``cnt`` and the
-    order within is ``key ASC`` alone — which means the bucket can be
-    subdivided by a *prefix* of the key (monotone in ``key ASC``)
-    without breaking the global order. At/above the cap several count
-    values share the bucket, so the prefix is pinned constant there;
-    that bucket holds only keys with ``cnt >= cap`` — the head of the
-    frequency distribution, small by construction.
+    Below the cap each count value is its own bucket, so every row in
+    it ties on ``cnt`` and the order within is ``key ASC`` alone —
+    which means the bucket can be subdivided by a *prefix* of the key
+    (monotone in ``key ASC``) without breaking the global order: the
+    ``cnt = 1`` singleton tail (most of the distinct keys at web
+    scale) spreads across ``alphabet^prefix_len`` sub-buckets instead
+    of sorting in ONE task.
 
-    Result: the sort parallelism is ``cap × alphabet^prefix_len`` tasks
-    with the singleton tail spread across ``alphabet^prefix_len`` of
-    them, instead of one global task.
+    At/above the cap count values mix within a bucket, so the prefix
+    must pin constant — but collapsing the whole head into one bucket
+    is NOT safe either: the round-5 zipf stress (scripts/
+    zipf_stress.py, 10M tokens over a 10^5 vocab) put 59% of distinct
+    keys at ``cnt >= 16``. The head is therefore subdivided into
+    factor-2 count BANDS, ``-(2^floor(log2 cnt))`` — monotone in
+    ``cnt DESC`` because ``cap`` is a power of two (asserted): every
+    key in band ``2^j`` outranks every key below ``2^j``. Each band
+    holds the keys within one octave of frequency — on any zipf-ish
+    distribution a vanishing fraction of the keys, shrinking
+    geometrically up the head. Exact for ``cnt < 2^53`` (double-precision
+    ``log2``; beyond any realistic group count).
+
+    Result: sort parallelism ``cap × alphabet^prefix_len`` tasks for
+    the tail plus one task per frequency octave for the head; the
+    per-bucket offsets table stays a few thousand rows — broadcast.
     """
-    neg = (-F.least(cnt_col, F.lit(cap))).cast("long")
+    if cap & (cap - 1) != 0 or cap <= 0:
+        raise ValueError("cap must be a power of two")
+    neg = (
+        F.when(cnt_col < F.lit(cap), -cnt_col)
+        .otherwise(
+            -F.pow(F.lit(2.0), F.floor(F.log2(cnt_col))).cast("long")
+        )
+        .cast("long")
+    )
     sub = F.when(
         cnt_col < F.lit(cap), F.substring(key_col, 1, prefix_len)
     ).otherwise(F.lit(""))

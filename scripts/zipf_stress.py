@@ -8,11 +8,14 @@ for the bucketed two-phase rank vs the single-task global sort it
 replaced. This fixture removes that ceiling: documents are generated
 with tokens drawn zipf(s≈1) from a 10^5-term vocabulary, so
 
-- the distinct token/bigram relation is large (10^5 tokens, ~10^6
+- the distinct token/bigram relation is large (10^5 tokens, ~4M
   distinct bigrams at 10M token instances), and
-- zipf mass concentrates in cnt=1 (the singleton tail is most of the
-  distinct keys) — exactly the regime where `count_rank_bucket`'s
-  prefix sub-bucketing must spread the tail or one task sorts it.
+- the count distribution is extreme at BOTH ends: the bigram relation
+  is singleton-tail-heavy (prefix sub-bucketing must spread it), and
+  the token relation is HEAD-heavy at these parameters (~100 instances
+  per word — the run that motivated the factor-2 head bands in
+  `count_rank_bucket`: the old undivided head cap swallowed 59% of
+  distinct keys in one bucket).
 
 Generation is fully deterministic (hash-based inverse-CDF, no RNG
 state): token rank r for slot i is V^u with u = (xxhash64(i)
