@@ -237,6 +237,7 @@ def knn_graph(
     k: int = 5,
     nprobe: int = 2,
     salt: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the corpus itself: every vector's
     top-k cosine neighbors among the vectors of its ``nprobe`` nearest
@@ -265,6 +266,11 @@ def knn_graph(
     cells×salt instead of cells. Use when n_cells < cores (coarse cell
     columns); leave at 1 when the cell count already saturates the
     cluster.
+
+    ``centroids``: an explicit (cell, cv) table to probe against —
+    FROZEN-index serving (the streaming maintenance twin assigns
+    arrivals to existing cells between index rebuilds). Default None
+    recomputes decimal-exact centroids from the corpus itself.
     """
     from flink_state_eviction_spark.tables import ensure_min_partitions
 
@@ -273,7 +279,13 @@ def knn_graph(
     # single-file corpus would put every pair on one core (measured:
     # 7.1 s -> sub-second for the truncate at sf0.1)
     corpus = ensure_min_partitions(corpus)
-    cent = _cell_centroids(corpus, cell_col, vec_col)
+    if centroids is None:
+        cent = _cell_centroids(corpus, cell_col, vec_col)
+    else:
+        cent = centroids.select(
+            F.col("cell").alias("_cell"),
+            as_double_vec(F.col("cv")).alias("_cv"),
+        ).withColumn("_cn", l2_norm(F.col("_cv")))
     probes = _probe_cells(corpus, id_col, vec_col, cent, nprobe)
     mem = corpus.select(
         F.col(id_col),
@@ -310,6 +322,68 @@ def knn_graph(
         )
     )
     return _rank_topk(_local_truncate_topk(sim, id_col, k), id_col, k)
+
+
+def _assign_v(v: DataFrame, cent_df: DataFrame, id_col: str) -> DataFrame:
+    """Squared-L2 argmin of a (id, _v, _vv) frame against a
+    (_cell, _cv) centroid frame; ties break toward the smaller cell id.
+    Returns (id, _v, _cell).
+
+    ZERO-shuffle argmin: pack the k centroids into one array literal
+    (1-row broadcast cross join — no row blowup), compute (d2, cell)
+    per centroid with a HOF, take array_min (struct ordering = min d2,
+    tie -> min cell). A window-rank over the corpus x k exploded rows
+    would re-shuffle the whole corpus by id every iteration —
+    prohibitive at embedding-table scale.
+
+    Each centroid's self-dot is hoisted out of the per-row HOF: it is
+    row-invariant, and leaving it inline doubles the per-(row,
+    centroid) flops (the interpreted HOF doesn't CSE). Computing it
+    once per centroid is the identical sequential fold, so the
+    assignment (and its SQL oracle twin) is bit-unchanged."""
+    cent_arr = cent_df.withColumn(
+        "_cc", dot(F.col("_cv"), F.col("_cv"))
+    ).agg(F.collect_list(F.struct("_cell", "_cv", "_cc")).alias("_cents"))
+
+    def d2_of(c):
+        return F.col("_vv") - 2 * dot(F.col("_v"), c["_cv"]) + c["_cc"]
+
+    scored = v.crossJoin(F.broadcast(cent_arr)).withColumn(
+        "_best",
+        F.array_min(
+            F.transform(
+                "_cents",
+                lambda c: F.struct(
+                    d2_of(c).alias("_d2"), c["_cell"].alias("_cell")
+                ),
+            )
+        ),
+    )
+    return scored.select(id_col, "_v", F.col("_best")["_cell"].alias("_cell"))
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid assignment against a FROZEN (cell, cv)
+    centroid table — the serving-side half of kmeans_cells' Lloyd
+    iteration (same squared-L2 argmin, same smaller-cell tie-break,
+    bit-identical arithmetic), exposed for frozen-index maintenance:
+    a streaming ingest assigns arrivals to the EXISTING cells between
+    periodic index rebuilds. Returns (id_col, cell_col)."""
+    v = corpus.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
+    ).withColumn("_vv", dot(F.col("_v"), F.col("_v")))
+    cent = centroids.select(
+        F.col("cell").alias("_cell"), as_double_vec(F.col("cv")).alias("_cv")
+    )
+    return _assign_v(v, cent, id_col).select(
+        id_col, F.col("_cell").alias(cell_col)
+    )
 
 
 def kmeans_cells(
@@ -373,41 +447,7 @@ def kmeans_cells(
     )
 
     def assign(cent_df: DataFrame) -> DataFrame:
-        # ZERO-shuffle argmin: pack the k centroids into one array
-        # literal (1-row broadcast cross join — no row blowup), compute
-        # (d2, cell) per centroid with a HOF, take array_min (struct
-        # ordering = min d2, tie -> min cell). A window-rank over the
-        # corpus x k exploded rows would re-shuffle the whole corpus by
-        # id every iteration — prohibitive at embedding-table scale.
-        # hoist each centroid's self-dot out of the per-row HOF: it is
-        # row-invariant, and leaving it inline doubles the per-(row,
-        # centroid) flops (the interpreted HOF doesn't CSE). Computing
-        # it once per centroid is the identical sequential fold, so the
-        # assignment (and its SQL oracle twin) is bit-unchanged.
-        cent_arr = cent_df.withColumn(
-            "_cc", dot(F.col("_cv"), F.col("_cv"))
-        ).agg(F.collect_list(F.struct("_cell", "_cv", "_cc")).alias("_cents"))
-
-        def d2_of(c):
-            return F.col("_vv") - 2 * dot(F.col("_v"), c["_cv"]) + c["_cc"]
-
-        scored = (
-            v.crossJoin(F.broadcast(cent_arr))
-            .withColumn(
-                "_best",
-                F.array_min(
-                    F.transform(
-                        "_cents",
-                        lambda c: F.struct(
-                            d2_of(c).alias("_d2"), c["_cell"].alias("_cell")
-                        ),
-                    )
-                ),
-            )
-        )
-        return scored.select(
-            id_col, "_v", F.col("_best")["_cell"].alias("_cell")
-        )
+        return _assign_v(v, cent_df, id_col)
 
     assigned = assign(cent)
     for _ in range(iters - 1):

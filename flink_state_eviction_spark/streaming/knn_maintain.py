@@ -1,0 +1,185 @@
+"""Incremental k-NN graph maintenance over a streaming vector ingest.
+
+Extension beyond the reference surface (the reference's only stateful
+machinery is the per-key TTL loop, MapWithState.java:51-393); the
+batch twin is ``operators/similarity.py:knn_graph``. The state pattern
+follows the digest-index streaming ingest (X63): ``foreachBatch`` +
+persistent parquet state tables — the production shape for cross-run
+mutable state.
+
+An always-ingesting corpus cannot rebuild its k-NN graph per batch.
+Instead the graph is maintained against a FROZEN coarse index — the
+(cell, cv) k-means centroid table from the last index rebuild, the
+standard serving/rebuild split of IVF-family indexes:
+
+- each arrival is assigned to its nearest frozen cell
+  (``assign_cells`` — the bit-identical argmin the index build uses);
+- each arrival probes its ``nprobe`` nearest cells and scores against
+  the members already there — forward edges, intra-batch included;
+- every EXISTING vector whose probe set covers an arrival's cell gains
+  it as a candidate — reverse edges — merged into its current top-k.
+  The merge is exact: top-k(top-k(S) ∪ B) == top-k(S ∪ B), so no
+  candidate that could rank is ever lost;
+- state lives in three parquet tables: ``members`` (id, cell, v, n)
+  and ``probes`` (query_id, cell) are append-only; ``edges``
+  (query_id, neighbor_id, sim) is rewritten from its own top-k ∪ the
+  batch's candidates (eager-checkpointed before the overwrite — the
+  self-read gotcha of sinks/merge.py).
+
+The final state equals ``knn_graph(final corpus, centroids=frozen)``
+bit-for-bit — asserted by tests/test_streaming_knn_maintain.py.
+
+Scale shape: per batch the work is two cell-keyed equi-joins bounded
+by |batch| × nprobe probed cells (forward) and |batch| × probes-into
+-their-cells (reverse), plus a keyed top-k merge over the touched
+queries — never a corpus×corpus rescan. The frozen centroid table is
+the only broadcast. Periodic rebuild (new k-means at the grown
+sqrt(N)) is the same amortized index build the batch path runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.similarity import (
+    _probe_cells,
+    as_double_vec,
+    assign_cells,
+    cosine,
+    l2_norm,
+)
+
+
+def _read_or_empty(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
+    """The state table at ``path``, or an empty frame with ``like``'s
+    schema before the first batch has written it."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return like.limit(0)
+
+
+def knn_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> None:
+    """One micro-batch of incremental k-NN maintenance (see module
+    docstring). Call from ``foreachBatch``."""
+    spark = batch_df.sparkSession
+    members_dir = os.path.join(state_dir, "members")
+    probes_dir = os.path.join(state_dir, "probes")
+    edges_dir = os.path.join(state_dir, "edges")
+
+    cent = centroids.select(
+        F.col("cell").alias("_cell"),
+        as_double_vec(F.col("cv")).alias("_cv"),
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+
+    # the batch's member rows: frozen-cell assignment + vector + norm
+    bm = (
+        assign_cells(batch_df, centroids, id_col, vec_col)
+        .join(
+            batch_df.select(
+                F.col(id_col), as_double_vec(F.col(vec_col)).alias("v")
+            ),
+            id_col,
+        )
+        .withColumn("n", l2_norm(F.col("v")))
+    )
+    # the batch's probe rows: nprobe nearest frozen cells per arrival
+    probes_b = _probe_cells(batch_df, id_col, vec_col, cent, nprobe)
+
+    prev_members = _read_or_empty(spark, members_dir, bm)
+    prev_probes = _read_or_empty(
+        spark,
+        probes_dir,
+        probes_b.select("query_id", F.col("_cell").alias("cell")),
+    )
+    edge_like = probes_b.select(
+        "query_id",
+        F.col("query_id").alias("neighbor_id"),
+        F.lit(0.0).alias("sim"),
+    )
+    prev_edges = _read_or_empty(spark, edges_dir, edge_like)
+
+    # forward: each arrival vs every member (old + intra-batch) of its
+    # probed cells
+    all_members = prev_members.unionByName(bm)
+    fwd = (
+        probes_b.join(
+            all_members, probes_b["_cell"] == all_members["cell"]
+        )
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(
+                F.col("_qv"), F.col("v"), F.col("_qn"), F.col("n")
+            ).alias("sim"),
+        )
+    )
+    # reverse: existing queries whose probe set covers an arrival's
+    # cell gain it as a candidate
+    pq = prev_probes.join(
+        prev_members.select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("_qv"),
+            F.col("n").alias("_qn"),
+        ),
+        "query_id",
+    )
+    rev = (
+        pq.join(bm, pq["cell"] == bm["cell"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(
+                F.col("_qv"), F.col("v"), F.col("_qn"), F.col("n")
+            ).alias("sim"),
+        )
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.col("neighbor_id")
+    )
+    new_edges = (
+        prev_edges.unionByName(fwd)
+        .unionByName(rev)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    # materialize BEFORE the overwrite: new_edges reads edges_dir
+    new_edges.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        edges_dir
+    )
+    bm.write.mode("append").parquet(members_dir)
+    probes_b.select("query_id", F.col("_cell").alias("cell")).write.mode(
+        "append"
+    ).parquet(probes_dir)
+
+
+def knn_edges(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained graph in knn_graph's output shape:
+    (query_id, neighbor_id, rank, sim). State keeps full-precision
+    sims (exact merge ordering across batches); the output rounds to
+    6 decimals AFTER ranking, exactly like the batch ``_rank_topk``."""
+    edges = spark.read.parquet(os.path.join(state_dir, "edges"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.col("neighbor_id")
+    )
+    return edges.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("sim", 6).alias("sim"),
+    )

@@ -1,0 +1,99 @@
+"""Streaming twin for the k-NN graph family (VERDICT r04 item 6):
+micro-batch incremental neighbor maintenance against a FROZEN k-means
+index must reproduce the batch knn_graph over the final corpus
+bit-for-bit — same frozen centroids, same cells, same probes, same
+cosine arithmetic, same (sim DESC, neighbor_id) tie-break."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.similarity import (
+    assign_cells,
+    kmeans_cells,
+    knn_graph,
+)
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.knn_maintain import (
+    knn_edges,
+    knn_maintain_batch,
+)
+from flink_state_eviction_spark.tables import load_table
+
+K, NPROBE, N_CELLS = 5, 3, 16
+
+
+def test_streaming_knn_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    # the frozen index: k-means centroids built from the vectors
+    # present BEFORE the stream starts (the rebuild/serving split) —
+    # here the smaller-id half of the corpus
+    n = emb.count()
+    base = emb.where(F.col("vec_id") < n // 2)
+    _, cent = kmeans_cells(
+        base, "vec_id", "embedding", k=N_CELLS, iters=2,
+        return_centroids=True,
+    )
+    cent = cent.localCheckpoint()  # one materialization, reused per batch
+
+    stream = as_file_stream(
+        emb, str(tmp_path), num_batches=3, order_col="vec_id"
+    )
+    state = os.path.join(str(tmp_path), "knn-state")
+
+    def upd(batch_df, _batch_id):
+        knn_maintain_batch(
+            batch_df, state, cent, "vec_id", "embedding", k=K, nprobe=NPROBE
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.sim)
+        for r in knn_edges(spark, state).collect()
+    }
+
+    # batch twin: the SAME frozen centroids assign cells and rank
+    # probes over the final corpus
+    corpus = emb.join(
+        assign_cells(emb, cent, "vec_id", "embedding"), "vec_id"
+    )
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.sim)
+        for r in knn_graph(
+            corpus, "vec_id", "embedding", "cell",
+            k=K, nprobe=NPROBE, centroids=cent,
+        ).collect()
+    }
+    assert got == want
+    # sanity: the graph is non-trivial and every query keeps <= K edges
+    assert len(got) > 0
+    per_q: dict[int, int] = {}
+    for qid, *_ in got:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    assert max(per_q.values()) <= K
+
+
+def test_assign_cells_matches_kmeans_final_assignment(spark, sf_dir):
+    # the frozen-index assignment must reproduce the index build's own
+    # final assignment when given the final centroids (bit-identical
+    # argmin arithmetic — the serving/build split cannot drift)
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg, cent = kmeans_cells(
+        emb, "vec_id", "embedding", k=8, iters=2, return_centroids=True
+    )
+    again = assign_cells(emb, cent, "vec_id", "embedding")
+    a = {(r.vec_id, r.cell) for r in asg.collect()}
+    b = {(r.vec_id, r.cell) for r in again.collect()}
+    assert a == b
