@@ -1010,3 +1010,100 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-weighted corpus mixing schedule (stride scheduling)
+
+_MIX_LIMIT = 500
+
+_MIX_ORACLE = f"""
+WITH d AS (SELECT doc_id, source FROM documents),
+n AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
+r AS (
+    SELECT d.doc_id, d.source, n.n_s,
+           ROW_NUMBER() OVER (PARTITION BY d.source
+                              ORDER BY d.doc_id) AS rn_s
+    FROM d JOIN n USING (source)
+),
+k AS (
+    SELECT doc_id, source,
+           (CAST(rn_s AS DOUBLE) - 0.5) / sqrt(CAST(n_s AS DOUBLE)) AS kk
+    FROM r
+),
+p AS (
+    SELECT doc_id, source, kk,
+           CAST(ROW_NUMBER() OVER (ORDER BY kk, source, doc_id)
+                AS BIGINT) AS pos
+    FROM k
+)
+SELECT pos, source, doc_id, round(kk, 6) AS stride_key
+FROM p WHERE pos <= {_MIX_LIMIT}
+"""
+
+
+@register_supplementary(
+    "corpus_mixing_schedule", _MIX_ORACLE, tags=("pipeline", "corpus")
+)
+def corpus_mixing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order interleave of the corpus's sources
+    at temperature tau = 0.5 (source s with n_s docs is scheduled
+    proportionally to sqrt(n_s) — the standard up-weighting of small
+    sources in multilingual/multi-domain training mixes). Extension
+    beyond the reference surface (SURVEY §2.6).
+
+    Stride scheduling: the i-th document of source s (doc_id order)
+    gets key (i - 0.5)/sqrt(n_s); the global training order is the
+    merge of all sources by key. Weights are deliberately UNNORMALIZED
+    — dividing every key by the same sum(sqrt(n_t)) cannot reorder the
+    merge, and skipping it keeps the key a two-op IEEE expression
+    (exact-rounded sqrt + division) that DuckDB reproduces bit-for-bit
+    — the log-free principle of text_bigram_surprisal applied to
+    scheduling. The first {_MIX_LIMIT} scheduled rows are returned.
+
+    Scale shape: NO per-source single-partition window — the
+    per-source index rn_s comes from the composite-bucketed global
+    rank over (source, doc_id) (each source spans many doc_id blocks,
+    so the largest sort task is one block, not one source) minus the
+    broadcast per-source start offset; the schedule position is a
+    second bucketed rank over the monotone floor(key) bucket with
+    limit pruning (buckets past position {_MIX_LIMIT} never sort)."""
+    from flink_state_eviction_spark.operators.windows import (
+        bucketed_global_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src_n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w_off = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = F.broadcast(
+        src_n.withColumn(
+            "_soff", F.coalesce(F.sum("n_s").over(w_off), F.lit(0))
+        )
+    )
+    ranked = bucketed_global_row_number(
+        docs,
+        F.struct(F.col("source"), F.floor(F.col("doc_id") / F.lit(8192))),
+        [F.col("source").asc(), F.col("doc_id").asc()],
+        out_col="_grn",
+    ).join(offs, "source")
+    key = (
+        (F.col("_grn") - F.col("_soff")).cast("double") - F.lit(0.5)
+    ) / F.sqrt(F.col("n_s").cast("double"))
+    # lazy checkpoint: the second rank consumes sched TWICE (per-bucket
+    # counts + the data join); without the boundary the whole
+    # rank-join subtree above plans — and can compute — twice
+    sched = ranked.select("doc_id", "source", key.alias("kk")).localCheckpoint(
+        eager=False
+    )
+    pos = bucketed_global_row_number(
+        sched,
+        F.floor(F.col("kk")),
+        [F.col("kk").asc(), F.col("source").asc(), F.col("doc_id").asc()],
+        out_col="pos",
+        limit=_MIX_LIMIT,
+    ).where(F.col("pos") <= _MIX_LIMIT)
+    return pos.select(
+        "pos", "source", "doc_id", F.round("kk", 6).alias("stride_key")
+    )

@@ -3494,3 +3494,136 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         docs, "doc_id", "text", k=3, threshold=0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text search (rational odds idf — log-free, so Spark and
+# DuckDB agree bit-for-bit; single-term queries make the odds idf
+# rank-equivalent to the classic ln() form)
+
+_BM25_K = 10
+
+_BM25_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+t AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+dfx AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM t GROUP BY 1),
+stats AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS nn,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+qt AS (
+    SELECT token FROM (
+        SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1
+        ORDER BY cnt DESC, token LIMIT 5
+    )
+),
+scored AS (
+    SELECT tf.token, tf.doc_id,
+           ((CAST(s.nn - dfx.doc_freq AS DOUBLE) + 0.5)
+              / (CAST(dfx.doc_freq AS DOUBLE) + 0.5))
+           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (0.25
+                          + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl))))
+               AS score0
+    FROM tf
+    JOIN qt ON tf.token = qt.token
+    JOIN dfx ON tf.token = dfx.token
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+),
+r AS (
+    SELECT token, doc_id, score0,
+           CAST(row_number() OVER (PARTITION BY token
+                ORDER BY score0 DESC, doc_id) AS INT) AS rank
+    FROM scored
+)
+SELECT token AS term, doc_id, rank, round(score0, 6) AS score
+FROM r WHERE rank <= {_BM25_K}
+"""
+
+
+@register_supplementary(
+    "text_bm25_search", _BM25_ORACLE, tags=("pipeline", "text")
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75): top-10 documents per query
+    term, query terms = the corpus's 5 most frequent tokens (the
+    deterministic stand-in for a user query batch). Extension beyond
+    the reference surface (SURVEY §2.6 — no search machinery exists
+    there); composes the X42 inverted-index token stream.
+
+    idf is the rational odds core (N - df + 0.5)/(df + 0.5) WITHOUT
+    the ln(): like text_bigram_surprisal this keeps every arithmetic
+    op IEEE-correctly-rounded (div/mul/add only), so the score — and
+    therefore the ranking — reproduces bit-for-bit in DuckDB. For
+    single-term queries ln() is monotone in the odds, so the top-k SET
+    and ORDER equal the classic BM25 ranking; only the score scale
+    differs (swap ln() in at deployment if calibrated scores matter).
+
+    Scale shape: tf/dl/df are map-side-combined groupBys of the token
+    stream; the 5-term query table, its df rows, and the (N, avgdl)
+    scalar broadcast — the candidate set is the postings of the query
+    terms only, never the corpus. Per-term ranking is the two-phase
+    top-k (partition-local truncate to k, then a window over <=
+    partitions x 5 x k rows) — no full-postings sort task."""
+    from flink_state_eviction_spark.operators.similarity import (
+        _local_truncate_topk,
+        _rank_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfx = t.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nn"))
+    stats = (
+        dl.agg(
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+    qt = (
+        t.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("token"))
+        .limit(5)
+        .select("token")
+    )
+    idf = (
+        (F.col("nn") - F.col("doc_freq")).cast("double") + F.lit(0.5)
+    ) / (F.col("doc_freq").cast("double") + F.lit(0.5))
+    sat = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "token")
+        .join(F.broadcast(dfx.join(F.broadcast(qt), "token")), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("token").alias("query_id"),
+            "doc_id",
+            (idf * sat).alias("sim"),
+        )
+    )
+    ranked = _rank_topk(
+        _local_truncate_topk(scored, "doc_id", _BM25_K), "doc_id", _BM25_K
+    )
+    return ranked.select(
+        F.col("query_id").alias("term"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+        F.col("sim").alias("score"),
+    )

@@ -114,6 +114,8 @@ SAMPLE = [
     "tpch_q10_returned_items",
     "tpch_q15_top_supplier",
     "doc_length_histogram",
+    "text_bm25_search",
+    "corpus_mixing_schedule",
 ]
 
 

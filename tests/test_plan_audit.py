@@ -31,6 +31,9 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "bloom_digest_probe": 1,  # scalar: bloom bitmap OR-fold to one row
     "bloom_pruned_revenue_smallparts": 1,  # scalar: bloom bitmap fold
     "corpus_drift_chisq": 1,  # tiny: chi-sq over per-source rows
+    # offsets: floor(key)-bucket prefix counts (first rank + source
+    # offsets sit behind the schedule's boundary-pinning localCheckpoint)
+    "corpus_mixing_schedule": 1,
     "count_window_all_label": 1,  # offsets: bucket counts (two-phase rank)
     # visible plan = last rank call only (first two sit behind the
     # helper's boundary-pinning localCheckpoint): 1 offsets + scalar N
@@ -53,6 +56,7 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "similarity_kmeans_cells": 1,  # tiny: k-row centroid table
     "similarity_pq_topk": 4,  # tiny: k-row codebooks
     "text_bigram_surprisal": 1,  # offsets: count-bucket prefix table
+    "text_bm25_search": 2,  # scalar: (avgdl, N) one-row stat aggregates
     "text_tfidf": 1,  # scalar: corpus doc count for idf
     "tpch_q14_promo_revenue": 1,  # scalar: promo/total revenue row
     "tpch_q15_top_supplier": 1,  # scalar: max revenue threshold
