@@ -176,7 +176,8 @@ def main() -> None:
         "--only",
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
-        "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn",
+        "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
+        "bm25,mix",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -246,6 +247,15 @@ def main() -> None:
             rec["dedup_paragraph_near_sec"] = timed(lambda: all_qs["dedup_paragraph_near"](spark, d))
         if "knn" in only:
             rec["embedding_knn_graph_sec"] = timed(lambda: all_qs["embedding_knn_graph"](spark, d))
+        if "bm25" in only:
+            # candidate volume = the 5 query terms' postings, which
+            # grow linearly with the replicated corpus
+            rec["text_bm25_search_sec"] = timed(lambda: all_qs["text_bm25_search"](spark, d))
+        if "mix" in only:
+            # schedule LIMIT is constant; the cost driver is the
+            # corpus-wide per-source index rank + the pruned
+            # position rank (buckets past 500 never sort)
+            rec["corpus_mixing_schedule_sec"] = timed(lambda: all_qs["corpus_mixing_schedule"](spark, d))
         print(json.dumps(rec), flush=True)
 
 
