@@ -713,3 +713,60 @@ def ivf_pq_topk(
         .join(codes, id_col)
     )
     return _adc_rank(cand, q, books, id_col, m, dsub, k)
+
+
+def mutual_knn_clusters(
+    edges: DataFrame, ids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Mutual-kNN clustering of a directed k-NN edge list: keep only
+    reciprocated edges (``intersect`` with the reversal — an outlier
+    pointing INTO a dense region keeps no edge, so noise stays
+    singleton), close them into components with the O(log)
+    alternating-star CC, and label every id in ``ids`` with its
+    cluster (component min; itself if unclustered) and cluster size.
+    Extension beyond the reference surface (SURVEY §2.6); the ONE
+    composition shared by the batch `embedding_cluster_mutual_knn`
+    query and the streaming maintained-graph twin
+    (streaming/knn_maintain.knn_clusters), so their semantics cannot
+    drift.
+
+    Scale shape: the mutual filter is a self-intersect of the edge
+    list (corpus×k rows, NOT corpus² — one shuffle on the edge pair);
+    CC runs on the even smaller mutual list; the size window is keyed
+    by cluster; the label attach is a plain id equi-join that AQE
+    size-picks."""
+    from flink_state_eviction_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    # both intersect sides consume the edge list — materialize it once
+    # or the whole upstream graph build runs twice
+    g = edges.select("query_id", "neighbor_id").localCheckpoint(eager=False)
+    rev = g.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+    )
+    mutual = g.intersect(rev).where(F.col("query_id") < F.col("neighbor_id"))
+    # star CC, not propagation: mutual-kNN components are DEEP (the
+    # sf0.1 graph needs 27 propagation rounds vs 4 star alternations)
+    comp = connected_components_star(
+        mutual,
+        src="query_id",
+        dst="neighbor_id",
+        id_out=id_col,
+        comp_out="cluster",
+    )
+    asg = (
+        ids.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster"),
+        )
+    )
+    w = Window.partitionBy("cluster")
+    return asg.select(
+        id_col,
+        "cluster",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )

@@ -1675,53 +1675,18 @@ def embedding_cluster_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Extension beyond the reference.
 
     Scale shape: consumes the LEARNED-cell graph (cells ≈ sqrt(N), so
-    the edge build is N^1.5, never quadratic); the mutual filter is a
-    self-intersect of the kNN edge list (corpus×k rows, NOT corpus² —
-    one shuffle on the edge pair); CC runs on the even smaller mutual
-    list; the size window is keyed by cluster; the label attach is a
-    plain id equi-join that AQE size-picks (broadcast only when the
-    component table is small)."""
-    from flink_state_eviction_spark.operators.dedup import (
-        connected_components_star,
+    the edge build is N^1.5, never quadratic); the mutual/CC/label
+    composition is the shared `mutual_knn_clusters` operator (see its
+    docstring for the shuffle budget) — also the streaming maintained-
+    graph twin's serving path, so batch and streaming semantics cannot
+    drift."""
+    from flink_state_eviction_spark.operators.similarity import (
+        mutual_knn_clusters,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # both intersect sides consume the kNN edge list — materialize it
-    # once or the whole graph build runs twice
-    g = (
-        _learned_knn_graph(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
-    )
-    rev = g.select(
-        F.col("neighbor_id").alias("query_id"),
-        F.col("query_id").alias("neighbor_id"),
-    )
-    mutual = g.intersect(rev).where(
-        F.col("query_id") < F.col("neighbor_id")
-    )
-    # star CC, not propagation: mutual-kNN components are DEEP (the
-    # sf0.1 graph needs 27 propagation rounds vs 4 star alternations)
-    comp = connected_components_star(
-        mutual,
-        src="query_id",
-        dst="neighbor_id",
-        id_out="vec_id",
-        comp_out="cluster",
-    )
-    asg = (
-        emb.select("vec_id")
-        .join(comp, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.coalesce(F.col("cluster"), F.col("vec_id")).alias("cluster"),
-        )
-    )
-    w = Window.partitionBy("cluster")
-    return asg.select(
-        "vec_id",
-        "cluster",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    return mutual_knn_clusters(
+        _learned_knn_graph(spark, sf_dir), emb, id_col="vec_id"
     )
 
 

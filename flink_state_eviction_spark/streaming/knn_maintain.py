@@ -183,3 +183,19 @@ def knn_edges(spark: SparkSession, state_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rank"),
         F.round("sim", 6).alias("sim"),
     )
+
+
+def knn_clusters(
+    spark: SparkSession, state_dir: str, ids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Mutual-kNN clusters over the MAINTAINED graph — the streaming
+    twin of `embedding_cluster_mutual_knn`, via the same shared
+    `mutual_knn_clusters` composition (reciprocated edges -> star CC
+    -> cluster label + size), so an always-ingesting corpus serves
+    cluster assignments between index rebuilds. ``ids``: the corpus id
+    frame to label (unclustered ids stay singleton)."""
+    from flink_state_eviction_spark.operators.similarity import (
+        mutual_knn_clusters,
+    )
+
+    return mutual_knn_clusters(knn_edges(spark, state_dir), ids, id_col)

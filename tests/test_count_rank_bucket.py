@@ -1,0 +1,62 @@
+"""Regression gates for `count_rank_bucket` (X126): the composite
+bucket must be MONOTONE in the rank order (cnt DESC, key ASC) — rows
+in a lower bucket always precede rows in a higher bucket — or
+`bucketed_global_row_number` silently produces wrong ranks. The
+round-5 zipf stress additionally forced the factor-2 head bands
+(scripts/zipf_stress.py found 59% of distinct keys in the old single
+head bucket); the band split must stay inside the same monotone
+contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.windows import count_rank_bucket
+
+# every regime: the prefix-split tail (cnt < cap), the cap boundary,
+# several head octaves, and an octave boundary +/- 1
+_CNTS = (
+    list(range(1, 70))
+    + [127, 128, 129, 255, 256, 1000, 4095, 4096, 10**6, 10**12]
+)
+_KEYS = ["", "a", "aa", "ab", "b", "ba", "z9", "09", "zz", "m"]
+
+
+def test_bucket_monotone_in_rank_order(spark):
+    rows = [(c, k) for c in _CNTS for k in _KEYS]
+    df = spark.createDataFrame(rows, "cnt long, key string")
+    out = df.select(
+        "cnt",
+        "key",
+        count_rank_bucket(F.col("cnt"), F.col("key")).alias("b"),
+    ).collect()
+    # rank order: cnt DESC, key ASC; bucket struct order: (m ASC, s ASC)
+    ranked = sorted(out, key=lambda r: (-r.cnt, r.key))
+    buckets = [(r.b.m, r.b.s) for r in ranked]
+    assert buckets == sorted(buckets), (
+        "bucket must be non-decreasing along the rank order"
+    )
+
+
+def test_head_bands_split_octaves(spark):
+    # distinct octaves land in distinct buckets (the head is NOT one
+    # undivided bucket — the round-5 zipf finding), while counts within
+    # an octave share one
+    df = spark.createDataFrame(
+        [(64, "k"), (127, "k"), (128, "k"), (4096, "k")],
+        "cnt long, key string",
+    )
+    got = [
+        (r.b.m, r.b.s)
+        for r in df.select(
+            count_rank_bucket(F.col("cnt"), F.col("key")).alias("b")
+        ).collect()
+    ]
+    assert got[0] == got[1]  # 64 and 127: same 2^6 band
+    assert len({got[0], got[2], got[3]}) == 3  # 2^6, 2^7, 2^12 distinct
+
+
+def test_cap_must_be_power_of_two():
+    with pytest.raises(ValueError):
+        count_rank_bucket(F.lit(1), F.lit("k"), cap=48)

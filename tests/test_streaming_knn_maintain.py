@@ -14,9 +14,11 @@ from flink_state_eviction_spark.operators.similarity import (
     assign_cells,
     kmeans_cells,
     knn_graph,
+    mutual_knn_clusters,
 )
 from flink_state_eviction_spark.sources.fixtures import as_file_stream
 from flink_state_eviction_spark.streaming.knn_maintain import (
+    knn_clusters,
     knn_edges,
     knn_maintain_batch,
 )
@@ -83,6 +85,26 @@ def test_streaming_knn_maintenance_matches_batch(spark, sf_dir, tmp_path):
     for qid, *_ in got:
         per_q[qid] = per_q.get(qid, 0) + 1
     assert max(per_q.values()) <= K
+
+    # the cluster serving path: mutual-kNN clusters over the maintained
+    # graph must equal the same composition over the batch graph
+    got_c = {
+        (r.vec_id, r.cluster, r.cluster_size)
+        for r in knn_clusters(spark, state, emb.select("vec_id")).collect()
+    }
+    want_c = {
+        (r.vec_id, r.cluster, r.cluster_size)
+        for r in mutual_knn_clusters(
+            knn_graph(
+                corpus, "vec_id", "embedding", "cell",
+                k=K, nprobe=NPROBE, centroids=cent,
+            ),
+            emb.select("vec_id"),
+        ).collect()
+    }
+    assert got_c == want_c
+    # non-trivial: at least one real (size > 1) cluster formed
+    assert any(sz > 1 for _, _, sz in got_c)
 
 
 def test_assign_cells_matches_kmeans_final_assignment(spark, sf_dir):
