@@ -170,6 +170,18 @@ def _cell_centroids(corpus: DataFrame, cell_col: str, vec_col: str) -> DataFrame
     ).withColumn("_cn", l2_norm(F.col("_cv")))
 
 
+def _frozen_centroids(centroids: DataFrame) -> DataFrame:
+    """Normalize a user-facing FROZEN (cell, cv) centroid table into
+    the internal (_cell, _cv, _cn) shape — the ONE projection shared
+    by knn_graph's frozen-index branch, assign_cells, and the
+    streaming maintainer, so a cast- or norm-handling edit cannot
+    diverge the serving paths that must stay bit-identical."""
+    return centroids.select(
+        F.col("cell").alias("_cell"),
+        as_double_vec(F.col("cv")).alias("_cv"),
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
+
+
 def _probe_cells(
     queries: DataFrame, id_col: str, vec_col: str, cent: DataFrame, nprobe: int
 ) -> DataFrame:
@@ -282,10 +294,7 @@ def knn_graph(
     if centroids is None:
         cent = _cell_centroids(corpus, cell_col, vec_col)
     else:
-        cent = centroids.select(
-            F.col("cell").alias("_cell"),
-            as_double_vec(F.col("cv")).alias("_cv"),
-        ).withColumn("_cn", l2_norm(F.col("_cv")))
+        cent = _frozen_centroids(centroids)
     probes = _probe_cells(corpus, id_col, vec_col, cent, nprobe)
     mem = corpus.select(
         F.col(id_col),
@@ -378,10 +387,7 @@ def assign_cells(
     v = corpus.select(
         F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
     ).withColumn("_vv", dot(F.col("_v"), F.col("_v")))
-    cent = centroids.select(
-        F.col("cell").alias("_cell"), as_double_vec(F.col("cv")).alias("_cv")
-    )
-    return _assign_v(v, cent, id_col).select(
+    return _assign_v(v, _frozen_centroids(centroids), id_col).select(
         id_col, F.col("_cell").alias(cell_col)
     )
 

@@ -168,25 +168,27 @@ def count_rank_bucket(
     is NOT safe either: the round-5 zipf stress (scripts/
     zipf_stress.py, 10M tokens over a 10^5 vocab) put 59% of distinct
     keys at ``cnt >= 16``. The head is therefore subdivided into
-    factor-2 count BANDS, ``-(2^floor(log2 cnt))`` — monotone in
-    ``cnt DESC`` because ``cap`` is a power of two (asserted): every
-    key in band ``2^j`` outranks every key below ``2^j``. Each band
-    holds the keys within one octave of frequency — on any zipf-ish
-    distribution a vanishing fraction of the keys, shrinking
-    geometrically up the head. Exact for ``cnt < 2^53`` (double-precision
-    ``log2``; beyond any realistic group count).
+    factor-2 count BANDS keyed by the bit length of ``cnt``,
+    ``-(cap + (length(bin(cnt)) - 1))`` — INTEGER-exact (a float
+    ``floor(log2(cnt))`` is only as monotone as the platform's libm:
+    a 1-ulp-low log at a power of two would flip a band boundary and
+    silently corrupt every downstream rank). Monotone for any cap:
+    within the head a larger cnt has a >= bit length, and every head
+    bucket ``<= -cap`` precedes every tail bucket ``>= -(cap-1)``.
+    Each band holds the keys within one octave of frequency — on any
+    zipf-ish distribution a vanishing fraction of the keys, shrinking
+    geometrically up the head.
 
     Result: sort parallelism ``cap × alphabet^prefix_len`` tasks for
     the tail plus one task per frequency octave for the head; the
     per-bucket offsets table stays a few thousand rows — broadcast.
     """
-    if cap & (cap - 1) != 0 or cap <= 0:
-        raise ValueError("cap must be a power of two")
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    band = (F.length(F.bin(cnt_col)) - 1).cast("long")
     neg = (
         F.when(cnt_col < F.lit(cap), -cnt_col)
-        .otherwise(
-            -F.pow(F.lit(2.0), F.floor(F.log2(cnt_col))).cast("long")
-        )
+        .otherwise(-(F.lit(cap) + band))
         .cast("long")
     )
     sub = F.when(

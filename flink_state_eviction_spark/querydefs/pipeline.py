@@ -1459,14 +1459,17 @@ _KMEANS_D2 = """list_dot_product(e.v, e.v)
                       + list_dot_product(c.cv, c.cv)"""
 
 
-def _kmeans_cells_body(k_sql: str) -> str:
+def _kmeans_cells_body(k_sql: str, src_where: str = "") -> str:
     """The unrolled 2-iteration deterministic-k-means CTE chain with a
     parameterized cell count: ``k_sql`` is a SQL expression for k — a
     literal for the fixed-k index queries, or the scale-adaptive
     ``ceil(sqrt(N))`` subquery the k-NN graph family uses (cells must
-    GROW with the corpus or candidate volume is quadratic)."""
+    GROW with the corpus or candidate volume is quadratic).
+    ``src_where``: optional predicate restricting the BUILD corpus (the
+    frozen-index serving split trains on the pre-stream half)."""
+    where = f" WHERE {src_where}" if src_where else ""
     return f"""e AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{where}
 ),
 c0 AS (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
@@ -3596,3 +3599,59 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.col("sim").alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# frozen-index cell assignment (the serving half of the index
+# build/serve split: the streaming k-NN maintainer assigns arrivals to
+# EXISTING cells between rebuilds — streaming/knn_maintain.py)
+
+_ASSIGN_FROZEN_ORACLE = f"""
+WITH {_kmeans_cells_body(
+    "8", "vec_id < (SELECT COUNT(*) // 2 FROM embeddings)"
+)},
+eall AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id, cell FROM (
+    SELECT eall.vec_id, c.cell,
+           row_number() OVER (PARTITION BY eall.vec_id
+               ORDER BY list_dot_product(eall.v, eall.v)
+                      - 2 * list_dot_product(eall.v, c.cv)
+                      + list_dot_product(c.cv, c.cv), c.cell) AS rn
+    FROM eall CROSS JOIN c1 c
+) WHERE rn = 1
+"""
+
+
+@register_supplementary(
+    "similarity_assign_frozen",
+    _ASSIGN_FROZEN_ORACLE,
+    tags=("pipeline", "similarity"),
+)
+def similarity_assign_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment of the FULL corpus against a FROZEN
+    index trained on the pre-stream half (vec_id < N/2, k=8, 2
+    rounds) — the `assign_cells` operator the streaming k-NN
+    maintainer serves arrivals with between index rebuilds
+    (streaming/knn_maintain.py). Oracle unrolls the same deterministic
+    k-means on the build half (c1 = the centroids the final build
+    round assigned against — exactly what `return_centroids` hands the
+    server) and replays the squared-L2 argmin (centroid self-dot
+    hoisted; ties to the smaller cell) over every vector.
+
+    Scale shape: one broadcast of the k-row centroid array; the argmin
+    is a zero-shuffle per-row fold (`_assign_v` — no corpus×k explode,
+    no window over the corpus)."""
+    from flink_state_eviction_spark.operators.similarity import (
+        assign_cells,
+        kmeans_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = emb.count() // 2
+    base = emb.where(F.col("vec_id") < half)
+    _, cent = kmeans_cells(
+        base, "vec_id", "embedding", k=8, iters=2, return_centroids=True
+    )
+    return assign_cells(emb, cent, "vec_id", "embedding")

@@ -21,10 +21,18 @@ standard serving/rebuild split of IVF-family indexes:
   The merge is exact: top-k(top-k(S) ∪ B) == top-k(S ∪ B), so no
   candidate that could rank is ever lost;
 - state lives in three parquet tables: ``members`` (id, cell, v, n)
-  and ``probes`` (query_id, cell) are append-only; ``edges``
-  (query_id, neighbor_id, sim) is rewritten from its own top-k ∪ the
-  batch's candidates (eager-checkpointed before the overwrite — the
-  self-read gotcha of sinks/merge.py).
+  and ``probes`` (query_id, cell) grow by one ``batch=<id>`` partition
+  per micro-batch; ``edges`` (query_id, neighbor_id, sim) is rewritten
+  from its own top-k ∪ the batch's candidates (eager-checkpointed
+  before the overwrite — the self-read gotcha of sinks/merge.py).
+
+Every write is IDEMPOTENT under foreachBatch's at-least-once replay:
+a redelivered batch overwrites its own ``batch=<id>`` partition
+(never blind-appends), and the edge merge dedupes on the
+(query_id, neighbor_id) pair before ranking — recomputed candidates
+are bit-identical to the stored ones, so re-merging is a no-op. A
+crash at ANY point between the three writes therefore replays to the
+same final state (asserted by the redelivery test).
 
 The final state equals ``knn_graph(final corpus, centroids=frozen)``
 bit-for-bit — asserted by tests/test_streaming_knn_maintain.py.
@@ -45,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_state_eviction_spark.operators.similarity import (
+    _frozen_centroids,
     _probe_cells,
     as_double_vec,
     assign_cells,
@@ -53,37 +62,60 @@ from flink_state_eviction_spark.operators.similarity import (
 )
 
 
-def _read_or_empty(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
+def _read_or_empty(
+    spark: SparkSession, path: str, like: DataFrame
+) -> DataFrame:
     """The state table at ``path``, or an empty frame with ``like``'s
-    schema before the first batch has written it."""
+    schema before the first batch has written it. Only the
+    missing-path AnalysisException is swallowed — a corrupt or
+    unreadable EXISTING table must fail the batch, not silently
+    restart the state from empty."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
         return like.limit(0)
+
+
+def _read_state_before(
+    spark: SparkSession, path: str, batch_id: int, like: DataFrame
+) -> DataFrame:
+    """The ``batch=<id>`` partitioned state table at ``path``
+    restricted to batches BEFORE ``batch_id`` (a replayed batch must
+    see exactly the state its first attempt saw, even if that attempt
+    already wrote its partition), or an empty frame with ``like``'s
+    schema before the first batch has written it."""
+    df = _read_or_empty(spark, path, like)
+    if "batch" not in df.columns:  # the empty pre-first-batch frame
+        return df
+    return df.where(F.col("batch") < F.lit(batch_id)).drop("batch")
 
 
 def knn_maintain_batch(
     batch_df: DataFrame,
     state_dir: str,
     centroids: DataFrame,
+    batch_id: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
 ) -> None:
     """One micro-batch of incremental k-NN maintenance (see module
-    docstring). Call from ``foreachBatch``."""
+    docstring). Call from ``foreachBatch`` forwarding its batch id —
+    the id keys the idempotent per-batch state partitions."""
     spark = batch_df.sparkSession
     members_dir = os.path.join(state_dir, "members")
     probes_dir = os.path.join(state_dir, "probes")
     edges_dir = os.path.join(state_dir, "edges")
 
-    cent = centroids.select(
-        F.col("cell").alias("_cell"),
-        as_double_vec(F.col("cv")).alias("_cv"),
-    ).withColumn("_cn", l2_norm(F.col("_cv")))
+    cent = _frozen_centroids(centroids)
 
-    # the batch's member rows: frozen-cell assignment + vector + norm
+    # the batch's member rows: frozen-cell assignment + vector + norm.
+    # Lazy-checkpointed: each is consumed by BOTH the edge merge and
+    # its own state write — without the boundary the broadcast-argmin
+    # assignment and the probe window would compute twice per batch
     bm = (
         assign_cells(batch_df, centroids, id_col, vec_col)
         .join(
@@ -93,14 +125,18 @@ def knn_maintain_batch(
             id_col,
         )
         .withColumn("n", l2_norm(F.col("v")))
+        .localCheckpoint(eager=False)
     )
     # the batch's probe rows: nprobe nearest frozen cells per arrival
-    probes_b = _probe_cells(batch_df, id_col, vec_col, cent, nprobe)
+    probes_b = _probe_cells(
+        batch_df, id_col, vec_col, cent, nprobe
+    ).localCheckpoint(eager=False)
 
-    prev_members = _read_or_empty(spark, members_dir, bm)
-    prev_probes = _read_or_empty(
+    prev_members = _read_state_before(spark, members_dir, batch_id, bm)
+    prev_probes = _read_state_before(
         spark,
         probes_dir,
+        batch_id,
         probes_b.select("query_id", F.col("_cell").alias("cell")),
     )
     edge_like = probes_b.select(
@@ -151,9 +187,15 @@ def knn_maintain_batch(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.col("neighbor_id")
     )
+    # pair-dedup BEFORE ranking: on a replayed batch the recomputed
+    # candidates are bit-identical to rows already merged into
+    # prev_edges — without the dedup the same neighbor would take two
+    # ranks. max(sim) over identical values is that value.
     new_edges = (
         prev_edges.unionByName(fwd)
         .unionByName(rev)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
@@ -162,10 +204,14 @@ def knn_maintain_batch(
     new_edges.localCheckpoint(eager=True).write.mode("overwrite").parquet(
         edges_dir
     )
-    bm.write.mode("append").parquet(members_dir)
+    # idempotent per-batch partitions: a redelivered batch OVERWRITES
+    # its own batch=<id> directory instead of blind-appending
+    bm.write.mode("overwrite").parquet(
+        os.path.join(members_dir, f"batch={batch_id}")
+    )
     probes_b.select("query_id", F.col("_cell").alias("cell")).write.mode(
-        "append"
-    ).parquet(probes_dir)
+        "overwrite"
+    ).parquet(os.path.join(probes_dir, f"batch={batch_id}"))
 
 
 def knn_edges(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -57,6 +57,21 @@ def test_head_bands_split_octaves(spark):
     assert len({got[0], got[2], got[3]}) == 3  # 2^6, 2^7, 2^12 distinct
 
 
-def test_cap_must_be_power_of_two():
+def test_monotone_for_non_power_of_two_cap(spark):
+    # the integer bit-length band needs no power-of-two cap: every
+    # head bucket -(cap + bitlen) precedes every tail bucket -(cap-1)
+    rows = [(c, k) for c in _CNTS for k in _KEYS]
+    df = spark.createDataFrame(rows, "cnt long, key string")
+    out = df.select(
+        "cnt",
+        "key",
+        count_rank_bucket(F.col("cnt"), F.col("key"), cap=48).alias("b"),
+    ).collect()
+    ranked = sorted(out, key=lambda r: (-r.cnt, r.key))
+    buckets = [(r.b.m, r.b.s) for r in ranked]
+    assert buckets == sorted(buckets)
+
+
+def test_cap_must_be_positive():
     with pytest.raises(ValueError):
-        count_rank_bucket(F.lit(1), F.lit("k"), cap=48)
+        count_rank_bucket(F.lit(1), F.lit("k"), cap=0)

@@ -116,6 +116,7 @@ SAMPLE = [
     "doc_length_histogram",
     "text_bm25_search",
     "corpus_mixing_schedule",
+    "similarity_assign_frozen",
 ]
 
 

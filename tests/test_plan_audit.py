@@ -53,6 +53,7 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "quality_budget_select": 1,  # offsets: score-bucket prefix counts
     "sequence_pack_chunks": 3,  # offsets/scalar: doc-range prefix sums
     "similarity_ivf_pq_topk": 5,  # tiny: k-row codebooks + probe lists
+    "similarity_assign_frozen": 1,  # tiny: k-row centroid init window
     "similarity_kmeans_cells": 1,  # tiny: k-row centroid table
     "similarity_pq_topk": 4,  # tiny: k-row codebooks
     "text_bigram_surprisal": 1,  # offsets: count-bucket prefix table

@@ -48,9 +48,10 @@ def test_streaming_knn_maintenance_matches_batch(spark, sf_dir, tmp_path):
     )
     state = os.path.join(str(tmp_path), "knn-state")
 
-    def upd(batch_df, _batch_id):
+    def upd(batch_df, batch_id):
         knn_maintain_batch(
-            batch_df, state, cent, "vec_id", "embedding", k=K, nprobe=NPROBE
+            batch_df, state, cent, batch_id,
+            "vec_id", "embedding", k=K, nprobe=NPROBE,
         )
 
     q = (
@@ -119,3 +120,43 @@ def test_assign_cells_matches_kmeans_final_assignment(spark, sf_dir):
     a = {(r.vec_id, r.cell) for r in asg.collect()}
     b = {(r.vec_id, r.cell) for r in again.collect()}
     assert a == b
+
+
+def test_redelivered_batch_is_idempotent(spark, sf_dir, tmp_path):
+    # foreachBatch is at-least-once: a batch whose writes completed but
+    # whose commit was lost gets REPLAYED. Applying the same batch id
+    # twice (and the final batch three times) must leave every state
+    # table bit-identical to the single application.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    base = emb.where(F.col("vec_id") < n // 2)
+    _, cent = kmeans_cells(
+        base, "vec_id", "embedding", k=N_CELLS, iters=2,
+        return_centroids=True,
+    )
+    cent = cent.localCheckpoint()
+    state = os.path.join(str(tmp_path), "knn-state")
+
+    b0 = emb.where(F.col("vec_id") < n // 3)
+    b1 = emb.where((F.col("vec_id") >= n // 3) & (F.col("vec_id") < 2 * n // 3))
+    b2 = emb.where(F.col("vec_id") >= 2 * n // 3)
+    for bid, b in ((0, b0), (1, b1), (2, b2)):
+        knn_maintain_batch(b, state, cent, bid, k=K, nprobe=NPROBE)
+
+    def snapshot():
+        edges = {
+            (r.query_id, r.neighbor_id, r.rank, r.sim)
+            for r in knn_edges(spark, state).collect()
+        }
+        members = spark.read.parquet(os.path.join(state, "members"))
+        probes = spark.read.parquet(os.path.join(state, "probes"))
+        return edges, members.count(), probes.count()
+
+    once = snapshot()
+    # replay the middle batch (late redelivery) and the last one twice
+    knn_maintain_batch(b1, state, cent, 1, k=K, nprobe=NPROBE)
+    knn_maintain_batch(b2, state, cent, 2, k=K, nprobe=NPROBE)
+    knn_maintain_batch(b2, state, cent, 2, k=K, nprobe=NPROBE)
+    assert snapshot() == once
