@@ -439,6 +439,51 @@ def canonical_mapping(
     )
 
 
+def keep_best_mapping(
+    docs: DataFrame,
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-aware canonical selection: map EVERY document to the
+    HIGHEST-scoring member of its near-dup component (ties to the
+    smaller id; itself if unpaired) — what a production dedup keeps,
+    instead of `canonical_mapping`'s arbitrary min-id representative.
+    Output: (id, keeper_id, is_kept). Extension beyond the reference.
+
+    Scale shape: the keeper election is a row_number window keyed by
+    COMPONENT (components are near-dup cliques — tiny by construction;
+    the bucket-cap guard upstream bounds them); the score attach and
+    the final label are plain id/component equi-joins that AQE
+    size-picks, for the same corpus-proportional-side reason as
+    canonical_mapping (no forced broadcast)."""
+    member = components.join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    w = Window.partitionBy(comp_col).orderBy(
+        F.desc_nulls_last(score_col), F.col(id_col)
+    )
+    keeper = (
+        member.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(comp_col, F.col(id_col).alias("_keeper"))
+    )
+    return (
+        docs.select(id_col)
+        .join(components, id_col, "left")
+        .join(keeper, comp_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_keeper"), F.col(id_col)).alias("keeper_id"),
+            (
+                F.coalesce(F.col("_keeper"), F.col(id_col)) == F.col(id_col)
+            ).alias("is_kept"),
+        )
+    )
+
+
 def _strided_spans(
     docs: DataFrame, id_col: str, text_col: str, k: int, s: int
 ) -> DataFrame:

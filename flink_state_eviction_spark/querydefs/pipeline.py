@@ -3655,3 +3655,77 @@ def similarity_assign_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, "vec_id", "embedding", k=8, iters=2, return_centroids=True
     )
     return assign_cells(emb, cent, "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# quality-aware near-dup canonical (keep the BEST duplicate, not the
+# first): the dedup decision a production corpus pipeline actually
+# ships — X8's pair list closed into components, keeper elected by
+# text_quality's score
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_BODY},
+{_CC_FROM_PAIRS.strip()},
+qm AS (
+    SELECT d.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_words,
+           CAST(length(d.text) AS BIGINT) AS n_chars_text,
+           CAST(list_sum(list_transform(t.toks, x -> length(x))) AS BIGINT)
+               AS n_token_chars,
+           CAST(len(list_filter(t.toks,
+                x -> list_contains({list(LANG_STOPWORDS["en"])!r}, x)))
+               AS BIGINT) AS n_stop,
+           CAST(length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g'))
+               AS BIGINT) AS n_punct
+    FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+),
+q AS (
+    SELECT doc_id,
+           2.0 * (CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0))
+             - 3.0 * (CAST(n_punct AS DOUBLE) / NULLIF(n_chars_text, 0))
+             + 0.05 * (CAST(n_token_chars AS DOUBLE) / NULLIF(n_words, 0))
+               AS quality_score
+    FROM qm
+),
+keeper AS (
+    SELECT component, doc_id AS keeper_id FROM (
+        SELECT c.component, c.doc_id,
+               row_number() OVER (PARTITION BY c.component
+                   ORDER BY q.quality_score DESC, c.doc_id) AS rn
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+    ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(k.keeper_id, d.doc_id) AS keeper_id,
+       COALESCE(k.keeper_id, d.doc_id) = d.doc_id AS is_kept
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+LEFT JOIN keeper k ON k.component = c.component
+"""
+
+
+@register_supplementary(
+    "dedup_near_keep_best", _KEEP_BEST_ORACLE, tags=("pipeline", "dedup")
+)
+def dedup_near_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonical: minhash-LSH pairs -> connected
+    components -> each component keeps its HIGHEST-text_quality member
+    (tie: smaller doc_id) — the keep-the-best-duplicate decision a
+    production pipeline ships, vs `dedup_near_canonical`'s min-id
+    keeper. Scores come from the registered `text_quality` query fn
+    (the oracle replays its exact CTE), so score arithmetic cannot
+    drift between the two registrations. Extension beyond the
+    reference; operator: operators/dedup.py:keep_best_mapping."""
+    from flink_state_eviction_spark.operators.dedup import (
+        connected_components,
+        keep_best_mapping,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    scores = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    return keep_best_mapping(docs, comp, scores)

@@ -117,6 +117,7 @@ SAMPLE = [
     "text_bm25_search",
     "corpus_mixing_schedule",
     "similarity_assign_frozen",
+    "dedup_near_keep_best",
 ]
 
 
