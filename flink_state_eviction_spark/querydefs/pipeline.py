@@ -3729,3 +3729,91 @@ def dedup_near_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs)
     scores = text_quality(spark, sf_dir).select("doc_id", "quality_score")
     return keep_best_mapping(docs, comp, scores)
+
+
+# ---------------------------------------------------------------------------
+# contrastive hard-negative mining: for each vector, its best-ranked
+# approximate neighbor OUTSIDE its own mutual-kNN cluster — close in
+# embedding space but not semantically grouped, the triplet-loss
+# negative an embedding-training pipeline mines
+
+_HARD_NEG_ORACLE = f"""
+WITH RECURSIVE {_KNN_GRAPH_BODY},
+knn AS (SELECT query_id, neighbor_id, sim0, rank FROM r WHERE rank <= 5),
+mutual AS (
+    SELECT a.query_id AS u, a.neighbor_id AS v
+    FROM knn a JOIN knn b
+      ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+    WHERE a.query_id < a.neighbor_id
+),
+sym AS (SELECT u, v FROM mutual UNION SELECT v, u FROM mutual),
+reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r2.u, s2.v FROM reach r2 JOIN sym s2 ON r2.v = s2.u
+),
+cl_comp AS (
+    SELECT u AS vec_id, least(u, MIN(v)) AS cluster
+    FROM reach GROUP BY u
+),
+asg AS (
+    SELECT e.vec_id, COALESCE(c.cluster, e.vec_id) AS cluster
+    FROM e LEFT JOIN cl_comp c ON c.vec_id = e.vec_id
+)
+SELECT vec_id, negative_id, neg_rank, sim FROM (
+    SELECT k.query_id AS vec_id, k.neighbor_id AS negative_id,
+           k.rank AS neg_rank, round(k.sim0, 6) AS sim,
+           row_number() OVER (PARTITION BY k.query_id
+                              ORDER BY k.rank) AS hrn
+    FROM knn k
+    JOIN asg qa ON qa.vec_id = k.query_id
+    JOIN asg na ON na.vec_id = k.neighbor_id
+    WHERE qa.cluster <> na.cluster
+) WHERE hrn = 1
+"""
+
+
+@register_supplementary(
+    "embedding_hard_negatives",
+    _HARD_NEG_ORACLE,
+    tags=("pipeline", "similarity"),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining over the learned-cell k-NN graph: each
+    vector's best-ranked neighbor whose mutual-kNN cluster differs
+    from its own (vectors whose whole neighbor list is intra-cluster
+    emit nothing). Output (vec_id, negative_id, neg_rank, sim) — the
+    triplet-loss negatives table. Extension beyond the reference;
+    composes X128 (graph) and X129 (clusters) with zero new machinery.
+
+    Scale shape: the graph is built once (lazy checkpoint) and feeds
+    both the cluster labels and the negative election; cluster labels
+    attach by two plain id equi-joins (AQE size-picks); the election
+    window is keyed per query over <= k joined rows."""
+    from flink_state_eviction_spark.operators.similarity import (
+        mutual_knn_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = _learned_knn_graph(spark, sf_dir).localCheckpoint(eager=False)
+    cl = mutual_knn_clusters(g, emb, "vec_id").select("vec_id", "cluster")
+    qa = cl.select(
+        F.col("vec_id").alias("query_id"), F.col("cluster").alias("_qc")
+    )
+    na = cl.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cluster").alias("_nc")
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        g.join(qa, "query_id")
+        .join(na, "neighbor_id")
+        .where(F.col("_qc") != F.col("_nc"))
+        .withColumn("_hrn", F.row_number().over(w))
+        .where(F.col("_hrn") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("rank").alias("neg_rank"),
+            "sim",
+        )
+    )

@@ -118,6 +118,7 @@ SAMPLE = [
     "corpus_mixing_schedule",
     "similarity_assign_frozen",
     "dedup_near_keep_best",
+    "embedding_hard_negatives",
 ]
 
 
