@@ -459,8 +459,13 @@ def keep_best_mapping(
     the final label are plain id/component equi-joins that AQE
     size-picks, for the same corpus-proportional-side reason as
     canonical_mapping (no forced broadcast)."""
+    # LEFT join: a member missing from `scores` must still compete in
+    # the election (as a null score, same as desc_nulls_last already
+    # tolerates) — an inner join would silently drop it, and a
+    # component fully absent from `scores` would elect NO keeper,
+    # making every member map to itself with is_kept=true.
     member = components.join(
-        scores.select(F.col(id_col), F.col(score_col)), id_col
+        scores.select(F.col(id_col), F.col(score_col)), id_col, "left"
     )
     w = Window.partitionBy(comp_col).orderBy(
         F.desc_nulls_last(score_col), F.col(id_col)

@@ -758,9 +758,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # text quality metrics
 
-_QUALITY_ORACLE = f"""
-WITH {_SQL_TOKS.strip()},
-m AS (
+# the ONE quality-metrics CTE + score expression, shared by
+# _QUALITY_ORACLE and _KEEP_BEST_ORACLE so the text_quality formula
+# literally cannot drift between the two registrations (requires a
+# `toks` CTE in scope — _SQL_TOKS or anything embedding it)
+_QUALITY_METRICS_CTE = f"""qm AS (
     SELECT d.doc_id,
            CAST(len(t.toks) AS BIGINT) AS n_words,
            CAST(length(d.text) AS BIGINT) AS n_chars_text,
@@ -772,16 +774,22 @@ m AS (
            CAST(length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g'))
                AS BIGINT) AS n_punct
     FROM documents d JOIN toks t ON t.doc_id = d.doc_id
-)
+)"""
+
+_QUALITY_SCORE_EXPR = """2.0 * (CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0))
+         - 3.0 * (CAST(n_punct AS DOUBLE) / NULLIF(n_chars_text, 0))
+         + 0.05 * (CAST(n_token_chars AS DOUBLE) / NULLIF(n_words, 0))"""
+
+_QUALITY_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+{_QUALITY_METRICS_CTE}
 SELECT doc_id, n_words, n_chars_text,
        CAST(n_token_chars AS DOUBLE) / NULLIF(n_words, 0) AS avg_word_len,
        CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0) AS stop_ratio,
        CAST(n_punct AS DOUBLE) / NULLIF(n_chars_text, 0) AS punct_ratio,
-       2.0 * (CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0))
-         - 3.0 * (CAST(n_punct AS DOUBLE) / NULLIF(n_chars_text, 0))
-         + 0.05 * (CAST(n_token_chars AS DOUBLE) / NULLIF(n_words, 0))
+       {_QUALITY_SCORE_EXPR}
            AS quality_score
-FROM m
+FROM qm
 """
 
 
@@ -1633,9 +1641,13 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph. The embedding-space clustering pass (topic buckets for
 # curriculum mixing, SemDeDup-adjacent grouping).
 
-_MUTUAL_KNN_ORACLE = f"""
-WITH RECURSIVE {_KNN_GRAPH_BODY},
-knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+# the ONE mutual-edge + transitive-closure + cluster-label CTE chain,
+# shared by _MUTUAL_KNN_ORACLE and _HARD_NEG_ORACLE so the
+# sparsification (rank<=5 reciprocation) and the least()-based label
+# cannot drift between the two registrations. Requires `r` (ranked
+# candidates) and `e` (the id frame) from _KNN_GRAPH_BODY in scope.
+_MUTUAL_CLOSURE_CTES = """
+knn AS (SELECT query_id, neighbor_id, sim0, rank FROM r WHERE rank <= 5),
 mutual AS (
     SELECT a.query_id AS u, a.neighbor_id AS v
     FROM knn a JOIN knn b
@@ -1655,7 +1667,10 @@ cl_comp AS (
 asg AS (
     SELECT e.vec_id, COALESCE(c.cluster, e.vec_id) AS cluster
     FROM e LEFT JOIN cl_comp c ON c.vec_id = e.vec_id
-)
+)"""
+
+_MUTUAL_KNN_ORACLE = f"""
+WITH RECURSIVE {_KNN_GRAPH_BODY},{_MUTUAL_CLOSURE_CTES}
 SELECT vec_id, cluster,
        CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
            AS cluster_size
@@ -3666,24 +3681,10 @@ def similarity_assign_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KEEP_BEST_ORACLE = f"""
 WITH RECURSIVE {_MINHASH_BODY},
 {_CC_FROM_PAIRS.strip()},
-qm AS (
-    SELECT d.doc_id,
-           CAST(len(t.toks) AS BIGINT) AS n_words,
-           CAST(length(d.text) AS BIGINT) AS n_chars_text,
-           CAST(list_sum(list_transform(t.toks, x -> length(x))) AS BIGINT)
-               AS n_token_chars,
-           CAST(len(list_filter(t.toks,
-                x -> list_contains({list(LANG_STOPWORDS["en"])!r}, x)))
-               AS BIGINT) AS n_stop,
-           CAST(length(regexp_replace(lower(d.text), '[a-z0-9 ]', '', 'g'))
-               AS BIGINT) AS n_punct
-    FROM documents d JOIN toks t ON t.doc_id = d.doc_id
-),
+{_QUALITY_METRICS_CTE},
 q AS (
     SELECT doc_id,
-           2.0 * (CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0))
-             - 3.0 * (CAST(n_punct AS DOUBLE) / NULLIF(n_chars_text, 0))
-             + 0.05 * (CAST(n_token_chars AS DOUBLE) / NULLIF(n_words, 0))
+           {_QUALITY_SCORE_EXPR}
                AS quality_score
     FROM qm
 ),
@@ -3738,28 +3739,7 @@ def dedup_near_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # negative an embedding-training pipeline mines
 
 _HARD_NEG_ORACLE = f"""
-WITH RECURSIVE {_KNN_GRAPH_BODY},
-knn AS (SELECT query_id, neighbor_id, sim0, rank FROM r WHERE rank <= 5),
-mutual AS (
-    SELECT a.query_id AS u, a.neighbor_id AS v
-    FROM knn a JOIN knn b
-      ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
-    WHERE a.query_id < a.neighbor_id
-),
-sym AS (SELECT u, v FROM mutual UNION SELECT v, u FROM mutual),
-reach(u, v) AS (
-    SELECT u, v FROM sym
-    UNION
-    SELECT r2.u, s2.v FROM reach r2 JOIN sym s2 ON r2.v = s2.u
-),
-cl_comp AS (
-    SELECT u AS vec_id, least(u, MIN(v)) AS cluster
-    FROM reach GROUP BY u
-),
-asg AS (
-    SELECT e.vec_id, COALESCE(c.cluster, e.vec_id) AS cluster
-    FROM e LEFT JOIN cl_comp c ON c.vec_id = e.vec_id
-)
+WITH RECURSIVE {_KNN_GRAPH_BODY},{_MUTUAL_CLOSURE_CTES}
 SELECT vec_id, negative_id, neg_rank, sim FROM (
     SELECT k.query_id AS vec_id, k.neighbor_id AS negative_id,
            k.rank AS neg_rank, round(k.sim0, 6) AS sim,

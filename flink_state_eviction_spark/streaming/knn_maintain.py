@@ -74,8 +74,18 @@ def _read_or_empty(
 
     try:
         return spark.read.parquet(path)
-    except AnalysisException:
-        return like.limit(0)
+    except AnalysisException as e:
+        # Spark 4 names the condition PATH_NOT_FOUND; getCondition()
+        # replaced getErrorClass(). Anything else — notably
+        # UNABLE_TO_INFER_SCHEMA from a directory emptied by a crash
+        # mid-overwrite — is real state corruption and must propagate.
+        cond = (
+            getattr(e, "getCondition", None)
+            or getattr(e, "getErrorClass", lambda: None)
+        )()
+        if cond == "PATH_NOT_FOUND":
+            return like.limit(0)
+        raise
 
 
 def _read_state_before(

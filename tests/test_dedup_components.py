@@ -151,3 +151,36 @@ def test_star_cc_matches_propagation_on_deep_and_random_graphs(spark):
             for r in connected_components_star(e).collect()
         }
         assert got == want, name
+
+
+def test_keep_best_tolerates_missing_score_rows(spark):
+    # review fix: components joins scores with a LEFT join — a member
+    # absent from the scores frame still competes (null score, sorted
+    # last), and a component whose members ALL lack score rows still
+    # elects exactly one keeper (min id), never N self-keepers.
+    from flink_state_eviction_spark.operators.dedup import keep_best_mapping
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # component 1: {1,2,3} (min-id label 1); component 5: {5,6}
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],
+        "doc_id long, component long",
+    )
+    # scores cover only doc 2 (comp 1) — comp 5 has NO score rows
+    scores = spark.createDataFrame(
+        [(2, 0.9)], "doc_id long, quality_score double"
+    )
+    rows = {
+        r["doc_id"]: (r["keeper_id"], r["is_kept"])
+        for r in keep_best_mapping(docs, comp, scores).collect()
+    }
+    # comp 1: only scored member wins; unscored members lose
+    assert rows[1] == (2, False)
+    assert rows[2] == (2, True)
+    assert rows[3] == (2, False)
+    # comp 5: all-null scores -> min-id tie-break elects exactly one
+    assert rows[5] == (5, True)
+    assert rows[6] == (5, False)
+    # unpaired docs keep themselves
+    assert rows[4] == (4, True)
+    assert rows[7] == (7, True)

@@ -150,9 +150,21 @@ def test_redelivered_batch_is_idempotent(spark, sf_dir, tmp_path):
             (r.query_id, r.neighbor_id, r.rank, r.sim)
             for r in knn_edges(spark, state).collect()
         }
-        members = spark.read.parquet(os.path.join(state, "members"))
-        probes = spark.read.parquet(os.path.join(state, "probes"))
-        return edges, members.count(), probes.count()
+        # full row sets, not counts — a replay that writes WRONG rows
+        # of equal cardinality must fail this assert
+        members = {
+            (r.vec_id, r.cell, r.batch)
+            for r in spark.read.parquet(
+                os.path.join(state, "members")
+            ).collect()
+        }
+        probes = {
+            (r.query_id, r.cell, r.batch)
+            for r in spark.read.parquet(
+                os.path.join(state, "probes")
+            ).collect()
+        }
+        return edges, members, probes
 
     once = snapshot()
     # replay the middle batch (late redelivery) and the last one twice
@@ -160,3 +172,29 @@ def test_redelivered_batch_is_idempotent(spark, sf_dir, tmp_path):
     knn_maintain_batch(b2, state, cent, 2, k=K, nprobe=NPROBE)
     knn_maintain_batch(b2, state, cent, 2, k=K, nprobe=NPROBE)
     assert snapshot() == once
+
+
+def test_corrupt_state_dir_fails_instead_of_resetting(spark, tmp_path):
+    # review fix: _read_or_empty swallows ONLY PATH_NOT_FOUND. A state
+    # dir that EXISTS but holds no parquet (crash mid-overwrite) must
+    # fail the batch loudly — silently restarting from empty would
+    # drop every earlier batch's neighbors.
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from flink_state_eviction_spark.streaming.knn_maintain import (
+        _read_or_empty,
+    )
+
+    like = spark.range(0).select(
+        F.col("id").alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        F.lit(0.0).alias("sim"),
+    )
+    missing = os.path.join(str(tmp_path), "never-written")
+    assert _read_or_empty(spark, missing, like).count() == 0
+
+    emptied = os.path.join(str(tmp_path), "edges")
+    os.makedirs(emptied)
+    with pytest.raises(AnalysisException):
+        _read_or_empty(spark, emptied, like)
