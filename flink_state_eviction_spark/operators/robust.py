@@ -1,0 +1,164 @@
+"""Distributed-exact grouped order statistics: per-group median, MAD
+(median absolute deviation), and top-fraction retention — WITHOUT a
+per-group single-partition window.
+
+Extension beyond the reference surface (SURVEY.md §2.6 — no ranking or
+statistics machinery exists in /root/reference); the LLM-pipeline use
+is robust per-source quality calibration: a corpus mixes sources whose
+quality-score distributions differ, so a single global threshold keeps
+everything from the easy source and nothing from the hard one. The
+robust (median/MAD) stats and the fixed-retention top-p% filter are
+the two standard per-source calibrations.
+
+Scale shape (the reason these exist instead of
+``Window.partitionBy(source)``): groups here are FEW and HUGE — at
+100 TB a per-source window puts an entire source's rows into one task.
+Instead every operator runs the two-phase bucketed-rank scheme of
+``operators/windows.py:bucketed_global_row_number``, scoped per group:
+
+  1. count rows per (group, bucket) — map-side combined, the result is
+     |groups|x|buckets| rows: tiny, broadcast;
+  2. per-group prefix offsets over the tiny table locate the target
+     ranks; ONLY the buckets that can contain them are sorted (the
+     median needs <= 2 buckets per group; top-p% needs the head
+     buckets) — work is bounded by the largest bucket, never the
+     group.
+
+``bucket_of`` must be a deterministic MONOTONE coarsening of the
+value (e.g. ``lambda c: F.floor(c * 16).cast("long")``): rows in a
+lower bucket always order before rows in a higher bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BucketFn = Callable[[Column], Column]
+
+
+def _group_bucket_offsets(
+    d: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Per-(group, _bucket) count + exclusive per-group prefix offset +
+    per-group total. The aggregate map-side-combines; the window runs
+    over the tiny counts table only (one row per group x bucket)."""
+    counts = d.groupBy(*group_cols, "_bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    return counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).withColumn("_n", F.sum("_cnt").over(w_tot))
+
+
+def grouped_exact_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    bucket_of: BucketFn,
+    out_col: str = "median",
+) -> DataFrame:
+    """EXACT per-group median (even-count groups: mean of the two
+    middle values, the ANSI ``median()`` convention) in two shuffles,
+    neither group-sized: the (group, bucket) count aggregate and a
+    sort of ONLY the <= 2 median-carrying buckets per group.
+
+    Null values must be filtered by the caller (a null is not a
+    population member). Output: one row per group —
+    ``(*group_cols, n_rows bigint, <out_col> double)``.
+    """
+    d = df.withColumn("_bucket", bucket_of(F.col(value_col)))
+    off = _group_bucket_offsets(d, group_cols)
+    # 1-indexed middle ranks: (n+1)//2 and (n+2)//2 (equal when odd).
+    # Integer `div` — exact at any group size, no double rounding.
+    targets = off.withColumn(
+        "_m1", F.expr("(_n + 1) div 2").cast("long")
+    ).withColumn("_m2", F.expr("(_n + 2) div 2").cast("long"))
+    hit = targets.where(
+        (F.col("_off") < F.col("_m2"))
+        & ((F.col("_off") + F.col("_cnt")) >= F.col("_m1"))
+    ).select(*group_cols, "_bucket", "_off", "_m1", "_m2", "_n")
+    w_local = Window.partitionBy(*group_cols, "_bucket").orderBy(value_col)
+    picked = (
+        d.join(F.broadcast(hit), [*group_cols, "_bucket"])
+        .withColumn("_grn", F.col("_off") + F.row_number().over(w_local))
+        .where((F.col("_grn") == F.col("_m1")) | (F.col("_grn") == F.col("_m2")))
+    )
+    return picked.groupBy(*group_cols).agg(
+        F.max("_n").cast("long").alias("n_rows"),
+        F.avg(value_col).alias(out_col),
+    )
+
+
+def grouped_robust_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    bucket_of: BucketFn,
+) -> DataFrame:
+    """Per-group (n_rows, median, mad): median via
+    ``grouped_exact_median``, MAD as the exact median of
+    ``abs(value - group median)`` through the SAME machinery (the
+    group-median table is one row per group — broadcast back).
+
+    Two sequential quantile passes => the (group, value) projection is
+    scanned four times; callers should hand in a projection that is
+    cheap to recompute or localCheckpoint it (the registered query
+    checkpoints the scored rows so tokenization runs once).
+    """
+    med = grouped_exact_median(df, group_cols, value_col, bucket_of)
+    dev = df.join(
+        F.broadcast(med.select(*group_cols, "median")), list(group_cols)
+    ).withColumn("_dev", F.abs(F.col(value_col) - F.col("median")))
+    mad = grouped_exact_median(
+        dev.select(*group_cols, "_dev"), group_cols, "_dev", bucket_of,
+        out_col="mad",
+    ).select(*group_cols, "mad")
+    return med.join(mad, list(group_cols))
+
+
+def grouped_topk_frac(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    bucket_of: Column,
+    frac: float,
+    rank_col: str = "grp_rank",
+) -> DataFrame:
+    """Keep each group's top ``ceil(frac * n_group)`` rows (at least
+    one) under ``order_cols`` — the fixed-retention-per-source filter.
+    ``order_cols`` must be a TOTAL order (end with a unique id) and
+    ``bucket_of`` (a Column, pre-applied) monotone in its leading
+    column. Buckets whose offset already exceeds the group's keep
+    budget are pruned BEFORE the sort — only head buckets shuffle.
+    Output: the kept rows + ``rank_col`` (1-based per-group rank).
+    """
+    d = df.withColumn("_bucket", bucket_of)
+    off = _group_bucket_offsets(d, group_cols)
+    k_g = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.lit(float(frac)) * F.col("_n")).cast("long"),
+    )
+    hit = (
+        off.withColumn("_k", k_g)
+        .where(F.col("_off") < F.col("_k"))
+        .select(*group_cols, "_bucket", "_off", "_k")
+    )
+    w_local = Window.partitionBy(*group_cols, "_bucket").orderBy(*order_cols)
+    return (
+        d.join(F.broadcast(hit), [*group_cols, "_bucket"])
+        .withColumn(
+            rank_col,
+            (F.col("_off") + F.row_number().over(w_local)).cast("long"),
+        )
+        .where(F.col(rank_col) <= F.col("_k"))
+        .drop("_bucket", "_off", "_k")
+    )

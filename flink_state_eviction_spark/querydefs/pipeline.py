@@ -780,6 +780,16 @@ _QUALITY_SCORE_EXPR = """2.0 * (CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0))
          - 3.0 * (CAST(n_punct AS DOUBLE) / NULLIF(n_chars_text, 0))
          + 0.05 * (CAST(n_token_chars AS DOUBLE) / NULLIF(n_words, 0))"""
 
+# metrics + score in one reusable chain (keep-best, robust stats,
+# calibrated keep all attach the same per-doc quality_score)
+_QUALITY_SCORE_CTES = f"""{_QUALITY_METRICS_CTE},
+q AS (
+    SELECT doc_id,
+           {_QUALITY_SCORE_EXPR}
+               AS quality_score
+    FROM qm
+)"""
+
 _QUALITY_ORACLE = f"""
 WITH {_SQL_TOKS.strip()},
 {_QUALITY_METRICS_CTE}
@@ -3681,13 +3691,7 @@ def similarity_assign_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KEEP_BEST_ORACLE = f"""
 WITH RECURSIVE {_MINHASH_BODY},
 {_CC_FROM_PAIRS.strip()},
-{_QUALITY_METRICS_CTE},
-q AS (
-    SELECT doc_id,
-           {_QUALITY_SCORE_EXPR}
-               AS quality_score
-    FROM qm
-),
+{_QUALITY_SCORE_CTES},
 keeper AS (
     SELECT component, doc_id AS keeper_id FROM (
         SELECT c.component, c.doc_id,
@@ -3797,3 +3801,158 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# robust per-source quality calibration: sources have DIFFERENT score
+# distributions, so a single global threshold keeps everything from the
+# easy source and nothing from the hard one. Two calibrations: robust
+# (median/MAD) per-source stats, and a fixed-retention top-20%-per-
+# source filter — both distributed-exact via the two-phase grouped
+# bucketed rank (operators/robust.py), never a per-source
+# single-partition window.
+
+_SRC_ROBUST_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+{_QUALITY_SCORE_CTES},
+s AS (
+    SELECT d.source, q.quality_score AS score
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+    WHERE q.quality_score IS NOT NULL
+),
+r AS (
+    SELECT source, score,
+           row_number() OVER (PARTITION BY source ORDER BY score) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM s
+),
+med AS (
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_rows,
+           AVG(score) AS median_score
+    FROM r
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY source
+),
+dv AS (
+    SELECT s.source, abs(s.score - m.median_score) AS dev
+    FROM s JOIN med m ON m.source = s.source
+),
+r2 AS (
+    SELECT source, dev,
+           row_number() OVER (PARTITION BY source ORDER BY dev) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM dv
+),
+mad AS (
+    SELECT source, AVG(dev) AS mad_score
+    FROM r2
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY source
+)
+SELECT m.source, m.n_rows, m.median_score, a.mad_score
+FROM med m JOIN mad a ON a.source = m.source
+"""
+
+
+def _scored_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, quality_score) for score-bearing docs — the
+    shared input of both calibration queries. Lazy-checkpointed so the
+    tokenization+score scan runs once per query even though the robust
+    stats consume it in four subtrees (two quantile passes x two
+    stages each)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        text_quality(spark, sf_dir)
+        .select("doc_id", "quality_score")
+        .where(F.col("quality_score").isNotNull())
+        .join(docs, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+
+
+@register_supplementary(
+    "source_quality_robust", _SRC_ROBUST_ORACLE, tags=("pipeline", "text")
+)
+def source_quality_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust quality stats: EXACT median and MAD (median
+    absolute deviation) of `text_quality`'s score, plus the score-row
+    count — the outlier-resistant calibration table a mixed-source
+    corpus filter reads (keep docs within median ± c·MAD per source).
+    Extension beyond the reference; operator:
+    operators/robust.py:grouped_robust_stats.
+
+    Scale shape: groups (sources) are few and huge — the medians come
+    from the two-phase grouped bucketed rank: a map-side-combined
+    (source, score-bucket) count table (tiny, broadcast) locates the
+    <= 2 median-carrying buckets per source, and ONLY those buckets
+    shuffle+sort. Even-count groups average the two middle values —
+    identical IEEE arithmetic to the oracle's AVG over the same two
+    rank-selected rows."""
+    from flink_state_eviction_spark.operators.robust import (
+        grouped_robust_stats,
+    )
+
+    scored = _scored_sources(spark, sf_dir).select(
+        "source", F.col("quality_score").alias("score")
+    )
+    out = grouped_robust_stats(
+        scored, ["source"], "score",
+        lambda c: F.floor(c * 16).cast("long"),
+    )
+    return out.select(
+        "source",
+        "n_rows",
+        F.col("median").alias("median_score"),
+        F.col("mad").alias("mad_score"),
+    )
+
+
+_CAL_KEEP_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+{_QUALITY_SCORE_CTES},
+s AS (
+    SELECT d.doc_id, d.source, q.quality_score
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+    WHERE q.quality_score IS NOT NULL
+),
+r AS (
+    SELECT doc_id, source, quality_score,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY quality_score DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM s
+)
+SELECT doc_id, source, quality_score, CAST(rn AS BIGINT) AS src_rank
+FROM r
+WHERE rn <= GREATEST(1, CAST(ceil(0.2 * n) AS BIGINT))
+"""
+
+
+@register_supplementary(
+    "quality_calibrated_keep", _CAL_KEEP_ORACLE, tags=("pipeline", "text")
+)
+def quality_calibrated_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-retention quality filter: keep each source's top 20% of
+    docs by quality_score (ties to the smaller doc_id; every source
+    keeps at least one doc) with the per-source rank — equal retention
+    pressure on every source regardless of its score distribution.
+    Extension beyond the reference; operator:
+    operators/robust.py:grouped_topk_frac.
+
+    Scale shape: per-source rank via the grouped bucketed two-phase
+    row_number — the negated-score bucket is monotone in (score DESC),
+    buckets past the source's keep budget are pruned BEFORE the sort,
+    so only head buckets shuffle. The keep budget ceil(0.2·n) is the
+    same double-then-ceil arithmetic on both sides."""
+    from flink_state_eviction_spark.operators.robust import grouped_topk_frac
+
+    scored = _scored_sources(spark, sf_dir)
+    kept = grouped_topk_frac(
+        scored,
+        ["source"],
+        [F.desc("quality_score"), F.asc("doc_id")],
+        F.floor(F.col("quality_score") * F.lit(-16)).cast("long"),
+        0.2,
+        rank_col="src_rank",
+    )
+    return kept.select("doc_id", "source", "quality_score", "src_rank")

@@ -166,6 +166,35 @@ def flagship_bucketed(spark, sf_dir):
     )
 
 
+def _calibrated_keep_plain_window(spark, sf_dir):
+    """The naive shape the grouped two-phase rank replaces: one
+    Window.partitionBy(source) row_number — a whole source's rows sort
+    in ONE task. Measured only as the stress baseline."""
+    from pyspark.sql import Window
+
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _scored_sources,
+    )
+
+    scored = _scored_sources(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    wn = Window.partitionBy("source")
+    return (
+        scored.withColumn("src_rank", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .where(
+            F.col("src_rank")
+            <= F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.lit(0.2) * F.col("_n")).cast("long"),
+            )
+        )
+        .select("doc_id", "source", "quality_score", "src_rank")
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="10,25,50")
@@ -177,7 +206,7 @@ def main() -> None:
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
-        "bm25,mix",
+        "bm25,mix,robust",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -256,6 +285,15 @@ def main() -> None:
             # corpus-wide per-source index rank + the pruned
             # position rank (buckets past 500 never sort)
             rec["corpus_mixing_schedule_sec"] = timed(lambda: all_qs["corpus_mixing_schedule"](spark, d))
+        if "robust" in only:
+            # grouped bucketed two-phase vs the per-source window it
+            # replaces: 20 sources x factor*12.5k docs each — the
+            # plain window sorts a whole source per task
+            rec["source_quality_robust_sec"] = timed(lambda: all_qs["source_quality_robust"](spark, d))
+            rec["quality_calibrated_keep_sec"] = timed(lambda: all_qs["quality_calibrated_keep"](spark, d))
+            rec["calibrated_keep_window_sec"] = timed(
+                lambda: _calibrated_keep_plain_window(spark, d)
+            )
         print(json.dumps(rec), flush=True)
 
 

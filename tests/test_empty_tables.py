@@ -119,6 +119,8 @@ SAMPLE = [
     "similarity_assign_frozen",
     "dedup_near_keep_best",
     "embedding_hard_negatives",
+    "source_quality_robust",
+    "quality_calibrated_keep",
 ]
 
 

@@ -525,3 +525,21 @@ def test_footer_stats_pushes_aggregate_into_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedAggregation: [COUNT(*)" in plan, plan
     assert spark.conf.get("spark.sql.sources.useV1SourceList") == prev
+
+
+def test_grouped_robust_ranks_are_bucketed_not_per_source(spark, sf_dir):
+    # source_quality_robust / quality_calibrated_keep rank within FEW,
+    # HUGE groups. A plain Window.partitionBy(source) would sort an
+    # entire source in one task; the grouped two-phase scheme must
+    # show every row_number window partitioned by (source, _bucket) —
+    # and zero single-partition exchanges anywhere.
+    for name in ("source_quality_robust", "quality_calibrated_keep"):
+        df = _q(name, spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rn_lines = [l for l in plan.splitlines() if "row_number()" in l]
+        assert rn_lines, plan
+        assert all(
+            "windowspecdefinition(source#" in l and ", _bucket#" in l
+            for l in rn_lines
+        ), f"{name}: row_number window not (source, _bucket)-keyed:\n{plan}"
+        assert plan.count("Exchange SinglePartition") == 0, (name, plan)

@@ -1,0 +1,117 @@
+"""operators/robust.py: distributed-exact grouped median / MAD /
+top-frac against a plain-Python sorted reference — odd and even group
+sizes, value ties, negatives, singleton groups, and a randomized
+sweep. The bucketed two-phase machinery must be invisible in the
+results (buckets only move rows between sort tasks)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.robust import (
+    grouped_exact_median,
+    grouped_robust_stats,
+    grouped_topk_frac,
+)
+
+
+def _median_ref(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    m1, m2 = (n + 1) // 2, (n + 2) // 2
+    # same arithmetic as the operator's AVG over the two picked rows
+    return (s[m1 - 1] + s[m2 - 1]) / 2
+
+
+BUCKET = lambda c: F.floor(c * 4).cast("long")  # noqa: E731
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_median_crafted_groups(spark):
+    rows = (
+        [("odd", v) for v in (3.0, 1.0, 2.0)]
+        + [("even", v) for v in (4.0, 1.0, 3.0, 2.0)]
+        + [("ties", v) for v in (2.0, 2.0, 2.0, 7.0)]
+        + [("neg", v) for v in (-5.0, -1.0, -3.0, 10.0)]
+        + [("single", 42.0)]
+    )
+    got = {
+        r["g"]: (r["n_rows"], r["median"])
+        for r in grouped_exact_median(
+            _df(spark, rows), ["g"], "v", BUCKET
+        ).collect()
+    }
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    assert got == {
+        g: (len(vs), _median_ref(vs)) for g, vs in by_g.items()
+    }
+
+
+def test_median_and_mad_randomized(spark):
+    random.seed(7)
+    rows = [
+        (f"g{random.randrange(5)}", round(random.uniform(-10, 10), 3))
+        for _ in range(400)
+    ]
+    got = {
+        r["g"]: (r["n_rows"], r["median"], r["mad"])
+        for r in grouped_robust_stats(
+            _df(spark, rows), ["g"], "v", BUCKET
+        ).collect()
+    }
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        med = _median_ref(vs)
+        mad = _median_ref([abs(v - med) for v in vs])
+        assert got[g] == (len(vs), med, mad), g
+
+
+def test_topk_frac_matches_sorted_head(spark):
+    random.seed(13)
+    rows = [
+        (f"g{random.randrange(4)}", float(random.randrange(50)), i)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    kept = grouped_topk_frac(
+        df,
+        ["g"],
+        [F.desc("v"), F.asc("id")],
+        F.floor(F.col("v") * F.lit(-4)).cast("long"),
+        0.25,
+    ).collect()
+    by_g: dict[str, list[tuple[float, int]]] = {}
+    for g, v, i in rows:
+        by_g.setdefault(g, []).append((v, i))
+    want = set()
+    for g, vs in by_g.items():
+        import math
+
+        k = max(1, math.ceil(0.25 * len(vs)))
+        head = sorted(vs, key=lambda t: (-t[0], t[1]))[:k]
+        want |= {(g, v, i, rk + 1) for rk, (v, i) in enumerate(head)}
+    assert {(r["g"], r["v"], r["id"], r["grp_rank"]) for r in kept} == want
+
+
+def test_topk_frac_keeps_at_least_one_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("b", 2.0, 2), ("b", 3.0, 3)],
+        "g string, v double, id long",
+    )
+    kept = grouped_topk_frac(
+        df,
+        ["g"],
+        [F.desc("v"), F.asc("id")],
+        F.floor(F.col("v") * F.lit(-4)).cast("long"),
+        0.01,  # ceil(0.01 * n) would be >= 1 anyway; the floor is GREATEST
+    ).collect()
+    assert {(r["g"], r["id"]) for r in kept} == {("a", 1), ("b", 3)}
