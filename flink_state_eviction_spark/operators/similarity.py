@@ -468,6 +468,58 @@ def kmeans_cells(
     return out
 
 
+def cluster_exemplars(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    m: int = 10,
+) -> DataFrame:
+    """Coreset selection / diversity sampling: for each learned
+    k-means cell, the ``m`` vectors CLOSEST to the cell's final-member
+    centroid (squared L2; ties to the smaller id) — the
+    representative-subset pick a training pipeline uses to subsample a
+    corpus while keeping every region of embedding space covered.
+    Extension beyond the reference surface (SURVEY §2.6). Output:
+    ``(cell, <id_col>, ex_rank, d2)``.
+
+    Determinism: cells come from `kmeans_cells` (oracle-replayable);
+    the centroid is `_cell_means` over the FINAL assignment (the same
+    convention knn_graph's index uses — a cell's exemplars are closest
+    to the mean of its actual members, not to the stale Lloyd input
+    centroid); d2 is the identical
+    ``dot(v,v) - 2*dot(v,c) + dot(c,c)`` fold both engines compute.
+
+    Scale shape: centroids are a k-row broadcast; d2 is a zero-shuffle
+    scan expression; the only data shuffle is the per-cell rank window
+    — callers size ``k ≈ sqrt(N)`` (as the k-NN graph family does), so
+    a cell partition holds ~sqrt(N) rows, never the corpus."""
+    assigned = kmeans_cells(corpus, id_col, vec_col, k=k, iters=iters)
+    v = corpus.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
+    ).withColumn("_vv", dot(F.col("_v"), F.col("_v")))
+    av = assigned.join(v, id_col)
+    cent = _cell_means(
+        av.select(F.col("cell").alias("_cell"), "_v")
+    ).withColumn("_cc", dot(F.col("_cv"), F.col("_cv")))
+    j = av.join(
+        F.broadcast(cent.withColumnRenamed("_cell", "cell")), "cell"
+    ).withColumn(
+        "d2",
+        F.col("_vv") - 2 * dot(F.col("_v"), F.col("_cv")) + F.col("_cc"),
+    )
+    w = Window.partitionBy("cell").orderBy("d2", id_col)
+    return (
+        j.withColumn("ex_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("ex_rank") <= m)
+        # rank on full precision, OUTPUT rounded to 6 decimals — the
+        # same convention as the knn/sim queries (the two engines'
+        # sequential dot folds differ in the last ulp)
+        .select("cell", id_col, "ex_rank", F.round("d2", 6).alias("d2"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # signed random projection (SRP) LSH for cosine near-dup
 

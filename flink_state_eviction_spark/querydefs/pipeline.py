@@ -1544,12 +1544,11 @@ _KNN_ADAPTIVE_K = "(SELECT CAST(ceil(sqrt(COUNT(*))) AS INT) FROM e)"
 # decimal-exact centroids of the FINAL cells (what knn_graph's
 # _cell_centroids does on the Spark side), probes each vector's 4
 # nearest cells, scores within probed cells only.
-_KNN_GRAPH_BODY = f"""{_kmeans_cells_body(_KNN_ADAPTIVE_K)},
-n AS (
-    SELECT a.vec_id, a.cell, a.v, sqrt(list_dot_product(a.v, a.v)) AS nn
-    FROM a2 a
-),
-cent_comp AS (
+# decimal-exact centroids of the FINAL (a2) cells — the SQL twin of
+# the Spark side's `_cell_means` over the final assignment; the ONE
+# fragment shared by the knn-graph, IVF-kmeans and cluster-exemplar
+# oracles so the centroid arithmetic cannot drift between them
+_FINAL_CENT_CTES = """cent_comp AS (
     SELECT cell, i,
            CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*) AS m
     FROM (SELECT cell, generate_subscripts(v, 1) AS i, unnest(v) AS x
@@ -1558,7 +1557,14 @@ cent_comp AS (
 ),
 cent AS (
     SELECT cell, list(m ORDER BY i) AS cv FROM cent_comp GROUP BY 1
+)"""
+
+_KNN_GRAPH_BODY = f"""{_kmeans_cells_body(_KNN_ADAPTIVE_K)},
+n AS (
+    SELECT a.vec_id, a.cell, a.v, sqrt(list_dot_product(a.v, a.v)) AS nn
+    FROM a2 a
 ),
+{_FINAL_CENT_CTES},
 centn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
 probes AS (
     SELECT query_id, qv, qn, cell
@@ -1754,16 +1760,7 @@ n AS (
     SELECT a.vec_id, a.cell, a.v, sqrt(list_dot_product(a.v, a.v)) AS nn
     FROM a2 a
 ),
-cent_comp AS (
-    SELECT cell, i,
-           CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*) AS m
-    FROM (SELECT cell, generate_subscripts(v, 1) AS i, unnest(v) AS x
-          FROM a2)
-    GROUP BY 1, 2
-),
-cent AS (
-    SELECT cell, list(m ORDER BY i) AS cv FROM cent_comp GROUP BY 1
-),
+{_FINAL_CENT_CTES},
 centn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
 q AS (SELECT vec_id AS query_id, v AS qv, nn AS qn FROM n WHERE vec_id < 8),
 probes AS (
@@ -3956,3 +3953,50 @@ def quality_calibrated_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="src_rank",
     )
     return kept.select("doc_id", "source", "quality_score", "src_rank")
+
+
+# ---------------------------------------------------------------------------
+# coreset selection: per-cell exemplars (the diversity-sampling pick)
+
+_CLUSTER_EXEMPLARS_ORACLE = f"""
+WITH {_KMEANS_CELLS_BODY},
+{_FINAL_CENT_CTES},
+d AS (
+    SELECT a.cell, a.vec_id,
+           list_dot_product(a.v, a.v)
+             - 2 * list_dot_product(a.v, c.cv)
+             + list_dot_product(c.cv, c.cv) AS d2
+    FROM a2 a JOIN cent c ON c.cell = a.cell
+)
+SELECT cell, vec_id, CAST(rn AS BIGINT) AS ex_rank,
+       round(d2, 6) AS d2
+FROM (
+    SELECT cell, vec_id, d2,
+           row_number() OVER (PARTITION BY cell ORDER BY d2, vec_id) AS rn
+    FROM d
+)
+WHERE rn <= 10
+"""
+
+
+@register_supplementary(
+    "embedding_cluster_exemplars",
+    _CLUSTER_EXEMPLARS_ORACLE,
+    tags=("pipeline", "similarity"),
+)
+def embedding_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset selection: each learned k-means cell's 10 most-central
+    vectors (closest to the cell's final-member centroid, squared L2,
+    ties to the smaller vec_id) — the representative subsample that
+    keeps every region of embedding space covered when shrinking a
+    corpus. Same k=8 deterministic index build as
+    `similarity_kmeans_cells`; the oracle replays the unrolled k-means
+    plus the shared final-centroid fragment bit-for-bit. Extension
+    beyond the reference; operator:
+    operators/similarity.py:cluster_exemplars."""
+    from flink_state_eviction_spark.operators.similarity import (
+        cluster_exemplars,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_exemplars(emb, "vec_id", "embedding", k=8, iters=2, m=10)

@@ -121,6 +121,7 @@ SAMPLE = [
     "embedding_hard_negatives",
     "source_quality_robust",
     "quality_calibrated_keep",
+    "embedding_cluster_exemplars",
 ]
 
 

@@ -39,6 +39,8 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     # helper's boundary-pinning localCheckpoint): 1 offsets + scalar N
     "customer_rfm_segments": 2,
     "dedup_semantic_clustered": 2,  # tiny: k-row centroid updates
+    # tiny: k-row centroid array pack, one per k-means assignment round
+    "embedding_cluster_exemplars": 2,
     "domain_mix_weights": 1,  # tiny: total over per-language aggregate
     "dq_orders_report": 3,  # scalar: report-wide totals/rates
     "events_heavy_hitters": 1,  # scalar: global N for the N/k threshold
