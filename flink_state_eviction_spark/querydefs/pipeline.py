@@ -3867,7 +3867,10 @@ def _scored_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_supplementary(
+# driver row since round 5 (displacing tpch_q18_large_orders): the
+# grouped distributed-exact median/MAD machinery is this round's most
+# novel operator — it belongs under the driver's hard correctness sweep
+@register(
     "source_quality_robust", _SRC_ROBUST_ORACLE, tags=("pipeline", "text")
 )
 def source_quality_robust(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -770,7 +770,9 @@ LIMIT 20
 """
 
 
-@register("tpch_q18_large_orders", _Q18_ORACLE, tags=("tpch",))
+# demoted to supplementary in round 5 to rotate source_quality_robust
+# into the driver window (keeps its bit-for-bit parity gate)
+@register_supplementary("tpch_q18_large_orders", _Q18_ORACLE, tags=("tpch",))
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 pattern: grouped HAVING produces a small key set that joins
     back to orders (broadcastable after aggregation) — aggregate-then-

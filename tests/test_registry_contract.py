@@ -77,8 +77,10 @@ MUST_HAVE = {
     "range_rolling_1h",
     "lineitem_cube",
     "tpch_q3_shipping_priority",
-    "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
+    # rotated into the window late round 5, displacing
+    # tpch_q18_large_orders (keeps its supplementary parity gate)
+    "source_quality_robust",
 }
 
 
