@@ -1189,3 +1189,76 @@ def orders_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+
+
+# ---------------------------------------------------------------------------
+# key-skew diagnostic: the profile you run BEFORE choosing a shuffle
+# strategy (salting / AQE skew-join / bucketed flagship)
+
+_KEY_SKEW_ORACLE = """
+WITH c AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c),
+r AS (
+    SELECT user_id, n_events,
+           row_number() OVER (ORDER BY n_events DESC, user_id)
+               AS key_rank
+    FROM c
+)
+SELECT r.user_id, r.n_events, CAST(r.key_rank AS BIGINT) AS key_rank,
+       CAST(r.n_events AS DOUBLE) / t.total AS share
+FROM r CROSS JOIN t
+WHERE r.key_rank <= 10
+"""
+
+
+@register_supplementary(
+    "events_key_skew_profile", _KEY_SKEW_ORACLE, tags=("pipeline", "dq")
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile of events.user_id: the 10 heaviest keys with
+    event count, rank, and share of all rows — the diagnostic a
+    pipeline runs BEFORE picking a shuffle strategy (a >10% single-key
+    share says salt or bucket; a flat profile says plain hash
+    partitioning is fine). Null keys are excluded (they are a
+    data-quality signal, not a shuffle key — dq_orders_report counts
+    them). Extension beyond the reference.
+
+    Scale shape: per-key counts map-side-combine (one shuffle over
+    distinct keys, not rows); the rank is the two-phase
+    `bucketed_global_row_number` over `count_rank_bucket` with
+    limit=10, so every count-bucket that cannot reach the top 10 is
+    discarded UNSORTED — the key space never serializes through one
+    task (the numeric key is zero-padded for the tie sub-bucket so
+    string-prefix order equals numeric order). The total is a 1-row
+    scalar broadcast (allowlisted SinglePartition site)."""
+    from flink_state_eviction_spark.operators.windows import (
+        bucketed_global_row_number,
+        count_rank_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    total = c.agg(F.sum("n_events").cast("long").alias("total"))
+    ranked = bucketed_global_row_number(
+        c,
+        count_rank_bucket(
+            F.col("n_events"),
+            F.lpad(F.col("user_id").cast("string"), 20, "0"),
+        ),
+        [F.col("n_events").desc(), F.col("user_id").asc()],
+        out_col="key_rank",
+        limit=10,
+    ).where(F.col("key_rank") <= 10)
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "n_events",
+        F.col("key_rank").cast("long").alias("key_rank"),
+        (F.col("n_events").cast("double") / F.col("total")).alias("share"),
+    )

@@ -4003,3 +4003,81 @@ def embedding_cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cluster_exemplars(emb, "vec_id", "embedding", k=8, iters=2, m=10)
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding statistics (whitening / standardization prep)
+
+_DIM_STATS_ORACLE = """
+WITH e AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+comp AS (
+    SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e
+),
+s AS (
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*)
+               AS mean,
+           CAST(SUM(CAST(x * x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*)
+               AS e2
+    FROM comp GROUP BY dim
+)
+SELECT dim, n_rows, round(mean, 12) AS mean,
+       round(e2 - mean * mean, 12) AS var
+FROM s
+"""
+
+
+@register_supplementary(
+    "embedding_dim_stats", _DIM_STATS_ORACLE, tags=("pipeline", "similarity")
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics: count, mean and population
+    variance of every embedding component — the standardization /
+    whitening parameter table (per-dim zero-mean unit-variance
+    preprocessing measurably improves product-quantization codebooks,
+    which assume dimensions on comparable scales). Extension beyond
+    the reference.
+
+    Determinism: the component sums accumulate in DECIMAL(27,15)
+    (order-independent — the `_cell_means` convention), cast to double
+    once; var = E[x²] − mean² with the identical expression order on
+    both engines. Output rounds to 12 decimals: the engines round the
+    per-element double→decimal cast differently on ties, which leaves
+    ~1e-17 relative noise in the quotients.
+
+    Scale shape: one scan, posexplode to (dim, x), one
+    map-side-combined aggregate over |dims| keys — shuffle volume is
+    dims × partitions rows, never the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from flink_state_eviction_spark.operators.similarity import as_double_vec
+
+    comp = emb.select(
+        F.posexplode(as_double_vec(F.col("embedding"))).alias("_p", "x")
+    ).select((F.col("_p") + 1).cast("long").alias("dim"), "x")
+    s = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            F.sum(F.col("x").cast("decimal(27,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+        (
+            F.sum((F.col("x") * F.col("x")).cast("decimal(27,15)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("e2"),
+    )
+    # round(12): the engines' double->DECIMAL(27,15) element rounding
+    # differs on ties, leaving ~1e-17 noise in the quotient — 12
+    # decimals is far above the noise, far below useful precision
+    return s.select(
+        "dim",
+        "n_rows",
+        F.round("mean", 12).alias("mean"),
+        F.round(F.col("e2") - F.col("mean") * F.col("mean"), 12).alias(
+            "var"
+        ),
+    )

@@ -122,6 +122,8 @@ SAMPLE = [
     "source_quality_robust",
     "quality_calibrated_keep",
     "embedding_cluster_exemplars",
+    "embedding_dim_stats",
+    "events_key_skew_profile",
 ]
 
 

@@ -44,6 +44,8 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "domain_mix_weights": 1,  # tiny: total over per-language aggregate
     "dq_orders_report": 3,  # scalar: report-wide totals/rates
     "events_heavy_hitters": 1,  # scalar: global N for the N/k threshold
+    # offsets: count-bucket prefix table + scalar: total-events row
+    "events_key_skew_profile": 2,
     "events_table_profile": 1,  # scalar: one-scan profile row
     "funnel_view_click_purchase": 1,  # scalar: funnel stage totals
     "histogram_quantiles_value": 1,  # tiny: quantiles over bin table

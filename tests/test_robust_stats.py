@@ -115,3 +115,47 @@ def test_topk_frac_keeps_at_least_one_per_group(spark):
         0.01,  # ceil(0.01 * n) would be >= 1 anyway; the floor is GREATEST
     ).collect()
     assert {(r["g"], r["id"]) for r in kept} == {("a", 1), ("b", 3)}
+
+
+def test_bucket_granularity_is_correctness_invisible(spark):
+    # the bucket function only moves rows between sort tasks: a
+    # CONSTANT bucket (everything in one task — the degenerate
+    # worst case) and a per-value bucket (maximal pruning) must give
+    # identical medians and identical top-frac keeps
+    random.seed(21)
+    rows = [
+        (f"g{random.randrange(3)}", round(random.uniform(-5, 5), 2))
+        for _ in range(150)
+    ]
+    df = _df(spark, rows)
+    coarse = lambda c: F.lit(0).cast("long")  # noqa: E731
+    fine = lambda c: F.floor(c * 1000).cast("long")  # noqa: E731
+    med_c = {
+        (r["g"], r["n_rows"], r["median"])
+        for r in grouped_exact_median(df, ["g"], "v", coarse).collect()
+    }
+    med_f = {
+        (r["g"], r["n_rows"], r["median"])
+        for r in grouped_exact_median(df, ["g"], "v", fine).collect()
+    }
+    assert med_c == med_f
+
+    dfi = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)],
+        "g string, v double, id long",
+    )
+    keep_c = {
+        (r["g"], r["id"], r["grp_rank"])
+        for r in grouped_topk_frac(
+            dfi, ["g"], [F.desc("v"), F.asc("id")],
+            F.lit(0).cast("long"), 0.3,
+        ).collect()
+    }
+    keep_f = {
+        (r["g"], r["id"], r["grp_rank"])
+        for r in grouped_topk_frac(
+            dfi, ["g"], [F.desc("v"), F.asc("id")],
+            F.floor(F.col("v") * F.lit(-1000)).cast("long"), 0.3,
+        ).collect()
+    }
+    assert keep_c == keep_f
