@@ -4081,3 +4081,72 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# shingle novelty: how much of a document is boilerplate vs unique
+
+_NOVELTY_ORACLE = f"""
+WITH {_SQL_TOKS.strip()}, {_SQL_SHINGLES.strip()},
+sh2 AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+dfc AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS sdf FROM ex GROUP BY s),
+per AS (
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.sdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+    FROM ex e JOIN dfc d ON d.s = e.s
+    GROUP BY e.doc_id
+)
+SELECT doc_id, n_shingles, n_unique,
+       CAST(n_unique AS DOUBLE) / n_shingles AS novelty
+FROM per
+"""
+
+
+@register_supplementary(
+    "doc_shingle_novelty", _NOVELTY_ORACLE, tags=("pipeline", "text")
+)
+def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty per document: the fraction of a doc's distinct
+    3-word shingles that occur in NO other document — low novelty
+    marks boilerplate/template pages (nav chrome, license footers,
+    mirrored content) that survive exact and near dedup but add little
+    training signal. Output (doc_id, n_shingles, n_unique, novelty);
+    docs under 3 tokens are excluded (no shingles — the shingle_sets
+    convention). Extension beyond the reference.
+
+    Scale shape: per-doc distinct shingles (shared `shingle_sets`
+    convention with the minhash family), one explode, a map-side-
+    combined doc-frequency groupBy, then a shuffle JOIN back on the
+    shingle — deliberately a join, NOT `count().over(partitionBy(s))`:
+    a boilerplate shingle can sit in half the corpus, and a window
+    puts that whole partition in one task while the skewed join is
+    AQE-splittable. Final per-doc re-agg is rows ~= shingle
+    occurrences."""
+    from flink_state_eviction_spark.operators.dedup import shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = shingle_sets(docs, "doc_id", "text", k=3).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    dfc = ex.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("sdf"))
+    per = (
+        ex.join(dfc, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("sdf") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        (F.col("n_unique").cast("double") / F.col("n_shingles")).alias(
+            "novelty"
+        ),
+    )

@@ -206,7 +206,7 @@ def main() -> None:
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
-        "bm25,mix,robust",
+        "bm25,mix,robust,r5b",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -285,6 +285,15 @@ def main() -> None:
             # corpus-wide per-source index rank + the pruned
             # position rank (buckets past 500 never sort)
             rec["corpus_mixing_schedule_sec"] = timed(lambda: all_qs["corpus_mixing_schedule"](spark, d))
+        if "r5b" in only:
+            # late round-5 additions: coreset exemplars (kmeans build
+            # dominates), dim stats (linear scan), shingle novelty
+            # (explode + skew-safe join), key-skew profile (count-
+            # bucket top-10)
+            rec["embedding_cluster_exemplars_sec"] = timed(lambda: all_qs["embedding_cluster_exemplars"](spark, d))
+            rec["embedding_dim_stats_sec"] = timed(lambda: all_qs["embedding_dim_stats"](spark, d))
+            rec["doc_shingle_novelty_sec"] = timed(lambda: all_qs["doc_shingle_novelty"](spark, d))
+            rec["events_key_skew_profile_sec"] = timed(lambda: all_qs["events_key_skew_profile"](spark, d))
         if "robust" in only:
             # grouped bucketed two-phase vs the per-source window it
             # replaces: 20 sources x factor*12.5k docs each — the

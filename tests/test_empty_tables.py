@@ -124,6 +124,7 @@ SAMPLE = [
     "embedding_cluster_exemplars",
     "embedding_dim_stats",
     "events_key_skew_profile",
+    "doc_shingle_novelty",
 ]
 
 
