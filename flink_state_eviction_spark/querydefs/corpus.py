@@ -1017,7 +1017,7 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIX_LIMIT = 500
 
-_MIX_ORACLE = f"""
+_MIX_SCHEDULE_ORACLE = f"""
 WITH d AS (SELECT doc_id, source FROM documents),
 n AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
 r AS (
@@ -1043,7 +1043,7 @@ FROM p WHERE pos <= {_MIX_LIMIT}
 
 
 @register_supplementary(
-    "corpus_mixing_schedule", _MIX_ORACLE, tags=("pipeline", "corpus")
+    "corpus_mixing_schedule", _MIX_SCHEDULE_ORACLE, tags=("pipeline", "corpus")
 )
 def corpus_mixing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order interleave of the corpus's sources
