@@ -207,6 +207,51 @@ def minhash_pack_udf(num_hashes: int = 16, k: int = 3) -> Column:
     return F.pandas_udf("struct<bh: array<long>, sig: array<long>>")(_pack)
 
 
+def shingle_pack_udf(k: int = 3) -> Column:
+    """Arrow-vectorized distinct k-shingle hashes straight from a TOKEN
+    array (the `bh` half of :func:`minhash_pack_udf` without the
+    signature): shingle strings are built and md5-hashed in Python —
+    the interpreted word_shingles HOF costs ~1 ms/doc at corpus scale
+    (measured 230 s for 250k docs at the x10 stress vs ~7 s here).
+    Null for rows with < k tokens (exploding callers drop them, the
+    shingle_sets convention)."""
+    import numpy as np
+    import pandas as pd
+
+    def _pack(toks):
+        import hashlib
+
+        out = []
+        for arr in toks:
+            if arr is None or len(arr) < k:
+                out.append(None)
+                continue
+            sh = {
+                " ".join(arr[i : i + k]) for i in range(len(arr) - k + 1)
+            }
+            out.append(
+                np.sort(
+                    np.fromiter(
+                        (
+                            int(
+                                hashlib.md5(
+                                    ("0:" + x).encode()
+                                ).hexdigest()[:15],
+                                16,
+                            )
+                            for x in sh
+                        ),
+                        dtype=np.int64,
+                        count=len(sh),
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    _pack.__annotations__ = {"toks": pd.Series, "return": pd.Series}
+    return F.pandas_udf("array<long>")(_pack)
+
+
 def shingle_hash_udf() -> Column:
     """Arrow-vectorized base hashes for a shingle array (same md5-based
     h64 definition as :func:`shingle_hashes`, ~10x faster than the
