@@ -27,6 +27,12 @@ Instead every operator runs the two-phase bucketed-rank scheme of
 ``bucket_of`` must be a deterministic MONOTONE coarsening of the
 value (e.g. ``lambda c: F.floor(c * 16).cast("long")``): rows in a
 lower bucket always order before rows in a higher bucket.
+
+NULL GROUP KEYS are the caller's responsibility: the join-back from
+the offsets table is a plain (null-unsafe) equi-join, so rows whose
+group key is null silently drop. Filter them (or coalesce to a
+sentinel) before calling — the registered queries filter null
+sources explicitly, mirrored in their oracles.
 """
 
 from __future__ import annotations
@@ -133,20 +139,21 @@ def grouped_topk_frac(
     frac: float,
     rank_col: str = "grp_rank",
 ) -> DataFrame:
-    """Keep each group's top ``ceil(frac * n_group)`` rows (at least
-    one) under ``order_cols`` — the fixed-retention-per-source filter.
+    """Keep each group's top ``ceil(frac * n_group)`` rows under
+    ``order_cols`` — the fixed-retention-per-source filter. ``frac``
+    must be positive, which already guarantees >= 1 row per non-empty
+    group (ceil of a positive value); no extra floor is applied.
     ``order_cols`` must be a TOTAL order (end with a unique id) and
     ``bucket_of`` (a Column, pre-applied) monotone in its leading
     column. Buckets whose offset already exceeds the group's keep
     budget are pruned BEFORE the sort — only head buckets shuffle.
     Output: the kept rows + ``rank_col`` (1-based per-group rank).
     """
+    if not frac > 0:
+        raise ValueError("frac must be positive")
     d = df.withColumn("_bucket", bucket_of)
     off = _group_bucket_offsets(d, group_cols)
-    k_g = F.greatest(
-        F.lit(1).cast("long"),
-        F.ceil(F.lit(float(frac)) * F.col("_n")).cast("long"),
-    )
+    k_g = F.ceil(F.lit(float(frac)) * F.col("_n")).cast("long")
     hit = (
         off.withColumn("_k", k_g)
         .where(F.col("_off") < F.col("_k"))

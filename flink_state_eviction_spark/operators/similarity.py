@@ -399,6 +399,7 @@ def kmeans_cells(
     k: int = 8,
     iters: int = 2,
     return_centroids: bool = False,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column — the
     LEARNED-centroid upgrade of the IVF cell assignment (extension;
@@ -460,7 +461,13 @@ def kmeans_cells(
         cent = _cell_means(assigned).localCheckpoint()
         assigned = assign(cent)
 
-    out = assigned.select(F.col(id_col), F.col("_cell").alias("cell"))
+    # keep_vec: expose the double-cast vector the assignment already
+    # carries — consumers like cluster_exemplars need (id, cell, v) and
+    # re-deriving v means a second corpus scan + a corpus-wide join
+    cols = [F.col(id_col), F.col("_cell").alias("cell")] + (
+        [F.col("_v")] if keep_vec else []
+    )
+    out = assigned.select(*cols)
     if return_centroids:
         return out, cent.select(
             F.col("_cell").alias("cell"), F.col("_cv").alias("cv")
@@ -491,15 +498,16 @@ def cluster_exemplars(
     centroid); d2 is the identical
     ``dot(v,v) - 2*dot(v,c) + dot(c,c)`` fold both engines compute.
 
-    Scale shape: centroids are a k-row broadcast; d2 is a zero-shuffle
-    scan expression; the only data shuffle is the per-cell rank window
-    — callers size ``k ≈ sqrt(N)`` (as the k-NN graph family does), so
-    a cell partition holds ~sqrt(N) rows, never the corpus."""
-    assigned = kmeans_cells(corpus, id_col, vec_col, k=k, iters=iters)
-    v = corpus.select(
-        F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
+    Scale shape: the assignment comes back VECTOR-BEARING
+    (``kmeans_cells(keep_vec=True)``) so no second corpus scan and no
+    corpus-wide join ever happens; centroids are a k-row broadcast; d2
+    is a zero-shuffle scan expression; the only data shuffle is the
+    per-cell rank window — callers size ``k ≈ sqrt(N)`` (as the k-NN
+    graph family does), so a cell partition holds ~sqrt(N) rows, never
+    the corpus."""
+    av = kmeans_cells(
+        corpus, id_col, vec_col, k=k, iters=iters, keep_vec=True
     ).withColumn("_vv", dot(F.col("_v"), F.col("_v")))
-    av = assigned.join(v, id_col)
     cent = _cell_means(
         av.select(F.col("cell").alias("_cell"), "_v")
     ).withColumn("_cc", dot(F.col("_cv"), F.col("_cv")))

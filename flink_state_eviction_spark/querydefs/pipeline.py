@@ -3815,7 +3815,7 @@ WITH {_SQL_TOKS.strip()},
 s AS (
     SELECT d.source, q.quality_score AS score
     FROM documents d JOIN q ON q.doc_id = d.doc_id
-    WHERE q.quality_score IS NOT NULL
+    WHERE q.quality_score IS NOT NULL AND d.source IS NOT NULL
 ),
 r AS (
     SELECT source, score,
@@ -3857,7 +3857,14 @@ def _scored_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization+score scan runs once per query even though the robust
     stats consume it in four subtrees (two quantile passes x two
     stages each)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        # explicit, oracle-mirrored: the grouped two-phase operators
+        # join back on the group key null-UNsafely, so a null source
+        # would silently drop — exclude it on both engines instead
+        .where(F.col("source").isNotNull())
+    )
     return (
         text_quality(spark, sf_dir)
         .select("doc_id", "quality_score")
@@ -3914,7 +3921,7 @@ WITH {_SQL_TOKS.strip()},
 s AS (
     SELECT d.doc_id, d.source, q.quality_score
     FROM documents d JOIN q ON q.doc_id = d.doc_id
-    WHERE q.quality_score IS NOT NULL
+    WHERE q.quality_score IS NOT NULL AND d.source IS NOT NULL
 ),
 r AS (
     SELECT doc_id, source, quality_score,
@@ -3925,7 +3932,7 @@ r AS (
 )
 SELECT doc_id, source, quality_score, CAST(rn AS BIGINT) AS src_rank
 FROM r
-WHERE rn <= GREATEST(1, CAST(ceil(0.2 * n) AS BIGINT))
+WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)
 """
 
 
@@ -3934,8 +3941,9 @@ WHERE rn <= GREATEST(1, CAST(ceil(0.2 * n) AS BIGINT))
 )
 def quality_calibrated_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-retention quality filter: keep each source's top 20% of
-    docs by quality_score (ties to the smaller doc_id; every source
-    keeps at least one doc) with the per-source rank — equal retention
+    docs by quality_score (ties to the smaller doc_id; ceil of a
+    positive fraction keeps >= 1 doc per source) with the per-source
+    rank — equal retention
     pressure on every source regardless of its score distribution.
     Extension beyond the reference; operator:
     operators/robust.py:grouped_topk_frac.

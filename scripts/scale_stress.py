@@ -186,10 +186,7 @@ def _calibrated_keep_plain_window(spark, sf_dir):
         .withColumn("_n", F.count(F.lit(1)).over(wn))
         .where(
             F.col("src_rank")
-            <= F.greatest(
-                F.lit(1).cast("long"),
-                F.ceil(F.lit(0.2) * F.col("_n")).cast("long"),
-            )
+            <= F.ceil(F.lit(0.2) * F.col("_n")).cast("long")
         )
         .select("doc_id", "source", "quality_score", "src_rank")
     )

@@ -102,19 +102,21 @@ def test_topk_frac_matches_sorted_head(spark):
     assert {(r["g"], r["v"], r["id"], r["grp_rank"]) for r in kept} == want
 
 
-def test_topk_frac_keeps_at_least_one_per_group(spark):
+def test_topk_frac_tiny_frac_and_frac_validation(spark):
+    import pytest
+
     df = spark.createDataFrame(
         [("a", 1.0, 1), ("b", 2.0, 2), ("b", 3.0, 3)],
         "g string, v double, id long",
     )
-    kept = grouped_topk_frac(
-        df,
-        ["g"],
-        [F.desc("v"), F.asc("id")],
-        F.floor(F.col("v") * F.lit(-4)).cast("long"),
-        0.01,  # ceil(0.01 * n) would be >= 1 anyway; the floor is GREATEST
-    ).collect()
+    order = [F.desc("v"), F.asc("id")]
+    bucket = F.floor(F.col("v") * F.lit(-4)).cast("long")
+    # any positive frac keeps >= 1 per group (ceil of a positive value)
+    kept = grouped_topk_frac(df, ["g"], order, bucket, 0.01).collect()
     assert {(r["g"], r["id"]) for r in kept} == {("a", 1), ("b", 3)}
+    # non-positive fractions are a caller bug, rejected loudly
+    with pytest.raises(ValueError):
+        grouped_topk_frac(df, ["g"], order, bucket, 0.0)
 
 
 def test_bucket_granularity_is_correctness_invisible(spark):
