@@ -4141,8 +4141,12 @@ def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join back is a shuffle JOIN on the hash — deliberately a
     join, NOT `count().over(partitionBy(h))`: a boilerplate shingle
     can sit in half the corpus, and a window puts that whole
-    partition in one task while the skewed join is AQE-splittable.
-    Final per-doc re-agg is rows ~= shingle occurrences."""
+    partition in one task while the skewed join is AQE-splittable
+    (measured at x10: window 1.4 s vs join 3.4 s locally — the join
+    buys skew immunity for ~2 s here; the count table is checkpointed
+    because an aggregate between its shuffle and the join would defeat
+    OptimizeSkewedJoin, probed both ways). Final per-doc re-agg is
+    rows ~= shingle occurrences."""
     from flink_state_eviction_spark.functions.text import shingle_pack_udf
     from flink_state_eviction_spark.tables import ensure_min_partitions
 
@@ -4153,7 +4157,13 @@ def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = toked.select(
         "doc_id", F.explode(shingle_pack_udf(3)(F.col("_toks"))).alias("h")
     ).localCheckpoint(eager=False)
-    dfc = ex.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("sdf"))
+    # checkpoint the count table: OptimizeSkewedJoin requires PLAIN
+    # shuffle->sort->SMJ children on both sides, and the aggregate
+    # between dfc's shuffle and the join defeats it (probed: skew=true
+    # only with the boundary; tests/test_plan_quality.py pins it)
+    dfc = ex.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("sdf")
+    ).localCheckpoint(eager=False)
     per = (
         ex.join(dfc, "h")
         .groupBy("doc_id")

@@ -543,3 +543,47 @@ def test_grouped_robust_ranks_are_bucketed_not_per_source(spark, sf_dir):
             for l in rn_lines
         ), f"{name}: row_number window not (source, _bucket)-keyed:\n{plan}"
         assert plan.count("Exchange SinglePartition") == 0, (name, plan)
+
+
+def test_novelty_join_shape_is_skew_split_eligible(spark):
+    # doc_shingle_novelty attaches shingle doc-frequency with a JOIN
+    # (not a shingle-partitioned window) so a boilerplate shingle can
+    # be AQE-split. That only works if both join children are plain
+    # shuffle stages: the dfc aggregate must sit behind a
+    # materialization boundary. Probe the exact shape with thresholds
+    # scaled to the fixture (same knobs as test_aqe_skew_join).
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "512KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        ex = spark.range(2_000_000).select(
+            (
+                F.col("id")
+                % 1000
+                * F.when(F.col("id") % 10 != 0, 0).otherwise(1)
+            ).alias("h"),
+            F.col("id").alias("doc_id"),
+        )
+        dfc = ex.groupBy("h").agg(
+            F.count(F.lit(1)).cast("long").alias("sdf")
+        ).localCheckpoint(eager=False)
+        j = ex.join(dfc, "h").groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        qe = j._jdf.queryExecution()
+        qe.executedPlan().execute().count()
+        assert "skew=true" in qe.executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,42 @@
+"""The vectorized and interpreted shingle-hash paths are twins: both
+in production use (shingle_pack_udf feeds doc_shingle_novelty;
+word_shingles + shingle_hashes feed prefix-filter jaccard and the
+simhash family), so their hash arithmetic must never drift. The oracle
+parity tests only pin each path against SQL — this pins them against
+each other on the real documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.text import (
+    shingle_hashes,
+    shingle_pack_udf,
+    tokens,
+    word_shingles,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_shingle_pack_udf_matches_interpreted_path(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    )
+    both = docs.select(
+        "doc_id",
+        F.size("_toks").alias("n"),
+        shingle_pack_udf(3)(F.col("_toks")).alias("fast"),
+        F.array_sort(
+            F.array_distinct(
+                shingle_hashes(word_shingles(F.col("_toks"), 3))
+            )
+        ).alias("slow"),
+    ).collect()
+    assert both
+    for r in both:
+        if r["n"] < 3:
+            # UDF contract: null below k tokens; interpreted path
+            # yields an empty shingle array instead
+            assert r["fast"] is None and r["slow"] == []
+        else:
+            assert r["fast"] == r["slow"], r["doc_id"]
