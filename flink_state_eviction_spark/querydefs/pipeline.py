@@ -4119,7 +4119,10 @@ FROM per
 """
 
 
-@register_supplementary(
+# driver row since late round 5 (displacing json_extract_agg): new
+# machinery this round — Arrow shingle_pack_udf + skew-split-eligible
+# doc-frequency join — belongs under the driver's hard sweep
+@register(
     "doc_shingle_novelty", _NOVELTY_ORACLE, tags=("pipeline", "text")
 )
 def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:

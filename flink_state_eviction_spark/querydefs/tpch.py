@@ -356,7 +356,9 @@ GROUP BY 1
 """
 
 
-@register("json_extract_agg", _JSON_ORACLE, tags=("tpch", "functions"))
+# demoted to supplementary late round 5 to rotate doc_shingle_novelty
+# into the driver window (keeps its bit-for-bit parity gate)
+@register_supplementary("json_extract_agg", _JSON_ORACLE, tags=("tpch", "functions"))
 def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction (absent from the reference, §2.5) —
     get_json_object stays JVM-side and integer sums are exact. Also the

@@ -72,14 +72,15 @@ MUST_HAVE = {
     "tpch_q1",
     "revenue_by_nation",
     "custkeys_churn_retention",
-    "json_extract_agg",
+    "doc_shingle_novelty",
     "asof_join_purchase_click",
     "range_rolling_1h",
     "lineitem_cube",
     "tpch_q3_shipping_priority",
     "tpch_q19_disjunctive",
     # rotated into the window late round 5, displacing
-    # tpch_q18_large_orders (keeps its supplementary parity gate)
+    # tpch_q18_large_orders and json_extract_agg (both keep their
+    # supplementary parity gates)
     "source_quality_robust",
 }
 
