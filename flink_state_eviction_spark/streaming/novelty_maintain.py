@@ -1,0 +1,131 @@
+"""Streaming twin for the shingle-novelty family (X144): incremental
+shingle document-frequency maintenance over an always-ingesting corpus.
+
+Batch `doc_shingle_novelty` needs every document's shingles before any
+novelty is final (a shingle unique today stops being unique when its
+twin arrives tomorrow). The streaming shape therefore maintains the
+corpus-wide (shingle-hash -> doc frequency) table incrementally and
+serves novelty FROM the maintained state, exactly like the k-NN
+maintainer (knn_maintain.py) serves the graph:
+
+- ``novelty_maintain_batch`` — called from ``foreachBatch``: counts
+  the arriving batch's per-doc distinct shingle hashes (the same
+  Arrow-vectorized `shingle_pack_udf` + shared md5/h64 family the
+  batch query and its DuckDB oracle use) and writes them into an
+  idempotent ``batch=<id>`` partition. A redelivered batch OVERWRITES
+  its own partition, so at-least-once foreachBatch delivery cannot
+  double-count (test_streaming_novelty_maintain).
+- ``novelty_from_state`` — the serving half: global doc frequency =
+  sum of the per-batch counts (map-side-combined groupBy over the
+  state table), joined back to a document frame's shingles. After all
+  batches, serving over the full corpus is BIT-EQUAL to the batch
+  `doc_shingle_novelty` output — the same final-state equivalence
+  contract the k-NN maintainer proves.
+
+Scale notes: state is one narrow (h, cnt) row per distinct shingle
+per batch — append-only partitions; the read-side sum re-aggregates
+them, so periodic compaction (rewrite the summed table as a single
+``batch=compact`` partition, drop the olds) bounds read amplification
+exactly like the engine's incremental-aggregate sink
+(sinks/incremental.py) — noted, not automated here. The serving join
+is the skew-split-eligible shape the batch query uses (count table
+behind a materialization boundary).
+
+Extension beyond the reference surface (SURVEY §2.6/§2.7 X144).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.text import (
+    shingle_pack_udf,
+    tokens,
+)
+
+
+def _batch_shingle_counts(
+    batch_df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(h, cnt) for one batch: per-doc DISTINCT shingle hashes (the
+    shingle_pack_udf contract), counted per hash across the batch's
+    docs — cnt is the number of batch docs containing the shingle."""
+    ex = batch_df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(shingle_pack_udf(k)(F.col("_toks"))).alias("h"),
+    )
+    return ex.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def novelty_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> None:
+    """One micro-batch of shingle-df maintenance (see module
+    docstring). Call from ``foreachBatch`` forwarding its batch id —
+    the id keys the idempotent per-batch state partition."""
+    counts = _batch_shingle_counts(batch_df, id_col, text_col, k)
+    counts.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "sdf", f"batch={batch_id}")
+    )
+
+
+def shingle_df_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained global doc-frequency table: (h, sdf) summed over
+    every batch partition (map-side-combined; one shuffle over
+    distinct shingles, never documents)."""
+    raw = spark.read.parquet(os.path.join(state_dir, "sdf"))
+    return raw.groupBy("h").agg(F.sum("cnt").cast("long").alias("sdf"))
+
+
+def novelty_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Serve novelty for ``docs`` against the MAINTAINED frequency
+    state: same output shape as the batch `doc_shingle_novelty`
+    (id, n_shingles, n_unique, novelty). When ``docs`` is the full
+    ingested corpus, the result is bit-equal to the batch query.
+
+    The frequency table sits behind a lazy localCheckpoint for the
+    same two reasons as the batch query's count table: one
+    materialization for the join, and OptimizeSkewedJoin eligibility
+    (an aggregate between shuffle and join defeats the rule)."""
+    sdf = shingle_df_state(spark, state_dir).localCheckpoint(eager=False)
+    ex = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(shingle_pack_udf(k)(F.col("_toks"))).alias("h"),
+    )
+    per = (
+        ex.join(sdf, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("sdf") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    return per.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_unique",
+        (F.col("n_unique").cast("double") / F.col("n_shingles")).alias(
+            "novelty"
+        ),
+    )

@@ -1,0 +1,74 @@
+"""Streaming twin for shingle novelty: after ingesting the whole
+corpus in micro-batches, serving from the maintained shingle-df state
+must reproduce the batch `doc_shingle_novelty` output bit-for-bit, and
+redelivered batches (at-least-once foreachBatch) must not change the
+state."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.novelty_maintain import (
+    novelty_from_state,
+    novelty_maintain_batch,
+    shingle_df_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {
+        (r["doc_id"], r["n_shingles"], r["n_unique"], r["novelty"])
+        for r in df.collect()
+    }
+
+
+def test_streaming_novelty_matches_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "novelty-state")
+
+    def upd(batch_df, batch_id):
+        novelty_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(novelty_from_state(spark, state, docs))
+    want = _rows(all_queries()["doc_shingle_novelty"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_redelivered_batch_is_idempotent(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    b0 = docs.where(F.col("doc_id") < n // 2)
+    b1 = docs.where(F.col("doc_id") >= n // 2)
+    state = os.path.join(str(tmp_path), "novelty-state")
+    for bid, b in ((0, b0), (1, b1)):
+        novelty_maintain_batch(b, state, bid)
+
+    def snapshot():
+        return {
+            (r["h"], r["sdf"])
+            for r in shingle_df_state(spark, state).collect()
+        }
+
+    once = snapshot()
+    # late redelivery of batch 0 and a double-apply of batch 1: the
+    # batch=<id> partition overwrite makes both no-ops
+    novelty_maintain_batch(b0, state, 0)
+    novelty_maintain_batch(b1, state, 1)
+    novelty_maintain_batch(b1, state, 1)
+    assert snapshot() == once and once
