@@ -79,6 +79,54 @@ def novelty_maintain_batch(
     )
 
 
+def compact_shingle_df(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold every ``batch <= through_batch`` partition into ONE summed
+    ``batch=<through_batch>`` partition and drop the olds — bounds the
+    serving-side read amplification (one narrow partition per
+    micro-batch otherwise), the incremental-aggregate sink's pattern.
+
+    Safety contract: ``through_batch`` must be BELOW the maximum
+    committed batch id. foreachBatch redelivery can only replay the
+    LAST, possibly-uncommitted batch (earlier ids are sealed in the
+    streaming commit log), so a replay can never target a compacted-
+    away partition and double-count. Compacting the in-flight batch
+    would break the overwrite-idempotency of a redelivery — refused.
+
+    The summed rows are materialized (eager localCheckpoint) BEFORE
+    any partition is dropped: the output overwrites its own input
+    (the sinks/merge.py read-then-delete lesson)."""
+    import shutil
+
+    sdf_dir = os.path.join(state_dir, "sdf")
+    raw = spark.read.parquet(sdf_dir)
+    parts = sorted(
+        int(r["batch"]) for r in raw.select("batch").distinct().collect()
+    )
+    if not parts or through_batch >= parts[-1]:
+        raise ValueError(
+            f"through_batch {through_batch} must be below the max "
+            f"committed batch {parts[-1] if parts else '<none>'} — the "
+            "in-flight batch is the only redeliverable one and must "
+            "keep its own partition"
+        )
+    olds = [b for b in parts if b <= through_batch]
+    if len(olds) <= 1:
+        return  # nothing to fold
+    summed = (
+        raw.where(F.col("batch") <= through_batch)
+        .groupBy("h")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    for b in olds:
+        shutil.rmtree(os.path.join(sdf_dir, f"batch={b}"), ignore_errors=True)
+    summed.write.mode("overwrite").parquet(
+        os.path.join(sdf_dir, f"batch={through_batch}")
+    )
+
+
 def shingle_df_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The maintained global doc-frequency table: (h, sdf) summed over
     every batch partition (map-side-combined; one shuffle over

@@ -72,3 +72,49 @@ def test_redelivered_batch_is_idempotent(spark, sf_dir, tmp_path):
     novelty_maintain_batch(b1, state, 1)
     novelty_maintain_batch(b1, state, 1)
     assert snapshot() == once and once
+
+
+def test_compaction_preserves_state_and_respects_inflight(
+    spark, sf_dir, tmp_path
+):
+    import pytest
+
+    from flink_state_eviction_spark.streaming.novelty_maintain import (
+        compact_shingle_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    batches = [
+        (0, docs.where(F.col("doc_id") < n // 3)),
+        (1, docs.where(
+            (F.col("doc_id") >= n // 3) & (F.col("doc_id") < 2 * n // 3)
+        )),
+        (2, docs.where(F.col("doc_id") >= 2 * n // 3)),
+    ]
+    state = os.path.join(str(tmp_path), "novelty-state")
+    for bid, b in batches:
+        novelty_maintain_batch(b, state, bid)
+
+    def snapshot():
+        return {
+            (r["h"], r["sdf"])
+            for r in shingle_df_state(spark, state).collect()
+        }
+
+    before = snapshot()
+    # compacting the in-flight (max) batch is refused
+    with pytest.raises(ValueError):
+        compact_shingle_df(spark, state, 2)
+    # fold batches 0..1; summed state must be bit-identical
+    compact_shingle_df(spark, state, 1)
+    assert snapshot() == before
+    parts = {
+        int(r["batch"])
+        for r in spark.read.parquet(os.path.join(state, "sdf"))
+        .select("batch").distinct().collect()
+    }
+    assert parts == {1, 2}
+    # the one still-redeliverable batch (the max) replays cleanly
+    novelty_maintain_batch(batches[2][1], state, 2)
+    assert snapshot() == before
