@@ -224,6 +224,55 @@ def knn_maintain_batch(
     ).parquet(os.path.join(probes_dir, f"batch={batch_id}"))
 
 
+def compact_knn_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold every ``batch <= through_batch`` members/probes partition
+    into ONE ``batch=<through_batch>`` partition each (plain row
+    concatenation — unlike the shingle-df counts there is nothing to
+    sum), dropping the olds: bounds the one-partition-per-micro-batch
+    read amplification of ``_read_state_before``.
+
+    Safety contract (same as novelty_maintain.compact_shingle_df):
+    ``through_batch`` must be BELOW the max committed batch — the
+    streaming commit log seals earlier ids, so the only redeliverable
+    batch is the max, and its replay reads ``batch < max``, which the
+    folded partition satisfies unchanged. Compacting the in-flight
+    batch itself would merge state its replay must NOT see — refused.
+
+    Rows are materialized (eager localCheckpoint) BEFORE partitions
+    are dropped (the sinks/merge.py read-then-delete lesson)."""
+    import shutil
+
+    for sub in ("members", "probes"):
+        d = os.path.join(state_dir, sub)
+        raw = spark.read.parquet(d)
+        parts = sorted(
+            int(r["batch"])
+            for r in raw.select("batch").distinct().collect()
+        )
+        if not parts or through_batch >= parts[-1]:
+            raise ValueError(
+                f"through_batch {through_batch} must be below the max "
+                f"committed batch {parts[-1] if parts else '<none>'}"
+            )
+        olds = [b for b in parts if b <= through_batch]
+        if len(olds) <= 1:
+            continue
+        folded = (
+            raw.where(F.col("batch") <= through_batch)
+            .drop("batch")
+            .localCheckpoint(eager=True)
+        )
+        for b in olds:
+            shutil.rmtree(
+                os.path.join(d, f"batch={b}"), ignore_errors=True
+            )
+        folded.write.mode("overwrite").parquet(
+            os.path.join(d, f"batch={through_batch}")
+        )
+
+
 def knn_edges(spark: SparkSession, state_dir: str) -> DataFrame:
     """The maintained graph in knn_graph's output shape:
     (query_id, neighbor_id, rank, sim). State keeps full-precision

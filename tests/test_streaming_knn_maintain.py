@@ -198,3 +198,52 @@ def test_corrupt_state_dir_fails_instead_of_resetting(spark, tmp_path):
     os.makedirs(emptied)
     with pytest.raises(AnalysisException):
         _read_or_empty(spark, emptied, like)
+
+
+def test_compaction_preserves_serving_and_replay(spark, sf_dir, tmp_path):
+    import pytest
+
+    from flink_state_eviction_spark.streaming.knn_maintain import (
+        compact_knn_state,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    base = emb.where(F.col("vec_id") < n // 2)
+    _, cent = kmeans_cells(
+        base, "vec_id", "embedding", k=N_CELLS, iters=2,
+        return_centroids=True,
+    )
+    cent = cent.localCheckpoint()
+    state = os.path.join(str(tmp_path), "knn-state")
+    b0 = emb.where(F.col("vec_id") < n // 3)
+    b1 = emb.where(
+        (F.col("vec_id") >= n // 3) & (F.col("vec_id") < 2 * n // 3)
+    )
+    b2 = emb.where(F.col("vec_id") >= 2 * n // 3)
+    for bid, b in ((0, b0), (1, b1), (2, b2)):
+        knn_maintain_batch(b, state, cent, bid, k=K, nprobe=NPROBE)
+
+    def edges():
+        return {
+            (r.query_id, r.neighbor_id, r.rank, r.sim)
+            for r in knn_edges(spark, state).collect()
+        }
+
+    before = edges()
+    with pytest.raises(ValueError):
+        compact_knn_state(spark, state, 2)  # in-flight batch refused
+    compact_knn_state(spark, state, 1)
+    assert edges() == before
+    for sub in ("members", "probes"):
+        parts = {
+            int(r["batch"])
+            for r in spark.read.parquet(os.path.join(state, sub))
+            .select("batch").distinct().collect()
+        }
+        assert parts == {1, 2}, sub
+    # the only redeliverable batch (the max) replays state-identically
+    knn_maintain_batch(b2, state, cent, 2, k=K, nprobe=NPROBE)
+    assert edges() == before
