@@ -795,3 +795,53 @@ def prefix_filter_jaccard_pairs(
         .select("doc_a", "doc_b", _jaccard(F.col("bh_a"), F.col("bh_b")))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def exploded_shingle_hashes(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, h): each document's DISTINCT k-word shingle hashes, one
+    row per shingle — the Arrow-vectorized explode (shingle_pack_udf;
+    docs under k tokens emit nothing) shared by the batch
+    `doc_shingle_novelty` query and the streaming shingle-df
+    maintainer, so the tokenize/shingle/hash arithmetic cannot drift
+    between the twins whose bit-equality a test enforces."""
+    from flink_state_eviction_spark.functions.text import (
+        shingle_pack_udf,
+        tokens,
+    )
+
+    return docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(shingle_pack_udf(k)(F.col("_toks"))).alias("h"),
+    )
+
+
+def novelty_from_frequency(
+    ex: DataFrame, sdf: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-doc novelty from an exploded (id, h) frame and an (h, sdf)
+    doc-frequency table: (id, n_shingles, n_unique, novelty) — the
+    ONE aggregation both novelty twins share. ``sdf`` should sit
+    behind a materialization boundary (skew-split eligibility +
+    single computation; see the callers)."""
+    per = (
+        ex.join(sdf, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("sdf") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    return per.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_unique",
+        (F.col("n_unique").cast("double") / F.col("n_shingles")).alias(
+            "novelty"
+        ),
+    )

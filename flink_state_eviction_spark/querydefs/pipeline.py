@@ -4150,38 +4150,22 @@ def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     because an aggregate between its shuffle and the join would defeat
     OptimizeSkewedJoin, probed both ways). Final per-doc re-agg is
     rows ~= shingle occurrences."""
-    from flink_state_eviction_spark.functions.text import shingle_pack_udf
+    from flink_state_eviction_spark.operators.dedup import (
+        exploded_shingle_hashes,
+        novelty_from_frequency,
+    )
     from flink_state_eviction_spark.tables import ensure_min_partitions
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    toked = docs.select(
-        "doc_id", tokens(F.col("text")).alias("_toks")
+    ex = exploded_shingle_hashes(docs, "doc_id", "text", k=3).localCheckpoint(
+        eager=False
     )
-    ex = toked.select(
-        "doc_id", F.explode(shingle_pack_udf(3)(F.col("_toks"))).alias("h")
-    ).localCheckpoint(eager=False)
     # checkpoint the count table: OptimizeSkewedJoin requires PLAIN
     # shuffle->sort->SMJ children on both sides, and the aggregate
     # between dfc's shuffle and the join defeats it (probed: skew=true
-    # only with the boundary; tests/test_plan_quality.py pins it)
+    # only with the boundary; tests/test_plan_quality.py pins both the
+    # synthetic shape AND this query's executed plan)
     dfc = ex.groupBy("h").agg(
         F.count(F.lit(1)).cast("long").alias("sdf")
     ).localCheckpoint(eager=False)
-    per = (
-        ex.join(dfc, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(F.when(F.col("sdf") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_unique"),
-        )
-    )
-    return per.select(
-        "doc_id",
-        "n_shingles",
-        "n_unique",
-        (F.col("n_unique").cast("double") / F.col("n_shingles")).alias(
-            "novelty"
-        ),
-    )
+    return novelty_from_frequency(ex, dfc, "doc_id")

@@ -1,0 +1,91 @@
+"""Shared commit-log-safe compaction for ``batch=<id>``-partitioned
+foreachBatch state tables (the shingle-df maintainer and the k-NN
+maintainer both fold sealed batches with this one helper, so the
+safety contract lives in ONE place).
+
+Safety contract: ``through_batch`` must be BELOW the maximum
+committed batch id. Structured Streaming's commit log seals earlier
+batch ids — the only redeliverable batch is the max — so a replay can
+never target a compacted-away partition, and reads of
+``batch < max`` see the folded partition unchanged.
+
+Durability protocol (no unrecoverable crash window):
+1. write the folded rows to a STAGING directory OUTSIDE the
+   partitioned root (durable on disk before anything is deleted);
+2. delete the old partitions — deletion failures RAISE (a silently
+   surviving partition would be double-counted once the folded
+   partition lands);
+3. rename the staging directory into place as
+   ``batch=<through_batch>``.
+A crash before (2) leaves the state untouched (stray staging dir,
+overwritten by the next attempt). A crash between (2) and (3) loses
+nothing durable — the folded rows sit in the deterministic staging
+path ``<dir>.compact-<through_batch>``; recovery is completing the
+rename (os.replace) by hand or rerunning a tool that does. The
+window for that manual step is a single directory rename.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BATCH_RE = re.compile(r"^batch=(\d+)$")
+
+
+def list_batch_partitions(d: str) -> list[int]:
+    """Sorted batch ids present under a ``batch=<id>``-partitioned
+    directory — a listing, not a parquet scan."""
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        m = _BATCH_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def validate_through_batch(d: str, through_batch: int) -> list[int]:
+    """The partitions that would fold, after enforcing the
+    in-flight-batch guard. Raises on an empty table or a
+    ``through_batch`` at/above the max committed id."""
+    parts = list_batch_partitions(d)
+    if not parts or through_batch >= parts[-1]:
+        raise ValueError(
+            f"through_batch {through_batch} must be below the max "
+            f"committed batch {parts[-1] if parts else '<none>'} — the "
+            "in-flight batch is the only redeliverable one and must "
+            "keep its own partition"
+        )
+    return [b for b in parts if b <= through_batch]
+
+
+def compact_batch_partitions(
+    spark: SparkSession,
+    d: str,
+    through_batch: int,
+    fold: Callable[[DataFrame], DataFrame],
+) -> None:
+    """Fold ``batch <= through_batch`` under ``d`` into one partition
+    via ``fold`` (e.g. a re-aggregation for summable state, or
+    ``lambda df: df`` for plain row concatenation). See the module
+    docstring for the safety and durability contract."""
+    olds = validate_through_batch(d, through_batch)
+    if len(olds) <= 1:
+        return  # nothing to fold
+    folded = fold(
+        spark.read.parquet(d)
+        .where(F.col("batch") <= through_batch)
+        .drop("batch")
+    )
+    staging = f"{d}.compact-{through_batch}"
+    folded.write.mode("overwrite").parquet(staging)  # durable FIRST
+    for b in olds:
+        shutil.rmtree(os.path.join(d, f"batch={b}"))  # failures raise
+    os.replace(staging, os.path.join(d, f"batch={through_batch}"))

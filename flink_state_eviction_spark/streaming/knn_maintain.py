@@ -231,46 +231,24 @@ def compact_knn_state(
     into ONE ``batch=<through_batch>`` partition each (plain row
     concatenation — unlike the shingle-df counts there is nothing to
     sum), dropping the olds: bounds the one-partition-per-micro-batch
-    read amplification of ``_read_state_before``.
+    read amplification of ``_read_state_before``. Safety and
+    durability contract: streaming/compaction.py.
 
-    Safety contract (same as novelty_maintain.compact_shingle_df):
-    ``through_batch`` must be BELOW the max committed batch — the
-    streaming commit log seals earlier ids, so the only redeliverable
-    batch is the max, and its replay reads ``batch < max``, which the
-    folded partition satisfies unchanged. Compacting the in-flight
-    batch itself would merge state its replay must NOT see — refused.
+    Both subtrees are VALIDATED before either mutates — members and
+    probes are written sequentially by ``knn_maintain_batch``, so a
+    crash between the two writes can leave them one batch apart, and
+    compacting one then refusing the other would leave the state
+    inconsistently folded behind a reported failure."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+        validate_through_batch,
+    )
 
-    Rows are materialized (eager localCheckpoint) BEFORE partitions
-    are dropped (the sinks/merge.py read-then-delete lesson)."""
-    import shutil
-
-    for sub in ("members", "probes"):
-        d = os.path.join(state_dir, sub)
-        raw = spark.read.parquet(d)
-        parts = sorted(
-            int(r["batch"])
-            for r in raw.select("batch").distinct().collect()
-        )
-        if not parts or through_batch >= parts[-1]:
-            raise ValueError(
-                f"through_batch {through_batch} must be below the max "
-                f"committed batch {parts[-1] if parts else '<none>'}"
-            )
-        olds = [b for b in parts if b <= through_batch]
-        if len(olds) <= 1:
-            continue
-        folded = (
-            raw.where(F.col("batch") <= through_batch)
-            .drop("batch")
-            .localCheckpoint(eager=True)
-        )
-        for b in olds:
-            shutil.rmtree(
-                os.path.join(d, f"batch={b}"), ignore_errors=True
-            )
-        folded.write.mode("overwrite").parquet(
-            os.path.join(d, f"batch={through_batch}")
-        )
+    dirs = [os.path.join(state_dir, sub) for sub in ("members", "probes")]
+    for d in dirs:
+        validate_through_batch(d, through_batch)
+    for d in dirs:
+        compact_batch_partitions(spark, d, through_batch, lambda df: df)
 
 
 def knn_edges(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -24,14 +24,15 @@ maintainer (knn_maintain.py) serves the graph:
 
 Scale notes: state is one narrow (h, cnt) row per distinct shingle
 per batch — append-only partitions; the read-side sum re-aggregates
-them, so periodic compaction (rewrite the summed table as a single
-``batch=compact`` partition, drop the olds) bounds read amplification
-exactly like the engine's incremental-aggregate sink
-(sinks/incremental.py) — noted, not automated here. The serving join
-is the skew-split-eligible shape the batch query uses (count table
-behind a materialization boundary).
+them, so periodic compaction (``compact_shingle_df``: fold sealed
+batches into one summed ``batch=<id>`` partition via the shared
+commit-log-safe compactor, streaming/compaction.py) bounds read
+amplification exactly like the engine's incremental-aggregate sink
+(sinks/incremental.py). The serving join is the skew-split-eligible
+shape the batch query uses (count table behind a materialization
+boundary).
 
-Extension beyond the reference surface (SURVEY §2.6/§2.7 X144).
+Extension beyond the reference surface (SURVEY §2.7 X145; the batch query it twins is X144).
 """
 
 from __future__ import annotations
@@ -41,24 +42,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_state_eviction_spark.functions.text import (
-    shingle_pack_udf,
-    tokens,
-)
-
 
 def _batch_shingle_counts(
     batch_df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
     """(h, cnt) for one batch: per-doc DISTINCT shingle hashes (the
-    shingle_pack_udf contract), counted per hash across the batch's
-    docs — cnt is the number of batch docs containing the shingle."""
-    ex = batch_df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).select(
-        F.col(id_col),
-        F.explode(shingle_pack_udf(k)(F.col("_toks"))).alias("h"),
+    shared exploded_shingle_hashes builder), counted per hash across
+    the batch's docs — cnt is the number of batch docs containing the
+    shingle."""
+    from flink_state_eviction_spark.operators.dedup import (
+        exploded_shingle_hashes,
     )
+
+    ex = exploded_shingle_hashes(batch_df, id_col, text_col, k)
     return ex.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
 
 
@@ -86,44 +82,19 @@ def compact_shingle_df(
     ``batch=<through_batch>`` partition and drop the olds — bounds the
     serving-side read amplification (one narrow partition per
     micro-batch otherwise), the incremental-aggregate sink's pattern.
-
-    Safety contract: ``through_batch`` must be BELOW the maximum
-    committed batch id. foreachBatch redelivery can only replay the
-    LAST, possibly-uncommitted batch (earlier ids are sealed in the
-    streaming commit log), so a replay can never target a compacted-
-    away partition and double-count. Compacting the in-flight batch
-    would break the overwrite-idempotency of a redelivery — refused.
-
-    The summed rows are materialized (eager localCheckpoint) BEFORE
-    any partition is dropped: the output overwrites its own input
-    (the sinks/merge.py read-then-delete lesson)."""
-    import shutil
-
-    sdf_dir = os.path.join(state_dir, "sdf")
-    raw = spark.read.parquet(sdf_dir)
-    parts = sorted(
-        int(r["batch"]) for r in raw.select("batch").distinct().collect()
+    Counts are summable, so the fold is a re-aggregation. Safety and
+    durability contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
     )
-    if not parts or through_batch >= parts[-1]:
-        raise ValueError(
-            f"through_batch {through_batch} must be below the max "
-            f"committed batch {parts[-1] if parts else '<none>'} — the "
-            "in-flight batch is the only redeliverable one and must "
-            "keep its own partition"
-        )
-    olds = [b for b in parts if b <= through_batch]
-    if len(olds) <= 1:
-        return  # nothing to fold
-    summed = (
-        raw.where(F.col("batch") <= through_batch)
-        .groupBy("h")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
-    for b in olds:
-        shutil.rmtree(os.path.join(sdf_dir, f"batch={b}"), ignore_errors=True)
-    summed.write.mode("overwrite").parquet(
-        os.path.join(sdf_dir, f"batch={through_batch}")
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "sdf"),
+        through_batch,
+        lambda df: df.groupBy("h").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        ),
     )
 
 
@@ -152,28 +123,11 @@ def novelty_from_state(
     same two reasons as the batch query's count table: one
     materialization for the join, and OptimizeSkewedJoin eligibility
     (an aggregate between shuffle and join defeats the rule)."""
+    from flink_state_eviction_spark.operators.dedup import (
+        exploded_shingle_hashes,
+        novelty_from_frequency,
+    )
+
     sdf = shingle_df_state(spark, state_dir).localCheckpoint(eager=False)
-    ex = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).select(
-        F.col(id_col),
-        F.explode(shingle_pack_udf(k)(F.col("_toks"))).alias("h"),
-    )
-    per = (
-        ex.join(sdf, "h")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.sum(F.when(F.col("sdf") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_unique"),
-        )
-    )
-    return per.select(
-        F.col(id_col),
-        "n_shingles",
-        "n_unique",
-        (F.col("n_unique").cast("double") / F.col("n_shingles")).alias(
-            "novelty"
-        ),
-    )
+    ex = exploded_shingle_hashes(docs, id_col, text_col, k)
+    return novelty_from_frequency(ex, sdf, id_col)

@@ -545,6 +545,18 @@ def test_grouped_robust_ranks_are_bucketed_not_per_source(spark, sf_dir):
         assert plan.count("Exchange SinglePartition") == 0, (name, plan)
 
 
+def test_novelty_query_join_reads_checkpointed_inputs(spark, sf_dir):
+    # the REAL doc_shingle_novelty plan (not just the synthetic shape
+    # below): both join inputs must read materialization boundaries —
+    # ex (computed once for groupBy + join) and dfc (whose aggregate
+    # would otherwise sit between its shuffle and the join and defeat
+    # OptimizeSkewedJoin). Checkpointed frames plan as ExistingRDD
+    # scans; removing either localCheckpoint drops the count below 2.
+    df = _q("doc_shingle_novelty", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+
+
 def test_novelty_join_shape_is_skew_split_eligible(spark):
     # doc_shingle_novelty attaches shingle doc-frequency with a JOIN
     # (not a shingle-partitioned window) so a boilerplate shingle can
