@@ -14,11 +14,20 @@ def test_history_has_round1_baseline():
 
 
 def test_check_regressions_flags_2x():
-    base = bench.load_history()["r01"]["queries"]
-    ok = {name: t for name, t in base.items()}
-    assert bench.check_regressions(ok, 0.1) == []
-    slow = dict(ok)
-    slow["tpch_q1"] = base["tpch_q1"] * 2.5
+    # the gate compares against each query's BEST recorded time, so
+    # feed it those (r01's raw values can legitimately flag once a
+    # later round more than halves a query — r05's LSH 0.842s vs
+    # r01's 1.893s did exactly that; that is an improvement, not a
+    # regression)
+    best: dict[str, float] = {}
+    for rec in bench.load_history().values():
+        if rec.get("sf") != 0.1:
+            continue
+        for name, t in rec.get("queries", {}).items():
+            best[name] = min(best.get(name, t), t)
+    assert bench.check_regressions(best, 0.1) == []
+    slow = dict(best)
+    slow["tpch_q1"] = best["tpch_q1"] * 2.5
     assert bench.check_regressions(slow, 0.1) == ["tpch_q1"]
     # unknown queries and other SFs never flag
     assert bench.check_regressions({"new_query": 99.0}, 0.1) == []
