@@ -1,0 +1,251 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary learning + encoding.
+
+Extension beyond the reference surface (the reference,
+/root/reference MapWithState.java:51-393, is a stateful-streaming PoC
+with no tokenizer tooling); the algorithm is Sennrich et al. 2016
+("Neural Machine Translation of Rare Words with Subword Units",
+public). This is the missing piece between the repo's whitespace
+`token_count` and `vocab_numericalize`: LEARNING the subword merge
+table that a production tokenizer ships.
+
+Spark-first shape (the scale argument):
+
+- The corpus is touched ONCE: the word-frequency table (one explode +
+  one groupBy shuffle) is the only corpus-sized pass. Everything after
+  runs on the |V|-row vocabulary frame — corpus-size-independent,
+  exactly how reference BPE implementations operate (they learn over
+  `collections.Counter(words)`, not the raw text).
+- Each merge round is: (a) adjacent-pair counts — a narrow HOF explode
+  over the vocab + one map-combined groupBy shuffle of pair partials;
+  (b) the argmax pair — a TakeOrdered limit(1) collect (a 1-row
+  statistic, the same driver-side convergence pattern as pagerank);
+  (c) the merge application — an Arrow-vectorized pandas UDF gated by
+  a JVM-side `array_contains` prefilter, so Python only sees words
+  that can actually contain the pair. The vocab frame is eagerly
+  localCheckpointed each round: plans stay flat across hundreds of
+  merges (the pagerank lineage lesson).
+- Encoding a corpus reuses the same trick in reverse: encode the
+  DISTINCT words once (vocab-sized Arrow UDF pass), then join the
+  per-word token counts back onto the corpus token stream — the
+  100 TB text is never re-scanned per merge, and never enters Python.
+
+Correctness: no SQL oracle can replay an iterative merge loop, so the
+gate is tests/test_bpe.py — bit-exact equality against an independent
+pure-Python reference implementation (same word counts in, identical
+merge table and encodings out), plus determinism, monotone compression,
+and tie-break pins. Registered queries are rows-only driver checks.
+
+Determinism contract: the winning pair each round is
+(count DESC, left ASC, right ASC) — ties broken lexicographically —
+and merges apply left-to-right non-overlapping, so any engine
+replaying the same word counts reproduces the identical merge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.text import tokens
+
+END_OF_WORD = "</w>"
+
+_MERGE_SCHEMA = (
+    "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+)
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) frequency table — the ONE corpus-sized pass."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _init_syms(vocab: DataFrame) -> DataFrame:
+    """Split each word into single-character symbols + the end-of-word
+    marker. Words are lowercase ASCII alnum (functions/text.py
+    TOKEN_SPLIT_RE), so per-char substring is safe."""
+    return vocab.select(
+        "word",
+        "cnt",
+        F.expr(
+            "concat(transform(sequence(1, length(word)),"
+            f" i -> substring(word, i, 1)), array('{END_OF_WORD}'))"
+        ).alias("syms"),
+    )
+
+
+def _pair_counts(syms_df: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the vocab, weighted by word count.
+    sequence(1, n) with n < 1 would emit a DESCENDING sequence in
+    Spark, so short arrays are guarded to an empty pair list."""
+    pairs = syms_df.select(
+        "cnt",
+        F.explode(
+            F.when(
+                F.size("syms") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<a:string,b:string>>"))
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.a", "p.b").agg(F.sum("cnt").alias("pc"))
+
+
+def _apply_merge_udf(a: str, b: str):
+    """Arrow UDF replacing adjacent (a, b) with a||b, left-to-right
+    non-overlapping — the classic BPE merge semantics ('aaa' with
+    pair (a,a) merges the FIRST two)."""
+
+    def _apply(col):
+        ab = a + b
+
+        def one(syms):
+            out = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        return col.map(one)
+
+    return F.pandas_udf("array<string>")(_apply)
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> list[dict]:
+    """Learn up to ``n_merges`` BPE merges over the corpus. Returns the
+    ordered merge table as a list of dicts (rank, left, right, merged,
+    pair_count); stops early when no pair reaches ``min_count``.
+
+    Driver-side cost: one 1-row collect + one vocab checkpoint per
+    merge — the same per-round action budget as pagerank's convergence
+    probe. The corpus itself is scanned exactly once (word_vocab).
+    """
+    spark = docs.sparkSession
+    syms_df = _init_syms(word_vocab(docs, text_col)).localCheckpoint(eager=True)
+    merges: list[dict] = []
+    for rank in range(n_merges):
+        best = (
+            _pair_counts(syms_df)
+            .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pc"] < min_count:
+            break
+        a, b, pc = best[0]["a"], best[0]["b"], int(best[0]["pc"])
+        merges.append(
+            {
+                "rank": rank,
+                "left": a,
+                "right": b,
+                "merged": a + b,
+                "pair_count": pc,
+            }
+        )
+        apply_udf = _apply_merge_udf(a, b)
+        prev = syms_df
+        # JVM-side prefilter: only words containing BOTH symbols can
+        # contain the pair — Python never sees the rest of the vocab
+        can_hit = F.array_contains("syms", a) & F.array_contains("syms", b)
+        syms_df = syms_df.select(
+            "word",
+            "cnt",
+            F.when(can_hit, apply_udf(F.col("syms")))
+            .otherwise(F.col("syms"))
+            .alias("syms"),
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    return merges
+
+
+def merges_df(spark: SparkSession, merges: list[dict]) -> DataFrame:
+    """The learned merge table as a DataFrame (stable schema even when
+    no merge reached min_count)."""
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        _MERGE_SCHEMA,
+    )
+
+
+def bpe_encode_udf(merges: list[dict]):
+    """Arrow UDF encoding a word column with a FROZEN merge table:
+    char-split + end-of-word marker, then each merge applied in rank
+    order (identical semantics to the learning loop, so encoding the
+    training corpus reproduces the final learned symbol sequences)."""
+    pairs = [(m["left"], m["right"]) for m in merges]
+
+    def _encode(col):
+        def one(word):
+            syms = list(word) + [END_OF_WORD]
+            for a, b in pairs:
+                if a not in syms or b not in syms:
+                    continue
+                out = []
+                i, n = 0, len(syms)
+                ab = a + b
+                while i < n:
+                    if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return col.map(one)
+
+    return F.pandas_udf("array<string>")(_encode)
+
+
+def bpe_token_stats(
+    docs: DataFrame, merges: list[dict], text_col: str = "text"
+) -> DataFrame:
+    """Per-document BPE token statistics under a frozen merge table:
+    (doc_id, n_words, n_chars, n_bpe, chars_per_bpe). The corpus token
+    stream joins per-word encoded lengths computed ONCE over the
+    distinct-word vocabulary (broadcast: the vocab is bounded by the
+    language, not the corpus; swap for a shuffle join past ~100M
+    words)."""
+    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("word"))
+    vocab = toks.select("word").distinct()
+    enc = vocab.select(
+        "word",
+        F.length("word").cast("long").alias("n_chars_w"),
+        F.size(bpe_encode_udf(merges)(F.col("word"))).cast("long").alias("n_bpe_w"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars_w").alias("n_chars"),
+            F.sum("n_bpe_w").alias("n_bpe"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_bpe",
+        F.round(F.col("n_chars") / F.col("n_bpe"), 6).alias("chars_per_bpe"),
+    )

@@ -1,0 +1,157 @@
+"""Content-defined chunking (CDC) dedup for binary media payloads.
+
+Extension beyond the reference surface (the reference,
+/root/reference MapWithState.java:51-393, has no binary/storage
+tooling); the algorithm is Gear-hash CDC (Xia et al., FastCDC /
+Ddelta — public literature): a rolling hash over the byte stream cuts
+a chunk wherever the low ``avg_bits`` bits of the hash are zero,
+subject to min/max chunk sizes. Because boundaries depend only on
+CONTENT (the hash window is the trailing 64 bytes — older bytes shift
+out of the 64-bit register), inserting a prefix into a payload
+re-aligns after one chunk and the remaining chunks dedup against the
+original — the property fixed-size blocking fundamentally lacks, and
+the reason backup/dedup stores chunk this way.
+
+Spark-first shape: chunking runs as an Arrow-vectorized ``mapInPandas``
+-style pandas UDF over the payload column — scan-parallel, no shuffle —
+with the rolling hash computed by 64 vectorized numpy shift-adds per
+batch (h_i = sum_{k<64} gear(b_{i-k}) << k mod 2^64 — identical to the
+byte-loop recurrence h = (h<<1) + gear(b), because bits shifted past 63
+overflow out). The only shuffle in the dedup query is the
+chunk-hash groupBy for first-occurrence election, on narrow
+(hash, doc_id, offset, length) rows — payload bytes never move after
+the scan.
+
+Correctness: no SQL oracle can replay a rolling-hash scan, so the gate
+is tests/test_chunking.py — bit-exact equality against an independent
+byte-at-a-time pure-Python reference, chunk-partition/reconstruction
+invariants, min/max bounds, and the measured shift-resistance property
+(CDC shares the tail chunks after a prefix insertion; a fixed-size
+chunker shares none).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MIN_SIZE = 64
+AVG_BITS = 8  # boundary when low 8 bits of the gear hash are zero (~256 B avg)
+MAX_SIZE = 1024
+_MASK = (1 << AVG_BITS) - 1
+
+# deterministic 64-bit gear table (md5-derived, no RNG state) — a
+# PARAMETER shared with the test reference, not algorithm logic
+GEAR = [
+    int.from_bytes(hashlib.md5(bytes([b]) + b"gear").digest()[:8], "big")
+    for b in range(256)
+]
+
+_CHUNK_SCHEMA = "array<struct<offset:long, length:long, hash:long>>"
+
+
+def _chunk_one(data: bytes) -> list[tuple[int, int, int]]:
+    """Vectorized single-payload CDC: numpy rolling gear hash, global
+    content-defined candidate cuts, then the sequential min/max walk
+    over the (sparse) candidate list only."""
+    import numpy as np
+
+    n = len(data)
+    if n == 0:
+        return []
+    g = _gear_np()[np.frombuffer(data, dtype=np.uint8)]
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(min(64, n)):
+        # uint64 addition wraps mod 2^64 — exactly the byte-loop register
+        h[k:] += g[: n - k] << np.uint64(k)
+    cand = (np.flatnonzero((h & np.uint64(_MASK)) == 0) + 1).tolist()
+    chunks = []
+    start, ci, nc = 0, 0, len(cand)
+    while start < n:
+        end_min = start + MIN_SIZE
+        end_max = min(start + MAX_SIZE, n)
+        while ci < nc and cand[ci] < end_min:
+            ci += 1
+        cut = cand[ci] if ci < nc and cand[ci] <= end_max else end_max
+        piece = data[start:cut]
+        hsh = int.from_bytes(
+            hashlib.md5(piece).digest()[:8], "big", signed=False
+        )
+        # two's-complement to signed BIGINT (the repo's h64 convention)
+        if hsh >= 1 << 63:
+            hsh -= 1 << 64
+        chunks.append((start, cut - start, hsh))
+        start = cut
+    return chunks
+
+
+_GEAR_NP = None
+
+
+def _gear_np():
+    global _GEAR_NP
+    if _GEAR_NP is None:
+        import numpy as np
+
+        _GEAR_NP = np.array(GEAR, dtype=np.uint64)
+    return _GEAR_NP
+
+
+def cdc_chunks_udf():
+    """Arrow UDF: binary payload -> array<struct<offset,length,hash>>."""
+
+    def _chunks(col):
+        return col.map(lambda d: _chunk_one(bytes(d)) if d is not None else [])
+
+    return F.pandas_udf(_CHUNK_SCHEMA)(_chunks)
+
+
+def cdc_dedup_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-payload byte-level dedup profile: chunk each payload, elect
+    each distinct chunk's FIRST occurrence (smallest (id, offset) —
+    deterministic), and report how many of a payload's bytes are novel
+    vs already stored. Output:
+    (id, n_chunks, total_bytes, novel_bytes, dup_byte_frac).
+
+    Scale: chunking is scan-parallel (no shuffle); the election is one
+    groupBy on the 64-bit chunk hash over narrow rows; the join back is
+    hash-keyed. Payload bytes never shuffle.
+    """
+    chunks = media.select(
+        F.col(id_col).alias("_id"),
+        F.explode(cdc_chunks_udf()(F.col("media"))).alias("_c"),
+    ).select(
+        "_id",
+        F.col("_c.offset").alias("_off"),
+        F.col("_c.length").alias("_len"),
+        F.col("_c.hash").alias("_h"),
+    ).localCheckpoint(eager=False)
+    first = chunks.groupBy("_h").agg(
+        F.min(F.struct("_id", "_off")).alias("_first")
+    )
+    flagged = chunks.join(first, "_h").withColumn(
+        "_novel",
+        (F.col("_id") == F.col("_first._id"))
+        & (F.col("_off") == F.col("_first._off")),
+    )
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("_len").alias("total_bytes"),
+            F.sum(F.when(F.col("_novel"), F.col("_len")).otherwise(F.lit(0))).alias(
+                "novel_bytes"
+            ),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_chunks",
+            "total_bytes",
+            "novel_bytes",
+            F.round(
+                1.0 - F.col("novel_bytes") / F.col("total_bytes"), 6
+            ).alias("dup_byte_frac"),
+        )
+    )

@@ -1107,3 +1107,44 @@ def corpus_mixing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.select(
         "pos", "source", "doc_id", F.round("kk", 6).alias("stride_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer learning + per-doc token stats (operators/bpe.py). No
+# SQL oracle can replay an iterative merge loop, so both queries are
+# rows-only at the driver; the hard gate is tests/test_bpe.py —
+# bit-exact equality against an independent pure-Python reference.
+
+_BPE_MERGES = 16
+
+
+@register_supplementary("bpe_learn_merges", None, tags=("corpus", "text"))
+def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (rank, left, right, merged, pair_count)
+    over the documents corpus — Sennrich et al. 2016, distributed: one
+    corpus scan builds the word-frequency table, then every merge round
+    runs on the vocab frame only (operators/bpe.py module docstring
+    carries the full scale argument)."""
+    from flink_state_eviction_spark.operators.bpe import (
+        learn_bpe_merges,
+        merges_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return merges_df(spark, learn_bpe_merges(docs, n_merges=_BPE_MERGES))
+
+
+@register_supplementary("bpe_token_stats", None, tags=("corpus", "text"))
+def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts + compression under the learned
+    merge table: the corpus token stream joins per-word encoded lengths
+    computed once over the DISTINCT words (broadcast), so the text is
+    never re-scanned per merge and never enters Python."""
+    from flink_state_eviction_spark.operators.bpe import (
+        bpe_token_stats,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=_BPE_MERGES)
+    return bpe_token_stats(docs, merges)

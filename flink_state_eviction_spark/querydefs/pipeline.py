@@ -2763,6 +2763,93 @@ def decontaminate_benchmark_overlap(
 
 
 # ---------------------------------------------------------------------------
+# semantic decontamination: the embedding-space twin of the n-gram
+# overlap check above — flag training vectors whose nearest BENCHMARK
+# vector is too close in cosine. The benchmark here is a BOUNDED
+# deterministic slice (vec_id % 97 == 0 capped to the first 64 such
+# ids), standing in for a real eval suite: constant-size regardless of
+# corpus scale, which is what makes the broadcast geometry honest.
+
+_DECONTAM_SEM_TAU = 0.35
+_DECONTAM_SEM_BENCH = "vec_id % 97 = 0 AND vec_id < 6208"  # <= 64 ids
+
+_DECONTAM_SEM_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+b AS (SELECT vec_id AS bench_id, v AS bv, nn AS bn FROM n
+      WHERE {_DECONTAM_SEM_BENCH}),
+c AS (SELECT vec_id, v, nn FROM n WHERE NOT ({_DECONTAM_SEM_BENCH})),
+s AS (SELECT c.vec_id, b.bench_id,
+             list_dot_product(c.v, b.bv) / (c.nn * b.bn) AS sim0
+      FROM c CROSS JOIN b),
+r AS (SELECT vec_id, bench_id, sim0,
+             row_number() OVER (PARTITION BY vec_id
+                  ORDER BY sim0 DESC, bench_id) AS rn
+      FROM s)
+SELECT vec_id, bench_id AS nearest_bench_id,
+       round(sim0, 6) AS max_sim,
+       (round(sim0, 6) >= {_DECONTAM_SEM_TAU}) AS is_contaminated
+FROM r WHERE rn = 1
+"""
+
+
+@register_supplementary(
+    "decontaminate_semantic", _DECONTAM_SEM_ORACLE, tags=("pipeline", "similarity")
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination: per corpus vector,
+    the max cosine to any benchmark vector; >= 0.35 flags the vector as
+    contaminated (an eval item paraphrased into the training set, which
+    the n-gram check misses).
+
+    Extension beyond the reference surface. Scale shape: the benchmark
+    side is O(1) in corpus terms (eval suites don't grow with the
+    corpus), so it is BROADCAST and the corpus streams through the
+    nested-loop scan — N x B cosines with B bounded, same geometry as
+    `similarity_topk`'s query broadcast. The per-vector argmax is the
+    shared two-phase top-k (shuffle-free local truncation to 1 row per
+    vector per partition, then the exact rank over <= P x 1 narrow
+    rows) — the full N x B similarity stream never shuffles. If the
+    benchmark outgrows broadcast, SRP-LSH banding (operators/
+    similarity.py:srp) prefilters candidates; nothing else changes.
+    Ranking uses full-precision sims (the fold order matches
+    list_dot_product); the output sim and the contamination flag use
+    the rounded value on BOTH sides, so the flag can never straddle a
+    rounding boundary between engines.
+    """
+    from flink_state_eviction_spark.operators.similarity import (
+        _local_truncate_topk,
+        _rank_topk,
+        _with_vec_and_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_bench = (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 6208)
+    bench = _with_vec_and_norm(emb.where(is_bench), "vec_id", "embedding").select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("_v").alias("_bv"),
+        F.col("_n").alias("_bn"),
+    )
+    corpus = _with_vec_and_norm(emb.where(~is_bench), "vec_id", "embedding")
+    from flink_state_eviction_spark.operators.similarity import cosine
+
+    sim = (
+        corpus.join(F.broadcast(bench), F.col("vec_id") != F.col("bench_id"))
+        .withColumn(
+            "sim", cosine(F.col("_bv"), F.col("_v"), F.col("_bn"), F.col("_n"))
+        )
+        .select(F.col("vec_id").alias("query_id"), "bench_id", "sim")
+    )
+    top1 = _rank_topk(_local_truncate_topk(sim, "bench_id", 1), "bench_id", 1)
+    return top1.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("nearest_bench_id"),
+        F.col("sim").alias("max_sim"),
+        (F.col("sim") >= F.lit(_DECONTAM_SEM_TAU)).alias("is_contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # fixed-histogram approximate quantiles: the deterministic scale
 # alternative to exact sorts / rank windows — error bounded by bin
 # width BY CONSTRUCTION, and (unlike t-digest / approx_percentile)

@@ -203,7 +203,7 @@ def main() -> None:
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
-        "bm25,mix,robust,r5b",
+        "bm25,mix,robust,r5b,decon",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -291,6 +291,11 @@ def main() -> None:
             rec["embedding_dim_stats_sec"] = timed(lambda: all_qs["embedding_dim_stats"](spark, d))
             rec["doc_shingle_novelty_sec"] = timed(lambda: all_qs["doc_shingle_novelty"](spark, d))
             rec["events_key_skew_profile_sec"] = timed(lambda: all_qs["events_key_skew_profile"](spark, d))
+        if "decon" in only:
+            # bench slice is CAPPED (vec_id < 6208), so replicas (ids
+            # offset by _rep*OFFSET) never enter it: cost is exactly
+            # N x B with B frozen — the linear law the docstring claims
+            rec["decontaminate_semantic_sec"] = timed(lambda: all_qs["decontaminate_semantic"](spark, d))
         if "robust" in only:
             # grouped bucketed two-phase vs the per-source window it
             # replaces: 20 sources x factor*12.5k docs each — the

@@ -202,6 +202,12 @@ def main() -> None:
     ap.add_argument("--doclen", type=int, default=200)
     ap.add_argument("--vocab", type=int, default=100000)
     ap.add_argument("--out", default="/tmp/zipf_stress")
+    ap.add_argument(
+        "--bpe",
+        action="store_true",
+        help="time BPE merge learning on the 10^5-term vocab instead of"
+        " the rank rewrites (16 merge rounds over the vocab frame)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("fse-zipf-stress")
@@ -213,6 +219,25 @@ def main() -> None:
         "doclen": args.doclen,
         "vocab": args.vocab,
     }
+    if args.bpe:
+        # BPE on a REAL-sized vocabulary (the driver fixture has ~50
+        # words): the per-round cost is the vocab-frame pair-count
+        # shuffle + argmax, corpus-size-independent after the one
+        # word_vocab scan
+        from flink_state_eviction_spark.operators.bpe import (
+            bpe_token_stats,
+            learn_bpe_merges,
+        )
+        from flink_state_eviction_spark.tables import load_table
+
+        docs = load_table(spark, d, "documents")
+        t0 = time.time()
+        merges = learn_bpe_merges(docs, n_merges=16)
+        rec["bpe_learn16_sec"] = round(time.time() - t0, 2)
+        rec["bpe_merges"] = len(merges)
+        rec["bpe_stats_sec"] = timed(lambda: bpe_token_stats(docs, merges))
+        print(json.dumps(rec), flush=True)
+        return
     rec.update(bucket_bound_report(spark, d))
     rec["vocab_bucketed_sec"] = timed(
         lambda: all_qs["vocab_numericalize"](spark, d)

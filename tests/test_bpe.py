@@ -1,0 +1,140 @@
+"""BPE vocabulary learning: bit-exact equality against an independent
+pure-Python reference (the correctness gate for an operator no SQL
+oracle can replay — iterative merge loops), plus determinism,
+tie-break, and monotone-compression pins."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_encode_udf,
+    bpe_token_stats,
+    learn_bpe_merges,
+    merges_df,
+    word_vocab,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# pure-Python reference (independent implementation of Sennrich 2016)
+
+
+def _ref_apply(syms, a, b):
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_learn(word_counts, n_merges, min_count=2):
+    vocab = {w: list(w) + [END_OF_WORD] for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        pc = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + c
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merges.append(
+            {"rank": rank, "left": a, "right": b, "merged": a + b,
+             "pair_count": cnt}
+        )
+        vocab = {w: _ref_apply(s, a, b) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def _load_docs(spark):
+    from flink_state_eviction_spark.tables import load_table
+
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def learned(spark):
+    docs = _load_docs(spark)
+    wc = {
+        r["word"]: r["cnt"] for r in word_vocab(docs).collect()
+    }
+    merges = learn_bpe_merges(docs, n_merges=16)
+    return docs, wc, merges
+
+
+def test_learn_matches_reference(spark, learned):
+    docs, wc, merges = learned
+    ref_merges, _ = _ref_learn(wc, 16)
+    assert merges == ref_merges
+    assert len(merges) > 0  # the fixture corpus must actually merge
+
+
+def test_encode_reproduces_learned_state(spark, learned):
+    # encoding a training word with the frozen merge table must land on
+    # exactly the symbol sequence the learning loop ended with
+    docs, wc, merges = learned
+    _, ref_vocab = _ref_learn(wc, 16)
+    enc = (
+        spark.createDataFrame([(w,) for w in sorted(wc)], "word STRING")
+        .select("word", bpe_encode_udf(merges)(F.col("word")).alias("bpe"))
+        .collect()
+    )
+    for r in enc:
+        assert list(r["bpe"]) == ref_vocab[r["word"]], r["word"]
+        # lossless: concatenation reconstructs word + marker
+        assert "".join(r["bpe"]) == r["word"] + END_OF_WORD
+
+
+def test_deterministic(spark, learned):
+    docs, _, merges = learned
+    again = learn_bpe_merges(docs, n_merges=16)
+    assert again == merges
+
+
+def test_tiebreak_is_lexicographic(spark):
+    # every adjacent pair here counts exactly 2: the winner must be the
+    # lexicographically smallest pair ('a','b'), not an arbitrary one
+    df = spark.createDataFrame(
+        [("ab ab cd cd",)], "text STRING"
+    )
+    merges = learn_bpe_merges(df, n_merges=1)
+    assert merges[0]["left"] == "a" and merges[0]["right"] == "b"
+    assert merges[0]["pair_count"] == 2
+
+
+def test_monotone_compression(spark, learned):
+    docs, _, merges16 = learned
+    merges4 = merges16[:4]
+    n16 = bpe_token_stats(docs, merges16).agg({"n_bpe": "sum"}).collect()[0][0]
+    n4 = bpe_token_stats(docs, merges4).agg({"n_bpe": "sum"}).collect()[0][0]
+    n0 = bpe_token_stats(docs, []).agg({"n_bpe": "sum"}).collect()[0][0]
+    assert n16 <= n4 <= n0
+    assert n16 < n0  # 16 merges must actually compress the fixture
+
+
+def test_merges_df_schema_stable_when_empty(spark):
+    df = merges_df(spark, [])
+    assert df.columns == ["rank", "left", "right", "merged", "pair_count"]
+    assert df.count() == 0
+
+
+def test_learn_on_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert learn_bpe_merges(df, n_merges=4) == []

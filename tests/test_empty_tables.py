@@ -125,6 +125,9 @@ SAMPLE = [
     "embedding_dim_stats",
     "events_key_skew_profile",
     "doc_shingle_novelty",
+    "decontaminate_semantic",
+    "bpe_learn_merges",
+    "bpe_token_stats",
 ]
 
 

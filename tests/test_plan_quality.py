@@ -73,6 +73,18 @@ def test_similarity_topk_is_two_phase(spark, sf_dir):
         assert plan.index("Window") < plan.rindex("MapInPandas"), plan
 
 
+def test_decontaminate_semantic_broadcasts_bench(spark, sf_dir):
+    # The benchmark side is O(1) in corpus terms and must be the BUILT
+    # (broadcast) side of the nested-loop scan; the corpus side never
+    # shuffles its vectors — only the 1-row-per-vector truncated stream
+    # reaches the rank exchange (MapInPandas below the Window).
+    df = _q("decontaminate_semantic", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.index("Window") < plan.rindex("MapInPandas"), plan
+
+
 def test_q6_all_predicates_pushed(spark, sf_dir):
     df = _q("tpch_q6_forecast_revenue", spark, sf_dir)
     for col in ("l_shipdate", "l_discount", "l_quantity"):
