@@ -97,29 +97,38 @@ def _pair_counts(syms_df: DataFrame) -> DataFrame:
     return pairs.groupBy("p.a", "p.b").agg(F.sum("cnt").alias("pc"))
 
 
-def _apply_merge_udf(a: str, b: str):
-    """Arrow UDF replacing adjacent (a, b) with a||b, left-to-right
-    non-overlapping — the classic BPE merge semantics ('aaa' with
-    pair (a,a) merges the FIRST two)."""
+def _apply_merges_udf(pairs: list[tuple[str, str]]):
+    """Arrow UDF replacing adjacent (a, b) with a||b for each pair,
+    left-to-right non-overlapping — the classic BPE merge semantics
+    ('aaa' with pair (a,a) merges the FIRST two). Multiple pairs are
+    applied in order; batched callers pass symbol-DISJOINT pairs, for
+    which application order is immaterial."""
 
     def _apply(col):
-        ab = a + b
-
         def one(syms):
-            out = []
-            i, n = 0, len(syms)
-            while i < n:
-                if i < n - 1 and syms[i] == a and syms[i + 1] == b:
-                    out.append(ab)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            return out
+            for a, b in pairs:
+                if a not in syms or b not in syms:
+                    continue
+                out = []
+                i, n = 0, len(syms)
+                ab = a + b
+                while i < n:
+                    if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
 
         return col.map(one)
 
     return F.pandas_udf("array<string>")(_apply)
+
+
+def _apply_merge_udf(a: str, b: str):
+    return _apply_merges_udf([(a, b)])
 
 
 def learn_bpe_merges(
@@ -127,42 +136,73 @@ def learn_bpe_merges(
     n_merges: int,
     min_count: int = 2,
     text_col: str = "text",
+    batch_eps: float | None = None,
+    max_batch: int = 64,
 ) -> list[dict]:
     """Learn up to ``n_merges`` BPE merges over the corpus. Returns the
     ordered merge table as a list of dicts (rank, left, right, merged,
     pair_count); stops early when no pair reaches ``min_count``.
 
-    Driver-side cost: one 1-row collect + one vocab checkpoint per
-    merge — the same per-round action budget as pagerank's convergence
-    probe. The corpus itself is scanned exactly once (word_vocab).
+    Driver-side cost: one collect + one vocab checkpoint per ROUND —
+    the same per-round action budget as pagerank's convergence probe.
+    The corpus itself is scanned exactly once (word_vocab).
+
+    ``batch_eps=None`` (default) is exact sequential BPE: one merge per
+    round. ``batch_eps=e`` enables frequency-band batching (standard in
+    distributed BPE trainers): each round commits every pair whose
+    count is >= (1-e) * max, taken in (count DESC, pair ASC) order and
+    restricted to pairs symbol-DISJOINT from earlier picks in the
+    round — disjoint merges cannot change each other's counts, so the
+    batch equals applying those merges sequentially against the
+    round-start counts. It is NOT always identical to fully sequential
+    BPE (a merge's OUTPUT symbol can create a new dominant pair
+    mid-batch, which batching only sees next round) — the documented
+    approximation that buys rounds ~ n_merges / batch size.
     """
-    spark = docs.sparkSession
     syms_df = _init_syms(word_vocab(docs, text_col)).localCheckpoint(eager=True)
     merges: list[dict] = []
-    for rank in range(n_merges):
-        best = (
+    while len(merges) < n_merges:
+        take = 1 if batch_eps is None else min(max_batch, n_merges - len(merges))
+        top = (
             _pair_counts(syms_df)
             .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(take)
             .collect()
         )
-        if not best or best[0]["pc"] < min_count:
+        if not top or top[0]["pc"] < min_count:
             break
-        a, b, pc = best[0]["a"], best[0]["b"], int(best[0]["pc"])
-        merges.append(
-            {
-                "rank": rank,
-                "left": a,
-                "right": b,
-                "merged": a + b,
-                "pair_count": pc,
-            }
+        floor = (
+            min_count
+            if batch_eps is None
+            else max(min_count, (1.0 - batch_eps) * int(top[0]["pc"]))
         )
-        apply_udf = _apply_merge_udf(a, b)
+        used: set[str] = set()
+        picked: list[tuple[str, str, int]] = []
+        for r in top:
+            if int(r["pc"]) < floor:
+                break
+            if r["a"] in used or r["b"] in used:
+                continue
+            picked.append((r["a"], r["b"], int(r["pc"])))
+            used.update((r["a"], r["b"], r["a"] + r["b"]))
+        for a, b, pc in picked:
+            merges.append(
+                {
+                    "rank": len(merges),
+                    "left": a,
+                    "right": b,
+                    "merged": a + b,
+                    "pair_count": pc,
+                }
+            )
+        apply_udf = _apply_merges_udf([(a, b) for a, b, _ in picked])
         prev = syms_df
-        # JVM-side prefilter: only words containing BOTH symbols can
-        # contain the pair — Python never sees the rest of the vocab
-        can_hit = F.array_contains("syms", a) & F.array_contains("syms", b)
+        # JVM-side prefilter: only words containing both symbols of at
+        # least one picked pair can change — Python never sees the rest
+        can_hit = None
+        for a, b, _ in picked:
+            hit = F.array_contains("syms", a) & F.array_contains("syms", b)
+            can_hit = hit if can_hit is None else (can_hit | hit)
         syms_df = syms_df.select(
             "word",
             "cnt",

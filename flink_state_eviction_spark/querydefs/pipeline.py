@@ -1205,6 +1205,28 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_supplementary("payload_cdc_dedup", None, tags=("pipeline", "multimodal"))
+def payload_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-level dedup profile of the binary media payloads:
+    content-defined (Gear rolling hash) chunking, first-occurrence
+    election per distinct chunk, per-doc novel-vs-duplicated byte
+    fractions — what a backup/dedup store or a media-corpus ingest
+    would report before writing 100 TB of blobs.
+
+    No SQL oracle can replay a rolling-hash scan (rows-only here); the
+    hard gate is tests/test_chunking.py — bit-exact vs a byte-at-a-time
+    reference + the shift-resistance property. Scale shape in
+    operators/chunking.py: chunking is scan-parallel Arrow UDF work,
+    only narrow (hash, id, offset, length) rows ever shuffle."""
+    from flink_state_eviction_spark.operators.chunking import cdc_dedup_stats
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_dedup_stats(bmp_media_from_documents(docs))
+
+
 _WAV_DECODE_ORACLE = """
 WITH m AS (
     SELECT doc_id,

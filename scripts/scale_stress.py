@@ -291,6 +291,13 @@ def main() -> None:
             rec["embedding_dim_stats_sec"] = timed(lambda: all_qs["embedding_dim_stats"](spark, d))
             rec["doc_shingle_novelty_sec"] = timed(lambda: all_qs["doc_shingle_novelty"](spark, d))
             rec["events_key_skew_profile_sec"] = timed(lambda: all_qs["events_key_skew_profile"](spark, d))
+        if "chunk" in only:
+            # scan-parallel Arrow chunking; the only shuffle is the
+            # narrow chunk-hash election. Replica texts differ from the
+            # original only by the appended replica tag, so their BMP
+            # payloads share the whole byte prefix: CDC should dedup
+            # every chunk but the tail one across the factor replicas
+            rec["payload_cdc_dedup_sec"] = timed(lambda: all_qs["payload_cdc_dedup"](spark, d))
         if "decon" in only:
             # bench slice is CAPPED (vec_id < 6208), so replicas (ids
             # offset by _rep*OFFSET) never enter it: cost is exactly

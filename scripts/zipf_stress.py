@@ -236,6 +236,22 @@ def main() -> None:
         rec["bpe_learn16_sec"] = round(time.time() - t0, 2)
         rec["bpe_merges"] = len(merges)
         rec["bpe_stats_sec"] = timed(lambda: bpe_token_stats(docs, merges))
+        # frequency-band batching: same 64-merge budget, one collect
+        # per ROUND instead of per merge — the driver-latency fix the
+        # sequential law is bounded by
+        t0 = time.time()
+        seq64 = learn_bpe_merges(docs, n_merges=64)
+        rec["bpe_learn64_seq_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        bat64 = learn_bpe_merges(
+            docs, n_merges=64, batch_eps=0.2, max_batch=16
+        )
+        rec["bpe_learn64_batched_sec"] = round(time.time() - t0, 2)
+        rec["bpe_batched_merges"] = len(bat64)
+        rec["bpe_batched_overlap64"] = len(
+            {(m["left"], m["right"]) for m in bat64}
+            & {(m["left"], m["right"]) for m in seq64}
+        )
         print(json.dumps(rec), flush=True)
         return
     rec.update(bucket_bound_report(spark, d))

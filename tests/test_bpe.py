@@ -138,3 +138,99 @@ def test_merges_df_schema_stable_when_empty(spark):
 def test_learn_on_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id LONG, text STRING")
     assert learn_bpe_merges(df, n_merges=4) == []
+
+
+# --------------------------------------------------------------------------
+# property: merge application (the operator's Arrow UDF kernel) equals
+# the reference on arbitrary symbol runs — incl. overlapping runs like
+# (a, a) over 'aaaa', which must merge left-to-right non-overlapping
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_syms = st.lists(st.sampled_from(["a", "b", "ab", "c"]), max_size=12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_syms)
+def test_property_merge_application(syms):
+    from flink_state_eviction_spark.operators.bpe import _apply_merge_udf
+
+    # exercise the UDF's inner kernel without a Spark round-trip
+    import pandas as pd
+
+    udf_fn = _apply_merge_udf("a", "b").func
+    (out,) = udf_fn(pd.Series([syms])).tolist()
+    assert out == _ref_apply(syms, "a", "b")
+    assert "".join(out) == "".join(syms)  # lossless
+
+
+# --------------------------------------------------------------------------
+# frequency-band batching (batch_eps): fewer driver rounds, same
+# semantics per round — gated against a pure-Python batched reference
+
+
+def _ref_learn_batched(word_counts, n_merges, eps, max_batch, min_count=2):
+    vocab = {w: list(w) + [END_OF_WORD] for w in word_counts}
+    merges = []
+    while len(merges) < n_merges:
+        pc = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + c
+        if not pc:
+            break
+        top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        top = top[: min(max_batch, n_merges - len(merges))]
+        if top[0][1] < min_count:
+            break
+        floor = max(min_count, (1.0 - eps) * top[0][1])
+        used, picked = set(), []
+        for (a, b), cnt in top:
+            if cnt < floor:
+                break
+            if a in used or b in used:
+                continue
+            picked.append((a, b, cnt))
+            used.update((a, b, a + b))
+        for a, b, cnt in picked:
+            merges.append(
+                {"rank": len(merges), "left": a, "right": b,
+                 "merged": a + b, "pair_count": cnt}
+            )
+        for w in vocab:
+            s = vocab[w]
+            for a, b, _ in picked:
+                s = _ref_apply(s, a, b)
+            vocab[w] = s
+    return merges
+
+
+def test_batched_matches_reference(spark, learned):
+    docs, wc, _ = learned
+    got = learn_bpe_merges(docs, n_merges=16, batch_eps=0.2, max_batch=8)
+    want = _ref_learn_batched(wc, 16, 0.2, 8)
+    assert got == want
+    assert len(got) == 16
+
+
+def test_batched_size1_equals_sequential(spark, learned):
+    docs, _, merges = learned
+    got = learn_bpe_merges(docs, n_merges=6, batch_eps=0.0, max_batch=1)
+    assert got == merges[:6]
+
+
+def test_batched_uses_fewer_rounds_and_compresses(spark, learned):
+    # not asserting round counts directly (driver-side), but the merge
+    # table must stay lossless through encode and actually compress
+    docs, wc, _ = learned
+    merges = learn_bpe_merges(docs, n_merges=16, batch_eps=0.3, max_batch=16)
+    enc = (
+        spark.createDataFrame([(w,) for w in sorted(wc)], "word STRING")
+        .select("word", bpe_encode_udf(merges)(F.col("word")).alias("bpe"))
+        .collect()
+    )
+    assert all("".join(r["bpe"]) == r["word"] + END_OF_WORD for r in enc)
+    assert any(len(r["bpe"]) < len(r["word"]) + 1 for r in enc)

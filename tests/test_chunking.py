@@ -1,0 +1,175 @@
+"""Content-defined chunking: bit-exact equality against an independent
+byte-at-a-time reference, partition/bounds invariants, the measured
+shift-resistance property (the reason CDC exists), and the Spark
+dedup-stats query on duplicate payloads."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.chunking import (
+    AVG_BITS,
+    GEAR,
+    MAX_SIZE,
+    MIN_SIZE,
+    _chunk_one,
+    cdc_dedup_stats,
+)
+
+_MASK = (1 << AVG_BITS) - 1
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# independent reference: byte-at-a-time rolling register, same walk
+
+
+def _ref_chunks(data: bytes):
+    n = len(data)
+    h, cand = 0, []
+    for i in range(n):
+        h = ((h << 1) + GEAR[data[i]]) & ((1 << 64) - 1)
+        if h & _MASK == 0:
+            cand.append(i + 1)
+    chunks, start, ci = [], 0, 0
+    while start < n:
+        end_min, end_max = start + MIN_SIZE, min(start + MAX_SIZE, n)
+        while ci < len(cand) and cand[ci] < end_min:
+            ci += 1
+        cut = cand[ci] if ci < len(cand) and cand[ci] <= end_max else end_max
+        piece = data[start:cut]
+        hsh = int.from_bytes(hashlib.md5(piece).digest()[:8], "big")
+        if hsh >= 1 << 63:
+            hsh -= 1 << 64
+        chunks.append((start, cut - start, hsh))
+        start = cut
+    return chunks
+
+
+def _payload(seed: bytes, n_blocks: int) -> bytes:
+    # deterministic pseudo-random bytes (md5 counter stream)
+    return b"".join(
+        hashlib.md5(seed + str(i).encode()).digest() for i in range(n_blocks)
+    )
+
+
+PAYLOADS = [
+    b"",
+    b"x",
+    b"a" * 63,
+    b"a" * 64,
+    b"ab" * 5000,  # periodic content
+    _payload(b"p1", 10),
+    _payload(b"p2", 200),
+    _payload(b"p3", 1000),
+]
+
+
+@pytest.mark.parametrize("i", range(len(PAYLOADS)))
+def test_matches_byte_loop_reference(i):
+    data = PAYLOADS[i]
+    assert _chunk_one(data) == _ref_chunks(data)
+
+
+@pytest.mark.parametrize("i", [4, 6, 7])
+def test_partition_and_bounds(i):
+    data = PAYLOADS[i]
+    chunks = _chunk_one(data)
+    pos = 0
+    for off, length, _ in chunks:
+        assert off == pos
+        pos += length
+        assert length <= MAX_SIZE
+    assert pos == len(data)
+    # all chunks except the final one respect the minimum
+    for off, length, _ in chunks[:-1]:
+        assert length >= MIN_SIZE
+
+
+def test_shift_resistance_vs_fixed_blocks():
+    base = _payload(b"shift", 500)  # 8000 bytes
+    shifted = _payload(b"prefix", 7) + base  # 112-byte insertion
+    cdc_a = {h for _, _, h in _chunk_one(base)}
+    cdc_b = {h for _, _, h in _chunk_one(shifted)}
+    cdc_shared = len(cdc_a & cdc_b) / len(cdc_a)
+
+    def fixed(data):
+        return {
+            int.from_bytes(
+                hashlib.md5(data[i : i + 256]).digest()[:8], "big"
+            )
+            for i in range(0, len(data), 256)
+        }
+
+    fx_shared = len(fixed(base) & fixed(shifted)) / len(fixed(base))
+    # CDC re-aligns after ~one chunk; fixed blocks never re-align
+    assert cdc_shared >= 0.5, cdc_shared
+    assert fx_shared == 0.0, fx_shared
+    assert cdc_shared > fx_shared
+
+
+def test_dedup_stats_flags_duplicate_payload(spark):
+    p = _payload(b"dup", 300)
+    q = _payload(b"other", 300)
+    media = spark.createDataFrame(
+        [(1, bytearray(p)), (2, bytearray(q)), (3, bytearray(p))],
+        "doc_id LONG, media BINARY",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in cdc_dedup_stats(media).collect()
+    }
+    assert rows[1]["dup_byte_frac"] == 0.0  # first occurrence owns all
+    assert rows[3]["novel_bytes"] == 0  # exact copy: zero novel bytes
+    assert rows[3]["dup_byte_frac"] == 1.0
+    assert rows[2]["dup_byte_frac"] == 0.0
+    assert rows[1]["total_bytes"] == len(p)
+
+
+def test_dedup_stats_null_and_empty_payloads(spark):
+    media = spark.createDataFrame(
+        [(1, None), (2, bytearray(b""))],
+        "doc_id LONG, media BINARY",
+    )
+    # no chunks -> no output rows (consistent with explode semantics)
+    assert cdc_dedup_stats(media).count() == 0
+
+
+def test_registered_query_runs(spark):
+    from flink_state_eviction_spark import queries as Q
+
+    df = Q.all_queries()["payload_cdc_dedup"](spark, SF_DIR)
+    pdf = df.toPandas()
+    assert len(pdf) == 500
+    assert (pdf["novel_bytes"] <= pdf["total_bytes"]).all()
+    # the fixture corpus HAS duplicate texts (dedup_exact finds them),
+    # and identical text -> identical BMP payload -> full chunk overlap
+    assert (pdf["dup_byte_frac"] == 1.0).any()
+    assert (pdf["dup_byte_frac"] == 0.0).any()
+
+
+# --------------------------------------------------------------------------
+# property: the vectorized chunker equals the byte-loop reference on
+# arbitrary byte strings (pure-Python, no Spark session needed)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_property_matches_reference(data):
+    assert _chunk_one(data) == _ref_chunks(data)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=4096))
+def test_property_partition(data):
+    chunks = _chunk_one(data)
+    assert sum(c[1] for c in chunks) == len(data)
+    assert chunks[0][0] == 0
+    assert all(c[1] <= MAX_SIZE for c in chunks)

@@ -128,6 +128,7 @@ SAMPLE = [
     "decontaminate_semantic",
     "bpe_learn_merges",
     "bpe_token_stats",
+    "payload_cdc_dedup",
 ]
 
 

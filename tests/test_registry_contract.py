@@ -115,7 +115,12 @@ def test_every_driver_query_has_an_oracle():
 # reference (tests/test_bpe.py, bit-exact). Adding a name here without
 # such a gate is a review error — everything else must carry a DuckDB
 # oracle.
-NON_SQL_EXPRESSIBLE = {"bpe_learn_merges", "bpe_token_stats"}
+NON_SQL_EXPRESSIBLE = {
+    "bpe_learn_merges",
+    "bpe_token_stats",
+    # rolling-hash CDC scan — gate: tests/test_chunking.py
+    "payload_cdc_dedup",
+}
 
 
 def test_supplementary_queries_all_have_oracles():
