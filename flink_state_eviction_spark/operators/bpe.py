@@ -97,32 +97,35 @@ def _pair_counts(syms_df: DataFrame) -> DataFrame:
     return pairs.groupBy("p.a", "p.b").agg(F.sum("cnt").alias("pc"))
 
 
+def _merge_pairs(syms: list, pairs: list[tuple[str, str]]) -> list:
+    """THE merge kernel, shared by learning and encoding so they cannot
+    diverge: for each pair in order, replace adjacent (a, b) with a||b
+    left-to-right non-overlapping — classic BPE semantics ('aaa' with
+    pair (a,a) merges the FIRST two)."""
+    for a, b in pairs:
+        if a not in syms or b not in syms:
+            continue
+        out = []
+        i, n = 0, len(syms)
+        ab = a + b
+        while i < n:
+            if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(ab)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def _apply_merges_udf(pairs: list[tuple[str, str]]):
-    """Arrow UDF replacing adjacent (a, b) with a||b for each pair,
-    left-to-right non-overlapping — the classic BPE merge semantics
-    ('aaa' with pair (a,a) merges the FIRST two). Multiple pairs are
-    applied in order; batched callers pass symbol-DISJOINT pairs, for
+    """Arrow UDF over symbol arrays: applies ``pairs`` in order via the
+    shared kernel; batched callers pass symbol-DISJOINT pairs, for
     which application order is immaterial."""
 
     def _apply(col):
-        def one(syms):
-            for a, b in pairs:
-                if a not in syms or b not in syms:
-                    continue
-                out = []
-                i, n = 0, len(syms)
-                ab = a + b
-                while i < n:
-                    if i < n - 1 and syms[i] == a and syms[i + 1] == b:
-                        out.append(ab)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            return syms
-
-        return col.map(one)
+        return col.map(lambda syms: _merge_pairs(list(syms), pairs))
 
     return F.pandas_udf("array<string>")(_apply)
 
@@ -196,9 +199,11 @@ def learn_bpe_merges(
                 }
             )
         apply_udf = _apply_merges_udf([(a, b) for a, b, _ in picked])
-        prev = syms_df
         # JVM-side prefilter: only words containing both symbols of at
-        # least one picked pair can change — Python never sees the rest
+        # least one picked pair can change — Python never sees the rest.
+        # The superseded checkpoint is released when its Python
+        # reference drops (localCheckpoint storage is not a SQL-cache
+        # entry, so unpersist() would be a no-op on it).
         can_hit = None
         for a, b, _ in picked:
             hit = F.array_contains("syms", a) & F.array_contains("syms", b)
@@ -210,7 +215,6 @@ def learn_bpe_merges(
             .otherwise(F.col("syms"))
             .alias("syms"),
         ).localCheckpoint(eager=True)
-        prev.unpersist()
     return merges
 
 
@@ -228,31 +232,16 @@ def merges_df(spark: SparkSession, merges: list[dict]) -> DataFrame:
 
 def bpe_encode_udf(merges: list[dict]):
     """Arrow UDF encoding a word column with a FROZEN merge table:
-    char-split + end-of-word marker, then each merge applied in rank
-    order (identical semantics to the learning loop, so encoding the
-    training corpus reproduces the final learned symbol sequences)."""
+    char-split + end-of-word marker, then the SHARED merge kernel in
+    rank order — identical semantics to the learning loop by
+    construction, so encoding the training corpus reproduces the final
+    learned symbol sequences."""
     pairs = [(m["left"], m["right"]) for m in merges]
 
     def _encode(col):
-        def one(word):
-            syms = list(word) + [END_OF_WORD]
-            for a, b in pairs:
-                if a not in syms or b not in syms:
-                    continue
-                out = []
-                i, n = 0, len(syms)
-                ab = a + b
-                while i < n:
-                    if i < n - 1 and syms[i] == a and syms[i + 1] == b:
-                        out.append(ab)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            return syms
-
-        return col.map(one)
+        return col.map(
+            lambda word: _merge_pairs(list(word) + [END_OF_WORD], pairs)
+        )
 
     return F.pandas_udf("array<string>")(_encode)
 
@@ -266,7 +255,12 @@ def bpe_token_stats(
     distinct-word vocabulary (broadcast: the vocab is bounded by the
     language, not the corpus; swap for a shuffle join past ~100M
     words)."""
-    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("word"))
+    # lazy boundary: toks feeds BOTH the distinct() aggregate and the
+    # join probe side — without it the corpus scan + tokenize explode
+    # runs twice (no exchange reuse across differing subtrees)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("word")
+    ).localCheckpoint(eager=False)
     vocab = toks.select("word").distinct()
     enc = vocab.select(
         "word",

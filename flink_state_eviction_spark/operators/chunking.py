@@ -128,9 +128,13 @@ def cdc_dedup_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col("_c.length").alias("_len"),
         F.col("_c.hash").alias("_h"),
     ).localCheckpoint(eager=False)
+    # lazy boundary on the aggregate side: an agg between its shuffle
+    # and a join defeats OptimizeSkewedJoin (round-5 gotcha, probed on
+    # the novelty join) — with it, a hot chunk hash on the probe side
+    # stays AQE-splittable
     first = chunks.groupBy("_h").agg(
         F.min(F.struct("_id", "_off")).alias("_first")
-    )
+    ).localCheckpoint(eager=False)
     flagged = chunks.join(first, "_h").withColumn(
         "_novel",
         (F.col("_id") == F.col("_first._id"))

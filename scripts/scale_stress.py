@@ -293,10 +293,11 @@ def main() -> None:
             rec["events_key_skew_profile_sec"] = timed(lambda: all_qs["events_key_skew_profile"](spark, d))
         if "chunk" in only:
             # scan-parallel Arrow chunking; the only shuffle is the
-            # narrow chunk-hash election. Replica texts differ from the
-            # original only by the appended replica tag, so their BMP
-            # payloads share the whole byte prefix: CDC should dedup
-            # every chunk but the tail one across the factor replicas
+            # narrow chunk-hash election. NOTE the dup signal here is
+            # whole-payload collision: BMP bytes are a function of
+            # (h48%12+1, h48%10+1, doc_id%256) ONLY — a <= 30,720-value
+            # payload space that 250k replicas saturate. Partial-overlap
+            # (shift) behavior is pinned by test_chunking instead.
             rec["payload_cdc_dedup_sec"] = timed(lambda: all_qs["payload_cdc_dedup"](spark, d))
         if "decon" in only:
             # bench slice is CAPPED (vec_id < 6208), so replicas (ids
