@@ -82,3 +82,90 @@ def normalize_to_bits(
     return F.floor(
         scaled.cast("decimal(38,0)") / span.cast("decimal(38,0)")
     ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve — the locality upgrade over Morton. Consecutive Hilbert
+# keys are always grid-ADJACENT (Morton jumps across the space at
+# quadrant boundaries), so a box predicate covers fewer, longer key
+# ranges: fewer files touched at the same file count. This is the
+# layout modern clustered tables use (e.g. the curve behind Databricks
+# liquid clustering; algorithm: the classic xy2d bit walk, public).
+#
+# The walk carries (x, y, d) state ACROSS bit levels, so unlike Morton
+# it cannot be one flat expression: each level's x/y feed the next.
+# Expressed as `bits` chained projections over NAMED columns (the repo
+# convention for non-CSE'd expression reuse) it stays pure codegen'd
+# integer arithmetic — zero shuffle, zero Python — and the DuckDB twin
+# chains the same updates through CTEs for bit-identical keys.
+
+
+def hilbert_level_exprs(s: int):
+    """One xy2d level at side ``s`` (a power of two) as Column updates
+    over named columns (_hx, _hy, _hd). Returns (x', y', d')."""
+    x, y, d = F.col("_hx"), F.col("_hy"), F.col("_hd")
+    rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+    ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+    d2 = d + F.lit(s) * F.lit(s) * ((F.lit(3) * rx).bitwiseXOR(ry))
+    x2 = (
+        F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - y).otherwise(y))
+        .otherwise(x)
+    )
+    y2 = (
+        F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - x).otherwise(x))
+        .otherwise(y)
+    )
+    return x2, y2, d2
+
+
+def with_hilbert_key(
+    df, x_col: str, y_col: str, bits: int = 12, out_col: str = "hkey"
+):
+    """Append the 2D Hilbert index of (x_col, y_col) — non-negative
+    ints < 2**bits, normalize first — as ``out_col``. ``bits`` chained
+    narrow projections; all JVM codegen."""
+    cur = df.select(
+        "*",
+        F.col(x_col).cast("long").alias("_hx"),
+        F.col(y_col).cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    keep = df.columns
+    for k in range(bits - 1, -1, -1):
+        x2, y2, d2 = hilbert_level_exprs(1 << k)
+        cur = cur.select(
+            *keep, x2.alias("_hx"), y2.alias("_hy"), d2.alias("_hd")
+        )
+    return cur.select(*keep, F.col("_hd").alias(out_col))
+
+
+def sql_hilbert_cte_chain(
+    src_cte: str, keep: Sequence[str], x_expr: str, y_expr: str,
+    bits: int = 12, out_col: str = "hkey",
+) -> str:
+    """DuckDB twin of :func:`with_hilbert_key`: a chain of CTEs named
+    h0..h{bits-1} applying the identical level updates. Embed after a
+    CTE ``src_cte`` exposing ``keep`` + the two integer dims; the final
+    SELECT reads from h{bits-1}."""
+    cols = ", ".join(keep)
+    parts = [
+        f"h_init AS (SELECT {cols}, CAST({x_expr} AS BIGINT) AS _hx,"
+        f" CAST({y_expr} AS BIGINT) AS _hy, CAST(0 AS BIGINT) AS _hd"
+        f" FROM {src_cte})"
+    ]
+    prev = "h_init"
+    for i, k in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << k
+        rx = f"(CASE WHEN (_hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (_hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        parts.append(
+            f"h{i} AS (SELECT {cols},"
+            f" CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {s - 1} - _hy ELSE _hy END) ELSE _hx END AS _hx,"
+            f" CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+            f" THEN {s - 1} - _hx ELSE _hx END) ELSE _hy END AS _hy,"
+            f" _hd + {s * s} * xor(3 * {rx}, {ry}) AS _hd"
+            f" FROM {prev})"
+        )
+        prev = f"h{i}"
+    return ",\n".join(parts) + f"\nSELECT {cols}, _hd AS {out_col} FROM {prev}"

@@ -2497,6 +2497,87 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hilbert layout key — the locality upgrade over the Morton key above:
+# consecutive Hilbert keys are always grid-adjacent, so a box predicate
+# covers fewer, longer key ranges (functions/zorder.py tail; adjacency
+# + runs-vs-Morton pinned in tests/test_zorder.py). Same dims and
+# normalization as `zorder_key_events`, so the two layouts are directly
+# comparable row-for-row.
+
+
+def _hilbert_oracle() -> str:
+    from flink_state_eviction_spark.functions.zorder import (
+        sql_hilbert_cte_chain,
+    )
+
+    m = (1 << _ZORDER_BITS) - 1
+    chain = sql_hilbert_cte_chain(
+        "b", ["event_id", "ub", "vb"], "ub", "vb", _ZORDER_BITS, "hkey"
+    )
+    return f"""
+WITH iv AS (
+    SELECT event_id, user_id,
+           CAST(FLOOR(value * 10) AS BIGINT) AS v10
+    FROM events
+),
+bounds AS (
+    SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+           MIN(v10) AS vlo, MAX(v10) AS vhi
+    FROM iv
+),
+b AS (
+    SELECT event_id,
+           ((user_id - ulo) * {m}) // GREATEST(uhi - ulo, 1) AS ub,
+           ((v10 - vlo) * {m}) // GREATEST(vhi - vlo, 1) AS vb
+    FROM iv, bounds
+),
+{chain}
+"""
+
+
+@register_supplementary(
+    "hilbert_key_events", _hilbert_oracle(), tags=("pipeline",)
+)
+def hilbert_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert index over (user_id, value decile) for every event —
+    the clustering key modern layout engines prefer over Morton
+    (adjacent keys are always grid-adjacent, so box predicates touch
+    fewer files at the same file count). Dimensions min/max-normalize
+    exactly like `zorder_key_events`; the bit walk is `bits` chained
+    narrow projections of codegen'd integer arithmetic (state crosses
+    levels, so it cannot be one flat expression) — zero data shuffle,
+    zero Python — and the DuckDB CTE-chain twin proves every level
+    update bit-for-bit."""
+    from flink_state_eviction_spark.functions.zorder import (
+        normalize_to_bits,
+        with_hilbert_key,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 10).cast("long").alias("v10"),
+    )
+    bounds = iv.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("v10").alias("vlo"),
+        F.max("v10").alias("vhi"),
+    )
+    b = iv.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        normalize_to_bits(
+            F.col("user_id"), F.col("ulo"), F.col("uhi"), _ZORDER_BITS
+        ).alias("ub"),
+        normalize_to_bits(
+            F.col("v10"), F.col("vlo"), F.col("vhi"), _ZORDER_BITS
+        ).alias("vb"),
+    )
+    return with_hilbert_key(b, "ub", "vb", _ZORDER_BITS, "hkey")
+
+
+# ---------------------------------------------------------------------------
 # portable deterministic HyperLogLog (functions/sketches.py): an
 # APPROXIMATE distinct-count whose implementation is still
 # oracle-parity-checkable, because registers derive from the engine's

@@ -129,6 +129,7 @@ SAMPLE = [
     "bpe_learn_merges",
     "bpe_token_stats",
     "payload_cdc_dedup",
+    "hilbert_key_events",
 ]
 
 
