@@ -108,18 +108,15 @@ def cdc_chunks_udf():
     return F.pandas_udf(_CHUNK_SCHEMA)(_chunks)
 
 
-def cdc_dedup_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Per-payload byte-level dedup profile: chunk each payload, elect
-    each distinct chunk's FIRST occurrence (smallest (id, offset) —
-    deterministic), and report how many of a payload's bytes are novel
-    vs already stored. Output:
-    (id, n_chunks, total_bytes, novel_bytes, dup_byte_frac).
-
-    Scale: chunking is scan-parallel (no shuffle); the election is one
-    groupBy on the 64-bit chunk hash over narrow rows; the join back is
-    hash-keyed. Payload bytes never shuffle.
-    """
-    chunks = media.select(
+def exploded_chunks(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Chunk every payload into narrow (_id, _off, _len, _h) rows —
+    scan-parallel Arrow work, payload bytes never leave the scan. Lazy
+    checkpoint: callers feed the frame to BOTH an election groupBy and
+    the join back (no exchange reuse across differing subtrees).
+    THE chunk builder shared by the batch query and the streaming
+    maintainer (chunk_maintain.py), so a boundary or hash change cannot
+    diverge the twins."""
+    return media.select(
         F.col(id_col).alias("_id"),
         F.explode(cdc_chunks_udf()(F.col("media"))).alias("_c"),
     ).select(
@@ -128,13 +125,25 @@ def cdc_dedup_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col("_c.length").alias("_len"),
         F.col("_c.hash").alias("_h"),
     ).localCheckpoint(eager=False)
-    # lazy boundary on the aggregate side: an agg between its shuffle
-    # and a join defeats OptimizeSkewedJoin (round-5 gotcha, probed on
-    # the novelty join) — with it, a hot chunk hash on the probe side
-    # stays AQE-splittable
-    first = chunks.groupBy("_h").agg(
+
+
+def first_occurrences(chunks: DataFrame) -> DataFrame:
+    """Each distinct chunk's FIRST occurrence (smallest (_id, _off) —
+    deterministic): (_h, _first struct). Lazy boundary on the aggregate
+    side: an agg between its shuffle and a join defeats
+    OptimizeSkewedJoin (round-5 gotcha, probed on the novelty join) —
+    with it, a hot chunk hash on the probe side stays AQE-splittable."""
+    return chunks.groupBy("_h").agg(
         F.min(F.struct("_id", "_off")).alias("_first")
     ).localCheckpoint(eager=False)
+
+
+def dedup_stats_from_first(
+    chunks: DataFrame, first: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The serving half shared by batch and streaming: join each chunk
+    to its election row, aggregate per payload. Output:
+    (id, n_chunks, total_bytes, novel_bytes, dup_byte_frac)."""
     flagged = chunks.join(first, "_h").withColumn(
         "_novel",
         (F.col("_id") == F.col("_first._id"))
@@ -159,3 +168,16 @@ def cdc_dedup_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ).alias("dup_byte_frac"),
         )
     )
+
+
+def cdc_dedup_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-payload byte-level dedup profile: chunk each payload, elect
+    each distinct chunk's first occurrence, and report how many of a
+    payload's bytes are novel vs already stored.
+
+    Scale: chunking is scan-parallel (no shuffle); the election is one
+    groupBy on the 64-bit chunk hash over narrow rows; the join back is
+    hash-keyed. Payload bytes never shuffle.
+    """
+    chunks = exploded_chunks(media, id_col)
+    return dedup_stats_from_first(chunks, first_occurrences(chunks), id_col)

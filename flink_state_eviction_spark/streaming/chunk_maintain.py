@@ -1,0 +1,142 @@
+"""Streaming twin for the CDC payload-dedup family (X148): incremental
+chunk-index maintenance over an always-ingesting media corpus.
+
+Batch `payload_cdc_dedup` elects each distinct chunk's global FIRST
+occurrence, which is only final once every payload has been chunked (a
+chunk novel today becomes a duplicate's canonical copy when its twin
+arrives tomorrow — the same "not final until the corpus is complete"
+shape as shingle novelty). The streaming form maintains the
+(chunk hash -> first (id, offset)) index incrementally and serves the
+dedup profile FROM the maintained state, mirroring novelty_maintain.py:
+
+- ``chunks_maintain_batch`` — called from ``foreachBatch``: chunks the
+  arriving batch's payloads (the SAME exploded_chunks builder the
+  batch query uses) and writes the batch-local election (per-hash min
+  (id, offset)) into an idempotent ``batch=<id>`` partition.
+  Redelivery overwrites the same partition: at-least-once foreachBatch
+  delivery cannot change the state (min is idempotent anyway; the
+  partition overwrite also makes row counts stable).
+- ``cdc_stats_from_state`` — the serving half: the global election =
+  per-hash min over every batch partition (min is associative, so
+  min-of-batch-mins IS the corpus min), fed to the shared
+  ``dedup_stats_from_first`` join. After all batches, serving over the
+  full corpus is BIT-EQUAL to the batch `payload_cdc_dedup`.
+
+Scale notes: state is one narrow (h, fid, foff) row per distinct chunk
+per batch — append-only partitions; ``compact_chunk_index`` folds
+sealed batches into one min-reduced partition via the shared
+commit-log-safe compactor (streaming/compaction.py), bounding read
+amplification. Payload bytes never enter the state.
+
+Extension beyond the reference surface (SURVEY §2.7 X150; the batch
+query it twins is X148).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _batch_election(batch_media: DataFrame, id_col: str) -> DataFrame:
+    """(h, fid, foff) for one batch: per-hash batch-local first
+    occurrence, via the shared chunk builder."""
+    from flink_state_eviction_spark.operators.chunking import (
+        exploded_chunks,
+    )
+
+    ch = exploded_chunks(batch_media, id_col)
+    return ch.groupBy(F.col("_h").alias("h")).agg(
+        F.min(F.struct("_id", "_off")).alias("_f")
+    ).select(
+        "h",
+        F.col("_f._id").alias("fid"),
+        F.col("_f._off").alias("foff"),
+    )
+
+
+def chunks_maintain_batch(
+    batch_media: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of chunk-index maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id — the id keys
+    the idempotent per-batch state partition."""
+    _batch_election(batch_media, id_col).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "cidx", f"batch={batch_id}")
+    )
+
+
+def _min_election(df: DataFrame) -> DataFrame:
+    return df.groupBy("h").agg(
+        F.min(F.struct(F.col("fid"), F.col("foff"))).alias("_f")
+    ).select(
+        "h",
+        F.col("_f.fid").alias("fid"),
+        F.col("_f.foff").alias("foff"),
+    )
+
+
+def compact_chunk_index(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold every ``batch <= through_batch`` partition into ONE
+    min-reduced ``batch=<through_batch>`` partition and drop the olds.
+    The election min is associative, so the fold is a re-aggregation.
+    Safety and durability contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "cidx"),
+        through_batch,
+        _min_election,
+    )
+
+
+def chunk_index_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained global election: (h, fid, foff) min-reduced over
+    every batch partition (map-side-combined; one shuffle over distinct
+    chunk hashes, never payload bytes)."""
+    raw = spark.read.parquet(os.path.join(state_dir, "cidx"))
+    return _min_election(raw)
+
+
+def cdc_stats_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    media: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve the dedup profile for ``media`` against the MAINTAINED
+    election: same output shape as the batch `payload_cdc_dedup`. When
+    ``media`` is the full ingested corpus, the result is bit-equal to
+    the batch query.
+
+    The election sits behind a lazy localCheckpoint for the same two
+    reasons as the batch path (one materialization; OptimizeSkewedJoin
+    eligibility)."""
+    from flink_state_eviction_spark.operators.chunking import (
+        dedup_stats_from_first,
+        exploded_chunks,
+    )
+
+    first = (
+        chunk_index_state(spark, state_dir)
+        .select(
+            F.col("h").alias("_h"),
+            F.struct(
+                F.col("fid").alias("_id"), F.col("foff").alias("_off")
+            ).alias("_first"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return dedup_stats_from_first(
+        exploded_chunks(media, id_col), first, id_col
+    )

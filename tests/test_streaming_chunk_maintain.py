@@ -1,0 +1,132 @@
+"""Streaming twin for CDC payload dedup: after ingesting the whole
+media corpus in micro-batches, serving from the maintained chunk index
+must reproduce the batch `payload_cdc_dedup` output bit-for-bit;
+redelivered batches must not change the state; compaction preserves it
+and refuses the in-flight batch."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.multimodal import (
+    bmp_media_from_documents,
+)
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.chunk_maintain import (
+    cdc_stats_from_state,
+    chunk_index_state,
+    chunks_maintain_batch,
+    compact_chunk_index,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {
+        (
+            r["doc_id"],
+            r["n_chunks"],
+            r["total_bytes"],
+            r["novel_bytes"],
+            r["dup_byte_frac"],
+        )
+        for r in df.collect()
+    }
+
+
+def _media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs
+
+
+def test_streaming_chunk_index_matches_batch(spark, sf_dir, tmp_path):
+    docs = _media(spark, sf_dir)
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "chunk-state")
+
+    def upd(batch_df, batch_id):
+        chunks_maintain_batch(
+            bmp_media_from_documents(batch_df), state, batch_id
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    media = bmp_media_from_documents(docs)
+    got = _rows(cdc_stats_from_state(spark, state, media))
+    want = _rows(all_queries()["payload_cdc_dedup"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_redelivered_batch_is_idempotent(spark, sf_dir, tmp_path):
+    docs = _media(spark, sf_dir)
+    n = docs.count()
+    b0 = bmp_media_from_documents(docs.where(F.col("doc_id") < n // 2))
+    b1 = bmp_media_from_documents(docs.where(F.col("doc_id") >= n // 2))
+    state = os.path.join(str(tmp_path), "chunk-state")
+    for bid, b in ((0, b0), (1, b1)):
+        chunks_maintain_batch(b, state, bid)
+
+    def snapshot():
+        return {
+            (r["h"], r["fid"], r["foff"])
+            for r in chunk_index_state(spark, state).collect()
+        }
+
+    once = snapshot()
+    chunks_maintain_batch(b0, state, 0)
+    chunks_maintain_batch(b1, state, 1)
+    chunks_maintain_batch(b1, state, 1)
+    assert snapshot() == once and once
+
+
+def test_compaction_preserves_state_and_respects_inflight(
+    spark, sf_dir, tmp_path
+):
+    docs = _media(spark, sf_dir)
+    n = docs.count()
+    thirds = [
+        docs.where(F.col("doc_id") < n // 3),
+        docs.where(
+            (F.col("doc_id") >= n // 3) & (F.col("doc_id") < 2 * n // 3)
+        ),
+        docs.where(F.col("doc_id") >= 2 * n // 3),
+    ]
+    state = os.path.join(str(tmp_path), "chunk-state")
+    for bid, part in enumerate(thirds):
+        chunks_maintain_batch(bmp_media_from_documents(part), state, bid)
+
+    def snapshot():
+        return {
+            (r["h"], r["fid"], r["foff"])
+            for r in chunk_index_state(spark, state).collect()
+        }
+
+    before = snapshot()
+    # batches 0..1 are sealed (2 is in flight): folding through 1 is
+    # legal and must preserve the global election
+    compact_chunk_index(spark, state, through_batch=1)
+    assert snapshot() == before
+    dirs = sorted(
+        d for d in os.listdir(os.path.join(state, "cidx"))
+        if d.startswith("batch=")
+    )
+    assert dirs == ["batch=1", "batch=2"]
+    # folding THROUGH the max (in-flight) batch id must refuse
+    with pytest.raises(ValueError):
+        compact_chunk_index(spark, state, through_batch=2)
+    # post-compaction redelivery of the still-redeliverable max batch
+    # remains a no-op
+    chunks_maintain_batch(bmp_media_from_documents(thirds[2]), state, 2)
+    assert snapshot() == before
