@@ -1262,3 +1262,111 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_rank").cast("long").alias("key_rank"),
         (F.col("n_events").cast("double") / F.col("total")).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution: each purchase credited to the user's most
+# recent click-or-view within the hour before it (click beats view on
+# an exact timestamp tie; 'direct' when no touch qualifies) — the
+# marketing-analytics composition of the as-of operator (X..: the asof
+# driver row carries clicks only; attribution adds the multi-channel
+# fallback and the credited-revenue rollup).
+
+_ATTRIB_WINDOW_MS = 3600 * 1000
+
+_ATTRIB_ORACLE = f"""
+WITH touches AS (
+    SELECT user_id, ts,
+           MAX(struct_pack(
+               prio := CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
+               event_id := event_id,
+               event_type := event_type)) AS t
+    FROM events WHERE event_type IN ('click', 'view')
+    GROUP BY 1, 2
+),
+p AS (
+    SELECT event_id, user_id, ts, value
+    FROM events WHERE event_type = 'purchase'
+),
+joined AS (
+    SELECT p.event_id, p.value, p.ts,
+           t.ts AS touch_ts, t.t.event_type AS touch_type
+    FROM p ASOF LEFT JOIN touches t
+      ON p.user_id = t.user_id AND p.ts >= t.ts
+),
+credited AS (
+    SELECT CASE WHEN touch_type IS NULL
+                  OR epoch_ms(ts) - epoch_ms(touch_ts) > {_ATTRIB_WINDOW_MS}
+                THEN 'direct' ELSE touch_type END AS channel,
+           value
+    FROM joined
+)
+SELECT channel,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS credited_value
+FROM credited
+GROUP BY 1
+"""
+
+
+@register_supplementary(
+    "attribution_last_touch", _ATTRIB_ORACLE, tags=("analytics", "asof")
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution report: (channel, n_purchases,
+    credited_value) with channel in {click, view, direct}.
+
+    Extension beyond the reference surface (composes the X3 as-of
+    operator). Spark-first shape: touches are pre-reduced to one row
+    per (user, ts) — the deterministic tie: click beats view, then max
+    event_id, via ONE struct max — then the union-LOCF as-of join
+    (operators/asof.py: one shuffle + one sort, never a pairwise range
+    explosion) carries the latest touch into each purchase; the 1-hour
+    recency gate and the channel fallback are plain codegen CASE logic;
+    the rollup is a 3-row aggregate. The DuckDB twin pre-reduces with
+    the identical struct max, so ASOF-tie nondeterminism cannot leak
+    into parity (the asof_join_purchase_click lesson)."""
+    from flink_state_eviction_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    prio = F.when(F.col("event_type") == "click", F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    touches = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select("user_id", "ts", prio.alias("prio"), "event_id", "event_type")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("prio", "event_id", "event_type")).alias("t"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("t.event_type").alias("touch_type"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = as_of_join(
+        purchases,
+        touches,
+        key_cols=["user_id"],
+        ts_col="ts",
+        right_cols=["touch_type", "ts"],
+    )
+    gap_ok = (
+        F.unix_millis(F.col("ts")) - F.unix_millis(F.col("ts_asof"))
+    ) <= F.lit(_ATTRIB_WINDOW_MS)
+    channel = (
+        F.when(F.col("touch_type_asof").isNull() | ~gap_ok, F.lit("direct"))
+        .otherwise(F.col("touch_type_asof"))
+    )
+    return (
+        joined.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("credited_value"),
+        )
+    )

@@ -130,6 +130,7 @@ SAMPLE = [
     "bpe_token_stats",
     "payload_cdc_dedup",
     "hilbert_key_events",
+    "attribution_last_touch",
 ]
 
 
