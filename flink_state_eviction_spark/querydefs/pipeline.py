@@ -4359,3 +4359,242 @@ def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("sdf")
     ).localCheckpoint(eager=False)
     return novelty_from_frequency(ex, dfc, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: the MERGE property as an oracle-checked query —
+# union = register re-MAX, intersection = inclusion-exclusion. This is
+# why sketches (not exact sets) are the 100 TB answer: per-shard/day
+# register tables combine without touching raw events.
+
+
+def _hll_overlap_oracle() -> str:
+    from flink_state_eviction_spark.functions.hashing import sql_h64
+    from flink_state_eviction_spark.functions.sketches import (
+        HLL_M,
+        sql_hll_estimate,
+        sql_rank,
+    )
+
+    est_a = sql_hll_estimate("ssum_a", "nregs_a")
+    est_b = sql_hll_estimate("ssum_b", "nregs_b")
+    est_u = sql_hll_estimate("ssum_u", "nregs_u")
+    return f"""
+WITH s AS (
+    SELECT event_type, CAST(user_id AS VARCHAR) AS s FROM events
+    WHERE event_type IN ('view', 'click')
+),
+v AS (
+    SELECT event_type, h & {HLL_M - 1} AS idx, h >> 9 AS v
+    FROM (SELECT event_type, {sql_h64("s")} AS h FROM s)
+),
+regs AS (
+    SELECT event_type, idx, MAX({sql_rank("v")}) AS mj
+    FROM v GROUP BY 1, 2
+),
+a AS (SELECT COALESCE(SUM((CAST(1 AS BIGINT) << (52 - mj))), 0) AS ssum_a,
+             COUNT(*) AS nregs_a
+      FROM regs WHERE event_type = 'view'),
+b AS (SELECT COALESCE(SUM((CAST(1 AS BIGINT) << (52 - mj))), 0) AS ssum_b,
+             COUNT(*) AS nregs_b
+      FROM regs WHERE event_type = 'click'),
+u0 AS (SELECT idx, MAX(mj) AS mj FROM regs GROUP BY idx),
+u AS (SELECT COALESCE(SUM((CAST(1 AS BIGINT) << (52 - mj))), 0) AS ssum_u,
+             COUNT(*) AS nregs_u
+      FROM u0),
+ex AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_overlap FROM (
+        SELECT s FROM s GROUP BY s
+        HAVING SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+           AND SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+    )
+)
+SELECT ex.n_exact_overlap,
+       {est_a} AS est_view,
+       {est_b} AS est_click,
+       {est_u} AS est_union,
+       ({est_a}) + ({est_b}) - ({est_u}) AS est_overlap
+FROM a, b, u, ex
+"""
+
+
+@register_supplementary(
+    "hll_user_overlap_view_click", _hll_overlap_oracle(), tags=("pipeline",)
+)
+def hll_user_overlap_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from HLL sketches: distinct viewers, distinct
+    clickers, their union via register re-MAX (THE merge property —
+    the union sketch is computed from the two register tables, never
+    from raw events), and the inclusion-exclusion intersection
+    estimate; exact overlap kept as the parity/error reference.
+
+    Extension beyond the reference surface (composes X47/X101's
+    portable HLL). Scale shape: one scan -> map-combined per-(set,
+    register) MAX -> the rest is arithmetic over <= 2 x 512 register
+    rows. In production the register tables are the stored per-shard
+    state; this query is exactly the read path that unions them."""
+    from flink_state_eviction_spark.functions.hashing import h64
+    from flink_state_eviction_spark.functions.sketches import (
+        HLL_M,
+        sql_hll_estimate,
+        sql_rank,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click"))
+        .select("event_type", F.col("user_id").cast("string").alias("s"))
+    )
+    v = ev.select("event_type", h64(F.col("s")).alias("h")).select(
+        "event_type",
+        F.expr(f"h & {HLL_M - 1}").alias("idx"),
+        F.expr("h >> 9").alias("v"),
+    )
+    regs = (
+        v.select("event_type", "idx", F.expr(sql_rank("v")).alias("rank"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("rank").alias("mj"))
+        .localCheckpoint(eager=False)  # feeds a/b aggs AND the union re-MAX
+    )
+
+    def side(t: str, tag: str) -> DataFrame:
+        return regs.where(F.col("event_type") == t).agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(1 AS BIGINT) << (52 - mj)")), F.lit(0)
+            ).alias(f"ssum_{tag}"),
+            F.count(F.lit(1)).alias(f"nregs_{tag}"),
+        )
+
+    u = (
+        regs.groupBy("idx")
+        .agg(F.max("mj").alias("mj"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(1 AS BIGINT) << (52 - mj)")), F.lit(0)
+            ).alias("ssum_u"),
+            F.count(F.lit(1)).alias("nregs_u"),
+        )
+    )
+    ex = (
+        ev.groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nv"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("nc"),
+        )
+        .where((F.col("nv") > 0) & (F.col("nc") > 0))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_overlap"))
+    )
+    est_a = F.expr(sql_hll_estimate("ssum_a", "nregs_a"))
+    est_b = F.expr(sql_hll_estimate("ssum_b", "nregs_b"))
+    est_u = F.expr(sql_hll_estimate("ssum_u", "nregs_u"))
+    return (
+        ex.crossJoin(F.broadcast(side("view", "a")))
+        .crossJoin(F.broadcast(side("click", "b")))
+        .crossJoin(F.broadcast(u))
+        .select(
+            "n_exact_overlap",
+            est_a.alias("est_view"),
+            est_b.alias("est_click"),
+            est_u.alias("est_union"),
+            (est_a + est_b - est_u).alias("est_overlap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# equi-depth feature binning from the fixed histogram: the deterministic
+# distributed QuantileDiscretizer. Thresholds come from the same 256-bin
+# CDF as histogram_quantiles_value (error <= bin width by construction,
+# mergeable across shards), so bin ASSIGNMENT is one broadcast row of 9
+# thresholds + codegen comparisons — no sort, no rank pass over the data.
+
+_DECILE_QS = tuple(i / 10 for i in range(1, 10))
+
+
+def _decile_oracle() -> str:
+    # bare float literals parse as DECIMAL in DuckDB — force doubles so
+    # the q*n compare is the same binary arithmetic Spark's lit() does
+    thr_cols = ", ".join(
+        f"MIN(CASE WHEN cum >= CAST({q!r} AS DOUBLE) * n"
+        f" THEN (bin + 1) * {_HIST_WIDTH} END) AS t{i}"
+        for i, q in enumerate(_DECILE_QS, start=1)
+    )
+    decile = " + ".join(
+        f"(CASE WHEN value >= t{i} THEN 1 ELSE 0 END)"
+        for i in range(1, len(_DECILE_QS) + 1)
+    )
+    return f"""
+WITH b AS (
+    SELECT LEAST(CAST(FLOOR(value / {_HIST_WIDTH}) AS BIGINT),
+                 {_HIST_BINS - 1}) AS bin
+    FROM events
+),
+c AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY 1),
+cum AS (
+    SELECT bin,
+           SUM(cnt) OVER (ORDER BY bin) AS cum,
+           SUM(cnt) OVER () AS n
+    FROM c
+),
+thr AS (SELECT {thr_cols} FROM cum)
+SELECT event_id, CAST({decile} AS BIGINT) AS decile
+FROM events, thr
+"""
+
+
+@register_supplementary(
+    "value_decile_assign", _decile_oracle(), tags=("pipeline",)
+)
+def value_decile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event equi-depth decile of `value` — the feature-binning /
+    QuantileDiscretizer pass a training pipeline runs before bucketized
+    embeddings or monotonic targets, made deterministic: thresholds are
+    the fixed-histogram CDF edges (X50's machinery), so the binning is
+    reproducible bit-for-bit across engines, partitionings, and reruns,
+    and shard histograms merge bin-wise for incremental refresh.
+
+    Extension beyond the reference surface. Scale shape: one scan ->
+    256-key histogram exchange -> a NINE-threshold broadcast row ->
+    codegen comparisons per event. The data path never sorts and never
+    ranks; contrast with exact per-row quantile assignment, which needs
+    a global rank pass (the X126 family) the moment you ask for exact
+    depth."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.least(
+            F.floor(F.col("value") / _HIST_WIDTH).cast("long"),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin")
+    )
+    c = b.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = c.select(
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    thr = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.lit(q) * F.col("n"),
+                    (F.col("bin") + 1) * _HIST_WIDTH,
+                )
+            ).alias(f"t{i}")
+            for i, q in enumerate(_DECILE_QS, start=1)
+        ]
+    )
+    decile = None
+    for i in range(1, len(_DECILE_QS) + 1):
+        term = F.when(F.col("value") >= F.col(f"t{i}"), 1).otherwise(0)
+        decile = term if decile is None else decile + term
+    return (
+        ev.select("event_id", "value")
+        .crossJoin(F.broadcast(thr))
+        .select("event_id", decile.cast("long").alias("decile"))
+    )

@@ -131,6 +131,8 @@ SAMPLE = [
     "payload_cdc_dedup",
     "hilbert_key_events",
     "attribution_last_touch",
+    "hll_user_overlap_view_click",
+    "value_decile_assign",
 ]
 
 
@@ -142,6 +144,8 @@ NONEMPTY_ON_EMPTY = {
     "part_copurchase_triangles": 1,
     # global footer-stats aggregate: one row (count 0, NULL min/max)
     "orders_footer_stats": 1,
+    # global overlap census: one row of zero counts/estimates
+    "hll_user_overlap_view_click": 1,
 }
 
 

@@ -49,6 +49,7 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "events_table_profile": 1,  # scalar: one-scan profile row
     "funnel_view_click_purchase": 1,  # scalar: funnel stage totals
     "histogram_quantiles_value": 1,  # tiny: quantiles over bin table
+    "value_decile_assign": 1,  # tiny: threshold row over the 256-bin table
     "hll_distinct_lineitem": 2,  # scalar: register merge to one row
     "orders_footer_stats": 1,  # scalar: footer-agg partials to one row
     "orders_mom_growth": 1,  # tiny: LAG over months-sized aggregate
@@ -70,6 +71,10 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "tpch_q6_forecast_revenue": 1,  # scalar: single revenue row
     "vocab_numericalize": 1,  # offsets: count-bucket prefix table
     "zorder_key_events": 1,  # tiny: z-order bounds row
+    "hilbert_key_events": 1,  # tiny: curve bounds row (zorder's shape)
+    # scalar: 3 register folds (view/click/union) + the exact-overlap
+    # count — each a <= 512-row input collapsing to one row
+    "hll_user_overlap_view_click": 4,
 }
 
 
