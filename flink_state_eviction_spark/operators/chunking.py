@@ -108,15 +108,20 @@ def cdc_chunks_udf():
     return F.pandas_udf(_CHUNK_SCHEMA)(_chunks)
 
 
-def exploded_chunks(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def exploded_chunks(
+    media: DataFrame, id_col: str = "doc_id", checkpoint: bool = False
+) -> DataFrame:
     """Chunk every payload into narrow (_id, _off, _len, _h) rows —
-    scan-parallel Arrow work, payload bytes never leave the scan. Lazy
-    checkpoint: callers feed the frame to BOTH an election groupBy and
-    the join back (no exchange reuse across differing subtrees).
+    scan-parallel Arrow work, payload bytes never leave the scan.
+    ``checkpoint=True`` adds a lazy boundary for callers that feed the
+    frame to BOTH an election groupBy and the join back (no exchange
+    reuse across differing subtrees — cdc_dedup_stats); single-consumer
+    callers (the streaming maintainer's per-batch election, state
+    serving) leave it off, keeping plain recomputable lineage.
     THE chunk builder shared by the batch query and the streaming
     maintainer (chunk_maintain.py), so a boundary or hash change cannot
     diverge the twins."""
-    return media.select(
+    out = media.select(
         F.col(id_col).alias("_id"),
         F.explode(cdc_chunks_udf()(F.col("media"))).alias("_c"),
     ).select(
@@ -124,18 +129,24 @@ def exploded_chunks(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col("_c.offset").alias("_off"),
         F.col("_c.length").alias("_len"),
         F.col("_c.hash").alias("_h"),
-    ).localCheckpoint(eager=False)
+    )
+    return out.localCheckpoint(eager=False) if checkpoint else out
 
 
-def first_occurrences(chunks: DataFrame) -> DataFrame:
+def first_occurrences(chunks: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Each distinct chunk's FIRST occurrence (smallest (_id, _off) —
-    deterministic): (_h, _first struct). Lazy boundary on the aggregate
-    side: an agg between its shuffle and a join defeats
+    deterministic): (_h, _first struct). THE election kernel shared by
+    the batch query and the streaming maintainer's per-batch/compaction
+    folds, so a tie-break change cannot diverge the twins.
+    ``checkpoint=True`` (serving paths) adds the lazy boundary on the
+    aggregate side: an agg between its shuffle and a join defeats
     OptimizeSkewedJoin (round-5 gotcha, probed on the novelty join) —
-    with it, a hot chunk hash on the probe side stays AQE-splittable."""
-    return chunks.groupBy("_h").agg(
+    with it, a hot chunk hash on the probe side stays AQE-splittable.
+    Write-only folds pass False (no downstream join)."""
+    out = chunks.groupBy("_h").agg(
         F.min(F.struct("_id", "_off")).alias("_first")
-    ).localCheckpoint(eager=False)
+    )
+    return out.localCheckpoint(eager=False) if checkpoint else out
 
 
 def dedup_stats_from_first(
@@ -179,5 +190,5 @@ def cdc_dedup_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     groupBy on the 64-bit chunk hash over narrow rows; the join back is
     hash-keyed. Payload bytes never shuffle.
     """
-    chunks = exploded_chunks(media, id_col)
+    chunks = exploded_chunks(media, id_col, checkpoint=True)
     return dedup_stats_from_first(chunks, first_occurrences(chunks), id_col)

@@ -40,21 +40,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _flat_election(shaped: DataFrame) -> DataFrame:
+    """Run the SHARED election kernel (chunking.first_occurrences — one
+    tie-break implementation for batch and streaming) over an internal
+    (_id, _off, _h) frame and flatten to the state schema (h, fid,
+    foff). checkpoint=False: these are write-only folds, no downstream
+    join to keep skew-eligible."""
+    from flink_state_eviction_spark.operators.chunking import (
+        first_occurrences,
+    )
+
+    return first_occurrences(shaped, checkpoint=False).select(
+        F.col("_h").alias("h"),
+        F.col("_first._id").alias("fid"),
+        F.col("_first._off").alias("foff"),
+    )
+
+
 def _batch_election(batch_media: DataFrame, id_col: str) -> DataFrame:
     """(h, fid, foff) for one batch: per-hash batch-local first
-    occurrence, via the shared chunk builder."""
+    occurrence, via the shared chunk builder + election kernel."""
     from flink_state_eviction_spark.operators.chunking import (
         exploded_chunks,
     )
 
-    ch = exploded_chunks(batch_media, id_col)
-    return ch.groupBy(F.col("_h").alias("h")).agg(
-        F.min(F.struct("_id", "_off")).alias("_f")
-    ).select(
-        "h",
-        F.col("_f._id").alias("fid"),
-        F.col("_f._off").alias("foff"),
-    )
+    return _flat_election(exploded_chunks(batch_media, id_col))
 
 
 def chunks_maintain_batch(
@@ -72,13 +82,15 @@ def chunks_maintain_batch(
 
 
 def _min_election(df: DataFrame) -> DataFrame:
-    return df.groupBy("h").agg(
-        F.min(F.struct(F.col("fid"), F.col("foff"))).alias("_f")
-    ).select(
-        "h",
-        F.col("_f.fid").alias("fid"),
-        F.col("_f.foff").alias("foff"),
+    """Re-reduce state rows (h, fid, foff) through the same shared
+    kernel (min is associative: min-of-batch-mins IS the corpus
+    election)."""
+    shaped = df.select(
+        F.col("h").alias("_h"),
+        F.col("fid").alias("_id"),
+        F.col("foff").alias("_off"),
     )
+    return _flat_election(shaped)
 
 
 def compact_chunk_index(
