@@ -214,3 +214,47 @@ def sniff_container(buf: bytes) -> str:
     if len(buf) >= 3 and buf[:2] == b"P6" and buf[2] in b" \t\r\n#":
         return "ppm"
     raise ValueError("unrecognized media container")
+
+
+def split_ppm_stream(buf: bytes) -> list[bytes]:
+    """Split a concatenation of binary PPM (P6) frames — the repo's
+    minimal REAL multi-frame 'video' container — into per-frame byte
+    slices. Each slice is then decodable by the strict single-frame
+    :func:`decode_ppm` (ONE parser for both paths; this function only
+    computes frame extents with the same header rules). Raises
+    ValueError on truncation or inter-frame garbage."""
+    frames = []
+    pos, n = 0, len(buf)
+    while pos < n:
+        if buf[pos : pos + 2] != b"P6":
+            raise ValueError(f"frame {len(frames)}: not a P6 header at {pos}")
+        p, fields = pos + 2, []
+        while len(fields) < 3:
+            if p >= n:
+                raise ValueError("PPM header truncated")
+            c = buf[p]
+            if c in b" \t\r\n":
+                p += 1
+            elif c == ord("#"):
+                nl = buf.find(b"\n", p)
+                if nl < 0:
+                    raise ValueError("PPM comment runs past EOF")
+                p = nl + 1
+            elif ord("0") <= c <= ord("9"):
+                end = p
+                while end < n and ord("0") <= buf[end] <= ord("9"):
+                    end += 1
+                fields.append(int(buf[p:end]))
+                p = end
+            else:
+                raise ValueError(f"unexpected byte {c!r} in PPM header")
+        w, h, _ = fields
+        if p >= n or buf[p] not in b" \t\r\n":
+            raise ValueError("PPM header not terminated by whitespace")
+        p += 1
+        end = p + w * h * 3
+        if end > n:
+            raise ValueError("PPM raster truncated mid-frame")
+        frames.append(buf[pos:end])
+        pos = end
+    return frames

@@ -479,3 +479,97 @@ def bmp_tile_stats(media_df: DataFrame, tile: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(op, TILE_SCHEMA)
+
+
+def ppmv_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL multi-frame 'video' payloads: h48%6+2
+    concatenated P6 PPM frames per doc (the repo's minimal genuine
+    video container — every frame independently spec-conformant), each
+    frame (h48%9+1) x (h48%7+1) with raster byte j of frame f equal to
+    (doc_id%256 * 3 + f * 11 + j * 5) % 256 — closed-form for the SQL
+    oracle, real containers on the wire. Output: (doc_id, media)."""
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import encode_ppm
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            medias = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _h48(text)
+                w, ht, d = h % 9 + 1, h % 7 + 1, int(doc_id) % 256
+                nf = h % 6 + 2
+                j = np.arange(w * ht * 3, dtype=np.int64)
+                frames = [
+                    encode_ppm(
+                        ((d * 3 + f * 11 + j * 5) % 256)
+                        .astype(np.uint8)
+                        .reshape(ht, w, 3)
+                    )
+                    for f in range(nf)
+                ]
+                medias.append(b"".join(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, media binary"
+    )
+
+
+def sample_ppm_frames(media_df: DataFrame, stride: int) -> DataFrame:
+    """REAL frame sampling from the concatenated-PPM container: split
+    the byte stream into frames (functions/codecs.py:split_ppm_stream —
+    extents from the actual headers, not metadata), decode every
+    ``stride``-th frame with the strict single-frame parser, and emit
+    its decode-verified statistics. Output:
+    (doc_id, frame_idx, width, height, n_values, sum_values,
+    mean_value).
+
+    Scale shape: scan-parallel mapInPandas (Arrow batches), payloads
+    never shuffle; a corrupt container raises (the codec ValueError
+    contract) rather than emitting silent zeros. Skipped frames are
+    never DECODED — only their extents are walked — which is the point
+    of sampling: IO-bound header hops instead of full-frame decode."""
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import (
+        decode_ppm,
+        split_ppm_stream,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                frames = split_ppm_stream(bytes(media))
+                for f in range(0, len(frames), stride):
+                    px = decode_ppm(frames[f]).astype(np.int64)
+                    n = int(px.size)
+                    s = int(px.sum())
+                    rows.append(
+                        (
+                            int(doc_id),
+                            f,
+                            int(px.shape[1]),
+                            int(px.shape[0]),
+                            n,
+                            s,
+                            round(s / n, 6),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "frame_idx", "width", "height",
+                        "n_values", "sum_values", "mean_value",
+                    ],
+                )
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        gen,
+        "doc_id bigint, frame_idx int, width int, height int,"
+        " n_values bigint, sum_values bigint, mean_value double",
+    )

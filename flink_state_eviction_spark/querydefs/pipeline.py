@@ -4598,3 +4598,71 @@ def value_decile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(thr))
         .select("event_id", decile.cast("long").alias("decile"))
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL video-frame sampling: the multi-frame container op the media
+# pipeline needs (every k-th frame decoded, the rest extent-walked).
+# Payloads are genuine concatenated P6 PPM frames; the oracle
+# integrates the per-frame pixel formula in closed form, exactly like
+# the BMP/WAV/PPM decode oracles.
+
+_FRAME_STRIDE = 2
+
+_FRAME_SAMPLE_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, h % 9 + 1 AS w, h % 7 + 1 AS ht, h % 6 + 2 AS nf, d
+    FROM m
+),
+frames AS (
+    SELECT doc_id, w, ht, d,
+           unnest(range(0, nf, {_FRAME_STRIDE})) AS f
+    FROM dims
+),
+px AS (
+    SELECT doc_id, w, ht, d, f,
+           unnest(range(0, w * ht * 3)) AS j
+    FROM frames
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(ht AS INTEGER) AS height,
+       CAST(w * ht * 3 AS BIGINT) AS n_values,
+       CAST(SUM((d * 3 + f * 11 + j * 5) % 256) AS BIGINT) AS sum_values,
+       round(CAST(SUM((d * 3 + f * 11 + j * 5) % 256) AS DOUBLE)
+             / (w * ht * 3), 6) AS mean_value
+FROM px GROUP BY doc_id, f, w, ht, d
+"""
+
+
+@register_supplementary(
+    "multimodal_frame_sample", _FRAME_SAMPLE_ORACLE, tags=("pipeline", "multimodal")
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling from a REAL multi-frame container: every doc gets
+    a genuine concatenated-P6-PPM 'video' (2-7 frames), the sampler
+    walks frame extents from the actual headers and DECODES only every
+    2nd frame (operators/multimodal.py:sample_ppm_frames), emitting
+    decode-verified per-frame statistics the oracle reproduces in
+    closed form.
+
+    Extension beyond the reference surface — the video leg of the
+    multimodal convention (images X23/X95, audio X24/X82, and now
+    frame-sampled video over the X116 P6 codec). Scan-parallel mapInPandas, payload bytes
+    never shuffle; skipped frames cost a header hop, not a decode."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        ppmv_media_from_documents,
+        sample_ppm_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_ppm_frames(
+        ppmv_media_from_documents(docs), stride=_FRAME_STRIDE
+    )

@@ -133,6 +133,8 @@ SAMPLE = [
     "attribution_last_touch",
     "hll_user_overlap_view_click",
     "value_decile_assign",
+    "customer_entity_resolution",
+    "multimodal_frame_sample",
 ]
 
 

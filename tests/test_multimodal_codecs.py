@@ -185,3 +185,43 @@ def test_ppm_corrupt_payloads_raise_valueerror():
     for buf in bad:
         with pytest.raises(ValueError):
             decode_ppm(buf)
+
+
+# ---------------------------------------------------------------------------
+# multi-frame PPM stream (X155): extent walk + strict per-frame decode
+
+
+def test_split_ppm_stream_roundtrip():
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import (
+        decode_ppm,
+        encode_ppm,
+        split_ppm_stream,
+    )
+
+    frames = [
+        encode_ppm(np.full((2, 3, 3), f * 10, dtype=np.uint8))
+        for f in range(4)
+    ]
+    got = split_ppm_stream(b"".join(frames))
+    assert got == frames
+    for f, buf in enumerate(got):
+        assert (decode_ppm(buf) == f * 10).all()
+
+
+def test_split_ppm_stream_rejects_garbage_and_truncation():
+    import numpy as np
+    import pytest
+
+    from flink_state_eviction_spark.functions.codecs import (
+        encode_ppm,
+        split_ppm_stream,
+    )
+
+    one = encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        split_ppm_stream(one + b"JUNK")  # inter-frame garbage
+    with pytest.raises(ValueError):
+        split_ppm_stream(one + one[:-5])  # truncated second frame
+    assert split_ppm_stream(b"") == []
