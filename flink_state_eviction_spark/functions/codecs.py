@@ -161,15 +161,16 @@ def encode_ppm(px: "np.ndarray") -> bytes:
     )
 
 
-def decode_ppm(buf: bytes) -> "np.ndarray":
-    """Parse a binary PPM (P6): whitespace-separated width/height/
-    maxval header (comments '#' to end-of-line allowed, per spec),
-    single whitespace byte, then w*h*3 raw bytes. Raises ValueError on
-    any malformation — the decode_media executors rely on the
-    ValueError contract for corrupt payloads."""
-    if len(buf) < 2 or buf[:2] != b"P6":
-        raise ValueError("not a P6 PPM payload")
-    pos, fields = 2, []
+def _parse_ppm_header(buf: bytes, start: int) -> tuple[int, int, int]:
+    """Parse one P6 header at ``start``: whitespace-separated width/
+    height/maxval (comments '#' to end-of-line allowed, per spec) plus
+    the single terminating whitespace byte, with full validation
+    (maxval 255, positive dims). Returns (w, h, raster_start). THE one
+    header parser shared by the strict single-frame decode and the
+    multi-frame extent walk, so validation rules cannot diverge."""
+    if buf[start : start + 2] != b"P6":
+        raise ValueError(f"not a P6 PPM header at offset {start}")
+    pos, fields = start + 2, []
     while len(fields) < 3:
         if pos >= len(buf):
             raise ValueError("PPM header truncated")
@@ -196,7 +197,14 @@ def decode_ppm(buf: bytes) -> "np.ndarray":
         raise ValueError(f"bad PPM dimensions {w}x{h}")
     if pos >= len(buf) or buf[pos] not in b" \t\r\n":
         raise ValueError("PPM header not terminated by whitespace")
-    pos += 1
+    return w, h, pos + 1
+
+
+def decode_ppm(buf: bytes) -> "np.ndarray":
+    """Parse a binary PPM (P6) via the shared header parser, then w*h*3
+    raw bytes. Raises ValueError on any malformation — the decode_media
+    executors rely on the ValueError contract for corrupt payloads."""
+    w, h, pos = _parse_ppm_header(buf, 0)
     need = w * h * 3
     if len(buf) - pos != need:
         raise ValueError(
@@ -216,45 +224,29 @@ def sniff_container(buf: bytes) -> str:
     raise ValueError("unrecognized media container")
 
 
-def split_ppm_stream(buf: bytes) -> list[bytes]:
-    """Split a concatenation of binary PPM (P6) frames — the repo's
-    minimal REAL multi-frame 'video' container — into per-frame byte
-    slices. Each slice is then decodable by the strict single-frame
-    :func:`decode_ppm` (ONE parser for both paths; this function only
-    computes frame extents with the same header rules). Raises
-    ValueError on truncation or inter-frame garbage."""
-    frames = []
+def ppm_frame_extents(buf: bytes) -> list[tuple[int, int]]:
+    """Walk a concatenation of binary PPM (P6) frames — the repo's
+    minimal REAL multi-frame 'video' container — and return each
+    frame's (start, end) byte extent WITHOUT copying rasters. Headers
+    go through the same shared parser as :func:`decode_ppm` (full
+    validation — a malformed header in a frame the caller intends to
+    SKIP still raises, and a wrong maxval cannot silently mis-slice
+    later frames). Raises ValueError on truncation or inter-frame
+    garbage."""
+    extents = []
     pos, n = 0, len(buf)
     while pos < n:
-        if buf[pos : pos + 2] != b"P6":
-            raise ValueError(f"frame {len(frames)}: not a P6 header at {pos}")
-        p, fields = pos + 2, []
-        while len(fields) < 3:
-            if p >= n:
-                raise ValueError("PPM header truncated")
-            c = buf[p]
-            if c in b" \t\r\n":
-                p += 1
-            elif c == ord("#"):
-                nl = buf.find(b"\n", p)
-                if nl < 0:
-                    raise ValueError("PPM comment runs past EOF")
-                p = nl + 1
-            elif ord("0") <= c <= ord("9"):
-                end = p
-                while end < n and ord("0") <= buf[end] <= ord("9"):
-                    end += 1
-                fields.append(int(buf[p:end]))
-                p = end
-            else:
-                raise ValueError(f"unexpected byte {c!r} in PPM header")
-        w, h, _ = fields
-        if p >= n or buf[p] not in b" \t\r\n":
-            raise ValueError("PPM header not terminated by whitespace")
-        p += 1
-        end = p + w * h * 3
+        w, h, raster = _parse_ppm_header(buf, pos)
+        end = raster + w * h * 3
         if end > n:
             raise ValueError("PPM raster truncated mid-frame")
-        frames.append(buf[pos:end])
+        extents.append((pos, end))
         pos = end
-    return frames
+    return extents
+
+
+def split_ppm_stream(buf: bytes) -> list[bytes]:
+    """Per-frame byte slices of a concatenated-P6 stream (see
+    :func:`ppm_frame_extents`; use the extents directly when most
+    frames will be skipped — slicing copies rasters)."""
+    return [buf[s:e] for s, e in ppm_frame_extents(buf)]

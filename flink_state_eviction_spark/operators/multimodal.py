@@ -520,7 +520,7 @@ def ppmv_media_from_documents(docs: DataFrame) -> DataFrame:
 
 def sample_ppm_frames(media_df: DataFrame, stride: int) -> DataFrame:
     """REAL frame sampling from the concatenated-PPM container: split
-    the byte stream into frames (functions/codecs.py:split_ppm_stream —
+    the byte stream into frames (functions/codecs.py:ppm_frame_extents —
     extents from the actual headers, not metadata), decode every
     ``stride``-th frame with the strict single-frame parser, and emit
     its decode-verified statistics. Output:
@@ -536,16 +536,20 @@ def sample_ppm_frames(media_df: DataFrame, stride: int) -> DataFrame:
 
     from flink_state_eviction_spark.functions.codecs import (
         decode_ppm,
-        split_ppm_stream,
+        ppm_frame_extents,
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
-                frames = split_ppm_stream(bytes(media))
-                for f in range(0, len(frames), stride):
-                    px = decode_ppm(frames[f]).astype(np.int64)
+                blob = bytes(media)
+                # extents only — skipped frames are never sliced or
+                # decoded; their rasters are never copied
+                extents = ppm_frame_extents(blob)
+                for f in range(0, len(extents), stride):
+                    s, e = extents[f]
+                    px = decode_ppm(blob[s:e]).astype(np.int64)
                     n = int(px.size)
                     s = int(px.sum())
                     rows.append(

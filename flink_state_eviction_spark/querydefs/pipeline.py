@@ -4648,7 +4648,8 @@ FROM px GROUP BY doc_id, f, w, ht, d
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling from a REAL multi-frame container: every doc gets
     a genuine concatenated-P6-PPM 'video' (2-7 frames), the sampler
-    walks frame extents from the actual headers and DECODES only every
+    walks frame extents from the actual headers (skipped frames are
+    validated but never sliced or decoded) and DECODES only every
     2nd frame (operators/multimodal.py:sample_ppm_frames), emitting
     decode-verified per-frame statistics the oracle reproduces in
     closed form.

@@ -2118,14 +2118,15 @@ def customer_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     mapped = canonical_mapping(cust, comp, id_col="c_custkey").select(
-        "c_custkey", F.col("keeper_id").alias("canonical_id")
+        "c_custkey",
+        F.col("keeper_id").alias("canonical_id"),
+        # the canonical flag is canonical_mapping's is_kept — defined in
+        # the operator, not re-derived here
+        F.col("is_kept").alias("is_canonical"),
     )
     sizes = mapped.groupBy("canonical_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
     return mapped.join(sizes, "canonical_id").select(
-        "c_custkey",
-        "canonical_id",
-        (F.col("c_custkey") == F.col("canonical_id")).alias("is_canonical"),
-        "cluster_size",
+        "c_custkey", "canonical_id", "is_canonical", "cluster_size"
     )

@@ -225,3 +225,27 @@ def test_split_ppm_stream_rejects_garbage_and_truncation():
     with pytest.raises(ValueError):
         split_ppm_stream(one + one[:-5])  # truncated second frame
     assert split_ppm_stream(b"") == []
+
+
+def test_ppm_extent_walk_validates_skipped_frames():
+    # the extent walk must validate EVERY header (shared parser), so a
+    # corrupt frame the sampling stride would skip still raises — and a
+    # wrong maxval can never silently mis-slice later frames
+    import numpy as np
+    import pytest
+
+    from flink_state_eviction_spark.functions.codecs import (
+        encode_ppm,
+        ppm_frame_extents,
+    )
+
+    good = encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+    bad_maxval = b"P6\n2 2\n100\n" + b"\x00" * 12
+    zero_dim = b"P6\n0 2\n255\n"
+    with pytest.raises(ValueError):
+        ppm_frame_extents(good + bad_maxval + good)
+    with pytest.raises(ValueError):
+        ppm_frame_extents(good + zero_dim + good)
+    # extents cover the stream exactly, no raster copies
+    ext = ppm_frame_extents(good + good)
+    assert ext == [(0, len(good)), (len(good), 2 * len(good))]
