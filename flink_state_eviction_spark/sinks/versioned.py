@@ -1,0 +1,234 @@
+"""Versioned parquet table with time-travel reads — a minimal
+Delta-style commit log over plain parquet.
+
+Extension beyond the reference surface (the reference has no storage
+layer — SURVEY.md §2.6). Why a lake needs it: reproducing a training
+run requires reading the corpus AS OF the snapshot it was built from,
+and concurrent writers must never expose half-written data. Both come
+from one mechanism: data files are immutable once written, and a tiny
+commit record — written LAST, atomically — defines what a version IS.
+
+Layout (all under the table root):
+
+    data/v=<n>-<token>/part-*.parquet   immutable data written by ONE
+                                commit attempt (the token makes the dir
+                                attempt-unique, so a racing loser can
+                                never clobber the winner's files — it
+                                leaves an unreferenced orphan instead)
+    _commits/<n>.json           the commit record: the LOGICAL snapshot
+                                (list of data dirs), row count, content
+                                digest, parent version, mode
+
+Design points (each pinned in tests/test_versioned_table.py):
+
+- **Atomic visibility.** The commit record is staged and ``os.rename``d
+  into place; readers list ``_commits/`` only, so a writer that dies
+  after writing data but before committing leaves an INVISIBLE orphan
+  dir (``vacuum_uncommitted`` reclaims it).
+- **Optimistic concurrency.** The rename target is created with
+  O_CREAT|O_EXCL semantics via ``os.link`` — two writers racing to
+  commit the same version: exactly one wins, the loser raises and must
+  retry on the next version (no torn log, no last-writer-wins).
+- **Appends are O(batch).** An append's snapshot = parent's dir list +
+  its own new dir: old files are never rewritten or copied (asserted
+  on mtimes), so committing a micro-batch into a 100 TB table costs
+  the batch plus one small JSON write. Overwrite starts a fresh list.
+- **Integrity composes.** Every commit stores the order-independent
+  content digest (sinks/manifest.py: mergeable mod-2^61 row-hash sum),
+  so ``verify_version`` re-folds the snapshot and catches lost /
+  doubled / altered rows per version — time travel you can trust.
+- **Read planning is O(dirs).** A snapshot read is
+  ``spark.read.parquet(*dirs)`` — no log replay beyond one JSON file;
+  partition pruning and pushdown work unchanged on the union scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_state_eviction_spark.sinks.manifest import content_digest
+
+_COMMITS = "_commits"
+_DATA = "data"
+
+
+def _commit_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _COMMITS)
+
+
+def committed_versions(table_dir: str) -> list[int]:
+    d = _commit_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+    )
+
+
+def _read_commit(table_dir: str, version: int) -> dict:
+    with open(os.path.join(_commit_dir(table_dir), f"{version}.json")) as fh:
+        return json.load(fh)
+
+
+def commit_version(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+) -> int:
+    """Write ``df`` as the table's next version and return its number.
+    ``mode='append'`` extends the latest committed snapshot;
+    ``'overwrite'`` starts a fresh one. Raises on a commit race loss
+    (another writer committed the same version first) — the caller
+    retries, re-reading the new latest snapshot if its write depended
+    on it."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    versions = committed_versions(table_dir)
+    parent = versions[-1] if versions else None
+    version = (parent + 1) if parent is not None else 0
+    # attempt-unique dir: two writers racing to the same version write
+    # DISJOINT dirs, so the commit-link loser cannot have clobbered the
+    # winner's data — its orphan is reclaimed by vacuum_uncommitted
+    token = uuid.uuid4().hex[:8]
+    vdir = os.path.join(table_dir, _DATA, f"v={version}-{token}")
+
+    # 1. immutable data for this version (invisible until committed);
+    # digest what actually LANDED, not the input lineage (the
+    # write_with_manifest lesson)
+    df.write.mode("overwrite").parquet(vdir)
+    dig = content_digest(df.sparkSession.read.parquet(vdir))
+
+    if mode == "append" and parent is not None:
+        pc = _read_commit(table_dir, parent)
+        if sorted(df.columns) != pc["columns"]:
+            # a drifted schema would both break the union read and make
+            # the merged digest meaningless — refuse before committing
+            # (schema evolution goes through overwrite, or the
+            # mergeSchema path pinned in test_sinks X120)
+            raise ValueError(
+                f"append schema {sorted(df.columns)} != table schema "
+                f"{pc['columns']}; use mode='overwrite' to change it"
+            )
+        dirs = pc["dirs"] + [vdir]
+        n_rows = pc["n_rows"] + dig["rows"]
+        # mergeable digest: shard sums add (sinks/manifest.py)
+        digest = (pc["digest"] + dig["digest"]) % (1 << 61)
+    else:
+        dirs, n_rows, digest = [vdir], dig["rows"], dig["digest"]
+
+    record = {
+        "version": version,
+        "parent": parent,
+        "mode": mode,
+        "dirs": dirs,
+        "n_rows": n_rows,
+        "digest": digest,
+        "columns": sorted(df.columns),
+    }
+
+    # 2. atomic, exclusive commit: stage the record, then os.link it to
+    # the final name — link fails with FileExistsError if a racing
+    # writer committed this version first (rename would silently
+    # clobber); the staged file is always cleaned up
+    cdir = _commit_dir(table_dir)
+    os.makedirs(cdir, exist_ok=True)
+    staged = os.path.join(cdir, f".{version}.json.tmp-{os.getpid()}")
+    final = os.path.join(cdir, f"{version}.json")
+    with open(staged, "w") as fh:
+        json.dump(record, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(staged, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"commit race lost: version {version} of {table_dir} was "
+            "committed by another writer; retry on the new latest"
+        ) from None
+    finally:
+        os.unlink(staged)
+    return version
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the table AS OF ``version`` (default: latest
+    committed). Uncommitted data dirs are invisible by construction."""
+    versions = committed_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no committed versions in {table_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not committed (have {versions})"
+        )
+    return spark.read.parquet(*_read_commit(table_dir, version)["dirs"])
+
+
+def table_history(table_dir: str) -> list[dict]:
+    """Commit metadata per version (version, parent, mode, n_rows,
+    digest, dir count) — the audit trail a reproducible training run
+    records next to its config."""
+    out = []
+    for v in committed_versions(table_dir):
+        r = _read_commit(table_dir, v)
+        out.append(
+            {
+                "version": r["version"],
+                "parent": r["parent"],
+                "mode": r["mode"],
+                "n_rows": r["n_rows"],
+                "digest": r["digest"],
+                "n_dirs": len(r["dirs"]),
+            }
+        )
+    return out
+
+
+def verify_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> dict:
+    """Re-fold the snapshot's content digest and compare with the
+    commit record — catches lost / doubled / altered rows in any file
+    of any dir the version references."""
+    versions = committed_versions(table_dir)
+    if version is None:
+        version = versions[-1]
+    rec = _read_commit(table_dir, version)
+    got = content_digest(
+        read_version(spark, table_dir, version), rec["columns"]
+    )
+    return {
+        "version": version,
+        "ok": got["rows"] == rec["n_rows"] and got["digest"] == rec["digest"],
+        "expected": {"n_rows": rec["n_rows"], "digest": rec["digest"]},
+        "actual": got,
+    }
+
+
+def vacuum_uncommitted(table_dir: str) -> list[str]:
+    """Remove data dirs no committed version references (crashed
+    writers' orphans). Safe by construction: commit records are the
+    only visibility mechanism, and they are never edited after the
+    exclusive link."""
+    referenced: set[str] = set()
+    for v in committed_versions(table_dir):
+        referenced.update(
+            os.path.normpath(d) for d in _read_commit(table_dir, v)["dirs"]
+        )
+    data_root = os.path.join(table_dir, _DATA)
+    removed = []
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            full = os.path.normpath(os.path.join(data_root, d))
+            if full not in referenced:
+                shutil.rmtree(full)
+                removed.append(full)
+    return removed

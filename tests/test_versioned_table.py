@@ -1,0 +1,143 @@
+"""Versioned parquet table (sinks/versioned.py): time-travel reads,
+atomic commit visibility, commit-race exclusivity, O(batch) appends
+(old files untouched), per-version integrity, orphan vacuum."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.sinks.versioned import (
+    commit_version,
+    committed_versions,
+    read_version,
+    table_history,
+    vacuum_uncommitted,
+    verify_version,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _orders(spark, sf_dir, lo, hi):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def test_overwrite_append_time_travel(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    a = _orders(spark, sf_dir, 0, 100)
+    b = _orders(spark, sf_dir, 100, 200)
+    c = _orders(spark, sf_dir, 0, 50)
+
+    v0 = commit_version(a, t, mode="overwrite")
+    v1 = commit_version(b, t, mode="append")
+    v2 = commit_version(c, t, mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert committed_versions(t) == [0, 1, 2]
+
+    na, nb, nc = a.count(), b.count(), c.count()
+    assert read_version(spark, t, 0).count() == na
+    assert read_version(spark, t, 1).count() == na + nb  # snapshot union
+    assert read_version(spark, t, 2).count() == nc
+    assert read_version(spark, t).count() == nc  # latest
+
+    hist = table_history(t)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[1]["mode"] == "append" and hist[1]["parent"] == 0
+    assert hist[1]["n_dirs"] == 2 and hist[2]["n_dirs"] == 1
+    # every version verifies against its stored digest
+    for v in (0, 1, 2):
+        assert verify_version(spark, t, v)["ok"], v
+
+    with pytest.raises(ValueError):
+        read_version(spark, t, 7)
+
+
+def test_append_never_rewrites_old_files(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_version(_orders(spark, sf_dir, 0, 100), t, mode="overwrite")
+    v0_files = sorted(glob.glob(os.path.join(t, "data", "v=0-*", "*.parquet")))
+    mtimes = {f: os.path.getmtime(f) for f in v0_files}
+    commit_version(_orders(spark, sf_dir, 100, 200), t, mode="append")
+    assert sorted(
+        glob.glob(os.path.join(t, "data", "v=0-*", "*.parquet"))
+    ) == v0_files
+    assert all(os.path.getmtime(f) == mtimes[f] for f in v0_files)
+
+
+def test_uncommitted_data_is_invisible_and_vacuumable(
+    spark, sf_dir, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    commit_version(_orders(spark, sf_dir, 0, 100), t, mode="overwrite")
+    n0 = read_version(spark, t).count()
+    # a crashed writer: data landed, commit never happened
+    orphan = os.path.join(t, "data", "v=1")
+    _orders(spark, sf_dir, 100, 200).write.parquet(orphan)
+    assert committed_versions(t) == [0]
+    assert read_version(spark, t).count() == n0  # invisible
+    removed = vacuum_uncommitted(t)
+    assert removed == [os.path.normpath(orphan)]
+    assert not os.path.exists(orphan)
+    assert verify_version(spark, t, 0)["ok"]  # committed data untouched
+
+
+def test_commit_race_is_exclusive(spark, sf_dir, tmp_path, monkeypatch):
+    import flink_state_eviction_spark.sinks.versioned as V
+
+    t = str(tmp_path / "tbl")
+    commit_version(_orders(spark, sf_dir, 0, 100), t, mode="overwrite")
+    winner = commit_version(
+        _orders(spark, sf_dir, 100, 200), t, mode="append"
+    )
+    assert winner == 1
+    # the loser: computed its version from a STALE listing (only v0
+    # visible — the interleaving where another writer commits between
+    # our list and our link), so it also targets version 1
+    monkeypatch.setattr(V, "committed_versions", lambda d: [0])
+    with pytest.raises(RuntimeError, match="commit race lost"):
+        V.commit_version(
+            _orders(spark, sf_dir, 200, 300), t, mode="overwrite"
+        )
+    monkeypatch.undo()
+    # the winner's commit record AND data are untouched (the loser wrote
+    # an attempt-unique dir, not the winner's), no staged file remains,
+    # and the loser's orphan is vacuumable
+    cdir = os.path.join(t, "_commits")
+    assert sorted(os.listdir(cdir)) == ["0.json", "1.json"]
+    assert verify_version(spark, t, 1)["ok"]
+    assert len(vacuum_uncommitted(t)) == 1  # the loser's orphan
+    assert verify_version(spark, t, 1)["ok"]
+
+
+def test_append_schema_drift_refused(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_version(_orders(spark, sf_dir, 0, 100), t, mode="overwrite")
+    drifted = _orders(spark, sf_dir, 100, 200).withColumn(
+        "extra", F.lit(1)
+    )
+    with pytest.raises(ValueError, match="append schema"):
+        commit_version(drifted, t, mode="append")
+    # overwrite with the new schema is the sanctioned path
+    v = commit_version(drifted, t, mode="overwrite")
+    assert "extra" in read_version(spark, t, v).columns
+
+
+def test_tamper_detected_by_verify(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    # two data files so losing one leaves a READABLE (but wrong) snapshot
+    commit_version(
+        _orders(spark, sf_dir, 0, 100).repartition(2), t, mode="overwrite"
+    )
+    f = sorted(glob.glob(os.path.join(t, "data", "v=0-*", "*.parquet")))[0]
+    os.remove(f)
+    crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+    if os.path.exists(crc):  # Hadoop LocalFS sidecar (CLAUDE.md gotcha)
+        os.remove(crc)
+    assert not verify_version(spark, t, 0)["ok"]
