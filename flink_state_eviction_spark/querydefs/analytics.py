@@ -9,7 +9,7 @@ says what 100 TB problem the shape solves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_state_eviction_spark.functions.hashing import h64, sql_h64
@@ -1368,5 +1368,108 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("double")
             .alias("credited_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# conversion-latency quantiles: click -> purchase time-to-convert
+# distribution, composed from the X3 as-of join (latest prior click per
+# purchase) and the X50 fixed-histogram quantile machinery (mergeable,
+# bin-width-bounded error, bit-reproducible) — the funnel-latency
+# report a growth dashboard refreshes hourly.
+
+_LAT_BINS = 256
+_LAT_WIDTH_S = 3600  # 1h bins; cap at bin 255 (~10.6 days)
+
+_CONV_LATENCY_ORACLE = f"""
+WITH p AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+    SELECT p.ts AS pts, c.ts AS cts
+    FROM p ASOF JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+),
+lat AS (
+    SELECT (epoch_ms(pts) - epoch_ms(cts)) // 1000 AS lat_s FROM j
+),
+b AS (
+    SELECT LEAST(lat_s // {_LAT_WIDTH_S}, {_LAT_BINS - 1}) AS bin FROM lat
+),
+cnt AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY 1),
+cum AS (
+    SELECT bin,
+           SUM(cnt) OVER (ORDER BY bin) AS cum,
+           SUM(cnt) OVER () AS n
+    FROM cnt
+),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) AS t(q))
+SELECT q,
+       CAST(MIN(CASE WHEN cum >= q * n
+                THEN (bin + 1) * {_LAT_WIDTH_S} END) AS BIGINT)
+           AS approx_latency_s
+FROM qs CROSS JOIN cum
+GROUP BY q
+"""
+
+
+@register_supplementary(
+    "conversion_latency_quantiles", _CONV_LATENCY_ORACLE, tags=("analytics", "asof")
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of click->purchase conversion latency: the as-of
+    join (union-LOCF, X3 — inner here: purchases with no prior click
+    have no latency) feeds the fixed 1h-bin histogram CDF (X50 —
+    deterministic, mergeable, error <= bin width).
+
+    Extension beyond the reference surface. Scale shape: one keyed
+    shuffle for the as-of, a 256-key histogram exchange, a 256-row
+    cumulative pass — the latency stream itself is never sorted or
+    ranked."""
+    from flink_state_eviction_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    j = as_of_join(
+        purchases, clicks, key_cols=["user_id"], ts_col="ts",
+        right_cols=["ts"],
+    ).where(F.col("ts_asof").isNotNull())
+    lat_s = (
+        F.unix_millis(F.col("ts")) - F.unix_millis(F.col("ts_asof"))
+    ) / F.lit(1000)
+    b = j.select(
+        F.least(
+            F.floor(lat_s / _LAT_WIDTH_S), F.lit(_LAT_BINS - 1)
+        ).cast("long").alias("bin")
+    )
+    cnt = b.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cnt.select(
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    return (
+        qs.crossJoin(cum)
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.col("q") * F.col("n"),
+                    (F.col("bin") + 1) * _LAT_WIDTH_S,
+                )
+            ).cast("long").alias("approx_latency_s")
         )
     )

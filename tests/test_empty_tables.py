@@ -135,6 +135,7 @@ SAMPLE = [
     "value_decile_assign",
     "customer_entity_resolution",
     "multimodal_frame_sample",
+    "conversion_latency_quantiles",
 ]
 
 

@@ -49,6 +49,7 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "events_table_profile": 1,  # scalar: one-scan profile row
     "funnel_view_click_purchase": 1,  # scalar: funnel stage totals
     "histogram_quantiles_value": 1,  # tiny: quantiles over bin table
+    "conversion_latency_quantiles": 1,  # tiny: CDF over the 256-bin table
     "value_decile_assign": 1,  # tiny: threshold row over the 256-bin table
     "hll_distinct_lineitem": 2,  # scalar: register merge to one row
     "orders_footer_stats": 1,  # scalar: footer-agg partials to one row

@@ -141,3 +141,36 @@ def test_tamper_detected_by_verify(spark, sf_dir, tmp_path):
     if os.path.exists(crc):  # Hadoop LocalFS sidecar (CLAUDE.md gotcha)
         os.remove(crc)
     assert not verify_version(spark, t, 0)["ok"]
+
+
+def test_streaming_appends_compose_with_time_travel(spark, sf_dir, tmp_path):
+    # the intended deployment shape: one commit per micro-batch from
+    # foreachBatch; each batch becomes a time-travelable snapshot and
+    # the final version equals the full input
+    from flink_state_eviction_spark.sources.fixtures import as_file_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    t = str(tmp_path / "tbl")
+
+    def upd(batch_df, batch_id):
+        commit_version(
+            batch_df, t, mode="append" if committed_versions(t) else "overwrite"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    versions = committed_versions(t)
+    assert len(versions) == 3
+    counts = [read_version(spark, t, v).count() for v in versions]
+    assert counts == sorted(counts)  # snapshots only grow
+    assert counts[-1] == docs.count()
+    assert verify_version(spark, t)["ok"]
