@@ -1384,7 +1384,7 @@ _LAT_WIDTH_S = 3600  # 1h bins; cap at bin 255 (~10.6 days)
 
 _CONV_LATENCY_ORACLE = f"""
 WITH p AS (
-    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id, ts FROM events WHERE event_type = 'purchase'
 ),
 c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
 j AS (
@@ -1433,7 +1433,7 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
+        "user_id", "ts"
     )
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
     j = as_of_join(

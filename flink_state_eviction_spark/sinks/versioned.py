@@ -75,6 +75,10 @@ def _read_commit(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _resolve_dirs(table_dir: str, rel_dirs: list[str]) -> list[str]:
+    return [os.path.join(table_dir, d) for d in rel_dirs]
+
+
 def commit_version(
     df: DataFrame,
     table_dir: str,
@@ -93,33 +97,36 @@ def commit_version(
     version = (parent + 1) if parent is not None else 0
     # attempt-unique dir: two writers racing to the same version write
     # DISJOINT dirs, so the commit-link loser cannot have clobbered the
-    # winner's data — its orphan is reclaimed by vacuum_uncommitted
+    # winner's data — its orphan is reclaimed by vacuum_uncommitted.
+    # Commit records store dirs RELATIVE to the table root (Delta's
+    # convention), so the table is relocatable and path spelling
+    # (relative/absolute/symlinked) can never confuse the vacuum.
     token = uuid.uuid4().hex[:8]
-    vdir = os.path.join(table_dir, _DATA, f"v={version}-{token}")
+    rel = os.path.join(_DATA, f"v={version}-{token}")
+    vdir = os.path.join(table_dir, rel)
 
     # 1. immutable data for this version (invisible until committed);
     # digest what actually LANDED, not the input lineage (the
     # write_with_manifest lesson)
     df.write.mode("overwrite").parquet(vdir)
     dig = content_digest(df.sparkSession.read.parquet(vdir))
+    # name AND type: same-name type drift breaks the union read and
+    # makes the merged digest meaningless, exactly like a new column
+    schema = sorted(df.dtypes)
 
     if mode == "append" and parent is not None:
         pc = _read_commit(table_dir, parent)
-        if sorted(df.columns) != pc["columns"]:
-            # a drifted schema would both break the union read and make
-            # the merged digest meaningless — refuse before committing
-            # (schema evolution goes through overwrite, or the
-            # mergeSchema path pinned in test_sinks X120)
+        if schema != [tuple(x) for x in pc["schema"]]:
             raise ValueError(
-                f"append schema {sorted(df.columns)} != table schema "
-                f"{pc['columns']}; use mode='overwrite' to change it"
+                f"append schema {schema} != table schema "
+                f"{pc['schema']}; use mode='overwrite' to change it"
             )
-        dirs = pc["dirs"] + [vdir]
+        dirs = pc["dirs"] + [rel]
         n_rows = pc["n_rows"] + dig["rows"]
         # mergeable digest: shard sums add (sinks/manifest.py)
         digest = (pc["digest"] + dig["digest"]) % (1 << 61)
     else:
-        dirs, n_rows, digest = [vdir], dig["rows"], dig["digest"]
+        dirs, n_rows, digest = [rel], dig["rows"], dig["digest"]
 
     record = {
         "version": version,
@@ -129,12 +136,14 @@ def commit_version(
         "n_rows": n_rows,
         "digest": digest,
         "columns": sorted(df.columns),
+        "schema": schema,
     }
 
     # 2. atomic, exclusive commit: stage the record, then os.link it to
     # the final name — link fails with FileExistsError if a racing
     # writer committed this version first (rename would silently
-    # clobber); the staged file is always cleaned up
+    # clobber); the staged file is always cleaned up on every non-crash
+    # path (crash leavings are swept by vacuum_uncommitted)
     cdir = _commit_dir(table_dir)
     os.makedirs(cdir, exist_ok=True)
     staged = os.path.join(cdir, f".{version}.json.tmp-{os.getpid()}")
@@ -145,6 +154,14 @@ def commit_version(
         os.fsync(fh.fileno())
     try:
         os.link(staged, final)
+        # durable-before-acknowledged: fsync the DIRECTORY entry too,
+        # or a power loss after return could un-commit an acknowledged
+        # version and the next vacuum would reap its data
+        dfd = os.open(cdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     except FileExistsError:
         raise RuntimeError(
             f"commit race lost: version {version} of {table_dir} was "
@@ -169,7 +186,9 @@ def read_version(
         raise ValueError(
             f"version {version} not committed (have {versions})"
         )
-    return spark.read.parquet(*_read_commit(table_dir, version)["dirs"])
+    return spark.read.parquet(
+        *_resolve_dirs(table_dir, _read_commit(table_dir, version)["dirs"])
+    )
 
 
 def table_history(table_dir: str) -> list[dict]:
@@ -199,8 +218,14 @@ def verify_version(
     commit record — catches lost / doubled / altered rows in any file
     of any dir the version references."""
     versions = committed_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no committed versions in {table_dir}")
     if version is None:
         version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not committed (have {versions})"
+        )
     rec = _read_commit(table_dir, version)
     got = content_digest(
         read_version(spark, table_dir, version), rec["columns"]
@@ -213,22 +238,45 @@ def verify_version(
     }
 
 
-def vacuum_uncommitted(table_dir: str) -> list[str]:
-    """Remove data dirs no committed version references (crashed
-    writers' orphans). Safe by construction: commit records are the
-    only visibility mechanism, and they are never edited after the
-    exclusive link."""
+def vacuum_uncommitted(
+    table_dir: str, min_age_s: float = 24 * 3600
+) -> list[str]:
+    """Remove data dirs no committed version references (crashed or
+    race-losing writers' orphans), plus stale staged commit files.
+    Membership is checked on the relative dir NAME stored in the
+    commit records, so path spelling can never misclassify live data.
+
+    ``min_age_s`` (default 24h, Delta's retention idea) protects
+    IN-FLIGHT writers: a concurrent commit_version has written its
+    data dir but not yet linked its record — vacuuming it would let
+    the commit succeed pointing at deleted files. Only pass 0 when no
+    writer can be running."""
+    import time
+
     referenced: set[str] = set()
     for v in committed_versions(table_dir):
         referenced.update(
-            os.path.normpath(d) for d in _read_commit(table_dir, v)["dirs"]
+            os.path.basename(d) for d in _read_commit(table_dir, v)["dirs"]
         )
+    now = time.time()
     data_root = os.path.join(table_dir, _DATA)
     removed = []
     if os.path.isdir(data_root):
         for d in sorted(os.listdir(data_root)):
-            full = os.path.normpath(os.path.join(data_root, d))
-            if full not in referenced:
-                shutil.rmtree(full)
-                removed.append(full)
+            full = os.path.join(data_root, d)
+            if d in referenced or (now - os.path.getmtime(full)) < min_age_s:
+                continue
+            shutil.rmtree(full)
+            removed.append(os.path.normpath(full))
+    cdir = _commit_dir(table_dir)
+    if os.path.isdir(cdir):
+        for f in sorted(os.listdir(cdir)):
+            full = os.path.join(cdir, f)
+            if (
+                f.startswith(".")
+                and ".json.tmp-" in f
+                and (now - os.path.getmtime(full)) >= min_age_s
+            ):
+                os.unlink(full)  # crashed writer's staged record
+                removed.append(os.path.normpath(full))
     return removed

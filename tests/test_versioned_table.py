@@ -82,7 +82,7 @@ def test_uncommitted_data_is_invisible_and_vacuumable(
     _orders(spark, sf_dir, 100, 200).write.parquet(orphan)
     assert committed_versions(t) == [0]
     assert read_version(spark, t).count() == n0  # invisible
-    removed = vacuum_uncommitted(t)
+    removed = vacuum_uncommitted(t, min_age_s=0)
     assert removed == [os.path.normpath(orphan)]
     assert not os.path.exists(orphan)
     assert verify_version(spark, t, 0)["ok"]  # committed data untouched
@@ -112,7 +112,7 @@ def test_commit_race_is_exclusive(spark, sf_dir, tmp_path, monkeypatch):
     cdir = os.path.join(t, "_commits")
     assert sorted(os.listdir(cdir)) == ["0.json", "1.json"]
     assert verify_version(spark, t, 1)["ok"]
-    assert len(vacuum_uncommitted(t)) == 1  # the loser's orphan
+    assert len(vacuum_uncommitted(t, min_age_s=0)) == 1  # the loser's orphan
     assert verify_version(spark, t, 1)["ok"]
 
 
@@ -174,3 +174,53 @@ def test_streaming_appends_compose_with_time_travel(spark, sf_dir, tmp_path):
     assert counts == sorted(counts)  # snapshots only grow
     assert counts[-1] == docs.count()
     assert verify_version(spark, t)["ok"]
+
+
+def test_fresh_orphans_survive_default_vacuum(spark, sf_dir, tmp_path):
+    # the in-flight-writer guard: a just-written (possibly mid-commit)
+    # data dir is NOT reclaimed at the default retention age
+    t = str(tmp_path / "tbl")
+    commit_version(_orders(spark, sf_dir, 0, 100), t, mode="overwrite")
+    orphan = os.path.join(t, "data", "v=1-inflight")
+    _orders(spark, sf_dir, 100, 200).write.parquet(orphan)
+    assert vacuum_uncommitted(t) == []  # default min_age_s protects it
+    assert os.path.exists(orphan)
+    assert vacuum_uncommitted(t, min_age_s=0) != []
+
+
+def test_table_is_relocatable(spark, sf_dir, tmp_path):
+    # commit records store dirs relative to the table root, so moving
+    # the whole table keeps every snapshot readable and verifiable
+    import shutil as _sh
+
+    t = str(tmp_path / "tbl")
+    commit_version(_orders(spark, sf_dir, 0, 100), t, mode="overwrite")
+    commit_version(_orders(spark, sf_dir, 100, 200), t, mode="append")
+    moved = str(tmp_path / "moved")
+    _sh.move(t, moved)
+    assert read_version(spark, moved, 1).count() == read_version(
+        spark, moved, 0
+    ).count() + _orders(spark, sf_dir, 100, 200).count()
+    assert verify_version(spark, moved, 1)["ok"]
+    # and vacuum on the moved table classifies committed data as live
+    assert vacuum_uncommitted(moved, min_age_s=0) == []
+
+
+def test_append_type_drift_refused(spark, sf_dir, tmp_path):
+    # same NAMES, different TYPE — must be refused like a new column
+    t = str(tmp_path / "tbl")
+    commit_version(_orders(spark, sf_dir, 0, 100), t, mode="overwrite")
+    drifted = _orders(spark, sf_dir, 100, 200).withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("string")
+    )
+    with pytest.raises(ValueError, match="append schema"):
+        commit_version(drifted, t, mode="append")
+
+
+def test_verify_validates_version(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="no committed versions"):
+        verify_version(spark, t)
+    commit_version(_orders(spark, sf_dir, 0, 100), t, mode="overwrite")
+    with pytest.raises(ValueError, match="not committed"):
+        verify_version(spark, t, 7)
