@@ -283,3 +283,60 @@ def bpe_token_stats(
         "n_bpe",
         F.round(F.col("n_chars") / F.col("n_bpe"), 6).alias("chars_per_bpe"),
     )
+
+
+def bpe_vocab(merges: list[dict]) -> list[str]:
+    """The subword vocabulary a frozen merge table induces: the base
+    alphabet (lowercase alnum + the end-of-word marker, sorted) first,
+    then each merged symbol in merge-rank order — the conventional id
+    assignment, deterministic for any replay of the same merges."""
+    base = sorted("abcdefghijklmnopqrstuvwxyz0123456789") + [END_OF_WORD]
+    return base + [m["merged"] for m in merges]
+
+
+def bpe_numericalize(
+    docs: DataFrame, merges: list[dict], text_col: str = "text"
+) -> DataFrame:
+    """Per-document subword token ids under a frozen merge table:
+    (doc_id, n_bpe, ids array<int>). The training-shard payload a
+    tokenizer hands the data loader.
+
+    Same scale shape as bpe_token_stats: DISTINCT words are encoded
+    once (vocab-sized Arrow pass mapping symbols -> ids through the
+    broadcast-closured vocab dict), then the id arrays join back onto
+    the corpus token stream and concatenate per doc in token order —
+    the text is never re-scanned per merge and never enters Python."""
+    vocab = {s: i for i, s in enumerate(bpe_vocab(merges))}
+    pairs = [(m["left"], m["right"]) for m in merges]
+
+    def _ids(col):
+        def one(word):
+            return [vocab[s] for s in _merge_pairs(list(word) + [END_OF_WORD], pairs)]
+
+        return col.map(one)
+
+    ids_udf = F.pandas_udf("array<int>")(_ids)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    ).localCheckpoint(eager=False)  # distinct + join both consume it
+    enc = toks.select("word").distinct().select(
+        "word", ids_udf(F.col("word")).alias("wids")
+    )
+    return (
+        toks.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "wids"))
+                    ),
+                    lambda s: s["wids"],
+                )
+            ).alias("ids")
+        )
+        .select(
+            "doc_id", F.size("ids").cast("long").alias("n_bpe"), "ids"
+        )
+    )

@@ -1148,3 +1148,21 @@ def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, n_merges=_BPE_MERGES)
     return bpe_token_stats(docs, merges)
+
+
+@register_supplementary("bpe_numericalize", None, tags=("corpus", "text"))
+def bpe_numericalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword token ids under the learned merge table
+    (doc_id, n_bpe, ids) — the tokenized-shard payload; ids follow the
+    conventional assignment (base alphabet, then merges in rank
+    order). Rows-only at the driver; the hard gate is
+    tests/test_bpe.py::test_numericalize_roundtrip (ids decode
+    losslessly back to the tokenized text)."""
+    from flink_state_eviction_spark.operators.bpe import (
+        bpe_numericalize,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=_BPE_MERGES)
+    return bpe_numericalize(docs, merges)

@@ -234,3 +234,37 @@ def test_batched_uses_fewer_rounds_and_compresses(spark, learned):
     )
     assert all("".join(r["bpe"]) == r["word"] + END_OF_WORD for r in enc)
     assert any(len(r["bpe"]) < len(r["word"]) + 1 for r in enc)
+
+
+# --------------------------------------------------------------------------
+# numericalization: ids decode losslessly back to the tokenized text
+
+
+def test_numericalize_roundtrip(spark, learned):
+    from flink_state_eviction_spark.operators.bpe import (
+        bpe_numericalize,
+        bpe_vocab,
+    )
+
+    docs, wc, merges = learned
+    vocab = bpe_vocab(merges)
+    out = {r["doc_id"]: r for r in bpe_numericalize(docs, merges).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    import re
+
+    checked = 0
+    for doc_id, row in list(out.items())[:50]:
+        assert row["n_bpe"] == len(row["ids"])
+        assert all(0 <= i < len(vocab) for i in row["ids"])
+        decoded = "".join(vocab[i] for i in row["ids"])
+        words = [t for t in re.split(r"[^a-z0-9]+", texts[doc_id].lower()) if t]
+        assert decoded == "".join(w + END_OF_WORD for w in words)
+        checked += 1
+    assert checked > 0
+    # docs with zero tokens are absent (explode semantics), others all present
+    n_tokenized = sum(
+        1
+        for t in texts.values()
+        if [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+    )
+    assert len(out) == n_tokenized

@@ -136,6 +136,7 @@ SAMPLE = [
     "customer_entity_resolution",
     "multimodal_frame_sample",
     "conversion_latency_quantiles",
+    "bpe_numericalize",
 ]
 
 

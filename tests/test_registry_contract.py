@@ -118,6 +118,8 @@ def test_every_driver_query_has_an_oracle():
 NON_SQL_EXPRESSIBLE = {
     "bpe_learn_merges",
     "bpe_token_stats",
+    # gate: test_bpe.py::test_numericalize_roundtrip
+    "bpe_numericalize",
     # rolling-hash CDC scan — gate: tests/test_chunking.py
     "payload_cdc_dedup",
 }
