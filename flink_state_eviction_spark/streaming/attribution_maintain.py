@@ -1,0 +1,211 @@
+"""Streaming twin for last-touch attribution (X151): incremental
+per-user latest-touch state + per-batch purchase attribution over an
+always-ingesting, event-time-ordered stream.
+
+Batch `attribution_last_touch` as-of joins every purchase against the
+full touch history. Streaming cannot keep the history — but it doesn't
+need to: with batches arriving in event-time order, the latest touch
+at-or-before a purchase in batch N is either (a) in batch N itself, or
+(b) the per-user LATEST touch across batches < N. So the maintainer
+keeps exactly one row per (user, batch) — the batch-local latest touch
+(max (ts, prio, event_id): click beats view on a ts tie, the SAME
+struct-max election as the batch query) — and each batch attributes
+its purchases with the shared as-of operator over
+(prior-state latest touches UNION batch touches). State and
+attributions both live in idempotent ``batch=<id>`` partitions
+(redelivery = overwrite; a replayed batch reads state strictly BEFORE
+its id, so it sees what its first attempt saw).
+
+Final-state equivalence: after ingesting the whole events table in
+ts-ordered batches, the unioned per-batch attributions roll up to a
+report BIT-EQUAL to the batch `attribution_last_touch`
+(test_streaming_attribution). The intra-batch tie contract matters at
+batch boundaries: the stream order must place a touch at-or-before an
+equal-timestamp purchase (order by (ts, touch-first, event_id)), the
+same `>=` inclusivity the as-of join implements.
+
+Scale notes: state is ONE narrow row per active user per batch —
+compaction (shared commit-log-safe compactor) folds sealed batches
+into one per-user max row, so state approaches one row per user, the
+same footprint the reference's MapWithState keeps per key. The as-of
+per batch runs over batch rows + one state row per user seen so far.
+
+Extension beyond the reference surface (SURVEY §2.7 X158; the batch
+query it twins is X151; nearest reference analogue is the keyed
+ValueState update loop, MapWithState.java:221-260).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.streaming.state_io import read_state_before
+
+_WINDOW_MS = 3600 * 1000  # keep in lockstep with querydefs/analytics.py
+
+
+def _prio(col: str = "event_type"):
+    return F.when(F.col(col) == "click", F.lit(1)).otherwise(F.lit(0))
+
+
+def _batch_latest_touch(batch_events: DataFrame) -> DataFrame:
+    """Per-user latest touch within one batch: max (ts, prio,
+    event_id) — prio breaks the exact-ts tie click-over-view, the same
+    election the batch query's pre-reduce uses. Output:
+    (user_id, ts, prio, touch_type) — prio is KEPT in the state so an
+    equal-ts tie across a batch boundary still resolves click-first
+    (a string max on touch_type would pick 'view')."""
+    touches = batch_events.where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "user_id",
+        "ts",
+        _prio().alias("prio"),
+        "event_id",
+        "event_type",
+    )
+    return (
+        touches.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "prio", "event_id", "event_type")).alias("t"))
+        .select(
+            "user_id",
+            F.col("t.ts").alias("ts"),
+            F.col("t.prio").alias("prio"),
+            F.col("t.event_type").alias("touch_type"),
+        )
+    )
+
+
+def _touch_state_schema(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "user_id BIGINT, ts TIMESTAMP, prio INT, touch_type STRING,"
+        " batch BIGINT",
+    )
+
+
+def attribution_maintain_batch(
+    batch_events: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch: (1) attribute the batch's purchases against
+    prior-state latest touches UNION the batch's own touches via the
+    shared as-of operator; (2) advance the latest-touch state. Both
+    writes are idempotent ``batch=<id>`` partition overwrites."""
+    from flink_state_eviction_spark.operators.asof import as_of_join
+
+    spark = batch_events.sparkSession
+    prior = read_state_before(
+        spark,
+        os.path.join(state_dir, "touch"),
+        batch_id,
+        _touch_state_schema(spark),
+    )
+    # prior state may hold one row per (user, earlier batch): reduce to
+    # the per-user latest (same struct max; prio/event_id already folded
+    # into each batch's row, ts order decides across batches — batches
+    # are event-time ordered, and the per-batch election already
+    # applied the tie-break within equal ts)
+    prior_latest = (
+        prior.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "prio", "touch_type")).alias("t"))
+        .select(
+            "user_id",
+            F.col("t.ts").alias("ts"),
+            F.col("t.prio").alias("prio"),
+            F.col("t.touch_type").alias("touch_type"),
+        )
+    )
+    batch_touches = (
+        batch_events.where(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id", "ts", _prio().alias("prio"), "event_id", "event_type"
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("prio", "event_id", "event_type")).alias("t"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("t.prio").alias("prio"),
+            F.col("t.event_type").alias("touch_type"),
+        )
+    )
+    # pre-reduce the union to ONE row per (user, ts) — a prior-state
+    # latest and a batch touch can share a timestamp, and an unreduced
+    # tie inside the as-of would be nondeterministic (the batch query's
+    # pre-reduce lesson); prio decides, click over view
+    touches = (
+        prior_latest.unionByName(batch_touches)
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("prio", "touch_type")).alias("t"))
+        .select("user_id", "ts", F.col("t.touch_type").alias("touch_type"))
+    )
+    purchases = batch_events.where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id", "value")
+    joined = as_of_join(
+        purchases,
+        touches,
+        key_cols=["user_id"],
+        ts_col="ts",
+        right_cols=["touch_type", "ts"],
+    )
+    gap_ok = (
+        F.unix_millis(F.col("ts")) - F.unix_millis(F.col("ts_asof"))
+    ) <= F.lit(_WINDOW_MS)
+    channel = F.when(
+        F.col("touch_type_asof").isNull() | ~gap_ok, F.lit("direct")
+    ).otherwise(F.col("touch_type_asof"))
+    atts = joined.select(
+        "event_id", channel.alias("channel"), "value"
+    )
+    atts.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "atts", f"batch={batch_id}")
+    )
+    _batch_latest_touch(batch_events).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "touch", f"batch={batch_id}")
+    )
+
+
+def compact_touch_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed touch batches into one per-user latest row (max is
+    associative across ts-ordered batches). Safety contract:
+    streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "touch"),
+        through_batch,
+        lambda df: df.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "prio", "touch_type")).alias("t"))
+        .select(
+            "user_id",
+            F.col("t.ts").alias("ts"),
+            F.col("t.prio").alias("prio"),
+            F.col("t.touch_type").alias("touch_type"),
+        ),
+    )
+
+
+def attribution_report_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The rolled-up channel report from the maintained per-batch
+    attributions — after ingesting the full table in ts order, BIT-
+    EQUAL to the batch `attribution_last_touch` output."""
+    atts = spark.read.parquet(os.path.join(state_dir, "atts"))
+    return atts.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("credited_value"),
+    )

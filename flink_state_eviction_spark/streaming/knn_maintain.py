@@ -62,44 +62,12 @@ from flink_state_eviction_spark.operators.similarity import (
 )
 
 
-def _read_or_empty(
-    spark: SparkSession, path: str, like: DataFrame
-) -> DataFrame:
-    """The state table at ``path``, or an empty frame with ``like``'s
-    schema before the first batch has written it. Only the
-    missing-path AnalysisException is swallowed — a corrupt or
-    unreadable EXISTING table must fail the batch, not silently
-    restart the state from empty."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        # Spark 4 names the condition PATH_NOT_FOUND; getCondition()
-        # replaced getErrorClass(). Anything else — notably
-        # UNABLE_TO_INFER_SCHEMA from a directory emptied by a crash
-        # mid-overwrite — is real state corruption and must propagate.
-        cond = (
-            getattr(e, "getCondition", None)
-            or getattr(e, "getErrorClass", lambda: None)
-        )()
-        if cond == "PATH_NOT_FOUND":
-            return like.limit(0)
-        raise
-
-
-def _read_state_before(
-    spark: SparkSession, path: str, batch_id: int, like: DataFrame
-) -> DataFrame:
-    """The ``batch=<id>`` partitioned state table at ``path``
-    restricted to batches BEFORE ``batch_id`` (a replayed batch must
-    see exactly the state its first attempt saw, even if that attempt
-    already wrote its partition), or an empty frame with ``like``'s
-    schema before the first batch has written it."""
-    df = _read_or_empty(spark, path, like)
-    if "batch" not in df.columns:  # the empty pre-first-batch frame
-        return df
-    return df.where(F.col("batch") < F.lit(batch_id)).drop("batch")
+# shared with the other maintainers (streaming/state_io.py) so the
+# PATH_NOT_FOUND-only contract cannot drift between them
+from flink_state_eviction_spark.streaming.state_io import (  # noqa: E402
+    read_or_empty as _read_or_empty,
+    read_state_before as _read_state_before,
+)
 
 
 def knn_maintain_batch(

@@ -1,0 +1,51 @@
+"""Shared state-table IO for the foreachBatch maintainers (k-NN,
+shingle-df, chunk-index, attribution): read possibly-not-yet-created
+batch-keyed parquet state safely, and read it AS OF a replayed batch.
+
+One implementation so the PATH_NOT_FOUND-only contract (a corrupt or
+unreadable EXISTING table must fail the batch, never silently restart
+state from empty) cannot drift between maintainers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_or_empty(
+    spark: SparkSession, path: str, like: DataFrame
+) -> DataFrame:
+    """The state table at ``path``, or an empty frame with ``like``'s
+    schema before the first batch has written it. Only the
+    missing-path AnalysisException is swallowed — anything else
+    (notably UNABLE_TO_INFER_SCHEMA from a directory emptied by a
+    crash mid-overwrite) is real state corruption and must propagate."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        # Spark 4 names the condition PATH_NOT_FOUND; getCondition()
+        # replaced getErrorClass()
+        cond = (
+            getattr(e, "getCondition", None)
+            or getattr(e, "getErrorClass", lambda: None)
+        )()
+        if cond == "PATH_NOT_FOUND":
+            return like.limit(0)
+        raise
+
+
+def read_state_before(
+    spark: SparkSession, path: str, batch_id: int, like: DataFrame
+) -> DataFrame:
+    """The ``batch=<id>`` partitioned state table at ``path``
+    restricted to batches BEFORE ``batch_id`` (a replayed batch must
+    see exactly the state its first attempt saw, even if that attempt
+    already wrote its partition), or an empty frame with ``like``'s
+    schema before the first batch has written it."""
+    df = read_or_empty(spark, path, like)
+    if "batch" not in df.columns:  # the empty pre-first-batch frame
+        return df
+    return df.where(F.col("batch") < F.lit(batch_id)).drop("batch")

@@ -1,0 +1,92 @@
+"""Streaming twin for last-touch attribution: after ingesting the
+events table in event-time-ordered micro-batches, the rolled-up report
+from the maintained state must equal the batch `attribution_last_touch`
+bit-for-bit; redelivered batches are no-ops; compaction preserves
+serving."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.attribution_maintain import (
+    attribution_maintain_batch,
+    attribution_report_from_state,
+    compact_touch_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _ordered_events(spark, sf_dir):
+    # event-time order with touches BEFORE equal-ts purchases (the >=
+    # inclusivity of the as-of join) and event_id as the unique tail
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn(
+        "_ord",
+        F.concat(
+            F.lpad(F.unix_millis("ts").cast("string"), 15, "0"),
+            F.when(F.col("event_type") == "purchase", F.lit("1")).otherwise(
+                F.lit("0")
+            ),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ),
+    )
+
+
+def _report_rows(df):
+    return {
+        (r["channel"], r["n_purchases"], r["credited_value"])
+        for r in df.collect()
+    }
+
+
+def test_streaming_attribution_matches_batch(spark, sf_dir, tmp_path):
+    ev = _ordered_events(spark, sf_dir)
+    stream = as_file_stream(ev, str(tmp_path), num_batches=4, order_col="_ord")
+    state = os.path.join(str(tmp_path), "att-state")
+
+    def upd(batch_df, batch_id):
+        attribution_maintain_batch(batch_df.drop("_ord"), state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = _report_rows(attribution_report_from_state(spark, state))
+    want = _report_rows(all_queries()["attribution_last_touch"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_redelivery_and_compaction(spark, sf_dir, tmp_path):
+    ev = _ordered_events(spark, sf_dir)
+    n = ev.count()
+    # three ts-ordered thirds by the same order key
+    ranked = ev.orderBy("_ord").collect()
+    thirds = [
+        spark.createDataFrame(ranked[: n // 3], ev.schema).drop("_ord"),
+        spark.createDataFrame(ranked[n // 3 : 2 * n // 3], ev.schema).drop("_ord"),
+        spark.createDataFrame(ranked[2 * n // 3 :], ev.schema).drop("_ord"),
+    ]
+    state = os.path.join(str(tmp_path), "att-state")
+    for bid, b in enumerate(thirds):
+        attribution_maintain_batch(b, state, bid)
+
+    before = _report_rows(attribution_report_from_state(spark, state))
+
+    # late redelivery of batch 1 (reads state strictly before id 1, so
+    # it recomputes exactly what its first attempt saw)
+    attribution_maintain_batch(thirds[1], state, 1)
+    assert _report_rows(attribution_report_from_state(spark, state)) == before
+
+    # compaction folds sealed touch batches; serving is unchanged and a
+    # post-compaction redelivery of the max batch stays a no-op
+    compact_touch_state(spark, state, through_batch=1)
+    attribution_maintain_batch(thirds[2], state, 2)
+    assert _report_rows(attribution_report_from_state(spark, state)) == before
