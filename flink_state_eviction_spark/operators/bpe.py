@@ -246,35 +246,41 @@ def bpe_encode_udf(merges: list[dict]):
     return F.pandas_udf("array<string>")(_encode)
 
 
+def _tokens_with_encoded_words(
+    docs: DataFrame, text_col: str, *payload
+) -> DataFrame:
+    """THE distinct-word-encode-join scaffold shared by bpe_token_stats
+    and bpe_numericalize: tokenize-explode the corpus once (lazy
+    boundary — the distinct() aggregate AND the join probe side both
+    consume it; no exchange reuse across differing subtrees), compute
+    per-word ``payload`` columns ONCE over the distinct words, and
+    broadcast-join them back onto the (doc_id, pos, word) token stream.
+    The vocab is bounded by the language, not the corpus; swap the
+    broadcast for a shuffle join past ~100M words — in ONE place."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    ).localCheckpoint(eager=False)
+    enc = toks.select("word").distinct().select("word", *payload)
+    return toks.join(F.broadcast(enc), "word")
+
+
 def bpe_token_stats(
     docs: DataFrame, merges: list[dict], text_col: str = "text"
 ) -> DataFrame:
     """Per-document BPE token statistics under a frozen merge table:
-    (doc_id, n_words, n_chars, n_bpe, chars_per_bpe). The corpus token
-    stream joins per-word encoded lengths computed ONCE over the
-    distinct-word vocabulary (broadcast: the vocab is bounded by the
-    language, not the corpus; swap for a shuffle join past ~100M
-    words)."""
-    # lazy boundary: toks feeds BOTH the distinct() aggregate and the
-    # join probe side — without it the corpus scan + tokenize explode
-    # runs twice (no exchange reuse across differing subtrees)
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col(text_col))).alias("word")
-    ).localCheckpoint(eager=False)
-    vocab = toks.select("word").distinct()
-    enc = vocab.select(
-        "word",
+    (doc_id, n_words, n_chars, n_bpe, chars_per_bpe) — the shared
+    scaffold with per-word length payloads."""
+    joined = _tokens_with_encoded_words(
+        docs,
+        text_col,
         F.length("word").cast("long").alias("n_chars_w"),
         F.size(bpe_encode_udf(merges)(F.col("word"))).cast("long").alias("n_bpe_w"),
     )
-    per_doc = (
-        toks.join(F.broadcast(enc), "word")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_chars_w").alias("n_chars"),
-            F.sum("n_bpe_w").alias("n_bpe"),
-        )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_chars_w").alias("n_chars"),
+        F.sum("n_bpe_w").alias("n_bpe"),
     )
     return per_doc.select(
         "doc_id",
@@ -301,30 +307,28 @@ def bpe_numericalize(
     (doc_id, n_bpe, ids array<int>). The training-shard payload a
     tokenizer hands the data loader.
 
-    Same scale shape as bpe_token_stats: DISTINCT words are encoded
-    once (vocab-sized Arrow pass mapping symbols -> ids through the
-    broadcast-closured vocab dict), then the id arrays join back onto
-    the corpus token stream and concatenate per doc in token order —
-    the text is never re-scanned per merge and never enters Python."""
-    vocab = {s: i for i, s in enumerate(bpe_vocab(merges))}
-    pairs = [(m["left"], m["right"]) for m in merges]
-
-    def _ids(col):
-        def one(word):
-            return [vocab[s] for s in _merge_pairs(list(word) + [END_OF_WORD], pairs)]
-
-        return col.map(one)
-
-    ids_udf = F.pandas_udf("array<int>")(_ids)
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
-    ).localCheckpoint(eager=False)  # distinct + join both consume it
-    enc = toks.select("word").distinct().select(
-        "word", ids_udf(F.col("word")).alias("wids")
+    Same scale shape as bpe_token_stats (the shared scaffold): DISTINCT
+    words are encoded once, symbols map to ids via a JVM-side map
+    literal, then the id arrays join back onto the corpus token stream
+    and concatenate per doc in token order — the text is never
+    re-scanned per merge and never enters Python."""
+    # one encode path: the SAME bpe_encode_udf as stats/roundtrip; ids
+    # come from a JVM-side map lookup over its symbol output, so there
+    # is no second Python encode implementation to keep in sync. Dedupe
+    # ids through a dict first: two merge ranks can produce the SAME
+    # merged string (('a','bc') and ('ab','c')), and create_map with a
+    # duplicate key raises under Spark's default mapKeyDedupPolicy —
+    # the dict keeps the LAST id, matching the symbol the encoder emits
+    vocab_ids = {s: i for i, s in enumerate(bpe_vocab(merges))}
+    id_map = F.create_map(
+        *[x for s, i in vocab_ids.items() for x in (F.lit(s), F.lit(i))]
     )
+    wids = F.transform(
+        bpe_encode_udf(merges)(F.col("word")),
+        lambda s: F.element_at(id_map, s).cast("int"),
+    ).alias("wids")
     return (
-        toks.join(F.broadcast(enc), "word")
+        _tokens_with_encoded_words(docs, text_col, wids)
         .groupBy("doc_id")
         .agg(
             F.flatten(

@@ -44,37 +44,35 @@ from pyspark.sql import functions as F
 
 from flink_state_eviction_spark.streaming.state_io import read_state_before
 
-_WINDOW_MS = 3600 * 1000  # keep in lockstep with querydefs/analytics.py
+def _window_ms() -> int:
+    # THE attribution window lives in the batch query's module — import
+    # it so retuning there cannot silently diverge the streaming twin
+    # (lazy: querydefs registration should not run at module import)
+    from flink_state_eviction_spark.querydefs.analytics import (
+        _ATTRIB_WINDOW_MS,
+    )
+
+    return _ATTRIB_WINDOW_MS
 
 
 def _prio(col: str = "event_type"):
     return F.when(F.col(col) == "click", F.lit(1)).otherwise(F.lit(0))
 
 
-def _batch_latest_touch(batch_events: DataFrame) -> DataFrame:
-    """Per-user latest touch within one batch: max (ts, prio,
-    event_id) — prio breaks the exact-ts tie click-over-view, the same
-    election the batch query's pre-reduce uses. Output:
-    (user_id, ts, prio, touch_type) — prio is KEPT in the state so an
-    equal-ts tie across a batch boundary still resolves click-first
+def _latest_per_user(touches: DataFrame) -> DataFrame:
+    """Per-user latest touch from an already per-(user, ts)-reduced
+    touch frame: max (ts, prio, touch_type) — struct-max associativity
+    makes this equal to electing over the raw rows, and prio is KEPT so
+    an equal-ts tie across a batch boundary still resolves click-first
     (a string max on touch_type would pick 'view')."""
-    touches = batch_events.where(
-        F.col("event_type").isin("click", "view")
-    ).select(
-        "user_id",
-        "ts",
-        _prio().alias("prio"),
-        "event_id",
-        "event_type",
-    )
     return (
         touches.groupBy("user_id")
-        .agg(F.max(F.struct("ts", "prio", "event_id", "event_type")).alias("t"))
+        .agg(F.max(F.struct("ts", "prio", "touch_type")).alias("t"))
         .select(
             "user_id",
             F.col("t.ts").alias("ts"),
             F.col("t.prio").alias("prio"),
-            F.col("t.event_type").alias("touch_type"),
+            F.col("t.touch_type").alias("touch_type"),
         )
     )
 
@@ -110,16 +108,10 @@ def attribution_maintain_batch(
     # into each batch's row, ts order decides across batches — batches
     # are event-time ordered, and the per-batch election already
     # applied the tie-break within equal ts)
-    prior_latest = (
-        prior.groupBy("user_id")
-        .agg(F.max(F.struct("ts", "prio", "touch_type")).alias("t"))
-        .select(
-            "user_id",
-            F.col("t.ts").alias("ts"),
-            F.col("t.prio").alias("prio"),
-            F.col("t.touch_type").alias("touch_type"),
-        )
-    )
+    prior_latest = _latest_per_user(prior)
+    # ONE touch derivation per batch, shared (lazy boundary: the union
+    # below AND the state election both consume it — the knn
+    # maintainer's shared-subtree lesson)
     batch_touches = (
         batch_events.where(F.col("event_type").isin("click", "view"))
         .select(
@@ -133,6 +125,7 @@ def attribution_maintain_batch(
             F.col("t.prio").alias("prio"),
             F.col("t.event_type").alias("touch_type"),
         )
+        .localCheckpoint(eager=False)
     )
     # pre-reduce the union to ONE row per (user, ts) — a prior-state
     # latest and a batch touch can share a timestamp, and an unreduced
@@ -156,7 +149,7 @@ def attribution_maintain_batch(
     )
     gap_ok = (
         F.unix_millis(F.col("ts")) - F.unix_millis(F.col("ts_asof"))
-    ) <= F.lit(_WINDOW_MS)
+    ) <= F.lit(_window_ms())
     channel = F.when(
         F.col("touch_type_asof").isNull() | ~gap_ok, F.lit("direct")
     ).otherwise(F.col("touch_type_asof"))
@@ -166,7 +159,7 @@ def attribution_maintain_batch(
     atts.write.mode("overwrite").parquet(
         os.path.join(state_dir, "atts", f"batch={batch_id}")
     )
-    _batch_latest_touch(batch_events).write.mode("overwrite").parquet(
+    _latest_per_user(batch_touches).write.mode("overwrite").parquet(
         os.path.join(state_dir, "touch", f"batch={batch_id}")
     )
 

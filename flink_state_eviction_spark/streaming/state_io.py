@@ -1,10 +1,13 @@
-"""Shared state-table IO for the foreachBatch maintainers (k-NN,
-shingle-df, chunk-index, attribution): read possibly-not-yet-created
-batch-keyed parquet state safely, and read it AS OF a replayed batch.
+"""Shared state-table IO for foreachBatch maintainers that must read
+state which may not exist yet (k-NN, attribution): a safe
+possibly-empty read, and a read AS OF a replayed batch.
 
 One implementation so the PATH_NOT_FOUND-only contract (a corrupt or
 unreadable EXISTING table must fail the batch, never silently restart
-state from empty) cannot drift between maintainers.
+state from empty) cannot drift between its users. The shingle-df and
+chunk-index maintainers deliberately do NOT use it on their SERVING
+reads: serving presumes ingested state, so a missing path there is a
+caller error that should raise, not an empty result.
 """
 
 from __future__ import annotations
