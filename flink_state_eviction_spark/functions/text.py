@@ -361,3 +361,51 @@ def redact_pii(text: Column) -> Column:
     for kind, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, PII_REPLACEMENTS[kind])
     return out
+
+
+# ---------------------------------------------------------------------------
+# integer -log2 for fixed-point probabilities (LM perplexity scoring)
+
+# round(1000 * log2(1 + k/16)) for k = 0..15 — the 4-bit mantissa
+# refinement of the leading-bit log2. Part of the operator contract
+# (the oracle embeds the same table).
+LOG2_MANTISSA_MILLIBITS: tuple[int, ...] = (
+    0, 87, 170, 248, 322, 392, 459, 524,
+    585, 644, 700, 755, 807, 858, 907, 954,
+)
+
+# Fixed-point scale for probabilities: p_fx = floor(p * 10^12).
+LM_PROB_SCALE = 10**12
+# round(1000 * log2(LM_PROB_SCALE)) — the constant offset that turns
+# log2(p_fx) into -log2(p).
+LM_SCALE_MILLIBITS = 39863
+
+
+def neglog2_millibits_sql(p_col: str, e_col: str, *, duck: bool) -> str:
+    """-log2(p_fx / 10^12) in millibits, as an integer SQL expression
+    over a projected bigint fixed-point probability column ``p_col``
+    (1 <= p_fx <= 10^12) and its projected binary-string length
+    ``e_col`` (= floor(log2 p_fx) + 1).
+
+    Transcendental-free by construction: the exponent comes from
+    ``length(bin(p))`` (exact integer string work on both engines) and
+    the fraction from a 4-bit mantissa table lookup — so Spark and
+    DuckDB reproduce the score bit-for-bit, which a float ``ln()``
+    cannot (not correctly rounded; JVM vs libm differ in ulps — same
+    rationale as the rank-based surprisal X126 and rational-odds BM25
+    X135). Max quantization error ~3 millibits/token (< 0.3% of a
+    typical 10-bit token NLL).
+
+    Pass ``duck=True`` for DuckDB syntax (``//``, list indexing),
+    ``duck=False`` for Spark SQL (``div``, ``element_at``). Reference
+    both operands via NAMED columns (projected beforehand) so neither
+    engine re-evaluates the fixed-point division per use.
+    """
+    div = "//" if duck else "div"
+    frac = f"((({p_col}) * 16) {div} CAST(pow(2, {e_col} - 1) AS BIGINT) - 16)"
+    lut = ",".join(str(v) for v in LOG2_MANTISSA_MILLIBITS)
+    if duck:
+        look = f"([{lut}])[{frac} + 1]"
+    else:
+        look = f"element_at(array({lut}), CAST({frac} AS INT) + 1)"
+    return f"({LM_SCALE_MILLIBITS} - (1000 * ({e_col} - 1) + {look}))"

@@ -1166,3 +1166,157 @@ def bpe_numericalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, n_merges=_BPE_MERGES)
     return bpe_numericalize(docs, merges)
+
+
+# ---------------------------------------------------------------------------
+# X159: n-gram LM perplexity scoring (CCNet-style quality filter)
+#
+# The real-LM sibling of the rank-based surprisal proxy above: an
+# add-one-smoothed bigram language model is TRAINED on a designated
+# high-quality reference feed and every document is scored by its
+# per-token cross-entropy under that model — the CCNet/RedPajama
+# "perplexity under a wiki LM" filter. Everything is exact integer
+# arithmetic: probabilities are 10^-12 fixed point and -log2 comes
+# from the leading-bit + 4-bit-mantissa-lookup integer log
+# (functions/text.neglog2_millibits_sql), so both engines reproduce
+# the score bit-for-bit with zero transcendentals.
+
+LM_REF_SOURCE = "src0"  # designated high-quality reference feed
+# mean NLL above this (millibits/token) flags a doc as high-perplexity
+# (i.e. unlike the reference distribution). The synthetic corpus sits
+# at ~5.1 bits/token with a tail to ~5.8 at every SF (sf0.001 and
+# sf0.01 distributions are within 10 millibits of each other), so 5.3
+# bits flags the top ~5% outlier tail — the CCNet "tail" cut.
+LM_PPL_THRESHOLD_MB = 5300
+
+from flink_state_eviction_spark.functions.text import (  # noqa: E402
+    LM_PROB_SCALE,
+    neglog2_millibits_sql,
+    word_shingles,
+)
+
+_LM_NLL_DUCK = neglog2_millibits_sql("p_fx", "e", duck=True)
+_LM_NLL_SPARK = neglog2_millibits_sql("p_fx", "e", duck=False)
+
+_LM_PPL_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS tk
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(tk) >= 2
+             THEN list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1])
+             ELSE [] END) AS b
+    FROM toks
+),
+refbg AS (
+    SELECT unnest(
+        CASE WHEN len(tk) >= 2
+             THEN list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1])
+             ELSE [] END) AS b
+    FROM toks WHERE source = '{LM_REF_SOURCE}'
+),
+c2 AS (SELECT b, count(*) AS c2 FROM refbg GROUP BY b),
+c1 AS (SELECT split_part(b, ' ', 1) AS w1, count(*) AS c1
+       FROM refbg GROUP BY 1),
+v AS (SELECT count(DISTINCT w) + 1 AS v
+      FROM (SELECT unnest(tk) AS w FROM toks
+            WHERE source = '{LM_REF_SOURCE}')),
+p AS (
+    SELECT bg.doc_id,
+           greatest(1, ((coalesce(c2.c2, 0) + 1) * {LM_PROB_SCALE})
+                       // (coalesce(c1.c1, 0) + v.v)) AS p_fx
+    FROM bg
+    LEFT JOIN c2 USING (b)
+    LEFT JOIN c1 ON c1.w1 = split_part(bg.b, ' ', 1)
+    CROSS JOIN v
+),
+q AS (SELECT doc_id, p_fx, length(bin(p_fx)) AS e FROM p),
+nll AS (SELECT doc_id, {_LM_NLL_DUCK} AS nll_mb FROM q)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nll_mb) AS BIGINT) AS nll_millibits,
+       CAST(SUM(nll_mb) // count(*) AS BIGINT) AS mean_nll_millibits,
+       (SUM(nll_mb) // count(*)) > {LM_PPL_THRESHOLD_MB}
+           AS high_perplexity
+FROM nll GROUP BY doc_id
+"""
+
+
+@register_supplementary(
+    "lm_perplexity_score", _LM_PPL_ORACLE, tags=("corpus", "text")
+)
+def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity filter: an add-one bigram LM trained
+    on the designated reference feed (source = 'src0' — the "wiki
+    slice") scores every document's per-token cross-entropy; docs far
+    from the reference distribution flag ``high_perplexity``. Extends
+    the reference surface (no batch corpus tooling in
+    /root/reference); the statistical model follows Wenzek et al.
+    2019 (CCNet) with the n=2 model SQL can replay exactly.
+
+    Bit-exactness: p(w2|w1) = (c2+1)/(c1+V) is computed in 10^-12
+    fixed point with INTEGER division, and -log2(p) via the
+    leading-bit + mantissa-lookup integer log (max error ~3
+    millibits/token) — no float sum ordering, no ln() ulp drift.
+
+    Scale shape: the LM tables are bounded by the REFERENCE feed (a
+    curated slice, CCNet-style), not the corpus — c1/c2/V broadcast;
+    the corpus-side bigram stream is scored scan-side (explode ->
+    two broadcast hash joins -> per-doc partial agg) and never
+    shuffles except the final doc_id groupBy, which AQE coalesces.
+    Docs with < 2 tokens have no bigram evidence and are absent (same
+    contract as text_bigram_surprisal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("tk")
+    )
+    bg_all = toked.select(
+        "doc_id", F.explode(word_shingles(F.col("tk"), 2)).alias("b")
+    )
+    ref = toked.where(F.col("source") == LM_REF_SOURCE)
+    ref_bg = ref.select(F.explode(word_shingles(F.col("tk"), 2)).alias("b"))
+    c2 = ref_bg.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
+    # left-context counts fold out of the bigram table (c1(w1) =
+    # sum of c2 over bigrams starting with w1) — a vocab-sized
+    # aggregation instead of a second explode over the reference slice.
+    c1 = c2.groupBy(
+        F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    v = ref.select(F.explode(F.col("tk")).alias("w")).agg(
+        (F.countDistinct("w") + 1).alias("v")
+    )
+    scored = (
+        bg_all.join(F.broadcast(c2), "b", "left")
+        .withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(c1), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "p_fx",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(
+                    f"((coalesce(c2, 0) + 1) * {LM_PROB_SCALE}) "
+                    "div (coalesce(c1, 0) + v)"
+                ),
+            ),
+        )
+        .withColumn("e", F.length(F.bin(F.col("p_fx"))))
+        .withColumn("nll_mb", F.expr(_LM_NLL_SPARK))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nll_mb").cast("bigint").alias("nll_millibits"),
+        F.expr("cast(sum(nll_mb) div count(1) as bigint)").alias(
+            "mean_nll_millibits"
+        ),
+    )
+    return agg.withColumn(
+        "high_perplexity",
+        F.col("mean_nll_millibits") > F.lit(LM_PPL_THRESHOLD_MB),
+    )

@@ -203,7 +203,7 @@ def main() -> None:
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
-        "bm25,mix,robust,r5b,decon,chunk,frames",
+        "bm25,mix,robust,r5b,decon,chunk,frames,lm",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -291,6 +291,13 @@ def main() -> None:
             rec["embedding_dim_stats_sec"] = timed(lambda: all_qs["embedding_dim_stats"](spark, d))
             rec["doc_shingle_novelty_sec"] = timed(lambda: all_qs["doc_shingle_novelty"](spark, d))
             rec["events_key_skew_profile_sec"] = timed(lambda: all_qs["events_key_skew_profile"](spark, d))
+        if "lm" in only:
+            # bigram scoring: corpus side scales with factor; NOTE the
+            # replica fixture also scales the src0 REFERENCE slice, so
+            # the LM-table build + broadcast grow x-factor here too —
+            # at deployment the reference feed is fixed/curated and
+            # only the scored stream grows
+            rec["lm_perplexity_score_sec"] = timed(lambda: all_qs["lm_perplexity_score"](spark, d))
         if "frames" in only:
             # scan-parallel container synth + extent walk + stride-2
             # decode; no shuffle at all (output is per-frame rows)

@@ -54,6 +54,7 @@ SAMPLE = [
     "embedding_quantize_int8",
     "text_quality",
     "quality_filter_gopher",
+    "lm_perplexity_score",
     "multimodal_decode_bmp",
     "multimodal_decode_wav",
     "multimodal_decode_ppm",

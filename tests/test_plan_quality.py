@@ -611,3 +611,16 @@ def test_novelty_join_shape_is_skew_split_eligible(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lm_perplexity_scoring_is_broadcast_only(spark, sf_dir):
+    # the LM tables (c2 bigrams, c1 left-contexts, V scalar) are
+    # bounded by the REFERENCE feed, so the corpus-side bigram stream
+    # must score through broadcast joins — no sort-merge join, and the
+    # reference-slice scans must push the source filter into parquet
+    df = _q("lm_perplexity_score", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    formatted = physical_plan(df, "formatted")
+    assert "EqualTo(source,src0)" in formatted, formatted
