@@ -4667,3 +4667,103 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_ppm_frames(
         ppmv_media_from_documents(docs), stride=_FRAME_STRIDE
     )
+
+
+# ---------------------------------------------------------------------------
+# X160: perceptual image dedup (dHash) — the image leg of the dedup
+# family: a 56-bit difference hash over the REAL-decoded BMP payloads
+# groups brightness-shifted / rescaled variants that byte-level md5
+# dedup misses. The oracle integrates the whole chain symbolically:
+# synthetic pixel formula -> 8x8 floor-mapped downsample -> integer
+# grayscale -> gradient bits -> hash -> per-hash census.
+
+# gray at the floor-mapped sample (r, c) of a w x ht gradient image
+# with brightness offset d: the three channel bytes wrap mod 256
+# INDIVIDUALLY (the decoder sees real bytes), so the oracle sums the
+# three mods, not one mod of the sum.
+def _dhash_gray_sql(col_expr: str) -> str:
+    j0 = f"(((r * ht) // 8) * w + ({col_expr} * w) // 8) * 3"
+    return (
+        f"(((d + {j0}) % 256) + ((d + {j0} + 1) % 256)"
+        f" + ((d + {j0} + 2) % 256)) // 3"
+    )
+
+
+_PHASH_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, CAST(h % 12 + 1 AS INT) AS w,
+           CAST(h % 10 + 1 AS INT) AS ht, d
+    FROM m
+),
+cells AS (
+    SELECT doc_id, w, ht, d, rr.r AS r, cc.c AS c
+    FROM dims,
+         (SELECT unnest(generate_series(0, 7)) AS r) rr,
+         (SELECT unnest(generate_series(0, 6)) AS c) cc
+),
+grays AS (
+    SELECT doc_id, r, c,
+           {_dhash_gray_sql("c")} AS g0,
+           {_dhash_gray_sql("(c + 1)")} AS g1
+    FROM cells
+),
+hashes AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN g1 > g0
+                         THEN CAST(pow(2, r * 7 + c) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS dhash
+    FROM grays GROUP BY doc_id
+)
+SELECT doc_id, dhash,
+       CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same_hash,
+       CAST(min(doc_id) OVER (PARTITION BY dhash) AS BIGINT)
+           AS canonical_doc,
+       doc_id = min(doc_id) OVER (PARTITION BY dhash) AS is_canonical
+FROM hashes
+"""
+
+
+@register_supplementary(
+    "multimodal_phash_dedup", _PHASH_ORACLE, tags=("pipeline", "multimodal")
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: 56-bit dHash over the REAL BMP payloads
+    (decode -> 8x8 floor-mapped grayscale downsample -> gradient bits,
+    operators/multimodal.py:dhash56), then duplicate groups by exact
+    hash match — brightness-shift- and rescale-invariant, so it keeps
+    grouping variants md5/exact dedup (X7) treats as distinct. The
+    gradient fixture makes this visible: images sharing a dims class
+    collapse into one perceptual group across 256 brightness offsets
+    (mod-256 wraps split a few).
+
+    Extension beyond the reference surface; the image sibling of
+    text simhash (X9). Hamming-near (distance <= k) grouping composes
+    the existing banded machinery of `dedup_simhash` over the same
+    hash column; exact-match groups are the scale-safe default (pure
+    hash groupBy — no pair enumeration, no candidate blow-up however
+    skewed the corpus).
+
+    Scale: the decode is scan-parallel mapInPandas (payload bytes
+    never shuffle — only 16-byte (doc_id, dhash) rows leave the scan);
+    the census is one window over dhash (hash-partitioned shuffle)."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_media_from_documents,
+        dhash56,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hs = dhash56(bmp_media_from_documents(docs))
+    w = Window.partitionBy("dhash")
+    return hs.select(
+        "doc_id",
+        "dhash",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_same_hash"),
+        F.min("doc_id").over(w).cast("bigint").alias("canonical_doc"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )

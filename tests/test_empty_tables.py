@@ -59,6 +59,7 @@ SAMPLE = [
     "multimodal_decode_wav",
     "multimodal_decode_ppm",
     "multimodal_resize_decode",
+    "multimodal_phash_dedup",
     "text_profile",
     "custkeys_churn_retention",
     "text_redact_pii",

@@ -249,3 +249,54 @@ def test_ppm_extent_walk_validates_skipped_frames():
     # extents cover the stream exactly, no raster copies
     ext = ppm_frame_extents(good + good)
     assert ext == [(0, len(good)), (len(good), 2 * len(good))]
+
+
+# ---------------------------------------------------------------------------
+# dHash (X160): perceptual-hash invariance + sensitivity properties
+
+
+def _dhash_of(spark, pixel_arrays):
+    """Run the real dhash56 operator over encoded BMP payloads."""
+    from flink_state_eviction_spark.operators.multimodal import dhash56
+
+    rows = [(i, bytearray(encode_bmp(px))) for i, px in enumerate(pixel_arrays)]
+    media = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    out = dhash56(media).orderBy("doc_id").collect()
+    return [r["dhash"] for r in out]
+
+
+def test_dhash_brightness_and_scale_invariant_but_gradient_sensitive(spark):
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 128, size=(20, 30, 3), dtype=np.int64)
+
+    bright = np.clip(base + 40, 0, 255)  # uniform brightness shift
+    from flink_state_eviction_spark.functions.codecs import resize_nearest
+
+    scaled = resize_nearest(base.astype(np.uint8), 60, 40).astype(np.int64)
+    flipped = base[:, ::-1, :]  # mirrored gradients
+
+    h_base, h_bright, h_scaled, h_flip = _dhash_of(
+        spark,
+        [
+            base.astype(np.uint8),
+            bright.astype(np.uint8),
+            scaled.astype(np.uint8).copy(),
+            flipped.astype(np.uint8).copy(),
+        ],
+    )
+    # invariances: +40 brightness (no wrap: base < 128) and 2x nearest
+    # upscale (floor mapping resamples the same source pixels) keep the
+    # gradient signature identical
+    assert h_bright == h_base
+    assert h_scaled == h_base
+    # sensitivity: mirroring reverses column gradients -> different hash
+    assert h_flip != h_base
+
+
+def test_dhash_separates_opposite_gradients(spark):
+    inc = np.tile(np.arange(0, 160, 10, dtype=np.uint8), (8, 3, 1)).transpose(0, 2, 1)
+    dec = inc[:, ::-1, :].copy()
+    h_inc, h_dec = _dhash_of(spark, [inc, dec])
+    # strictly increasing rows -> all 56 bits set; decreasing -> none
+    assert h_inc == 2**56 - 1
+    assert h_dec == 0
