@@ -19,6 +19,7 @@ from flink_state_eviction_spark.functions.text import (
     simhash60_udf,
     stopword_count,
     tokens,
+    word_shingles,
 )
 from flink_state_eviction_spark.operators.dedup import (
     blocked_jaccard_pairs,
@@ -4766,4 +4767,79 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_same_hash"),
         F.min("doc_id").over(w).cast("bigint").alias("canonical_doc"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X161: blocklist / bad-word filtering (C4-style)
+#
+# The C4 cleaning step: a fixed list of banned tokens and banned
+# multi-word phrases; any hit marks the document for removal. The
+# lists are deliberately small and fixed — they are part of the
+# operator contract, like LANG_STOPWORDS (the oracle embeds the same
+# lists). Swapping in a real badwords list changes only the constants.
+
+BLOCK_TOKENS: tuple[str, ...] = ("dup", "stale", "leak")
+BLOCK_PHRASES: tuple[str, ...] = ("table scan", "slow query")
+
+_BL_TOK_SQL = ", ".join(f"'{t}'" for t in BLOCK_TOKENS)
+_BL_PHR_SQL = ", ".join(f"'{p}'" for p in BLOCK_PHRASES)
+
+_BLOCKLIST_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS tk
+    FROM documents
+),
+hits AS (
+    SELECT doc_id,
+           CAST(len(list_filter(tk, t -> t IN ({_BL_TOK_SQL})))
+                AS BIGINT) AS n_blocked_tokens,
+           CAST(len(list_filter(
+                CASE WHEN len(tk) >= 2
+                     THEN list_transform(generate_series(1, len(tk) - 1),
+                                         i -> tk[i] || ' ' || tk[i+1])
+                     ELSE [] END,
+                b -> b IN ({_BL_PHR_SQL}))) AS BIGINT) AS n_blocked_phrases
+    FROM toks
+)
+SELECT doc_id, n_blocked_tokens, n_blocked_phrases,
+       (n_blocked_tokens + n_blocked_phrases) > 0 AS blocked
+FROM hits
+"""
+
+
+@register_supplementary(
+    "blocklist_filter_docs", _BLOCKLIST_ORACLE, tags=("pipeline", "text")
+)
+def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter (Raffel et al. 2020 §2.2: remove any
+    page containing a banned word): per-document counts of banned
+    TOKEN occurrences and banned two-word PHRASE occurrences, plus the
+    removal decision. Phrase matching runs over the same 2-shingle
+    stream the near-dup family uses, so a multi-word entry cannot be
+    dodged by punctuation the tokenizer strips. Extension beyond the
+    reference surface.
+
+    Scale: pure scan-side codegen — literal IN-list filters over
+    projected token/shingle arrays, ZERO exchanges in the whole plan
+    (plan-gated); at 100 TB this is embarrassingly parallel with the
+    blocklist compiled into the task bytecode, the shape a broadcast
+    join would only need once lists outgrow literals (~10^5 terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    t = t.withColumn("phr", word_shingles(F.col("tk"), 2))
+    hits = t.select(
+        "doc_id",
+        F.size(F.filter(F.col("tk"), lambda x: x.isin(*BLOCK_TOKENS)))
+        .cast("bigint")
+        .alias("n_blocked_tokens"),
+        F.size(F.filter(F.col("phr"), lambda b: b.isin(*BLOCK_PHRASES)))
+        .cast("bigint")
+        .alias("n_blocked_phrases"),
+    )
+    return hits.withColumn(
+        "blocked",
+        (F.col("n_blocked_tokens") + F.col("n_blocked_phrases")) > 0,
     )

@@ -55,6 +55,7 @@ SAMPLE = [
     "text_quality",
     "quality_filter_gopher",
     "lm_perplexity_score",
+    "blocklist_filter_docs",
     "multimodal_decode_bmp",
     "multimodal_decode_wav",
     "multimodal_decode_ppm",

@@ -624,3 +624,11 @@ def test_lm_perplexity_scoring_is_broadcast_only(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 2, plan
     formatted = physical_plan(df, "formatted")
     assert "EqualTo(source,src0)" in formatted, formatted
+
+
+def test_blocklist_filter_is_exchange_free(spark, sf_dir):
+    # literal IN-list filters over projected arrays: the whole plan is
+    # scan-side codegen — any Exchange here means a regression
+    df = _q("blocklist_filter_docs", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "Exchange" not in plan, plan
