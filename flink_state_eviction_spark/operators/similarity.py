@@ -836,3 +836,59 @@ def mutual_knn_clusters(
         "cluster",
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )
+
+
+def whitening_matrix(
+    cov_upper: list[tuple[int, int, float]], d: int = 64, eps: float = 1e-9
+):
+    """ZCA whitening matrix W = U diag(1/sqrt(l+eps)) U^T from the
+    upper-triangle covariance table (``embedding_dim_covariance``
+    rows as (dim_i, dim_j, cov), 1-based dims).
+
+    Driver-side numpy eigendecomposition on the BOUNDED d x d table —
+    never corpus-sized, the one legitimately-centralized step of the
+    whitening pipeline (same size class as the k-means centroid
+    collects). Not SQL-replayable (eigh), so the gate is the pytest
+    property: whitened sample covariance == identity.
+    """
+    import numpy as np
+
+    c = np.zeros((d, d))
+    for i, j, v in cov_upper:
+        c[i - 1, j - 1] = v
+        c[j - 1, i - 1] = v
+    lam, u = np.linalg.eigh(c)
+    return u @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ u.T
+
+
+def apply_whitening(
+    emb: DataFrame,
+    w,
+    mu,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply PCA/ZCA whitening y = W (x - mu) to every embedding —
+    Arrow-batched matmul in mapInPandas (one numpy GEMM per batch;
+    the d x d matrix rides in the closure). Scan-parallel, zero
+    shuffle; output keeps the id and replaces the vector.
+    """
+    import numpy as np
+    import pandas as pd
+
+    w = np.asarray(w, dtype=np.float64)
+    mu = np.asarray(mu, dtype=np.float64)
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy())
+            y = (x - mu) @ w.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "whitened": list(y)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        op, f"{id_col} bigint, whitened array<double>"
+    )

@@ -4843,3 +4843,187 @@ def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blocked",
         (F.col("n_blocked_tokens") + F.col("n_blocked_phrases")) > 0,
     )
+
+
+# ---------------------------------------------------------------------------
+# X162: Johnson-Lindenstrauss random projection (dimensionality
+# reduction 64 -> 16) + the exact cross-dimension covariance table
+# that parameterizes PCA/ZCA whitening (operators/similarity.py:
+# apply_whitening — the eigen step is numpy on the BOUNDED d x d
+# table, pytest-gated).
+
+_JL_OUT_DIMS = 16
+_JL_SEED = 0x3A11  # distinct from the SRP-LSH family seed
+
+
+def _jl_planes() -> list[list[float]]:
+    from flink_state_eviction_spark.operators.similarity import (
+        srp_hyperplanes,
+    )
+
+    return srp_hyperplanes(_JL_OUT_DIMS, 64, seed=_JL_SEED)
+
+
+def _jl_oracle() -> str:
+    cols = []
+    for j, plane in enumerate(_jl_planes()):
+        lits = ",".join(str(int(x)) for x in plane)
+        cols.append(
+            f"round(list_dot_product(v, [{lits}]::DOUBLE[]) * 0.25, 6)"
+            f" AS p{j:02d}"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       {sel}
+FROM e
+"""
+
+
+@register_supplementary(
+    "embedding_random_projection", _jl_oracle(), tags=("pipeline", "similarity")
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project every
+    embedding from 64 to 16 dims with the deterministic Rademacher
+    (+-1) matrix scaled by 1/sqrt(16) = 0.25 (a power of two, so the
+    scaling is IEEE-exact). The JL lemma bounds pairwise-distance
+    distortion; tests/test_similarity.py pins it empirically on the
+    fixture corpus. Extension beyond the reference surface — the
+    cheap preprocessing step before ANN indexing / clustering when
+    the full dimensionality doesn't pay for itself.
+
+    Bit-exactness: +-1 entries make each projection a signed
+    sequential sum of components (same left-fold as the cosine
+    family, matching DuckDB list_dot_product); outputs round(6) per
+    the dot-fold convention. The matrix is generated by the shared
+    splitmix64 procedure (srp_hyperplanes, distinct seed) and embeds
+    in the oracle as integer literals — one source of truth.
+
+    Scale: pure scan-side work (16 folds per row, no exchange at
+    all); the matrix rides in the task bytecode."""
+    from flink_state_eviction_spark.operators.similarity import (
+        as_double_vec,
+        dot,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    cols = []
+    for j, plane in enumerate(_jl_planes()):
+        lit = F.array(*[F.lit(x) for x in plane])
+        cols.append(
+            F.round(dot(F.col("v"), lit) * F.lit(0.25), 6).alias(f"p{j:02d}")
+        )
+    return e.select("vec_id", *cols)
+
+
+_DIM_COV_ORACLE = """
+WITH e AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+p AS (
+    SELECT a.i AS i, b.i AS j, v[a.i] AS xi, v[b.i] AS xj
+    FROM e, idx a, idx b
+    WHERE b.i >= a.i
+),
+m AS (
+    SELECT dim,
+           CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*)
+               AS mean
+    FROM (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e)
+    GROUP BY dim
+),
+c AS (
+    SELECT i, j,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(xi * xj AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*)
+               AS eij
+    FROM p GROUP BY i, j
+)
+SELECT CAST(c.i AS BIGINT) AS dim_i, CAST(c.j AS BIGINT) AS dim_j,
+       c.n_rows,
+       round(c.eij - mi.mean * mj.mean, 12) AS cov
+FROM c
+JOIN m mi ON mi.dim = c.i
+JOIN m mj ON mj.dim = c.j
+"""
+
+
+@register_supplementary(
+    "embedding_dim_covariance", _DIM_COV_ORACLE, tags=("pipeline", "similarity")
+)
+def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-dimension covariance of the embedding corpus (upper
+    triangle, population): the d x d parameter table PCA/ZCA whitening
+    and covariance-aware PQ codebooks consume — the cross-dim sibling
+    of embedding_dim_stats (X142). The eigendecomposition itself is
+    driver-side numpy on this BOUNDED d x d result
+    (operators/similarity.py:whitening_matrix, pytest-gated — not
+    SQL-replayable and never corpus-sized).
+
+    Determinism: E[xi*xj] accumulates the exact double products in
+    DECIMAL(27,15) (order-independent), means come from the X142
+    convention, cov = E[xy] - mx*my with identical expression order;
+    round(12) over the tie-rounding noise.
+
+    Scale shape: one scan, each row fans out to d(d+1)/2 = 2080
+    (i<=j) component pairs inside codegen, then a map-side-combined
+    aggregate over 2080 keys — shuffle volume is pairs x partitions,
+    never the corpus. For d >= ~512 the explode bill (d²N rows through
+    codegen) outgrows a numpy Gram accumulation in mapInPandas; at
+    d=64 the declarative form wins (no Python worker round-trip)."""
+    from flink_state_eviction_spark.operators.similarity import (
+        as_double_vec,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(as_double_vec(F.col("embedding")).alias("v"))
+    comp = e.select(
+        "v", F.posexplode(F.col("v")).alias("_pi", "xi")
+    ).select(
+        "v", (F.col("_pi") + 1).alias("i"), "xi"
+    )
+    pairs = comp.select(
+        "i", "xi", F.posexplode(F.col("v")).alias("_pj", "xj")
+    ).select(
+        "i", "xi", (F.col("_pj") + 1).alias("j"), "xj"
+    ).where(F.col("j") >= F.col("i"))
+    m = (
+        e.select(F.posexplode(F.col("v")).alias("_p", "x"))
+        .select((F.col("_p") + 1).alias("dim"), "x")
+        .groupBy("dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(27,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean")
+        )
+    )
+    c = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            F.sum((F.col("xi") * F.col("xj")).cast("decimal(27,15)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("eij"),
+    )
+    mi = m.select(F.col("dim").alias("i"), F.col("mean").alias("mean_i"))
+    mj = m.select(F.col("dim").alias("j"), F.col("mean").alias("mean_j"))
+    return (
+        c.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.col("i").cast("bigint").alias("dim_i"),
+            F.col("j").cast("bigint").alias("dim_j"),
+            "n_rows",
+            F.round(
+                F.col("eij") - F.col("mean_i") * F.col("mean_j"), 12
+            ).alias("cov"),
+        )
+    )

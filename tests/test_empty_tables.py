@@ -52,6 +52,8 @@ SAMPLE = [
     "similarity_kmeans_cells",
     "similarity_ivf_kmeans_topk",
     "embedding_quantize_int8",
+    "embedding_random_projection",
+    "embedding_dim_covariance",
     "text_quality",
     "quality_filter_gopher",
     "lm_perplexity_score",

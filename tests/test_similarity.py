@@ -326,3 +326,72 @@ def test_semantic_dedup_cluster_blocking_recall(spark, sf_dir):
     # blocking earns its keep on real corpora at tight thresholds;
     # numbers + analysis in SCALE.md. Floor pins the measurement.
     assert doc_recall >= 0.25, doc_recall
+
+
+# ---------------------------------------------------------------------------
+# X162: JL random projection + whitening properties
+
+
+def test_jl_projection_preserves_pairwise_distances(spark, sf_dir):
+    """JL lemma, empirically: squared-distance ratios 16d/64d
+    concentrate around 1 (Rademacher matrix, E[ratio] = 1,
+    std ~ sqrt(2/k) ~ 0.35 at k=16)."""
+    import numpy as np
+
+    from flink_state_eviction_spark.queries import all_queries
+
+    proj = (
+        all_queries()["embedding_random_projection"](spark, sf_dir)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    y = proj[[c for c in proj.columns if c.startswith("p")]].to_numpy()
+    rng = np.random.default_rng(11)
+    n = len(x)
+    ratios = []
+    for _ in range(200):
+        i, j = rng.integers(0, n, 2)
+        if i == j:
+            continue
+        d64 = ((x[i] - x[j]) ** 2).sum()
+        d16 = ((y[i] - y[j]) ** 2).sum()
+        if d64 > 0:
+            ratios.append(d16 / d64)
+    ratios = np.array(ratios)
+    assert 0.7 <= np.median(ratios) <= 1.35, np.median(ratios)
+    frac_ok = ((ratios > 0.4) & (ratios < 1.8)).mean()
+    assert frac_ok >= 0.7, frac_ok
+
+
+def test_whitening_covariance_is_identity(spark, sf_dir):
+    """ZCA whitening from the exact covariance table: the whitened
+    corpus has identity sample covariance (and zero mean) — the
+    end-to-end gate for the non-SQL eigen step."""
+    import numpy as np
+
+    from flink_state_eviction_spark.operators.similarity import (
+        apply_whitening,
+        whitening_matrix,
+    )
+    from flink_state_eviction_spark.queries import all_queries
+
+    cov = all_queries()["embedding_dim_covariance"](spark, sf_dir).collect()
+    w = whitening_matrix(
+        [(r["dim_i"], r["dim_j"], r["cov"]) for r in cov], d=64
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = np.stack(
+        emb.orderBy("vec_id").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    mu = x.mean(axis=0)
+    out = apply_whitening(emb, w, mu).orderBy("vec_id").toPandas()
+    y = np.stack(out["whitened"].to_numpy())
+    c = np.cov(y, rowvar=False, bias=True)
+    assert np.abs(c - np.eye(64)).max() < 1e-3, np.abs(c - np.eye(64)).max()
+    assert np.abs(y.mean(axis=0)).max() < 1e-6
