@@ -1320,3 +1320,135 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "high_perplexity",
         F.col("mean_nll_millibits") > F.lit(LM_PPL_THRESHOLD_MB),
     )
+
+
+# ---------------------------------------------------------------------------
+# X163: loss / attention masks for packed sequences
+#
+# The training-side metadata X55's assignment table implies: packed
+# sequences cross document boundaries, so the trainer needs, per
+# chunk, where each document segment starts (attention reset) and
+# which positions carry no loss (a document's FIRST token has no
+# valid context). Mask and segment layouts are emitted as md5s over
+# the canonical position-ordered strings — full-array-strength
+# checking without array columns in the contract.
+
+_MASK_C = CHUNK_TOKENS
+
+_LOSS_MASK_ORACLE = f"""
+WITH {_SQL_TOKS.strip()},
+counts AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM toks
+),
+nz AS (
+    SELECT doc_id, n_tok,
+           COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    CAST(0 AS BIGINT)) AS off
+    FROM counts WHERE n_tok > 0
+),
+spans AS (
+    SELECT doc_id, n_tok, off,
+           UNNEST(range(CAST(off // {_MASK_C} AS BIGINT),
+                        CAST((off + n_tok - 1) // {_MASK_C} + 1
+                             AS BIGINT))) AS chunk_id
+    FROM nz
+),
+sp AS (
+    SELECT chunk_id, doc_id,
+           GREATEST(CAST(0 AS BIGINT), chunk_id * {_MASK_C} - off)
+               AS begin_tok,
+           LEAST(n_tok, (chunk_id + 1) * {_MASK_C} - off) AS end_tok,
+           off
+    FROM spans
+),
+loc AS (
+    SELECT chunk_id, doc_id, begin_tok,
+           end_tok - begin_tok AS seg_len,
+           off + begin_tok - chunk_id * {_MASK_C} AS local_pos
+    FROM sp
+)
+SELECT chunk_id,
+       CAST(SUM(seg_len) AS BIGINT) AS n_tok,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(SUM(CASE WHEN begin_tok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_masked,
+       md5(COALESCE(string_agg(
+               CASE WHEN begin_tok = 0 THEN CAST(local_pos AS VARCHAR) END,
+               ',' ORDER BY local_pos), '')) AS mask_md5,
+       md5(string_agg(doc_id || ':' || seg_len, ',' ORDER BY local_pos))
+           AS seg_md5
+FROM loc GROUP BY chunk_id
+"""
+
+
+@register_supplementary(
+    "pack_loss_masks", _LOSS_MASK_ORACLE, tags=("pipeline", "corpus")
+)
+def pack_loss_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk loss/attention-mask layout for the packed training
+    sequences (X55): chunk fill, segment count, which positions start
+    a NEW document inside the chunk (attention reset + loss mask —
+    a document's first token has no valid context; a STRADDLING
+    continuation is not masked, its context is intra-document). The
+    mask and segment layouts are md5s over canonical position-ordered
+    strings, so the whole per-chunk array content is pinned without
+    array columns. Extension beyond the reference surface.
+
+    Scale shape: rides the X55 assignment table (two-level bucketed
+    prefix sum — nothing heavier than (doc_id, n_tok) shuffles); the
+    chunk-local position is a window INSIDE a chunk group, which is
+    bounded by the 128-token capacity by construction — never an
+    unbounded sort."""
+    from flink_state_eviction_spark.operators.packing import (
+        pack_chunk_spans,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = pack_chunk_spans(
+        docs, chunk_tokens=CHUNK_TOKENS, n_buckets=_PACK_BUCKETS
+    ).withColumn("seg_len", F.col("end_tok") - F.col("begin_tok"))
+    w = (
+        W.partitionBy("chunk_id")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    loc = spans.withColumn(
+        "local_pos",
+        F.coalesce(F.sum("seg_len").over(w), F.lit(0).cast("bigint")),
+    )
+    masked_pos = F.array_sort(
+        F.collect_list(
+            F.when(F.col("begin_tok") == 0, F.col("local_pos"))
+        )
+    )
+    seg_structs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("local_pos").alias("p"),
+                F.concat_ws(":", F.col("doc_id"), F.col("seg_len")).alias(
+                    "s"
+                ),
+            )
+        )
+    )
+    return loc.groupBy("chunk_id").agg(
+        F.sum("seg_len").cast("bigint").alias("n_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.sum(F.when(F.col("begin_tok") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.md5(
+            F.array_join(
+                F.transform(masked_pos, lambda x: x.cast("string")), ","
+            )
+        ).alias("mask_md5"),
+        F.md5(
+            F.array_join(
+                F.transform(seg_structs, lambda s: s["s"]), ","
+            )
+        ).alias("seg_md5"),
+    )

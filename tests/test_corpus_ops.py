@@ -271,3 +271,28 @@ def test_chunk_overlap_composes_with_exact_dedup(spark, sf_dir):
     keep = {(r.chunk_md5): (r.doc_id, r.chunk_idx) for r in deduped.collect()}
     for r in rows:
         assert keep[r.chunk_md5] <= (r.doc_id, r.chunk_idx)
+
+
+def test_pack_loss_masks_invariants(spark, sf_dir):
+    """Every nonempty document is masked exactly once (at its first
+    token), all chunks except the last are exactly full, and segment
+    counts tie out against the assignment table."""
+    from flink_state_eviction_spark.queries import all_queries
+
+    masks = (
+        all_queries()["pack_loss_masks"](spark, sf_dir)
+        .orderBy("chunk_id")
+        .toPandas()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = (
+        docs.select(F.size(tokens(F.col("text"))).alias("n"))
+        .where(F.col("n") > 0)
+        .count()
+    )
+    assert int(masks["n_masked"].sum()) == n_docs
+    assert (masks["n_tok"].iloc[:-1] == 128).all()
+    assert 0 < masks["n_tok"].iloc[-1] <= 128
+    spans = all_queries()["sequence_pack_chunks"](spark, sf_dir).toPandas()
+    per_chunk = spans.groupby("chunk_id").size().sort_index()
+    assert (per_chunk.to_numpy() == masks["n_segments"].to_numpy()).all()

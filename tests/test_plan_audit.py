@@ -57,6 +57,7 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "part_association_rules": 1,  # scalar: basket count for support
     "part_copurchase_triangles": 3,  # scalar: census totals
     "quality_budget_select": 1,  # offsets: score-bucket prefix counts
+    "pack_loss_masks": 3,  # offsets/scalar: inherits X55's doc-range prefix sums
     "sequence_pack_chunks": 3,  # offsets/scalar: doc-range prefix sums
     "similarity_ivf_pq_topk": 5,  # tiny: k-row codebooks + probe lists
     "similarity_assign_frozen": 1,  # tiny: k-row centroid init window
