@@ -5027,3 +5027,74 @@ def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X164: audio sequency-band features (64-point Walsh-Hadamard)
+
+_WHT_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+dims AS (SELECT doc_id, h % 300 + 10 AS n, d FROM m),
+cells AS (
+    SELECT doc_id, n, d, kk.k AS k, ii.i AS i
+    FROM dims,
+         (SELECT unnest(generate_series(0, 63)) AS k) kk,
+         (SELECT unnest(generate_series(0, 63)) AS i) ii
+),
+terms AS (
+    SELECT doc_id, n, k,
+           (CASE WHEN i < n
+                 THEN ((d * 31 + i * 7) % 2048) - 1024 ELSE 0 END)
+           * (CASE WHEN bit_count(CAST(i AS BIGINT) & CAST(k AS BIGINT))
+                        % 2 = 1
+                   THEN -1 ELSE 1 END) AS t
+    FROM cells
+),
+wk AS (
+    SELECT doc_id, n, k, CAST(SUM(t) AS BIGINT) AS w
+    FROM terms GROUP BY doc_id, n, k
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN k // 8 = 0 THEN w * w ELSE 0 END) AS BIGINT) AS e0,
+       CAST(SUM(CASE WHEN k // 8 = 1 THEN w * w ELSE 0 END) AS BIGINT) AS e1,
+       CAST(SUM(CASE WHEN k // 8 = 2 THEN w * w ELSE 0 END) AS BIGINT) AS e2,
+       CAST(SUM(CASE WHEN k // 8 = 3 THEN w * w ELSE 0 END) AS BIGINT) AS e3,
+       CAST(SUM(CASE WHEN k // 8 = 4 THEN w * w ELSE 0 END) AS BIGINT) AS e4,
+       CAST(SUM(CASE WHEN k // 8 = 5 THEN w * w ELSE 0 END) AS BIGINT) AS e5,
+       CAST(SUM(CASE WHEN k // 8 = 6 THEN w * w ELSE 0 END) AS BIGINT) AS e6,
+       CAST(SUM(CASE WHEN k // 8 = 7 THEN w * w ELSE 0 END) AS BIGINT) AS e7,
+       CAST(SUM(w * w) AS BIGINT) AS e_total
+FROM wk GROUP BY doc_id, n
+"""
+
+
+@register_supplementary(
+    "multimodal_wav_bands", _WHT_ORACLE, tags=("pipeline", "multimodal")
+)
+def multimodal_wav_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-shape features for the audio corpus: 8 sequency-band
+    energies from a 64-point Walsh-Hadamard transform over the first
+    64 REAL-decoded PCM samples (operators/multimodal.py:
+    wav_sequency_bands) — the integer-exact stand-in for FFT band
+    energies, so the oracle replays decode -> transform -> banding
+    bit-for-bit from the closed-form sample formula. Parseval
+    (e_total = 64 * sum s^2) is the pytest self-check. Extension
+    beyond the reference surface — the audio-feature leg next to the
+    frame/tile image features (X82/X95).
+
+    Scale: scan-parallel mapInPandas (one 64x64 int matmul per row);
+    only the 10-column feature row leaves the scan — zero exchanges
+    on the feature path."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        wav_media_from_documents,
+        wav_sequency_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_sequency_bands(wav_media_from_documents(docs))

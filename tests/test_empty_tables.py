@@ -64,6 +64,7 @@ SAMPLE = [
     "multimodal_decode_ppm",
     "multimodal_resize_decode",
     "multimodal_phash_dedup",
+    "multimodal_wav_bands",
     "text_profile",
     "custkeys_churn_retention",
     "text_redact_pii",

@@ -300,3 +300,30 @@ def test_dhash_separates_opposite_gradients(spark):
     # strictly increasing rows -> all 56 bits set; decreasing -> none
     assert h_inc == 2**56 - 1
     assert h_dec == 0
+
+
+def test_wav_sequency_bands_parseval_and_bands(spark):
+    """Parseval for the +-1 WHT: sum_k W_k^2 == 64 * sum_i s_i^2; a
+    constant signal concentrates ALL energy in band 0 (k=0)."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        wav_sequency_bands,
+    )
+
+    const = np.full(64, 100, dtype=np.int16)
+    ramp = np.arange(-500, 524, 16, dtype=np.int16)
+    rows = [
+        (0, bytearray(encode_wav(const, 8000))),
+        (1, bytearray(encode_wav(ramp, 8000))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id bigint, media binary")
+    out = {
+        r["doc_id"]: r
+        for r in wav_sequency_bands(media).collect()
+    }
+    for did, sig in ((0, const), (1, ramp)):
+        r = out[did]
+        assert r["e_total"] == 64 * int((sig.astype(np.int64) ** 2).sum())
+        assert r["e_total"] == sum(r[f"e{b}"] for b in range(8))
+    # constant signal: W_0 = 64*100, all other coefficients zero
+    assert out[0]["e0"] == (64 * 100) ** 2
+    assert all(out[0][f"e{b}"] == 0 for b in range(1, 8))
