@@ -50,8 +50,9 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from flink_state_eviction_spark.sinks.manifest import content_digest
+from flink_state_eviction_spark.sinks.manifest import MOD, content_digest
 
 _COMMITS = "_commits"
 _DATA = "data"
@@ -280,3 +281,93 @@ def vacuum_uncommitted(
                 os.unlink(full)  # crashed writer's staged record
                 removed.append(os.path.normpath(full))
     return removed
+
+
+def diff_versions(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+    force_join: bool = False,
+) -> DataFrame:
+    """Row-level reconciliation between two committed snapshots:
+    (key columns..., change_type in 'added'|'removed'|'changed').
+
+    Two physical strategies, picked from the COMMIT LOG, not the data:
+
+    - **Append-only fast path** (``v_from``'s dir set is a subset of
+      ``v_to``'s and ``force_join`` is False): the delta IS the set of
+      dirs ``v_to`` added — the diff reads ONLY those files and never
+      touches (or joins against) the shared history. At 100 TB this is
+      the difference between O(delta) and O(table). Assumes appended
+      keys are new (the table's append contract); pass
+      ``force_join=True`` when appends may revise existing keys.
+    - **General path**: both snapshots reduce to per-key
+      (row_count, mergeable digest-sum) — the manifest row-hash family
+      folded per key, duplicate-key-safe — and a full outer join on
+      the keys classifies each: only (keys, count, digest) rows
+      shuffle, never the payload columns.
+    """
+    rec_f = _read_commit(table_dir, v_from)
+    rec_t = _read_commit(table_dir, v_to)
+    dirs_f, dirs_t = set(rec_f["dirs"]), set(rec_t["dirs"])
+
+    if not force_join and dirs_f <= dirs_t:
+        delta = sorted(dirs_t - dirs_f)
+        if not delta:
+            return (
+                read_version(spark, table_dir, v_to)
+                .select(*key_cols)
+                .limit(0)
+                .withColumn("change_type", F.lit(""))
+            )
+        added = spark.read.parquet(*_resolve_dirs(table_dir, delta))
+        return added.select(*key_cols).withColumn(
+            "change_type", F.lit("added")
+        )
+
+    def keyed(df: DataFrame) -> DataFrame:
+        val_cols = sorted(c for c in df.columns if c not in key_cols)
+        canon = F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in val_cols
+            ],
+        )
+        row_h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
+            "long"
+        )
+        return (
+            df.withColumn("_rh", row_h % MOD)
+            .groupBy(*key_cols)
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                (
+                    F.sum(F.col("_rh").cast("decimal(38,0)"))
+                    % F.lit(MOD).cast("decimal(38,0)")
+                )
+                .cast("long")
+                .alias("_dg"),
+            )
+        )
+
+    a = keyed(read_version(spark, table_dir, v_from))
+    b = keyed(read_version(spark, table_dir, v_to))
+    for c in ("_n", "_dg"):
+        a = a.withColumnRenamed(c, c + "_f")
+        b = b.withColumnRenamed(c, c + "_t")
+    j = a.join(b, key_cols, "full_outer")
+    return j.select(
+        *key_cols,
+        F.when(F.col("_n_f").isNull(), F.lit("added"))
+        .when(F.col("_n_t").isNull(), F.lit("removed"))
+        .when(
+            (F.col("_n_f") != F.col("_n_t"))
+            | (F.col("_dg_f") != F.col("_dg_t")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    ).where(F.col("change_type") != "unchanged")

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_state_eviction_spark.sinks.versioned import (
+    diff_versions,
     commit_version,
     committed_versions,
     read_version,
@@ -224,3 +225,78 @@ def test_verify_validates_version(spark, sf_dir, tmp_path):
     commit_version(_orders(spark, sf_dir, 0, 100), t, mode="overwrite")
     with pytest.raises(ValueError, match="not committed"):
         verify_version(spark, t, 7)
+
+
+def test_diff_versions_append_fast_path_reads_only_delta(
+    spark, sf_dir, tmp_path
+):
+    """Append-only history: the diff comes from the COMMIT LOG's dir
+    delta — only the appended files are read, the shared history is
+    never scanned or joined."""
+    t = str(tmp_path / "tbl")
+    a = _orders(spark, sf_dir, 0, 100)
+    b = _orders(spark, sf_dir, 100, 180)
+    commit_version(a, t, mode="overwrite")
+    commit_version(b, t, mode="append")
+
+    d = diff_versions(spark, t, 0, 1, ["o_orderkey"])
+    got = {(r["o_orderkey"], r["change_type"]) for r in d.collect()}
+    want = {
+        (r["o_orderkey"], "added") for r in b.select("o_orderkey").collect()
+    }
+    assert got == want
+    # fast path: every input file lives in a dir version 0 does NOT own
+    from flink_state_eviction_spark.sinks.versioned import _read_commit
+
+    v0_dirs = set(_read_commit(t, 0)["dirs"])
+    for f in d.inputFiles():
+        assert not any(rd in f for rd in v0_dirs), f
+
+
+def test_diff_versions_full_reconciliation(spark, sf_dir, tmp_path):
+    """Overwrite history (no subset relation): per-key digest
+    reconciliation classifies added / removed / changed exactly."""
+    t = str(tmp_path / "tbl")
+    base = _orders(spark, sf_dir, 0, 100)
+    commit_version(base, t, mode="overwrite")
+    # v1: drop keys < 10, alter totalprice for keys in [10, 20),
+    # add keys from [100, 130)
+    keep = base.where(F.col("o_orderkey") >= 10)
+    altered = keep.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") < 20, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    nxt = altered.unionByName(_orders(spark, sf_dir, 100, 130))
+    commit_version(nxt, t, mode="overwrite")
+
+    d = diff_versions(spark, t, 0, 1, ["o_orderkey"]).toPandas()
+    by_type = {
+        ct: set(g["o_orderkey"]) for ct, g in d.groupby("change_type")
+    }
+    base_keys = {r["o_orderkey"] for r in base.select("o_orderkey").collect()}
+    assert by_type.get("removed", set()) == {k for k in base_keys if k < 10}
+    assert by_type.get("changed", set()) == {
+        k for k in base_keys if 10 <= k < 20
+    }
+    new_keys = {
+        r["o_orderkey"]
+        for r in _orders(spark, sf_dir, 100, 130)
+        .select("o_orderkey")
+        .collect()
+    }
+    assert by_type.get("added", set()) == new_keys - base_keys
+    # force_join on an append history agrees with the fast path
+    commit_version(_orders(spark, sf_dir, 130, 150), t, mode="append")
+    fast = {
+        (r["o_orderkey"], r["change_type"])
+        for r in diff_versions(spark, t, 1, 2, ["o_orderkey"]).collect()
+    }
+    slow = {
+        (r["o_orderkey"], r["change_type"])
+        for r in diff_versions(
+            spark, t, 1, 2, ["o_orderkey"], force_join=True
+        ).collect()
+    }
+    assert fast == slow
