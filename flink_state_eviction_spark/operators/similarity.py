@@ -845,6 +845,8 @@ def whitening_matrix(
     upper-triangle covariance table (``embedding_dim_covariance``
     rows as (dim_i, dim_j, cov), 1-based dims).
 
+    Extension beyond the reference surface (no numeric tooling in
+    /root/reference — SURVEY.md §2.6).
     Driver-side numpy eigendecomposition on the BOUNDED d x d table —
     never corpus-sized, the one legitimately-centralized step of the
     whitening pipeline (same size class as the k-means centroid
@@ -869,7 +871,8 @@ def apply_whitening(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Apply PCA/ZCA whitening y = W (x - mu) to every embedding —
-    Arrow-batched matmul in mapInPandas (one numpy GEMM per batch;
+    extension beyond the reference surface; Arrow-batched matmul in
+    mapInPandas (one numpy GEMM per batch;
     the d x d matrix rides in the closure). Scan-parallel, zero
     shuffle; output keeps the id and replaces the vector.
     """

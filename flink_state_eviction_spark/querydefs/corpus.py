@@ -1227,14 +1227,23 @@ c1 AS (SELECT split_part(b, ' ', 1) AS w1, count(*) AS c1
 v AS (SELECT count(DISTINCT w) + 1 AS v
       FROM (SELECT unnest(tk) AS w FROM toks
             WHERE source = '{LM_REF_SOURCE}')),
-p AS (
+ab AS (
     SELECT bg.doc_id,
-           greatest(1, ((coalesce(c2.c2, 0) + 1) * {LM_PROB_SCALE})
-                       // (coalesce(c1.c1, 0) + v.v)) AS p_fx
+           coalesce(c2.c2, 0) + 1 AS pa,
+           coalesce(c1.c1, 0) + v.v AS pb
     FROM bg
     LEFT JOIN c2 USING (b)
     LEFT JOIN c1 ON c1.w1 = split_part(bg.b, ' ', 1)
     CROSS JOIN v
+),
+-- floor(pa * 10^12 / pb) in two exact 10^6 steps: pa*10^6 stays in
+-- bigint for reference feeds up to ~9.2e12 left-context tokens
+-- (naive pa*10^12 overflows at ~9.2e6 — CLAUDE.md ANSI lesson)
+p AS (
+    SELECT doc_id,
+           greatest(1, ((pa * 1000000) // pb) * 1000000
+                       + (((pa * 1000000) % pb) * 1000000) // pb) AS p_fx
+    FROM ab
 ),
 q AS (SELECT doc_id, p_fx, length(bin(p_fx)) AS e FROM p),
 nll AS (SELECT doc_id, {_LM_NLL_DUCK} AS nll_mb FROM q)
@@ -1296,13 +1305,19 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
         .join(F.broadcast(c1), "w1", "left")
         .crossJoin(F.broadcast(v))
+        .withColumn("pa", F.expr("coalesce(c2, 0) + 1"))
+        .withColumn("pb", F.expr("coalesce(c1, 0) + v"))
+        # floor(pa * 10^12 / pb) in two exact 10^6 steps — pa*10^6
+        # stays in bigint for reference feeds up to ~9.2e12
+        # left-context tokens (naive pa*10^12 overflows under ANSI at
+        # pa ~ 9.2e6, i.e. any web-scale feed's top bigram)
         .withColumn(
             "p_fx",
             F.greatest(
                 F.lit(1).cast("bigint"),
                 F.expr(
-                    f"((coalesce(c2, 0) + 1) * {LM_PROB_SCALE}) "
-                    "div (coalesce(c1, 0) + v)"
+                    "((pa * 1000000) div pb) * 1000000"
+                    " + (((pa * 1000000) % pb) * 1000000) div pb"
                 ),
             ),
         )

@@ -4869,7 +4869,8 @@ def _jl_oracle() -> str:
     for j, plane in enumerate(_jl_planes()):
         lits = ",".join(str(int(x)) for x in plane)
         cols.append(
-            f"round(list_dot_product(v, [{lits}]::DOUBLE[]) * 0.25, 6)"
+            f"round(list_dot_product(v, [{lits}]::DOUBLE[])"
+            f" * CAST(0.25 AS DOUBLE), 6)"
             f" AS p{j:02d}"
         )
     sel = ",\n       ".join(cols)

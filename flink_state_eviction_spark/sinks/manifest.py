@@ -29,15 +29,24 @@ MOD = 1 << 61
 MANIFEST_NAME = "_manifest.json"
 
 
+def row_digest(cols: "list[str]"):
+    """The canonical per-row content hash every digest in the repo
+    folds: md5 over the \\x1f-joined string casts (\\x00 null
+    sentinel), 60-bit prefix as bigint. ONE definition — shared by
+    content_digest and sinks/versioned.diff_versions so the manifest
+    and reconciliation digests can never silently diverge."""
+    canon = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+
+
 def content_digest(df: DataFrame, cols: "list[str] | None" = None) -> dict:
     """(row_count, digest) over ``cols`` (default: all columns, sorted
     by name for a stable canonical form). One scan, map-side partial
     sums, no shuffle of data rows."""
     cols = sorted(cols or df.columns)
-    canon = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
-    )
-    row_h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    row_h = row_digest(cols)
     # accumulate in DECIMAL(38,0): int64 would overflow after ~2^3
     # rows of 2^61-bounded hashes under ANSI mode; 38 digits hold the
     # un-modded sum past 10^17 rows, and the mod folds at the end

@@ -52,7 +52,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_state_eviction_spark.sinks.manifest import MOD, content_digest
+from flink_state_eviction_spark.sinks.manifest import (
+    MOD,
+    content_digest,
+    row_digest,
+)
 
 _COMMITS = "_commits"
 _DATA = "data"
@@ -323,22 +327,17 @@ def diff_versions(
                 .withColumn("change_type", F.lit(""))
             )
         added = spark.read.parquet(*_resolve_dirs(table_dir, delta))
-        return added.select(*key_cols).withColumn(
-            "change_type", F.lit("added")
+        # one row per KEY, matching the general path's contract (an
+        # appended batch may carry a key twice)
+        return (
+            added.select(*key_cols)
+            .distinct()
+            .withColumn("change_type", F.lit("added"))
         )
 
     def keyed(df: DataFrame) -> DataFrame:
         val_cols = sorted(c for c in df.columns if c not in key_cols)
-        canon = F.concat_ws(
-            "\x1f",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                for c in val_cols
-            ],
-        )
-        row_h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
-            "long"
-        )
+        row_h = row_digest(val_cols)
         return (
             df.withColumn("_rh", row_h % MOD)
             .groupBy(*key_cols)

@@ -291,8 +291,8 @@ def test_pack_loss_masks_invariants(spark, sf_dir):
         .count()
     )
     assert int(masks["n_masked"].sum()) == n_docs
-    assert (masks["n_tok"].iloc[:-1] == 128).all()
-    assert 0 < masks["n_tok"].iloc[-1] <= 128
+    assert (masks["n_tok"].iloc[:-1] == CHUNK_TOKENS).all()
+    assert 0 < masks["n_tok"].iloc[-1] <= CHUNK_TOKENS
     spans = all_queries()["sequence_pack_chunks"](spark, sf_dir).toPandas()
     per_chunk = spans.groupby("chunk_id").size().sort_index()
     assert (per_chunk.to_numpy() == masks["n_segments"].to_numpy()).all()
