@@ -1257,48 +1257,17 @@ FROM nll GROUP BY doc_id
 """
 
 
-@register_supplementary(
-    "lm_perplexity_score", _LM_PPL_ORACLE, tags=("corpus", "text")
-)
-def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM perplexity filter: an add-one bigram LM trained
-    on the designated reference feed (source = 'src0' — the "wiki
-    slice") scores every document's per-token cross-entropy; docs far
-    from the reference distribution flag ``high_perplexity``. Extends
-    the reference surface (no batch corpus tooling in
-    /root/reference); the statistical model follows Wenzek et al.
-    2019 (CCNet) with the n=2 model SQL can replay exactly.
-
-    Bit-exactness: p(w2|w1) = (c2+1)/(c1+V) is computed in 10^-12
-    fixed point with INTEGER division, and -log2(p) via the
-    leading-bit + mantissa-lookup integer log (max error ~3
-    millibits/token) — no float sum ordering, no ln() ulp drift.
-
-    Scale shape: the LM tables are bounded by the REFERENCE feed (a
-    curated slice, CCNet-style), not the corpus — c1/c2/V broadcast;
-    the corpus-side bigram stream is scored scan-side (explode ->
-    two broadcast hash joins -> per-doc partial agg) and never
-    shuffles except the final doc_id groupBy, which AQE coalesces.
-    Docs with < 2 tokens have no bigram evidence and are absent (same
-    contract as text_bigram_surprisal)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select(
-        "doc_id", "source", tokens(F.col("text")).alias("tk")
-    )
+def lm_score_docs(
+    docs: DataFrame, c2: DataFrame, c1: DataFrame, v: DataFrame
+) -> DataFrame:
+    """The ONE LM-scoring kernel (shared by the batch query below and
+    the streaming maintainer, streaming/lm_maintain.py — the
+    one-helper-per-family rule): score ``docs`` against LM tables
+    ``c2`` (b, c2), ``c1`` (w1, c1) and the 1-row vocab scalar ``v``.
+    Fixed-point + integer-log math documented on the batch query."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
     bg_all = toked.select(
         "doc_id", F.explode(word_shingles(F.col("tk"), 2)).alias("b")
-    )
-    ref = toked.where(F.col("source") == LM_REF_SOURCE)
-    ref_bg = ref.select(F.explode(word_shingles(F.col("tk"), 2)).alias("b"))
-    c2 = ref_bg.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
-    # left-context counts fold out of the bigram table (c1(w1) =
-    # sum of c2 over bigrams starting with w1) — a vocab-sized
-    # aggregation instead of a second explode over the reference slice.
-    c1 = c2.groupBy(
-        F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1")
-    ).agg(F.sum("c2").alias("c1"))
-    v = ref.select(F.explode(F.col("tk")).alias("w")).agg(
-        (F.countDistinct("w") + 1).alias("v")
     )
     scored = (
         bg_all.join(F.broadcast(c2), "b", "left")
@@ -1335,6 +1304,48 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "high_perplexity",
         F.col("mean_nll_millibits") > F.lit(LM_PPL_THRESHOLD_MB),
     )
+
+
+@register_supplementary(
+    "lm_perplexity_score", _LM_PPL_ORACLE, tags=("corpus", "text")
+)
+def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity filter: an add-one bigram LM trained
+    on the designated reference feed (source = 'src0' — the "wiki
+    slice") scores every document's per-token cross-entropy; docs far
+    from the reference distribution flag ``high_perplexity``. Extends
+    the reference surface (no batch corpus tooling in
+    /root/reference); the statistical model follows Wenzek et al.
+    2019 (CCNet) with the n=2 model SQL can replay exactly.
+
+    Bit-exactness: p(w2|w1) = (c2+1)/(c1+V) is computed in 10^-12
+    fixed point with INTEGER division, and -log2(p) via the
+    leading-bit + mantissa-lookup integer log (max error ~3
+    millibits/token) — no float sum ordering, no ln() ulp drift.
+
+    Scale shape: the LM tables are bounded by the REFERENCE feed (a
+    curated slice, CCNet-style), not the corpus — c1/c2/V broadcast;
+    the corpus-side bigram stream is scored scan-side (explode ->
+    two broadcast hash joins -> per-doc partial agg) and never
+    shuffles except the final doc_id groupBy, which AQE coalesces.
+    Docs with < 2 tokens have no bigram evidence and are absent (same
+    contract as text_bigram_surprisal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source") == LM_REF_SOURCE).select(
+        tokens(F.col("text")).alias("tk")
+    )
+    ref_bg = ref.select(F.explode(word_shingles(F.col("tk"), 2)).alias("b"))
+    c2 = ref_bg.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
+    # left-context counts fold out of the bigram table (c1(w1) =
+    # sum of c2 over bigrams starting with w1) — a vocab-sized
+    # aggregation instead of a second explode over the reference slice.
+    c1 = c2.groupBy(
+        F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    v = ref.select(F.explode(F.col("tk")).alias("w")).agg(
+        (F.countDistinct("w") + 1).alias("v")
+    )
+    return lm_score_docs(docs, c2, c1, v)
 
 
 # ---------------------------------------------------------------------------

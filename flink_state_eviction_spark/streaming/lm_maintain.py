@@ -1,0 +1,126 @@
+"""Streaming twin for the LM perplexity filter (X159): incremental
+reference-LM maintenance over an always-ingesting reference feed.
+
+The batch `lm_perplexity_score` trains its add-one bigram LM on the
+full reference slice; when the reference feed itself streams in
+(curation is continuous — new wiki dumps, new vetted feeds), the LM
+count tables are maintained incrementally and scoring serves FROM the
+maintained state, exactly like the shingle-df maintainer
+(novelty_maintain.py) serves novelty:
+
+- ``lm_maintain_batch`` — called from ``foreachBatch`` over the
+  REFERENCE stream: per-batch bigram counts and per-batch token counts
+  land in idempotent ``batch=<id>`` partitions (two narrow sub-tables,
+  ``bg`` and ``uni``). A redelivered batch OVERWRITES its own
+  partitions, so at-least-once delivery cannot double-count.
+- ``lm_tables_from_state`` — the serving half: c2 = summed bigram
+  counts, c1 FOLDS OUT of c2 (the batch query's optimization — no
+  second state table), V = distinct maintained tokens + 1.
+- ``lm_scores_from_state`` — scores any document frame through the
+  ONE shared kernel (querydefs/corpus.lm_score_docs); after the whole
+  reference feed has streamed in, scoring the corpus is BIT-EQUAL to
+  the batch query (test_streaming_lm_maintain) — the final-state
+  equivalence contract of the maintainer family.
+
+Counts are associative sums and vocabulary is a distinct-union, so
+both fold per batch and compact below the max committed id via the
+shared commit-log-safe compactor (streaming/compaction.py).
+
+Extension beyond the reference surface (SURVEY §2.7 X166; the batch
+query it twins is X159).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.text import tokens, word_shingles
+
+
+def _batch_counts(batch_df: DataFrame, text_col: str):
+    """((b, cnt) bigram counts, (w, cnt) token counts) for one batch —
+    the same tokenizer/shingle stream as the batch query."""
+    toked = batch_df.select(tokens(F.col(text_col)).alias("tk"))
+    bg = toked.select(
+        F.explode(word_shingles(F.col("tk"), 2)).alias("b")
+    ).groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    uni = toked.select(F.explode(F.col("tk")).alias("w")).groupBy(
+        "w"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return bg, uni
+
+
+def lm_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of reference-LM maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id — the id keys
+    the idempotent per-batch state partitions."""
+    bg, uni = _batch_counts(batch_df, text_col)
+    bg.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "bg", f"batch={batch_id}")
+    )
+    uni.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "uni", f"batch={batch_id}")
+    )
+
+
+def compact_lm_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold every sealed ``batch <= through_batch`` partition of both
+    sub-tables into one summed partition each — counts are summable,
+    so the fold is a re-aggregation. Safety/durability contract:
+    streaming/compaction.py (staged write -> raising deletes ->
+    rename; in-flight max batch refused)."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    for sub, key in (("bg", "b"), ("uni", "w")):
+        compact_batch_partitions(
+            spark,
+            os.path.join(state_dir, sub),
+            through_batch,
+            lambda df, key=key: df.groupBy(key).agg(
+                F.sum("cnt").cast("long").alias("cnt")
+            ),
+        )
+
+
+def lm_tables_from_state(spark: SparkSession, state_dir: str):
+    """The maintained LM: (c2, c1, v) in the shapes the shared scoring
+    kernel expects. c2 sums the per-batch bigram counts (map-side
+    combined over distinct bigrams); c1 folds out of c2; V counts the
+    distinct maintained tokens + 1 (the add-one OOV symbol)."""
+    c2 = (
+        spark.read.parquet(os.path.join(state_dir, "bg"))
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("c2"))
+    )
+    c1 = c2.groupBy(
+        F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    v = (
+        spark.read.parquet(os.path.join(state_dir, "uni"))
+        .agg((F.countDistinct("w") + 1).alias("v"))
+    )
+    return c2, c1, v
+
+
+def lm_scores_from_state(
+    spark: SparkSession, state_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Score ``docs`` against the MAINTAINED reference LM through the
+    one shared kernel — same output shape as `lm_perplexity_score`;
+    bit-equal to it once the full reference slice has streamed in."""
+    from flink_state_eviction_spark.querydefs.corpus import lm_score_docs
+
+    c2, c1, v = lm_tables_from_state(spark, state_dir)
+    return lm_score_docs(docs, c2, c1, v)

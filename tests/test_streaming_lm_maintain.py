@@ -1,0 +1,118 @@
+"""Streaming twin for the LM perplexity filter: after the reference
+feed streams in micro-batches, scoring the corpus from the maintained
+LM state must reproduce the batch `lm_perplexity_score` bit-for-bit;
+redelivered batches must not change the state; compaction preserves
+it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.querydefs.corpus import LM_REF_SOURCE
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.lm_maintain import (
+    compact_lm_state,
+    lm_maintain_batch,
+    lm_scores_from_state,
+    lm_tables_from_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {
+        (
+            r["doc_id"],
+            r["n_bigrams"],
+            r["nll_millibits"],
+            r["mean_nll_millibits"],
+            r["high_perplexity"],
+        )
+        for r in df.collect()
+    }
+
+
+def _ref(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == LM_REF_SOURCE)
+        .select("doc_id", "text")
+    )
+
+
+def test_streaming_lm_matches_batch(spark, sf_dir, tmp_path):
+    ref = _ref(spark, sf_dir)
+    stream = as_file_stream(
+        ref, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "lm-state")
+
+    def upd(batch_df, batch_id):
+        lm_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = _rows(lm_scores_from_state(spark, state, docs))
+    want = _rows(all_queries()["lm_perplexity_score"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_redelivery_and_compaction_preserve_lm_state(
+    spark, sf_dir, tmp_path
+):
+    ref = _ref(spark, sf_dir)
+    n = ref.count()
+    ids = sorted(r["doc_id"] for r in ref.select("doc_id").collect())
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, ref.where(F.col("doc_id") < cut1)),
+        (1, ref.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, ref.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "lm-state")
+    for bid, b in batches:
+        lm_maintain_batch(b, state, bid)
+
+    def snapshot():
+        c2, c1, v = lm_tables_from_state(spark, state)
+        return (
+            {(r["b"], r["c2"]) for r in c2.collect()},
+            {(r["w1"], r["c1"]) for r in c1.collect()},
+            v.first()["v"],
+        )
+
+    once = snapshot()
+    # at-least-once redelivery: overwriting the own batch partition is
+    # a no-op for the folded counts
+    lm_maintain_batch(batches[1][1], state, 1)
+    lm_maintain_batch(batches[1][1], state, 1)
+    assert snapshot() == once
+
+    # compacting the in-flight (max) batch is refused; folding the
+    # sealed prefix preserves the state bit-for-bit
+    with pytest.raises(ValueError):
+        compact_lm_state(spark, state, 2)
+    compact_lm_state(spark, state, 1)
+    assert snapshot() == once
+    parts = {
+        int(r["batch"])
+        for r in spark.read.parquet(os.path.join(state, "bg"))
+        .select("batch")
+        .distinct()
+        .collect()
+    }
+    assert parts == {1, 2}
+    # the still-redeliverable max batch replays cleanly post-compaction
+    lm_maintain_batch(batches[2][1], state, 2)
+    assert snapshot() == once
