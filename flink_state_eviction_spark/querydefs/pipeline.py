@@ -5099,3 +5099,111 @@ def multimodal_wav_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return wav_sequency_bands(wav_media_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# X167: the curation funnel as ONE auditable decision table
+# (FineWeb/Dolma-style): every filter family's verdict per document,
+# plus the final keep decision — the report a data-curation run ships
+# next to its corpus. Composes the REGISTERED queries (each keeps its
+# own oracle; the composition wraps those same oracles as CTEs — the
+# source_quality_scorecard precedent).
+
+
+def _curation_oracle() -> str:
+    from flink_state_eviction_spark.querydefs.corpus import _LM_PPL_ORACLE
+
+    fail = (
+        "(CASE WHEN NOT g.passes THEN 1 ELSE 0 END)"
+        " + (CASE WHEN bl.blocked THEN 1 ELSE 0 END)"
+        " + (CASE WHEN COALESCE(lm.high_perplexity, FALSE)"
+        " THEN 1 ELSE 0 END)"
+        " + (CASE WHEN ex.doc_id <> ex.keeper_id THEN 1 ELSE 0 END)"
+    )
+    return f"""
+WITH g AS ({_GOPHER_ORACLE}),
+bl AS ({_BLOCKLIST_ORACLE}),
+lm AS ({_LM_PPL_ORACLE}),
+ex AS ({_EXACT_ORACLE})
+SELECT g.doc_id,
+       g.passes AS gopher_pass,
+       bl.blocked,
+       COALESCE(lm.high_perplexity, FALSE) AS high_perplexity,
+       ex.doc_id = ex.keeper_id AS is_canonical,
+       g.passes AND NOT bl.blocked
+         AND NOT COALESCE(lm.high_perplexity, FALSE)
+         AND ex.doc_id = ex.keeper_id AS keep,
+       CAST({fail} AS BIGINT) AS n_fail
+FROM g
+JOIN bl USING (doc_id)
+JOIN ex ON ex.doc_id = g.doc_id
+LEFT JOIN lm ON lm.doc_id = g.doc_id
+"""
+
+
+@register_supplementary(
+    "corpus_curation_decisions", _curation_oracle(), tags=("pipeline", "text")
+)
+def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel as one auditable table (the FineWeb/Dolma
+    decision report): per document — Gopher rule-battery verdict
+    (X17), blocklist hit (X161), reference-LM perplexity flag (X159,
+    docs with < 2 tokens carry no LM evidence and default to pass;
+    the word-count rule already kills them), exact-dup canonicality
+    (X7) — plus the conjunction ``keep`` and the failed-gate count.
+    Near-dup canonicality (X8) composes the same way at the operator
+    level; exact dedup keeps this composition's oracle tractable.
+
+    Reuse contract: the composition CALLS the four registered queries
+    and wraps their own oracles as CTEs — no re-implemented filter
+    logic anywhere, so the decision table can never silently diverge
+    from the audited per-filter queries.
+
+    Scale shape: three of the four inputs are scan-side flag streams;
+    the joins are all doc_id equi-joins (co-partitioned after the
+    first shuffle, AQE-coalesced). The LM side joins LEFT because the
+    perplexity query's contract omits bigram-less docs."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        lm_perplexity_score,
+    )
+
+    g = quality_filter_gopher(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("gopher_pass")
+    )
+    bl = blocklist_filter_docs(spark, sf_dir).select("doc_id", "blocked")
+    lm = lm_perplexity_score(spark, sf_dir).select(
+        "doc_id", "high_perplexity"
+    )
+    ex = dedup_exact(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_canonical"),
+    )
+    out = (
+        g.join(bl, "doc_id")
+        .join(ex, "doc_id")
+        .join(lm, "doc_id", "left")
+        .withColumn(
+            "high_perplexity",
+            F.coalesce(F.col("high_perplexity"), F.lit(False)),
+        )
+    )
+    n_fail = (
+        F.when(~F.col("gopher_pass"), 1).otherwise(0)
+        + F.when(F.col("blocked"), 1).otherwise(0)
+        + F.when(F.col("high_perplexity"), 1).otherwise(0)
+        + F.when(~F.col("is_canonical"), 1).otherwise(0)
+    )
+    return out.select(
+        "doc_id",
+        "gopher_pass",
+        "blocked",
+        "high_perplexity",
+        "is_canonical",
+        (
+            F.col("gopher_pass")
+            & ~F.col("blocked")
+            & ~F.col("high_perplexity")
+            & F.col("is_canonical")
+        ).alias("keep"),
+        n_fail.cast("bigint").alias("n_fail"),
+    )

@@ -58,6 +58,7 @@ SAMPLE = [
     "quality_filter_gopher",
     "lm_perplexity_score",
     "blocklist_filter_docs",
+    "corpus_curation_decisions",
     "pack_loss_masks",
     "multimodal_decode_bmp",
     "multimodal_decode_wav",

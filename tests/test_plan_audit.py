@@ -65,6 +65,7 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "similarity_pq_topk": 4,  # tiny: k-row codebooks
     "text_bigram_surprisal": 1,  # offsets: count-bucket prefix table
     "text_bm25_search": 2,  # scalar: (avgdl, N) one-row stat aggregates
+    "corpus_curation_decisions": 1,  # scalar: inherits X159's reference-vocab V
     "lm_perplexity_score": 1,  # scalar: reference-vocab size V for add-one smoothing
     "text_tfidf": 1,  # scalar: corpus doc count for idf
     "tpch_q14_promo_revenue": 1,  # scalar: promo/total revenue row
