@@ -5207,3 +5207,154 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep"),
         n_fail.cast("bigint").alias("n_fail"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X168: perceptual-hash NEAR-dup pairs — hamming distance over the
+# DISTINCT dHash values. Grouping by exact hash first (X160) is what
+# makes this scale-safe: identical images collapse into one hash row
+# before any pairing, so pair volume is bounded by the distinct-hash
+# structure, never the corpus (a million byte-identical images
+# contribute ONE row here).
+
+_PHASH_HAM_MAX = 8
+_PHASH_BANDS = 4
+_PHASH_BAND_BITS = 14  # 4 x 14 = 56
+
+_PHASH_HASHES_CTE = """
+m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, CAST(h % 12 + 1 AS INT) AS w,
+           CAST(h % 10 + 1 AS INT) AS ht, d
+    FROM m
+),
+cells AS (
+    SELECT doc_id, w, ht, d, rr.r AS r, cc.c AS c
+    FROM dims,
+         (SELECT unnest(generate_series(0, 7)) AS r) rr,
+         (SELECT unnest(generate_series(0, 6)) AS c) cc
+),
+grays AS (
+    SELECT doc_id, r, c,
+           {g0} AS g0,
+           {g1} AS g1
+    FROM cells
+),
+hashes AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN g1 > g0
+                         THEN CAST(pow(2, r * 7 + c) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS dhash
+    FROM grays GROUP BY doc_id
+)
+""".format(g0=_dhash_gray_sql("c"), g1=_dhash_gray_sql("(c + 1)"))
+
+_PHASH_NEARDUP_ORACLE = f"""
+WITH {_PHASH_HASHES_CTE.strip()},
+dh AS (
+    SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs
+    FROM hashes GROUP BY dhash
+),
+bands AS (
+    SELECT dhash, n_docs, bb.band,
+           (dhash // CAST(pow(2, bb.band * {_PHASH_BAND_BITS}) AS BIGINT))
+               % {1 << _PHASH_BAND_BITS} AS bval
+    FROM dh,
+         (SELECT unnest(generate_series(0, {_PHASH_BANDS - 1})) AS band) bb
+),
+cand AS (
+    SELECT DISTINCT a.dhash AS hash_a, b.dhash AS hash_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bval = b.bval AND a.dhash < b.dhash
+)
+SELECT c.hash_a, c.hash_b,
+       CAST(bit_count(xor(c.hash_a, c.hash_b)) AS BIGINT) AS hamming,
+       da.n_docs AS n_docs_a, db.n_docs AS n_docs_b
+FROM cand c
+JOIN dh da ON da.dhash = c.hash_a
+JOIN dh db ON db.dhash = c.hash_b
+WHERE bit_count(xor(c.hash_a, c.hash_b)) <= {_PHASH_HAM_MAX}
+"""
+
+
+@register_supplementary(
+    "multimodal_phash_neardup",
+    _PHASH_NEARDUP_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-duplicate image pairs: hamming distance <= 8
+    between DISTINCT 56-bit dHash values, candidates blocked on 4
+    x 14-bit bands (the X9 simhash banding applied to the image
+    hash). By pigeonhole, any pair within hamming 3 shares a clean
+    band (guaranteed recall); deeper distances are found when any
+    band agrees — the standard LSH trade-off, documented not hidden.
+
+    The exact-group census (X160) runs FIRST: identical images
+    collapse to one hash row before pairing, so candidate volume is
+    bounded by the distinct-hash structure — a million byte-identical
+    crawl images contribute one row to this join, not 10^12 pairs.
+    Output carries both group sizes so downstream canonicalization
+    can weight merges. Extension beyond the reference surface.
+
+    Scale: decode scan-parallel; distinct-hash table is a hash
+    groupBy; band explode is x4; the self-join is a plain band-keyed
+    equi-join (AQE skew-splittable), hamming verified by two integer
+    instructions (xor + popcount)."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_media_from_documents,
+        dhash56,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dh = (
+        dhash56(bmp_media_from_documents(docs))
+        .groupBy("dhash")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    bands = dh.select(
+        "dhash",
+        "n_docs",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1))
+        ).alias("band"),
+    ).withColumn(
+        "bval",
+        F.expr(
+            f"(dhash div cast(pow(2, band * {_PHASH_BAND_BITS}) as bigint))"
+            f" % {1 << _PHASH_BAND_BITS}"
+        ),
+    )
+    a = bands.select(
+        F.col("band"), F.col("bval"), F.col("dhash").alias("hash_a")
+    )
+    b = bands.select(
+        F.col("band"), F.col("bval"), F.col("dhash").alias("hash_b")
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("hash_a") < F.col("hash_b"))
+        .select("hash_a", "hash_b")
+        .distinct()
+    )
+    da = dh.select(
+        F.col("dhash").alias("hash_a"), F.col("n_docs").alias("n_docs_a")
+    )
+    db = dh.select(
+        F.col("dhash").alias("hash_b"), F.col("n_docs").alias("n_docs_b")
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.expr("hash_a ^ hash_b")).cast("bigint"),
+        )
+        .where(F.col("hamming") <= _PHASH_HAM_MAX)
+        .join(da, "hash_a")
+        .join(db, "hash_b")
+        .select("hash_a", "hash_b", "hamming", "n_docs_a", "n_docs_b")
+    )

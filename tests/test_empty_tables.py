@@ -66,6 +66,7 @@ SAMPLE = [
     "multimodal_resize_decode",
     "multimodal_phash_dedup",
     "multimodal_wav_bands",
+    "multimodal_phash_neardup",
     "text_profile",
     "custkeys_churn_retention",
     "text_redact_pii",

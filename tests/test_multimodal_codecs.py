@@ -327,3 +327,28 @@ def test_wav_sequency_bands_parseval_and_bands(spark):
     # constant signal: W_0 = 64*100, all other coefficients zero
     assert out[0]["e0"] == (64 * 100) ** 2
     assert all(out[0][f"e{b}"] == 0 for b in range(1, 8))
+
+
+def test_phash_neardup_pigeonhole_recall(spark, sf_dir):
+    """4 bands over 56 bits: any distinct-hash pair within hamming 3
+    shares at least one clean band (pigeonhole), so the banded join
+    must surface ALL such pairs."""
+    from flink_state_eviction_spark.queries import all_queries
+
+    got = {
+        (r["hash_a"], r["hash_b"])
+        for r in all_queries()["multimodal_phash_neardup"](
+            spark, sf_dir
+        ).collect()
+    }
+    census = all_queries()["multimodal_phash_dedup"](spark, sf_dir)
+    hashes = sorted(
+        r["dhash"] for r in census.select("dhash").distinct().collect()
+    )
+    must = set()
+    for i, ha in enumerate(hashes):
+        for hb in hashes[i + 1:]:
+            if bin(ha ^ hb).count("1") <= 3:
+                must.add((ha, hb))
+    assert must <= got
+    assert must, "fixture should contain at least one close pair"
