@@ -203,7 +203,7 @@ def main() -> None:
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
-        "bm25,mix,robust,r5b,decon,chunk,frames,lm",
+        "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -298,6 +298,17 @@ def main() -> None:
             # at deployment the reference feed is fixed/curated and
             # only the scored stream grows
             rec["lm_perplexity_score_sec"] = timed(lambda: all_qs["lm_perplexity_score"](spark, d))
+        if "r6" in only:
+            # round-6 additions: phash census + banded near-dup (decode
+            # is scan-parallel; the near-dup join is distinct-hash-
+            # bounded), WHT bands (pure scan), blocklist (exchange-
+            # free scan), curation funnel (joins the four audited
+            # filter outputs on doc_id)
+            rec["multimodal_phash_dedup_sec"] = timed(lambda: all_qs["multimodal_phash_dedup"](spark, d))
+            rec["multimodal_phash_neardup_sec"] = timed(lambda: all_qs["multimodal_phash_neardup"](spark, d))
+            rec["multimodal_wav_bands_sec"] = timed(lambda: all_qs["multimodal_wav_bands"](spark, d))
+            rec["blocklist_filter_docs_sec"] = timed(lambda: all_qs["blocklist_filter_docs"](spark, d))
+            rec["corpus_curation_decisions_sec"] = timed(lambda: all_qs["corpus_curation_decisions"](spark, d))
         if "frames" in only:
             # scan-parallel container synth + extent walk + stride-2
             # decode; no shuffle at all (output is per-frame rows)
