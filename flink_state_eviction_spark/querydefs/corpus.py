@@ -1306,8 +1306,9 @@ def lm_score_docs(
     )
 
 
-@register_supplementary(
-    "lm_perplexity_score", _LM_PPL_ORACLE, tags=("corpus", "text")
+@register(
+    "lm_perplexity_score", _LM_PPL_ORACLE, headline=True,
+    tags=("corpus", "text"),
 )
 def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM perplexity filter: an add-one bigram LM trained

@@ -893,15 +893,11 @@ FROM m
 """.replace("{stop!r}", repr(list(LANG_STOPWORDS["en"])))
 
 
-@register("quality_filter_gopher", _GOPHER_ORACLE, tags=("pipeline", "text"))
-def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style rule battery: word count, mean word length, stopword
-    presence, alphabetic-word fraction, symbol ratio, and a repetition
-    proxy (distinct-token ratio) — per-rule flags + the conjunction.
-    Pure codegen expressions over one projected token array (no HOF
-    re-evaluation: every metric is a named column first), zero shuffle —
-    scan-parallel at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Frame-level Gopher rule battery (the ONE kernel — shared by the
+    registered query below and the streaming curation maintainer,
+    streaming/curation_maintain.py). Semantics documented on the
+    query."""
     t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
     m = t.select(
         "doc_id",
@@ -948,6 +944,17 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.alias(n) for n, c in rules.items()],
         passes.alias("passes"),
     )
+
+
+@register("quality_filter_gopher", _GOPHER_ORACLE, tags=("pipeline", "text"))
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery: word count, mean word length, stopword
+    presence, alphabetic-word fraction, symbol ratio, and a repetition
+    proxy (distinct-token ratio) — per-rule flags + the conjunction.
+    Pure codegen expressions over one projected token array (no HOF
+    re-evaluation: every metric is a named column first), zero shuffle —
+    scan-parallel at any corpus size."""
+    return gopher_flags(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -4730,7 +4737,7 @@ FROM hashes
 """
 
 
-@register_supplementary(
+@register(
     "multimodal_phash_dedup", _PHASH_ORACLE, tags=("pipeline", "multimodal")
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4810,6 +4817,27 @@ FROM hits
 """
 
 
+def blocklist_flags(docs: DataFrame) -> DataFrame:
+    """Frame-level blocklist filter (the ONE kernel — shared by the
+    registered query below and the streaming curation maintainer).
+    Semantics documented on the query."""
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    t = t.withColumn("phr", word_shingles(F.col("tk"), 2))
+    hits = t.select(
+        "doc_id",
+        F.size(F.filter(F.col("tk"), lambda x: x.isin(*BLOCK_TOKENS)))
+        .cast("bigint")
+        .alias("n_blocked_tokens"),
+        F.size(F.filter(F.col("phr"), lambda b: b.isin(*BLOCK_PHRASES)))
+        .cast("bigint")
+        .alias("n_blocked_phrases"),
+    )
+    return hits.withColumn(
+        "blocked",
+        (F.col("n_blocked_tokens") + F.col("n_blocked_phrases")) > 0,
+    )
+
+
 @register_supplementary(
     "blocklist_filter_docs", _BLOCKLIST_ORACLE, tags=("pipeline", "text")
 )
@@ -4827,22 +4855,7 @@ def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-gated); at 100 TB this is embarrassingly parallel with the
     blocklist compiled into the task bytecode, the shape a broadcast
     join would only need once lists outgrow literals (~10^5 terms)."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
-    t = t.withColumn("phr", word_shingles(F.col("tk"), 2))
-    hits = t.select(
-        "doc_id",
-        F.size(F.filter(F.col("tk"), lambda x: x.isin(*BLOCK_TOKENS)))
-        .cast("bigint")
-        .alias("n_blocked_tokens"),
-        F.size(F.filter(F.col("phr"), lambda b: b.isin(*BLOCK_PHRASES)))
-        .cast("bigint")
-        .alias("n_blocked_phrases"),
-    )
-    return hits.withColumn(
-        "blocked",
-        (F.col("n_blocked_tokens") + F.col("n_blocked_phrases")) > 0,
-    )
+    return blocklist_flags(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -5141,47 +5154,17 @@ LEFT JOIN lm ON lm.doc_id = g.doc_id
 """
 
 
-@register_supplementary(
-    "corpus_curation_decisions", _curation_oracle(), tags=("pipeline", "text")
-)
-def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curation funnel as one auditable table (the FineWeb/Dolma
-    decision report): per document — Gopher rule-battery verdict
-    (X17), blocklist hit (X161), reference-LM perplexity flag (X159,
-    docs with < 2 tokens carry no LM evidence and default to pass;
-    the word-count rule already kills them), exact-dup canonicality
-    (X7) — plus the conjunction ``keep`` and the failed-gate count.
-    Near-dup canonicality (X8) composes the same way at the operator
-    level; exact dedup keeps this composition's oracle tractable.
-
-    Reuse contract: the composition CALLS the four registered queries
-    and wraps their own oracles as CTEs — no re-implemented filter
-    logic anywhere, so the decision table can never silently diverge
-    from the audited per-filter queries.
-
-    Scale shape: three of the four inputs are scan-side flag streams;
-    the joins are all doc_id equi-joins (co-partitioned after the
-    first shuffle, AQE-coalesced). The LM side joins LEFT because the
-    perplexity query's contract omits bigram-less docs."""
-    from flink_state_eviction_spark.querydefs.corpus import (
-        lm_perplexity_score,
-    )
-
-    g = quality_filter_gopher(spark, sf_dir).select(
-        "doc_id", F.col("passes").alias("gopher_pass")
-    )
-    bl = blocklist_filter_docs(spark, sf_dir).select("doc_id", "blocked")
-    lm = lm_perplexity_score(spark, sf_dir).select(
-        "doc_id", "high_perplexity"
-    )
-    ex = dedup_exact(spark, sf_dir).select(
-        "doc_id",
-        (F.col("doc_id") == F.col("keeper_id")).alias("is_canonical"),
-    )
+def assemble_curation(
+    g: DataFrame, bl: DataFrame, lm: DataFrame, ex_canonical: DataFrame
+) -> DataFrame:
+    """The ONE decision assembler (shared by the registered query below
+    and the streaming curation maintainer): joins the four verdict
+    frames on doc_id and emits flags + keep + failed-gate count."""
     out = (
-        g.join(bl, "doc_id")
-        .join(ex, "doc_id")
-        .join(lm, "doc_id", "left")
+        g.select("doc_id", F.col("passes").alias("gopher_pass"))
+        .join(bl.select("doc_id", "blocked"), "doc_id")
+        .join(ex_canonical, "doc_id")
+        .join(lm.select("doc_id", "high_perplexity"), "doc_id", "left")
         .withColumn(
             "high_perplexity",
             F.coalesce(F.col("high_perplexity"), F.lit(False)),
@@ -5207,6 +5190,42 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep"),
         n_fail.cast("bigint").alias("n_fail"),
     )
+
+
+@register(
+    "corpus_curation_decisions", _curation_oracle(), tags=("pipeline", "text")
+)
+def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel as one auditable table (the FineWeb/Dolma
+    decision report): per document — Gopher rule-battery verdict
+    (X17), blocklist hit (X161), reference-LM perplexity flag (X159,
+    docs with < 2 tokens carry no LM evidence and default to pass;
+    the word-count rule already kills them), exact-dup canonicality
+    (X7) — plus the conjunction ``keep`` and the failed-gate count.
+    Near-dup canonicality (X8) composes the same way at the operator
+    level; exact dedup keeps this composition's oracle tractable.
+
+    Reuse contract: the composition CALLS the four registered queries
+    and wraps their own oracles as CTEs — no re-implemented filter
+    logic anywhere, so the decision table can never silently diverge
+    from the audited per-filter queries.
+
+    Scale shape: three of the four inputs are scan-side flag streams;
+    the joins are all doc_id equi-joins (co-partitioned after the
+    first shuffle, AQE-coalesced). The LM side joins LEFT because the
+    perplexity query's contract omits bigram-less docs."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        lm_perplexity_score,
+    )
+
+    g = quality_filter_gopher(spark, sf_dir)
+    bl = blocklist_filter_docs(spark, sf_dir)
+    lm = lm_perplexity_score(spark, sf_dir)
+    ex = dedup_exact(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_canonical"),
+    )
+    return assemble_curation(g, bl, lm, ex)
 
 
 # ---------------------------------------------------------------------------

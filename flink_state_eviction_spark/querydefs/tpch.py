@@ -269,7 +269,7 @@ SELECT o_custkey, 'retained' AS status FROM (
 """
 
 
-@register("custkeys_churn_retention", _CHURN_RETENTION_ORACLE, tags=("tpch",))
+@register_supplementary("custkeys_churn_retention", _CHURN_RETENTION_ORACLE, tags=("tpch",))  # driver slot ceded to lm_perplexity_score (r6 rotation)
 def custkeys_churn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both set ops in one result: 1995 customers partitioned into
     'churned' (EXCEPT 1996) and 'retained' (INTERSECT 1996) — the merge
@@ -546,7 +546,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
-@register("lineitem_cube", _CUBE_ORACLE, tags=("tpch",))
+@register_supplementary("lineitem_cube", _CUBE_ORACLE, tags=("tpch",))  # driver slot ceded to corpus_curation_decisions (r6 rotation)
 def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full grouping-sets cube over (returnflag, linestatus) with
     grouping_id — the driver row for grouping-sets aggregation: its
@@ -821,7 +821,7 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
 """
 
 
-@register("tpch_q19_disjunctive", _Q19_ORACLE, tags=("tpch",))
+@register_supplementary("tpch_q19_disjunctive", _Q19_ORACLE, tags=("tpch",))  # driver slot ceded to multimodal_phash_dedup (r6 rotation)
 def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19 pattern: OR-of-ANDs across both join sides. Catalyst derives
     the single-side implications (brand IN (...), quantity range) and

@@ -1,0 +1,140 @@
+"""Streaming twin for the curation funnel (X167): the always-on
+ingest pipeline — every micro-batch of arriving documents updates the
+two pieces of CROSS-BATCH state the decision table needs, and the
+decisions serve FROM the maintained state.
+
+Of the four gates, two are pure per-doc functions (Gopher rules,
+blocklist — no state), and two depend on the whole ingested history:
+
+- **Exact-dup canonicality**: the keeper is the corpus-wide min
+  doc_id per content md5 — min and count are associative, so the
+  per-batch (md5, min_id, cnt) table folds exactly like the CDC
+  chunk-index election (X150): min-of-batch-mins IS the corpus
+  election.
+- **Reference-LM perplexity**: the LM counts over the reference feed
+  (the batches' src0 slice) — maintained by the X166 maintainer,
+  reused verbatim (one state layout, one kernel).
+
+``curation_maintain_batch`` writes both updates into idempotent
+``batch=<id>`` partitions (redelivery overwrites, at-least-once safe).
+``curation_from_state`` serves the full decision table for any
+document frame through the SAME kernels the batch query uses
+(gopher_flags, blocklist_flags, lm_score_docs, assemble_curation) —
+after the whole corpus has streamed in, the result is BIT-EQUAL to
+the batch `corpus_curation_decisions` (test_streaming_curation).
+
+Extension beyond the reference surface (SURVEY §2.7 X169; twins the
+batch X167 query; composes the X166 LM maintainer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.streaming.lm_maintain import (
+    lm_maintain_batch,
+    lm_tables_from_state,
+)
+
+
+def curation_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    ref_source: str | None = None,
+) -> None:
+    """One micro-batch of curation-state maintenance: the exact-dup
+    election rows for ALL arriving docs, and the LM count update for
+    the batch's reference slice (default: querydefs.corpus
+    LM_REF_SOURCE). Call from ``foreachBatch`` forwarding its id."""
+    from flink_state_eviction_spark.querydefs.corpus import LM_REF_SOURCE
+
+    ref_source = ref_source or LM_REF_SOURCE
+    election = (
+        batch_df.select("doc_id", F.md5("text").alias("md5"))
+        .groupBy("md5")
+        .agg(
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+    election.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "election", f"batch={batch_id}")
+    )
+    lm_maintain_batch(
+        batch_df.where(F.col("source") == ref_source),
+        os.path.join(state_dir, "lm"),
+        batch_id,
+    )
+
+
+def compact_curation_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed batch partitions of the election and both LM
+    sub-tables (min/count and sums are associative — re-aggregation
+    preserves the state exactly). Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+    from flink_state_eviction_spark.streaming.lm_maintain import (
+        compact_lm_state,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "election"),
+        through_batch,
+        lambda df: df.groupBy("md5").agg(
+            F.min("min_id").cast("long").alias("min_id"),
+            F.sum("cnt").cast("long").alias("cnt"),
+        ),
+    )
+    compact_lm_state(spark, os.path.join(state_dir, "lm"), through_batch)
+
+
+def canonical_from_state(
+    spark: SparkSession, state_dir: str, docs: DataFrame
+) -> DataFrame:
+    """(doc_id, is_canonical) for ``docs`` against the MAINTAINED
+    election: keeper = min over the per-batch mins (associative)."""
+    keepers = (
+        spark.read.parquet(os.path.join(state_dir, "election"))
+        .groupBy("md5")
+        .agg(F.min("min_id").alias("keeper_id"))
+    )
+    return (
+        docs.select("doc_id", F.md5("text").alias("md5"))
+        .join(keepers, "md5")
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_canonical"),
+        )
+    )
+
+
+def curation_from_state(
+    spark: SparkSession, state_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Serve the full decision table for ``docs`` from the maintained
+    state, through the SAME kernels as the batch query — bit-equal to
+    `corpus_curation_decisions` once the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.corpus import lm_score_docs
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        assemble_curation,
+        blocklist_flags,
+        gopher_flags,
+    )
+
+    c2, c1, v = lm_tables_from_state(
+        spark, os.path.join(state_dir, "lm")
+    )
+    return assemble_curation(
+        gopher_flags(docs),
+        blocklist_flags(docs),
+        lm_score_docs(docs, c2, c1, v),
+        canonical_from_state(spark, state_dir, docs),
+    )

@@ -71,13 +71,16 @@ MUST_HAVE = {
     # relational surface
     "tpch_q1",
     "revenue_by_nation",
-    "custkeys_churn_retention",
     "doc_shingle_novelty",
     "asof_join_purchase_click",
     "range_rolling_1h",
-    "lineitem_cube",
     "tpch_q3_shipping_priority",
-    "tpch_q19_disjunctive",
+    # rotated into the window in round 6, displacing
+    # custkeys_churn_retention / lineitem_cube / tpch_q19_disjunctive
+    # (all keep their supplementary parity gates)
+    "lm_perplexity_score",
+    "corpus_curation_decisions",
+    "multimodal_phash_dedup",
     # rotated into the window late round 5, displacing
     # tpch_q18_large_orders and json_extract_agg (both keep their
     # supplementary parity gates)

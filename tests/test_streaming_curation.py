@@ -1,0 +1,99 @@
+"""Streaming twin for the curation funnel: after the corpus streams in
+micro-batches, serving the decision table from the maintained state
+must reproduce the batch `corpus_curation_decisions` bit-for-bit;
+redelivery and compaction must preserve the state."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.curation_maintain import (
+    canonical_from_state,
+    compact_curation_state,
+    curation_from_state,
+    curation_maintain_batch,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {
+        (
+            r["doc_id"],
+            r["gopher_pass"],
+            r["blocked"],
+            r["high_perplexity"],
+            r["is_canonical"],
+            r["keep"],
+            r["n_fail"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "cur-state")
+
+    def upd(batch_df, batch_id):
+        curation_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(curation_from_state(spark, state, docs))
+    want = _rows(all_queries()["corpus_curation_decisions"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_curation_redelivery_and_compaction(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    n = docs.count()
+    batches = [
+        (0, docs.where(F.col("doc_id") < n // 3)),
+        (1, docs.where(
+            (F.col("doc_id") >= n // 3) & (F.col("doc_id") < 2 * n // 3)
+        )),
+        (2, docs.where(F.col("doc_id") >= 2 * n // 3)),
+    ]
+    state = os.path.join(str(tmp_path), "cur-state")
+    for bid, b in batches:
+        curation_maintain_batch(b, state, bid)
+
+    def snapshot():
+        return {
+            (r["doc_id"], r["is_canonical"])
+            for r in canonical_from_state(spark, state, docs).collect()
+        }
+
+    once = snapshot()
+    assert once
+    # at-least-once redelivery is a no-op
+    curation_maintain_batch(batches[0][1], state, 0)
+    curation_maintain_batch(batches[2][1], state, 2)
+    assert snapshot() == once
+    # compaction below the in-flight max preserves the election + LM
+    with pytest.raises(ValueError):
+        compact_curation_state(spark, state, 2)
+    compact_curation_state(spark, state, 1)
+    assert snapshot() == once
+    got = _rows(curation_from_state(spark, state, docs))
+    want = _rows(all_queries()["corpus_curation_decisions"](spark, sf_dir))
+    assert got == want
