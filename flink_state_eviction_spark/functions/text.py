@@ -393,8 +393,9 @@ def neglog2_millibits_sql(p_col: str, e_col: str, *, duck: bool) -> str:
     DuckDB reproduce the score bit-for-bit, which a float ``ln()``
     cannot (not correctly rounded; JVM vs libm differ in ulps — same
     rationale as the rank-based surprisal X126 and rational-odds BM25
-    X135). Max quantization error ~3 millibits/token (< 0.3% of a
-    typical 10-bit token NLL).
+    X135). Worst-case quantization error is one mantissa step
+    (log2(17/16) ~ 88 millibits/token, hypothesis-pinned; ~0.9% of a
+    typical 10-bit token NLL), exact at powers of two.
 
     Pass ``duck=True`` for DuckDB syntax (``//``, list indexing),
     ``duck=False`` for Spark SQL (``div``, ``element_at``). Reference

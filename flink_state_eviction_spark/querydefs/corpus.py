@@ -1321,8 +1321,9 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bit-exactness: p(w2|w1) = (c2+1)/(c1+V) is computed in 10^-12
     fixed point with INTEGER division, and -log2(p) via the
-    leading-bit + mantissa-lookup integer log (max error ~3
-    millibits/token) — no float sum ordering, no ln() ulp drift.
+    leading-bit + mantissa-lookup integer log (worst-case one
+    mantissa step ~88 millibits/token, hypothesis-pinned) — no float
+    sum ordering, no ln() ulp drift.
 
     Scale shape: the LM tables are bounded by the REFERENCE feed (a
     curated slice, CCNet-style), not the corpus — c1/c2/V broadcast;

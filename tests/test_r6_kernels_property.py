@@ -1,0 +1,90 @@
+"""Property pins for the round-6 numeric kernels: the integer -log2
+approximation against math.log2, and dhash56 against an independent
+per-pixel reference implementation."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_state_eviction_spark.functions.text import (
+    LM_PROB_SCALE,
+    LOG2_MANTISSA_MILLIBITS,
+    LM_SCALE_MILLIBITS,
+)
+
+
+def _nll_millibits_py(p_fx: int) -> int:
+    """Pure-Python mirror of neglog2_millibits_sql."""
+    e = p_fx.bit_length()
+    frac = (p_fx * 16) // (2 ** (e - 1)) - 16
+    return LM_SCALE_MILLIBITS - (1000 * (e - 1) + LOG2_MANTISSA_MILLIBITS[frac])
+
+
+@given(st.integers(min_value=1, max_value=LM_PROB_SCALE))
+@settings(max_examples=500, deadline=None)
+def test_integer_neglog2_error_bounded(p_fx):
+    """The leading-bit + 4-bit-mantissa log maps each probability to
+    the LEFT edge of its 1/16-mantissa bin, so the worst-case error is
+    one full step: log2(17/16) ~ 87.9 millibits. Pinned for every
+    representable probability; never negative for p <= 1."""
+    est = _nll_millibits_py(p_fx)
+    true = -math.log2(p_fx / LM_PROB_SCALE) * 1000
+    assert abs(est - true) <= 88, (p_fx, est, true)
+    assert est >= 0
+
+
+def test_integer_neglog2_exact_at_powers_of_two():
+    # at p_fx = 2^k the mantissa is exactly 0: error is only the
+    # constant's rounding (log2(10^12)*1000 = 39863.137...)
+    for k in range(0, 40):
+        est = _nll_millibits_py(2**k)
+        true = -math.log2((2**k) / LM_PROB_SCALE) * 1000
+        assert abs(est - true) < 0.14, (k, est, true)
+
+
+def _dhash_ref(px: np.ndarray) -> int:
+    """Independent per-pixel reference (no vectorization, loops only)."""
+    h, w, _ = px.shape
+    out = 0
+    for r in range(8):
+        for c in range(7):
+            def gray(col):
+                sr = (r * h) // 8
+                sc = (col * w) // 8
+                p = px[sr, sc]
+                return (int(p[0]) + int(p[1]) + int(p[2])) // 3
+
+            if gray(c + 1) > gray(c):
+                out |= 1 << (r * 7 + c)
+    return out
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_dhash_matches_naive_reference(w, h, seed):
+    from flink_state_eviction_spark.functions.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(
+        np.uint8
+    )
+    # the vectorized kernel inside dhash56, replayed directly
+    dec = decode_bmp(encode_bmp(px)).astype(np.int64)
+    sx = (np.arange(8) * w) // 8
+    sy = (np.arange(8) * h) // 8
+    g = dec[sy][:, sx].sum(axis=2) // 3
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+    k = np.arange(56, dtype=np.int64).reshape(8, 7)
+    got = int((bits << k).sum())
+    assert got == _dhash_ref(px)
