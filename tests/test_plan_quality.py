@@ -632,3 +632,25 @@ def test_blocklist_filter_is_exchange_free(spark, sf_dir):
     df = _q("blocklist_filter_docs", spark, sf_dir)
     plan = physical_plan(df, "simple")
     assert "Exchange" not in plan, plan
+
+
+def test_phash_census_is_arrow_scan_plus_one_window_shuffle(spark, sf_dir):
+    # decode runs as ONE Arrow mapInPandas over the scan (no row-path
+    # Python), and the census is a window partitioned BY THE HASH —
+    # exactly one data exchange, never a single-partition collapse
+    df = _q("multimodal_phash_dedup", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_curation_funnel_joins_are_equi_joins(spark, sf_dir):
+    # the decision table composes four verdict frames on doc_id —
+    # every join must be an equi-join (hash or sort-merge), with the
+    # LM subtree keeping its broadcast-only scoring shape
+    df = _q("corpus_curation_decisions", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # LM c2/c1 sides
