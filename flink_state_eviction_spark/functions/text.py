@@ -410,3 +410,31 @@ def neglog2_millibits_sql(p_col: str, e_col: str, *, duck: bool) -> str:
     else:
         look = f"element_at(array({lut}), CAST({frac} AS INT) + 1)"
     return f"({LM_SCALE_MILLIBITS} - (1000 * ({e_col} - 1) + {look}))"
+
+
+def shingle_strings_udf(k: int = 2) -> Column:
+    """Arrow-vectorized ORDERED k-shingle strings (duplicates kept)
+    from a token array — the string twin of :func:`word_shingles`
+    for hot paths: pure ``" ".join`` per window, so the output is
+    bit-identical to the interpreted HOF by construction (no hash
+    family involved), while skipping its ~1 ms/doc expression-tree
+    walk (measured 48 s -> 29 s warm for the LM corpus-side bigram
+    stream at x50, flat at sf0.1 where session overhead dominates). Empty array below k tokens, mirroring word_shingles."""
+    import pandas as pd
+
+    def _pack(toks):
+        out = []
+        for arr in toks:
+            if arr is None or len(arr) < k:
+                out.append([])
+            else:
+                out.append(
+                    [
+                        " ".join(arr[i : i + k])
+                        for i in range(len(arr) - k + 1)
+                    ]
+                )
+        return pd.Series(out)
+
+    _pack.__annotations__ = {"toks": pd.Series, "return": pd.Series}
+    return F.pandas_udf("array<string>")(_pack)
