@@ -203,6 +203,14 @@ def main() -> None:
     ap.add_argument("--vocab", type=int, default=100000)
     ap.add_argument("--out", default="/tmp/zipf_stress")
     ap.add_argument(
+        "--lm",
+        action="store_true",
+        help="time LM perplexity scoring on the 10^5-term vocab: LM"
+        " trained on a 5%% slice (doc_id %% 20 == 0), scored over the"
+        " full corpus; reports the LM-table cardinalities that bound"
+        " the broadcast",
+    )
+    ap.add_argument(
         "--bpe",
         action="store_true",
         help="time BPE merge learning on the 10^5-term vocab instead of"
@@ -252,6 +260,41 @@ def main() -> None:
             {(m["left"], m["right"]) for m in bat64}
             & {(m["left"], m["right"]) for m in seq64}
         )
+        print(json.dumps(rec), flush=True)
+        return
+    if args.lm:
+        # LM tables on a REAL vocabulary: the broadcast-bounded-by-
+        # reference claim needs a reference slice whose bigram table
+        # is meaningfully large (driver fixture: ~2.5k distinct
+        # bigrams; here: hundreds of thousands)
+        from flink_state_eviction_spark.functions.text import (
+            tokens,
+            word_shingles,
+        )
+        from flink_state_eviction_spark.querydefs.corpus import (
+            lm_score_docs,
+        )
+        from flink_state_eviction_spark.tables import load_table
+
+        docs = load_table(spark, d, "documents")
+        ref = docs.where(F.col("doc_id") % 20 == 0).select(
+            tokens(F.col("text")).alias("tk")
+        )
+        ref_bg = ref.select(
+            F.explode(word_shingles(F.col("tk"), 2)).alias("b")
+        )
+        c2 = ref_bg.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
+        c2 = c2.localCheckpoint()
+        c1 = c2.groupBy(
+            F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1")
+        ).agg(F.sum("c2").alias("c1")).localCheckpoint()
+        v = ref.select(F.explode(F.col("tk")).alias("w")).agg(
+            (F.countDistinct("w") + 1).alias("v")
+        ).localCheckpoint()
+        rec["lm_c2_rows"] = c2.count()
+        rec["lm_c1_rows"] = c1.count()
+        rec["lm_vocab"] = int(v.first()["v"])
+        rec["lm_score_sec"] = timed(lambda: lm_score_docs(docs, c2, c1, v))
         print(json.dumps(rec), flush=True)
         return
     rec.update(bucket_bound_report(spark, d))
