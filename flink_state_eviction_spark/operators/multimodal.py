@@ -579,6 +579,23 @@ def sample_ppm_frames(media_df: DataFrame, stride: int) -> DataFrame:
     )
 
 
+def dhash56_kernel(px) -> int:
+    """The ONE dHash kernel (shared by the operator below and the
+    hypothesis naive-reference pin): 8x8 floor-mapped grayscale
+    downsample of an (h, w, 3) pixel array, then bit (r*7+c) set iff
+    gray[r][c+1] > gray[r][c]."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.int64)
+    h, w, _ = px.shape
+    sx = (np.arange(8) * w) // 8
+    sy = (np.arange(8) * h) // 8
+    g = px[sy][:, sx].sum(axis=2) // 3  # 8x8 grayscale
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)  # 8x7
+    k = np.arange(56, dtype=np.int64).reshape(8, 7)
+    return int((bits << k).sum())
+
+
 def dhash56(media_df: DataFrame) -> DataFrame:
     """56-bit difference hash (dHash) per image: REAL BMP decode, 8x8
     grayscale downsample with the floor mapping of
@@ -598,24 +615,15 @@ def dhash56(media_df: DataFrame) -> DataFrame:
     shuffle; only (doc_id, dhash) rows leave the scan.
     Output: (doc_id, dhash bigint).
     """
-    import numpy as np
-
     from flink_state_eviction_spark.functions.codecs import decode_bmp
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            hashes = []
-            for media in pdf["media"]:
-                px = decode_bmp(bytes(media)).astype(np.int64)
-                h, w, _ = px.shape
-                sx = (np.arange(8) * w) // 8
-                sy = (np.arange(8) * h) // 8
-                g = px[sy][:, sx].sum(axis=2) // 3  # 8x8 grayscale
-                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)  # 8x7
-                k = np.arange(56, dtype=np.int64).reshape(8, 7)
-                hashes.append(int((bits << k).sum()))
+            hashes = [
+                dhash56_kernel(decode_bmp(bytes(m))) for m in pdf["media"]
+            ]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "dhash": hashes}
             )

@@ -1345,7 +1345,16 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens(F.col("text")).alias("tk")
     )
     ref_bg = ref.select(F.explode(word_shingles(F.col("tk"), 2)).alias("b"))
-    c2 = ref_bg.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
+    # c2 feeds BOTH the broadcast join and c1's fold — without the
+    # lazy checkpoint the reference slice re-tokenizes per consumer
+    # (the CLAUDE.md double-compute gotcha; zipf_stress --lm measured
+    # the same). v keeps its own (cheaper, shingle-free) scan, which
+    # also keeps the source-pushdown marker visible to the plan gate.
+    c2 = (
+        ref_bg.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     # left-context counts fold out of the bigram table (c1(w1) =
     # sum of c2 over bigrams starting with w1) — a vocab-sized
     # aggregation instead of a second explode over the reference slice.

@@ -4697,8 +4697,8 @@ def _dhash_gray_sql(col_expr: str) -> str:
     )
 
 
-_PHASH_ORACLE = f"""
-WITH m AS (
+_PHASH_HASHES_CTE = """
+m AS (
     SELECT doc_id,
            CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
            doc_id % 256 AS d
@@ -4717,8 +4717,8 @@ cells AS (
 ),
 grays AS (
     SELECT doc_id, r, c,
-           {_dhash_gray_sql("c")} AS g0,
-           {_dhash_gray_sql("(c + 1)")} AS g1
+           {g0} AS g0,
+           {g1} AS g1
     FROM cells
 ),
 hashes AS (
@@ -4728,6 +4728,10 @@ hashes AS (
                          ELSE 0 END) AS BIGINT) AS dhash
     FROM grays GROUP BY doc_id
 )
+""".format(g0=_dhash_gray_sql("c"), g1=_dhash_gray_sql("(c + 1)"))
+
+_PHASH_ORACLE = f"""
+WITH {_PHASH_HASHES_CTE.strip()}
 SELECT doc_id, dhash,
        CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same_hash,
        CAST(min(doc_id) OVER (PARTITION BY dhash) AS BIGINT)
@@ -5240,38 +5244,6 @@ _PHASH_HAM_MAX = 8
 _PHASH_BANDS = 4
 _PHASH_BAND_BITS = 14  # 4 x 14 = 56
 
-_PHASH_HASHES_CTE = """
-m AS (
-    SELECT doc_id,
-           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
-           doc_id % 256 AS d
-    FROM documents
-),
-dims AS (
-    SELECT doc_id, CAST(h % 12 + 1 AS INT) AS w,
-           CAST(h % 10 + 1 AS INT) AS ht, d
-    FROM m
-),
-cells AS (
-    SELECT doc_id, w, ht, d, rr.r AS r, cc.c AS c
-    FROM dims,
-         (SELECT unnest(generate_series(0, 7)) AS r) rr,
-         (SELECT unnest(generate_series(0, 6)) AS c) cc
-),
-grays AS (
-    SELECT doc_id, r, c,
-           {g0} AS g0,
-           {g1} AS g1
-    FROM cells
-),
-hashes AS (
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN g1 > g0
-                         THEN CAST(pow(2, r * 7 + c) AS BIGINT)
-                         ELSE 0 END) AS BIGINT) AS dhash
-    FROM grays GROUP BY doc_id
-)
-""".format(g0=_dhash_gray_sql("c"), g1=_dhash_gray_sql("(c + 1)"))
 
 _PHASH_NEARDUP_ORACLE = f"""
 WITH {_PHASH_HASHES_CTE.strip()},

@@ -7,10 +7,11 @@ Of the four gates, two are pure per-doc functions (Gopher rules,
 blocklist — no state), and two depend on the whole ingested history:
 
 - **Exact-dup canonicality**: the keeper is the corpus-wide min
-  doc_id per content md5 — min and count are associative, so the
-  per-batch (md5, min_id, cnt) table folds exactly like the CDC
-  chunk-index election (X150): min-of-batch-mins IS the corpus
-  election.
+  doc_id per content md5 — min is associative, so the per-batch
+  (md5, min_id) table folds exactly like the CDC chunk-index
+  election (X150): min-of-batch-mins IS the corpus election. The
+  NULL-md5 group (null-text docs) elects a keeper too, and serving
+  joins null-safely so those docs keep their decision rows.
 - **Reference-LM perplexity**: the LM counts over the reference feed
   (the batches' src0 slice) — maintained by the X166 maintainer,
   reused verbatim (one state layout, one kernel).
@@ -56,10 +57,7 @@ def curation_maintain_batch(
     election = (
         batch_df.select("doc_id", F.md5("text").alias("md5"))
         .groupBy("md5")
-        .agg(
-            F.min("doc_id").cast("long").alias("min_id"),
-            F.count(F.lit(1)).cast("long").alias("cnt"),
-        )
+        .agg(F.min("doc_id").cast("long").alias("min_id"))
     )
     election.write.mode("overwrite").parquet(
         os.path.join(state_dir, "election", f"batch={batch_id}")
@@ -89,8 +87,7 @@ def compact_curation_state(
         os.path.join(state_dir, "election"),
         through_batch,
         lambda df: df.groupBy("md5").agg(
-            F.min("min_id").cast("long").alias("min_id"),
-            F.sum("cnt").cast("long").alias("cnt"),
+            F.min("min_id").cast("long").alias("min_id")
         ),
     )
     compact_lm_state(spark, os.path.join(state_dir, "lm"), through_batch)
@@ -106,9 +103,13 @@ def canonical_from_state(
         .groupBy("md5")
         .agg(F.min("min_id").alias("keeper_id"))
     )
+    # null-SAFE join: groupBy keeps a NULL-md5 election group (all
+    # null-text docs elect one keeper, matching the batch window's
+    # PARTITION BY md5(text) null bucket), and the serve join must not
+    # drop those docs — a plain equi-join would, breaking bit-equality
+    d = docs.select("doc_id", F.md5("text").alias("md5"))
     return (
-        docs.select("doc_id", F.md5("text").alias("md5"))
-        .join(keepers, "md5")
+        d.join(keepers, d["md5"].eqNullSafe(keepers["md5"]))
         .select(
             "doc_id",
             (F.col("doc_id") == F.col("keeper_id")).alias("is_canonical"),

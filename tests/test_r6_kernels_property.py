@@ -74,17 +74,14 @@ def test_dhash_matches_naive_reference(w, h, seed):
         decode_bmp,
         encode_bmp,
     )
+    from flink_state_eviction_spark.operators.multimodal import (
+        dhash56_kernel,
+    )
 
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(
         np.uint8
     )
-    # the vectorized kernel inside dhash56, replayed directly
-    dec = decode_bmp(encode_bmp(px)).astype(np.int64)
-    sx = (np.arange(8) * w) // 8
-    sy = (np.arange(8) * h) // 8
-    g = dec[sy][:, sx].sum(axis=2) // 3
-    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
-    k = np.arange(56, dtype=np.int64).reshape(8, 7)
-    got = int((bits << k).sum())
+    # the REAL operator kernel (dhash56 maps it over decoded payloads)
+    got = dhash56_kernel(decode_bmp(encode_bmp(px)))
     assert got == _dhash_ref(px)

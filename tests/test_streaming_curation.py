@@ -97,3 +97,22 @@ def test_curation_redelivery_and_compaction(spark, sf_dir, tmp_path):
     got = _rows(curation_from_state(spark, state, docs))
     want = _rows(all_queries()["corpus_curation_decisions"](spark, sf_dir))
     assert got == want
+
+
+def test_null_text_docs_keep_their_election_rows(spark, tmp_path):
+    """A null-text doc must not fall out of the served decision table:
+    the election's NULL-md5 group elects a keeper and the serve join
+    is null-safe (a plain equi-join silently drops the doc)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, None)],
+        "doc_id bigint, text string",
+    )
+    state = os.path.join(str(tmp_path), "cur-state")
+    curation_maintain_batch(
+        docs.withColumn("source", F.lit("srcX")), state, 0
+    )
+    got = {
+        r["doc_id"]: r["is_canonical"]
+        for r in canonical_from_state(spark, state, docs).collect()
+    }
+    assert got == {1: True, 2: True, 3: False}
