@@ -1497,3 +1497,58 @@ def pack_loss_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seg_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X170: per-source LM perplexity scorecard — the observability table
+# for the X159 filter (which feeds look like the reference, which
+# drift): per source, scored-doc count, mean of the per-doc mean NLLs
+# (integer millibits), and the high-perplexity flag rate. The oracle
+# wraps the X159 oracle as a CTE — single source of truth, the X123
+# scorecard convention.
+
+_LM_SCORECARD_ORACLE = f"""
+WITH lm AS ({_LM_PPL_ORACLE}),
+j AS (
+    SELECT d.source, lm.mean_nll_millibits, lm.high_perplexity
+    FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(SUM(mean_nll_millibits) // count(*) AS BIGINT)
+           AS mean_nll_millibits,
+       CAST(SUM(CASE WHEN high_perplexity THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged
+FROM j GROUP BY source
+"""
+
+
+@register_supplementary(
+    "source_perplexity_scorecard",
+    _LM_SCORECARD_ORACLE,
+    tags=("corpus", "text"),
+)
+def source_perplexity_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LM perplexity scorecard: how far each ingest feed
+    sits from the reference distribution — scored-doc count, mean of
+    the per-doc mean NLLs (integer millibits — exact), and the
+    high-perplexity count. The per-feed observability table next to
+    the Gopher scorecard (X123): a feed whose mean drifts up between
+    crawls changed its content mix. Extension beyond the reference
+    surface.
+
+    Scale shape: the X159 scoring plan plus one |sources|-keyed
+    map-side-combined aggregate; the doc->source join is
+    doc_id-co-partitioned with the scoring output."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = lm_perplexity_score(spark, sf_dir)
+    j = lm.join(docs.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.expr(
+            "cast(sum(mean_nll_millibits) div count(1) as bigint)"
+        ).alias("mean_nll_millibits"),
+        F.sum(F.when(F.col("high_perplexity"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )

@@ -57,6 +57,7 @@ SAMPLE = [
     "text_quality",
     "quality_filter_gopher",
     "lm_perplexity_score",
+    "source_perplexity_scorecard",
     "blocklist_filter_docs",
     "corpus_curation_decisions",
     "pack_loss_masks",
