@@ -55,11 +55,17 @@ REAL_FEATURE_SCHEMA = (
 )
 
 
-def _h48(text: str) -> int:
+def _h48(text: str | None) -> int:
     """48-bit md5 prefix of the utf-8 text — reproducible in Spark
     (conv(substring(md5(x),1,6),16,10)) and DuckDB
-    (CAST('0x'||substring(md5(x),1,6) AS BIGINT))."""
-    return int(hashlib.md5(text.encode("utf-8")).hexdigest()[:6], 16)
+    (CAST('0x'||substring(md5(x),1,6) AS BIGINT)). A NULL text is
+    treated as the empty string so a null-text doc (a corpus state
+    regenerated testdata has produced before) yields a deterministic
+    payload instead of crashing the scan; the paired oracles write
+    md5(coalesce(text, '')) for the same convention."""
+    return int(
+        hashlib.md5((text or "").encode("utf-8")).hexdigest()[:6], 16
+    )
 
 
 def bmp_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -148,11 +154,13 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media table following the convention from the documents
     table (text bytes as the opaque payload; metadata derived
-    deterministically) — the test stand-in for a real media lake."""
-    h = F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("int")
+    deterministically) — the test stand-in for a real media lake.
+    NULL text follows the empty-string convention of :func:`_h48`."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    h = F.conv(F.substring(F.md5(txt), 1, 6), 16, 10).cast("int")
     return docs.select(
         "doc_id",
-        F.encode("text", "UTF-8").alias("media"),
+        F.encode(txt, "UTF-8").alias("media"),
         F.lit("image").alias("media_type"),
         F.struct(
             (F.pmod(h, F.lit(1024)) + 1).cast("int").alias("width"),

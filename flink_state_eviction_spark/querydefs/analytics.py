@@ -784,7 +784,7 @@ def histogram_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPM_DECODE_ORACLE = """
 WITH m AS (
     SELECT doc_id,
-           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
            doc_id % 256 AS d
     FROM documents
 ),
@@ -841,7 +841,7 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIXED_MEDIA_ORACLE = """
 WITH m AS (
     SELECT doc_id,
-           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
            doc_id % 256 AS d, doc_id % 3 AS pick
     FROM documents
 ),

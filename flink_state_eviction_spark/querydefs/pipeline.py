@@ -1133,13 +1133,13 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MM_ORACLE = """
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS content_md5,
-       CAST(CAST(('0x' || substring(md5(text), 1, 6)) AS INTEGER) % 1024 + 1
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+       md5(coalesce(text, '')) AS content_md5,
+       CAST(CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS INTEGER) % 1024 + 1
             AS INTEGER) AS fake_width,
-       CAST(CAST(('0x' || substring(md5(text), 1, 6)) AS INTEGER) % 768 + 1
+       CAST(CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS INTEGER) % 768 + 1
             AS INTEGER) AS fake_height,
-       CAST((CAST(('0x' || substring(md5(text), 1, 6)) AS INTEGER) % 64 + 1
+       CAST((CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS INTEGER) % 64 + 1
              + 3) // 4 AS INTEGER) AS n_frames_sampled
 FROM documents
 """
@@ -1168,7 +1168,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BMP_DECODE_ORACLE = """
 WITH m AS (
     SELECT doc_id,
-           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
            doc_id % 256 AS d
     FROM documents
 ),
@@ -1238,7 +1238,7 @@ def payload_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WAV_DECODE_ORACLE = """
 WITH m AS (
     SELECT doc_id,
-           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
            doc_id % 256 AS d
     FROM documents
 ),
@@ -1289,7 +1289,7 @@ _RESIZE_TW, _RESIZE_TH = 5, 3
 _RESIZE_DECODE_ORACLE = """
 WITH m AS (
     SELECT doc_id,
-           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
            doc_id % 256 AS d
     FROM documents
 ),
@@ -3291,7 +3291,7 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WAV_ENERGY_ORACLE = """
 WITH m AS (
     SELECT doc_id,
-           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
            doc_id % 256 AS d
     FROM documents
 ),
@@ -3576,7 +3576,7 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BMP_TILES_ORACLE = """
 WITH m AS (
     SELECT doc_id,
-           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
            doc_id % 256 AS d
     FROM documents
 ),
@@ -4620,7 +4620,7 @@ _FRAME_STRIDE = 2
 _FRAME_SAMPLE_ORACLE = f"""
 WITH m AS (
     SELECT doc_id,
-           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
            doc_id % 256 AS d
     FROM documents
 ),
@@ -4700,7 +4700,7 @@ def _dhash_gray_sql(col_expr: str) -> str:
 _PHASH_HASHES_CTE = """
 m AS (
     SELECT doc_id,
-           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
            doc_id % 256 AS d
     FROM documents
 ),
@@ -4825,8 +4825,16 @@ def blocklist_flags(docs: DataFrame) -> DataFrame:
     """Frame-level blocklist filter (the ONE kernel — shared by the
     registered query below and the streaming curation maintainer).
     Semantics documented on the query."""
+    from flink_state_eviction_spark.functions.text import (
+        shingle_strings_udf,
+    )
+
     t = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
-    t = t.withColumn("phr", word_shingles(F.col("tk"), 2))
+    # Arrow twin of the interpreted word_shingles HOF — bit-identical
+    # strings by construction (no hash family), skips the ~1 ms/doc
+    # expression-tree walk on the full-corpus scan path (round-6
+    # advice; same swap lm_score_docs already carries).
+    t = t.withColumn("phr", shingle_strings_udf(2)(F.col("tk")))
     hits = t.select(
         "doc_id",
         F.size(F.filter(F.col("tk"), lambda x: x.isin(*BLOCK_TOKENS)))
@@ -4854,11 +4862,12 @@ def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dodged by punctuation the tokenizer strips. Extension beyond the
     reference surface.
 
-    Scale: pure scan-side codegen — literal IN-list filters over
-    projected token/shingle arrays, ZERO exchanges in the whole plan
-    (plan-gated); at 100 TB this is embarrassingly parallel with the
-    blocklist compiled into the task bytecode, the shape a broadcast
-    join would only need once lists outgrow literals (~10^5 terms)."""
+    Scale: scan-side — Arrow-vectorized shingling plus literal
+    IN-list filters over projected token/shingle arrays, ZERO
+    exchanges in the whole plan (plan-gated); at 100 TB this is
+    embarrassingly parallel with the blocklist compiled into the task
+    bytecode, the shape a broadcast join would only need once lists
+    outgrow literals (~10^5 terms)."""
     return blocklist_flags(load_table(spark, sf_dir, "documents"))
 
 
@@ -5053,7 +5062,7 @@ def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WHT_ORACLE = """
 WITH m AS (
     SELECT doc_id,
-           CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
            doc_id % 256 AS d
     FROM documents
 ),

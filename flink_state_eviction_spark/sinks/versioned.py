@@ -88,13 +88,22 @@ def commit_version(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
+    keys_new: bool = False,
 ) -> int:
     """Write ``df`` as the table's next version and return its number.
     ``mode='append'`` extends the latest committed snapshot;
     ``'overwrite'`` starts a fresh one. Raises on a commit race loss
     (another writer committed the same version first) — the caller
     retries, re-reading the new latest snapshot if its write depended
-    on it."""
+    on it.
+
+    ``keys_new=True`` records the writer's assertion that this
+    append's keys do not occur in the parent snapshot — the append
+    contract made durable, so ``diff_versions``' O(delta) fast path is
+    PROVABLY allowed to label every delta key 'added' (round-6 advice:
+    without the recorded assertion a contract-violating append was
+    silently mislabeled). Leave False when unsure: the diff then
+    verifies key-newness itself with an O(delta)-probe join."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     versions = committed_versions(table_dir)
@@ -142,6 +151,7 @@ def commit_version(
         "digest": digest,
         "columns": sorted(df.columns),
         "schema": schema,
+        "keys_new": bool(keys_new),
     }
 
     # 2. atomic, exclusive commit: stage the record, then os.link it to
@@ -302,11 +312,17 @@ def diff_versions(
 
     - **Append-only fast path** (``v_from``'s dir set is a subset of
       ``v_to``'s and ``force_join`` is False): the delta IS the set of
-      dirs ``v_to`` added — the diff reads ONLY those files and never
-      touches (or joins against) the shared history. At 100 TB this is
-      the difference between O(delta) and O(table). Assumes appended
-      keys are new (the table's append contract); pass
-      ``force_join=True`` when appends may revise existing keys.
+      dirs ``v_to`` added — the diff reads ONLY those files. At 100 TB
+      this is the difference between O(delta) and O(table). When every
+      commit in (v_from, v_to] carries the recorded ``keys_new``
+      assertion (see commit_version), 'added' labels are provably
+      correct and the shared history is never touched. Otherwise the
+      fast path VERIFIES: delta keys left-semi-probe ``v_from``'s key
+      columns (column-pruned scan, payloads never shuffle; AQE
+      broadcast-picks the delta side when small) — pre-existing keys
+      label 'changed' exactly as the general path would (appending a
+      row to an existing key raises its count), instead of the silent
+      'added' mislabel the round-6 advice flagged.
     - **General path**: both snapshots reduce to per-key
       (row_count, mergeable digest-sum) — the manifest row-hash family
       folded per key, duplicate-key-safe — and a full outer join on
@@ -329,10 +345,29 @@ def diff_versions(
         added = spark.read.parquet(*_resolve_dirs(table_dir, delta))
         # one row per KEY, matching the general path's contract (an
         # appended batch may carry a key twice)
-        return (
-            added.select(*key_cols)
+        delta_keys = added.select(*key_cols).distinct()
+        # the chain of commits between the snapshots proves key-newness
+        # only if EVERY one carries the writer's recorded assertion
+        proven = True
+        v = v_to
+        while v is not None and v != v_from:
+            rec = _read_commit(table_dir, v)
+            proven = proven and bool(rec.get("keys_new"))
+            v = rec["parent"]
+        if proven:
+            return delta_keys.withColumn("change_type", F.lit("added"))
+        old_keys = (
+            read_version(spark, table_dir, v_from)
+            .select(*key_cols)
             .distinct()
-            .withColumn("change_type", F.lit("added"))
+        )
+        return delta_keys.join(
+            old_keys.withColumn("_pre", F.lit(1)), key_cols, "left"
+        ).select(
+            *key_cols,
+            F.when(F.col("_pre").isNull(), F.lit("added"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
         )
 
     def keyed(df: DataFrame) -> DataFrame:

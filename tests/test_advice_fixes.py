@@ -83,3 +83,35 @@ def test_salted_default_salt_deterministic(spark, sf_dir):
     a = {r["user_id"]: (r["n_rows"], r["sum_value"]) for r in salted.collect()}
     b = {r["user_id"]: (r["n_rows"], r["sum_value"]) for r in plain.collect()}
     assert a == b
+
+
+def test_media_generators_tolerate_null_text(spark):
+    # round-6 advice: a regenerated corpus can carry NULL text (the
+    # null-safe election precedent); every media generator must follow
+    # the empty-string convention (_h48 + md5(coalesce(text,'')) in
+    # the paired oracles) instead of crashing the scan.
+    from flink_state_eviction_spark.operators.multimodal import (
+        _h48,
+        bmp_media_from_documents,
+        decode_media,
+        dhash56,
+        media_from_documents,
+    )
+
+    assert _h48(None) == _h48("")
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x")], "doc_id bigint, text string"
+    )
+    rows = {
+        r["doc_id"]: r["dhash"]
+        for r in dhash56(bmp_media_from_documents(docs)).collect()
+    }
+    # NULL text and empty text produce the SAME payload, hence hash
+    assert rows[1] == rows[2]
+    fake = {
+        r["doc_id"]: (r["n_bytes"], r["content_md5"])
+        for r in decode_media(
+            media_from_documents(docs), frame_stride=4, fake=True
+        ).collect()
+    }
+    assert fake[1] == fake[2] == (0, "d41d8cd98f00b204e9800998ecf8427e")

@@ -626,6 +626,42 @@ def test_lm_perplexity_scoring_is_broadcast_only(spark, sf_dir):
     assert "EqualTo(source,src0)" in formatted, formatted
 
 
+def test_lm_scoring_drops_broadcast_above_budget(spark, sf_dir):
+    # round-6 verdict: the kernel used to FORCE F.broadcast on c2/c1,
+    # which Spark honors at ANY size — a driver OOM at CCNet scale.
+    # Above LM_BROADCAST_ROW_LIMIT the hints must vanish so the joins
+    # plan as shuffled joins (Catalyst/AQE picks the algorithm).
+    from flink_state_eviction_spark.querydefs.corpus import (
+        LM_BROADCAST_ROW_LIMIT,
+        lm_score_docs,
+    )
+    from flink_state_eviction_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    c2 = spark.createDataFrame([("a b", 3)], "b string, c2 bigint")
+    c1 = spark.createDataFrame([("a", 5)], "w1 string, c1 bigint")
+    v = spark.createDataFrame([(7,)], "v bigint")
+    big = lm_score_docs(
+        docs, c2, c1, v, ref_rows=LM_BROADCAST_ROW_LIMIT + 1
+    )
+    small = lm_score_docs(
+        docs, c2, c1, v, ref_rows=LM_BROADCAST_ROW_LIMIT
+    )
+    def hints(df):
+        return df._jdf.queryExecution().logical().toString().count(
+            "ResolvedHint"
+        )
+    # the 1-row vocab scalar keeps its broadcast either way; the two
+    # LM-table hints must be present only under the budget
+    assert hints(small) == 3, small._jdf.queryExecution().logical().toString()
+    assert hints(big) == 1, big._jdf.queryExecution().logical().toString()
+    # both shapes execute and agree (the fallback is a plan change,
+    # never a semantics change)
+    assert sorted(map(tuple, big.collect())) == sorted(
+        map(tuple, small.collect())
+    )
+
+
 def test_blocklist_filter_is_exchange_free(spark, sf_dir):
     # literal IN-list filters over projected arrays: the whole plan is
     # scan-side codegen — any Exchange here means a regression

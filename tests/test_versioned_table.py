@@ -230,14 +230,14 @@ def test_verify_validates_version(spark, sf_dir, tmp_path):
 def test_diff_versions_append_fast_path_reads_only_delta(
     spark, sf_dir, tmp_path
 ):
-    """Append-only history: the diff comes from the COMMIT LOG's dir
-    delta — only the appended files are read, the shared history is
-    never scanned or joined."""
+    """Append-only history with the RECORDED keys_new assertion: the
+    diff comes from the COMMIT LOG's dir delta — only the appended
+    files are read, the shared history is never scanned or joined."""
     t = str(tmp_path / "tbl")
     a = _orders(spark, sf_dir, 0, 100)
     b = _orders(spark, sf_dir, 100, 180)
     commit_version(a, t, mode="overwrite")
-    commit_version(b, t, mode="append")
+    commit_version(b, t, mode="append", keys_new=True)
 
     d = diff_versions(spark, t, 0, 1, ["o_orderkey"])
     got = {(r["o_orderkey"], r["change_type"]) for r in d.collect()}
@@ -251,6 +251,48 @@ def test_diff_versions_append_fast_path_reads_only_delta(
     v0_dirs = set(_read_commit(t, 0)["dirs"])
     for f in d.inputFiles():
         assert not any(rd in f for rd in v0_dirs), f
+
+
+def test_diff_versions_unasserted_append_verifies_key_newness(
+    spark, sf_dir, tmp_path
+):
+    """Round-6 advice: without the recorded keys_new assertion, an
+    append that VIOLATES the append contract (revises existing keys)
+    must not silently label those keys 'added' — the guarded fast path
+    probes v_from's keys and labels them 'changed', agreeing with the
+    general join path bit-for-bit."""
+    t = str(tmp_path / "tbl")
+    commit_version(_orders(spark, sf_dir, 0, 100), t, mode="overwrite")
+    # contract violation: keys [90, 120) overlap the parent's [0, 100)
+    commit_version(
+        _orders(spark, sf_dir, 90, 120), t, mode="append"
+    )  # no keys_new
+    fast = {
+        (r["o_orderkey"], r["change_type"])
+        for r in diff_versions(spark, t, 0, 1, ["o_orderkey"]).collect()
+    }
+    slow = {
+        (r["o_orderkey"], r["change_type"])
+        for r in diff_versions(
+            spark, t, 0, 1, ["o_orderkey"], force_join=True
+        ).collect()
+    }
+    assert fast == slow
+    assert {ct for _, ct in fast} == {"added", "changed"}
+    overlap = {k for k, ct in fast if ct == "changed"}
+    base_keys = {
+        r["o_orderkey"]
+        for r in _orders(spark, sf_dir, 0, 100)
+        .select("o_orderkey")
+        .collect()
+    }
+    delta_keys = {
+        r["o_orderkey"]
+        for r in _orders(spark, sf_dir, 90, 120)
+        .select("o_orderkey")
+        .collect()
+    }
+    assert overlap == base_keys & delta_keys
 
 
 def test_diff_versions_full_reconciliation(spark, sf_dir, tmp_path):
