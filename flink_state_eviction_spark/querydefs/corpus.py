@@ -1439,6 +1439,269 @@ def lm_score_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X172: Moore-Lewis contrastive data selection
+#
+# Moore & Lewis 2010 ("Intelligent selection of language model
+# training data"): rank candidate text by the cross-entropy DIFFERENCE
+# between an in-domain (reference) LM and a general-domain (corpus)
+# LM; keep the docs the reference model explains better. The workhorse
+# of domain-targeted corpus construction — CCNet's perplexity filter
+# (X159) is its one-model special case. Both models here are the X159
+# add-one bigram family, so every score reuses the integer fixed-point
+# + leading-bit/mantissa-LUT machinery and is bit-exact across engines.
+
+# select docs whose reference NLL undercuts their corpus NLL by any
+# margin (threshold 0 = "reference model explains the doc better").
+# Measured at sf0.01: the reference feed means -308 millibits while
+# every other source means >= +172 — a ~480 millibit separation; the
+# zero threshold keeps 43/500 docs (the reference slice + its tail).
+ML_SELECT_THRESHOLD_MB = 0
+
+_ML_CONTRAST_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS tk
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(tk) >= 2
+             THEN list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1])
+             ELSE [] END) AS b
+    FROM toks
+),
+refbg AS (
+    SELECT unnest(
+        CASE WHEN len(tk) >= 2
+             THEN list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1])
+             ELSE [] END) AS b
+    FROM toks WHERE source = '{LM_REF_SOURCE}'
+),
+c2r AS (SELECT b, count(*) AS c2r FROM refbg GROUP BY b),
+c1r AS (SELECT split_part(b, ' ', 1) AS w1, count(*) AS c1r
+        FROM refbg GROUP BY 1),
+vr AS (SELECT count(DISTINCT w) + 1 AS vr
+       FROM (SELECT unnest(tk) AS w FROM toks
+             WHERE source = '{LM_REF_SOURCE}')),
+c2c AS (SELECT b, count(*) AS c2c FROM bg GROUP BY b),
+c1c AS (SELECT split_part(b, ' ', 1) AS w1,
+               CAST(SUM(c2c) AS BIGINT) AS c1c
+        FROM c2c GROUP BY 1),
+vc AS (SELECT count(DISTINCT w) + 1 AS vc
+       FROM (SELECT unnest(tk) AS w FROM toks)),
+ab AS (
+    SELECT bg.doc_id,
+           coalesce(c2r.c2r, 0) + 1 AS par,
+           coalesce(c1r.c1r, 0) + vr.vr AS pbr,
+           coalesce(c2c.c2c, 0) + 1 AS pac,
+           coalesce(c1c.c1c, 0) + vc.vc AS pbc
+    FROM bg
+    LEFT JOIN c2r USING (b)
+    LEFT JOIN c1r ON c1r.w1 = split_part(bg.b, ' ', 1)
+    LEFT JOIN c2c USING (b)
+    LEFT JOIN c1c ON c1c.w1 = split_part(bg.b, ' ', 1)
+    CROSS JOIN vr CROSS JOIN vc
+),
+p AS (
+    SELECT doc_id,
+           greatest(1, ((par * 1000000) // pbr) * 1000000
+                       + (((par * 1000000) % pbr) * 1000000) // pbr)
+               AS p_fx_r,
+           greatest(1, ((pac * 1000000) // pbc) * 1000000
+                       + (((pac * 1000000) % pbc) * 1000000) // pbc)
+               AS p_fx_c
+    FROM ab
+),
+q AS (SELECT doc_id, p_fx_r, length(bin(p_fx_r)) AS e_r,
+             p_fx_c, length(bin(p_fx_c)) AS e_c
+      FROM p),
+nll AS (SELECT doc_id,
+               {neglog2_millibits_sql("p_fx_r", "e_r", duck=True)} AS nr,
+               {neglog2_millibits_sql("p_fx_c", "e_c", duck=True)} AS nc
+        FROM q)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nr) // count(*) AS BIGINT) AS ref_mean_nll_mb,
+       CAST(SUM(nc) // count(*) AS BIGINT) AS corpus_mean_nll_mb,
+       CAST(SUM(nr) // count(*) - SUM(nc) // count(*) AS BIGINT)
+           AS ml_score_mb,
+       (SUM(nr) // count(*) - SUM(nc) // count(*))
+           <= {ML_SELECT_THRESHOLD_MB} AS selected
+FROM nll GROUP BY doc_id
+"""
+
+_ML_NLL_R = neglog2_millibits_sql("p_fx_r", "e_r", duck=False)
+_ML_NLL_C = neglog2_millibits_sql("p_fx_c", "e_c", duck=False)
+
+
+def lm_contrast_docs(
+    docs: DataFrame,
+    ref_lm: tuple[DataFrame, DataFrame, DataFrame],
+    corpus_lm: tuple[DataFrame, DataFrame, DataFrame],
+    *,
+    ref_rows: int | None = None,
+    corpus_rows: int | None = None,
+) -> DataFrame:
+    """The Moore-Lewis kernel: score ``docs`` against TWO LM table
+    triples — (c2 (b, c2), c1 (w1, c1), 1-row v) each — in ONE bigram
+    pass: the token/shingle stream is computed once and flows through
+    four LM joins and a single per-doc aggregation; no self-join, no
+    second tokenize. Each LM side takes the same broadcast-budget
+    probe as lm_score_docs (``*_rows=None`` counts the c2 table;
+    above LM_BROADCAST_ROW_LIMIT its joins degrade to shuffles)."""
+    from flink_state_eviction_spark.functions.text import (
+        shingle_strings_udf,
+    )
+
+    c2r, c1r, vr = ref_lm
+    c2c, c1c, vc = corpus_lm
+    if ref_rows is None:
+        ref_rows = c2r.count()
+    if corpus_rows is None:
+        corpus_rows = c2c.count()
+    hr = (
+        F.broadcast
+        if ref_rows <= LM_BROADCAST_ROW_LIMIT
+        else (lambda df: df)
+    )
+    hc = (
+        F.broadcast
+        if corpus_rows <= LM_BROADCAST_ROW_LIMIT
+        else (lambda df: df)
+    )
+
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    bg_all = toked.select(
+        "doc_id",
+        F.explode(shingle_strings_udf(2)(F.col("tk"))).alias("b"),
+    )
+    scored = (
+        bg_all.join(
+            hr(c2r.select(F.col("b"), F.col("c2").alias("c2r"))), "b", "left"
+        )
+        .withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
+        .join(
+            hr(c1r.select(F.col("w1"), F.col("c1").alias("c1r"))),
+            "w1",
+            "left",
+        )
+        .join(
+            hc(c2c.select(F.col("b"), F.col("c2").alias("c2c"))), "b", "left"
+        )
+        .join(
+            hc(c1c.select(F.col("w1"), F.col("c1").alias("c1c"))),
+            "w1",
+            "left",
+        )
+        .crossJoin(F.broadcast(vr.select(F.col("v").alias("vr"))))
+        .crossJoin(F.broadcast(vc.select(F.col("v").alias("vc"))))
+        .withColumn("par", F.expr("coalesce(c2r, 0) + 1"))
+        .withColumn("pbr", F.expr("coalesce(c1r, 0) + vr"))
+        .withColumn("pac", F.expr("coalesce(c2c, 0) + 1"))
+        .withColumn("pbc", F.expr("coalesce(c1c, 0) + vc"))
+        .withColumn(
+            "p_fx_r",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(
+                    "((par * 1000000) div pbr) * 1000000"
+                    " + (((par * 1000000) % pbr) * 1000000) div pbr"
+                ),
+            ),
+        )
+        .withColumn(
+            "p_fx_c",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(
+                    "((pac * 1000000) div pbc) * 1000000"
+                    " + (((pac * 1000000) % pbc) * 1000000) div pbc"
+                ),
+            ),
+        )
+        .withColumn("e_r", F.length(F.bin(F.col("p_fx_r"))))
+        .withColumn("e_c", F.length(F.bin(F.col("p_fx_c"))))
+        .withColumn("nr", F.expr(_ML_NLL_R))
+        .withColumn("nc", F.expr(_ML_NLL_C))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("cast(sum(nr) div count(1) as bigint)").alias(
+            "ref_mean_nll_mb"
+        ),
+        F.expr("cast(sum(nc) div count(1) as bigint)").alias(
+            "corpus_mean_nll_mb"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "ref_mean_nll_mb",
+        "corpus_mean_nll_mb",
+        (F.col("ref_mean_nll_mb") - F.col("corpus_mean_nll_mb"))
+        .cast("bigint")
+        .alias("ml_score_mb"),
+        (
+            F.col("ref_mean_nll_mb") - F.col("corpus_mean_nll_mb")
+            <= F.lit(ML_SELECT_THRESHOLD_MB)
+        ).alias("selected"),
+    )
+
+
+@register_supplementary(
+    "lm_contrast_select", _ML_CONTRAST_ORACLE, tags=("corpus", "text")
+)
+def lm_contrast_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X172: Moore-Lewis contrastive data selection (Moore & Lewis
+    2010): every document scored under the reference-feed LM AND the
+    full-corpus LM; ml_score_mb = mean reference NLL minus mean corpus
+    NLL (millibits/token, integer-exact), and docs the reference model
+    explains at least as well as the corpus average are `selected` —
+    the domain-targeted generalization of the X159 perplexity cut.
+
+    Scale shape: the LM-build bigram stream is lazily checkpointed
+    because it feeds BOTH c2 builds (reference slice + full corpus —
+    the CLAUDE.md double-compute gotcha); scoring re-streams bigrams
+    scan-side through the Arrow kernel (cheaper at 100 TB than
+    materializing the exploded stream a second time), then runs four
+    budget-probed LM joins + ONE per-doc aggregation — one shuffle, no
+    self-join, never two scoring passes. At deployment both LMs would
+    be stored artifacts (the X171 shape) and the in-session build
+    disappears entirely: lm_contrast_docs takes any table triples."""
+    docs = load_table(spark, sf_dir, "documents")
+    # bigram stream feeds corpus-LM build AND scoring — checkpoint once
+    toked = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("tk")
+    )
+    bg = toked.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.col("tk"), 2)).alias("b"),
+    ).localCheckpoint(eager=False)
+    refbg = bg.where(F.col("source") == LM_REF_SOURCE)
+    c2r = refbg.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
+    c1r = c2r.groupBy(
+        F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    vr = (
+        toked.where(F.col("source") == LM_REF_SOURCE)
+        .select(F.explode(F.col("tk")).alias("w"))
+        .agg((F.countDistinct("w") + 1).alias("v"))
+    )
+    c2c = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
+    c1c = c2c.groupBy(
+        F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    vc = toked.select(F.explode(F.col("tk")).alias("w")).agg(
+        (F.countDistinct("w") + 1).alias("v")
+    )
+    return lm_contrast_docs(docs, (c2r, c1r, vr), (c2c, c1c, vc))
+
+
+# ---------------------------------------------------------------------------
 # X163: loss / attention masks for packed sequences
 #
 # The training-side metadata X55's assignment table implies: packed

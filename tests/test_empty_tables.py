@@ -57,6 +57,9 @@ SAMPLE = [
     "text_quality",
     "quality_filter_gopher",
     "lm_perplexity_score",
+    "lm_contrast_select",
+    "feature_hash_docs",
+    "nb_quality_classifier",
     "source_perplexity_scorecard",
     "blocklist_filter_docs",
     "corpus_curation_decisions",

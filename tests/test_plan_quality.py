@@ -626,6 +626,36 @@ def test_lm_perplexity_scoring_is_broadcast_only(spark, sf_dir):
     assert "EqualTo(source,src0)" in formatted, formatted
 
 
+def test_lm_contrast_scores_in_one_pass(spark, sf_dir):
+    # Moore-Lewis scoring must be ONE bigram stream through four
+    # broadcast LM joins — no sort-merge join, no self-join of the
+    # scored stream (a second scoring pass would double the corpus scan)
+    df = _q("lm_contrast_select", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 4, plan
+
+
+def test_feature_hash_has_no_join(spark, sf_dir):
+    # the hashing trick's point: the representation is built scan-side
+    # with aggregations only — a join against a vocabulary table would
+    # reintroduce the unbounded-vocab dependence the hash removes
+    df = _q("feature_hash_docs", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "Join" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_nb_classifier_weights_broadcast(spark, sf_dir):
+    # the weight table is <= D rows BY CONSTRUCTION — the scoring join
+    # must broadcast it; a sort-merge join would shuffle the corpus-
+    # sized feature stream against a 512-row table
+    df = _q("nb_quality_classifier", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_lm_scoring_drops_broadcast_above_budget(spark, sf_dir):
     # round-6 verdict: the kernel used to FORCE F.broadcast on c2/c1,
     # which Spark honors at ANY size — a driver OOM at CCNet scale.
