@@ -5486,9 +5486,84 @@ def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # means the reference class explains its tokens better.
 
 _NB_THRESHOLD_MB = 0
+_NB_REF_SOURCE = "src0"  # the labeled "reference-quality" feed
 
 _NB_NLL_R = neglog2_millibits_sql("p_r", "e_r", duck=False)
 _NB_NLL_O = neglog2_millibits_sql("p_o", "e_o", duck=False)
+
+
+def nb_bucket_class_counts(
+    bkt: DataFrame, ref_source: str = _NB_REF_SOURCE
+) -> DataFrame:
+    """Per-bucket class-occurrence counts (bucket, cr, co) from the
+    hashed (doc_id, source, bucket) feature stream — the classifier's
+    ENTIRE training state. Counts are associative sums, so this same
+    kernel folds per micro-batch in the streaming weight maintainer
+    (streaming/nb_maintain.py) and the folds compose."""
+    is_ref = F.col("source") == F.lit(ref_source)
+    return bkt.groupBy("bucket").agg(
+        F.sum(F.when(is_ref, 1).otherwise(0)).cast("long").alias("cr"),
+        F.sum(F.when(is_ref, 0).otherwise(1)).cast("long").alias("co"),
+    )
+
+
+def nb_weights_from_counts(bc: DataFrame) -> DataFrame:
+    """Closed-form multinomial-NB log-odds weights (bucket, weight_mb)
+    from the per-bucket class counts: add-one smoothing over the D
+    buckets, integer-exact fixed-point probabilities, LUT log2 — the
+    X159 arithmetic family, so Spark and DuckDB agree bit-for-bit.
+    <= D rows by construction (broadcast-safe at any corpus size)."""
+    tot = bc.agg(
+        F.sum("cr").cast("long").alias("tr"),
+        F.sum("co").cast("long").alias("toc"),
+    )
+    return (
+        bc.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p_r",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(
+                    f"(((cr + 1) * 1000000) div (tr + {_FH_D})) * 1000000"
+                    f" + ((((cr + 1) * 1000000) % (tr + {_FH_D}))"
+                    f" * 1000000) div (tr + {_FH_D})"
+                ),
+            ),
+        )
+        .withColumn(
+            "p_o",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(
+                    f"(((co + 1) * 1000000) div (toc + {_FH_D})) * 1000000"
+                    f" + ((((co + 1) * 1000000) % (toc + {_FH_D}))"
+                    f" * 1000000) div (toc + {_FH_D})"
+                ),
+            ),
+        )
+        .withColumn("e_r", F.length(F.bin(F.col("p_r"))))
+        .withColumn("e_o", F.length(F.bin(F.col("p_o"))))
+        .select(
+            "bucket",
+            (F.expr(_NB_NLL_O) - F.expr(_NB_NLL_R)).alias("weight_mb"),
+        )
+    )
+
+
+def nb_score_buckets(bkt: DataFrame, wt: DataFrame) -> DataFrame:
+    """Apply the linear form: broadcast-join the <= D-row weight table
+    onto the hashed feature stream and fold per doc. Shared verbatim by
+    the registered batch query and the streaming maintainer's serving
+    half (the final-state bit-equality contract)."""
+    scored = bkt.join(F.broadcast(wt), "bucket")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_features"),
+        F.sum("weight_mb").cast("long").alias("sum_weight_mb"),
+        F.expr("cast(sum(weight_mb) div count(1) as bigint)").alias(
+            "mean_weight_mb"
+        ),
+        (F.sum("weight_mb") > F.lit(_NB_THRESHOLD_MB)).alias("ref_like"),
+    )
 
 _NB_CLASSIFY_ORACLE = f"""
 WITH feat AS ({_SQL_FEAT_W}),
@@ -5564,52 +5639,5 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials."""
     docs = load_table(spark, sf_dir, "documents")
     bkt = hashed_token_buckets(docs).localCheckpoint(eager=False)
-    is_ref = F.col("source") == F.lit("src0")
-    bc = bkt.groupBy("bucket").agg(
-        F.sum(F.when(is_ref, 1).otherwise(0)).cast("long").alias("cr"),
-        F.sum(F.when(is_ref, 0).otherwise(1)).cast("long").alias("co"),
-    )
-    tot = bc.agg(
-        F.sum("cr").cast("long").alias("tr"),
-        F.sum("co").cast("long").alias("toc"),
-    )
-    wt = (
-        bc.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "p_r",
-            F.greatest(
-                F.lit(1).cast("bigint"),
-                F.expr(
-                    f"(((cr + 1) * 1000000) div (tr + {_FH_D})) * 1000000"
-                    f" + ((((cr + 1) * 1000000) % (tr + {_FH_D}))"
-                    f" * 1000000) div (tr + {_FH_D})"
-                ),
-            ),
-        )
-        .withColumn(
-            "p_o",
-            F.greatest(
-                F.lit(1).cast("bigint"),
-                F.expr(
-                    f"(((co + 1) * 1000000) div (toc + {_FH_D})) * 1000000"
-                    f" + ((((co + 1) * 1000000) % (toc + {_FH_D}))"
-                    f" * 1000000) div (toc + {_FH_D})"
-                ),
-            ),
-        )
-        .withColumn("e_r", F.length(F.bin(F.col("p_r"))))
-        .withColumn("e_o", F.length(F.bin(F.col("p_o"))))
-        .select(
-            "bucket",
-            (F.expr(_NB_NLL_O) - F.expr(_NB_NLL_R)).alias("weight_mb"),
-        )
-    )
-    scored = bkt.join(F.broadcast(wt), "bucket")
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_features"),
-        F.sum("weight_mb").cast("long").alias("sum_weight_mb"),
-        F.expr("cast(sum(weight_mb) div count(1) as bigint)").alias(
-            "mean_weight_mb"
-        ),
-        (F.sum("weight_mb") > F.lit(_NB_THRESHOLD_MB)).alias("ref_like"),
-    )
+    wt = nb_weights_from_counts(nb_bucket_class_counts(bkt))
+    return nb_score_buckets(bkt, wt)

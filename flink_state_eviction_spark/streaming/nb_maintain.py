@@ -1,0 +1,129 @@
+"""Streaming weight maintainer for the NB quality classifier (X174):
+incremental training-count maintenance over an always-ingesting
+LABELED corpus feed.
+
+The batch `nb_quality_classifier` trains its multinomial-NB log-odds
+weights in one bounded aggregation over the whole labeled corpus; when
+the corpus streams in (curation is continuous), the classifier's
+ENTIRE training state is the per-bucket class-count table — <= D rows,
+associative sums — so it maintains exactly like the reference-LM
+counts (lm_maintain.py):
+
+- ``nb_maintain_batch`` — called from ``foreachBatch`` over the
+  LABELED document stream: the batch's hashed feature occurrences fold
+  through the shared ``nb_bucket_class_counts`` kernel into an
+  idempotent ``batch=<id>`` partition of the ``bc`` state table. A
+  redelivered batch OVERWRITES its own partition, so at-least-once
+  delivery cannot double-count.
+- ``nb_counts_from_state`` / ``nb_weights_from_state`` — the serving
+  half: summed per-bucket class counts, then closed-form weights via
+  the shared ``nb_weights_from_counts`` kernel. Retraining after new
+  data is a <= D-row re-aggregation, never a model refit.
+- ``nb_scores_from_state`` — scores any document frame through the
+  shared ``nb_score_buckets`` kernel; after the whole labeled corpus
+  has streamed in, scoring it is BIT-EQUAL to the batch query
+  (test_streaming_nb_maintain) — the final-state equivalence contract
+  of the maintainer family.
+
+Scale shape: every state partition is <= D = 512 rows regardless of
+batch size (the hashing trick's bound), so state IO is constant-size
+per batch and the compactor folds are trivial; the expensive work
+(tokenize + Arrow bigram pack + hash) happens scan-side on the batch.
+
+Extension beyond the reference surface (SURVEY §2.7 X175; the batch
+query it twins is X174).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def nb_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of classifier-count maintenance (module
+    docstring). Call from ``foreachBatch`` forwarding its batch id —
+    the id keys the idempotent per-batch state partition. ``batch_df``
+    must carry (doc_id, source, text); the reference class is the
+    shared ``_NB_REF_SOURCE`` label."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        hashed_token_buckets,
+        nb_bucket_class_counts,
+    )
+
+    bc = nb_bucket_class_counts(hashed_token_buckets(batch_df))
+    bc.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "bc", f"batch={batch_id}")
+    )
+
+
+def compact_nb_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold every sealed ``batch <= through_batch`` partition into one
+    summed partition — class counts are summable. Safety/durability
+    contract: streaming/compaction.py (staged write -> raising deletes
+    -> rename; in-flight max batch refused)."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "bc"),
+        through_batch,
+        lambda df: df.groupBy("bucket").agg(
+            F.sum("cr").cast("long").alias("cr"),
+            F.sum("co").cast("long").alias("co"),
+        ),
+    )
+
+
+def nb_counts_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The maintained training state: per-bucket class counts summed
+    over the batch partitions — <= D rows total, so the fold is a
+    map-side-combined aggregation over a constant-size table."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "bc"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("cr").cast("long").alias("cr"),
+            F.sum("co").cast("long").alias("co"),
+        )
+    )
+
+
+def nb_weights_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Closed-form weights from the maintained counts via the one
+    shared kernel — identical arithmetic to the batch query."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        nb_weights_from_counts,
+    )
+
+    return nb_weights_from_counts(nb_counts_from_state(spark, state_dir))
+
+
+def nb_scores_from_state(
+    spark: SparkSession, state_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Score ``docs`` against the MAINTAINED weights through the shared
+    kernels — same output shape as `nb_quality_classifier`; bit-equal
+    to it once the full labeled corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        hashed_token_buckets,
+        nb_score_buckets,
+    )
+
+    return nb_score_buckets(
+        hashed_token_buckets(docs), nb_weights_from_state(spark, state_dir)
+    )

@@ -1,0 +1,123 @@
+"""Streaming twin for the NB quality classifier: after the labeled
+corpus streams in micro-batches, scoring it from the maintained
+class-count state must reproduce the batch `nb_quality_classifier`
+bit-for-bit; redelivered batches must not change the state; compaction
+preserves it; every state partition is bounded by D buckets."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.nb_maintain import (
+    compact_nb_state,
+    nb_counts_from_state,
+    nb_maintain_batch,
+    nb_scores_from_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {
+        (
+            r["doc_id"],
+            r["n_features"],
+            r["sum_weight_mb"],
+            r["mean_weight_mb"],
+            r["ref_like"],
+        )
+        for r in df.collect()
+    }
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+
+def test_streaming_nb_matches_batch(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "nb-state")
+
+    def upd(batch_df, batch_id):
+        nb_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(nb_scores_from_state(spark, state, docs))
+    want = _rows(all_queries()["nb_quality_classifier"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_nb_redelivery_and_compaction_preserve_state(
+    spark, sf_dir, tmp_path
+):
+    from flink_state_eviction_spark.querydefs.pipeline import _FH_D
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, docs.where(F.col("doc_id") < cut1)),
+        (1, docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, docs.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "nb-state")
+    for bid, b in batches:
+        nb_maintain_batch(b, state, bid)
+
+    # constant-size state: every batch partition is bounded by D
+    per_batch = (
+        spark.read.parquet(os.path.join(state, "bc"))
+        .groupBy("batch")
+        .count()
+        .collect()
+    )
+    assert per_batch and all(r["count"] <= _FH_D for r in per_batch)
+
+    def snapshot():
+        return {
+            (r["bucket"], r["cr"], r["co"])
+            for r in nb_counts_from_state(spark, state).collect()
+        }
+
+    once = snapshot()
+    # at-least-once redelivery: overwriting the own batch partition is
+    # a no-op for the folded counts
+    nb_maintain_batch(batches[1][1], state, 1)
+    nb_maintain_batch(batches[1][1], state, 1)
+    assert snapshot() == once
+
+    # compacting the in-flight (max) batch is refused; folding the
+    # sealed prefix preserves the state bit-for-bit
+    with pytest.raises(ValueError):
+        compact_nb_state(spark, state, 2)
+    compact_nb_state(spark, state, 1)
+    assert snapshot() == once
+    parts = {
+        int(r["batch"])
+        for r in spark.read.parquet(os.path.join(state, "bc"))
+        .select("batch")
+        .distinct()
+        .collect()
+    }
+    assert parts == {1, 2}
+    # the still-redeliverable max batch replays cleanly post-compaction
+    nb_maintain_batch(batches[2][1], state, 2)
+    assert snapshot() == once
