@@ -426,7 +426,7 @@ FROM r WHERE rn <= 3
 """
 
 
-@register("events_topn_per_user", _TOPN_ORACLE, tags=("core", "ranking"))
+@register_supplementary("events_topn_per_user", _TOPN_ORACLE, tags=("core", "ranking"))
 def events_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic/ranking window functions (row_number, rank, lag) —
     absent from the reference (SURVEY.md §2.6); top-3 events by value
@@ -545,7 +545,7 @@ FROM events GROUP BY 1
 """
 
 
-@register("value_quantiles_by_type", _QUANTILES_ORACLE, tags=("core",))
+@register_supplementary("value_quantiles_by_type", _QUANTILES_ORACLE, tags=("core",))
 def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped EXACT quantiles (linear interpolation): Spark's
     `percentile` and DuckDB's `quantile_cont` share the Hive

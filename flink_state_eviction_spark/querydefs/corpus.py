@@ -1762,7 +1762,7 @@ FROM loc GROUP BY chunk_id
 """
 
 
-@register_supplementary(
+@register(
     "pack_loss_masks", _LOSS_MASK_ORACLE, tags=("pipeline", "corpus")
 )
 def pack_loss_masks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2038,7 +2038,7 @@ FROM stage
 """
 
 
-@register("funnel_view_click_purchase", _FUNNEL_ORACLE, tags=("pipeline",))
+@register_supplementary("funnel_view_click_purchase", _FUNNEL_ORACLE, tags=("pipeline",))
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: per user, first-view -> first-click-after ->
     first-purchase-after counts. One grouped aggregation (conditional
@@ -4852,7 +4852,7 @@ def blocklist_flags(docs: DataFrame) -> DataFrame:
     )
 
 
-@register_supplementary(
+@register(
     "blocklist_filter_docs", _BLOCKLIST_ORACLE, tags=("pipeline", "text")
 )
 def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5103,7 +5103,7 @@ FROM wk GROUP BY doc_id, n
 """
 
 
-@register_supplementary(
+@register(
     "multimodal_wav_bands", _WHT_ORACLE, tags=("pipeline", "multimodal")
 )
 def multimodal_wav_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5284,7 +5284,7 @@ WHERE bit_count(xor(c.hash_a, c.hash_b)) <= {_PHASH_HAM_MAX}
 """
 
 
-@register_supplementary(
+@register(
     "multimodal_phash_neardup",
     _PHASH_NEARDUP_ORACLE,
     tags=("pipeline", "multimodal"),

@@ -675,7 +675,7 @@ LIMIT 10
 """
 
 
-@register("tpch_q3_shipping_priority", _Q3_ORACLE, tags=("tpch",))
+@register_supplementary("tpch_q3_shipping_priority", _Q3_ORACLE, tags=("tpch",))
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 pattern: segment-filtered customers (small, auto-broadcast)
     restrict orders, lineitem joins on the key, grouped revenue, top-10

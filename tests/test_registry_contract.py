@@ -27,9 +27,7 @@ MUST_HAVE = {
     "count_window_keyed",
     "tumbling_window_all_label",
     "project_filter",
-    "events_topn_per_user",
     "window_median_apply",
-    "value_quantiles_by_type",
     "word_count",
     # dedup family
     "dedup_exact",
@@ -55,7 +53,6 @@ MUST_HAVE = {
     "embedding_quantize_int8",
     # pipeline extensions
     "dataset_split_assign",
-    "funnel_view_click_purchase",
     # rotated into the window in round 4 (VERDICT r03 item 6)
     "events_heavy_hitters",
     "similarity_pq_topk",
@@ -74,7 +71,6 @@ MUST_HAVE = {
     "doc_shingle_novelty",
     "asof_join_purchase_click",
     "range_rolling_1h",
-    "tpch_q3_shipping_priority",
     # rotated into the window in round 6, displacing
     # custkeys_churn_retention / lineitem_cube / tpch_q19_disjunctive
     # (all keep their supplementary parity gates)
@@ -85,6 +81,14 @@ MUST_HAVE = {
     # tpch_q18_large_orders and json_extract_agg (both keep their
     # supplementary parity gates)
     "source_quality_robust",
+    # rotated into the window in round 7 (VERDICT r06 item 4),
+    # displacing tpch_q3_shipping_priority / funnel_view_click_purchase
+    # / value_quantiles_by_type / events_topn_per_user (all keep their
+    # supplementary parity gates)
+    "multimodal_phash_neardup",
+    "blocklist_filter_docs",
+    "multimodal_wav_bands",
+    "pack_loss_masks",
 }
 
 
