@@ -895,14 +895,11 @@ FROM m
 """.replace("{stop!r}", repr(list(LANG_STOPWORDS["en"])))
 
 
-def gopher_flags(docs: DataFrame) -> DataFrame:
-    """Frame-level Gopher rule battery (the ONE kernel — shared by the
-    registered query below and the streaming curation maintainer,
-    streaming/curation_maintain.py). Semantics documented on the
-    query."""
-    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
-    m = t.select(
-        "doc_id",
+def _gopher_metric_exprs() -> list:
+    """The Gopher metric columns over a (text, toks)-projected frame —
+    each HOF result lands in a NAMED column before any rule reads it
+    (the no-CSE rule for interpreted higher-order expressions)."""
+    return [
         F.size("toks").cast("long").alias("n_words"),
         F.aggregate(
             F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
@@ -916,7 +913,11 @@ def gopher_flags(docs: DataFrame) -> DataFrame:
             F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")
         ).cast("long").alias("n_punct"),
         F.length("text").cast("long").alias("n_chars"),
-    )
+    ]
+
+
+def _gopher_rule_cols() -> list:
+    """Per-rule verdicts + the conjunction over the metric columns."""
     nw = F.nullif(F.col("n_words"), F.lit(0))
     nc = F.nullif(F.col("n_chars"), F.lit(0))
     fb = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731
@@ -941,11 +942,20 @@ def gopher_flags(docs: DataFrame) -> DataFrame:
     passes = rules["rule_word_count"]
     for name in list(rules)[1:]:
         passes = passes & rules[name]
-    return m.select(
-        "doc_id",
+    return [
         *[c.alias(n) for n, c in rules.items()],
         passes.alias("passes"),
-    )
+    ]
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Frame-level Gopher rule battery (the ONE kernel — shared by the
+    registered query below, the streaming curation maintainer
+    (streaming/curation_maintain.py), and the fused serving gate
+    (perdoc_gate_flags). Semantics documented on the query."""
+    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    m = t.select("doc_id", *_gopher_metric_exprs())
+    return m.select("doc_id", *_gopher_rule_cols())
 
 
 @register("quality_filter_gopher", _GOPHER_ORACLE, tags=("pipeline", "text"))
@@ -4823,10 +4833,28 @@ FROM hits
 """
 
 
+def _blocklist_hit_exprs(tk: str = "tk", phr: str = "phr") -> list:
+    """Banned-token / banned-phrase occurrence counts over projected
+    token and 2-shingle array columns (names parameterized so the
+    fused serving gate can reuse the Gopher kernel's token array)."""
+    return [
+        F.size(F.filter(F.col(tk), lambda x: x.isin(*BLOCK_TOKENS)))
+        .cast("bigint")
+        .alias("n_blocked_tokens"),
+        F.size(F.filter(F.col(phr), lambda b: b.isin(*BLOCK_PHRASES)))
+        .cast("bigint")
+        .alias("n_blocked_phrases"),
+    ]
+
+
+def _blocked_col():
+    return (F.col("n_blocked_tokens") + F.col("n_blocked_phrases")) > 0
+
+
 def blocklist_flags(docs: DataFrame) -> DataFrame:
     """Frame-level blocklist filter (the ONE kernel — shared by the
-    registered query below and the streaming curation maintainer).
-    Semantics documented on the query."""
+    registered query below, the streaming curation maintainer, and the
+    fused serving gate). Semantics documented on the query."""
     from flink_state_eviction_spark.functions.text import (
         shingle_strings_udf,
     )
@@ -4837,18 +4865,40 @@ def blocklist_flags(docs: DataFrame) -> DataFrame:
     # expression-tree walk on the full-corpus scan path (round-6
     # advice; same swap lm_score_docs already carries).
     t = t.withColumn("phr", shingle_strings_udf(2)(F.col("tk")))
-    hits = t.select(
-        "doc_id",
-        F.size(F.filter(F.col("tk"), lambda x: x.isin(*BLOCK_TOKENS)))
-        .cast("bigint")
-        .alias("n_blocked_tokens"),
-        F.size(F.filter(F.col("phr"), lambda b: b.isin(*BLOCK_PHRASES)))
-        .cast("bigint")
-        .alias("n_blocked_phrases"),
+    hits = t.select("doc_id", *_blocklist_hit_exprs())
+    return hits.withColumn("blocked", _blocked_col())
+
+
+def perdoc_gate_flags(docs: DataFrame) -> DataFrame:
+    """BOTH stateless per-doc gates — the Gopher rule battery AND the
+    blocklist filter — in ONE projection over ONE scan of ``docs``
+    (the serving fusion; round-6 verdict item 3: the audit composition
+    pays two text-column scans for gates that are both stateless
+    projections). Every output column is produced by the SAME
+    expression lists the registered per-filter queries use
+    (_gopher_metric_exprs / _gopher_rule_cols / _blocklist_hit_exprs),
+    applied to one shared projected token array — bit-equal by
+    construction, and pinned by test_curation_serve's equality gate.
+
+    Output: doc_id, the six rule_* flags, passes, n_blocked_tokens,
+    n_blocked_phrases, blocked."""
+    from flink_state_eviction_spark.functions.text import (
+        shingle_strings_udf,
     )
-    return hits.withColumn(
-        "blocked",
-        (F.col("n_blocked_tokens") + F.col("n_blocked_phrases")) > 0,
+
+    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    t = t.withColumn("phr", shingle_strings_udf(2)(F.col("toks")))
+    m = t.select(
+        "doc_id",
+        *_gopher_metric_exprs(),
+        *_blocklist_hit_exprs(tk="toks"),
+    )
+    return m.select(
+        "doc_id",
+        *_gopher_rule_cols(),
+        "n_blocked_tokens",
+        "n_blocked_phrases",
+        _blocked_col().alias("blocked"),
     )
 
 
@@ -5169,22 +5219,10 @@ LEFT JOIN lm ON lm.doc_id = g.doc_id
 """
 
 
-def assemble_curation(
-    g: DataFrame, bl: DataFrame, lm: DataFrame, ex_canonical: DataFrame
-) -> DataFrame:
-    """The ONE decision assembler (shared by the registered query below
-    and the streaming curation maintainer): joins the four verdict
-    frames on doc_id and emits flags + keep + failed-gate count."""
-    out = (
-        g.select("doc_id", F.col("passes").alias("gopher_pass"))
-        .join(bl.select("doc_id", "blocked"), "doc_id")
-        .join(ex_canonical, "doc_id")
-        .join(lm.select("doc_id", "high_perplexity"), "doc_id", "left")
-        .withColumn(
-            "high_perplexity",
-            F.coalesce(F.col("high_perplexity"), F.lit(False)),
-        )
-    )
+def _finish_curation(out: DataFrame) -> DataFrame:
+    """keep + n_fail verdict columns over the joined flag frame
+    (doc_id, gopher_pass, blocked, high_perplexity, is_canonical) —
+    the one place the decision logic lives."""
     n_fail = (
         F.when(~F.col("gopher_pass"), 1).otherwise(0)
         + F.when(F.col("blocked"), 1).otherwise(0)
@@ -5205,6 +5243,46 @@ def assemble_curation(
         ).alias("keep"),
         n_fail.cast("bigint").alias("n_fail"),
     )
+
+
+def assemble_curation(
+    g: DataFrame, bl: DataFrame, lm: DataFrame, ex_canonical: DataFrame
+) -> DataFrame:
+    """The ONE decision assembler (shared by the registered query below
+    and the streaming curation maintainer): joins the four verdict
+    frames on doc_id and emits flags + keep + failed-gate count."""
+    out = (
+        g.select("doc_id", F.col("passes").alias("gopher_pass"))
+        .join(bl.select("doc_id", "blocked"), "doc_id")
+        .join(ex_canonical, "doc_id")
+        .join(lm.select("doc_id", "high_perplexity"), "doc_id", "left")
+        .withColumn(
+            "high_perplexity",
+            F.coalesce(F.col("high_perplexity"), F.lit(False)),
+        )
+    )
+    return _finish_curation(out)
+
+
+def assemble_curation_fused(
+    gate: DataFrame, lm: DataFrame, ex_canonical: DataFrame
+) -> DataFrame:
+    """Decision assembler over the FUSED per-doc gate frame
+    (perdoc_gate_flags output carries both gopher_pass-to-be and
+    blocked in one row, so the gopher-x-blocklist join disappears
+    along with one full documents scan)."""
+    out = (
+        gate.select(
+            "doc_id", F.col("passes").alias("gopher_pass"), "blocked"
+        )
+        .join(ex_canonical, "doc_id")
+        .join(lm.select("doc_id", "high_perplexity"), "doc_id", "left")
+        .withColumn(
+            "high_perplexity",
+            F.coalesce(F.col("high_perplexity"), F.lit(False)),
+        )
+    )
+    return _finish_curation(out)
 
 
 @register(
@@ -5241,6 +5319,40 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("keeper_id")).alias("is_canonical"),
     )
     return assemble_curation(g, bl, lm, ex)
+
+
+@register_supplementary(
+    "corpus_curation_serve", _curation_oracle(), tags=("pipeline", "text")
+)
+def corpus_curation_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving/deployment variant of `corpus_curation_decisions`
+    (round-6 verdict item 3): identical output — same oracle — but the
+    two STATELESS per-doc gates (Gopher rule battery + blocklist) are
+    computed in ONE projection over ONE scan of `documents`
+    (perdoc_gate_flags), where the audit composition pays a separate
+    text-column scan per gate plus a doc_id join to marry them. The
+    LM joins and the exact-dup census are unchanged (both genuinely
+    need their own aggregation structure). Zero re-implemented filter
+    logic: the fused gate applies the registered kernels' expression
+    lists verbatim to one shared token array.
+
+    Scale shape: at 100 TB the audit shape reads the text column four
+    times; this shape reads it three (fused gates, LM scoring, census)
+    and drops one full-corpus equi-join. Bit-equality vs the audit
+    query is pinned by test_curation_serve; the one-fewer-scan plan
+    shape by test_plan_quality."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        lm_perplexity_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = perdoc_gate_flags(docs)
+    lm = lm_perplexity_score(spark, sf_dir)
+    ex = dedup_exact(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_canonical"),
+    )
+    return assemble_curation_fused(gate, lm, ex)
 
 
 # ---------------------------------------------------------------------------

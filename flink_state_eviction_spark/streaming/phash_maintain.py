@@ -1,0 +1,129 @@
+"""Streaming twin for perceptual image dedup (X160): incremental
+dHash-census maintenance over an always-ingesting media corpus.
+
+The batch `multimodal_phash_dedup` runs one window over the corpus's
+56-bit dHashes — per hash: member count, canonical (min) doc_id. Both
+statistics are associative (sum of counts, min of mins), so the census
+maintains exactly like the exact-dup election in the curation
+maintainer (X169) and the CDC chunk-index election (X150):
+
+- ``phash_maintain_batch`` — called from ``foreachBatch`` over the
+  document stream: the batch's payloads decode scan-side (the same
+  real BMP -> 8x8 downsample -> gradient-bit chain as the batch
+  query, operators/multimodal.py:dhash56), fold to a per-batch
+  (dhash, min_id, n) election, and land in an idempotent
+  ``batch=<id>`` partition. Redelivery overwrites its own partition —
+  at-least-once safe. Only 24-byte census rows are stored; payload
+  bytes never leave the scan.
+- ``census_from_state`` — the serving half: min-of-mins + sum-of-
+  counts over the batch partitions.
+- ``phash_dedup_from_state`` — per-doc verdicts for any document
+  frame: recompute the frame's dHashes scan-side and equi-join the
+  maintained census on dhash (never null — the null-text payload
+  fixes from round 6 give every doc a decodable payload). After the
+  whole corpus has streamed in, the result is BIT-EQUAL to the batch
+  query (test_streaming_phash_maintain) — the maintainer family's
+  final-state equivalence contract.
+
+Scale shape: state is bounded by DISTINCT hashes, not corpus size (a
+million byte-identical images contribute one census row); the serving
+join is a plain dhash equi-join that Catalyst size-picks (broadcast
+while the census is small, shuffled hash join when it outgrows the
+budget — no forced hints, the round-6 LM lesson).
+
+Extension beyond the reference surface (SURVEY §2.7 X177; the batch
+query it twins is X160).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _batch_census(batch_df: DataFrame) -> DataFrame:
+    """(dhash, min_id, n) for one batch — the same decode + hash chain
+    as the batch query, folded to the per-batch election."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_media_from_documents,
+        dhash56,
+    )
+
+    hs = dhash56(bmp_media_from_documents(batch_df))
+    return hs.groupBy("dhash").agg(
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+def phash_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of census maintenance (module docstring). Call
+    from ``foreachBatch`` forwarding its batch id — the id keys the
+    idempotent per-batch state partition."""
+    _batch_census(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "census", f"batch={batch_id}")
+    )
+
+
+def compact_phash_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold every sealed ``batch <= through_batch`` partition into one
+    — min/sum are associative, so re-aggregation preserves the census
+    exactly. Safety/durability contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "census"),
+        through_batch,
+        lambda df: df.groupBy("dhash").agg(
+            F.min("min_id").cast("long").alias("min_id"),
+            F.sum("n").cast("long").alias("n"),
+        ),
+    )
+
+
+def census_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained census: (dhash, canonical_doc, n_same_hash) —
+    min-of-batch-mins IS the corpus election, sum-of-batch-counts IS
+    the group size."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "census"))
+        .groupBy("dhash")
+        .agg(
+            F.min("min_id").cast("long").alias("canonical_doc"),
+            F.sum("n").cast("long").alias("n_same_hash"),
+        )
+    )
+
+
+def phash_dedup_from_state(
+    spark: SparkSession, state_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Per-doc dedup verdicts for ``docs`` against the MAINTAINED
+    census — same output shape as `multimodal_phash_dedup`; bit-equal
+    to it once the full corpus has streamed in. The docs' hashes are
+    recomputed scan-side (payloads never shuffle; the census join
+    moves only 16-byte hash rows)."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_media_from_documents,
+        dhash56,
+    )
+
+    hs = dhash56(bmp_media_from_documents(docs))
+    return hs.join(census_from_state(spark, state_dir), "dhash").select(
+        "doc_id",
+        "dhash",
+        "n_same_hash",
+        "canonical_doc",
+        (F.col("doc_id") == F.col("canonical_doc")).alias("is_canonical"),
+    )

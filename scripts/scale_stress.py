@@ -203,7 +203,7 @@ def main() -> None:
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
-        "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6",
+        "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -309,6 +309,15 @@ def main() -> None:
             rec["multimodal_wav_bands_sec"] = timed(lambda: all_qs["multimodal_wav_bands"](spark, d))
             rec["blocklist_filter_docs_sec"] = timed(lambda: all_qs["blocklist_filter_docs"](spark, d))
             rec["corpus_curation_decisions_sec"] = timed(lambda: all_qs["corpus_curation_decisions"](spark, d))
+        if "r7" in only:
+            # round-7: fused curation serving vs the audit composition
+            # (A/B on the same fixture, same session), plus the LM-
+            # contrast / hashed-feature / NB-classifier family
+            rec["corpus_curation_decisions_sec"] = timed(lambda: all_qs["corpus_curation_decisions"](spark, d))
+            rec["corpus_curation_serve_sec"] = timed(lambda: all_qs["corpus_curation_serve"](spark, d))
+            rec["lm_contrast_select_sec"] = timed(lambda: all_qs["lm_contrast_select"](spark, d))
+            rec["feature_hash_docs_sec"] = timed(lambda: all_qs["feature_hash_docs"](spark, d))
+            rec["nb_quality_classifier_sec"] = timed(lambda: all_qs["nb_quality_classifier"](spark, d))
         if "frames" in only:
             # scan-parallel container synth + extent walk + stride-2
             # decode; no shuffle at all (output is per-frame rows)

@@ -1,0 +1,38 @@
+"""The fused serving variant of the curation funnel must be
+bit-equal to the audit composition (which CALLS the four registered
+per-filter queries), while computing the two stateless per-doc gates
+— Gopher + blocklist — in one projection over one documents scan."""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark.queries import all_queries
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_curation_serve_bit_equal_to_audit(spark, sf_dir):
+    audit = all_queries()["corpus_curation_decisions"](spark, sf_dir)
+    serve = all_queries()["corpus_curation_serve"](spark, sf_dir)
+    assert serve.columns == audit.columns
+    got, want = _rows(serve), _rows(audit)
+    assert got == want and got
+
+
+def test_fused_gate_matches_per_filter_kernels(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        blocklist_flags,
+        gopher_flags,
+        perdoc_gate_flags,
+    )
+    from flink_state_eviction_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fused = perdoc_gate_flags(docs)
+    joined = gopher_flags(docs).join(blocklist_flags(docs), "doc_id")
+    cols = fused.columns
+    assert sorted(cols) == sorted(joined.columns)
+    assert _rows(fused) == _rows(joined.select(*cols))

@@ -63,6 +63,7 @@ SAMPLE = [
     "source_perplexity_scorecard",
     "blocklist_filter_docs",
     "corpus_curation_decisions",
+    "corpus_curation_serve",
     "pack_loss_masks",
     "multimodal_decode_bmp",
     "multimodal_decode_wav",

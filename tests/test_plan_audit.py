@@ -66,6 +66,7 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "text_bigram_surprisal": 1,  # offsets: count-bucket prefix table
     "text_bm25_search": 2,  # scalar: (avgdl, N) one-row stat aggregates
     "corpus_curation_decisions": 1,  # scalar: inherits X159's reference-vocab V
+    "corpus_curation_serve": 1,  # scalar: inherits X159's reference-vocab V
     "lm_perplexity_score": 1,  # scalar: reference-vocab size V for add-one smoothing
     "lm_score_prebuilt": 1,  # scalar: maintained-vocab V (stored-LM serving shape)
     "lm_contrast_select": 2,  # scalar: reference-vocab + corpus-vocab V rows

@@ -720,3 +720,19 @@ def test_curation_funnel_joins_are_equi_joins(spark, sf_dir):
     plan = physical_plan(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan  # LM c2/c1 sides
+
+
+def test_curation_serve_fuses_gate_scans(spark, sf_dir):
+    # the serving variant computes the two stateless per-doc gates
+    # (gopher + blocklist) in ONE projection: its plan reads the text
+    # column exactly one fewer time than the audit composition, and
+    # drops the gopher-x-blocklist doc_id join
+    def text_scans(name):
+        plan = physical_plan(_q(name, spark, sf_dir), "simple")
+        return _scan_counts(plan)[1], plan
+
+    audit_n, _ = text_scans("corpus_curation_decisions")
+    serve_n, plan = text_scans("corpus_curation_serve")
+    assert serve_n == audit_n - 1, (serve_n, audit_n, plan)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # LM c2/c1 sides

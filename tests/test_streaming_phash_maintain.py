@@ -1,0 +1,123 @@
+"""Streaming twin for perceptual image dedup: after the corpus
+streams in micro-batches, serving per-doc verdicts from the maintained
+dHash census must reproduce the batch `multimodal_phash_dedup`
+bit-for-bit; redelivered batches must not change the state; compaction
+preserves it; state is bounded by distinct hashes, not docs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.phash_maintain import (
+    census_from_state,
+    compact_phash_state,
+    phash_dedup_from_state,
+    phash_maintain_batch,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {
+        (
+            r["doc_id"],
+            r["dhash"],
+            r["n_same_hash"],
+            r["canonical_doc"],
+            r["is_canonical"],
+        )
+        for r in df.collect()
+    }
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def test_streaming_phash_matches_batch(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "ph-state")
+
+    def upd(batch_df, batch_id):
+        phash_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(phash_dedup_from_state(spark, state, docs))
+    want = _rows(all_queries()["multimodal_phash_dedup"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_phash_redelivery_and_compaction_preserve_state(
+    spark, sf_dir, tmp_path
+):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, docs.where(F.col("doc_id") < cut1)),
+        (1, docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, docs.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "ph-state")
+    for bid, b in batches:
+        phash_maintain_batch(b, state, bid)
+
+    # census state is bounded by distinct hashes, not docs
+    n_state = spark.read.parquet(os.path.join(state, "census")).count()
+    n_distinct = (
+        all_queries()["multimodal_phash_dedup"](spark, sf_dir)
+        .select("dhash")
+        .distinct()
+        .count()
+    )
+    # per-batch elections can repeat a hash across batches, but never
+    # exceed batches x distinct, and fold to exactly n_distinct
+    assert n_state <= 3 * n_distinct
+    assert census_from_state(spark, state).count() == n_distinct
+
+    def snapshot():
+        return {
+            (r["dhash"], r["canonical_doc"], r["n_same_hash"])
+            for r in census_from_state(spark, state).collect()
+        }
+
+    once = snapshot()
+    # at-least-once redelivery: overwriting the own batch partition is
+    # a no-op for the folded census
+    phash_maintain_batch(batches[1][1], state, 1)
+    phash_maintain_batch(batches[1][1], state, 1)
+    assert snapshot() == once
+
+    # compacting the in-flight (max) batch is refused; folding the
+    # sealed prefix preserves the census bit-for-bit
+    with pytest.raises(ValueError):
+        compact_phash_state(spark, state, 2)
+    compact_phash_state(spark, state, 1)
+    assert snapshot() == once
+    parts = {
+        int(r["batch"])
+        for r in spark.read.parquet(os.path.join(state, "census"))
+        .select("batch")
+        .distinct()
+        .collect()
+    }
+    assert parts == {1, 2}
+    # the still-redeliverable max batch replays cleanly post-compaction
+    phash_maintain_batch(batches[2][1], state, 2)
+    assert snapshot() == once
