@@ -5367,6 +5367,81 @@ _PHASH_HAM_MAX = 8
 _PHASH_BANDS = 4
 _PHASH_BAND_BITS = 14  # 4 x 14 = 56
 
+# 9-band layout for the GUARANTEED-recall variant: 9 bands over 56
+# bits (2 x 7 + 7 x 6). Pigeonhole: a pair at hamming <= 8 has its
+# differing bits in at most 8 bands, so at least one of the 9 bands
+# is untouched on both sides — banding recall is 100% over the whole
+# REPORTED radius, unlike the 4-band layout whose guarantee stops at
+# hamming 3 (round-6 verdict item 6).
+_PHASH_G8_WIDTHS = (7, 7, 6, 6, 6, 6, 6, 6, 6)
+
+
+def _phash_band_specs(widths) -> list:
+    """[(band, 2^shift, 2^width)] literal band spec over the 56-bit
+    hash — all powers precomputed in Python so neither engine needs a
+    data-dependent shift (the F.shiftleft literal rule)."""
+    specs, s = [], 0
+    for i, w in enumerate(widths):
+        specs.append((i, 1 << s, 1 << w))
+        s += w
+    assert s == 56, widths
+    return specs
+
+
+def phash_banded_pairs(dh: DataFrame, widths, ham_max: int) -> DataFrame:
+    """Banded hamming near-dup pairs over a (dhash, n_docs) census
+    frame — the ONE pairing kernel behind both registered near-dup
+    queries (4-band fast layout, 9-band guaranteed layout) and the
+    adversarial recall pytest. Candidates are generated per band via
+    a band-keyed self-equi-join over DISTINCT hashes, verified by
+    xor+popcount, then re-joined to the census for group sizes."""
+    spec = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.lit(p2s).cast("bigint").alias("p2s"),
+                F.lit(m).cast("bigint").alias("m"),
+            )
+            for b, p2s, m in _phash_band_specs(widths)
+        ]
+    )
+    bands = dh.select(
+        "dhash", "n_docs", F.explode(spec).alias("bb")
+    ).select(
+        "dhash",
+        "n_docs",
+        F.col("bb.band").alias("band"),
+        F.expr("(dhash div bb.p2s) % bb.m").alias("bval"),
+    )
+    a = bands.select(
+        F.col("band"), F.col("bval"), F.col("dhash").alias("hash_a")
+    )
+    b = bands.select(
+        F.col("band"), F.col("bval"), F.col("dhash").alias("hash_b")
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("hash_a") < F.col("hash_b"))
+        .select("hash_a", "hash_b")
+        .distinct()
+    )
+    da = dh.select(
+        F.col("dhash").alias("hash_a"), F.col("n_docs").alias("n_docs_a")
+    )
+    db = dh.select(
+        F.col("dhash").alias("hash_b"), F.col("n_docs").alias("n_docs_b")
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.expr("hash_a ^ hash_b")).cast("bigint"),
+        )
+        .where(F.col("hamming") <= ham_max)
+        .join(da, "hash_a")
+        .join(db, "hash_b")
+        .select("hash_a", "hash_b", "hamming", "n_docs_a", "n_docs_b")
+    )
+
 
 _PHASH_NEARDUP_ORACLE = f"""
 WITH {_PHASH_HASHES_CTE.strip()},
@@ -5408,6 +5483,9 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash). By pigeonhole, any pair within hamming 3 shares a clean
     band (guaranteed recall); deeper distances are found when any
     band agrees — the standard LSH trade-off, documented not hidden.
+    For 100% recall over the WHOLE reported radius, use the 9-band
+    `multimodal_phash_neardup_g8` variant (X178) — this 4-band
+    layout is the cheap screen, that one the audit-grade pass.
 
     The exact-group census (X160) runs FIRST: identical images
     collapse to one hash row before pairing, so candidate volume is
@@ -5420,57 +5498,85 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy; band explode is x4; the self-join is a plain band-keyed
     equi-join (AQE skew-splittable), hamming verified by two integer
     instructions (xor + popcount)."""
+    return phash_banded_pairs(
+        _phash_census_frame(spark, sf_dir),
+        (_PHASH_BAND_BITS,) * _PHASH_BANDS,
+        _PHASH_HAM_MAX,
+    )
+
+
+def _phash_census_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dhash, n_docs) distinct-hash census — the pair kernels' input."""
     from flink_state_eviction_spark.operators.multimodal import (
         bmp_media_from_documents,
         dhash56,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    dh = (
+    return (
         dhash56(bmp_media_from_documents(docs))
         .groupBy("dhash")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
-    bands = dh.select(
-        "dhash",
-        "n_docs",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1))
-        ).alias("band"),
-    ).withColumn(
-        "bval",
-        F.expr(
-            f"(dhash div cast(pow(2, band * {_PHASH_BAND_BITS}) as bigint))"
-            f" % {1 << _PHASH_BAND_BITS}"
-        ),
-    )
-    a = bands.select(
-        F.col("band"), F.col("bval"), F.col("dhash").alias("hash_a")
-    )
-    b = bands.select(
-        F.col("band"), F.col("bval"), F.col("dhash").alias("hash_b")
-    )
-    cand = (
-        a.join(b, ["band", "bval"])
-        .where(F.col("hash_a") < F.col("hash_b"))
-        .select("hash_a", "hash_b")
-        .distinct()
-    )
-    da = dh.select(
-        F.col("dhash").alias("hash_a"), F.col("n_docs").alias("n_docs_a")
-    )
-    db = dh.select(
-        F.col("dhash").alias("hash_b"), F.col("n_docs").alias("n_docs_b")
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.expr("hash_a ^ hash_b")).cast("bigint"),
-        )
-        .where(F.col("hamming") <= _PHASH_HAM_MAX)
-        .join(da, "hash_a")
-        .join(db, "hash_b")
-        .select("hash_a", "hash_b", "hamming", "n_docs_a", "n_docs_b")
+
+
+_PHASH_G8_BAND_VALUES = ", ".join(
+    f"({b}, {p2s}, {m})"
+    for b, p2s, m in _phash_band_specs(_PHASH_G8_WIDTHS)
+)
+
+_PHASH_NEARDUP_G8_ORACLE = f"""
+WITH {_PHASH_HASHES_CTE.strip()},
+dh AS (
+    SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs
+    FROM hashes GROUP BY dhash
+),
+bands AS (
+    SELECT dhash, n_docs, bb.band,
+           (dhash // bb.p2s) % bb.m AS bval
+    FROM dh,
+         (VALUES {_PHASH_G8_BAND_VALUES}) AS bb(band, p2s, m)
+),
+cand AS (
+    SELECT DISTINCT a.dhash AS hash_a, b.dhash AS hash_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bval = b.bval AND a.dhash < b.dhash
+)
+SELECT c.hash_a, c.hash_b,
+       CAST(bit_count(xor(c.hash_a, c.hash_b)) AS BIGINT) AS hamming,
+       da.n_docs AS n_docs_a, db.n_docs AS n_docs_b
+FROM cand c
+JOIN dh da ON da.dhash = c.hash_a
+JOIN dh db ON db.dhash = c.hash_b
+WHERE bit_count(xor(c.hash_a, c.hash_b)) <= {_PHASH_HAM_MAX}
+"""
+
+
+@register_supplementary(
+    "multimodal_phash_neardup_g8",
+    _PHASH_NEARDUP_G8_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_phash_neardup_g8(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X178: GUARANTEED-recall perceptual near-dup pairs — same
+    output contract as `multimodal_phash_neardup` (hamming <= 8 over
+    distinct dHashes) but blocked on 9 bands (2x7 + 7x6 bits), so by
+    pigeonhole EVERY pair within the reported radius shares a clean
+    band: banding recall is 100% at hamming <= 8, closing the 4-band
+    layout's guarantee/report gap (its pigeonhole bound stops at 3;
+    round-6 verdict item 6). The price is candidate volume: 9 band
+    tables instead of 4, and 6/7-bit bands collide ~2^8 x more often
+    than 14-bit bands — this is the thorough/audit variant, the
+    4-band query the cheap screen (measured on the fixture census in
+    test_multimodal_codecs; adversarial guarantee pinned there too).
+
+    Scale: identical shape to the 4-band query — distinct-hash census
+    first, band-keyed equi-join (AQE skew-splittable), xor+popcount
+    verify. Extension beyond the reference surface."""
+    return phash_banded_pairs(
+        _phash_census_frame(spark, sf_dir), _PHASH_G8_WIDTHS, _PHASH_HAM_MAX
     )
 
 

@@ -72,6 +72,7 @@ SAMPLE = [
     "multimodal_phash_dedup",
     "multimodal_wav_bands",
     "multimodal_phash_neardup",
+    "multimodal_phash_neardup_g8",
     "text_profile",
     "custkeys_churn_retention",
     "text_redact_pii",

@@ -352,3 +352,58 @@ def test_phash_neardup_pigeonhole_recall(spark, sf_dir):
                 must.add((ha, hb))
     assert must <= got
     assert must, "fixture should contain at least one close pair"
+
+
+def test_phash_neardup_g8_full_radius_guarantee(spark, sf_dir):
+    """9 bands over 56 bits: pigeonhole guarantees EVERY distinct-hash
+    pair within the full reported radius (hamming <= 8) is surfaced —
+    including an adversarial pair crafted to defeat the 4-band layout
+    (one differing bit inside each 14-bit band)."""
+    from flink_state_eviction_spark.queries import all_queries
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _PHASH_BAND_BITS,
+        _PHASH_BANDS,
+        _PHASH_G8_WIDTHS,
+        phash_banded_pairs,
+    )
+
+    # adversarial census: h2 differs from h1 in 8 bits spread so that
+    # ALL four 14-bit bands are touched (>= 2 bits each) -> the 4-band
+    # join has no clean band and MUST miss the pair; the 9-band layout
+    # leaves band (44-49) untouched and MUST find it
+    h1 = 0
+    bits = [0, 7, 14, 21, 28, 35, 42, 50]
+    h2 = sum(1 << b for b in bits)
+    assert bin(h1 ^ h2).count("1") == 8
+    census = spark.createDataFrame(
+        [(h1, 1), (h2, 1)], "dhash long, n_docs long"
+    )
+
+    def pairs(widths):
+        return {
+            (r["hash_a"], r["hash_b"])
+            for r in phash_banded_pairs(census, widths, 8).collect()
+        }
+
+    assert pairs((_PHASH_BAND_BITS,) * _PHASH_BANDS) == set()
+    assert pairs(_PHASH_G8_WIDTHS) == {(h1, h2)}
+
+    # on the fixture census the registered g8 query surfaces ALL
+    # hamming <= 8 pairs (the 4-band query only guarantees <= 3)
+    got = {
+        (r["hash_a"], r["hash_b"])
+        for r in all_queries()["multimodal_phash_neardup_g8"](
+            spark, sf_dir
+        ).collect()
+    }
+    census_q = all_queries()["multimodal_phash_dedup"](spark, sf_dir)
+    hashes = sorted(
+        r["dhash"] for r in census_q.select("dhash").distinct().collect()
+    )
+    must = set()
+    for i, ha in enumerate(hashes):
+        for hb in hashes[i + 1:]:
+            if bin(ha ^ hb).count("1") <= 8:
+                must.add((ha, hb))
+    assert got == must
+    assert must, "fixture should contain at least one close pair"
