@@ -438,3 +438,69 @@ def shingle_strings_udf(k: int = 2) -> Column:
 
     _pack.__annotations__ = {"toks": pd.Series, "return": pd.Series}
     return F.pandas_udf("array<string>")(_pack)
+
+
+REP_TOP_NS = (2, 3, 4)
+REP_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def repetition_pack_udf() -> Column:
+    """Arrow-vectorized Gopher repetition signals (Rae et al. 2021,
+    Appendix A1.1) over a token array: for n in 2-4 the characters
+    covered by the MOST FREQUENT word n-gram (count x joined-string
+    length; deterministic tie-break = max by (count, length, gram)),
+    for n in 5-10 the characters covered by ALL occurrences of
+    duplicated n-grams (count >= 2). Counting is by OCCURRENCE —
+    overlapping positions are counted each time, a documented
+    deviation from the paper's position-deduplicated variant (which
+    needs per-position interval merging; the occurrence form is
+    order-free, integer-exact and oracle-reproducible).
+
+    Every metric is per-document, so the whole battery computes
+    scan-side in ONE Arrow pass — no explode, no (doc, gram) shuffle:
+    at 100 TB the alternative ships ~9x the token volume through an
+    exchange for an aggregation whose key starts with doc_id anyway.
+    Character fractions are taken downstream against length(text) in
+    integer parts-per-million. Bit-exactness vs the DuckDB oracle
+    comes from pure-integer arithmetic and byte-identical " ".join
+    grams (the shingle_strings_udf argument)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    fields = [f"top{n}" for n in REP_TOP_NS] + [
+        f"dup{n}" for n in REP_DUP_NS
+    ]
+
+    def _pack(toks):
+        rows = []
+        for arr in toks:
+            t = list(arr) if arr is not None else []
+            rec = {}
+            for n in REP_TOP_NS + REP_DUP_NS:
+                if len(t) < n:
+                    c = Counter()
+                else:
+                    c = Counter(
+                        " ".join(t[i : i + n])
+                        for i in range(len(t) - n + 1)
+                    )
+                if n in REP_TOP_NS:
+                    if c:
+                        v, l, _ = max(
+                            (v, len(k), k) for k, v in c.items()
+                        )
+                        rec[f"top{n}"] = v * l
+                    else:
+                        rec[f"top{n}"] = 0
+                else:
+                    rec[f"dup{n}"] = sum(
+                        v * len(k) for k, v in c.items() if v >= 2
+                    )
+            rows.append(rec)
+        return pd.DataFrame(rows, columns=fields)
+
+    _pack.__annotations__ = {"toks": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(
+        "struct<" + ", ".join(f"{f}: bigint" for f in fields) + ">"
+    )(_pack)

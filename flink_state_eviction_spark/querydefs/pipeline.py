@@ -958,6 +958,132 @@ def gopher_flags(docs: DataFrame) -> DataFrame:
     return m.select("doc_id", *_gopher_rule_cols())
 
 
+# ---------------------------------------------------------------------------
+# X179: the OTHER half of the Gopher battery — repetition signals
+# (Rae et al. 2021 Appendix A1.1): top n-gram character coverage for
+# n=2..4, duplicated n-gram character coverage for n=5..10. The X17
+# battery's distinct-token ratio is the cheap proxy; these are the
+# published per-n signals. Counting is by OCCURRENCE (overlapping
+# positions counted each time) — a documented deviation from the
+# paper's position-deduplicated variant; see repetition_pack_udf.
+
+_REP_NS_VALUES = ", ".join(f"({n})" for n in (2, 3, 4, 5, 6, 7, 8, 9, 10))
+
+
+def _rep_oracle() -> str:
+    top_cols = ",\n       ".join(
+        f"CAST(COALESCE(MAX(CASE WHEN t.n = {n} THEN"
+        f" (t.chars * 1000000) // tk.nch END), 0) AS BIGINT)"
+        f" AS top{n}_ppm"
+        for n in (2, 3, 4)
+    )
+    dup_cols = ",\n       ".join(
+        f"CAST(COALESCE(MAX(CASE WHEN u.n = {n} THEN"
+        f" (u.chars * 1000000) // tk.nch END), 0) AS BIGINT)"
+        f" AS dup{n}_ppm"
+        for n in (5, 6, 7, 8, 9, 10)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           greatest(1, length(coalesce(text, ''))) AS nch,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS tk
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, nn.n AS n,
+           unnest(CASE WHEN len(tk) >= nn.n
+                  THEN list_transform(
+                           generate_series(1, len(tk) - nn.n + 1),
+                           i -> array_to_string(tk[i:i+nn.n-1], ' '))
+                  ELSE [] END) AS gram
+    FROM toks, (VALUES {_REP_NS_VALUES}) nn(n)
+),
+gc AS (SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+ranked AS (
+    SELECT doc_id, n, cnt, length(gram) AS l,
+           row_number() OVER (PARTITION BY doc_id, n
+                              ORDER BY cnt DESC, length(gram) DESC,
+                                       gram DESC) AS rn
+    FROM gc
+),
+top AS (SELECT doc_id, n, cnt * l AS chars FROM ranked WHERE rn = 1),
+dup AS (SELECT doc_id, n,
+               CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+                             ELSE 0 END) AS BIGINT) AS chars
+        FROM gc GROUP BY 1, 2)
+SELECT tk.doc_id,
+       {top_cols},
+       {dup_cols}
+FROM toks tk
+LEFT JOIN top t ON t.doc_id = tk.doc_id
+LEFT JOIN dup u ON u.doc_id = tk.doc_id
+GROUP BY tk.doc_id
+"""
+
+
+@register_supplementary(
+    "gopher_repetition_ngrams", _rep_oracle(), tags=("pipeline", "text")
+)
+def gopher_repetition_ngrams(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X179: Gopher repetition signals (Rae et al. 2021 Appendix
+    A1.1) — per document, in integer parts-per-million of the
+    document's character length: the characters covered by the most
+    frequent word n-gram for n=2..4 (tie-break: max by (count, gram
+    length, gram string) — deterministic in both engines), and the
+    characters covered by all occurrences of DUPLICATED n-grams
+    (count >= 2) for n=5..10. Occurrence counting, not
+    position-deduplicated (documented deviation; the occurrence form
+    is order-free and integer-exact). A doc with fewer than n tokens
+    scores 0 at that n; null-text docs score 0 everywhere.
+
+    Scale shape: every signal is per-document, so the battery runs in
+    ONE Arrow pass at the scan — zero exchanges (plan-gated). The
+    exploded alternative ships ~9x the token volume through a
+    (doc, n, gram) shuffle whose key starts with doc_id anyway; at
+    100 TB that's the difference between scan-bound and
+    shuffle-bound. Extension beyond the reference surface (the
+    full published battery behind the X17 proxy rule)."""
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Frame-level kernel for X179 (semantics on the query above) —
+    separate so the hand-computed pin (test_repetition_signals) and
+    any streaming maintainer run the exact registered arithmetic."""
+    from flink_state_eviction_spark.functions.text import (
+        REP_DUP_NS,
+        REP_TOP_NS,
+        repetition_pack_udf,
+    )
+
+    t = docs.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1), F.length(F.coalesce("text", F.lit("")))
+        ).alias("nch"),
+        tokens(F.col("text")).alias("tk"),
+    )
+    packed = t.select(
+        "doc_id", "nch", repetition_pack_udf()(F.col("tk")).alias("r")
+    )
+    cols = [
+        F.expr(f"cast((r.top{n} * 1000000) div nch as bigint)").alias(
+            f"top{n}_ppm"
+        )
+        for n in REP_TOP_NS
+    ] + [
+        F.expr(f"cast((r.dup{n} * 1000000) div nch as bigint)").alias(
+            f"dup{n}_ppm"
+        )
+        for n in REP_DUP_NS
+    ]
+    return packed.select("doc_id", *cols)
+
+
 @register("quality_filter_gopher", _GOPHER_ORACLE, tags=("pipeline", "text"))
 def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule battery: word count, mean word length, stopword

@@ -203,7 +203,7 @@ def main() -> None:
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
-        "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7",
+        "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -318,6 +318,57 @@ def main() -> None:
             rec["lm_contrast_select_sec"] = timed(lambda: all_qs["lm_contrast_select"](spark, d))
             rec["feature_hash_docs_sec"] = timed(lambda: all_qs["feature_hash_docs"](spark, d))
             rec["nb_quality_classifier_sec"] = timed(lambda: all_qs["nb_quality_classifier"](spark, d))
+        if "vdiff" in only:
+            # diff_versions GENERAL path (round-6 verdict item 8): two
+            # overwrite snapshots (dir sets disjoint -> the fast path
+            # cannot apply), keyed on user_id which is deliberately
+            # DUPLICATE-heavy (the hot key holds 90% of rows) — the
+            # per-key (count, digest-sum) reduction must classify keys
+            # correctly however many rows share them
+            import shutil
+
+            from flink_state_eviction_spark.sinks.versioned import (
+                commit_version,
+                diff_versions,
+            )
+
+            t = os.path.join(d, "vdiff_table")
+            shutil.rmtree(t, ignore_errors=True)
+            ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+            uid = F.col("user_id")
+            v0 = commit_version(ev, t, mode="overwrite")
+            # removed: keys with uid%16==3; changed: uid%16==5 rows get
+            # a shifted event_id (digest moves, count doesn't); added:
+            # uid%16==7 rows replicated under fresh key ids
+            v1_df = ev.where(uid % 16 != 3).withColumn(
+                "event_id",
+                F.when(uid % 16 == 5, F.col("event_id") + 1).otherwise(
+                    F.col("event_id")
+                ),
+            ).unionByName(
+                ev.where(uid % 16 == 7).withColumn(
+                    "user_id", uid + 10_000_000_000
+                )
+            )
+            v1 = commit_version(v1_df, t, mode="overwrite")
+            rec["diff_versions_general_sec"] = timed(
+                lambda: diff_versions(spark, t, v0, v1, ["user_id"])
+            )
+            byt = {
+                r["change_type"]: r["n"]
+                for r in diff_versions(spark, t, v0, v1, ["user_id"])
+                .groupBy("change_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            rec["diff_versions_verdicts"] = byt
+            # duplicate-key safety cross-check against the raw key sets
+            want_removed = ev.where(uid % 16 == 3).select("user_id").distinct().count()
+            want_added = ev.where(uid % 16 == 7).select((uid + 10_000_000_000).alias("u")).distinct().count()
+            want_changed = ev.where(uid % 16 == 5).select("user_id").distinct().count()
+            assert byt.get("removed", 0) == want_removed, (byt, want_removed)
+            assert byt.get("added", 0) == want_added, (byt, want_added)
+            assert byt.get("changed", 0) == want_changed, (byt, want_changed)
         if "frames" in only:
             # scan-parallel container synth + extent walk + stride-2
             # decode; no shuffle at all (output is per-frame rows)

@@ -56,6 +56,7 @@ SAMPLE = [
     "embedding_dim_covariance",
     "text_quality",
     "quality_filter_gopher",
+    "gopher_repetition_ngrams",
     "lm_perplexity_score",
     "lm_contrast_select",
     "feature_hash_docs",

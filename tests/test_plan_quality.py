@@ -722,6 +722,16 @@ def test_curation_funnel_joins_are_equi_joins(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan  # LM c2/c1 sides
 
 
+def test_repetition_signals_scan_only(spark, sf_dir):
+    # every signal is per-document: the whole battery must run in one
+    # Arrow pass at the scan — zero exchanges, no row-path Python
+    df = _q("gopher_repetition_ngrams", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+
 def test_curation_serve_fuses_gate_scans(spark, sf_dir):
     # the serving variant computes the two stateless per-doc gates
     # (gopher + blocklist) in ONE projection: its plan reads the text

@@ -1,0 +1,56 @@
+"""Hand-computed pin for the Gopher repetition signals (X179): two
+crafted documents whose top-n-gram / duplicated-n-gram character
+coverage is worked out by hand (occurrence counting, max-by
+(count, length, gram) tie-break, integer ppm against text length),
+plus the null-text zero contract."""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark.querydefs.pipeline import (
+    repetition_signals,
+)
+
+
+def test_repetition_signals_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # tokens [aa,aa,aa,bb,aa,aa], len(text)=17
+            (1, "aa aa aa bb aa aa"),
+            # tokens [x,y]*5, len(text)=19
+            (2, "x y x y x y x y x y"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+
+    d1 = out[1]
+    # "aa aa" occurs 3x (len 5) -> 15 chars of 17
+    assert d1["top2_ppm"] == 15_000_000 // 17
+    # all four 3-grams unique (len 8); tie-break max gram = "bb aa aa"
+    assert d1["top3_ppm"] == 8_000_000 // 17
+    # all four 4-grams unique (len 11)
+    assert d1["top4_ppm"] == 11_000_000 // 17
+    assert all(d1[f"dup{n}_ppm"] == 0 for n in range(5, 11))
+
+    d2 = out[2]
+    # "x y" x5 (len 3) -> 15/19
+    assert d2["top2_ppm"] == 15_000_000 // 19
+    # "x y x" and "y x y" both x4 (len 5) -> 20/19
+    assert d2["top3_ppm"] == 20_000_000 // 19
+    # "x y x y" x4 (len 7) -> 28/19
+    assert d2["top4_ppm"] == 28_000_000 // 19
+    # 5-grams: both variants x3 (len 9) -> 54/19 (occurrence counting
+    # legitimately exceeds 10^6 ppm — the documented deviation)
+    assert d2["dup5_ppm"] == 54_000_000 // 19
+    # 6-grams: 3x + 2x (len 11) -> 55/19
+    assert d2["dup6_ppm"] == 55_000_000 // 19
+    # 7-grams: 2x + 2x (len 13) -> 52/19
+    assert d2["dup7_ppm"] == 52_000_000 // 19
+    # 8-grams: one variant x2 (len 15) -> 30/19
+    assert d2["dup8_ppm"] == 30_000_000 // 19
+    # 9/10-grams: no duplicates
+    assert d2["dup9_ppm"] == 0 and d2["dup10_ppm"] == 0
+
+    d3 = out[3]
+    assert all(v == 0 for k, v in d3.items() if k != "doc_id")
