@@ -1,0 +1,90 @@
+"""Streaming twin for Moore-Lewis contrastive selection (X172): the
+always-ingesting corpus maintains BOTH LMs the contrast needs.
+
+The batch `lm_contrast_select` trains the reference-feed LM and the
+full-corpus LM in-session; when the corpus streams in, both are just
+the X166 reference-LM maintainer applied to two slices of the same
+micro-batch:
+
+- ``contrast_maintain_batch`` — ``foreachBatch`` body: the batch's
+  reference slice (LM_REF_SOURCE) folds into the ``ref`` LM state,
+  the WHOLE batch into the ``corpus`` LM state — two calls into the
+  one shared maintainer (idempotent ``batch=<id>`` partitions, so
+  at-least-once redelivery cannot double-count either LM).
+- ``contrast_scores_from_state`` — serving: both maintained LM table
+  triples feed the ONE shared Moore-Lewis kernel
+  (querydefs/corpus.lm_contrast_docs); after the whole corpus has
+  streamed in the result is BIT-EQUAL to the batch query
+  (test_streaming_contrast_maintain) — the maintainer family's
+  final-state equivalence contract.
+
+Scale shape: identical to the X166 maintainer twice over — counts are
+associative sums, compaction is commit-log-safe re-aggregation, and
+serving carries lm_contrast_docs' per-LM broadcast-budget probe (a
+corpus LM that outgrows LM_BROADCAST_ROW_LIMIT degrades to shuffled
+joins by construction).
+
+Extension beyond the reference surface (SURVEY §2.7 X180; twins the
+batch X172 query; composes the X166 maintainer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.streaming.lm_maintain import (
+    compact_lm_state,
+    lm_maintain_batch,
+    lm_tables_from_state,
+)
+
+
+def contrast_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    ref_source: str | None = None,
+) -> None:
+    """One micro-batch of two-LM maintenance (module docstring). Call
+    from ``foreachBatch`` forwarding its batch id. ``batch_df`` must
+    carry (source, text)."""
+    from flink_state_eviction_spark.querydefs.corpus import LM_REF_SOURCE
+
+    ref_source = ref_source or LM_REF_SOURCE
+    lm_maintain_batch(
+        batch_df.where(F.col("source") == ref_source),
+        os.path.join(state_dir, "ref"),
+        batch_id,
+    )
+    lm_maintain_batch(
+        batch_df, os.path.join(state_dir, "corpus"), batch_id
+    )
+
+
+def compact_contrast_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed batch partitions of BOTH LM states (contract:
+    streaming/compaction.py via the shared LM compactor)."""
+    compact_lm_state(spark, os.path.join(state_dir, "ref"), through_batch)
+    compact_lm_state(
+        spark, os.path.join(state_dir, "corpus"), through_batch
+    )
+
+
+def contrast_scores_from_state(
+    spark: SparkSession, state_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Moore-Lewis scores for ``docs`` against BOTH maintained LMs
+    through the one shared kernel — same output shape as
+    `lm_contrast_select`; bit-equal once the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        lm_contrast_docs,
+    )
+
+    ref = lm_tables_from_state(spark, os.path.join(state_dir, "ref"))
+    cor = lm_tables_from_state(spark, os.path.join(state_dir, "corpus"))
+    return lm_contrast_docs(docs, ref, cor)

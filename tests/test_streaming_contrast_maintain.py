@@ -1,0 +1,111 @@
+"""Streaming twin for Moore-Lewis contrastive selection: after the
+labeled corpus streams in micro-batches, scoring from the two
+maintained LM states must reproduce the batch `lm_contrast_select`
+bit-for-bit; redelivered batches must not change either LM; compaction
+preserves both."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.contrast_maintain import (
+    compact_contrast_state,
+    contrast_maintain_batch,
+    contrast_scores_from_state,
+)
+from flink_state_eviction_spark.streaming.lm_maintain import (
+    lm_tables_from_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {
+        (
+            r["doc_id"],
+            r["n_bigrams"],
+            r["ref_mean_nll_mb"],
+            r["corpus_mean_nll_mb"],
+            r["ml_score_mb"],
+            r["selected"],
+        )
+        for r in df.collect()
+    }
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+
+def test_streaming_contrast_matches_batch(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "ml-state")
+
+    def upd(batch_df, batch_id):
+        contrast_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(contrast_scores_from_state(spark, state, docs))
+    want = _rows(all_queries()["lm_contrast_select"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_contrast_redelivery_and_compaction_preserve_state(
+    spark, sf_dir, tmp_path
+):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, docs.where(F.col("doc_id") < cut1)),
+        (1, docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, docs.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "ml-state")
+    for bid, b in batches:
+        contrast_maintain_batch(b, state, bid)
+
+    def snapshot():
+        out = []
+        for side in ("ref", "corpus"):
+            c2, c1, v = lm_tables_from_state(
+                spark, os.path.join(state, side)
+            )
+            out.append(
+                (
+                    frozenset((r["b"], r["c2"]) for r in c2.collect()),
+                    frozenset((r["w1"], r["c1"]) for r in c1.collect()),
+                    v.first()["v"],
+                )
+            )
+        return tuple(out)
+
+    once = snapshot()
+    contrast_maintain_batch(batches[1][1], state, 1)
+    contrast_maintain_batch(batches[1][1], state, 1)
+    assert snapshot() == once
+
+    with pytest.raises(ValueError):
+        compact_contrast_state(spark, state, 2)
+    compact_contrast_state(spark, state, 1)
+    assert snapshot() == once
+    contrast_maintain_batch(batches[2][1], state, 2)
+    assert snapshot() == once
