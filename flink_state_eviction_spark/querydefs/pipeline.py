@@ -1084,6 +1084,87 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     return packed.select("doc_id", *cols)
 
 
+# Published Gopher repetition cutoffs (Rae et al. 2021 Table A1), in
+# integer ppm: a doc exceeding ANY of them is repetition-flagged.
+_REP_THRESH_PPM = {
+    "top2": 200_000,
+    "top3": 180_000,
+    "top4": 160_000,
+    "dup5": 150_000,
+    "dup6": 140_000,
+    "dup7": 130_000,
+    "dup8": 120_000,
+    "dup9": 110_000,
+    "dup10": 100_000,
+}
+
+_REP_SCORECARD_ORACLE = f"""
+WITH rep AS ({{rep}}),
+j AS (
+    SELECT d.source, rep.*
+    FROM rep JOIN documents d ON d.doc_id = rep.doc_id
+),
+f AS (
+    SELECT source, top2_ppm, dup5_ppm,
+           ({" OR ".join(f"{k}_ppm > {v}" for k, v in sorted(_REP_THRESH_PPM.items()))})
+               AS flagged
+    FROM j
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(top2_ppm) // count(*) AS BIGINT) AS mean_top2_ppm,
+       CAST(SUM(dup5_ppm) // count(*) AS BIGINT) AS mean_dup5_ppm,
+       CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged
+FROM f GROUP BY source
+"""
+
+
+@register_supplementary(
+    "source_repetition_scorecard",
+    _REP_SCORECARD_ORACLE.format(rep=_rep_oracle()),
+    tags=("pipeline", "text"),
+)
+def source_repetition_scorecard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X181: per-source repetition scorecard — the observability table
+    for the X179 signals next to the Gopher (X123) and perplexity
+    (X170) scorecards: per ingest feed, doc count, integer mean of
+    top-2-gram and duplicated-5-gram coverage, and the count of docs
+    exceeding ANY published Gopher repetition cutoff (Rae et al. 2021
+    Table A1: top2>0.20, top3>0.18, top4>0.16, dup5..10 >
+    0.15..0.10). A feed whose flagged share jumps between crawls
+    turned boilerplate-heavy. Composition: CALLS the registered X179
+    query; the oracle wraps X179's oracle as a CTE (single source of
+    truth). Extension beyond the reference surface.
+
+    Scale shape: the X179 scan pass plus one |sources|-keyed
+    map-side-combined aggregate; the doc->source join is a doc_id
+    equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = gopher_repetition_ngrams(spark, sf_dir)
+    flagged = None
+    for k, v in sorted(_REP_THRESH_PPM.items()):
+        c = F.col(f"{k}_ppm") > F.lit(v)
+        flagged = c if flagged is None else (flagged | c)
+    j = rep.join(docs.select("doc_id", "source"), "doc_id").withColumn(
+        "flagged", flagged
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("cast(sum(top2_ppm) div count(1) as bigint)").alias(
+            "mean_top2_ppm"
+        ),
+        F.expr("cast(sum(dup5_ppm) div count(1) as bigint)").alias(
+            "mean_dup5_ppm"
+        ),
+        F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+
+
 @register("quality_filter_gopher", _GOPHER_ORACLE, tags=("pipeline", "text"))
 def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule battery: word count, mean word length, stopword
@@ -5448,7 +5529,10 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_supplementary(
-    "corpus_curation_serve", _curation_oracle(), tags=("pipeline", "text")
+    "corpus_curation_serve",
+    _curation_oracle(),
+    tags=("pipeline", "text"),
+    headline=True,  # bench: the serving fusion next to the audit shape
 )
 def corpus_curation_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving/deployment variant of `corpus_curation_decisions`

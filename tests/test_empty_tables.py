@@ -57,6 +57,7 @@ SAMPLE = [
     "text_quality",
     "quality_filter_gopher",
     "gopher_repetition_ngrams",
+    "source_repetition_scorecard",
     "lm_perplexity_score",
     "lm_contrast_select",
     "feature_hash_docs",
