@@ -5544,7 +5544,8 @@ def corpus_curation_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM joins and the exact-dup census are unchanged (both genuinely
     need their own aggregation structure). Zero re-implemented filter
     logic: the fused gate applies the registered kernels' expression
-    lists verbatim to one shared token array.
+    lists verbatim to one shared token array. Extension beyond the
+    reference surface (serving twin of the X167 composition).
 
     Scale shape: at 100 TB the audit shape reads the text column four
     times; this shape reads it three (fused gates, LM scoring, census)
