@@ -6070,3 +6070,162 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkt = hashed_token_buckets(docs).localCheckpoint(eager=False)
     wt = nb_weights_from_counts(nb_bucket_class_counts(bkt))
     return nb_score_buckets(bkt, wt)
+
+
+# ---------------------------------------------------------------------------
+# X182: PMI collocation mining (Church & Hanks 1990): pointwise mutual
+# information of adjacent word pairs — log2( p(ab) / (p(a)p(b)) ) with
+# the joint over the bigram-occurrence total and the marginals over
+# the token total (the textbook formulation). Integer-exact via the
+# X159 arithmetic family: 10^-12 fixed-point probabilities (two-step
+# division, no bigint overflow) + leading-bit/mantissa-LUT log2, so
+# PMI_mb = nll(a) + nll(b) - nll(ab) reproduces bit-for-bit in both
+# engines (each nll carries at most one ~88-millibit mantissa step).
+
+_PMI_MIN_COUNT = 5  # collocation floor: rare pairs have unstable PMI
+
+
+def _fx_div_sql(num: str, den: str, duck: bool) -> str:
+    """floor((num * 10^12) / den) via two 10^6 steps (the ANSI
+    bigint-overflow-safe pattern from CLAUDE.md / lm_perplexity)."""
+    d = "//" if duck else "div"
+    return (
+        f"greatest(CAST(1 AS BIGINT), (({num} * 1000000) {d} {den})"
+        f" * 1000000 + ((({num} * 1000000) % {den}) * 1000000) {d} {den})"
+    )
+
+
+def _pmi_oracle() -> str:
+    return f"""
+WITH toks AS (
+    SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS tk
+    FROM documents
+),
+bg AS (
+    SELECT unnest(CASE WHEN len(tk) >= 2
+               THEN list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i+1])
+               ELSE [] END) AS b
+    FROM toks
+),
+bc AS (SELECT b, CAST(count(*) AS BIGINT) AS n_ab FROM bg GROUP BY b),
+uni AS (SELECT unnest(tk) AS w FROM toks),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM uni GROUP BY w),
+tot AS (SELECT (SELECT CAST(SUM(n_ab) AS BIGINT) FROM bc) AS bt,
+               (SELECT CAST(SUM(n_w) AS BIGINT) FROM uc) AS tt),
+pairs AS (
+    SELECT bc.b, bc.n_ab,
+           ua.n_w AS n_a, ub.n_w AS n_b, tot.bt, tot.tt
+    FROM bc
+    JOIN uc ua ON ua.w = split_part(bc.b, ' ', 1)
+    JOIN uc ub ON ub.w = split_part(bc.b, ' ', 2)
+    CROSS JOIN tot
+    WHERE bc.n_ab >= {_PMI_MIN_COUNT}
+),
+fx AS (
+    SELECT b, n_ab, n_a, n_b,
+           {_fx_div_sql("n_ab", "bt", True)} AS p_ab,
+           {_fx_div_sql("n_a", "tt", True)} AS p_a,
+           {_fx_div_sql("n_b", "tt", True)} AS p_b
+    FROM pairs
+),
+fe AS (
+    SELECT b, n_ab, n_a, n_b, p_ab, p_a, p_b,
+           length(bin(p_ab)) AS e_ab,
+           length(bin(p_a)) AS e_a,
+           length(bin(p_b)) AS e_b
+    FROM fx
+)
+SELECT b, n_ab, n_a, n_b,
+       CAST({neglog2_millibits_sql("p_a", "e_a", duck=True)}
+            + {neglog2_millibits_sql("p_b", "e_b", duck=True)}
+            - {neglog2_millibits_sql("p_ab", "e_ab", duck=True)}
+            AS BIGINT) AS pmi_mb
+FROM fe
+"""
+
+
+@register_supplementary(
+    "bigram_pmi_collocations", _pmi_oracle(), tags=("pipeline", "text")
+)
+def bigram_pmi_collocations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X182: PMI collocation mining (Church & Hanks 1990) — for every
+    adjacent word pair seen >= _PMI_MIN_COUNT (5) times: occurrence
+    counts and the
+    integer-millibit pointwise mutual information
+    PMI_mb = nll(a) + nll(b) - nll(ab) over 10^-12 fixed-point
+    probabilities (joint over the bigram total, marginals over the
+    token total). High-PMI pairs are the corpus's multi-word units —
+    the phrase vocabulary a tokenizer or a stop-phrase list would
+    want; the integer log2 makes the ranking reproducible bit-for-bit
+    (each nll is exact to one ~88-millibit mantissa step, so PMI is
+    exact to three). Extension beyond the reference surface.
+
+    Scale shape: the tokenized stream is lazily checkpointed (it
+    feeds the bigram AND unigram counts — the double-compute gotcha);
+    one bigram-keyed and one token-keyed partial-agg shuffle; the
+    marginal joins carry NO forced broadcast hint (vocabulary-sized
+    right side — Catalyst size-picks, the round-6 LM lesson); the two
+    grand totals are 1-row aggregates broadcast back (audited
+    SinglePartition pins). The count floor prunes the pair table
+    before the joins."""
+    from flink_state_eviction_spark.functions.text import (
+        shingle_strings_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("tk")).localCheckpoint(
+        eager=False
+    )
+    bc = (
+        toked.select(
+            F.explode(shingle_strings_udf(2)(F.col("tk"))).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    uc = (
+        toked.select(F.explode(F.col("tk")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    bt = bc.agg(F.sum("n_ab").cast("long").alias("bt"))
+    tt = uc.agg(F.sum("n_w").cast("long").alias("tt"))
+    pairs = (
+        bc.where(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("b"), F.lit(" "), F.lit(2)))
+        .join(
+            uc.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a")),
+            "w1",
+        )
+        .join(
+            uc.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(bt))
+        .crossJoin(F.broadcast(tt))
+    )
+    fe = (
+        pairs.withColumn("p_ab", F.expr(_fx_div_sql("n_ab", "bt", False)))
+        .withColumn("p_a", F.expr(_fx_div_sql("n_a", "tt", False)))
+        .withColumn("p_b", F.expr(_fx_div_sql("n_b", "tt", False)))
+        .withColumn("e_ab", F.length(F.bin(F.col("p_ab"))))
+        .withColumn("e_a", F.length(F.bin(F.col("p_a"))))
+        .withColumn("e_b", F.length(F.bin(F.col("p_b"))))
+    )
+    nll_a = neglog2_millibits_sql("p_a", "e_a", duck=False)
+    nll_b = neglog2_millibits_sql("p_b", "e_b", duck=False)
+    nll_ab = neglog2_millibits_sql("p_ab", "e_ab", duck=False)
+    return fe.select(
+        "b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.expr(f"cast({nll_a} + {nll_b} - {nll_ab} as bigint)").alias(
+            "pmi_mb"
+        ),
+    )

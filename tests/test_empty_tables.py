@@ -58,6 +58,7 @@ SAMPLE = [
     "quality_filter_gopher",
     "gopher_repetition_ngrams",
     "source_repetition_scorecard",
+    "bigram_pmi_collocations",
     "lm_perplexity_score",
     "lm_contrast_select",
     "feature_hash_docs",
