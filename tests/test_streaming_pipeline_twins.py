@@ -58,7 +58,7 @@ def test_streaming_dataset_split_matches_batch(spark, sf_dir, tmp_path):
 
 
 def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
-    batch = Q.queries()["funnel_view_click_purchase"](spark, sf_dir)
+    batch = Q.all_queries()["funnel_view_click_purchase"](spark, sf_dir)
 
     ev = load_table(spark, sf_dir, "events")
     # the raw parquet stores ts as TIMESTAMP(NANOS) => read as long
