@@ -6229,3 +6229,86 @@ def bigram_pmi_collocations(
             "pmi_mb"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X183: cross-source duplication matrix — syndication/mirror detection
+# over the exact-dup census: for every ordered feed pair, how many
+# distinct content hashes appear in BOTH, and how many docs each side
+# contributes to that shared content. A feed pair whose shared-hash
+# count jumps between crawls is a mirror/syndication relationship the
+# dedup pipeline should know about (dedup them TOGETHER, and don't
+# double-count their tokens in the mixing schedule X136).
+
+_SRC_OVERLAP_ORACLE = """
+WITH h AS (
+    SELECT md5(text) AS h, source, CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    WHERE text IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_hashes,
+       CAST(SUM(a.n) AS BIGINT) AS n_docs_a,
+       CAST(SUM(b.n) AS BIGINT) AS n_docs_b
+FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+@register_supplementary(
+    "source_overlap_matrix", _SRC_OVERLAP_ORACLE, tags=("pipeline", "dedup")
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X183: cross-source duplication matrix — for every feed pair
+    (source_a < source_b): the number of DISTINCT content md5 hashes
+    present in both feeds, and the doc counts each side contributes
+    to that shared content. The observability table for syndication /
+    mirror structure: feeds that share content should be deduped
+    together and not double-counted in the mixing schedule (X136).
+    Null-text docs carry no content hash and are excluded (their
+    dedup story is the X7 null election). Extension beyond the
+    reference surface.
+
+    Scale shape: the (hash, source) census collapses the corpus
+    FIRST (bounded by distinct (hash, source) pairs — a million
+    copies of one article in one feed are ONE row), then the
+    self-equi-join on hash pairs only within hash groups: pair volume
+    is bounded by |sources|^2 per shared hash, never corpus size —
+    the same census-first guard as the perceptual family (X168). The
+    final matrix is <= |sources|^2 rows."""
+    return source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """Frame-level kernel for X183 (semantics on the query above).
+    The driver fixture happens to contain no CROSS-source exact dups
+    (its dup groups are within-feed), so the registered parity row is
+    an empty-result check there; the non-vacuous pairing/count logic
+    is pinned on a crafted corpus in test_source_overlap."""
+    h = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.md5("text").alias("h"), "source")
+        .groupBy("h", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a = h.select(
+        F.col("h"),
+        F.col("source").alias("source_a"),
+        F.col("n").alias("na"),
+    )
+    b = h.select(
+        F.col("h"),
+        F.col("source").alias("source_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_hashes"),
+            F.sum("na").cast("long").alias("n_docs_a"),
+            F.sum("nb").cast("long").alias("n_docs_b"),
+        )
+    )

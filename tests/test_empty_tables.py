@@ -59,6 +59,7 @@ SAMPLE = [
     "gopher_repetition_ngrams",
     "source_repetition_scorecard",
     "bigram_pmi_collocations",
+    "source_overlap_matrix",
     "lm_perplexity_score",
     "lm_contrast_select",
     "feature_hash_docs",

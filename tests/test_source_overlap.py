@@ -1,0 +1,46 @@
+"""Hand-computed pin for the cross-source duplication matrix (X183):
+the driver fixture has no cross-source exact dups (the registered
+parity row checks the empty result there), so the pairing/count logic
+is pinned on a crafted corpus where the answer is worked out by
+hand."""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark.querydefs.pipeline import source_overlap
+
+
+def test_source_overlap_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # content X: 2 copies in s1, 3 in s2, 1 in s3
+            (1, "X", "s1"),
+            (2, "X", "s1"),
+            (3, "X", "s2"),
+            (4, "X", "s2"),
+            (5, "X", "s2"),
+            (6, "X", "s3"),
+            # content Y: s1 and s3 only
+            (7, "Y", "s1"),
+            (8, "Y", "s3"),
+            # content Z: s2 only (no pair), W: unique to s1
+            (9, "Z", "s2"),
+            (10, "W", "s1"),
+            # null text: excluded from the matrix entirely
+            (11, None, "s1"),
+            (12, None, "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared_hashes"],
+            r["n_docs_a"],
+            r["n_docs_b"],
+        )
+        for r in source_overlap(docs).collect()
+    }
+    assert got == {
+        ("s1", "s2"): (1, 2, 3),  # X only
+        ("s1", "s3"): (2, 3, 2),  # X (2 vs 1) + Y (1 vs 1)
+        ("s2", "s3"): (1, 3, 1),  # X only
+    }
