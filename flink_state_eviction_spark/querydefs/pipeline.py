@@ -6312,3 +6312,90 @@ def source_overlap(docs: DataFrame) -> DataFrame:
             F.sum("nb").cast("long").alias("n_docs_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X184: classifier reliability / calibration table for the X174 NB
+# quality classifier: fixed-width score bands (500 millibits) with the
+# observed reference-class rate per band — the reliability-diagram
+# table (Murphy & Winkler 1977 calibration decomposition; the thing a
+# threshold choice should be read off of). Integer-exact: scores are
+# already integer millibits, banding uses the engine-agnostic
+# offset+truncating-div trick (both engines truncate toward zero; the
+# offset keeps operands positive so truncation == floor).
+
+_CAL_BIN_MB = 500
+_CAL_OFF = 1_000_000_000  # >> any |score|; makes the div operand positive
+
+
+def _nb_calibration_oracle() -> str:
+    return f"""
+WITH nb AS ({_NB_CLASSIFY_ORACLE}),
+j AS (
+    SELECT nb.sum_weight_mb, d.source = 'src0' AS is_ref,
+           (nb.sum_weight_mb + {_CAL_OFF}) // {_CAL_BIN_MB} AS binv
+    FROM nb JOIN documents d ON d.doc_id = nb.doc_id
+)
+SELECT CAST(binv * {_CAL_BIN_MB} - {_CAL_OFF} AS BIGINT) AS bin_lo_mb,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       CAST((SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS ref_rate_ppm,
+       CAST(SUM(sum_weight_mb) // count(*) AS BIGINT) AS mean_score_mb
+FROM j GROUP BY binv
+"""
+
+
+@register_supplementary(
+    "nb_classifier_calibration",
+    _nb_calibration_oracle(),
+    tags=("pipeline", "text"),
+)
+def nb_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X184: reliability/calibration table for the X174 classifier —
+    per fixed 500-millibit score band: doc count, reference-class
+    count, observed reference rate (integer ppm) and integer mean
+    score. The reliability diagram a deployment threshold should be
+    read off of (a well-calibrated band's ref_rate should rise
+    monotonically with the band). Composition: CALLS the registered
+    X174 query; the oracle wraps X174's oracle as a CTE. All integer
+    arithmetic; banding is offset+truncating-div, identical in both
+    engines because the offset keeps operands positive. Extension
+    beyond the reference surface.
+
+    Scale shape: the X174 plan plus one band-keyed map-side-combined
+    aggregate over <= a few hundred bands; the doc->source join is a
+    doc_id equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    nb = nb_quality_classifier(spark, sf_dir)
+    j = nb.join(docs.select("doc_id", "source"), "doc_id").select(
+        F.col("sum_weight_mb"),
+        (F.col("source") == F.lit(_NB_REF_SOURCE)).alias("is_ref"),
+        F.expr(
+            f"(sum_weight_mb + {_CAL_OFF}) div {_CAL_BIN_MB}"
+        ).alias("binv"),
+    )
+    agg = j.groupBy("binv").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.expr(
+            "cast((sum(case when is_ref then 1 else 0 end) * 1000000)"
+            " div count(1) as bigint)"
+        ).alias("ref_rate_ppm"),
+        F.expr("cast(sum(sum_weight_mb) div count(1) as bigint)").alias(
+            "mean_score_mb"
+        ),
+    )
+    return agg.select(
+        F.expr(
+            f"cast(binv * {_CAL_BIN_MB} - {_CAL_OFF} as bigint)"
+        ).alias("bin_lo_mb"),
+        "n_docs",
+        "n_ref",
+        "ref_rate_ppm",
+        "mean_score_mb",
+    )

@@ -60,6 +60,7 @@ SAMPLE = [
     "source_repetition_scorecard",
     "bigram_pmi_collocations",
     "source_overlap_matrix",
+    "nb_classifier_calibration",
     "lm_perplexity_score",
     "lm_contrast_select",
     "feature_hash_docs",
