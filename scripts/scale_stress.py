@@ -203,7 +203,7 @@ def main() -> None:
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
-        "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,vdiff",
+        "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -369,6 +369,16 @@ def main() -> None:
             assert byt.get("removed", 0) == want_removed, (byt, want_removed)
             assert byt.get("added", 0) == want_added, (byt, want_added)
             assert byt.get("changed", 0) == want_changed, (byt, want_changed)
+        if "r7b" in only:
+            # round-7 second batch: one-pass Arrow repetition battery,
+            # its per-source scorecard, PMI collocations, the
+            # census-first source-overlap matrix, and the classifier
+            # calibration table
+            rec["gopher_repetition_ngrams_sec"] = timed(lambda: all_qs["gopher_repetition_ngrams"](spark, d))
+            rec["source_repetition_scorecard_sec"] = timed(lambda: all_qs["source_repetition_scorecard"](spark, d))
+            rec["bigram_pmi_collocations_sec"] = timed(lambda: all_qs["bigram_pmi_collocations"](spark, d))
+            rec["source_overlap_matrix_sec"] = timed(lambda: all_qs["source_overlap_matrix"](spark, d))
+            rec["nb_classifier_calibration_sec"] = timed(lambda: all_qs["nb_classifier_calibration"](spark, d))
         if "frames" in only:
             # scan-parallel container synth + extent walk + stride-2
             # decode; no shuffle at all (output is per-frame rows)
