@@ -6399,3 +6399,123 @@ def nb_classifier_calibration(
         "ref_rate_ppm",
         "mean_score_mb",
     )
+
+
+# ---------------------------------------------------------------------------
+# X185: dedup impact report — what each dedup stage would remove, in
+# docs and tokens, as one auditable table (the number a curation run
+# reports before anyone commits to a removal policy): exact dups
+# (X7, non-keeper docs), near-dup non-canonicals (X8), and duplicated
+# spans (X132's removal pass — token-exact). Composition: CALLS the
+# registered stage queries; the oracle wraps their oracles as CTEs
+# (the X167 convention — zero re-implemented stage logic).
+
+
+def _dedup_impact_oracle() -> str:
+    from flink_state_eviction_spark.querydefs.corpus import (
+        _SPAN_REMOVE_ORACLE,
+    )
+
+    return f"""
+WITH ex AS ({_EXACT_ORACLE}),
+nr AS ({_CANONICAL_ORACLE}),
+sp AS ({_SPAN_REMOVE_ORACLE}),
+tot AS (SELECT greatest(CAST(1 AS BIGINT),
+                        CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)) AS t
+        FROM sp),
+stages AS (
+    SELECT 'exact' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs_flagged,
+           CAST(COALESCE(SUM(sp.n_tokens), 0) AS BIGINT)
+               AS n_tokens_flagged
+    FROM ex JOIN sp ON sp.doc_id = ex.doc_id
+    WHERE ex.doc_id <> ex.keeper_id
+    UNION ALL
+    SELECT 'near' AS stage,
+           CAST(count(*) AS BIGINT),
+           CAST(COALESCE(SUM(sp.n_tokens), 0) AS BIGINT)
+    FROM nr JOIN sp ON sp.doc_id = nr.doc_id
+    WHERE NOT nr.is_kept
+    UNION ALL
+    SELECT 'span' AS stage,
+           CAST(count(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_removed), 0) AS BIGINT)
+    FROM sp WHERE n_removed > 0
+)
+SELECT stage, n_docs_flagged, n_tokens_flagged,
+       CAST((n_tokens_flagged * 1000000) // t AS BIGINT)
+           AS tokens_flagged_ppm
+FROM stages CROSS JOIN tot
+"""
+
+
+@register_supplementary(
+    "dedup_impact_report", _dedup_impact_oracle(), tags=("pipeline", "dedup")
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X185: dedup impact report — per dedup stage, the docs and
+    tokens the stage flags for removal, plus the flagged-token share
+    of the corpus (integer ppm): 'exact' = non-keeper docs of the md5
+    census (X7), 'near' = non-canonical docs of the MinHash-CC
+    election (X8), 'span' = tokens inside duplicated spans (X132's
+    token-exact removal pass). The before-you-commit audit table of a
+    removal policy: exact and near overlap by construction (an exact
+    dup is also a near dup), so rows are per-stage impact, not a
+    partition. Composition CALLS the three registered queries and the
+    oracle wraps their oracles as CTEs (zero re-implemented stage
+    logic — the X167 convention). Extension beyond the reference
+    surface.
+
+    Scale shape: the span-removal frame is lazily checkpointed (it is
+    the per-doc token census AND the span stage AND the grand total —
+    the double-compute gotcha, three ways); stage folds are global
+    1-row aggregates over already-reduced tables (audited); the flag
+    joins are doc_id equi-joins."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        span_dedup_remove,
+    )
+
+    ex = dedup_exact(spark, sf_dir)
+    nr = dedup_near_canonical(spark, sf_dir)
+    sp = span_dedup_remove(spark, sf_dir).localCheckpoint(eager=False)
+    tok = sp.select("doc_id", "n_tokens")
+    tot = sp.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.coalesce(F.sum("n_tokens").cast("bigint"), F.lit(0)),
+        ).alias("t")
+    )
+
+    def fold(df, tokens_col, stage):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_flagged"),
+            F.coalesce(F.sum(tokens_col).cast("long"), F.lit(0).cast("long"))
+            .alias("n_tokens_flagged"),
+        ).select(
+            F.lit(stage).alias("stage"),
+            "n_docs_flagged",
+            "n_tokens_flagged",
+        )
+
+    exf = fold(
+        ex.where(F.col("doc_id") != F.col("keeper_id")).join(tok, "doc_id"),
+        "n_tokens",
+        "exact",
+    )
+    nrf = fold(
+        nr.where(~F.col("is_kept")).join(tok, "doc_id"), "n_tokens", "near"
+    )
+    spf = fold(sp.where(F.col("n_removed") > 0), "n_removed", "span")
+    return (
+        exf.union(nrf)
+        .union(spf)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            "n_docs_flagged",
+            "n_tokens_flagged",
+            F.expr(
+                "cast((n_tokens_flagged * 1000000) div t as bigint)"
+            ).alias("tokens_flagged_ppm"),
+        )
+    )

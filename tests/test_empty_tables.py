@@ -61,6 +61,7 @@ SAMPLE = [
     "bigram_pmi_collocations",
     "source_overlap_matrix",
     "nb_classifier_calibration",
+    "dedup_impact_report",
     "lm_perplexity_score",
     "lm_contrast_select",
     "feature_hash_docs",
@@ -164,6 +165,7 @@ SAMPLE = [
 # input: the DQ report yields one zero-violation row per check
 NONEMPTY_ON_EMPTY = {
     "dq_orders_report": 6,
+    "dedup_impact_report": 3,  # one row per stage, zero counts
     # global-aggregate census: one row of zero counts
     "part_copurchase_triangles": 1,
     # global footer-stats aggregate: one row (count 0, NULL min/max)
