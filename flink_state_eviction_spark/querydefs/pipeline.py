@@ -6280,18 +6280,32 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(load_table(spark, sf_dir, "documents"))
 
 
+def source_hash_census(docs: DataFrame) -> DataFrame:
+    """(h, source, n) content census — X183's state. Counts are
+    associative sums, so this same kernel folds per micro-batch in
+    the streaming overlap maintainer (streaming/overlap_maintain.py)
+    and the folds compose."""
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(F.md5("text").alias("h"), "source")
+        .groupBy("h", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def source_overlap(docs: DataFrame) -> DataFrame:
     """Frame-level kernel for X183 (semantics on the query above).
     The driver fixture happens to contain no CROSS-source exact dups
     (its dup groups are within-feed), so the registered parity row is
     an empty-result check there; the non-vacuous pairing/count logic
     is pinned on a crafted corpus in test_source_overlap."""
-    h = (
-        docs.where(F.col("text").isNotNull())
-        .select(F.md5("text").alias("h"), "source")
-        .groupBy("h", "source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    return overlap_matrix_from_census(source_hash_census(docs))
+
+
+def overlap_matrix_from_census(h: DataFrame) -> DataFrame:
+    """Pairing half of X183 over a (h, source, n) census frame —
+    shared verbatim by the batch kernel and the streaming maintainer's
+    serving half (the final-state bit-equality contract)."""
     a = h.select(
         F.col("h"),
         F.col("source").alias("source_a"),

@@ -1,0 +1,92 @@
+"""Streaming twin for the cross-source duplication matrix (X183):
+incremental (hash, source) census maintenance over an always-ingesting
+corpus, so the syndication matrix is always current.
+
+The batch `source_overlap_matrix` reduces the corpus to a
+(content-md5, source, count) census and pairs sources within hash
+groups. The census counts are associative sums, so maintenance is the
+standard election/count pattern (X150/X169/X177):
+
+- ``overlap_maintain_batch`` — ``foreachBatch`` body: the batch's
+  census (via the SAME `source_hash_census` kernel the batch query
+  uses) lands in an idempotent ``batch=<id>`` partition; redelivery
+  overwrites its own partition, at-least-once safe.
+- ``census_from_state`` / ``overlap_from_state`` — serving: summed
+  census, then the SAME pairing kernel
+  (querydefs/pipeline.overlap_matrix_from_census). After the whole
+  corpus has streamed in, the matrix is BIT-EQUAL to the batch query
+  (test_streaming_overlap_maintain) — the maintainer family's
+  final-state equivalence contract.
+
+Scale shape: state is bounded by distinct (hash, source) pairs (a
+million copies of one article in one feed are ONE state row);
+compaction folds are re-aggregations under the commit-log-safe
+contract (streaming/compaction.py).
+
+Extension beyond the reference surface (SURVEY §2.7 X186; twins the
+batch X183 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def overlap_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of census maintenance (module docstring). Call
+    from ``foreachBatch`` forwarding its batch id. ``batch_df`` must
+    carry (text, source)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        source_hash_census,
+    )
+
+    source_hash_census(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "census", f"batch={batch_id}")
+    )
+
+
+def compact_overlap_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — counts are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "census"),
+        through_batch,
+        lambda df: df.groupBy("h", "source").agg(
+            F.sum("n").cast("long").alias("n")
+        ),
+    )
+
+
+def census_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (h, source, n) census: counts summed over the
+    batch partitions."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "census"))
+        .groupBy("h", "source")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def overlap_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The syndication matrix from the MAINTAINED census through the
+    one shared pairing kernel — same output shape as
+    `source_overlap_matrix`; bit-equal once the corpus streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        overlap_matrix_from_census,
+    )
+
+    return overlap_matrix_from_census(census_from_state(spark, state_dir))

@@ -1,0 +1,100 @@
+"""Streaming twin for the cross-source duplication matrix: serving
+from the maintained (hash, source) census must reproduce the batch
+kernel bit-for-bit. The driver fixture has no cross-feed exact dups,
+so these tests run on a crafted corpus where the matrix is non-empty
+(the test_source_overlap fixture), keeping the equivalence check
+non-vacuous."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.querydefs.pipeline import source_overlap
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.overlap_maintain import (
+    census_from_state,
+    compact_overlap_state,
+    overlap_from_state,
+    overlap_maintain_batch,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "X", "s1"),
+        (2, "X", "s1"),
+        (3, "X", "s2"),
+        (4, "X", "s2"),
+        (5, "X", "s2"),
+        (6, "X", "s3"),
+        (7, "Y", "s1"),
+        (8, "Y", "s3"),
+        (9, "Z", "s2"),
+        (10, "W", "s1"),
+        (11, None, "s1"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_streaming_overlap_matches_batch(spark, tmp_path):
+    docs = _docs(spark)
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "ov-state")
+
+    def upd(batch_df, batch_id):
+        overlap_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(overlap_from_state(spark, state))
+    want = _rows(source_overlap(docs))
+    assert got == want and got
+
+
+def test_overlap_redelivery_and_compaction_preserve_state(
+    spark, tmp_path
+):
+    docs = _docs(spark)
+    batches = [
+        (0, docs.where(F.col("doc_id") <= 4)),
+        (1, docs.where((F.col("doc_id") > 4) & (F.col("doc_id") <= 8))),
+        (2, docs.where(F.col("doc_id") > 8)),
+    ]
+    state = os.path.join(str(tmp_path), "ov-state")
+    for bid, b in batches:
+        overlap_maintain_batch(b, state, bid)
+
+    def snapshot():
+        return {
+            (r["h"], r["source"], r["n"])
+            for r in census_from_state(spark, state).collect()
+        }
+
+    once = snapshot()
+    overlap_maintain_batch(batches[1][1], state, 1)
+    overlap_maintain_batch(batches[1][1], state, 1)
+    assert snapshot() == once
+
+    with pytest.raises(ValueError):
+        compact_overlap_state(spark, state, 2)
+    compact_overlap_state(spark, state, 1)
+    assert snapshot() == once
+    overlap_maintain_batch(batches[2][1], state, 2)
+    assert snapshot() == once
