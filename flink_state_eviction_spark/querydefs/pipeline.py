@@ -6180,17 +6180,23 @@ def bigram_pmi_collocations(
     toked = docs.select(tokens(F.col("text")).alias("tk")).localCheckpoint(
         eager=False
     )
+    # both count tables feed an aggregate (grand total) AND a join
+    # (the pair/marginal sides) — no exchange reuse across different
+    # subtrees, so checkpoint the vocabulary-sized tables once
+    # (round-5 rule; review-verified double-compute without these)
     bc = (
         toked.select(
             F.explode(shingle_strings_udf(2)(F.col("tk"))).alias("b")
         )
         .groupBy("b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .localCheckpoint(eager=False)
     )
     uc = (
         toked.select(F.explode(F.col("tk")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+        .localCheckpoint(eager=False)
     )
     bt = bc.agg(F.sum("n_ab").cast("long").alias("bt"))
     tt = uc.agg(F.sum("n_w").cast("long").alias("tt"))
@@ -6305,7 +6311,12 @@ def source_overlap(docs: DataFrame) -> DataFrame:
 def overlap_matrix_from_census(h: DataFrame) -> DataFrame:
     """Pairing half of X183 over a (h, source, n) census frame —
     shared verbatim by the batch kernel and the streaming maintainer's
-    serving half (the final-state bit-equality contract)."""
+    serving half (the final-state bit-equality contract). The census
+    feeds BOTH sides of the self-join (no exchange reuse across
+    subtrees — round-5 rule), so it is checkpointed once: without
+    this the full documents scan + md5 census computes twice
+    (review-verified on the executed plan)."""
+    h = h.localCheckpoint(eager=False)
     a = h.select(
         F.col("h"),
         F.col("source").alias("source_a"),
@@ -6339,7 +6350,13 @@ def overlap_matrix_from_census(h: DataFrame) -> DataFrame:
 # offset keeps operands positive so truncation == floor).
 
 _CAL_BIN_MB = 500
-_CAL_OFF = 1_000_000_000  # >> any |score|; makes the div operand positive
+# Offset making the div operand positive so truncation == floor.
+# Capacity bound: |sum_weight_mb| <= n_features x max|weight_mb|
+# ~ n_features x 8e4 (per-bucket NLLs cap at the ~39,863 mb scale
+# ceiling), so 10^15 holds to ~1.25e10 features per document —
+# beyond any real document; operands stay << the 9.2e18 bigint
+# ceiling (binv*500 - 1e15 and score + 1e15 both fit).
+_CAL_OFF = 1_000_000_000_000_000
 
 
 def _nb_calibration_oracle() -> str:

@@ -45,9 +45,8 @@ def main() -> None:
     lines += [
         "",
         f"{len(Q.REGISTRY)} driver queries, {n_oracle} oracle-checked, "
-        f"{sum(1 for q in list(Q.REGISTRY.values()) + list(Q.SUPPLEMENTARY.values()) if q.headline)}"
-        " in the bench headline set (driver + supplementary tiers, "
-        "matching headline_queries()).",
+        f"{len(Q.headline_queries())} in the bench headline set "
+        "(driver + supplementary tiers).",
         "",
         "## Supplementary queries (oracle-parity signal, no driver slot)",
         "",
