@@ -6550,3 +6550,123 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_flagged_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X187: per-source unigram KL divergence from the corpus mix — the
+# information-theoretic drift table next to the chi-square monitor
+# (X109): D_KL(P_source || P_corpus) = sum_w p_s(w) log2(p_s/p_c) in
+# integer millibits via the X159 family (fixed-point probabilities +
+# LUT log2; the per-word term is p_fx_s * (nll_c - nll_s), summed
+# exactly in bigint then scaled down once). No smoothing needed:
+# every source token is a corpus token, so p_c(w) > 0 on the whole
+# support by construction. Flooring can leave the sum a few millibits
+# from true KL (and in degenerate cases epsilon-negative) — each nll
+# is exact to one ~88-millibit mantissa step, weighted by p_s.
+
+
+def _kl_oracle() -> str:
+    return f"""
+WITH toks AS (
+    SELECT source,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS tk
+    FROM documents
+),
+sw AS (
+    SELECT source, unnest(tk) AS w FROM toks
+),
+swc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n_sw
+        FROM sw GROUP BY 1, 2),
+wc AS (SELECT w, CAST(SUM(n_sw) AS BIGINT) AS n_w FROM swc GROUP BY w),
+st AS (SELECT source, CAST(SUM(n_sw) AS BIGINT) AS t_s
+       FROM swc GROUP BY source),
+tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS t_c FROM wc),
+fx AS (
+    SELECT swc.source, swc.n_sw, st.t_s,
+           {_fx_div_sql("swc.n_sw", "st.t_s", True)} AS p_s,
+           {_fx_div_sql("wc.n_w", "tot.t_c", True)} AS p_c
+    FROM swc
+    JOIN st ON st.source = swc.source
+    JOIN wc ON wc.w = swc.w
+    CROSS JOIN tot
+),
+fe AS (
+    SELECT source, t_s, p_s, p_c,
+           length(bin(p_s)) AS e_s, length(bin(p_c)) AS e_c
+    FROM fx
+),
+terms AS (
+    SELECT source, t_s,
+           p_s * ({neglog2_millibits_sql("p_c", "e_c", duck=True)}
+                  - {neglog2_millibits_sql("p_s", "e_s", duck=True)})
+               AS term
+    FROM fe
+)
+SELECT source,
+       CAST(MAX(t_s) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(term) // 1000000000000 AS BIGINT) AS kl_mb
+FROM terms GROUP BY source
+"""
+
+
+@register_supplementary(
+    "source_unigram_kl", _kl_oracle(), tags=("pipeline", "text")
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X187: per-source unigram KL divergence from the corpus token
+    mix, D_KL(P_source || P_corpus), in integer millibits — the
+    information-theoretic drift score next to the chi-square monitor
+    (X109): a feed whose KL jumps between crawls changed its content
+    distribution, and the millibit scale says by how much (in bits an
+    optimal code would waste). Integer-exact via the X159 family: the
+    per-word term p_fx_s * (nll_c - nll_s) sums exactly in bigint
+    (bounded by max-nll-diff x 10^12 ~ 4e16 << the bigint ceiling)
+    and scales down ONCE — no per-term rounding. No smoothing: source
+    support is a subset of corpus support by construction. Flooring
+    leaves the result within a few p_s-weighted mantissa steps of
+    true KL (epsilon-negative degenerate cases possible — documented,
+    not hidden). Extension beyond the reference surface.
+
+    Scale shape: the (source, word) count table is lazily
+    checkpointed — it feeds the corpus-count fold, the per-source
+    totals AND the term join (the double-compute gotcha, three ways);
+    word-marginal and source-total joins carry no forced broadcast
+    hints (Catalyst size-picks); the grand total is one audited 1-row
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sw"))
+        .localCheckpoint(eager=False)
+    )
+    wc = sw.groupBy("w").agg(F.sum("n_sw").cast("long").alias("n_w"))
+    st = sw.groupBy("source").agg(
+        F.sum("n_sw").cast("long").alias("t_s")
+    )
+    tot = wc.agg(F.sum("n_w").cast("long").alias("t_c"))
+    fe = (
+        sw.join(st, "source")
+        .join(wc, "w")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("p_s", F.expr(_fx_div_sql("n_sw", "t_s", False)))
+        .withColumn("p_c", F.expr(_fx_div_sql("n_w", "t_c", False)))
+        .withColumn("e_s", F.length(F.bin(F.col("p_s"))))
+        .withColumn("e_c", F.length(F.bin(F.col("p_c"))))
+    )
+    nll_s = neglog2_millibits_sql("p_s", "e_s", duck=False)
+    nll_c = neglog2_millibits_sql("p_c", "e_c", duck=False)
+    terms = fe.select(
+        "source",
+        "t_s",
+        F.expr(f"p_s * (({nll_c}) - ({nll_s}))").alias("term"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("t_s").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.expr("cast(sum(term) div 1000000000000 as bigint)").alias(
+            "kl_mb"
+        ),
+    )

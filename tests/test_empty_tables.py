@@ -62,6 +62,7 @@ SAMPLE = [
     "source_overlap_matrix",
     "nb_classifier_calibration",
     "dedup_impact_report",
+    "source_unigram_kl",
     "lm_perplexity_score",
     "lm_contrast_select",
     "feature_hash_docs",

@@ -73,6 +73,7 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "bigram_pmi_collocations": 2,  # scalar: bigram + token grand totals
     "nb_classifier_calibration": 1,  # scalar: inherits X174 class-total row
     "dedup_impact_report": 4,  # scalar: 3 per-stage folds + grand-total row, all over reduced tables
+    "source_unigram_kl": 1,  # scalar: corpus-token grand total
     "nb_quality_classifier": 1,  # scalar: class-total row over the <= D-row bucket table
     "source_perplexity_scorecard": 1,  # scalar: inherits X159's reference-vocab V
     "text_tfidf": 1,  # scalar: corpus doc count for idf
