@@ -203,7 +203,7 @@ def main() -> None:
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
-        "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,vdiff",
+        "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -379,6 +379,15 @@ def main() -> None:
             rec["bigram_pmi_collocations_sec"] = timed(lambda: all_qs["bigram_pmi_collocations"](spark, d))
             rec["source_overlap_matrix_sec"] = timed(lambda: all_qs["source_overlap_matrix"](spark, d))
             rec["nb_classifier_calibration_sec"] = timed(lambda: all_qs["nb_classifier_calibration"](spark, d))
+        if "r7c" in only:
+            # round-7 third batch: the audit-grade 9-band near-dup
+            # (6/7-bit bands collide ~2^8 x more than 14-bit bands —
+            # measure the recall price), the dedup impact composition,
+            # and the KL drift table
+            rec["multimodal_phash_neardup_sec"] = timed(lambda: all_qs["multimodal_phash_neardup"](spark, d))
+            rec["multimodal_phash_neardup_g8_sec"] = timed(lambda: all_qs["multimodal_phash_neardup_g8"](spark, d))
+            rec["dedup_impact_report_sec"] = timed(lambda: all_qs["dedup_impact_report"](spark, d))
+            rec["source_unigram_kl_sec"] = timed(lambda: all_qs["source_unigram_kl"](spark, d))
         if "frames" in only:
             # scan-parallel container synth + extent walk + stride-2
             # decode; no shuffle at all (output is per-frame rows)
