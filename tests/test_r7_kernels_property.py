@@ -1,0 +1,102 @@
+"""Property pins for the round-7 numeric composites: the integer PMI
+(X182) and integer KL divergence (X187) against exact float math,
+through the SAME fixed-point + LUT arithmetic both engines run. The
+bounds follow from the X159 pin (each nll maps to its bin's LEFT edge,
+error <= 88 millibits): PMI composes THREE nlls (<= 264 mb, plus
+fixed-point flooring of the three probabilities), KL is a
+p_s-weighted sum of TWO nll errors per word (<= ~177 mb, plus one
+final scaling division)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_state_eviction_spark.functions.text import (
+    LM_PROB_SCALE,
+    LM_SCALE_MILLIBITS,
+    LOG2_MANTISSA_MILLIBITS,
+)
+
+
+def _nll(p_fx: int) -> int:
+    e = p_fx.bit_length()
+    frac = (p_fx * 16) // (2 ** (e - 1)) - 16
+    return LM_SCALE_MILLIBITS - (
+        1000 * (e - 1) + LOG2_MANTISSA_MILLIBITS[frac]
+    )
+
+
+def _fx(num: int, den: int) -> int:
+    # the two-step 10^6 division the queries use
+    r1 = (num * 1_000_000) // den
+    return max(1, r1 * 1_000_000 + ((num * 1_000_000) % den) * 1_000_000 // den)
+
+
+@given(
+    n_ab=st.integers(min_value=5, max_value=10_000),
+    n_a=st.integers(min_value=5, max_value=1_000_000),
+    n_b=st.integers(min_value=5, max_value=1_000_000),
+    bt=st.integers(min_value=10_000, max_value=10_000_000),
+    tt=st.integers(min_value=10_000, max_value=10_000_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_integer_pmi_error_bounded(n_ab, n_a, n_b, bt, tt):
+    """PMI_mb = nll(a) + nll(b) - nll(ab): three one-step nll errors
+    compose to <= 264 mb; fixed-point flooring of the probabilities
+    adds < 2 mb at these magnitudes. Pinned at 300 mb."""
+    if n_ab > bt or n_a > tt or n_b > tt:
+        return
+    p_ab, p_a, p_b = _fx(n_ab, bt), _fx(n_a, tt), _fx(n_b, tt)
+    est = _nll(p_a) + _nll(p_b) - _nll(p_ab)
+    true = (
+        math.log2((n_ab / bt) / ((n_a / tt) * (n_b / tt))) * 1000
+    )
+    assert abs(est - true) <= 300, (est, true)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(min_value=0, max_value=20),  # word id
+            st.integers(min_value=1, max_value=50),  # count
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_integer_kl_error_bounded(rows):
+    """KL_mb per source: each word's term error is p_s-weighted by two
+    one-step nll errors (<= ~177 mb summed over the distribution,
+    since the weights sum to ~1), plus the final 10^12 scaling
+    division (< 1 mb) and probability flooring. Pinned at 200 mb
+    against exact float KL, for every generated corpus."""
+    counts = Counter()
+    for src, w, n in rows:
+        counts[(src, w)] += n
+    wc = Counter()
+    st_ = Counter()
+    for (src, w), n in counts.items():
+        wc[w] += n
+        st_[src] += n
+    t_c = sum(wc.values())
+    for src in st_:
+        t_s = st_[src]
+        acc = 0
+        true = 0.0
+        for (s2, w), n_sw in counts.items():
+            if s2 != src:
+                continue
+            p_s = _fx(n_sw, t_s)
+            p_c = _fx(wc[w], t_c)
+            acc += p_s * (_nll(p_c) - _nll(p_s))
+            true += (n_sw / t_s) * math.log2(
+                (n_sw / t_s) / (wc[w] / t_c)
+            )
+        est = acc // LM_PROB_SCALE
+        assert abs(est - true * 1000) <= 200, (src, est, true * 1000)
