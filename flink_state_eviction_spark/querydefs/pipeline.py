@@ -6636,12 +6636,25 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     hints (Catalyst size-picks); the grand total is one audited 1-row
     aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    sw = (
+    return kl_from_counts(source_word_counts(docs))
+
+
+def source_word_counts(docs: DataFrame) -> DataFrame:
+    """(source, w, n_sw) token census — X187's ENTIRE state. Counts
+    are associative sums, so this same kernel folds per micro-batch in
+    the streaming drift maintainer (streaming/kl_maintain.py)."""
+    return (
         docs.select("source", F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("n_sw"))
-        .localCheckpoint(eager=False)
     )
+
+
+def kl_from_counts(swc: DataFrame) -> DataFrame:
+    """KL tail of X187 over a (source, w, n_sw) census frame — shared
+    verbatim by the batch query and the streaming maintainer's serving
+    half (the final-state bit-equality contract)."""
+    sw = swc.localCheckpoint(eager=False)
     wc = sw.groupBy("w").agg(F.sum("n_sw").cast("long").alias("n_w"))
     st = sw.groupBy("source").agg(
         F.sum("n_sw").cast("long").alias("t_s")

@@ -1,0 +1,90 @@
+"""Streaming twin for the per-source KL drift table (X187): the
+always-ingesting corpus maintains the (source, word) token census, and
+the drift table serves from the maintained state.
+
+The batch `source_unigram_kl` reduces the corpus to (source, w, n_sw)
+counts and runs the fixed-point KL tail. Counts are associative sums —
+the standard maintainer pattern (X150/X169/X177/X186):
+
+- ``kl_maintain_batch`` — ``foreachBatch`` body: the batch's census
+  (the SAME `source_word_counts` kernel the batch query uses) lands in
+  an idempotent ``batch=<id>`` partition; redelivery overwrites its
+  own partition, at-least-once safe.
+- ``counts_from_state`` / ``kl_from_state`` — serving: summed census
+  through the SAME `kl_from_counts` tail. After the whole corpus has
+  streamed in, the table is BIT-EQUAL to the batch query
+  (test_streaming_kl_maintain) — the maintainer family's final-state
+  equivalence contract. Drift MONITORING is the point: serve after
+  every batch and watch each feed's kl_mb trajectory.
+
+Scale shape: state is bounded by |sources| x vocabulary (not corpus
+size); compaction folds are re-aggregations under the commit-log-safe
+contract (streaming/compaction.py).
+
+Extension beyond the reference surface (SURVEY §2.7 X188; twins the
+batch X187 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def kl_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of census maintenance (module docstring). Call
+    from ``foreachBatch`` forwarding its batch id. ``batch_df`` must
+    carry (source, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        source_word_counts,
+    )
+
+    source_word_counts(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "swc", f"batch={batch_id}")
+    )
+
+
+def compact_kl_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — counts are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "swc"),
+        through_batch,
+        lambda df: df.groupBy("source", "w").agg(
+            F.sum("n_sw").cast("long").alias("n_sw")
+        ),
+    )
+
+
+def counts_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (source, w, n_sw) census: counts summed over the
+    batch partitions."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "swc"))
+        .groupBy("source", "w")
+        .agg(F.sum("n_sw").cast("long").alias("n_sw"))
+    )
+
+
+def kl_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The drift table from the MAINTAINED census through the shared
+    KL tail — same output shape as `source_unigram_kl`; bit-equal once
+    the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        kl_from_counts,
+    )
+
+    return kl_from_counts(counts_from_state(spark, state_dir))

@@ -1,0 +1,92 @@
+"""Streaming twin for the per-source KL drift table: serving from the
+maintained (source, word) census must reproduce the batch
+`source_unigram_kl` bit-for-bit; redelivered batches must not change
+the state; compaction preserves it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.kl_maintain import (
+    compact_kl_state,
+    counts_from_state,
+    kl_from_state,
+    kl_maintain_batch,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {
+        (r["source"], r["n_tokens"], r["n_vocab"], r["kl_mb"])
+        for r in df.collect()
+    }
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+
+def test_streaming_kl_matches_batch(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "kl-state")
+
+    def upd(batch_df, batch_id):
+        kl_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(kl_from_state(spark, state))
+    want = _rows(all_queries()["source_unigram_kl"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_kl_redelivery_and_compaction_preserve_state(
+    spark, sf_dir, tmp_path
+):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, docs.where(F.col("doc_id") < cut1)),
+        (1, docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, docs.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "kl-state")
+    for bid, b in batches:
+        kl_maintain_batch(b, state, bid)
+
+    def snapshot():
+        return {
+            (r["source"], r["w"], r["n_sw"])
+            for r in counts_from_state(spark, state).collect()
+        }
+
+    once = snapshot()
+    kl_maintain_batch(batches[1][1], state, 1)
+    kl_maintain_batch(batches[1][1], state, 1)
+    assert snapshot() == once
+
+    with pytest.raises(ValueError):
+        compact_kl_state(spark, state, 2)
+    compact_kl_state(spark, state, 1)
+    assert snapshot() == once
+    kl_maintain_batch(batches[2][1], state, 2)
+    assert snapshot() == once
