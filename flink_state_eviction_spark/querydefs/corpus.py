@@ -1168,6 +1168,45 @@ def bpe_numericalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_numericalize(docs, merges)
 
 
+@register_supplementary(
+    "bpe_fertility_by_source", None, tags=("corpus", "text")
+)
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X189: tokenizer fertility scorecard — per source, under the
+    learned merge table: docs counted, word characters, BPE tokens,
+    and chars-per-token x1000 as an exact integer ratio (the
+    tokenizer-efficiency number a mixing schedule should weight by —
+    a feed whose fertility drops is costing more tokens per byte of
+    content). Docs with zero words carry no encoded stream and are
+    absent from the sums (the X147 stats contract). Rows-only at the
+    driver (the merge loop is iterative — no SQL oracle); the hard
+    gate is tests/test_bpe.py::test_fertility_matches_reference,
+    bit-exact against the independent pure-Python Sennrich reference.
+    Extension beyond the reference surface.
+
+    Scale shape: the X147 stats plan (distinct-word encode broadcast
+    back onto the token stream) + one doc_id equi-join and a
+    |sources|-keyed map-side-combined aggregate."""
+    from flink_state_eviction_spark.operators.bpe import (
+        bpe_token_stats,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=_BPE_MERGES)
+    stats = bpe_token_stats(docs, merges)
+    j = stats.join(docs.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_bpe").cast("long").alias("n_bpe"),
+        F.expr(
+            "cast((sum(n_chars) * 1000)"
+            " div greatest(1, sum(n_bpe)) as bigint)"
+        ).alias("chars_per_bpe_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X159: n-gram LM perplexity scoring (CCNet-style quality filter)
 #

@@ -268,3 +268,45 @@ def test_numericalize_roundtrip(spark, learned):
         if [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
     )
     assert len(out) == n_tokenized
+
+
+def test_fertility_matches_reference(spark, learned):
+    """X189 gate: the per-source fertility scorecard, recomputed from
+    scratch in pure Python (independent tokenizer + the reference BPE
+    encode), must match the registered query bit-for-bit."""
+    import re
+
+    from flink_state_eviction_spark.queries import all_queries
+
+    docs, wc, merges = learned
+    _, ref_vocab = _ref_learn(wc, 16)
+
+    exp = {}
+    for r in docs.select("doc_id", "source", "text").collect():
+        words = [
+            w
+            for w in re.split(r"[^a-z0-9]+", (r["text"] or "").lower())
+            if w
+        ]
+        if not words:
+            continue
+        e = exp.setdefault(r["source"], [0, 0, 0])
+        e[0] += 1
+        e[1] += sum(len(w) for w in words)
+        e[2] += sum(len(ref_vocab[w]) for w in words)
+    want = {
+        src: (n, ch, bp, (ch * 1000) // max(1, bp))
+        for src, (n, ch, bp) in exp.items()
+    }
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_chars"],
+            r["n_bpe"],
+            r["chars_per_bpe_milli"],
+        )
+        for r in all_queries()["bpe_fertility_by_source"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want and got

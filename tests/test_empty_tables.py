@@ -63,6 +63,7 @@ SAMPLE = [
     "nb_classifier_calibration",
     "dedup_impact_report",
     "source_unigram_kl",
+    "bpe_fertility_by_source",
     "lm_perplexity_score",
     "lm_contrast_select",
     "feature_hash_docs",

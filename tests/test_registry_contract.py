@@ -129,6 +129,8 @@ NON_SQL_EXPRESSIBLE = {
     "bpe_numericalize",
     # rolling-hash CDC scan — gate: tests/test_chunking.py
     "payload_cdc_dedup",
+    # iterative merge loop — gate: tests/test_bpe.py::test_fertility_matches_reference
+    "bpe_fertility_by_source",
 }
 
 
