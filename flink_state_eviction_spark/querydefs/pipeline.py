@@ -6400,7 +6400,15 @@ def nb_classifier_calibration(
     aggregate over <= a few hundred bands; the doc->source join is a
     doc_id equi-join."""
     docs = load_table(spark, sf_dir, "documents")
-    nb = nb_quality_classifier(spark, sf_dir)
+    return nb_calibration_table(nb_quality_classifier(spark, sf_dir), docs)
+
+
+def nb_calibration_table(nb: DataFrame, docs: DataFrame) -> DataFrame:
+    """Calibration tail of X184 over a scored frame carrying
+    (doc_id, sum_weight_mb) — shared by the registered query and the
+    streaming maintainer's serving half (calibration served from the
+    MAINTAINED weights is bit-equal once the corpus streamed in;
+    test_streaming_nb_maintain pins it)."""
     j = nb.join(docs.select("doc_id", "source"), "doc_id").select(
         F.col("sum_weight_mb"),
         (F.col("source") == F.lit(_NB_REF_SOURCE)).alias("is_ref"),

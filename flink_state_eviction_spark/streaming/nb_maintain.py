@@ -127,3 +127,19 @@ def nb_scores_from_state(
     return nb_score_buckets(
         hashed_token_buckets(docs), nb_weights_from_state(spark, state_dir)
     )
+
+
+def nb_calibration_from_state(
+    spark: SparkSession, state_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Reliability/calibration table (X184 shape) against the
+    MAINTAINED weights: score ``docs`` from state, then the shared
+    calibration tail — bit-equal to `nb_classifier_calibration` once
+    the full labeled corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        nb_calibration_table,
+    )
+
+    return nb_calibration_table(
+        nb_scores_from_state(spark, state_dir, docs), docs
+    )

@@ -121,3 +121,26 @@ def test_nb_redelivery_and_compaction_preserve_state(
     # the still-redeliverable max batch replays cleanly post-compaction
     nb_maintain_batch(batches[2][1], state, 2)
     assert snapshot() == once
+
+
+def test_streaming_nb_calibration_matches_batch(spark, sf_dir, tmp_path):
+    """The X184 calibration table served from the maintained weights
+    must reproduce the batch query bit-for-bit on the final state."""
+    from flink_state_eviction_spark.streaming.nb_maintain import (
+        nb_calibration_from_state,
+    )
+
+    docs = _docs(spark, sf_dir)
+    state = os.path.join(str(tmp_path), "nb-state")
+    n = docs.count()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut = ids[n // 2]
+    nb_maintain_batch(docs.where(F.col("doc_id") < cut), state, 0)
+    nb_maintain_batch(docs.where(F.col("doc_id") >= cut), state, 1)
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    got = rows(nb_calibration_from_state(spark, state, docs))
+    want = rows(all_queries()["nb_classifier_calibration"](spark, sf_dir))
+    assert got == want and got
