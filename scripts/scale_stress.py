@@ -203,7 +203,7 @@ def main() -> None:
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
-        "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,vdiff",
+        "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -388,6 +388,10 @@ def main() -> None:
             rec["multimodal_phash_neardup_g8_sec"] = timed(lambda: all_qs["multimodal_phash_neardup_g8"](spark, d))
             rec["dedup_impact_report_sec"] = timed(lambda: all_qs["dedup_impact_report"](spark, d))
             rec["source_unigram_kl_sec"] = timed(lambda: all_qs["source_unigram_kl"](spark, d))
+        if "r7d" in only:
+            # BPE fertility scorecard: merge rounds on the vocab frame
+            # only; encode over DISTINCT words broadcast back
+            rec["bpe_fertility_by_source_sec"] = timed(lambda: all_qs["bpe_fertility_by_source"](spark, d))
         if "frames" in only:
             # scan-parallel container synth + extent walk + stride-2
             # decode; no shuffle at all (output is per-frame rows)
