@@ -6180,24 +6180,31 @@ def bigram_pmi_collocations(
     toked = docs.select(tokens(F.col("text")).alias("tk")).localCheckpoint(
         eager=False
     )
-    # both count tables feed an aggregate (grand total) AND a join
-    # (the pair/marginal sides) — no exchange reuse across different
-    # subtrees, so checkpoint the vocabulary-sized tables once
-    # (round-5 rule; review-verified double-compute without these)
     bc = (
         toked.select(
             F.explode(shingle_strings_udf(2)(F.col("tk"))).alias("b")
         )
         .groupBy("b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
-        .localCheckpoint(eager=False)
     )
     uc = (
         toked.select(F.explode(F.col("tk")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
-        .localCheckpoint(eager=False)
     )
+    return pmi_from_counts(bc, uc)
+
+
+def pmi_from_counts(bc: DataFrame, uc: DataFrame) -> DataFrame:
+    """PMI tail of X182 over (b, n_ab) bigram and (w, n_w) unigram
+    count frames — shared by the registered query and the streaming
+    maintainer's serving half (streaming/pmi_maintain.py). Both count
+    tables feed an aggregate (grand total) AND a join (pair/marginal
+    sides) — no exchange reuse across different subtrees, so the
+    vocabulary-sized tables are checkpointed once (round-5 rule;
+    review-verified double-compute without these)."""
+    bc = bc.localCheckpoint(eager=False)
+    uc = uc.localCheckpoint(eager=False)
     bt = bc.agg(F.sum("n_ab").cast("long").alias("bt"))
     tt = uc.agg(F.sum("n_w").cast("long").alias("tt"))
     pairs = (

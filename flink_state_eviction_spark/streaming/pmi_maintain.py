@@ -1,0 +1,77 @@
+"""Streaming twin for PMI collocation mining (X182): the maintained
+state IS the X166 LM maintainer's corpus count tables.
+
+The batch `bigram_pmi_collocations` needs exactly two count tables —
+(bigram, n_ab) and (word, n_w) — which are the SAME associative counts
+the reference-LM maintainer already folds into idempotent batch
+partitions (streaming/lm_maintain.py's ``bg`` and ``uni`` sub-tables).
+So the PMI maintainer IS the LM maintainer pointed at the whole corpus
+stream; only the serving half is new:
+
+- ``pmi_maintain_batch`` — delegates to ``lm_maintain_batch`` (same
+  state layout, same idempotent ``batch=<id>`` partitions, same
+  commit-log-safe compactor ``compact_lm_state``).
+- ``pmi_from_state`` — sums the maintained counts and runs the SAME
+  fixed-point + LUT-log2 tail the batch query uses
+  (querydefs/pipeline.pmi_from_counts). After the whole corpus has
+  streamed in, the collocation table is BIT-EQUAL to the batch query
+  (test_streaming_pmi_maintain) — the maintainer family's final-state
+  equivalence contract. One state, two products: the same maintained
+  counts serve LM scoring AND collocation mining.
+
+Extension beyond the reference surface (SURVEY §2.7 X190; twins the
+batch X182 query; composes the X166 maintainer verbatim).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.streaming.lm_maintain import (
+    compact_lm_state as compact_pmi_state,  # same state, same contract
+)
+from flink_state_eviction_spark.streaming.lm_maintain import (
+    lm_maintain_batch,
+)
+
+__all__ = [
+    "pmi_maintain_batch",
+    "compact_pmi_state",
+    "pmi_from_state",
+]
+
+
+def pmi_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of corpus count maintenance — the X166
+    maintainer verbatim, over the WHOLE batch (PMI's counts are the
+    corpus counts, not a reference slice)."""
+    lm_maintain_batch(batch_df, state_dir, batch_id, text_col=text_col)
+
+
+def pmi_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The collocation table from the MAINTAINED counts through the
+    one shared tail — same output shape as `bigram_pmi_collocations`;
+    bit-equal once the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        pmi_from_counts,
+    )
+
+    bc = (
+        spark.read.parquet(os.path.join(state_dir, "bg"))
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("long").alias("n_ab"))
+    )
+    uc = (
+        spark.read.parquet(os.path.join(state_dir, "uni"))
+        .groupBy("w")
+        .agg(F.sum("cnt").cast("long").alias("n_w"))
+    )
+    return pmi_from_counts(bc, uc)

@@ -1,0 +1,78 @@
+"""Streaming twin for PMI collocation mining: serving from the
+maintained corpus count tables (the X166 LM maintainer's state layout,
+reused verbatim) must reproduce the batch `bigram_pmi_collocations`
+bit-for-bit; redelivery/compaction guarantees are inherited from the
+LM maintainer and re-pinned here on the reused layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.pmi_maintain import (
+    compact_pmi_state,
+    pmi_from_state,
+    pmi_maintain_batch,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {
+        (r["b"], r["n_ab"], r["n_a"], r["n_b"], r["pmi_mb"])
+        for r in df.collect()
+    }
+
+
+def test_streaming_pmi_matches_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "pmi-state")
+
+    def upd(batch_df, batch_id):
+        pmi_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(pmi_from_state(spark, state))
+    want = _rows(all_queries()["bigram_pmi_collocations"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_pmi_redelivery_and_compaction_preserve_result(
+    spark, sf_dir, tmp_path
+):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, docs.where(F.col("doc_id") < cut1)),
+        (1, docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, docs.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "pmi-state")
+    for bid, b in batches:
+        pmi_maintain_batch(b, state, bid)
+
+    once = _rows(pmi_from_state(spark, state))
+    pmi_maintain_batch(batches[1][1], state, 1)
+    pmi_maintain_batch(batches[1][1], state, 1)
+    assert _rows(pmi_from_state(spark, state)) == once
+
+    with pytest.raises(ValueError):
+        compact_pmi_state(spark, state, 2)
+    compact_pmi_state(spark, state, 1)
+    assert _rows(pmi_from_state(spark, state)) == once
