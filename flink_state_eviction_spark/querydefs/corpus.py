@@ -1297,13 +1297,15 @@ FROM nll GROUP BY doc_id
 
 
 # Broadcast budget for the reference-LM bigram table: above this many
-# distinct bigrams the c2/c1 joins fall back to shuffled hash joins.
-# 2e7 rows of (short string, bigint) is ~1 GB on the driver — inside
-# the 8 GB spark.sql.maxBroadcastTableSize wall with headroom for
-# concurrent broadcasts; a real CCNet wiki slice (10^8+ bigrams,
-# tens of GB) lands on the shuffle path instead of an OOM (round-6
-# verdict item — the forced hint was honored at ANY size).
-LM_BROADCAST_ROW_LIMIT = 20_000_000
+# distinct bigrams the c2/c1 joins fall back to shuffled hash joins —
+# a real CCNet wiki slice (10^8+ bigrams, tens of GB) lands on the
+# shuffle path instead of an OOM (round-6 verdict item — the forced
+# hint was honored at ANY size). The budget itself is the repo-wide
+# corpus-derived-frame constant (operators/budget.py); this alias
+# keeps the LM family's established name.
+from flink_state_eviction_spark.operators.budget import (  # noqa: E402
+    BROADCAST_ROW_LIMIT as LM_BROADCAST_ROW_LIMIT,
+)
 
 
 def lm_score_docs(

@@ -1586,26 +1586,51 @@ FROM tf JOIN dfx ON tf.token = dfx.token CROSS JOIN n
 """
 
 
-@register("text_tfidf", _TFIDF_ORACLE, tags=("pipeline", "text"))
-def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF over the token stream: explode -> per-(doc, token) counts
-    -> broadcast-joined document frequencies. The doc-frequency and
-    corpus-count sides are tiny (vocabulary-sized) broadcasts; the
-    exploded token stream never shuffles twice."""
-    docs = load_table(spark, sf_dir, "documents")
+def tfidf_docs(docs: DataFrame, *, vocab_rows: int | None = None) -> DataFrame:
+    """TF-IDF kernel over a documents frame. ONE tokenize pass: the
+    per-(doc, token) counts ``tf`` are lazily localCheckpointed and the
+    doc-frequency table ``dfx`` is a rollup OF ``tf`` (one row per
+    (doc, token), so COUNT(*) == COUNT(DISTINCT doc_id) over the raw
+    stream) — without the checkpoint the explode+count subtree would
+    compute twice (no exchange reuse across the agg and the join).
+
+    ``vocab_rows`` — number of rows in ``dfx``; ``None`` probes it with
+    one count, which doubles as the materializer of the checkpoints.
+    The vocabulary of a web-scale corpus is UNBOUNDED (Heaps' law +
+    URL/typo noise: 10^8-10^9 distinct tokens at 100 TB), so the
+    doc-frequency join takes a broadcast hint only at or below
+    LM_BROADCAST_ROW_LIMIT; above it the join plans as a shuffle —
+    a degradation, never a driver OOM (round-7 verdict item #1)."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        LM_BROADCAST_ROW_LIMIT,
+    )
+
     t = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
-    tf = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfx = t.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("doc_freq")
+    tf = (
+        t.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfx = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .localCheckpoint(eager=False)
+    )
+    if vocab_rows is None:
+        vocab_rows = dfx.count()
+    hint = (
+        F.broadcast
+        if vocab_rows <= LM_BROADCAST_ROW_LIMIT
+        else (lambda df: df)
     )
     n = docs.agg(F.count(F.lit(1)).alias("nn"))
     idf = (F.col("nn") + 1).cast("double") / (F.col("doc_freq") + 1).cast(
         "double"
     )
     return (
-        tf.join(F.broadcast(dfx), "token")
+        tf.join(hint(dfx), "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -1616,6 +1641,13 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf").cast("double") * idf).alias("tfidf"),
         )
     )
+
+
+@register("text_tfidf", _TFIDF_ORACLE, tags=("pipeline", "text"))
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the token stream (kernel: tfidf_docs — budget-gated
+    doc-frequency broadcast, single tokenize pass via checkpointed tf)."""
+    return tfidf_docs(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -746,3 +746,34 @@ def test_curation_serve_fuses_gate_scans(spark, sf_dir):
     assert serve_n == audit_n - 1, (serve_n, audit_n, plan)
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan  # LM c2/c1 sides
+
+
+def test_tfidf_drops_broadcast_above_budget(spark, sf_dir):
+    # round-7 verdict item #1: text_tfidf used to FORCE F.broadcast on
+    # the corpus doc-frequency table, which is vocabulary-sized and
+    # UNBOUNDED at web scale (Heaps' law) — Spark honors an explicit
+    # hint at ANY size, so that was a driver OOM, not a fallback.
+    # Above LM_BROADCAST_ROW_LIMIT the hint must vanish.
+    from flink_state_eviction_spark.querydefs.corpus import (
+        LM_BROADCAST_ROW_LIMIT,
+    )
+    from flink_state_eviction_spark.querydefs.pipeline import tfidf_docs
+    from flink_state_eviction_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    big = tfidf_docs(docs, vocab_rows=LM_BROADCAST_ROW_LIMIT + 1)
+    small = tfidf_docs(docs, vocab_rows=LM_BROADCAST_ROW_LIMIT)
+
+    def hints(df):
+        return df._jdf.queryExecution().logical().toString().count(
+            "ResolvedHint"
+        )
+
+    # the 1-row corpus-count scalar keeps its broadcast either way;
+    # the doc-frequency hint is present only under the budget
+    assert hints(small) == 2, small._jdf.queryExecution().logical().toString()
+    assert hints(big) == 1, big._jdf.queryExecution().logical().toString()
+    # both shapes execute and agree (plan change, never semantics)
+    assert sorted(map(tuple, big.collect())) == sorted(
+        map(tuple, small.collect())
+    )
