@@ -1462,21 +1462,34 @@ def lm_score_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no lineage guessing), so the broadcast-vs-shuffle pick in
     lm_score_docs' budget probe reflects the artifact on disk; the
     scoring stream never re-tokenizes the reference feed. The LM state
-    lands in a run-scoped temp dir (a stand-in for the artifact
-    store)."""
-    import tempfile
-
+    lands in a process-scoped temp dir CACHED per sf_dir (built once,
+    reused by every parity/bench invocation in the run) and removed at
+    interpreter exit — round-7 advice: mkdtemp-per-call leaked one
+    state dir per invocation."""
     from flink_state_eviction_spark.streaming.lm_maintain import (
         lm_maintain_batch,
         lm_scores_from_state,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    state_dir = tempfile.mkdtemp(prefix="lm_prebuilt_state_")
-    lm_maintain_batch(
-        docs.where(F.col("source") == LM_REF_SOURCE), state_dir, 0
-    )
+    state_dir = _LM_PREBUILT_STATE_DIRS.get(sf_dir)
+    if state_dir is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        state_dir = tempfile.mkdtemp(prefix="lm_prebuilt_state_")
+        atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+        lm_maintain_batch(
+            docs.where(F.col("source") == LM_REF_SOURCE), state_dir, 0
+        )
+        _LM_PREBUILT_STATE_DIRS[sf_dir] = state_dir
     return lm_scores_from_state(spark, state_dir, docs)
+
+
+# per-process cache of lm_score_prebuilt's stored-LM artifact dirs,
+# keyed on sf_dir (testdata is static within a process run)
+_LM_PREBUILT_STATE_DIRS: dict = {}
 
 
 # ---------------------------------------------------------------------------

