@@ -227,9 +227,9 @@ LEFT JOIN remcnt rc USING (doc_id)
 """
 
 
-@register(
-    # rotated into the driver window in round 5 (VERDICT r04 item 2);
-    # displaced tpch_q6_forecast_revenue, which keeps its parity gate
+@register_supplementary(
+    # displaced from the driver window in round 8 (span family stays
+    # driver-covered via span_dedup_frac); parity gate kept
     "span_dedup_remove", _SPAN_REMOVE_ORACLE, tags=("pipeline", "dedup")
 )
 def span_dedup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:

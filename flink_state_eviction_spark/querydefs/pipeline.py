@@ -301,9 +301,10 @@ GROUP BY p.orig_doc
 """
 
 
-@register(
-    # rotated into the driver window in round 5 (VERDICT r04 item 2);
-    # displaced fuzzy_customer_names, which keeps its parity gate
+@register_supplementary(
+    # displaced from the driver window in round 8 (near-dup family stays
+    # driver-covered via dedup_near_canonical + span_dedup_frac);
+    # parity gate kept
     "dedup_paragraph_near", _PARA_ORACLE, tags=("pipeline", "dedup")
 )
 def dedup_paragraph_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,7 +1023,9 @@ GROUP BY tk.doc_id
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 8 (VERDICT r07 item 4);
+    # displaced multimodal_decode_bmp, which keeps its parity gate
     "gopher_repetition_ngrams", _rep_oracle(), tags=("pipeline", "text")
 )
 def gopher_repetition_ngrams(
@@ -1142,7 +1145,20 @@ def source_repetition_scorecard(
     map-side-combined aggregate; the doc->source join is a doc_id
     equi-join."""
     docs = load_table(spark, sf_dir, "documents")
-    rep = gopher_repetition_ngrams(spark, sf_dir)
+    return repetition_scorecard_from_partials(
+        source_repetition_partials(docs)
+    )
+
+
+def source_repetition_partials(docs: DataFrame) -> DataFrame:
+    """Per-source PARTIAL sums of the X179 signals — the associative
+    half of the scorecard: (source, n_docs, sum_top2_ppm, sum_dup5_ppm,
+    n_flagged). Exact bigints (each ppm value <= 1e6, so the sums hold
+    to ~9.2e12 docs/source under ANSI), so partials from any batch
+    split re-sum to the full-corpus values — the streaming maintainer's
+    state rows (streaming/rep_maintain.py). ``docs`` must carry
+    (doc_id, source, text)."""
+    rep = repetition_signals(docs)
     flagged = None
     for k, v in sorted(_REP_THRESH_PPM.items()):
         c = F.col(f"{k}_ppm") > F.lit(v)
@@ -1152,15 +1168,34 @@ def source_repetition_scorecard(
     )
     return j.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.expr("cast(sum(top2_ppm) div count(1) as bigint)").alias(
-            "mean_top2_ppm"
-        ),
-        F.expr("cast(sum(dup5_ppm) div count(1) as bigint)").alias(
-            "mean_dup5_ppm"
-        ),
+        F.sum("top2_ppm").cast("bigint").alias("sum_top2_ppm"),
+        F.sum("dup5_ppm").cast("bigint").alias("sum_dup5_ppm"),
         F.sum(F.when(F.col("flagged"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_flagged"),
+    )
+
+
+def repetition_scorecard_from_partials(p: DataFrame) -> DataFrame:
+    """Fold per-source partials (possibly from many batches) into the
+    scorecard: integer means are derived AFTER the final sum, so
+    batch-split and whole-corpus computations agree bit-for-bit."""
+    tot = p.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_top2_ppm").cast("bigint").alias("sum_top2_ppm"),
+        F.sum("sum_dup5_ppm").cast("bigint").alias("sum_dup5_ppm"),
+        F.sum("n_flagged").cast("bigint").alias("n_flagged"),
+    )
+    return tot.select(
+        "source",
+        "n_docs",
+        F.expr("cast(sum_top2_ppm div n_docs as bigint)").alias(
+            "mean_top2_ppm"
+        ),
+        F.expr("cast(sum_dup5_ppm div n_docs as bigint)").alias(
+            "mean_dup5_ppm"
+        ),
+        "n_flagged",
     )
 
 
@@ -1404,7 +1439,9 @@ FROM px GROUP BY 1, 2, 3, d
 """
 
 
-@register(
+@register_supplementary(
+    # displaced from the driver window in round 8 (decode path stays
+    # driver-covered via multimodal_resize_decode); parity gate kept
     "multimodal_decode_bmp", _BMP_DECODE_ORACLE, tags=("pipeline", "multimodal")
 )
 def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,7 +1512,9 @@ FROM sm GROUP BY doc_id, sample_rate, n, d
 """
 
 
-@register(
+@register_supplementary(
+    # displaced from the driver window in round 8 (WAV decode stays
+    # driver-covered via multimodal_wav_bands); parity gate kept
     "multimodal_decode_wav", _WAV_DECODE_ORACLE, tags=("pipeline", "multimodal")
 )
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5553,7 +5592,9 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_curation(g, bl, lm, ex)
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 8 (VERDICT r07 item 4);
+    # displaced multimodal_decode_wav, which keeps its parity gate
     "corpus_curation_serve",
     _curation_oracle(),
     tags=("pipeline", "text"),
@@ -6176,7 +6217,9 @@ FROM fe
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 8 (VERDICT r07 item 4);
+    # displaced span_dedup_remove, which keeps its parity gate
     "bigram_pmi_collocations", _pmi_oracle(), tags=("pipeline", "text")
 )
 def bigram_pmi_collocations(
@@ -6656,7 +6699,9 @@ FROM terms GROUP BY source
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 8 (VERDICT r07 item 4);
+    # displaced dedup_paragraph_near, which keeps its parity gate
     "source_unigram_kl", _kl_oracle(), tags=("pipeline", "text")
 )
 def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:

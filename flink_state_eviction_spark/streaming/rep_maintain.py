@@ -1,0 +1,94 @@
+"""Streaming twin for the per-source repetition scorecard (X181): the
+always-ingesting corpus maintains per-source PARTIAL sums of the X179
+repetition signals, and the scorecard serves from the maintained state.
+
+The batch `source_repetition_scorecard` is a per-source fold of exact
+integer signals (doc count, summed top-2 / dup-5 ppm, flagged count) —
+associative sums, so the standard maintainer pattern applies
+(X150/X169/X177/X186/X188):
+
+- ``rep_maintain_batch`` — ``foreachBatch`` body: the batch's partials
+  (the SAME `source_repetition_partials` kernel the batch query uses)
+  land in an idempotent ``batch=<id>`` partition; redelivery overwrites
+  its own partition, at-least-once safe.
+- ``partials_from_state`` / ``scorecard_from_state`` — serving: summed
+  partials through the SAME `repetition_scorecard_from_partials` tail.
+  Integer means are derived only AFTER the final sum, so once the
+  whole corpus has streamed in the table is BIT-EQUAL to the batch
+  query (test_streaming_rep_maintain) — the maintainer family's
+  final-state equivalence contract. A feed whose flagged share jumps
+  between crawls turned boilerplate-heavy; serve after every batch and
+  watch the trajectory.
+
+Scale shape: state is |sources| rows PER BATCH regardless of batch
+size (the partial aggregation runs inside the batch); compaction folds
+are re-sums under the commit-log-safe contract
+(streaming/compaction.py).
+
+Extension beyond the reference surface (SURVEY §2.7 X191; twins the
+batch X181 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUM_COLS = ("n_docs", "sum_top2_ppm", "sum_dup5_ppm", "n_flagged")
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("source").agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in _SUM_COLS]
+    )
+
+
+def rep_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of scorecard maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id. ``batch_df``
+    must carry (doc_id, source, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        source_repetition_partials,
+    )
+
+    source_repetition_partials(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "rep", f"batch={batch_id}")
+    )
+
+
+def compact_rep_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — partials are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "rep"), through_batch, _fold
+    )
+
+
+def partials_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained per-source partials: sums over batch partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "rep")))
+
+
+def scorecard_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The scorecard from the MAINTAINED partials through the shared
+    tail — same output shape as `source_repetition_scorecard`;
+    bit-equal once the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        repetition_scorecard_from_partials,
+    )
+
+    return repetition_scorecard_from_partials(
+        partials_from_state(spark, state_dir)
+    )

@@ -203,7 +203,8 @@ def main() -> None:
         default="mws,lsh,topk",
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
-        "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,vdiff",
+        "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
+        "r8,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -318,6 +319,13 @@ def main() -> None:
             rec["lm_contrast_select_sec"] = timed(lambda: all_qs["lm_contrast_select"](spark, d))
             rec["feature_hash_docs_sec"] = timed(lambda: all_qs["feature_hash_docs"](spark, d))
             rec["nb_quality_classifier_sec"] = timed(lambda: all_qs["nb_quality_classifier"](spark, d))
+        if "r8" in only:
+            # round-8: budget-gated tfidf (single tokenize pass via
+            # checkpointed tf), Arrow-packed text_profile minhash, and
+            # the repetition scorecard the X191 maintainer twins
+            rec["text_tfidf_sec"] = timed(lambda: all_qs["text_tfidf"](spark, d))
+            rec["text_profile_sec"] = timed(lambda: all_qs["text_profile"](spark, d))
+            rec["source_repetition_scorecard_sec"] = timed(lambda: all_qs["source_repetition_scorecard"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path

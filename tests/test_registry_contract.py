@@ -41,10 +41,9 @@ MUST_HAVE = {
     "quality_filter_gopher",
     "text_profile",
     "text_tfidf",
-    # multimodal family
+    # multimodal family (decode_bmp/decode_wav displaced round 8 —
+    # decode paths stay driver-covered via resize_decode / wav_bands)
     "multimodal_features",
-    "multimodal_decode_bmp",
-    "multimodal_decode_wav",
     "multimodal_resize_decode",
     # similarity family
     "similarity_topk",
@@ -63,8 +62,6 @@ MUST_HAVE = {
     # supplementary parity gates)
     "supplier_pagerank",
     "embedding_knn_graph",
-    "span_dedup_remove",
-    "dedup_paragraph_near",
     # relational surface
     "tpch_q1",
     "revenue_by_nation",
@@ -89,6 +86,14 @@ MUST_HAVE = {
     "blocklist_filter_docs",
     "multimodal_wav_bands",
     "pack_loss_masks",
+    # rotated into the window in round 8 (VERDICT r07 item 4),
+    # displacing multimodal_decode_bmp / multimodal_decode_wav /
+    # span_dedup_remove / dedup_paragraph_near (all keep their
+    # supplementary parity gates)
+    "gopher_repetition_ngrams",
+    "bigram_pmi_collocations",
+    "corpus_curation_serve",
+    "source_unigram_kl",
 }
 
 
