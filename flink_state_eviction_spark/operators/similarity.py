@@ -895,3 +895,84 @@ def apply_whitening(
     return emb.select(id_col, vec_col).mapInPandas(
         op, f"{id_col} bigint, whitened array<double>"
     )
+
+
+def semdedup_decisions(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    tau: float,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) keep/prune
+    decisions over pre-assigned clusters: within each cluster, a member
+    is PRUNED iff some same-cluster neighbor with cosine >= ``tau`` is
+    kept in preference to it. The paper's keep rule retains the member
+    with the LOWEST cosine similarity to the cluster centroid (edge
+    examples carry the diversity; §3 of the paper); ties break toward
+    the smaller id. Extension beyond the reference surface.
+
+    Output: (id, cell, centroid_sim round-6, is_pruned).
+
+    Scale shape: centroids are decimal-exact means (k rows, broadcast —
+    the IVF family convention); near-dup pairing is CLUSTER-SCOPED, so
+    with cells ~ sqrt(N) candidate volume is N^1.5, never quadratic —
+    the same law as knn_graph. The centroid-sim frame feeds both pair
+    sides and the output, so it is lazily checkpointed (the
+    no-exchange-reuse-across-subtrees gotcha). Dominance compares
+    FULL-precision centroid sims (both engines fold dot products in
+    position order, the knn-rank convention); only the REPORTED sim is
+    rounded."""
+    cent = _cell_centroids(corpus, cell_col, vec_col)
+    c = corpus.select(
+        F.col(id_col), F.col(cell_col).alias("_cell")
+    ).join(_with_vec_and_norm(corpus, id_col, vec_col), id_col)
+    cs = (
+        c.join(F.broadcast(cent), "_cell")
+        .withColumn(
+            "_cs",
+            cosine(F.col("_v"), F.col("_cv"), F.col("_n"), F.col("_cn")),
+        )
+        .select(id_col, "_cell", "_v", "_n", "_cs")
+        .localCheckpoint(eager=False)
+    )
+    a = cs.select(
+        "_cell",
+        F.col(id_col).alias("_ia"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+        F.col("_cs").alias("_csa"),
+    )
+    b = cs.select(
+        "_cell",
+        F.col(id_col).alias("_ib"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+        F.col("_cs").alias("_csb"),
+    )
+    dom = (
+        a.join(b, "_cell")
+        .where(F.col("_ia") != F.col("_ib"))
+        .withColumn(
+            "_sim",
+            cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+        )
+        .where(F.col("_sim") >= tau)
+        .where(
+            (F.col("_csb") < F.col("_csa"))
+            | (
+                (F.col("_csb") == F.col("_csa"))
+                & (F.col("_ib") < F.col("_ia"))
+            )
+        )
+        .select(F.col("_ia").alias(id_col))
+        .distinct()
+    )
+    return cs.join(
+        dom.withColumn("_prn", F.lit(1)), id_col, "left"
+    ).select(
+        id_col,
+        F.col("_cell").alias("cell"),
+        F.round("_cs", 6).alias("centroid_sim"),
+        F.col("_prn").isNotNull().alias("is_pruned"),
+    )

@@ -2038,6 +2038,79 @@ def embedding_cluster_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X192: SemDeDup — semantic dedup over learned clusters (Abbas et al.
+# 2023, arXiv:2303.09540). The embedding-space complement of the
+# minhash/simhash families: near-duplicate PAIRING is scoped to each
+# k-means cluster (cells ~ sqrt(N) -> candidate volume N^1.5, the
+# knn_graph law), and the paper's keep rule retains the member with the
+# LOWEST cosine to its cluster centroid (edge examples carry the
+# diversity). 0.4 is the embedding-family near-dup threshold
+# (dedup_embedding_cosine); on the sf0.01 fixture it prunes 11/500.
+
+SEMDEDUP_TAU = 0.4
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_kmeans_cells_body(_KNN_ADAPTIVE_K)},
+{_FINAL_CENT_CTES},
+centn AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+n AS (
+    SELECT a.vec_id, a.cell, a.v, sqrt(list_dot_product(a.v, a.v)) AS nn
+    FROM a2 a
+),
+cs AS (
+    SELECT n.vec_id, n.cell, n.v, n.nn,
+           list_dot_product(n.v, c.cv) / (n.nn * c.cn) AS cs
+    FROM n JOIN centn c ON c.cell = n.cell
+),
+dom AS (
+    SELECT DISTINCT x.vec_id
+    FROM cs x JOIN cs y ON y.cell = x.cell AND y.vec_id <> x.vec_id
+    WHERE list_dot_product(x.v, y.v) / (x.nn * y.nn)
+              >= CAST({SEMDEDUP_TAU} AS DOUBLE)
+      AND (y.cs < x.cs OR (y.cs = x.cs AND y.vec_id < x.vec_id))
+)
+SELECT cs.vec_id, cs.cell, round(cs.cs, 6) AS centroid_sim,
+       (dom.vec_id IS NOT NULL) AS is_pruned
+FROM cs LEFT JOIN dom ON dom.vec_id = cs.vec_id
+"""
+
+
+@register_supplementary(
+    "semdedup_prune", _SEMDEDUP_ORACLE, tags=("pipeline", "dedup")
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X192: SemDeDup keep/prune table over the embeddings corpus —
+    every vector with its learned cluster (k = ceil(sqrt(N)), the
+    adaptive-k law), its centroid cosine, and whether a same-cluster
+    near-duplicate (cosine >= 0.4) is kept in preference to it
+    (lowest-centroid-sim keep rule, ties toward the smaller id).
+    Differs from `dedup_semantic_clustered` (X105) in exactly the keep
+    rule: X105 drops the larger id of each in-cell pair; this is the
+    PAPER's diversity-preserving rule — the member closest to its
+    centroid (most redundant with the cluster mode) is the one pruned.
+    Kernel + scale shape: operators/similarity.py:semdedup_decisions;
+    the oracle replays the unrolled deterministic k-means and the
+    decimal-exact final centroids, the knn-family CTE machinery.
+    Extension beyond the reference surface."""
+    import math
+
+    from flink_state_eviction_spark.operators.similarity import (
+        kmeans_cells,
+        semdedup_decisions,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k_cells = max(1, math.ceil(math.sqrt(emb.count())))
+    cells = kmeans_cells(
+        emb, "vec_id", "embedding", k=k_cells, iters=2, keep_vec=True
+    ).localCheckpoint(eager=False)
+    return semdedup_decisions(
+        cells.withColumnRenamed("_v", "v"), "vec_id", "v", "cell",
+        SEMDEDUP_TAU,
+    )
+
+
+# ---------------------------------------------------------------------------
 # learned IVF cells: deterministic Lloyd's k-means (k-smallest-id init,
 # argmin squared-L2 with small-cell tie-break, decimal-exact centroid
 # means). The oracle unrolls the iterations — assignment rounds are

@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,vdiff",
+        "r8,r8b,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -326,6 +326,10 @@ def main() -> None:
             rec["text_tfidf_sec"] = timed(lambda: all_qs["text_tfidf"](spark, d))
             rec["text_profile_sec"] = timed(lambda: all_qs["text_profile"](spark, d))
             rec["source_repetition_scorecard_sec"] = timed(lambda: all_qs["source_repetition_scorecard"](spark, d))
+        if "r8b" in only:
+            # SemDeDup: adaptive-k cells (x10 -> k=142) + cluster-
+            # scoped pairing, the N^1.5 law knn_graph obeys
+            rec["semdedup_prune_sec"] = timed(lambda: all_qs["semdedup_prune"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path

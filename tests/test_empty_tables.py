@@ -48,6 +48,7 @@ SAMPLE = [
     "event_transition_matrix",
     "weighted_sample_docs",
     "dedup_semantic_clustered",
+    "semdedup_prune",
     "similarity_ivf_topk",
     "similarity_kmeans_cells",
     "similarity_ivf_kmeans_topk",

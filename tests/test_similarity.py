@@ -395,3 +395,66 @@ def test_whitening_covariance_is_identity(spark, sf_dir):
     c = np.cov(y, rowvar=False, bias=True)
     assert np.abs(c - np.eye(64)).max() < 1e-3, np.abs(c - np.eye(64)).max()
     assert np.abs(y.mean(axis=0)).max() < 1e-6
+
+
+def test_semdedup_keep_rule_crafted(spark):
+    """X192 keep-rule pin on a crafted frame (independent pure-Python
+    reference): in a cluster holding a near-dup pair, the member with
+    the LOWER centroid cosine is KEPT and the redundant one (closest to
+    the cluster mode) is pruned; sub-threshold members and ties follow
+    the documented rule."""
+    import numpy as np
+
+    from flink_state_eviction_spark.operators.similarity import (
+        semdedup_decisions,
+    )
+
+    # cell 0: a, b nearly parallel (sim ~0.9999), c orthogonal-ish;
+    # cell 1: two orthogonal vectors (no pair above tau)
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [0.99, 0.01, 0.0]),
+        (3, 0, [0.0, 1.0, 0.0]),
+        (4, 1, [0.0, 0.0, 1.0]),
+        (5, 1, [1.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, cell int, v array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["centroid_sim"], r["is_pruned"])
+        for r in semdedup_decisions(df, "vec_id", "v", "cell", 0.9).collect()
+    }
+
+    # independent reference: exact mean centroid, full-precision sims
+    by_cell = {}
+    for vid, cell, v in rows:
+        by_cell.setdefault(cell, []).append((vid, np.array(v)))
+    want = {}
+    for cell, members in by_cell.items():
+        cent = np.mean([v for _, v in members], axis=0)
+        cs = {
+            vid: float(v @ cent / (np.linalg.norm(v) * np.linalg.norm(cent)))
+            for vid, v in members
+        }
+        for vid, v in members:
+            pruned = any(
+                ovid != vid
+                and float(v @ ov / (np.linalg.norm(v) * np.linalg.norm(ov)))
+                >= 0.9
+                and (
+                    cs[ovid] < cs[vid]
+                    or (cs[ovid] == cs[vid] and ovid < vid)
+                )
+                for ovid, ov in members
+            )
+            want[vid] = (cell, round(cs[vid], 6), pruned)
+    assert got == want
+    # the crafted intent actually fired: exactly one of the near-dup
+    # pair is pruned, and it is the HIGHER-centroid-sim member
+    pair_flags = {vid: got[vid][2] for vid in (1, 2)}
+    assert sum(pair_flags.values()) == 1
+    kept = [v for v, f in pair_flags.items() if not f][0]
+    pruned = [v for v, f in pair_flags.items() if f][0]
+    assert got[kept][1] < got[pruned][1]
+    assert not got[3][2] and not got[4][2] and not got[5][2]
