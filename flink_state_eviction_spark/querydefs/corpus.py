@@ -1756,6 +1756,120 @@ def lm_contrast_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X193: token-budget greedy selection (the Moore-Lewis deployment
+# recipe: "take the BEST docs until the token budget is full", Moore &
+# Lewis 2010 §3 / Axelrod et al. 2011). A fixed selection THRESHOLD
+# (X172) over- or under-shoots a training budget; the budgeted variant
+# ranks docs by contrast score and keeps the greedy prefix whose
+# cumulative token count fits. Global prefix sums are the scale
+# hazard — a bare ORDER BY window serializes the corpus through one
+# task — so this rides operators/prefix.py's two-level decomposition.
+
+BUDGET_TOKENS = 8_000  # fixture budget: ~30% of the sf0.01 corpus
+# range-bucket width for the score axis; the shift keeps the operand
+# positive so truncating div == floor (integer div truncates toward
+# zero in BOTH engines — round-7 gotcha). Mean-NLL diffs are bounded
+# by the LUT's per-bigram range (< ~60,000 mb), so 2^20 mb of offset
+# covers any reachable score with 16x headroom.
+_BUDGET_SCORE_OFFSET_MB = 1 << 20
+_BUDGET_BUCKET_MB = 2_000
+
+_BUDGET_SELECT_ORACLE = f"""
+WITH ml AS ({{ml}}),
+n AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text),
+                '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tok
+    FROM documents
+),
+c AS (
+    SELECT ml.doc_id, ml.ml_score_mb, n.n_tok,
+           COALESCE(SUM(n.n_tok) OVER (
+               ORDER BY ml.ml_score_mb, ml.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_tokens_before
+    FROM ml JOIN n ON n.doc_id = ml.doc_id
+)
+SELECT doc_id, ml_score_mb, n_tok,
+       CAST(cum_tokens_before AS BIGINT) AS cum_tokens_before,
+       (cum_tokens_before + n_tok) <= {BUDGET_TOKENS} AS in_budget
+FROM c
+"""
+
+
+def budget_select_docs(
+    scored: DataFrame, budget_tokens: int
+) -> DataFrame:
+    """The budgeted-selection kernel: ``scored`` carries
+    (doc_id, ml_score_mb, n_tok); rank ascending by (score, doc_id)
+    and keep the greedy prefix with cumulative tokens <= budget (a doc
+    straddling the boundary is dropped — the conservative convention:
+    the budget is never exceeded). Buckets for the two-level prefix
+    sum are 2-bit-per-mille score bands, positive-shifted so the
+    truncating div floors (operand bound documented at the offset
+    constant)."""
+    # the prefix-sum decomposition consumes its input in TWO subtrees
+    # (bucket-local window + per-bucket subtotal agg) — without the
+    # boundary the whole upstream scoring plan executes twice (the
+    # double-compute gotcha; observed as duplicated LM vocab scalars)
+    b = scored.withColumn(
+        "_bk",
+        F.expr(
+            f"cast((ml_score_mb + {_BUDGET_SCORE_OFFSET_MB})"
+            f" div {_BUDGET_BUCKET_MB} as bigint)"
+        ),
+    ).localCheckpoint(eager=False)
+    out = bucketed_prefix_sum(
+        b,
+        "_bk",
+        [F.col("ml_score_mb"), F.col("doc_id")],
+        "n_tok",
+        out_col="cum_tokens_before",
+    )
+    return out.select(
+        "doc_id",
+        "ml_score_mb",
+        "n_tok",
+        F.col("cum_tokens_before").cast("bigint").alias(
+            "cum_tokens_before"
+        ),
+        (
+            (F.col("cum_tokens_before") + F.col("n_tok"))
+            <= F.lit(budget_tokens)
+        ).alias("in_budget"),
+    )
+
+
+@register_supplementary(
+    "corpus_budget_select",
+    _BUDGET_SELECT_ORACLE.format(ml=_ML_CONTRAST_ORACLE),
+    tags=("corpus", "text"),
+)
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X193: token-budget greedy selection — every LM-scored document
+    with its Moore-Lewis contrast score, token count, EXACT cumulative
+    token total over all better-scoring docs (ties by doc_id), and
+    whether it fits the training budget (8,000 fixture tokens; the
+    kernel takes any budget). Composition: CALLS the registered X172
+    query (the oracle wraps X172's oracle as a CTE); docs with no
+    bigram (single-token/empty text) carry no LM score and are not
+    selectable — the X172 domain convention.
+
+    Scale shape: ONE extra hash exchange on the score-band bucket over
+    (doc_id, score, n_tok) projections — never the text — then
+    bucket-local sorts; the only global task is the prefix sum over
+    the <= |buckets| subtotal rows (operators/prefix.py law). The
+    straddling doc is dropped, so the selected set NEVER exceeds the
+    budget. Extension beyond the reference surface."""
+    ml = lm_contrast_select(spark, sf_dir).select("doc_id", "ml_score_mb")
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    return budget_select_docs(ml.join(n, "doc_id"), BUDGET_TOKENS)
+
+
+# ---------------------------------------------------------------------------
 # X163: loss / attention masks for packed sequences
 #
 # The training-side metadata X55's assignment table implies: packed

@@ -67,6 +67,7 @@ SAMPLE = [
     "bpe_fertility_by_source",
     "lm_perplexity_score",
     "lm_contrast_select",
+    "corpus_budget_select",
     "feature_hash_docs",
     "nb_quality_classifier",
     "source_perplexity_scorecard",

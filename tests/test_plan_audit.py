@@ -70,6 +70,10 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "lm_perplexity_score": 1,  # scalar: reference-vocab size V for add-one smoothing
     "lm_score_prebuilt": 1,  # scalar: maintained-vocab V (stored-LM serving shape)
     "lm_contrast_select": 2,  # scalar: reference-vocab + corpus-vocab V rows
+    # offsets: the <= |score-band|-row bucket-subtotal prefix window;
+    # the LM-scoring subtree sits behind its own checkpoint boundary
+    # (audited under lm_contrast_select)
+    "corpus_budget_select": 1,
     "bigram_pmi_collocations": 2,  # scalar: bigram + token grand totals
     "nb_classifier_calibration": 1,  # scalar: inherits X174 class-total row
     "dedup_impact_report": 4,  # scalar: 3 per-stage folds + grand-total row, all over reduced tables

@@ -126,3 +126,31 @@ def test_pack_chunk_spans_tiles_synthetic_corpora(spark, n_toks):
         assert covered == n
         off += n
     assert off == stream_len
+
+
+def test_budget_select_greedy_invariants(spark, sf_dir):
+    """X193 invariants on the fixture: the selected set is EXACTLY the
+    greedy prefix of the (score, doc_id) order — budget never exceeded,
+    next-ranked doc would not fit, and an independent sequential replay
+    of the collected rows agrees row-for-row."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        BUDGET_TOKENS,
+        corpus_budget_select,
+    )
+
+    rows = sorted(
+        corpus_budget_select(spark, sf_dir).collect(),
+        key=lambda r: (r["ml_score_mb"], r["doc_id"]),
+    )
+    assert rows  # scored docs exist on the fixture
+    # non-trivial split: the budget bites
+    assert any(r["in_budget"] for r in rows)
+    assert any(not r["in_budget"] for r in rows)
+    # sequential replay: cum matches, flag is the greedy take-if-fits
+    cum = 0
+    for r in rows:
+        assert r["cum_tokens_before"] == cum
+        assert r["in_budget"] == (cum + r["n_tok"] <= BUDGET_TOKENS)
+        cum += r["n_tok"]
+    # the conservative convention: selected tokens never exceed budget
+    assert sum(r["n_tok"] for r in rows if r["in_budget"]) <= BUDGET_TOKENS
