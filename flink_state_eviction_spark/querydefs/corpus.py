@@ -1194,15 +1194,44 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, n_merges=_BPE_MERGES)
+    return fertility_from_partials(fertility_partials(docs, merges))
+
+
+def fertility_partials(docs: DataFrame, merges: list[dict]) -> DataFrame:
+    """Per-source PARTIAL sums of the X189 scorecard under a FROZEN
+    merge table: (source, n_docs, n_chars, n_bpe) — exact bigints, so
+    partials from any batch split re-sum to the full-corpus values
+    (the streaming maintainer's state rows,
+    streaming/fertility_maintain.py). ``docs`` must carry
+    (doc_id, source, text)."""
+    from flink_state_eviction_spark.operators.bpe import bpe_token_stats
+
     stats = bpe_token_stats(docs, merges)
     j = stats.join(docs.select("doc_id", "source"), "doc_id")
     return j.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars"),
         F.sum("n_bpe").cast("long").alias("n_bpe"),
+    )
+
+
+def fertility_from_partials(p: DataFrame) -> DataFrame:
+    """Fold per-source partials (possibly from many batches) into the
+    scorecard: the chars-per-token integer ratio is derived AFTER the
+    final sum, so batch-split and whole-corpus computations agree
+    bit-for-bit."""
+    tot = p.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_bpe").cast("long").alias("n_bpe"),
+    )
+    return tot.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_bpe",
         F.expr(
-            "cast((sum(n_chars) * 1000)"
-            " div greatest(1, sum(n_bpe)) as bigint)"
+            "cast((n_chars * 1000) div greatest(1, n_bpe) as bigint)"
         ).alias("chars_per_bpe_milli"),
     )
 

@@ -1,0 +1,98 @@
+"""Streaming twin for the tokenizer fertility scorecard (X189): the
+always-ingesting corpus maintains per-source partial sums of the BPE
+token statistics under a FROZEN merge table, and the scorecard serves
+from the maintained state.
+
+The merge table is the deployment artifact (trained once — the X147
+law: merge rounds touch only the vocab frame); what changes between
+crawls is the corpus, and a feed whose chars-per-token ratio drops is
+costing more tokens per byte of content. The per-source sums
+(n_docs, n_chars, n_bpe) are exact bigints — associative, so the
+standard maintainer pattern applies (X150/X169/X177/X186/X188/X191):
+
+- ``fertility_maintain_batch`` — ``foreachBatch`` body: the batch's
+  partials (the SAME `fertility_partials` kernel the batch query uses,
+  with the same frozen merges) land in an idempotent ``batch=<id>``
+  partition; redelivery overwrites its own partition.
+- ``fertility_partials_from_state`` / ``fertility_from_state`` —
+  serving: summed partials through the SAME `fertility_from_partials`
+  tail. The integer ratio is derived only AFTER the final sum, so once
+  the whole corpus has streamed in the table is BIT-EQUAL to the batch
+  query given the same merges (test_streaming_fertility_maintain).
+
+Scale shape: state is |sources| rows PER BATCH at any batch size (the
+partial aggregation runs inside the batch, and the per-batch encode
+work is the X147 distinct-word law); compaction folds are re-sums
+under the commit-log-safe contract (streaming/compaction.py).
+
+Extension beyond the reference surface (SURVEY §2.7 X194; twins the
+batch X189 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUM_COLS = ("n_docs", "n_chars", "n_bpe")
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("source").agg(
+        *[F.sum(c).cast("long").alias(c) for c in _SUM_COLS]
+    )
+
+
+def fertility_maintain_batch(
+    batch_df: DataFrame,
+    merges: list[dict],
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of scorecard maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id, with the SAME
+    frozen ``merges`` every batch. ``batch_df`` must carry
+    (doc_id, source, text)."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        fertility_partials,
+    )
+
+    fertility_partials(batch_df, merges).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "fert", f"batch={batch_id}")
+    )
+
+
+def compact_fertility_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — partials are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "fert"), through_batch, _fold
+    )
+
+
+def fertility_partials_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The maintained per-source partials: sums over batch partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "fert")))
+
+
+def fertility_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The scorecard from the MAINTAINED partials through the shared
+    tail — same output shape as `bpe_fertility_by_source`; bit-equal
+    once the corpus has streamed in (same frozen merges)."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        fertility_from_partials,
+    )
+
+    return fertility_from_partials(
+        fertility_partials_from_state(spark, state_dir)
+    )

@@ -1,0 +1,109 @@
+"""Streaming twin for the tokenizer fertility scorecard (X194):
+serving from the maintained partials under a frozen merge table must
+reproduce the batch `bpe_fertility_by_source` bit-for-bit; redelivered
+batches must not change the state; compaction preserves it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.fertility_maintain import (
+    compact_fertility_state,
+    fertility_from_state,
+    fertility_maintain_batch,
+    fertility_partials_from_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {
+        (
+            r["source"],
+            r["n_docs"],
+            r["n_chars"],
+            r["n_bpe"],
+            r["chars_per_bpe_milli"],
+        )
+        for r in df.collect()
+    }
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+
+@pytest.fixture(scope="module")
+def merges(spark, sf_dir):
+    # the FROZEN artifact: learned once on the full corpus, shared by
+    # the batch query (which relearns identically — learning is
+    # deterministic) and every maintainer batch
+    from flink_state_eviction_spark.operators.bpe import learn_bpe_merges
+    from flink_state_eviction_spark.querydefs.corpus import _BPE_MERGES
+
+    return learn_bpe_merges(_docs(spark, sf_dir), n_merges=_BPE_MERGES)
+
+
+def test_streaming_fertility_matches_batch(spark, sf_dir, tmp_path, merges):
+    docs = _docs(spark, sf_dir)
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "fert-state")
+
+    def upd(batch_df, batch_id):
+        fertility_maintain_batch(batch_df, merges, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(fertility_from_state(spark, state))
+    want = _rows(all_queries()["bpe_fertility_by_source"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_fertility_redelivery_and_compaction_preserve_state(
+    spark, sf_dir, tmp_path, merges
+):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, docs.where(F.col("doc_id") < cut1)),
+        (1, docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, docs.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "fert-state")
+    for bid, b in batches:
+        fertility_maintain_batch(b, merges, state, bid)
+
+    def snapshot():
+        return {
+            tuple(r)
+            for r in fertility_partials_from_state(spark, state).collect()
+        }
+
+    once = snapshot()
+    fertility_maintain_batch(batches[1][1], merges, state, 1)
+    fertility_maintain_batch(batches[1][1], merges, state, 1)
+    assert snapshot() == once
+
+    with pytest.raises(ValueError):
+        compact_fertility_state(spark, state, 2)
+    compact_fertility_state(spark, state, 1)
+    assert snapshot() == once
+    fertility_maintain_batch(batches[2][1], merges, state, 2)
+    assert snapshot() == once
