@@ -1,0 +1,121 @@
+"""Streaming centroid-refresh maintainer: the REBUILD half of the
+frozen-index IVF serving split (X169, streaming/knn_maintain.py).
+
+The serving maintainer assigns arrivals to FROZEN centroids between
+index rebuilds; a rebuild is one Lloyd update round over everything
+that has streamed in. This maintainer makes the rebuild O(state), not
+O(corpus): each micro-batch folds its vectors into per-(cell, dim)
+SUFFICIENT STATISTICS — exact DECIMAL component sums + counts under
+the frozen assignment — and the refreshed centroid table is served
+from the folded state with the SAME arithmetic as the batch Lloyd
+update (`_cell_means`: decimal-exact sum cast to double once, divided
+by the count), so the served table is BIT-EQUAL to
+``_cell_means(assign_cells(full corpus, frozen))``
+(test_streaming_centroid_maintain — the maintainer family's
+final-state equivalence contract).
+
+Decimal addition is associative, so any batch split re-sums to the
+whole-corpus value; precision headroom: components are summed as
+DECIMAL(27,15) into a 38,15 accumulator — with O(1)-magnitude
+embedding components that is ~10^22 rows per (cell, dim) before
+overflow, far past any real cell.
+
+Pattern (X150/X169/X177/X186/X188/X191/X194): idempotent
+``batch=<id>`` partitions, at-least-once-safe overwrites,
+commit-log-safe compaction; state is k x dims rows per batch at ANY
+batch size (the fold runs inside the batch).
+
+Extension beyond the reference surface (SURVEY §2.7 X195).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("cell", "i").agg(
+        F.sum("s").cast("decimal(38,15)").alias("s"),
+        F.sum("n").cast("long").alias("n"),
+    )
+
+
+def centroid_stats_batch(
+    batch_df: DataFrame,
+    centroids: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of sufficient-statistics maintenance (module
+    docstring): assign the batch against the FROZEN ``centroids``
+    (cell, cv) with the bit-identical batch argmin, then fold exact
+    per-(cell, dim) component sums + counts into this batch's
+    idempotent partition. Call from ``foreachBatch`` forwarding its
+    batch id, with the SAME frozen centroids every batch."""
+    from flink_state_eviction_spark.operators.similarity import (
+        as_double_vec,
+        assign_cells,
+    )
+
+    asg = assign_cells(batch_df, centroids, id_col, vec_col)
+    j = batch_df.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
+    ).join(asg, id_col)
+    stats = (
+        j.select("cell", F.posexplode("_v").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(
+            F.sum(F.col("x").cast("decimal(27,15)"))
+            .cast("decimal(38,15)")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    stats.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "cstats", f"batch={batch_id}")
+    )
+
+
+def compact_centroid_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — decimal sums
+    and counts are summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "cstats"), through_batch, _fold
+    )
+
+
+def centroid_stats_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The maintained (cell, i, s, n) sufficient statistics: exact
+    decimal sums over the batch partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "cstats")))
+
+
+def centroids_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The REFRESHED (cell, cv) centroid table from the maintained
+    statistics — `_cell_means`' exact arithmetic (decimal total cast to
+    double ONCE, divided by the count), so the rebuild is bit-equal to
+    the batch Lloyd update over the full streamed corpus."""
+    st = centroid_stats_from_state(spark, state_dir)
+    return (
+        st.withColumn(
+            "_m", F.col("s").cast("double") / F.col("n")
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "_m"))).alias("_im"))
+        .select(
+            "cell", F.transform("_im", lambda s: s["_m"]).alias("cv")
+        )
+    )

@@ -1,0 +1,129 @@
+"""Streaming centroid-refresh maintainer (X195): the refreshed
+centroid table served from maintained per-(cell, dim) sufficient
+statistics must be BIT-EQUAL to the batch Lloyd update
+(_cell_means over assign_cells) on the full streamed corpus;
+redelivered batches must not change the state; compaction preserves
+it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.similarity import (
+    _cell_means,
+    as_double_vec,
+    assign_cells,
+    kmeans_cells,
+)
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.centroid_maintain import (
+    centroid_stats_batch,
+    centroid_stats_from_state,
+    centroids_from_state,
+    compact_centroid_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def frozen(spark, sf_dir):
+    # the FROZEN index artifact: deterministic k-means (k=8, the IVF
+    # fixture shape), exposed as the (cell, cv) table a rebuild starts
+    # from
+    _, cent = kmeans_cells(
+        _emb(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        k=8,
+        iters=2,
+        return_centroids=True,
+    )
+    return cent.localCheckpoint()  # already (cell, cv)
+
+
+def _batch_refresh(spark, sf_dir, frozen_cent):
+    """The batch twin: one Lloyd update round over the full corpus
+    under the frozen assignment — what a rebuild computes."""
+    emb = _emb(spark, sf_dir)
+    asg = assign_cells(emb, frozen_cent, "vec_id", "embedding")
+    j = emb.select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("_v")
+    ).join(asg, "vec_id")
+    return _cell_means(
+        j.select(F.col("cell").alias("_cell"), "_v")
+    ).select(F.col("_cell").alias("cell"), F.col("_cv").alias("cv"))
+
+
+def _rows(df):
+    return {
+        (r["cell"], tuple(r["cv"])) for r in df.collect()
+    }
+
+
+def test_streaming_centroid_refresh_matches_batch(
+    spark, sf_dir, tmp_path, frozen
+):
+    emb = _emb(spark, sf_dir)
+    stream = as_file_stream(
+        emb, str(tmp_path), num_batches=3, order_col="vec_id"
+    )
+    state = os.path.join(str(tmp_path), "cent-state")
+
+    def upd(batch_df, batch_id):
+        centroid_stats_batch(batch_df, frozen, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(centroids_from_state(spark, state))
+    want = _rows(_batch_refresh(spark, sf_dir, frozen))
+    assert got == want and got  # BIT-equal doubles, not approx
+
+
+def test_centroid_redelivery_and_compaction_preserve_state(
+    spark, sf_dir, tmp_path, frozen
+):
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, emb.where(F.col("vec_id") < cut1)),
+        (1, emb.where((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2))),
+        (2, emb.where(F.col("vec_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "cent-state")
+    for bid, b in batches:
+        centroid_stats_batch(b, frozen, state, bid)
+
+    def snapshot():
+        return {
+            (r["cell"], r["i"], str(r["s"]), r["n"])
+            for r in centroid_stats_from_state(spark, state).collect()
+        }
+
+    once = snapshot()
+    centroid_stats_batch(batches[1][1], frozen, state, 1)
+    centroid_stats_batch(batches[1][1], frozen, state, 1)
+    assert snapshot() == once
+
+    with pytest.raises(ValueError):
+        compact_centroid_state(spark, state, 2)
+    compact_centroid_state(spark, state, 1)
+    assert snapshot() == once
+    centroid_stats_batch(batches[2][1], frozen, state, 2)
+    assert snapshot() == once
