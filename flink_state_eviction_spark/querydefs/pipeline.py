@@ -5034,6 +5034,103 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X196: shot-boundary detection — the temporal-analysis leg of the
+# video convention (frame sampling is X143): consecutive decoded
+# frames whose mean-intensity jump exceeds a threshold mark a cut.
+# The standard pixel-domain cut detector (frame-difference
+# thresholding; e.g. Boreczky & Rowe 1996's comparison baseline),
+# over the X116 P6 container. All frames decode (stride=1 — a cut
+# detector cannot skip frames); diffs ride a doc_id-partitioned LAG
+# window, so the shuffle key is the video id, never pixels.
+
+_SHOT_THRESHOLD = 8.0  # mean-intensity jump (of 256 levels) == a cut
+
+_SHOT_BOUNDARY_ORACLE = f"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, h % 9 + 1 AS w, h % 7 + 1 AS ht, h % 6 + 2 AS nf, d
+    FROM m
+),
+frames AS (
+    SELECT doc_id, w, ht, d, unnest(range(0, nf, 1)) AS f
+    FROM dims
+),
+px AS (
+    SELECT doc_id, w, ht, d, f, unnest(range(0, w * ht * 3)) AS j
+    FROM frames
+),
+fm AS (
+    SELECT doc_id, f,
+           round(CAST(SUM((d * 3 + f * 11 + j * 5) % 256) AS DOUBLE)
+                 / (w * ht * 3), 6) AS mean_value
+    FROM px GROUP BY doc_id, f, w, ht, d
+),
+dif AS (
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, mean_value,
+           mean_value - lag(mean_value) OVER (
+               PARTITION BY doc_id ORDER BY f
+           ) AS jump
+    FROM fm
+)
+SELECT doc_id, frame_idx, mean_value,
+       round(jump, 6) AS mean_jump,
+       COALESCE(abs(jump) >= CAST({_SHOT_THRESHOLD} AS DOUBLE), FALSE)
+           AS is_cut
+FROM dif
+"""
+
+
+@register_supplementary(
+    "video_shot_boundaries",
+    _SHOT_BOUNDARY_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X196: per-frame shot-boundary table — every decoded frame of
+    every P6 'video' with its mean intensity, the jump from the
+    previous frame (null->false for frame 0), and the cut flag
+    (|jump| >= 8 of 256 levels). The flag is evaluated on the
+    FULL-precision jump and the REPORTED jump is rounded — both
+    engines fold the mean identically, the decontaminate_semantic
+    convention in reverse (here the rounded value is display-only
+    because the threshold sits far from any reachable rounding
+    boundary: means are multiples of 1/(w*ht*3) with w*ht <= 63).
+
+    Composition: the SAME real decode path as X143 at stride 1 (cut
+    detectors cannot skip frames); the oracle integrates the synthetic
+    pixel formula in closed form like every codec oracle.
+
+    Scale shape: scan-parallel mapInPandas decode (payload bytes never
+    shuffle) + ONE exchange on doc_id for the LAG window — frames per
+    video are bounded (container law), so no partition skew."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        ppmv_media_from_documents,
+        sample_ppm_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fm = sample_ppm_frames(
+        ppmv_media_from_documents(docs), stride=1
+    ).select("doc_id", "frame_idx", "mean_value")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    jump = F.col("mean_value") - F.lag("mean_value").over(w)
+    return fm.select(
+        "doc_id",
+        "frame_idx",
+        "mean_value",
+        F.round(jump, 6).alias("mean_jump"),
+        F.coalesce(
+            F.abs(jump) >= F.lit(_SHOT_THRESHOLD), F.lit(False)
+        ).alias("is_cut"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X160: perceptual image dedup (dHash) — the image leg of the dedup
 # family: a 56-bit difference hash over the REAL-decoded BMP payloads
 # groups brightness-shifted / rescaled variants that byte-level md5

@@ -49,6 +49,7 @@ SAMPLE = [
     "weighted_sample_docs",
     "dedup_semantic_clustered",
     "semdedup_prune",
+    "video_shot_boundaries",
     "similarity_ivf_topk",
     "similarity_kmeans_cells",
     "similarity_ivf_kmeans_topk",
