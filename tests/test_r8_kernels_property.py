@@ -1,0 +1,151 @@
+"""Property pins for the round-8 kernels: the budget-selection greedy
+semantics and its signed-score bucket floor (X193), and the SemDeDup
+keep rule (X192) — each against an independent pure-Python/numpy
+reference on randomized inputs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_state_eviction_spark.querydefs.corpus import (
+    _BUDGET_BUCKET_MB,
+    _BUDGET_SCORE_OFFSET_MB,
+    budget_select_docs,
+)
+
+
+@given(
+    a=st.integers(min_value=-60_000, max_value=60_000),
+    b=st.integers(min_value=-60_000, max_value=60_000),
+)
+@settings(max_examples=500, deadline=None)
+def test_budget_bucket_is_monotone_on_signed_scores(a, b):
+    """The round-7 div gotcha pinned: integer div truncates toward
+    zero, so the positive shift is what makes the bucket a FLOOR —
+    bucket order must follow score order over the whole reachable
+    signed range (mean-NLL diffs are < 60,000 mb in magnitude)."""
+
+    def bucket(mb: int) -> int:
+        shifted = mb + _BUDGET_SCORE_OFFSET_MB
+        assert shifted > 0  # the offset's documented bound
+        return shifted // _BUDGET_BUCKET_MB  # floor for positive args
+
+    # Spark/DuckDB `div` truncates; == floor only while positive
+    def spark_div(mb: int) -> int:
+        shifted = mb + _BUDGET_SCORE_OFFSET_MB
+        q = abs(shifted) // _BUDGET_BUCKET_MB
+        return q if shifted >= 0 else -q
+
+    assert spark_div(a) == bucket(a)
+    if a <= b:
+        assert bucket(a) <= bucket(b)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50_000, max_value=50_000),  # score
+            st.integers(min_value=0, max_value=400),  # n_tok
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    budget=st.integers(min_value=0, max_value=4_000),
+)
+@settings(max_examples=12, deadline=None)
+def test_budget_select_matches_sequential_reference(spark, rows, budget):
+    """budget_select_docs == the one-pass sequential greedy on any
+    frame: exact cumulative totals, take-if-fits flags, budget never
+    exceeded."""
+    data = [
+        (i, mb, nt) for i, (mb, nt) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "doc_id bigint, ml_score_mb bigint, n_tok bigint"
+    )
+    got = {
+        r["doc_id"]: (r["cum_tokens_before"], r["in_budget"])
+        for r in budget_select_docs(df, budget).collect()
+    }
+    cum = 0
+    want = {}
+    for doc_id, mb, nt in sorted(data, key=lambda t: (t[1], t[0])):
+        want[doc_id] = (cum, cum + nt <= budget)
+        cum += nt
+    assert got == want
+    assert (
+        sum(nt for i, mb, nt in data if got[i][1]) <= budget
+    )
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # cell
+            # non-negative so no cell's exact-mean centroid can be
+            # the zero vector (cosine undefined; Spark NaN ordering
+            # diverges from IEEE) — components stay integral so dots
+            # are exact in float64 and both engines fold identically
+            st.lists(
+                st.integers(min_value=0, max_value=4),
+                min_size=3,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_semdedup_matches_numpy_reference(spark, vecs):
+    """semdedup_decisions == the quadratic numpy reference on any
+    small frame (zero vectors excluded — cosine undefined)."""
+    import numpy as np
+
+    from flink_state_eviction_spark.operators.similarity import (
+        semdedup_decisions,
+    )
+
+    data = [
+        (i, cell, [float(x) for x in v])
+        for i, (cell, v) in enumerate(vecs)
+        if any(v)
+    ]
+    if not data:
+        return
+    df = spark.createDataFrame(
+        data, "vec_id bigint, cell int, v array<double>"
+    )
+    tau = 0.8
+    got = {
+        r["vec_id"]: (r["cell"], r["is_pruned"])
+        for r in semdedup_decisions(df, "vec_id", "v", "cell", tau).collect()
+    }
+    by_cell = {}
+    for vid, cell, v in data:
+        by_cell.setdefault(cell, []).append((vid, np.array(v)))
+    want = {}
+    for cell, members in by_cell.items():
+        cent = np.mean([v for _, v in members], axis=0)
+
+        def cs(v):
+            n = np.linalg.norm(v) * np.linalg.norm(cent)
+            return float(v @ cent / n) if n else float("nan")
+
+        csd = {vid: cs(v) for vid, v in members}
+        for vid, v in members:
+            pruned = any(
+                ovid != vid
+                and float(
+                    v @ ov / (np.linalg.norm(v) * np.linalg.norm(ov))
+                )
+                >= tau
+                and (
+                    csd[ovid] < csd[vid]
+                    or (csd[ovid] == csd[vid] and ovid < vid)
+                )
+                for ovid, ov in members
+            )
+            want[vid] = (cell, pruned)
+    assert got == want
