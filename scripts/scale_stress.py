@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,vdiff",
+        "r8,r8b,r8c,r8d,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -334,6 +334,9 @@ def main() -> None:
             # budgeted selection: one score-band exchange over narrow
             # projections on top of the one-pass Moore-Lewis law
             rec["corpus_budget_select_sec"] = timed(lambda: all_qs["corpus_budget_select"](spark, d))
+        if "r8d" in only:
+            # all-frames decode + doc_id-keyed LAG; scan-parallel
+            rec["video_shot_boundaries_sec"] = timed(lambda: all_qs["video_shot_boundaries"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path
