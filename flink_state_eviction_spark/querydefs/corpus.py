@@ -1827,7 +1827,9 @@ FROM c
 
 
 def budget_select_docs(
-    scored: DataFrame, budget_tokens: int
+    scored: DataFrame,
+    budget_tokens: int,
+    offset_mb: int = _BUDGET_SCORE_OFFSET_MB,
 ) -> DataFrame:
     """The budgeted-selection kernel: ``scored`` carries
     (doc_id, ml_score_mb, n_tok); rank ascending by (score, doc_id)
@@ -1835,8 +1837,10 @@ def budget_select_docs(
     straddling the boundary is dropped — the conservative convention:
     the budget is never exceeded). Buckets for the two-level prefix
     sum are 2-bit-per-mille score bands, positive-shifted so the
-    truncating div floors (operand bound documented at the offset
-    constant)."""
+    truncating div floors; callers whose score range exceeds the
+    default Moore-Lewis bound pass a larger ``offset_mb`` (the shift
+    must exceed max |negative score| or bucket order silently breaks —
+    the round-7 signed-div gotcha, property-pinned)."""
     # the prefix-sum decomposition consumes its input in TWO subtrees
     # (bucket-local window + per-bucket subtotal agg) — without the
     # boundary the whole upstream scoring plan executes twice (the
@@ -1844,7 +1848,7 @@ def budget_select_docs(
     b = scored.withColumn(
         "_bk",
         F.expr(
-            f"cast((ml_score_mb + {_BUDGET_SCORE_OFFSET_MB})"
+            f"cast((ml_score_mb + {offset_mb})"
             f" div {_BUDGET_BUCKET_MB} as bigint)"
         ),
     ).localCheckpoint(eager=False)

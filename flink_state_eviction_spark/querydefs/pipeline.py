@@ -6314,6 +6314,149 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X197: DSIR — Data Selection via Importance Resampling (Xie et al.
+# 2023, arXiv:2302.03169): importance weights log p_target/p_raw over
+# HASHED n-gram features (the paper's bag-of-hashed-ngrams), then a
+# deterministic token-budget selection of the highest-importance docs.
+# Differs from the NB classifier (X174) in the denominator — DSIR's
+# raw distribution is the WHOLE corpus (target included), a density
+# ratio, not a class posterior — and in the deliverable: a budgeted
+# selection, not a threshold flag. Composes three existing kernels
+# verbatim: X173 hashing, X174's closed-form integer weight
+# arithmetic (nb_weights_from_counts — identical smoothing, so the
+# weight IS log2(p_t[b]/p_raw[b]) in millibits), and X193's budgeted
+# prefix selection. The paper resamples with Gumbel noise; the
+# engine's deterministic stand-in is exact top-by-weight under the
+# budget (ties by doc_id), which both engines replay bit-for-bit —
+# documented variation, no transcendentals, no RNG.
+
+DSIR_BUDGET_TOKENS = 8_000  # fixture budget, the X193 convention
+# |sum of per-feature weights| is bounded by features/doc x the LUT
+# range (~40k mb) — far past the Moore-Lewis offset; 2^36 mb clears a
+# 10^6-feature doc with 10^3x headroom (the budget kernel's shift
+# must exceed max |negative score|)
+_DSIR_SCORE_OFFSET_MB = 1 << 36
+
+_DSIR_ORACLE = f"""
+WITH feat AS ({_SQL_FEAT_W}),
+bkt AS (
+    SELECT doc_id, source,
+           {sql_h64("w", str(_FH_SEED))} % {_FH_D} AS bucket
+    FROM feat
+),
+bc AS (
+    SELECT bucket,
+           CAST(SUM(CASE WHEN source = '{_NB_REF_SOURCE}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cr,
+           CAST(count(*) AS BIGINT) AS co
+    FROM bkt GROUP BY bucket
+),
+tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr,
+               CAST(SUM(co) AS BIGINT) AS toc
+        FROM bc),
+p AS (
+    SELECT bucket,
+           greatest(1, (((cr + 1) * 1000000) // (tr + {_FH_D})) * 1000000
+                       + ((((cr + 1) * 1000000) % (tr + {_FH_D}))
+                          * 1000000) // (tr + {_FH_D})) AS p_r,
+           greatest(1, (((co + 1) * 1000000) // (toc + {_FH_D})) * 1000000
+                       + ((((co + 1) * 1000000) % (toc + {_FH_D}))
+                          * 1000000) // (toc + {_FH_D})) AS p_o
+    FROM bc CROSS JOIN tot
+),
+q AS (SELECT bucket, p_r, length(bin(p_r)) AS e_r,
+             p_o, length(bin(p_o)) AS e_o
+      FROM p),
+wt AS (SELECT bucket,
+              ({neglog2_millibits_sql("p_o", "e_o", duck=True)}
+               - {neglog2_millibits_sql("p_r", "e_r", duck=True)})
+                  AS weight_mb
+       FROM q),
+sc AS (
+    SELECT doc_id, CAST(SUM(weight_mb) AS BIGINT) AS log_w_mb
+    FROM bkt JOIN wt USING (bucket)
+    GROUP BY doc_id
+),
+ntk AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text),
+                '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tok
+    FROM documents
+),
+c AS (
+    SELECT sc.doc_id, sc.log_w_mb, ntk.n_tok,
+           COALESCE(SUM(ntk.n_tok) OVER (
+               ORDER BY -sc.log_w_mb, sc.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS ctb
+    FROM sc JOIN ntk ON ntk.doc_id = sc.doc_id
+)
+SELECT doc_id, log_w_mb, n_tok,
+       CAST(ctb AS BIGINT) AS cum_tokens_before,
+       (ctb + n_tok) <= {DSIR_BUDGET_TOKENS} AS in_budget
+FROM c
+"""
+
+
+@register_supplementary(
+    "dsir_select", _DSIR_ORACLE, tags=("pipeline", "text")
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X197: DSIR importance-resampled selection (module comment) —
+    every featured document with its integer log importance weight
+    (millibits of log2 p_target/p_raw summed over hashed unigram +
+    bigram occurrences), its token count, the exact cumulative token
+    total over all higher-importance docs, and whether it fits the
+    budget. Docs with zero tokens carry no features and are absent
+    (the X159 contract). Measured at sf0.01: the 8k-token budget keeps
+    25/25 target-feed docs and ~40% of the rest — the density ratio
+    separates the target cleanly on this fixture.
+
+    Scale shape: the X173 scan-side hash stream is checkpointed once
+    (it feeds the density counts AND the scoring join); both density
+    models and the weight table are <= D = 512 rows at ANY corpus
+    size (the hashing trick's point — a vocabulary-keyed importance
+    model is unbroadcastable at web scale); selection is the X193
+    two-level prefix shape with a wider positive shift for the
+    feature-summed score range."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        budget_select_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bkt = hashed_token_buckets(docs).localCheckpoint(eager=False)
+    cnt = bkt.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("source") == _NB_REF_SOURCE, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("cr"),
+        F.count(F.lit(1)).cast("long").alias("co"),
+    )
+    wt = nb_weights_from_counts(cnt)
+    sc = (
+        bkt.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("weight_mb").cast("long").alias("log_w_mb"))
+    )
+    ntk = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    scored = sc.join(ntk, "doc_id").select(
+        "doc_id", (-F.col("log_w_mb")).alias("ml_score_mb"), "n_tok"
+    )
+    return budget_select_docs(
+        scored, DSIR_BUDGET_TOKENS, offset_mb=_DSIR_SCORE_OFFSET_MB
+    ).select(
+        "doc_id",
+        (-F.col("ml_score_mb")).alias("log_w_mb"),
+        "n_tok",
+        "cum_tokens_before",
+        "in_budget",
+    )
+
+
+# ---------------------------------------------------------------------------
 # X182: PMI collocation mining (Church & Hanks 1990): pointwise mutual
 # information of adjacent word pairs — log2( p(ab) / (p(a)p(b)) ) with
 # the joint over the bigram-occurrence total and the marginals over

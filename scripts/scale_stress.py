@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,vdiff",
+        "r8,r8b,r8c,r8d,r8e,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -337,6 +337,10 @@ def main() -> None:
         if "r8d" in only:
             # all-frames decode + doc_id-keyed LAG; scan-parallel
             rec["video_shot_boundaries_sec"] = timed(lambda: all_qs["video_shot_boundaries"](spark, d))
+        if "r8e" in only:
+            # DSIR: X173 hash stream (checkpointed once) + <= D-row
+            # density models + the budget prefix shape
+            rec["dsir_select_sec"] = timed(lambda: all_qs["dsir_select"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path

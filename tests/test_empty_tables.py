@@ -69,6 +69,7 @@ SAMPLE = [
     "lm_perplexity_score",
     "lm_contrast_select",
     "corpus_budget_select",
+    "dsir_select",
     "feature_hash_docs",
     "nb_quality_classifier",
     "source_perplexity_scorecard",

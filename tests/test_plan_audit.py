@@ -74,6 +74,9 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     # the LM-scoring subtree sits behind its own checkpoint boundary
     # (audited under lm_contrast_select)
     "corpus_budget_select": 1,
+    # offsets: same prefix-window shape; the density/weight subtree
+    # (<= D rows) sits behind the hash stream's checkpoint boundary
+    "dsir_select": 1,
     "bigram_pmi_collocations": 2,  # scalar: bigram + token grand totals
     "nb_classifier_calibration": 1,  # scalar: inherits X174 class-total row
     "dedup_impact_report": 4,  # scalar: 3 per-stage folds + grand-total row, all over reduced tables
