@@ -777,3 +777,33 @@ def test_tfidf_drops_broadcast_above_budget(spark, sf_dir):
     assert sorted(map(tuple, big.collect())) == sorted(
         map(tuple, small.collect())
     )
+
+
+def test_semdedup_pairing_is_cell_keyed(spark, sf_dir):
+    # cluster-scoped pairing: the near-dup join must be a cell-keyed
+    # equi-join, never a cartesian, and the corpus side must never be
+    # broadcast (cells grow as sqrt(N) — the knn_graph law)
+    df = _q("semdedup_prune", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_dsir_models_stay_bucket_bounded(spark, sf_dir):
+    # the hashing trick's point (same gate family as X173/X174): no
+    # vocabulary-keyed join anywhere — every join key is the <= D-row
+    # bucket or doc_id; and no cartesian
+    df = _q("dsir_select", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    # scoring joins the <= D-row weight table by broadcast
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_budget_select_exchanges_are_narrow(spark, sf_dir):
+    # the two-level prefix shape: the only corpus-width exchange keys
+    # on the score band and carries projected columns, never text
+    df = _q("corpus_budget_select", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "text" not in plan.split("Exchange hashpartitioning")[-1][:400], plan
