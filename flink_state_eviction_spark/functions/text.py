@@ -504,3 +504,53 @@ def repetition_pack_udf() -> Column:
     return F.pandas_udf(
         "struct<" + ", ".join(f"{f}: bigint" for f in fields) + ">"
     )(_pack)
+
+
+def minhash_sig_from_tokens_udf(num_hashes: int = 16, k: int = 3) -> Column:
+    """The signature half of :func:`minhash_pack_udf` straight from a
+    TOKEN array — same distinct-k-shingle build, same md5 '0:' base
+    hash and universal family, None below k tokens — WITHOUT computing
+    or Arrow-shipping the sorted base-hash array ``bh``. For consumers
+    that need only the signature (text_profile reads sig[0]), the pack
+    variant wastes one sort plus one long per distinct shingle per doc
+    in transfer (round-8 review finding)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_state_eviction_spark.functions.hashing import (
+        MERSENNE_P,
+        MINHASH_AB,
+    )
+
+    A = np.array([a for a, _ in MINHASH_AB[:num_hashes]], dtype=np.int64)
+    B = np.array([b for _, b in MINHASH_AB[:num_hashes]], dtype=np.int64)
+
+    def _sig(toks):
+        import hashlib
+
+        out = []
+        for arr in toks:
+            if arr is None or len(arr) < k:
+                out.append(None)
+                continue
+            sh = {
+                " ".join(arr[i : i + k]) for i in range(len(arr) - k + 1)
+            }
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(("0:" + x).encode()).hexdigest()[:15], 16)
+                    for x in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            hp = h % MERSENNE_P
+            out.append(
+                ((A[:, None] * hp[None, :] + B[:, None]) % MERSENNE_P).min(
+                    axis=1
+                )
+            )
+        return pd.Series(out)
+
+    _sig.__annotations__ = {"toks": pd.Series, "return": pd.Series}
+    return F.pandas_udf("array<long>")(_sig)

@@ -924,9 +924,14 @@ def semdedup_decisions(
     position order, the knn-rank convention); only the REPORTED sim is
     rounded."""
     cent = _cell_centroids(corpus, cell_col, vec_col)
+    # the input frame already carries (id, cell, vec) — ONE projection,
+    # no self-join (a corpus-wide shuffle for columns already in hand;
+    # round-8 review finding)
     c = corpus.select(
-        F.col(id_col), F.col(cell_col).alias("_cell")
-    ).join(_with_vec_and_norm(corpus, id_col, vec_col), id_col)
+        F.col(id_col),
+        F.col(cell_col).alias("_cell"),
+        as_double_vec(F.col(vec_col)).alias("_v"),
+    ).withColumn("_n", l2_norm(F.col("_v")))
     cs = (
         c.join(F.broadcast(cent), "_cell")
         .withColumn(

@@ -1795,12 +1795,11 @@ def lm_contrast_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # task — so this rides operators/prefix.py's two-level decomposition.
 
 BUDGET_TOKENS = 8_000  # fixture budget: ~30% of the sf0.01 corpus
-# range-bucket width for the score axis; the shift keeps the operand
-# positive so truncating div == floor (integer div truncates toward
-# zero in BOTH engines — round-7 gotcha). Mean-NLL diffs are bounded
-# by the LUT's per-bigram range (< ~60,000 mb), so 2^20 mb of offset
-# covers any reachable score with 16x headroom.
-_BUDGET_SCORE_OFFSET_MB = 1 << 20
+# range-bucket width for the score axis; the kernel floors sign-safely
+# (truncating div minus the negative-remainder correction — integer
+# div truncates toward zero in BOTH engines, the round-7 gotcha), so
+# bucket order follows score order for ANY bigint score, no magnitude
+# precondition.
 _BUDGET_BUCKET_MB = 2_000
 
 _BUDGET_SELECT_ORACLE = f"""
@@ -1827,29 +1826,30 @@ FROM c
 
 
 def budget_select_docs(
-    scored: DataFrame,
-    budget_tokens: int,
-    offset_mb: int = _BUDGET_SCORE_OFFSET_MB,
+    scored: DataFrame, budget_tokens: int
 ) -> DataFrame:
     """The budgeted-selection kernel: ``scored`` carries
     (doc_id, ml_score_mb, n_tok); rank ascending by (score, doc_id)
     and keep the greedy prefix with cumulative tokens <= budget (a doc
     straddling the boundary is dropped — the conservative convention:
     the budget is never exceeded). Buckets for the two-level prefix
-    sum are 2-bit-per-mille score bands, positive-shifted so the
-    truncating div floors; callers whose score range exceeds the
-    default Moore-Lewis bound pass a larger ``offset_mb`` (the shift
-    must exceed max |negative score| or bucket order silently breaks —
-    the round-7 signed-div gotcha, property-pinned)."""
+    sum are 2-bit-per-mille score bands via a SIGN-SAFE floor division
+    (truncating div minus the negative-remainder correction), monotone
+    for ANY bigint score — the round-8 review killed the earlier
+    positive-shift variant, whose headroom claim was off by 500x and
+    whose order silently inverted past the offset."""
     # the prefix-sum decomposition consumes its input in TWO subtrees
     # (bucket-local window + per-bucket subtotal agg) — without the
     # boundary the whole upstream scoring plan executes twice (the
     # double-compute gotcha; observed as duplicated LM vocab scalars)
+    s = _BUDGET_BUCKET_MB
     b = scored.withColumn(
         "_bk",
         F.expr(
-            f"cast((ml_score_mb + {offset_mb})"
-            f" div {_BUDGET_BUCKET_MB} as bigint)"
+            f"cast((ml_score_mb div {s})"
+            f" - (case when ml_score_mb % {s} != 0"
+            f"          and ml_score_mb < 0 then 1 else 0 end)"
+            " as bigint)"
         ),
     ).localCheckpoint(eager=False)
     out = bucketed_prefix_sum(

@@ -1137,9 +1137,12 @@ def source_repetition_scorecard(
     exceeding ANY published Gopher repetition cutoff (Rae et al. 2021
     Table A1: top2>0.20, top3>0.18, top4>0.16, dup5..10 >
     0.15..0.10). A feed whose flagged share jumps between crawls
-    turned boilerplate-heavy. Composition: CALLS the registered X179
-    query; the oracle wraps X179's oracle as a CTE (single source of
-    truth). Extension beyond the reference surface.
+    turned boilerplate-heavy. Composition: routes through the SAME
+    repetition_signals frame kernel as the registered X179 query (the
+    sanctioned streaming-maintainer reuse pattern — the X191
+    maintainer folds the identical arithmetic); the oracle wraps
+    X179's oracle as a CTE (single source of truth). Extension beyond
+    the reference surface.
 
     Scale shape: the X179 scan pass plus one |sources|-keyed
     map-side-combined aggregate; the doc->source join is a doc_id
@@ -1340,8 +1343,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: md5/simhash60/minhash fingerprints,
     stopword-scoring language ID, and token-count estimates in ONE
     corpus scan — both Arrow UDFs (simhash over tokens, minhash via
-    the shared pack UDF straight from tokens) evaluate in a single
-    ArrowEvalPython pass, no join, no shuffle (plan-gated). The pack
+    the sig-only shingle UDF straight from tokens) evaluate in a
+    single ArrowEvalPython pass, no join, no shuffle (plan-gated). The
     UDF builds distinct shingles in Python — the interpreted
     word_shingles HOF it replaces costs ~1 ms/doc at corpus scale
     (round-5 measurement; round-7 verdict item #3) — with identical
@@ -1349,19 +1352,19 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's left-join miss, and the md5 '0:'-prefix hash family is
     shared so the oracle is unchanged."""
     from flink_state_eviction_spark.functions.text import (
-        minhash_pack_udf,
+        minhash_sig_from_tokens_udf,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     sim_udf = simhash60_udf()
-    mh_udf = minhash_pack_udf(1, 3)
+    mh_udf = minhash_sig_from_tokens_udf(1, 3)
     t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
     sc = {k: v.cast("long") for k, v in lang_scores(F.col("toks")).items()}
     base = t.select(
         "doc_id",
         F.md5("text").alias("text_md5"),
         sim_udf(F.col("toks")).alias("simhash"),
-        F.element_at(mh_udf(F.col("toks"))["sig"], 1).alias("minhash_0"),
+        F.element_at(mh_udf(F.col("toks")), 1).alias("minhash_0"),
         *[c.alias(f"s_{lang}") for lang, c in sc.items()],
         *_token_count_cols(),
     )
@@ -6331,11 +6334,6 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documented variation, no transcendentals, no RNG.
 
 DSIR_BUDGET_TOKENS = 8_000  # fixture budget, the X193 convention
-# |sum of per-feature weights| is bounded by features/doc x the LUT
-# range (~40k mb) — far past the Moore-Lewis offset; 2^36 mb clears a
-# 10^6-feature doc with 10^3x headroom (the budget kernel's shift
-# must exceed max |negative score|)
-_DSIR_SCORE_OFFSET_MB = 1 << 36
 
 _DSIR_ORACLE = f"""
 WITH feat AS ({_SQL_FEAT_W}),
@@ -6417,8 +6415,8 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     models and the weight table are <= D = 512 rows at ANY corpus
     size (the hashing trick's point — a vocabulary-keyed importance
     model is unbroadcastable at web scale); selection is the X193
-    two-level prefix shape with a wider positive shift for the
-    feature-summed score range."""
+    two-level prefix shape (sign-safe floor buckets, so the
+    feature-summed score range needs no magnitude bound)."""
     from flink_state_eviction_spark.querydefs.corpus import (
         budget_select_docs,
     )
@@ -6445,9 +6443,7 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = sc.join(ntk, "doc_id").select(
         "doc_id", (-F.col("log_w_mb")).alias("ml_score_mb"), "n_tok"
     )
-    return budget_select_docs(
-        scored, DSIR_BUDGET_TOKENS, offset_mb=_DSIR_SCORE_OFFSET_MB
-    ).select(
+    return budget_select_docs(scored, DSIR_BUDGET_TOKENS).select(
         "doc_id",
         (-F.col("ml_score_mb")).alias("log_w_mb"),
         "n_tok",

@@ -10,36 +10,34 @@ from hypothesis import strategies as st
 
 from flink_state_eviction_spark.querydefs.corpus import (
     _BUDGET_BUCKET_MB,
-    _BUDGET_SCORE_OFFSET_MB,
     budget_select_docs,
 )
 
 
 @given(
-    a=st.integers(min_value=-60_000, max_value=60_000),
-    b=st.integers(min_value=-60_000, max_value=60_000),
+    a=st.integers(min_value=-(2**62), max_value=2**62),
+    b=st.integers(min_value=-(2**62), max_value=2**62),
 )
 @settings(max_examples=500, deadline=None)
 def test_budget_bucket_is_monotone_on_signed_scores(a, b):
     """The round-7 div gotcha pinned: integer div truncates toward
-    zero, so the positive shift is what makes the bucket a FLOOR —
-    bucket order must follow score order over the whole reachable
-    signed range (mean-NLL diffs are < 60,000 mb in magnitude)."""
+    zero in both engines; the kernel's negative-remainder correction
+    turns it into a true floor, so bucket order follows score order
+    over the FULL bigint range — no magnitude precondition (the
+    round-8 review killed the positive-shift variant whose bound a
+    long doc could silently cross)."""
 
-    def bucket(mb: int) -> int:
-        shifted = mb + _BUDGET_SCORE_OFFSET_MB
-        assert shifted > 0  # the offset's documented bound
-        return shifted // _BUDGET_BUCKET_MB  # floor for positive args
+    def kernel_bucket(mb: int) -> int:
+        # the exact expression budget_select_docs emits, modeled with
+        # Spark/DuckDB semantics: div truncates toward zero, and the
+        # zero-test on % is convention-independent (remainder is zero
+        # iff divisible, whichever sign rule)
+        trunc = abs(mb) // _BUDGET_BUCKET_MB * (1 if mb >= 0 else -1)
+        return trunc - (1 if (mb % _BUDGET_BUCKET_MB != 0 and mb < 0) else 0)
 
-    # Spark/DuckDB `div` truncates; == floor only while positive
-    def spark_div(mb: int) -> int:
-        shifted = mb + _BUDGET_SCORE_OFFSET_MB
-        q = abs(shifted) // _BUDGET_BUCKET_MB
-        return q if shifted >= 0 else -q
-
-    assert spark_div(a) == bucket(a)
+    assert kernel_bucket(a) == a // _BUDGET_BUCKET_MB  # == true floor
     if a <= b:
-        assert bucket(a) <= bucket(b)
+        assert kernel_bucket(a) <= kernel_bucket(b)
 
 
 @given(
