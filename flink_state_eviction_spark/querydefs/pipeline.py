@@ -6423,20 +6423,8 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     bkt = hashed_token_buckets(docs).localCheckpoint(eager=False)
-    cnt = bkt.groupBy("bucket").agg(
-        F.sum(
-            F.when(F.col("source") == _NB_REF_SOURCE, 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("cr"),
-        F.count(F.lit(1)).cast("long").alias("co"),
-    )
-    wt = nb_weights_from_counts(cnt)
-    sc = (
-        bkt.join(F.broadcast(wt), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum("weight_mb").cast("long").alias("log_w_mb"))
-    )
+    wt = nb_weights_from_counts(dsir_bucket_counts(bkt))
+    sc = dsir_log_weights(bkt, wt)
     ntk = docs.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
     )
@@ -6449,6 +6437,33 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         "cum_tokens_before",
         "in_budget",
+    )
+
+
+def dsir_bucket_counts(bkt: DataFrame) -> DataFrame:
+    """DSIR density counts (bucket, cr, co) from the hashed
+    (doc_id, source, bucket) stream: cr = target-feed occurrences,
+    co = ALL occurrences (the raw distribution INCLUDES the target —
+    the density-ratio denominator; contrast nb_bucket_class_counts'
+    complement). co = cr + complement, so the NB maintainer's state
+    already determines these counts — streaming/nb_maintain.py serves
+    DSIR weights from the same state tree (X198)."""
+    is_ref = F.col("source") == F.lit(_NB_REF_SOURCE)
+    return bkt.groupBy("bucket").agg(
+        F.sum(F.when(is_ref, 1).otherwise(0)).cast("long").alias("cr"),
+        F.count(F.lit(1)).cast("long").alias("co"),
+    )
+
+
+def dsir_log_weights(bkt: DataFrame, wt: DataFrame) -> DataFrame:
+    """Per-doc integer log importance weight: broadcast-join the
+    <= D-row weight table onto the hashed feature stream and fold —
+    (doc_id, log_w_mb). Shared by the batch query and the maintained-
+    state serving path (the one-kernel rule)."""
+    return (
+        bkt.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("weight_mb").cast("long").alias("log_w_mb"))
     )
 
 

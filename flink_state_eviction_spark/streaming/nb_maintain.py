@@ -143,3 +143,45 @@ def nb_calibration_from_state(
     return nb_calibration_table(
         nb_scores_from_state(spark, state_dir, docs), docs
     )
+
+
+def dsir_weights_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """X198: DSIR importance weights served from the SAME maintained
+    state tree — ONE state, THREE products (NB weights, calibration,
+    and now the density ratio). The maintained (bucket, cr, co) class
+    counts determine DSIR's counts exactly: target = cr, raw = cr + co
+    (the raw distribution includes the target feed), so the weight
+    table is a <= D-row transform of existing state with zero new
+    state IO — bit-equal to the batch `dsir_bucket_counts` +
+    `nb_weights_from_counts` chain once the corpus has streamed in
+    (test_streaming_nb_maintain)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        nb_weights_from_counts,
+    )
+
+    bc = nb_counts_from_state(spark, state_dir)
+    return nb_weights_from_counts(
+        bc.select(
+            "bucket",
+            "cr",
+            (F.col("cr") + F.col("co")).cast("long").alias("co"),
+        )
+    )
+
+
+def dsir_log_weights_from_state(
+    spark: SparkSession, state_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Per-doc DSIR log importance weights for any document frame,
+    against the maintained density models — the shared
+    `dsir_log_weights` kernel, so serving and the batch query cannot
+    drift."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        dsir_log_weights,
+        hashed_token_buckets,
+    )
+
+    return dsir_log_weights(
+        hashed_token_buckets(docs),
+        dsir_weights_from_state(spark, state_dir),
+    )

@@ -144,3 +144,60 @@ def test_streaming_nb_calibration_matches_batch(spark, sf_dir, tmp_path):
     got = rows(nb_calibration_from_state(spark, state, docs))
     want = rows(all_queries()["nb_classifier_calibration"](spark, sf_dir))
     assert got == want and got
+
+
+def test_streaming_dsir_weights_from_same_state(spark, sf_dir, tmp_path):
+    """X198: the DSIR density-ratio weights and per-doc log importance
+    served from the SAME maintained NB state tree (raw = cr + co) are
+    bit-equal to the batch dsir_bucket_counts + weight chain — one
+    state, three products."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        dsir_bucket_counts,
+        dsir_log_weights,
+        hashed_token_buckets,
+        nb_weights_from_counts,
+    )
+    from flink_state_eviction_spark.streaming.nb_maintain import (
+        dsir_log_weights_from_state,
+        dsir_weights_from_state,
+    )
+
+    docs = _docs(spark, sf_dir)
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "nb-state")
+
+    def upd(batch_df, batch_id):
+        nb_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got_w = {
+        (r["bucket"], r["weight_mb"])
+        for r in dsir_weights_from_state(spark, state).collect()
+    }
+    bkt = hashed_token_buckets(docs)
+    want_w = {
+        (r["bucket"], r["weight_mb"])
+        for r in nb_weights_from_counts(dsir_bucket_counts(bkt)).collect()
+    }
+    assert got_w == want_w and got_w
+
+    got_s = {
+        (r["doc_id"], r["log_w_mb"])
+        for r in dsir_log_weights_from_state(spark, state, docs).collect()
+    }
+    want_s = {
+        (r["doc_id"], r["log_w_mb"])
+        for r in dsir_log_weights(
+            bkt, nb_weights_from_counts(dsir_bucket_counts(bkt))
+        ).collect()
+    }
+    assert got_s == want_s and got_s
