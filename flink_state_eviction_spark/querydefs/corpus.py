@@ -1522,6 +1522,123 @@ _LM_PREBUILT_STATE_DIRS: dict = {}
 
 
 # ---------------------------------------------------------------------------
+# X199: per-source relative quality cut — each feed keeps its best
+# half BY ITS OWN score distribution. A single global perplexity
+# threshold (X159) over-prunes feeds whose domain is legitimately far
+# from the reference LM (code, tables, non-English) and under-prunes
+# feeds near it; the per-feed quantile cut is the standard fix when
+# score scales are incomparable across sources (the CCNet
+# head/middle/tail split is exactly this, Wenzek et al. 2019 §4.3).
+
+# keep fraction as a RATIONAL (numerator/denominator) so the quantile
+# threshold is pure integer arithmetic — keep scores s with
+# cum_count(s) * KEEP_DEN >= n_source * KEEP_NUM never touches a
+# double on either engine
+KEEP_NUM, KEEP_DEN = 1, 2  # keep each feed's best half
+
+_SRC_QUALITY_CUT_ORACLE = f"""
+WITH lm AS ({{lm}}),
+j AS (
+    SELECT lm.doc_id, d.source, lm.mean_nll_millibits
+    FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+),
+sc AS (
+    SELECT source, mean_nll_millibits,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM j GROUP BY 1, 2
+),
+cum AS (
+    SELECT source, mean_nll_millibits,
+           SUM(cnt) OVER (PARTITION BY source
+                          ORDER BY mean_nll_millibits
+                          ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+           SUM(cnt) OVER (PARTITION BY source) AS n_src
+    FROM sc
+),
+thr AS (
+    SELECT source,
+           CAST(MIN(CASE WHEN cum_cnt * {KEEP_DEN} >= n_src * {KEEP_NUM}
+                         THEN mean_nll_millibits END) AS BIGINT)
+               AS src_threshold_mb
+    FROM cum GROUP BY source
+)
+SELECT j.doc_id, j.source, j.mean_nll_millibits,
+       thr.src_threshold_mb,
+       j.mean_nll_millibits <= thr.src_threshold_mb AS keep
+FROM j JOIN thr ON thr.source = j.source
+"""
+
+
+@register_supplementary(
+    "source_relative_quality_cut",
+    _SRC_QUALITY_CUT_ORACLE.format(lm=_LM_PPL_ORACLE),
+    tags=("corpus", "text"),
+)
+def source_relative_quality_cut(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X199: per-source relative quality cut (module comment) — every
+    LM-scored document with its feed's EXACT keep-half threshold (the
+    smallest mean-NLL value whose cumulative count reaches half the
+    feed, a pure integer quantile: cum * 2 >= n) and the keep flag.
+    Ties at the threshold all keep (the score is the decision
+    variable, so equal scores get equal verdicts — no arbitrary
+    doc_id cut inside a score class). Composition: CALLS the
+    registered X159 query; the oracle wraps its oracle as a CTE.
+
+    Scale shape: the X159 scoring pass, then (source, score) counts
+    (map-side combined — the shuffle carries distinct (feed, score)
+    pairs, not docs), a per-source running sum over DISTINCT scores
+    (partitioned by feed, bounded by distinct scores per feed), and a
+    |sources|-row threshold table joined back — Catalyst size-picks
+    the join (the threshold side is an aggregate output; no forced
+    hint, the budget-gate rule). Extension beyond the reference
+    surface."""
+    lm = lm_perplexity_score(spark, sf_dir).select(
+        "doc_id", "mean_nll_millibits"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    j = lm.join(docs.select("doc_id", "source"), "doc_id").localCheckpoint(
+        eager=False
+    )  # feeds the count table AND the output join (double-compute)
+    sc = j.groupBy("source", "mean_nll_millibits").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("mean_nll_millibits")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cum = sc.select(
+        "source",
+        "mean_nll_millibits",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("n_src"),
+    )
+    thr = (
+        cum.where(
+            F.col("cum_cnt") * KEEP_DEN >= F.col("n_src") * KEEP_NUM
+        )
+        .groupBy("source")
+        .agg(
+            F.min("mean_nll_millibits")
+            .cast("long")
+            .alias("src_threshold_mb")
+        )
+    )
+    return j.join(thr, "source").select(
+        "doc_id",
+        "source",
+        "mean_nll_millibits",
+        "src_threshold_mb",
+        (
+            F.col("mean_nll_millibits") <= F.col("src_threshold_mb")
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X172: Moore-Lewis contrastive data selection
 #
 # Moore & Lewis 2010 ("Intelligent selection of language model

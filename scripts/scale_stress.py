@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,vdiff",
+        "r8,r8b,r8c,r8d,r8e,r8f,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -341,6 +341,9 @@ def main() -> None:
             # DSIR: X173 hash stream (checkpointed once) + <= D-row
             # density models + the budget prefix shape
             rec["dsir_select_sec"] = timed(lambda: all_qs["dsir_select"](spark, d))
+        if "r8f" in only:
+            # X159 scoring pass + distinct-(feed,score) count shuffle
+            rec["source_relative_quality_cut_sec"] = timed(lambda: all_qs["source_relative_quality_cut"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path

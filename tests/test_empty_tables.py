@@ -70,6 +70,7 @@ SAMPLE = [
     "lm_contrast_select",
     "corpus_budget_select",
     "dsir_select",
+    "source_relative_quality_cut",
     "feature_hash_docs",
     "nb_quality_classifier",
     "source_perplexity_scorecard",
