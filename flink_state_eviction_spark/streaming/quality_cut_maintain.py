@@ -1,0 +1,122 @@
+"""Streaming twin for the per-source relative quality cut (X199): the
+always-ingesting corpus maintains per-feed SCORE HISTOGRAMS — (source,
+mean-NLL millibits, count) — and the per-feed keep-half thresholds
+serve from the maintained state.
+
+The batch `source_relative_quality_cut` reduces scored docs to a
+(source, score) count table before any windowing; counts are
+associative sums, so the standard maintainer pattern applies
+(X150/X169/.../X194/X195). What makes the state BOUNDED is the
+integer score axis: mean-NLL millibits live inside the LUT's range
+(a few tens of thousands of distinct values), so state is
+O(|sources| x |distinct scores|) at ANY corpus size — a histogram,
+never a doc list.
+
+- ``quality_cut_maintain_batch`` — ``foreachBatch`` body: score the
+  batch against the FROZEN reference LM (the X171 stored-artifact
+  shape: lm tables are the deployment constant, the corpus is what
+  streams) and fold its (source, score) counts into an idempotent
+  ``batch=<id>`` partition.
+- ``score_hist_from_state`` / ``thresholds_from_state`` — serving:
+  summed histograms through the SAME integer-quantile tail as the
+  batch query (cum * KEEP_DEN >= n * KEEP_NUM over distinct scores).
+  Once the whole corpus has streamed in, the threshold table is
+  BIT-EQUAL to the batch query's (test_streaming_quality_cut) given
+  the same LM.
+
+Extension beyond the reference surface (SURVEY §2.7 X200; twins the
+batch X199 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("source", "mean_nll_millibits").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def quality_cut_maintain_batch(
+    batch_df: DataFrame,
+    lm: tuple[DataFrame, DataFrame, DataFrame],
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of histogram maintenance (module docstring):
+    score ``batch_df`` (doc_id, source, text) against the FROZEN
+    reference LM triple (c2, c1, v — the X171 stored shape) through
+    the shared lm_score_docs kernel, then fold (source, score) counts
+    into this batch's idempotent partition."""
+    from flink_state_eviction_spark.querydefs.corpus import lm_score_docs
+
+    scored = lm_score_docs(
+        batch_df.select("doc_id", "text"), *lm
+    ).select("doc_id", "mean_nll_millibits")
+    j = scored.join(batch_df.select("doc_id", "source"), "doc_id")
+    hist = j.groupBy("source", "mean_nll_millibits").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    hist.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "qhist", f"batch={batch_id}")
+    )
+
+
+def compact_quality_cut_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — histogram
+    counts are summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "qhist"), through_batch, _fold
+    )
+
+
+def score_hist_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (source, score, count) histogram: sums over the
+    batch partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "qhist")))
+
+
+def thresholds_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Per-feed keep-half thresholds from the MAINTAINED histogram —
+    the SAME integer-quantile tail as the batch query, so the table is
+    bit-equal once the corpus has streamed in (same frozen LM)."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        KEEP_DEN,
+        KEEP_NUM,
+    )
+
+    sc = score_hist_from_state(spark, state_dir)
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("mean_nll_millibits")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cum = sc.select(
+        "source",
+        "mean_nll_millibits",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("n_src"),
+    )
+    return (
+        cum.where(
+            F.col("cum_cnt") * KEEP_DEN >= F.col("n_src") * KEEP_NUM
+        )
+        .groupBy("source")
+        .agg(
+            F.min("mean_nll_millibits")
+            .cast("long")
+            .alias("src_threshold_mb")
+        )
+    )

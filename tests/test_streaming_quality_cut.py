@@ -1,0 +1,117 @@
+"""Streaming twin for the per-source quality cut (X200): per-feed
+keep-half thresholds served from the maintained (source, score)
+histogram must reproduce the batch `source_relative_quality_cut`
+thresholds bit-for-bit under the same frozen LM; redelivered batches
+must not change the state; compaction preserves it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.querydefs.corpus import LM_REF_SOURCE
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.lm_maintain import (
+    lm_maintain_batch,
+    lm_tables_from_state,
+)
+from flink_state_eviction_spark.streaming.quality_cut_maintain import (
+    compact_quality_cut_state,
+    quality_cut_maintain_batch,
+    score_hist_from_state,
+    thresholds_from_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+
+@pytest.fixture(scope="module")
+def frozen_lm(spark, sf_dir, tmp_path_factory):
+    # the FROZEN artifact (the X171 stored shape): reference-slice LM
+    # built once; count-equal to the batch query's in-session build,
+    # so scores are bit-equal (the lm maintainer's proven contract)
+    d = str(tmp_path_factory.mktemp("lm-artifact"))
+    lm_maintain_batch(
+        _docs(spark, sf_dir).where(F.col("source") == LM_REF_SOURCE),
+        d,
+        0,
+    )
+    return lm_tables_from_state(spark, d)
+
+
+def test_streaming_thresholds_match_batch(
+    spark, sf_dir, tmp_path, frozen_lm
+):
+    docs = _docs(spark, sf_dir)
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "qcut-state")
+
+    def upd(batch_df, batch_id):
+        quality_cut_maintain_batch(batch_df, frozen_lm, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["source"], r["src_threshold_mb"])
+        for r in thresholds_from_state(spark, state).collect()
+    }
+    want = {
+        (r["source"], r["src_threshold_mb"])
+        for r in all_queries()["source_relative_quality_cut"](
+            spark, sf_dir
+        )
+        .select("source", "src_threshold_mb")
+        .distinct()
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_quality_cut_redelivery_and_compaction_preserve_state(
+    spark, sf_dir, tmp_path, frozen_lm
+):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, docs.where(F.col("doc_id") < cut1)),
+        (1, docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, docs.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "qcut-state")
+    for bid, b in batches:
+        quality_cut_maintain_batch(b, frozen_lm, state, bid)
+
+    def snapshot():
+        return {
+            tuple(r) for r in score_hist_from_state(spark, state).collect()
+        }
+
+    once = snapshot()
+    quality_cut_maintain_batch(batches[1][1], frozen_lm, state, 1)
+    quality_cut_maintain_batch(batches[1][1], frozen_lm, state, 1)
+    assert snapshot() == once
+
+    with pytest.raises(ValueError):
+        compact_quality_cut_state(spark, state, 2)
+    compact_quality_cut_state(spark, state, 1)
+    assert snapshot() == once
+    quality_cut_maintain_batch(batches[2][1], frozen_lm, state, 2)
+    assert snapshot() == once
