@@ -2375,6 +2375,106 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X201: train/eval split leakage audit — the check every content-hash
+# or random split needs: byte-identical TEXTS can straddle splits even
+# when doc_ids split cleanly (the id hash knows nothing about
+# content), silently inflating eval numbers. Census-first (the
+# perceptual-dedup law): texts collapse to an md5 census with
+# per-split presence flags, and only eval docs join back — pair
+# volume is bounded by distinct text hashes, never |train| x |eval|.
+
+
+def split_leakage_audit_frame(docs_with_split: DataFrame) -> DataFrame:
+    """Leakage kernel over a (doc_id, split, text) frame: every
+    val/test doc with its content md5 and whether any TRAIN doc
+    carries the same text (null text folds to '' — two empty docs ARE
+    content-identical, the null-safe-serving convention). Shared by
+    the registered query and the crafted-frame pytest."""
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    t = docs_with_split.select("doc_id", "split", h.alias("text_md5"))
+    census = (
+        t.groupBy("text_md5")
+        .agg(
+            F.max(
+                F.when(F.col("split") == "train", 1).otherwise(0)
+            ).alias("_in_train")
+        )
+    )
+    ev = t.where(F.col("split") != "train")
+    return ev.join(census, "text_md5").select(
+        "doc_id",
+        "split",
+        "text_md5",
+        (F.col("_in_train") == 1).alias("leaks_from_train"),
+    )
+
+
+_LEAKAGE_ORACLE = """
+WITH b AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                   1, 6)) AS BIGINT) % 100 AS bucket,
+           md5(coalesce(text, '')) AS text_md5
+    FROM documents
+),
+t AS (
+    SELECT doc_id, text_md5,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+),
+census AS (
+    SELECT text_md5,
+           MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train
+    FROM t GROUP BY text_md5
+)
+SELECT t.doc_id, t.split, t.text_md5,
+       census.in_train = 1 AS leaks_from_train
+FROM t JOIN census ON census.text_md5 = t.text_md5
+WHERE t.split <> 'train'
+"""
+
+
+@register_supplementary(
+    "split_leakage_audit", _LEAKAGE_ORACLE, tags=("pipeline",)
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X201: train/eval leakage audit over the X54 content-hash split
+    (module comment) — every val/test doc with its text md5 and
+    whether a byte-identical text sits in train. Composition: applies
+    the registered `dataset_split_assign` bucketing (the oracle
+    inlines the same split CTE) through the shared kernel
+    `split_leakage_audit_frame`, which a crafted-frame pytest pins on
+    a non-empty leak (the fixture's answer depends on dup placement —
+    the vacuous-parity rule).
+
+    Scale shape: one scan -> md5 census (map-side combined, keyed by
+    the hash) -> eval-side equi-join on the hash; pair volume is
+    bounded by distinct texts, never |train| x |eval|."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    with_split = docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+        "text",
+    )
+    return split_leakage_audit_frame(with_split)
+
+
+# ---------------------------------------------------------------------------
 # funnel analysis: users completing view -> click -> purchase in order
 
 _FUNNEL_ORACLE = """

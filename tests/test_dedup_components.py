@@ -184,3 +184,33 @@ def test_keep_best_tolerates_missing_score_rows(spark):
     # unpaired docs keep themselves
     assert rows[4] == (4, True)
     assert rows[7] == (7, True)
+
+
+def test_split_leakage_crafted_frame(spark):
+    """X201 pin: the fixture's split has no cross-split exact dup, so
+    the parity check passes vacuously on the leak path — this crafted
+    frame pins the NON-EMPTY logic (the source_overlap rule): a text
+    duplicated across train and val leaks; a train-only dup, a unique
+    eval text, and null-vs-empty texts behave per the kernel
+    contract."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        split_leakage_audit_frame,
+    )
+
+    rows = [
+        (1, "train", "same text"),
+        (2, "val", "same text"),      # leaks
+        (3, "train", "train only dup"),
+        (4, "train", "train only dup"),
+        (5, "test", "unique eval"),   # clean
+        (6, "train", None),           # null folds to ''
+        (7, "test", ""),              # leaks (content-identical to 6)
+        (8, "val", "evals only dup"),
+        (9, "test", "evals only dup"),  # dup across evals, NOT train: clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, split string, text string")
+    got = {
+        r["doc_id"]: r["leaks_from_train"]
+        for r in split_leakage_audit_frame(df).collect()
+    }
+    assert got == {2: True, 5: False, 7: True, 8: False, 9: False}

@@ -71,6 +71,7 @@ SAMPLE = [
     "corpus_budget_select",
     "dsir_select",
     "source_relative_quality_cut",
+    "split_leakage_audit",
     "feature_hash_docs",
     "nb_quality_classifier",
     "source_perplexity_scorecard",
