@@ -6497,7 +6497,10 @@ FROM c
 
 
 @register_supplementary(
-    "dsir_select", _DSIR_ORACLE, tags=("pipeline", "text")
+    "dsir_select",
+    _DSIR_ORACLE,
+    tags=("pipeline", "text"),
+    headline=True,  # bench: the round-8 selection family's flagship
 )
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X197: DSIR importance-resampled selection (module comment) —
