@@ -2409,20 +2409,11 @@ def split_leakage_audit_frame(docs_with_split: DataFrame) -> DataFrame:
     )
 
 
-_LEAKAGE_ORACLE = """
-WITH b AS (
-    SELECT doc_id,
-           CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),
-                                   1, 6)) AS BIGINT) % 100 AS bucket,
-           md5(coalesce(text, '')) AS text_md5
-    FROM documents
-),
+_LEAKAGE_ORACLE = f"""
+WITH sp AS ({{split}}),
 t AS (
-    SELECT doc_id, text_md5,
-           CASE WHEN bucket < 90 THEN 'train'
-                WHEN bucket < 95 THEN 'val'
-                ELSE 'test' END AS split
-    FROM b
+    SELECT sp.doc_id, md5(coalesce(d.text, '')) AS text_md5, sp.split
+    FROM sp JOIN documents d ON d.doc_id = sp.doc_id
 ),
 census AS (
     SELECT text_md5,
@@ -2437,39 +2428,28 @@ WHERE t.split <> 'train'
 
 
 @register_supplementary(
-    "split_leakage_audit", _LEAKAGE_ORACLE, tags=("pipeline",)
+    "split_leakage_audit",
+    _LEAKAGE_ORACLE.format(split=_SPLIT_ORACLE),
+    tags=("pipeline",),
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X201: train/eval leakage audit over the X54 content-hash split
     (module comment) — every val/test doc with its text md5 and
-    whether a byte-identical text sits in train. Composition: applies
-    the registered `dataset_split_assign` bucketing (the oracle
-    inlines the same split CTE) through the shared kernel
-    `split_leakage_audit_frame`, which a crafted-frame pytest pins on
-    a non-empty leak (the fixture's answer depends on dup placement —
-    the vacuous-parity rule).
+    whether a byte-identical text sits in train. Extension beyond the
+    reference surface. Composition: CALLS the registered
+    `dataset_split_assign` query and wraps its oracle as a CTE (the
+    one-definition rule — the split constants live only in X54), then
+    runs the shared kernel `split_leakage_audit_frame`, which a
+    crafted-frame pytest pins on a non-empty leak (the fixture's
+    answer depends on dup placement — the vacuous-parity rule).
 
     Scale shape: one scan -> md5 census (map-side combined, keyed by
     the hash) -> eval-side equi-join on the hash; pair volume is
-    bounded by distinct texts, never |train| x |eval|."""
+    bounded by distinct texts, never |train| x |eval|; the
+    split/text join is a doc_id equi-join."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
-                1, 6,
-            ),
-            16, 10,
-        ).cast("long"),
-        F.lit(100),
-    )
-    with_split = docs.select(
-        "doc_id",
-        F.when(bucket < 90, "train")
-        .when(bucket < 95, "val")
-        .otherwise("test")
-        .alias("split"),
-        "text",
+    with_split = dataset_split_assign(spark, sf_dir).join(
+        docs.select("doc_id", "text"), "doc_id"
     )
     return split_leakage_audit_frame(with_split)
 

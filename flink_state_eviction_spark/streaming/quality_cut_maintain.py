@@ -47,18 +47,29 @@ def quality_cut_maintain_batch(
     lm: tuple[DataFrame, DataFrame, DataFrame],
     state_dir: str,
     batch_id: int,
+    ref_rows: int | None = None,
 ) -> None:
     """One micro-batch of histogram maintenance (module docstring):
     score ``batch_df`` (doc_id, source, text) against the FROZEN
     reference LM triple (c2, c1, v — the X171 stored shape) through
     the shared lm_score_docs kernel, then fold (source, score) counts
-    into this batch's idempotent partition."""
+    into this batch's idempotent partition.
+
+    Pass ``ref_rows`` (the frozen c2's row count, measured ONCE when
+    the artifact is loaded): leaving it None makes lm_score_docs run a
+    count() job per micro-batch against a table that never changes —
+    the round-8 review flagged the per-batch re-derivation. The batch
+    frame is checkpointed because it feeds BOTH the scoring subtree
+    and the source join (the double-compute gotcha)."""
     from flink_state_eviction_spark.querydefs.corpus import lm_score_docs
 
+    b = batch_df.select("doc_id", "source", "text").localCheckpoint(
+        eager=False
+    )
     scored = lm_score_docs(
-        batch_df.select("doc_id", "text"), *lm
+        b.select("doc_id", "text"), *lm, ref_rows=ref_rows
     ).select("doc_id", "mean_nll_millibits")
-    j = scored.join(batch_df.select("doc_id", "source"), "doc_id")
+    j = scored.join(b.select("doc_id", "source"), "doc_id")
     hist = j.groupBy("source", "mean_nll_millibits").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )

@@ -37,14 +37,17 @@ def _docs(spark, sf_dir):
 def frozen_lm(spark, sf_dir, tmp_path_factory):
     # the FROZEN artifact (the X171 stored shape): reference-slice LM
     # built once; count-equal to the batch query's in-session build,
-    # so scores are bit-equal (the lm maintainer's proven contract)
+    # so scores are bit-equal (the lm maintainer's proven contract).
+    # ref_rows is measured HERE, once — the maintainer must never
+    # count the frozen table per micro-batch (round-8 review)
     d = str(tmp_path_factory.mktemp("lm-artifact"))
     lm_maintain_batch(
         _docs(spark, sf_dir).where(F.col("source") == LM_REF_SOURCE),
         d,
         0,
     )
-    return lm_tables_from_state(spark, d)
+    lm = lm_tables_from_state(spark, d)
+    return lm, lm[0].count()
 
 
 def test_streaming_thresholds_match_batch(
@@ -56,8 +59,12 @@ def test_streaming_thresholds_match_batch(
     )
     state = os.path.join(str(tmp_path), "qcut-state")
 
+    lm, ref_rows = frozen_lm
+
     def upd(batch_df, batch_id):
-        quality_cut_maintain_batch(batch_df, frozen_lm, state, batch_id)
+        quality_cut_maintain_batch(
+            batch_df, lm, state, batch_id, ref_rows=ref_rows
+        )
 
     q = (
         stream.writeStream.foreachBatch(upd)
@@ -96,8 +103,9 @@ def test_quality_cut_redelivery_and_compaction_preserve_state(
         (2, docs.where(F.col("doc_id") >= cut2)),
     ]
     state = os.path.join(str(tmp_path), "qcut-state")
+    lm, ref_rows = frozen_lm
     for bid, b in batches:
-        quality_cut_maintain_batch(b, frozen_lm, state, bid)
+        quality_cut_maintain_batch(b, lm, state, bid, ref_rows=ref_rows)
 
     def snapshot():
         return {
@@ -105,13 +113,13 @@ def test_quality_cut_redelivery_and_compaction_preserve_state(
         }
 
     once = snapshot()
-    quality_cut_maintain_batch(batches[1][1], frozen_lm, state, 1)
-    quality_cut_maintain_batch(batches[1][1], frozen_lm, state, 1)
+    quality_cut_maintain_batch(batches[1][1], lm, state, 1, ref_rows=ref_rows)
+    quality_cut_maintain_batch(batches[1][1], lm, state, 1, ref_rows=ref_rows)
     assert snapshot() == once
 
     with pytest.raises(ValueError):
         compact_quality_cut_state(spark, state, 2)
     compact_quality_cut_state(spark, state, 1)
     assert snapshot() == once
-    quality_cut_maintain_batch(batches[2][1], frozen_lm, state, 2)
+    quality_cut_maintain_batch(batches[2][1], lm, state, 2, ref_rows=ref_rows)
     assert snapshot() == once
