@@ -2601,6 +2601,155 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X202: C4 line-level cleanup (Raffel et al. 2020 §2.2 — the stage the
+# repo's blocklist (word-level) and Gopher battery (doc-level metrics)
+# do NOT cover). Line rules: keep only lines ending in a terminal
+# punctuation mark, with >= 3 words, not containing "javascript";
+# page rules: drop any page containing "lorem ipsum" or a curly
+# bracket, or retaining fewer than 5 lines. Extension beyond the
+# reference surface.
+#
+# The fixture corpus is single-line prose with no punctuation, so the
+# query deterministically synthesizes a lined page IDENTICALLY in both
+# engines (the text_redact_pii injection model): plain substring
+# replaces turn ' the ' into a '.'-terminated line break and ' data '
+# into an UNterminated one (exercising the terminal-punct rule), and
+# three doc_id-keyed injected lines exercise the lorem-ipsum, brace,
+# and javascript rules on real matches rather than vacuously.
+
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_line_stats_frame(lined: DataFrame) -> DataFrame:
+    """Frame-level C4 line-rule kernel over (doc_id, t0) lined pages —
+    the ONE kernel, reusable by a streaming maintainer. Intermediate
+    arrays are projected to named columns (interpreted HOFs don't CSE;
+    see CLAUDE.md), and nothing filters on a HOF column."""
+    split_lines = lined.select(
+        "doc_id",
+        "t0",
+        F.split("t0", "\n").alias("_ls"),
+    )
+    kept = split_lines.select(
+        "doc_id",
+        "t0",
+        "_ls",
+        F.filter(
+            "_ls",
+            lambda l: F.substring(l, -1, 1).isin(*C4_TERMINAL_PUNCT)
+            & (F.size(F.split(l, " ")) >= 3)
+            & ~F.contains(F.lower(l), F.lit("javascript")),
+        ).alias("_kl"),
+    )
+    flags = kept.select(
+        "doc_id",
+        F.size("_ls").cast("long").alias("n_lines"),
+        F.size("_kl").cast("long").alias("n_kept"),
+        F.contains(F.lower("t0"), F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains("t0", F.lit("{")).alias("has_brace"),
+        F.array_join("_kl", "\n").alias("_cleaned"),
+    )
+    kept_doc = (
+        ~F.col("has_lorem") & ~F.col("has_brace") & (F.col("n_kept") >= 5)
+    )
+    return flags.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "has_lorem",
+        "has_brace",
+        kept_doc.alias("kept_doc"),
+        F.when(kept_doc, F.md5("_cleaned")).alias("cleaned_md5"),
+    )
+
+
+def c4_lined_page(docs: DataFrame) -> DataFrame:
+    """Deterministic lined-page synthesis (both engines build the exact
+    same page; see the module comment above)."""
+    did = F.col("doc_id")
+    lorem = F.when(
+        did % 7 == 0, F.lit("Lorem ipsum dolor sit amet consectetur.\n")
+    ).otherwise(F.lit(""))
+    brace = F.when(
+        did % 11 == 3, F.lit("function f() { return 1; }\n")
+    ).otherwise(F.lit(""))
+    js = F.when(
+        did % 5 == 2,
+        F.lit("please enable javascript to view this page.\n"),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.replace(
+            F.replace(F.col("text"), F.lit(" the "), F.lit(".\n")),
+            F.lit(" data "),
+            F.lit("\n"),
+        ),
+        F.lit("."),
+    )
+    return docs.select(
+        "doc_id", F.concat(lorem, brace, js, body).alias("t0")
+    )
+
+
+_C4_LINE_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'Lorem ipsum dolor sit amet consectetur.' || chr(10)
+                ELSE '' END
+           || CASE WHEN doc_id % 11 = 3
+                THEN 'function f() { return 1; }' || chr(10)
+                ELSE '' END
+           || CASE WHEN doc_id % 5 = 2
+                THEN 'please enable javascript to view this page.' || chr(10)
+                ELSE '' END
+           || replace(replace(text, ' the ', '.' || chr(10)),
+                      ' data ', chr(10)) || '.' AS t0
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, t0,
+           string_split(t0, chr(10)) AS ls,
+           list_filter(string_split(t0, chr(10)),
+                       l -> right(l, 1) IN ('.', '!', '?', '"')
+                        AND len(string_split(l, ' ')) >= 3
+                        AND NOT contains(lower(l), 'javascript')) AS kl
+    FROM base
+),
+flags AS (
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kl) AS BIGINT) AS n_kept,
+           contains(lower(t0), 'lorem ipsum') AS has_lorem,
+           contains(t0, '{') AS has_brace,
+           array_to_string(kl, chr(10)) AS cleaned
+    FROM kept
+)
+SELECT doc_id, n_lines, n_kept, has_lorem, has_brace,
+       (NOT has_lorem AND NOT has_brace AND n_kept >= 5) AS kept_doc,
+       CASE WHEN NOT has_lorem AND NOT has_brace AND n_kept >= 5
+            THEN md5(cleaned) END AS cleaned_md5
+FROM flags
+"""
+
+
+@register_supplementary(
+    "c4_line_cleanup", _C4_LINE_ORACLE, tags=("pipeline", "text")
+)
+def c4_line_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X202: C4 line-level cleanup (Raffel et al. 2020 §2.2) — per
+    page: line counts before/after the line rules (terminal
+    punctuation, >= 3 words, no 'javascript'), the page-level drop
+    flags (lorem ipsum / curly bracket / fewer than 5 kept lines), and
+    the md5 of the cleaned page for kept docs. Scan-parallel, zero
+    shuffle — the whole stage is codegen string work plus one
+    projected HOF filter per page, so at 100 TB it rides the scan
+    exactly like the blocklist and Gopher stages (extension; module
+    comment above documents the deterministic page synthesis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return c4_line_stats_frame(c4_lined_page(docs))
+
+
+# ---------------------------------------------------------------------------
 # intra-document repetition profile (Gopher-style repetition signals:
 # "Scaling Language Models" app. A: duplicate n-gram fraction, top
 # n-gram fraction). Extension beyond the reference surface.

@@ -807,3 +807,15 @@ def test_budget_select_exchanges_are_narrow(spark, sf_dir):
     plan = physical_plan(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "text" not in plan.split("Exchange hashpartitioning")[-1][:400], plan
+
+
+def test_c4_line_cleanup_scan_only(spark, sf_dir):
+    # X202 is pure codegen string work + one projected HOF filter per
+    # page: ONE parquet scan, zero exchanges, zero joins, no Python
+    # anywhere — at 100 TB the stage rides the scan like blocklist.
+    df = _q("c4_line_cleanup", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -147,3 +147,49 @@ def test_semdedup_matches_numpy_reference(spark, vecs):
             )
             want[vid] = (cell, pruned)
     assert got == want
+
+
+def test_c4_line_rules_crafted_frame(spark):
+    """Each C4 rule pinned on a crafted page (the source_overlap
+    lesson: never let the synthesized fixture be the only gate).
+    Pages: (1) clean 5-line page kept; (2) javascript line dropped,
+    page falls under 5 kept lines; (3) lorem-ipsum page dropped with
+    lines intact; (4) brace page dropped; (5) short/unterminated
+    lines dropped; (6) NULL page propagates NULLs (the null-text-doc
+    convention)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        c4_line_stats_frame,
+    )
+
+    good = "one two three.\n" * 4 + "one two three."
+    pages = [
+        (1, good),
+        (2, "enable JavaScript now please.\n" + good),
+        (3, "contains Lorem Ipsum here.\n" + good),
+        (4, "brace { here we go.\n" + good),
+        (5, "too short.\nno terminal punct here\n" + good),
+        (6, None),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, t0 string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in c4_line_stats_frame(df).collect()
+    }
+    assert got[1]["n_lines"] == 5 and got[1]["n_kept"] == 5
+    assert got[1]["kept_doc"] and got[1]["cleaned_md5"] is not None
+    # the javascript LINE is dropped (terminal punct + words pass)
+    assert got[2]["n_lines"] == 6 and got[2]["n_kept"] == 5
+    assert got[2]["kept_doc"]
+    # lorem ipsum kills the PAGE even though every line passes
+    assert got[3]["n_kept"] == 6 and not got[3]["kept_doc"]
+    assert got[3]["has_lorem"] and got[3]["cleaned_md5"] is None
+    # curly bracket kills the page (the line itself passes the line
+    # rules — page-level and line-level verdicts are independent)
+    assert got[4]["n_kept"] == 6 and not got[4]["kept_doc"]
+    assert got[4]["has_brace"]
+    # <3-word and unterminated lines are dropped at the line level
+    assert got[5]["n_lines"] == 7 and got[5]["n_kept"] == 5
+    assert got[5]["kept_doc"]
+    # NULL page: every stat NULL, no crash
+    assert got[6]["n_lines"] is None and got[6]["kept_doc"] is None
+    assert got[6]["cleaned_md5"] is None
