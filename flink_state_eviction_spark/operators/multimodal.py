@@ -30,7 +30,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -439,6 +439,67 @@ def wav_frame_energy(media_df: DataFrame, frame: int = 64) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(op, WAV_FRAME_SCHEMA)
+
+
+VAD_ENERGY_THRESHOLD = 1 << 24  # half-scale RMS over a 64-sample frame
+
+
+def wav_activity_segments(
+    media_df: DataFrame,
+    frame: int = 64,
+    threshold: int = VAD_ENERGY_THRESHOLD,
+) -> DataFrame:
+    """Voice-activity segmentation over REAL-decoded WAV media: frames
+    from :func:`wav_frame_energy` are classified active/silent against
+    an exact integer energy threshold, and consecutive same-class
+    frames collapse into segments (the gaps-and-islands shape every
+    audio pipeline's silence-trim / VAD stage needs). Extension beyond
+    the reference surface.
+
+    One window SPEC does all the sequence work — ``lag`` detects class
+    changes and a running sum numbers the islands over the same
+    (doc_id, frame_idx) ordering — so the plan carries exactly one
+    sort/exchange by doc_id before the per-segment aggregate.
+    Partitions are per-clip (frame count bounded by clip length), so
+    at 100 TB the window never sees a skewed or unbounded group."""
+    w_doc = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = wav_frame_energy(media_df, frame).select(
+        "doc_id",
+        "frame_idx",
+        "energy_sum",
+        (F.col("energy_sum") >= F.lit(int(threshold))).alias("is_active"),
+    )
+    prev = F.lag("is_active").over(w_doc)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("is_active")), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = flagged.select(
+        "doc_id",
+        "frame_idx",
+        "energy_sum",
+        "is_active",
+        F.sum(chg)
+        .over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_seg"),
+    )
+    return (
+        runs.groupBy("doc_id", "_seg", "is_active")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("energy_sum").alias("energy_total"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_seg") - 1).cast("long").alias("seg_idx"),
+            "is_active",
+            "start_frame",
+            "end_frame",
+            "n_frames",
+            "energy_total",
+        )
+    )
 
 
 TILE_SCHEMA = (

@@ -3923,6 +3923,95 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X203: voice-activity segmentation over the decoded WAV corpus — the
+# gaps-and-islands stage between the frame-energy profile above and any
+# silence-trim / speech-extract transform. The oracle regenerates every
+# sample from the fixture's generator formula (the multimodal_wav_energy
+# convention), then runs the identical lag + running-sum island
+# numbering, so BOTH the decoder chain and the segmentation algebra are
+# checked bit-for-bit.
+
+_WAV_VAD_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, h % 300 + 10 AS n, d
+    FROM m
+),
+sm AS (
+    SELECT doc_id, d,
+           unnest(generate_series(0, n - 1)) AS i
+    FROM dims
+),
+fr AS (
+    SELECT doc_id,
+           CAST(i // 64 AS INTEGER) AS frame_idx,
+           CAST(SUM((((d * 31 + i * 7) % 2048) - 1024)
+                    * (((d * 31 + i * 7) % 2048) - 1024)) AS BIGINT)
+               AS energy_sum
+    FROM sm GROUP BY doc_id, i // 64
+),
+fl AS (
+    SELECT doc_id, frame_idx, energy_sum,
+           energy_sum >= 16777216 AS is_active
+    FROM fr
+),
+ch AS (
+    SELECT doc_id, frame_idx, energy_sum, is_active,
+           CASE WHEN lag(is_active) OVER w IS NULL
+                  OR lag(is_active) OVER w <> is_active
+                THEN 1 ELSE 0 END AS chg
+    FROM fl
+    WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+),
+rn AS (
+    SELECT doc_id, frame_idx, energy_sum, is_active,
+           SUM(chg) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                          ROWS UNBOUNDED PRECEDING) AS seg
+    FROM ch
+)
+SELECT doc_id,
+       CAST(seg - 1 AS BIGINT) AS seg_idx,
+       is_active,
+       MIN(frame_idx) AS start_frame,
+       MAX(frame_idx) AS end_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(energy_sum) AS BIGINT) AS energy_total
+FROM rn
+GROUP BY doc_id, seg, is_active
+"""
+
+
+@register_supplementary(
+    "multimodal_wav_vad_segments",
+    _WAV_VAD_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_wav_vad_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X203: voice-activity segments per audio clip — consecutive
+    64-sample frames classified active/silent against an exact integer
+    energy threshold (2^24 = half-scale RMS) and collapsed into runs
+    with start/end frame, frame count, and total energy
+    (operators/multimodal.py:wav_activity_segments). ONE window
+    exchange by doc_id does lag + island numbering; partitions are
+    per-clip so the window group is bounded by clip length at any
+    corpus size."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        wav_activity_segments,
+        wav_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_activity_segments(wav_media_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
 # asymmetric containment dedup (doc embedded in doc)
 
 _CONTAINMENT_ORACLE = f"""

@@ -819,3 +819,17 @@ def test_c4_line_cleanup_scan_only(spark, sf_dir):
     assert plan.count("Exchange") == 0, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_wav_vad_single_window_exchange(spark, sf_dir):
+    # X203: the lag and running-sum Window nodes are sequential by
+    # data dependence but share the (doc_id, frame_idx) spec, so the
+    # whole sequence pass costs ONE sort over ONE hash exchange by
+    # doc_id — and the per-segment aggregate's keys start with doc_id,
+    # so it reuses that partitioning (partial+final, no new shuffle).
+    df = _q("multimodal_wav_vad_segments", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Window") == 2, plan
+    assert plan.count("Sort") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan

@@ -193,3 +193,42 @@ def test_c4_line_rules_crafted_frame(spark):
     # NULL page: every stat NULL, no crash
     assert got[6]["n_lines"] is None and got[6]["kept_doc"] is None
     assert got[6]["cleaned_md5"] is None
+
+
+def test_wav_vad_segments_crafted_payload(spark):
+    """X203 segmentation pinned on a crafted PCM16 WAV with a known
+    silence/active layout: 64 zeros | 64 full-scale | 128 zeros | a
+    32-sample full-scale tail. Full-scale frames carry 64 * 16384^2
+    (tail: 32 * 16384^2) energy — above the 2^24 threshold; zero
+    frames are silent. Expect 4 segments: [0,0] silent, [1,1] active,
+    [2,3] silent, [4,4] active (tail frame)."""
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import encode_wav
+    from flink_state_eviction_spark.operators.multimodal import (
+        wav_activity_segments,
+    )
+
+    s = np.concatenate(
+        [
+            np.zeros(64, dtype=np.int16),
+            np.full(64, 16384, dtype=np.int16),
+            np.zeros(128, dtype=np.int16),
+            np.full(32, 16384, dtype=np.int16),
+        ]
+    )
+    media = spark.createDataFrame(
+        [(7, bytearray(encode_wav(s, 8000)))], "doc_id long, media binary"
+    )
+    rows = sorted(
+        (r["seg_idx"], r["is_active"], r["start_frame"], r["end_frame"],
+         r["n_frames"], r["energy_total"])
+        for r in wav_activity_segments(media).collect()
+    )
+    full, tail = 64 * 16384**2, 32 * 16384**2
+    assert rows == [
+        (0, False, 0, 0, 1, 0),
+        (1, True, 1, 1, 1, full),
+        (2, False, 2, 3, 2, 0),
+        (3, True, 4, 4, 1, tail),
+    ]
