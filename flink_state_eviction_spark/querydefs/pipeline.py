@@ -4012,6 +4012,70 @@ def multimodal_wav_vad_segments(
 
 
 # ---------------------------------------------------------------------------
+# X204: header-only image metadata probe + LAION-style size/aspect
+# filter — width/height/bit-depth/file-size decoded from the REAL BMP
+# container bytes with pure JVM expressions (hex + substring + conv;
+# no pixel decode, no Python worker). The oracle derives every field
+# in closed form from the fixture generator (dims from the md5 prefix,
+# file size from the padded-stride BMP layout), so a wrong header
+# offset or a botched little-endian reorder breaks parity.
+
+_BMP_PROBE_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h
+    FROM documents
+),
+dims AS (
+    SELECT doc_id,
+           CAST(h % 12 + 1 AS BIGINT) AS width,
+           CAST(h % 10 + 1 AS BIGINT) AS height
+    FROM m
+),
+geo AS (
+    SELECT doc_id, width, height,
+           greatest(width, height) * 1000 // least(width, height)
+               AS aspect_milli,
+           least(width, height) AS min_side
+    FROM dims
+)
+SELECT doc_id,
+       TRUE AS sig_ok,
+       CAST(54 + ((width * 3 + 3) // 4) * 4 * height AS BIGINT)
+           AS file_size,
+       width, height,
+       CAST(24 AS BIGINT) AS bpp,
+       CAST(aspect_milli AS BIGINT) AS aspect_milli,
+       (min_side >= 4 AND aspect_milli <= 2000) AS keep
+FROM geo
+"""
+
+
+@register_supplementary(
+    "multimodal_image_header_filter",
+    _BMP_PROBE_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_image_header_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X204: LAION-style image size/aspect filter from the container
+    HEADER only (operators/multimodal.py:bmp_header_probe) — at web
+    scale the dimension filter drops a large fraction of images before
+    any pixel decode, and this probe runs it in whole-stage codegen
+    with zero Python hops and zero pixel reads. Fields parsed from the
+    real bytes: magic, file size, width, height, bits-per-pixel; keep
+    = min side >= 4 and aspect <= 2.0 (fixture-scaled thresholds)."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_header_probe,
+        bmp_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bmp_header_probe(bmp_media_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
 # asymmetric containment dedup (doc embedded in doc)
 
 _CONTAINMENT_ORACLE = f"""

@@ -833,3 +833,15 @@ def test_wav_vad_single_window_exchange(spark, sf_dir):
     assert plan.count("Sort") == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_image_header_filter_no_python_no_exchange(spark, sf_dir):
+    # X204's whole point: the size/aspect filter reads container bytes
+    # with JVM expressions — the ONLY Python node in the plan is the
+    # fixture's media generator, and nothing shuffles.
+    df = _q("multimodal_image_header_filter", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("MapInPandas") == 1, plan  # the generator only
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan, plan

@@ -232,3 +232,49 @@ def test_wav_vad_segments_crafted_payload(spark):
         (2, False, 2, 3, 2, 0),
         (3, True, 4, 4, 1, tail),
     ]
+
+
+def test_bmp_header_probe_crafted_payloads(spark):
+    """X204 pinned on crafted containers: a real 8x4 BMP (keep), a
+    5x15 BMP (aspect 3000 > 2000, dropped), a 2x10 BMP (min side,
+    dropped), wrong-magic bytes and a truncated buffer (NULL fields,
+    keep=false — never an executor error)."""
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import encode_bmp
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_header_probe,
+    )
+
+    def bmp(w, h):
+        return bytearray(
+            encode_bmp(np.zeros((h, w, 3), dtype=np.uint8))
+        )
+
+    media = spark.createDataFrame(
+        [
+            (1, bmp(8, 4)),
+            (2, bmp(5, 15)),
+            (3, bmp(2, 10)),
+            (4, bytearray(b"GIF89a" + bytes(40))),
+            (5, bytearray(b"BM\x01")),
+        ],
+        "doc_id long, media binary",
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in bmp_header_probe(media).collect()
+    }
+    assert got[1]["sig_ok"] and got[1]["keep"]
+    assert (got[1]["width"], got[1]["height"], got[1]["bpp"]) == (8, 4, 24)
+    # stride(8*3=24, already 4-aligned) * 4 rows + 54-byte headers
+    assert got[1]["file_size"] == 54 + 24 * 4
+    assert got[1]["aspect_milli"] == 2000
+    assert got[2]["sig_ok"] and not got[2]["keep"]
+    assert got[2]["aspect_milli"] == 3000
+    assert got[3]["sig_ok"] and not got[3]["keep"]
+    # 2*3=6 -> padded stride 8
+    assert got[3]["file_size"] == 54 + 8 * 10
+    assert not got[4]["sig_ok"] and not got[4]["keep"]
+    assert got[4]["width"] is None and got[4]["file_size"] is None
+    assert not got[5]["sig_ok"] and not got[5]["keep"]
+    assert got[5]["width"] is None
