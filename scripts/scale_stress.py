@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,r8f,vdiff",
+        "r8,r8b,r8c,r8d,r8e,r8f,r8g,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -344,6 +344,13 @@ def main() -> None:
         if "r8f" in only:
             # X159 scoring pass + distinct-(feed,score) count shuffle
             rec["source_relative_quality_cut_sec"] = timed(lambda: all_qs["source_relative_quality_cut"](spark, d))
+        if "r8g" in only:
+            # X202 scan-only line rules; X203 decode + one doc_id
+            # window; X204 header-only probe (decode volume is the
+            # law for vad, codegen string/byte work for the others)
+            rec["c4_line_cleanup_sec"] = timed(lambda: all_qs["c4_line_cleanup"](spark, d))
+            rec["multimodal_wav_vad_segments_sec"] = timed(lambda: all_qs["multimodal_wav_vad_segments"](spark, d))
+            rec["multimodal_image_header_filter_sec"] = timed(lambda: all_qs["multimodal_image_header_filter"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path
