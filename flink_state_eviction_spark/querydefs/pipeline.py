@@ -3421,26 +3421,56 @@ def decontaminate_benchmark_overlap(
     inventory ever outgrows broadcast, swap the join for a bloom-filter
     prefilter + shuffled semi join; nothing else changes."""
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    return decontam_doc_flags(docs, benchmark_gram_census(docs)).drop(
+        "source"
+    )
+
+
+def _doc_distinct_5grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, gs): each doc's DISTINCT word 5-grams."""
+    words = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("words")
+    )
     gram_expr = F.expr(
         "transform(sequence(1, size(words) - 4), i -> concat("
         "words[i - 1], ' ', words[i], ' ', words[i + 1], ' ',"
         " words[i + 2], ' ', words[i + 3]))"
     )
-    grams = words.select(
+    return words.select(
         "doc_id",
+        "source",
         F.array_distinct(
             F.when(F.size("words") >= 5, gram_expr).otherwise(
                 F.array().cast("array<string>")
             )
         ).alias("gs"),
     )
-    doc_g = grams.select("doc_id", F.explode("gs").alias("gram"))
-    bench_g = (
-        doc_g.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+
+
+def benchmark_gram_census(docs: DataFrame) -> DataFrame:
+    """The FROZEN benchmark side: the distinct 5-gram inventory of the
+    deterministic doc_id % 97 == 0 slice (the fixture's stand-in for a
+    real eval suite). Bounded by the benchmark, not the corpus — build
+    once, broadcast everywhere (or store to parquet for a streaming
+    maintainer: streaming/decontam_maintain.py)."""
+    return (
+        _doc_distinct_5grams(docs)
+        .where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("gs").alias("gram"))
+        .distinct()
     )
+
+
+def decontam_doc_flags(docs: DataFrame, bench_g: DataFrame) -> DataFrame:
+    """Frame-level decontamination kernel — the ONE kernel shared by
+    the per-doc query above, the X205 scorecard, and the streaming
+    maintainer. Returns (doc_id, source, n_grams, n_overlap,
+    overlap_frac, is_contaminated) for every doc in ``docs`` scored
+    against the (bounded, broadcast) benchmark gram inventory."""
+    grams = _doc_distinct_5grams(docs)
+    doc_g = grams.select("doc_id", F.explode("gs").alias("gram"))
     tot = grams.select(
-        "doc_id", F.size("gs").cast("long").alias("n_grams")
+        "doc_id", "source", F.size("gs").cast("long").alias("n_grams")
     )
     hit = (
         doc_g.join(F.broadcast(bench_g), "gram")
@@ -3454,10 +3484,112 @@ def decontaminate_benchmark_overlap(
     )
     return out.select(
         "doc_id",
+        "source",
         "n_grams",
         F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_overlap"),
         frac.alias("overlap_frac"),
         (frac >= 0.5).alias("is_contaminated"),
+    )
+
+
+def contamination_partials(
+    docs: DataFrame, bench_g: DataFrame
+) -> DataFrame:
+    """Per-source PARTIAL sums of the decontamination flags —
+    associative, so the streaming maintainer folds them per batch."""
+    return decontam_doc_flags(docs, bench_g).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("is_contaminated").cast("bigint"))
+        .cast("bigint")
+        .alias("n_contaminated"),
+        F.sum("n_grams").cast("bigint").alias("total_grams"),
+        F.sum("n_overlap").cast("bigint").alias("total_overlap"),
+    )
+
+
+def contamination_scorecard_from_partials(partials: DataFrame) -> DataFrame:
+    """The serving tail: ppm is derived only AFTER the final sum, so
+    maintained partials reproduce the batch scorecard bit-for-bit."""
+    return partials.select(
+        "source",
+        "n_docs",
+        "n_contaminated",
+        "total_grams",
+        "total_overlap",
+        F.expr("n_contaminated * 1000000 div n_docs").alias(
+            "contaminated_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X205: per-source contamination scorecard — the observability table a
+# decontamination run reports (which feed is leaking eval data, and how
+# badly). Same kernel as the per-doc query; per-source exact integer
+# sums + a ppm rate derived after the fold (maintainer-compatible:
+# streaming/decontam_maintain.py serves this bit-equal from state).
+
+_CONTAM_SCORECARD_ORACLE = """
+WITH g AS (
+    SELECT doc_id, source, string_split(text, ' ') AS words
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, source,
+           list_distinct(
+               [words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]
+                || ' ' || words[i + 3] || ' ' || words[i + 4]
+                FOR i IN range(1, len(words) - 3)]) AS gs
+    FROM g
+),
+doc_g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+bench_g AS (SELECT DISTINCT gram FROM doc_g WHERE doc_id % 97 = 0),
+tot AS (SELECT doc_id, source, CAST(len(gs) AS BIGINT) AS n_grams
+        FROM grams),
+hit AS (
+    SELECT d.doc_id, COUNT(*) AS n_hit
+    FROM doc_g d JOIN bench_g b USING (gram)
+    GROUP BY 1
+),
+per_doc AS (
+    SELECT t.doc_id, t.source, t.n_grams,
+           COALESCE(h.n_hit, 0) AS n_overlap,
+           (CASE WHEN t.n_grams = 0 THEN 0.0
+                 ELSE CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                      / CAST(t.n_grams AS DOUBLE) END >= 0.5) AS is_c
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(n_overlap) AS BIGINT) AS total_overlap,
+       CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS contaminated_ppm
+FROM per_doc GROUP BY source
+"""
+
+
+@register_supplementary(
+    "source_contamination_scorecard",
+    _CONTAM_SCORECARD_ORACLE,
+    tags=("pipeline", "text"),
+)
+def source_contamination_scorecard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X205: per-source contamination scorecard — for every feed, the
+    doc count, contaminated-doc count, exact gram/overlap totals, and
+    the contamination rate in ppm (integer div, exact). Rides the
+    decontamination kernel (benchmark inventory broadcast, corpus
+    grams never shuffle) plus ONE |sources|-row aggregation; ppm is
+    derived after the fold so the streaming maintainer
+    (streaming/decontam_maintain.py) serves this table bit-equal from
+    per-batch partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_scorecard_from_partials(
+        contamination_partials(docs, benchmark_gram_census(docs))
     )
 
 

@@ -1,0 +1,111 @@
+"""Streaming twin for the per-source contamination scorecard (X205):
+an always-ingesting corpus is scored per micro-batch against a FROZEN
+benchmark 5-gram inventory, and the scorecard serves from maintained
+per-source partials.
+
+Two-artifact shape (the X200 frozen-reference pattern + the X191
+partials pattern):
+
+- ``freeze_benchmark_census`` — build the benchmark gram inventory
+  ONCE (it is eval-suite-bounded, not corpus-bounded) and store it to
+  parquet; every batch scores against the stored artifact, so the
+  maintainer never re-derives the benchmark side.
+- ``decontam_maintain_batch`` — ``foreachBatch`` body: the batch's
+  per-source partials (the SAME `contamination_partials` kernel the
+  batch query uses) land in an idempotent ``batch=<id>`` partition;
+  redelivery overwrites its own partition, at-least-once safe.
+- ``partials_from_state`` / ``scorecard_from_state`` — serving: summed
+  partials through the SAME `contamination_scorecard_from_partials`
+  tail. The ppm rate is derived only AFTER the final sum, so once the
+  whole corpus has streamed in the table is BIT-EQUAL to the batch
+  `source_contamination_scorecard`
+  (tests/test_streaming_decontam_maintain.py) — the maintainer
+  family's final-state equivalence contract. A feed whose
+  contamination ppm jumps between crawls started scraping eval hosts;
+  serve after every batch and watch the trajectory.
+
+Scale shape: state is |sources| rows PER BATCH regardless of batch
+size (the partial aggregation runs inside the batch); the census read
+is benchmark-bounded and broadcast into each batch's join; compaction
+folds are re-sums under the commit-log-safe contract
+(streaming/compaction.py).
+
+Extension beyond the reference surface (twins the batch X205 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUM_COLS = ("n_docs", "n_contaminated", "total_grams", "total_overlap")
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("source").agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in _SUM_COLS]
+    )
+
+
+def freeze_benchmark_census(docs: DataFrame, census_dir: str) -> None:
+    """Build + store the benchmark gram inventory (module docstring).
+    Run once before the stream starts; batches score against the
+    stored artifact."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        benchmark_gram_census,
+    )
+
+    benchmark_gram_census(docs).write.mode("overwrite").parquet(census_dir)
+
+
+def decontam_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    census_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of scorecard maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id. ``batch_df``
+    must carry (doc_id, source, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        contamination_partials,
+    )
+
+    census = batch_df.sparkSession.read.parquet(census_dir)
+    contamination_partials(batch_df, census).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "contam", f"batch={batch_id}"))
+
+
+def compact_decontam_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — partials are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "contam"), through_batch, _fold
+    )
+
+
+def partials_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained per-source partials: sums over batch partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "contam")))
+
+
+def scorecard_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The scorecard from the MAINTAINED partials through the shared
+    tail — same output shape as `source_contamination_scorecard`;
+    bit-equal once the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        contamination_scorecard_from_partials,
+    )
+
+    return contamination_scorecard_from_partials(
+        partials_from_state(spark, state_dir)
+    )

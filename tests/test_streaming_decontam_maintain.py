@@ -1,0 +1,112 @@
+"""Streaming twin for the per-source contamination scorecard (X205/
+X206): serving from the maintained partials — each batch scored
+against the FROZEN benchmark census — must reproduce the batch
+`source_contamination_scorecard` bit-for-bit; redelivered batches must
+not change the state; compaction preserves it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.decontam_maintain import (
+    compact_decontam_state,
+    decontam_maintain_batch,
+    freeze_benchmark_census,
+    partials_from_state,
+    scorecard_from_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {
+        (
+            r["source"],
+            r["n_docs"],
+            r["n_contaminated"],
+            r["total_grams"],
+            r["total_overlap"],
+            r["contaminated_ppm"],
+        )
+        for r in df.collect()
+    }
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+
+def test_streaming_contam_scorecard_matches_batch(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    census = os.path.join(str(tmp_path), "census")
+    freeze_benchmark_census(docs, census)
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "contam-state")
+
+    def upd(batch_df, batch_id):
+        decontam_maintain_batch(batch_df, state, census, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(scorecard_from_state(spark, state))
+    want = _rows(
+        all_queries()["source_contamination_scorecard"](spark, sf_dir)
+    )
+    assert got == want and got
+    # the benchmark slice self-verifies: its docs overlap themselves,
+    # so SOME source must report contamination (non-vacuous gate)
+    assert any(r[2] > 0 for r in got)
+
+
+def test_contam_redelivery_and_compaction_preserve_state(
+    spark, sf_dir, tmp_path
+):
+    docs = _docs(spark, sf_dir)
+    census = os.path.join(str(tmp_path), "census")
+    freeze_benchmark_census(docs, census)
+    n = docs.count()
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, docs.where(F.col("doc_id") < cut1)),
+        (1, docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, docs.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "contam-state")
+    for bid, b in batches:
+        decontam_maintain_batch(b, state, census, bid)
+
+    def snapshot():
+        return {
+            tuple(r) for r in partials_from_state(spark, state).collect()
+        }
+
+    once = snapshot()
+    # at-least-once redelivery: overwrites only its own partition
+    decontam_maintain_batch(batches[1][1], state, census, 1)
+    decontam_maintain_batch(batches[1][1], state, census, 1)
+    assert snapshot() == once
+
+    # compaction only BELOW the max committed batch (commit log seals
+    # earlier ids); folds preserve the summed state
+    with pytest.raises(ValueError):
+        compact_decontam_state(spark, state, 2)
+    compact_decontam_state(spark, state, 1)
+    assert snapshot() == once
+    decontam_maintain_batch(batches[2][1], state, census, 2)
+    assert snapshot() == once
