@@ -445,6 +445,24 @@ IMAGE_MIN_SIDE = 4  # LAION-style size floor (fixture dims are 1..12)
 IMAGE_MAX_ASPECT_MILLI = 2000  # max(w,h)/min(w,h) <= 2.0, in milli
 
 
+def _le_uint(pos: int, nbytes: int):
+    """Little-endian unsigned int read from the `media` binary column:
+    hex() of the nbytes-wide slice, byte-reversed pairs -> big-endian
+    hex -> conv base16. Pure whole-stage codegen, no Python."""
+    h = F.hex(F.substring(F.col("media"), pos, nbytes))
+    be = F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+    )
+    return F.conv(be, 16, 10).cast("long")
+
+
+def _tag_at(pos: int, ascii_tag: str):
+    """True when the byte slice at ``pos`` equals the ASCII tag."""
+    return F.hex(
+        F.substring(F.col("media"), pos, len(ascii_tag))
+    ) == ascii_tag.encode().hex().upper()
+
+
 def bmp_header_probe(media_df: DataFrame) -> DataFrame:
     """Header-only image metadata probe: width/height/bit-depth/file
     size read straight from the BMP container bytes with PURE JVM
@@ -462,27 +480,14 @@ def bmp_header_probe(media_df: DataFrame) -> DataFrame:
 
     Malformed payloads (wrong magic, truncated header) yield NULL
     fields and keep=false — never an executor error."""
-
-    def le_uint(pos: int, nbytes: int):
-        # hex() of the nbytes-wide slice, then byte-reversed pairs ->
-        # big-endian hex string -> conv base16. All codegen.
-        h = F.hex(F.substring(F.col("media"), pos, nbytes))
-        be = F.concat(
-            *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
-        )
-        return F.conv(be, 16, 10).cast("long")
-
-    parseable = (
-        (F.length("media") >= 30)
-        & (F.hex(F.substring(F.col("media"), 1, 2)) == "424D")
-    )
+    parseable = (F.length("media") >= 30) & _tag_at(1, "BM")
     probed = media_df.select(
         "doc_id",
         parseable.alias("sig_ok"),
-        F.when(parseable, le_uint(3, 4)).alias("file_size"),
-        F.when(parseable, le_uint(19, 4)).alias("width"),
-        F.when(parseable, le_uint(23, 4)).alias("height"),
-        F.when(parseable, le_uint(29, 2)).alias("bpp"),
+        F.when(parseable, _le_uint(3, 4)).alias("file_size"),
+        F.when(parseable, _le_uint(19, 4)).alias("width"),
+        F.when(parseable, _le_uint(23, 4)).alias("height"),
+        F.when(parseable, _le_uint(29, 2)).alias("bpp"),
     )
     w, h = F.col("width"), F.col("height")
     staged = probed.select(
@@ -505,6 +510,73 @@ def bmp_header_probe(media_df: DataFrame) -> DataFrame:
             F.col("sig_ok")
             & (F.col("_l") >= IMAGE_MIN_SIDE)
             & (aspect_milli <= IMAGE_MAX_ASPECT_MILLI),
+            F.lit(False),
+        ).alias("keep"),
+    )
+
+
+AUDIO_MIN_DURATION_MS = 10
+AUDIO_SR_RANGE = (8000, 48000)
+
+
+def wav_header_probe(media_df: DataFrame) -> DataFrame:
+    """Header-only audio metadata probe: sample rate, channels, bit
+    depth, byte rate, payload size, and integer-exact duration read
+    from the CANONICAL RIFF/WAV layout (RIFF | WAVE | 16-byte 'fmt ' |
+    'data') with pure JVM expressions — zero sample decode, zero
+    Python. The audio twin of :func:`bmp_header_probe`: at 100 TB the
+    duration/sample-rate filter drops clips at parquet scan speed and
+    the PCM decode stage runs only on survivors.
+
+    The probe validates every tag it relies on ('RIFF', 'WAVE',
+    'fmt ', the 16-byte fmt size, 'data' at its canonical offset);
+    anything non-canonical (extended fmt, extra chunks, truncation,
+    wrong magic) yields NULL fields and keep=false and is routed to
+    the general chunk-walking decoder (functions/codecs.py:decode_wav)
+    — the fast path covers canonical writers, never guesses on the
+    rest. Keep rule: mono PCM16, sample rate within bounds, duration
+    >= the floor. Extension beyond the reference surface."""
+    canonical = (
+        (F.length("media") >= 44)
+        & _tag_at(1, "RIFF")
+        & _tag_at(9, "WAVE")
+        & _tag_at(13, "fmt ")
+        & (_le_uint(17, 4) == 16)
+        & _tag_at(37, "data")
+    )
+    probed = media_df.select(
+        "doc_id",
+        canonical.alias("sig_ok"),
+        F.when(canonical, _le_uint(23, 2)).alias("channels"),
+        F.when(canonical, _le_uint(25, 4)).alias("sample_rate"),
+        F.when(canonical, _le_uint(29, 4)).alias("byte_rate"),
+        F.when(canonical, _le_uint(35, 2)).alias("bits"),
+        F.when(canonical, _le_uint(41, 4)).alias("data_bytes"),
+    )
+    staged = probed.select(
+        "*", (F.col("data_bytes") * 500).alias("_half_ms")
+    )
+    # PCM16 mono: samples = data_bytes/2, duration = samples*1000/sr —
+    # folded to one exact integer division (data_bytes * 500 div sr)
+    duration_ms = F.when(
+        F.col("sample_rate") > 0, F.expr("_half_ms div sample_rate")
+    )
+    lo, hi = AUDIO_SR_RANGE
+    return staged.select(
+        "doc_id",
+        "sig_ok",
+        "channels",
+        "sample_rate",
+        "byte_rate",
+        "bits",
+        "data_bytes",
+        duration_ms.alias("duration_ms"),
+        F.coalesce(
+            F.col("sig_ok")
+            & (F.col("channels") == 1)
+            & (F.col("bits") == 16)
+            & F.col("sample_rate").between(lo, hi)
+            & (duration_ms >= AUDIO_MIN_DURATION_MS),
             F.lit(False),
         ).alias("keep"),
     )

@@ -3421,29 +3421,40 @@ def decontaminate_benchmark_overlap(
     inventory ever outgrows broadcast, swap the join for a bloom-filter
     prefilter + shuffled semi join; nothing else changes."""
     docs = load_table(spark, sf_dir, "documents")
-    return decontam_doc_flags(docs, benchmark_gram_census(docs)).drop(
+    grams = _doc_distinct_5grams(docs).localCheckpoint(eager=False)
+    return _decontam_flags_from_grams(grams, _census_from_grams(grams)).drop(
         "source"
     )
 
 
 def _doc_distinct_5grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, gs): each doc's DISTINCT word 5-grams."""
+    """(doc_id, source, gs): each doc's DISTINCT word 5-grams — one
+    Arrow pack pass (shingle_strings_udf is " ".join per window, so
+    the output is bit-identical to the interpreted HOF by
+    construction) + a JVM array_distinct. The interpreted variant
+    measured 110.9 s at x10 because the gram subtree fed three
+    consumers (totals, hits, census) with no CSE — the shared-kernel
+    callers checkpoint THIS frame once instead."""
+    from flink_state_eviction_spark.functions.text import (
+        shingle_strings_udf,
+    )
+
     words = docs.select(
-        "doc_id", "source", F.split("text", " ").alias("words")
+        "doc_id", "source", F.split("text", " ").alias("_w")
     )
-    gram_expr = F.expr(
-        "transform(sequence(1, size(words) - 4), i -> concat("
-        "words[i - 1], ' ', words[i], ' ', words[i + 1], ' ',"
-        " words[i + 2], ' ', words[i + 3]))"
+    packed = words.select(
+        "doc_id", "source", shingle_strings_udf(5)("_w").alias("_sh")
     )
-    return words.select(
-        "doc_id",
-        "source",
-        F.array_distinct(
-            F.when(F.size("words") >= 5, gram_expr).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("gs"),
+    return packed.select(
+        "doc_id", "source", F.array_distinct("_sh").alias("gs")
+    )
+
+
+def _census_from_grams(grams: DataFrame) -> DataFrame:
+    return (
+        grams.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("gs").alias("gram"))
+        .distinct()
     )
 
 
@@ -3453,12 +3464,7 @@ def benchmark_gram_census(docs: DataFrame) -> DataFrame:
     real eval suite). Bounded by the benchmark, not the corpus — build
     once, broadcast everywhere (or store to parquet for a streaming
     maintainer: streaming/decontam_maintain.py)."""
-    return (
-        _doc_distinct_5grams(docs)
-        .where(F.col("doc_id") % 97 == 0)
-        .select(F.explode("gs").alias("gram"))
-        .distinct()
-    )
+    return _census_from_grams(_doc_distinct_5grams(docs))
 
 
 def decontam_doc_flags(docs: DataFrame, bench_g: DataFrame) -> DataFrame:
@@ -3466,8 +3472,16 @@ def decontam_doc_flags(docs: DataFrame, bench_g: DataFrame) -> DataFrame:
     the per-doc query above, the X205 scorecard, and the streaming
     maintainer. Returns (doc_id, source, n_grams, n_overlap,
     overlap_frac, is_contaminated) for every doc in ``docs`` scored
-    against the (bounded, broadcast) benchmark gram inventory."""
-    grams = _doc_distinct_5grams(docs)
+    against the (bounded, broadcast) benchmark gram inventory. The
+    gram frame is checkpointed once — it feeds BOTH the totals and the
+    hit counts (the no-CSE-across-subtrees gotcha)."""
+    grams = _doc_distinct_5grams(docs).localCheckpoint(eager=False)
+    return _decontam_flags_from_grams(grams, bench_g)
+
+
+def _decontam_flags_from_grams(
+    grams: DataFrame, bench_g: DataFrame
+) -> DataFrame:
     doc_g = grams.select("doc_id", F.explode("gs").alias("gram"))
     tot = grams.select(
         "doc_id", "source", F.size("gs").cast("long").alias("n_grams")
@@ -3497,7 +3511,11 @@ def contamination_partials(
 ) -> DataFrame:
     """Per-source PARTIAL sums of the decontamination flags —
     associative, so the streaming maintainer folds them per batch."""
-    return decontam_doc_flags(docs, bench_g).groupBy("source").agg(
+    return _partials_from_flags(decontam_doc_flags(docs, bench_g))
+
+
+def _partials_from_flags(flags: DataFrame) -> DataFrame:
+    return flags.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.col("is_contaminated").cast("bigint"))
         .cast("bigint")
@@ -3588,8 +3606,11 @@ def source_contamination_scorecard(
     (streaming/decontam_maintain.py) serves this table bit-equal from
     per-batch partials."""
     docs = load_table(spark, sf_dir, "documents")
+    grams = _doc_distinct_5grams(docs).localCheckpoint(eager=False)
     return contamination_scorecard_from_partials(
-        contamination_partials(docs, benchmark_gram_census(docs))
+        _partials_from_flags(
+            _decontam_flags_from_grams(grams, _census_from_grams(grams))
+        )
     )
 
 
@@ -4205,6 +4226,66 @@ def multimodal_image_header_filter(
 
     docs = load_table(spark, sf_dir, "documents")
     return bmp_header_probe(bmp_media_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# X207: the audio twin of X204 — RIFF/WAV header probe (sample rate,
+# channels, bit depth, exact integer duration) with zero sample decode
+# and zero Python; keep = mono PCM16 within sample-rate bounds and at
+# least 10 ms long. The oracle derives every field in closed form from
+# the fixture generator (rate from doc_id, sample count from the md5
+# prefix, RIFF layout arithmetic), so a wrong chunk offset or a missed
+# tag validation breaks parity.
+
+_WAV_PROBE_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+f AS (
+    SELECT doc_id,
+           CAST(8000 + (d % 5) * 1000 AS BIGINT) AS sample_rate,
+           CAST(2 * (h % 300 + 10) AS BIGINT) AS data_bytes
+    FROM m
+)
+SELECT doc_id,
+       TRUE AS sig_ok,
+       CAST(1 AS BIGINT) AS channels,
+       sample_rate,
+       sample_rate * 2 AS byte_rate,
+       CAST(16 AS BIGINT) AS bits,
+       data_bytes,
+       CAST(data_bytes * 500 // sample_rate AS BIGINT) AS duration_ms,
+       (data_bytes * 500 // sample_rate >= 10) AS keep
+FROM f
+"""
+
+
+@register_supplementary(
+    "multimodal_audio_header_filter",
+    _WAV_PROBE_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_audio_header_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X207: audio duration/rate filter from the RIFF header only
+    (operators/multimodal.py:wav_header_probe) — canonical-layout tags
+    validated, fields little-endian-decoded in whole-stage codegen,
+    duration as one exact integer division; non-canonical payloads get
+    NULL fields and keep=false (routed to the chunk-walking decoder).
+    The fixture's clips are all mono PCM16 at 8-12 kHz, so the keep
+    column exercises the duration floor; the crafted-payload pytest
+    exercises every reject path."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        wav_header_probe,
+        wav_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_header_probe(wav_media_from_documents(docs))
 
 
 # ---------------------------------------------------------------------------

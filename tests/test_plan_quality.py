@@ -845,3 +845,27 @@ def test_image_header_filter_no_python_no_exchange(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange") == 0, plan
     assert "Join" not in plan, plan
+
+
+def test_audio_header_filter_no_python_no_exchange(spark, sf_dir):
+    # X207, same contract as the image probe: the ONLY Python node is
+    # the fixture's media generator; the probe itself is codegen.
+    df = _q("multimodal_audio_header_filter", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("MapInPandas") == 1, plan  # the generator only
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_contamination_scorecard_census_broadcasts(spark, sf_dir):
+    # X205: the benchmark census is eval-suite-bounded and must be the
+    # broadcast side; the corpus gram stream never shuffles its grams
+    # for the join. The gram pack itself sits behind ONE checkpointed
+    # Arrow pass (the 110.9 s -> 7.8 s x10 fix: the interpreted gram
+    # subtree used to compute three times — totals, hits, census).
+    df = _q("source_contamination_scorecard", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

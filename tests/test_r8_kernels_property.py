@@ -278,3 +278,54 @@ def test_bmp_header_probe_crafted_payloads(spark):
     assert got[4]["width"] is None and got[4]["file_size"] is None
     assert not got[5]["sig_ok"] and not got[5]["keep"]
     assert got[5]["width"] is None
+
+
+def test_wav_header_probe_crafted_payloads(spark):
+    """X207 pinned on crafted containers: a canonical 8 kHz clip long
+    enough to keep; one under the 10 ms floor; a non-canonical layout
+    (extra chunk before 'data') that the probe must REFUSE to guess at
+    (NULL fields, keep=false) even though the chunk-walking decoder
+    handles it; wrong magic; truncated buffer."""
+    import struct
+
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import encode_wav
+    from flink_state_eviction_spark.operators.multimodal import (
+        wav_header_probe,
+    )
+
+    long_clip = encode_wav(np.zeros(160, dtype=np.int16), 8000)  # 20 ms
+    short_clip = encode_wav(np.zeros(40, dtype=np.int16), 8000)  # 5 ms
+    # canonical header, but a 4-byte junk chunk between fmt and data
+    junk = struct.pack("<4sI", b"LIST", 4) + b"\x00" * 4
+    noncanon = long_clip[:36] + junk + long_clip[36:]
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(long_clip)),
+            (2, bytearray(short_clip)),
+            (3, bytearray(noncanon)),
+            (4, bytearray(b"OggS" + bytes(60))),
+            (5, bytearray(b"RIFF\x01")),
+        ],
+        "doc_id long, media binary",
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in wav_header_probe(media).collect()
+    }
+    assert got[1]["sig_ok"] and got[1]["keep"]
+    assert (
+        got[1]["sample_rate"],
+        got[1]["channels"],
+        got[1]["bits"],
+        got[1]["byte_rate"],
+        got[1]["data_bytes"],
+        got[1]["duration_ms"],
+    ) == (8000, 1, 16, 16000, 320, 20)
+    assert got[2]["sig_ok"] and not got[2]["keep"]
+    assert got[2]["duration_ms"] == 5
+    # non-canonical: never guess — decoder path, not probe path
+    assert not got[3]["sig_ok"] and not got[3]["keep"]
+    assert got[3]["sample_rate"] is None
+    assert not got[4]["sig_ok"] and got[4]["sample_rate"] is None
+    assert not got[5]["sig_ok"] and not got[5]["keep"]
