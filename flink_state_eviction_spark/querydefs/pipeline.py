@@ -5833,6 +5833,69 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X208: the multimodal half of the curation funnel as ONE auditable
+# decision table (the corpus_curation_decisions convention: CALL the
+# registered stage queries, wrap their oracles as CTEs) — per doc, the
+# image header gate (X204), the audio header gate (X207), the
+# perceptual-dup census verdict, and the fused final decision. Each
+# gate stays independently auditable; a fused serving variant would
+# share the BMP generation pass between the image probe and the dHash
+# (the X176 playbook) — with header probes this cheap the audit shape
+# IS the serving shape until the decode stage dominates.
+
+_MEDIA_CURATION_ORACLE = f"""
+WITH img AS ({_BMP_PROBE_ORACLE}),
+wav AS ({_WAV_PROBE_ORACLE}),
+ph AS ({_PHASH_ORACLE})
+SELECT i.doc_id,
+       i.keep AS img_keep,
+       w.keep AS audio_keep,
+       p.is_canonical AS is_canonical_image,
+       (i.keep AND w.keep AND p.is_canonical) AS final_keep
+FROM img i
+JOIN wav w ON i.doc_id = w.doc_id
+JOIN ph p ON i.doc_id = p.doc_id
+"""
+
+
+@register_supplementary(
+    "media_curation_decisions",
+    _MEDIA_CURATION_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def media_curation_decisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X208: per-doc multimodal curation decisions — image size/aspect
+    gate (X204), audio duration/rate gate (X207), perceptual-dup
+    census verdict (keep only the canonical image), and the combined
+    final_keep. Three doc_id-keyed equi-joins of per-doc frames (AQE
+    size-picks the strategy; no forced hints, no pair enumeration
+    anywhere — the dup verdict comes from the exact-hash census)."""
+    img = multimodal_image_header_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("img_keep")
+    )
+    aud = multimodal_audio_header_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("audio_keep")
+    )
+    ph = multimodal_phash_dedup(spark, sf_dir).select(
+        "doc_id", F.col("is_canonical").alias("is_canonical_image")
+    )
+    out = img.join(aud, "doc_id").join(ph, "doc_id")
+    return out.select(
+        "doc_id",
+        "img_keep",
+        "audio_keep",
+        "is_canonical_image",
+        (
+            F.col("img_keep")
+            & F.col("audio_keep")
+            & F.col("is_canonical_image")
+        ).alias("final_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X161: blocklist / bad-word filtering (C4-style)
 #
 # The C4 cleaning step: a fixed list of banned tokens and banned

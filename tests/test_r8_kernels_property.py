@@ -329,3 +329,22 @@ def test_wav_header_probe_crafted_payloads(spark):
     assert got[3]["sample_rate"] is None
     assert not got[4]["sig_ok"] and got[4]["sample_rate"] is None
     assert not got[5]["sig_ok"] and not got[5]["keep"]
+
+
+def test_media_curation_decisions_non_vacuous(spark, sf_dir):
+    """X208: every gate must actually discriminate on the fixture
+    (both verdicts present) and final_keep is exactly the
+    conjunction — the composition can't silently drop a gate."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        media_curation_decisions,
+    )
+
+    rows = media_curation_decisions(spark, sf_dir).collect()
+    assert rows
+    for col in ("img_keep", "audio_keep", "is_canonical_image"):
+        vals = {r[col] for r in rows}
+        assert vals == {True, False}, (col, vals)
+    for r in rows:
+        assert r["final_keep"] == (
+            r["img_keep"] and r["audio_keep"] and r["is_canonical_image"]
+        )
