@@ -7758,3 +7758,139 @@ def kl_from_counts(swc: DataFrame) -> DataFrame:
             "kl_mb"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X209: shuffle-key skew profiler — the pre-flight diagnostic every
+# big join/agg needs at 100 TB: for each candidate shuffle key, the
+# key-count distribution's concentration (top-1 / top-8 share in ppm),
+# its entropy (exact integer millibits over the ppm-QUANTIZED
+# distribution — quantizing first bounds every product by construction:
+# sum(p_ppm) <= 10^6 and nll <= ~20k millibits, so the fold never
+# approaches bigint range at ANY corpus size; keys under 1 ppm
+# contribute zero, the documented left-edge convention), and a
+# salt_recommended verdict (top key holds > 20% of rows — the regime
+# where operators/skew.py's salted aggregation or AQE skew-join
+# splitting is mandatory). Extension beyond the reference surface;
+# the diagnostics companion to the skew/heavy-hitter family.
+
+_SKEW_PROFILE_KEYS = ("user_id", "event_type")
+_SKEW_TOPN = 8
+_SKEW_SALT_PPM = 200000  # top-1 share > 20% => salt
+
+
+def _skew_profile_oracle_one(key: str) -> str:
+    from flink_state_eviction_spark.functions.text import (
+        neglog2_millibits_sql,
+    )
+
+    nll = neglog2_millibits_sql("p_fx", "e", duck=True)
+    return f"""
+SELECT * FROM (
+WITH c AS (
+    SELECT CAST({key} AS VARCHAR) AS k, count(*) AS cnt
+    FROM events GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_count
+    FROM c
+),
+topn AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS topn_cnt
+    FROM (SELECT cnt FROM c ORDER BY cnt DESC, k ASC LIMIT {_SKEW_TOPN})
+),
+ent AS (
+    SELECT CAST(COALESCE(SUM(p_ppm * ({nll})), 0) // 1000000 AS BIGINT)
+        AS entropy_millibits
+    FROM (
+        SELECT p_ppm, p_ppm * 1000000 AS p_fx,
+               length(bin(p_ppm * 1000000)) AS e
+        FROM (SELECT cnt * 1000000 // (SELECT n_rows FROM tot) AS p_ppm
+              FROM c)
+        WHERE p_ppm >= 1
+    )
+)
+SELECT '{key}' AS key_col, t.n_rows, t.n_keys, t.max_count,
+       CAST(t.max_count * 1000000 // t.n_rows AS BIGINT)
+           AS top1_share_ppm,
+       CAST(topn.topn_cnt * 1000000 // t.n_rows AS BIGINT)
+           AS top8_share_ppm,
+       CAST(t.n_rows * 1000 // t.n_keys AS BIGINT) AS mean_count_milli,
+       ent.entropy_millibits,
+       (t.max_count * 1000000 // t.n_rows > {_SKEW_SALT_PPM})
+           AS salt_recommended
+FROM tot t CROSS JOIN topn CROSS JOIN ent
+)
+"""
+
+
+_SKEW_PROFILE_ORACLE = " UNION ALL ".join(
+    _skew_profile_oracle_one(k) for k in _SKEW_PROFILE_KEYS
+)
+
+
+def _skew_profile_one(ev: DataFrame, key: str) -> DataFrame:
+    cnts = (
+        ev.groupBy(F.col(key).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cnts.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_count"),
+    )
+    topn = (
+        cnts.orderBy(F.desc("cnt"), F.asc("k"))
+        .limit(_SKEW_TOPN)
+        .agg(F.sum("cnt").cast("bigint").alias("topn_cnt"))
+    )
+    nll = neglog2_millibits_sql("p_fx", "e", duck=False)
+    ent = (
+        cnts.crossJoin(F.broadcast(tot.select("n_rows")))
+        .select(F.expr("cnt * 1000000 div n_rows").alias("p_ppm"))
+        .where(F.col("p_ppm") >= 1)
+        .withColumn("p_fx", F.expr("p_ppm * 1000000"))
+        .withColumn("e", F.length(F.bin(F.col("p_fx"))))
+        .select(F.expr(f"p_ppm * ({nll})").alias("term"))
+        .agg(
+            F.expr(
+                "cast(coalesce(sum(term), 0) div 1000000 as bigint)"
+            ).alias("entropy_millibits")
+        )
+    )
+    prof = tot.crossJoin(F.broadcast(topn)).crossJoin(F.broadcast(ent))
+    top1 = F.expr("max_count * 1000000 div n_rows")
+    return prof.select(
+        F.lit(key).alias("key_col"),
+        "n_rows",
+        "n_keys",
+        "max_count",
+        top1.alias("top1_share_ppm"),
+        F.expr("topn_cnt * 1000000 div n_rows").alias("top8_share_ppm"),
+        F.expr("n_rows * 1000 div n_keys").alias("mean_count_milli"),
+        "entropy_millibits",
+        (top1 > _SKEW_SALT_PPM).alias("salt_recommended"),
+    )
+
+
+@register_supplementary(
+    "events_key_skew_profile",
+    _SKEW_PROFILE_ORACLE,
+    tags=("pipeline", "skew"),
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X209: shuffle-key skew profile over the events table (module
+    comment above) — one row per candidate key (user_id, event_type)
+    with exact integer concentration/entropy signals and the salting
+    verdict. The key-count table is built once per key (checkpointed —
+    it feeds the totals, the top-N, and the entropy fold), every
+    global fold is a partial+final pair over partial rows, and the
+    1-row statistic frames are broadcast into the assembly joins."""
+    ev = load_table(spark, sf_dir, "events")
+    out = _skew_profile_one(ev, _SKEW_PROFILE_KEYS[0])
+    for k in _SKEW_PROFILE_KEYS[1:]:
+        out = out.unionAll(_skew_profile_one(ev, k))
+    return out

@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,vdiff",
+        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -356,6 +356,10 @@ def main() -> None:
             # audio probe (the X204 codegen class)
             rec["source_contamination_scorecard_sec"] = timed(lambda: all_qs["source_contamination_scorecard"](spark, d))
             rec["multimodal_audio_header_filter_sec"] = timed(lambda: all_qs["multimodal_audio_header_filter"](spark, d))
+        if "r8i" in only:
+            # X209 on the 90%-hot events fixture (its design point);
+            # the counts shuffle dominates, every fold is partial+final
+            rec["events_key_skew_profile_sec"] = timed(lambda: all_qs["events_key_skew_profile"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path

@@ -348,3 +348,27 @@ def test_media_curation_decisions_non_vacuous(spark, sf_dir):
         assert r["final_keep"] == (
             r["img_keep"] and r["audio_keep"] and r["is_canonical_image"]
         )
+
+
+def test_skew_profile_crafted_distribution(spark):
+    """X209 pinned on a known distribution (6xA, 2xB, 1xC, 1xD):
+    exact counts/shares, the salting verdict at top1 = 60%, and the
+    ppm-quantized entropy within the LUT's one-mantissa-step error of
+    the true H = 1.571 bits. Direction matters: the left-bin mantissa
+    convention UNDERestimates p, so each -log2 term (and the
+    p-weighted sum) OVERestimates by at most ~88 millibits — the
+    estimate lands in [H, H + 88], never below H."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _skew_profile_one,
+    )
+
+    rows = [("A",)] * 6 + [("B",)] * 2 + [("C",)] + [("D",)]
+    ev = spark.createDataFrame(rows, "user_id string")
+    got = _skew_profile_one(ev, "user_id").collect()[0].asDict()
+    assert got["key_col"] == "user_id"
+    assert (got["n_rows"], got["n_keys"], got["max_count"]) == (10, 4, 6)
+    assert got["top1_share_ppm"] == 600000
+    assert got["top8_share_ppm"] == 1000000
+    assert got["mean_count_milli"] == 2500
+    assert got["salt_recommended"]
+    assert 1571 <= got["entropy_millibits"] <= 1571 + 88
