@@ -3417,9 +3417,12 @@ def decontaminate_benchmark_overlap(
     is BROADCAST and the corpus side never shuffles its grams — one
     scan-side gram build (arrays projected to named columns, distinct
     per doc via array_distinct), one explode, a broadcast-hash join,
-    and a doc_id-keyed count bounded by the longest document. If the
-    inventory ever outgrows broadcast, swap the join for a bloom-filter
-    prefilter + shuffled semi join; nothing else changes."""
+    and a doc_id-keyed count bounded by the longest document. The
+    broadcast is BUDGET-GATED (operators/budget.py): above
+    BROADCAST_ROW_LIMIT the kernel drops the hint and Bloom-prunes the
+    gram stream scan-side before the shuffled join — the fallback is
+    real code with a bit-equality plan gate, not a docstring promise
+    (test_plan_quality.test_decontam_drops_broadcast_above_budget)."""
     docs = load_table(spark, sf_dir, "documents")
     grams = _doc_distinct_5grams(docs).localCheckpoint(eager=False)
     return _decontam_flags_from_grams(grams, _census_from_grams(grams)).drop(
@@ -3467,27 +3470,53 @@ def benchmark_gram_census(docs: DataFrame) -> DataFrame:
     return _census_from_grams(_doc_distinct_5grams(docs))
 
 
-def decontam_doc_flags(docs: DataFrame, bench_g: DataFrame) -> DataFrame:
+def decontam_doc_flags(
+    docs: DataFrame,
+    bench_g: DataFrame,
+    census_rows: int | None = None,
+) -> DataFrame:
     """Frame-level decontamination kernel — the ONE kernel shared by
     the per-doc query above, the X205 scorecard, and the streaming
     maintainer. Returns (doc_id, source, n_grams, n_overlap,
     overlap_frac, is_contaminated) for every doc in ``docs`` scored
-    against the (bounded, broadcast) benchmark gram inventory. The
-    gram frame is checkpointed once — it feeds BOTH the totals and the
-    hit counts (the no-CSE-across-subtrees gotcha)."""
+    against the benchmark gram inventory. The gram frame is
+    checkpointed once — it feeds BOTH the totals and the hit counts
+    (the no-CSE-across-subtrees gotcha). Broadcast of the census is
+    BUDGET-GATED (see _decontam_flags_from_grams)."""
     grams = _doc_distinct_5grams(docs).localCheckpoint(eager=False)
-    return _decontam_flags_from_grams(grams, bench_g)
+    return _decontam_flags_from_grams(grams, bench_g, census_rows)
 
 
 def _decontam_flags_from_grams(
-    grams: DataFrame, bench_g: DataFrame
+    grams: DataFrame,
+    bench_g: DataFrame,
+    census_rows: int | None = None,
 ) -> DataFrame:
+    """At or below BROADCAST_ROW_LIMIT the census broadcasts (the
+    normal geometry: eval suites are tiny). Above it — a census that
+    somehow grew corpus-like — the hint is dropped AND the gram stream
+    is Bloom-pruned scan-side before the shuffled join, so only
+    might-match grams pay the exchange (the docstring's long-promised
+    swap, now code; ``census_rows=None`` probes the count, which
+    doubles as the checkpoint materializer — the LM probe pattern)."""
+    from flink_state_eviction_spark.operators.bloomjoin import bloom_prune
+    from flink_state_eviction_spark.operators.budget import (
+        BROADCAST_ROW_LIMIT,
+    )
+
+    bench_g = bench_g.localCheckpoint(eager=False)
+    if census_rows is None:
+        census_rows = bench_g.count()
     doc_g = grams.select("doc_id", F.explode("gs").alias("gram"))
     tot = grams.select(
         "doc_id", "source", F.size("gs").cast("long").alias("n_grams")
     )
+    if census_rows <= BROADCAST_ROW_LIMIT:
+        fact, dim = doc_g, F.broadcast(bench_g)
+    else:
+        fact, dim = bloom_prune(doc_g, bench_g, "gram"), bench_g
     hit = (
-        doc_g.join(F.broadcast(bench_g), "gram")
+        fact.join(dim, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )

@@ -869,3 +869,47 @@ def test_contamination_scorecard_census_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_decontam_drops_broadcast_above_budget(spark, sf_dir):
+    # The decontam kernel's census broadcast is budget-gated: above
+    # BROADCAST_ROW_LIMIT the hint vanishes and the gram stream is
+    # Bloom-pruned scan-side ahead of a shuffled join. Both shapes
+    # must agree bit-for-bit — the fallback is a plan change, never a
+    # semantics change.
+    from flink_state_eviction_spark.operators.budget import (
+        BROADCAST_ROW_LIMIT,
+    )
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        benchmark_gram_census,
+        decontam_doc_flags,
+    )
+    from flink_state_eviction_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    census = benchmark_gram_census(
+        load_table(spark, sf_dir, "documents")
+    )
+    conf = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "-1")
+        small = decontam_doc_flags(docs, census, census_rows=1)
+        big = decontam_doc_flags(
+            docs, census, census_rows=BROADCAST_ROW_LIMIT + 1
+        )
+        small_plan = physical_plan(small, "simple")
+        big_plan = physical_plan(big, "simple")
+        # small: the census rides an explicit broadcast even with
+        # auto-broadcast off
+        assert "BroadcastHashJoin" in small_plan, small_plan
+        # big: the gram join shuffles; the only broadcast left is the
+        # 1-row Bloom register map (a nested-loop on a 1-row side)
+        assert (
+            "SortMergeJoin" in big_plan or "ShuffledHashJoin" in big_plan
+        ), big_plan
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, big.collect())
+        )
+    finally:
+        spark.conf.set(conf, prev)
