@@ -897,6 +897,72 @@ def apply_whitening(
     )
 
 
+def truncated_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    trunc_dims: int = 16,
+    coarse_k: int = 40,
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage ANN over TRUNCATED embeddings (the Matryoshka/MRL
+    serving pattern): a coarse top-``coarse_k`` search on the first
+    ``trunc_dims`` components — 4x less dot-product work and memory
+    traffic per candidate at 64->16 dims — then an EXACT full-dimension
+    cosine rerank of only the survivors. Output adds ``coarse_rank``
+    so the reordering the rerank performs is observable.
+
+    Scale shape: the coarse phase inherits cosine_topk's broadcast-
+    queries + two-phase-rank geometry (corpus never shuffles); the
+    candidate set is |Q| x coarse_k rows — bounded by the query batch,
+    not the corpus — so it broadcasts into the full-vector join and
+    the final rank window holds <= coarse_k rows per query. Recall is
+    whatever the truncation earns (MRL-trained embeddings concentrate
+    energy in the prefix; the fixture's synthetic vectors don't, which
+    the recall pin in tests documents honestly). Extension beyond the
+    reference surface."""
+    def trunc(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), 1, trunc_dims).alias(vec_col),
+        )
+
+    coarse = cosine_topk(
+        trunc(corpus), trunc(queries), id_col, vec_col, k=coarse_k
+    ).select("query_id", "neighbor_id", F.col("rank").alias("coarse_rank"))
+    cfull = _with_vec_and_norm(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "_v", "_n"
+    )
+    qfull = _with_vec_and_norm(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    scored = (
+        cfull.join(F.broadcast(coarse), "neighbor_id")
+        .join(F.broadcast(qfull), "query_id")
+        .withColumn(
+            "sim",
+            cosine(F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_n")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("sim", 6).alias("sim"),
+            "coarse_rank",
+        )
+    )
+
+
 def semdedup_decisions(
     corpus: DataFrame,
     id_col: str,

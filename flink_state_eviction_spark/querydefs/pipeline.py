@@ -1717,6 +1717,64 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.where(F.col("vec_id") < 8), "vec_id", "embedding", k=10)
 
 
+# X210: Matryoshka-style truncated-then-rerank ANN. The coarse rank
+# orders by TRUNCATED cosine (ties by id), the final rank by exact
+# full-dim cosine over the coarse_k survivors only.
+
+_TRUNC_RERANK_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+t AS (SELECT vec_id, v, v[1:16] AS tv FROM e),
+tn AS (SELECT vec_id, v, tv,
+              sqrt(list_dot_product(v, v)) AS nn,
+              sqrt(list_dot_product(tv, tv)) AS tnn
+       FROM t),
+q AS (SELECT vec_id AS query_id, v AS qv, tv AS qtv, nn AS qn, tnn AS qtn
+      FROM tn WHERE vec_id < 8),
+cs AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           list_dot_product(q.qtv, c.tv) / (q.qtn * c.tnn) AS csim,
+           list_dot_product(q.qv, c.v) / (q.qn * c.nn) AS fsim
+    FROM q JOIN tn c ON c.vec_id <> q.query_id
+),
+cr AS (
+    SELECT query_id, neighbor_id, fsim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY csim DESC, neighbor_id) AS INT) AS coarse_rank
+    FROM cs
+),
+rr AS (
+    SELECT query_id, neighbor_id, fsim, coarse_rank,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY fsim DESC, neighbor_id) AS INT) AS rank
+    FROM cr WHERE coarse_rank <= 40
+)
+SELECT query_id, neighbor_id, rank, round(fsim, 6) AS sim, coarse_rank
+FROM rr WHERE rank <= 10
+"""
+
+
+@register_supplementary(
+    "similarity_truncated_rerank_topk",
+    _TRUNC_RERANK_ORACLE,
+    tags=("pipeline", "similarity"),
+)
+def similarity_truncated_rerank_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X210: two-stage MRL serving — coarse top-40 on the first 16 of
+    64 dims, exact full-dim rerank to top-10 (operators/similarity.py:
+    truncated_rerank_topk; scale shape documented there: candidate set
+    bounded by |Q| x coarse_k, corpus never shuffles)."""
+    from flink_state_eviction_spark.operators.similarity import (
+        truncated_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return truncated_rerank_topk(
+        emb, emb.where(F.col("vec_id") < 8), "vec_id", "embedding"
+    )
+
+
 _IVF_ORACLE = """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nn FROM e),

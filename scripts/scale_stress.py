@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,vdiff",
+        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -292,6 +292,9 @@ def main() -> None:
             rec["embedding_dim_stats_sec"] = timed(lambda: all_qs["embedding_dim_stats"](spark, d))
             rec["doc_shingle_novelty_sec"] = timed(lambda: all_qs["doc_shingle_novelty"](spark, d))
             rec["events_key_skew_profile_sec"] = timed(lambda: all_qs["events_key_skew_profile"](spark, d))
+        if "r8j" in only:
+            # X210: coarse phase at 16 of 64 dims + bounded rerank
+            rec["similarity_truncated_rerank_topk_sec"] = timed(lambda: all_qs["similarity_truncated_rerank_topk"](spark, d))
         if "lm" in only:
             # bigram scoring: corpus side scales with factor; NOTE the
             # replica fixture also scales the src0 REFERENCE slice, so
@@ -360,6 +363,9 @@ def main() -> None:
             # X209 on the 90%-hot events fixture (its design point);
             # the counts shuffle dominates, every fold is partial+final
             rec["events_key_skew_profile_sec"] = timed(lambda: all_qs["events_key_skew_profile"](spark, d))
+        if "r8j" in only:
+            # X210: coarse phase at 16 of 64 dims + bounded rerank
+            rec["similarity_truncated_rerank_topk_sec"] = timed(lambda: all_qs["similarity_truncated_rerank_topk"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path

@@ -372,3 +372,61 @@ def test_skew_profile_crafted_distribution(spark):
     assert got["mean_count_milli"] == 2500
     assert got["salt_recommended"]
     assert 1571 <= got["entropy_millibits"] <= 1571 + 88
+
+
+def test_truncated_rerank_recall_and_rerank_gain(spark, sf_dir):
+    """X210 recall pin (honest): the fixture's synthetic vectors have
+    NO Matryoshka prefix-energy concentration, so 16-of-64-dim coarse
+    recall is what random energy splitting earns — measured 0.44-0.45
+    at sf0.001/sf0.01; the floor is 0.35. The property the second
+    stage exists for is also pinned: full-dim reranking of the
+    coarse_k candidates never does worse than serving the coarse
+    top-10 directly."""
+    from flink_state_eviction_spark.operators.similarity import (
+        cosine_topk,
+        truncated_rerank_topk,
+    )
+    from flink_state_eviction_spark.queries import all_queries
+    from flink_state_eviction_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in all_queries()["similarity_topk"](spark, sf_dir).collect()
+    }
+    rerank_rows = truncated_rerank_topk(
+        emb, qs, "vec_id", "embedding"
+    ).collect()
+    rerank = {(r["query_id"], r["neighbor_id"]) for r in rerank_rows}
+    coarse10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            emb.select(
+                "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+            ),
+            qs.select(
+                "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+            ),
+            "vec_id",
+            "embedding",
+            k=10,
+        ).collect()
+    }
+    recall_rerank = len(brute & rerank) / len(brute)
+    recall_coarse = len(brute & coarse10) / len(brute)
+    assert recall_rerank >= 0.35, recall_rerank
+    assert recall_rerank >= recall_coarse, (recall_rerank, recall_coarse)
+    # within each query the ranks follow exact sim desc (ties by id)
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rerank_rows:
+        per_q[r["query_id"]].append(
+            (r["rank"], -r["sim"], r["neighbor_id"])
+        )
+    for rows in per_q.values():
+        assert sorted(rows) == sorted(
+            rows, key=lambda t: (t[1], t[2])
+        ), rows
