@@ -460,7 +460,12 @@ WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
 
-@register("dedup_simhash", _SIMHASH_PAIRS_ORACLE, tags=("pipeline", "dedup"))
+@register_supplementary(
+    # displaced from the driver window in round 8 (dedup family stays
+    # driver-covered via exact/minhash_lsh/near_canonical/ngram_jaccard/
+    # embedding_cosine); parity gate kept
+    "dedup_simhash", _SIMHASH_PAIRS_ORACLE, tags=("pipeline", "dedup")
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: band-blocked candidates (4 x 15-bit),
     exact hamming <= 3 verify. Scale: the band self-join is the same
@@ -806,7 +811,12 @@ FROM qm
 """
 
 
-@register("text_quality", _QUALITY_ORACLE, headline=True, tags=("pipeline", "text"))
+@register_supplementary(
+    # displaced from the driver window in round 8 (text family stays
+    # driver-covered via quality_filter_gopher / text_profile /
+    # text_tfidf); parity gate + bench headline kept
+    "text_quality", _QUALITY_ORACLE, headline=True, tags=("pipeline", "text")
+)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality metrics per doc: word/char counts, stopword+punct ratios, linear score."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1753,7 +1763,9 @@ FROM rr WHERE rank <= 10
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 8 (displacing
+    # similarity_pq_topk, which keeps its parity gate)
     "similarity_truncated_rerank_topk",
     _TRUNC_RERANK_ORACLE,
     tags=("pipeline", "similarity"),
@@ -2790,7 +2802,9 @@ FROM flags
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 8 (displacing text_quality,
+    # which keeps its parity gate + bench headline)
     "c4_line_cleanup", _C4_LINE_ORACLE, tags=("pipeline", "text")
 )
 def c4_line_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3676,7 +3690,9 @@ FROM per_doc GROUP BY source
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 8 (displacing
+    # doc_shingle_novelty, which keeps its parity gate)
     "source_contamination_scorecard",
     _CONTAM_SCORECARD_ORACLE,
     tags=("pipeline", "text"),
@@ -4350,7 +4366,9 @@ FROM f
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 8 (displacing
+    # dedup_simhash, which keeps its parity gate)
     "multimodal_audio_header_filter",
     _WAV_PROBE_ORACLE,
     tags=("pipeline", "multimodal"),
@@ -4519,7 +4537,10 @@ FROM scored WHERE rank <= 10
 """
 
 
-@register(
+@register_supplementary(
+    # displaced from the driver window in round 8 (ANN family stays
+    # driver-covered via topk/kmeans_cells/ivf_kmeans/knn_graph/
+    # quantize_int8 + the rotated-in truncated rerank); parity kept
     "similarity_pq_topk", _pq_oracle(), tags=("pipeline", "similarity")
 )
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5361,7 +5382,10 @@ FROM per
 # driver row since late round 5 (displacing json_extract_agg): new
 # machinery this round — Arrow shingle_pack_udf + skew-split-eligible
 # doc-frequency join — belongs under the driver's hard sweep
-@register(
+@register_supplementary(
+    # displaced from the driver window in round 8; the shingle/doc-freq
+    # machinery stays driver-covered via dedup_minhash_lsh and the
+    # novelty maintainer pytest; parity kept
     "doc_shingle_novelty", _NOVELTY_ORACLE, tags=("pipeline", "text")
 )
 def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:

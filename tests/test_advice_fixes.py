@@ -49,7 +49,7 @@ def test_asof_no_prior_right_row_all_null(spark):
 
 
 def test_simhash_skips_token_free_docs(spark, tmp_path):
-    from flink_state_eviction_spark.queries import queries
+    from flink_state_eviction_spark.queries import all_queries
 
     docs = spark.createDataFrame(
         [
@@ -61,7 +61,7 @@ def test_simhash_skips_token_free_docs(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
-    out = queries()["dedup_simhash"](spark, str(tmp_path)).collect()
+    out = all_queries()["dedup_simhash"](spark, str(tmp_path)).collect()
     # empty docs 1,2 must NOT pair (oracle's fp CTE drops them); the two
     # identical real docs must
     assert {(r["doc_a"], r["doc_b"]) for r in out} == {(3, 4)}

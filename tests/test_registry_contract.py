@@ -34,10 +34,8 @@ MUST_HAVE = {
     "dedup_minhash_lsh",
     "dedup_near_canonical",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     # text family
-    "text_quality",
     "quality_filter_gopher",
     "text_profile",
     "text_tfidf",
@@ -54,7 +52,6 @@ MUST_HAVE = {
     "dataset_split_assign",
     # rotated into the window in round 4 (VERDICT r03 item 6)
     "events_heavy_hitters",
-    "similarity_pq_topk",
     "span_dedup_frac",
     # rotated into the window in round 5 (VERDICT r04 item 2),
     # displacing parts_below_avg_qty / tpch_q6_forecast_revenue /
@@ -65,7 +62,6 @@ MUST_HAVE = {
     # relational surface
     "tpch_q1",
     "revenue_by_nation",
-    "doc_shingle_novelty",
     "asof_join_purchase_click",
     "range_rolling_1h",
     # rotated into the window in round 6, displacing
@@ -94,6 +90,14 @@ MUST_HAVE = {
     "bigram_pmi_collocations",
     "corpus_curation_serve",
     "source_unigram_kl",
+    # rotated into the window late round 8, displacing text_quality /
+    # dedup_simhash / similarity_pq_topk / doc_shingle_novelty (all
+    # keep their supplementary parity gates; text_quality also keeps
+    # its bench headline)
+    "c4_line_cleanup",
+    "source_contamination_scorecard",
+    "multimodal_audio_header_filter",
+    "similarity_truncated_rerank_topk",
 }
 
 
