@@ -554,3 +554,28 @@ def minhash_sig_from_tokens_udf(num_hashes: int = 16, k: int = 3) -> Column:
 
     _sig.__annotations__ = {"toks": pd.Series, "return": pd.Series}
     return F.pandas_udf("array<long>")(_sig)
+
+
+# ---------------------------------------------------------------------------
+# text canonicalization (the canonical-text pre-pass of exact dedup:
+# accent folding via an EXPLICIT fixed character map — identical
+# translate() semantics in Spark and DuckDB, no locale/ICU dependence —
+# then lowercase, punctuation strip, whitespace collapse). Extension.
+
+ACCENT_FROM = (
+    "àáâãäåèéêëìíîïòóôõöùúûüçñý"
+    "ÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝ"
+)
+ACCENT_TO = "aaaaaaeeeeiiiiooooouuuucny" "AAAAAAEEEEIIIIOOOOOUUUUCNY"
+assert len(ACCENT_FROM) == len(ACCENT_TO)
+
+
+def canonicalize_text(text: Column) -> Column:
+    """Deterministic canonical form: accent-fold (fixed map above) ->
+    lowercase -> non-[a-z0-9 ] to space -> collapse runs of spaces ->
+    trim. Pure codegen string work; NULL text stays NULL."""
+    t = F.translate(text, ACCENT_FROM, ACCENT_TO)
+    t = F.lower(t)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)

@@ -8005,3 +8005,81 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in _SKEW_PROFILE_KEYS[1:]:
         out = out.unionAll(_skew_profile_one(ev, k))
     return out
+
+
+# ---------------------------------------------------------------------------
+# X211: text canonicalization — the canonical-form pre-pass exact dedup
+# runs before hashing (accent fold via the EXPLICIT fixed map in
+# functions/text.py — no locale/ICU dependence, so Spark and DuckDB
+# translate() agree character-for-character — then lowercase,
+# punctuation strip, whitespace collapse). The fixture corpus is
+# already clean ASCII, so the query injects doc_id-keyed accented /
+# punctuated / mis-spaced prefixes IDENTICALLY in both engines (the
+# text_redact_pii model); doc_id % 4 == 3 rows stay uninjected and
+# must come out changed = false (the no-op path is part of the gate).
+
+def _canon_oracle() -> str:
+    from flink_state_eviction_spark.functions.text import (
+        ACCENT_FROM,
+        ACCENT_TO,
+    )
+
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+                WHEN 0 THEN 'Héllo, Wörld! CAFÉ À-propos... '
+                WHEN 1 THEN 'naïve façade; déjà-vu: '
+                WHEN 2 THEN '   MIXED   Spacing  AND  UPPER  '
+                ELSE '' END || text AS t0
+    FROM documents
+),
+c AS (
+    SELECT doc_id, t0,
+           trim(regexp_replace(regexp_replace(
+               lower(translate(t0, '{ACCENT_FROM}', '{ACCENT_TO}')),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+    FROM base
+)
+SELECT doc_id,
+       CAST(length(t0) AS BIGINT) AS n_before,
+       CAST(length(canon) AS BIGINT) AS n_after,
+       canon <> t0 AS changed,
+       md5(canon) AS canonical_md5
+FROM c
+"""
+
+
+@register_supplementary(
+    "text_canonicalize", _canon_oracle(), tags=("pipeline", "text")
+)
+def text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X211: canonical-text pre-pass (functions/text.py:
+    canonicalize_text) — accent fold by fixed map, lowercase, strip
+    non-alphanumerics, collapse whitespace; reports before/after
+    lengths, a changed flag, and the canonical md5 (what exact dedup
+    would key on). Pure codegen string work, zero shuffle — rides the
+    scan at any corpus size."""
+    from flink_state_eviction_spark.functions.text import canonicalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pre = (
+        F.when(did % 4 == 0, F.lit("Héllo, Wörld! CAFÉ À-propos... "))
+        .when(did % 4 == 1, F.lit("naïve façade; déjà-vu: "))
+        .when(did % 4 == 2, F.lit("   MIXED   Spacing  AND  UPPER  "))
+        .otherwise(F.lit(""))
+    )
+    staged = docs.select(
+        "doc_id", F.concat(pre, F.col("text")).alias("t0")
+    )
+    out = staged.select(
+        "doc_id", "t0", canonicalize_text(F.col("t0")).alias("canon")
+    )
+    return out.select(
+        "doc_id",
+        F.length("t0").cast("long").alias("n_before"),
+        F.length("canon").cast("long").alias("n_after"),
+        (F.col("canon") != F.col("t0")).alias("changed"),
+        F.md5("canon").alias("canonical_md5"),
+    )

@@ -430,3 +430,33 @@ def test_truncated_rerank_recall_and_rerank_gain(spark, sf_dir):
         assert sorted(rows) == sorted(
             rows, key=lambda t: (t[1], t[2])
         ), rows
+
+
+def test_canonicalize_text_crafted(spark):
+    """X211 kernel pinned per rule: accent fold (both cases),
+    lowercase, punctuation -> space, whitespace collapse, trim,
+    no-op stability, NULL propagation."""
+    from flink_state_eviction_spark.functions.text import (
+        canonicalize_text,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        (1, "Héllo, Wörld!", "hello world"),
+        (2, "CAFÉ À-propos", "cafe a propos"),
+        (3, "naïve   façade;;;déjà", "naive facade deja"),
+        (4, "already canonical text", "already canonical text"),
+        (5, "  pad  ", "pad"),
+        (6, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, t string"
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", canonicalize_text(F.col("t")).alias("c")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
