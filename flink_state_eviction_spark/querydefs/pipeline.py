@@ -8083,3 +8083,86 @@ def text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("canon") != F.col("t0")).alias("changed"),
         F.md5("canon").alias("canonical_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X212: exact dedup over the CANONICAL form — the intended role of the
+# X211 kernel: raw-md5 dedup (X7 dedup_exact) misses formatting
+# variants of the same content; keying on md5(canonicalize_text(t))
+# catches them with the same O(n) hash-groupBy geometry (census, no
+# pair enumeration). The injected prefixes here are FORMATTING-ONLY
+# variants of one phrase ('the data pipeline' with case / punctuation
+# / accent / spacing noise, by doc_id % 4), so fixture docs sharing a
+# base text get DIFFERENT raw bytes but the SAME canonical key — the
+# pytest pins that the canonical census strictly outgroups the raw one.
+
+_CANON_DEDUP_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+                WHEN 0 THEN 'the data pipeline '
+                WHEN 1 THEN 'The, DATA pipeline! '
+                WHEN 2 THEN 'Thé   Dätä pipeline. '
+                ELSE 'the data pipeline ' END || text AS t0
+    FROM documents
+),
+c AS (
+    SELECT doc_id, t0,
+           md5(trim(regexp_replace(regexp_replace(
+               lower(translate(t0,
+                   'àáâãäåèéêëìíîïòóôõöùúûüçñýÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝ',
+                   'aaaaaaeeeeiiiiooooouuuucnyAAAAAAEEEEIIIIOOOOOUUUUCNY')),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS ck,
+           md5(t0) AS rk
+    FROM base
+)
+SELECT doc_id,
+       ck AS canonical_key,
+       CAST(min(doc_id) OVER (PARTITION BY ck) AS BIGINT) AS keeper,
+       CAST(count(*) OVER (PARTITION BY ck) AS BIGINT) AS n_same,
+       doc_id = min(doc_id) OVER (PARTITION BY ck) AS is_keeper,
+       CAST(count(DISTINCT rk) OVER (PARTITION BY ck) AS BIGINT)
+           AS n_raw_variants
+FROM c
+"""
+
+
+@register_supplementary(
+    "dedup_exact_canonical", _CANON_DEDUP_ORACLE, tags=("pipeline", "dedup")
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X212: exact dedup keyed on the canonical form (X211 kernel) —
+    per doc: canonical key, keeper (min doc_id in group), group size,
+    keeper flag, and how many RAW byte-variants the canonical group
+    absorbs (> 1 means raw-md5 dedup would have missed the merge).
+    One hash-partitioned window over the canonical key; the
+    canonicalization itself is scan-side codegen."""
+    from flink_state_eviction_spark.functions.text import canonicalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pre = (
+        F.when(did % 4 == 0, F.lit("the data pipeline "))
+        .when(did % 4 == 1, F.lit("The, DATA pipeline! "))
+        .when(did % 4 == 2, F.lit("Thé   Dätä pipeline. "))
+        .otherwise(F.lit("the data pipeline "))
+    )
+    staged = docs.select(
+        "doc_id", F.concat(pre, F.col("text")).alias("t0")
+    )
+    keyed = staged.select(
+        "doc_id",
+        F.md5(canonicalize_text(F.col("t0"))).alias("ck"),
+        F.md5("t0").alias("rk"),
+    )
+    w = Window.partitionBy("ck")
+    return keyed.select(
+        "doc_id",
+        F.col("ck").alias("canonical_key"),
+        F.min("doc_id").over(w).cast("bigint").alias("keeper"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_same"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+        F.size(F.collect_set("rk").over(w))
+        .cast("bigint")
+        .alias("n_raw_variants"),
+    )

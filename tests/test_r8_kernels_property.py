@@ -460,3 +460,39 @@ def test_canonicalize_text_crafted(spark):
     }
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_canonical_dedup_outgroups_raw(spark, tmp_path):
+    """X212 non-vacuity on a CRAFTED corpus (the fixture's duplicate
+    texts need not straddle injection classes, so the fixture can't be
+    the gate): doc_ids 0 and 1 share a base text but get different
+    formatting prefixes (classes 0/1) — different raw md5, same
+    canonical key; doc 2 is distinct content. The canonical census
+    must merge 0+1 (n_raw_variants = 2) and keep 2 alone."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        dedup_exact_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "shared body text", "en", "s", 16),
+            (1, "shared body text", "en", "s", 16),
+            (2, "different body text", "en", "s", 19),
+            (3, "shared body text", "en", "s", 16),  # class 3 prefix
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in dedup_exact_canonical(spark, str(tmp_path)).collect()
+    }
+    # classes: 0 -> 'the data pipeline ', 1 -> 'The, DATA pipeline! ',
+    # 3 -> 'the data pipeline ' (same as class 0). All three share the
+    # canonical key; raw bytes split 0/3 (identical) from 1.
+    assert rows[0]["keeper"] == 0 and rows[1]["keeper"] == 0
+    assert rows[3]["keeper"] == 0
+    assert rows[0]["n_same"] == 3 and rows[0]["n_raw_variants"] == 2
+    assert rows[0]["is_keeper"] and not rows[1]["is_keeper"]
+    assert rows[2]["n_same"] == 1 and rows[2]["n_raw_variants"] == 1
+    assert rows[2]["is_keeper"]
