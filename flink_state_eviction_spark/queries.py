@@ -45,6 +45,17 @@ DRIVER_WINDOW = 50
 SUPPLEMENTARY: dict[str, Query] = {}
 
 
+def _check_fresh(name: str) -> None:
+    """Same-tier name collisions are silent dict overwrites — the
+    round-8 review found a dead query (and a dead oracle, and a stress
+    row timing the WRONG query) registered over an existing name with
+    every test green. Registration is loud now, in EITHER tier."""
+    if name in REGISTRY or name in SUPPLEMENTARY:
+        raise ValueError(
+            f"query name already registered: {name!r} — pick a new name"
+        )
+
+
 def register(
     name: str,
     oracle: str | None,
@@ -52,6 +63,7 @@ def register(
     tags: tuple[str, ...] = (),
 ):
     def deco(fn: QueryFn) -> QueryFn:
+        _check_fresh(name)
         REGISTRY[name] = Query(name, fn, oracle, headline, tags)
         return fn
 
@@ -65,6 +77,7 @@ def register_supplementary(
     tags: tuple[str, ...] = (),
 ):
     def deco(fn: QueryFn) -> QueryFn:
+        _check_fresh(name)
         SUPPLEMENTARY[name] = Query(name, fn, oracle, headline, tags)
         return fn
 

@@ -7988,11 +7988,16 @@ def _skew_profile_one(ev: DataFrame, key: str) -> DataFrame:
 
 
 @register_supplementary(
-    "events_key_skew_profile",
+    # NOT 'events_key_skew_profile' — that name belongs to the round-5
+    # top-10-keys table in querydefs/analytics.py; the round-8 review
+    # caught the silent same-tier collision (the dict registry kept the
+    # old entry and this query was dead). The registry now raises on
+    # duplicate names (queries.py).
+    "events_shuffle_skew_summary",
     _SKEW_PROFILE_ORACLE,
     tags=("pipeline", "skew"),
 )
-def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_shuffle_skew_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X209: shuffle-key skew profile over the events table (module
     comment above) — one row per candidate key (user_id, event_type)
     with exact integer concentration/entropy signals and the salting

@@ -49,15 +49,20 @@ def _fold(df: DataFrame) -> DataFrame:
     )
 
 
-def freeze_benchmark_census(docs: DataFrame, census_dir: str) -> None:
+def freeze_benchmark_census(docs: DataFrame, census_dir: str) -> int:
     """Build + store the benchmark gram inventory (module docstring).
     Run once before the stream starts; batches score against the
-    stored artifact."""
+    stored artifact. Returns the census ROW COUNT — pass it to
+    ``decontam_maintain_batch`` so the broadcast-budget probe in the
+    kernel doesn't re-count the frozen artifact on every micro-batch
+    (review finding: census_rows=None costs one extra Spark job per
+    batch for a count that never changes)."""
     from flink_state_eviction_spark.querydefs.pipeline import (
         benchmark_gram_census,
     )
 
     benchmark_gram_census(docs).write.mode("overwrite").parquet(census_dir)
+    return docs.sparkSession.read.parquet(census_dir).count()
 
 
 def decontam_maintain_batch(
@@ -65,18 +70,24 @@ def decontam_maintain_batch(
     state_dir: str,
     census_dir: str,
     batch_id: int,
+    census_rows: int | None = None,
 ) -> None:
     """One micro-batch of scorecard maintenance (module docstring).
     Call from ``foreachBatch`` forwarding its batch id. ``batch_df``
-    must carry (doc_id, source, text)."""
+    must carry (doc_id, source, text). Pass the frozen census's row
+    count (from ``freeze_benchmark_census``) to skip the per-batch
+    budget-probe count."""
     from flink_state_eviction_spark.querydefs.pipeline import (
-        contamination_partials,
+        decontam_doc_flags,
+        _partials_from_flags,
     )
 
     census = batch_df.sparkSession.read.parquet(census_dir)
-    contamination_partials(batch_df, census).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(state_dir, "contam", f"batch={batch_id}"))
+    _partials_from_flags(
+        decontam_doc_flags(batch_df, census, census_rows)
+    ).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "contam", f"batch={batch_id}")
+    )
 
 
 def compact_decontam_state(

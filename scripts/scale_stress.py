@@ -292,9 +292,6 @@ def main() -> None:
             rec["embedding_dim_stats_sec"] = timed(lambda: all_qs["embedding_dim_stats"](spark, d))
             rec["doc_shingle_novelty_sec"] = timed(lambda: all_qs["doc_shingle_novelty"](spark, d))
             rec["events_key_skew_profile_sec"] = timed(lambda: all_qs["events_key_skew_profile"](spark, d))
-        if "r8j" in only:
-            # X210: coarse phase at 16 of 64 dims + bounded rerank
-            rec["similarity_truncated_rerank_topk_sec"] = timed(lambda: all_qs["similarity_truncated_rerank_topk"](spark, d))
         if "lm" in only:
             # bigram scoring: corpus side scales with factor; NOTE the
             # replica fixture also scales the src0 REFERENCE slice, so
@@ -362,7 +359,7 @@ def main() -> None:
         if "r8i" in only:
             # X209 on the 90%-hot events fixture (its design point);
             # the counts shuffle dominates, every fold is partial+final
-            rec["events_key_skew_profile_sec"] = timed(lambda: all_qs["events_key_skew_profile"](spark, d))
+            rec["events_shuffle_skew_summary_sec"] = timed(lambda: all_qs["events_shuffle_skew_summary"](spark, d))
         if "r8j" in only:
             # X210: coarse phase at 16 of 64 dims + bounded rerank
             rec["similarity_truncated_rerank_topk_sec"] = timed(lambda: all_qs["similarity_truncated_rerank_topk"](spark, d))

@@ -28,6 +28,12 @@ from flink_state_eviction_spark import queries as Q
 #   tiny    — window/sort over a k-row statistic (codebook distances,
 #             per-language or per-month aggregates, top-k candidates)
 _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
+    # X209: 3 one-row statistic folds per profiled key (totals, top-8
+    # sum, entropy sum) x 2 keys. Each fold's input is partial rows
+    # (one per upstream partition of the checkpointed count table) or
+    # the 8-row TakeOrdered output — bounded, never the key table
+    # itself; the 1-row results broadcast into the assembly joins.
+    "events_shuffle_skew_summary": 6,
     "bloom_digest_probe": 1,  # scalar: bloom bitmap OR-fold to one row
     "bloom_pruned_revenue_smallparts": 1,  # scalar: bloom bitmap fold
     "corpus_drift_chisq": 1,  # tiny: chi-sq over per-source rows

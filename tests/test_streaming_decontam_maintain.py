@@ -46,14 +46,16 @@ def _docs(spark, sf_dir):
 def test_streaming_contam_scorecard_matches_batch(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir)
     census = os.path.join(str(tmp_path), "census")
-    freeze_benchmark_census(docs, census)
+    n_census = freeze_benchmark_census(docs, census)
     stream = as_file_stream(
         docs, str(tmp_path), num_batches=3, order_col="doc_id"
     )
     state = os.path.join(str(tmp_path), "contam-state")
 
     def upd(batch_df, batch_id):
-        decontam_maintain_batch(batch_df, state, census, batch_id)
+        decontam_maintain_batch(
+            batch_df, state, census, batch_id, census_rows=n_census
+        )
 
     q = (
         stream.writeStream.foreachBatch(upd)
@@ -78,7 +80,7 @@ def test_contam_redelivery_and_compaction_preserve_state(
 ):
     docs = _docs(spark, sf_dir)
     census = os.path.join(str(tmp_path), "census")
-    freeze_benchmark_census(docs, census)
+    n_census = freeze_benchmark_census(docs, census)
     n = docs.count()
     ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
     cut1, cut2 = ids[n // 3], ids[2 * n // 3]
@@ -89,7 +91,7 @@ def test_contam_redelivery_and_compaction_preserve_state(
     ]
     state = os.path.join(str(tmp_path), "contam-state")
     for bid, b in batches:
-        decontam_maintain_batch(b, state, census, bid)
+        decontam_maintain_batch(b, state, census, bid, census_rows=n_census)
 
     def snapshot():
         return {
@@ -98,8 +100,8 @@ def test_contam_redelivery_and_compaction_preserve_state(
 
     once = snapshot()
     # at-least-once redelivery: overwrites only its own partition
-    decontam_maintain_batch(batches[1][1], state, census, 1)
-    decontam_maintain_batch(batches[1][1], state, census, 1)
+    decontam_maintain_batch(batches[1][1], state, census, 1, n_census)
+    decontam_maintain_batch(batches[1][1], state, census, 1, n_census)
     assert snapshot() == once
 
     # compaction only BELOW the max committed batch (commit log seals
@@ -108,5 +110,5 @@ def test_contam_redelivery_and_compaction_preserve_state(
         compact_decontam_state(spark, state, 2)
     compact_decontam_state(spark, state, 1)
     assert snapshot() == once
-    decontam_maintain_batch(batches[2][1], state, census, 2)
+    decontam_maintain_batch(batches[2][1], state, census, 2, n_census)
     assert snapshot() == once
