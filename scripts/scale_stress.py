@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,vdiff",
+        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -363,6 +363,11 @@ def main() -> None:
         if "r8j" in only:
             # X210: coarse phase at 16 of 64 dims + bounded rerank
             rec["similarity_truncated_rerank_topk_sec"] = timed(lambda: all_qs["similarity_truncated_rerank_topk"](spark, d))
+        if "r8k" in only:
+            # X211/X212 scan-side canonicalization; X208 composition
+            rec["text_canonicalize_sec"] = timed(lambda: all_qs["text_canonicalize"](spark, d))
+            rec["dedup_exact_canonical_sec"] = timed(lambda: all_qs["dedup_exact_canonical"](spark, d))
+            rec["media_curation_decisions_sec"] = timed(lambda: all_qs["media_curation_decisions"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path
