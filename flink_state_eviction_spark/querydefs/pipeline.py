@@ -8171,3 +8171,119 @@ def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_raw_variants"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X213: per-source C4 retention scorecard — the observability table for
+# the X202 line-cleanup stage (which feed loses how many lines/pages to
+# the C4 rules), completing the per-source scorecard family (Gopher/
+# blocklist via curation, repetition X181, contamination X205). Exact
+# integer partial sums per source; ppm rates derived AFTER the fold so
+# the streaming maintainer (X214, streaming/c4_maintain.py) serves the
+# table bit-equal from per-batch partials.
+
+def c4_source_partials(docs: DataFrame) -> DataFrame:
+    """Per-source PARTIAL sums of the X202 page stats — associative.
+    NULL-text pages count as pages but contribute no line/kept sums
+    (their stats are NULL; the sums skip them, the kept count treats
+    NULL kept_doc as not-kept — both engines agree under 3VL)."""
+    flags = c4_line_stats_frame(c4_lined_page(docs)).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+        F.sum(F.when(F.col("kept_doc"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept_pages"),
+        F.coalesce(F.sum("n_lines"), F.lit(0))
+        .cast("bigint")
+        .alias("total_lines"),
+        F.coalesce(F.sum("n_kept"), F.lit(0))
+        .cast("bigint")
+        .alias("total_kept_lines"),
+    )
+
+
+def c4_scorecard_from_partials(partials: DataFrame) -> DataFrame:
+    """Serving tail: retention rates in ppm (exact integer div)."""
+    return partials.select(
+        "source",
+        "n_pages",
+        "n_kept_pages",
+        "total_lines",
+        "total_kept_lines",
+        F.expr("n_kept_pages * 1000000 div n_pages").alias(
+            "page_keep_ppm"
+        ),
+        F.when(
+            F.col("total_lines") > 0,
+            F.expr("total_kept_lines * 1000000 div total_lines"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("line_keep_ppm"),
+    )
+
+
+_C4_SCORECARD_ORACLE = """
+WITH base AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'Lorem ipsum dolor sit amet consectetur.' || chr(10)
+                ELSE '' END
+           || CASE WHEN doc_id % 11 = 3
+                THEN 'function f() { return 1; }' || chr(10)
+                ELSE '' END
+           || CASE WHEN doc_id % 5 = 2
+                THEN 'please enable javascript to view this page.' || chr(10)
+                ELSE '' END
+           || replace(replace(text, ' the ', '.' || chr(10)),
+                      ' data ', chr(10)) || '.' AS t0
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, source, t0,
+           string_split(t0, chr(10)) AS ls,
+           list_filter(string_split(t0, chr(10)),
+                       l -> right(l, 1) IN ('.', '!', '?', '"')
+                        AND len(string_split(l, ' ')) >= 3
+                        AND NOT contains(lower(l), 'javascript')) AS kl
+    FROM base
+),
+flags AS (
+    SELECT doc_id, source,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kl) AS BIGINT) AS n_kept,
+           (NOT contains(lower(t0), 'lorem ipsum')
+            AND NOT contains(t0, '{') AND len(kl) >= 5) AS kept_doc
+    FROM kept
+),
+p AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(CASE WHEN kept_doc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_pages,
+           CAST(COALESCE(SUM(n_lines), 0) AS BIGINT) AS total_lines,
+           CAST(COALESCE(SUM(n_kept), 0) AS BIGINT) AS total_kept_lines
+    FROM flags GROUP BY source
+)
+SELECT source, n_pages, n_kept_pages, total_lines, total_kept_lines,
+       CAST(n_kept_pages * 1000000 // n_pages AS BIGINT) AS page_keep_ppm,
+       CAST(CASE WHEN total_lines > 0
+                 THEN total_kept_lines * 1000000 // total_lines
+                 ELSE 0 END AS BIGINT) AS line_keep_ppm
+FROM p
+"""
+
+
+@register_supplementary(
+    "c4_source_scorecard", _C4_SCORECARD_ORACLE, tags=("pipeline", "text")
+)
+def c4_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X213: per-source C4 retention scorecard (module comment above)
+    — page/line counts before and after the X202 rules plus keep rates
+    in ppm. One scan-side kernel pass + a |sources|-row fold; the
+    doc_id join to re-attach source is narrow (the kernel projects
+    only stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return c4_scorecard_from_partials(c4_source_partials(docs))

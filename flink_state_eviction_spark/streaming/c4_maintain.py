@@ -1,0 +1,88 @@
+"""Streaming twin for the per-source C4 retention scorecard (X213/
+X214): the always-ingesting corpus maintains per-source PARTIAL sums
+of the X202 line-cleanup stats, and the scorecard serves from the
+maintained state — completing the gate-family maintainer set
+(curation, repetition X191, quality-cut X200, contamination X206).
+
+Standard partials pattern (X191 model):
+
+- ``c4_maintain_batch`` — ``foreachBatch`` body: the batch's partials
+  (the SAME `c4_source_partials` kernel the batch query uses) land in
+  an idempotent ``batch=<id>`` partition; redelivery overwrites its
+  own partition, at-least-once safe.
+- ``partials_from_state`` / ``scorecard_from_state`` — serving: summed
+  partials through the SAME `c4_scorecard_from_partials` tail. The
+  ppm rates are derived only AFTER the final sum, so once the whole
+  corpus has streamed in the table is BIT-EQUAL to the batch
+  `c4_source_scorecard` (tests/test_streaming_c4_maintain.py). A feed
+  whose line-keep rate drops between crawls started emitting broken
+  markup; serve after every batch and watch the trajectory.
+
+Scale shape: state is |sources| rows PER BATCH regardless of batch
+size; compaction folds are re-sums under the commit-log-safe contract
+(streaming/compaction.py).
+
+Extension beyond the reference surface (twins the batch X213 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUM_COLS = ("n_pages", "n_kept_pages", "total_lines", "total_kept_lines")
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("source").agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in _SUM_COLS]
+    )
+
+
+def c4_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of scorecard maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id. ``batch_df``
+    must carry (doc_id, source, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        c4_source_partials,
+    )
+
+    c4_source_partials(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "c4", f"batch={batch_id}")
+    )
+
+
+def compact_c4_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — partials are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "c4"), through_batch, _fold
+    )
+
+
+def partials_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained per-source partials: sums over batch partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "c4")))
+
+
+def scorecard_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The scorecard from the MAINTAINED partials through the shared
+    tail — same output shape as `c4_source_scorecard`; bit-equal once
+    the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        c4_scorecard_from_partials,
+    )
+
+    return c4_scorecard_from_partials(partials_from_state(spark, state_dir))
