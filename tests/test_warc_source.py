@@ -1,0 +1,145 @@
+"""WARC ingestion (sources/warc.py): crafted archives in both layouts
+(plain + per-record gzip members), HTTP response splitting, metadata
+vs payload projection, and the corrupt-record quarantine contract."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+
+from flink_state_eviction_spark.sources.warc import (
+    parse_warc,
+    read_warc,
+)
+
+
+def _record(wtype: str, uri: str | None, payload: bytes) -> bytes:
+    heads = [
+        b"WARC/1.0",
+        f"WARC-Type: {wtype}".encode(),
+        b"WARC-Date: 2026-08-16T00:00:00Z",
+    ]
+    if uri:
+        heads.append(f"WARC-Target-URI: {uri}".encode())
+    heads.append(f"Content-Length: {len(payload)}".encode())
+    return b"\r\n".join(heads) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+_HTML = b"<html><body>hello corpus</body></html>"
+_HTTP = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + _HTML
+)
+_INFO = b"software: test-crawler/1.0\r\n"
+
+
+def _archive() -> bytes:
+    return (
+        _record("warcinfo", None, _INFO)
+        + _record("request", "http://example.com/", b"GET / HTTP/1.1\r\n")
+        + _record("response", "http://example.com/", _HTTP)
+    )
+
+
+def test_parse_warc_plain():
+    recs = parse_warc(_archive())
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo",
+        "request",
+        "response",
+    ]
+    resp = recs[2]
+    assert resp["target_uri"] == "http://example.com/"
+    assert resp["http_status"] == 200
+    assert resp["http_body"] == _HTML
+    assert resp["payload_md5"] == hashlib.md5(_HTTP).hexdigest()
+    assert all(r["error"] is None for r in recs)
+
+
+def test_parse_warc_truncated_quarantines_and_keeps_prefix():
+    buf = _archive()
+    recs = parse_warc(buf[: len(buf) - len(_HTTP) // 2 - 4])
+    # the two clean records survive; the truncated response quarantines
+    assert [r.get("warc_type") for r in recs[:2]] == [
+        "warcinfo",
+        "request",
+    ]
+    assert "truncated payload" in recs[2]["error"]
+
+
+def test_read_warc_both_layouts(spark, tmp_path):
+    plain = _archive()
+    (tmp_path / "a.warc").write_bytes(plain)
+    # the Common Crawl layout: EACH record its own gzip member
+    members = b"".join(
+        gzip.compress(_record(*args))
+        for args in [
+            ("warcinfo", None, _INFO),
+            ("request", "http://example.com/", b"GET / HTTP/1.1\r\n"),
+            ("response", "http://example.com/", _HTTP),
+        ]
+    )
+    (tmp_path / "b.warc.gz").write_bytes(members)
+
+    meta = read_warc(spark, str(tmp_path)).collect()
+    assert len(meta) == 6
+    by_file = {}
+    for r in meta:
+        by_file.setdefault(r["file"].rsplit("/", 1)[-1], []).append(r)
+    for fname in ("a.warc", "b.warc.gz"):
+        recs = sorted(by_file[fname], key=lambda r: r["record_idx"])
+        assert [r["warc_type"] for r in recs] == [
+            "warcinfo",
+            "request",
+            "response",
+        ]
+        assert recs[2]["http_status"] == 200
+        assert recs[2]["payload_md5"] == hashlib.md5(_HTTP).hexdigest()
+    # metadata projection carries no payload columns
+    assert "payload" not in meta[0].asDict()
+
+    full = read_warc(spark, str(tmp_path), include_payload=True).collect()
+    resp = [
+        r
+        for r in full
+        if r["warc_type"] == "response" and r["file"].endswith("a.warc")
+    ][0]
+    assert bytes(resp["http_body"]) == _HTML
+    assert bytes(resp["payload"]) == _HTTP
+
+
+def test_read_warc_garbage_gzip_quarantines(spark, tmp_path):
+    (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8b\x00junkjunk")
+    rows = read_warc(spark, str(tmp_path / "bad.warc.gz")).collect()
+    assert len(rows) == 1 and rows[0]["error"].startswith("gzip:")
+
+
+def test_warc_to_documents_feeds_the_engine(spark, tmp_path):
+    """The bridge output satisfies the documents contract and flows
+    into a real downstream stage (the Gopher rule battery) unchanged."""
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.querydefs.pipeline import gopher_flags
+    from flink_state_eviction_spark.sources.warc import warc_to_documents
+
+    body = (
+        b"the quick brown fox jumps over the lazy dog and keeps "
+        b"jumping for a while longer to pass the word count rule"
+    )
+    http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+    archive = (
+        _record("response", "http://site-a.example/page", http)
+        + _record("request", "http://site-a.example/page", b"GET /")
+        + _record("response", "http://site-b.example/x", b"HTTP/1.1 404\r\n\r\nno")
+    )
+    (tmp_path / "c.warc").write_bytes(archive)
+    docs = warc_to_documents(spark, str(tmp_path / "c.warc"))
+    rows = docs.collect()
+    # only the 200-OK response lands; 404 and request records drop
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["source"] == "site-a.example"
+    assert r["text"] == body.decode()
+    assert r["n_chars"] == len(body)
+    assert r["doc_id"] is not None and r["doc_id"] > 0
+    flags = gopher_flags(docs.select("doc_id", "text")).collect()
+    assert len(flags) == 1 and flags[0]["rule_word_count"] is not None
