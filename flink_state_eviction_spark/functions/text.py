@@ -579,3 +579,43 @@ def canonicalize_text(text: Column) -> Column:
     t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
     t = F.regexp_replace(t, " +", " ")
     return F.trim(t)
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (the stage between WARC ingestion and the
+# C4/Gopher batteries). Regex subset chosen for ENGINE PARITY: Java
+# regex (Spark) and RE2 (DuckDB) both support (?is) inline flags and
+# non-greedy quantifiers but RE2 has NO backreferences — so script and
+# style blocks are removed by two separate literal-tag passes, never a
+# <(script|style)>.*?</\1> backref. Entity decode order matters:
+# &amp; must be LAST or '&amp;lt;' double-unescapes. Extension.
+
+_HTML_BLOCK_RES = (
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+)
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # last — see module comment
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Tag-stripping text extraction: drop script/style/comment blocks,
+    drop remaining tags, decode the common entities, collapse
+    whitespace. Pure codegen (regexp_replace + replace chain); NULL
+    propagates. Not a browser — malformed nesting degrades to extra
+    whitespace, never an error."""
+    t = html
+    for pat in _HTML_BLOCK_RES:
+        t = F.regexp_replace(t, pat, " ")
+    t = F.regexp_replace(t, "<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, "[ \\t\\r\\n]+", " ")
+    return F.trim(t)

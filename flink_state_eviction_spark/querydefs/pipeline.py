@@ -8287,3 +8287,84 @@ def c4_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     only stats)."""
     docs = load_table(spark, sf_dir, "documents")
     return c4_scorecard_from_partials(c4_source_partials(docs))
+
+
+# ---------------------------------------------------------------------------
+# X216: HTML -> text extraction — the stage between WARC ingestion
+# (sources/warc.py) and the C4/Gopher batteries. The fixture corpus is
+# plain text, so the query wraps every doc in a deterministic HTML
+# shell (script + style + comment blocks, heading markup, entities)
+# IDENTICALLY in both engines; the kernel must recover the body text
+# plus the decoded entity prefix exactly. Regex subset is RE2-safe
+# (no backreferences — see functions/text.py module comment).
+
+def _html_oracle() -> str:
+    return r"""
+WITH base AS (
+    SELECT doc_id,
+           '<html><head><script type="text/javascript">var x = 1 < 2;'
+           || '</script><style>p { color: red }</style></head><body>'
+           || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '!</h1>'
+           || '<!-- hidden comment --><p>A &amp; B &lt;ok&gt;&nbsp;'
+           || CASE WHEN text IS NULL THEN NULL ELSE text END
+           || '</p></body></html>' AS h
+    FROM documents
+),
+x AS (
+    SELECT doc_id, h,
+           trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(h,
+                                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                       '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '[ \t\r\n]+', ' ', 'g')) AS t
+    FROM base
+)
+SELECT doc_id,
+       CAST(length(h) AS BIGINT) AS n_html,
+       CAST(length(t) AS BIGINT) AS n_text,
+       md5(t) AS text_md5
+FROM x
+"""
+
+
+@register_supplementary(
+    "html_extract_text", _html_oracle(), tags=("pipeline", "text")
+)
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X216: HTML -> text extraction (functions/text.py:html_to_text)
+    over deterministically HTML-wrapped fixture docs — html/text
+    lengths + extracted-text md5. Scan-only codegen (three block
+    regexes, one tag regex, six entity replaces, whitespace collapse);
+    zero shuffle at any corpus size."""
+    from flink_state_eviction_spark.functions.text import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    h = F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">var x = 1 < 2;'
+            "</script><style>p { color: red }</style></head><body>"
+        ),
+        F.lit("<h1>Doc "), did, F.lit("!</h1>"),
+        F.lit("<!-- hidden comment --><p>A &amp; B &lt;ok&gt;&nbsp;"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    staged = docs.select("doc_id", h.alias("h"))
+    out = staged.select(
+        "doc_id", "h", html_to_text(F.col("h")).alias("t")
+    )
+    return out.select(
+        "doc_id",
+        F.length("h").cast("long").alias("n_html"),
+        F.length("t").cast("long").alias("n_text"),
+        F.md5("t").alias("text_md5"),
+    )

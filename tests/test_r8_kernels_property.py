@@ -496,3 +496,33 @@ def test_canonical_dedup_outgroups_raw(spark, tmp_path):
     assert rows[0]["is_keeper"] and not rows[1]["is_keeper"]
     assert rows[2]["n_same"] == 1 and rows[2]["n_raw_variants"] == 1
     assert rows[2]["is_keeper"]
+
+
+def test_html_to_text_crafted(spark):
+    """X216 kernel pinned per rule on crafted HTML, incl. the RE2
+    constraint (script/style removed by separate literal passes) and
+    the entity-order rule (&amp; decoded LAST: '&amp;lt;' must yield
+    the literal 4 chars '&lt;', not '<')."""
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.functions.text import html_to_text
+
+    cases = [
+        (1, "<p>plain</p>", "plain"),
+        (2, "<script>ignore < me</script>body", "body"),
+        (3, "<style>p{}</style>a<b>bold</b>c", "a bold c"),
+        (4, "<!-- no -->kept", "kept"),
+        (5, "A &amp; B &lt;x&gt; &#39;q&#39;", "A & B <x> 'q'"),
+        (6, "&amp;lt;", "&lt;"),
+        (7, "  white\n\n space\t here ", "white space here"),
+        (8, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "i long, h string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
