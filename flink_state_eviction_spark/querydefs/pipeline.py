@@ -2805,7 +2805,8 @@ FROM flags
 @register(
     # rotated into the driver window in round 8 (displacing text_quality,
     # which keeps its parity gate + bench headline)
-    "c4_line_cleanup", _C4_LINE_ORACLE, tags=("pipeline", "text")
+    "c4_line_cleanup", _C4_LINE_ORACLE, headline=True,
+    tags=("pipeline", "text"),
 )
 def c4_line_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X202: C4 line-level cleanup (Raffel et al. 2020 §2.2) — per
@@ -3695,6 +3696,7 @@ FROM per_doc GROUP BY source
     # doc_shingle_novelty, which keeps its parity gate)
     "source_contamination_scorecard",
     _CONTAM_SCORECARD_ORACLE,
+    headline=True,
     tags=("pipeline", "text"),
 )
 def source_contamination_scorecard(
