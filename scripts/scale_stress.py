@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,vdiff",
+        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -368,6 +368,11 @@ def main() -> None:
             rec["text_canonicalize_sec"] = timed(lambda: all_qs["text_canonicalize"](spark, d))
             rec["dedup_exact_canonical_sec"] = timed(lambda: all_qs["dedup_exact_canonical"](spark, d))
             rec["media_curation_decisions_sec"] = timed(lambda: all_qs["media_curation_decisions"](spark, d))
+        if "r8l" in only:
+            # X213 C4 scorecard (kernel + |sources| fold); X216 HTML
+            # extraction (scan-only regex chain)
+            rec["c4_source_scorecard_sec"] = timed(lambda: all_qs["c4_source_scorecard"](spark, d))
+            rec["html_extract_text_sec"] = timed(lambda: all_qs["html_extract_text"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path
