@@ -183,14 +183,36 @@ def read_warc(
     return files.select("path", "content").mapInPandas(walk, schema)
 
 
+def _warc_doc_id():
+    """60-bit doc id over (target_uri, payload_md5) — see
+    warc_to_documents for why a pure content hash is wrong here."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("target_uri"), F.col("payload_md5"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     """The entry-path bridge: 200-OK response records mapped onto the
     engine's ``documents`` contract (doc_id, text, lang, source,
     n_chars) so every downstream stage — C4 cleanup, Gopher battery,
     dedup, LM scoring, curation — runs on crawl data unchanged.
 
-    doc_id is the top-60-bits of the payload md5 (deterministic,
-    collision-safe at corpus scale, independent of file order);
+    doc_id is the top-60-bits of md5(target_uri || payload_md5) —
+    deterministic and independent of file order, and UNIQUE per
+    (page, content): a pure content hash collides when syndicated
+    pages serve identical bytes from different URIs, and duplicate
+    doc_ids break the per-doc contract every downstream join assumes
+    (caught by the X217 test: a 3-archive fixture with one shared
+    body tripled the scorecard join). Finding content duplicates is
+    the dedup stages' job, on their own text/content keys;
     source is the URI host (the per-feed key every scorecard groups
     by); text is the HTTP body decoded as UTF-8 (lossy on bad bytes —
     honest for crawl data; charset sniffing is a later stage's job);
@@ -205,9 +227,80 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     )
     text = F.decode(F.col("http_body"), "UTF-8")
     return resp.select(
-        F.conv(F.substring(F.col("payload_md5"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("doc_id"),
+        _warc_doc_id().alias("doc_id"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.parse_url(F.col("target_uri"), F.lit("HOST")).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming WARC ingest: crawl segments LANDING in a directory
+    become a file stream (one record batch per new archive), bridged
+    to the ``documents`` contract exactly like the batch path — so the
+    per-source gate maintainers (C4 X214, contamination X206,
+    repetition X191, quality-cut X200) run continuously as the crawl
+    arrives. Pair with ``foreachBatch`` + a maintainer's batch fn.
+
+    File-stream semantics give the scale contract for free: each
+    archive is processed exactly once per checkpoint lineage, newly
+    landed files form the next micro-batch, and parallelism within a
+    batch is per file (the honest unit — see the module docstring)."""
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .load(path)
+    )
+    cols = [
+        "file",
+        "record_idx",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_length",
+        "http_status",
+        "payload_len",
+        "payload_md5",
+        "error",
+        "payload",
+        "http_body",
+    ]
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content)
+                try:
+                    if buf[:2] == b"\x1f\x8b":
+                        buf = _gunzip_members(buf)
+                    recs = parse_warc(buf)
+                except zlib.error as e:
+                    recs = [{"record_idx": 0, "error": f"gzip: {e}"}]
+                for r in recs:
+                    row = {c: r.get(c) for c in cols}
+                    row["file"] = fpath
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    recs = files.select("path", "content").mapInPandas(
+        walk, WARC_SCHEMA_PAYLOAD
+    )
+    text = F.decode(F.col("http_body"), "UTF-8")
+    return recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("error").isNull()
+    ).select(
+        _warc_doc_id().alias("doc_id"),
         text.alias("text"),
         F.lit(None).cast("string").alias("lang"),
         F.parse_url(F.col("target_uri"), F.lit("HOST")).alias("source"),

@@ -143,3 +143,70 @@ def test_warc_to_documents_feeds_the_engine(spark, tmp_path):
     assert r["doc_id"] is not None and r["doc_id"] > 0
     flags = gopher_flags(docs.select("doc_id", "text")).collect()
     assert len(flags) == 1 and flags[0]["rule_word_count"] is not None
+
+
+def test_warc_stream_feeds_c4_maintainer(spark, tmp_path):
+    """X217 end-to-end: WARC archives land as a file stream, bridge to
+    the documents contract, and the X214 C4 scorecard maintainer folds
+    them per batch — final state equals running the batch kernel over
+    the batch-read bridge of the same archives."""
+    import os
+
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        c4_scorecard_from_partials,
+        c4_source_partials,
+    )
+    from flink_state_eviction_spark.sources.warc import (
+        read_warc_stream,
+        warc_to_documents,
+    )
+    from flink_state_eviction_spark.streaming.c4_maintain import (
+        c4_maintain_batch,
+        scorecard_from_state,
+    )
+
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    # seg0 and seg2 serve IDENTICAL bytes from different URIs — the
+    # bridge must still mint distinct doc_ids (URI+content key), or
+    # the scorecard's doc_id join multiplies (the bug this test found)
+    body = b"the quick brown fox jumps over the lazy dog again and again"
+    http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+    for i, host in enumerate(["a.example", "b.example", "a.example"]):
+        (warc_dir / f"seg{i}.warc").write_bytes(
+            _record("response", f"http://{host}/p{i}", http)
+        )
+    ids = [
+        r["doc_id"]
+        for r in warc_to_documents(spark, str(warc_dir)).collect()
+    ]
+    assert len(ids) == len(set(ids)) == 3
+
+    stream = read_warc_stream(spark, str(warc_dir))
+    state = os.path.join(str(tmp_path), "state")
+
+    def upd(batch_df, batch_id):
+        c4_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        tuple(r)
+        for r in scorecard_from_state(spark, state).collect()
+    }
+    want = {
+        tuple(r)
+        for r in c4_scorecard_from_partials(
+            c4_source_partials(warc_to_documents(spark, str(warc_dir)))
+        ).collect()
+    }
+    assert got == want and got
+    # two hosts, a.example with two pages
+    by_src = {r[0]: r for r in got}
+    assert by_src["a.example"][1] == 2 and by_src["b.example"][1] == 1
