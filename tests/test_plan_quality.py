@@ -913,3 +913,36 @@ def test_decontam_drops_broadcast_above_budget(spark, sf_dir):
         )
     finally:
         spark.conf.set(conf, prev)
+
+
+def test_canonicalize_family_scan_only(spark, sf_dir):
+    # X211 and X216 are pure codegen string stages: one scan, zero
+    # exchanges, zero joins, zero Python.
+    for name in ("text_canonicalize", "html_extract_text"):
+        df = _q(name, spark, sf_dir)
+        plan = physical_plan(df, "simple")
+        assert plan.count("Scan parquet") == 1, (name, plan)
+        assert plan.count("Exchange") == 0, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert "EvalPython" not in plan, (name, plan)
+
+
+def test_canonical_dedup_single_hash_window(spark, sf_dir):
+    # X212: the census geometry — exactly one hash exchange (by the
+    # canonical key) for the window; no joins, no pair enumeration.
+    df = _q("dedup_exact_canonical", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_c4_scorecard_shape(spark, sf_dir):
+    # X213: kernel pass + narrow doc_id join + |sources| fold — no
+    # Python, no cartesian; the fold pair shares the join's doc_id-
+    # compatible partitioning upstream so exchanges stay bounded.
+    df = _q("c4_source_scorecard", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
