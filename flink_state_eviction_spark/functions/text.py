@@ -619,3 +619,37 @@ def html_to_text(html: Column) -> Column:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     t = F.regexp_replace(t, "[ \\t\\r\\n]+", " ")
     return F.trim(t)
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL form for URL-keyed dedup / frontier dedup —
+    the cheap pre-pass that collapses trivially-distinct spellings
+    BEFORE any content is fetched or hashed. RE2-safe regex chain
+    (engine-parity: no backreferences, no lookaround):
+
+    1. scheme + host lowercased (the only case-insensitive parts);
+    2. default ports stripped (:80 http, :443 https);
+    3. fragment stripped (#... never reaches the server);
+    4. duplicate slashes in the path collapsed (scheme's // is safe —
+       the pass runs on the path-and-after suffix only);
+    5. trailing '/' dropped from a path-only URL (but kept as the
+       bare-root '/': host and host/ normalize identically);
+    6. empty query '?' dropped.
+
+    Deliberately NOT done: dot-segment resolution and query-param
+    sorting (both change semantics on hostile real-world servers;
+    a frontier that needs them applies its own policy stage)."""
+    # split once: scheme://host[:port] vs the rest; lowercase the
+    # authority only. The capture-group rewrite is one regexp_replace
+    # with a lower() over a second extract — RE2-safe.
+    scheme_host = F.regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(url, F.length(scheme_host) + 1, F.lit(1 << 30))
+    auth = F.lower(scheme_host)
+    auth = F.regexp_replace(auth, "^(http://[^/?#]*):80$", "$1")
+    auth = F.regexp_replace(auth, "^(https://[^/?#]*):443$", "$1")
+    r = F.regexp_replace(rest, "#.*$", "")
+    r = F.regexp_replace(r, "//+", "/")
+    r = F.regexp_replace(r, "\\?$", "")
+    r = F.regexp_replace(r, "^(/.+)/$", "$1")
+    full = F.concat(auth, F.when(r == "", F.lit("/")).otherwise(r))
+    return F.when(scheme_host == "", url).otherwise(full)

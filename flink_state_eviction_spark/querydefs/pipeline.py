@@ -8370,3 +8370,108 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("t").cast("long").alias("n_text"),
         F.md5("t").alias("text_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X218: URL normalization — the URL-keyed dedup / crawl-frontier
+# pre-pass (collapse trivially-distinct spellings BEFORE fetching or
+# hashing content). The fixture has no URL column, so the query mints
+# doc_id-keyed URLs with the quirks the kernel must fix (case, default
+# ports, fragments, duplicate slashes, trailing slash, empty query,
+# plus a non-URL passthrough row). Dialect notes baked into the
+# oracle: DuckDB regexp_replace is FIRST-match unless 'g' (Spark is
+# always global — only the //+ collapse needs 'g'), and replacement
+# backrefs are \\1 in DuckDB vs $1 in Spark.
+
+_URL_NORM_ORACLE = r"""
+WITH base AS (
+    SELECT doc_id,
+           CASE doc_id % 5
+                WHEN 0 THEN 'HTTP://Example.COM:80/Path//d'
+                            || CAST(doc_id AS VARCHAR) || '/#frag'
+                WHEN 1 THEN 'https://Site.Org:443/d'
+                            || CAST(doc_id AS VARCHAR) || '?'
+                WHEN 2 THEN 'https://site.org/a/d' || CAST(doc_id AS VARCHAR)
+                            || '?x=1&y=2#sec'
+                WHEN 3 THEN 'http://h' || CAST(doc_id AS VARCHAR) || '.example'
+                ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+    FROM documents
+),
+parts AS (
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+               AS sh
+    FROM base
+),
+auth AS (
+    SELECT doc_id, url, sh,
+           regexp_replace(
+               regexp_replace(lower(sh), '^(http://[^/?#]*):80$', '\1'),
+               '^(https://[^/?#]*):443$', '\1') AS a,
+           substring(url, length(sh) + 1, 1073741824) AS rest
+    FROM parts
+),
+fixed AS (
+    SELECT doc_id, url, sh, a,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(rest, '#.*$', ''),
+                       '//+', '/', 'g'),
+                   '\?$', ''),
+               '^(/.+)/$', '\1') AS r
+    FROM auth
+)
+SELECT doc_id,
+       CASE WHEN sh = '' THEN url
+            ELSE a || CASE WHEN r = '' THEN '/' ELSE r END END AS norm_url,
+       (CASE WHEN sh = '' THEN url
+             ELSE a || CASE WHEN r = '' THEN '/' ELSE r END END) <> url
+           AS changed
+FROM fixed
+"""
+
+
+@register_supplementary(
+    "url_normalize", _URL_NORM_ORACLE, tags=("pipeline", "text")
+)
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X218: URL normalization (functions/text.py:normalize_url) over
+    minted quirk URLs — canonical form + changed flag per doc.
+    Scan-only codegen; the canonical URL is what a crawl frontier or
+    URL-level dedup keys on, so at 100 TB this pass rides the scan
+    exactly like the text canonicalization sibling (X211)."""
+    from flink_state_eviction_spark.functions.text import normalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("HTTP://Example.COM:80/Path//d"), did, F.lit("/#frag")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("https://Site.Org:443/d"), did, F.lit("?")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("https://site.org/a/d"), did, F.lit("?x=1&y=2#sec")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("http://h"), did, F.lit(".example")),
+        )
+        .otherwise(F.concat(F.lit("not a url "), did))
+    )
+    staged = docs.select("doc_id", url.alias("url"))
+    out = staged.select(
+        "doc_id", "url", normalize_url(F.col("url")).alias("norm_url")
+    )
+    return out.select(
+        "doc_id",
+        "norm_url",
+        (F.col("norm_url") != F.col("url")).alias("changed"),
+    )

@@ -526,3 +526,37 @@ def test_html_to_text_crafted(spark):
     }
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_normalize_url_crafted(spark):
+    """X218 kernel pinned per rule: case, default ports (kept when
+    non-default), fragment, duplicate slashes, trailing slash,
+    bare-root equivalence, empty query, non-URL passthrough, NULL."""
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.functions.text import normalize_url
+
+    cases = [
+        (1, "HTTP://Example.COM/Page", "http://example.com/Page"),
+        (2, "http://host:80/a", "http://host/a"),
+        (3, "https://host:443/a", "https://host/a"),
+        (4, "http://host:8080/a", "http://host:8080/a"),
+        (5, "https://host:80/a", "https://host:80/a"),  # not its default
+        (6, "http://h/a//b///c", "http://h/a/b/c"),
+        (7, "http://h/a/b/#x", "http://h/a/b"),
+        (8, "http://h", "http://h/"),
+        (9, "http://h/", "http://h/"),
+        (10, "http://h/a?", "http://h/a"),
+        (11, "http://h/a?x=1#f", "http://h/a?x=1"),
+        (12, "mailto:x@y", "mailto:x@y"),  # no ://host — passthrough
+        (13, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "i long, u string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_url(F.col("u")).alias("n")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
