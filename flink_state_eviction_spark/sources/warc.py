@@ -306,3 +306,102 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
         F.parse_url(F.col("target_uri"), F.lit("HOST")).alias("source"),
         F.length(text).cast("long").alias("n_chars"),
     )
+
+
+def parse_robots(payload: bytes) -> list[str]:
+    """Disallow prefixes from a robots.txt body, for the wildcard
+    agent only (``User-agent: *`` groups — the documented subset: a
+    per-agent policy engine is a crawler concern, the corpus gate
+    cares about pages nobody should have fetched). Group semantics
+    per RFC 9309: consecutive User-agent lines share the following
+    rule block; an empty Disallow means allow-all and adds nothing."""
+    prefixes: list[str] = []
+    in_star = False
+    seen_rule_after_agent = True
+    for raw in payload.decode("utf-8", "replace").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if seen_rule_after_agent:
+                in_star = val == "*"
+                seen_rule_after_agent = False
+            else:
+                in_star = in_star or val == "*"
+        else:
+            seen_rule_after_agent = True
+            if key == "disallow" and in_star and val:
+                prefixes.append(val)
+    return prefixes
+
+
+def robots_disallow_rules(spark: SparkSession, path: str) -> DataFrame:
+    """(host, disallow_prefix) rules harvested from the crawl's own
+    robots.txt responses — per-host-bounded (a robots file is a few
+    KB), so the rules frame broadcasts at any corpus size."""
+    from urllib.parse import urlsplit
+
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path, include_payload=True)
+    robots = recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("error").isNull()
+        & F.col("target_uri").endswith("/robots.txt")
+    ).select("target_uri", "http_body")
+
+    def explode_rules(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, prefs = [], []
+            for uri, body in zip(pdf["target_uri"], pdf["http_body"]):
+                host = urlsplit(uri).netloc.lower()
+                for p in parse_robots(bytes(body or b"")):
+                    hosts.append(host)
+                    prefs.append(p)
+            yield pd.DataFrame({"host": hosts, "disallow_prefix": prefs})
+
+    return robots.mapInPandas(
+        explode_rules, "host string, disallow_prefix string"
+    ).distinct()
+
+
+def apply_robots_gate(pages: DataFrame, rules: DataFrame) -> DataFrame:
+    """Flag fetched pages that the host's robots.txt disallows for the
+    wildcard agent: pages (must carry ``target_uri``) LEFT-join the
+    broadcast rules on host, matching when the URI path starts with a
+    disallow prefix. Output = pages + ``robots_disallowed`` boolean.
+
+    Scale shape: the rules side is per-host-bounded (broadcast is
+    honest, not hopeful); the pages side never shuffles — the gate is
+    a broadcast join + a starts_with, evaluated in the scan stage."""
+    from pyspark.sql import functions as F
+
+    host = F.lower(F.parse_url(F.col("target_uri"), F.lit("HOST")))
+    path = F.parse_url(F.col("target_uri"), F.lit("PATH"))
+    staged = pages.select(
+        "*", host.alias("_host"), path.alias("_path")
+    )
+    hit = (
+        staged.join(
+            F.broadcast(rules),
+            (F.col("_host") == F.col("host"))
+            & F.col("_path").startswith(F.col("disallow_prefix")),
+            "left_semi",
+        )
+        .select("target_uri")
+        .distinct()
+        .withColumn("robots_disallowed", F.lit(True))
+    )
+    return (
+        staged.join(F.broadcast(hit), "target_uri", "left")
+        .withColumn(
+            "robots_disallowed",
+            F.coalesce(F.col("robots_disallowed"), F.lit(False)),
+        )
+        .drop("_host", "_path")
+    )

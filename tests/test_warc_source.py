@@ -210,3 +210,70 @@ def test_warc_stream_feeds_c4_maintainer(spark, tmp_path):
     # two hosts, a.example with two pages
     by_src = {r[0]: r for r in got}
     assert by_src["a.example"][1] == 2 and by_src["b.example"][1] == 1
+
+
+def test_parse_robots_group_semantics():
+    """RFC 9309 grouping pinned: consecutive User-agent lines share
+    the next rule block; non-star groups ignored; empty Disallow adds
+    nothing; comments and junk lines skipped."""
+    from flink_state_eviction_spark.sources.warc import parse_robots
+
+    body = b"""
+# comment
+User-agent: googlebot
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /tmp/ok
+
+User-agent: badbot
+Disallow: /
+
+User-agent: *
+Disallow:
+Disallow: /secret # trailing comment
+junk line without colon... wait
+"""
+    assert parse_robots(body) == ["/private/", "/tmp", "/secret"]
+
+
+def test_robots_gate_end_to_end(spark, tmp_path):
+    """X219: rules harvested from the crawl's own robots.txt gate the
+    fetched pages — /private/ page flagged, /public page clean, pages
+    from a host WITHOUT robots rules clean."""
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.sources.warc import (
+        apply_robots_gate,
+        read_warc,
+        robots_disallow_rules,
+    )
+
+    robots = b"HTTP/1.1 200 OK\r\n\r\nUser-agent: *\r\nDisallow: /private/\r\n"
+    page = b"HTTP/1.1 200 OK\r\n\r\n<html>x</html>"
+    archive = (
+        _record("response", "http://a.example/robots.txt", robots)
+        + _record("response", "http://a.example/private/x", page)
+        + _record("response", "http://A.EXAMPLE/public/y", page)
+        + _record("response", "http://b.example/private/z", page)
+    )
+    (tmp_path / "c.warc").write_bytes(archive)
+    rules = robots_disallow_rules(spark, str(tmp_path / "c.warc"))
+    assert {tuple(r) for r in rules.collect()} == {
+        ("a.example", "/private/")
+    }
+    pages = read_warc(spark, str(tmp_path / "c.warc")).where(
+        (F.col("warc_type") == "response")
+        & ~F.col("target_uri").endswith("/robots.txt")
+    )
+    got = {
+        r["target_uri"]: r["robots_disallowed"]
+        for r in apply_robots_gate(pages, rules).collect()
+    }
+    assert got == {
+        "http://a.example/private/x": True,
+        # host matching is case-insensitive
+        "http://A.EXAMPLE/public/y": False,
+        # no rules for b.example — clean
+        "http://b.example/private/z": False,
+    }
