@@ -373,6 +373,7 @@ def main() -> None:
             # extraction (scan-only regex chain)
             rec["c4_source_scorecard_sec"] = timed(lambda: all_qs["c4_source_scorecard"](spark, d))
             rec["html_extract_text_sec"] = timed(lambda: all_qs["html_extract_text"](spark, d))
+            rec["url_normalize_sec"] = timed(lambda: all_qs["url_normalize"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path
