@@ -573,7 +573,8 @@ assert len(ACCENT_FROM) == len(ACCENT_TO)
 def canonicalize_text(text: Column) -> Column:
     """Deterministic canonical form: accent-fold (fixed map above) ->
     lowercase -> non-[a-z0-9 ] to space -> collapse runs of spaces ->
-    trim. Pure codegen string work; NULL text stays NULL."""
+    trim. Pure codegen string work; NULL text stays NULL. Extension
+    beyond the reference surface (X211)."""
     t = F.translate(text, ACCENT_FROM, ACCENT_TO)
     t = F.lower(t)
     t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
@@ -610,7 +611,8 @@ def html_to_text(html: Column) -> Column:
     drop remaining tags, decode the common entities, collapse
     whitespace. Pure codegen (regexp_replace + replace chain); NULL
     propagates. Not a browser — malformed nesting degrades to extra
-    whitespace, never an error."""
+    whitespace, never an error. Extension beyond the reference
+    surface (X216)."""
     t = html
     for pat in _HTML_BLOCK_RES:
         t = F.regexp_replace(t, pat, " ")
