@@ -596,6 +596,11 @@ _HTML_BLOCK_RES = (
     "(?is)<style[^>]*>.*?</style>",
     "(?s)<!--.*?-->",
 )
+# block-level boundaries become NEWLINES (not spaces) so downstream
+# LINE-rule stages (C4 X202) see the page's real block structure —
+# a space-only extraction collapses every page to one line and makes
+# the line rules vacuous on crawl data.
+_HTML_LINE_BREAK_RE = "(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/title)[^>]*>"
 _HTML_ENTITIES = (
     ("&lt;", "<"),
     ("&gt;", ">"),
@@ -616,10 +621,17 @@ def html_to_text(html: Column) -> Column:
     t = html
     for pat in _HTML_BLOCK_RES:
         t = F.regexp_replace(t, pat, " ")
+    t = F.regexp_replace(t, _HTML_LINE_BREAK_RE, "\n")
     t = F.regexp_replace(t, "<[^>]*>", " ")
     for ent, ch in _HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
-    t = F.regexp_replace(t, "[ \\t\\r\\n]+", " ")
+    # collapse horizontal whitespace; then squeeze newline runs and
+    # strip the spaces hugging them (order matters: the second pass
+    # must see single spaces)
+    t = F.regexp_replace(t, "[ \\t\\r]+", " ")
+    t = F.regexp_replace(t, " ?\\n[ \\n]*", "\n")
+    t = F.regexp_replace(t, "^\\n+", "")
+    t = F.regexp_replace(t, "\\n+$", "")
     return F.trim(t)
 
 

@@ -2690,11 +2690,16 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 C4_TERMINAL_PUNCT = (".", "!", "?", '"')
 
 
-def c4_line_stats_frame(lined: DataFrame) -> DataFrame:
+def c4_line_stats_frame(
+    lined: DataFrame, keep_cleaned: bool = False
+) -> DataFrame:
     """Frame-level C4 line-rule kernel over (doc_id, t0) lined pages —
-    the ONE kernel, reusable by a streaming maintainer. Intermediate
-    arrays are projected to named columns (interpreted HOFs don't CSE;
-    see CLAUDE.md), and nothing filters on a HOF column."""
+    the ONE kernel, reusable by a streaming maintainer and the
+    crawl-to-corpus composition (sources/warc.py, which passes
+    ``keep_cleaned=True`` to chain the doc-level batteries onto the
+    CLEANED text). Intermediate arrays are projected to named columns
+    (interpreted HOFs don't CSE; see CLAUDE.md), and nothing filters
+    on a HOF column."""
     split_lines = lined.select(
         "doc_id",
         "t0",
@@ -2730,6 +2735,7 @@ def c4_line_stats_frame(lined: DataFrame) -> DataFrame:
         "has_brace",
         kept_doc.alias("kept_doc"),
         F.when(kept_doc, F.md5("_cleaned")).alias("cleaned_md5"),
+        *([F.col("_cleaned").alias("cleaned")] if keep_cleaned else []),
     )
 
 
@@ -8314,19 +8320,26 @@ WITH base AS (
 ),
 x AS (
     SELECT doc_id, h,
-           trim(regexp_replace(
+           trim(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(
                replace(replace(replace(replace(replace(replace(
                    regexp_replace(
                        regexp_replace(
                            regexp_replace(
-                               regexp_replace(h,
-                                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                           '(?s)<!--.*?-->', ' ', 'g'),
+                               regexp_replace(
+                                   regexp_replace(h,
+                                       '(?is)<script[^>]*>.*?</script>',
+                                       ' ', 'g'),
+                                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                               '(?s)<!--.*?-->', ' ', 'g'),
+                           '(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/title)[^>]*>',
+                           chr(10), 'g'),
                        '<[^>]*>', ' ', 'g'),
                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-               '[ \t\r\n]+', ' ', 'g')) AS t
+               '[ \t\r]+', ' ', 'g'),
+               ' ?\n[ \n]*', chr(10), 'g'),
+               '^\n+', ''), '\n+$', '')) AS t
     FROM base
 )
 SELECT doc_id,

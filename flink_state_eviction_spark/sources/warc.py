@@ -405,3 +405,55 @@ def apply_robots_gate(pages: DataFrame, rules: DataFrame) -> DataFrame:
         )
         .drop("_host", "_path")
     )
+
+
+def crawl_curation_decisions(spark: SparkSession, path: str) -> DataFrame:
+    """X220: the crawl-to-corpus funnel end to end, on REAL pipeline
+    kernels with zero glue logic of its own — per fetched page:
+
+      WARC response -> documents bridge -> HTML -> text extraction
+      (block tags become line breaks) -> C4 line rules on the page's
+      REAL block structure -> Gopher doc-level battery on the CLEANED
+      text -> final keep.
+
+    Output: (doc_id, source, n_lines, n_kept, c4_kept, gopher_passes,
+    final_keep). gopher_passes is NULL for pages C4 already dropped
+    (the battery never runs on them — stage order is part of the
+    contract). Every stage is the SAME kernel the registered queries
+    gate (html_to_text / c4_line_stats_frame / gopher_flags), so this
+    composition inherits their oracles and pins."""
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.functions.text import html_to_text
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        c4_line_stats_frame,
+        gopher_flags,
+    )
+
+    docs = warc_to_documents(spark, path)
+    lined = docs.select(
+        "doc_id", "source", html_to_text(F.col("text")).alias("t0")
+    )
+    c4 = c4_line_stats_frame(
+        lined.select("doc_id", "t0"), keep_cleaned=True
+    ).localCheckpoint(eager=False)
+    gop = gopher_flags(
+        c4.where(F.col("kept_doc")).select(
+            "doc_id", F.col("cleaned").alias("text")
+        )
+    ).select("doc_id", F.col("passes").alias("gopher_passes"))
+    out = (
+        c4.join(lined.select("doc_id", "source"), "doc_id")
+        .join(gop, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_kept",
+        F.col("kept_doc").alias("c4_kept"),
+        "gopher_passes",
+        (
+            F.col("kept_doc") & F.coalesce(F.col("gopher_passes"), F.lit(False))
+        ).alias("final_keep"),
+    )

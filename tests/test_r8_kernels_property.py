@@ -500,9 +500,11 @@ def test_canonical_dedup_outgroups_raw(spark, tmp_path):
 
 def test_html_to_text_crafted(spark):
     """X216 kernel pinned per rule on crafted HTML, incl. the RE2
-    constraint (script/style removed by separate literal passes) and
-    the entity-order rule (&amp; decoded LAST: '&amp;lt;' must yield
-    the literal 4 chars '&lt;', not '<')."""
+    constraint (script/style removed by separate literal passes), the
+    entity-order rule (&amp; decoded LAST: '&amp;lt;' must yield the
+    literal 4 chars '&lt;', not '<'), and the block-structure rule
+    (block closers + <br> become newlines so C4's line rules see the
+    page's real blocks — a space-only extraction makes them vacuous)."""
     from pyspark.sql import functions as F
 
     from flink_state_eviction_spark.functions.text import html_to_text
@@ -514,8 +516,17 @@ def test_html_to_text_crafted(spark):
         (4, "<!-- no -->kept", "kept"),
         (5, "A &amp; B &lt;x&gt; &#39;q&#39;", "A & B <x> 'q'"),
         (6, "&amp;lt;", "&lt;"),
-        (7, "  white\n\n space\t here ", "white space here"),
+        # raw newlines in source text survive (squeezed + despaced) —
+        # they are real line structure, same as block boundaries
+        (7, "  white\n\n space\t here ", "white\nspace here"),
         (8, None, None),
+        # block closers and <br> become LINE BREAKS (C4's line rules
+        # need the page's block structure); inline tags become spaces
+        (9, "<p>one.</p><p>two.</p>", "one.\ntwo."),
+        (10, "a<br>b<BR/>c", "a\nb\nc"),
+        (11, "<h1>Title</h1>body text here.", "Title\nbody text here."),
+        (12, "<li>x</li><li>y</li>", "x\ny"),
+        (13, "<div>a</div>  <div>b</div>", "a\nb"),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, h, _ in cases], "i long, h string"

@@ -277,3 +277,67 @@ def test_robots_gate_end_to_end(spark, tmp_path):
         # no rules for b.example — clean
         "http://b.example/private/z": False,
     }
+
+
+def test_crawl_curation_end_to_end(spark, tmp_path):
+    """X220: the whole crawl-to-corpus funnel on a crafted crawl —
+    extraction's block newlines feed C4's line rules, the Gopher
+    battery runs on the CLEANED text only, and stage order holds
+    (gopher_passes NULL for C4-dropped pages)."""
+    from flink_state_eviction_spark.sources.warc import (
+        crawl_curation_decisions,
+    )
+
+    # paragraphs VARY (six copies of one sentence correctly fail the
+    # Gopher repetition rule — distinct/words 0.15 < 0.3; the battery
+    # on the cleaned text is doing its job, so the fixture must read
+    # like real prose)
+    paras = [
+        f"<p>the {a} {n} jumps over the {b} {m} in the {c} today.</p>"
+        for a, n, b, m, c in [
+            ("quick", "fox", "lazy", "dog", "meadow"),
+            ("sleepy", "cat", "noisy", "bird", "garden"),
+            ("clever", "otter", "muddy", "frog", "river"),
+            ("sturdy", "horse", "dusty", "goat", "valley"),
+            ("gentle", "whale", "salty", "crab", "harbor"),
+            ("curious", "mouse", "rusty", "gate", "orchard"),
+        ]
+    ]
+    good_html = ("<html><body>" + "".join(paras) + "</body></html>").encode()
+    lorem_html = (
+        "<html><body><p>lorem ipsum dolor sit amet today.</p>"
+        + "".join(paras[:5])
+        + "</body></html>"
+    ).encode()
+    # every block too short / unterminated -> C4 keeps < 5 lines
+    thin_html = b"<html><body><p>hi</p><p>no end here</p></body></html>"
+
+    def page(uri, body):
+        return _record(
+            "response", uri, b"HTTP/1.1 200 OK\r\n\r\n" + body
+        )
+
+    (tmp_path / "c.warc").write_bytes(
+        page("http://good.example/a", good_html)
+        + page("http://lorem.example/b", lorem_html)
+        + page("http://thin.example/c", thin_html)
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in crawl_curation_decisions(
+            spark, str(tmp_path / "c.warc")
+        ).collect()
+    }
+    g = got["good.example"]
+    # 6 <p> blocks -> 6 real lines, all kept; gopher passes (60 words,
+    # sane lengths, stopwords present); final keep
+    assert g["n_lines"] == 6 and g["n_kept"] == 6
+    assert g["c4_kept"] and g["gopher_passes"] and g["final_keep"]
+    lo = got["lorem.example"]
+    # lines are fine but the PAGE dies on lorem ipsum — and the
+    # battery never runs on it (stage order)
+    assert lo["n_kept"] == 6 and not lo["c4_kept"]
+    assert lo["gopher_passes"] is None and not lo["final_keep"]
+    th = got["thin.example"]
+    assert th["n_kept"] == 0 and not th["c4_kept"]
+    assert not th["final_keep"]
