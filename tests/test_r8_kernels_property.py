@@ -1,7 +1,15 @@
 """Property pins for the round-8 kernels: the budget-selection greedy
 semantics and its signed-score bucket floor (X193), and the SemDeDup
 keep rule (X192) — each against an independent pure-Python/numpy
-reference on randomized inputs."""
+reference on randomized inputs — plus the crafted-input pins for the
+late-round-8 additions (the source_overlap lesson: the synthesized
+fixture is never the only gate): C4 line rules (X202), WAV VAD
+segmentation (X203), BMP/WAV header probes (X204/X207), the media
+curation composition (X208), the skew-profile distribution stats
+(X209, incl. the entropy LUT's overestimate direction), truncated
+rerank recall/gain (X210), text canonicalization (X211), canonical
+dedup outgrouping (X212), HTML extraction incl. block-newline and
+entity-order rules (X216), and URL normalization (X218)."""
 
 from __future__ import annotations
 
