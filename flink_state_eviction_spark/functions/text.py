@@ -646,13 +646,20 @@ def normalize_url(url: Column) -> Column:
     3. fragment stripped (#... never reaches the server);
     4. duplicate slashes in the path collapsed (scheme's // is safe —
        the pass runs on the path-and-after suffix only);
-    5. trailing '/' dropped from a path-only URL (but kept as the
-       bare-root '/': host and host/ normalize identically);
+    5. trailing '/' dropped from the path (but kept as the bare-root
+       '/': host and host/ normalize identically);
     6. empty query '?' dropped.
+
+    Slash collapsing and trailing-slash stripping run on the PATH
+    segment only — a '//' inside a query value (?redirect=http://x)
+    is data, and rewriting it both corrupts the URL and conflates
+    distinct resources (round-8 review finding; the first version
+    collapsed across the whole suffix).
 
     Deliberately NOT done: dot-segment resolution and query-param
     sorting (both change semantics on hostile real-world servers;
-    a frontier that needs them applies its own policy stage)."""
+    a frontier that needs them applies its own policy stage).
+    Extension beyond the reference surface (X218)."""
     # split once: scheme://host[:port] vs the rest; lowercase the
     # authority only. The capture-group rewrite is one regexp_replace
     # with a lower() over a second extract — RE2-safe.
@@ -661,9 +668,13 @@ def normalize_url(url: Column) -> Column:
     auth = F.lower(scheme_host)
     auth = F.regexp_replace(auth, "^(http://[^/?#]*):80$", "$1")
     auth = F.regexp_replace(auth, "^(https://[^/?#]*):443$", "$1")
-    r = F.regexp_replace(rest, "#.*$", "")
-    r = F.regexp_replace(r, "//+", "/")
-    r = F.regexp_replace(r, "\\?$", "")
-    r = F.regexp_replace(r, "^(/.+)/$", "$1")
+    defrag = F.regexp_replace(rest, "#.*$", "")
+    # path/query split: everything before the first '?' is path
+    p = F.regexp_extract(defrag, "^[^?]*", 0)
+    q = F.substring(defrag, F.length(p) + 1, F.lit(1 << 30))
+    p = F.regexp_replace(p, "//+", "/")
+    p = F.regexp_replace(p, "^(/.+)/$", "$1")
+    q = F.regexp_replace(q, "^\\?$", "")
+    r = F.concat(p, q)
     full = F.concat(auth, F.when(r == "", F.lit("/")).otherwise(r))
     return F.when(scheme_host == "", url).otherwise(full)

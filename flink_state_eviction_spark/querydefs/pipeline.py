@@ -8424,16 +8424,26 @@ auth AS (
            substring(url, length(sh) + 1, 1073741824) AS rest
     FROM parts
 ),
+defrag AS (
+    SELECT doc_id, url, sh, a,
+           regexp_replace(rest, '#.*$', '') AS dr
+    FROM auth
+),
+pq AS (
+    SELECT doc_id, url, sh, a, dr,
+           regexp_extract(dr, '^[^?]*') AS p0
+    FROM defrag
+),
+-- slash collapse + trailing-slash strip on the PATH only; the query
+-- suffix passes through untouched except the bare-'?' drop
 fixed AS (
     SELECT doc_id, url, sh, a,
            regexp_replace(
-               regexp_replace(
-                   regexp_replace(
-                       regexp_replace(rest, '#.*$', ''),
-                       '//+', '/', 'g'),
-                   '\?$', ''),
-               '^(/.+)/$', '\1') AS r
-    FROM auth
+               regexp_replace(p0, '//+', '/', 'g'), '^(/.+)/$', '\1')
+           || regexp_replace(
+               substring(dr, length(p0) + 1, 1073741824), '^\?$', '')
+               AS r
+    FROM pq
 )
 SELECT doc_id,
        CASE WHEN sh = '' THEN url

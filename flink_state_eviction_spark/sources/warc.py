@@ -18,10 +18,14 @@ Design points for 100 TB of crawl data:
   gzip members (the CC layout) via a multi-member zlib walk.
 - Metadata-only by default: ``include_payload=False`` keeps the
   output narrow (type, URI, date, lengths, HTTP status, payload md5)
-  for census/stats passes; the payload (and the HTTP body split) is
-  opted into for extraction runs — a mapInPandas operator cannot
-  benefit from columnar pruning, so the projection choice happens
-  HERE, before the bytes ever land in Arrow.
+  for census/stats passes; the payload (and the HTTP body split, and
+  its LOSSY utf-8 text decode) is opted into for extraction runs — a
+  mapInPandas operator cannot benefit from columnar pruning, so the
+  projection choice happens HERE, before the bytes ever land in
+  Arrow. The text decode happens in PYTHON with errors='replace':
+  Spark 4's ``F.decode`` raises MALFORMED_CHARACTER_CODING on the
+  invalid bytes real crawl bodies routinely contain (round-8 review
+  finding — a single latin-1 page must not abort a 100 TB job).
 - Malformed records quarantine, never crash: a record that cannot be
   parsed emits a row with ``error`` set and parsing of that FILE
   stops at the failure offset (a corrupt length header poisons all
@@ -42,7 +46,23 @@ WARC_SCHEMA = (
     "warc_date string, content_length long, http_status long, "
     "payload_len long, payload_md5 string, error string"
 )
-WARC_SCHEMA_PAYLOAD = WARC_SCHEMA + ", payload binary, http_body binary"
+WARC_SCHEMA_PAYLOAD = (
+    WARC_SCHEMA + ", payload binary, http_body binary, http_text string"
+)
+
+_META_COLS = [
+    "file",
+    "record_idx",
+    "warc_type",
+    "target_uri",
+    "warc_date",
+    "content_length",
+    "http_status",
+    "payload_len",
+    "payload_md5",
+    "error",
+]
+_PAYLOAD_COLS = _META_COLS + ["payload", "http_body", "http_text"]
 
 
 def _gunzip_members(buf: bytes) -> bytes:
@@ -64,7 +84,10 @@ def parse_warc(buf: bytes) -> list[dict]:
     """Pure-Python WARC record walk (plain layout; gunzip first for
     .warc.gz). Returns one dict per record; on a malformed record the
     walk emits an ``error`` row and stops (offsets past a bad
-    Content-Length are meaningless)."""
+    Content-Length are meaningless). Response records carry the HTTP
+    status, the raw body bytes, and ``http_text`` — the body decoded
+    as utf-8 with errors='replace' (lossy by design; see module
+    docstring)."""
     records: list[dict] = []
     pos, idx = 0, 0
     n = len(buf)
@@ -114,7 +137,7 @@ def parse_warc(buf: bytes) -> list[dict]:
             )
             break
         wtype = headers.get("warc-type")
-        status, http_body = None, None
+        status, http_body, http_text = None, None, None
         if wtype == "response" and payload.startswith(b"HTTP/"):
             line_end = payload.find(b"\r\n")
             parts = payload[:line_end].split(b" ")
@@ -123,6 +146,7 @@ def parse_warc(buf: bytes) -> list[dict]:
             hdr_end = payload.find(b"\r\n\r\n")
             if hdr_end >= 0:
                 http_body = payload[hdr_end + 4 :]
+                http_text = http_body.decode("utf-8", "replace")
         records.append(
             {
                 "record_idx": idx,
@@ -135,6 +159,7 @@ def parse_warc(buf: bytes) -> list[dict]:
                 "payload_md5": hashlib.md5(payload).hexdigest(),
                 "payload": payload,
                 "http_body": http_body,
+                "http_text": http_text,
                 "error": None,
             }
         )
@@ -143,23 +168,10 @@ def parse_warc(buf: bytes) -> list[dict]:
     return records
 
 
-def read_warc(
-    spark: SparkSession, path: str, include_payload: bool = False
-) -> DataFrame:
-    """WARC records as a DataFrame (module docstring). ``path`` may
-    glob over thousands of archive files — parallelism is per file."""
-    cols = [
-        "file",
-        "record_idx",
-        "warc_type",
-        "target_uri",
-        "warc_date",
-        "content_length",
-        "http_status",
-        "payload_len",
-        "payload_md5",
-        "error",
-    ] + (["payload", "http_body"] if include_payload else [])
+def _record_walk(cols: list[str]):
+    """The ONE mapInPandas record-walk closure, shared by the batch
+    reader and the streaming reader (divergent copies would silently
+    break the batch/stream bit-parity the X217 test pins)."""
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -178,9 +190,20 @@ def read_warc(
                     rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
+    return walk
+
+
+def read_warc(
+    spark: SparkSession, path: str, include_payload: bool = False
+) -> DataFrame:
+    """WARC records as a DataFrame (module docstring). ``path`` may
+    glob over thousands of archive files — parallelism is per file."""
+    cols = _PAYLOAD_COLS if include_payload else _META_COLS
     schema = WARC_SCHEMA_PAYLOAD if include_payload else WARC_SCHEMA
     files = spark.read.format("binaryFile").load(path)
-    return files.select("path", "content").mapInPandas(walk, schema)
+    return files.select("path", "content").mapInPandas(
+        _record_walk(cols), schema
+    )
 
 
 def _warc_doc_id():
@@ -199,6 +222,32 @@ def _warc_doc_id():
     ).cast("long")
 
 
+def _bridge_documents(recs: DataFrame) -> DataFrame:
+    """The shared records -> documents-contract projection (used by
+    the batch bridge and the streaming bridge; see warc_to_documents
+    for the semantics). Records without a WARC-Target-URI are
+    EXCLUDED here, explicitly — a NULL-keyed doc_id would silently
+    vanish inside every downstream equi-join instead (the CLAUDE.md
+    null-safe-join gotcha); they stay visible in read_warc output."""
+    from pyspark.sql import functions as F
+
+    resp = recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("error").isNull()
+        & F.col("target_uri").isNotNull()
+    )
+    return resp.select(
+        _warc_doc_id().alias("doc_id"),
+        F.col("http_text").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lower(F.parse_url(F.col("target_uri"), F.lit("HOST"))).alias(
+            "source"
+        ),
+        F.length("http_text").cast("long").alias("n_chars"),
+    )
+
+
 def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     """The entry-path bridge: 200-OK response records mapped onto the
     engine's ``documents`` contract (doc_id, text, lang, source,
@@ -211,28 +260,18 @@ def warc_to_documents(spark: SparkSession, path: str) -> DataFrame:
     pages serve identical bytes from different URIs, and duplicate
     doc_ids break the per-doc contract every downstream join assumes
     (caught by the X217 test: a 3-archive fixture with one shared
-    body tripled the scorecard join). Finding content duplicates is
-    the dedup stages' job, on their own text/content keys;
-    source is the URI host (the per-feed key every scorecard groups
-    by); text is the HTTP body decoded as UTF-8 (lossy on bad bytes —
-    honest for crawl data; charset sniffing is a later stage's job);
+    body tripled the scorecard join). A page REFETCHED unchanged
+    across crawl segments reuses the same (URI, content) key, so the
+    bridge also dropDuplicates on doc_id (deterministic: equal key =>
+    equal row) — the round-8 review's multiplicative-join finding.
+    Finding content duplicates is the dedup stages' job, on their own
+    text/content keys; source is the URI host (the per-feed key every
+    scorecard groups by); text is the HTTP body decoded as LOSSY
+    utf-8 (in Python — Spark 4's F.decode aborts on bad bytes);
     lang is NULL here — the engine's own langid query assigns it."""
-    from pyspark.sql import functions as F
-
-    recs = read_warc(spark, path, include_payload=True)
-    resp = recs.where(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("error").isNull()
-    )
-    text = F.decode(F.col("http_body"), "UTF-8")
-    return resp.select(
-        _warc_doc_id().alias("doc_id"),
-        text.alias("text"),
-        F.lit(None).cast("string").alias("lang"),
-        F.parse_url(F.col("target_uri"), F.lit("HOST")).alias("source"),
-        F.length(text).cast("long").alias("n_chars"),
-    )
+    return _bridge_documents(
+        read_warc(spark, path, include_payload=True)
+    ).dropDuplicates(["doc_id"])
 
 
 BINARY_FILE_SCHEMA = (
@@ -243,69 +282,30 @@ BINARY_FILE_SCHEMA = (
 def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming WARC ingest: crawl segments LANDING in a directory
     become a file stream (one record batch per new archive), bridged
-    to the ``documents`` contract exactly like the batch path — so the
-    per-source gate maintainers (C4 X214, contamination X206,
-    repetition X191, quality-cut X200) run continuously as the crawl
-    arrives. Pair with ``foreachBatch`` + a maintainer's batch fn.
+    to the ``documents`` contract by the SAME walk + projection as the
+    batch path — so the per-source gate maintainers (C4 X214,
+    contamination X206, repetition X191, quality-cut X200) run
+    continuously as the crawl arrives. Pair with ``foreachBatch`` + a
+    maintainer's batch fn.
 
     File-stream semantics give the scale contract for free: each
     archive is processed exactly once per checkpoint lineage, newly
     landed files form the next micro-batch, and parallelism within a
-    batch is per file (the honest unit — see the module docstring)."""
-    from pyspark.sql import functions as F
-
+    batch is per file (the honest unit — see the module docstring).
+    NOTE: unlike the batch bridge, no cross-batch doc_id dedup runs
+    here (that would be an unbounded stateful operator); a page
+    refetched in a LATER crawl segment re-lands at the maintainers,
+    whose per-source counts then count the refetch — the same
+    at-least-once accounting every maintainer already documents."""
     files = (
         spark.readStream.format("binaryFile")
         .schema(BINARY_FILE_SCHEMA)
         .load(path)
     )
-    cols = [
-        "file",
-        "record_idx",
-        "warc_type",
-        "target_uri",
-        "warc_date",
-        "content_length",
-        "http_status",
-        "payload_len",
-        "payload_md5",
-        "error",
-        "payload",
-        "http_body",
-    ]
-
-    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: list[dict] = []
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                buf = bytes(content)
-                try:
-                    if buf[:2] == b"\x1f\x8b":
-                        buf = _gunzip_members(buf)
-                    recs = parse_warc(buf)
-                except zlib.error as e:
-                    recs = [{"record_idx": 0, "error": f"gzip: {e}"}]
-                for r in recs:
-                    row = {c: r.get(c) for c in cols}
-                    row["file"] = fpath
-                    rows.append(row)
-            yield pd.DataFrame(rows, columns=cols)
-
     recs = files.select("path", "content").mapInPandas(
-        walk, WARC_SCHEMA_PAYLOAD
+        _record_walk(_PAYLOAD_COLS), WARC_SCHEMA_PAYLOAD
     )
-    text = F.decode(F.col("http_body"), "UTF-8")
-    return recs.where(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("error").isNull()
-    ).select(
-        _warc_doc_id().alias("doc_id"),
-        text.alias("text"),
-        F.lit(None).cast("string").alias("lang"),
-        F.parse_url(F.col("target_uri"), F.lit("HOST")).alias("source"),
-        F.length(text).cast("long").alias("n_chars"),
-    )
+    return _bridge_documents(recs)
 
 
 def parse_robots(payload: bytes) -> list[str]:
@@ -314,7 +314,14 @@ def parse_robots(payload: bytes) -> list[str]:
     per-agent policy engine is a crawler concern, the corpus gate
     cares about pages nobody should have fetched). Group semantics
     per RFC 9309: consecutive User-agent lines share the following
-    rule block; an empty Disallow means allow-all and adds nothing."""
+    rule block; an empty Disallow means allow-all and adds nothing.
+
+    Path WILDCARDS ('*', '$') are handled CONSERVATIVELY: the rule is
+    truncated to its pre-wildcard literal prefix, which can only
+    OVER-block (e.g. 'Disallow: /*?sessionid' becomes '/': every page
+    on that host is flagged). For a corpus-compliance gate the safe
+    error direction is flagging too much, never silently matching
+    nothing — which is what keeping '*' as a literal would do."""
     prefixes: list[str] = []
     in_star = False
     seen_rule_after_agent = True
@@ -333,14 +340,22 @@ def parse_robots(payload: bytes) -> list[str]:
         else:
             seen_rule_after_agent = True
             if key == "disallow" and in_star and val:
-                prefixes.append(val)
+                for wc in ("*", "$"):
+                    if wc in val:
+                        val = val[: val.index(wc)]
+                if val:
+                    prefixes.append(val)
     return prefixes
 
 
 def robots_disallow_rules(spark: SparkSession, path: str) -> DataFrame:
     """(host, disallow_prefix) rules harvested from the crawl's own
     robots.txt responses — per-host-bounded (a robots file is a few
-    KB), so the rules frame broadcasts at any corpus size."""
+    KB), so the rules frame broadcasts at any corpus size. The host
+    key is ``urlsplit().hostname`` — ports and userinfo excluded —
+    matching ``parse_url(..., 'HOST')`` on the gate side exactly
+    (round-8 review: netloc vs HOST disagreed on any non-default-port
+    host, so its rules never matched)."""
     from urllib.parse import urlsplit
 
     from pyspark.sql import functions as F
@@ -359,9 +374,9 @@ def robots_disallow_rules(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             hosts, prefs = [], []
             for uri, body in zip(pdf["target_uri"], pdf["http_body"]):
-                host = urlsplit(uri).netloc.lower()
+                host = urlsplit(uri).hostname or ""
                 for p in parse_robots(bytes(body or b"")):
-                    hosts.append(host)
+                    hosts.append(host.lower())
                     prefs.append(p)
             yield pd.DataFrame({"host": hosts, "disallow_prefix": prefs})
 
@@ -372,38 +387,35 @@ def robots_disallow_rules(spark: SparkSession, path: str) -> DataFrame:
 
 def apply_robots_gate(pages: DataFrame, rules: DataFrame) -> DataFrame:
     """Flag fetched pages that the host's robots.txt disallows for the
-    wildcard agent: pages (must carry ``target_uri``) LEFT-join the
-    broadcast rules on host, matching when the URI path starts with a
-    disallow prefix. Output = pages + ``robots_disallowed`` boolean.
+    wildcard agent: pages (must carry ``target_uri``) take a broadcast
+    LEFT join against the rules grouped into a PER-HOST prefix array,
+    and the verdict is an ``exists`` over that array (URI path starts
+    with a disallow prefix). Output = pages + ``robots_disallowed``.
 
-    Scale shape: the rules side is per-host-bounded (broadcast is
-    honest, not hopeful); the pages side never shuffles — the gate is
-    a broadcast join + a starts_with, evaluated in the scan stage."""
+    Scale shape: the broadcast side is the grouped RULES table —
+    |hosts| rows, each a few prefixes — which is per-host-bounded at
+    any corpus size; the pages side is scanned ONCE and never
+    shuffles (the round-8 review killed the first version, which
+    broadcast the DISALLOWED-PAGE URI set — corpus-sized, a driver
+    OOM at 100 TB — and scanned the expensive WARC-parse lineage
+    twice)."""
     from pyspark.sql import functions as F
 
+    grouped = rules.groupBy("host").agg(
+        F.collect_list("disallow_prefix").alias("_rules")
+    )
     host = F.lower(F.parse_url(F.col("target_uri"), F.lit("HOST")))
     path = F.parse_url(F.col("target_uri"), F.lit("PATH"))
-    staged = pages.select(
-        "*", host.alias("_host"), path.alias("_path")
+    staged = pages.select("*", host.alias("_host"), path.alias("_path"))
+    joined = staged.join(
+        F.broadcast(grouped), F.col("_host") == F.col("host"), "left"
     )
-    hit = (
-        staged.join(
-            F.broadcast(rules),
-            (F.col("_host") == F.col("host"))
-            & F.col("_path").startswith(F.col("disallow_prefix")),
-            "left_semi",
-        )
-        .select("target_uri")
-        .distinct()
-        .withColumn("robots_disallowed", F.lit(True))
+    disallowed = F.exists(
+        "_rules", lambda p: F.col("_path").startswith(p)
     )
-    return (
-        staged.join(F.broadcast(hit), "target_uri", "left")
-        .withColumn(
-            "robots_disallowed",
-            F.coalesce(F.col("robots_disallowed"), F.lit(False)),
-        )
-        .drop("_host", "_path")
+    return joined.select(
+        *[F.col(c) for c in pages.columns],
+        F.coalesce(disallowed, F.lit(False)).alias("robots_disallowed"),
     )
 
 
@@ -421,7 +433,11 @@ def crawl_curation_decisions(spark: SparkSession, path: str) -> DataFrame:
     (the battery never runs on them — stage order is part of the
     contract). Every stage is the SAME kernel the registered queries
     gate (html_to_text / c4_line_stats_frame / gopher_flags), so this
-    composition inherits their oracles and pins."""
+    composition inherits their oracles and pins. The extracted frame
+    is checkpointed ONCE — it feeds the C4 kernel AND the source
+    join-back, and without the boundary the whole WARC parse lineage
+    executes twice (the CLAUDE.md two-consumer gotcha, flagged by the
+    round-8 review)."""
     from pyspark.sql import functions as F
 
     from flink_state_eviction_spark.functions.text import html_to_text
@@ -433,7 +449,7 @@ def crawl_curation_decisions(spark: SparkSession, path: str) -> DataFrame:
     docs = warc_to_documents(spark, path)
     lined = docs.select(
         "doc_id", "source", html_to_text(F.col("text")).alias("t0")
-    )
+    ).localCheckpoint(eager=False)
     c4 = c4_line_stats_frame(
         lined.select("doc_id", "t0"), keep_cleaned=True
     ).localCheckpoint(eager=False)
@@ -442,9 +458,8 @@ def crawl_curation_decisions(spark: SparkSession, path: str) -> DataFrame:
             "doc_id", F.col("cleaned").alias("text")
         )
     ).select("doc_id", F.col("passes").alias("gopher_passes"))
-    out = (
-        c4.join(lined.select("doc_id", "source"), "doc_id")
-        .join(gop, "doc_id", "left")
+    out = c4.join(lined.select("doc_id", "source"), "doc_id").join(
+        gop, "doc_id", "left"
     )
     return out.select(
         "doc_id",
@@ -454,6 +469,7 @@ def crawl_curation_decisions(spark: SparkSession, path: str) -> DataFrame:
         F.col("kept_doc").alias("c4_kept"),
         "gopher_passes",
         (
-            F.col("kept_doc") & F.coalesce(F.col("gopher_passes"), F.lit(False))
+            F.col("kept_doc")
+            & F.coalesce(F.col("gopher_passes"), F.lit(False))
         ).alias("final_keep"),
     )

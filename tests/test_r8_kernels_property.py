@@ -569,6 +569,15 @@ def test_normalize_url_crafted(spark):
         (11, "http://h/a?x=1#f", "http://h/a?x=1"),
         (12, "mailto:x@y", "mailto:x@y"),  # no ://host — passthrough
         (13, None, None),
+        # the round-8 review regression: '//' inside a QUERY VALUE is
+        # data — collapsing it corrupts the URL and conflates distinct
+        # resources; only the PATH collapses
+        (14, "http://h/a?u=//x//y", "http://h/a?u=//x//y"),
+        (15, "http://h//a//b?u=//x", "http://h/a/b?u=//x"),
+        (16, "https://s.org/a?redirect=http://other/x",
+         "https://s.org/a?redirect=http://other/x"),
+        # path trailing slash strips even when a query follows
+        (17, "http://h/a/?x=1", "http://h/a?x=1"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u, _ in cases], "i long, u string"

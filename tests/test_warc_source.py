@@ -232,9 +232,15 @@ Disallow: /
 User-agent: *
 Disallow:
 Disallow: /secret # trailing comment
+Disallow: /app/*?session
+Disallow: /x$
 junk line without colon... wait
 """
-    assert parse_robots(body) == ["/private/", "/tmp", "/secret"]
+    # wildcard rules truncate to their literal prefix (conservative:
+    # over-block, never silently match nothing)
+    assert parse_robots(body) == [
+        "/private/", "/tmp", "/secret", "/app/", "/x",
+    ]
 
 
 def test_robots_gate_end_to_end(spark, tmp_path):
@@ -341,3 +347,81 @@ def test_crawl_curation_end_to_end(spark, tmp_path):
     th = got["thin.example"]
     assert th["n_kept"] == 0 and not th["c4_kept"]
     assert not th["final_keep"]
+
+
+def test_bridge_lossy_decode_and_refetch_dedup(spark, tmp_path):
+    """Round-8 review regressions pinned: (a) malformed UTF-8 in a
+    crawl body must decode LOSSILY (Spark 4's F.decode would abort the
+    job); (b) a page refetched unchanged across segments (same URI,
+    same bytes) must yield ONE documents row, not duplicate doc_ids;
+    (c) a response record with no WARC-Target-URI is excluded from the
+    bridge (never a NULL doc_id) but stays visible in read_warc."""
+    from flink_state_eviction_spark.sources.warc import (
+        read_warc,
+        warc_to_documents,
+    )
+
+    bad_bytes = b"ok \xff\xfe bad latin-1 caf\xe9"
+    http_bad = b"HTTP/1.1 200 OK\r\n\r\n" + bad_bytes
+    http_ok = b"HTTP/1.1 200 OK\r\n\r\nplain body"
+    # no WARC-Target-URI header on this one
+    no_uri = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: " + str(len(http_ok)).encode() + b"\r\n\r\n"
+        + http_ok + b"\r\n\r\n"
+    )
+    (tmp_path / "s0.warc").write_bytes(
+        _record("response", "http://x.example/bad", http_bad)
+        + _record("response", "http://x.example/p", http_ok)
+        + no_uri
+    )
+    # the refetch: same URI, same bytes, later segment
+    (tmp_path / "s1.warc").write_bytes(
+        _record("response", "http://x.example/p", http_ok)
+    )
+    docs = warc_to_documents(spark, str(tmp_path)).collect()
+    # bad-bytes page decoded lossily (replacement chars), job alive
+    assert len(docs) == 2
+    texts = {r["text"] for r in docs}
+    assert "plain body" in texts
+    assert any("�" in t for t in texts)
+    # the no-URI record is still visible in the raw reader
+    raw = read_warc(spark, str(tmp_path / "s0.warc")).collect()
+    assert sum(1 for r in raw if r["target_uri"] is None) == 1
+
+
+def test_robots_gate_matches_ported_hosts(spark, tmp_path):
+    """Round-8 review regression pinned: robots rules harvested from a
+    non-default-port host must still match its pages (the first
+    version keyed rules on netloc — host:port — while the gate used
+    parse_url HOST, so ported hosts always passed)."""
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.sources.warc import (
+        apply_robots_gate,
+        read_warc,
+        robots_disallow_rules,
+    )
+
+    robots = b"HTTP/1.1 200 OK\r\n\r\nUser-agent: *\r\nDisallow: /private/\r\n"
+    page = b"HTTP/1.1 200 OK\r\n\r\n<html>x</html>"
+    (tmp_path / "c.warc").write_bytes(
+        _record("response", "http://a.example:8080/robots.txt", robots)
+        + _record("response", "http://a.example:8080/private/x", page)
+        + _record("response", "http://a.example:8080/public/y", page)
+    )
+    rules = robots_disallow_rules(spark, str(tmp_path / "c.warc"))
+    assert {tuple(r) for r in rules.collect()} == {
+        ("a.example", "/private/")
+    }
+    pages = read_warc(spark, str(tmp_path / "c.warc")).where(
+        ~F.col("target_uri").endswith("/robots.txt")
+    )
+    got = {
+        r["target_uri"]: r["robots_disallowed"]
+        for r in apply_robots_gate(pages, rules).collect()
+    }
+    assert got == {
+        "http://a.example:8080/private/x": True,
+        "http://a.example:8080/public/y": False,
+    }
