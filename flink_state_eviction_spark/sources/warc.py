@@ -350,12 +350,15 @@ def parse_robots(payload: bytes) -> list[str]:
 
 def robots_disallow_rules(spark: SparkSession, path: str) -> DataFrame:
     """(host, disallow_prefix) rules harvested from the crawl's own
-    robots.txt responses — per-host-bounded (a robots file is a few
-    KB), so the rules frame broadcasts at any corpus size. The host
-    key is ``urlsplit().hostname`` — ports and userinfo excluded —
-    matching ``parse_url(..., 'HOST')`` on the gate side exactly
-    (round-8 review: netloc vs HOST disagreed on any non-default-port
-    host, so its rules never matched)."""
+    robots.txt responses. A robots file is a few KB, which bounds the
+    rows PER HOST — not the frame: host cardinality grows with the
+    crawl (tens of millions of registered domains at Common Crawl
+    scale), so the frame is corpus-derived and the gate side
+    budget-probes it before hinting a broadcast (round-8 verdict #1).
+    The host key is ``urlsplit().hostname`` — ports and userinfo
+    excluded — matching ``parse_url(..., 'HOST')`` on the gate side
+    exactly (round-8 review: netloc vs HOST disagreed on any
+    non-default-port host, so its rules never matched)."""
     from urllib.parse import urlsplit
 
     from pyspark.sql import functions as F
@@ -385,30 +388,53 @@ def robots_disallow_rules(spark: SparkSession, path: str) -> DataFrame:
     ).distinct()
 
 
-def apply_robots_gate(pages: DataFrame, rules: DataFrame) -> DataFrame:
+def apply_robots_gate(
+    pages: DataFrame, rules: DataFrame, *, rules_rows: int | None = None
+) -> DataFrame:
     """Flag fetched pages that the host's robots.txt disallows for the
-    wildcard agent: pages (must carry ``target_uri``) take a broadcast
-    LEFT join against the rules grouped into a PER-HOST prefix array,
-    and the verdict is an ``exists`` over that array (URI path starts
-    with a disallow prefix). Output = pages + ``robots_disallowed``.
+    wildcard agent: pages (must carry ``target_uri``) take a LEFT join
+    against the rules grouped into a PER-HOST prefix array, and the
+    verdict is an ``exists`` over that array (URI path starts with a
+    disallow prefix). Output = pages + ``robots_disallowed``.
 
-    Scale shape: the broadcast side is the grouped RULES table —
-    |hosts| rows, each a few prefixes — which is per-host-bounded at
-    any corpus size; the pages side is scanned ONCE and never
-    shuffles (the round-8 review killed the first version, which
-    broadcast the DISALLOWED-PAGE URI set — corpus-sized, a driver
-    OOM at 100 TB — and scanned the expensive WARC-parse lineage
+    Scale shape: the grouped rules table has one row per HOST — a
+    few-KB robots file bounds rows per host, but |hosts| grows with
+    the crawl (~10^7-10^8 registered domains at Common Crawl scale),
+    so the frame is corpus-derived, NOT driver-bounded. It takes a
+    broadcast hint only at or below BROADCAST_ROW_LIMIT; above it the
+    hint is dropped and the join plans as a shuffled left join
+    (Catalyst/AQE picks the algorithm) — a degradation, never a
+    driver OOM (round-8 verdict #1; the same budget probe as
+    lm_score_docs / text_tfidf / bpe_encode_words). ``rules_rows``:
+    row count of the grouped frame; ``None`` probes it with one count,
+    which doubles as the materializer of the checkpoint. The pages
+    side is scanned ONCE and never shuffles (the round-8 review killed
+    the first version, which broadcast the DISALLOWED-PAGE URI set —
+    corpus-sized — and scanned the expensive WARC-parse lineage
     twice)."""
     from pyspark.sql import functions as F
 
-    grouped = rules.groupBy("host").agg(
-        F.collect_list("disallow_prefix").alias("_rules")
+    from flink_state_eviction_spark.operators.budget import (
+        BROADCAST_ROW_LIMIT,
+    )
+
+    grouped = (
+        rules.groupBy("host")
+        .agg(F.collect_list("disallow_prefix").alias("_rules"))
+        .localCheckpoint(eager=False)
+    )
+    if rules_rows is None:
+        rules_rows = grouped.count()
+    hint = (
+        F.broadcast
+        if rules_rows <= BROADCAST_ROW_LIMIT
+        else (lambda df: df)
     )
     host = F.lower(F.parse_url(F.col("target_uri"), F.lit("HOST")))
     path = F.parse_url(F.col("target_uri"), F.lit("PATH"))
     staged = pages.select("*", host.alias("_host"), path.alias("_path"))
     joined = staged.join(
-        F.broadcast(grouped), F.col("_host") == F.col("host"), "left"
+        hint(grouped), F.col("_host") == F.col("host"), "left"
     )
     disallowed = F.exists(
         "_rules", lambda p: F.col("_path").startswith(p)

@@ -692,6 +692,45 @@ def test_lm_scoring_drops_broadcast_above_budget(spark, sf_dir):
     )
 
 
+def test_robots_gate_drops_broadcast_above_budget(spark):
+    # round-8 verdict #1: apply_robots_gate used to FORCE F.broadcast
+    # on the grouped rules table — |hosts|-cardinality, tens of
+    # millions of rows at crawl scale, a driver OOM since Spark honors
+    # an explicit hint at ANY size. Above BROADCAST_ROW_LIMIT the hint
+    # must vanish so the join plans as a shuffled left join.
+    from flink_state_eviction_spark.operators.budget import (
+        BROADCAST_ROW_LIMIT,
+    )
+    from flink_state_eviction_spark.sources.warc import apply_robots_gate
+
+    pages = spark.createDataFrame(
+        [("http://a.example/private/x",), ("http://b.example/ok",)],
+        "target_uri string",
+    )
+    rules = spark.createDataFrame(
+        [("a.example", "/private/")], "host string, disallow_prefix string"
+    )
+    big = apply_robots_gate(
+        pages, rules, rules_rows=BROADCAST_ROW_LIMIT + 1
+    )
+    small = apply_robots_gate(
+        pages, rules, rules_rows=BROADCAST_ROW_LIMIT
+    )
+
+    def hints(df):
+        return df._jdf.queryExecution().logical().toString().count(
+            "ResolvedHint"
+        )
+
+    assert hints(small) == 1, small._jdf.queryExecution().logical().toString()
+    assert hints(big) == 0, big._jdf.queryExecution().logical().toString()
+    # both shapes execute and agree (the fallback is a plan change,
+    # never a semantics change)
+    assert sorted(map(tuple, big.collect())) == sorted(
+        map(tuple, small.collect())
+    )
+
+
 def test_blocklist_filter_is_exchange_free(spark, sf_dir):
     # literal IN-list filters over projected arrays: the whole plan is
     # scan-side codegen — any Exchange here means a regression
