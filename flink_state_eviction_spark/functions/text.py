@@ -641,7 +641,10 @@ def normalize_url(url: Column) -> Column:
     BEFORE any content is fetched or hashed. RE2-safe regex chain
     (engine-parity: no backreferences, no lookaround):
 
-    1. scheme + host lowercased (the only case-insensitive parts);
+    1. scheme + host lowercased (the only case-insensitive parts —
+       userinfo, split off at the LAST '@' of the authority, keeps
+       its case: 'http://User:Pw@Host.com' must not conflate with a
+       different user's URL; round-8 advice item);
     2. default ports stripped (:80 http, :443 https);
     3. fragment stripped (#... never reaches the server);
     4. duplicate slashes in the path collapsed (scheme's // is safe —
@@ -665,7 +668,19 @@ def normalize_url(url: Column) -> Column:
     # with a lower() over a second extract — RE2-safe.
     scheme_host = F.regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
     rest = F.substring(url, F.length(scheme_host) + 1, F.lit(1 << 30))
-    auth = F.lower(scheme_host)
+    # case-preserve any userinfo: greedy [^/?#]* before the '@' splits
+    # at the LAST '@' of the authority, so only scheme + host[:port]
+    # are lowercased (userinfo is case-sensitive data)
+    schpfx = F.regexp_extract(scheme_host, "^([a-zA-Z][a-zA-Z0-9+.-]*://)", 1)
+    userinfo = F.regexp_extract(
+        scheme_host, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*@)", 1
+    )
+    hostport = F.substring(
+        scheme_host,
+        F.length(schpfx) + F.length(userinfo) + 1,
+        F.lit(1 << 30),
+    )
+    auth = F.concat(F.lower(schpfx), userinfo, F.lower(hostport))
     auth = F.regexp_replace(auth, "^(http://[^/?#]*):80$", "$1")
     auth = F.regexp_replace(auth, "^(https://[^/?#]*):443$", "$1")
     defrag = F.regexp_replace(rest, "#.*$", "")

@@ -479,8 +479,19 @@ def bmp_header_probe(media_df: DataFrame) -> DataFrame:
     surface (the reference has no binary-container handling).
 
     Malformed payloads (wrong magic, truncated header) yield NULL
-    fields and keep=false — never an executor error."""
-    parseable = (F.length("media") >= 30) & _tag_at(1, "BM")
+    fields and keep=false — never an executor error. The
+    BITMAPINFOHEADER height is a SIGNED int32 (top-down BMPs store a
+    negative height); an unsigned read would yield a garbage ~4e9
+    value, so negative-height layouts are treated as non-canonical
+    (NULL fields, keep=false, routed to the Python decoder) like every
+    other unexpected layout — round-8 advice item."""
+    parseable = (
+        (F.length("media") >= 30)
+        & _tag_at(1, "BM")
+        # signed-int32 height: top bit set means top-down — route to
+        # the Python decoder rather than decode garbage
+        & (_le_uint(23, 4) < F.lit(1 << 31).cast("long"))
+    )
     probed = media_df.select(
         "doc_id",
         parseable.alias("sig_ok"),
@@ -529,19 +540,24 @@ def wav_header_probe(media_df: DataFrame) -> DataFrame:
     the PCM decode stage runs only on survivors.
 
     The probe validates every tag it relies on ('RIFF', 'WAVE',
-    'fmt ', the 16-byte fmt size, 'data' at its canonical offset);
-    anything non-canonical (extended fmt, extra chunks, truncation,
-    wrong magic) yields NULL fields and keep=false and is routed to
-    the general chunk-walking decoder (functions/codecs.py:decode_wav)
-    — the fast path covers canonical writers, never guesses on the
-    rest. Keep rule: mono PCM16, sample rate within bounds, duration
-    >= the floor. Extension beyond the reference surface."""
+    'fmt ', the 16-byte fmt size, AudioFormat == 1 (PCM), 'data' at
+    its canonical offset); anything non-canonical (non-PCM codec,
+    extended fmt, extra chunks, truncation, wrong magic) yields NULL
+    fields and keep=false and is routed to the general chunk-walking
+    decoder (functions/codecs.py:decode_wav) — the fast path covers
+    canonical writers, never guesses on the rest. The AudioFormat
+    check matters: a non-PCM codec (e.g. IEEE-float, format 3) with a
+    16-byte fmt chunk, 1 channel, and bits=16 would otherwise pass
+    keep=true with a WRONG duration (round-8 advice item). Keep rule:
+    mono PCM16, sample rate within bounds, duration >= the floor.
+    Extension beyond the reference surface."""
     canonical = (
         (F.length("media") >= 44)
         & _tag_at(1, "RIFF")
         & _tag_at(9, "WAVE")
         & _tag_at(13, "fmt ")
         & (_le_uint(17, 4) == 16)
+        & (_le_uint(21, 2) == 1)  # AudioFormat: PCM only
         & _tag_at(37, "data")
     )
     probed = media_df.select(

@@ -8406,7 +8406,8 @@ WITH base AS (
                             || CAST(doc_id AS VARCHAR) || '?'
                 WHEN 2 THEN 'https://site.org/a/d' || CAST(doc_id AS VARCHAR)
                             || '?x=1&y=2#sec'
-                WHEN 3 THEN 'http://h' || CAST(doc_id AS VARCHAR) || '.example'
+                WHEN 3 THEN 'http://UsEr:Pw@h' || CAST(doc_id AS VARCHAR)
+                            || '.Example'
                 ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
     FROM documents
 ),
@@ -8416,13 +8417,26 @@ parts AS (
                AS sh
     FROM base
 ),
+-- userinfo (up to the LAST '@' of the authority, greedy) keeps its
+-- case; only scheme + host[:port] are lowercased
+ui AS (
+    SELECT doc_id, url, sh,
+           regexp_extract(sh, '^([a-zA-Z][a-zA-Z0-9+.-]*://)', 1) AS sp,
+           regexp_extract(sh, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*@)', 1)
+               AS u
+    FROM parts
+),
 auth AS (
     SELECT doc_id, url, sh,
            regexp_replace(
-               regexp_replace(lower(sh), '^(http://[^/?#]*):80$', '\1'),
+               regexp_replace(
+                   lower(sp) || u
+                   || lower(substring(sh, length(sp) + length(u) + 1,
+                                      1073741824)),
+                   '^(http://[^/?#]*):80$', '\1'),
                '^(https://[^/?#]*):443$', '\1') AS a,
            substring(url, length(sh) + 1, 1073741824) AS rest
-    FROM parts
+    FROM ui
 ),
 defrag AS (
     SELECT doc_id, url, sh, a,
@@ -8485,7 +8499,7 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(
             F.col("doc_id") % 5 == 3,
-            F.concat(F.lit("http://h"), did, F.lit(".example")),
+            F.concat(F.lit("http://UsEr:Pw@h"), did, F.lit(".Example")),
         )
         .otherwise(F.concat(F.lit("not a url "), did))
     )

@@ -246,7 +246,9 @@ def test_bmp_header_probe_crafted_payloads(spark):
     """X204 pinned on crafted containers: a real 8x4 BMP (keep), a
     5x15 BMP (aspect 3000 > 2000, dropped), a 2x10 BMP (min side,
     dropped), wrong-magic bytes and a truncated buffer (NULL fields,
-    keep=false — never an executor error)."""
+    keep=false — never an executor error), and a TOP-DOWN BMP
+    (negative int32 height) that must route to the decoder path
+    rather than decode a garbage ~4e9 height (round-8 advice)."""
     import numpy as np
 
     from flink_state_eviction_spark.functions.codecs import encode_bmp
@@ -254,10 +256,19 @@ def test_bmp_header_probe_crafted_payloads(spark):
         bmp_header_probe,
     )
 
+    import struct
+
     def bmp(w, h):
         return bytearray(
             encode_bmp(np.zeros((h, w, 3), dtype=np.uint8))
         )
+
+    # valid top-down layout: same 8x4 container with height stored as
+    # the NEGATIVE int32 -4 (BITMAPINFOHEADER offset 22, little-endian)
+    base = bytes(bmp(8, 4))
+    topdown = bytearray(
+        base[:22] + struct.pack("<i", -4) + base[26:]
+    )
 
     media = spark.createDataFrame(
         [
@@ -266,6 +277,7 @@ def test_bmp_header_probe_crafted_payloads(spark):
             (3, bmp(2, 10)),
             (4, bytearray(b"GIF89a" + bytes(40))),
             (5, bytearray(b"BM\x01")),
+            (6, topdown),
         ],
         "doc_id long, media binary",
     )
@@ -286,6 +298,10 @@ def test_bmp_header_probe_crafted_payloads(spark):
     assert got[4]["width"] is None and got[4]["file_size"] is None
     assert not got[5]["sig_ok"] and not got[5]["keep"]
     assert got[5]["width"] is None
+    # top-down (negative height): non-canonical -> decoder path, never
+    # a garbage unsigned decode
+    assert not got[6]["sig_ok"] and not got[6]["keep"]
+    assert got[6]["height"] is None and got[6]["width"] is None
 
 
 def test_wav_header_probe_crafted_payloads(spark):
@@ -293,7 +309,10 @@ def test_wav_header_probe_crafted_payloads(spark):
     enough to keep; one under the 10 ms floor; a non-canonical layout
     (extra chunk before 'data') that the probe must REFUSE to guess at
     (NULL fields, keep=false) even though the chunk-walking decoder
-    handles it; wrong magic; truncated buffer."""
+    handles it; wrong magic; truncated buffer; and a NON-PCM clip
+    (AudioFormat=3, IEEE float) that is otherwise byte-identical to a
+    canonical mono-16-bit layout — it must route to the decoder, not
+    pass keep=true with a wrong duration (round-8 advice)."""
     import struct
 
     import numpy as np
@@ -315,6 +334,8 @@ def test_wav_header_probe_crafted_payloads(spark):
             (3, bytearray(noncanon)),
             (4, bytearray(b"OggS" + bytes(60))),
             (5, bytearray(b"RIFF\x01")),
+            # AudioFormat bytes at offset 20 flipped to 3 (IEEE float)
+            (6, bytearray(long_clip[:20] + b"\x03\x00" + long_clip[22:])),
         ],
         "doc_id long, media binary",
     )
@@ -337,6 +358,9 @@ def test_wav_header_probe_crafted_payloads(spark):
     assert got[3]["sample_rate"] is None
     assert not got[4]["sig_ok"] and got[4]["sample_rate"] is None
     assert not got[5]["sig_ok"] and not got[5]["keep"]
+    # non-PCM codec: refuse, don't report a wrong PCM16 duration
+    assert not got[6]["sig_ok"] and not got[6]["keep"]
+    assert got[6]["sample_rate"] is None and got[6]["duration_ms"] is None
 
 
 def test_media_curation_decisions_non_vacuous(spark, sf_dir):
@@ -578,6 +602,13 @@ def test_normalize_url_crafted(spark):
          "https://s.org/a?redirect=http://other/x"),
         # path trailing slash strips even when a query follows
         (17, "http://h/a/?x=1", "http://h/a?x=1"),
+        # userinfo keeps its case (case-sensitive data); scheme + host
+        # still lower — round-8 advice item
+        (18, "HTTP://UsEr:Pw@Host.COM/P", "http://UsEr:Pw@host.com/P"),
+        # LAST '@' splits the authority ('@' is legal inside userinfo)
+        (19, "http://a@b@Host.COM/x", "http://a@b@host.com/x"),
+        # userinfo + default port still strips
+        (20, "http://UsEr@Host.COM:80/x", "http://UsEr@host.com/x"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u, _ in cases], "i long, u string"
