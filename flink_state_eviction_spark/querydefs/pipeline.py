@@ -7204,11 +7204,10 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bkt = hashed_token_buckets(docs).localCheckpoint(eager=False)
     wt = nb_weights_from_counts(dsir_bucket_counts(bkt))
-    sc = dsir_log_weights(bkt, wt)
-    ntk = docs.select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
-    )
-    scored = sc.join(ntk, "doc_id").select(
+    # n_tok falls out of the scoring fold's row count (see
+    # dsir_log_weights): ONE text walk, no second tokenize, no join
+    sc = dsir_log_weights(bkt, wt, with_n_tok=True)
+    scored = sc.select(
         "doc_id", (-F.col("log_w_mb")).alias("ml_score_mb"), "n_tok"
     )
     return budget_select_docs(scored, DSIR_BUDGET_TOKENS).select(
@@ -7235,16 +7234,30 @@ def dsir_bucket_counts(bkt: DataFrame) -> DataFrame:
     )
 
 
-def dsir_log_weights(bkt: DataFrame, wt: DataFrame) -> DataFrame:
+def dsir_log_weights(
+    bkt: DataFrame, wt: DataFrame, *, with_n_tok: bool = False
+) -> DataFrame:
     """Per-doc integer log importance weight: broadcast-join the
     <= D-row weight table onto the hashed feature stream and fold —
     (doc_id, log_w_mb). Shared by the batch query and the maintained-
-    state serving path (the one-kernel rule)."""
-    return (
-        bkt.join(F.broadcast(wt), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum("weight_mb").cast("long").alias("log_w_mb"))
-    )
+    state serving path (the one-kernel rule).
+
+    ``with_n_tok=True`` also emits the doc's TOKEN count derived from
+    the fold's own row count — the stream holds every unigram plus
+    every bigram occurrence, so rows = n_tok + max(n_tok - 1, 0) and
+    n_tok = (rows + 1) div 2 exactly for any featured doc. Valid only
+    when ``wt`` is derived from the SAME stream (every bucket present
+    in ``bkt`` then has a weight row, so the inner join drops
+    nothing); the maintained-state serving path keeps the default —
+    its historical weight table need not cover a fresh batch's
+    buckets. This removes the second tokenize pass dsir_select used
+    to make (round-8 verdict item: one avoidable walk over text)."""
+    aggs = [F.sum("weight_mb").cast("long").alias("log_w_mb")]
+    if with_n_tok:
+        aggs.append(
+            F.expr("(count(1) + 1) div 2").cast("long").alias("n_tok")
+        )
+    return bkt.join(F.broadcast(wt), "bucket").groupBy("doc_id").agg(*aggs)
 
 
 # ---------------------------------------------------------------------------

@@ -837,6 +837,10 @@ def test_dsir_models_stay_bucket_bounded(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # scoring joins the <= D-row weight table by broadcast
     assert "BroadcastHashJoin" in plan, plan
+    # round-9: n_tok derives from the scoring fold's row count — ONE
+    # text walk (the checkpointed hash-pack scan), no second tokenize
+    # (an extra documents scan would surface as a second Scan parquet)
+    assert plan.count("Scan parquet") <= 1, plan
 
 
 def test_budget_select_exchanges_are_narrow(spark, sf_dir):
