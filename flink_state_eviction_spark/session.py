@@ -49,4 +49,20 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # The audited bounded-offset/bin windows (two-phase rank family)
+    # log 'No Partition Defined for Window operation' WARNs that
+    # drown the bench tail. Their exact counts are pinned in
+    # tests/test_plan_audit.py (_SINGLE_PARTITION_ALLOWLIST), so a
+    # genuinely unpartitioned data-bearing window is caught by the
+    # plan audit — not by log noise; silence that one logger
+    # (round-8 verdict item #3). log4j2 only; other deployments
+    # keep the warning.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
     return spark
