@@ -236,7 +236,12 @@ GROUP BY 1, 2
 """
 
 
-@register("sliding_window_sum", _SLIDING_ORACLE, tags=("core",))
+@register_supplementary(
+    # rotated OUT of the driver window in round 9 (url_normalize takes
+    # the slot); the pytest parity gate still checks it, and the
+    # tumbling/session/count window family keeps its driver rows
+    "sliding_window_sum", _SLIDING_ORACLE, tags=("core",)
+)
 def sliding_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 2h/30min windows over events (each event in 4 windows)."""
     ev = load_table(spark, sf_dir, "events")

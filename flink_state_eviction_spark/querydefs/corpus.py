@@ -1569,7 +1569,9 @@ FROM j JOIN thr ON thr.source = j.source
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 9 (displacing
+    # multimodal_wav_bands, which keeps its parity gate)
     "source_relative_quality_cut",
     _SRC_QUALITY_CUT_ORACLE.format(lm=_LM_PPL_ORACLE),
     tags=("corpus", "text"),

@@ -403,7 +403,11 @@ WHERE CAST(len(list_intersect(a.bh, b.bh)) AS DOUBLE)
 """
 
 
-@register("dedup_ngram_jaccard", _BLOCKED_ORACLE, tags=("pipeline", "dedup"))
+@register_supplementary(
+    # rotated OUT of the driver window in round 9 (html_extract_text
+    # takes the slot); the pytest parity gate still checks it
+    "dedup_ngram_jaccard", _BLOCKED_ORACLE, tags=("pipeline", "dedup")
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact 3-gram jaccard pairs (lossless size-ratio prune, hashed shingle sets)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2148,7 +2152,9 @@ FROM cs LEFT JOIN dom ON dom.vec_id = cs.vec_id
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 9 (displacing
+    # similarity_kmeans_cells, which keeps its parity gate)
     "semdedup_prune", _SEMDEDUP_ORACLE, tags=("pipeline", "dedup")
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2198,7 +2204,9 @@ SELECT vec_id, cell FROM a2
 """
 
 
-@register(
+@register_supplementary(
+    # rotated OUT of the driver window in round 9 (semdedup_prune
+    # takes the slot); the pytest parity gate still checks it
     "similarity_kmeans_cells",
     _KMEANS_CELLS_ORACLE,
     tags=("pipeline", "similarity"),
@@ -6374,7 +6382,10 @@ FROM wk GROUP BY doc_id, n
 """
 
 
-@register(
+@register_supplementary(
+    # rotated OUT of the driver window in round 9
+    # (source_relative_quality_cut takes the slot); the pytest parity
+    # gate still checks it
     "multimodal_wav_bands", _WHT_ORACLE, tags=("pipeline", "multimodal")
 )
 def multimodal_wav_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8363,7 +8374,10 @@ FROM x
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 9 (displacing
+    # dedup_ngram_jaccard, which keeps its parity gate) — the ingest
+    # path's first crawl-native driver row
     "html_extract_text", _html_oracle(), tags=("pipeline", "text")
 )
 def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8482,7 +8496,9 @@ FROM fixed
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 9 (displacing
+    # sliding_window_sum, which keeps its parity gate)
     "url_normalize", _URL_NORM_ORACLE, tags=("pipeline", "text")
 )
 def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

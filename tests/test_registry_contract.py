@@ -22,7 +22,6 @@ MUST_HAVE = {
     "mws_running_sum_ttl_hotkey",
     "keyed_running_reduce",
     "tumbling_window_sum",
-    "sliding_window_sum",
     "session_window_sum",
     "count_window_keyed",
     "tumbling_window_all_label",
@@ -33,7 +32,6 @@ MUST_HAVE = {
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_near_canonical",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     # text family
     "quality_filter_gopher",
@@ -45,7 +43,6 @@ MUST_HAVE = {
     "multimodal_resize_decode",
     # similarity family
     "similarity_topk",
-    "similarity_kmeans_cells",
     "similarity_ivf_kmeans_topk",
     "embedding_quantize_int8",
     # pipeline extensions
@@ -80,7 +77,6 @@ MUST_HAVE = {
     # supplementary parity gates)
     "multimodal_phash_neardup",
     "blocklist_filter_docs",
-    "multimodal_wav_bands",
     "pack_loss_masks",
     # rotated into the window in round 8 (VERDICT r07 item 4),
     # displacing multimodal_decode_bmp / multimodal_decode_wav /
@@ -98,6 +94,17 @@ MUST_HAVE = {
     "source_contamination_scorecard",
     "multimodal_audio_header_filter",
     "similarity_truncated_rerank_topk",
+    # rotated into the window in round 9 (VERDICT r08 item 3),
+    # displacing dedup_ngram_jaccard / sliding_window_sum /
+    # similarity_kmeans_cells / multimodal_wav_bands (all keep their
+    # supplementary parity gates; each family keeps other driver rows:
+    # dedup has 4, the window family keeps tumbling/session/count,
+    # kmeans cells stay covered via similarity_ivf_kmeans_topk and
+    # semdedup_prune, audio decode via multimodal_features/wav VAD)
+    "html_extract_text",
+    "url_normalize",
+    "semdedup_prune",
+    "source_relative_quality_cut",
 }
 
 
