@@ -8330,10 +8330,14 @@ def c4_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus the decoded entity prefix exactly. Regex subset is RE2-safe
 # (no backreferences — see functions/text.py module comment).
 
-def _html_oracle() -> str:
-    return r"""
-WITH base AS (
-    SELECT doc_id,
+def _html_mint_ctes() -> str:
+    """The X216 minted-page + extraction CTE pair (base -> x): every
+    fixture doc wrapped in the deterministic HTML shell, then the full
+    html_to_text regex chain (shared with the X220 funnel-twin oracle
+    via _html_extract_cte — one extraction chain, zero divergence)."""
+    return (
+        r"""base AS (
+    SELECT doc_id, source,
            '<html><head><script type="text/javascript">var x = 1 < 2;'
            || '</script><style>p { color: red }</style></head><body>'
            || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '!</h1>'
@@ -8342,8 +8346,16 @@ WITH base AS (
            || '</p></body></html>' AS h
     FROM documents
 ),
-x AS (
-    SELECT doc_id, h,
+"""
+        + _html_extract_cte()
+    )
+
+
+def _html_extract_cte() -> str:
+    """The html_to_text regex chain as a DuckDB CTE (x) over a prior
+    ``base(doc_id, source, h)`` CTE."""
+    return r"""x AS (
+    SELECT doc_id, source, h,
            trim(regexp_replace(regexp_replace(regexp_replace(
                regexp_replace(
                replace(replace(replace(replace(replace(replace(
@@ -8365,13 +8377,37 @@ x AS (
                ' ?\n[ \n]*', chr(10), 'g'),
                '^\n+', ''), '\n+$', '')) AS t
     FROM base
-)
+)"""
+
+
+def _html_oracle() -> str:
+    return (
+        "WITH "
+        + _html_mint_ctes()
+        + """
 SELECT doc_id,
        CAST(length(h) AS BIGINT) AS n_html,
        CAST(length(t) AS BIGINT) AS n_text,
        md5(t) AS text_md5
 FROM x
 """
+    )
+
+
+def _minted_html_col():
+    """The deterministic HTML shell around each fixture doc's text —
+    the Spark twin of _html_mint_ctes' ``base`` CTE."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">var x = 1 < 2;'
+            "</script><style>p { color: red }</style></head><body>"
+        ),
+        F.lit("<h1>Doc "), did, F.lit("!</h1>"),
+        F.lit("<!-- hidden comment --><p>A &amp; B &lt;ok&gt;&nbsp;"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
 
 
 @register(
@@ -8389,18 +8425,7 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_state_eviction_spark.functions.text import html_to_text
 
     docs = load_table(spark, sf_dir, "documents")
-    did = F.col("doc_id").cast("string")
-    h = F.concat(
-        F.lit(
-            '<html><head><script type="text/javascript">var x = 1 < 2;'
-            "</script><style>p { color: red }</style></head><body>"
-        ),
-        F.lit("<h1>Doc "), did, F.lit("!</h1>"),
-        F.lit("<!-- hidden comment --><p>A &amp; B &lt;ok&gt;&nbsp;"),
-        F.col("text"),
-        F.lit("</p></body></html>"),
-    )
-    staged = docs.select("doc_id", h.alias("h"))
+    staged = docs.select("doc_id", _minted_html_col().alias("h"))
     out = staged.select(
         "doc_id", "h", html_to_text(F.col("h")).alias("t")
     )
@@ -8409,6 +8434,194 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("h").cast("long").alias("n_html"),
         F.length("t").cast("long").alias("n_text"),
         F.md5("t").alias("text_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X220 parquet twin: the crawl-to-corpus funnel's decision table over
+# MINTED-HTML fixture docs. crawl_curation_decisions itself reads
+# synthesized WARC bytes (pytest-only — bytes are out of SQL's reach),
+# but the funnel's stage chain (extraction -> C4 on real block
+# structure -> Gopher on the cleaned text -> final keep, stage order
+# contractual) is pure DataFrame composition, so running the SAME
+# curation_funnel_from_documents over a minted paragraph-structured
+# page (the X202 lined-page distribution as HTML, in the X216 shell)
+# gives the composition a bit-for-bit DuckDB registration (round-8
+# verdict item 4; the X167 CTE-wrapping model). The oracle chains the
+# funnel mint, the SHARED extraction CTE, the X202 line rules on the
+# EXTRACTED text, and the X17 Gopher battery on the cleaned text.
+
+def _crawl_funnel_oracle() -> str:
+    # the funnel's OWN mint: the X202 lined-page distribution expressed
+    # as HTML paragraphs (' the ' ends a sentence-paragraph, ' data '
+    # breaks a paragraph without terminal punct; lorem/brace/js marker
+    # paragraphs on the X202 doc_id residues), wrapped in the X216
+    # script/style/comment shell — so extraction must recover the REAL
+    # block structure the C4 line rules then judge (non-vacuous both
+    # ways: kept and dropped pages, gopher runs on the kept half)
+    mint = r"""base AS (
+    SELECT doc_id, source,
+           '<html><head><script type="text/javascript">var x = 1 < 2;'
+           || '</script><style>p { color: red }</style></head><body>'
+           || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '!</h1>'
+           || '<!-- hidden comment -->'
+           || CASE WHEN doc_id % 7 = 0
+                THEN '<p>Lorem ipsum dolor sit amet consectetur.</p>'
+                ELSE '' END
+           || CASE WHEN doc_id % 11 = 3
+                THEN '<p>function f() { return 1; }</p>'
+                ELSE '' END
+           || CASE WHEN doc_id % 5 = 2
+                THEN '<p>please enable javascript to view this page.</p>'
+                ELSE '' END
+           || '<p>A &amp; B &lt;ok&gt;&nbsp;'
+           || replace(replace(text, ' the ', '.</p><p>'),
+                      ' data ', '</p><p>')
+           || '.</p></body></html>' AS h
+    FROM documents
+),
+"""
+    gopher_passes = """
+           COALESCE(n_words BETWEEN 5 AND 10000, FALSE)
+           AND COALESCE(CAST(n_token_chars AS DOUBLE) / NULLIF(n_words, 0)
+                        BETWEEN 2.0 AND 12.0, FALSE)
+           AND COALESCE(CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0) >= 0.02,
+                        FALSE)
+           AND COALESCE(CAST(n_alpha AS DOUBLE) / NULLIF(n_words, 0) >= 0.7,
+                        FALSE)
+           AND COALESCE(CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0) <= 0.3,
+                        FALSE)
+           AND COALESCE(CAST(n_distinct AS DOUBLE) / NULLIF(n_words, 0)
+                        >= 0.3, FALSE)"""
+    body = r""",
+kept AS (
+    SELECT doc_id, source, t,
+           string_split(t, chr(10)) AS ls,
+           list_filter(string_split(t, chr(10)),
+                       l -> right(l, 1) IN ('.', '!', '?', '"')
+                        AND len(string_split(l, ' ')) >= 3
+                        AND NOT contains(lower(l), 'javascript')) AS kl
+    FROM x
+),
+flags AS (
+    SELECT doc_id, source,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kl) AS BIGINT) AS n_kept,
+           contains(lower(t), 'lorem ipsum') AS has_lorem,
+           contains(t, '{') AS has_brace,
+           array_to_string(kl, chr(10)) AS cleaned
+    FROM kept
+),
+c4 AS (
+    SELECT doc_id, source, n_lines, n_kept,
+           (NOT has_lorem AND NOT has_brace AND n_kept >= 5) AS c4_kept,
+           cleaned
+    FROM flags
+),
+gt AS (
+    SELECT doc_id, cleaned AS text,
+           list_filter(string_split_regex(lower(cleaned), '[^a-z0-9]+'),
+                       t -> t <> '') AS toks
+    FROM c4 WHERE c4_kept
+),
+gm AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS n_token_chars,
+           CAST(len(list_filter(toks,
+                x -> list_contains({stop!r}, x))) AS BIGINT) AS n_stop,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               AS BIGINT) AS n_alpha,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+               AS BIGINT) AS n_punct,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM gt
+),
+g AS (
+    SELECT doc_id,
+{passes} AS gopher_passes
+    FROM gm
+)
+SELECT c4.doc_id, c4.source, c4.n_lines, c4.n_kept,
+       COALESCE(c4.c4_kept, FALSE) AS c4_kept,
+       CAST(g.gopher_passes AS BIGINT) AS gopher_passes,
+       (COALESCE(c4.c4_kept, FALSE)
+        AND COALESCE(g.gopher_passes, FALSE)) AS final_keep
+FROM c4 LEFT JOIN g ON g.doc_id = c4.doc_id
+"""
+    return (
+        "WITH "
+        + mint
+        + _html_extract_cte()
+        + body.replace("{stop!r}", repr(list(LANG_STOPWORDS["en"]))).replace(
+            "{passes}", gopher_passes
+        )
+    )
+
+
+@register_supplementary(
+    "crawl_funnel_decisions",
+    _crawl_funnel_oracle(),
+    tags=("pipeline", "text"),
+)
+def crawl_funnel_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X220 parquet twin (module comment above): the crawl-to-corpus
+    funnel's per-page decision table — n_lines/n_kept from the C4
+    line rules on the extracted text, c4_kept, gopher_passes (NULL
+    where C4 already dropped the page: the battery never runs on
+    those — stage order is part of the contract; projected to
+    nullable BIGINT 1/0 here because a nullable BOOLEAN lands as
+    None-vs-NaN across the two engines' pandas bridges), and the
+    final-keep conjunction — over minted-HTML fixture docs, through
+    the SAME sources/warc.py:curation_funnel_from_documents
+    composition the WARC path runs. Scale shape inherited per stage: extraction + C4
+    ride the scan; Gopher adds one Arrow pass; one lazy checkpoint at
+    the two-consumer C4 boundary."""
+    from flink_state_eviction_spark.sources.warc import (
+        curation_funnel_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lorem = F.when(
+        did % 7 == 0,
+        F.lit("<p>Lorem ipsum dolor sit amet consectetur.</p>"),
+    ).otherwise(F.lit(""))
+    brace = F.when(
+        did % 11 == 3, F.lit("<p>function f() { return 1; }</p>")
+    ).otherwise(F.lit(""))
+    js = F.when(
+        did % 5 == 2,
+        F.lit("<p>please enable javascript to view this page.</p>"),
+    ).otherwise(F.lit(""))
+    h = F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">var x = 1 < 2;'
+            "</script><style>p { color: red }</style></head><body>"
+        ),
+        F.lit("<h1>Doc "), did.cast("string"), F.lit("!</h1>"),
+        F.lit("<!-- hidden comment -->"),
+        lorem, brace, js,
+        F.lit("<p>A &amp; B &lt;ok&gt;&nbsp;"),
+        F.replace(
+            F.replace(F.col("text"), F.lit(" the "), F.lit(".</p><p>")),
+            F.lit(" data "),
+            F.lit("</p><p>"),
+        ),
+        F.lit(".</p></body></html>"),
+    )
+    minted = docs.select("doc_id", "source", h.alias("text"))
+    out = curation_funnel_from_documents(minted)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_kept",
+        "c4_kept",
+        F.col("gopher_passes").cast("long").alias("gopher_passes"),
+        "final_keep",
     )
 
 

@@ -466,11 +466,23 @@ def crawl_curation_decisions(spark: SparkSession, path: str) -> DataFrame:
     (the battery never runs on them — stage order is part of the
     contract). Every stage is the SAME kernel the registered queries
     gate (html_to_text / c4_line_stats_frame / gopher_flags), so this
-    composition inherits their oracles and pins. The extracted frame
-    is checkpointed ONCE — it feeds the C4 kernel AND the source
-    join-back, and without the boundary the whole WARC parse lineage
-    executes twice (the CLAUDE.md two-consumer gotcha, flagged by the
-    round-8 review)."""
+    composition inherits their oracles and pins. The stage chain lives
+    in :func:`curation_funnel_from_documents`, which the DuckDB-gated
+    parquet twin (`crawl_funnel_decisions`, querydefs/pipeline.py)
+    runs over minted-HTML fixture docs — so the composition itself is
+    oracle-checked even though WARC bytes are out of SQL's reach
+    (round-8 verdict item 4)."""
+    return curation_funnel_from_documents(warc_to_documents(spark, path))
+
+
+def curation_funnel_from_documents(docs: DataFrame) -> DataFrame:
+    """The X220 funnel stage chain over any documents-contract frame
+    whose ``text`` is raw HTML (see crawl_curation_decisions for the
+    semantics). The extracted frame is checkpointed ONCE — it feeds
+    the C4 kernel AND the source join-back, and without the boundary
+    the upstream lineage (for WARC input: the whole parse) executes
+    twice (the CLAUDE.md two-consumer gotcha, flagged by the round-8
+    review)."""
     from pyspark.sql import functions as F
 
     from flink_state_eviction_spark.functions.text import html_to_text
@@ -479,7 +491,6 @@ def crawl_curation_decisions(spark: SparkSession, path: str) -> DataFrame:
         gopher_flags,
     )
 
-    docs = warc_to_documents(spark, path)
     lined = docs.select(
         "doc_id", "source", html_to_text(F.col("text")).alias("t0")
     ).localCheckpoint(eager=False)
@@ -494,15 +505,18 @@ def crawl_curation_decisions(spark: SparkSession, path: str) -> DataFrame:
     out = c4.join(lined.select("doc_id", "source"), "doc_id").join(
         gop, "doc_id", "left"
     )
+    # kept_doc is NULL for a NULL-text page (three-valued logic all the
+    # way down); the funnel's verdict coalesces it — a page with no
+    # text is DROPPED, not undecided
     return out.select(
         "doc_id",
         "source",
         "n_lines",
         "n_kept",
-        F.col("kept_doc").alias("c4_kept"),
+        F.coalesce(F.col("kept_doc"), F.lit(False)).alias("c4_kept"),
         "gopher_passes",
         (
-            F.col("kept_doc")
+            F.coalesce(F.col("kept_doc"), F.lit(False))
             & F.coalesce(F.col("gopher_passes"), F.lit(False))
         ).alias("final_keep"),
     )

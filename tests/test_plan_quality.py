@@ -761,6 +761,16 @@ def test_curation_funnel_joins_are_equi_joins(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan  # LM c2/c1 sides
 
 
+def test_crawl_funnel_twin_joins_are_equi_joins(spark, sf_dir):
+    # the X220 parquet twin runs the REAL funnel composition: both
+    # join-backs (source re-attach, gopher left join) must be
+    # doc_id equi-joins — no cartesian, no single-partition collapse
+    df = _q("crawl_funnel_decisions", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_repetition_signals_scan_only(spark, sf_dir):
     # every signal is per-document: the whole battery must run in one
     # Arrow pass at the scan — zero exchanges, no row-path Python
