@@ -304,15 +304,24 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
     refetched in a LATER crawl segment re-lands at the maintainers,
     whose per-source counts then count the refetch — the same
     at-least-once accounting every maintainer already documents."""
+    return _bridge_documents(read_warc_records_stream(spark, path))
+
+
+def read_warc_records_stream(spark: SparkSession, path: str) -> DataFrame:
+    """The RECORD-level streaming WARC walk (same closure as the batch
+    reader — the X217 bit-parity rule): one row per WARC record with
+    payload columns, BEFORE the documents bridge. Consumers that need
+    non-page records — the robots-rules maintainer reads robots.txt
+    RESPONSES the bridge's page contract has no column for — tap this;
+    page pipelines use :func:`read_warc_stream`."""
     files = (
         spark.readStream.format("binaryFile")
         .schema(BINARY_FILE_SCHEMA)
         .load(path)
     )
-    recs = files.select("path", "content").mapInPandas(
+    return files.select("path", "content").mapInPandas(
         _record_walk(_PAYLOAD_COLS), WARC_SCHEMA_PAYLOAD
     )
-    return _bridge_documents(recs)
 
 
 def parse_robots(payload: bytes) -> list[str]:
@@ -366,11 +375,21 @@ def robots_disallow_rules(spark: SparkSession, path: str) -> DataFrame:
     excluded — matching ``parse_url(..., 'HOST')`` on the gate side
     exactly (round-8 review: netloc vs HOST disagreed on any
     non-default-port host, so its rules never matched)."""
+    return robots_rules_from_records(
+        read_warc(spark, path, include_payload=True)
+    )
+
+
+def robots_rules_from_records(recs: DataFrame) -> DataFrame:
+    """The ONE rules-extraction kernel over a WARC records frame
+    (robots.txt 200-OK responses -> distinct (host, disallow_prefix)
+    rows) — shared by the batch :func:`robots_disallow_rules` and the
+    streaming maintainer (streaming/robots_maintain.py), so the two
+    cannot diverge (the maintainer family's one-kernel rule)."""
     from urllib.parse import urlsplit
 
     from pyspark.sql import functions as F
 
-    recs = read_warc(spark, path, include_payload=True)
     robots = recs.where(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)

@@ -1,0 +1,99 @@
+"""Streaming robots-rules maintainer (X221): keep the X219 compliance
+gate's (host, disallow_prefix) rules table current as crawl segments
+land, so the gate is always-on next to the C4/contamination/quality
+maintainers rather than a batch rebuild.
+
+The rules table is an associative DISTINCT-UNION — a (host, prefix)
+row observed in any batch is a rule, re-observing it adds nothing — so
+maintenance is the census pattern (X150/X169/X177/X186) with set-union
+instead of summation:
+
+- ``robots_maintain_batch`` — ``foreachBatch`` body over the
+  RECORD-level stream (sources/warc.py:read_warc_records_stream; the
+  documents bridge has no robots.txt rows): the batch's rules via the
+  SAME ``robots_rules_from_records`` kernel the batch query uses land
+  in an idempotent ``batch=<id>`` partition; redelivery overwrites its
+  own partition, at-least-once safe (distinct-union makes double
+  counting structurally impossible anyway — the one maintainer where
+  at-least-once needs no accounting caveat).
+- ``rules_from_state`` — the maintained rules table: distinct over the
+  batch partitions. After the whole crawl has streamed in it is
+  BIT-EQUAL to the batch ``robots_disallow_rules`` over the same
+  archives (test_streaming_robots_maintain) — the maintainer family's
+  final-state equivalence contract.
+- ``robots_gate_from_state`` — serve the X219 gate from maintained
+  state through the one shared ``apply_robots_gate`` kernel (budget-
+  gated broadcast + shuffled fallback included).
+
+Scale shape: state is bounded by DISTINCT (host, prefix) rules —
+re-crawling a host a million times is still its same few rows; a
+robots.txt that CHANGES adds its new prefixes (the gate over-blocks
+with the union — the conservative error direction the parse_robots
+docstring commits to; rule expiry is a crawl-policy concern, not a
+corpus-gate one). Compaction folds are re-distincts under the
+commit-log-safe contract (streaming/compaction.py).
+
+Extension beyond the reference surface (SURVEY §2.7 X221; twins the
+batch X219 gate).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def robots_maintain_batch(
+    batch_recs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of rules maintenance (module docstring). Call
+    from ``foreachBatch`` over the record-level stream, forwarding its
+    batch id."""
+    from flink_state_eviction_spark.sources.warc import (
+        robots_rules_from_records,
+    )
+
+    robots_rules_from_records(batch_recs).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "rules", f"batch={batch_id}")
+    )
+
+
+def compact_robots_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — rules are
+    a distinct union. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "rules"),
+        through_batch,
+        lambda df: df.select("host", "disallow_prefix").distinct(),
+    )
+
+
+def rules_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (host, disallow_prefix) rules table: distinct
+    union over the batch partitions."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "rules"))
+        .select("host", "disallow_prefix")
+        .distinct()
+    )
+
+
+def robots_gate_from_state(
+    spark: SparkSession, state_dir: str, pages: DataFrame
+) -> DataFrame:
+    """The X219 gate served from maintained state through the one
+    shared kernel (sources/warc.py:apply_robots_gate) — pages +
+    ``robots_disallowed``, broadcast budget-gate included."""
+    from flink_state_eviction_spark.sources.warc import apply_robots_gate
+
+    return apply_robots_gate(pages, rules_from_state(spark, state_dir))

@@ -1,0 +1,161 @@
+"""Streaming robots-rules maintainer (X221): serving the rules table
+and the X219 gate from maintained state must reproduce the batch
+`robots_disallow_rules` / `apply_robots_gate` bit-for-bit after the
+crawl streams in; redelivered batches must not change the state;
+compaction preserves it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.sources.warc import (
+    apply_robots_gate,
+    read_warc,
+    read_warc_records_stream,
+    robots_disallow_rules,
+)
+from flink_state_eviction_spark.streaming.robots_maintain import (
+    compact_robots_state,
+    robots_gate_from_state,
+    robots_maintain_batch,
+    rules_from_state,
+)
+
+from test_warc_source import _record
+
+
+def _robots_http(*rules: str) -> bytes:
+    body = "User-agent: *\r\n" + "".join(f"Disallow: {r}\r\n" for r in rules)
+    return b"HTTP/1.1 200 OK\r\n\r\n" + body.encode()
+
+
+_PAGE = b"HTTP/1.1 200 OK\r\n\r\n<html><body>a page.</body></html>"
+
+
+def _crawl(tmp_path):
+    """Three segments: a.example's robots appears TWICE (seg0 + seg2,
+    overlapping '/private/' plus a seg2-only '/tmp/' rule — the
+    distinct-union path), b.example's once, plus page fetches on both
+    hosts (some disallowed)."""
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg0.warc").write_bytes(
+        _record(
+            "response",
+            "http://a.example/robots.txt",
+            _robots_http("/private/"),
+        )
+        + _record("response", "http://a.example/private/x", _PAGE)
+        + _record("response", "http://a.example/ok", _PAGE)
+    )
+    (d / "seg1.warc").write_bytes(
+        _record(
+            "response",
+            "http://b.example/robots.txt",
+            _robots_http("/admin/"),
+        )
+        + _record("response", "http://b.example/admin/panel", _PAGE)
+        + _record("response", "http://c.example/no-rules", _PAGE)
+    )
+    (d / "seg2.warc").write_bytes(
+        _record(
+            "response",
+            "http://a.example/robots.txt",
+            _robots_http("/private/", "/tmp/"),
+        )
+        + _record("response", "http://a.example/tmp/t", _PAGE)
+    )
+    return str(d)
+
+
+def _pages(spark, path):
+    return (
+        read_warc(spark, path)
+        .where(
+            (F.col("warc_type") == "response")
+            & ~F.col("target_uri").endswith("/robots.txt")
+        )
+        .select("target_uri")
+    )
+
+
+def test_streaming_robots_rules_match_batch(spark, tmp_path):
+    path = _crawl(tmp_path)
+    stream = read_warc_records_stream(spark, path)
+    state = os.path.join(str(tmp_path), "robots-state")
+
+    def upd(batch_df, batch_id):
+        robots_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in rules_from_state(spark, state).collect()}
+    want = {
+        tuple(r) for r in robots_disallow_rules(spark, path).collect()
+    }
+    assert got == want
+    # the union across segments, distinct: a.example's duplicate
+    # '/private/' folds to one row, the seg2-only '/tmp/' survives
+    assert got == {
+        ("a.example", "/private/"),
+        ("a.example", "/tmp/"),
+        ("b.example", "/admin/"),
+    }
+
+    # the served gate == the batch gate over the same crawl
+    pages = _pages(spark, path)
+    served = {
+        (r["target_uri"], r["robots_disallowed"])
+        for r in robots_gate_from_state(spark, state, pages).collect()
+    }
+    batch = {
+        (r["target_uri"], r["robots_disallowed"])
+        for r in apply_robots_gate(
+            pages, robots_disallow_rules(spark, path)
+        ).collect()
+    }
+    assert served == batch
+    assert served == {
+        ("http://a.example/private/x", True),
+        ("http://a.example/ok", False),
+        ("http://a.example/tmp/t", True),
+        ("http://b.example/admin/panel", True),
+        ("http://c.example/no-rules", False),
+    }
+
+
+def test_robots_redelivery_and_compaction_preserve_state(spark, tmp_path):
+    path = _crawl(tmp_path)
+    recs = read_warc(spark, path, include_payload=True)
+    segs = [
+        (i, recs.where(F.col("file").endswith(f"seg{i}.warc")))
+        for i in range(3)
+    ]
+    state = os.path.join(str(tmp_path), "robots-state")
+    for bid, b in segs:
+        robots_maintain_batch(b, state, bid)
+
+    def snapshot():
+        return {tuple(r) for r in rules_from_state(spark, state).collect()}
+
+    once = snapshot()
+    assert once  # non-vacuous
+    robots_maintain_batch(segs[1][1], state, 1)
+    robots_maintain_batch(segs[1][1], state, 1)
+    assert snapshot() == once
+
+    with pytest.raises(ValueError):
+        compact_robots_state(spark, state, 2)
+    compact_robots_state(spark, state, 1)
+    assert snapshot() == once
+    robots_maintain_batch(segs[2][1], state, 2)
+    assert snapshot() == once
