@@ -1,0 +1,230 @@
+"""Distributed Unigram-LM (SentencePiece-style) tokenizer learning +
+Viterbi encoding — the OTHER major subword algorithm next to the repo's
+BPE family (operators/bpe.py).
+
+Extension beyond the reference surface (the reference,
+/root/reference MapWithState.java:51-393, is a stateful-streaming PoC
+with no tokenizer tooling); the algorithm is Kudo 2018 ("Subword
+Regularization", public), in the deterministic VITERBI HARD-EM variant
+(hard assignments instead of forward-backward expected counts — a
+documented variation, chosen because every quantity stays an exact
+integer and both the Spark path and the pure-Python reference
+reproduce bit-identically; soft EM needs floating-point expectations
+with engine-dependent summation order).
+
+Spark-first shape (the scale argument, mirroring the BPE module):
+
+- The corpus is touched ONCE: the (word, cnt) census (one explode +
+  one groupBy shuffle) is the only corpus-sized pass; learning runs
+  on the DISTINCT-word frame exactly like reference implementations
+  (they train over a Counter, not raw text).
+- Seeding is JVM-side: every substring of length 1..MAX_PIECE_LEN of
+  every distinct word, enumerated by a nested-sequence HOF transform
+  (overlapping occurrences counted — each start position is one
+  occurrence), weighted by word count, one map-combined groupBy; the
+  seed table is the top SEED_K by (count DESC, piece ASC) UNION all
+  single characters (coverage: every word stays segmentable).
+- Each EM round is: (a) E-step — ONE Arrow mapInPandas pass over the
+  distinct words with the <= SEED_K-row piece table carried in the
+  closure (bounded BY CONSTRUCTION, so no broadcast budget probe is
+  needed — contrast the corpus-derived tables in lm_score_docs);
+  Viterbi DP compares path scores prod(c_i)/N^len EXACTLY by
+  cross-multiplication of Python bigints (no float anywhere), ties
+  broken by fewer pieces then lexicographically-smaller piece
+  sequence; (b) M-step — explode the segmentations, one map-combined
+  groupBy sum: new count(piece) = total weighted usage. Pieces with
+  zero usage drop; single characters are ALWAYS retained (floored at
+  count 1) so coverage never breaks.
+- The final vocab prunes to the top VOCAB_K by (count DESC, piece
+  ASC) plus the single characters. Encoding a corpus re-runs the SAME
+  Viterbi kernel over distinct words once and joins token counts back
+  — the 100 TB text is never re-scanned per round.
+
+Correctness: no SQL oracle can replay an iterative EM loop, so the
+gate is tests/test_unigram.py — bit-exact equality against an
+independent pure-Python reference (same word counts in, identical
+vocab and segmentations out), plus determinism, coverage, and
+tie-break pins. Registered queries are rows-only driver checks
+(NON_SQL_EXPRESSIBLE, the BPE escape hatch in
+tests/test_registry_contract.py).
+
+Determinism contract: seed/prune order is (count DESC, piece ASC);
+Viterbi ties prefer FEWER pieces, then the lexicographically smaller
+piece tuple; EM rounds and all caps are fixed constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAX_PIECE_LEN = 4
+SEED_K = 1500
+VOCAB_K = 400
+EM_ITERS = 2
+
+_SEG_SCHEMA = "word string, cnt long, pieces array<string>"
+
+
+def seed_piece_counts(vocab: DataFrame) -> DataFrame:
+    """(piece, cnt) substring-occurrence counts over the distinct-word
+    census — every start position of every substring of length
+    1..MAX_PIECE_LEN, weighted by word count (overlaps counted). Pure
+    JVM nested-sequence HOF; Python never sees the corpus here."""
+    subs = vocab.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)),"
+                " i -> transform("
+                f"   sequence(i, least(length(word), i + {MAX_PIECE_LEN} - 1)),"
+                "   j -> substring(word, i, j - i + 1))))"
+            )
+        ).alias("piece"),
+    )
+    return subs.groupBy("piece").agg(F.sum("cnt").alias("cnt"))
+
+
+def _top_k_with_chars(pieces: DataFrame, k: int) -> DataFrame:
+    """Top-k pieces by (cnt DESC, piece ASC) UNION all single chars
+    (coverage floor; a char outside the top-k keeps its own count).
+    k rows is a bounded TakeOrdered — never a corpus-sized sort."""
+    top = pieces.orderBy(F.col("cnt").desc(), F.col("piece").asc()).limit(k)
+    chars = pieces.where(F.length("piece") == 1)
+    return (
+        top.unionByName(chars)
+        .groupBy("piece")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+
+
+def _viterbi_segment(
+    word: str, counts: dict[str, int], max_len: int
+) -> list[str]:
+    """THE Viterbi kernel, shared by learning and encoding (and by the
+    pure-Python test reference THROUGH ITS OWN COPY — the test pins
+    equality, not code sharing): best[i] = (prod_of_counts, n_pieces,
+    pieces_tuple) over segmentations of word[:i], maximizing
+    prod(c)/N^n — compared exactly as prod_a * N**n_b vs
+    prod_b * N**n_a (Python bigints; N cancels per-round as a common
+    base). Ties: fewer pieces, then lexicographically smaller tuple."""
+    n = len(word)
+    total = sum(counts.values())
+    # best[i]: (prod, n_pieces, pieces tuple) or None
+    best: list[tuple[int, int, tuple[str, ...]] | None] = [None] * (n + 1)
+    best[0] = (1, 0, ())
+    for i in range(1, n + 1):
+        for piece_len in range(1, min(max_len, i) + 1):
+            prev = best[i - piece_len]
+            if prev is None:
+                continue
+            piece = word[i - piece_len : i]
+            c = counts.get(piece)
+            if c is None:
+                continue
+            cand = (prev[0] * c, prev[1] + 1, prev[2] + (piece,))
+            cur = best[i]
+            if cur is None:
+                best[i] = cand
+                continue
+            # exact rational compare: cand_prod/N^cand_n vs cur
+            lhs = cand[0] * total ** cur[1]
+            rhs = cur[0] * total ** cand[1]
+            if lhs > rhs or (
+                lhs == rhs
+                and (cand[1], cand[2]) < (cur[1], cur[2])
+            ):
+                best[i] = cand
+    final = best[n]
+    assert final is not None, f"uncovered word (missing char): {word!r}"
+    return list(final[2])
+
+
+def _segment_words(words: DataFrame, counts: dict[str, int]) -> DataFrame:
+    """One Arrow pass: (word, cnt) -> (word, cnt, pieces). The piece
+    table rides the closure — <= SEED_K rows by construction."""
+    import pandas as pd
+
+    def seg(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "cnt": pdf["cnt"],
+                    "pieces": [
+                        _viterbi_segment(w, counts, MAX_PIECE_LEN)
+                        for w in pdf["word"]
+                    ],
+                }
+            )
+
+    return words.mapInPandas(seg, _SEG_SCHEMA)
+
+
+def _counts_dict(pieces: DataFrame) -> dict[str, int]:
+    """Collect the bounded piece table to a plain dict (<= SEED_K
+    rows — a statistic frame, not corpus data)."""
+    return {r["piece"]: r["cnt"] for r in pieces.collect()}
+
+
+def learn_unigram_vocab(
+    vocab: DataFrame,
+    seed_k: int = SEED_K,
+    vocab_k: int = VOCAB_K,
+    iters: int = EM_ITERS,
+) -> DataFrame:
+    """Unigram-LM vocabulary from a (word, cnt) census (module
+    docstring): seed -> ``iters`` Viterbi hard-EM rounds -> final
+    top-``vocab_k`` prune. Returns (piece, cnt, piece_len), where cnt
+    is the last round's weighted usage (floored at 1 for retained
+    single chars)."""
+    vocab = vocab.localCheckpoint(eager=True)
+    pieces = _top_k_with_chars(seed_piece_counts(vocab), seed_k)
+    for _ in range(iters):
+        counts = _counts_dict(pieces)
+        segged = _segment_words(vocab, counts)
+        usage = (
+            segged.select(
+                "cnt", F.explode("pieces").alias("piece")
+            )
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        chars = (
+            pieces.where(F.length("piece") == 1)
+            .select("piece")
+            .join(usage, "piece", "left")
+            .select(
+                "piece",
+                F.coalesce(F.col("cnt"), F.lit(1)).alias("cnt"),
+            )
+        )
+        pieces = (
+            usage.unionByName(chars)
+            .groupBy("piece")
+            .agg(F.max(F.greatest("cnt", F.lit(1))).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    final = _top_k_with_chars(pieces, vocab_k)
+    return final.select(
+        "piece", "cnt", F.length("piece").cast("int").alias("piece_len")
+    )
+
+
+def encode_words_unigram(
+    words: DataFrame, final_vocab: DataFrame
+) -> DataFrame:
+    """Viterbi-encode a (word, cnt) census under a learned vocab:
+    (word, cnt, pieces, n_pieces). One Arrow pass over DISTINCT words;
+    join token counts back onto the corpus stream instead of ever
+    re-scanning text."""
+    counts = {
+        r["piece"]: r["cnt"] for r in final_vocab.select("piece", "cnt").collect()
+    }
+    segged = _segment_words(words, counts)
+    return segged.select(
+        "word",
+        "cnt",
+        "pieces",
+        F.size("pieces").cast("long").alias("n_pieces"),
+    )

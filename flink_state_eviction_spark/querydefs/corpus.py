@@ -1237,6 +1237,90 @@ def fertility_from_partials(p: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X222: Unigram-LM (SentencePiece-style) tokenizer — the OTHER major
+# subword algorithm next to BPE (operators/unigram.py carries the full
+# algorithm + scale argument: one corpus scan for the word census,
+# JVM-side substring seeding, Viterbi hard-EM rounds as single Arrow
+# passes over DISTINCT words with an exact-bigint DP). Like the BPE
+# family: iterative EM has no SQL oracle, so both queries are
+# rows-only at the driver and the hard gate is tests/test_unigram.py —
+# bit-exact vs an independent pure-Python reference.
+
+
+@register_supplementary("unigram_learn_vocab", None, tags=("corpus", "text"))
+def unigram_learn_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X222: learned Unigram-LM piece vocabulary (piece, cnt,
+    piece_len) over the documents corpus — Kudo 2018 in the
+    deterministic Viterbi hard-EM variant (operators/unigram.py module
+    docstring). Rows-only (iterative EM); hard gate:
+    tests/test_unigram.py::test_learn_matches_reference."""
+    from flink_state_eviction_spark.operators.bpe import word_vocab
+    from flink_state_eviction_spark.operators.unigram import (
+        learn_unigram_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_unigram_vocab(word_vocab(docs))
+
+
+@register_supplementary(
+    "unigram_fertility_by_source", None, tags=("corpus", "text")
+)
+def unigram_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X222: per-source fertility under the learned unigram vocab —
+    (source, n_words, n_chars, n_pieces, chars_per_piece_milli), the
+    direct comparison row against `bpe_fertility_by_source` (same
+    integer ratio convention), so a mixing schedule can weigh the TWO
+    tokenizers' efficiency per feed. Zero-word docs are absent (the
+    X147 stats contract). Rows-only (the vocab is EM-learned); hard
+    gate: tests/test_unigram.py::test_fertility_matches_reference.
+
+    Scale shape: encode runs ONCE over DISTINCT words (Arrow pass,
+    <= VOCAB_K-row piece table in the closure); the corpus token
+    stream joins per-word piece counts by word key — Catalyst picks
+    the algorithm, no forced hint on the corpus-derived word frame —
+    then one |sources|-keyed map-side-combined fold."""
+    from flink_state_eviction_spark.functions.text import tokens
+    from flink_state_eviction_spark.operators.bpe import word_vocab
+    from flink_state_eviction_spark.operators.unigram import (
+        encode_words_unigram,
+        learn_unigram_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wv = word_vocab(docs).localCheckpoint(eager=False)
+    enc = encode_words_unigram(wv, learn_unigram_vocab(wv)).select(
+        "word",
+        F.length("word").cast("long").alias("wlen"),
+        "n_pieces",
+    )
+    stream = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("word")
+    ).groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    j = stream.join(enc, "word")
+    tot = j.groupBy("source").agg(
+        F.sum("occ").cast("long").alias("n_words"),
+        F.sum(F.col("occ") * F.col("wlen")).cast("long").alias("n_chars"),
+        F.sum(F.col("occ") * F.col("n_pieces"))
+        .cast("long")
+        .alias("n_pieces"),
+    )
+    return tot.select(
+        "source",
+        "n_words",
+        "n_chars",
+        "n_pieces",
+        F.expr(
+            "cast((n_chars * 1000) div greatest(1, n_pieces) as bigint)"
+        ).alias("chars_per_piece_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X159: n-gram LM perplexity scoring (CCNet-style quality filter)
 #
 # The real-LM sibling of the rank-based surprisal proxy above: an

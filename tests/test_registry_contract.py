@@ -147,6 +147,10 @@ NON_SQL_EXPRESSIBLE = {
     "payload_cdc_dedup",
     # iterative merge loop — gate: tests/test_bpe.py::test_fertility_matches_reference
     "bpe_fertility_by_source",
+    # iterative Viterbi hard-EM — gate: tests/test_unigram.py
+    # (bit-exact vs an independent pure-Python Kudo reference)
+    "unigram_learn_vocab",
+    "unigram_fertility_by_source",
 }
 
 

@@ -1,0 +1,202 @@
+"""Hard gate for the Unigram-LM tokenizer family (X222,
+operators/unigram.py): the Spark EM/Viterbi chain must reproduce an
+INDEPENDENT pure-Python reference bit-for-bit from the same word
+counts — vocabulary, counts, segmentations, and the per-source
+fertility scorecard — plus determinism, coverage, and tie-break pins.
+
+The reference below re-implements seed -> hard-EM -> prune -> Viterbi
+from the algorithm description only (dict/Counter code, no Spark, no
+imports from operators/unigram.py except the CONSTANTS being pinned).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.operators.unigram import (
+    EM_ITERS,
+    MAX_PIECE_LEN,
+    SEED_K,
+    VOCAB_K,
+    encode_words_unigram,
+    learn_unigram_vocab,
+)
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.tables import load_table
+
+
+# --- independent pure-Python reference ------------------------------------
+
+
+def _ref_seed(word_counts: dict[str, int], max_len: int) -> Counter:
+    c: Counter = Counter()
+    for w, n in word_counts.items():
+        for i in range(len(w)):
+            for piece_len in range(1, min(max_len, len(w) - i) + 1):
+                c[w[i : i + piece_len]] += n
+    return c
+
+
+def _ref_top_k_with_chars(counts: Counter, k: int) -> dict[str, int]:
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    out = dict(top)
+    for p, n in counts.items():
+        if len(p) == 1:
+            out[p] = n
+    return out
+
+
+def _ref_viterbi(
+    word: str, counts: dict[str, int], max_len: int
+) -> tuple[str, ...]:
+    total = sum(counts.values())
+    best = [None] * (len(word) + 1)
+    best[0] = (1, 0, ())
+    for i in range(1, len(word) + 1):
+        for piece_len in range(1, min(max_len, i) + 1):
+            prev = best[i - piece_len]
+            if prev is None:
+                continue
+            piece = word[i - piece_len : i]
+            if piece not in counts:
+                continue
+            cand = (prev[0] * counts[piece], prev[1] + 1, prev[2] + (piece,))
+            cur = best[i]
+            if cur is None:
+                best[i] = cand
+                continue
+            lhs = cand[0] * total ** cur[1]
+            rhs = cur[0] * total ** cand[1]
+            if lhs > rhs or (
+                lhs == rhs and (cand[1], cand[2]) < (cur[1], cur[2])
+            ):
+                best[i] = cand
+    assert best[-1] is not None
+    return best[-1][2]
+
+
+def _ref_learn(
+    word_counts: dict[str, int],
+    seed_k: int = SEED_K,
+    vocab_k: int = VOCAB_K,
+    iters: int = EM_ITERS,
+    max_len: int = MAX_PIECE_LEN,
+) -> dict[str, int]:
+    pieces = _ref_top_k_with_chars(_ref_seed(word_counts, max_len), seed_k)
+    for _ in range(iters):
+        usage: Counter = Counter()
+        for w, n in word_counts.items():
+            for p in _ref_viterbi(w, pieces, max_len):
+                usage[p] += n
+        nxt = dict(usage)
+        for p in pieces:
+            if len(p) == 1:
+                nxt[p] = max(usage.get(p, 0), 1)
+        pieces = nxt
+    return _ref_top_k_with_chars(Counter(pieces), vocab_k)
+
+
+def _word_counts(spark, sf_dir) -> dict[str, int]:
+    from flink_state_eviction_spark.operators.bpe import word_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return {
+        r["word"]: r["cnt"] for r in word_vocab(docs).collect()
+    }
+
+
+# --- gates ----------------------------------------------------------------
+
+
+def test_learn_matches_reference(spark, sf_dir):
+    got = {
+        (r["piece"], r["cnt"], r["piece_len"])
+        for r in all_queries()["unigram_learn_vocab"](
+            spark, sf_dir
+        ).collect()
+    }
+    want = {
+        (p, n, len(p))
+        for p, n in _ref_learn(_word_counts(spark, sf_dir)).items()
+    }
+    assert got == want and got
+    # non-trivial: multi-char pieces survived EM
+    assert any(pl > 1 for _, _, pl in got)
+
+
+def test_encode_matches_reference_and_covers(spark, sf_dir):
+    from flink_state_eviction_spark.operators.bpe import word_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    wv = word_vocab(docs)
+    vocab_df = learn_unigram_vocab(wv)
+    got = {
+        r["word"]: tuple(r["pieces"])
+        for r in encode_words_unigram(wv, vocab_df).collect()
+    }
+    wc = _word_counts(spark, sf_dir)
+    ref_vocab = _ref_learn(wc)
+    want = {w: _ref_viterbi(w, ref_vocab, MAX_PIECE_LEN) for w in wc}
+    assert got == want
+    # coverage: every word segments (chars always retained), and
+    # segmentations concatenate back to the word exactly
+    for w, ps in got.items():
+        assert "".join(ps) == w
+    # compression: pieces never exceed chars, and beat them somewhere
+    assert all(len(ps) <= len(w) for w, ps in got.items())
+    assert any(len(ps) < len(w) for w, ps in got.items() if len(w) > 1)
+
+
+def test_fertility_matches_reference(spark, sf_dir):
+    rows = {
+        tuple(r)
+        for r in all_queries()["unigram_fertility_by_source"](
+            spark, sf_dir
+        ).collect()
+    }
+    from flink_state_eviction_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("word")
+    ).collect()
+    wc = _word_counts(spark, sf_dir)
+    vocab = _ref_learn(wc)
+    npieces = {w: len(_ref_viterbi(w, vocab, MAX_PIECE_LEN)) for w in wc}
+    agg: dict[str, list[int]] = {}
+    for r in stream:
+        a = agg.setdefault(r["source"], [0, 0, 0])
+        a[0] += 1
+        a[1] += len(r["word"])
+        a[2] += npieces[r["word"]]
+    want = {
+        (s, a[0], a[1], a[2], a[1] * 1000 // max(1, a[2]))
+        for s, a in agg.items()
+    }
+    assert rows == want and rows
+
+
+def test_determinism_and_tie_breaks(spark):
+    # crafted counts: 'ab'+'b ' vs 'a'+'bb' on 'abb' — equal products
+    # force the tie-break chain (fewer pieces, then lexicographic)
+    wc = {"abb": 5, "ab": 3, "bb": 3, "a": 2, "b": 2}
+    v1 = _ref_learn(wc, seed_k=10, vocab_k=8, iters=2)
+    v2 = _ref_learn(wc, seed_k=10, vocab_k=8, iters=2)
+    assert v1 == v2
+    # spark twin on the same crafted census
+    df = spark.createDataFrame(list(wc.items()), "word string, cnt long")
+    got = {
+        (r["piece"], r["cnt"])
+        for r in learn_unigram_vocab(
+            df, seed_k=10, vocab_k=8, iters=2
+        ).select("piece", "cnt").collect()
+    }
+    assert got == set(v1.items())
+    # equal-score tie on a crafted table: both ('ab','b') and
+    # ('a','bb') score c1*c2/N^2 with c=4 each — the lexicographically
+    # smaller piece TUPLE must win deterministically
+    counts = {"ab": 4, "bb": 4, "a": 4, "b": 4}
+    seg = _ref_viterbi("abb", counts, 2)
+    assert seg == ("a", "bb")  # ('a','bb') < ('ab','b') lexicographically
