@@ -412,6 +412,25 @@ def neglog2_millibits_sql(p_col: str, e_col: str, *, duck: bool) -> str:
     return f"({LM_SCALE_MILLIBITS} - (1000 * ({e_col} - 1) + {look}))"
 
 
+def log2_millibits_sql(x_col: str, e_col: str, *, duck: bool) -> str:
+    """+log2(x) in millibits for a POSITIVE bigint column ``x_col``
+    with its projected binary-length column ``e_col`` — the unscaled
+    inner form of :func:`neglog2_millibits_sql` (same leading-bit +
+    4-bit-mantissa LUT, same bit-for-bit engine-parity rationale and
+    one-mantissa-step error bound, the LUT mapping to the LEFT bin
+    edge so the value UNDERestimates by at most ~88 millibits). Used
+    by the Zipf/Heaps diagnostics (X223), where only log RATIOS enter
+    a slope and the scale constant would cancel anyway."""
+    div = "//" if duck else "div"
+    frac = f"((({x_col}) * 16) {div} CAST(pow(2, {e_col} - 1) AS BIGINT) - 16)"
+    lut = ",".join(str(v) for v in LOG2_MANTISSA_MILLIBITS)
+    if duck:
+        look = f"([{lut}])[{frac} + 1]"
+    else:
+        look = f"element_at(array({lut}), CAST({frac} AS INT) + 1)"
+    return f"(1000 * ({e_col} - 1) + {look})"
+
+
 def shingle_strings_udf(k: int = 2) -> Column:
     """Arrow-vectorized ORDERED k-shingle strings (duplicates kept)
     from a token array — the string twin of :func:`word_shingles`

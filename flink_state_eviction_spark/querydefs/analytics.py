@@ -1473,3 +1473,268 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("approx_latency_s")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X223: corpus statistical-law diagnostics — Zipf rank-frequency slope
+# over the top words and a Heaps' vocabulary-growth fit across sources.
+# Both laws are the standard sanity dashboard for a training corpus: a
+# Zipf slope far from -1 flags boilerplate/template contamination (flat
+# head) or OCR noise (heavy tail); a Heaps exponent near 1 flags
+# id-like token floods where vocabulary grows as fast as text. All
+# arithmetic is the X159 integer family: log2 in millibits via the
+# leading-bit + 4-bit-mantissa LUT (functions/text.py:
+# log2_millibits_sql — the UNSCALED form; only log ratios enter the
+# slope), and the least-squares slope as one exact bigint rational
+# (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), emitted in milli-units with `div`
+# — which truncates toward zero IDENTICALLY in Spark and DuckDB for
+# negative numerators (the round-7 signed-div note; a fitted slope is
+# a diagnostic, not a band edge, so truncation is fine and parity-safe).
+
+_ZIPF_TOP_K = 64
+
+_ZIPF_SQL_BODY = """
+wv AS (
+    SELECT t AS word, COUNT(*) AS cnt
+    FROM (SELECT unnest(list_filter(
+              string_split_regex(lower(text), '[^a-z0-9]+'),
+              t -> t <> '')) AS t
+          FROM documents)
+    GROUP BY t
+),
+top AS (
+    SELECT word, cnt,
+           row_number() OVER (ORDER BY cnt DESC, word) AS rank
+    FROM wv ORDER BY cnt DESC, word LIMIT {k}
+),
+proj AS (
+    SELECT rank, word, cnt,
+           length(bin(rank)) AS e_r, length(bin(cnt)) AS e_c
+    FROM top
+),
+lg AS (
+    SELECT rank, word, cnt,
+           {lr} AS log_rank_mb,
+           {lc} AS log_cnt_mb
+    FROM proj
+),
+st AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(log_rank_mb) AS BIGINT) AS sx,
+           CAST(SUM(log_cnt_mb) AS BIGINT) AS sy,
+           CAST(SUM(log_rank_mb * log_rank_mb) AS BIGINT) AS sxx,
+           CAST(SUM(log_rank_mb * log_cnt_mb) AS BIGINT) AS sxy
+    FROM lg
+)
+SELECT lg.rank, lg.word, lg.cnt, lg.log_rank_mb, lg.log_cnt_mb,
+       CAST((1000 * (st.n * st.sxy - st.sx * st.sy))
+            // greatest(1, st.n * st.sxx - st.sx * st.sx) AS BIGINT)
+           AS zipf_slope_milli
+FROM lg CROSS JOIN st
+"""
+
+
+def _zipf_oracle() -> str:
+    from flink_state_eviction_spark.functions.text import (
+        log2_millibits_sql,
+    )
+
+    return "WITH " + _ZIPF_SQL_BODY.format(
+        k=_ZIPF_TOP_K,
+        lr=log2_millibits_sql("rank", "e_r", duck=True),
+        lc=log2_millibits_sql("cnt", "e_c", duck=True),
+    )
+
+
+@register_supplementary(
+    "zipf_rank_frequency", _zipf_oracle(), tags=("pipeline", "text")
+)
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X223: Zipf rank-frequency table over the corpus's top-64 words
+    — (rank, word, cnt, integer millibit logs, fitted log-log slope in
+    milli-units on every row). Slope ~ -1000 is the healthy-corpus
+    reference line.
+
+    Scale shape: ONE corpus-sized pass (the word census explode +
+    groupBy); the top-64 cut is a bounded TakeOrdered; everything
+    after — rank window, log projection, the least-squares fold, the
+    1-row stats broadcast — runs on <= 64 rows (the two
+    SinglePartition sites are pinned in test_plan_audit)."""
+    from flink_state_eviction_spark.functions.text import (
+        log2_millibits_sql,
+    )
+    from flink_state_eviction_spark.operators.bpe import word_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        word_vocab(docs)
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(_ZIPF_TOP_K)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    proj = top.select(
+        "word",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).select(
+        "rank",
+        "word",
+        "cnt",
+        F.expr("length(bin(rank))").alias("e_r"),
+        F.expr("length(bin(cnt))").alias("e_c"),
+    )
+    lg = proj.select(
+        "rank",
+        "word",
+        "cnt",
+        F.expr(log2_millibits_sql("rank", "e_r", duck=False))
+        .cast("long")
+        .alias("log_rank_mb"),
+        F.expr(log2_millibits_sql("cnt", "e_c", duck=False))
+        .cast("long")
+        .alias("log_cnt_mb"),
+    ).localCheckpoint(eager=False)
+    st = lg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("log_rank_mb").cast("long").alias("sx"),
+        F.sum("log_cnt_mb").cast("long").alias("sy"),
+        F.sum(F.col("log_rank_mb") * F.col("log_rank_mb"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.col("log_rank_mb") * F.col("log_cnt_mb"))
+        .cast("long")
+        .alias("sxy"),
+    )
+    return lg.crossJoin(F.broadcast(st)).select(
+        "rank",
+        "word",
+        "cnt",
+        "log_rank_mb",
+        "log_cnt_mb",
+        F.expr(
+            "cast((1000 * (n * sxy - sx * sy))"
+            " div greatest(1, n * sxx - sx * sx) as bigint)"
+        ).alias("zipf_slope_milli"),
+    )
+
+
+_HEAPS_SQL_BODY = """
+pts AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS n_distinct
+    FROM (SELECT source, unnest(list_filter(
+              string_split_regex(lower(text), '[^a-z0-9]+'),
+              t -> t <> '')) AS t
+          FROM documents)
+    GROUP BY source
+),
+proj AS (
+    SELECT source, n_tokens, n_distinct,
+           length(bin(n_tokens)) AS e_n, length(bin(n_distinct)) AS e_v
+    FROM pts
+),
+lg AS (
+    SELECT source, n_tokens, n_distinct,
+           {ln} AS log_tokens_mb,
+           {lv} AS log_vocab_mb
+    FROM proj
+),
+st AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(log_tokens_mb) AS BIGINT) AS sx,
+           CAST(SUM(log_vocab_mb) AS BIGINT) AS sy,
+           CAST(SUM(log_tokens_mb * log_tokens_mb) AS BIGINT) AS sxx,
+           CAST(SUM(log_tokens_mb * log_vocab_mb) AS BIGINT) AS sxy
+    FROM lg
+)
+SELECT lg.source, lg.n_tokens, lg.n_distinct,
+       lg.log_tokens_mb, lg.log_vocab_mb,
+       CAST((1000 * (st.n * st.sxy - st.sx * st.sy))
+            // greatest(1, st.n * st.sxx - st.sx * st.sx) AS BIGINT)
+           AS heaps_beta_milli
+FROM lg CROSS JOIN st
+"""
+
+
+def _heaps_oracle() -> str:
+    from flink_state_eviction_spark.functions.text import (
+        log2_millibits_sql,
+    )
+
+    return "WITH " + _HEAPS_SQL_BODY.format(
+        ln=log2_millibits_sql("n_tokens", "e_n", duck=True),
+        lv=log2_millibits_sql("n_distinct", "e_v", duck=True),
+    )
+
+
+@register_supplementary(
+    "heaps_vocab_growth", _heaps_oracle(), tags=("pipeline", "text")
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X223: Heaps'-law vocabulary growth across sources — each feed is
+    one (n_tokens, n_distinct) point; the fitted log-log slope (the
+    Heaps exponent beta, milli-units, on every row) flags feeds where
+    vocabulary grows like raw text (id/hash floods -> beta near 1000)
+    against the sublinear healthy range (~400-600).
+
+    Scale shape: one corpus-sized explode into a (source, word)
+    map-side-combined census, then a |sources| x distinct-words fold;
+    the fit runs on |sources| rows (its two bounded SinglePartition
+    sites pinned in test_plan_audit)."""
+    from flink_state_eviction_spark.functions.text import (
+        log2_millibits_sql,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pts = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("word")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("word").cast("long").alias("n_distinct"),
+        )
+    )
+    proj = pts.select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        F.expr("length(bin(n_tokens))").alias("e_n"),
+        F.expr("length(bin(n_distinct))").alias("e_v"),
+    )
+    lg = proj.select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        F.expr(log2_millibits_sql("n_tokens", "e_n", duck=False))
+        .cast("long")
+        .alias("log_tokens_mb"),
+        F.expr(log2_millibits_sql("n_distinct", "e_v", duck=False))
+        .cast("long")
+        .alias("log_vocab_mb"),
+    ).localCheckpoint(eager=False)
+    st = lg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("log_tokens_mb").cast("long").alias("sx"),
+        F.sum("log_vocab_mb").cast("long").alias("sy"),
+        F.sum(F.col("log_tokens_mb") * F.col("log_tokens_mb"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.col("log_tokens_mb") * F.col("log_vocab_mb"))
+        .cast("long")
+        .alias("sxy"),
+    )
+    return lg.crossJoin(F.broadcast(st)).select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        "log_tokens_mb",
+        "log_vocab_mb",
+        F.expr(
+            "cast((1000 * (n * sxy - sx * sy))"
+            " div greatest(1, n * sxx - sx * sx) as bigint)"
+        ).alias("heaps_beta_milli"),
+    )

@@ -50,6 +50,11 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "domain_mix_weights": 1,  # tiny: total over per-language aggregate
     "dq_orders_report": 3,  # scalar: report-wide totals/rates
     "events_heavy_hitters": 1,  # scalar: global N for the N/k threshold
+    # X223: the slope fold + rank window run on the <= 64-row
+    # TakeOrdered cut (bounded by _ZIPF_TOP_K, never the census)
+    "zipf_rank_frequency": 1,
+    # X223: the slope fold runs on the |sources|-row point table
+    "heaps_vocab_growth": 1,
     # offsets: count-bucket prefix table + scalar: total-events row
     "events_key_skew_profile": 2,
     "events_table_profile": 1,  # scalar: one-scan profile row
