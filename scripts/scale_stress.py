@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff",
+        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -374,6 +374,18 @@ def main() -> None:
             rec["c4_source_scorecard_sec"] = timed(lambda: all_qs["c4_source_scorecard"](spark, d))
             rec["html_extract_text_sec"] = timed(lambda: all_qs["html_extract_text"](spark, d))
             rec["url_normalize_sec"] = timed(lambda: all_qs["url_normalize"](spark, d))
+        if "r9" in only:
+            # X222: word census (the one corpus pass) + EM rounds on
+            # DISTINCT words — the distinct-word law, not the corpus
+            # law; fertility adds the (source, word) census + join
+            rec["unigram_learn_vocab_sec"] = timed(lambda: all_qs["unigram_learn_vocab"](spark, d))
+            rec["unigram_fertility_by_source_sec"] = timed(lambda: all_qs["unigram_fertility_by_source"](spark, d))
+        if "r9b" in only:
+            # X223: word census + bounded fits; X220 twin: the full
+            # extraction -> C4 -> Gopher funnel composition
+            rec["zipf_rank_frequency_sec"] = timed(lambda: all_qs["zipf_rank_frequency"](spark, d))
+            rec["heaps_vocab_growth_sec"] = timed(lambda: all_qs["heaps_vocab_growth"](spark, d))
+            rec["crawl_funnel_decisions_sec"] = timed(lambda: all_qs["crawl_funnel_decisions"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path
