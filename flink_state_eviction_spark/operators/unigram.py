@@ -211,6 +211,75 @@ def learn_unigram_vocab(
     )
 
 
+def unigram_vocab_ids(final_vocab: DataFrame) -> dict[str, int]:
+    """The conventional deterministic id assignment over a learned
+    vocab: rank by (cnt DESC, piece ASC), 0-based — any replay of the
+    same vocab reproduces identical ids (the bpe_vocab convention)."""
+    rows = final_vocab.orderBy(
+        F.col("cnt").desc(), F.col("piece").asc()
+    ).collect()
+    return {r["piece"]: i for i, r in enumerate(rows)}
+
+
+def unigram_encode_udf(counts: dict[str, int]):
+    """Arrow UDF segmenting a word column with a FROZEN piece table —
+    the SAME Viterbi kernel as learning (one kernel, no divergence)."""
+    def _encode(col):
+        return col.map(
+            lambda w: _viterbi_segment(w, counts, MAX_PIECE_LEN)
+        )
+
+    return F.pandas_udf("array<string>")(_encode)
+
+
+def unigram_numericalize(
+    docs: DataFrame, final_vocab: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document piece ids under a frozen unigram vocab: (doc_id,
+    n_pieces, ids array<int>) — the training-shard payload, the
+    unigram twin of operators/bpe.py:bpe_numericalize. Same scale
+    shape: DISTINCT words Viterbi-encode once (Arrow pass, piece
+    table in the closure), ids come from a JVM-side map over the
+    symbol output, the id arrays join back onto the (doc_id, pos,
+    word) stream through the shared budget-gated scaffold and
+    concatenate per doc in token order."""
+    from flink_state_eviction_spark.operators.bpe import (
+        _tokens_with_encoded_words,
+    )
+
+    counts = {
+        r["piece"]: r["cnt"]
+        for r in final_vocab.select("piece", "cnt").collect()
+    }
+    vocab_ids = unigram_vocab_ids(final_vocab)
+    id_map = F.create_map(
+        *[x for s, i in vocab_ids.items() for x in (F.lit(s), F.lit(i))]
+    )
+    wids = F.transform(
+        unigram_encode_udf(counts)(F.col("word")),
+        lambda s: F.element_at(id_map, s).cast("int"),
+    ).alias("wids")
+    return (
+        _tokens_with_encoded_words(docs, text_col, wids)
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "wids"))
+                    ),
+                    lambda s: s["wids"],
+                )
+            ).alias("ids")
+        )
+        .select(
+            "doc_id",
+            F.size("ids").cast("long").alias("n_pieces"),
+            "ids",
+        )
+    )
+
+
 def encode_words_unigram(
     words: DataFrame, final_vocab: DataFrame
 ) -> DataFrame:

@@ -1263,6 +1263,26 @@ def unigram_learn_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_unigram_vocab(word_vocab(docs))
 
 
+@register_supplementary("unigram_numericalize", None, tags=("corpus", "text"))
+def unigram_numericalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X222: per-document piece ids under the learned unigram vocab
+    (doc_id, n_pieces, ids) — the tokenized-shard payload; ids follow
+    the deterministic (cnt DESC, piece ASC) assignment. Rows-only at
+    the driver; the hard gate is tests/test_unigram.py::
+    test_numericalize_roundtrip (ids decode losslessly back to the
+    character stream of the tokenized text, and match the reference
+    segmentations id-for-id)."""
+    from flink_state_eviction_spark.operators.bpe import word_vocab
+    from flink_state_eviction_spark.operators.unigram import (
+        learn_unigram_vocab,
+        unigram_numericalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = learn_unigram_vocab(word_vocab(docs))
+    return unigram_numericalize(docs, vocab)
+
+
 @register_supplementary(
     "unigram_fertility_by_source", None, tags=("corpus", "text")
 )
@@ -1282,32 +1302,69 @@ def unigram_fertility_by_source(
     stream joins per-word piece counts by word key — Catalyst picks
     the algorithm, no forced hint on the corpus-derived word frame —
     then one |sources|-keyed map-side-combined fold."""
-    from flink_state_eviction_spark.functions.text import tokens
     from flink_state_eviction_spark.operators.bpe import word_vocab
     from flink_state_eviction_spark.operators.unigram import (
-        encode_words_unigram,
         learn_unigram_vocab,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    wv = word_vocab(docs).localCheckpoint(eager=False)
-    enc = encode_words_unigram(wv, learn_unigram_vocab(wv)).select(
+    vocab = learn_unigram_vocab(word_vocab(docs))
+    counts = {
+        r["piece"]: r["cnt"] for r in vocab.select("piece", "cnt").collect()
+    }
+    return unigram_fertility_from_partials(
+        unigram_fertility_partials(docs, counts)
+    )
+
+
+def unigram_fertility_partials(
+    docs: DataFrame, counts: dict[str, int]
+) -> DataFrame:
+    """Per-source PARTIAL sums of the X222 scorecard under a FROZEN
+    piece table: (source, n_words, n_chars, n_pieces) — exact bigints,
+    so partials from any batch split re-sum to the full-corpus values
+    (the streaming maintainer's state rows,
+    streaming/unigram_fertility_maintain.py). ``docs`` must carry
+    (source, text)."""
+    from flink_state_eviction_spark.functions.text import tokens
+    from flink_state_eviction_spark.operators.unigram import (
+        unigram_encode_udf,
+    )
+
+    stream = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+        .localCheckpoint(eager=False)
+    )
+    enc = stream.select("word").distinct().select(
         "word",
         F.length("word").cast("long").alias("wlen"),
-        "n_pieces",
-    )
-    stream = docs.select(
-        "source", F.explode(tokens(F.col("text"))).alias("word")
-    ).groupBy("source", "word").agg(
-        F.count(F.lit(1)).cast("long").alias("occ")
+        F.size(unigram_encode_udf(counts)(F.col("word")))
+        .cast("long")
+        .alias("n_pieces_w"),
     )
     j = stream.join(enc, "word")
-    tot = j.groupBy("source").agg(
+    return j.groupBy("source").agg(
         F.sum("occ").cast("long").alias("n_words"),
         F.sum(F.col("occ") * F.col("wlen")).cast("long").alias("n_chars"),
-        F.sum(F.col("occ") * F.col("n_pieces"))
+        F.sum(F.col("occ") * F.col("n_pieces_w"))
         .cast("long")
         .alias("n_pieces"),
+    )
+
+
+def unigram_fertility_from_partials(p: DataFrame) -> DataFrame:
+    """Fold per-source partials (possibly from many batches) into the
+    scorecard — the ratio is derived AFTER the final sum (the
+    fertility_from_partials convention), so batch-split and
+    whole-corpus computations agree bit-for-bit."""
+    tot = p.groupBy("source").agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_pieces").cast("long").alias("n_pieces"),
     )
     return tot.select(
         "source",

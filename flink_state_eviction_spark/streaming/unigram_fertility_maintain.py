@@ -1,0 +1,102 @@
+"""Streaming twin for the unigram fertility scorecard (X222): the
+always-ingesting corpus maintains per-source partial sums of the piece
+statistics under a FROZEN unigram vocab, and the scorecard serves from
+the maintained state — the unigram sibling of
+streaming/fertility_maintain.py (X194), so BOTH tokenizers' efficiency
+stays observable per feed as crawl data arrives.
+
+The vocab is the deployment artifact (EM-trained once, X222); what
+changes between crawls is the corpus. The per-source sums (n_words,
+n_chars, n_pieces) are exact bigints — associative, so the standard
+maintainer pattern applies (X150/X169/X177/X186/X188/X191/X194):
+
+- ``unigram_fertility_maintain_batch`` — ``foreachBatch`` body: the
+  batch's partials (the SAME `unigram_fertility_partials` kernel the
+  batch query uses, with the same frozen piece table) land in an
+  idempotent ``batch=<id>`` partition; redelivery overwrites its own
+  partition.
+- ``unigram_fertility_from_state`` — serving: summed partials through
+  the SAME `unigram_fertility_from_partials` tail; the integer ratio
+  is derived only AFTER the final sum, so once the whole corpus has
+  streamed in the table is BIT-EQUAL to the batch query given the
+  same vocab (test_streaming_unigram_fertility).
+
+Scale shape: state is |sources| rows PER BATCH at any batch size (the
+partial aggregation runs inside the batch; per-batch encode work is
+one Arrow pass over the batch's DISTINCT words with the <= VOCAB_K-row
+piece table in the closure); compaction folds are re-sums under the
+commit-log-safe contract (streaming/compaction.py).
+
+Extension beyond the reference surface (SURVEY §2.7 X222 streaming
+twin).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUM_COLS = ("n_words", "n_chars", "n_pieces")
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("source").agg(
+        *[F.sum(c).cast("long").alias(c) for c in _SUM_COLS]
+    )
+
+
+def unigram_fertility_maintain_batch(
+    batch_df: DataFrame,
+    counts: dict[str, int],
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of scorecard maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id, with the SAME
+    frozen piece table every batch. ``batch_df`` must carry
+    (source, text)."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        unigram_fertility_partials,
+    )
+
+    unigram_fertility_partials(batch_df, counts).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "ufert", f"batch={batch_id}"))
+
+
+def compact_unigram_fertility_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — partials are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "ufert"), through_batch, _fold
+    )
+
+
+def unigram_fertility_partials_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The maintained per-source partials: sums over batch partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "ufert")))
+
+
+def unigram_fertility_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The scorecard from the MAINTAINED partials through the shared
+    tail — same output shape as `unigram_fertility_by_source`;
+    bit-equal once the corpus has streamed in (same frozen vocab)."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        unigram_fertility_from_partials,
+    )
+
+    return unigram_fertility_from_partials(
+        unigram_fertility_partials_from_state(spark, state_dir)
+    )

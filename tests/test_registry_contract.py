@@ -151,6 +151,8 @@ NON_SQL_EXPRESSIBLE = {
     # (bit-exact vs an independent pure-Python Kudo reference)
     "unigram_learn_vocab",
     "unigram_fertility_by_source",
+    # gate: tests/test_unigram.py::test_numericalize_roundtrip
+    "unigram_numericalize",
 }
 
 

@@ -178,6 +178,60 @@ def test_fertility_matches_reference(spark, sf_dir):
     assert rows == want and rows
 
 
+def test_numericalize_roundtrip(spark, sf_dir):
+    from flink_state_eviction_spark.operators.bpe import word_vocab
+    from flink_state_eviction_spark.operators.unigram import (
+        learn_unigram_vocab,
+        unigram_numericalize,
+        unigram_vocab_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = learn_unigram_vocab(word_vocab(docs))
+    ids_by_piece = unigram_vocab_ids(vocab)
+    piece_by_id = {i: p for p, i in ids_by_piece.items()}
+    got = {
+        r["doc_id"]: (r["n_pieces"], list(r["ids"]))
+        for r in unigram_numericalize(docs, vocab).collect()
+    }
+    # reference ids per doc: reference vocab -> reference viterbi per
+    # word in token order -> same deterministic id assignment
+    wc = _word_counts(spark, sf_dir)
+    ref_vocab = _ref_learn(wc)
+    ref_ids = {
+        p: i
+        for i, (p, _) in enumerate(
+            sorted(ref_vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    assert ref_ids == ids_by_piece
+    segs = {w: _ref_viterbi(w, ref_vocab, MAX_PIECE_LEN) for w in wc}
+    from flink_state_eviction_spark.functions.text import tokens as tok_fn
+
+    doc_words = (
+        docs.select(
+            "doc_id", F.posexplode(tok_fn(F.col("text"))).alias("pos", "w")
+        )
+        .orderBy("doc_id", "pos")
+        .collect()
+    )
+    want: dict[int, list[int]] = {}
+    for r in doc_words:
+        want.setdefault(r["doc_id"], []).extend(
+            ref_ids[p] for p in segs[r["w"]]
+        )
+    assert {d: v[1] for d, v in got.items()} == want
+    # roundtrip: ids decode to pieces whose concatenation equals the
+    # doc's tokenized character stream (word boundaries are not
+    # encoded — documented; the CHARACTER stream is lossless)
+    chars: dict[int, str] = {}
+    for r in doc_words:
+        chars[r["doc_id"]] = chars.get(r["doc_id"], "") + r["w"]
+    for d, (n, ids) in got.items():
+        assert n == len(ids)
+        assert "".join(piece_by_id[i] for i in ids) == chars.get(d, "")
+
+
 def test_determinism_and_tie_breaks(spark):
     # crafted counts: 'ab'+'b ' vs 'a'+'bb' on 'abb' — equal products
     # force the tie-break chain (fewer pieces, then lexicographic)
