@@ -1297,42 +1297,58 @@ def unigram_fertility_by_source(
     X147 stats contract). Rows-only (the vocab is EM-learned); hard
     gate: tests/test_unigram.py::test_fertility_matches_reference.
 
-    Scale shape: encode runs ONCE over DISTINCT words (Arrow pass,
-    <= VOCAB_K-row piece table in the closure); the corpus token
-    stream joins per-word piece counts by word key — Catalyst picks
-    the algorithm, no forced hint on the corpus-derived word frame —
-    then one |sources|-keyed map-side-combined fold."""
-    from flink_state_eviction_spark.operators.bpe import word_vocab
+    Scale shape: ONE tokenize pass — the (source, word) census is
+    checkpointed and BOTH the learner's global word census (a rollup
+    of it) and the partials consume it (the DSIR double-tokenize
+    lesson, fixed here pre-emptively); encode runs ONCE over DISTINCT
+    words (Arrow pass, <= VOCAB_K-row piece table in the closure);
+    the census joins per-word piece counts by word key — Catalyst
+    picks the algorithm, no forced hint on the corpus-derived word
+    frame — then one |sources|-keyed map-side-combined fold."""
+    from flink_state_eviction_spark.functions.text import tokens
     from flink_state_eviction_spark.operators.unigram import (
         learn_unigram_vocab,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    vocab = learn_unigram_vocab(word_vocab(docs))
+    census = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+        .localCheckpoint(eager=False)
+    )
+    wv = census.groupBy("word").agg(F.sum("occ").alias("cnt"))
+    vocab = learn_unigram_vocab(wv)
     counts = {
         r["piece"]: r["cnt"] for r in vocab.select("piece", "cnt").collect()
     }
     return unigram_fertility_from_partials(
-        unigram_fertility_partials(docs, counts)
+        unigram_fertility_partials(census, counts, pre_counted=True)
     )
 
 
 def unigram_fertility_partials(
-    docs: DataFrame, counts: dict[str, int]
+    docs: DataFrame, counts: dict[str, int], *, pre_counted: bool = False
 ) -> DataFrame:
     """Per-source PARTIAL sums of the X222 scorecard under a FROZEN
     piece table: (source, n_words, n_chars, n_pieces) — exact bigints,
     so partials from any batch split re-sum to the full-corpus values
     (the streaming maintainer's state rows,
     streaming/unigram_fertility_maintain.py). ``docs`` must carry
-    (source, text)."""
+    (source, text) — or, with ``pre_counted=True``, an already-built
+    (source, word, occ) census (the batch query passes its
+    checkpointed census so learn + partials share ONE tokenize)."""
     from flink_state_eviction_spark.functions.text import tokens
     from flink_state_eviction_spark.operators.unigram import (
         unigram_encode_udf,
     )
 
     stream = (
-        docs.select(
+        docs
+        if pre_counted
+        else docs.select(
             "source", F.explode(tokens(F.col("text"))).alias("word")
         )
         .groupBy("source", "word")

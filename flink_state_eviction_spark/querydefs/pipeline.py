@@ -8754,3 +8754,138 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm_url",
         (F.col("norm_url") != F.col("url")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X224: crawl-frontier host census — distinct CANONICAL URLs and raw
+# sightings per host, the politeness-budget / frontier-pressure table a
+# crawler schedules from (and the batch twin of the streaming seen-set
+# maintainer, streaming/frontier_maintain.py). Host comes from ONE
+# regexp (scheme ://, optional userinfo up to the LAST '@', then up to
+# ':' port or path) applied IDENTICALLY in both engines — parse_url
+# would work on the Spark side but has no DuckDB twin, and the
+# CLAUDE.md HOST-vs-netloc lesson says never mix host definitions.
+# The mint adds a DELIBERATE duplicate: every doc_id % 5 == 4 row is
+# the SAME dup.example URL, so distinct != total and the census's
+# dedup is non-vacuous (the vacuous-parity rule).
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#:]*)"
+
+_FRONTIER_CENSUS_ORACLE = rf"""
+WITH base AS (
+    SELECT doc_id,
+           CASE doc_id % 5
+                WHEN 0 THEN 'HTTP://Crawl.Example:80/p//d'
+                            || CAST(doc_id AS VARCHAR) || '/#f'
+                WHEN 1 THEN 'https://crawl.example/p/d'
+                            || CAST(doc_id AS VARCHAR)
+                WHEN 2 THEN 'https://Other.Example/q?d='
+                            || CAST(doc_id AS VARCHAR)
+                WHEN 3 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                ELSE 'https://Dup.Example/shared' END AS url
+    FROM documents
+),
+parts AS (
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+               AS sh
+    FROM base
+),
+ui AS (
+    SELECT doc_id, url, sh,
+           regexp_extract(sh, '^([a-zA-Z][a-zA-Z0-9+.-]*://)', 1) AS sp,
+           regexp_extract(sh, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*@)', 1)
+               AS u
+    FROM parts
+),
+auth AS (
+    SELECT doc_id, url, sh,
+           regexp_replace(
+               regexp_replace(
+                   lower(sp) || u
+                   || lower(substring(sh, length(sp) + length(u) + 1,
+                                      1073741824)),
+                   '^(http://[^/?#]*):80$', '\1'),
+               '^(https://[^/?#]*):443$', '\1') AS a,
+           substring(url, length(sh) + 1, 1073741824) AS rest
+    FROM ui
+),
+defrag AS (
+    SELECT doc_id, url, sh, a,
+           regexp_replace(rest, '#.*$', '') AS dr
+    FROM auth
+),
+pq AS (
+    SELECT doc_id, url, sh, a, dr,
+           regexp_extract(dr, '^[^?]*') AS p0
+    FROM defrag
+),
+fixed AS (
+    SELECT doc_id, url, sh, a,
+           regexp_replace(
+               regexp_replace(p0, '//+', '/', 'g'), '^(/.+)/$', '\1')
+           || regexp_replace(
+               substring(dr, length(p0) + 1, 1073741824), '^\?$', '')
+               AS r
+    FROM pq
+),
+canon AS (
+    SELECT CASE WHEN sh = '' THEN url
+                ELSE a || CASE WHEN r = '' THEN '/' ELSE r END END
+               AS canon_url
+    FROM fixed
+)
+SELECT regexp_extract(canon_url, '{_HOST_RE}', 1) AS host,
+       CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_urls,
+       CAST(COUNT(*) AS BIGINT) AS n_seen
+FROM canon
+GROUP BY 1
+"""
+
+
+@register_supplementary(
+    "frontier_host_census",
+    _FRONTIER_CENSUS_ORACLE,
+    tags=("pipeline", "text"),
+)
+def frontier_host_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X224: per-host frontier census — distinct canonical URLs vs raw
+    sightings (module comment above; non-URL passthroughs land in the
+    '' host bucket, kept visible rather than dropped). Scan-side
+    canonicalization + one host-keyed partial+final fold; at crawl
+    scale the census is what politeness budgets and per-host fetch
+    quotas read."""
+    from flink_state_eviction_spark.functions.text import normalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("HTTP://Crawl.Example:80/p//d"), did, F.lit("/#f")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("https://crawl.example/p/d"), did),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("https://Other.Example/q?d="), did),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("not a url "), did),
+        )
+        .otherwise(F.lit("https://Dup.Example/shared"))
+    )
+    canon = docs.select(
+        normalize_url(url).alias("canon_url")
+    )
+    return canon.groupBy(
+        F.regexp_extract(F.col("canon_url"), _HOST_RE, 1).alias("host")
+    ).agg(
+        F.countDistinct("canon_url").cast("long").alias("n_urls"),
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+    )

@@ -1,0 +1,120 @@
+"""Streaming crawl-frontier URL-seen maintainer (X224): keep the set
+of already-fetched CANONICAL URLs current as crawl segments land, and
+serve the frontier's is-new verdict from maintained state — the
+companion to the robots gate (X219/X221) on the fetch-scheduling side:
+robots says "may we fetch it", the frontier says "have we already".
+
+Keys are X218 canonical forms (functions/text.py:normalize_url), so
+trivially-respelled URLs (case, default ports, fragments, slash runs)
+collapse to one state row BEFORE any fetch is scheduled. The seen-set
+is an associative DISTINCT-UNION — the same census pattern as the
+robots maintainer (X150/X169/X177/X186/X221):
+
+- ``frontier_maintain_batch`` — ``foreachBatch`` body over the
+  RECORD-level WARC stream (or any frame carrying ``target_uri``):
+  the batch's distinct canonical URLs land in an idempotent
+  ``batch=<id>`` partition; redelivery overwrites its own partition
+  (distinct-union needs no at-least-once accounting).
+- ``seen_from_state`` — the maintained canonical seen-set.
+- ``annotate_frontier`` — candidates + ``is_new``: a LEFT join on the
+  canonical key (a NULL-URL candidate is NOT new — an unaddressable
+  candidate must never be scheduled; the CLAUDE.md null-safe-join
+  rule, decided explicitly rather than silently dropped. Non-URL
+  strings pass through normalize_url unchanged and key as-is — the
+  kernel's documented passthrough).
+
+Scale shape: state is bounded by DISTINCT canonical URLs — refetches
+and respellings are zero new state; serving is one equi-join on the
+canonical key (no forced broadcast: the seen-set grows with the crawl,
+the exact frame class the round-8 robots verdict killed a hint on).
+Compaction folds are re-distincts under the commit-log-safe contract.
+
+Extension beyond the reference surface (SURVEY §2.7 X224).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def url_seen_census(pages: DataFrame) -> DataFrame:
+    """Distinct canonical URLs of a frame carrying ``target_uri`` —
+    THE kernel shared by the maintainer and any batch census (one
+    kernel, no divergence)."""
+    from flink_state_eviction_spark.functions.text import normalize_url
+
+    return (
+        pages.select(
+            normalize_url(F.col("target_uri")).alias("canon_url")
+        )
+        .where(F.col("canon_url").isNotNull())
+        .distinct()
+    )
+
+
+def frontier_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of seen-set maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id."""
+    url_seen_census(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "seen", f"batch={batch_id}")
+    )
+
+
+def compact_frontier_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — the seen-set
+    is a distinct union. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "seen"),
+        through_batch,
+        lambda df: df.select("canon_url").distinct(),
+    )
+
+
+def seen_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained canonical seen-set: distinct union over the
+    batch partitions."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "seen"))
+        .select("canon_url")
+        .distinct()
+    )
+
+
+def annotate_frontier(
+    spark: SparkSession, state_dir: str, candidates: DataFrame
+) -> DataFrame:
+    """Candidates (must carry ``url``) + ``is_new``: canonicalize,
+    left-join the seen-set on the canonical key. A NULL-URL candidate
+    is NOT new (it cannot be scheduled); non-URL strings key on their
+    passthrough form. No broadcast hint: the seen-set is
+    crawl-sized."""
+    from flink_state_eviction_spark.functions.text import normalize_url
+
+    seen = seen_from_state(spark, state_dir).withColumn(
+        "_seen", F.lit(True)
+    )
+    staged = candidates.select(
+        "*", normalize_url(F.col("url")).alias("canon_url")
+    )
+    joined = staged.join(seen, "canon_url", "left")
+    return joined.select(
+        *[F.col(c) for c in candidates.columns],
+        "canon_url",
+        (
+            F.col("canon_url").isNotNull() & F.col("_seen").isNull()
+        ).alias("is_new"),
+    )

@@ -1,0 +1,121 @@
+"""Streaming crawl-frontier seen-set maintainer (X224): the maintained
+canonical seen-set must equal the batch census over the same crawl;
+respelled URLs must collapse to one state row; is-new verdicts must
+honor the null rule; redelivery and compaction preserve state."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.sources.warc import (
+    read_warc,
+    read_warc_records_stream,
+)
+from flink_state_eviction_spark.streaming.frontier_maintain import (
+    annotate_frontier,
+    compact_frontier_state,
+    frontier_maintain_batch,
+    seen_from_state,
+    url_seen_census,
+)
+
+from test_warc_source import _record
+
+_PAGE = b"HTTP/1.1 200 OK\r\n\r\n<html><body>a page.</body></html>"
+
+
+def _crawl(tmp_path):
+    """Two segments; seg1 refetches seg0's first page under a
+    TRIVIALLY RESPELLED URL (case + default port + trailing slash) —
+    the canonical key must collapse the pair to ONE seen row."""
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg0.warc").write_bytes(
+        _record("response", "http://a.example/page-one", _PAGE)
+        + _record("response", "http://a.example/page-two", _PAGE)
+    )
+    (d / "seg1.warc").write_bytes(
+        _record("response", "HTTP://A.Example:80/page-one/", _PAGE)
+        + _record("response", "http://b.example/other", _PAGE)
+    )
+    return str(d)
+
+
+def test_streaming_frontier_matches_batch_and_collapses(spark, tmp_path):
+    path = _crawl(tmp_path)
+    stream = read_warc_records_stream(spark, path)
+    state = os.path.join(str(tmp_path), "frontier-state")
+
+    def upd(batch_df, batch_id):
+        frontier_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r["canon_url"] for r in seen_from_state(spark, state).collect()}
+    want = {
+        r["canon_url"]
+        for r in url_seen_census(read_warc(spark, path)).collect()
+    }
+    assert got == want
+    # the respelled refetch collapsed: 4 fetches -> 3 canonical URLs
+    assert got == {
+        "http://a.example/page-one",
+        "http://a.example/page-two",
+        "http://b.example/other",
+    }
+
+    cands = spark.createDataFrame(
+        [
+            (1, "http://a.example/page-one"),  # seen verbatim
+            (2, "HTTP://A.Example/page-one#frag"),  # seen after canon
+            (3, "http://a.example/fresh"),  # new
+            (4, None),  # unaddressable -> NOT new
+        ],
+        "cand_id long, url string",
+    )
+    verdicts = {
+        r["cand_id"]: r["is_new"]
+        for r in annotate_frontier(spark, state, cands).collect()
+    }
+    assert verdicts == {1: False, 2: False, 3: True, 4: False}
+
+
+def test_frontier_redelivery_and_compaction_preserve_state(
+    spark, tmp_path
+):
+    path = _crawl(tmp_path)
+    recs = read_warc(spark, path)
+    segs = [
+        (i, recs.where(F.col("file").endswith(f"seg{i}.warc")))
+        for i in range(2)
+    ]
+    state = os.path.join(str(tmp_path), "frontier-state")
+    for bid, b in segs:
+        frontier_maintain_batch(b, state, bid)
+
+    def snapshot():
+        return {
+            tuple(r) for r in seen_from_state(spark, state).collect()
+        }
+
+    once = snapshot()
+    assert once
+    frontier_maintain_batch(segs[1][1], state, 1)
+    frontier_maintain_batch(segs[1][1], state, 1)
+    assert snapshot() == once
+
+    with pytest.raises(ValueError):
+        compact_frontier_state(spark, state, 1)
+    compact_frontier_state(spark, state, 0)
+    assert snapshot() == once
+    frontier_maintain_batch(segs[1][1], state, 1)
+    assert snapshot() == once
