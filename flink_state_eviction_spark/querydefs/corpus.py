@@ -1329,6 +1329,48 @@ def unigram_fertility_by_source(
     )
 
 
+@register_supplementary(
+    "tokenizer_fertility_comparison", None, tags=("corpus", "text")
+)
+def tokenizer_fertility_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X222: the BPE-vs-Unigram efficiency table a tokenizer choice is
+    made from — per source, both chars-per-token ratios (milli), their
+    delta, and a cross-check that the two scorecards agree on total
+    word chars (they count the SAME token stream; a mismatch means a
+    tokenize-path regression, surfaced as a column rather than
+    silently joined away). Rows-only at the driver (both parents are
+    EM/merge-learned); the hard gate is tests/test_unigram.py::
+    test_fertility_comparison_composes — bit-equality against the
+    composition of the two independently reference-gated parents.
+
+    Scale shape: the parents' shapes (one tokenize pass each, X147 /
+    X222 distinct-word law) + one |sources|-row equi-join."""
+    b = bpe_fertility_by_source(spark, sf_dir).select(
+        "source",
+        F.col("n_chars").alias("n_chars_bpe"),
+        "chars_per_bpe_milli",
+    )
+    u = unigram_fertility_by_source(spark, sf_dir).select(
+        "source",
+        F.col("n_chars").alias("n_chars_uni"),
+        "chars_per_piece_milli",
+    )
+    j = b.join(u, "source")
+    return j.select(
+        "source",
+        "chars_per_bpe_milli",
+        "chars_per_piece_milli",
+        (F.col("chars_per_piece_milli") - F.col("chars_per_bpe_milli"))
+        .cast("long")
+        .alias("unigram_advantage_milli"),
+        (F.col("n_chars_bpe") == F.col("n_chars_uni")).alias(
+            "chars_agree"
+        ),
+    )
+
+
 def unigram_fertility_partials(
     docs: DataFrame, counts: dict[str, int], *, pre_counted: bool = False
 ) -> DataFrame:

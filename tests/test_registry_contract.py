@@ -153,6 +153,10 @@ NON_SQL_EXPRESSIBLE = {
     "unigram_fertility_by_source",
     # gate: tests/test_unigram.py::test_numericalize_roundtrip
     "unigram_numericalize",
+    # gate: tests/test_unigram.py::test_fertility_comparison_composes
+    # (bit-equality vs the composition of the two reference-gated
+    # parent scorecards + the chars_agree cross-check)
+    "tokenizer_fertility_comparison",
 }
 
 

@@ -232,6 +232,42 @@ def test_numericalize_roundtrip(spark, sf_dir):
         assert "".join(piece_by_id[i] for i in ids) == chars.get(d, "")
 
 
+def test_fertility_comparison_composes(spark, sf_dir):
+    """X222 comparison gate: the joined table must equal composing the
+    two registered scorecards (each independently gated bit-exact
+    against its pure-Python reference — test_bpe.py::
+    test_fertility_matches_reference and test_fertility_matches_
+    reference above), and the chars cross-check must hold on every
+    row (both tokenizers count the same token stream)."""
+    qs = all_queries()
+    got = {
+        tuple(r)
+        for r in qs["tokenizer_fertility_comparison"](
+            spark, sf_dir
+        ).collect()
+    }
+    bpe = {
+        r["source"]: (r["n_chars"], r["chars_per_bpe_milli"])
+        for r in qs["bpe_fertility_by_source"](spark, sf_dir).collect()
+    }
+    uni = {
+        r["source"]: (r["n_chars"], r["chars_per_piece_milli"])
+        for r in qs["unigram_fertility_by_source"](spark, sf_dir).collect()
+    }
+    want = {
+        (
+            s,
+            bpe[s][1],
+            uni[s][1],
+            uni[s][1] - bpe[s][1],
+            bpe[s][0] == uni[s][0],
+        )
+        for s in set(bpe) & set(uni)
+    }
+    assert got == want and got
+    assert all(r[4] for r in got)  # chars_agree everywhere
+
+
 def test_determinism_and_tie_breaks(spark):
     # crafted counts: 'ab'+'b ' vs 'a'+'bb' on 'abb' — equal products
     # force the tie-break chain (fewer pieces, then lexicographic)
