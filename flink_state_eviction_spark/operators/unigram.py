@@ -107,7 +107,16 @@ def _viterbi_segment(
     pieces_tuple) over segmentations of word[:i], maximizing
     prod(c)/N^n — compared exactly as prod_a * N**n_b vs
     prod_b * N**n_a (Python bigints; N cancels per-round as a common
-    base). Ties: fewer pieces, then lexicographically smaller tuple."""
+    base). Ties: fewer pieces, then lexicographically smaller tuple.
+
+    Coverage under a FROZEN vocab: a single character the vocab has
+    never seen (a streamed word outside the training corpus's
+    alphabet) segments as itself with count 0 — a zero-probability
+    path, deterministic in both engines, NEVER an executor error (the
+    quarantine-don't-crash convention; pinned in
+    test_unigram.py::test_unknown_char_segments_not_crashes). During
+    learning this path is unreachable (chars are seeded from the same
+    words being segmented)."""
     n = len(word)
     total = sum(counts.values())
     # best[i]: (prod, n_pieces, pieces tuple) or None
@@ -121,7 +130,10 @@ def _viterbi_segment(
             piece = word[i - piece_len : i]
             c = counts.get(piece)
             if c is None:
-                continue
+                if piece_len == 1:
+                    c = 0  # unknown char: zero-probability fallback
+                else:
+                    continue
             cand = (prev[0] * c, prev[1] + 1, prev[2] + (piece,))
             cur = best[i]
             if cur is None:
@@ -136,7 +148,8 @@ def _viterbi_segment(
             ):
                 best[i] = cand
     final = best[n]
-    assert final is not None, f"uncovered word (missing char): {word!r}"
+    # unreachable: the single-char fallback guarantees best[i] fills
+    assert final is not None, f"uncovered word: {word!r}"
     return list(final[2])
 
 

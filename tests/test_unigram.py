@@ -61,8 +61,12 @@ def _ref_viterbi(
                 continue
             piece = word[i - piece_len : i]
             if piece not in counts:
-                continue
-            cand = (prev[0] * counts[piece], prev[1] + 1, prev[2] + (piece,))
+                if piece_len != 1:
+                    continue
+                c = 0  # unknown char: zero-probability fallback
+            else:
+                c = counts[piece]
+            cand = (prev[0] * c, prev[1] + 1, prev[2] + (piece,))
             cur = best[i]
             if cur is None:
                 best[i] = cand
@@ -230,6 +234,28 @@ def test_numericalize_roundtrip(spark, sf_dir):
     for d, (n, ids) in got.items():
         assert n == len(ids)
         assert "".join(piece_by_id[i] for i in ids) == chars.get(d, "")
+
+
+def test_unknown_char_segments_not_crashes(spark):
+    """Frozen-vocab serving: a streamed word with a character the
+    vocab never saw must segment (unknown chars as themselves, count
+    0 — a zero-probability path), never raise — a maintainer batch
+    must not be crashable by one out-of-alphabet word."""
+    from flink_state_eviction_spark.operators.unigram import (
+        _viterbi_segment,
+        encode_words_unigram,
+    )
+
+    counts = {"ab": 4, "a": 2, "b": 2}
+    assert _viterbi_segment("abq", counts, 4) == ["ab", "q"]
+    assert _ref_viterbi("abq", counts, 4) == ("ab", "q")
+    # through the Arrow path too (the maintainer's encode)
+    words = spark.createDataFrame([("abq", 1)], "word string, cnt long")
+    vocab = spark.createDataFrame(
+        list(counts.items()), "piece string, cnt long"
+    )
+    rows = encode_words_unigram(words, vocab).collect()
+    assert [list(r["pieces"]) for r in rows] == [["ab", "q"]]
 
 
 def test_fertility_comparison_composes(spark, sf_dir):
