@@ -8889,3 +8889,107 @@ def frontier_host_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("canon_url").cast("long").alias("n_urls"),
         F.count(F.lit(1)).cast("long").alias("n_seen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X225: politeness-quota fetch plan — the scheduling decision the X224
+# frontier exists to feed: per candidate URL, is it NEW (not in the
+# seen-set), is it ALLOWED (robots), and does it make this cycle's
+# per-host quota (rank among the host's eligible candidates). The
+# mint produces already-canonical URLs so the oracle plans on the raw
+# strings — canonicalization itself is gated by X218/X224; THIS query
+# gates the planning algebra. The per-host rank window is sized by the
+# scheduling CYCLE's candidate segment (a frontier drains in cycles),
+# not the whole crawl — the honest capacity unit; ineligible rows get
+# NULL rank and fetch_now=false via the coalesce rule.
+
+_FETCH_QUOTA = 8
+
+_FETCH_PLAN_ORACLE = f"""
+WITH cand AS (
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 3 AS VARCHAR) || '.example'
+           || CASE WHEN doc_id % 4 = 3 THEN '/private/p' ELSE '/p' END
+           || CAST(doc_id AS VARCHAR) AS canon_url,
+           doc_id % 5 = 0 AS seen,
+           doc_id % 4 = 3 AS disallowed
+    FROM documents
+),
+flagged AS (
+    SELECT doc_id,
+           regexp_extract(canon_url, '{{host_re}}', 1) AS host,
+           canon_url, seen, disallowed,
+           NOT seen AND NOT disallowed AS eligible
+    FROM cand
+),
+ranked AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY host ORDER BY doc_id)
+               AS host_rank
+    FROM flagged WHERE eligible
+)
+SELECT f.doc_id, f.host, f.canon_url, f.seen, f.disallowed,
+       CAST(r.host_rank AS BIGINT) AS host_rank,
+       COALESCE(r.host_rank <= {_FETCH_QUOTA}, FALSE) AS fetch_now
+FROM flagged f LEFT JOIN ranked r ON r.doc_id = f.doc_id
+""".replace("{host_re}", _HOST_RE)
+
+
+@register_supplementary(
+    "frontier_fetch_plan", _FETCH_PLAN_ORACLE, tags=("pipeline", "text")
+)
+def frontier_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X225: per-candidate fetch plan (module comment above) — seen /
+    robots-disallowed / per-host eligible rank / fetch_now under the
+    cycle quota. The robots verdict runs through the REAL X219 kernel
+    (apply_robots_gate with a minted 3-host rules frame), the seen
+    flag models the X224 state probe, and the quota is one host-keyed
+    rank window over the ELIGIBLE subset only (ineligible rows never
+    enter the exchange)."""
+    from flink_state_eviction_spark.functions.text import normalize_url
+    from flink_state_eviction_spark.sources.warc import apply_robots_gate
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"),
+        (did % 3).cast("string"),
+        F.lit(".example"),
+        F.when(did % 4 == 3, F.lit("/private/p")).otherwise(F.lit("/p")),
+        did.cast("string"),
+    )
+    cand = docs.select(
+        "doc_id",
+        normalize_url(url).alias("target_uri"),
+        (did % 5 == 0).alias("seen"),
+    )
+    rules = spark.createDataFrame(
+        [(f"h{k}.example", "/private/") for k in range(3)],
+        "host string, disallow_prefix string",
+    )
+    gated = apply_robots_gate(cand, rules, rules_rows=3)
+    flagged = gated.select(
+        "doc_id",
+        F.regexp_extract(F.col("target_uri"), _HOST_RE, 1).alias("host"),
+        F.col("target_uri").alias("canon_url"),
+        "seen",
+        F.col("robots_disallowed").alias("disallowed"),
+        (~F.col("seen") & ~F.col("robots_disallowed")).alias("eligible"),
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("host").orderBy("doc_id")
+    ranked = (
+        flagged.where("eligible")
+        .select("doc_id", F.row_number().over(w).alias("host_rank"))
+    )
+    return flagged.join(ranked, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        "canon_url",
+        "seen",
+        "disallowed",
+        F.col("host_rank").cast("long").alias("host_rank"),
+        F.coalesce(
+            F.col("host_rank") <= _FETCH_QUOTA, F.lit(False)
+        ).alias("fetch_now"),
+    )

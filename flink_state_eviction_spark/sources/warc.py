@@ -229,13 +229,16 @@ def _warc_doc_id():
     ).cast("long")
 
 
-def _bridge_documents(recs: DataFrame) -> DataFrame:
+def _bridge_documents(recs: DataFrame, keep_uri: bool = False) -> DataFrame:
     """The shared records -> documents-contract projection (used by
     the batch bridge and the streaming bridge; see warc_to_documents
     for the semantics). Records without a WARC-Target-URI are
     EXCLUDED here, explicitly — a NULL-keyed doc_id would silently
     vanish inside every downstream equi-join instead (the CLAUDE.md
-    null-safe-join gotcha); they stay visible in read_warc output."""
+    null-safe-join gotcha); they stay visible in read_warc output.
+    ``keep_uri=True`` appends ``target_uri`` AFTER the contract
+    columns (the robots-aware funnel needs the page URI; plain
+    documents consumers are unaffected)."""
     from pyspark.sql import functions as F
 
     resp = recs.where(
@@ -252,6 +255,7 @@ def _bridge_documents(recs: DataFrame) -> DataFrame:
             "source"
         ),
         F.length("http_text").cast("long").alias("n_chars"),
+        *([F.col("target_uri")] if keep_uri else []),
     )
 
 
@@ -471,7 +475,9 @@ def apply_robots_gate(
     )
 
 
-def crawl_curation_decisions(spark: SparkSession, path: str) -> DataFrame:
+def crawl_curation_decisions(
+    spark: SparkSession, path: str, *, with_robots: bool = False
+) -> DataFrame:
     """X220: the crawl-to-corpus funnel end to end, on REAL pipeline
     kernels with zero glue logic of its own — per fetched page:
 
@@ -490,8 +496,45 @@ def crawl_curation_decisions(spark: SparkSession, path: str) -> DataFrame:
     parquet twin (`crawl_funnel_decisions`, querydefs/pipeline.py)
     runs over minted-HTML fixture docs — so the composition itself is
     oracle-checked even though WARC bytes are out of SQL's reach
-    (round-8 verdict item 4)."""
-    return curation_funnel_from_documents(warc_to_documents(spark, path))
+    (round-8 verdict item 4).
+
+    ``with_robots=True`` (round 9) folds the X219 compliance gate in:
+    the SAME records scan (checkpointed once — rules harvest and the
+    documents bridge both consume it) yields the per-host rules, the
+    bridge keeps ``target_uri``, and the output gains a
+    ``robots_disallowed`` column with final_keep additionally
+    requiring compliance — the full crawl story (may-we-keep = content
+    quality AND should-we-have-fetched) in one decision table."""
+    if not with_robots:
+        return curation_funnel_from_documents(
+            warc_to_documents(spark, path)
+        )
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path, include_payload=True).localCheckpoint(
+        eager=False
+    )
+    rules = robots_rules_from_records(recs)
+    docs = _bridge_documents(recs, keep_uri=True).dropDuplicates(
+        ["doc_id"]
+    )
+    gated = apply_robots_gate(docs, rules).localCheckpoint(eager=False)
+    out = curation_funnel_from_documents(
+        gated.select("doc_id", "source", "text")
+    )
+    flags = gated.select("doc_id", "robots_disallowed")
+    return out.join(flags, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_kept",
+        "c4_kept",
+        "gopher_passes",
+        "robots_disallowed",
+        (F.col("final_keep") & ~F.col("robots_disallowed")).alias(
+            "final_keep"
+        ),
+    )
 
 
 def curation_funnel_from_documents(docs: DataFrame) -> DataFrame:

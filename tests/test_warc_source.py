@@ -349,6 +349,59 @@ def test_crawl_curation_end_to_end(spark, tmp_path):
     assert not th["final_keep"]
 
 
+def test_crawl_curation_with_robots_gate(spark, tmp_path):
+    """X219 folded into the X220 funnel (round 9): two content-
+    identical quality pages on one host, one under a robots Disallow —
+    the compliant page keeps, the disallowed one flips final_keep
+    FALSE with its quality verdicts intact (compliance is a separate
+    axis, visible as robots_disallowed, never laundered through the
+    quality columns)."""
+    from flink_state_eviction_spark.sources.warc import (
+        crawl_curation_decisions,
+    )
+
+    paras = [
+        f"<p>the {a} {n} jumps over the {b} {m} in the {c} today.</p>"
+        for a, n, b, m, c in [
+            ("quick", "fox", "lazy", "dog", "meadow"),
+            ("sleepy", "cat", "noisy", "bird", "garden"),
+            ("clever", "otter", "muddy", "frog", "river"),
+            ("sturdy", "horse", "dusty", "goat", "valley"),
+            ("gentle", "whale", "salty", "crab", "harbor"),
+            ("curious", "mouse", "rusty", "gate", "orchard"),
+        ]
+    ]
+    good_html = ("<html><body>" + "".join(paras) + "</body></html>").encode()
+    robots = (
+        b"HTTP/1.1 200 OK\r\n\r\nUser-agent: *\r\nDisallow: /private/\r\n"
+    )
+
+    def page(uri, body):
+        return _record("response", uri, b"HTTP/1.1 200 OK\r\n\r\n" + body)
+
+    (tmp_path / "c.warc").write_bytes(
+        _record("response", "http://h.example/robots.txt", robots)
+        + page("http://h.example/open/a", good_html)
+        + page("http://h.example/private/b", good_html)
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in crawl_curation_decisions(
+            spark, str(tmp_path / "c.warc"), with_robots=True
+        ).collect()
+    }
+    by_flag = {}
+    for r in got.values():
+        if r["n_kept"] == 6:  # the two content pages (robots.txt isn't prose)
+            by_flag[r["robots_disallowed"]] = r
+    allowed, blocked = by_flag[False], by_flag[True]
+    assert allowed["c4_kept"] and allowed["gopher_passes"]
+    assert allowed["final_keep"]
+    # same quality verdicts, flipped ONLY by compliance
+    assert blocked["c4_kept"] and blocked["gopher_passes"]
+    assert not blocked["final_keep"]
+
+
 def test_bridge_lossy_decode_and_refetch_dedup(spark, tmp_path):
     """Round-8 review regressions pinned: (a) malformed UTF-8 in a
     crawl body must decode LOSSILY (Spark 4's F.decode would abort the
