@@ -761,6 +761,32 @@ def test_curation_funnel_joins_are_equi_joins(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan  # LM c2/c1 sides
 
 
+def test_frontier_census_is_one_fold(spark, sf_dir):
+    # X224: scan-side canonicalization + the host-keyed distinct
+    # census — COUNT(DISTINCT) plans as the standard two-phase
+    # distinct rewrite (exchange on (host, url), then on host):
+    # exactly two data exchanges, nothing single-partition, no Python
+    df = _q("frontier_host_census", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_fetch_plan_ranks_only_eligible(spark, sf_dir):
+    # X225: the quota window is host-keyed (never single-partition)
+    # and nothing goes cartesian. The robots broadcast join sits
+    # BEHIND the flagged frame's lazy checkpoint boundary (two
+    # consumers), so it is asserted on the pre-checkpoint build
+    # instead, via apply_robots_gate's own gate
+    # (test_robots_gate_drops_broadcast_above_budget).
+    df = _q("frontier_fetch_plan", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange hashpartitioning" in plan, plan  # the host window
+
+
 def test_crawl_funnel_twin_joins_are_equi_joins(spark, sf_dir):
     # the X220 parquet twin runs the REAL funnel composition: both
     # join-backs (source re-attach, gopher left join) must be
