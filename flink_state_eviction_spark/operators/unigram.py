@@ -249,13 +249,21 @@ def unigram_numericalize(
     docs: DataFrame, final_vocab: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """Per-document piece ids under a frozen unigram vocab: (doc_id,
-    n_pieces, ids array<int>) — the training-shard payload, the
+    n_pieces, n_unk, ids array<int>) — the training-shard payload, the
     unigram twin of operators/bpe.py:bpe_numericalize. Same scale
     shape: DISTINCT words Viterbi-encode once (Arrow pass, piece
     table in the closure), ids come from a JVM-side map over the
     symbol output, the id arrays join back onto the (doc_id, pos,
     word) stream through the shared budget-gated scaffold and
-    concatenate per doc in token order."""
+    concatenate per doc in token order.
+
+    Frozen-vocab serving: a piece outside the vocab (the unknown-char
+    segmentation path — see _viterbi_segment) gets the explicit UNK
+    sentinel id -1, NEVER a NULL inside the ids payload (round-9
+    review: element_at alone shipped a silent None into the shard),
+    and ``n_unk`` counts them so a shard consumer can flag or drop
+    affected docs. The id roundtrip is lossless exactly when
+    n_unk == 0 (pinned in test_unigram)."""
     from flink_state_eviction_spark.operators.bpe import (
         _tokens_with_encoded_words,
     )
@@ -270,7 +278,9 @@ def unigram_numericalize(
     )
     wids = F.transform(
         unigram_encode_udf(counts)(F.col("word")),
-        lambda s: F.element_at(id_map, s).cast("int"),
+        lambda s: F.coalesce(
+            F.element_at(id_map, s), F.lit(-1)
+        ).cast("int"),
     ).alias("wids")
     return (
         _tokens_with_encoded_words(docs, text_col, wids)
@@ -288,6 +298,9 @@ def unigram_numericalize(
         .select(
             "doc_id",
             F.size("ids").cast("long").alias("n_pieces"),
+            F.size(F.filter("ids", lambda i: i == -1))
+            .cast("long")
+            .alias("n_unk"),
             "ids",
         )
     )

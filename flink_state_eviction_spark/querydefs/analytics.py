@@ -1558,8 +1558,11 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE corpus-sized pass (the word census explode +
     groupBy); the top-64 cut is a bounded TakeOrdered; everything
     after — rank window, log projection, the least-squares fold, the
-    1-row stats broadcast — runs on <= 64 rows (the two
-    SinglePartition sites are pinned in test_plan_audit)."""
+    1-row stats broadcast — runs on <= 64 rows. test_plan_audit pins
+    the ONE visible SinglePartition site (the slope fold); the rank
+    window's exchange sits behind the lg frame's lazy localCheckpoint
+    boundary, invisible to the audit but equally 64-row-bounded
+    (round-9 review: say which sites the audit actually sees)."""
     from flink_state_eviction_spark.functions.text import (
         log2_millibits_sql,
     )
@@ -1680,8 +1683,8 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus-sized explode into a (source, word)
     map-side-combined census, then a |sources| x distinct-words fold;
-    the fit runs on |sources| rows (its two bounded SinglePartition
-    sites pinned in test_plan_audit)."""
+    the fit runs on |sources| rows — its ONE bounded SinglePartition
+    site (the slope fold) pinned in test_plan_audit."""
     from flink_state_eviction_spark.functions.text import (
         log2_millibits_sql,
         tokens,

@@ -1266,7 +1266,9 @@ def unigram_learn_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_supplementary("unigram_numericalize", None, tags=("corpus", "text"))
 def unigram_numericalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X222: per-document piece ids under the learned unigram vocab
-    (doc_id, n_pieces, ids) — the tokenized-shard payload; ids follow
+    (doc_id, n_pieces, n_unk, ids) — the tokenized-shard payload
+    (n_unk counts -1 UNK sentinels, zero under a self-learned vocab);
+    ids follow
     the deterministic (cnt DESC, piece ASC) assignment. Rows-only at
     the driver; the hard gate is tests/test_unigram.py::
     test_numericalize_roundtrip (ids decode losslessly back to the

@@ -8636,22 +8636,12 @@ def crawl_funnel_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # always global — only the //+ collapse needs 'g'), and replacement
 # backrefs are \\1 in DuckDB vs $1 in Spark.
 
-_URL_NORM_ORACLE = r"""
-WITH base AS (
-    SELECT doc_id,
-           CASE doc_id % 5
-                WHEN 0 THEN 'HTTP://Example.COM:80/Path//d'
-                            || CAST(doc_id AS VARCHAR) || '/#frag'
-                WHEN 1 THEN 'https://Site.Org:443/d'
-                            || CAST(doc_id AS VARCHAR) || '?'
-                WHEN 2 THEN 'https://site.org/a/d' || CAST(doc_id AS VARCHAR)
-                            || '?x=1&y=2#sec'
-                WHEN 3 THEN 'http://UsEr:Pw@h' || CAST(doc_id AS VARCHAR)
-                            || '.Example'
-                ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
-    FROM documents
-),
-parts AS (
+# The ONE URL-canonicalization CTE chain (parts -> ui -> auth ->
+# defrag -> pq -> fixed), over a prior ``base(doc_id, url)`` CTE —
+# shared by the X218 normalization oracle and the X224 frontier
+# census oracle so the two can never diverge (round-9 review: the
+# census had a hand-copied chain; the _html_extract_cte lesson).
+_URL_CANON_CTES = r"""parts AS (
     SELECT doc_id, url,
            regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
                AS sh
@@ -8698,7 +8688,25 @@ fixed AS (
                substring(dr, length(p0) + 1, 1073741824), '^\?$', '')
                AS r
     FROM pq
-)
+)"""
+
+
+_URL_NORM_ORACLE = r"""
+WITH base AS (
+    SELECT doc_id,
+           CASE doc_id % 5
+                WHEN 0 THEN 'HTTP://Example.COM:80/Path//d'
+                            || CAST(doc_id AS VARCHAR) || '/#frag'
+                WHEN 1 THEN 'https://Site.Org:443/d'
+                            || CAST(doc_id AS VARCHAR) || '?'
+                WHEN 2 THEN 'https://site.org/a/d' || CAST(doc_id AS VARCHAR)
+                            || '?x=1&y=2#sec'
+                WHEN 3 THEN 'http://UsEr:Pw@h' || CAST(doc_id AS VARCHAR)
+                            || '.Example'
+                ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+    FROM documents
+),
+{_URL_CANON_CTES}
 SELECT doc_id,
        CASE WHEN sh = '' THEN url
             ELSE a || CASE WHEN r = '' THEN '/' ELSE r END END AS norm_url,
@@ -8706,7 +8714,7 @@ SELECT doc_id,
              ELSE a || CASE WHEN r = '' THEN '/' ELSE r END END) <> url
            AS changed
 FROM fixed
-"""
+""".replace("{_URL_CANON_CTES}", _URL_CANON_CTES)
 
 
 @register(
@@ -8785,50 +8793,7 @@ WITH base AS (
                 ELSE 'https://Dup.Example/shared' END AS url
     FROM documents
 ),
-parts AS (
-    SELECT doc_id, url,
-           regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
-               AS sh
-    FROM base
-),
-ui AS (
-    SELECT doc_id, url, sh,
-           regexp_extract(sh, '^([a-zA-Z][a-zA-Z0-9+.-]*://)', 1) AS sp,
-           regexp_extract(sh, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*@)', 1)
-               AS u
-    FROM parts
-),
-auth AS (
-    SELECT doc_id, url, sh,
-           regexp_replace(
-               regexp_replace(
-                   lower(sp) || u
-                   || lower(substring(sh, length(sp) + length(u) + 1,
-                                      1073741824)),
-                   '^(http://[^/?#]*):80$', '\1'),
-               '^(https://[^/?#]*):443$', '\1') AS a,
-           substring(url, length(sh) + 1, 1073741824) AS rest
-    FROM ui
-),
-defrag AS (
-    SELECT doc_id, url, sh, a,
-           regexp_replace(rest, '#.*$', '') AS dr
-    FROM auth
-),
-pq AS (
-    SELECT doc_id, url, sh, a, dr,
-           regexp_extract(dr, '^[^?]*') AS p0
-    FROM defrag
-),
-fixed AS (
-    SELECT doc_id, url, sh, a,
-           regexp_replace(
-               regexp_replace(p0, '//+', '/', 'g'), '^(/.+)/$', '\1')
-           || regexp_replace(
-               substring(dr, length(p0) + 1, 1073741824), '^\?$', '')
-               AS r
-    FROM pq
-),
+{_URL_CANON_CTES},
 canon AS (
     SELECT CASE WHEN sh = '' THEN url
                 ELSE a || CASE WHEN r = '' THEN '/' ELSE r END END

@@ -172,13 +172,17 @@ def parse_warc(buf: bytes, decode_text: bool = True) -> list[dict]:
     return records
 
 
-def _record_walk(cols: list[str]):
+def _record_walk(cols: list[str], decode_text: bool | None = None):
     """The ONE mapInPandas record-walk closure, shared by the batch
     reader and the streaming reader (divergent copies would silently
     break the batch/stream bit-parity the X217 test pins). The lossy
     utf-8 body decode runs only when the caller actually projects
-    ``http_text`` — metadata-only passes skip it entirely."""
-    decode_text = "http_text" in cols
+    ``http_text`` — metadata-only passes skip it entirely; an explicit
+    ``decode_text=False`` skips it even when the column is projected
+    (it stays NULL — consumers that need raw ``http_body`` only, like
+    the robots maintainer, shed the decode without a schema fork)."""
+    if decode_text is None:
+        decode_text = "http_text" in cols
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -308,23 +312,40 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
     refetched in a LATER crawl segment re-lands at the maintainers,
     whose per-source counts then count the refetch — the same
     at-least-once accounting every maintainer already documents."""
-    return _bridge_documents(read_warc_records_stream(spark, path))
+    return _bridge_documents(
+        read_warc_records_stream(spark, path, include_payload=True)
+    )
 
 
-def read_warc_records_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_records_stream(
+    spark: SparkSession,
+    path: str,
+    include_payload: bool = False,
+    decode_text: bool | None = None,
+) -> DataFrame:
     """The RECORD-level streaming WARC walk (same closure as the batch
-    reader — the X217 bit-parity rule): one row per WARC record with
-    payload columns, BEFORE the documents bridge. Consumers that need
-    non-page records — the robots-rules maintainer reads robots.txt
-    RESPONSES the bridge's page contract has no column for — tap this;
-    page pipelines use :func:`read_warc_stream`."""
+    reader — the X217 bit-parity rule): one row per WARC record,
+    BEFORE the documents bridge. Consumers that need non-page records
+    — the robots-rules maintainer reads robots.txt RESPONSES the
+    bridge's page contract has no column for — tap this; page
+    pipelines use :func:`read_warc_stream`.
+
+    Defaults METADATA-ONLY (round-9 review: the frontier maintainer
+    consumes only ``target_uri``, and an always-payload stream paid
+    the lossy body decode the batch metadata path had just shed).
+    ``include_payload=True`` adds payload/http_body/http_text;
+    ``decode_text=False`` keeps the payload columns but leaves
+    ``http_text`` NULL — the robots maintainer's shape (raw bytes,
+    no decode)."""
+    cols = _PAYLOAD_COLS if include_payload else _META_COLS
+    schema = WARC_SCHEMA_PAYLOAD if include_payload else WARC_SCHEMA
     files = (
         spark.readStream.format("binaryFile")
         .schema(BINARY_FILE_SCHEMA)
         .load(path)
     )
     return files.select("path", "content").mapInPandas(
-        _record_walk(_PAYLOAD_COLS), WARC_SCHEMA_PAYLOAD
+        _record_walk(cols, decode_text), schema
     )
 
 

@@ -9,8 +9,11 @@ maintenance is the census pattern (X150/X169/X177/X186) with set-union
 instead of summation:
 
 - ``robots_maintain_batch`` — ``foreachBatch`` body over the
-  RECORD-level stream (sources/warc.py:read_warc_records_stream; the
-  documents bridge has no robots.txt rows): the batch's rules via the
+  RECORD-level stream (sources/warc.py:read_warc_records_stream with
+  ``include_payload=True, decode_text=False`` — the parser reads raw
+  ``http_body`` bytes, so the lossy utf-8 text decode is skipped for
+  the whole batch; the documents bridge has no robots.txt rows): the
+  batch's rules via the
   SAME ``robots_rules_from_records`` kernel the batch query uses land
   in an idempotent ``batch=<id>`` partition; redelivery overwrites its
   own partition, at-least-once safe (distinct-union makes double

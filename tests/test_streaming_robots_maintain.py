@@ -84,7 +84,10 @@ def _pages(spark, path):
 
 def test_streaming_robots_rules_match_batch(spark, tmp_path):
     path = _crawl(tmp_path)
-    stream = read_warc_records_stream(spark, path)
+    # the robots maintainer's shape: raw bytes, no lossy text decode
+    stream = read_warc_records_stream(
+        spark, path, include_payload=True, decode_text=False
+    )
     state = os.path.join(str(tmp_path), "robots-state")
 
     def upd(batch_df, batch_id):

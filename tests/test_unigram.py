@@ -194,10 +194,10 @@ def test_numericalize_roundtrip(spark, sf_dir):
     vocab = learn_unigram_vocab(word_vocab(docs))
     ids_by_piece = unigram_vocab_ids(vocab)
     piece_by_id = {i: p for p, i in ids_by_piece.items()}
-    got = {
-        r["doc_id"]: (r["n_pieces"], list(r["ids"]))
-        for r in unigram_numericalize(docs, vocab).collect()
-    }
+    num = unigram_numericalize(docs, vocab).collect()
+    got = {r["doc_id"]: (r["n_pieces"], list(r["ids"])) for r in num}
+    # self-learned vocab covers its own corpus: zero UNKs anywhere
+    assert all(r["n_unk"] == 0 for r in num)
     # reference ids per doc: reference vocab -> reference viterbi per
     # word in token order -> same deterministic id assignment
     wc = _word_counts(spark, sf_dir)
@@ -256,6 +256,20 @@ def test_unknown_char_segments_not_crashes(spark):
     )
     rows = encode_words_unigram(words, vocab).collect()
     assert [list(r["pieces"]) for r in rows] == [["ab", "q"]]
+    # numericalize under the frozen vocab: the unknown piece gets the
+    # EXPLICIT -1 UNK sentinel (never a NULL in the shard payload)
+    # and n_unk counts it — round-9 review finding
+    from flink_state_eviction_spark.operators.unigram import (
+        unigram_numericalize,
+        unigram_vocab_ids,
+    )
+
+    docs = spark.createDataFrame([(1, "abq")], "doc_id long, text string")
+    r = unigram_numericalize(docs, vocab).collect()[0]
+    ab_id = unigram_vocab_ids(vocab)["ab"]
+    assert list(r["ids"]) == [ab_id, -1]
+    assert r["n_pieces"] == 2 and r["n_unk"] == 1
+    assert None not in r["ids"]
 
 
 def test_fertility_comparison_composes(spark, sf_dir):
