@@ -8564,6 +8564,7 @@ FROM c4 LEFT JOIN g ON g.doc_id = c4.doc_id
 @register_supplementary(
     "crawl_funnel_decisions",
     _crawl_funnel_oracle(),
+    headline=True,  # bench: the round-9 ingest-composition flagship
     tags=("pipeline", "text"),
 )
 def crawl_funnel_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
