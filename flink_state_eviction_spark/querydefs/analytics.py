@@ -1563,16 +1563,24 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's exchange sits behind the lg frame's lazy localCheckpoint
     boundary, invisible to the audit but equally 64-row-bounded
     (round-9 review: say which sites the audit actually sees)."""
-    from flink_state_eviction_spark.functions.text import (
-        log2_millibits_sql,
-    )
     from flink_state_eviction_spark.operators.bpe import word_vocab
 
     docs = load_table(spark, sf_dir, "documents")
-    top = (
-        word_vocab(docs)
-        .orderBy(F.col("cnt").desc(), F.col("word").asc())
-        .limit(_ZIPF_TOP_K)
+    return zipf_fit_from_word_census(word_vocab(docs))
+
+
+def zipf_fit_from_word_census(wv: DataFrame) -> DataFrame:
+    """The X223 Zipf tail over any (word, cnt) census frame — shared
+    by the batch query and the KL maintainer's serving half (the
+    maintained (source, w, n_sw) state rolls up to the SAME census,
+    so the served fit is bit-equal; the X190 one-state-many-products
+    move, streaming/kl_maintain.py:zipf_from_state)."""
+    from flink_state_eviction_spark.functions.text import (
+        log2_millibits_sql,
+    )
+
+    top = wv.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(
+        _ZIPF_TOP_K
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
     proj = top.select(
@@ -1681,25 +1689,32 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary grows like raw text (id/hash floods -> beta near 1000)
     against the sublinear healthy range (~400-600).
 
-    Scale shape: one corpus-sized explode into a (source, word)
-    map-side-combined census, then a |sources| x distinct-words fold;
-    the fit runs on |sources| rows — its ONE bounded SinglePartition
-    site (the slope fold) pinned in test_plan_audit."""
-    from flink_state_eviction_spark.functions.text import (
-        log2_millibits_sql,
-        tokens,
+    Scale shape: one corpus-sized explode into the (source, w, n_sw)
+    census (the SAME X187 kernel the KL maintainer folds), then a
+    |sources|-row rollup — distinct words per source are census ROWS,
+    so no countDistinct rewrite; the fit runs on |sources| rows — its
+    ONE bounded SinglePartition site (the slope fold) pinned in
+    test_plan_audit."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        source_word_counts,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pts = (
-        docs.select(
-            "source", F.explode(tokens(F.col("text"))).alias("word")
-        )
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.countDistinct("word").cast("long").alias("n_distinct"),
-        )
+    return heaps_fit_from_census(source_word_counts(docs))
+
+
+def heaps_fit_from_census(swc: DataFrame) -> DataFrame:
+    """The X223 Heaps tail over any (source, w, n_sw) census frame —
+    shared by the batch query and the KL maintainer's serving half
+    (streaming/kl_maintain.py:heaps_from_state; same state tree as
+    the drift table, the X190 one-state-many-products move)."""
+    from flink_state_eviction_spark.functions.text import (
+        log2_millibits_sql,
+    )
+
+    pts = swc.groupBy("source").agg(
+        F.sum("n_sw").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
     )
     proj = pts.select(
         "source",

@@ -88,3 +88,33 @@ def kl_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
     return kl_from_counts(counts_from_state(spark, state_dir))
+
+
+def zipf_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """X223 served from the SAME state tree (the X190 one-state-many-
+    products move): the maintained (source, w, n_sw) census rolls up
+    to the global (word, cnt) census — the identical frame the batch
+    `zipf_rank_frequency` builds — so the served fit is bit-equal
+    once the corpus has streamed in (test_streaming_kl_maintain).
+    Zero new state IO: drift, Zipf, and Heaps all read one census."""
+    from flink_state_eviction_spark.querydefs.analytics import (
+        zipf_fit_from_word_census,
+    )
+
+    wv = (
+        counts_from_state(spark, state_dir)
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.sum("n_sw").alias("cnt"))
+    )
+    return zipf_fit_from_word_census(wv)
+
+
+def heaps_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """X223's Heaps fit from the SAME maintained census (see
+    zipf_from_state) — bit-equal to the batch `heaps_vocab_growth`
+    once the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.analytics import (
+        heaps_fit_from_census,
+    )
+
+    return heaps_fit_from_census(counts_from_state(spark, state_dir))

@@ -56,6 +56,31 @@ def test_streaming_kl_matches_batch(spark, sf_dir, tmp_path):
     want = _rows(all_queries()["source_unigram_kl"](spark, sf_dir))
     assert got == want and got
 
+    # X223 served from the SAME state tree (one state, three
+    # products): the Zipf and Heaps fits must be bit-equal to the
+    # batch queries once the corpus has streamed in
+    from flink_state_eviction_spark.streaming.kl_maintain import (
+        heaps_from_state,
+        zipf_from_state,
+    )
+
+    z_got = {tuple(r) for r in zipf_from_state(spark, state).collect()}
+    z_want = {
+        tuple(r)
+        for r in all_queries()["zipf_rank_frequency"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert z_got == z_want and z_got
+    h_got = {tuple(r) for r in heaps_from_state(spark, state).collect()}
+    h_want = {
+        tuple(r)
+        for r in all_queries()["heaps_vocab_growth"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert h_got == h_want and h_got
+
 
 def test_kl_redelivery_and_compaction_preserve_state(
     spark, sf_dir, tmp_path
