@@ -654,6 +654,53 @@ def html_to_text(html: Column) -> Column:
     return F.trim(t)
 
 
+def html_extract_links(html: Column) -> Column:
+    """Every href value in the page, both quote styles — the crawl
+    link-graph extraction kernel (X226). Output order is ALL
+    double-quoted matches then ALL single-quoted matches (document
+    order within each style) — deterministic, mirrored in the DuckDB
+    oracle. Pure codegen (regexp_extract_all); not a browser: href
+    inside commented-out markup is still extracted (a frontier
+    over-collects rather than misses). Extension beyond the reference
+    surface."""
+    dq = F.regexp_extract_all(html, F.lit('(?i)href\\s*=\\s*"([^"]*)"'), 1)
+    sq = F.regexp_extract_all(html, F.lit("(?i)href\\s*=\\s*'([^']*)'"), 1)
+    return F.concat(dq, sq)
+
+
+def resolve_link(base: Column, href: Column) -> Column:
+    """Resolve an href against its page URL — the RFC 3986 subset a
+    link-graph build needs (X226), NULL for unfollowable links:
+
+    1. absolute http(s) URLs pass through;
+    2. any OTHER scheme (mailto:, javascript:, data:, ...) -> NULL;
+    3. protocol-relative '//host/...' takes the page's scheme;
+    4. root-relative '/path' takes the page's scheme://authority;
+    5. empty and fragment-only hrefs -> NULL (same page);
+    6. anything else is path-relative: the page's directory (path up
+       to the last '/') + href.
+
+    Deliberately NOT done: dot-segment resolution ('../') — the same
+    policy line normalize_url draws; a '../'-bearing link resolves to
+    a literal-dot URL whose HOST (all the link graph reads) is still
+    correct. Pure codegen; both engines mirror the CASE chain."""
+    scheme = F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    sh = F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    path = F.regexp_extract(
+        base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    dirp = F.regexp_replace(path, "[^/]*$", "")
+    dirp = F.when(dirp == "", F.lit("/")).otherwise(dirp)
+    return (
+        F.when((href == "") | href.startswith("#"), F.lit(None))
+        .when(href.rlike("(?i)^https?://"), href)
+        .when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), F.lit(None))
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(sh, href))
+        .otherwise(F.concat(sh, dirp, href))
+    )
+
+
 def normalize_url(url: Column) -> Column:
     """Canonical URL form for URL-keyed dedup / frontier dedup —
     the cheap pre-pass that collapses trivially-distinct spellings

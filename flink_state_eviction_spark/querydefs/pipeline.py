@@ -8959,3 +8959,223 @@ def frontier_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("host_rank") <= _FETCH_QUOTA, F.lit(False)
         ).alias("fetch_now"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X226/X227: the crawl LINK GRAPH — href extraction from page HTML
+# (both quote styles), RFC 3986-subset resolution against the page URL
+# (functions/text.py:html_extract_links / resolve_link), host-level
+# edge census, and PageRank over the host graph (the authority signal
+# a crawl scheduler and a quality prior both read). The mint produces
+# one page per doc on 4 site hosts with one link of EVERY resolution
+# class (absolute cross-host, root-relative self, protocol-relative to
+# a shared CDN host, path-relative self, plus mailto:/fragment junk
+# that must drop). Minted URLs are canonical by construction, so host
+# extraction reads the resolved URL directly; production composes
+# normalize_url first (gated separately, X218). The PageRank oracle
+# replays the operator's integer div/sum chain (the supplier_pagerank
+# model) over host-STRING nodes — the operator never needed numeric
+# ids, only join keys.
+
+_LINK_MINT_SQL = """
+pages AS (
+    SELECT doc_id,
+           'https://s' || CAST(doc_id % 4 AS VARCHAR) || '.example/sec'
+           || CAST(doc_id % 3 AS VARCHAR) || '/page'
+           || CAST(doc_id AS VARCHAR) AS page,
+           '<a href="https://s' || CAST((doc_id + 1) % 4 AS VARCHAR)
+           || '.example/x' || CAST(doc_id AS VARCHAR) || '">c</a>'
+           || '<a href=''/r/' || CAST(doc_id AS VARCHAR) || '''>r</a>'
+           || '<a href="//cdn.example/lib' || CAST(doc_id % 2 AS VARCHAR)
+           || '.js">p</a>'
+           || '<a href="sub/p' || CAST(doc_id AS VARCHAR) || '.html">s</a>'
+           || '<a href="mailto:a@b">m</a><a href="#top">f</a>' AS h
+    FROM documents
+),
+links AS (
+    SELECT doc_id, page,
+           unnest(list_concat(
+               regexp_extract_all(h, '(?i)href\\s*=\\s*"([^"]*)"', 1),
+               regexp_extract_all(h, '(?i)href\\s*=\\s*''([^'']*)''', 1)
+           )) AS href
+    FROM pages
+),
+res AS (
+    SELECT doc_id, page,
+           CASE
+             WHEN href = '' OR href LIKE '#%' THEN NULL
+             WHEN regexp_matches(href, '(?i)^https?://') THEN href
+             WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+                 THEN NULL
+             WHEN href LIKE '//%' THEN
+                 regexp_extract(page,
+                     '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) || ':' || href
+             WHEN href LIKE '/%' THEN
+                 regexp_extract(page,
+                     '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) || href
+             ELSE
+                 regexp_extract(page,
+                     '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+                 || CASE WHEN regexp_replace(regexp_extract(page,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                        '[^/]*$', '') = ''
+                    THEN '/'
+                    ELSE regexp_replace(regexp_extract(page,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                        '[^/]*$', '') END
+                 || href
+           END AS url
+    FROM links
+),
+edges AS (
+    SELECT lower(regexp_extract(page, '{host_re}', 1)) AS src_host,
+           lower(regexp_extract(url, '{host_re}', 1)) AS dst_host
+    FROM res WHERE url IS NOT NULL
+)"""
+
+
+def _link_edges_oracle() -> str:
+    return (
+        "WITH "
+        + _LINK_MINT_SQL.replace("{host_re}", _HOST_RE)
+        + """
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM edges GROUP BY 1, 2
+"""
+    )
+
+
+def _host_pagerank_oracle(iters: int = 2) -> str:
+    base = 15 * 1_000_000_000_000
+    head = (
+        "WITH "
+        + _LINK_MINT_SQL.replace("{host_re}", _HOST_RE)
+        + """,
+dedges AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM edges),
+nodes AS (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),
+deg AS (SELECT src, count(*) AS outdeg FROM dedges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_micro
+       FROM nodes)"""
+    )
+    prev = "r0"
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""",
+r{i} AS (
+    SELECT n.node,
+           CAST(({base} + 85 * COALESCE(SUM(c.contrib), 0)) // 100
+               AS BIGINT) AS rank_micro
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst, p.rank_micro // d.outdeg AS contrib
+        FROM dedges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+    ) c ON c.dst = n.node
+    GROUP BY n.node
+)""")
+        prev = f"r{i}"
+    return head + "".join(its) + f"""
+SELECT node AS host, rank_micro FROM {prev}
+"""
+
+
+def _minted_link_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, page, h) — the Spark twin of _LINK_MINT_SQL's pages
+    CTE (one mint, zero divergence between X226 and X227)."""
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("https://s"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".example/sec"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("/page"),
+        did,
+    )
+    h = F.concat(
+        F.lit('<a href="https://s'),
+        ((F.col("doc_id") + 1) % 4).cast("string"),
+        F.lit(".example/x"),
+        did,
+        F.lit('">c</a>'),
+        F.lit("<a href='/r/"),
+        did,
+        F.lit("'>r</a>"),
+        F.lit('<a href="//cdn.example/lib'),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit('.js">p</a>'),
+        F.lit('<a href="sub/p'),
+        did,
+        F.lit('.html">s</a>'),
+        F.lit('<a href="mailto:a@b">m</a><a href="#top">f</a>'),
+    )
+    return docs.select("doc_id", page.alias("page"), h.alias("h"))
+
+
+def _host_edges_frame(docs: DataFrame) -> DataFrame:
+    """(src_host, dst_host) one row per followable link — the shared
+    X226/X227 edge build: extract -> resolve -> host."""
+    from flink_state_eviction_spark.functions.text import (
+        html_extract_links,
+        resolve_link,
+    )
+
+    pages = _minted_link_pages(docs)
+    links = pages.select(
+        "page", F.explode(html_extract_links(F.col("h"))).alias("href")
+    )
+    resolved = links.select(
+        "page", resolve_link(F.col("page"), F.col("href")).alias("url")
+    ).where(F.col("url").isNotNull())
+    return resolved.select(
+        F.lower(F.regexp_extract(F.col("page"), _HOST_RE, 1)).alias(
+            "src_host"
+        ),
+        F.lower(F.regexp_extract(F.col("url"), _HOST_RE, 1)).alias(
+            "dst_host"
+        ),
+    )
+
+
+@register_supplementary(
+    "host_link_graph", _link_edges_oracle(), tags=("pipeline", "text")
+)
+def host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X226: the host-level link-edge census over minted pages —
+    (src_host, dst_host, n_links), every resolution class exercised
+    and the junk classes dropped (module comment above). Scan-side
+    extract/resolve codegen + one edge-keyed partial+final fold; at
+    crawl scale this census is the input to authority ranking,
+    spam-cluster detection, and per-host fetch priors."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _host_edges_frame(docs).groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links")
+    )
+
+
+@register_supplementary(
+    "crawl_host_pagerank",
+    _host_pagerank_oracle(),
+    tags=("pipeline", "graph"),
+)
+def crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X227: PageRank (2 iterations, d=0.85, integer micro-units) over
+    the DISTINCT host-level link graph — the authority signal over the
+    crawl's own link structure, through the SAME operators/pagerank.py
+    kernel as supplier_pagerank (host-string nodes; the operator only
+    ever used nodes as join keys). The shared-CDN host collects rank
+    from every site (a pure sink — dangling mass evaporates, the
+    operator's documented variant); the oracle replays the identical
+    integer div/sum chain over the mirrored edge build."""
+    from flink_state_eviction_spark.operators.pagerank import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        _host_edges_frame(docs)
+        .select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        .distinct()
+    )
+    return pagerank(edges, iters=2).select(
+        F.col("node").alias("host"), "rank_micro"
+    )

@@ -787,6 +787,26 @@ def test_fetch_plan_ranks_only_eligible(spark, sf_dir):
     assert "Exchange hashpartitioning" in plan, plan  # the host window
 
 
+def test_host_link_graph_is_one_fold(spark, sf_dir):
+    # X226: extract/resolve are scan-side codegen; the census is ONE
+    # (src, dst)-keyed partial+final fold — one exchange, no Python
+    df = _q("host_link_graph", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_host_pagerank_no_cartesian(spark, sf_dir):
+    # X227: host-string nodes through the shared pagerank kernel —
+    # every join keyed on a node column, never cartesian, never
+    # single-partition
+    df = _q("crawl_host_pagerank", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_crawl_funnel_twin_joins_are_equi_joins(spark, sf_dir):
     # the X220 parquet twin runs the REAL funnel composition: both
     # join-backs (source re-attach, gopher left join) must be
