@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c",
+        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c,r9d",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -392,6 +392,11 @@ def main() -> None:
             rec["frontier_host_census_sec"] = timed(lambda: all_qs["frontier_host_census"](spark, d))
             rec["frontier_fetch_plan_sec"] = timed(lambda: all_qs["frontier_fetch_plan"](spark, d))
             rec["tokenizer_fertility_comparison_sec"] = timed(lambda: all_qs["tokenizer_fertility_comparison"](spark, d))
+        if "r9d" in only:
+            # X226/X227 link-graph family: scan-side extract/resolve +
+            # one edge fold; pagerank over the tiny host graph
+            rec["host_link_graph_sec"] = timed(lambda: all_qs["host_link_graph"](spark, d))
+            rec["crawl_host_pagerank_sec"] = timed(lambda: all_qs["crawl_host_pagerank"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path

@@ -1,0 +1,76 @@
+"""X226/X227 kernel pins: href extraction (both quote styles, case-
+insensitive attribute) and link resolution per class, on crafted
+frames with hand-written expectations — the crafted-pin twin of the
+minted-fixture parity gates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.functions.text import (
+    html_extract_links,
+    resolve_link,
+)
+
+
+def test_extract_links_crafted(spark):
+    html = (
+        '<a href="https://a.example/x">1</a>'
+        "<a href='/rel'>2</a>"
+        '<A HREF="UP.html">3</A>'  # attribute case-insensitive
+        '<link href="style.css"><a data-href="no">4</a>'
+        '<a href = "spaced">5</a>'
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    got = df.select(html_extract_links(F.col("h")).alias("l")).collect()[0][
+        "l"
+    ]
+    # all double-quoted in document order, then single-quoted
+    assert list(got) == [
+        "https://a.example/x",
+        "UP.html",
+        "style.css",
+        "no",
+        "spaced",
+        "/rel",
+    ]
+    # NOTE data-href matches the href[ ]*= tail — the over-collect
+    # direction the docstring documents (a frontier dedups later)
+
+
+def test_resolve_link_crafted(spark):
+    base = "https://h.example/dir/sub/page.html"
+    cases = [
+        ("https://other.example/p", "https://other.example/p"),
+        ("HTTP://U.example/Q", "HTTP://U.example/Q"),  # case kept here
+        ("mailto:a@b", None),
+        ("javascript:void(0)", None),
+        ("data:text/plain,x", None),
+        ("//cdn.example/l.js", "https://cdn.example/l.js"),
+        ("/root.html", "https://h.example/root.html"),
+        ("", None),
+        ("#frag", None),
+        ("peer.html", "https://h.example/dir/sub/peer.html"),
+        # no dot-segment resolution by policy: literal-dot URL, host
+        # (all the link graph reads) still correct
+        ("../up.html", "https://h.example/dir/sub/../up.html"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, href string"
+    )
+    got = {
+        r["i"]: r["u"]
+        for r in df.select(
+            "i", resolve_link(F.lit(base), F.col("href")).alias("u")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i], got[i])
+    # host-only page: directory defaults to '/'
+    df2 = spark.createDataFrame([("r.html",)], "href string")
+    got2 = df2.select(
+        resolve_link(F.lit("https://bare.example"), F.col("href")).alias(
+            "u"
+        )
+    ).collect()[0]["u"]
+    assert got2 == "https://bare.example/r.html"
