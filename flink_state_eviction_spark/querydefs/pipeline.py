@@ -9111,29 +9111,19 @@ def _minted_link_pages(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", page.alias("page"), h.alias("h"))
 
 
-def _host_edges_frame(docs: DataFrame) -> DataFrame:
-    """(src_host, dst_host) one row per followable link — the shared
-    X226/X227 edge build: extract -> resolve -> host."""
-    from flink_state_eviction_spark.functions.text import (
-        html_extract_links,
-        resolve_link,
+def _minted_edge_census(docs: DataFrame) -> DataFrame:
+    """The shared X226/X227 census build over the minted pages —
+    through the ONE host_edge_census kernel the streaming maintainer
+    also folds (streaming/linkgraph_maintain.py; one kernel, no
+    divergence)."""
+    from flink_state_eviction_spark.streaming.linkgraph_maintain import (
+        host_edge_census,
     )
 
-    pages = _minted_link_pages(docs)
-    links = pages.select(
-        "page", F.explode(html_extract_links(F.col("h"))).alias("href")
+    pages = _minted_link_pages(docs).select(
+        "page", F.col("h").alias("html")
     )
-    resolved = links.select(
-        "page", resolve_link(F.col("page"), F.col("href")).alias("url")
-    ).where(F.col("url").isNotNull())
-    return resolved.select(
-        F.lower(F.regexp_extract(F.col("page"), _HOST_RE, 1)).alias(
-            "src_host"
-        ),
-        F.lower(F.regexp_extract(F.col("url"), _HOST_RE, 1)).alias(
-            "dst_host"
-        ),
-    )
+    return host_edge_census(pages)
 
 
 @register_supplementary(
@@ -9147,9 +9137,7 @@ def host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl scale this census is the input to authority ranking,
     spam-cluster detection, and per-host fetch priors."""
     docs = load_table(spark, sf_dir, "documents")
-    return _host_edges_frame(docs).groupBy("src_host", "dst_host").agg(
-        F.count(F.lit(1)).cast("long").alias("n_links")
-    )
+    return _minted_edge_census(docs)
 
 
 @register_supplementary(
@@ -9169,12 +9157,8 @@ def crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_state_eviction_spark.operators.pagerank import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = (
-        _host_edges_frame(docs)
-        .select(
-            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
-        )
-        .distinct()
+    edges = _minted_edge_census(docs).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
     )
     return pagerank(edges, iters=2).select(
         F.col("node").alias("host"), "rank_micro"

@@ -1,0 +1,125 @@
+"""Streaming link-graph maintainer (X226/X227 streaming twin): keep
+the host-level edge census current as crawl pages land, and serve both
+the census and the host-PageRank authority table from maintained state
+— so the scheduler's quality prior follows the crawl instead of a
+batch rebuild.
+
+Edge counts are associative sums — the standard maintainer pattern
+(X150/X169/X177/X186):
+
+- ``linkgraph_maintain_batch`` — ``foreachBatch`` body over a
+  (page, html) frame: the batch's (src_host, dst_host, n_links)
+  census via the SAME extract/resolve kernels the batch query uses
+  (functions/text.py:html_extract_links/resolve_link) lands in an
+  idempotent ``batch=<id>`` partition; redelivery overwrites its own
+  partition, at-least-once safe.
+- ``edges_from_state`` / ``pagerank_from_state`` — serving: summed
+  census; PageRank runs the shared integer-exact kernel over the
+  DISTINCT maintained edges, so once the crawl has streamed in both
+  tables are BIT-EQUAL to the batch queries
+  (test_streaming_linkgraph) — the final-state equivalence contract.
+
+Scale shape: state is bounded by DISTINCT host pairs (a million links
+between two hosts are ONE state row); the PageRank serve is
+host-topology-keyed, never page-count-keyed; compaction folds are
+re-sums under the commit-log-safe contract (streaming/compaction.py).
+
+Extension beyond the reference surface (SURVEY §2.7 X226/X227
+streaming twin).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def host_edge_census(pages: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links) from a (page, html) frame — THE
+    kernel shared by the batch census build and the maintainer."""
+    from flink_state_eviction_spark.functions.text import (
+        html_extract_links,
+        resolve_link,
+    )
+    from flink_state_eviction_spark.querydefs.pipeline import _HOST_RE
+
+    links = pages.select(
+        "page", F.explode(html_extract_links(F.col("html"))).alias("href")
+    )
+    resolved = links.select(
+        "page", resolve_link(F.col("page"), F.col("href")).alias("url")
+    ).where(F.col("url").isNotNull())
+    return (
+        resolved.select(
+            F.lower(F.regexp_extract(F.col("page"), _HOST_RE, 1)).alias(
+                "src_host"
+            ),
+            F.lower(F.regexp_extract(F.col("url"), _HOST_RE, 1)).alias(
+                "dst_host"
+            ),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+
+
+def linkgraph_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of census maintenance (module docstring). Call
+    from ``foreachBatch`` forwarding its batch id. ``batch_df`` must
+    carry (page, html)."""
+    host_edge_census(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "edges", f"batch={batch_id}")
+    )
+
+
+def compact_linkgraph_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — counts are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "edges"),
+        through_batch,
+        lambda df: df.groupBy("src_host", "dst_host").agg(
+            F.sum("n_links").cast("long").alias("n_links")
+        ),
+    )
+
+
+def edges_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (src_host, dst_host, n_links) census: counts
+    summed over the batch partitions."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "edges"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").cast("long").alias("n_links"))
+    )
+
+
+def pagerank_from_state(
+    spark: SparkSession, state_dir: str, iters: int = 2
+) -> DataFrame:
+    """Host PageRank from the MAINTAINED census through the shared
+    integer-exact kernel — same output shape as `crawl_host_pagerank`;
+    bit-equal once the crawl has streamed in (PageRank reads DISTINCT
+    edges, and a summed census has exactly the batch build's distinct
+    pairs)."""
+    from flink_state_eviction_spark.operators.pagerank import pagerank
+
+    edges = edges_from_state(spark, state_dir).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return pagerank(edges, iters=iters).select(
+        F.col("node").alias("host"), "rank_micro"
+    )

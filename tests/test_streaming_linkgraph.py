@@ -1,0 +1,101 @@
+"""Streaming link-graph maintainer (X226/X227 twin): the maintained
+edge census and the host PageRank served from it must reproduce the
+batch queries bit-for-bit after the crawl streams in; redelivered
+batches must not change the state; compaction preserves it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.querydefs.pipeline import (
+    _minted_link_pages,
+)
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.linkgraph_maintain import (
+    compact_linkgraph_state,
+    edges_from_state,
+    linkgraph_maintain_batch,
+    pagerank_from_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _pages(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return _minted_link_pages(docs).select(
+        "doc_id", "page", F.col("h").alias("html")
+    )
+
+
+def test_streaming_linkgraph_matches_batch(spark, sf_dir, tmp_path):
+    pages = _pages(spark, sf_dir)
+    stream = as_file_stream(
+        pages, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "lg-state")
+
+    def upd(batch_df, batch_id):
+        linkgraph_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in edges_from_state(spark, state).collect()}
+    want = {
+        tuple(r)
+        for r in all_queries()["host_link_graph"](spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+    pr_got = {
+        tuple(r) for r in pagerank_from_state(spark, state).collect()
+    }
+    pr_want = {
+        tuple(r)
+        for r in all_queries()["crawl_host_pagerank"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert pr_got == pr_want and pr_got
+
+
+def test_linkgraph_redelivery_and_compaction_preserve_state(
+    spark, sf_dir, tmp_path
+):
+    pages = _pages(spark, sf_dir)
+    n = pages.count()
+    ids = sorted(r["doc_id"] for r in pages.select("doc_id").collect())
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, pages.where(F.col("doc_id") < cut1)),
+        (1, pages.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, pages.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "lg-state")
+    for bid, b in batches:
+        linkgraph_maintain_batch(b, state, bid)
+
+    def snapshot():
+        return {tuple(r) for r in edges_from_state(spark, state).collect()}
+
+    once = snapshot()
+    assert once
+    linkgraph_maintain_batch(batches[1][1], state, 1)
+    linkgraph_maintain_batch(batches[1][1], state, 1)
+    assert snapshot() == once
+
+    with pytest.raises(ValueError):
+        compact_linkgraph_state(spark, state, 2)
+    compact_linkgraph_state(spark, state, 1)
+    assert snapshot() == once
+    linkgraph_maintain_batch(batches[2][1], state, 2)
+    assert snapshot() == once
