@@ -668,6 +668,25 @@ def html_extract_links(html: Column) -> Column:
     return F.concat(dq, sq)
 
 
+ANCHOR_RE = '(?i)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def anchor_hrefs(html: Column) -> Column:
+    """The href of every DOUBLE-QUOTED anchor with plain-text content
+    — the documented X228 subset (nested markup inside the anchor and
+    single-quoted hrefs are out of scope here; the full-link kernel is
+    :func:`html_extract_links`). Positionally zipped with
+    :func:`anchor_texts` — same pattern, group 1 vs 2."""
+    return F.regexp_extract_all(html, F.lit(ANCHOR_RE), 1)
+
+
+def anchor_texts(html: Column) -> Column:
+    """The text content of every anchor :func:`anchor_hrefs` matched
+    (group 2 of the same pattern — the arrays zip positionally by
+    construction)."""
+    return F.regexp_extract_all(html, F.lit(ANCHOR_RE), 2)
+
+
 def resolve_link(base: Column, href: Column) -> Column:
     """Resolve an href against its page URL — the RFC 3986 subset a
     link-graph build needs (X226), NULL for unfollowable links:

@@ -8977,6 +8977,36 @@ def frontier_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # model) over host-STRING nodes — the operator never needed numeric
 # ids, only join keys.
 
+def _resolve_case_sql(page: str, href: str) -> str:
+    """The resolve_link CASE chain as DuckDB SQL over ``page``/
+    ``href`` column expressions — ONE resolution mirror shared by the
+    X226 edge oracle and the X228 anchor oracle (the shared-CTE rule;
+    a hand-copied CASE could silently diverge)."""
+    return f"""CASE
+             WHEN {href} = '' OR {href} LIKE '#%' THEN NULL
+             WHEN regexp_matches({href}, '(?i)^https?://') THEN {href}
+             WHEN regexp_matches({href}, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
+                 THEN NULL
+             WHEN {href} LIKE '//%' THEN
+                 regexp_extract({page},
+                     '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) || ':' || {href}
+             WHEN {href} LIKE '/%' THEN
+                 regexp_extract({page},
+                     '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) || {href}
+             ELSE
+                 regexp_extract({page},
+                     '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+                 || CASE WHEN regexp_replace(regexp_extract({page},
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                        '[^/]*$', '') = ''
+                    THEN '/'
+                    ELSE regexp_replace(regexp_extract({page},
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                        '[^/]*$', '') END
+                 || {href}
+           END"""
+
+
 _LINK_MINT_SQL = """
 pages AS (
     SELECT doc_id,
@@ -8984,11 +9014,14 @@ pages AS (
            || CAST(doc_id % 3 AS VARCHAR) || '/page'
            || CAST(doc_id AS VARCHAR) AS page,
            '<a href="https://s' || CAST((doc_id + 1) % 4 AS VARCHAR)
-           || '.example/x' || CAST(doc_id AS VARCHAR) || '">c</a>'
+           || '.example/x' || CAST(doc_id AS VARCHAR)
+           || '">cross link to site ' || CAST((doc_id + 1) % 4 AS VARCHAR)
+           || '</a>'
            || '<a href=''/r/' || CAST(doc_id AS VARCHAR) || '''>r</a>'
            || '<a href="//cdn.example/lib' || CAST(doc_id % 2 AS VARCHAR)
-           || '.js">p</a>'
-           || '<a href="sub/p' || CAST(doc_id AS VARCHAR) || '.html">s</a>'
+           || '.js">shared library asset</a>'
+           || '<a href="sub/p' || CAST(doc_id AS VARCHAR)
+           || '.html">deep page ' || CAST(doc_id % 7 AS VARCHAR) || '</a>'
            || '<a href="mailto:a@b">m</a><a href="#top">f</a>' AS h
     FROM documents
 ),
@@ -9002,29 +9035,7 @@ links AS (
 ),
 res AS (
     SELECT doc_id, page,
-           CASE
-             WHEN href = '' OR href LIKE '#%' THEN NULL
-             WHEN regexp_matches(href, '(?i)^https?://') THEN href
-             WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*:')
-                 THEN NULL
-             WHEN href LIKE '//%' THEN
-                 regexp_extract(page,
-                     '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) || ':' || href
-             WHEN href LIKE '/%' THEN
-                 regexp_extract(page,
-                     '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) || href
-             ELSE
-                 regexp_extract(page,
-                     '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
-                 || CASE WHEN regexp_replace(regexp_extract(page,
-                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-                        '[^/]*$', '') = ''
-                    THEN '/'
-                    ELSE regexp_replace(regexp_extract(page,
-                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-                        '[^/]*$', '') END
-                 || href
-           END AS url
+           {resolve_case} AS url
     FROM links
 ),
 edges AS (
@@ -9034,10 +9045,16 @@ edges AS (
 )"""
 
 
+def _link_mint_sql() -> str:
+    return _LINK_MINT_SQL.replace("{host_re}", _HOST_RE).replace(
+        "{resolve_case}", _resolve_case_sql("page", "href")
+    )
+
+
 def _link_edges_oracle() -> str:
     return (
         "WITH "
-        + _LINK_MINT_SQL.replace("{host_re}", _HOST_RE)
+        + _link_mint_sql()
         + """
 SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
 FROM edges GROUP BY 1, 2
@@ -9049,7 +9066,7 @@ def _host_pagerank_oracle(iters: int = 2) -> str:
     base = 15 * 1_000_000_000_000
     head = (
         "WITH "
-        + _LINK_MINT_SQL.replace("{host_re}", _HOST_RE)
+        + _link_mint_sql()
         + """,
 dedges AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM edges),
 nodes AS (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),
@@ -9096,16 +9113,20 @@ def _minted_link_pages(docs: DataFrame) -> DataFrame:
         ((F.col("doc_id") + 1) % 4).cast("string"),
         F.lit(".example/x"),
         did,
-        F.lit('">c</a>'),
+        F.lit('">cross link to site '),
+        ((F.col("doc_id") + 1) % 4).cast("string"),
+        F.lit("</a>"),
         F.lit("<a href='/r/"),
         did,
         F.lit("'>r</a>"),
         F.lit('<a href="//cdn.example/lib'),
         (F.col("doc_id") % 2).cast("string"),
-        F.lit('.js">p</a>'),
+        F.lit('.js">shared library asset</a>'),
         F.lit('<a href="sub/p'),
         did,
-        F.lit('.html">s</a>'),
+        F.lit('.html">deep page '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</a>"),
         F.lit('<a href="mailto:a@b">m</a><a href="#top">f</a>'),
     )
     return docs.select("doc_id", page.alias("page"), h.alias("h"))
@@ -9138,6 +9159,92 @@ def host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     spam-cluster detection, and per-host fetch priors."""
     docs = load_table(spark, sf_dir, "documents")
     return _minted_edge_census(docs)
+
+
+# X228: anchor-text census — what the web SAYS about each host (the
+# classic off-page relevance signal: anchor words describing the LINK
+# TARGET, aggregated per destination host). Documented subset: double-
+# quoted hrefs with plain-text anchor content (functions/text.py:
+# anchor_hrefs/anchor_texts — one pattern, groups 1 and 2, zipped
+# positionally); resolution and tokenization are the shared X226/X17
+# kernels. DuckDB zips the two unnests positionally in one SELECT —
+# the documented twin of Spark's zip_with.
+
+
+def _anchor_census_oracle() -> str:
+    from flink_state_eviction_spark.functions.text import ANCHOR_RE
+
+    re_sql = ANCHOR_RE  # no quotes/escapes needing SQL doubling
+    return (
+        "WITH "
+        + _link_mint_sql()
+        + f""",
+ap AS (
+    SELECT page,
+           unnest(regexp_extract_all(h, '{re_sql}', 1)) AS href,
+           unnest(regexp_extract_all(h, '{re_sql}', 2)) AS txt
+    FROM pages
+),
+ares AS (
+    SELECT page, txt,
+           {_resolve_case_sql("page", "href")} AS url
+    FROM ap
+),
+tok AS (
+    SELECT lower(regexp_extract(url, '{_HOST_RE}', 1)) AS dst_host,
+           unnest(list_filter(string_split_regex(lower(txt),
+               '[^a-z0-9]+'), t -> t <> '')) AS word
+    FROM ares WHERE url IS NOT NULL
+)
+SELECT dst_host, word, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok GROUP BY 1, 2
+"""
+    )
+
+
+@register_supplementary(
+    "anchor_text_census",
+    _anchor_census_oracle(),
+    tags=("pipeline", "text"),
+)
+def anchor_text_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X228: per-(destination host, anchor word) census over the
+    minted link pages — the off-page description signal a ranker and
+    a spam detector both read (module comment above). Scan-side
+    extract/zip/resolve codegen + one (host, word)-keyed
+    partial+final fold; unfollowable anchors (mailto:, fragments)
+    drop with their text, exactly like the edge census."""
+    from flink_state_eviction_spark.functions.text import (
+        anchor_hrefs,
+        anchor_texts,
+        resolve_link,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = _minted_link_pages(docs)
+    z = F.zip_with(
+        anchor_hrefs(F.col("h")),
+        anchor_texts(F.col("h")),
+        lambda x, y: F.struct(x.alias("href"), y.alias("txt")),
+    )
+    ap = pages.select("page", F.explode(z).alias("p")).select(
+        "page",
+        F.col("p.href").alias("href"),
+        F.col("p.txt").alias("txt"),
+    )
+    res = ap.select(
+        "txt", resolve_link(F.col("page"), F.col("href")).alias("url")
+    ).where(F.col("url").isNotNull())
+    tok = res.select(
+        F.lower(F.regexp_extract(F.col("url"), _HOST_RE, 1)).alias(
+            "dst_host"
+        ),
+        F.explode(tokens(F.col("txt"))).alias("word"),
+    )
+    return tok.groupBy("dst_host", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
 
 
 @register_supplementary(
