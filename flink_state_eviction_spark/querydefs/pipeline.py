@@ -2747,9 +2747,11 @@ def c4_line_stats_frame(
     )
 
 
-def c4_lined_page(docs: DataFrame) -> DataFrame:
+def c4_lined_page(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """Deterministic lined-page synthesis (both engines build the exact
-    same page; see the module comment above)."""
+    same page; see the module comment above). ``extra_cols`` carries
+    passthrough columns (e.g. ``source`` for the per-source boilerplate
+    census, X229)."""
     did = F.col("doc_id")
     lorem = F.when(
         did % 7 == 0, F.lit("Lorem ipsum dolor sit amet consectetur.\n")
@@ -2770,7 +2772,7 @@ def c4_lined_page(docs: DataFrame) -> DataFrame:
         F.lit("."),
     )
     return docs.select(
-        "doc_id", F.concat(lorem, brace, js, body).alias("t0")
+        "doc_id", *extra_cols, F.concat(lorem, brace, js, body).alias("t0")
     )
 
 
@@ -9269,4 +9271,274 @@ def crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank(edges, iters=2).select(
         F.col("node").alias("host"), "rank_micro"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X229/X230: per-source BOILERPLATE line removal (CCNet/RefinedWeb
+# repeated-line stage — Wenzek et al. 2020 dedupe "very common lines
+# such as disclaimers"; Penedo et al. 2023 strip nav/footer lines that
+# repeat across a site's pages). The X202 C4 rules judge each line in
+# ISOLATION; this family is the cross-document complement: a line that
+# appears in >= 5% of a source's documents (and >= 3 documents) is
+# template chrome, not content, and is stripped wherever it occurs.
+# Pages are the SAME deterministic c4_lined_page synthesis X202 uses
+# (the %5/%7/%11 injected lines are genuine cross-doc repeats, so the
+# census finds real boilerplate, not a vacuous empty set). Extension
+# beyond the reference surface.
+#
+# Scale shape: two scans by construction — the census is a barrier
+# (phase 1: distinct-lines-per-doc explode -> one (source, line)
+# exchange; phase 2 re-scans documents and strips). The per-source
+# rules ARRAY is bounded independent of corpus size: each boilerplate
+# line needs >= 5% of the source's docs, so a source has at most
+# 20 x mean-lines-per-doc such lines no matter how many documents it
+# has. The rules FRAME is still |sources|-cardinality (hosts, at crawl
+# scale), so its broadcast is budget-gated on a row probe against
+# BROADCAST_ROW_LIMIT — the robots-gate lesson (sources/warc.py:420),
+# never a forced hint.
+
+BOILER_MIN_DOCS = 3
+BOILER_MIN_PCT = 5
+
+
+def boilerplate_line_counts(docs: DataFrame) -> DataFrame:
+    """Per-(source, line) document-frequency counts over the lined
+    pages — the summable partial the streaming maintainer folds
+    (distinct lines per doc first, so a line repeated WITHIN one page
+    counts that page once). Non-empty lines only: the synthesis's
+    adjacent breaks produce '' lines that are artifacts of splitting,
+    not template text."""
+    lined = c4_lined_page(docs, extra_cols=("source",))
+    arrs = lined.select(
+        "source",
+        F.array_distinct(
+            F.filter(F.split("t0", "\n"), lambda l: l != F.lit(""))
+        ).alias("_dl"),
+    )
+    ex = arrs.select("source", F.explode("_dl").alias("line"))
+    return ex.groupBy("source", "line").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def boilerplate_doc_counts(docs: DataFrame) -> DataFrame:
+    """Per-source document counts (the census denominator; summable)."""
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("src_docs")
+    )
+
+
+def boilerplate_census_from_counts(
+    line_counts: DataFrame,
+    doc_counts: DataFrame,
+    doc_rows: int | None = None,
+) -> DataFrame:
+    """Serving tail shared by the batch query and the streaming
+    maintainer: repeated lines (>= 2 docs) with their per-source doc
+    share and the boilerplate verdict. ``doc_rows`` — row count of
+    ``doc_counts`` (|sources|); ``None`` probes with one count. The
+    denominator join takes a broadcast hint only at or below
+    BROADCAST_ROW_LIMIT — source cardinality is host cardinality at
+    crawl scale (tens of millions), the forced-hint defect class the
+    robots gate fixed this round."""
+    from flink_state_eviction_spark.operators.budget import (
+        BROADCAST_ROW_LIMIT,
+    )
+
+    if doc_rows is None:
+        doc_rows = doc_counts.count()
+    hint = (
+        F.broadcast if doc_rows <= BROADCAST_ROW_LIMIT else (lambda df: df)
+    )
+    repeated = line_counts.where(F.col("n_docs") >= 2)
+    return repeated.join(hint(doc_counts), "source").select(
+        "source",
+        "line",
+        "n_docs",
+        "src_docs",
+        F.expr("(n_docs * 1000000) DIV src_docs")
+        .cast("long")
+        .alias("doc_share_ppm"),
+        (
+            (F.col("n_docs") >= BOILER_MIN_DOCS)
+            & (F.col("n_docs") * 100 >= F.col("src_docs") * BOILER_MIN_PCT)
+        ).alias("is_boiler"),
+    )
+
+
+def boilerplate_rules_from_census(census: DataFrame) -> DataFrame:
+    """Per-source sorted array of boilerplate lines (the strip-join
+    payload; bounded at 20 x mean-lines-per-doc rows per source by the
+    >= 5% threshold — see the module comment)."""
+    return (
+        census.where(F.col("is_boiler"))
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("line")).alias("_bl"))
+    )
+
+
+def boilerplate_strip_frame(
+    lined: DataFrame, rules: DataFrame, rules_rows: int | None = None
+) -> DataFrame:
+    """Strip pass over (doc_id, source, t0) lined pages: drop every
+    line in the source's boilerplate set, preserving order, and report
+    counts + the md5 of the kept page. Left join (a source with no
+    boilerplate keeps every line); the rules broadcast is budget-gated
+    like the census denominator."""
+    from flink_state_eviction_spark.operators.budget import (
+        BROADCAST_ROW_LIMIT,
+    )
+
+    if rules_rows is None:
+        rules_rows = rules.count()
+    hint = (
+        F.broadcast if rules_rows <= BROADCAST_ROW_LIMIT else (lambda df: df)
+    )
+    arrs = lined.select(
+        "doc_id",
+        "source",
+        F.filter(F.split("t0", "\n"), lambda l: l != F.lit("")).alias("_ls"),
+    )
+    joined = arrs.join(hint(rules), "source", "left").select(
+        "doc_id",
+        "source",
+        "_ls",
+        F.coalesce(F.col("_bl"), F.array().cast("array<string>")).alias(
+            "_bl2"
+        ),
+    )
+    kept = joined.select(
+        "doc_id",
+        "source",
+        "_ls",
+        F.filter(
+            "_ls", lambda l: ~F.array_contains(F.col("_bl2"), l)
+        ).alias("_kl"),
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        F.size("_ls").cast("long").alias("n_lines"),
+        (F.size("_ls") - F.size("_kl")).cast("long").alias("n_removed"),
+        F.md5(F.array_join("_kl", "\n")).alias("kept_md5"),
+    )
+
+
+_BOILER_LINED_SQL = """
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'Lorem ipsum dolor sit amet consectetur.' || chr(10)
+                ELSE '' END
+           || CASE WHEN doc_id % 11 = 3
+                THEN 'function f() { return 1; }' || chr(10)
+                ELSE '' END
+           || CASE WHEN doc_id % 5 = 2
+                THEN 'please enable javascript to view this page.' || chr(10)
+                ELSE '' END
+           || replace(replace(text, ' the ', '.' || chr(10)),
+                      ' data ', chr(10)) || '.' AS t0
+    FROM documents
+"""
+
+_BOILER_COUNTS_SQL = """
+nl AS (
+    SELECT doc_id, source,
+           list_filter(string_split(t0, chr(10)), l -> l <> '') AS ls
+    FROM base
+),
+dl AS (
+    SELECT source, unnest(list_distinct(ls)) AS line FROM nl
+),
+lc AS (
+    SELECT source, line, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM dl GROUP BY 1, 2
+),
+sc AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS src_docs
+    FROM documents GROUP BY 1
+)
+"""
+
+_BOILER_CENSUS_ORACLE = (
+    "WITH base AS ("
+    + _BOILER_LINED_SQL
+    + "),\n"
+    + _BOILER_COUNTS_SQL
+    + """
+SELECT lc.source, lc.line, lc.n_docs, sc.src_docs,
+       CAST((lc.n_docs * 1000000) // sc.src_docs AS BIGINT)
+           AS doc_share_ppm,
+       (lc.n_docs >= 3 AND lc.n_docs * 100 >= sc.src_docs * 5)
+           AS is_boiler
+FROM lc JOIN sc USING (source)
+WHERE lc.n_docs >= 2
+"""
+)
+
+_BOILER_STRIP_ORACLE = (
+    "WITH base AS ("
+    + _BOILER_LINED_SQL
+    + "),\n"
+    + _BOILER_COUNTS_SQL
+    + """,
+rules AS (
+    SELECT lc.source, list(lc.line ORDER BY lc.line) AS bl
+    FROM lc JOIN sc USING (source)
+    WHERE lc.n_docs >= 3 AND lc.n_docs * 100 >= sc.src_docs * 5
+    GROUP BY 1
+),
+stripped AS (
+    SELECT nl.doc_id, nl.source, nl.ls,
+           list_filter(
+               nl.ls,
+               l -> NOT list_contains(
+                   COALESCE(rules.bl, CAST([] AS VARCHAR[])), l)
+           ) AS kl
+    FROM nl LEFT JOIN rules ON nl.source = rules.source
+)
+SELECT doc_id, source,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(ls) - len(kl) AS BIGINT) AS n_removed,
+       md5(array_to_string(kl, chr(10))) AS kept_md5
+FROM stripped
+"""
+)
+
+
+@register_supplementary(
+    "boilerplate_line_census", _BOILER_CENSUS_ORACLE, tags=("pipeline", "text")
+)
+def boilerplate_line_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X229: per-source repeated-line census over the lined pages —
+    every line seen in >= 2 documents of a source, with its document
+    frequency, per-source doc share (ppm, integer-exact), and the
+    boilerplate verdict (>= 3 docs AND >= 5% of the source's docs).
+    The cross-document complement of the per-line X202 C4 rules
+    (module comment above; CCNet / RefinedWeb repeated-line removal).
+    One (source, line) exchange + a budget-gated denominator join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_census_from_counts(
+        boilerplate_line_counts(docs), boilerplate_doc_counts(docs)
+    )
+
+
+@register_supplementary(
+    "boilerplate_strip_docs", _BOILER_STRIP_ORACLE, tags=("pipeline", "text")
+)
+def boilerplate_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X230: boilerplate-stripped pages — drop each source's census
+    boilerplate lines (X229) from every page, preserving line order;
+    per page: line counts before/after and the md5 of the kept text.
+    Two documents scans by construction (the census is a barrier); the
+    bounded per-source rules array rides a budget-gated broadcast, so
+    the strip pass itself adds zero exchanges below budget (plan gate
+    in tests/test_plan_quality.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    census = boilerplate_census_from_counts(
+        boilerplate_line_counts(docs), boilerplate_doc_counts(docs)
+    ).localCheckpoint(eager=False)
+    rules = boilerplate_rules_from_census(census)
+    return boilerplate_strip_frame(
+        c4_lined_page(docs, extra_cols=("source",)), rules
     )

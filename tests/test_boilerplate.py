@@ -1,0 +1,126 @@
+"""Crafted-frame pins for the X229/X230 per-source boilerplate family
+(querydefs/pipeline.py: boilerplate_line_counts / census / strip) — the
+census thresholds, within-doc distinctness, per-source scoping, and the
+order-preserving strip are pinned on a hand-built corpus where the
+expected boilerplate set is known exactly (the source_overlap model:
+the sf0.001 parity rows alone could pass vacuously if the synthesis
+stopped producing cross-doc repeats)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.querydefs.pipeline import (
+    boilerplate_census_from_counts,
+    boilerplate_doc_counts,
+    boilerplate_line_counts,
+    boilerplate_rules_from_census,
+    boilerplate_strip_frame,
+)
+
+
+def _docs(spark):
+    # source A: 4 docs; "NAV" in 3/4 (75% -> boiler), "RARE" in 2/4
+    # (repeated but only 2 docs -> NOT boiler: fails the >=3 floor),
+    # body lines unique per doc. ' the ' / ' data ' break points and
+    # the %5/%7/%11 injections are avoided by using doc_ids 1,2,4,8,9
+    # ... wait: %5==2 hits doc 2? doc 2 % 5 == 2 -> javascript line
+    # injected; that's FINE — it lands in only 1 of A's docs so it
+    # never crosses the census floor. Chosen ids keep every injected
+    # line below 3 docs per source.
+    # source B: 3 docs; "NAV" in 1/3 only (per-source scoping: A's
+    # boilerplate must not strip B's single NAV occurrence).
+    rows = [
+        (1, "A", "NAV the alpha body one"),
+        (2, "A", "NAV the beta body two data RARE"),
+        (4, "A", "NAV the gamma body three data RARE"),
+        (8, "A", "delta body four"),
+        (9, "B", "NAV the epsilon body"),
+        (11, "B", "zeta body"),
+        (12, "B", "eta body"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+
+
+def _census(spark):
+    docs = _docs(spark)
+    return boilerplate_census_from_counts(
+        boilerplate_line_counts(docs), boilerplate_doc_counts(docs)
+    )
+
+
+def test_census_thresholds_and_scoping(spark):
+    rows = {
+        (r["source"], r["line"]): r for r in _census(spark).collect()
+    }
+    # "NAV" is the prefix of a ' the '-broken line -> the line is
+    # "NAV." after the break... no: replace(' the ', '.\n') turns
+    # "NAV the alpha..." into "NAV." + newline. So the repeated line
+    # is "NAV.".
+    a_nav = rows[("A", "NAV.")]
+    assert a_nav["n_docs"] == 3 and a_nav["src_docs"] == 4
+    assert a_nav["is_boiler"] is True
+    assert a_nav["doc_share_ppm"] == 750000
+    # RARE appears in 2 docs: in the census (>=2) but below the
+    # >=3-docs floor
+    a_rare = rows[("A", "RARE.")]
+    assert a_rare["n_docs"] == 2 and a_rare["is_boiler"] is False
+    # B's single NAV. occurrence never reaches the census at all
+    assert ("B", "NAV.") not in rows
+    # no body line repeats
+    assert all(
+        k in {("A", "NAV."), ("A", "RARE.")} or not v["is_boiler"]
+        for k, v in rows.items()
+    )
+
+
+def test_strip_preserves_order_and_scopes_by_source(spark):
+    from flink_state_eviction_spark.querydefs.pipeline import c4_lined_page
+
+    docs = _docs(spark)
+    census = _census(spark)
+    rules = boilerplate_rules_from_census(census)
+    lined = c4_lined_page(docs, extra_cols=("source",))
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_strip_frame(lined, rules).collect()
+    }
+    # doc 1 ("NAV the alpha body one" -> lines ["NAV.", "alpha body
+    # one."]): NAV. stripped, body kept
+    assert out[1]["n_lines"] == 2 and out[1]["n_removed"] == 1
+    # doc 8 has no boilerplate lines
+    assert out[8]["n_removed"] == 0
+    # B's NAV. line survives (per-source scoping); doc 9's lines are
+    # ["NAV.", "epsilon body."]
+    assert out[9]["n_lines"] == 2 and out[9]["n_removed"] == 0
+    # md5 is over the ORDER-PRESERVED kept lines: doc 2's kept text
+    # must equal the direct computation
+    import hashlib
+
+    lined2 = {
+        r["doc_id"]: r["t0"] for r in lined.collect()
+    }
+    kept2 = "\n".join(
+        l
+        for l in lined2[2].split("\n")
+        if l != "" and l != "NAV."
+    )
+    assert out[2]["kept_md5"] == hashlib.md5(kept2.encode()).hexdigest()
+    assert out[2]["n_removed"] == 1
+
+
+def test_fixture_census_is_not_vacuous(spark, sf_dir):
+    """The sf fixture really produces boilerplate: the %5-injected
+    javascript line crosses both thresholds in at least one source
+    (guards the synthesis against drifting into a vacuously-empty
+    census, the source_overlap lesson)."""
+    from flink_state_eviction_spark.queries import all_queries
+
+    census = all_queries()["boilerplate_line_census"](spark, sf_dir)
+    js = census.where(
+        F.col("is_boiler")
+        & F.col("line").contains("javascript")
+    )
+    assert js.count() > 0

@@ -1045,3 +1045,58 @@ def test_c4_scorecard_shape(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_boilerplate_broadcasts_are_budget_gated(spark, sf_dir):
+    # X229/X230: both corpus-derived frames (|sources| denominator,
+    # |sources| rules arrays) take broadcast hints only at or below
+    # BROADCAST_ROW_LIMIT — the robots-gate defect class. Above budget
+    # the hints must vanish so Catalyst/AQE picks the join.
+    from flink_state_eviction_spark.operators.budget import (
+        BROADCAST_ROW_LIMIT,
+    )
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        boilerplate_census_from_counts,
+        boilerplate_doc_counts,
+        boilerplate_line_counts,
+        boilerplate_rules_from_census,
+        boilerplate_strip_frame,
+        c4_lined_page,
+    )
+    from flink_state_eviction_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    lc, dc = boilerplate_line_counts(docs), boilerplate_doc_counts(docs)
+
+    def hints(df):
+        return df._jdf.queryExecution().logical().toString().count(
+            "ResolvedHint"
+        )
+
+    small = boilerplate_census_from_counts(
+        lc, dc, doc_rows=BROADCAST_ROW_LIMIT
+    )
+    big = boilerplate_census_from_counts(
+        lc, dc, doc_rows=BROADCAST_ROW_LIMIT + 1
+    )
+    assert hints(small) == 1 and hints(big) == 0
+    rules = boilerplate_rules_from_census(small)
+    lined = c4_lined_page(docs, extra_cols=("source",))
+    s_small = boilerplate_strip_frame(
+        lined, rules, rules_rows=BROADCAST_ROW_LIMIT
+    )
+    s_big = boilerplate_strip_frame(
+        lined, rules, rules_rows=BROADCAST_ROW_LIMIT + 1
+    )
+    # the rules frame embeds the census's own (gated) hint; the strip
+    # join must add exactly one more below budget and none above
+    assert hints(s_small) == 2 and hints(s_big) == 1
+    # the fallback is a plan change, never a semantics change
+    assert sorted(map(tuple, s_small.collect())) == sorted(
+        map(tuple, s_big.collect())
+    )
+    # below budget the strip pass itself is scan + broadcast join +
+    # HOF filters: no extra exchange beyond the census subtree's
+    plan = physical_plan(s_small, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
