@@ -1,0 +1,133 @@
+"""Streaming twin for the per-source boilerplate line census (X229/
+X230, querydefs/pipeline.py): the always-ingesting corpus maintains
+per-(source, line) document-frequency partials and per-source doc
+counts, and both the census (with boilerplate verdicts) and the strip
+gate's per-source rules arrays serve from the maintained state —
+joining the C4 / contamination / robots maintainers so the repeated-
+line filter is always-on as new crawls stream in (a nav template that
+starts repeating across a site's pages becomes strip-worthy without a
+batch recount).
+
+Standard partials pattern (X191/X214 model), two state trees:
+
+- ``boilerplate_maintain_batch`` — ``foreachBatch`` body: the batch's
+  (source, line, n_docs) partials (the SAME ``boilerplate_line_counts``
+  kernel the batch query uses — distinct lines per doc, so a page
+  counts once however often it repeats a line) and its per-source doc
+  counts land in idempotent ``batch=<id>`` partitions; redelivery
+  overwrites its own partition, at-least-once safe. EXACTNESS rests on
+  the corpus-stream contract every count maintainer shares: a document
+  arrives in exactly one batch, so per-batch distinct-per-doc counts
+  sum to the batch-global census.
+- ``census_from_state`` / ``rules_from_state`` — serving through the
+  SAME ``boilerplate_census_from_counts`` / ``_rules_from_census``
+  tails; verdicts are derived only AFTER the final sums, so once the
+  whole corpus has streamed in the census is BIT-EQUAL to the batch
+  `boilerplate_line_census` (tests/test_streaming_boilerplate_maintain).
+
+Scale shape: line state is |distinct (source, line)| rows (the same
+bounded-census argument as the decontam gram state — distinct template
+lines, not line instances); doc state is |sources| rows per batch.
+Compaction folds are re-sums under the commit-log-safe contract
+(streaming/compaction.py). Extension beyond the reference surface
+(twins the batch X229 census).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fold_lines(df: DataFrame) -> DataFrame:
+    return df.groupBy("source", "line").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs")
+    )
+
+
+def _fold_docs(df: DataFrame) -> DataFrame:
+    return df.groupBy("source").agg(
+        F.sum("src_docs").cast("bigint").alias("src_docs")
+    )
+
+
+def boilerplate_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of census maintenance (module docstring). Call
+    from ``foreachBatch`` forwarding its batch id. ``batch_df`` must
+    carry (doc_id, source, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        boilerplate_doc_counts,
+        boilerplate_line_counts,
+    )
+
+    boilerplate_line_counts(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "boiler-lines", f"batch={batch_id}")
+    )
+    boilerplate_doc_counts(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "boiler-docs", f"batch={batch_id}")
+    )
+
+
+def compact_boilerplate_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions in both state
+    trees — partials are summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "boiler-lines"),
+        through_batch,
+        _fold_lines,
+    )
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "boiler-docs"),
+        through_batch,
+        _fold_docs,
+    )
+
+
+def counts_from_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The maintained (line_counts, doc_counts) pair: sums over batch
+    partitions."""
+    lines = _fold_lines(
+        spark.read.parquet(os.path.join(state_dir, "boiler-lines"))
+    )
+    docs = _fold_docs(
+        spark.read.parquet(os.path.join(state_dir, "boiler-docs"))
+    )
+    return lines, docs
+
+
+def census_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The repeated-line census from the MAINTAINED counts through the
+    shared tail — same output shape as `boilerplate_line_census`;
+    bit-equal once the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        boilerplate_census_from_counts,
+    )
+
+    lines, docs = counts_from_state(spark, state_dir)
+    return boilerplate_census_from_counts(lines, docs)
+
+
+def rules_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The strip gate's per-source rules arrays from maintained state
+    (the payload `boilerplate_strip_frame` joins; budget-gated there)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        boilerplate_rules_from_census,
+    )
+
+    return boilerplate_rules_from_census(census_from_state(spark, state_dir))
