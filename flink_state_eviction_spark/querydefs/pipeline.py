@@ -9506,6 +9506,208 @@ FROM stripped
 )
 
 
+# ---------------------------------------------------------------------------
+# X232/X233: Unicode SCRIPT census — the script-level complement of the
+# stopword-based text_langid (X17 family): per document, how many
+# characters belong to each writing system, which script dominates, and
+# whether the page MIXES scripts (>= 2 scripts each holding >= 10% of
+# the letter mass — the homoglyph-spoofing / spam-keyword-stuffing
+# signal langid's stopword tables cannot see; cf. Unicode TR #39
+# mixed-script confusables). The fixture corpus is pure ASCII, so the
+# query injects deterministic non-Latin snippets doc_id-keyed (the
+# text_redact_pii model): Cyrillic and CJK phrases, plus a HOMOGLYPH
+# token ("pаypаl sеcurity" with Cyrillic а/е inside Latin words) that
+# only the mixed-script rule catches. Extension beyond the reference
+# surface.
+#
+# Counting is length-difference over character-class regexp_replace —
+# pure codegen, zero shuffle for the per-doc profile; the ranges are
+# written as LITERAL characters so the Java and RE2 engines see the
+# identical class. Per-source rollup adds one |sources|-bounded fold.
+
+SCRIPT_RANGES = {
+    "latin": "[A-Za-z]",
+    "digit": "[0-9]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "cjk": "[一-鿿]",
+}
+
+# Repetition factors are sized against the fixture's 44-577-char docs
+# so every branch actually fires (fixture medians ~300 chars): rem=1
+# adds ~380 Cyrillic letters (dominant flips to cyrillic on all but
+# the longest pages), rem=2 adds 240 CJK (dominant flips only on
+# short pages — both branches exercised), rem=3 is the homoglyph
+# token "раураl" (Cyrillic р/а/у inside a Latin-script page) whose
+# 250 Cyrillic letters guarantee the >= 10% mixed rule fires at any
+# fixture length while Latin stays >= 10% too.
+_SCRIPT_INJECT_SNIPPETS = (
+    (1, " " + "Привет мир информация " * 20),
+    (2, " " + "数据处理系统 " * 40),
+    (3, " " + "раураl " * 50),
+)
+
+
+def _script_injected_text() -> F.Column:
+    cur = F.col("text")
+    for rem, snip in _SCRIPT_INJECT_SNIPPETS:
+        cur = F.when(
+            F.col("doc_id") % 13 == rem, F.concat(F.col("text"), F.lit(snip))
+        ).otherwise(cur)
+    return cur
+
+
+def script_profile_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level script-census kernel over (doc_id, source, _t) —
+    per-doc class counts, dominant script (ties break latin > cyrillic
+    > cjk, fixed), and the integer-exact mixed-script verdict."""
+    counts = docs.select(
+        "doc_id",
+        "source",
+        F.length("_t").cast("long").alias("n_chars"),
+        *[
+            (F.length("_t") - F.length(F.regexp_replace("_t", pat, "")))
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, pat in SCRIPT_RANGES.items()
+        ],
+    )
+    letters = F.col("n_latin") + F.col("n_cyrillic") + F.col("n_cjk")
+    sig = lambda c: F.when(  # noqa: E731 — local predicate builder
+        (F.col(c) > 0) & (F.col(c) * 10 >= letters), 1
+    ).otherwise(0)
+    dominant = (
+        F.when(letters == 0, F.lit("none"))
+        .when(
+            (F.col("n_latin") >= F.col("n_cyrillic"))
+            & (F.col("n_latin") >= F.col("n_cjk")),
+            F.lit("latin"),
+        )
+        .when(F.col("n_cyrillic") >= F.col("n_cjk"), F.lit("cyrillic"))
+        .otherwise(F.lit("cjk"))
+    )
+    return counts.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "n_latin",
+        "n_digit",
+        "n_cyrillic",
+        "n_cjk",
+        dominant.alias("dominant_script"),
+        (
+            (sig("n_latin") + sig("n_cyrillic") + sig("n_cjk")) >= 2
+        ).alias("is_mixed_script"),
+    )
+
+
+def _script_inject_sql() -> str:
+    cur = "text"
+    for rem, snip in _SCRIPT_INJECT_SNIPPETS:
+        cur = (
+            "CASE WHEN doc_id % 13 = "
+            + str(rem)
+            + " THEN text || '"
+            + snip
+            + "' ELSE "
+            + cur
+            + " END"
+        )
+    return cur
+
+
+def _script_profile_oracle() -> str:
+    count_cols = ",\n           ".join(
+        "CAST(length(t) - length(regexp_replace(t, '"
+        + pat
+        + "', '', 'g')) AS BIGINT) AS n_"
+        + name
+        for name, pat in SCRIPT_RANGES.items()
+    )
+    return (
+        """
+WITH inj AS (
+    SELECT doc_id, source, """
+        + _script_inject_sql()
+        + """ AS t
+    FROM documents
+),
+counts AS (
+    SELECT doc_id, source,
+           CAST(length(t) AS BIGINT) AS n_chars,
+           """
+        + count_cols
+        + """
+    FROM inj
+)
+SELECT doc_id, source, n_chars, n_latin, n_digit, n_cyrillic, n_cjk,
+       CASE WHEN n_latin + n_cyrillic + n_cjk = 0 THEN 'none'
+            WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+            WHEN n_cyrillic >= n_cjk THEN 'cyrillic'
+            ELSE 'cjk' END AS dominant_script,
+       (CASE WHEN n_latin > 0
+               AND n_latin * 10 >= n_latin + n_cyrillic + n_cjk
+             THEN 1 ELSE 0 END
+        + CASE WHEN n_cyrillic > 0
+               AND n_cyrillic * 10 >= n_latin + n_cyrillic + n_cjk
+             THEN 1 ELSE 0 END
+        + CASE WHEN n_cjk > 0
+               AND n_cjk * 10 >= n_latin + n_cyrillic + n_cjk
+             THEN 1 ELSE 0 END) >= 2 AS is_mixed_script
+FROM counts
+"""
+    )
+
+
+@register_supplementary(
+    "text_script_profile", _script_profile_oracle(), tags=("pipeline", "text")
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X232: per-document Unicode script census over the injected
+    corpus (module comment above) — character counts per class
+    (latin / digit / cyrillic / cjk), dominant script with a fixed
+    tie-break, and the integer-exact mixed-script verdict (>= 2
+    scripts each >= 10% of letter mass). Pure codegen length-diff
+    regexp work: one scan, zero exchanges (plan-gated), so at 100 TB
+    it rides the scan like the canonicalize family."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "source", _script_injected_text().alias("_t")
+    )
+    return script_profile_frame(staged)
+
+
+_SOURCE_SCRIPT_ORACLE = (
+    "WITH profile AS ("
+    + _script_profile_oracle()
+    + """)
+SELECT source, dominant_script,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_mixed_script THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_mixed
+FROM profile
+GROUP BY 1, 2
+"""
+)
+
+
+@register_supplementary(
+    "source_script_mix", _SOURCE_SCRIPT_ORACLE, tags=("pipeline", "text")
+)
+def source_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X233: per-(source, dominant script) rollup of the X232 census —
+    doc counts and mixed-script counts, the feed-level observability
+    row (a source whose mixed-script share jumps between crawls
+    started serving homoglyph spam). One |sources x scripts|-bounded
+    fold on top of the scan-shaped profile."""
+    profile = text_script_profile(spark, sf_dir)
+    return profile.groupBy("source", "dominant_script").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_mixed_script"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mixed"),
+    )
+
+
 @register_supplementary(
     "boilerplate_line_census", _BOILER_CENSUS_ORACLE, tags=("pipeline", "text")
 )

@@ -397,6 +397,13 @@ def main() -> None:
             # one edge fold; pagerank over the tiny host graph
             rec["host_link_graph_sec"] = timed(lambda: all_qs["host_link_graph"](spark, d))
             rec["crawl_host_pagerank_sec"] = timed(lambda: all_qs["crawl_host_pagerank"](spark, d))
+        if "r9e" in only:
+            # X229/X230: census = lined synthesis + distinct-per-doc
+            # explode into ONE (source, line) exchange; strip = a
+            # second scan + the budget-gated bounded rules join + HOF
+            # contains filters
+            rec["boilerplate_line_census_sec"] = timed(lambda: all_qs["boilerplate_line_census"](spark, d))
+            rec["boilerplate_strip_docs_sec"] = timed(lambda: all_qs["boilerplate_strip_docs"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path

@@ -1100,3 +1100,17 @@ def test_boilerplate_broadcasts_are_budget_gated(spark, sf_dir):
     plan = physical_plan(s_small, "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_script_profile_scan_only(spark, sf_dir):
+    # X232 is pure codegen length-diff regexp work: one scan, zero
+    # exchanges, no Python; X233 adds exactly one fold exchange
+    df = _q("text_script_profile", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "EvalPython" not in plan, plan
+    roll = _q("source_script_mix", spark, sf_dir)
+    rplan = physical_plan(roll, "simple")
+    assert rplan.count("Exchange") == 1, rplan
+    assert "EvalPython" not in rplan, rplan

@@ -1,0 +1,89 @@
+"""Crafted-frame pins for the X232/X233 Unicode script census
+(querydefs/pipeline.py: script_profile_frame) — class counting, the
+dominant-script tie-break chain (incl. the 'none' branch the ASCII
+fixture never reaches), and the integer-exact >= 10%-of-letters mixed
+rule are pinned on hand-built pages; plus fixture non-vacuity for
+every injected branch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.querydefs.pipeline import (
+    script_profile_frame,
+)
+
+
+def _profile(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, _t string"
+    )
+    return {r["doc_id"]: r for r in script_profile_frame(df).collect()}
+
+
+def test_counts_dominants_and_none_branch(spark):
+    out = _profile(
+        spark,
+        [
+            (1, "s", "abc XYZ 123"),          # latin 6, digit 3
+            (2, "s", "привет МИР"),            # cyrillic 9
+            (3, "s", "数据系统"),                # cjk 4
+            (4, "s", "123 .,!?"),              # no letters -> none
+            (5, "s", "abcd дата"),             # 4 vs 4 tie -> latin
+            (6, "s", "дата 数据系统汉字"),       # cyr 4 vs cjk 6 -> cjk
+        ],
+    )
+    assert (out[1]["n_latin"], out[1]["n_digit"]) == (6, 3)
+    assert out[1]["dominant_script"] == "latin"
+    assert out[2]["n_cyrillic"] == 9
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[3]["n_cjk"] == 4 and out[3]["dominant_script"] == "cjk"
+    assert out[4]["dominant_script"] == "none"
+    assert out[4]["is_mixed_script"] is False
+    # ties break latin > cyrillic > cjk (fixed order)
+    assert out[5]["dominant_script"] == "latin"
+    assert out[6]["dominant_script"] == "cjk"
+    # n_chars counts CHARACTERS, not bytes (multibyte pages)
+    assert out[2]["n_chars"] == 10
+
+
+def test_mixed_rule_integer_boundary(spark):
+    # letters = 20; a script is "significant" iff cls*10 >= letters
+    # AND cls > 0 — exactly 2 of 20 (10%) qualifies, 1 of 20 does not
+    out = _profile(
+        spark,
+        [
+            (1, "s", "aa" * 9 + "дд"),   # latin 18, cyr 2: 2*10 >= 20 -> mixed
+            (2, "s", "a" * 19 + "д"),    # cyr 1: 1*10 < 20 -> not mixed
+            (3, "s", "a" * 18 + "дд"),   # same as 1 written differently
+            (4, "s", "ддд"),             # single script -> never mixed
+        ],
+    )
+    assert out[1]["is_mixed_script"] is True
+    assert out[2]["is_mixed_script"] is False
+    assert out[3]["is_mixed_script"] is True
+    assert out[4]["is_mixed_script"] is False
+
+
+def test_fixture_injection_is_not_vacuous(spark, sf_dir):
+    """Every injected branch fires on the fixture: cyrillic-dominant
+    pages, at least one cjk-dominant page, and homoglyph rows whose
+    MIXED flag is set while the page stays latin-dominant (the signal
+    X232 exists for)."""
+    from flink_state_eviction_spark.queries import all_queries
+
+    prof = all_queries()["text_script_profile"](spark, sf_dir)
+    doms = {
+        r["dominant_script"]
+        for r in prof.select("dominant_script").distinct().collect()
+    }
+    assert {"latin", "cyrillic", "cjk"} <= doms
+    homoglyph_mixed = prof.where(
+        (F.col("doc_id") % 13 == 3)
+        & F.col("is_mixed_script")
+        & (F.col("dominant_script") == "latin")
+    )
+    assert homoglyph_mixed.count() > 0
+    # pure-ASCII rows stay unmixed (no false positives from the base)
+    clean = prof.where(~(F.col("doc_id") % 13).isin(1, 2, 3))
+    assert clean.where(F.col("is_mixed_script")).count() == 0
