@@ -9507,6 +9507,271 @@ FROM stripped
 
 
 # ---------------------------------------------------------------------------
+# X234/X235: URL SPAM features — the lexical URL-quality signal a
+# fetch scheduler reads BEFORE spending a request (the frontier/
+# PageRank family supplies demand and authority; this supplies the
+# cheap negative prior: IP-literal hosts, digit- and hyphen-stuffed
+# domains, subdomain chains, tracker-parameter tails — the classic
+# lexical phishing/spam features, cf. Ma et al. KDD 2009 "Beyond
+# Blacklists"). All-integer features and score, pure codegen regexp /
+# length-diff work over a deterministic minted URL per doc (the X218
+# mint model; mint classes cover clean, IP-host deep-path, hyphen+
+# digit domain, subdomain chain, tracker tail, and non-URL rows).
+# Extension beyond the reference surface.
+#
+# Fixed integer weights (documented contract, shared by both engines):
+#   4*is_ip + 2*max(n_subdomains-2, 0) + n_host_digits
+#   + 2*n_host_hyphens + max(path_depth-3, 0) + max(n_params-2, 0)
+# and is_spammy = score >= 6 — tracker tails alone (score 2) stay
+# below the line; IP hosts, stuffed domains, and subdomain chains
+# clear it.
+
+_URL_SCHEME_AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+_IP_HOST_RE = r"^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$"
+_URL_QUERY_RE = r"\?([^#]*)"
+
+
+def _spam_minted_url() -> F.Column:
+    did = F.col("doc_id").cast("string")
+    return (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("https://news.example/articles/d"), did),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(
+                F.lit("http://192.168.4."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit("/login/verify/account/update/confirm"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(
+                F.lit("https://best-cheap-deals"),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit(".win-prizes-now4u.example/offer"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(
+                F.lit("https://a.b.c.promo.track.example/r?a=1&b=2&c=3&d="),
+                did,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(
+                F.lit("https://shop.example/item?utm_source=x&utm_campaign=y"),
+                F.lit("&click_id="),
+                did,
+                F.lit("&ref=z"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("not a url "), did))
+    )
+
+
+_SPAM_MINT_SQL = r"""
+    SELECT doc_id,
+           CASE doc_id % 6
+                WHEN 0 THEN 'https://news.example/articles/d'
+                            || CAST(doc_id AS VARCHAR)
+                WHEN 1 THEN 'http://192.168.4.'
+                            || CAST(doc_id % 250 AS VARCHAR)
+                            || '/login/verify/account/update/confirm'
+                WHEN 2 THEN 'https://best-cheap-deals'
+                            || CAST(doc_id % 100 AS VARCHAR)
+                            || '.win-prizes-now4u.example/offer'
+                WHEN 3 THEN 'https://a.b.c.promo.track.example/r?a=1&b=2&c=3&d='
+                            || CAST(doc_id AS VARCHAR)
+                WHEN 4 THEN 'https://shop.example/item?utm_source=x&utm_campaign=y'
+                            || '&click_id=' || CAST(doc_id AS VARCHAR)
+                            || '&ref=z'
+                ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+    FROM documents
+"""
+
+
+def url_spam_features_frame(staged: DataFrame) -> DataFrame:
+    """Frame-level kernel over (doc_id, url): all-integer lexical spam
+    features + score (module comment above). Every step is codegen
+    regexp_extract / length-diff — zero exchanges, reusable by a
+    host-census tail or a streaming gate."""
+    hosted = staged.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+        F.regexp_extract(
+            F.regexp_replace("url", _URL_SCHEME_AUTH_RE, ""),
+            r"^[^?#]*",
+            0,
+        ).alias("_path"),
+        F.regexp_extract("url", _URL_QUERY_RE, 1).alias("_query"),
+    )
+    nchars = lambda c, ch: (  # noqa: E731 — local length-diff counter
+        F.length(c) - F.length(F.replace(F.col(c), F.lit(ch)))
+    ).cast("long")
+    feats = hosted.select(
+        "doc_id",
+        "url",
+        "host",
+        F.length("host").cast("long").alias("host_len"),
+        (
+            F.length("host")
+            - F.length(F.regexp_replace("host", "[0-9]", ""))
+        )
+        .cast("long")
+        .alias("n_host_digits"),
+        nchars("host", ".").alias("n_subdomains"),
+        nchars("host", "-").alias("n_host_hyphens"),
+        F.col("host").rlike(_IP_HOST_RE).alias("is_ip_host"),
+        nchars("_path", "/").alias("path_depth"),
+        F.when(F.col("_query") == "", F.lit(0).cast("long"))
+        .otherwise(nchars("_query", "&") + 1)
+        .alias("n_params"),
+    )
+    score = (
+        F.when(F.col("is_ip_host"), 4).otherwise(0)
+        + F.greatest(F.col("n_subdomains") - 2, F.lit(0)) * 2
+        + F.col("n_host_digits")
+        + F.col("n_host_hyphens") * 2
+        + F.greatest(F.col("path_depth") - 3, F.lit(0))
+        + F.greatest(F.col("n_params") - 2, F.lit(0))
+    ).cast("long")
+    return feats.select(
+        "doc_id",
+        "host",
+        "host_len",
+        "n_host_digits",
+        "n_subdomains",
+        "n_host_hyphens",
+        "is_ip_host",
+        "path_depth",
+        "n_params",
+        score.alias("spam_score"),
+        (score >= 6).alias("is_spammy"),
+    )
+
+
+_URL_SPAM_FEATURES_SQL = (
+    r"""
+hosted AS (
+    SELECT doc_id, url,
+           regexp_extract(url, '"""
+    + _HOST_RE
+    + r"""', 1) AS host,
+           regexp_extract(regexp_replace(url, '"""
+    + _URL_SCHEME_AUTH_RE
+    + r"""', ''), '^[^?#]*', 0) AS p,
+           regexp_extract(url, '\?([^#]*)', 1) AS q
+    FROM base
+),
+feats AS (
+    SELECT doc_id, url, host,
+           CAST(length(host) AS BIGINT) AS host_len,
+           CAST(length(host)
+                - length(regexp_replace(host, '[0-9]', '', 'g'))
+               AS BIGINT) AS n_host_digits,
+           CAST(length(host) - length(replace(host, '.', ''))
+               AS BIGINT) AS n_subdomains,
+           CAST(length(host) - length(replace(host, '-', ''))
+               AS BIGINT) AS n_host_hyphens,
+           regexp_matches(host, '"""
+    + _IP_HOST_RE
+    + r"""') AS is_ip_host,
+           CAST(length(p) - length(replace(p, '/', ''))
+               AS BIGINT) AS path_depth,
+           CASE WHEN q = '' THEN CAST(0 AS BIGINT)
+                ELSE CAST(length(q) - length(replace(q, '&', '')) + 1
+                          AS BIGINT) END AS n_params
+    FROM hosted
+),
+scored AS (
+    SELECT *,
+           CAST(CASE WHEN is_ip_host THEN 4 ELSE 0 END
+                + GREATEST(n_subdomains - 2, 0) * 2
+                + n_host_digits
+                + n_host_hyphens * 2
+                + GREATEST(path_depth - 3, 0)
+                + GREATEST(n_params - 2, 0) AS BIGINT) AS spam_score
+    FROM feats
+)
+"""
+)
+
+_URL_SPAM_ORACLE = (
+    "WITH base AS ("
+    + _SPAM_MINT_SQL
+    + "),"
+    + _URL_SPAM_FEATURES_SQL
+    + """
+SELECT doc_id, host, host_len, n_host_digits, n_subdomains,
+       n_host_hyphens, is_ip_host, path_depth, n_params, spam_score,
+       spam_score >= 6 AS is_spammy
+FROM scored
+"""
+)
+
+
+@register_supplementary(
+    "url_spam_features", _URL_SPAM_ORACLE, tags=("pipeline", "text")
+)
+def url_spam_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X234: lexical URL spam features over the minted crawl URLs —
+    all-integer host/path/query features, the fixed-weight spam score,
+    and the >= 6 verdict (module comment above). Pure codegen: one
+    scan, zero exchanges (plan-gated); at 100 TB this is a free rider
+    on the frontier's canonicalization scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", _spam_minted_url().alias("url"))
+    return url_spam_features_frame(staged)
+
+
+_HOST_SPAM_ORACLE = (
+    "WITH base AS ("
+    + _SPAM_MINT_SQL
+    + "),"
+    + _URL_SPAM_FEATURES_SQL
+    + """
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(spam_score) AS BIGINT) AS total_score,
+       CAST(MAX(spam_score) AS BIGINT) AS max_score,
+       CAST((SUM(CASE WHEN spam_score >= 6 THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS spam_share_ppm
+FROM scored
+GROUP BY 1
+"""
+)
+
+
+@register_supplementary(
+    "host_spam_census", _HOST_SPAM_ORACLE, tags=("pipeline", "text")
+)
+def host_spam_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X235: per-host rollup of the X234 features — URL counts, total/
+    max score, and the integer-exact spammy share (ppm): the host-level
+    negative prior a scheduler combines with the X227 PageRank
+    authority signal when ranking fetch candidates. One host-keyed
+    partial+final fold over the scan-shaped feature pass."""
+    feats = url_spam_features(spark, sf_dir)
+    return feats.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum("spam_score").cast("long").alias("total_score"),
+        F.max("spam_score").cast("long").alias("max_score"),
+        F.expr(
+            "(sum(CASE WHEN spam_score >= 6 THEN 1 ELSE 0 END) * 1000000)"
+            " DIV count(*)"
+        )
+        .cast("long")
+        .alias("spam_share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X232/X233: Unicode SCRIPT census — the script-level complement of the
 # stopword-based text_langid (X17 family): per document, how many
 # characters belong to each writing system, which script dominates, and

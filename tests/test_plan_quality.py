@@ -1114,3 +1114,17 @@ def test_script_profile_scan_only(spark, sf_dir):
     rplan = physical_plan(roll, "simple")
     assert rplan.count("Exchange") == 1, rplan
     assert "EvalPython" not in rplan, rplan
+
+
+def test_url_spam_scan_only(spark, sf_dir):
+    # X234 is pure codegen regexp/length-diff: one scan, zero
+    # exchanges, no Python; the X235 census adds one host fold
+    df = _q("url_spam_features", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "EvalPython" not in plan, plan
+    census = _q("host_spam_census", spark, sf_dir)
+    cplan = physical_plan(census, "simple")
+    assert cplan.count("Exchange") == 1, cplan
+    assert "EvalPython" not in cplan, cplan

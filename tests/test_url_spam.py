@@ -1,0 +1,72 @@
+"""Crafted-frame pins for the X234/X235 URL spam features
+(querydefs/pipeline.py: url_spam_features_frame) — feature extraction,
+the fixed-weight score, the >= 6 verdict line, and non-URL handling
+are pinned on hand-built URLs with hand-computed feature vectors."""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark.querydefs.pipeline import (
+    url_spam_features_frame,
+)
+
+
+def _feats(spark, urls):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id bigint, url string"
+    )
+    return {
+        r["doc_id"]: r for r in url_spam_features_frame(df).collect()
+    }
+
+
+def test_feature_extraction_hand_computed(spark):
+    out = _feats(
+        spark,
+        [
+            "https://news.example/articles/d7",          # 0: clean
+            "http://10.2.3.4/a/b/c/d/e",                  # 1: IP, deep
+            "https://win-big-now7.example/x?p=1&q=2&r=3",  # 2: stuffed
+            "not a url at all",                           # 3
+            "https://shop.example/item?",                 # 4: empty query
+            "http://user:pw@Host.Example:8080/p?a=1#f",    # 5: userinfo+port
+        ],
+    )
+    clean = out[0]
+    assert (clean["host"], clean["spam_score"]) == ("news.example", 0)
+    assert clean["is_spammy"] is False and clean["path_depth"] == 2
+    ip = out[1]
+    # host 10.2.3.4: ip(4) + digits 5 + dots->max(3-2,0)*2=2 +
+    # path_depth 5 -> max(5-3,0)=2 => 13
+    assert ip["is_ip_host"] is True and ip["n_host_digits"] == 5
+    assert ip["spam_score"] == 13 and ip["is_spammy"] is True
+    st = out[2]
+    # win-big-now7.example: digits 1 + hyphens 2*2=4 + params max(3-2)=1
+    assert (st["n_host_hyphens"], st["n_params"]) == (2, 3)
+    assert st["spam_score"] == 6 and st["is_spammy"] is True  # boundary
+    non = out[3]
+    assert non["host"] == "" and non["spam_score"] == 0
+    assert non["path_depth"] == 0 and non["n_params"] == 0
+    assert out[4]["n_params"] == 0  # '?' with empty query
+    # host regexp takes userinfo off and stops at the port
+    assert out[5]["host"] == "Host.Example"
+
+
+def test_fixture_split_is_not_vacuous(spark, sf_dir):
+    """The mint exercises both sides of the verdict line and the census
+    aggregates real multi-URL hosts."""
+    from flink_state_eviction_spark.queries import all_queries
+
+    feats = all_queries()["url_spam_features"](spark, sf_dir)
+    by_flag = {
+        r["is_spammy"]: r["n"]
+        for r in feats.groupBy("is_spammy").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert by_flag.get(True, 0) > 0 and by_flag.get(False, 0) > 0
+    census = all_queries()["host_spam_census"](spark, sf_dir)
+    rows = {r["host"]: r for r in census.collect()}
+    tracker = rows["shop.example"]
+    assert tracker["n_urls"] > 1 and tracker["spam_share_ppm"] == 0
+    chain = rows["a.b.c.promo.track.example"]
+    assert chain["spam_share_ppm"] == 1000000
