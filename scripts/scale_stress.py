@@ -404,6 +404,13 @@ def main() -> None:
             # contains filters
             rec["boilerplate_line_census_sec"] = timed(lambda: all_qs["boilerplate_line_census"](spark, d))
             rec["boilerplate_strip_docs_sec"] = timed(lambda: all_qs["boilerplate_strip_docs"](spark, d))
+        if "r9f" in only:
+            # X232/X234 scan-only codegen regexp passes + their
+            # |sources|/|hosts|-bounded census folds
+            rec["text_script_profile_sec"] = timed(lambda: all_qs["text_script_profile"](spark, d))
+            rec["source_script_mix_sec"] = timed(lambda: all_qs["source_script_mix"](spark, d))
+            rec["url_spam_features_sec"] = timed(lambda: all_qs["url_spam_features"](spark, d))
+            rec["host_spam_census_sec"] = timed(lambda: all_qs["host_spam_census"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path
