@@ -10009,3 +10009,419 @@ def boilerplate_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_strip_frame(
         c4_lined_page(docs, extra_cols=("source",)), rules
     )
+
+
+# ---------------------------------------------------------------------------
+# X236-X238: code-document detection — the routing stage a mixed
+# prose/code pretraining pipeline needs BEFORE prose quality filters
+# run (Gopher/C4 rules mis-score source code; The Stack applies its own
+# file filters instead). Per document: line-shape statistics, The
+# Stack's published file-filter verdict (Kocetkov et al. 2022 "The
+# Stack", §2.2 / Allal et al. 2023 SantaCoder preprocessing: drop when
+# max line length > 1000, mean line length > 100, or alphanumeric
+# fraction < 0.25), a code-likeness verdict from brace/semicolon
+# density and indented-line share, plus a per-source census and a
+# keyword-marker language guess. Extension beyond the reference
+# surface.
+#
+# The fixture corpus is single-line prose, so the query injects
+# deterministic code snippets doc_id-keyed (the text_redact_pii
+# model): a C function (braces + semicolons), a Python function
+# (indentation, no braces), a minified-JS one-liner (> 1000 chars —
+# fires The Stack's max-line rule), and a punctuation soup (fires the
+# alnum rule). All counting is length-difference / regexp-count
+# codegen riding the scan; the only higher-order expression is the
+# per-line length max over the projected line array (bounded by
+# lines-per-doc, far below the ~1 ms/doc interpreted string-HOF class
+# the Arrow rule exists for).
+
+_CODE_C_SNIPPET = (
+    "int main(void) {\n"
+    "    int acc = 0;\n"
+    "    for (int i = 0; i < 64; i = i + 1) {\n"
+    "        acc = acc + i * i;\n"
+    "    }\n"
+    "    return acc;\n"
+    "}"
+)
+
+_CODE_PY_SNIPPET = (
+    "import math\n"
+    "def poly(xs):\n"
+    "    total = 0\n"
+    "    for x in xs:\n"
+    "        total = total + x * x\n"
+    "    return total"
+)
+
+# single line > 1000 chars with 100 'var ' markers and semicolons
+_CODE_JS_SNIPPET = "".join(f"var a{i}={i};" for i in range(100))
+
+_CODE_SOUP_SNIPPET = "+=*/-<>!&|^%$#@~?:.,(){}[];" * 60
+
+# (doc_id % 17 remainder, snippet prefixed with a newline so line
+# statistics see the snippet's real line structure)
+_CODE_INJECT_SNIPPETS = (
+    (1, "\n" + ("\n".join([_CODE_C_SNIPPET] * 6))),
+    (2, "\n" + ("\n".join([_CODE_PY_SNIPPET] * 6))),
+    (3, "\n" + _CODE_JS_SNIPPET),
+    (4, "\n" + _CODE_SOUP_SNIPPET),
+)
+
+# The Stack file-filter thresholds (integer-exact encodings: mean line
+# length is carried as x100, alnum fraction as ppm)
+STACK_MAX_LINE_LEN = 1000
+STACK_MEAN_LINE_X100 = 100 * 100
+STACK_ALNUM_MIN_PPM = 250_000
+
+# code-likeness verdict line: >= 15 braces+semicolons per 1000 chars,
+# OR >= 2 indented lines making up >= 20% of all lines
+CODE_PUNCT_PER_KCHAR = 15
+
+# keyword markers per language family (literal substrings; counts via
+# exact length-difference replace, so each hit is unambiguous)
+CODE_LANG_MARKERS = {
+    "py": ("def ", "import "),
+    "c": ("#include", "int "),
+    "js": ("function ", "var "),
+}
+
+
+def _code_injected_text() -> F.Column:
+    cur = F.coalesce(F.col("text"), F.lit(""))
+    for rem, snip in _CODE_INJECT_SNIPPETS:
+        cur = F.when(
+            F.col("doc_id") % 17 == rem,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(snip)),
+        ).otherwise(cur)
+    return cur
+
+
+def _code_injected_docs(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", "source", _code_injected_text().alias("_t")
+    )
+
+
+def code_profile_frame(
+    staged: DataFrame, with_markers: bool = False
+) -> DataFrame:
+    """Frame-level code-lexical kernel over (doc_id, source, _t):
+    line-shape stats, The Stack file-filter verdict, and the
+    code-likeness verdict (module comment above). `with_markers` adds
+    the per-language keyword-marker counts the language guess reads."""
+    marker_cols = []
+    if with_markers:
+        for fam, markers in CODE_LANG_MARKERS.items():
+            n = None
+            for m in markers:
+                cnt = (
+                    F.length("_t") - F.length(F.replace("_t", F.lit(m)))
+                ) / len(m)
+                n = cnt if n is None else n + cnt
+            marker_cols.append(n.cast("long").alias(f"n_{fam}_markers"))
+    counts = staged.select(
+        "doc_id",
+        "source",
+        F.length("_t").cast("long").alias("n_chars"),
+        F.size(F.split("_t", "\n")).cast("long").alias("n_lines"),
+        F.array_max(
+            F.transform(F.split("_t", "\n"), lambda x: F.length(x))
+        )
+        .cast("long")
+        .alias("max_line_len"),
+        (
+            F.length("_t")
+            - F.length(F.regexp_replace("_t", "[A-Za-z0-9]", ""))
+        )
+        .cast("long")
+        .alias("n_alnum"),
+        (F.length("_t") - F.length(F.regexp_replace("_t", "[{}]", "")))
+        .cast("long")
+        .alias("n_braces"),
+        (F.length("_t") - F.length(F.regexp_replace("_t", "[;]", "")))
+        .cast("long")
+        .alias("n_semis"),
+        F.regexp_count("_t", F.lit("(?:^|\n)[\t ]"))
+        .cast("long")
+        .alias("n_indent_lines"),
+        *marker_cols,
+    )
+    derived = counts.withColumns(
+        {
+            "mean_line_len_x100": F.expr(
+                "(n_chars - n_lines + 1) * 100 div n_lines"
+            ),
+            "alnum_ppm": F.expr(
+                "n_alnum * 1000000 div greatest(n_chars, 1)"
+            ),
+            "code_punct_per_kchar": F.expr(
+                "(n_braces + n_semis) * 1000 div greatest(n_chars, 1)"
+            ),
+        }
+    )
+    return derived.withColumns(
+        {
+            "is_code": (
+                F.col("code_punct_per_kchar") >= CODE_PUNCT_PER_KCHAR
+            )
+            | (
+                (F.col("n_indent_lines") >= 2)
+                & (F.col("n_indent_lines") * 5 >= F.col("n_lines"))
+            ),
+            "stack_keep": ~(
+                (F.col("max_line_len") > STACK_MAX_LINE_LEN)
+                | (F.col("mean_line_len_x100") > STACK_MEAN_LINE_X100)
+                | (F.col("alnum_ppm") < STACK_ALNUM_MIN_PPM)
+            ),
+        }
+    )
+
+
+_CODE_PROFILE_COLS = (
+    "doc_id",
+    "source",
+    "n_chars",
+    "n_lines",
+    "max_line_len",
+    "mean_line_len_x100",
+    "alnum_ppm",
+    "n_braces",
+    "n_semis",
+    "n_indent_lines",
+    "code_punct_per_kchar",
+    "is_code",
+    "stack_keep",
+)
+
+
+def _sql_snip(snippet: str) -> str:
+    """Embed a (quote-free) multi-line snippet as a DuckDB string
+    expression — newlines spliced via chr(10), never raw escapes (the
+    round-9 octal-escape rule)."""
+    assert "'" not in snippet and "\\" not in snippet
+    return "'" + snippet.replace("\n", "' || chr(10) || '") + "'"
+
+
+def _code_inject_sql() -> str:
+    cur = "coalesce(text, '')"
+    for rem, snip in _CODE_INJECT_SNIPPETS:
+        cur = (
+            "CASE WHEN doc_id % 17 = "
+            + str(rem)
+            + " THEN coalesce(text, '') || "
+            + _sql_snip(snip)
+            + " ELSE "
+            + cur
+            + " END"
+        )
+    return cur
+
+
+def _code_profile_oracle(with_markers: bool = False) -> str:
+    marker_sql = ""
+    if with_markers:
+        parts = []
+        for fam, markers in CODE_LANG_MARKERS.items():
+            terms = " + ".join(
+                f"(length(t) - length(replace(t, '{m}', ''))) // {len(m)}"
+                for m in markers
+            )
+            parts.append(f"CAST({terms} AS BIGINT) AS n_{fam}_markers")
+        marker_sql = ",\n           " + ",\n           ".join(parts)
+    indent_pat = "'(?:^|' || chr(10) || ')[' || chr(9) || ' ]'"
+    return (
+        """
+WITH inj AS (
+    SELECT doc_id, source, """
+        + _code_inject_sql()
+        + """ AS t
+    FROM documents
+),
+counts AS (
+    SELECT doc_id, source,
+           CAST(length(t) AS BIGINT) AS n_chars,
+           CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+           CAST(list_max(list_transform(string_split(t, chr(10)),
+                                        x -> length(x))) AS BIGINT)
+               AS max_line_len,
+           CAST(length(t) - length(regexp_replace(t, '[A-Za-z0-9]',
+                                                  '', 'g')) AS BIGINT)
+               AS n_alnum,
+           CAST(length(t) - length(regexp_replace(t, '[{}]', '', 'g'))
+               AS BIGINT) AS n_braces,
+           CAST(length(t) - length(regexp_replace(t, '[;]', '', 'g'))
+               AS BIGINT) AS n_semis,
+           CAST(len(regexp_extract_all(t, """
+        + indent_pat
+        + """))
+               AS BIGINT) AS n_indent_lines"""
+        + marker_sql
+        + """
+    FROM inj
+),
+derived AS (
+    SELECT *,
+           (n_chars - n_lines + 1) * 100 // n_lines
+               AS mean_line_len_x100,
+           n_alnum * 1000000 // greatest(n_chars, 1) AS alnum_ppm,
+           (n_braces + n_semis) * 1000 // greatest(n_chars, 1)
+               AS code_punct_per_kchar
+    FROM counts
+)
+SELECT *,
+       (code_punct_per_kchar >= """
+        + str(CODE_PUNCT_PER_KCHAR)
+        + """
+        OR (n_indent_lines >= 2 AND n_indent_lines * 5 >= n_lines))
+           AS is_code,
+       NOT (max_line_len > """
+        + str(STACK_MAX_LINE_LEN)
+        + """
+            OR mean_line_len_x100 > """
+        + str(STACK_MEAN_LINE_X100)
+        + """
+            OR alnum_ppm < """
+        + str(STACK_ALNUM_MIN_PPM)
+        + """)
+           AS stack_keep
+FROM derived
+"""
+    )
+
+
+_CODE_PROFILE_SELECT = ", ".join(_CODE_PROFILE_COLS)
+
+
+@register_supplementary(
+    "code_lexical_profile",
+    "SELECT "
+    + _CODE_PROFILE_SELECT
+    + " FROM ("
+    + _code_profile_oracle()
+    + ")",
+    tags=("pipeline", "text"),
+)
+def code_lexical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X236: per-document code-lexical profile over the injected corpus
+    (module comment above) — line-shape statistics, The Stack's
+    published file-filter verdict (Kocetkov et al. 2022: max line >
+    1000 / mean line > 100 / alnum fraction < 0.25 drop), and the
+    brace-semicolon/indentation code-likeness verdict. One scan, zero
+    exchanges (plan-gated); the line-length max is the only
+    higher-order expression and is bounded by lines-per-doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = _code_injected_docs(docs)
+    return code_profile_frame(staged).select(*_CODE_PROFILE_COLS)
+
+
+_SOURCE_CODE_ORACLE = (
+    "WITH profile AS (SELECT "
+    + _CODE_PROFILE_SELECT
+    + " FROM ("
+    + _code_profile_oracle()
+    + """))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_code,
+       CAST(SUM(CASE WHEN is_code AND NOT stack_keep THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_code_stack_drop,
+       CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS code_share_ppm
+FROM profile
+GROUP BY source
+"""
+)
+
+
+@register_supplementary(
+    "source_code_census", _SOURCE_CODE_ORACLE, tags=("pipeline", "text")
+)
+def source_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X237: per-source code-share census over the X236 profile — doc
+    count, code-doc count, code docs The Stack filters would drop, and
+    the integer-exact code share in ppm. The routing observability row:
+    a prose feed whose code share jumps needs its quality gates
+    re-routed. One |sources|-bounded fold on the scan-shaped profile."""
+    profile = code_lexical_profile(spark, sf_dir)
+    return profile.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_code"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_code"),
+        F.sum(
+            F.when(F.col("is_code") & ~F.col("stack_keep"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_code_stack_drop"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("code_share_ppm"),
+    )
+
+
+_CODE_LANG_ORACLE = (
+    "WITH profile AS ("
+    + _code_profile_oracle(with_markers=True)
+    + """)
+SELECT doc_id, source, n_py_markers, n_c_markers, n_js_markers,
+       CASE WHEN n_py_markers + n_c_markers + n_js_markers = 0
+                THEN 'unknown'
+            WHEN n_py_markers >= n_c_markers
+                 AND n_py_markers >= n_js_markers THEN 'python'
+            WHEN n_c_markers >= n_js_markers THEN 'c'
+            ELSE 'js' END AS lang_guess
+FROM profile
+WHERE is_code
+"""
+)
+
+
+@register_supplementary(
+    "code_language_guess", _CODE_LANG_ORACLE, tags=("pipeline", "text")
+)
+def code_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X238: keyword-marker language guess for the X236 code documents
+    — exact literal-marker counts per language family (def/import,
+    #include/int, function/var via length-difference replace) and the
+    argmax verdict with the fixed python > c > js tie-break; all-zero
+    marker rows stay 'unknown' (the punctuation-soup branch). Same
+    one-scan shape as the profile — the markers ride the identical
+    projection, so routing code docs to a per-language tokenizer costs
+    no second pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return code_language_frame(_code_injected_docs(docs))
+
+
+def code_language_frame(staged: DataFrame) -> DataFrame:
+    """Frame-level language-guess kernel over (doc_id, source, _t):
+    the X238 marker counts + argmax verdict, restricted to is_code
+    rows of the X236 profile (shared with the registered query and
+    the crafted-frame pins)."""
+    profile = code_profile_frame(staged, with_markers=True)
+    guess = (
+        F.when(
+            F.col("n_py_markers")
+            + F.col("n_c_markers")
+            + F.col("n_js_markers")
+            == 0,
+            F.lit("unknown"),
+        )
+        .when(
+            (F.col("n_py_markers") >= F.col("n_c_markers"))
+            & (F.col("n_py_markers") >= F.col("n_js_markers")),
+            F.lit("python"),
+        )
+        .when(F.col("n_c_markers") >= F.col("n_js_markers"), F.lit("c"))
+        .otherwise(F.lit("js"))
+    )
+    return profile.filter(F.col("is_code")).select(
+        "doc_id",
+        "source",
+        "n_py_markers",
+        "n_c_markers",
+        "n_js_markers",
+        guess.alias("lang_guess"),
+    )

@@ -1,0 +1,121 @@
+"""Crafted-frame pins for the X236-X238 code-document detection family
+(querydefs/pipeline.py: code_profile_frame / code_language_frame) —
+line-shape statistics, The Stack file-filter verdict (Kocetkov et al.
+2022), the code-likeness verdict, and the keyword language guess are
+pinned on hand-built documents with hand-computed expectations."""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark.querydefs.pipeline import (
+    code_language_frame,
+    code_profile_frame,
+)
+
+_C_DOC = "int f() {\n  return 1;\n}"
+_MINIFIED = "x=1;" * 300  # one 1200-char line
+_INDENTED = "  alpha\n  beta\n  gamma"
+
+
+def _profiles(spark, texts):
+    df = spark.createDataFrame(
+        [(i, "src", t) for i, t in enumerate(texts)],
+        "doc_id bigint, source string, _t string",
+    )
+    return {r["doc_id"]: r for r in code_profile_frame(df).collect()}
+
+
+def test_profile_hand_computed(spark):
+    out = _profiles(
+        spark, ["hello world", _C_DOC, _MINIFIED, _INDENTED, ""]
+    )
+    prose = out[0]
+    assert prose["n_lines"] == 1 and prose["max_line_len"] == 11
+    assert prose["alnum_ppm"] == 10 * 1_000_000 // 11
+    assert prose["is_code"] is False and prose["stack_keep"] is True
+
+    c = out[1]
+    n = len(_C_DOC)
+    assert c["n_lines"] == 3 and c["n_braces"] == 2 and c["n_semis"] == 1
+    assert c["n_indent_lines"] == 1
+    assert c["code_punct_per_kchar"] == 3 * 1000 // n
+    assert c["is_code"] is True  # punct rule (130 >= 15)
+    assert c["stack_keep"] is True
+
+    minified = out[2]
+    assert minified["max_line_len"] == 1200
+    assert minified["is_code"] is True  # 250 semis/kchar
+    assert minified["stack_keep"] is False  # max-line rule
+
+    ind = out[3]
+    # three indented lines of three: indent rule, zero punct
+    assert ind["n_indent_lines"] == 3 and ind["n_lines"] == 3
+    assert ind["code_punct_per_kchar"] == 0 and ind["is_code"] is True
+
+    empty = out[4]
+    assert empty["n_chars"] == 0 and empty["n_lines"] == 1
+    assert empty["max_line_len"] == 0 and empty["is_code"] is False
+    assert empty["stack_keep"] is False  # alnum 0 < 25%
+
+
+def test_stack_mean_line_rule(spark):
+    # 2 lines, 150 chars each -> mean 150 > 100 fires; 2 x 50 passes
+    long2 = ("a" * 150) + "\n" + ("b" * 150)
+    short2 = ("a" * 50) + "\n" + ("b" * 50)
+    out = _profiles(spark, [long2, short2])
+    assert out[0]["mean_line_len_x100"] == 15000
+    assert out[0]["stack_keep"] is False
+    assert out[1]["mean_line_len_x100"] == 5000
+    assert out[1]["stack_keep"] is True
+
+
+def test_language_guess_hand_computed(spark):
+    texts = [
+        "def f():;;\n import os",           # py=2 -> python
+        "#include <x.h>\nint y;;;",          # c=2  -> c
+        "var a=1;function b(){};;",          # js=2 -> js
+        "def x;;; \nvar y;;;",               # py=1, js=1 tie -> python
+        "{};;;;;;",                          # markers 0 -> unknown
+        "plain prose, no code here at all",  # not code -> filtered out
+    ]
+    df = spark.createDataFrame(
+        [(i, "src", t) for i, t in enumerate(texts)],
+        "doc_id bigint, source string, _t string",
+    )
+    rows = {r["doc_id"]: r for r in code_language_frame(df).collect()}
+    assert 5 not in rows  # prose never reaches the guess
+    assert rows[0]["lang_guess"] == "python"
+    assert rows[1]["lang_guess"] == "c"
+    assert (rows[1]["n_c_markers"], rows[1]["n_py_markers"]) == (2, 0)
+    assert rows[2]["lang_guess"] == "js"
+    assert rows[3]["lang_guess"] == "python"  # tie-break
+    assert rows[4]["lang_guess"] == "unknown"
+
+
+def test_fixture_split_is_not_vacuous(spark, sf_dir):
+    """Every injected branch fires on the fixture: all four code
+    classes present, both stack verdicts among code docs, and all four
+    language-guess outcomes."""
+    from flink_state_eviction_spark.queries import all_queries
+
+    profile = all_queries()["code_lexical_profile"](spark, sf_dir)
+    flags = {
+        (r["is_code"], r["stack_keep"]): r["n"]
+        for r in profile.groupBy("is_code", "stack_keep")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert flags.get((True, True), 0) > 0     # C / py snippets
+    assert flags.get((True, False), 0) > 0    # minified / soup
+    assert flags.get((False, True), 0) > 0    # short prose
+    guesses = {
+        r["lang_guess"]
+        for r in all_queries()["code_language_guess"](spark, sf_dir)
+        .select("lang_guess")
+        .distinct()
+        .collect()
+    }
+    assert guesses == {"python", "c", "js", "unknown"}
+    census = all_queries()["source_code_census"](spark, sf_dir)
+    one = census.collect()[0]
+    assert one["n_docs"] > 0 and "code_share_ppm" in census.columns

@@ -1128,3 +1128,20 @@ def test_url_spam_scan_only(spark, sf_dir):
     cplan = physical_plan(census, "simple")
     assert cplan.count("Exchange") == 1, cplan
     assert "EvalPython" not in cplan, cplan
+
+
+def test_code_detect_scan_only(spark, sf_dir):
+    # X236/X238 are codegen length-diff/regexp-count plus one bounded
+    # line-array HOF: one scan, zero exchanges, no Python; the X237
+    # census adds exactly one source fold
+    for name in ("code_lexical_profile", "code_language_guess"):
+        df = _q(name, spark, sf_dir)
+        plan = physical_plan(df, "simple")
+        assert plan.count("Scan parquet") == 1, (name, plan)
+        assert plan.count("Exchange") == 0, (name, plan)
+        assert "EvalPython" not in plan, (name, plan)
+    census = _q("source_code_census", spark, sf_dir)
+    cplan = physical_plan(census, "simple")
+    assert cplan.count("Scan parquet") == 1, cplan
+    assert cplan.count("Exchange") == 1, cplan
+    assert "EvalPython" not in cplan, cplan
