@@ -10425,3 +10425,221 @@ def code_language_frame(staged: DataFrame) -> DataFrame:
         "n_js_markers",
         guess.alias("lang_guess"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X239/X240: mojibake detection + repair — the encoding-artifact stage
+# (the ftfy class, Speer 2019): UTF-8 text that was decoded as cp1252
+# somewhere in a crawl pipeline leaves unmistakable two-byte (accented
+# Latin-1: 'Ã©' for 'é') and three-byte (General Punctuation: 'â€™'
+# for U+2019) signature sequences. The scan counts signature hits per
+# class, flags the doc, and the repair pass applies the FIXED inverse
+# mapping in a fixed order (the only order-dependence is shared with
+# the oracle, so parity checks the whole chain bit-for-bit). Counting
+# and repair are literal-replace length-difference chains — pure
+# codegen riding the scan, zero exchanges (plan-gated).
+#
+# The mapping covers the unambiguous cp1252-representable signatures
+# only: U+201D/U+00A0-class sequences whose middle byte is unassigned
+# or whitespace-looking in cp1252 are deliberately out of scope (a
+# repair that guesses is worse than a flag; the has_mojibake verdict
+# still routes such docs if they also carry mapped signatures). The
+# fixture corpus is pure ASCII, so the query injects mojibake
+# doc_id-keyed (the text_redact_pii model), including a CLEAN
+# real-Unicode branch that must pass through untouched.
+
+# fixed repair order: 3-char punctuation signatures first, then
+# 2-char accents (prefixes 'â' / 'Ã' are disjoint; order is part of
+# the operator contract either way)
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),  # 'â€™' -> right single quote
+    ("â€œ", "“"),  # 'â€œ' -> left double quote
+    ("â€¦", "…"),  # 'â€¦' -> ellipsis
+    ("â€”", "—"),  # 'â€”' -> em dash
+    ("Ã©", "é"),  # 'Ã©' -> é
+    ("Ã¨", "è"),  # 'Ã¨' -> è
+    ("Ã¤", "ä"),  # 'Ã¤' -> ä
+    ("Ã¶", "ö"),  # 'Ã¶' -> ö
+    ("Ã¼", "ü"),  # 'Ã¼' -> ü
+    ("Ã±", "ñ"),  # 'Ã±' -> ñ
+    ("Ã§", "ç"),  # 'Ã§' -> ç
+)
+
+# the injected mojibake is GENERATED by the real corruption (encode
+# UTF-8, decode cp1252), so snippet and map cannot drift apart — the
+# snippet-covers-every-signature invariant is pinned in
+# tests/test_mojibake.py
+_MOJI_ACCENT_SNIPPET = (
+    " café résumé niño über garçon täglich schön dès" * 8
+).encode("utf-8").decode("cp1252")
+_MOJI_PUNCT_SNIPPET = (
+    " don’t “quoted wait… loading— ok" * 8
+).encode("utf-8").decode("cp1252")
+# real, correctly-encoded Unicode — the repair must not touch it
+_MOJI_CLEAN_SNIPPET = " naïve café don’t “fine”" * 8
+
+_MOJI_INJECT_SNIPPETS = (
+    (1, _MOJI_ACCENT_SNIPPET),
+    (2, _MOJI_PUNCT_SNIPPET),
+    (3, _MOJI_CLEAN_SNIPPET),
+)
+
+
+def _moji_injected_docs(docs: DataFrame) -> DataFrame:
+    cur = F.coalesce(F.col("text"), F.lit(""))
+    for rem, snip in _MOJI_INJECT_SNIPPETS:
+        cur = F.when(
+            F.col("doc_id") % 19 == rem,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(snip)),
+        ).otherwise(cur)
+    return docs.select("doc_id", "source", cur.alias("_t"))
+
+
+def mojibake_frame(staged: DataFrame) -> DataFrame:
+    """Frame-level mojibake kernel over (doc_id, source, _t): per-class
+    signature counts (accent = the 2-char 'Ã?' family, punct = the
+    3-char 'â€?' family), the has_mojibake verdict, and the md5 of the
+    repaired text under the fixed MOJIBAKE_MAP order."""
+    accent = None
+    punct = None
+    repaired = F.col("_t")
+    for sig, rep in MOJIBAKE_MAP:
+        cnt = (
+            F.length("_t") - F.length(F.replace("_t", F.lit(sig)))
+        ) / len(sig)
+        if len(sig) == 3:
+            punct = cnt if punct is None else punct + cnt
+        else:
+            accent = cnt if accent is None else accent + cnt
+        repaired = F.replace(repaired, F.lit(sig), F.lit(rep))
+    return staged.select(
+        "doc_id",
+        "source",
+        accent.cast("long").alias("n_moji_accent"),
+        punct.cast("long").alias("n_moji_punct"),
+        (accent + punct).cast("long").alias("n_moji_total"),
+        ((accent + punct) > 0).alias("has_mojibake"),
+        F.md5(repaired).alias("repaired_md5"),
+    )
+
+
+def _moji_inject_sql() -> str:
+    cur = "coalesce(text, '')"
+    for rem, snip in _MOJI_INJECT_SNIPPETS:
+        assert "'" not in snip and "\\" not in snip
+        cur = (
+            "CASE WHEN doc_id % 19 = "
+            + str(rem)
+            + " THEN coalesce(text, '') || '"
+            + snip
+            + "' ELSE "
+            + cur
+            + " END"
+        )
+    return cur
+
+
+def _moji_oracle() -> str:
+    accent_terms = " + ".join(
+        f"(length(t) - length(replace(t, '{sig}', ''))) // {len(sig)}"
+        for sig, _ in MOJIBAKE_MAP
+        if len(sig) == 2
+    )
+    punct_terms = " + ".join(
+        f"(length(t) - length(replace(t, '{sig}', ''))) // {len(sig)}"
+        for sig, _ in MOJIBAKE_MAP
+        if len(sig) == 3
+    )
+    repaired = "t"
+    for sig, rep in MOJIBAKE_MAP:
+        repaired = f"replace({repaired}, '{sig}', '{rep}')"
+    return (
+        """
+WITH inj AS (
+    SELECT doc_id, source, """
+        + _moji_inject_sql()
+        + """ AS t
+    FROM documents
+),
+counts AS (
+    SELECT doc_id, source,
+           CAST("""
+        + accent_terms
+        + """ AS BIGINT) AS n_moji_accent,
+           CAST("""
+        + punct_terms
+        + """ AS BIGINT) AS n_moji_punct,
+           md5("""
+        + repaired
+        + """) AS repaired_md5
+    FROM inj
+)
+SELECT doc_id, source, n_moji_accent, n_moji_punct,
+       n_moji_accent + n_moji_punct AS n_moji_total,
+       n_moji_accent + n_moji_punct > 0 AS has_mojibake,
+       repaired_md5
+FROM counts
+"""
+    )
+
+
+@register_supplementary(
+    "mojibake_scan_repair", _moji_oracle(), tags=("pipeline", "text")
+)
+def mojibake_scan_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X239: mojibake signature scan + fixed-map repair over the
+    injected corpus (module comment above) — per-doc accent/punct
+    signature counts, the has_mojibake verdict, and the md5 of the
+    repaired text (clean real-Unicode docs hash unchanged — pinned in
+    tests/test_mojibake.py). Literal-replace codegen chains: one scan,
+    zero exchanges, plan-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mojibake_frame(_moji_injected_docs(docs)).select(
+        "doc_id",
+        "source",
+        "n_moji_accent",
+        "n_moji_punct",
+        "n_moji_total",
+        "has_mojibake",
+        "repaired_md5",
+    )
+
+
+_MOJI_CENSUS_ORACLE = (
+    "WITH scan AS ("
+    + _moji_oracle()
+    + """)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN has_mojibake THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moji_docs,
+       CAST(SUM(n_moji_total) AS BIGINT) AS n_moji_hits,
+       CAST(SUM(CASE WHEN has_mojibake THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS moji_doc_ppm
+FROM scan
+GROUP BY source
+"""
+)
+
+
+@register_supplementary(
+    "source_mojibake_census", _MOJI_CENSUS_ORACLE, tags=("pipeline", "text")
+)
+def source_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X240: per-source mojibake census over the X239 scan — doc count,
+    affected docs, total signature hits, affected share in ppm. The
+    encoding-health observability row: a source whose mojibake share
+    jumps between crawls changed (or broke) its serving encoding. One
+    |sources|-bounded fold on the scan-shaped kernel."""
+    scan = mojibake_scan_repair(spark, sf_dir)
+    return scan.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("has_mojibake"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moji_docs"),
+        F.sum("n_moji_total").cast("long").alias("n_moji_hits"),
+        F.expr(
+            "CAST(SUM(CASE WHEN has_mojibake THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("moji_doc_ppm"),
+    )

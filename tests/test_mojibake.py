@@ -1,0 +1,94 @@
+"""Crafted-frame pins for the X239/X240 mojibake family
+(querydefs/pipeline.py: mojibake_frame / MOJIBAKE_MAP) — the repair
+actually yields the intended Unicode, clean text passes through
+untouched, the map is exactly the cp1252 round-trip of its
+replacements, and every signature is exercised by the fixture
+injection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.querydefs.pipeline import (
+    MOJIBAKE_MAP,
+    _MOJI_ACCENT_SNIPPET,
+    _MOJI_PUNCT_SNIPPET,
+    mojibake_frame,
+)
+
+
+def test_map_is_cp1252_roundtrip_inverse():
+    for sig, rep in MOJIBAKE_MAP:
+        assert sig == rep.encode("utf-8").decode("cp1252")
+        # repaired output never re-contains a signature (idempotence)
+        assert all(s not in rep for s, _ in MOJIBAKE_MAP)
+
+
+def test_injection_covers_every_signature():
+    corpus = _MOJI_ACCENT_SNIPPET + _MOJI_PUNCT_SNIPPET
+    for sig, _ in MOJIBAKE_MAP:
+        assert sig in corpus, sig
+
+
+def _scan(spark, texts):
+    df = spark.createDataFrame(
+        [(i, "src", t) for i, t in enumerate(texts)],
+        "doc_id bigint, source string, _t string",
+    )
+    return {r["doc_id"]: r for r in mojibake_frame(df).collect()}
+
+
+def _md5(spark, s: str) -> str:
+    return (
+        spark.range(1).select(F.md5(F.lit(s)).alias("h")).collect()[0]["h"]
+    )
+
+
+def test_repair_hand_computed(spark):
+    broken = "cafÃ© â€œok, donâ€™t waitâ€¦"
+    fixed = "café “ok, don’t wait…"
+    clean = "naïve café — already fine"
+    out = _scan(spark, [broken, fixed, clean, ""])
+    b = out[0]
+    assert (b["n_moji_accent"], b["n_moji_punct"]) == (1, 3)
+    assert b["n_moji_total"] == 4 and b["has_mojibake"] is True
+    assert b["repaired_md5"] == _md5(spark, fixed)
+    # the already-correct twin scans clean and hashes unchanged
+    f = out[1]
+    assert f["n_moji_total"] == 0 and f["has_mojibake"] is False
+    assert f["repaired_md5"] == _md5(spark, fixed)
+    c = out[2]
+    assert c["has_mojibake"] is False
+    assert c["repaired_md5"] == _md5(spark, clean)
+    assert out[3]["n_moji_total"] == 0
+
+
+def test_double_corruption_out_of_scope(spark):
+    # a DOUBLY mojibaked 'é' ('ÃƒÂ©') contains none of the single-layer
+    # signatures ('Ãƒ'/'Â©' are not mapped pairs) — it scans clean and
+    # passes through unchanged. Documented scope line: the map repairs
+    # exactly one corruption layer; iterated repair is a policy choice
+    # deliberately not baked into the operator.
+    once = "é".encode("utf-8").decode("cp1252")  # 'Ã©'
+    twice = once.encode("utf-8").decode("cp1252")  # 'ÃƒÂ©'
+    assert all(sig not in twice for sig, _ in MOJIBAKE_MAP)
+    out = _scan(spark, [twice])
+    assert out[0]["has_mojibake"] is False
+    assert out[0]["repaired_md5"] == _md5(spark, twice)
+
+
+def test_fixture_split_is_not_vacuous(spark, sf_dir):
+    from flink_state_eviction_spark.queries import all_queries
+
+    scan = all_queries()["mojibake_scan_repair"](spark, sf_dir)
+    agg = scan.agg(
+        F.sum("n_moji_accent").alias("a"),
+        F.sum("n_moji_punct").alias("p"),
+        F.sum(F.when(F.col("has_mojibake"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg["a"] > 0 and agg["p"] > 0
+    assert 0 < agg["d"] < agg["n"]
+    census = all_queries()["source_mojibake_census"](spark, sf_dir)
+    rows = census.collect()
+    assert sum(r["n_moji_hits"] for r in rows) == agg["a"] + agg["p"]

@@ -1145,3 +1145,17 @@ def test_code_detect_scan_only(spark, sf_dir):
     assert cplan.count("Scan parquet") == 1, cplan
     assert cplan.count("Exchange") == 1, cplan
     assert "EvalPython" not in cplan, cplan
+
+
+def test_mojibake_scan_only(spark, sf_dir):
+    # X239 is a literal-replace codegen chain: one scan, zero
+    # exchanges, no Python; the X240 census adds one source fold
+    df = _q("mojibake_scan_repair", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "EvalPython" not in plan, plan
+    census = _q("source_mojibake_census", spark, sf_dir)
+    cplan = physical_plan(census, "simple")
+    assert cplan.count("Exchange") == 1, cplan
+    assert "EvalPython" not in cplan, cplan
