@@ -10343,8 +10343,19 @@ def source_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, code-doc count, code docs The Stack filters would drop, and
     the integer-exact code share in ppm. The routing observability row:
     a prose feed whose code share jumps needs its quality gates
-    re-routed. One |sources|-bounded fold on the scan-shaped profile."""
-    profile = code_lexical_profile(spark, sf_dir)
+    re-routed. One |sources|-bounded fold on the scan-shaped profile;
+    split into the partials + tail kernels the X241 streaming
+    maintainer reuses verbatim (the ppm rate derives only AFTER the
+    final sum, so serving from maintained partials is bit-equal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return code_census_from_partials(code_census_partials(docs))
+
+
+def code_census_partials(docs: DataFrame) -> DataFrame:
+    """Per-source PARTIAL sums of the X237 census over any
+    (doc_id, source, text) frame — associative, so micro-batch
+    partials sum to the corpus census (the X191 partials pattern)."""
+    profile = code_profile_frame(_code_injected_docs(docs))
     return profile.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("is_code"), 1).otherwise(0))
@@ -10355,10 +10366,19 @@ def source_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_code_stack_drop"),
-        F.expr(
-            "CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) * 1000000"
-            " div COUNT(*) AS BIGINT)"
-        ).alias("code_share_ppm"),
+    )
+
+
+def code_census_from_partials(partials: DataFrame) -> DataFrame:
+    """X237 tail: derive the ppm rate from final per-source sums."""
+    return partials.select(
+        "source",
+        "n_docs",
+        "n_code",
+        "n_code_stack_drop",
+        F.expr("CAST(n_code * 1000000 div n_docs AS BIGINT)").alias(
+            "code_share_ppm"
+        ),
     )
 
 
