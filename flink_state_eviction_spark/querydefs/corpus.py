@@ -2407,3 +2407,335 @@ def source_perplexity_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X242-X244: SFT example rendering + no-split shelf packing
+#
+# Instruction-tuning data prep differs from the X55 concat-and-chunk
+# packer in two contract points: (1) the loss is computed on RESPONSE
+# tokens only (the prompt and template markers are context, not
+# targets), and (2) examples must NOT straddle sequence boundaries —
+# a truncated response teaches truncation (Ding et al. 2024, "Fewer
+# Truncations Improve Language Modeling", motivates no-split packing;
+# their best-fit-decreasing is inherently sequential, so this
+# operator uses the order-free BAND-SHELF variant: examples bucket to
+# the next power-of-2 length band, each capacity-64 bin takes exactly
+# cap/band same-band examples — the classic shelf bound keeps waste
+# under 2x optimal, and every step is a fold or a bounded-group
+# window, distributed by construction. Documented variation.)
+#
+# The fixture has no instruction data, so pairs are MINTED
+# deterministically: prompt = first ceil(n/2) tokens of the document,
+# response = the rest (docs with >= 2 tokens), rendered through a
+# fixed chat template. Tokens are the shared word tokenizer, so the
+# whole render is engine-reproducible and the response token span
+# [loss_start, loss_end) is exact integer arithmetic:
+#   [<|user|>] p_1..p_k [<|assistant|>] r_1..r_r [<|end|>]
+#   loss_start = k + 2, loss_end = k + 2 + r (the end marker carries
+#   no loss — policy line, documented).
+
+SFT_CAP = 64
+_SFT_BANDS = (8, 16, 32, 64)
+# two-phase in-band rank: doc_id subdivides into coarse monotone
+# buckets so no window group exceeds the bucket width (the
+# robust.py:_group_bucket_offsets shape — never a band-sized sort)
+_SFT_RANK_BUCKET = 4096
+
+
+def sft_render_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level X242 kernel over (doc_id, source, text): minted
+    prompt/response halves, rendered template, and the response-only
+    loss span in token coordinates."""
+    staged = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id", "source", "_toks", F.size("_toks").alias("_n")
+    )
+    d = (
+        staged.where(F.col("_n") >= 2)
+        .withColumn("_k", F.expr("cast((_n + 1) div 2 as int)"))
+        .withColumn("_p", F.expr("slice(_toks, 1, _k)"))
+        .withColumn("_q", F.expr("slice(_toks, _k + 1, _n - _k)"))
+    )
+    rendered = F.concat(
+        F.lit("<|user|> "),
+        F.array_join("_p", " "),
+        F.lit(" <|assistant|> "),
+        F.array_join("_q", " "),
+        F.lit(" <|end|>"),
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.col("_k").cast("long").alias("n_prompt_tok"),
+        (F.col("_n") - F.col("_k")).cast("long").alias("n_resp_tok"),
+        (F.col("_n") + 3).cast("long").alias("n_total_tok"),
+        (F.col("_k") + 2).cast("long").alias("loss_start"),
+        (F.col("_n") + 2).cast("long").alias("loss_end"),
+        F.expr(
+            "cast((_n - _k) * 1000000 div (_n + 3) as bigint)"
+        ).alias("loss_frac_ppm"),
+        F.md5(rendered).alias("rendered_md5"),
+    )
+
+
+def _sft_band(col: str) -> F.Column:
+    """Smallest-band-first CASE ladder (NULL above the cap)."""
+    res = None
+    for b in _SFT_BANDS:
+        cond = F.col(col) <= F.lit(b)
+        res = F.when(cond, F.lit(b).cast("long")) if res is None else res.when(
+            cond, F.lit(b).cast("long")
+        )
+    return res.otherwise(F.lit(None).cast("long"))
+
+
+def _sft_band_sql(col: str) -> str:
+    arms = " ".join(
+        f"WHEN {col} <= {b} THEN CAST({b} AS BIGINT)" for b in _SFT_BANDS
+    )
+    return f"CASE {arms} ELSE NULL END"
+
+
+_SFT_RENDER_ORACLE = """
+WITH sft_toks AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+sized AS (
+    SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n,
+           CAST((len(toks) + 1) // 2 AS BIGINT) AS k
+    FROM sft_toks WHERE len(toks) >= 2
+)
+SELECT doc_id, source,
+       k AS n_prompt_tok,
+       n - k AS n_resp_tok,
+       n + 3 AS n_total_tok,
+       k + 2 AS loss_start,
+       n + 2 AS loss_end,
+       CAST((n - k) * 1000000 // (n + 3) AS BIGINT) AS loss_frac_ppm,
+       md5('<|user|> ' || array_to_string(toks[1:CAST(k AS INT)], ' ')
+           || ' <|assistant|> '
+           || array_to_string(toks[CAST(k + 1 AS INT):CAST(n AS INT)], ' ')
+           || ' <|end|>') AS rendered_md5
+FROM sized
+"""
+
+
+@register_supplementary(
+    "sft_render_pairs", _SFT_RENDER_ORACLE, tags=("corpus", "text")
+)
+def sft_render_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X242: minted SFT prompt/response pairs rendered through the
+    fixed chat template, with the response-only loss span in exact
+    token coordinates (module comment above; the end marker carries no
+    loss by policy). One documents scan, zero exchanges (plan-gated);
+    the render is slice + array_join over the shared tokenizer's
+    projected array."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sft_render_frame(docs.select("doc_id", "source", "text"))
+
+
+def sft_sized_examples(docs: DataFrame) -> DataFrame:
+    """Slim (doc_id, n_total_tok, band) frame the packing family
+    shares — band is NULL for overflow examples (> SFT_CAP tokens,
+    unpackable without splitting)."""
+    ex = sft_render_frame(docs).select("doc_id", "n_total_tok")
+    return ex.withColumn("band", _sft_band("n_total_tok"))
+
+
+def sft_shelf_bins(sized: DataFrame) -> DataFrame:
+    """Frame-level X243 kernel over (doc_id, n_total_tok, band):
+    in-band two-phase rank -> arithmetic bin assignment -> per-bin
+    rollup. The rank's window groups are (band, doc_id-bucket) —
+    bounded by _SFT_RANK_BUCKET, never band-sized; the offsets table
+    is |bands x doc_id-range/bucket| rows and joins back WITHOUT a
+    forced broadcast hint (corpus-derived cardinality — Catalyst
+    size-picks; the robots-broadcast lesson)."""
+    d = sized.where(F.col("band").isNotNull()).withColumn(
+        "_bucket", F.expr(f"doc_id div {_SFT_RANK_BUCKET}")
+    )
+    counts = d.groupBy("band", "_bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_off = (
+        Window.partitionBy("band")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("band", "_bucket", "_off")
+    w_local = Window.partitionBy("band", "_bucket").orderBy("doc_id")
+    ranked = (
+        d.join(offsets, ["band", "_bucket"])
+        .withColumn("_r", F.col("_off") + F.row_number().over(w_local))
+        .withColumn(
+            "bin_idx", F.expr(f"(_r - 1) div ({SFT_CAP} div band)")
+        )
+    )
+    return ranked.groupBy("band", "bin_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_examples"),
+        F.sum("n_total_tok").cast("long").alias("fill_tokens"),
+        (F.lit(SFT_CAP) - F.sum("n_total_tok"))
+        .cast("long")
+        .alias("waste_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("members_md5"),
+    )
+
+
+_SFT_SHELF_ORACLE = (
+    "WITH ex AS (SELECT doc_id, n_total_tok FROM ("
+    + _SFT_RENDER_ORACLE
+    + """)),
+banded AS (
+    SELECT doc_id, n_total_tok, """
+    + _sft_band_sql("n_total_tok")
+    + """ AS band
+    FROM ex
+),
+ranked AS (
+    SELECT band, doc_id, n_total_tok,
+           row_number() OVER (PARTITION BY band ORDER BY doc_id) AS r
+    FROM banded WHERE band IS NOT NULL
+)
+SELECT band,
+       CAST((r - 1) // ("""
+    + str(SFT_CAP)
+    + """ // band) AS BIGINT) AS bin_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_examples,
+       CAST(SUM(n_total_tok) AS BIGINT) AS fill_tokens,
+       CAST("""
+    + str(SFT_CAP)
+    + """ - SUM(n_total_tok) AS BIGINT) AS waste_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS members_md5
+FROM ranked
+GROUP BY 1, 2
+"""
+)
+
+
+@register_supplementary(
+    "sft_shelf_packing", _SFT_SHELF_ORACLE, tags=("corpus", "text")
+)
+def sft_shelf_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X243: no-split shelf packing of the X242 examples into
+    capacity-64 bins — power-of-2 length bands, cap/band same-band
+    examples per bin via the two-phase in-band rank (module comment
+    above). Per bin: example count, fill, waste, and the md5 of the
+    canonical member list (array-strength contract without array
+    columns). Overflow examples (> cap) never enter a bin — the X244
+    report carries them.
+
+    The slim (doc_id, n_total_tok, band) frame feeds BOTH the rank's
+    count table and the ranked join side — two consumers, so it is
+    lazily checkpointed (the round-5 no-CSE rule): one documents scan
+    + one tokenize instead of two. Plan gates read the PRE-checkpoint
+    builder for scan shape (a checkpoint replaces visible lineage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = sft_sized_examples(
+        docs.select("doc_id", "source", "text")
+    ).localCheckpoint(eager=False)
+    return sft_shelf_bins(sized)
+
+
+_SFT_REPORT_ORACLE = (
+    "WITH ex AS (SELECT doc_id, n_total_tok FROM ("
+    + _SFT_RENDER_ORACLE
+    + """)),
+banded AS (
+    SELECT doc_id, n_total_tok,
+           COALESCE("""
+    + _sft_band_sql("n_total_tok")
+    + """, CAST(-1 AS BIGINT)) AS band
+    FROM ex
+),
+folded AS (
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_examples,
+           CAST(SUM(n_total_tok) AS BIGINT) AS fill_tokens
+    FROM banded GROUP BY band
+)
+SELECT band, n_examples, fill_tokens,
+       CAST(CASE WHEN band = -1 THEN 0
+            ELSE (n_examples + ("""
+    + str(SFT_CAP)
+    + """ // band) - 1) // ("""
+    + str(SFT_CAP)
+    + """ // band) END AS BIGINT) AS n_bins,
+       CAST(CASE WHEN band = -1 THEN 0
+            ELSE (n_examples + ("""
+    + str(SFT_CAP)
+    + """ // band) - 1) // ("""
+    + str(SFT_CAP)
+    + """ // band) * """
+    + str(SFT_CAP)
+    + """ - fill_tokens END AS BIGINT) AS waste_tokens,
+       CAST(CASE WHEN band = -1 THEN 0
+            ELSE fill_tokens * 1000000 //
+                 ((n_examples + ("""
+    + str(SFT_CAP)
+    + """ // band) - 1) // ("""
+    + str(SFT_CAP)
+    + """ // band) * """
+    + str(SFT_CAP)
+    + """) END AS BIGINT) AS fill_ppm
+FROM folded
+"""
+)
+
+
+@register_supplementary(
+    "sft_packing_report", _SFT_REPORT_ORACLE, tags=("corpus", "text")
+)
+def sft_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X244: per-band packing-efficiency report — example count, token
+    mass, bin count, waste, and fill ppm, ALL closed-form from the
+    per-band counts (n_bins = ceil(count / per_bin); no bin table
+    needed — consistency with the X243 bins is pinned in
+    tests/test_sft_packing.py). band = -1 collects the overflow
+    examples (> cap tokens, unpackable without splitting; n_bins /
+    waste / fill_ppm are 0 by sentinel convention). One fold on the
+    scan-shaped size frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = sft_sized_examples(docs.select("doc_id", "source", "text"))
+    per_bin = f"({SFT_CAP} div band)"
+    n_bins = f"(n_examples + {per_bin} - 1) div {per_bin}"
+    folded = (
+        sized.withColumn(
+            "band", F.coalesce(F.col("band"), F.lit(-1).cast("long"))
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_examples"),
+            F.sum("n_total_tok").cast("long").alias("fill_tokens"),
+        )
+    )
+    return folded.select(
+        "band",
+        "n_examples",
+        "fill_tokens",
+        F.expr(
+            f"cast(if(band = -1, 0, {n_bins}) as bigint)"
+        ).alias("n_bins"),
+        F.expr(
+            f"cast(if(band = -1, 0, {n_bins} * {SFT_CAP} - fill_tokens)"
+            " as bigint)"
+        ).alias("waste_tokens"),
+        F.expr(
+            f"cast(if(band = -1, 0, fill_tokens * 1000000 div"
+            f" ({n_bins} * {SFT_CAP})) as bigint)"
+        ).alias("fill_ppm"),
+    )

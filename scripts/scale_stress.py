@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c,r9d",
+        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c,r9d,r9e,r9f,r9g",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -411,6 +411,15 @@ def main() -> None:
             rec["source_script_mix_sec"] = timed(lambda: all_qs["source_script_mix"](spark, d))
             rec["url_spam_features_sec"] = timed(lambda: all_qs["url_spam_features"](spark, d))
             rec["host_spam_census_sec"] = timed(lambda: all_qs["host_spam_census"](spark, d))
+        if "r9g" in only:
+            # X236/X238/X239: scan-only codegen length-diff / literal
+            # replace chains (+ the bounded line-array HOF) and their
+            # |sources|-bounded census folds
+            rec["code_lexical_profile_sec"] = timed(lambda: all_qs["code_lexical_profile"](spark, d))
+            rec["source_code_census_sec"] = timed(lambda: all_qs["source_code_census"](spark, d))
+            rec["code_language_guess_sec"] = timed(lambda: all_qs["code_language_guess"](spark, d))
+            rec["mojibake_scan_repair_sec"] = timed(lambda: all_qs["mojibake_scan_repair"](spark, d))
+            rec["source_mojibake_census_sec"] = timed(lambda: all_qs["source_mojibake_census"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path

@@ -1147,6 +1147,43 @@ def test_code_detect_scan_only(spark, sf_dir):
     assert "EvalPython" not in cplan, cplan
 
 
+def test_sft_family_plan_shape(spark, sf_dir):
+    # X242 render is scan-only; the X243 shelf checkpoints the slim
+    # size frame (one real scan, two ExistingRDD consumers — the
+    # round-5 no-CSE rule), then counts fold + offsets window + join
+    # + local window + bin fold = 5 bounded exchanges; X244 is one fold
+    df = _q("sft_render_pairs", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "EvalPython" not in plan, plan
+
+    from flink_state_eviction_spark.querydefs.corpus import (
+        sft_sized_examples,
+    )
+    from flink_state_eviction_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    builder = sft_sized_examples(docs.select("doc_id", "source", "text"))
+    bplan = physical_plan(builder, "simple")
+    assert bplan.count("Scan parquet") == 1, bplan
+    assert bplan.count("Exchange") == 0, bplan
+
+    shelf = _q("sft_shelf_packing", spark, sf_dir)
+    splan = physical_plan(shelf, "simple")
+    assert splan.count("Scan parquet") == 0, splan  # behind checkpoint
+    assert splan.count("Scan ExistingRDD") == 2, splan
+    assert splan.count("Exchange") == 5, splan
+    assert "Exchange SinglePartition" not in splan, splan
+    assert "EvalPython" not in splan, splan
+
+    rep = _q("sft_packing_report", spark, sf_dir)
+    rplan = physical_plan(rep, "simple")
+    assert rplan.count("Scan parquet") == 1, rplan
+    assert rplan.count("Exchange") == 1, rplan
+    assert "EvalPython" not in rplan, rplan
+
+
 def test_mojibake_scan_only(spark, sf_dir):
     # X239 is a literal-replace codegen chain: one scan, zero
     # exchanges, no Python; the X240 census adds one source fold

@@ -1,0 +1,104 @@
+"""Crafted-frame pins for the X242-X244 SFT family
+(querydefs/corpus.py: sft_render_frame / sft_shelf_bins /
+sft_packing_report) — template rendering and loss spans are
+hand-computed, shelf-bin invariants hold on the fixture, and the
+closed-form report reconciles against the actual bin table."""
+
+from __future__ import annotations
+
+import hashlib
+
+from flink_state_eviction_spark.querydefs.corpus import (
+    SFT_CAP,
+    sft_render_frame,
+    sft_shelf_bins,
+)
+from flink_state_eviction_spark.queries import all_queries
+
+
+def _render(spark, texts):
+    df = spark.createDataFrame(
+        [(i, "src", t) for i, t in enumerate(texts)],
+        "doc_id bigint, source string, text string",
+    )
+    return {r["doc_id"]: r for r in sft_render_frame(df).collect()}
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_render_hand_computed(spark):
+    out = _render(
+        spark,
+        ["Alpha beta GAMMA delta", "hi yo", "single", "", None],
+    )
+    a = out[0]
+    # tokens [alpha beta gamma delta]: k=2, r=2, layout
+    # [user] alpha beta [assistant] gamma delta [end]
+    assert (a["n_prompt_tok"], a["n_resp_tok"], a["n_total_tok"]) == (
+        2, 2, 7,
+    )
+    assert (a["loss_start"], a["loss_end"]) == (4, 6)
+    assert a["loss_frac_ppm"] == 2 * 1_000_000 // 7
+    assert a["rendered_md5"] == _md5(
+        "<|user|> alpha beta <|assistant|> gamma delta <|end|>"
+    )
+    b = out[1]  # n=2 edge: k=1, response is exactly one token
+    assert (b["loss_start"], b["loss_end"]) == (3, 4)
+    assert b["rendered_md5"] == _md5("<|user|> hi <|assistant|> yo <|end|>")
+    # sub-2-token docs mint no pair
+    assert 2 not in out and 3 not in out and 4 not in out
+
+
+def test_shelf_bins_hand_computed(spark):
+    # five band-16 examples (per_bin = 4): docs 1-4 share bin 0,
+    # doc 5 opens bin 1
+    sized = spark.createDataFrame(
+        [(i, 10, 16) for i in range(1, 6)],
+        "doc_id bigint, n_total_tok bigint, band bigint",
+    )
+    bins = {
+        (r["band"], r["bin_idx"]): r
+        for r in sft_shelf_bins(sized).collect()
+    }
+    full = bins[(16, 0)]
+    assert full["n_examples"] == 4 and full["fill_tokens"] == 40
+    assert full["waste_tokens"] == SFT_CAP - 40
+    assert full["members_md5"] == _md5("1,2,3,4")
+    tail = bins[(16, 1)]
+    assert tail["n_examples"] == 1 and tail["members_md5"] == _md5("5")
+
+
+def test_fixture_invariants_and_report_reconciles(spark, sf_dir):
+    qs = all_queries()
+    bins = qs["sft_shelf_packing"](spark, sf_dir).collect()
+    assert bins
+    for r in bins:
+        per_bin = SFT_CAP // r["band"]
+        assert 1 <= r["n_examples"] <= per_bin
+        assert r["fill_tokens"] + r["waste_tokens"] == SFT_CAP
+        assert r["fill_tokens"] <= SFT_CAP  # no-split guarantee
+    by_band_bins = {}
+    by_band_fill = {}
+    for r in bins:
+        by_band_bins[r["band"]] = by_band_bins.get(r["band"], 0) + 1
+        by_band_fill[r["band"]] = (
+            by_band_fill.get(r["band"], 0) + r["fill_tokens"]
+        )
+    report = {
+        r["band"]: r
+        for r in qs["sft_packing_report"](spark, sf_dir).collect()
+    }
+    # the closed-form bin count equals the actual bin table's
+    for band, n in by_band_bins.items():
+        assert report[band]["n_bins"] == n
+        assert report[band]["fill_tokens"] == by_band_fill[band]
+    # overflow sentinel row exists and is non-vacuous on the fixture
+    assert report[-1]["n_examples"] > 0
+    assert report[-1]["n_bins"] == 0 and report[-1]["waste_tokens"] == 0
+    # packed + overflow examples = all rendered pairs
+    n_pairs = qs["sft_render_pairs"](spark, sf_dir).count()
+    assert (
+        sum(r["n_examples"] for r in report.values()) == n_pairs
+    )
