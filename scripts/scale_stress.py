@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c,r9d,r9e,r9f,r9g",
+        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c,r9d,r9e,r9f,r9g,r9h,r9i",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -420,6 +420,18 @@ def main() -> None:
             rec["code_language_guess_sec"] = timed(lambda: all_qs["code_language_guess"](spark, d))
             rec["mojibake_scan_repair_sec"] = timed(lambda: all_qs["mojibake_scan_repair"](spark, d))
             rec["source_mojibake_census_sec"] = timed(lambda: all_qs["source_mojibake_census"](spark, d))
+        if "r9h" in only:
+            # X242-X244 SFT family: scan-shaped render; shelf = the
+            # checkpointed slim size frame + bounded-group rank +
+            # bin fold; report = one fold
+            rec["sft_render_pairs_sec"] = timed(lambda: all_qs["sft_render_pairs"](spark, d))
+            rec["sft_shelf_packing_sec"] = timed(lambda: all_qs["sft_shelf_packing"](spark, d))
+            rec["sft_packing_report_sec"] = timed(lambda: all_qs["sft_packing_report"](spark, d))
+        if "r9i" in only:
+            # X245/X246 readability: scan-only codegen regexp counts
+            # + the bounded vowel-less token filter; one census fold
+            rec["text_readability_sec"] = timed(lambda: all_qs["text_readability"](spark, d))
+            rec["source_readability_census_sec"] = timed(lambda: all_qs["source_readability_census"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path

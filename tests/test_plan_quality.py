@@ -1184,6 +1184,21 @@ def test_sft_family_plan_shape(spark, sf_dir):
     assert "EvalPython" not in rplan, rplan
 
 
+def test_readability_scan_only(spark, sf_dir):
+    # X245 is codegen regexp-count plus the bounded per-token
+    # vowel-less filter: one scan, zero exchanges, no Python; the
+    # X246 census adds one source fold
+    df = _q("text_readability", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "EvalPython" not in plan, plan
+    census = _q("source_readability_census", spark, sf_dir)
+    cplan = physical_plan(census, "simple")
+    assert cplan.count("Exchange") == 1, cplan
+    assert "EvalPython" not in cplan, cplan
+
+
 def test_mojibake_scan_only(spark, sf_dir):
     # X239 is a literal-replace codegen chain: one scan, zero
     # exchanges, no Python; the X240 census adds one source fold

@@ -1,0 +1,84 @@
+"""Crafted-frame pins for the X245/X246 readability family
+(querydefs/pipeline.py: readability_frame) — word/sentence/syllable
+counting and the exact milli-score arithmetic are pinned against an
+independent Python evaluation of the published Flesch / Flesch-Kincaid
+formulas on hand-built texts."""
+
+from __future__ import annotations
+
+import re
+
+from flink_state_eviction_spark.querydefs.pipeline import (
+    READABILITY_HARD_MILLI,
+    readability_frame,
+)
+
+
+def _truncdiv(a: int, b: int) -> int:
+    """Truncation-toward-zero division (Spark/DuckDB `div`)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _expected(text: str):
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    w = len(toks)
+    s = max(1, len(re.findall(r"[.!?]+", text)))
+    y = len(re.findall(r"[aeiouy]+", text.lower())) + sum(
+        1 for t in toks if not re.search(r"[aeiouy]", t)
+    )
+    fk = _truncdiv(390 * w * w + 11800 * y * s - 15590 * w * s, w * s)
+    fre = _truncdiv(
+        206835 * w * s - 1015 * w * w - 84600 * y * s, w * s
+    )
+    return w, s, y, fk, fre
+
+
+def _scores(spark, texts):
+    df = spark.createDataFrame(
+        [(i, "src", t) for i, t in enumerate(texts)],
+        "doc_id bigint, source string, _t string",
+    )
+    return {r["doc_id"]: r for r in readability_frame(df).collect()}
+
+
+def test_hand_computed_scores(spark):
+    texts = [
+        "The cat sat. It ran away! Done?",  # 3 sentences, mixed words
+        "tv 42 xlr",                         # all vowel-less: floor fires
+        "I go. We do. So so.",               # negative FK grade
+        "",                                  # zero words: no row
+        "?!",                                # punct only: no row
+    ]
+    out = _scores(spark, texts)
+    assert 3 not in out and 4 not in out
+    for i in (0, 1, 2):
+        w, s, y, fk, fre = _expected(texts[i])
+        r = out[i]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            w, s, y,
+        ), texts[i]
+        assert (r["fk_grade_milli"], r["fre_milli"]) == (fk, fre)
+    # the crafted rows hit the documented branches
+    assert out[0]["n_sentences"] == 3
+    assert out[1]["n_syllables"] == 3  # every word floored at 1
+    assert out[2]["fk_grade_milli"] < 0
+
+
+def test_fixture_split_is_not_vacuous(spark, sf_dir):
+    from flink_state_eviction_spark.queries import all_queries
+
+    scored = all_queries()["text_readability"](spark, sf_dir)
+    rows = scored.collect()
+    assert rows
+    # the sentence-break injection fires (prose alone has S = 1)
+    assert any(r["n_sentences"] >= 3 for r in rows)
+    assert any(r["n_sentences"] == 1 for r in rows)
+    census = all_queries()["source_readability_census"](spark, sf_dir)
+    crows = census.collect()
+    assert sum(r["n_hard"] for r in crows) > 0
+    hard_total = sum(
+        1 for r in rows if r["fk_grade_milli"] >= READABILITY_HARD_MILLI
+    )
+    assert hard_total == sum(r["n_hard"] for r in crows)
+    assert hard_total < len(rows)  # both sides of the verdict line
