@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from flink_state_eviction_spark.functions.hashing import (
     MERSENNE_P,
     MINHASH_AB,
+    h64,
     sql_h64,
 )
 from flink_state_eviction_spark.functions.text import (
@@ -10640,6 +10641,216 @@ FROM scan
 GROUP BY source
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# X247: eval-memorization span audit — the position-aware complement
+# of the X184/X205 decontamination family (Lee et al. 2022 /
+# Carlini et al. 2023 extractable-memorization geometry): a scattered
+# 5-gram overlap flags contamination, but the quantity a memorization
+# audit reads is the LONGEST CONSECUTIVE verbatim token run an eval
+# document shares with the training side. Spans are ordered 8-token
+# windows (the decontam space-split convention) through the SAME
+# Arrow pack kernel; hit positions per eval doc collapse to runs via
+# the gaps-and-islands rank trick inside doc-bounded windows; longest
+# token run = max island + k - 1.
+#
+# Split convention: doc_id % 97 == 0 is the eval suite (the
+# benchmark_gram_census stand-in). The fixture's organic cross-split
+# overlap is SF-dependent (16 consecutive spans at sf0.001, zero at
+# sf0.01), so the query injects a canonical 40-word phrase into a
+# train slice AND half the eval slice (doc_id-keyed, identical in
+# both engines) — both verdict branches fire at any SF and the
+# organic overlap still shows up under it.
+
+MEM_SPAN_K = 8
+MEM_RUN_TOKENS = 25  # verdict line: >= 25 verbatim tokens
+
+_MEM_SNIPPET = " " + " ".join(f"memw{i}" for i in range(40))
+
+
+def _mem_injected_docs(docs: DataFrame) -> DataFrame:
+    inject = (
+        # train carriers: a deterministic non-eval slice
+        ((F.col("doc_id") % 97 != 0) & (F.col("doc_id") % 89 == 1))
+        # eval carriers: half the eval suite (the memorized branch)
+        | ((F.col("doc_id") % 97 == 0) & (F.col("doc_id") % 2 == 0))
+    )
+    cur = F.when(
+        inject & F.col("text").isNotNull(),
+        F.concat(F.col("text"), F.lit(_MEM_SNIPPET)),
+    ).otherwise(F.col("text"))
+    return docs.select("doc_id", cur.alias("text"))
+
+
+def eval_memorization_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level X247 kernel over (doc_id, text): per eval doc
+    (doc_id % 97 == 0, >= k space-split tokens), total spans, train-hit
+    spans, the longest consecutive hit run, the verbatim token run it
+    implies, and the memorized verdict. The eval positions frame is
+    suite-bounded, so its broadcast into the hits join is budget-gated
+    on a probed row count (the decontam census pattern); the train
+    gram distinct is the one corpus-linear exchange."""
+    from flink_state_eviction_spark.functions.text import (
+        shingle_strings_udf,
+    )
+    from flink_state_eviction_spark.operators.budget import (
+        BROADCAST_ROW_LIMIT,
+    )
+
+    words = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("_w")
+    )
+    k = MEM_SPAN_K
+    # shingle_strings_udf emits an EMPTY array (not null) below k
+    # tokens — size-guard, or under-k docs surface as n_spans=0 rows
+    # the oracle's len(w) >= k filter never produces (caught by the
+    # crafted under-k pin, invisible on the >= 9-token fixture)
+    packed = words.select(
+        "doc_id", shingle_strings_udf(k)("_w").alias("_sh")
+    ).where(F.size("_sh") >= 1)
+    ev_packed = packed.where(F.col("doc_id") % 97 == 0).localCheckpoint(
+        eager=False
+    )
+    base = ev_packed.select(
+        "doc_id", F.size("_sh").cast("long").alias("n_spans")
+    )
+    # join on the shared 60-bit h64 of the gram, not the ~50-byte gram
+    # string: 8-byte keys cut the corpus-linear distinct's shuffle
+    # BYTES ~6x. Honest local measurement: FLAT (16.7 s strings vs
+    # 17.6 s hashed at x10, cold single-shot — JVM md5 over 25M grams
+    # costs what the narrower exchange saves when no network is
+    # involved); kept because shuffle bytes, not hash CPU, are the
+    # binding constraint once the exchange crosses a real cluster
+    # fabric. The oracle follows with the shared sql_h64 twin.
+    ev_pos = ev_packed.select(
+        "doc_id", F.posexplode("_sh").alias("pos", "gram")
+    ).select("doc_id", "pos", h64(F.col("gram")).alias("gh"))
+    train_g = (
+        packed.where(F.col("doc_id") % 97 != 0)
+        .select(F.explode(F.array_distinct("_sh")).alias("gram"))
+        .select(h64(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    # probe materializes the checkpoint AND sizes the broadcast side
+    ev_rows = ev_pos.count()
+    probe = (
+        F.broadcast(ev_pos) if ev_rows <= BROADCAST_ROW_LIMIT else ev_pos
+    )
+    hits = train_g.join(probe, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "_grp")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").cast("long").alias("n_hit_spans"),
+            F.max("_c").cast("long").alias("max_run_spans"),
+        )
+    )
+    out = base.join(runs, "doc_id", "left")
+    longest = F.when(
+        F.col("max_run_spans").isNull(), F.lit(0).cast("long")
+    ).otherwise(F.col("max_run_spans") + (k - 1))
+    return out.select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_hit_spans", F.lit(0).cast("long")).alias(
+            "n_hit_spans"
+        ),
+        F.coalesce("max_run_spans", F.lit(0).cast("long")).alias(
+            "max_run_spans"
+        ),
+        longest.alias("longest_token_run"),
+        (longest >= MEM_RUN_TOKENS).alias("memorized"),
+    )
+
+
+_MEM_INJECT_PRED = (
+    "((doc_id % 97 <> 0 AND doc_id % 89 = 1)"
+    " OR (doc_id % 97 = 0 AND doc_id % 2 = 0))"
+)
+
+_MEM_ORACLE = (
+    """
+WITH inj AS (
+    SELECT doc_id,
+           CASE WHEN """
+    + _MEM_INJECT_PRED
+    + """ AND text IS NOT NULL
+                THEN text || '"""
+    + _MEM_SNIPPET
+    + """'
+                ELSE text END AS text
+    FROM documents
+),
+words AS (
+    SELECT doc_id, string_split(text, ' ') AS w
+    FROM inj WHERE text IS NOT NULL
+),
+grams AS (
+    SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
+    FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+    WHERE len(w) >= 8
+),
+ev AS (SELECT doc_id, pos, """
+    + sql_h64("g")
+    + """ AS gh
+      FROM grams WHERE doc_id % 97 = 0),
+base AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM ev GROUP BY doc_id
+),
+tr AS (SELECT DISTINCT """
+    + sql_h64("g")
+    + """ AS gh
+      FROM grams WHERE doc_id % 97 <> 0),
+hits AS (SELECT doc_id, pos FROM ev JOIN tr USING (gh)),
+isl AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+    FROM hits
+),
+runs AS (
+    SELECT doc_id, grp, COUNT(*) AS c FROM isl GROUP BY doc_id, grp
+),
+agg AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_hit_spans,
+           CAST(MAX(c) AS BIGINT) AS max_run_spans
+    FROM runs GROUP BY doc_id
+)
+SELECT base.doc_id, base.n_spans,
+       COALESCE(agg.n_hit_spans, CAST(0 AS BIGINT)) AS n_hit_spans,
+       COALESCE(agg.max_run_spans, CAST(0 AS BIGINT)) AS max_run_spans,
+       CASE WHEN agg.max_run_spans IS NULL THEN CAST(0 AS BIGINT)
+            ELSE agg.max_run_spans + 7 END AS longest_token_run,
+       CASE WHEN agg.max_run_spans IS NULL THEN CAST(0 AS BIGINT)
+            ELSE agg.max_run_spans + 7 END >= """
+    + str(MEM_RUN_TOKENS)
+    + """ AS memorized
+FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
+"""
+)
+
+
+@register_supplementary(
+    "eval_memorization_audit", _MEM_ORACLE, tags=("pipeline", "dedup")
+)
+def eval_memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X247: eval-memorization span audit over the injected corpus
+    (module comment above) — per eval-suite doc, the longest
+    consecutive run of 8-token spans shared verbatim with the training
+    side, the token run it implies, and the >= 25-token memorized
+    verdict. Scale shape: one Arrow pack pass per side; the train
+    distinct is the one corpus-linear exchange; the eval positions
+    frame is suite-bounded and its broadcast budget-gated; islands run
+    in doc-bounded windows over HIT rows only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return eval_memorization_frame(
+        _mem_injected_docs(docs.select("doc_id", "text"))
+    )
 
 
 # ---------------------------------------------------------------------------

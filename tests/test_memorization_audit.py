@@ -1,0 +1,84 @@
+"""Crafted-frame pins for the X247 eval-memorization span audit
+(querydefs/pipeline.py: eval_memorization_frame) — island/run
+arithmetic, the exact-copy ceiling, the sub-threshold partial overlap,
+and the multi-island max are pinned on hand-built corpora where every
+run length is known by construction."""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark.querydefs.pipeline import (
+    MEM_RUN_TOKENS,
+    MEM_SPAN_K,
+    eval_memorization_frame,
+)
+
+_COMMON20 = " ".join(f"c{i}" for i in range(20))     # 20 shared words
+_COMMON15 = " ".join(f"d{i}" for i in range(15))     # second phrase
+_TRAIN40 = " ".join(f"t{i}" for i in range(40))      # copied wholesale
+
+
+def _audit(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return {
+        r["doc_id"]: r for r in eval_memorization_frame(df).collect()
+    }
+
+
+def test_runs_hand_computed(spark):
+    rows = [
+        # eval (id % 97 == 0):
+        (0, "p1 p2 p3 " + _COMMON20 + " s1 s2"),        # partial overlap
+        (97, _TRAIN40),                                  # exact copy
+        (194, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),         # no overlap
+        (291, _COMMON20 + " g1 g2 g3 g4 g5 g6 g7 g8 " + _COMMON15),
+        (388, "a b c d e f g"),                          # 7 toks: no row
+        # train:
+        (5, "j1 j2 " + _COMMON20 + " j3"),
+        (6, _TRAIN40 + " extra"),
+        (7, "k1 " + _COMMON15 + " k2"),
+    ]
+    out = _audit(spark, rows)
+    assert 388 not in out  # under k tokens, no spans to audit
+    k = MEM_SPAN_K
+
+    partial = out[0]
+    # only pure-common windows match: 20 - k + 1 = 13 consecutive
+    assert partial["max_run_spans"] == 20 - k + 1
+    assert partial["longest_token_run"] == 20
+    assert partial["memorized"] is False  # 20 < 25
+
+    copy = out[97]
+    # the whole doc matches: 40 - k + 1 spans, ceiling run
+    assert copy["n_spans"] == 40 - k + 1
+    assert copy["n_hit_spans"] == copy["n_spans"]
+    assert copy["max_run_spans"] == 40 - k + 1
+    assert copy["longest_token_run"] == 40
+    assert copy["memorized"] is True
+
+    clean = out[194]
+    assert clean["n_hit_spans"] == 0
+    assert clean["longest_token_run"] == 0
+    assert clean["memorized"] is False
+
+    two = out[291]
+    # two islands (13 and 8 spans) separated by an 8-token gap —
+    # the max picks the larger, the sum sees both
+    assert two["max_run_spans"] == 13
+    assert two["n_hit_spans"] == 13 + (15 - k + 1)
+    assert two["longest_token_run"] == 20
+
+
+def test_fixture_split_is_not_vacuous(spark, sf_dir):
+    from flink_state_eviction_spark.queries import all_queries
+
+    rows = all_queries()["eval_memorization_audit"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    flags = {r["memorized"] for r in rows}
+    assert flags == {True, False}  # injection fires both branches
+    for r in rows:
+        if r["memorized"]:
+            assert r["longest_token_run"] >= MEM_RUN_TOKENS
+        assert r["n_hit_spans"] <= r["n_spans"]
+        assert r["max_run_spans"] <= r["n_hit_spans"]

@@ -1184,6 +1184,22 @@ def test_sft_family_plan_shape(spark, sf_dir):
     assert "EvalPython" not in rplan, rplan
 
 
+def test_memorization_audit_plan_shape(spark, sf_dir):
+    # X247: train side is one parquet scan through the Arrow pack;
+    # the eval side rides the checkpointed suite-bounded frame (two
+    # ExistingRDD consumers); hits join broadcasts the budget-probed
+    # eval positions; islands/folds stay doc-keyed — no single
+    # partition, no cartesian anywhere
+    df = _q("eval_memorization_audit", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert plan.count("Exchange") <= 4, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_readability_scan_only(spark, sf_dir):
     # X245 is codegen regexp-count plus the bounded per-token
     # vowel-less filter: one scan, zero exchanges, no Python; the
