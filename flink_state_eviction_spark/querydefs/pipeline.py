@@ -10644,6 +10644,146 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# X248: per-label embedding centroid drift — the SEMANTIC drift
+# observability row next to the lexical ones (unigram KL X187,
+# script mix X233): per label (the embeddings table's group key),
+# member count, the L2 norm of the DECIMAL-exact mean vector, and its
+# cosine against the global corpus centroid. A label whose centroid
+# cosine slides between snapshots changed meaning, not just wording —
+# the signal lexical censuses cannot see. Reuses the knn family's
+# _cell_centroids (decimal(27,15) sums, the ONE mean implementation)
+# with label as the cell; the global centroid is a 1-row frame
+# cross-joined broadcast (the sanctioned 1-row statistic pattern);
+# cosines and norms round(6), the knn/sim output convention.
+
+_DRIFT_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+),
+lm AS (
+    SELECT label, list(m ORDER BY i) AS cv FROM (
+        SELECT label, i,
+               CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*)
+                   AS m
+        FROM (SELECT label, generate_subscripts(v, 1) AS i,
+                     unnest(v) AS x FROM e)
+        GROUP BY 1, 2
+    ) GROUP BY 1
+),
+ln AS (
+    SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM lm
+),
+gm AS (
+    SELECT list(m ORDER BY i) AS gv FROM (
+        SELECT i,
+               CAST(SUM(CAST(x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*)
+                   AS m
+        FROM (SELECT generate_subscripts(v, 1) AS i,
+                     unnest(v) AS x FROM e)
+        GROUP BY 1
+    )
+),
+gn AS (
+    SELECT gv, sqrt(list_dot_product(gv, gv)) AS gvn FROM gm
+),
+cnt AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM e GROUP BY label
+)
+SELECT ln.label, cnt.n_vecs,
+       round(ln.cn, 6) AS centroid_l2,
+       round(list_dot_product(ln.cv, gn.gv) / (ln.cn * gn.gvn), 6)
+           AS cos_to_corpus
+FROM ln JOIN cnt USING (label) CROSS JOIN gn
+"""
+
+
+@register_supplementary(
+    "label_centroid_drift", _DRIFT_ORACLE, tags=("pipeline", "similarity")
+)
+def label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X248: per-label embedding centroid drift table (module comment
+    above) — member count, decimal-exact centroid L2, and the cosine
+    to the global corpus centroid, both round(6). Scale shape: two
+    (key, dim) map-side-combined folds — state |labels| x dims and
+    1 x dims rows — and a broadcast 1-row cross join; the corpus
+    never shuffles whole vectors, only (key, dim, value) triples."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_drift_frame(emb)
+
+
+def centroid_drift_frame(emb: DataFrame) -> DataFrame:
+    """Frame-level X248 kernel over (label, embedding) — shared by the
+    registered query and the crafted-frame pins.
+
+    ONE corpus scan: the (label, dim) decimal-sum/count fold is
+    computed once and lazily checkpointed (|labels| x dims rows), and
+    BOTH centroid tables derive from it — per-label means directly,
+    the global means by re-summing the per-label decimal sums (decimal
+    addition is exactly associative, so this is bit-equal to the
+    oracle's one-pass global mean; _cell_means' sum->double->divide
+    arithmetic reproduced verbatim). The first cut reused
+    _cell_centroids twice plus a count fold = THREE embeddings scans.
+    Vectors must be fixed-dimension (the embeddings contract): the
+    per-label count is read off dim 0."""
+    from flink_state_eviction_spark.operators.similarity import (
+        as_double_vec,
+        cosine,
+        l2_norm,
+    )
+
+    trip = emb.select(
+        "label",
+        F.posexplode(as_double_vec(F.col("embedding"))).alias("_i", "_x"),
+    )
+    sums = (
+        trip.groupBy("label", "_i")
+        .agg(
+            F.sum(F.col("_x").cast("decimal(27,15)")).alias("_s"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per = (
+        sums.withColumn("_m", F.col("_s").cast("double") / F.col("_c"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_im"),
+            F.max(F.when(F.col("_i") == 0, F.col("_c")))
+            .cast("long")
+            .alias("n_vecs"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.transform("_im", lambda s: s["_m"]).alias("_cv"),
+        )
+        .withColumn("_cn", l2_norm(F.col("_cv")))
+    )
+    glob = (
+        sums.groupBy("_i")
+        .agg(
+            (F.sum("_s").cast("double") / F.sum("_c")).alias("_m")
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_im"))
+        .select(F.transform("_im", lambda s: s["_m"]).alias("_gv"))
+        .withColumn("_gn", l2_norm(F.col("_gv")))
+    )
+    out = per.crossJoin(F.broadcast(glob))
+    return out.select(
+        "label",
+        "n_vecs",
+        F.round("_cn", 6).alias("centroid_l2"),
+        F.round(
+            cosine(F.col("_cv"), F.col("_gv"), F.col("_cn"), F.col("_gn")),
+            6,
+        ).alias("cos_to_corpus"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X247: eval-memorization span audit — the position-aware complement
 # of the X184/X205 decontamination family (Lee et al. 2022 /
 # Carlini et al. 2023 extractable-memorization geometry): a scattered

@@ -1,0 +1,63 @@
+"""Crafted-frame pins for the X248 per-label centroid drift table
+(querydefs/pipeline.py: centroid_drift_frame) — centroid means, norms,
+and the corpus-centroid cosine are hand-computed on tiny vectors."""
+
+from __future__ import annotations
+
+import math
+
+from flink_state_eviction_spark.querydefs.pipeline import (
+    centroid_drift_frame,
+)
+
+
+def _drift(spark, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    return {r["label"]: r for r in centroid_drift_frame(df).collect()}
+
+
+def test_hand_computed_centroids(spark):
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.0, 1.0]),
+        (3, 1, [2.0, 2.0]),
+    ]
+    out = _drift(spark, rows)
+    # label 0 centroid = (0.5, 0.5), |c| = sqrt(0.5)
+    # label 1 centroid = (2, 2),     |c| = sqrt(8)
+    # global centroid  = (1, 1),     |g| = sqrt(2)
+    a, b = out[0], out[1]
+    assert (a["n_vecs"], b["n_vecs"]) == (2, 1)
+    assert a["centroid_l2"] == round(math.sqrt(0.5), 6)
+    assert b["centroid_l2"] == round(math.sqrt(8.0), 6)
+    # both centroids point along (1,1): cosine to corpus = 1
+    assert a["cos_to_corpus"] == 1.0 and b["cos_to_corpus"] == 1.0
+
+
+def test_orthogonal_label_drifts(spark):
+    # label 1 sits orthogonal to the corpus-dominant direction:
+    # global centroid = ((1+1+0)/3, (0+0+3)/3) = (2/3, 1)
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.0]),
+        (3, 1, [0.0, 3.0]),
+    ]
+    out = _drift(spark, rows)
+    gx, gy = 2.0 / 3.0, 1.0
+    gn = math.hypot(gx, gy)
+    assert out[0]["cos_to_corpus"] == round(gx / gn, 6)
+    assert out[1]["cos_to_corpus"] == round(gy / gn, 6)
+    assert out[0]["cos_to_corpus"] > 0.5 > out[1]["cos_to_corpus"] - 0.4
+
+
+def test_fixture_is_not_degenerate(spark, sf_dir):
+    from flink_state_eviction_spark.queries import all_queries
+
+    rows = all_queries()["label_centroid_drift"](spark, sf_dir).collect()
+    assert len(rows) == 10  # the fixture's 10 labels
+    sims = [r["cos_to_corpus"] for r in rows]
+    # labeled clusters genuinely differ from the corpus mean
+    assert max(sims) < 1.0 and min(sims) > -1.0
+    assert len(set(sims)) > 1

@@ -58,6 +58,10 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     # offsets: count-bucket prefix table + scalar: total-events row
     "events_key_skew_profile": 2,
     "events_table_profile": 1,  # scalar: one-scan profile row
+    # X248: global-centroid pack — input is the <= dims-row per-dim
+    # mean table derived from the checkpointed (label, dim) fold,
+    # never the embeddings corpus
+    "label_centroid_drift": 1,
     "funnel_view_click_purchase": 1,  # scalar: funnel stage totals
     "histogram_quantiles_value": 1,  # tiny: quantiles over bin table
     "conversion_latency_quantiles": 1,  # tiny: CDF over the 256-bin table

@@ -1184,6 +1184,20 @@ def test_sft_family_plan_shape(spark, sf_dir):
     assert "EvalPython" not in rplan, rplan
 
 
+def test_centroid_drift_plan_shape(spark, sf_dir):
+    # X248: ONE embeddings scan behind the checkpointed (label, dim)
+    # fold (two ExistingRDD consumers: per-label + global); the only
+    # SinglePartition is the <= dims-row global-centroid pack
+    # (allowlisted in test_plan_audit); no cartesian — the 1-row
+    # global frame broadcasts
+    df = _q("label_centroid_drift", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_memorization_audit_plan_shape(spark, sf_dir):
     # X247: train side is one parquet scan through the Arrow pack;
     # the eval side rides the checkpointed suite-bounded frame (two
