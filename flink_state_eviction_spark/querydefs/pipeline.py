@@ -10727,24 +10727,38 @@ def centroid_drift_frame(emb: DataFrame) -> DataFrame:
     _cell_centroids twice plus a count fold = THREE embeddings scans.
     Vectors must be fixed-dimension (the embeddings contract): the
     per-label count is read off dim 0."""
+    return drift_from_sums(
+        centroid_sum_partials(emb).localCheckpoint(eager=False)
+    )
+
+
+def centroid_sum_partials(emb: DataFrame) -> DataFrame:
+    """(label, _i, _s decimal, _c): the per-(label, dim) exact sum/count
+    fold — associative, so micro-batch partials re-sum to the corpus
+    fold (the X249 streaming maintainer's state rows)."""
     from flink_state_eviction_spark.operators.similarity import (
         as_double_vec,
-        cosine,
-        l2_norm,
     )
 
     trip = emb.select(
         "label",
         F.posexplode(as_double_vec(F.col("embedding"))).alias("_i", "_x"),
     )
-    sums = (
-        trip.groupBy("label", "_i")
-        .agg(
-            F.sum(F.col("_x").cast("decimal(27,15)")).alias("_s"),
-            F.count(F.lit(1)).alias("_c"),
-        )
-        .localCheckpoint(eager=False)
+    return trip.groupBy("label", "_i").agg(
+        F.sum(F.col("_x").cast("decimal(27,15)")).alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_c"),
     )
+
+
+def drift_from_sums(sums: DataFrame) -> DataFrame:
+    """X248 tail over the (label, _i, _s, _c) fold: per-label and
+    global centroids, norms, and the corpus cosine. Callers pass the
+    fold behind a materialization boundary (it feeds BOTH tables)."""
+    from flink_state_eviction_spark.operators.similarity import (
+        cosine,
+        l2_norm,
+    )
+
     per = (
         sums.withColumn("_m", F.col("_s").cast("double") / F.col("_c"))
         .groupBy("label")

@@ -1,0 +1,91 @@
+"""Streaming twin for the per-label centroid drift table (X248/X249):
+an always-ingesting embedding corpus maintains the (label, dim)
+DECIMAL-exact sum/count fold, and the semantic-drift table serves from
+the maintained state — the trajectory a drift monitor actually reads
+(a label's corpus cosine sliding between batches), without rescanning
+vectors.
+
+Standard partials pattern (X191/X195 model — this is the drift-table
+sibling of the X195 centroid-refresh maintainer):
+
+- ``drift_maintain_batch`` — ``foreachBatch`` body: the batch's
+  (label, _i, _s, _c) fold (the SAME `centroid_sum_partials` kernel
+  the batch query uses) lands in an idempotent ``batch=<id>``
+  partition; redelivery overwrites its own partition.
+- ``sums_from_state`` / ``drift_from_state`` — serving: state
+  partitions re-sum (decimal addition is exactly associative) and the
+  shared `drift_from_sums` tail derives both centroid tables, so once
+  the corpus has streamed in the table is BIT-EQUAL to the batch
+  `label_centroid_drift` (tests/test_streaming_drift_maintain.py).
+
+Scale shape: state is |labels| x dims rows PER BATCH at any batch
+size (~640 rows on the fixture); whole vectors never land in state.
+Compaction folds are re-sums under the commit-log-safe contract
+(streaming/compaction.py).
+
+Extension beyond the reference surface (twins the batch X248 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("label", "_i").agg(
+        F.sum("_s").cast("decimal(38,15)").alias("_s"),
+        F.sum("_c").cast("long").alias("_c"),
+    )
+
+
+def drift_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of drift-state maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id. ``batch_df``
+    must carry (label, embedding)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        centroid_sum_partials,
+    )
+
+    centroid_sum_partials(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "drift", f"batch={batch_id}")
+    )
+
+
+def compact_drift_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — decimal
+    sums are exactly associative. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "drift"), through_batch, _fold
+    )
+
+
+def sums_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (label, _i, _s, _c) fold: re-sums over batch
+    partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "drift")))
+
+
+def drift_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The drift table from the MAINTAINED fold through the shared
+    tail — same output shape as `label_centroid_drift`; bit-equal once
+    the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        drift_from_sums,
+    )
+
+    return drift_from_sums(
+        sums_from_state(spark, state_dir).localCheckpoint(eager=False)
+    )

@@ -1,0 +1,97 @@
+"""Streaming twin for the per-label centroid drift table (X249):
+serving from the maintained (label, dim) decimal fold must reproduce
+the batch `label_centroid_drift` bit-for-bit; redelivered batches must
+not change the state; compaction preserves it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.drift_maintain import (
+    compact_drift_state,
+    drift_from_state,
+    drift_maintain_batch,
+    sums_from_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {
+        (
+            r["label"],
+            r["n_vecs"],
+            r["centroid_l2"],
+            r["cos_to_corpus"],
+        )
+        for r in df.collect()
+    }
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+
+
+def test_streaming_drift_matches_batch(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    stream = as_file_stream(
+        emb, str(tmp_path), num_batches=3, order_col="vec_id"
+    )
+    state = os.path.join(str(tmp_path), "drift-state")
+
+    def upd(batch_df, batch_id):
+        drift_maintain_batch(
+            batch_df.select("label", "embedding"), state, batch_id
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(drift_from_state(spark, state))
+    want = _rows(all_queries()["label_centroid_drift"](spark, sf_dir))
+    assert got == want and len(got) == 10
+
+
+def test_drift_redelivery_and_compaction_preserve_state(
+    spark, sf_dir, tmp_path
+):
+    emb = _emb(spark, sf_dir)
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    n = len(ids)
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    b = [
+        (0, emb.where(F.col("vec_id") < cut1)),
+        (1, emb.where((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2))),
+        (2, emb.where(F.col("vec_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "drift-state")
+    for bid, part in b:
+        drift_maintain_batch(part.select("label", "embedding"), state, bid)
+
+    def snapshot():
+        return {
+            tuple(r) for r in sums_from_state(spark, state).collect()
+        }
+
+    once = snapshot()
+    drift_maintain_batch(b[1][1].select("label", "embedding"), state, 1)
+    assert snapshot() == once
+
+    with pytest.raises(ValueError):
+        compact_drift_state(spark, state, 2)
+    compact_drift_state(spark, state, 1)
+    assert snapshot() == once
+    drift_maintain_batch(b[2][1].select("label", "embedding"), state, 2)
+    assert snapshot() == once
