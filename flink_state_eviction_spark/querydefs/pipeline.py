@@ -10644,6 +10644,166 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# X250: HTML table extraction — the STRUCTURED complement of the X216
+# text extraction: crawl pages carry tabular data (specs, rankings,
+# stats) that flattens to noise under text extraction but is training
+# signal as (table, row, col, cell) tuples. Extraction is the lazy
+# regex chain (RE2-safe — no backreferences: cells are matched as
+# WHOLE '<td|th ...>...</td|th>' strings and the header flag read off
+# the matched prefix, so no positional zip of separately-extracted
+# lists can misalign on malformed cells). Nested tables and
+# row/colspan are documented out of scope (the X216 not-a-browser
+# line); malformed nesting degrades to fewer matches, never an error.
+# The fixture mints deterministic table-bearing pages doc_id-keyed:
+# one 2x2 table with a header row, a two-table page with inner tags /
+# attributes / an empty cell, and table-free pages that emit nothing.
+
+_TABLE_RE = "<table[^>]*>(.*?)</table>"
+_TR_RE = "<tr[^>]*>(.*?)</tr>"
+_CELL_RE = "<t[dh][^>]*>.*?</t[dh]>"
+_TAG_RE = "<[^>]*>"
+
+
+def _table_html_col() -> F.Column:
+    did = F.col("doc_id").cast("string")
+    t1 = F.concat(
+        F.lit('<table class="specs"><tr><th>name</th><th>value</th>'
+              "</tr><tr><td>row"),
+        did,
+        F.lit("</td><td>"),
+        (F.col("doc_id") * 7).cast("string"),
+        F.lit("</td></tr></table>"),
+    )
+    t2 = F.concat(
+        F.lit('<table id="x"><tr><td><b>bold'),
+        did,
+        F.lit('</b></td><td align="r">plain</td><td></td></tr></table>'),
+    )
+    body = F.concat(
+        F.lit("<body><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p>"),
+    )
+    return (
+        F.when(F.col("doc_id") % 11 == 1, F.concat(body, t1, F.lit("</body>")))
+        .when(
+            F.col("doc_id") % 11 == 2,
+            F.concat(body, t1, F.lit("<p>between</p>"), t2, F.lit("</body>")),
+        )
+        .otherwise(F.concat(body, F.lit("</body>")))
+    )
+
+
+def html_table_frame(staged: DataFrame) -> DataFrame:
+    """Frame-level X250 kernel over (doc_id, h): one (doc_id,
+    table_idx, row_idx, col_idx, cell_text, is_header) row per cell.
+    Three nested posexplodes over lazy-regex match lists — row volume
+    is cells-per-page-bounded; everything rides the scan."""
+    t = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("h", F.lit(_TABLE_RE), F.lit(1))
+        ).alias("table_idx", "_tbl"),
+    )
+    r = t.select(
+        "doc_id",
+        "table_idx",
+        F.posexplode(
+            F.regexp_extract_all("_tbl", F.lit(_TR_RE), F.lit(1))
+        ).alias("row_idx", "_tr"),
+    )
+    c = r.select(
+        "doc_id",
+        "table_idx",
+        "row_idx",
+        F.posexplode(
+            F.regexp_extract_all("_tr", F.lit(_CELL_RE), F.lit(0))
+        ).alias("col_idx", "_cell"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.col("col_idx").cast("long").alias("col_idx"),
+        F.trim(
+            F.regexp_replace("_cell", _TAG_RE, "")
+        ).alias("cell_text"),
+        F.col("_cell").startswith("<th").alias("is_header"),
+    )
+
+
+_TABLE_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           CASE
+             WHEN doc_id % 11 = 1 THEN
+               '<body><p>' || coalesce(text, '') || '</p>'
+               || '<table class="specs"><tr><th>name</th><th>value</th>'
+               || '</tr><tr><td>row' || doc_id || '</td><td>'
+               || (doc_id * 7) || '</td></tr></table></body>'
+             WHEN doc_id % 11 = 2 THEN
+               '<body><p>' || coalesce(text, '') || '</p>'
+               || '<table class="specs"><tr><th>name</th><th>value</th>'
+               || '</tr><tr><td>row' || doc_id || '</td><td>'
+               || (doc_id * 7) || '</td></tr></table>'
+               || '<p>between</p>'
+               || '<table id="x"><tr><td><b>bold' || doc_id
+               || '</b></td><td align="r">plain</td><td></td></tr></table>'
+               || '</body>'
+             ELSE '<body><p>' || coalesce(text, '') || '</p></body>'
+           END AS h
+    FROM documents
+),
+t AS (
+    SELECT doc_id,
+           CAST(generate_subscripts(l, 1) - 1 AS INT) AS table_idx,
+           unnest(l) AS tbl
+    FROM (SELECT doc_id,
+                 regexp_extract_all(h, '{_TABLE_RE}', 1) AS l
+          FROM base)
+),
+r AS (
+    SELECT doc_id, table_idx,
+           CAST(generate_subscripts(l, 1) - 1 AS INT) AS row_idx,
+           unnest(l) AS tr
+    FROM (SELECT doc_id, table_idx,
+                 regexp_extract_all(tbl, '{_TR_RE}', 1) AS l
+          FROM t)
+),
+c AS (
+    SELECT doc_id, table_idx, row_idx,
+           CAST(generate_subscripts(l, 1) - 1 AS INT) AS col_idx,
+           unnest(l) AS cell
+    FROM (SELECT doc_id, table_idx, row_idx,
+                 regexp_extract_all(tr, '{_CELL_RE}', 0) AS l
+          FROM r)
+)
+SELECT doc_id,
+       CAST(table_idx AS BIGINT) AS table_idx,
+       CAST(row_idx AS BIGINT) AS row_idx,
+       CAST(col_idx AS BIGINT) AS col_idx,
+       trim(regexp_replace(cell, '{_TAG_RE}', '', 'g')) AS cell_text,
+       cell LIKE '<th%' AS is_header
+FROM c
+"""
+
+
+@register_supplementary(
+    "html_table_extract", _TABLE_ORACLE, tags=("pipeline", "text")
+)
+def html_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X250: structured table extraction over the minted table-bearing
+    pages (module comment above) — one row per cell with table / row /
+    column positions, tag-stripped trimmed text, and the header flag
+    read off the matched cell prefix. Scan-shaped: the three nested
+    explodes multiply by cells-per-page, never corpus terms; zero
+    joins, zero Python (plan-gated)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", _table_html_col().alias("h"))
+    return html_table_frame(staged)
+
+
+# ---------------------------------------------------------------------------
 # X248: per-label embedding centroid drift — the SEMANTIC drift
 # observability row next to the lexical ones (unigram KL X187,
 # script mix X233): per label (the embeddings table's group key),

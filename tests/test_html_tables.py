@@ -1,0 +1,75 @@
+"""Crafted-frame pins for the X250 HTML table extraction
+(querydefs/pipeline.py: html_table_frame) — positions, header flags,
+inner-tag stripping, empty cells, and the documented degradation on
+malformed / nested markup are pinned on hand-built pages."""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark.querydefs.pipeline import (
+    html_table_frame,
+)
+
+
+def _cells(spark, pages):
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(pages)], "doc_id bigint, h string"
+    )
+    return {
+        (r["doc_id"], r["table_idx"], r["row_idx"], r["col_idx"]): r
+        for r in html_table_frame(df).collect()
+    }
+
+
+def test_positions_and_content_hand_computed(spark):
+    page = (
+        "<body><table><tr><th>k</th><th>v</th></tr>"
+        "<tr><td><b>bold</b>x</td><td align=r>plain</td><td></td></tr>"
+        "</table><p>mid</p>"
+        '<table id="z"><tr><td>solo</td></tr></table></body>'
+    )
+    out = _cells(spark, [page])
+    # table 0: header row + data row (3 cells, ragged allowed)
+    assert out[(0, 0, 0, 0)]["cell_text"] == "k"
+    assert out[(0, 0, 0, 0)]["is_header"] is True
+    assert out[(0, 0, 0, 1)]["cell_text"] == "v"
+    d = out[(0, 0, 1, 0)]
+    assert d["cell_text"] == "boldx" and d["is_header"] is False
+    assert out[(0, 0, 1, 1)]["cell_text"] == "plain"  # attrs ignored
+    assert out[(0, 0, 1, 2)]["cell_text"] == ""       # empty cell kept
+    # second table on the page gets table_idx 1
+    assert out[(0, 1, 0, 0)]["cell_text"] == "solo"
+    assert len(out) == 6
+
+
+def test_malformed_and_nested_scope_lines(spark):
+    pages = [
+        # unclosed cell: the lazy cell regex finds no terminator
+        # before </tr>, so the row yields nothing — degrade, no error
+        "<table><tr><td>never closed</tr></table>",
+        # nested table: the outer lazy match ends at the FIRST
+        # </table>, so only the INNER cell pair survives — the
+        # documented not-a-browser scope line
+        "<table><tr><td>a<table><tr><td>inner</td></tr></table>"
+        "</td></tr></table>",
+        "<p>no tables at all</p>",
+    ]
+    out = _cells(spark, pages)
+    assert not any(k[0] == 0 for k in out)
+    inner = [r for k, r in out.items() if k[0] == 1]
+    assert len(inner) == 1 and inner[0]["cell_text"] == "ainner"
+    assert not any(k[0] == 2 for k in out)
+
+
+def test_fixture_split_is_not_vacuous(spark, sf_dir):
+    from flink_state_eviction_spark.queries import all_queries
+
+    rows = all_queries()["html_table_extract"](spark, sf_dir).collect()
+    assert rows
+    # both mint classes fire: single- and double-table pages
+    per_doc_tables = {}
+    for r in rows:
+        per_doc_tables.setdefault(r["doc_id"], set()).add(r["table_idx"])
+    assert {len(v) for v in per_doc_tables.values()} == {1, 2}
+    assert any(r["is_header"] for r in rows)
+    assert any(r["cell_text"] == "" for r in rows)
+    assert any(r["cell_text"].startswith("bold") for r in rows)

@@ -1184,6 +1184,16 @@ def test_sft_family_plan_shape(spark, sf_dir):
     assert "EvalPython" not in rplan, rplan
 
 
+def test_html_tables_scan_only(spark, sf_dir):
+    # X250: three nested regex explodes riding one scan — zero
+    # exchanges, zero joins, no Python
+    df = _q("html_table_extract", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_centroid_drift_plan_shape(spark, sf_dir):
     # X248: ONE embeddings scan behind the checkpointed (label, dim)
     # fold (two ExistingRDD consumers: per-label + global); the only
