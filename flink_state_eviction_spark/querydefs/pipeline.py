@@ -11337,6 +11337,77 @@ GROUP BY source
 )
 
 
+# ---------------------------------------------------------------------------
+# X251: curriculum ordering — easy-first global training order
+# (Bengio et al. 2009 curriculum learning): every scored document gets
+# an exact global rank by (difficulty asc, doc_id asc) and a
+# curriculum shard index, so shards stream easy-to-hard. Difficulty is
+# the X245 FK grade (integer milli). The rank is the two-phase
+# bucketed_global_row_number over quarter-grade difficulty bands —
+# the corpus never serializes through one sort task; the +100000
+# shift makes the truncating div a floor on the (bounded) negative
+# grades, keeping the band function monotone (the signed-div band
+# lesson).
+
+CURRICULUM_SHARD_DOCS = 64
+_CURR_BAND_MILLI = 250
+_CURR_SHIFT = 100_000  # FK milli is bounded below by ~-3400
+
+
+@register_supplementary(
+    "curriculum_order",
+    "WITH scored AS ("
+    + _READABILITY_ORACLE
+    + f""")
+SELECT doc_id, fk_grade_milli,
+       CAST(row_number() OVER (ORDER BY fk_grade_milli, doc_id)
+            AS BIGINT) AS curriculum_rank,
+       CAST((row_number() OVER (ORDER BY fk_grade_milli, doc_id) - 1)
+            // {CURRICULUM_SHARD_DOCS} AS BIGINT) AS shard_idx
+FROM scored
+""",
+    tags=("pipeline", "text"),
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X251: easy-first curriculum order over the X245 difficulty
+    scores (module comment above) — exact global rank with the
+    (difficulty, doc_id) tie-break and the 64-doc shard index.
+    Scale shape: the two-phase band rank — per-band
+    counts map-side-combine, the offsets window runs over the
+    |bands|-row count table only (the allowlisted SinglePartition),
+    and sort work is bounded by the largest quarter-grade band, never
+    the corpus."""
+    from flink_state_eviction_spark.operators.windows import (
+        bucketed_global_row_number,
+    )
+
+    # the rank kernel's count and data subtrees would each re-run the
+    # 4-regexp scoring pass (no CSE across subtrees) — checkpoint the
+    # slim 16-byte (doc_id, fk) rows once (17.62 -> 6.09 s at x10,
+    # cold single-shot)
+    scored = (
+        text_readability(spark, sf_dir)
+        .select("doc_id", "fk_grade_milli")
+        .localCheckpoint(eager=False)
+    )
+    band = F.expr(f"(fk_grade_milli + {_CURR_SHIFT}) div {_CURR_BAND_MILLI}")
+    ranked = bucketed_global_row_number(
+        scored,
+        band,
+        [F.col("fk_grade_milli").asc(), F.col("doc_id").asc()],
+        out_col="curriculum_rank",
+    )
+    return ranked.select(
+        "doc_id",
+        "fk_grade_milli",
+        F.col("curriculum_rank").cast("long").alias("curriculum_rank"),
+        F.expr(
+            f"CAST((curriculum_rank - 1) div {CURRICULUM_SHARD_DOCS}"
+            " AS BIGINT)"
+        ).alias("shard_idx"),
+    )
+
+
 @register_supplementary(
     "source_readability_census",
     _READ_CENSUS_ORACLE,

@@ -65,6 +65,24 @@ def test_hand_computed_scores(spark):
     assert out[2]["fk_grade_milli"] < 0
 
 
+def test_curriculum_order_is_a_permutation(spark, sf_dir):
+    """X251: the two-phase band rank equals the naive global sort —
+    rank is a 1..N permutation in (difficulty, doc_id) order and the
+    shard index is the rank's 64-doc floor."""
+    from flink_state_eviction_spark.queries import all_queries
+
+    rows = all_queries()["curriculum_order"](spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["curriculum_rank"] for r in rows) == list(
+        range(1, n + 1)
+    )
+    by_rank = sorted(rows, key=lambda r: r["curriculum_rank"])
+    keys = [(r["fk_grade_milli"], r["doc_id"]) for r in by_rank]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r["shard_idx"] == (r["curriculum_rank"] - 1) // 64
+
+
 def test_fixture_split_is_not_vacuous(spark, sf_dir):
     from flink_state_eviction_spark.queries import all_queries
 
