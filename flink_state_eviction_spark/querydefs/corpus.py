@@ -2739,3 +2739,92 @@ def sft_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ({n_bins} * {SFT_CAP})) as bigint)"
         ).alias("fill_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X252: DPO preference-pair prep — alignment-data bootstrapping from
+# the curation signals already in the pipeline (Rafailov et al. 2023
+# DPO consumes (chosen, rejected) pairs; a standard bootstrap pairs
+# near-identical candidates and prefers the one the quality model
+# likes): every verified MinHash near-dup pair (X8 — the two texts
+# answer the same "prompt" by construction) becomes a preference pair
+# with chosen = the side the reference LM finds more natural (lower
+# X159 mean NLL), the canonical a<b order breaking exact ties, and
+# the NLL gap as the preference margin. Pure composition: CALLS the
+# two registered queries and wraps their own oracles as CTEs (the
+# X167 model — zero re-implemented logic, so the pairs cannot diverge
+# from the audited dedup/LM kernels). Pairs where either side lacks
+# bigram evidence (no LM row) drop by the LM family's documented
+# contract.
+
+
+def _dpo_oracle() -> str:
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _MINHASH_ORACLE,
+    )
+
+    return (
+        "WITH pairs AS ("
+        + _MINHASH_ORACLE
+        + "), lm AS ("
+        + _LM_PPL_ORACLE
+        + """)
+SELECT CASE WHEN sa.mean_nll_millibits <= sb.mean_nll_millibits
+            THEN p.doc_a ELSE p.doc_b END AS chosen_id,
+       CASE WHEN sa.mean_nll_millibits <= sb.mean_nll_millibits
+            THEN p.doc_b ELSE p.doc_a END AS rejected_id,
+       ABS(sa.mean_nll_millibits - sb.mean_nll_millibits)
+           AS margin_millibits,
+       p.jaccard
+FROM pairs p
+JOIN lm sa ON sa.doc_id = p.doc_a
+JOIN lm sb ON sb.doc_id = p.doc_b
+"""
+    )
+
+
+@register_supplementary(
+    "dpo_pairs_from_neardups", _dpo_oracle(), tags=("corpus", "text")
+)
+def dpo_pairs_from_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X252: preference pairs from verified near-dup candidates
+    (module comment above) — chosen = the lower-mean-NLL side under
+    the X159 reference LM (canonical a<b order breaks exact ties,
+    which is the SQL tie CASE given doc_a < doc_b), margin = the NLL
+    gap in millibits, jaccard carried for curriculum weighting. Scale
+    shape: the pair frame is candidate-bounded (banded LSH, zero
+    cartesians) and the two score lookups are doc_id equi-joins — no
+    hints, Catalyst size-picks."""
+    from flink_state_eviction_spark.queries import all_queries
+
+    qs = all_queries()
+    pairs = qs["dedup_minhash_lsh"](spark, sf_dir)
+    # the LM frame feeds BOTH side-joins — two consumers, so the slim
+    # (doc_id, nll) rows checkpoint once instead of running the whole
+    # scoring plan twice (59.1 -> 39.5 s at x10; the remainder is the
+    # documented replica-clique-quadratic pair volume + LM law)
+    lm = (
+        lm_perplexity_score(spark, sf_dir)
+        .select("doc_id", "mean_nll_millibits")
+        .localCheckpoint(eager=False)
+    )
+    sa = lm.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("mean_nll_millibits").alias("_ma"),
+    )
+    sb = lm.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("mean_nll_millibits").alias("_mb"),
+    )
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    a_wins = F.col("_ma") <= F.col("_mb")
+    return j.select(
+        F.when(a_wins, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "chosen_id"
+        ),
+        F.when(a_wins, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "rejected_id"
+        ),
+        F.abs(F.col("_ma") - F.col("_mb")).alias("margin_millibits"),
+        "jaccard",
+    )

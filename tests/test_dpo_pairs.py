@@ -1,0 +1,35 @@
+"""Pins for the X252 DPO preference-pair composition
+(querydefs/corpus.py: dpo_pairs_from_neardups) — the pairs must be
+exactly the scored near-dup pairs with the preference pointing at the
+lower-NLL side."""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark.queries import all_queries
+
+
+def test_preference_points_at_lower_nll(spark, sf_dir):
+    qs = all_queries()
+    pairs = qs["dpo_pairs_from_neardups"](spark, sf_dir).collect()
+    assert pairs  # fixture has verified near-dup pairs
+    lm = {
+        r["doc_id"]: r["mean_nll_millibits"]
+        for r in qs["lm_perplexity_score"](spark, sf_dir).collect()
+    }
+    raw = {
+        tuple(sorted((r["doc_a"], r["doc_b"])))
+        for r in qs["dedup_minhash_lsh"](spark, sf_dir).collect()
+        if r["doc_a"] in lm and r["doc_b"] in lm
+    }
+    assert {
+        tuple(sorted((r["chosen_id"], r["rejected_id"]))) for r in pairs
+    } == raw  # exactly the scored near-dup pairs, nothing else
+    for r in pairs:
+        c, x = r["chosen_id"], r["rejected_id"]
+        assert c != x
+        assert r["margin_millibits"] == abs(lm[c] - lm[x])
+        if lm[c] == lm[x]:
+            assert c < x  # canonical tie-break
+        else:
+            assert lm[c] < lm[x]
+        assert r["jaccard"] >= 0.8  # the X8 verification floor
