@@ -2628,7 +2628,9 @@ GROUP BY 1, 2
 
 
 @register_supplementary(
-    "sft_shelf_packing", _SFT_SHELF_ORACLE, tags=("corpus", "text")
+    # bench headline: the round-9 SFT-packing flagship
+    "sft_shelf_packing", _SFT_SHELF_ORACLE, headline=True,
+    tags=("corpus", "text"),
 )
 def sft_shelf_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X243: no-split shelf packing of the X242 examples into

@@ -1588,7 +1588,11 @@ FROM mapped GROUP BY 1, d
 """
 
 
-@register(
+@register_supplementary(
+    # rotated OUT of the driver window late round 9 (code_lexical_profile
+    # takes the slot); the pytest parity gate still checks it, and the
+    # multimodal family keeps 4 driver rows (features, audio header
+    # filter, phash dedup, phash neardup)
     "multimodal_resize_decode",
     _RESIZE_DECODE_ORACLE,
     tags=("pipeline", "multimodal"),
@@ -2334,7 +2338,11 @@ FROM q
 """
 
 
-@register(
+@register_supplementary(
+    # rotated OUT of the driver window late round 9 (mojibake_scan_repair
+    # takes the slot); parity gate kept; the similarity family keeps 5
+    # driver rows (topk, truncated rerank, ivf-kmeans, knn graph,
+    # semdedup)
     "embedding_quantize_int8", _QUANT_ORACLE, tags=("pipeline", "similarity")
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10294,9 +10302,12 @@ FROM derived
 _CODE_PROFILE_SELECT = ", ".join(_CODE_PROFILE_COLS)
 
 
-@register_supplementary(
+@register(
+    # rotated INTO the driver window late round 9 — the code-routing
+    # family's first driver row (displacing multimodal_resize_decode)
     "code_lexical_profile",
-    "SELECT "
+    headline=True,
+    oracle="SELECT "
     + _CODE_PROFILE_SELECT
     + " FROM ("
     + _code_profile_oracle()
@@ -10604,7 +10615,9 @@ FROM counts
     )
 
 
-@register_supplementary(
+@register(
+    # rotated INTO the driver window late round 9 — the encoding-health
+    # family's first driver row (displacing embedding_quantize_int8)
     "mojibake_scan_repair", _moji_oracle(), tags=("pipeline", "text")
 )
 def mojibake_scan_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11150,7 +11163,9 @@ FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
 
 
 @register_supplementary(
-    "eval_memorization_audit", _MEM_ORACLE, tags=("pipeline", "dedup")
+    # bench headline: the round-9 memorization-audit flagship
+    "eval_memorization_audit", _MEM_ORACLE, headline=True,
+    tags=("pipeline", "dedup"),
 )
 def eval_memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X247: eval-memorization span audit over the injected corpus

@@ -40,11 +40,9 @@ MUST_HAVE = {
     # multimodal family (decode_bmp/decode_wav displaced round 8 —
     # decode paths stay driver-covered via resize_decode / wav_bands)
     "multimodal_features",
-    "multimodal_resize_decode",
     # similarity family
     "similarity_topk",
     "similarity_ivf_kmeans_topk",
-    "embedding_quantize_int8",
     # pipeline extensions
     "dataset_split_assign",
     # rotated into the window in round 4 (VERDICT r03 item 6)
@@ -105,6 +103,13 @@ MUST_HAVE = {
     "url_normalize",
     "semdedup_prune",
     "source_relative_quality_cut",
+    # rotated into the window late round 9, displacing
+    # multimodal_resize_decode / embedding_quantize_int8 (both keep
+    # their supplementary parity gates; multimodal keeps 4 driver rows,
+    # similarity keeps 5) — the code-routing and encoding-health
+    # families' first driver rows
+    "code_lexical_profile",
+    "mojibake_scan_repair",
 }
 
 
