@@ -2710,12 +2710,20 @@ def sft_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sft_packing.py). band = -1 collects the overflow
     examples (> cap tokens, unpackable without splitting; n_bins /
     waste / fill_ppm are 0 by sentinel convention). One fold on the
-    scan-shaped size frame."""
+    scan-shaped size frame; split into the partials + tail kernels the
+    X253 streaming maintainer reuses verbatim (the derived columns are
+    computed only AFTER the final sum, so serving from maintained
+    partials is bit-equal)."""
     docs = load_table(spark, sf_dir, "documents")
     sized = sft_sized_examples(docs.select("doc_id", "source", "text"))
-    per_bin = f"({SFT_CAP} div band)"
-    n_bins = f"(n_examples + {per_bin} - 1) div {per_bin}"
-    folded = (
+    return sft_report_from_partials(sft_report_partials(sized))
+
+
+def sft_report_partials(sized: DataFrame) -> DataFrame:
+    """Per-band PARTIAL sums of the X244 report over any (doc_id,
+    n_total_tok, band) frame — associative, so micro-batch partials
+    sum to the corpus report (the X191 partials pattern)."""
+    return (
         sized.withColumn(
             "band", F.coalesce(F.col("band"), F.lit(-1).cast("long"))
         )
@@ -2725,6 +2733,13 @@ def sft_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_total_tok").cast("long").alias("fill_tokens"),
         )
     )
+
+
+def sft_report_from_partials(folded: DataFrame) -> DataFrame:
+    """X244 tail: the closed-form bin/waste/fill columns from final
+    per-band sums."""
+    per_bin = f"({SFT_CAP} div band)"
+    n_bins = f"(n_examples + {per_bin} - 1) div {per_bin}"
     return folded.select(
         "band",
         "n_examples",

@@ -9982,6 +9982,63 @@ def source_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X255: langid x script consistency — the cross-check the two signals
+# exist to give each other: the stopword langid (X17 family) only
+# knows four LATIN-script languages, so a doc it labels en/de/fr/es
+# whose DOMINANT script (X232) is not latin is mislabeled, spoofed,
+# or stopword-sprinkled spam; a mixed-script page is suspect either
+# way (TR #39). Pure composition: CALLS the two registered queries
+# and wraps their oracles as CTEs (X167 model) — the langid reads the
+# raw text, the script census its injected corpus, which is exactly
+# the interesting case on the fixture (injected Cyrillic/CJK pages
+# keep their English prose stopwords and stay detected=en).
+
+_LANGID_SCRIPT_ORACLE = (
+    "WITH langid AS ("
+    + _LANGID_ORACLE
+    + "), script AS ("
+    + _script_profile_oracle()
+    + """)
+SELECT l.doc_id, s.source, l.detected, s.dominant_script,
+       s.is_mixed_script,
+       (s.dominant_script = 'latin') AS script_matches,
+       (NOT s.dominant_script = 'latin' OR s.is_mixed_script)
+           AS suspicious
+FROM langid l JOIN script s ON s.doc_id = l.doc_id
+"""
+)
+
+
+@register_supplementary(
+    "langid_script_consistency",
+    _LANGID_SCRIPT_ORACLE,
+    tags=("pipeline", "text"),
+)
+def langid_script_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X255: per-doc langid/script cross-check (module comment above)
+    — the detected language, the dominant script, whether the script
+    is compatible with the all-Latin langid label set, and the
+    suspicious verdict (wrong script OR mixed script). One doc_id
+    equi-join over two scan-only frames — the composition's whole
+    added cost."""
+    lang = text_langid(spark, sf_dir).select("doc_id", "detected")
+    script = text_script_profile(spark, sf_dir).select(
+        "doc_id", "source", "dominant_script", "is_mixed_script"
+    )
+    j = lang.join(script, "doc_id")
+    matches = F.col("dominant_script") == "latin"
+    return j.select(
+        "doc_id",
+        "source",
+        "detected",
+        "dominant_script",
+        "is_mixed_script",
+        matches.alias("script_matches"),
+        (~matches | F.col("is_mixed_script")).alias("suspicious"),
+    )
+
+
 @register_supplementary(
     "boilerplate_line_census", _BOILER_CENSUS_ORACLE, tags=("pipeline", "text")
 )
@@ -10456,6 +10513,70 @@ def code_language_frame(staged: DataFrame) -> DataFrame:
         "n_c_markers",
         "n_js_markers",
         guess.alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X254: code-routed curation — the decision table X236 exists FOR:
+# prose quality gates mis-score source code (Gopher's stopword /
+# symbol-ratio / mean-word-length rules all fire on working code), so
+# a mixed feed routes each doc FIRST and applies the right gate —
+# The Stack file filters to code docs, the Gopher battery to prose.
+# Pure composition: CALLS the two registered queries and wraps their
+# own oracles as CTEs (the X167 model; each query keeps its own
+# fixture-injection convention — the composition wires VERDICTS, and
+# verdict wiring is what parity checks here). Both gates are computed
+# for every doc (no nullable booleans — the round-9 parity rule); the
+# route picks which one decides.
+
+_ROUTED_CURATION_ORACLE = (
+    "WITH profile AS (SELECT "
+    + _CODE_PROFILE_SELECT
+    + " FROM ("
+    + _code_profile_oracle()
+    + ")), gopher AS ("
+    + _GOPHER_ORACLE
+    + """)
+SELECT p.doc_id, p.source,
+       CASE WHEN p.is_code THEN 'code' ELSE 'prose' END AS route,
+       p.is_code, g.passes AS gopher_passes, p.stack_keep,
+       CASE WHEN p.is_code THEN p.stack_keep ELSE g.passes END AS keep
+FROM profile p JOIN gopher g ON g.doc_id = p.doc_id
+"""
+)
+
+
+@register_supplementary(
+    "routed_curation_decisions",
+    _ROUTED_CURATION_ORACLE,
+    tags=("pipeline", "text"),
+)
+def routed_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X254: route-then-gate curation decisions (module comment above)
+    — per doc: the code/prose route from the X236 verdict, both gate
+    outcomes (The Stack keep, Gopher passes), and the final keep
+    picked by the route. Scale shape: two scan-only gate frames joined
+    once on doc_id — the composition adds one equi-join and nothing
+    else (no hints; Catalyst size-picks)."""
+    profile = code_lexical_profile(spark, sf_dir).select(
+        "doc_id", "source", "is_code", "stack_keep"
+    )
+    gopher = quality_filter_gopher(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("gopher_passes")
+    )
+    j = profile.join(gopher, "doc_id")
+    return j.select(
+        "doc_id",
+        "source",
+        F.when(F.col("is_code"), F.lit("code"))
+        .otherwise(F.lit("prose"))
+        .alias("route"),
+        "is_code",
+        "gopher_passes",
+        "stack_keep",
+        F.when(F.col("is_code"), F.col("stack_keep"))
+        .otherwise(F.col("gopher_passes"))
+        .alias("keep"),
     )
 
 
@@ -11179,6 +11300,65 @@ def eval_memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return eval_memorization_frame(
         _mem_injected_docs(docs.select("doc_id", "text"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X256: mixed-feed curation capstone — the round-9 families composed
+# into one per-doc decision table the way X167 composed the round-6
+# gates: ROUTE (X236 code/prose) picks the quality gate (X254 wiring),
+# the canonical-form exact dedup (X212) elects one keeper per
+# canonical group, the mojibake scan (X239) contributes a NEEDS-REPAIR
+# flag (repairable, so never a drop — the policy line), and
+# final_keep = routed gate AND canonical keeper. PURE composition:
+# CALLS three registered queries, wraps their oracles as CTEs; the
+# only added work is two doc_id equi-joins.
+
+_MIXED_FEED_ORACLE = (
+    "WITH routed AS ("
+    + _ROUTED_CURATION_ORACLE
+    + "), canon AS ("
+    + _CANON_DEDUP_ORACLE
+    + "), moji AS ("
+    + _moji_oracle()
+    + """)
+SELECT r.doc_id, r.source, r.route, r.keep AS gate_keep,
+       c.is_keeper, m.has_mojibake AS needs_repair,
+       (r.keep AND c.is_keeper) AS final_keep
+FROM routed r
+JOIN canon c ON c.doc_id = r.doc_id
+JOIN moji m ON m.doc_id = r.doc_id
+"""
+)
+
+
+@register_supplementary(
+    "mixed_feed_curation", _MIXED_FEED_ORACLE, tags=("pipeline", "text")
+)
+def mixed_feed_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X256: the mixed-feed curation decision table (module comment
+    above) — per doc: route, routed gate keep, canonical-dedup keeper
+    flag, the repairable mojibake flag, and the final keep
+    conjunction. Two doc_id equi-joins over three audited scan-shaped
+    frames; nothing is recomputed, nothing broadcasts by hint."""
+    routed = routed_curation_decisions(spark, sf_dir).select(
+        "doc_id", "source", "route", F.col("keep").alias("gate_keep")
+    )
+    canon = dedup_exact_canonical(spark, sf_dir).select(
+        "doc_id", "is_keeper"
+    )
+    moji = mojibake_scan_repair(spark, sf_dir).select(
+        "doc_id", F.col("has_mojibake").alias("needs_repair")
+    )
+    j = routed.join(canon, "doc_id").join(moji, "doc_id")
+    return j.select(
+        "doc_id",
+        "source",
+        "route",
+        "gate_keep",
+        "is_keeper",
+        "needs_repair",
+        (F.col("gate_keep") & F.col("is_keeper")).alias("final_keep"),
     )
 
 

@@ -1,0 +1,88 @@
+"""Streaming twin for the SFT packing-efficiency report (X244/X253):
+an always-ingesting instruction corpus maintains per-band PARTIAL sums
+of the X242 example sizes, and the packing report serves from the
+maintained state — the budget a shard-building schedule reads (bins,
+waste, overflow mass per band) without re-rendering the corpus.
+
+Standard partials pattern (X191/X214 model):
+
+- ``sft_report_maintain_batch`` — ``foreachBatch`` body: the batch's
+  per-band partials (the SAME `sft_report_partials` over the SAME
+  `sft_sized_examples` kernel the batch query uses) land in an
+  idempotent ``batch=<id>`` partition; redelivery overwrites its own
+  partition.
+- ``partials_from_state`` / ``report_from_state`` — serving: summed
+  partials through the SAME `sft_report_from_partials` tail. The
+  bin/waste/fill columns are closed-form in the FINAL sums, so once
+  the corpus has streamed in the report is BIT-EQUAL to the batch
+  `sft_packing_report` (tests/test_streaming_sft_report.py).
+
+Scale shape: state is <= |bands|+1 rows PER BATCH (5 on the fixture)
+regardless of batch size; compaction folds are re-sums under the
+commit-log-safe contract (streaming/compaction.py).
+
+Extension beyond the reference surface (twins the batch X244 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUM_COLS = ("n_examples", "fill_tokens")
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("band").agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in _SUM_COLS]
+    )
+
+
+def sft_report_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of report maintenance (module docstring). Call
+    from ``foreachBatch`` forwarding its batch id. ``batch_df`` must
+    carry (doc_id, source, text)."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        sft_report_partials,
+        sft_sized_examples,
+    )
+
+    sft_report_partials(sft_sized_examples(batch_df)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "sft", f"batch={batch_id}"))
+
+
+def compact_sft_report_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — partials are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "sft"), through_batch, _fold
+    )
+
+
+def partials_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained per-band partials: sums over batch partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "sft")))
+
+
+def report_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The packing report from the MAINTAINED partials through the
+    shared tail — same output shape as `sft_packing_report`; bit-equal
+    once the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.corpus import (
+        sft_report_from_partials,
+    )
+
+    return sft_report_from_partials(partials_from_state(spark, state_dir))
