@@ -11363,6 +11363,92 @@ def mixed_feed_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X257: deterministic stratified per-source sample — the inspection /
+# eval-slice primitive: exactly k docs per source, chosen by the
+# shared h64 hash order (reproducible across runs, engines, and
+# partitionings — the X71 deterministic-sample convention, stratified).
+# Scale shape: the per-(source, hash-bucket) count table prunes every
+# bucket whose per-source prefix offset already reaches k BEFORE any
+# sort — the local window then ranks only the <= |sources| x k-ish
+# surviving-bucket rows, never a source's full row set (the
+# robust.py:_group_bucket_offsets machinery with the
+# bucketed_global_row_number limit trick, scoped per group).
+
+STRATA_SAMPLE_K = 5
+# h64 is 60-bit non-negative; div 2^52 gives 256 coarse hash buckets
+_STRATA_BUCKET_SHIFT = 2**52
+
+
+def stratified_sample_frame(docs: DataFrame, k: int) -> DataFrame:
+    """Frame-level X257 kernel over (doc_id, source): k hash-smallest
+    docs per source with (hash, doc_id) total order."""
+    d = docs.select(
+        "doc_id",
+        "source",
+        h64(F.col("doc_id").cast("string")).alias("_h"),
+    ).withColumn("_bucket", F.expr(f"_h div {_STRATA_BUCKET_SHIFT}"))
+    counts = d.groupBy("source", "_bucket").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        counts.withColumn(
+            "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+        )
+        .where(F.col("_off") < k)  # bucket can still reach rank <= k
+        .select("source", "_bucket", "_off")
+    )
+    w_local = Window.partitionBy("source", "_bucket").orderBy(
+        "_h", "doc_id"
+    )
+    ranked = d.join(offsets, ["source", "_bucket"]).withColumn(
+        "sample_rank", F.col("_off") + F.row_number().over(w_local)
+    )
+    return ranked.where(F.col("sample_rank") <= k).select(
+        "source",
+        "doc_id",
+        F.col("_h").alias("sample_hash"),
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
+_STRATA_ORACLE = f"""
+WITH h AS (
+    SELECT source, doc_id,
+           {sql_h64("CAST(doc_id AS VARCHAR)")} AS sample_hash
+    FROM documents
+),
+r AS (
+    SELECT source, doc_id, sample_hash,
+           CAST(row_number() OVER (PARTITION BY source
+                ORDER BY sample_hash, doc_id) AS BIGINT) AS sample_rank
+    FROM h
+)
+SELECT source, doc_id, sample_hash, sample_rank
+FROM r WHERE sample_rank <= {STRATA_SAMPLE_K}
+"""
+
+
+@register_supplementary(
+    "stratified_source_sample", _STRATA_ORACLE, tags=("pipeline",)
+)
+def stratified_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X257: exactly 5 hash-smallest docs per source (module comment
+    above) — the reproducible inspection sample a per-feed review
+    reads. The bucket-pruned two-phase rank sorts only
+    can-still-rank-in-k buckets; no source's row set ever serializes
+    through one task."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_frame(
+        docs.select("doc_id", "source"), STRATA_SAMPLE_K
+    )
+
+
+# ---------------------------------------------------------------------------
 # X245/X246: readability scoring — Flesch Reading Ease (Flesch 1948)
 # and Flesch-Kincaid grade level (Kincaid et al. 1975) as exact
 # integer milli-scores: both formulas are rational in (words W,

@@ -1,0 +1,59 @@
+"""Crafted-frame pins for the X257 stratified per-source sample
+(querydefs/pipeline.py: stratified_sample_frame) — the bucket-pruned
+two-phase rank must equal the naive per-source hash sort, exactly k
+rows per (large-enough) source, reproducibly."""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark.querydefs.pipeline import (
+    STRATA_SAMPLE_K,
+    stratified_sample_frame,
+)
+from flink_state_eviction_spark.functions.hashing import h64
+
+from pyspark.sql import functions as F
+
+
+def test_equals_naive_sort_on_skewed_frame(spark):
+    # one huge source, one tiny (< k) source, one singleton
+    rows = (
+        [(i, "big") for i in range(500)]
+        + [(1000 + i, "tiny") for i in range(3)]
+        + [(2000, "solo")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = {
+        (r["source"], r["sample_rank"]): r["doc_id"]
+        for r in stratified_sample_frame(df, 5).collect()
+    }
+    naive = df.select(
+        "doc_id", "source", h64(F.col("doc_id").cast("string")).alias("h")
+    ).collect()
+    by_src = {}
+    for r in naive:
+        by_src.setdefault(r["source"], []).append((r["h"], r["doc_id"]))
+    want = {}
+    for src, hs in by_src.items():
+        for rank, (_, did) in enumerate(sorted(hs)[:5], start=1):
+            want[(src, rank)] = did
+    assert got == want
+    # under-k sources yield their full membership, never padding
+    assert sum(1 for (s, _) in got if s == "tiny") == 3
+    assert sum(1 for (s, _) in got if s == "solo") == 1
+    assert sum(1 for (s, _) in got if s == "big") == 5
+
+
+def test_fixture_sample_shape_and_reproducibility(spark, sf_dir):
+    from flink_state_eviction_spark.queries import all_queries
+
+    q = all_queries()["stratified_source_sample"]
+    a = {tuple(r) for r in q(spark, sf_dir).collect()}
+    b = {tuple(r) for r in q(spark, sf_dir).collect()}
+    assert a == b  # hash order: identical across runs
+    per_src = {}
+    for src, _doc, _h, rank in a:
+        per_src.setdefault(src, []).append(rank)
+    assert all(
+        sorted(v) == list(range(1, len(v) + 1)) for v in per_src.values()
+    )
+    assert all(len(v) <= STRATA_SAMPLE_K for v in per_src.values())
