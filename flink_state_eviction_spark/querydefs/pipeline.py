@@ -11363,6 +11363,80 @@ def mixed_feed_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X258: per-source token-length histogram in power-of-2 bands — the
+# context-window planning table: how much of each feed's token mass
+# sits in which length band decides packing capacity, truncation
+# policy, and long-context mixing (cf. the X244 SFT bands — this is
+# the corpus-wide observability row those bands slice from). Band =
+# bit length of the token count (the established bin() trick — Java
+# and DuckDB agree), band_lo = 2^(bits-1) via double pow, exact for
+# any realistic doc length. Token counts are the X245 word-run
+# regexp_count — pure codegen, one scan + one |sources x bands| fold.
+
+_LEN_HIST_ORACLE = """
+WITH counted AS (
+    SELECT source,
+           CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                '[a-z0-9]+')) AS BIGINT) AS n_tok
+    FROM documents
+),
+banded AS (
+    SELECT source, n_tok,
+           CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(length(bin(n_tok)) AS BIGINT) END AS band_bits
+    FROM counted
+)
+SELECT source, band_bits,
+       CASE WHEN band_bits = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(pow(2, band_bits - 1) AS BIGINT) END AS band_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM banded
+GROUP BY source, band_bits
+"""
+
+
+@register_supplementary(
+    "source_length_histogram", _LEN_HIST_ORACLE, tags=("pipeline", "text")
+)
+def source_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X258: per-(source, power-of-2 length band) doc and token-mass
+    counts (module comment above). One scan, one map-side-combined
+    fold over |sources| x ~log2(max doc length) keys — the histogram
+    stays a few hundred rows at ANY corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "source",
+        F.regexp_count(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit("[a-z0-9]+"),
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    banded = counted.withColumn(
+        "band_bits",
+        F.when(F.col("n_tok") == 0, F.lit(0).cast("long")).otherwise(
+            F.length(F.bin("n_tok")).cast("long")
+        ),
+    )
+    folded = banded.groupBy("source", "band_bits").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    return folded.select(
+        "source",
+        "band_bits",
+        F.expr(
+            "CAST(CASE WHEN band_bits = 0 THEN 0"
+            " ELSE pow(2, band_bits - 1) END AS BIGINT)"
+        ).alias("band_lo"),
+        "n_docs",
+        "total_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
 # X257: deterministic stratified per-source sample — the inspection /
 # eval-slice primitive: exactly k docs per source, chosen by the
 # shared h64 hash order (reproducible across runs, engines, and

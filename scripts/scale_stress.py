@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c,r9d,r9e,r9f,r9g,r9h,r9i,r9j,r9k,r9l,r9m,r9n,r9o,r9p,r9q",
+        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c,r9d,r9e,r9f,r9g,r9h,r9i,r9j,r9k,r9l,r9m,r9n,r9o,r9p,r9q,r9r",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -459,6 +459,9 @@ def main() -> None:
         if "r9q" in only:
             # X257: bucket-pruned per-source top-k sample
             rec["stratified_source_sample_sec"] = timed(lambda: all_qs["stratified_source_sample"](spark, d))
+        if "r9r" in only:
+            # X258: one scan + one bounded histogram fold
+            rec["source_length_histogram_sec"] = timed(lambda: all_qs["source_length_histogram"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path

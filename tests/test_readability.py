@@ -100,3 +100,27 @@ def test_fixture_split_is_not_vacuous(spark, sf_dir):
     )
     assert hard_total == sum(r["n_hard"] for r in crows)
     assert hard_total < len(rows)  # both sides of the verdict line
+
+
+def test_length_histogram_bands(spark, sf_dir):
+    """X258: bands are exact powers of two, counts reconcile to the
+    corpus, and every doc lands in the band containing its count."""
+    from flink_state_eviction_spark.queries import all_queries
+
+    rows = all_queries()["source_length_histogram"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    total = 0
+    for r in rows:
+        total += r["n_docs"]
+        if r["band_bits"] == 0:
+            assert r["band_lo"] == 0 and r["total_tokens"] == 0
+        else:
+            assert r["band_lo"] == 2 ** (r["band_bits"] - 1)
+            # token mass consistent with the band's doc range
+            assert r["band_lo"] * r["n_docs"] <= r["total_tokens"]
+            assert r["total_tokens"] < 2 * r["band_lo"] * r["n_docs"]
+    from flink_state_eviction_spark.tables import load_table
+
+    assert total == load_table(spark, sf_dir, "documents").count()
