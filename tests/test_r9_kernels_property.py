@@ -1,0 +1,210 @@
+"""Property pins for the round-9 kernels, each against an independent
+pure-Python reference on randomized inputs (the r8 model): mojibake
+scan/repair (X239 — incl. implicit signatures formed by adversarial
+character soup, and repair idempotence), the code-lexical profile
+(X236), readability counting (X245), SFT render arithmetic (X242),
+and the pure-arithmetic band laws (X243 bands, X258 histogram bits).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_state_eviction_spark.querydefs.pipeline import (
+    CODE_PUNCT_PER_KCHAR,
+    MOJIBAKE_MAP,
+    STACK_ALNUM_MIN_PPM,
+    STACK_MAX_LINE_LEN,
+    STACK_MEAN_LINE_X100,
+    code_profile_frame,
+    mojibake_frame,
+    readability_frame,
+)
+from flink_state_eviction_spark.querydefs.corpus import (
+    SFT_CAP,
+    _SFT_BANDS,
+    sft_render_frame,
+)
+
+# every character that appears inside a signature, plus decoys — the
+# generator can FORM signatures by accident, which is the point
+_MOJI_ALPHABET = "a x" + "".join(
+    sorted({c for sig, rep in MOJIBAKE_MAP for c in sig + rep})
+)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=_MOJI_ALPHABET, max_size=60),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_mojibake_matches_python_reference(spark, texts):
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id bigint, source string, _t string",
+    )
+    out = {r["doc_id"]: r for r in mojibake_frame(df).collect()}
+    for i, t in enumerate(texts):
+        accent = sum(t.count(s) for s, _ in MOJIBAKE_MAP if len(s) == 2)
+        punct = sum(t.count(s) for s, _ in MOJIBAKE_MAP if len(s) == 3)
+        rep = t
+        for sig, r in MOJIBAKE_MAP:
+            rep = rep.replace(sig, r)
+        row = out[i]
+        assert row["n_moji_accent"] == accent
+        assert row["n_moji_punct"] == punct
+        assert row["repaired_md5"] == _md5(rep)
+        # idempotence of the fixed map (python side — the repaired
+        # text contains no signature by the map's construction)
+        rep2 = rep
+        for sig, r in MOJIBAKE_MAP:
+            rep2 = rep2.replace(sig, r)
+        assert rep2 == rep
+
+
+_CODE_ALPHABET = "a1 \n\t{};.?"
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=_CODE_ALPHABET, max_size=80),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_code_profile_matches_python_reference(spark, texts):
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id bigint, source string, _t string",
+    )
+    out = {r["doc_id"]: r for r in code_profile_frame(df).collect()}
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        n_lines = len(lines)
+        n = len(t)
+        alnum = len(re.findall("[A-Za-z0-9]", t))
+        braces = t.count("{") + t.count("}")
+        semis = t.count(";")
+        indent = len(re.findall("(?:^|\n)[\t ]", t))
+        mean_x100 = (n - n_lines + 1) * 100 // n_lines
+        alnum_ppm = alnum * 1_000_000 // max(n, 1)
+        punct = (braces + semis) * 1000 // max(n, 1)
+        row = out[i]
+        assert row["n_lines"] == n_lines
+        assert row["max_line_len"] == max(len(x) for x in lines)
+        assert row["n_braces"] == braces and row["n_semis"] == semis
+        assert row["n_indent_lines"] == indent
+        assert row["mean_line_len_x100"] == mean_x100
+        assert row["alnum_ppm"] == alnum_ppm
+        assert row["is_code"] == (
+            punct >= CODE_PUNCT_PER_KCHAR
+            or (indent >= 2 and indent * 5 >= n_lines)
+        )
+        assert row["stack_keep"] == (
+            not (
+                row["max_line_len"] > STACK_MAX_LINE_LEN
+                or mean_x100 > STACK_MEAN_LINE_X100
+                or alnum_ppm < STACK_ALNUM_MIN_PPM
+            )
+        )
+
+
+_READ_ALPHABET = "abe y1 .!?\n,"
+
+
+def _truncdiv(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=_READ_ALPHABET, max_size=80),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_readability_matches_python_reference(spark, texts):
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id bigint, source string, _t string",
+    )
+    out = {r["doc_id"]: r for r in readability_frame(df).collect()}
+    for i, t in enumerate(texts):
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        w = len(toks)
+        if w == 0:
+            assert i not in out
+            continue
+        s = max(1, len(re.findall(r"[.!?]+", t)))
+        y = len(re.findall(r"[aeiouy]+", t.lower())) + sum(
+            1 for x in toks if not re.search(r"[aeiouy]", x)
+        )
+        row = out[i]
+        assert (row["n_words"], row["n_sentences"], row["n_syllables"]) \
+            == (w, s, y)
+        assert row["fk_grade_milli"] == _truncdiv(
+            390 * w * w + 11800 * y * s - 15590 * w * s, w * s
+        )
+        assert row["fre_milli"] == _truncdiv(
+            206835 * w * s - 1015 * w * w - 84600 * y * s, w * s
+        )
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab1 -.", max_size=60), min_size=1, max_size=10
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_sft_render_matches_python_reference(spark, texts):
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id bigint, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in sft_render_frame(df).collect()}
+    for i, t in enumerate(texts):
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        n = len(toks)
+        if n < 2:
+            assert i not in out
+            continue
+        k = (n + 1) // 2
+        rendered = (
+            "<|user|> " + " ".join(toks[:k])
+            + " <|assistant|> " + " ".join(toks[k:]) + " <|end|>"
+        )
+        row = out[i]
+        assert (row["n_prompt_tok"], row["n_resp_tok"]) == (k, n - k)
+        assert (row["loss_start"], row["loss_end"]) == (k + 2, n + 2)
+        assert row["rendered_md5"] == _md5(rendered)
+
+
+@given(n=st.integers(min_value=5, max_value=10_000))
+@settings(max_examples=500, deadline=None)
+def test_band_laws_pure_arithmetic(n):
+    # X243: the band ladder is the smallest band >= n (None above cap),
+    # and cap/band items of size <= band never overflow a bin
+    band = next((b for b in _SFT_BANDS if n <= b), None)
+    if band is None:
+        assert n > SFT_CAP
+    else:
+        assert band >= n and (band == _SFT_BANDS[0] or band // 2 < n)
+        assert (SFT_CAP // band) * band <= SFT_CAP
+    # X258: the histogram band is the bit length, band_lo <= n < 2*lo
+    bits = n.bit_length()
+    lo = 2 ** (bits - 1)
+    assert lo <= n < 2 * lo
