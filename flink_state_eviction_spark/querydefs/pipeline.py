@@ -11139,47 +11139,66 @@ def eval_memorization_frame(docs: DataFrame) -> DataFrame:
     suite-bounded, so its broadcast into the hits join is budget-gated
     on a probed row count (the decontam census pattern); the train
     gram distinct is the one corpus-linear exchange."""
+    packed = mem_packed_spans(docs)
+    ev_packed = packed.where(F.col("doc_id") % 97 == 0).localCheckpoint(
+        eager=False
+    )
+    return mem_audit_from(ev_packed, mem_train_grams(packed))
+
+
+def mem_packed_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, _sh): each doc's ORDERED 8-token span strings through
+    the shared Arrow pack — the one span convention the batch audit
+    and the X259 streaming maintainer share."""
     from flink_state_eviction_spark.functions.text import (
         shingle_strings_udf,
-    )
-    from flink_state_eviction_spark.operators.budget import (
-        BROADCAST_ROW_LIMIT,
     )
 
     words = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.split("text", " ").alias("_w")
     )
-    k = MEM_SPAN_K
     # shingle_strings_udf emits an EMPTY array (not null) below k
     # tokens — size-guard, or under-k docs surface as n_spans=0 rows
     # the oracle's len(w) >= k filter never produces (caught by the
     # crafted under-k pin, invisible on the >= 9-token fixture)
-    packed = words.select(
-        "doc_id", shingle_strings_udf(k)("_w").alias("_sh")
+    return words.select(
+        "doc_id", shingle_strings_udf(MEM_SPAN_K)("_w").alias("_sh")
     ).where(F.size("_sh") >= 1)
-    ev_packed = packed.where(F.col("doc_id") % 97 == 0).localCheckpoint(
-        eager=False
-    )
-    base = ev_packed.select(
-        "doc_id", F.size("_sh").cast("long").alias("n_spans")
-    )
-    # join on the shared 60-bit h64 of the gram, not the ~50-byte gram
-    # string: 8-byte keys cut the corpus-linear distinct's shuffle
-    # BYTES ~6x. Honest local measurement: FLAT (16.7 s strings vs
-    # 17.6 s hashed at x10, cold single-shot — JVM md5 over 25M grams
-    # costs what the narrower exchange saves when no network is
-    # involved); kept because shuffle bytes, not hash CPU, are the
-    # binding constraint once the exchange crosses a real cluster
-    # fabric. The oracle follows with the shared sql_h64 twin.
-    ev_pos = ev_packed.select(
-        "doc_id", F.posexplode("_sh").alias("pos", "gram")
-    ).select("doc_id", "pos", h64(F.col("gram")).alias("gh"))
-    train_g = (
+
+
+def mem_train_grams(packed: DataFrame) -> DataFrame:
+    """(gh): the train side's DISTINCT span hashes. Hash-keyed on the
+    shared 60-bit h64, not the ~50-byte gram string: 8-byte keys cut
+    the corpus-linear distinct's shuffle BYTES ~6x. Honest local
+    measurement: FLAT (16.7 s strings vs 17.6 s hashed at x10, cold
+    single-shot — JVM md5 over 25M grams costs what the narrower
+    exchange saves when no network is involved); kept because shuffle
+    bytes, not hash CPU, are the binding constraint once the exchange
+    crosses a real cluster fabric. The oracle follows with the shared
+    sql_h64 twin."""
+    return (
         packed.where(F.col("doc_id") % 97 != 0)
         .select(F.explode(F.array_distinct("_sh")).alias("gram"))
         .select(h64(F.col("gram")).alias("gh"))
         .distinct()
     )
+
+
+def mem_audit_from(ev_packed: DataFrame, train_g: DataFrame) -> DataFrame:
+    """X247 tail: the audit table from a (checkpointed) eval span-pack
+    frame and a train gram-hash frame — shared by the batch query and
+    the X259 maintainer's serving path."""
+    from flink_state_eviction_spark.operators.budget import (
+        BROADCAST_ROW_LIMIT,
+    )
+
+    k = MEM_SPAN_K
+    base = ev_packed.select(
+        "doc_id", F.size("_sh").cast("long").alias("n_spans")
+    )
+    ev_pos = ev_packed.select(
+        "doc_id", F.posexplode("_sh").alias("pos", "gram")
+    ).select("doc_id", "pos", h64(F.col("gram")).alias("gh"))
     # probe materializes the checkpoint AND sizes the broadcast side
     ev_rows = ev_pos.count()
     probe = (

@@ -1,0 +1,98 @@
+"""Streaming train-gram maintainer for the memorization audit
+(X247/X259): as training data streams in, the DISTINCT train span-hash
+census folds per micro-batch, and the eval-memorization audit serves
+against the maintained state — so "did this batch leak an eval doc's
+text" is answerable after every batch, without a corpus rescan.
+
+Distinct-union pattern (the X221 robots / X224 frontier model):
+
+- ``mem_maintain_batch`` — ``foreachBatch`` body: the batch's distinct
+  TRAIN span hashes (the SAME `mem_packed_spans` + `mem_train_grams`
+  kernels as the batch query, eval-slice rows excluded by the kernel)
+  land in an idempotent ``batch=<id>`` partition; redelivery overwrites
+  its own partition, and the distinct-union is idempotent anyway.
+- ``grams_from_state`` / ``audit_from_state`` — serving: the folded
+  hash census through the SAME `mem_audit_from` tail, so once the
+  corpus has streamed in the audit is BIT-EQUAL to the batch
+  `eval_memorization_audit` (tests/test_streaming_memorization.py).
+
+State bound — the HONEST note: distinct 8-token span hashes are
+token-volume-class state (sub-linear by Heaps' law but large — the
+same frame class as the X224 frontier seen-set), which is exactly why
+serving joins carry NO broadcast hint on the state side; only the
+suite-bounded eval positions frame is budget-probed for broadcast.
+Compaction folds are distinct-unions under the commit-log-safe
+contract (streaming/compaction.py).
+
+Extension beyond the reference surface (twins the batch X247 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.select("gh").distinct()
+
+
+def mem_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of train-gram maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id. ``batch_df``
+    must carry (doc_id, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        mem_packed_spans,
+        mem_train_grams,
+    )
+
+    mem_train_grams(mem_packed_spans(batch_df)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "memgrams", f"batch={batch_id}"))
+
+
+def compact_mem_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — the gram
+    census is a distinct-union. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "memgrams"), through_batch, _fold
+    )
+
+
+def grams_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained distinct train-gram hash census."""
+    return _fold(
+        spark.read.parquet(os.path.join(state_dir, "memgrams"))
+    )
+
+
+def audit_from_state(
+    spark: SparkSession, state_dir: str, docs: DataFrame
+) -> DataFrame:
+    """The memorization audit of ``docs``' eval slice against the
+    MAINTAINED train grams through the shared tail — same output shape
+    as `eval_memorization_audit`; bit-equal once the corpus has
+    streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        mem_audit_from,
+        mem_packed_spans,
+    )
+
+    ev_packed = (
+        mem_packed_spans(docs)
+        .where(F.col("doc_id") % 97 == 0)
+        .localCheckpoint(eager=False)
+    )
+    return mem_audit_from(ev_packed, grams_from_state(spark, state_dir))
