@@ -11816,16 +11816,33 @@ def source_mojibake_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     affected docs, total signature hits, affected share in ppm. The
     encoding-health observability row: a source whose mojibake share
     jumps between crawls changed (or broke) its serving encoding. One
-    |sources|-bounded fold on the scan-shaped kernel."""
+    |sources|-bounded fold on the scan-shaped kernel; split into the
+    partials + tail kernels the X260 streaming maintainer reuses
+    verbatim (ppm derives only AFTER the final sum)."""
     scan = mojibake_scan_repair(spark, sf_dir)
+    return moji_census_from_partials(moji_census_partials(scan))
+
+
+def moji_census_partials(scan: DataFrame) -> DataFrame:
+    """Per-source PARTIAL sums of the X240 census over any X239 scan
+    frame — associative (the X191 partials pattern)."""
     return scan.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("has_mojibake"), 1).otherwise(0))
         .cast("long")
         .alias("n_moji_docs"),
         F.sum("n_moji_total").cast("long").alias("n_moji_hits"),
-        F.expr(
-            "CAST(SUM(CASE WHEN has_mojibake THEN 1 ELSE 0 END)"
-            " * 1000000 div COUNT(*) AS BIGINT)"
-        ).alias("moji_doc_ppm"),
+    )
+
+
+def moji_census_from_partials(partials: DataFrame) -> DataFrame:
+    """X240 tail: the ppm rate from final per-source sums."""
+    return partials.select(
+        "source",
+        "n_docs",
+        "n_moji_docs",
+        "n_moji_hits",
+        F.expr("CAST(n_moji_docs * 1000000 div n_docs AS BIGINT)").alias(
+            "moji_doc_ppm"
+        ),
     )

@@ -1,0 +1,88 @@
+"""Streaming twin for the per-source mojibake census (X240/X260): an
+always-ingesting corpus maintains per-source PARTIAL sums of the X239
+scan verdicts, and the encoding-health census serves from the
+maintained state — the trajectory that catches a feed whose serving
+encoding just broke, one micro-batch after it happens.
+
+Standard partials pattern (X191/X241 model):
+
+- ``moji_census_maintain_batch`` — ``foreachBatch`` body: the batch's
+  partials (the SAME `mojibake_frame` scan + `moji_census_partials`
+  kernels as the batch query, including the doc_id-keyed injection
+  staging) land in an idempotent ``batch=<id>`` partition.
+- ``partials_from_state`` / ``census_from_state`` — serving: summed
+  partials through the SAME `moji_census_from_partials` tail; once
+  the corpus has streamed in the census is BIT-EQUAL to the batch
+  `source_mojibake_census` (tests/test_streaming_moji_census.py).
+
+Scale shape: state is |sources| rows PER BATCH regardless of batch
+size; compaction folds are re-sums under the commit-log-safe contract
+(streaming/compaction.py).
+
+Extension beyond the reference surface (twins the batch X240 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUM_COLS = ("n_docs", "n_moji_docs", "n_moji_hits")
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("source").agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in _SUM_COLS]
+    )
+
+
+def moji_census_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of census maintenance (module docstring). Call
+    from ``foreachBatch`` forwarding its batch id. ``batch_df`` must
+    carry (doc_id, source, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _moji_injected_docs,
+        moji_census_partials,
+        mojibake_frame,
+    )
+
+    scan = mojibake_frame(_moji_injected_docs(batch_df))
+    moji_census_partials(scan).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "moji", f"batch={batch_id}")
+    )
+
+
+def compact_moji_census_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — partials are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "moji"), through_batch, _fold
+    )
+
+
+def partials_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained per-source partials: sums over batch partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "moji")))
+
+
+def census_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The census from the MAINTAINED partials through the shared tail
+    — same output shape as `source_mojibake_census`; bit-equal once
+    the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        moji_census_from_partials,
+    )
+
+    return moji_census_from_partials(partials_from_state(spark, state_dir))
