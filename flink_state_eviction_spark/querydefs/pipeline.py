@@ -10954,6 +10954,7 @@ _DRIFT_ORACLE = """
 WITH e AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
     FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
 ),
 lm AS (
     SELECT label, list(m ORDER BY i) AS cv FROM (
@@ -11029,12 +11030,20 @@ def centroid_drift_frame(emb: DataFrame) -> DataFrame:
 def centroid_sum_partials(emb: DataFrame) -> DataFrame:
     """(label, _i, _s decimal, _c): the per-(label, dim) exact sum/count
     fold — associative, so micro-batch partials re-sum to the corpus
-    fold (the X249 streaming maintainer's state rows)."""
+    fold (the X249 streaming maintainer's state rows).
+
+    NULL/empty vectors are dropped HERE, in the shared kernel: the
+    posexplode would silently emit zero rows for them while a COUNT(*)
+    oracle still counts the row — the n_vecs-off-dim-0 contract is only
+    safe when degenerate rows are excluded on BOTH sides (the oracle's
+    `e` CTE carries the same filter)."""
     from flink_state_eviction_spark.operators.similarity import (
         as_double_vec,
     )
 
-    trip = emb.select(
+    trip = emb.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).select(
         "label",
         F.posexplode(as_double_vec(F.col("embedding"))).alias("_i", "_x"),
     )
@@ -11187,7 +11196,13 @@ def mem_train_grams(packed: DataFrame) -> DataFrame:
 def mem_audit_from(ev_packed: DataFrame, train_g: DataFrame) -> DataFrame:
     """X247 tail: the audit table from a (checkpointed) eval span-pack
     frame and a train gram-hash frame — shared by the batch query and
-    the X259 maintainer's serving path."""
+    the X259 maintainer's serving path.
+
+    NOT lazy: construction runs an eager ``ev_pos.count()`` (the
+    established budget-probe pattern) that materializes the eval-side
+    Arrow pack and freezes the broadcast decision at build time — any
+    timing must wrap THIS call, not just the returned frame's action
+    (bench.py and scripts/scale_stress.py already do)."""
     from flink_state_eviction_spark.operators.budget import (
         BROADCAST_ROW_LIMIT,
     )
@@ -11475,11 +11490,18 @@ _STRATA_BUCKET_SHIFT = 2**52
 def stratified_sample_frame(docs: DataFrame, k: int) -> DataFrame:
     """Frame-level X257 kernel over (doc_id, source): k hash-smallest
     docs per source with (hash, doc_id) total order."""
-    d = docs.select(
-        "doc_id",
-        "source",
-        h64(F.col("doc_id").cast("string")).alias("_h"),
-    ).withColumn("_bucket", F.expr(f"_h div {_STRATA_BUCKET_SHIFT}"))
+    # hashed frame feeds BOTH the bucket-count groupBy and the ranked
+    # join — checkpoint so the docs scan + per-row md5 h64 runs once
+    # (the round-5 no-CSE rule; sft_shelf_bins is the sibling)
+    d = (
+        docs.select(
+            "doc_id",
+            "source",
+            h64(F.col("doc_id").cast("string")).alias("_h"),
+        )
+        .withColumn("_bucket", F.expr(f"_h div {_STRATA_BUCKET_SHIFT}"))
+        .localCheckpoint(eager=False)
+    )
     counts = d.groupBy("source", "_bucket").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
@@ -11716,16 +11738,16 @@ GROUP BY source
 # (Bengio et al. 2009 curriculum learning): every scored document gets
 # an exact global rank by (difficulty asc, doc_id asc) and a
 # curriculum shard index, so shards stream easy-to-hard. Difficulty is
-# the X245 FK grade (integer milli). The rank is the two-phase
-# bucketed_global_row_number over quarter-grade difficulty bands —
-# the corpus never serializes through one sort task; the +100000
-# shift makes the truncating div a floor on the (bounded) negative
-# grades, keeping the band function monotone (the signed-div band
-# lesson).
+# the X245 FK grade (integer milli). The rank is
+# range_partitioned_global_row_number over the (fk, doc_id) total
+# order: real-corpus FK grades concentrate (roughly normal around
+# grade 8-12), so ANY fixed difficulty band — the r9 quarter-grade
+# bucket included — puts a few percent of the corpus through ONE
+# window task at 100x; the RangePartitioner's sampled boundaries
+# split hot grades across tasks instead (the round-9 verdict's
+# scale-killer fix).
 
 CURRICULUM_SHARD_DOCS = 64
-_CURR_BAND_MILLI = 250
-_CURR_SHIFT = 100_000  # FK milli is bounded below by ~-3400
 
 
 @register_supplementary(
@@ -11746,13 +11768,18 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X251: easy-first curriculum order over the X245 difficulty
     scores (module comment above) — exact global rank with the
     (difficulty, doc_id) tie-break and the 64-doc shard index.
-    Scale shape: the two-phase band rank — per-band
-    counts map-side-combine, the offsets window runs over the
-    |bands|-row count table only (the allowlisted SinglePartition),
-    and sort work is bounded by the largest quarter-grade band, never
-    the corpus."""
+    Scale shape: the skew-proof sampled-boundary rank — the range
+    exchange load-balances partitions even when one grade holds half
+    the corpus (crafted hot-band pin in test_readability.py), the
+    offsets window runs over the n_partitions-row count table only
+    (the allowlisted SinglePartition), and no task ever sorts more
+    than ~corpus/n_partitions rows. NOTE: the rank kernel
+    localCheckpoints its (row, _pid) assignment, so the returned
+    frame's visible plan starts at Scan ExistingRDD — the range
+    exchange is assertable only on the pre-checkpoint builder (the
+    zipf rank-window lesson)."""
     from flink_state_eviction_spark.operators.windows import (
-        bucketed_global_row_number,
+        range_partitioned_global_row_number,
     )
 
     # the rank kernel's count and data subtrees would each re-run the
@@ -11764,10 +11791,8 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fk_grade_milli")
         .localCheckpoint(eager=False)
     )
-    band = F.expr(f"(fk_grade_milli + {_CURR_SHIFT}) div {_CURR_BAND_MILLI}")
-    ranked = bucketed_global_row_number(
+    ranked = range_partitioned_global_row_number(
         scored,
-        band,
         [F.col("fk_grade_milli").asc(), F.col("doc_id").asc()],
         out_col="curriculum_rank",
     )

@@ -62,8 +62,9 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     # mean table derived from the checkpointed (label, dim) fold,
     # never the embeddings corpus
     "label_centroid_drift": 1,
-    # X251: offsets window over the |quarter-grade bands|-row count
-    # table (two-phase rank), never the scored corpus
+    # X251: offsets window over the n_partitions-row per-range-
+    # partition count table (skew-proof sampled-boundary rank), never
+    # the scored corpus
     "curriculum_order": 1,
     "funnel_view_click_purchase": 1,  # scalar: funnel stage totals
     "histogram_quantiles_value": 1,  # tiny: quantiles over bin table
