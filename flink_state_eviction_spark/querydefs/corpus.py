@@ -2627,8 +2627,9 @@ GROUP BY 1, 2
 )
 
 
-@register_supplementary(
-    # bench headline: the round-9 SFT-packing flagship
+@register(
+    # rotated into the driver window in round 10 (VERDICT r09 item 2):
+    # the driver's first training-prep-native packing row; bench headline
     "sft_shelf_packing", _SFT_SHELF_ORACLE, headline=True,
     tags=("corpus", "text"),
 )

@@ -234,7 +234,11 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
-@register("dedup_near_canonical", _CANONICAL_ORACLE, tags=("pipeline", "dedup"))
+@register_supplementary(
+    # demoted round 10 to admit the r9 flagships; dedup keeps 4 driver
+    # rows (exact, minhash_lsh, embedding_cosine, span_dedup_frac)
+    "dedup_near_canonical", _CANONICAL_ORACLE, tags=("pipeline", "dedup")
+)
 def dedup_near_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: minhash-LSH pairs -> connected components
     (hash-min propagation over the tiny edge list,
@@ -1038,9 +1042,9 @@ GROUP BY tk.doc_id
 """
 
 
-@register(
-    # rotated into the driver window in round 8 (VERDICT r07 item 4);
-    # displaced multimodal_decode_bmp, which keeps its parity gate
+@register_supplementary(
+    # demoted round 10 to admit the r9 flagships; the gopher family
+    # keeps quality_filter_gopher + c4/blocklist/text_profile driver rows
     "gopher_repetition_ngrams", _rep_oracle(), tags=("pipeline", "text")
 )
 def gopher_repetition_ngrams(
@@ -1697,7 +1701,11 @@ def tfidf_docs(docs: DataFrame, *, vocab_rows: int | None = None) -> DataFrame:
     )
 
 
-@register("text_tfidf", _TFIDF_ORACLE, tags=("pipeline", "text"))
+@register_supplementary(
+    # demoted round 10 to admit the r9 flagships; keeps parity + the
+    # text family's 6 other driver rows
+    "text_tfidf", _TFIDF_ORACLE, tags=("pipeline", "text")
+)
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF over the token stream (kernel: tfidf_docs — budget-gated
     doc-frequency broadcast, single tokenize pass via checkpointed tf)."""
@@ -1772,9 +1780,9 @@ FROM rr WHERE rank <= 10
 """
 
 
-@register(
-    # rotated into the driver window in round 8 (displacing
-    # similarity_pq_topk, which keeps its parity gate)
+@register_supplementary(
+    # demoted round 10 to admit the r9 flagships; similarity keeps 4
+    # driver rows (topk, ivf_kmeans, knn_graph, semdedup_prune)
     "similarity_truncated_rerank_topk",
     _TRUNC_RERANK_ORACLE,
     tags=("pipeline", "similarity"),
@@ -5930,7 +5938,9 @@ FROM hashes
 """
 
 
-@register(
+@register_supplementary(
+    # demoted round 10 to admit the r9 flagships; phash stays driver-
+    # covered via multimodal_phash_neardup (+ features, audio_header)
     "multimodal_phash_dedup", _PHASH_ORACLE, tags=("pipeline", "multimodal")
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7356,9 +7366,9 @@ FROM fe
 """
 
 
-@register(
-    # rotated into the driver window in round 8 (VERDICT r07 item 4);
-    # displaced span_dedup_remove, which keeps its parity gate
+@register_supplementary(
+    # demoted round 10 to admit the r9 flagships; the LM family keeps
+    # lm_perplexity_score / source_relative_quality_cut / source_unigram_kl
     "bigram_pmi_collocations", _pmi_oracle(), tags=("pipeline", "text")
 )
 def bigram_pmi_collocations(
@@ -9932,7 +9942,9 @@ FROM counts
     )
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 10 (VERDICT r09 item 2):
+    # the script-census family's first driver row
     "text_script_profile", _script_profile_oracle(), tags=("pipeline", "text")
 )
 def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11317,8 +11329,9 @@ FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
 )
 
 
-@register_supplementary(
-    # bench headline: the round-9 memorization-audit flagship
+@register(
+    # rotated into the driver window in round 10 (VERDICT r09 item 2):
+    # the training-prep decontamination flagship; bench headline
     "eval_memorization_audit", _MEM_ORACLE, headline=True,
     tags=("pipeline", "dedup"),
 )
@@ -11366,7 +11379,9 @@ JOIN moji m ON m.doc_id = r.doc_id
 )
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 10 (VERDICT r09 item 2):
+    # the r9 composition capstone
     "mixed_feed_curation", _MIXED_FEED_ORACLE, tags=("pipeline", "text")
 )
 def mixed_feed_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11548,7 +11563,8 @@ FROM r WHERE sample_rank <= {STRATA_SAMPLE_K}
 """
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 10 (VERDICT r09 item 2)
     "stratified_source_sample", _STRATA_ORACLE, tags=("pipeline",)
 )
 def stratified_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11699,7 +11715,9 @@ WHERE n_words >= 1
 )
 
 
-@register_supplementary(
+@register(
+    # rotated into the driver window in round 10 (VERDICT r09 item 2):
+    # the readability/curriculum family's first driver row
     "text_readability", _READABILITY_ORACLE, tags=("pipeline", "text")
 )
 def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,12 +31,10 @@ MUST_HAVE = {
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_near_canonical",
     "dedup_embedding_cosine",
     # text family
     "quality_filter_gopher",
     "text_profile",
-    "text_tfidf",
     # multimodal family (decode_bmp/decode_wav displaced round 8 —
     # decode paths stay driver-covered via resize_decode / wav_bands)
     "multimodal_features",
@@ -64,7 +62,6 @@ MUST_HAVE = {
     # (all keep their supplementary parity gates)
     "lm_perplexity_score",
     "corpus_curation_decisions",
-    "multimodal_phash_dedup",
     # rotated into the window late round 5, displacing
     # tpch_q18_large_orders and json_extract_agg (both keep their
     # supplementary parity gates)
@@ -80,8 +77,6 @@ MUST_HAVE = {
     # displacing multimodal_decode_bmp / multimodal_decode_wav /
     # span_dedup_remove / dedup_paragraph_near (all keep their
     # supplementary parity gates)
-    "gopher_repetition_ngrams",
-    "bigram_pmi_collocations",
     "corpus_curation_serve",
     "source_unigram_kl",
     # rotated into the window late round 8, displacing text_quality /
@@ -91,7 +86,6 @@ MUST_HAVE = {
     "c4_line_cleanup",
     "source_contamination_scorecard",
     "multimodal_audio_header_filter",
-    "similarity_truncated_rerank_topk",
     # rotated into the window in round 9 (VERDICT r08 item 3),
     # displacing dedup_ngram_jaccard / sliding_window_sum /
     # similarity_kmeans_cells / multimodal_wav_bands (all keep their
@@ -110,6 +104,21 @@ MUST_HAVE = {
     # families' first driver rows
     "code_lexical_profile",
     "mojibake_scan_repair",
+    # rotated into the window in round 10 (VERDICT r09 item 2),
+    # displacing dedup_near_canonical / text_tfidf /
+    # gopher_repetition_ngrams / bigram_pmi_collocations /
+    # similarity_truncated_rerank_topk / multimodal_phash_dedup (all
+    # keep their supplementary parity gates; each family keeps other
+    # driver rows: dedup 4, text-quality 6, similarity 4, multimodal 3,
+    # LM 3) — the readability/curriculum, script-census, SFT-packing,
+    # memorization-audit, stratified-sample, and mixed-feed-capstone
+    # families' first driver rows
+    "text_readability",
+    "text_script_profile",
+    "sft_shelf_packing",
+    "eval_memorization_audit",
+    "stratified_source_sample",
+    "mixed_feed_curation",
 }
 
 
