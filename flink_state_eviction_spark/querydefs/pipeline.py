@@ -9984,8 +9984,17 @@ def source_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc counts and mixed-script counts, the feed-level observability
     row (a source whose mixed-script share jumps between crawls
     started serving homoglyph spam). One |sources x scripts|-bounded
-    fold on top of the scan-shaped profile."""
+    fold on top of the scan-shaped profile; the fold IS the partials
+    kernel the X261 streaming maintainer reuses verbatim (both columns
+    are final sums — the tail is the identity)."""
     profile = text_script_profile(spark, sf_dir)
+    return script_mix_partials(profile)
+
+
+def script_mix_partials(profile: DataFrame) -> DataFrame:
+    """Per-(source, dominant script) PARTIAL sums of the X233 rollup
+    over any X232 profile frame — associative (the X191 partials
+    pattern; the X261 streaming maintainer's state rows)."""
     return profile.groupBy("source", "dominant_script").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("is_mixed_script"), 1).otherwise(0))
@@ -11834,13 +11843,21 @@ def source_readability_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X246: per-source readability census over the X245 scores — doc
     count, integer mean FK grade (milli), and docs at or above the
     graduate band (>= 16.0). The style-drift observability row next to
-    the quality scorecards. One |sources|-bounded fold."""
+    the quality scorecards. One |sources|-bounded fold; split into the
+    partials + tail kernels the X262 streaming maintainer reuses
+    verbatim (the mean derives only AFTER the final sum)."""
     scored = text_readability(spark, sf_dir)
+    return read_census_from_partials(read_census_partials(scored))
+
+
+def read_census_partials(scored: DataFrame) -> DataFrame:
+    """Per-source PARTIAL sums of the X246 census over any X245 scored
+    frame — associative (the X191 partials pattern; the X262 streaming
+    maintainer's state rows). The FK-grade SUM is carried instead of
+    the mean: means do not re-sum, sums do."""
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.expr(
-            "CAST(SUM(fk_grade_milli) div COUNT(*) AS BIGINT)"
-        ).alias("mean_fk_milli"),
+        F.sum("fk_grade_milli").cast("long").alias("sum_fk_milli"),
         F.sum(
             F.when(
                 F.col("fk_grade_milli") >= READABILITY_HARD_MILLI, 1
@@ -11848,6 +11865,20 @@ def source_readability_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_hard"),
+    )
+
+
+def read_census_from_partials(partials: DataFrame) -> DataFrame:
+    """X246 tail: the integer mean FK grade from final per-source sums
+    (truncating div, the batch convention — safe on the summed value
+    only, which is why the mean never lives in the partials)."""
+    return partials.select(
+        "source",
+        "n_docs",
+        F.expr("CAST(sum_fk_milli div n_docs AS BIGINT)").alias(
+            "mean_fk_milli"
+        ),
+        "n_hard",
     )
 
 

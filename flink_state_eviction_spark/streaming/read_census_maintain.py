@@ -1,0 +1,92 @@
+"""Streaming twin for the per-source readability census (X246/X262):
+an always-ingesting corpus maintains per-source PARTIAL sums of the
+X245 FK-grade scores, and the style-drift census serves from the
+maintained state — the trajectory that catches a feed whose prose
+difficulty shifts (template change, new upstream) one micro-batch
+after it happens.
+
+Standard partials pattern (X191/X260 model):
+
+- ``read_census_maintain_batch`` — ``foreachBatch`` body: the batch's
+  partials (the SAME `readability_frame` scan + `read_census_partials`
+  kernels as the batch query, including the doc_id-keyed injection
+  staging) land in an idempotent ``batch=<id>`` partition. The
+  partials carry the FK-grade SUM, never the mean — means do not
+  re-sum.
+- ``partials_from_state`` / ``census_from_state`` — serving: summed
+  partials through the SAME `read_census_from_partials` tail (the
+  integer mean derives only AFTER the final sum), so once the corpus
+  has streamed in the census is BIT-EQUAL to the batch
+  `source_readability_census` (tests/test_streaming_read_census.py).
+
+Scale shape: state is |sources| rows PER BATCH regardless of batch
+size; compaction folds are re-sums under the commit-log-safe contract
+(streaming/compaction.py).
+
+Extension beyond the reference surface (twins the batch X246 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUM_COLS = ("n_docs", "sum_fk_milli", "n_hard")
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("source").agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in _SUM_COLS]
+    )
+
+
+def read_census_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of census maintenance (module docstring). Call
+    from ``foreachBatch`` forwarding its batch id. ``batch_df`` must
+    carry (doc_id, source, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _read_injected_docs,
+        read_census_partials,
+        readability_frame,
+    )
+
+    scored = readability_frame(_read_injected_docs(batch_df))
+    read_census_partials(scored).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "readcensus", f"batch={batch_id}")
+    )
+
+
+def compact_read_census_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — partials are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "readcensus"), through_batch, _fold
+    )
+
+
+def partials_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained per-source partials: sums over batch partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "readcensus")))
+
+
+def census_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The census from the MAINTAINED partials through the shared tail
+    — same output shape as `source_readability_census`; bit-equal once
+    the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        read_census_from_partials,
+    )
+
+    return read_census_from_partials(partials_from_state(spark, state_dir))

@@ -1,0 +1,90 @@
+"""Streaming twin for the per-source script-mix census (X233/X261): an
+always-ingesting corpus maintains per-(source, dominant script) PARTIAL
+sums of the X232 script verdicts, and the feed-level script census
+serves from the maintained state — the trajectory that catches a
+source whose mixed-script share jumps (homoglyph spam onset) one
+micro-batch after it happens.
+
+Standard partials pattern (X191/X260 model):
+
+- ``script_mix_maintain_batch`` — ``foreachBatch`` body: the batch's
+  partials (the SAME `script_profile_frame` scan + `script_mix_partials`
+  kernels as the batch query, including the doc_id-keyed injection
+  staging) land in an idempotent ``batch=<id>`` partition.
+- ``partials_from_state`` / ``census_from_state`` — serving: summed
+  partials; both output columns are final sums, so the tail is the
+  identity and once the corpus has streamed in the census is BIT-EQUAL
+  to the batch `source_script_mix`
+  (tests/test_streaming_script_mix.py).
+
+Scale shape: state is |sources x scripts| rows PER BATCH regardless of
+batch size; compaction folds are re-sums under the commit-log-safe
+contract (streaming/compaction.py).
+
+Extension beyond the reference surface (twins the batch X233 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUM_COLS = ("n_docs", "n_mixed")
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("source", "dominant_script").agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in _SUM_COLS]
+    )
+
+
+def script_mix_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of census maintenance (module docstring). Call
+    from ``foreachBatch`` forwarding its batch id. ``batch_df`` must
+    carry (doc_id, source, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _script_injected_text,
+        script_mix_partials,
+        script_profile_frame,
+    )
+
+    staged = batch_df.select(
+        "doc_id", "source", _script_injected_text().alias("_t")
+    )
+    profile = script_profile_frame(staged)
+    script_mix_partials(profile).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "scriptmix", f"batch={batch_id}")
+    )
+
+
+def compact_script_mix_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — partials are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "scriptmix"), through_batch, _fold
+    )
+
+
+def partials_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained per-(source, script) partials: sums over batch
+    partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "scriptmix")))
+
+
+def census_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The census from the MAINTAINED partials — same output shape as
+    `source_script_mix` (the tail is the identity: both columns are
+    final sums); bit-equal once the corpus has streamed in."""
+    return partials_from_state(spark, state_dir)
