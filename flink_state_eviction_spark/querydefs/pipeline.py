@@ -8932,12 +8932,27 @@ def frontier_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (apply_robots_gate with a minted 3-host rules frame), the seen
     flag models the X224 state probe, and the quota is one host-keyed
     rank window over the ELIGIBLE subset only (ineligible rows never
-    enter the exchange)."""
-    from flink_state_eviction_spark.functions.text import normalize_url
-    from flink_state_eviction_spark.sources.warc import apply_robots_gate
-    from pyspark.sql import Window
-
+    enter the exchange). The planning algebra lives in
+    `fetch_plan_frame`, which the X263 streaming serve reuses verbatim
+    with seen/rules read from maintained state."""
     docs = load_table(spark, sf_dir, "documents")
+    cand = fetch_plan_candidates(docs).withColumn(
+        "seen", F.col("doc_id") % 5 == 0
+    )
+    rules = spark.createDataFrame(
+        [(f"h{k}.example", "/private/") for k in range(3)],
+        "host string, disallow_prefix string",
+    )
+    return fetch_plan_frame(cand, rules, rules_rows=3)
+
+
+def fetch_plan_candidates(docs: DataFrame) -> DataFrame:
+    """The X225 candidate mint over (doc_id): 3 hosts, every
+    doc_id % 4 == 3 path under the disallowed /private/ prefix —
+    shared by the batch query and the X263 streaming twin so the two
+    plan over identical candidate sets."""
+    from flink_state_eviction_spark.functions.text import normalize_url
+
     did = F.col("doc_id")
     url = F.concat(
         F.lit("https://h"),
@@ -8946,16 +8961,23 @@ def frontier_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(did % 4 == 3, F.lit("/private/p")).otherwise(F.lit("/p")),
         did.cast("string"),
     )
-    cand = docs.select(
-        "doc_id",
-        normalize_url(url).alias("target_uri"),
-        (did % 5 == 0).alias("seen"),
-    )
-    rules = spark.createDataFrame(
-        [(f"h{k}.example", "/private/") for k in range(3)],
-        "host string, disallow_prefix string",
-    )
-    gated = apply_robots_gate(cand, rules, rules_rows=3)
+    return docs.select("doc_id", normalize_url(url).alias("target_uri"))
+
+
+def fetch_plan_frame(
+    cand: DataFrame, rules: DataFrame, rules_rows: int | None = None
+) -> DataFrame:
+    """X225 planning algebra over candidates carrying (doc_id,
+    target_uri CANONICAL, seen) and a (host, disallow_prefix) rules
+    frame — THE kernel shared by the batch `frontier_fetch_plan` and
+    the X263 streaming serve (streaming/fetch_plan_serve.py), so the
+    two cannot diverge. Robots verdicts via the one shared
+    apply_robots_gate (budget-gated broadcast + shuffled fallback);
+    the per-host rank window runs over the ELIGIBLE subset only."""
+    from flink_state_eviction_spark.sources.warc import apply_robots_gate
+    from pyspark.sql import Window
+
+    gated = apply_robots_gate(cand, rules, rules_rows=rules_rows)
     flagged = gated.select(
         "doc_id",
         F.regexp_extract(F.col("target_uri"), _HOST_RE, 1).alias("host"),

@@ -1,0 +1,72 @@
+"""Streaming fetch-plan serving (X263): the X225 politeness-quota
+fetch plan composed over LIVE crawl state — the frontier seen-set
+maintainer (X224, streaming/frontier_maintain.py) answers "have we
+already fetched it" and the robots-rules maintainer (X221,
+streaming/robots_maintain.py) answers "may we fetch it", and after
+each micro-batch the scheduler serves the next cycle's plan from the
+two state stores through the SAME `fetch_plan_frame` kernel the batch
+query uses — the crawl-scheduling loop the two maintainers exist to
+close (round-9 verdict item 7).
+
+Composition, not re-implementation: this module owns NO planning
+logic. `seen` is one left join against the maintained canonical
+seen-set (no broadcast hint — the seen-set is crawl-sized, the exact
+frame class the round-8 robots verdict killed a hint on), rules come
+from `rules_from_state`, and everything downstream (host extraction,
+eligibility, the per-host eligible-only rank window, the quota
+coalesce) is `fetch_plan_frame` verbatim. On candidates whose seen
+flags match the state, the served plan is BIT-EQUAL to the batch
+`frontier_fetch_plan` (tests/test_streaming_fetch_plan.py).
+
+Null policy: a NULL-URL candidate is NOT schedulable — it serves as
+``seen = true`` (never fetch_now), the `annotate_frontier` decision
+applied to the X225 algebra rather than a silent drop.
+
+Scale shape: one equi-join on the canonical key against state bounded
+by distinct canonical URLs; rules state bounded by distinct
+(host, prefix) rows; the plan itself adds only the X225 shapes.
+
+Extension beyond the reference surface (SURVEY §2.7 X263).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def fetch_plan_from_state(
+    spark: SparkSession,
+    frontier_state_dir: str,
+    robots_state_dir: str,
+    candidates: DataFrame,
+) -> DataFrame:
+    """The next cycle's fetch plan from maintained state (module
+    docstring). ``candidates`` must carry (doc_id, target_uri) with
+    target_uri CANONICAL (the X225 contract — canonicalization is
+    gated upstream by X218/X224)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        fetch_plan_frame,
+    )
+    from flink_state_eviction_spark.streaming.frontier_maintain import (
+        seen_from_state,
+    )
+    from flink_state_eviction_spark.streaming.robots_maintain import (
+        rules_from_state,
+    )
+
+    seen = seen_from_state(spark, frontier_state_dir).withColumn(
+        "_seen", F.lit(True)
+    )
+    cand = candidates.join(
+        seen,
+        candidates["target_uri"] == seen["canon_url"],
+        "left",
+    ).select(
+        "doc_id",
+        "target_uri",
+        (
+            F.col("target_uri").isNull() | F.col("_seen").isNotNull()
+        ).alias("seen"),
+    )
+    return fetch_plan_frame(cand, rules_from_state(spark, robots_state_dir))

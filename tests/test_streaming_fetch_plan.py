@@ -1,0 +1,139 @@
+"""Streaming fetch-plan composition (X263): serving the X225 plan from
+the maintained frontier seen-set (X224) + robots rules (X221) state
+must reproduce the batch `frontier_fetch_plan` bit-for-bit once the
+crawled prefix has streamed in; redelivery must not change the plan;
+compaction preserves it; the NULL-URL policy pins to not-schedulable."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.querydefs.pipeline import (
+    fetch_plan_candidates,
+)
+from flink_state_eviction_spark.sources.warc import read_warc
+from flink_state_eviction_spark.streaming.fetch_plan_serve import (
+    fetch_plan_from_state,
+)
+from flink_state_eviction_spark.streaming.frontier_maintain import (
+    compact_frontier_state,
+    frontier_maintain_batch,
+)
+from flink_state_eviction_spark.streaming.robots_maintain import (
+    robots_maintain_batch,
+)
+from flink_state_eviction_spark.tables import load_table
+
+from test_warc_source import _record
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _robots_http(*rules: str) -> bytes:
+    body = "User-agent: *\r\n" + "".join(f"Disallow: {r}\r\n" for r in rules)
+    return b"HTTP/1.1 200 OK\r\n\r\n" + body.encode()
+
+
+def _robots_recs(spark, tmp_path, hosts):
+    p = os.path.join(str(tmp_path), f"robots-{'-'.join(hosts)}.warc")
+    buf = b"".join(
+        _record(
+            "response",
+            f"https://{h}/robots.txt",
+            _robots_http("/private/"),
+        )
+        for h in hosts
+    )
+    with open(p, "wb") as f:
+        f.write(buf)
+    return read_warc(spark, p, include_payload=True)
+
+
+def _ingest(spark, sf_dir, tmp_path):
+    """Stream the batch mint's 'already crawled' prefix (doc_id%5==0
+    URLs) into the frontier state in 3 batches, and the 3 hosts'
+    robots files into the rules state in 2 batches."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = fetch_plan_candidates(docs)
+    crawled = cand.where(F.col("doc_id") % 5 == 0)
+    fstate = os.path.join(str(tmp_path), "frontier-state")
+    rstate = os.path.join(str(tmp_path), "robots-state")
+    for bid in range(3):
+        b = crawled.where(F.col("doc_id") % 3 == bid)
+        frontier_maintain_batch(b.select("target_uri"), fstate, bid)
+    robots_maintain_batch(
+        _robots_recs(spark, tmp_path, ["h0.example", "h1.example"]),
+        rstate,
+        0,
+    )
+    robots_maintain_batch(
+        _robots_recs(spark, tmp_path, ["h2.example"]), rstate, 1
+    )
+    return cand, fstate, rstate
+
+
+def test_served_plan_matches_batch(spark, sf_dir, tmp_path):
+    cand, fstate, rstate = _ingest(spark, sf_dir, tmp_path)
+    got = _rows(fetch_plan_from_state(spark, fstate, rstate, cand))
+    want = _rows(all_queries()["frontier_fetch_plan"](spark, sf_dir))
+    assert got == want and got
+    # non-vacuous: every decision branch is populated
+    assert any(r[3] for r in got)          # seen from maintained state
+    assert any(r[4] for r in got)          # robots-disallowed
+    assert any(r[6] for r in got)          # fetch_now under quota
+    assert any(not r[6] and not r[3] and not r[4] for r in got)  # over quota
+
+
+def test_redelivery_compaction_and_trajectory(spark, sf_dir, tmp_path):
+    cand, fstate, rstate = _ingest(spark, sf_dir, tmp_path)
+
+    def plan():
+        return _rows(fetch_plan_from_state(spark, fstate, rstate, cand))
+
+    once = plan()
+    # redelivered frontier + robots batches change nothing
+    crawled = cand.where((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 3 == 1))
+    frontier_maintain_batch(crawled.select("target_uri"), fstate, 1)
+    robots_maintain_batch(
+        _robots_recs(spark, tmp_path, ["h2.example"]), rstate, 1
+    )
+    assert plan() == once
+    # compaction below the max committed batch preserves the plan
+    compact_frontier_state(spark, fstate, 1)
+    assert plan() == once
+    # trajectory: a NEW crawl segment marks its URLs seen one serve later
+    newly = cand.where(
+        (F.col("doc_id") % 5 == 1) & (F.col("doc_id") % 4 != 3)
+    )
+    n_new = newly.count()
+    assert n_new > 0
+    frontier_maintain_batch(newly.select("target_uri"), fstate, 3)
+    after = fetch_plan_from_state(spark, fstate, rstate, cand)
+    flipped = {
+        r["doc_id"] for r in after.where("seen").collect()
+    } - {r[0] for r in once if r[3]}
+    assert flipped == {r["doc_id"] for r in newly.collect()}
+
+
+def test_null_url_candidate_is_not_schedulable(spark, sf_dir, tmp_path):
+    _, fstate, rstate = _ingest(spark, sf_dir, tmp_path)
+    crafted = spark.createDataFrame(
+        [(1, "https://h0.example/fresh"), (2, None)],
+        "doc_id bigint, target_uri string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in fetch_plan_from_state(
+            spark, fstate, rstate, crafted
+        ).collect()
+    }
+    assert rows[1]["seen"] is False and rows[1]["fetch_now"] is True
+    # NULL URL: served as seen (the annotate_frontier decision) —
+    # never ranked, never fetched
+    assert rows[2]["seen"] is True and rows[2]["fetch_now"] is False
+    assert rows[2]["host_rank"] is None
