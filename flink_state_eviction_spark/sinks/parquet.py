@@ -223,3 +223,52 @@ def write_ordered_shards(
         .agg(F.count(F.lit(1)).alias("rows"))
         .select(F.col("_shard").cast("int").alias("shard"), "rows")
     )
+
+
+def export_curriculum_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    num_shards: int = 8,
+) -> DataFrame:
+    """X264: the curriculum->shard loop closed — physically write the
+    X251 easy-first order (querydefs/pipeline.py:curriculum_order)
+    through the X131 globally-ordered shard layout, so reading shard
+    ``0..N-1`` in sequence, each in file order, replays the EXACT
+    (fk_grade_milli asc, doc_id asc) training order with no
+    consumer-side sort — the artifact the ordering exists for
+    (Bengio et al. 2009 consumers stream shards, not ranks).
+
+    Shard boundaries are the sampler's (skew-balanced), NOT the 64-doc
+    logical ``shard_idx`` carried in the payload — a physical shard
+    holds whole CONTIGUOUS rank ranges, so the logical index remains
+    exact inside any replay prefix. The returned manifest carries
+    per-shard (rows, min_rank, max_rank) so a consumer can reconcile
+    the layout against the 1..N rank sequence without scanning
+    payloads: rank spans must equal row counts and chain contiguously
+    (pinned in tests/test_curriculum_shards.py).
+
+    Extension beyond the reference surface (composes X251 + X131)."""
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.queries import all_queries
+
+    cur = all_queries()["curriculum_order"](spark, sf_dir)
+    write_ordered_shards(
+        cur, path, [F.asc("curriculum_rank")], num_shards
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("_shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("curriculum_rank").alias("min_rank"),
+            F.max("curriculum_rank").alias("max_rank"),
+        )
+        .select(
+            F.col("_shard").cast("int").alias("shard"),
+            "rows",
+            "min_rank",
+            "max_rank",
+        )
+    )
