@@ -2443,29 +2443,38 @@ FROM b
 """
 
 
-@register("dataset_split_assign", _SPLIT_ORACLE, tags=("pipeline",))
-def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-hash dataset split: bucket = md5('split:'||id) mod 100,
-    train <90, val <95, test otherwise. Zero shuffle, scan-parallel,
-    stable under re-partitioning and re-runs (unlike rand() or
-    df.randomSplit, which are partition-order dependent)."""
-    docs = load_table(spark, sf_dir, "documents")
+def split_label(key: F.Column) -> F.Column:
+    """THE X54 split function over any bigint key: bucket =
+    md5('split:'||key) mod 100, train <90 / val <95 / test — one
+    definition shared by `dataset_split_assign` (own doc_id) and the
+    X265 leakage-safe split (component keeper_id)."""
     bucket = F.pmod(
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                F.md5(F.concat(F.lit("split:"), key.cast("string"))),
                 1, 6,
             ),
             16, 10,
         ).cast("long"),
         F.lit(100),
     )
-    return docs.select(
-        "doc_id",
+    return (
         F.when(bucket < 90, "train")
         .when(bucket < 95, "val")
         .otherwise("test")
-        .alias("split"),
+    )
+
+
+@register("dataset_split_assign", _SPLIT_ORACLE, tags=("pipeline",))
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dataset split: bucket = md5('split:'||id) mod 100,
+    train <90, val <95, test otherwise (kernel: split_label). Zero
+    shuffle, scan-parallel, stable under re-partitioning and re-runs
+    (unlike rand() or df.randomSplit, which are partition-order
+    dependent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", split_label(F.col("doc_id")).alias("split")
     )
 
 
@@ -2547,6 +2556,84 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"), "doc_id"
     )
     return split_leakage_audit_frame(with_split)
+
+
+# ---------------------------------------------------------------------------
+# X265: leakage-SAFE dataset split — the fix the X201 audit exists to
+# motivate: a content-hash split over OWN doc ids still lets near-dup
+# (and exact-dup) documents straddle train/eval, because the id hash
+# knows nothing about content. The safe split keys the X54 split
+# function on the near-dup component KEEPER id (the X13 canonical
+# mapping), so every duplicate component moves between splits as ONE
+# unit — no LSH-confirmed pair can straddle, by construction. Scope
+# line: closure is the minhash-LSH relation (k=3 shingles), so
+# under-3-token exact dups are outside it — the X201 exact audit stays
+# the backstop for those.
+
+_SAFE_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_BODY},
+{_CC_FROM_PAIRS.strip()},
+canon AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keeper_id
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+lbl AS (
+    SELECT doc_id, keeper_id,
+           CAST(('0x' || substring(
+                md5('split:' || CAST(keeper_id AS VARCHAR)), 1, 6))
+                AS BIGINT) % 100 AS kb,
+           CAST(('0x' || substring(
+                md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6))
+                AS BIGINT) % 100 AS ob
+    FROM canon
+)
+SELECT doc_id, keeper_id,
+       CASE WHEN kb < 90 THEN 'train'
+            WHEN kb < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       (CASE WHEN kb < 90 THEN 'train'
+             WHEN kb < 95 THEN 'val'
+             ELSE 'test' END)
+       <> (CASE WHEN ob < 90 THEN 'train'
+                WHEN ob < 95 THEN 'val'
+                ELSE 'test' END) AS moved
+FROM lbl
+"""
+
+
+def leakage_safe_split_from_canonical(canon: DataFrame) -> DataFrame:
+    """X265 split algebra over a (doc_id, keeper_id) canonical mapping:
+    the X54 split_label keyed on the keeper, plus the `moved` flag
+    (safe split != own-id split — the observable the crafted
+    cross-split-dup pin reads). Shared by the registered query and the
+    crafted-frame pytest."""
+    safe = split_label(F.col("keeper_id"))
+    own = split_label(F.col("doc_id"))
+    return canon.select(
+        "doc_id",
+        "keeper_id",
+        safe.alias("split"),
+        (safe != own).alias("moved"),
+    )
+
+
+@register_supplementary(
+    "leakage_safe_split", _SAFE_SPLIT_ORACLE, tags=("pipeline", "dedup")
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X265: leakage-safe train/val/test split (module comment above) —
+    the X54 split function keyed on the near-dup component keeper, so
+    dup components never straddle splits. Composition: CALLS the
+    registered `dedup_near_canonical` query (its oracle building
+    blocks wrapped as CTEs — the one-definition rule) and applies the
+    shared split algebra. Scale shape: inherits the LSH/CC anatomy
+    (census-first banding, hash-min propagation over the tiny edge
+    list); the split itself is scan algebra over the mapping — zero
+    added exchanges."""
+    canon = dedup_near_canonical(spark, sf_dir).select(
+        "doc_id", "keeper_id"
+    )
+    return leakage_safe_split_from_canonical(canon)
 
 
 # ---------------------------------------------------------------------------

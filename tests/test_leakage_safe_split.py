@@ -1,0 +1,84 @@
+"""X265 leakage-safe split pins (querydefs/pipeline.py:
+leakage_safe_split): no LSH-confirmed near-dup pair may straddle
+splits, whole components move as one unit keyed on the keeper, and the
+crafted cross-split dup proves the non-vacuous branch (the fixture's
+dup placement decides whether `moved` ever fires organically — the
+vacuous-parity rule)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.querydefs.pipeline import (
+    leakage_safe_split_from_canonical,
+)
+
+
+def _own_bucket(doc_id: int) -> int:
+    return int(
+        hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:6], 16
+    ) % 100
+
+
+def _own_split(doc_id: int) -> str:
+    b = _own_bucket(doc_id)
+    return "train" if b < 90 else ("val" if b < 95 else "test")
+
+
+def test_no_pair_straddles_and_components_move_together(spark, sf_dir):
+    qs = all_queries()
+    safe = {
+        r["doc_id"]: r
+        for r in qs["leakage_safe_split"](spark, sf_dir).collect()
+    }
+    pairs = qs["dedup_minhash_lsh"](spark, sf_dir).collect()
+    assert pairs  # non-vacuous: the fixture has confirmed near-dups
+    for p in pairs:
+        assert (
+            safe[p["doc_a"]]["split"] == safe[p["doc_b"]]["split"]
+        ), (p["doc_a"], p["doc_b"])
+    # keeper keys the split: every doc carries its keeper's own-id split
+    for r in safe.values():
+        assert r["split"] == _own_split(r["keeper_id"])
+        assert r["moved"] == (r["split"] != _own_split(r["doc_id"]))
+    # all three labels exist on the fixture (90/5/5 over 500+ docs)
+    assert {r["split"] for r in safe.values()} == {"train", "val", "test"}
+
+
+def test_crafted_cross_split_dup_moves(spark):
+    """Two byte-identical docs whose OWN-id splits differ must land in
+    ONE split (the keeper's), with the non-keeper side flagged moved —
+    the exact leak the X54 split ships and this query exists to
+    close."""
+    from flink_state_eviction_spark.operators.dedup import (
+        canonical_mapping,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    # pick ids by their REAL split buckets: a trains, b tests
+    a = next(i for i in range(1, 500) if _own_split(i) == "train")
+    b = next(i for i in range(1, 500) if _own_split(i) == "test")
+    dup = "the same exact duplicated sentence body here"
+    rows = [(a, dup), (b, dup), (9001, "completely unrelated text body")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, threshold=0.8
+    ).select("doc_a", "doc_b")
+    canon = canonical_mapping(docs, connected_components(pairs)).select(
+        "doc_id", "keeper_id"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in leakage_safe_split_from_canonical(canon).collect()
+    }
+    keeper = min(a, b)
+    assert got[a]["keeper_id"] == keeper and got[b]["keeper_id"] == keeper
+    assert got[a]["split"] == got[b]["split"] == _own_split(keeper)
+    # exactly the non-keeper side moved (keeper keeps its own split)
+    moved = {i for i in (a, b) if got[i]["moved"]}
+    assert moved == {i for i in (a, b) if _own_split(i) != _own_split(keeper)}
+    assert got[9001]["moved"] is False  # unpaired: keeper = self
