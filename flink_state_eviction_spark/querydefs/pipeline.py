@@ -10300,12 +10300,15 @@ def _code_injected_docs(docs: DataFrame) -> DataFrame:
 
 
 def code_profile_frame(
-    staged: DataFrame, with_markers: bool = False
+    staged: DataFrame, with_markers: bool = False, keep_text: bool = False
 ) -> DataFrame:
     """Frame-level code-lexical kernel over (doc_id, source, _t):
     line-shape stats, The Stack file-filter verdict, and the
     code-likeness verdict (module comment above). `with_markers` adds
-    the per-language keyword-marker counts the language guess reads."""
+    the per-language keyword-marker counts the language guess reads;
+    `keep_text` threads ``_t`` through so a downstream transform (the
+    X266 FIM prep) gets verdict + text off ONE scan with no
+    self-join."""
     marker_cols = []
     if with_markers:
         for fam, markers in CODE_LANG_MARKERS.items():
@@ -10342,6 +10345,7 @@ def code_profile_frame(
         .cast("long")
         .alias("n_indent_lines"),
         *marker_cols,
+        *([F.col("_t")] if keep_text else []),
     )
     derived = counts.withColumns(
         {
@@ -10708,6 +10712,136 @@ def routed_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("gopher_passes"))
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X266: fill-in-the-middle (FIM) training transform — Bavarian et al.
+# 2022 ("Efficient Training of Language Models to Fill in the
+# Middle"): a code-capable model needs infilling-format examples, so a
+# deterministic share of CODE documents (the X236 verdict routes;
+# prose stays autoregressive) is rewritten PSM —
+# '<PRE> prefix <SUF> suffix <MID> middle' — with the two cut points
+# drawn from the shared h64 family over the word sequence, so the
+# transform is a pure content function: reproducible across runs,
+# partitionings, and engines (the X54 determinism argument applied to
+# data augmentation). FIM rate 1/2 of code docs (h64(doc:fim) parity).
+# Cut algebra: c1, c2 ~ h64 % (n_words+1); lo/hi = least/greatest;
+# prefix = w[1..lo], middle = w[lo+1..hi], suffix = w[hi+1..n] — any
+# segment may be empty (empty arrays join to ''), n_words includes the
+# split convention's empty-string words so the cut space is total.
+# Output carries md5(psm) (the big-string parity convention, X239
+# model) plus the cuts so a consumer can reconstruct spans without
+# re-hashing.
+
+_FIM_ORACLE = f"""
+WITH profile AS (
+    SELECT doc_id, is_code FROM ({_code_profile_oracle()})
+),
+inj AS (
+    SELECT doc_id, {_code_inject_sql()} AS t FROM documents
+),
+base AS (
+    SELECT i.doc_id, p.is_code, i.t, string_split(i.t, ' ') AS w
+    FROM inj i JOIN profile p ON p.doc_id = i.doc_id
+),
+cuts AS (
+    SELECT doc_id, is_code, t, w, len(w) AS n,
+           {sql_h64("CAST(doc_id AS VARCHAR) || ':fim1'")}
+               % (len(w) + 1) AS c1,
+           {sql_h64("CAST(doc_id AS VARCHAR) || ':fim2'")}
+               % (len(w) + 1) AS c2,
+           (is_code AND
+            {sql_h64("CAST(doc_id AS VARCHAR) || ':fim'")} % 2 = 0)
+               AS fim_applied
+    FROM base
+),
+seg AS (
+    SELECT doc_id, is_code, fim_applied,
+           CAST(n AS BIGINT) AS n_words,
+           CAST(least(c1, c2) AS BIGINT) AS cut_lo,
+           CAST(greatest(c1, c2) AS BIGINT) AS cut_hi,
+           CASE WHEN fim_applied THEN
+               -- DuckDB array_to_string of an EMPTY list is NULL
+               -- (Spark array_join gives '') — coalesce each segment
+               '<PRE> ' || COALESCE(
+                   array_to_string(w[1:least(c1, c2)], ' '), '')
+               || ' <SUF> '
+               || COALESCE(
+                   array_to_string(w[greatest(c1, c2) + 1:n], ' '), '')
+               || ' <MID> '
+               || COALESCE(array_to_string(
+                      w[least(c1, c2) + 1:greatest(c1, c2)], ' '), '')
+           ELSE t END AS psm
+    FROM cuts
+)
+SELECT doc_id, is_code, fim_applied, n_words, cut_lo, cut_hi,
+       md5(psm) AS fim_md5
+FROM seg
+"""
+
+
+def fim_transform_frame(staged: DataFrame) -> DataFrame:
+    """Frame-level X266 kernel over (doc_id, _t, is_code): the
+    deterministic PSM rewrite (module comment above). Shared by the
+    registered query and the crafted pins (test_fim.py, which replays
+    the cut algebra against an independent pure-Python rendering).
+    Scan-shaped: split/slice/array_join are codegen expressions, zero
+    exchanges, zero Python — at 100 TB the transform rides the scan."""
+    did = F.col("doc_id").cast("string")
+    d = (
+        staged.withColumn("_w", F.split("_t", " "))
+        .withColumn("_n", F.size("_w").cast("long"))
+        .withColumn(
+            "_c1", F.pmod(h64(F.concat(did, F.lit(":fim1"))), F.col("_n") + 1)
+        )
+        .withColumn(
+            "_c2", F.pmod(h64(F.concat(did, F.lit(":fim2"))), F.col("_n") + 1)
+        )
+        .withColumn(
+            "fim_applied",
+            F.col("is_code")
+            & (F.pmod(h64(F.concat(did, F.lit(":fim"))), F.lit(2)) == 0),
+        )
+        .withColumn("_lo", F.least("_c1", "_c2").cast("long"))
+        .withColumn("_hi", F.greatest("_c1", "_c2").cast("long"))
+    )
+    psm = F.when(
+        F.col("fim_applied"),
+        F.concat(
+            F.lit("<PRE> "),
+            F.array_join(F.expr("slice(_w, 1, _lo)"), " "),
+            F.lit(" <SUF> "),
+            F.array_join(F.expr("slice(_w, _hi + 1, _n - _hi)"), " "),
+            F.lit(" <MID> "),
+            F.array_join(F.expr("slice(_w, _lo + 1, _hi - _lo)"), " "),
+        ),
+    ).otherwise(F.col("_t"))
+    return d.select(
+        "doc_id",
+        "is_code",
+        "fim_applied",
+        F.col("_n").alias("n_words"),
+        F.col("_lo").alias("cut_lo"),
+        F.col("_hi").alias("cut_hi"),
+        F.md5(psm).alias("fim_md5"),
+    )
+
+
+@register_supplementary(
+    "fim_transform_prep", _FIM_ORACLE, tags=("pipeline", "text")
+)
+def fim_transform_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X266: deterministic fill-in-the-middle prep over the injected
+    code corpus (module comment above) — the X236 is_code verdict
+    routes, h64 draws the cuts and the 1/2 FIM rate, prose and
+    unselected code stay autoregressive byte-identical. Composition:
+    the is_code side wraps the registered X236 oracle as a CTE on the
+    DuckDB side; the Spark side threads ``_t`` through the one shared
+    profile kernel (keep_text) so verdict + text come off ONE scan —
+    no self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    prof = code_profile_frame(_code_injected_docs(docs), keep_text=True)
+    return fim_transform_frame(prof.select("doc_id", "_t", "is_code"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,93 @@
+"""X266 FIM-transform pins (querydefs/pipeline.py:
+fim_transform_frame): the deterministic PSM rewrite is replayed by an
+independent pure-Python rendering of the published algebra (Bavarian
+et al. 2022 cut semantics under the shared h64 family), covering both
+route branches, the 1/2 rate gate, and empty-segment edges; the
+registered query's plan stays scan-shaped (zero exchanges)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.querydefs.pipeline import (
+    fim_transform_frame,
+)
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:15], 16)
+
+
+def _fim_py(doc_id: int, text: str, is_code: bool):
+    w = text.split(" ")
+    n = len(w)
+    c1 = _h64(f"{doc_id}:fim1") % (n + 1)
+    c2 = _h64(f"{doc_id}:fim2") % (n + 1)
+    lo, hi = min(c1, c2), max(c1, c2)
+    applied = bool(is_code) and _h64(f"{doc_id}:fim") % 2 == 0
+    if applied:
+        psm = (
+            f"<PRE> {' '.join(w[:lo])} <SUF> {' '.join(w[hi:])}"
+            f" <MID> {' '.join(w[lo:hi])}"
+        )
+    else:
+        psm = text
+    return (
+        bool(is_code),
+        applied,
+        n,
+        lo,
+        hi,
+        hashlib.md5(psm.encode()).hexdigest(),
+    )
+
+
+def test_crafted_frame_matches_python_reference(spark):
+    rows = []
+    for i in range(64):
+        code = i % 3 == 0
+        text = " ".join(f"tok{j}" for j in range(i % 7))  # incl. ''
+        rows.append((i, text, code))
+    # doubled spaces: split keeps empty words — the cut space is total
+    rows.append((1001, "a  b   c", True))
+    rows.append((1002, "", True))  # [''] single empty word
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, _t string, is_code boolean"
+    )
+    got = {
+        r["doc_id"]: (
+            r["is_code"],
+            r["fim_applied"],
+            r["n_words"],
+            r["cut_lo"],
+            r["cut_hi"],
+            r["fim_md5"],
+        )
+        for r in fim_transform_frame(df).collect()
+    }
+    want = {i: _fim_py(i, t, c) for i, t, c in rows}
+    assert got == want
+    # both rate branches fire among the crafted code docs
+    applied = [v[1] for v in got.values() if v[0]]
+    assert any(applied) and not all(applied)
+    # some applied doc has an empty segment (lo == 0, hi == n, or
+    # lo == hi) — the edge the concat must render as ''
+    assert any(
+        v[1] and (v[3] == 0 or v[4] == v[2] or v[3] == v[4])
+        for v in got.values()
+    )
+
+
+def test_fixture_routing_and_plan(spark, sf_dir):
+    q = all_queries()["fim_transform_prep"](spark, sf_dir)
+    rows = q.collect()
+    assert rows
+    # routing: FIM only ever applies to code docs; both branches live
+    assert all(r["fim_applied"] <= r["is_code"] for r in rows)
+    assert any(r["fim_applied"] for r in rows)
+    assert any(r["is_code"] and not r["fim_applied"] for r in rows)
+    assert any(not r["is_code"] for r in rows)
+    # scan-shaped: verdict + text off one scan, zero exchanges
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
