@@ -12032,6 +12032,8 @@ SELECT doc_id, fk_grade_milli,
             // {CURRICULUM_SHARD_DOCS} AS BIGINT) AS shard_idx
 FROM scored
 """,
+    # bench headline since r10: tracks the skew-proof range-rank rework
+    headline=True,
     tags=("pipeline", "text"),
 )
 def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12048,10 +12050,6 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame's visible plan starts at Scan ExistingRDD — the range
     exchange is assertable only on the pre-checkpoint builder (the
     zipf rank-window lesson)."""
-    from flink_state_eviction_spark.operators.windows import (
-        range_partitioned_global_row_number,
-    )
-
     # the rank kernel's count and data subtrees would each re-run the
     # 4-regexp scoring pass (no CSE across subtrees) — checkpoint the
     # slim 16-byte (doc_id, fk) rows once (17.62 -> 6.09 s at x10,
@@ -12061,6 +12059,19 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fk_grade_milli")
         .localCheckpoint(eager=False)
     )
+    return curriculum_rank_from_scored(scored)
+
+
+def curriculum_rank_from_scored(scored: DataFrame) -> DataFrame:
+    """X251 tail over a (doc_id, fk_grade_milli) scored frame: the
+    skew-proof range rank + 64-doc shard index — shared by the batch
+    query and the X267 streaming maintainer's serving path (ranks are
+    relative to whatever corpus the frame holds: the full fixture in
+    batch, the ingested prefix mid-stream)."""
+    from flink_state_eviction_spark.operators.windows import (
+        range_partitioned_global_row_number,
+    )
+
     ranked = range_partitioned_global_row_number(
         scored,
         [F.col("fk_grade_milli").asc(), F.col("doc_id").asc()],

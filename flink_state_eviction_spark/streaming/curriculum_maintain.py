@@ -1,0 +1,104 @@
+"""Streaming curriculum maintainer (X267): keep the X245 per-doc
+difficulty scores current as the corpus streams in, and serve the X251
+easy-first curriculum order from maintained state after any
+micro-batch — the always-on twin of the batch `curriculum_order`, so a
+training run can cut curriculum shards from whatever has landed
+without a full rescore.
+
+Pattern: per-doc SCORE state in idempotent ``batch=<id>`` partitions
+(the knn-maintainer state class, NOT the census-partials class):
+
+- ``curriculum_maintain_batch`` — ``foreachBatch`` body over
+  (doc_id, source, text): the batch's (doc_id, fk_grade_milli) rows
+  via the SAME `readability_frame` + injection staging as the batch
+  query land in the batch's own partition; redelivery overwrites it.
+- ``scored_from_state`` — the maintained scored frame; a defensive
+  DISTINCT makes serving immune even to the same doc landing in TWO
+  different batch ids (scores are pure content functions, so
+  duplicate rows are identical and distinct-union is exact).
+- ``curriculum_from_state`` — the order through the SAME
+  `curriculum_rank_from_scored` tail (skew-proof range rank + 64-doc
+  shard index). Once the corpus has streamed in it is BIT-EQUAL to
+  the batch `curriculum_order`; mid-stream it is exactly the batch
+  algebra over the ingested prefix — ranks are prefix-relative BY
+  DESIGN (an easy-first consumer starts training before the crawl
+  finishes; tests pin the prefix property explicitly).
+
+HONEST state note: per-doc scores are corpus-linear state (16-byte
+rows; the frontier seen-set / knn frame class) — which is exactly why
+serving carries no broadcast anywhere and the rank is the sampled-
+boundary variant. Compaction folds are re-distincts under the
+commit-log-safe contract (streaming/compaction.py).
+
+Extension beyond the reference surface (twins the batch X251 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def curriculum_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of score maintenance (module docstring). Call
+    from ``foreachBatch`` forwarding its batch id. ``batch_df`` must
+    carry (doc_id, source, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _read_injected_docs,
+        readability_frame,
+    )
+
+    scored = readability_frame(_read_injected_docs(batch_df)).select(
+        "doc_id", "fk_grade_milli"
+    )
+    scored.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "scores", f"batch={batch_id}")
+    )
+
+
+def compact_curriculum_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — scores are
+    pure content functions, so the fold is a distinct union. Contract:
+    streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "scores"),
+        through_batch,
+        lambda df: df.select("doc_id", "fk_grade_milli").distinct(),
+    )
+
+
+def scored_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (doc_id, fk_grade_milli) scores: distinct union
+    over the batch partitions."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "scores"))
+        .select("doc_id", "fk_grade_milli")
+        .distinct()
+    )
+
+
+def curriculum_from_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The curriculum order from MAINTAINED scores through the shared
+    tail — same output shape as `curriculum_order`; bit-equal once the
+    corpus has streamed in, the ingested-prefix order mid-stream."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        curriculum_rank_from_scored,
+    )
+
+    return curriculum_rank_from_scored(
+        scored_from_state(spark, state_dir).localCheckpoint(eager=False)
+    )

@@ -1,0 +1,108 @@
+"""Streaming curriculum maintainer (X267): serving from maintained
+scores must reproduce the batch `curriculum_order` bit-for-bit after
+the corpus streams in; mid-stream serving is the batch algebra over
+the ingested prefix (prefix-relative ranks, pinned explicitly);
+redelivery — including the same doc in TWO batch ids — must not change
+the served order; compaction preserves it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.querydefs.pipeline import (
+    curriculum_rank_from_scored,
+)
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.curriculum_maintain import (
+    compact_curriculum_state,
+    curriculum_from_state,
+    curriculum_maintain_batch,
+    scored_from_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+
+def test_streaming_curriculum_matches_batch(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "curr-state")
+
+    def upd(batch_df, batch_id):
+        curriculum_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(curriculum_from_state(spark, state))
+    want = _rows(all_queries()["curriculum_order"](spark, sf_dir))
+    assert got == want and got
+
+
+def test_prefix_serving_redelivery_and_compaction(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    n = len(ids)
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, docs.where(F.col("doc_id") < cut1)),
+        (1, docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, docs.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "curr-state")
+    curriculum_maintain_batch(batches[0][1], state, 0)
+    curriculum_maintain_batch(batches[1][1], state, 1)
+
+    # mid-stream: the served order IS the batch algebra over the
+    # ingested prefix — prefix-relative ranks by design
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _read_injected_docs,
+        readability_frame,
+    )
+
+    prefix_scored = readability_frame(
+        _read_injected_docs(docs.where(F.col("doc_id") < cut2))
+    ).select("doc_id", "fk_grade_milli")
+    want_prefix = _rows(curriculum_rank_from_scored(prefix_scored))
+    got_prefix = _rows(curriculum_from_state(spark, state))
+    assert got_prefix == want_prefix and got_prefix
+
+    # redelivery: same batch again, AND the same docs under a NEW
+    # batch id (cross-batch duplicate — distinct-union absorbs it
+    # because scores are pure content functions)
+    curriculum_maintain_batch(batches[1][1], state, 1)
+    assert _rows(curriculum_from_state(spark, state)) == want_prefix
+    curriculum_maintain_batch(batches[0][1], state, 3)
+    assert _rows(curriculum_from_state(spark, state)) == want_prefix
+
+    # compaction below the max committed batch preserves the state
+    with pytest.raises(ValueError):
+        compact_curriculum_state(spark, state, 3)
+    compact_curriculum_state(spark, state, 1)
+    assert _rows(curriculum_from_state(spark, state)) == want_prefix
+    # the last segment completes the corpus
+    curriculum_maintain_batch(batches[2][1], state, 4)
+    got = _rows(curriculum_from_state(spark, state))
+    want = _rows(all_queries()["curriculum_order"](spark, sf_dir))
+    assert got == want
+    assert scored_from_state(spark, state).count() == len(want)
