@@ -2637,6 +2637,167 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X268: data-constrained epoch plan — Muennighoff et al. 2023 ("Scaling
+# Data-Constrained Language Models"): repeating UNIQUE data is nearly
+# free up to ~4 epochs and nearly worthless beyond, so a budgeted run
+# plans per-source epochs over the DEDUPED token mass, capped at 4.
+# Budget = 4x total unique tokens; shares are quality-weighted
+# (per-source Gopher keep-rate ppm x unique tokens), so high-quality
+# sources demand > 4 epochs — the cap binds and flags them `capped` —
+# while low-quality feeds train fewer. All arithmetic is exact
+# bounded-precision DECIMAL integer algebra: Spark `div` and DuckDB
+# `//` on decimals agree on NON-NEGATIVE operands (probed; they differ
+# on negatives — trunc vs floor — so nothing here may go negative),
+# and — the parity lesson this query bought — DuckDB `//` on DECIMAL
+# operands is NOT integer division (it returns the plain float
+# quotient: dec // dec gave 42254.84), so the ORACLE does its integer
+# algebra in HUGEINT (true 128-bit // , trunc like Spark on
+# non-negatives) while the Spark side uses bounded-precision DECIMAL
+# `div` with ppm-quantized shares so every product stays <= 38 digits
+# (wgt(25) x 1e6(7) = 32; budget(19) x share(7) = 26 — all exact).
+# Headroom: unique tokens <= 1e18/4 per corpus, 1e18 per source.
+
+EPOCH_CAP_MILLI = 4_000
+EPOCH_BUDGET_X = 4
+
+_EPOCH_PLAN_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_BODY},
+{_CC_FROM_PAIRS.strip()},
+canon AS (
+    SELECT d.doc_id, d.source,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS is_kept
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+g AS ({_GOPHER_ORACLE}),
+ntok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM toks),
+per AS (
+    SELECT canon.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT is_kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(SUM(CASE WHEN is_kept THEN n_tok ELSE 0 END) AS BIGINT)
+               AS unique_tokens,
+           CAST(SUM(CASE WHEN is_kept AND passes THEN 1 ELSE 0 END)
+                * 1000000
+                // greatest(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS keep_ppm
+    FROM canon JOIN ntok USING (doc_id) JOIN g USING (doc_id)
+    GROUP BY 1
+),
+w AS (
+    SELECT *, CAST(keep_ppm AS HUGEINT) * unique_tokens AS wgt
+    FROM per
+),
+tot AS (
+    SELECT CAST({EPOCH_BUDGET_X} * SUM(unique_tokens) AS HUGEINT)
+               AS budget,
+           greatest(SUM(wgt), CAST(1 AS HUGEINT)) AS wsum
+    FROM w
+),
+r AS (
+    SELECT w.*,
+           (tot.budget
+            * (w.wgt * 1000000 // tot.wsum)
+            // 1000000) * 1000
+               // greatest(w.unique_tokens, 1) AS raw_milli
+    FROM w CROSS JOIN tot
+)
+SELECT source, n_docs, n_dup_docs, unique_tokens, keep_ppm,
+       CAST(least(raw_milli, {EPOCH_CAP_MILLI}) AS BIGINT)
+           AS epochs_milli,
+       CAST(unique_tokens * least(raw_milli, {EPOCH_CAP_MILLI}) // 1000
+            AS BIGINT) AS planned_tokens,
+       raw_milli > {EPOCH_CAP_MILLI} AS capped
+FROM r
+"""
+
+
+@register_supplementary(
+    "data_constrained_epoch_plan",
+    _EPOCH_PLAN_ORACLE,
+    tags=("pipeline", "corpus"),
+)
+def data_constrained_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X268: per-source epoch plan over deduped tokens under the 4-epoch
+    repeat cap (module comment above). Composition: CALLS the
+    registered `quality_filter_gopher` (passes verdict) and
+    `dedup_near_canonical` (is_kept) queries — oracles wrapped as CTEs
+    — plus one token-count projection; one doc_id-keyed join chain,
+    one \\|sources\\|-row fold, the checkpointed per-source table feeds
+    both the 1-row budget fold (the allowlisted SinglePartition) and
+    the plan join. A source whose every doc's keeper lives in another
+    source plans 0 epochs over 0 unique tokens — the documented
+    degenerate row."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    keep = quality_filter_gopher(spark, sf_dir).select("doc_id", "passes")
+    canon = dedup_near_canonical(spark, sf_dir).select("doc_id", "is_kept")
+    d = ntok.join(keep, "doc_id").join(canon, "doc_id")
+    per = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(~F.col("is_kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("is_kept"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("unique_tokens"),
+            F.expr(
+                "CAST(SUM(CASE WHEN is_kept AND passes THEN 1 ELSE 0 END)"
+                " * 1000000"
+                " div greatest(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END), 1)"
+                " AS BIGINT)"
+            ).alias("keep_ppm"),
+        )
+        .withColumn(
+            "wgt",
+            F.expr(
+                "CAST(CAST(keep_ppm AS DECIMAL(7,0)) * unique_tokens"
+                " AS DECIMAL(25,0))"
+            ),
+        )
+        # feeds BOTH the budget fold and the plan join (no-CSE rule) —
+        # and the upstream is the full LSH + Gopher pass
+        .localCheckpoint(eager=False)
+    )
+    tot = per.agg(
+        F.expr(
+            f"CAST({EPOCH_BUDGET_X} * SUM(unique_tokens) AS DECIMAL(19,0))"
+        ).alias("budget"),
+        F.expr(
+            "greatest(SUM(wgt), CAST(1 AS DECIMAL(25,0)))"
+        ).alias("wsum"),
+    )
+    r = per.crossJoin(F.broadcast(tot)).withColumn(
+        "raw_milli",
+        F.expr(
+            "(budget * CAST(wgt * 1000000 div wsum AS DECIMAL(7,0))"
+            " div 1000000) * 1000 div greatest(unique_tokens, 1)"
+        ),
+    )
+    return r.select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        "unique_tokens",
+        "keep_ppm",
+        F.expr(
+            f"CAST(least(raw_milli, {EPOCH_CAP_MILLI}) AS BIGINT)"
+        ).alias("epochs_milli"),
+        F.expr(
+            f"CAST(unique_tokens * least(raw_milli, {EPOCH_CAP_MILLI})"
+            " div 1000 AS BIGINT)"
+        ).alias("planned_tokens"),
+        (F.col("raw_milli") > EPOCH_CAP_MILLI).alias("capped"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # funnel analysis: users completing view -> click -> purchase in order
 
 _FUNNEL_ORACLE = """

@@ -1,0 +1,90 @@
+"""X268 data-constrained epoch plan pins (querydefs/pipeline.py:
+data_constrained_epoch_plan): the whole plan is replayed by an
+independent pure-Python aggregation over the member queries' per-doc
+outputs (Muennighoff cap semantics under the ppm-share algebra), plus
+budget-conservation and cap-branch properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.querydefs.pipeline import (
+    EPOCH_BUDGET_X,
+    EPOCH_CAP_MILLI,
+)
+from flink_state_eviction_spark.functions.text import tokens
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_plan_matches_python_reference_and_properties(spark, sf_dir):
+    qs = all_queries()
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = {
+        r["doc_id"]: (r["source"], r["n_tok"])
+        for r in docs.select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        ).collect()
+    }
+    passes = {
+        r["doc_id"]: r["passes"]
+        for r in qs["quality_filter_gopher"](spark, sf_dir).collect()
+    }
+    kept = {
+        r["doc_id"]: r["is_kept"]
+        for r in qs["dedup_near_canonical"](spark, sf_dir).collect()
+    }
+
+    # independent python aggregation + plan algebra
+    per = {}
+    for did, (src, nt) in ntok.items():
+        e = per.setdefault(src, [0, 0, 0, 0])  # docs, dups, ut, kept_pass
+        e[0] += 1
+        if not kept[did]:
+            e[1] += 1
+        else:
+            e[2] += nt
+            if passes[did]:
+                e[3] += 1
+    stats = {}
+    for src, (nd, dup, ut, kp) in per.items():
+        n_kept = nd - dup
+        ppm = (kp * 1_000_000) // max(n_kept, 1)
+        stats[src] = (nd, dup, ut, ppm)
+    total = sum(v[2] for v in stats.values())
+    budget = EPOCH_BUDGET_X * total
+    wsum = max(sum(v[3] * v[2] for v in stats.values()), 1)
+    want = {}
+    for src, (nd, dup, ut, ppm) in stats.items():
+        share = (ppm * ut * 1_000_000) // wsum
+        alloc = (budget * share) // 1_000_000
+        raw = (alloc * 1000) // max(ut, 1)
+        em = min(raw, EPOCH_CAP_MILLI)
+        want[src] = (
+            nd, dup, ut, ppm, em, (ut * em) // 1000, raw > EPOCH_CAP_MILLI
+        )
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_dup_docs"],
+            r["unique_tokens"],
+            r["keep_ppm"],
+            r["epochs_milli"],
+            r["planned_tokens"],
+            r["capped"],
+        )
+        for r in qs["data_constrained_epoch_plan"](spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+    # properties: the cap never exceeds 4 epochs, planned mass never
+    # exceeds the budget, and both cap branches fire on the fixture
+    assert all(v[4] <= EPOCH_CAP_MILLI for v in got.values())
+    assert sum(v[5] for v in got.values()) <= budget
+    assert any(v[6] for v in got.values())
+    assert any(not v[6] for v in got.values())
+    # the dedup actually removed mass (epochs plan over UNIQUE tokens)
+    assert any(v[1] > 0 for v in got.values())

@@ -66,6 +66,9 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     # partition count table (skew-proof sampled-boundary rank), never
     # the scored corpus
     "curriculum_order": 1,
+    # X268: the 1-row (budget, wsum) fold — input is the checkpointed
+    # |sources|-row per-source table, never the corpus
+    "data_constrained_epoch_plan": 1,
     "funnel_view_click_purchase": 1,  # scalar: funnel stage totals
     "histogram_quantiles_value": 1,  # tiny: quantiles over bin table
     "conversion_latency_quantiles": 1,  # tiny: CDF over the 256-bin table
