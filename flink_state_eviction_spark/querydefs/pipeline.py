@@ -12335,3 +12335,105 @@ def moji_census_from_partials(partials: DataFrame) -> DataFrame:
             "moji_doc_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X269: per-source DATASHEET — the one-row-per-feed capstone the
+# observability censuses exist to feed (the "data card" a corpus
+# operator actually reads before changing a feed's mix weight):
+# encoding health (X240), readability (X246), script mix (X233, folded
+# to script-count + mixed-doc mass), code share (X237), token mass +
+# length-band spread (X258), robust quality location/scale (X74), and
+# the unigram-KL drift distance (X187) — joined on the source key.
+# PURE composition (the X167 model): CALLS the seven registered
+# queries and wraps their oracles as CTEs — zero re-implemented
+# logic; the two multi-row members fold to per-source rows first.
+# Scale shape: every member is a |sources|(-x-scripts/-x-bands)-row
+# frame by its own audited anatomy; the datasheet adds six equi-joins
+# over those tiny frames and nothing else — AQE broadcasts them all.
+# Joins are INNER on source: every member derives from the same
+# documents table grouped by source, so key sets coincide (pinned);
+# a source missing from any census would be a member-query bug, not a
+# datasheet policy decision.
+
+_DATASHEET_ORACLE = f"""
+WITH moji AS ({_MOJI_CENSUS_ORACLE}),
+readc AS ({_READ_CENSUS_ORACLE}),
+scriptm AS ({_SOURCE_SCRIPT_ORACLE}),
+script_fold AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_scripts,
+           CAST(SUM(n_mixed) AS BIGINT) AS n_mixed_docs
+    FROM scriptm GROUP BY 1
+),
+codec AS ({_SOURCE_CODE_ORACLE}),
+lenh AS ({_LEN_HIST_ORACLE}),
+len_fold AS (
+    SELECT source,
+           CAST(SUM(total_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_len_bands
+    FROM lenh GROUP BY 1
+),
+robust AS ({_SRC_ROBUST_ORACLE}),
+kl AS ({_kl_oracle()})
+SELECT moji.source, moji.n_docs, moji.moji_doc_ppm,
+       readc.mean_fk_milli, readc.n_hard AS n_hard_docs,
+       script_fold.n_scripts, script_fold.n_mixed_docs,
+       codec.code_share_ppm,
+       len_fold.total_tokens, len_fold.n_len_bands,
+       robust.median_score, robust.mad_score,
+       kl.n_vocab, kl.kl_mb
+FROM moji
+JOIN readc USING (source)
+JOIN script_fold USING (source)
+JOIN codec USING (source)
+JOIN len_fold USING (source)
+JOIN robust USING (source)
+JOIN kl USING (source)
+"""
+
+
+@register_supplementary(
+    "source_datasheet", _DATASHEET_ORACLE, tags=("pipeline", "text")
+)
+def source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X269: the per-source datasheet (module comment above) — one row
+    per feed fusing the seven registered observability censuses. Pure
+    composition: member queries called as-is, their oracles wrapped as
+    CTEs; six source-keyed equi-joins over |sources|-bounded frames."""
+    qs = {
+        "moji": source_mojibake_census(spark, sf_dir),
+        "read": source_readability_census(spark, sf_dir),
+        "script": source_script_mix(spark, sf_dir),
+        "code": source_code_census(spark, sf_dir),
+        "len": source_length_histogram(spark, sf_dir),
+        "robust": source_quality_robust(spark, sf_dir),
+        "kl": source_unigram_kl(spark, sf_dir),
+    }
+    script_fold = qs["script"].groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scripts"),
+        F.sum("n_mixed").cast("long").alias("n_mixed_docs"),
+    )
+    len_fold = qs["len"].groupBy("source").agg(
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_len_bands"),
+    )
+    return (
+        qs["moji"].select("source", "n_docs", "moji_doc_ppm")
+        .join(
+            qs["read"].select(
+                "source",
+                "mean_fk_milli",
+                F.col("n_hard").alias("n_hard_docs"),
+            ),
+            "source",
+        )
+        .join(script_fold, "source")
+        .join(qs["code"].select("source", "code_share_ppm"), "source")
+        .join(len_fold, "source")
+        .join(
+            qs["robust"].select("source", "median_score", "mad_score"),
+            "source",
+        )
+        .join(qs["kl"].select("source", "n_vocab", "kl_mb"), "source")
+    )

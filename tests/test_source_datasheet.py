@@ -1,0 +1,43 @@
+"""X269 source-datasheet pins (querydefs/pipeline.py:
+source_datasheet): one row per source, inner-join key sets coincide
+with every member census, and the fused columns carry real per-feed
+variation (non-vacuity)."""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_datasheet_covers_every_source(spark, sf_dir):
+    qs = all_queries()
+    rows = qs["source_datasheet"](spark, sf_dir).collect()
+    sources = {
+        r["source"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    # exactly one row per source — the inner joins dropped nothing
+    assert {r["source"] for r in rows} == sources
+    assert len(rows) == len(sources)
+    # the fused signals vary across feeds (a constant column would
+    # mean a member census is vacuous on the fixture)
+    for col in ("moji_doc_ppm", "mean_fk_milli", "code_share_ppm",
+                "total_tokens", "kl_mb"):
+        assert len({r[col] for r in rows}) > 1, col
+    # the member-to-datasheet wiring: spot-check one source against
+    # the member queries directly
+    probe = rows[0]["source"]
+    moji = {
+        r["source"]: (r["n_docs"], r["moji_doc_ppm"])
+        for r in qs["source_mojibake_census"](spark, sf_dir).collect()
+    }
+    kl = {
+        r["source"]: (r["n_vocab"], r["kl_mb"])
+        for r in qs["source_unigram_kl"](spark, sf_dir).collect()
+    }
+    row = next(r for r in rows if r["source"] == probe)
+    assert (row["n_docs"], row["moji_doc_ppm"]) == moji[probe]
+    assert (row["n_vocab"], row["kl_mb"]) == kl[probe]
