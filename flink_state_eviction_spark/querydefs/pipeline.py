@@ -11865,8 +11865,18 @@ def source_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X258: per-(source, power-of-2 length band) doc and token-mass
     counts (module comment above). One scan, one map-side-combined
     fold over |sources| x ~log2(max doc length) keys — the histogram
-    stays a few hundred rows at ANY corpus size."""
+    stays a few hundred rows at ANY corpus size. Split into the
+    partials + tail kernels the X270 streaming maintainer reuses
+    verbatim (band_lo is a pure function of the band key, so the tail
+    is a projection)."""
     docs = load_table(spark, sf_dir, "documents")
+    return len_hist_from_partials(len_hist_partials(docs))
+
+
+def len_hist_partials(docs: DataFrame) -> DataFrame:
+    """Per-(source, band) PARTIAL sums of the X258 histogram over any
+    (source, text) frame — associative (the X191 partials pattern; the
+    X270 streaming maintainer's state rows)."""
     counted = docs.select(
         "source",
         F.regexp_count(
@@ -11882,11 +11892,16 @@ def source_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.bin("n_tok")).cast("long")
         ),
     )
-    folded = banded.groupBy("source", "band_bits").agg(
+    return banded.groupBy("source", "band_bits").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
     )
-    return folded.select(
+
+
+def len_hist_from_partials(partials: DataFrame) -> DataFrame:
+    """X258 tail: the exact band floor off the band key — a pure
+    projection, safe before or after any re-sum."""
+    return partials.select(
         "source",
         "band_bits",
         F.expr(

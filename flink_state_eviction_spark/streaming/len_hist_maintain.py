@@ -1,0 +1,86 @@
+"""Streaming length-histogram maintainer (X270): keep the per-source
+power-of-2 token-length histogram (X258 — the context-window planning
+table) current as the corpus streams in, closing the last
+maintainer-less member of the X269 datasheet's summable censuses.
+
+Standard partials pattern (X191/X260 model):
+
+- ``len_hist_maintain_batch`` — ``foreachBatch`` body over
+  (doc_id, source, text): the batch's per-(source, band) partial sums
+  via the SAME `len_hist_partials` kernel land in an idempotent
+  ``batch=<id>`` partition.
+- ``partials_from_state`` / ``histogram_from_state`` — serving: summed
+  partials through the SAME `len_hist_from_partials` tail (band_lo is
+  a pure function of the band key), so once the corpus has streamed in
+  the histogram is BIT-EQUAL to the batch `source_length_histogram`
+  (tests/test_streaming_len_hist.py).
+
+Scale shape: state is |sources x ~log2(max doc len)| rows PER BATCH
+regardless of batch size; compaction folds are re-sums under the
+commit-log-safe contract (streaming/compaction.py).
+
+Extension beyond the reference surface (twins the batch X258 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUM_COLS = ("n_docs", "total_tokens")
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("source", "band_bits").agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in _SUM_COLS]
+    )
+
+
+def len_hist_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of histogram maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id. ``batch_df``
+    must carry (source, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        len_hist_partials,
+    )
+
+    len_hist_partials(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "lenhist", f"batch={batch_id}")
+    )
+
+
+def compact_len_hist_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — partials are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "lenhist"), through_batch, _fold
+    )
+
+
+def partials_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained per-(source, band) partials: sums over batch
+    partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "lenhist")))
+
+
+def histogram_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The histogram from the MAINTAINED partials through the shared
+    tail — same output shape as `source_length_histogram`; bit-equal
+    once the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        len_hist_from_partials,
+    )
+
+    return len_hist_from_partials(partials_from_state(spark, state_dir))

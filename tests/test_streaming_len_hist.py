@@ -1,0 +1,86 @@
+"""Streaming length-histogram maintainer (X270): serving from the
+maintained partials must reproduce the batch `source_length_histogram`
+bit-for-bit; redelivery must not change the state; compaction
+preserves it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.len_hist_maintain import (
+    compact_len_hist_state,
+    histogram_from_state,
+    len_hist_maintain_batch,
+    partials_from_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+
+def test_streaming_len_hist_matches_batch(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    state = os.path.join(str(tmp_path), "lenhist-state")
+
+    def upd(batch_df, batch_id):
+        len_hist_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(histogram_from_state(spark, state))
+    want = _rows(all_queries()["source_length_histogram"](spark, sf_dir))
+    assert got == want and got
+    # non-vacuous: a real cross-batch band (every batch contributed to
+    # some (source, band) cell — else the re-sum is untested)
+    assert any(r[3] > 3 for r in got)
+
+
+def test_len_hist_redelivery_and_compaction(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    n = len(ids)
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, docs.where(F.col("doc_id") < cut1)),
+        (1, docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, docs.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "lenhist-state")
+    for bid, b in batches:
+        len_hist_maintain_batch(b, state, bid)
+
+    def snapshot():
+        return _rows(partials_from_state(spark, state))
+
+    once = snapshot()
+    len_hist_maintain_batch(batches[1][1], state, 1)
+    assert snapshot() == once
+
+    with pytest.raises(ValueError):
+        compact_len_hist_state(spark, state, 2)
+    compact_len_hist_state(spark, state, 1)
+    assert snapshot() == once
+    len_hist_maintain_batch(batches[2][1], state, 2)
+    assert snapshot() == once
