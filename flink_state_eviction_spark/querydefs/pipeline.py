@@ -827,8 +827,15 @@ FROM qm
     "text_quality", _QUALITY_ORACLE, headline=True, tags=("pipeline", "text")
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality metrics per doc: word/char counts, stopword+punct ratios, linear score."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Quality metrics per doc: word/char counts, stopword+punct ratios,
+    linear score (kernel: quality_frame)."""
+    return quality_frame(load_table(spark, sf_dir, "documents"))
+
+
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level quality-metrics kernel over (doc_id, text) — THE one
+    scorer shared by the registered query and the X271 streaming
+    robust-stats maintainer (one kernel, no divergence)."""
     t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
     n_words = F.size("toks").cast("long")
     n_chars = F.length("text").cast("long")
@@ -5439,13 +5446,22 @@ def source_quality_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle+sort. Even-count groups average the two middle values —
     identical IEEE arithmetic to the oracle's AVG over the same two
     rank-selected rows."""
+    scored = _scored_sources(spark, sf_dir).select(
+        "source", F.col("quality_score").alias("score")
+    )
+    return robust_from_scored(scored)
+
+
+def robust_from_scored(scored: DataFrame) -> DataFrame:
+    """X74 tail over a (source, score) frame: the grouped exact
+    median/MAD through operators/robust.py:grouped_robust_stats with
+    the 1/16-score bucket — shared by the batch query and the X271
+    streaming maintainer's serving path (one machinery, no
+    divergence)."""
     from flink_state_eviction_spark.operators.robust import (
         grouped_robust_stats,
     )
 
-    scored = _scored_sources(spark, sf_dir).select(
-        "source", F.col("quality_score").alias("score")
-    )
     out = grouped_robust_stats(
         scored, ["source"], "score",
         lambda c: F.floor(c * 16).cast("long"),
@@ -12416,27 +12432,41 @@ def source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     per feed fusing the seven registered observability censuses. Pure
     composition: member queries called as-is, their oracles wrapped as
     CTEs; six source-keyed equi-joins over |sources|-bounded frames."""
-    qs = {
-        "moji": source_mojibake_census(spark, sf_dir),
-        "read": source_readability_census(spark, sf_dir),
-        "script": source_script_mix(spark, sf_dir),
-        "code": source_code_census(spark, sf_dir),
-        "len": source_length_histogram(spark, sf_dir),
-        "robust": source_quality_robust(spark, sf_dir),
-        "kl": source_unigram_kl(spark, sf_dir),
-    }
-    script_fold = qs["script"].groupBy("source").agg(
+    return datasheet_from_members(
+        source_mojibake_census(spark, sf_dir),
+        source_readability_census(spark, sf_dir),
+        source_script_mix(spark, sf_dir),
+        source_code_census(spark, sf_dir),
+        source_length_histogram(spark, sf_dir),
+        source_quality_robust(spark, sf_dir),
+        source_unigram_kl(spark, sf_dir),
+    )
+
+
+def datasheet_from_members(
+    moji: DataFrame,
+    readc: DataFrame,
+    scriptm: DataFrame,
+    codec: DataFrame,
+    lenh: DataFrame,
+    robust: DataFrame,
+    kl: DataFrame,
+) -> DataFrame:
+    """X269 fusion tail over the seven member census frames — shared
+    by the batch query and the X272 maintained-state serving
+    (streaming/datasheet_serve.py), so the two cannot diverge."""
+    script_fold = scriptm.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_scripts"),
         F.sum("n_mixed").cast("long").alias("n_mixed_docs"),
     )
-    len_fold = qs["len"].groupBy("source").agg(
+    len_fold = lenh.groupBy("source").agg(
         F.sum("total_tokens").cast("long").alias("total_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_len_bands"),
     )
     return (
-        qs["moji"].select("source", "n_docs", "moji_doc_ppm")
+        moji.select("source", "n_docs", "moji_doc_ppm")
         .join(
-            qs["read"].select(
+            readc.select(
                 "source",
                 "mean_fk_milli",
                 F.col("n_hard").alias("n_hard_docs"),
@@ -12444,11 +12474,11 @@ def source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
         )
         .join(script_fold, "source")
-        .join(qs["code"].select("source", "code_share_ppm"), "source")
+        .join(codec.select("source", "code_share_ppm"), "source")
         .join(len_fold, "source")
         .join(
-            qs["robust"].select("source", "median_score", "mad_score"),
+            robust.select("source", "median_score", "mad_score"),
             "source",
         )
-        .join(qs["kl"].select("source", "n_vocab", "kl_mb"), "source")
+        .join(kl.select("source", "n_vocab", "kl_mb"), "source")
     )

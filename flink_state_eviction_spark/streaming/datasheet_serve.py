@@ -1,0 +1,64 @@
+"""Maintained-state datasheet serving (X272): the X269 per-source data
+card served after any micro-batch from the SEVEN member maintainers'
+state trees — the always-on feed-observability surface the maintainers
+exist for. A corpus operator watches one table; every column updates
+one micro-batch after the feed changes.
+
+Composition, not re-implementation: each member serves through its own
+maintainer's serving path (moji X260, readability X262, script-mix
+X261, code census, length histogram X270, robust quality X271, unigram
+KL), and the fusion is the SAME `datasheet_from_members` tail as the
+batch query — this module owns zero census or fusion logic. Once the
+corpus has streamed into all seven state trees the served datasheet is
+BIT-EQUAL to the batch `source_datasheet`
+(tests/test_streaming_datasheet.py).
+
+State dirs are per-member (a dataclass of paths) so each maintainer
+keeps its own compaction/commit cadence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class DatasheetState:
+    moji: str
+    readability: str
+    script_mix: str
+    code: str
+    len_hist: str
+    robust: str
+    kl: str
+
+
+def datasheet_from_state(
+    spark: SparkSession, state: DatasheetState
+) -> DataFrame:
+    """The X269 datasheet from the seven maintained state trees
+    (module docstring)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        datasheet_from_members,
+    )
+    from flink_state_eviction_spark.streaming import (
+        code_census_maintain,
+        kl_maintain,
+        len_hist_maintain,
+        moji_census_maintain,
+        read_census_maintain,
+        robust_maintain,
+        script_mix_maintain,
+    )
+
+    return datasheet_from_members(
+        moji_census_maintain.census_from_state(spark, state.moji),
+        read_census_maintain.census_from_state(spark, state.readability),
+        script_mix_maintain.census_from_state(spark, state.script_mix),
+        code_census_maintain.census_from_state(spark, state.code),
+        len_hist_maintain.histogram_from_state(spark, state.len_hist),
+        robust_maintain.robust_from_state(spark, state.robust),
+        kl_maintain.kl_from_state(spark, state.kl),
+    )

@@ -1,0 +1,110 @@
+"""Streaming robust-quality maintainer (X271): keep the per-doc
+quality scores current as the corpus streams in and serve the X74
+per-source EXACT median/MAD calibration table from maintained state —
+the last X269-datasheet member without a maintainer.
+
+HONEST pattern choice: median and MAD are NOT associative, so this is
+NOT the census-partials class — it is the X267 per-doc-state class:
+
+- ``robust_maintain_batch`` — ``foreachBatch`` body over
+  (doc_id, source, text): the batch's (doc_id, source, quality_score)
+  rows via the SAME `quality_frame` scorer (null score / null source
+  dropped exactly like the batch query's `_scored_sources`) land in an
+  idempotent ``batch=<id>`` partition.
+- ``scored_from_state`` — the maintained scored rows; DISTINCT makes
+  serving immune even to the same doc landing under two batch ids
+  (scores are pure content functions, so duplicates are identical).
+- ``robust_from_state`` — the calibration table through the SAME
+  `robust_from_scored` tail (grouped two-phase bucketed-rank exact
+  median/MAD). Once the corpus has streamed in it is BIT-EQUAL to the
+  batch `source_quality_robust`; mid-stream it is the exact robust
+  stats of the ingested prefix.
+
+HONEST state note: per-doc scores are corpus-linear state (the
+X267/frontier/knn frame class) — the serving machinery is the same
+skew-proof grouped rank the batch uses, no broadcast of the state.
+Compaction folds are re-distincts (streaming/compaction.py contract).
+
+Extension beyond the reference surface (twins the batch X74 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def robust_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of score maintenance (module docstring). Call
+    from ``foreachBatch`` forwarding its batch id. ``batch_df`` must
+    carry (doc_id, source, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        quality_frame,
+    )
+
+    scored = (
+        quality_frame(batch_df.select("doc_id", "text"))
+        .select("doc_id", "quality_score")
+        .where(F.col("quality_score").isNotNull())
+        .join(
+            batch_df.select("doc_id", "source").where(
+                F.col("source").isNotNull()
+            ),
+            "doc_id",
+        )
+    )
+    scored.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "qscores", f"batch={batch_id}")
+    )
+
+
+def compact_robust_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — scores are
+    pure content functions, so the fold is a distinct union. Contract:
+    streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "qscores"),
+        through_batch,
+        lambda df: df.select(
+            "doc_id", "quality_score", "source"
+        ).distinct(),
+    )
+
+
+def scored_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (doc_id, source, quality_score) rows: distinct
+    union over the batch partitions."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "qscores"))
+        .select("doc_id", "source", "quality_score")
+        .distinct()
+    )
+
+
+def robust_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The calibration table from MAINTAINED scores through the shared
+    tail — same output shape as `source_quality_robust`; bit-equal
+    once the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        robust_from_scored,
+    )
+
+    scored = (
+        scored_from_state(spark, state_dir)
+        .select("source", F.col("quality_score").alias("score"))
+        .localCheckpoint(eager=False)
+    )
+    return robust_from_scored(scored)

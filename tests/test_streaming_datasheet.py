@@ -1,0 +1,116 @@
+"""X271/X272: the robust-quality maintainer and the maintained-state
+datasheet. The served calibration table must reproduce the batch
+`source_quality_robust` bit-for-bit (incl. redelivery/compaction), and
+the full datasheet served from all SEVEN member state trees must
+reproduce the batch `source_datasheet` once the corpus streams in."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming import (
+    code_census_maintain,
+    kl_maintain,
+    len_hist_maintain,
+    moji_census_maintain,
+    read_census_maintain,
+    robust_maintain,
+    script_mix_maintain,
+)
+from flink_state_eviction_spark.streaming.datasheet_serve import (
+    DatasheetState,
+    datasheet_from_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+
+def test_streaming_robust_matches_batch(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    state = os.path.join(str(tmp_path), "robust-state")
+    a = docs.where(F.col("doc_id") < cut)
+    b = docs.where(F.col("doc_id") >= cut)
+    robust_maintain.robust_maintain_batch(a, state, 0)
+    robust_maintain.robust_maintain_batch(b, state, 1)
+
+    got = _rows(robust_maintain.robust_from_state(spark, state))
+    want = _rows(all_queries()["source_quality_robust"](spark, sf_dir))
+    assert got == want and got
+
+    # redelivery (same id) and cross-batch-id duplicate delivery
+    robust_maintain.robust_maintain_batch(b, state, 1)
+    assert _rows(robust_maintain.robust_from_state(spark, state)) == want
+    robust_maintain.robust_maintain_batch(a, state, 2)
+    assert _rows(robust_maintain.robust_from_state(spark, state)) == want
+
+    # compaction below the max committed batch preserves the table
+    with pytest.raises(ValueError):
+        robust_maintain.compact_robust_state(spark, state, 2)
+    robust_maintain.compact_robust_state(spark, state, 1)
+    assert _rows(robust_maintain.robust_from_state(spark, state)) == want
+
+
+def test_datasheet_from_state_matches_batch(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    base = str(tmp_path)
+    state = DatasheetState(
+        moji=os.path.join(base, "s-moji"),
+        readability=os.path.join(base, "s-read"),
+        script_mix=os.path.join(base, "s-script"),
+        code=os.path.join(base, "s-code"),
+        len_hist=os.path.join(base, "s-len"),
+        robust=os.path.join(base, "s-robust"),
+        kl=os.path.join(base, "s-kl"),
+    )
+
+    def upd(batch_df, batch_id):
+        moji_census_maintain.moji_census_maintain_batch(
+            batch_df, state.moji, batch_id
+        )
+        read_census_maintain.read_census_maintain_batch(
+            batch_df, state.readability, batch_id
+        )
+        script_mix_maintain.script_mix_maintain_batch(
+            batch_df, state.script_mix, batch_id
+        )
+        code_census_maintain.code_census_maintain_batch(
+            batch_df, state.code, batch_id
+        )
+        len_hist_maintain.len_hist_maintain_batch(
+            batch_df, state.len_hist, batch_id
+        )
+        robust_maintain.robust_maintain_batch(
+            batch_df, state.robust, batch_id
+        )
+        kl_maintain.kl_maintain_batch(batch_df, state.kl, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = _rows(datasheet_from_state(spark, state))
+    want = _rows(all_queries()["source_datasheet"](spark, sf_dir))
+    assert got == want and got
