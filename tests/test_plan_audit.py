@@ -103,6 +103,9 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "nb_classifier_calibration": 1,  # scalar: inherits X174 class-total row
     "dedup_impact_report": 4,  # scalar: 3 per-stage folds + grand-total row, all over reduced tables
     "source_unigram_kl": 1,  # scalar: corpus-token grand total
+    # X269: inherits exactly the KL member's audited grand-total row
+    # (the other six members carry none)
+    "source_datasheet": 1,
     "nb_quality_classifier": 1,  # scalar: class-total row over the <= D-row bucket table
     "source_perplexity_scorecard": 1,  # scalar: inherits X159's reference-vocab V
     "text_tfidf": 1,  # scalar: corpus doc count for idf
