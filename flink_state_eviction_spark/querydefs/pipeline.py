@@ -2500,18 +2500,36 @@ def split_leakage_audit_frame(docs_with_split: DataFrame) -> DataFrame:
     val/test doc with its content md5 and whether any TRAIN doc
     carries the same text (null text folds to '' — two empty docs ARE
     content-identical, the null-safe-serving convention). Shared by
-    the registered query and the crafted-frame pytest."""
-    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
-    t = docs_with_split.select("doc_id", "split", h.alias("text_md5"))
-    census = (
-        t.groupBy("text_md5")
-        .agg(
-            F.max(
-                F.when(F.col("split") == "train", 1).otherwise(0)
-            ).alias("_in_train")
-        )
+    the registered query and the crafted-frame pytest; split into the
+    hash/census/join pieces the X273 streaming monitor reuses
+    verbatim."""
+    t = leak_hashed(docs_with_split)
+    return leak_audit_from(
+        t.where(F.col("split") != "train"), leak_census_partials(t)
     )
-    ev = t.where(F.col("split") != "train")
+
+
+def leak_hashed(docs_with_split: DataFrame) -> DataFrame:
+    """(doc_id, split, text_md5) projection of the X201 kernel — the
+    one hash definition (null text folds to '')."""
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    return docs_with_split.select("doc_id", "split", h.alias("text_md5"))
+
+
+def leak_census_partials(t: DataFrame) -> DataFrame:
+    """Per-text-hash PARTIAL in-train flags over any (split, text_md5)
+    frame — associative under MAX (the X191 partials idea with flag-max
+    instead of sum; the X273 monitor's census state rows)."""
+    return t.groupBy("text_md5").agg(
+        F.max(
+            F.when(F.col("split") == "train", 1).otherwise(0)
+        ).alias("_in_train")
+    )
+
+
+def leak_audit_from(ev: DataFrame, census: DataFrame) -> DataFrame:
+    """X201 tail: eval rows joined to the (final) census — shared by
+    the batch kernel and the X273 monitor's serving path."""
     return ev.join(census, "text_md5").select(
         "doc_id",
         "split",

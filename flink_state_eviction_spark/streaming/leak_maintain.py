@@ -1,0 +1,124 @@
+"""Streaming split-leakage monitor (X273): keep the X201 exact
+train/eval leakage audit always-on — the check that catches a TRAIN
+document arriving with byte-identical text to an already-ingested
+eval document (or vice versa) ONE micro-batch after it lands, instead
+of at the next batch rebuild. The split is the X54 pure content
+function of doc_id, so every batch computes its own rows' splits with
+zero external state.
+
+Two state families, both associative (X191 pattern variants):
+
+- census: per-text-hash in-train flags via the SAME
+  `leak_census_partials` kernel — a MAX-fold (re-observing a train
+  text changes nothing; a train text arriving later FLIPS the flag,
+  which is the monitoring story). State bounded by DISTINCT text
+  hashes — the decontam-census bound: template texts, not doc rows.
+- eval rows: (doc_id, split, text_md5) for non-train docs —
+  distinct-union (hashes are pure content functions). Honest bound:
+  eval-split doc count (~10% of docs), the per-doc-state class.
+
+``audit_from_state`` serves through the SAME `leak_audit_from` tail —
+BIT-EQUAL to the batch `split_leakage_audit` once the corpus has
+streamed in; mid-stream it is exactly the audit of the ingested
+prefix (tests/test_streaming_leak.py pins the late-train-twin flip).
+
+Compaction folds are re-MAX / re-distinct under the commit-log-safe
+contract (streaming/compaction.py).
+
+Extension beyond the reference surface (twins the batch X201 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _census_fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("text_md5").agg(
+        F.max("_in_train").cast("int").alias("_in_train")
+    )
+
+
+def leak_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of leak-state maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id. ``batch_df``
+    must carry (doc_id, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        leak_census_partials,
+        leak_hashed,
+        split_label,
+    )
+
+    staged = batch_df.select(
+        "doc_id", "text", split_label(F.col("doc_id")).alias("split")
+    )
+    t = leak_hashed(staged).localCheckpoint(eager=False)
+    leak_census_partials(t).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "leak-census", f"batch={batch_id}")
+    )
+    t.where(F.col("split") != "train").write.mode("overwrite").parquet(
+        os.path.join(state_dir, "leak-eval", f"batch={batch_id}")
+    )
+
+
+def compact_leak_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — the census
+    re-MAXes, the eval rows re-distinct. Contract:
+    streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "leak-census"),
+        through_batch,
+        _census_fold,
+    )
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "leak-eval"),
+        through_batch,
+        lambda df: df.select("doc_id", "split", "text_md5").distinct(),
+    )
+
+
+def census_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained per-text-hash in-train census: MAX over batch
+    partitions."""
+    return _census_fold(
+        spark.read.parquet(os.path.join(state_dir, "leak-census"))
+    )
+
+
+def eval_rows_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained eval-split rows: distinct union over batch
+    partitions."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "leak-eval"))
+        .select("doc_id", "split", "text_md5")
+        .distinct()
+    )
+
+
+def audit_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The leakage audit from MAINTAINED state through the shared tail
+    — same output shape as `split_leakage_audit`; bit-equal once the
+    corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        leak_audit_from,
+    )
+
+    return leak_audit_from(
+        eval_rows_from_state(spark, state_dir),
+        census_from_state(spark, state_dir),
+    )

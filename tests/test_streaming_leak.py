@@ -1,0 +1,116 @@
+"""Streaming split-leakage monitor (X273): serving from maintained
+state must reproduce the batch `split_leakage_audit` bit-for-bit; a
+TRAIN twin arriving AFTER its eval doc flips `leaks_from_train` one
+batch later (the monitoring story); redelivery and compaction
+preserve the state."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.streaming.leak_maintain import (
+    audit_from_state,
+    census_from_state,
+    compact_leak_state,
+    eval_rows_from_state,
+    leak_maintain_batch,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def test_streaming_leak_matches_batch(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    n = len(ids)
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    state = os.path.join(str(tmp_path), "leak-state")
+    batches = [
+        (0, docs.where(F.col("doc_id") < cut1)),
+        (1, docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, docs.where(F.col("doc_id") >= cut2)),
+    ]
+    for bid, b in batches:
+        leak_maintain_batch(b, state, bid)
+
+    got = _rows(audit_from_state(spark, state))
+    want = _rows(all_queries()["split_leakage_audit"](spark, sf_dir))
+    assert got == want and got
+
+    # redelivery (same id) and compaction preserve the audit
+    leak_maintain_batch(batches[1][1], state, 1)
+    assert _rows(audit_from_state(spark, state)) == want
+    with pytest.raises(ValueError):
+        compact_leak_state(spark, state, 2)
+    compact_leak_state(spark, state, 1)
+    assert _rows(audit_from_state(spark, state)) == want
+
+
+def test_late_train_twin_flips_leak_flag(spark, tmp_path):
+    """Crafted trajectory: an eval doc streams in first (no leak), its
+    byte-identical train twin lands two batches later — the monitor
+    flips leaks_from_train without touching the eval state."""
+    from flink_state_eviction_spark.querydefs.pipeline import split_label
+    import hashlib
+
+    def own_split(doc_id: int) -> str:
+        b = int(
+            hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:6], 16
+        ) % 100
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    ev_id = next(i for i in range(1, 500) if own_split(i) != "train")
+    tr_id = next(i for i in range(1, 500) if own_split(i) == "train")
+    twin = "the exact eval sentence that must not be trained on"
+    state = os.path.join(str(tmp_path), "leak-state")
+
+    b0 = spark.createDataFrame(
+        [(ev_id, twin), (9001, "unrelated filler text")],
+        "doc_id bigint, text string",
+    )
+    leak_maintain_batch(b0, state, 0)
+    first = {r["doc_id"]: r for r in audit_from_state(spark, state).collect()}
+    assert first[ev_id]["leaks_from_train"] is False
+
+    leak_maintain_batch(
+        spark.createDataFrame(
+            [(9002, "more unrelated filler")], "doc_id bigint, text string"
+        ),
+        state,
+        1,
+    )
+    mid = {r["doc_id"]: r for r in audit_from_state(spark, state).collect()}
+    assert mid[ev_id]["leaks_from_train"] is False
+
+    leak_maintain_batch(
+        spark.createDataFrame([(tr_id, twin)], "doc_id bigint, text string"),
+        state,
+        2,
+    )
+    after = {r["doc_id"]: r for r in audit_from_state(spark, state).collect()}
+    assert after[ev_id]["leaks_from_train"] is True
+    # eval state untouched: same eval rows, only the census flipped
+    assert {r["doc_id"] for r in eval_rows_from_state(spark, state).collect()} == {
+        r for r in (ev_id, 9001, 9002) if own_split(r) != "train"
+    } | {ev_id}
+    assert any(
+        r["_in_train"] == 1 for r in census_from_state(spark, state).collect()
+    )
+    # sanity: the crafted split expression matches the python twin
+    lbl = spark.createDataFrame(
+        [(ev_id,), (tr_id,)], "doc_id bigint"
+    ).select("doc_id", split_label(F.col("doc_id")).alias("s")).collect()
+    assert {r["doc_id"]: r["s"] for r in lbl} == {
+        ev_id: own_split(ev_id), tr_id: "train"
+    }
