@@ -2662,6 +2662,55 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X274: dup-cluster size census — the dedup observability row next to
+# the X115 impact report: the near-dup component SIZE distribution
+# (how much of the corpus sits in 2-cliques vs mega-clusters) is what
+# decides dedup policy (a heavy tail of huge clusters means template
+# spam; all-pairs mass concentrated in pairs means mirrors) and what a
+# scaled fixture distorts first (the replica-clique artifact recorded
+# in SCALE.md). Composition over the X13 canonical mapping; two folds:
+# corpus-keyed (keeper -> size), then size-keyed (a ~log-sized
+# histogram at any corpus).
+
+_DUP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_BODY},
+{_CC_FROM_PAIRS.strip()},
+canon AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS keeper_id
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+sizes AS (
+    SELECT keeper_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM canon GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+"""
+
+
+@register_supplementary(
+    "dup_cluster_census", _DUP_CLUSTER_ORACLE, tags=("pipeline", "dedup")
+)
+def dup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X274: near-dup component size histogram (module comment above)
+    — one row per cluster size with cluster and doc counts.
+    Composition: CALLS the registered `dedup_near_canonical` query
+    (oracle building blocks as CTEs). Scale shape: the LSH/CC anatomy
+    plus one keeper-keyed map-side-combined fold and one size-keyed
+    fold over a ~log-sized histogram."""
+    canon = dedup_near_canonical(spark, sf_dir).select("keeper_id")
+    sizes = canon.groupBy("keeper_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X268: data-constrained epoch plan — Muennighoff et al. 2023 ("Scaling
 # Data-Constrained Language Models"): repeating UNIQUE data is nearly
 # free up to ~4 epochs and nearly worthless beyond, so a budgeted run

@@ -82,3 +82,20 @@ def test_crafted_cross_split_dup_moves(spark):
     moved = {i for i in (a, b) if got[i]["moved"]}
     assert moved == {i for i in (a, b) if _own_split(i) != _own_split(keeper)}
     assert got[9001]["moved"] is False  # unpaired: keeper = self
+
+
+def test_dup_cluster_census_reconciles(spark, sf_dir):
+    """X274: the size histogram reconciles exactly against the
+    canonical mapping it derives from — total docs, total clusters
+    (= kept docs), and a non-trivial cluster on the fixture."""
+    qs = all_queries()
+    rows = qs["dup_cluster_census"](spark, sf_dir).collect()
+    canon = qs["dedup_near_canonical"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == len(canon)
+    assert sum(r["n_clusters"] for r in rows) == sum(
+        1 for r in canon if r["is_kept"]
+    )
+    assert all(
+        r["n_docs"] == r["cluster_size"] * r["n_clusters"] for r in rows
+    )
+    assert any(r["cluster_size"] >= 2 for r in rows)  # non-vacuous
