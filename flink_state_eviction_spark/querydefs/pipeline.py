@@ -2662,6 +2662,91 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X275: quality-filter ablation report — the rule-tuning table every
+# heuristic battery needs (the Gopher paper tunes thresholds per
+# corpus; an operator tuning them needs to see, per source, how many
+# docs each rule kills and how many ONLY that rule kills — a rule
+# with zero unique kills is free to tighten, one that uniquely kills
+# half a feed is the one to re-threshold). Composition over the X16
+# battery: per-source SUMs of per-rule fail flags plus the
+# exactly-one-rule-failing marginal counts; one |sources|-row fold on
+# the scan-shaped flags frame + a doc_id equi-join for the source key.
+
+_GOPHER_RULES = (
+    "rule_word_count",
+    "rule_avg_word_len",
+    "rule_stopwords",
+    "rule_alpha_words",
+    "rule_symbol_ratio",
+    "rule_repetition",
+)
+
+
+def _ablation_fail_sql(rule: str) -> str:
+    others = " AND ".join(r for r in _GOPHER_RULES if r != rule)
+    return (
+        f"CAST(SUM(CASE WHEN NOT {rule} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS fail_{rule[5:]},\n"
+        f"       CAST(SUM(CASE WHEN NOT {rule} AND {others}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS only_{rule[5:]}"
+    )
+
+
+_ABLATION_ORACLE = (
+    "WITH g AS ("
+    + _GOPHER_ORACLE
+    + """)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT passes THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_killed,
+       """
+    + ",\n       ".join(_ablation_fail_sql(r) for r in _GOPHER_RULES)
+    + """
+FROM g JOIN documents d ON d.doc_id = g.doc_id
+GROUP BY 1
+"""
+)
+
+
+@register_supplementary(
+    "quality_filter_ablation", _ABLATION_ORACLE, tags=("pipeline", "text")
+)
+def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X275: per-source Gopher-rule ablation report (module comment
+    above) — each rule's kill count and its UNIQUE kill count (docs
+    failing exactly that rule), plus the battery's total kills.
+    Composition: CALLS the registered `quality_filter_gopher` battery
+    (oracle wrapped as a CTE); one doc_id equi-join for the source
+    key, one \\|sources\\|-row map-side-combined fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = quality_filter_gopher(spark, sf_dir)
+    d = flags.join(docs.select("doc_id", "source"), "doc_id")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(~F.col("passes"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_killed"),
+    ]
+    for rule in _GOPHER_RULES:
+        others = [F.col(r) for r in _GOPHER_RULES if r != rule]
+        only = ~F.col(rule)
+        for o in others:
+            only = only & o
+        aggs.append(
+            F.sum(F.when(~F.col(rule), 1).otherwise(0))
+            .cast("long")
+            .alias(f"fail_{rule[5:]}")
+        )
+        aggs.append(
+            F.sum(F.when(only, 1).otherwise(0))
+            .cast("long")
+            .alias(f"only_{rule[5:]}")
+        )
+    return d.groupBy("source").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
 # X274: dup-cluster size census — the dedup observability row next to
 # the X115 impact report: the near-dup component SIZE distribution
 # (how much of the corpus sits in 2-cliques vs mega-clusters) is what

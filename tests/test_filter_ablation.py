@@ -1,0 +1,51 @@
+"""X275 filter-ablation pins (querydefs/pipeline.py:
+quality_filter_ablation): the per-rule kill/unique-kill table is
+replayed by an independent pure-Python aggregation over the battery's
+per-doc flags, and the structural inequalities hold."""
+
+from __future__ import annotations
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.querydefs.pipeline import _GOPHER_RULES
+from flink_state_eviction_spark.tables import load_table
+
+
+def test_ablation_matches_python_replay(spark, sf_dir):
+    qs = all_queries()
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    flags = qs["quality_filter_gopher"](spark, sf_dir).collect()
+    want = {}
+    for r in flags:
+        e = want.setdefault(src[r["doc_id"]], [0, 0] + [0, 0] * 6)
+        e[0] += 1
+        if not r["passes"]:
+            e[1] += 1
+        fails = [rule for rule in _GOPHER_RULES if not r[rule]]
+        for i, rule in enumerate(_GOPHER_RULES):
+            if not r[rule]:
+                e[2 + 2 * i] += 1
+            if fails == [rule]:
+                e[3 + 2 * i] += 1
+    got = {}
+    for r in qs["quality_filter_ablation"](spark, sf_dir).collect():
+        vals = [r["n_docs"], r["n_killed"]]
+        for rule in _GOPHER_RULES:
+            vals += [r[f"fail_{rule[5:]}"], r[f"only_{rule[5:]}"]]
+        got[r["source"]] = vals
+    assert got == want and got
+    # structure: only <= fail <= n_killed <= sum(fail); non-vacuity:
+    # some rule has unique kills somewhere, some rule kills nothing
+    # uniquely somewhere (the tuning signal both ways)
+    for vals in got.values():
+        nk = vals[1]
+        fails = vals[2::2]
+        onlys = vals[3::2]
+        assert all(o <= f for f, o in zip(fails, onlys))
+        assert all(f <= nk for f in fails) and nk <= sum(fails)
+    assert any(any(v[3::2]) for v in got.values())
+    assert any(0 in v[3::2] for v in got.values())
