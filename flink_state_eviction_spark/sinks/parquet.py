@@ -272,3 +272,54 @@ def export_curriculum_shards(
             "max_rank",
         )
     )
+
+
+def export_shuffled_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    num_shards: int = 8,
+) -> DataFrame:
+    """X276: deterministic SHUFFLED training-shard export — the
+    i.i.d.-order counterpart of `export_curriculum_shards`: shard
+    layout ordered by the shared 60-bit content hash h64(doc_id)
+    (tie-broken by doc_id), so the written order is a reproducible
+    pseudo-random permutation — a pure content function like the X54
+    split: re-runs, re-partitionings, and backfills land every doc at
+    the same position, unlike rand() layouts. Rides the same X131
+    skew-proof sampled-boundary writer; the manifest carries per-shard
+    hash bounds so shard boundaries reconcile against the global hash
+    order without payload scans.
+
+    Extension beyond the reference surface (composes X54's
+    determinism argument + X131)."""
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.functions.hashing import h64
+    from flink_state_eviction_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "_shuffle_key", h64(F.col("doc_id").cast("string"))
+    )
+    write_ordered_shards(
+        staged,
+        path,
+        [F.asc("_shuffle_key"), F.asc("doc_id")],
+        num_shards,
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("_shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("_shuffle_key").alias("min_key"),
+            F.max("_shuffle_key").alias("max_key"),
+        )
+        .select(
+            F.col("_shard").cast("int").alias("shard"),
+            "rows",
+            "min_key",
+            "max_key",
+        )
+    )

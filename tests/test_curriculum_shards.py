@@ -69,3 +69,44 @@ def test_curriculum_shard_pruning(spark, sf_dir, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "_shard" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_shuffled_shards_replay_hash_order(spark, sf_dir, tmp_path):
+    """X276: the shuffled export replays the exact global
+    (h64(doc_id), doc_id) order on a sequential read — a reproducible
+    pseudo-random permutation, not rand(); manifest hash bounds chain
+    disjointly."""
+    import hashlib
+
+    from flink_state_eviction_spark.sinks.parquet import (
+        export_shuffled_shards,
+    )
+    from flink_state_eviction_spark.tables import load_table
+
+    path = str(tmp_path / "shuffled")
+    manifest = sorted(
+        export_shuffled_shards(spark, sf_dir, path, num_shards=8).collect(),
+        key=lambda r: r["shard"],
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def key(i):
+        return int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:15], 16)
+
+    want = [i for i in sorted(ids, key=lambda i: (key(i), i))]
+    got = []
+    for r in manifest:
+        part = spark.read.parquet(f"{path}/_shard={r['shard']}")
+        got.extend(row["doc_id"] for row in part.collect())
+    assert got == want
+    # shard hash ranges are disjoint and ordered; rows reconcile
+    assert sum(r["rows"] for r in manifest) == len(ids)
+    for a, b in zip(manifest, manifest[1:]):
+        assert a["max_key"] <= b["min_key"]
+    # the permutation is not the identity (it actually shuffles)
+    assert got != sorted(ids)
