@@ -2718,10 +2718,19 @@ def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     failing exactly that rule), plus the battery's total kills.
     Composition: CALLS the registered `quality_filter_gopher` battery
     (oracle wrapped as a CTE); one doc_id equi-join for the source
-    key, one \\|sources\\|-row map-side-combined fold."""
+    key, one \\|sources\\|-row map-side-combined fold — the fold IS the
+    partials kernel the X277 streaming maintainer reuses verbatim
+    (every column is a final sum; the tail is the identity)."""
     docs = load_table(spark, sf_dir, "documents")
     flags = quality_filter_gopher(spark, sf_dir)
     d = flags.join(docs.select("doc_id", "source"), "doc_id")
+    return ablation_partials(d)
+
+
+def ablation_partials(d: DataFrame) -> DataFrame:
+    """Per-source PARTIAL sums of the X275 ablation table over any
+    (source + gopher flags) frame — associative (the X191 partials
+    pattern; the X277 streaming maintainer's state rows)."""
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(~F.col("passes"), 1).otherwise(0))

@@ -1,0 +1,93 @@
+"""Streaming filter-ablation maintainer (X277): keep the X275
+per-source rule-tuning table (kill + unique-kill counts per Gopher
+rule) always-on — an operator retuning thresholds reads the live
+table instead of a batch rebuild, and a feed whose kill profile shifts
+(template change upstream) shows one micro-batch later.
+
+Standard partials pattern (X191/X261 model — every output column is a
+final SUM, so the serving tail is the identity):
+
+- ``ablation_maintain_batch`` — ``foreachBatch`` body over
+  (doc_id, source, text): the batch's partials via the SAME
+  `gopher_flags` battery + `ablation_partials` fold land in an
+  idempotent ``batch=<id>`` partition.
+- ``partials_from_state`` / ``ablation_from_state`` — summed partials;
+  once the corpus has streamed in the table is BIT-EQUAL to the batch
+  `quality_filter_ablation` (tests/test_filter_ablation.py).
+
+Scale shape: state is |sources| rows x 14 sum columns PER BATCH
+regardless of batch size; compaction folds are re-sums under the
+commit-log-safe contract (streaming/compaction.py).
+
+Extension beyond the reference surface (twins the batch X275 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _sum_cols() -> list[str]:
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _GOPHER_RULES,
+    )
+
+    cols = ["n_docs", "n_killed"]
+    for rule in _GOPHER_RULES:
+        cols += [f"fail_{rule[5:]}", f"only_{rule[5:]}"]
+    return cols
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("source").agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in _sum_cols()]
+    )
+
+
+def ablation_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of ablation maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id. ``batch_df``
+    must carry (doc_id, source, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        ablation_partials,
+        gopher_flags,
+    )
+
+    flags = gopher_flags(batch_df.select("doc_id", "text"))
+    d = flags.join(batch_df.select("doc_id", "source"), "doc_id")
+    ablation_partials(d).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "ablation", f"batch={batch_id}")
+    )
+
+
+def compact_ablation_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — partials are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "ablation"), through_batch, _fold
+    )
+
+
+def partials_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained per-source partials: sums over batch partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "ablation")))
+
+
+def ablation_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The tuning table from the MAINTAINED partials — same output
+    shape as `quality_filter_ablation` (identity tail); bit-equal once
+    the corpus has streamed in."""
+    return partials_from_state(spark, state_dir)

@@ -49,3 +49,49 @@ def test_ablation_matches_python_replay(spark, sf_dir):
         assert all(f <= nk for f in fails) and nk <= sum(fails)
     assert any(any(v[3::2]) for v in got.values())
     assert any(0 in v[3::2] for v in got.values())
+
+
+def test_streaming_ablation_matches_batch(spark, sf_dir, tmp_path):
+    """X277: serving from maintained partials reproduces the batch
+    table bit-for-bit; redelivery and compaction preserve it."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.streaming.ablation_maintain import (
+        ablation_from_state,
+        ablation_maintain_batch,
+        compact_ablation_state,
+        partials_from_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    n = len(ids)
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, docs.where(F.col("doc_id") < cut1)),
+        (1, docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, docs.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "abl-state")
+    for bid, b in batches:
+        ablation_maintain_batch(b, state, bid)
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    got = rows(ablation_from_state(spark, state))
+    want = rows(all_queries()["quality_filter_ablation"](spark, sf_dir))
+    assert got == want and got
+
+    once = rows(partials_from_state(spark, state))
+    ablation_maintain_batch(batches[1][1], state, 1)
+    assert rows(partials_from_state(spark, state)) == once
+    with pytest.raises(ValueError):
+        compact_ablation_state(spark, state, 2)
+    compact_ablation_state(spark, state, 1)
+    assert rows(partials_from_state(spark, state)) == once
