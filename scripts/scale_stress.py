@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c,r9d,r9e,r9f,r9g,r9h,r9i,r9j,r9k,r9l,r9m,r9n,r9o,r9p,r9q,r9r,r10,r10b",
+        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c,r9d,r9e,r9f,r9g,r9h,r9i,r9j,r9k,r9l,r9m,r9n,r9o,r9p,r9q,r9r,r10,r10b,r10c",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -472,6 +472,11 @@ def main() -> None:
             rec["data_constrained_epoch_plan_sec"] = timed(lambda: all_qs["data_constrained_epoch_plan"](spark, d))
             # X269: seven member censuses + six source-keyed tiny joins
             rec["source_datasheet_sec"] = timed(lambda: all_qs["source_datasheet"](spark, d))
+        if "r10c" in only:
+            # X274: LSH/CC + keeper fold + log-sized size fold
+            rec["dup_cluster_census_sec"] = timed(lambda: all_qs["dup_cluster_census"](spark, d))
+            # X275: gopher scan + doc_id join + |sources| fold
+            rec["quality_filter_ablation_sec"] = timed(lambda: all_qs["quality_filter_ablation"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path
