@@ -12373,8 +12373,7 @@ GROUP BY source
 CURRICULUM_SHARD_DOCS = 64
 
 
-@register_supplementary(
-    "curriculum_order",
+_CURRICULUM_ORACLE = (
     "WITH scored AS ("
     + _READABILITY_ORACLE
     + f""")
@@ -12384,7 +12383,13 @@ SELECT doc_id, fk_grade_milli,
        CAST((row_number() OVER (ORDER BY fk_grade_milli, doc_id) - 1)
             // {CURRICULUM_SHARD_DOCS} AS BIGINT) AS shard_idx
 FROM scored
-""",
+"""
+)
+
+
+@register_supplementary(
+    "curriculum_order",
+    _CURRICULUM_ORACLE,
     # bench headline since r10: tracks the skew-proof range-rank rework
     headline=True,
     tags=("pipeline", "text"),
@@ -12438,6 +12443,100 @@ def curriculum_rank_from_scored(scored: DataFrame) -> DataFrame:
             f"CAST((curriculum_rank - 1) div {CURRICULUM_SHARD_DOCS}"
             " AS BIGINT)"
         ).alias("shard_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X278: curriculum pacing table — the consumption plan the X251 order
+# and X264 shards exist to feed: per 64-doc curriculum shard, the doc
+# and token mass, the difficulty range it spans, and the CUMULATIVE
+# token count after the shard — "after shard k the run has consumed N
+# tokens at difficulty <= fk_hi", the row a training scheduler reads
+# to map compute budget onto curriculum position. Scale shape: the
+# per-shard fold is corpus/64 rows; the running total uses the X55
+# bucketed_prefix_sum two-level decomposition (shard_idx div 4096
+# buckets — the single-task window sees bucket-count rows, ~38k at
+# 1e10 docs, never the shard table).
+
+_CURR_PACING_ORACLE = (
+    "WITH cur AS ("
+    + _CURRICULUM_ORACLE
+    + """),
+ntok AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                '[a-z0-9]+')) AS BIGINT) AS n_tok
+    FROM documents
+),
+shard AS (
+    SELECT cur.shard_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok.n_tok) AS BIGINT) AS shard_tokens,
+           CAST(MIN(cur.fk_grade_milli) AS BIGINT) AS fk_lo,
+           CAST(MAX(cur.fk_grade_milli) AS BIGINT) AS fk_hi
+    FROM cur JOIN ntok USING (doc_id)
+    GROUP BY 1
+)
+SELECT shard_idx, n_docs, shard_tokens, fk_lo, fk_hi,
+       CAST(SUM(shard_tokens) OVER (ORDER BY shard_idx) AS BIGINT)
+           AS cum_tokens
+FROM shard
+"""
+)
+
+_PACING_BUCKET_SHARDS = 4096
+
+
+@register_supplementary(
+    "curriculum_pacing", _CURR_PACING_ORACLE, tags=("pipeline", "text")
+)
+def curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X278: per-curriculum-shard pacing table (module comment above)
+    — doc/token mass, difficulty span, and the cumulative token count
+    through the shard order. Composition: CALLS the registered
+    `curriculum_order` query (oracle as a CTE) + one token projection
+    + the X55 two-level prefix sum."""
+    from flink_state_eviction_spark.operators.prefix import (
+        bucketed_prefix_sum,
+    )
+
+    cur = curriculum_order(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = docs.select(
+        "doc_id",
+        F.regexp_count(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit("[a-z0-9]+"),
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    shard = (
+        cur.join(ntok, "doc_id")
+        .groupBy("shard_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("shard_tokens"),
+            F.min("fk_grade_milli").cast("long").alias("fk_lo"),
+            F.max("fk_grade_milli").cast("long").alias("fk_hi"),
+        )
+        .withColumn(
+            "_bucket", F.expr(f"shard_idx div {_PACING_BUCKET_SHARDS}")
+        )
+    )
+    out = bucketed_prefix_sum(
+        shard, "_bucket", [F.col("shard_idx")], "shard_tokens",
+        out_col="_cum_before",
+    )
+    return out.select(
+        "shard_idx",
+        "n_docs",
+        "shard_tokens",
+        "fk_lo",
+        "fk_hi",
+        (F.col("_cum_before") + F.col("shard_tokens"))
+        .cast("long")
+        .alias("cum_tokens"),
     )
 
 

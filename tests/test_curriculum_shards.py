@@ -110,3 +110,50 @@ def test_shuffled_shards_replay_hash_order(spark, sf_dir, tmp_path):
         assert a["max_key"] <= b["min_key"]
     # the permutation is not the identity (it actually shuffles)
     assert got != sorted(ids)
+
+
+def test_curriculum_pacing_reconciles(spark, sf_dir):
+    """X278: the pacing table is replayed by a pure-Python fold over
+    the curriculum rows + token counts; cumulative totals chain and
+    difficulty spans are monotone across shards (the easy-first
+    invariant at shard granularity)."""
+    from flink_state_eviction_spark.queries import all_queries
+
+    qs = all_queries()
+    cur = {
+        r["doc_id"]: (r["shard_idx"], r["fk_grade_milli"])
+        for r in qs["curriculum_order"](spark, sf_dir).collect()
+    }
+    import re
+
+    from flink_state_eviction_spark.tables import load_table
+
+    toks = {
+        r["doc_id"]: len(re.findall(r"[a-z0-9]+", (r["text"] or "").lower()))
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    want = {}
+    for did, (sidx, fk) in cur.items():
+        e = want.setdefault(sidx, [0, 0, None, None])
+        e[0] += 1
+        e[1] += toks[did]
+        e[2] = fk if e[2] is None else min(e[2], fk)
+        e[3] = fk if e[3] is None else max(e[3], fk)
+    rows = sorted(
+        qs["curriculum_pacing"](spark, sf_dir).collect(),
+        key=lambda r: r["shard_idx"],
+    )
+    cum = 0
+    prev_hi = None
+    for r in rows:
+        nd, st, lo, hi = want[r["shard_idx"]]
+        assert (r["n_docs"], r["shard_tokens"]) == (nd, st)
+        assert (r["fk_lo"], r["fk_hi"]) == (lo, hi)
+        cum += st
+        assert r["cum_tokens"] == cum
+        if prev_hi is not None:
+            assert lo >= prev_hi  # easy-first monotone shard spans
+        prev_hi = hi
+    assert len(rows) == len(want) and rows

@@ -66,6 +66,10 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     # partition count table (skew-proof sampled-boundary rank), never
     # the scored corpus
     "curriculum_order": 1,
+    # X278: inherits X251's offsets window + the X55 prefix-sum's
+    # bucket-offsets and grand-total windows — each over bucket-count
+    # rows (shards div 4096), never the shard table
+    "curriculum_pacing": 3,
     # X268: the 1-row (budget, wsum) fold — input is the checkpointed
     # |sources|-row per-source table, never the corpus
     "data_constrained_epoch_plan": 1,
