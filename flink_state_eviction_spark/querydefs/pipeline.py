@@ -2648,7 +2648,8 @@ def leakage_safe_split_from_canonical(canon: DataFrame) -> DataFrame:
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X265: leakage-safe train/val/test split (module comment above) —
     the X54 split function keyed on the near-dup component keeper, so
-    dup components never straddle splits. Composition: CALLS the
+    dup components never straddle splits. Extension beyond the
+    reference surface (SURVEY §2.6). Composition: CALLS the
     registered `dedup_near_canonical` query (its oracle building
     blocks wrapped as CTEs — the one-definition rule) and applies the
     shared split algebra. Scale shape: inherits the LSH/CC anatomy
@@ -2716,7 +2717,7 @@ def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X275: per-source Gopher-rule ablation report (module comment
     above) — each rule's kill count and its UNIQUE kill count (docs
     failing exactly that rule), plus the battery's total kills.
-    Composition: CALLS the registered `quality_filter_gopher` battery
+    Extension beyond the reference surface (SURVEY §2.6). Composition: CALLS the registered `quality_filter_gopher` battery
     (oracle wrapped as a CTE); one doc_id equi-join for the source
     key, one \\|sources\\|-row map-side-combined fold — the fold IS the
     partials kernel the X277 streaming maintainer reuses verbatim
@@ -2789,8 +2790,8 @@ FROM sizes GROUP BY 1
 )
 def dup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X274: near-dup component size histogram (module comment above)
-    — one row per cluster size with cluster and doc counts.
-    Composition: CALLS the registered `dedup_near_canonical` query
+    — one row per cluster size with cluster and doc counts. Extension
+    beyond the reference surface (SURVEY §2.6). Composition: CALLS the registered `dedup_near_canonical` query
     (oracle building blocks as CTEs). Scale shape: the LSH/CC anatomy
     plus one keeper-keyed map-side-combined fold and one size-keyed
     fold over a ~log-sized histogram."""
@@ -2887,7 +2888,8 @@ FROM r
 )
 def data_constrained_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X268: per-source epoch plan over deduped tokens under the 4-epoch
-    repeat cap (module comment above). Composition: CALLS the
+    repeat cap (module comment above). Extension beyond the reference
+    surface (Muennighoff et al. 2023). Composition: CALLS the
     registered `quality_filter_gopher` (passes verdict) and
     `dedup_near_canonical` (is_kept) queries — oracles wrapped as CTEs
     — plus one token-count projection; one doc_id-keyed join chain,
@@ -11172,7 +11174,8 @@ def fim_transform_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X266: deterministic fill-in-the-middle prep over the injected
     code corpus (module comment above) — the X236 is_code verdict
     routes, h64 draws the cuts and the 1/2 FIM rate, prose and
-    unselected code stay autoregressive byte-identical. Composition:
+    unselected code stay autoregressive byte-identical. Extension
+    beyond the reference surface (Bavarian et al. 2022). Composition:
     the is_code side wraps the registered X236 oracle as a CTE on the
     DuckDB side; the Spark side threads ``_t`` through the one shared
     profile kernel (keep_text) so verdict + text come off ONE scan —
@@ -12493,7 +12496,8 @@ _PACING_BUCKET_SHARDS = 4096
 def curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X278: per-curriculum-shard pacing table (module comment above)
     — doc/token mass, difficulty span, and the cumulative token count
-    through the shard order. Composition: CALLS the registered
+    through the shard order. Extension beyond the reference surface
+    (SURVEY §2.6). Composition: CALLS the registered
     `curriculum_order` query (oracle as a CTE) + one token projection
     + the X55 two-level prefix sum."""
     from flink_state_eviction_spark.operators.prefix import (
@@ -12689,7 +12693,8 @@ JOIN kl USING (source)
 )
 def source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X269: the per-source datasheet (module comment above) — one row
-    per feed fusing the seven registered observability censuses. Pure
+    per feed fusing the seven registered observability censuses.
+    Extension beyond the reference surface (SURVEY §2.6). Pure
     composition: member queries called as-is, their oracles wrapped as
     CTEs; six source-keyed equi-joins over |sources|-bounded frames."""
     return datasheet_from_members(
