@@ -364,6 +364,43 @@ def redact_pii(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Credential/secret detection (the code-corpus scrubbing stage The
+# Stack / StarCoder pipelines run before release — Kocetkov et al.
+# 2022 §5, Ben Allal et al. 2023; detector shapes follow the public
+# detect-secrets / gitleaks regex families). Extension — the reference
+# has no text surface (SURVEY.md §2.5). Same dual-engine discipline as
+# PII_PATTERNS: Java-regex (Spark) / RE2 (DuckDB) common subset only —
+# no lookaround, no backreferences; \b and (?i) mean the same thing in
+# both. Applied in a FIXED order with stage-wise count-then-mask so a
+# quoted hex credential is never double-counted by the later generic
+# hex detector.
+
+SECRET_PATTERNS: dict[str, str] = {
+    # order matters: structured prefixes first, the quoted-assignment
+    # detector next (masks its value before the hex sweep), generic
+    # long-hex last
+    "pem": r"-----BEGIN [A-Z ]{0,24}PRIVATE KEY-----",
+    "aws_key": r"\bAKIA[0-9A-Z]{16}\b",
+    "gh_token": r"\bghp_[A-Za-z0-9]{36}\b",
+    "slack_token": r"\bxox[baprs]-[0-9A-Za-z-]{10,48}\b",
+    "cred_assign": (
+        r'(?i)\b(?:password|passwd|secret|api_key|apikey|auth_token)'
+        r'\s*[=:]\s*"[^"\n]{6,64}"'
+    ),
+    "hex_secret": r"\b[0-9a-f]{40,64}\b",
+}
+
+SECRET_REPLACEMENTS: dict[str, str] = {
+    "pem": "<PEM>",
+    "aws_key": "<AWS_KEY>",
+    "gh_token": "<GH_TOKEN>",
+    "slack_token": "<SLACK_TOKEN>",
+    "cred_assign": "<CRED>",
+    "hex_secret": "<HEX_SECRET>",
+}
+
+
+# ---------------------------------------------------------------------------
 # integer -log2 for fixed-point probabilities (LM perplexity scoring)
 
 # round(1000 * log2(1 + k/16)) for k = 0..15 — the 4-bit mantissa

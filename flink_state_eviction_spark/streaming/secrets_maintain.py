@@ -1,0 +1,88 @@
+"""Streaming twin for the per-source credential-exposure census
+(X280/X281): an always-ingesting corpus maintains per-source PARTIAL
+sums of the X279 secret-detector verdicts, and the release-gate census
+serves from the maintained state — the alarm that fires the moment a
+feed starts leaking a new credential shape, without a corpus rescan.
+
+Standard partials pattern (X191/X214 model):
+
+- ``secrets_census_maintain_batch`` — ``foreachBatch`` body: the
+  batch's partials (the SAME `secrets_census_partials` kernel the
+  batch query uses) land in an idempotent ``batch=<id>`` partition;
+  redelivery overwrites its own partition, at-least-once safe.
+- ``partials_from_state`` / ``census_from_state`` — serving: summed
+  partials through the SAME `secrets_census_from_partials` tail. The
+  ppm share derives only AFTER the final sum, so once the corpus has
+  streamed in the census is BIT-EQUAL to the batch
+  `source_secrets_census` (tests/test_streaming_secrets_census.py).
+
+Scale shape: state is |sources| rows PER BATCH regardless of batch
+size; compaction folds are re-sums under the commit-log-safe contract
+(streaming/compaction.py).
+
+Extension beyond the reference surface (twins the batch X280 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUM_COLS = ("n_docs", "n_secret_docs", "n_hits")
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("source").agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in _SUM_COLS]
+    )
+
+
+def secrets_census_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of census maintenance (module docstring). Call
+    from ``foreachBatch`` forwarding its batch id. ``batch_df`` must
+    carry (doc_id, source, text)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        secrets_census_partials,
+    )
+
+    secrets_census_partials(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "secrets", f"batch={batch_id}")
+    )
+
+
+def compact_secrets_census_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — partials are
+    summable. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "secrets"), through_batch, _fold
+    )
+
+
+def partials_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained per-source partials: sums over batch partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "secrets")))
+
+
+def census_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The census from the MAINTAINED partials through the shared tail
+    — same output shape as `source_secrets_census`; bit-equal once the
+    corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        secrets_census_from_partials,
+    )
+
+    return secrets_census_from_partials(
+        partials_from_state(spark, state_dir)
+    )

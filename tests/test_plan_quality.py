@@ -1251,3 +1251,31 @@ def test_mojibake_scan_only(spark, sf_dir):
     cplan = physical_plan(census, "simple")
     assert cplan.count("Exchange") == 1, cplan
     assert "EvalPython" not in cplan, cplan
+
+
+def test_secrets_scan_only(spark, sf_dir):
+    # X279 is a stage-wise regexp count/mask codegen chain: one scan,
+    # zero exchanges, no Python; the X280 census adds one source fold
+    df = _q("code_secrets_redact", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "EvalPython" not in plan, plan
+    census = _q("source_secrets_census", spark, sf_dir)
+    cplan = physical_plan(census, "simple")
+    assert cplan.count("Exchange") == 1, cplan
+    assert "EvalPython" not in cplan, cplan
+
+
+def test_license_scan_only(spark, sf_dir):
+    # X282 is instr/regexp codegen: one scan, zero exchanges, no
+    # Python; the X283 census adds one source fold
+    df = _q("code_license_scan", spark, sf_dir)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "EvalPython" not in plan, plan
+    census = _q("source_license_census", spark, sf_dir)
+    cplan = physical_plan(census, "simple")
+    assert cplan.count("Exchange") == 1, cplan
+    assert "EvalPython" not in cplan, cplan
