@@ -17,6 +17,7 @@ the exact container layout.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -214,13 +215,16 @@ def decode_ppm(buf: bytes) -> "np.ndarray":
 
 
 def sniff_container(buf: bytes) -> str:
-    """Identify the container from magic bytes: 'bmp' | 'wav' | 'ppm'."""
+    """Identify the container from magic bytes:
+    'bmp' | 'wav' | 'ppm' | 'png'."""
     if len(buf) >= 2 and buf[:2] == b"BM":
         return "bmp"
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
     if len(buf) >= 3 and buf[:2] == b"P6" and buf[2] in b" \t\r\n#":
         return "ppm"
+    if len(buf) >= 8 and buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     raise ValueError("unrecognized media container")
 
 
@@ -250,3 +254,93 @@ def split_ppm_stream(buf: bytes) -> list[bytes]:
     :func:`ppm_frame_extents`; use the extents directly when most
     frames will be skipped — slicing copies rasters)."""
     return [buf[s:e] for s, e in ppm_frame_extents(buf)]
+
+
+# ---------------------------------------------------------------------------
+# PNG — 8-bit truecolor (color type 2), zlib DEFLATE, filter type 0
+# rows. The fourth REAL codec (big-endian container, CRC-checked
+# chunks — the layout properties the BMP/WAV/PPM trio doesn't cover).
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a spec-conformant PNG:
+    8-bit truecolor IHDR, one zlib-compressed IDAT whose scanlines all
+    use filter type 0 (None), IEND — every chunk CRC32-stamped."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("pixels must be (h, w, 3)")
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y].tobytes() for y in range(h)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Parse an 8-bit truecolor PNG; returns (h, w, 3) uint8 RGB. The
+    chunk walk validates lengths and EVERY chunk CRC before inflating;
+    filter types other than 0 (the only type this encoder emits) are
+    non-canonical and raise — the decode_media executors rely on the
+    ValueError contract for corrupt payloads."""
+    if len(buf) < 8 or buf[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(buf)
+    ihdr = None
+    idat = b""
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > n:
+            raise ValueError("truncated PNG chunk")
+        payload = buf[pos + 8 : end]
+        (crc,) = struct.unpack_from(">I", buf, end)
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch ({tag!r})")
+        if tag == b"IHDR":
+            ihdr = payload
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos = end + 4
+    else:
+        raise ValueError("PNG missing IEND")
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing/odd IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color} comp={comp} "
+            f"filter={filt} interlace={interlace})"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PNG dimensions ({w} x {h})")
+    raw = zlib.decompress(idat)
+    stride = 1 + w * 3
+    if len(raw) != h * stride:
+        raise ValueError(
+            f"PNG raster declares {h * stride} bytes, {len(raw)} present"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    if (rows[:, 0] != 0).any():
+        raise ValueError("non-None PNG scanline filter")
+    return rows[:, 1:].reshape(h, w, 3).copy()

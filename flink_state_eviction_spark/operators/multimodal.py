@@ -151,6 +151,35 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def png_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG payloads: each doc gets a (h48%8+1) x
+    (h48%11+1) 8-bit truecolor image whose row-major RGB raster byte j
+    equals (doc_id%256 * 7 + j * 11) % 256 — closed-form for the SQL
+    oracle, while the wire bytes are a genuine CRC-stamped,
+    zlib-DEFLATE PNG container (functions/codecs.py:encode_png).
+    Output: (doc_id, media binary)."""
+    import numpy as np
+
+    from flink_state_eviction_spark.functions.codecs import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            medias = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _h48(text)
+                w, ht, d = h % 11 + 1, h % 8 + 1, int(doc_id) % 256
+                j = np.arange(w * ht * 3, dtype=np.int64)
+                px = ((d * 7 + j * 11) % 256).astype(np.uint8).reshape(ht, w, 3)
+                medias.append(encode_png(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": medias})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, media binary"
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media table following the convention from the documents
     table (text bytes as the opaque payload; metadata derived
@@ -346,10 +375,17 @@ def decode_media(
 
     from flink_state_eviction_spark.functions.codecs import (
         decode_bmp,
+        decode_png,
         decode_ppm,
         decode_wav,
         sniff_container,
     )
+
+    _image_decoders = {
+        "bmp": decode_bmp,
+        "ppm": decode_ppm,
+        "png": decode_png,
+    }
 
     def real_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -359,8 +395,8 @@ def decode_media(
             for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
                 buf = bytes(media)
                 kind = sniff_container(buf)
-                if kind in ("bmp", "ppm"):
-                    px = decode_bmp(buf) if kind == "bmp" else decode_ppm(buf)
+                if kind in _image_decoders:
+                    px = _image_decoders[kind](buf)
                     vals = px.reshape(-1).astype(np.int64)
                     width, height, sr = px.shape[1], px.shape[0], None
                 else:
@@ -454,6 +490,15 @@ def _le_uint(pos: int, nbytes: int):
         *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
     )
     return F.conv(be, 16, 10).cast("long")
+
+
+def _be_uint(pos: int, nbytes: int):
+    """Big-endian unsigned int read from the `media` binary column:
+    hex() of the slice is ALREADY big-endian byte order, so the decode
+    is one conv base16 — no pair reversal. Pure whole-stage codegen."""
+    return F.conv(F.hex(F.substring(F.col("media"), pos, nbytes)), 16, 10).cast(
+        "long"
+    )
 
 
 def _tag_at(pos: int, ascii_tag: str):
@@ -593,6 +638,78 @@ def wav_header_probe(media_df: DataFrame) -> DataFrame:
             & (F.col("bits") == 16)
             & F.col("sample_rate").between(lo, hi)
             & (duration_ms >= AUDIO_MIN_DURATION_MS),
+            F.lit(False),
+        ).alias("keep"),
+    )
+
+
+def png_header_probe(media_df: DataFrame) -> DataFrame:
+    """Header-only PNG metadata probe: width, height, bit depth, color
+    type, and interlace method read straight from the IHDR chunk with
+    pure JVM expressions — the BIG-endian twin of
+    :func:`bmp_header_probe` (PNG stores multi-byte fields big-endian,
+    so the decode is hex + conv with NO byte-pair reversal, the layout
+    class the BMP/WAV probes don't cover). Zero pixel inflate, zero
+    Python: the size/aspect filter runs at parquet scan speed and the
+    zlib decode stage (functions/codecs.py:decode_png) touches only
+    survivors.
+
+    sig_ok validates the structural tags the fields rely on: the full
+    8-byte signature, the IHDR chunk length (13 — fixed by spec) and
+    the 'IHDR' tag at its mandatory first-chunk offset. Chunk CRCs are
+    deliberately NOT verified here — CRC32 is not a codegen
+    expression; payload integrity stays the Python decoder's contract
+    (decode_png checks every chunk CRC), while the probe's fields are
+    exactly the ones a wrong byte under the IHDR CRC would corrupt
+    visibly in the keep-rate census. Non-canonical layouts (wrong
+    magic, truncation, a non-IHDR first chunk) yield NULL fields and
+    keep=false — never an executor error. Keep rule: 8-bit truecolor
+    (depth 8, color type 2), non-interlaced, LAION-style min side and
+    max aspect — non-truecolor/interlaced images route to the Python
+    decoder rather than being size-filtered on fields whose pixel
+    semantics differ. Extension beyond the reference surface."""
+    parseable = (
+        (F.length("media") >= 33)
+        # \x89PNG\r\n\x1a\n — the 8-byte signature, hex-matched (the
+        # bytes are not ASCII so _tag_at's encode() path can't name it)
+        & (F.hex(F.substring(F.col("media"), 1, 8)) == "89504E470D0A1A0A")
+        & (_be_uint(9, 4) == 13)  # IHDR length is fixed at 13 by spec
+        & _tag_at(13, "IHDR")
+    )
+    probed = media_df.select(
+        "doc_id",
+        parseable.alias("sig_ok"),
+        F.when(parseable, _be_uint(17, 4)).alias("width"),
+        F.when(parseable, _be_uint(21, 4)).alias("height"),
+        F.when(parseable, _be_uint(25, 1)).alias("bit_depth"),
+        F.when(parseable, _be_uint(26, 1)).alias("color_type"),
+        F.when(parseable, _be_uint(29, 1)).alias("interlace"),
+    )
+    w, h = F.col("width"), F.col("height")
+    staged = probed.select(
+        "*",
+        (F.greatest(w, h) * 1000).alias("_g1000"),
+        F.least(w, h).alias("_l"),
+    )
+    # exact integer division (operands positive; same rationale as the
+    # BMP probe: a double divide can round across the threshold)
+    aspect_milli = F.when(F.col("_l") > 0, F.expr("_g1000 div _l"))
+    return staged.select(
+        "doc_id",
+        "sig_ok",
+        "width",
+        "height",
+        "bit_depth",
+        "color_type",
+        "interlace",
+        aspect_milli.alias("aspect_milli"),
+        F.coalesce(
+            F.col("sig_ok")
+            & (F.col("bit_depth") == 8)
+            & (F.col("color_type") == 2)
+            & (F.col("interlace") == 0)
+            & (F.col("_l") >= IMAGE_MIN_SIDE)
+            & (aspect_milli <= IMAGE_MAX_ASPECT_MILLI),
             F.lit(False),
         ).alias("keep"),
     )

@@ -836,6 +836,65 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# fourth REAL codec: PNG (zlib DEFLATE, CRC-stamped chunks)
+
+_PNG_DECODE_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d
+    FROM documents
+),
+dims AS (
+    SELECT doc_id, CAST(h % 11 + 1 AS INT) AS width,
+           CAST(h % 8 + 1 AS INT) AS height, d
+    FROM m
+),
+px AS (
+    SELECT doc_id, width, height, d,
+           unnest(generate_series(0, width * height * 3 - 1)) AS j
+    FROM dims
+)
+SELECT doc_id, width, height,
+       CAST(width * height * 3 AS BIGINT) AS n_values,
+       CAST(SUM((d * 7 + j * 11) % 256) AS BIGINT) AS sum_values,
+       CAST(SUM((j + 1) * ((d * 7 + j * 11) % 256)) AS BIGINT)
+           AS wsum_values,
+       round(CAST(SUM((d * 7 + j * 11) % 256) AS DOUBLE)
+             / (width * height * 3), 6) AS mean_value
+FROM px GROUP BY 1, 2, 3, d
+"""
+
+
+@register_supplementary(
+    "multimodal_decode_png",
+    _PNG_DECODE_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X285: REAL PNG decode (fourth container next to BMP X23, WAV
+    X24, PPM): spec-conformant 8-bit truecolor payloads — CRC-stamped
+    chunks, zlib-DEFLATE raster, filter-0 scanlines — generated per
+    document, parsed back by the pure-Python decoder
+    (functions/codecs.py:decode_png) which validates every chunk CRC
+    before inflating. Features position-weighted so a scanline-order
+    or filter-byte bug can't cancel; the oracle integrates the raster
+    formula in closed form. Scan-parallel mapInPandas both ways — no
+    shuffle. Extension beyond the reference surface."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        decode_media,
+        png_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_media(png_media_from_documents(docs))
+    return out.select(
+        "doc_id", "width", "height", "n_values", "sum_values",
+        "wsum_values", "mean_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # mixed-container media table: the sniffer path under heterogeneity
 
 _MIXED_MEDIA_ORACLE = """

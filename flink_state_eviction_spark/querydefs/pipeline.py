@@ -4847,6 +4847,73 @@ def multimodal_audio_header_filter(
 
 
 # ---------------------------------------------------------------------------
+# X285: the BIG-endian sibling of X204 — PNG IHDR header probe. PNG is
+# the layout class the BMP/WAV probes don't cover (big-endian fields,
+# CRC-stamped chunks, compressed payload); the probe reads width /
+# height / depth / color type / interlace from the mandatory first
+# chunk in whole-stage codegen (hex + conv, NO byte-pair reversal) and
+# leaves CRC + inflate to the Python decoder on survivors only. The
+# oracle derives every field in closed form from the fixture
+# generator, so a wrong offset or an accidentally little-endian read
+# breaks parity.
+
+_PNG_PROBE_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h
+    FROM documents
+),
+dims AS (
+    SELECT doc_id,
+           CAST(h % 11 + 1 AS BIGINT) AS width,
+           CAST(h % 8 + 1 AS BIGINT) AS height
+    FROM m
+),
+geo AS (
+    SELECT doc_id, width, height,
+           greatest(width, height) * 1000 // least(width, height)
+               AS aspect_milli,
+           least(width, height) AS min_side
+    FROM dims
+)
+SELECT doc_id,
+       TRUE AS sig_ok,
+       width, height,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(2 AS BIGINT) AS color_type,
+       CAST(0 AS BIGINT) AS interlace,
+       CAST(aspect_milli AS BIGINT) AS aspect_milli,
+       (min_side >= 4 AND aspect_milli <= 2000) AS keep
+FROM geo
+"""
+
+
+@register_supplementary(
+    "multimodal_image_header_filter_png",
+    _PNG_PROBE_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_image_header_filter_png(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X285: LAION-style image size/aspect filter from the PNG IHDR
+    chunk only (operators/multimodal.py:png_header_probe) — big-endian
+    fields decoded in whole-stage codegen with zero inflate and zero
+    Python; keep = 8-bit truecolor, non-interlaced, min side >= 4,
+    aspect <= 2.0 (fixture-scaled thresholds). Non-canonical layouts
+    get NULL fields and keep=false, routed to the CRC-checking zlib
+    decoder (functions/codecs.py:decode_png). Extension beyond the
+    reference surface."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        png_header_probe,
+        png_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return png_header_probe(png_media_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
 # asymmetric containment dedup (doc embedded in doc)
 
 _CONTAINMENT_ORACLE = f"""

@@ -188,6 +188,190 @@ def test_ppm_corrupt_payloads_raise_valueerror():
 
 
 # ---------------------------------------------------------------------------
+# PNG codec (X285): big-endian CRC-stamped chunks, zlib raster
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    """Independent chunk assembly for golden/corrupt fixtures."""
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _golden_png() -> bytes:
+    """Hand-assembled 2x2 truecolor PNG over GOLDEN_PX: explicit IHDR
+    field packing and per-scanline filter-0 bytes, so an encoder and
+    decoder that are wrong in compensating ways (e.g. both read the
+    dimensions little-endian, or both drop the filter byte) cannot
+    pass."""
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    raw = (
+        b"\x00" + bytes([255, 0, 0, 0, 255, 0])      # top row: red, green
+        + b"\x00" + bytes([0, 0, 255, 255, 255, 255])  # bottom: blue, white
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_golden_roundtrip():
+    from flink_state_eviction_spark.functions.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    golden = _golden_png()
+    assert sniff_container(golden) == "png"
+    assert (decode_png(golden) == GOLDEN_PX).all()
+    # encoder emits the same canonical layout (zlib.compress is
+    # deterministic for a given input)
+    assert encode_png(GOLDEN_PX) == golden
+
+
+def test_png_roundtrip_various_shapes():
+    from flink_state_eviction_spark.functions.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 7), (8, 2), (17, 13)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = decode_png(encode_png(px))
+        assert back.shape == (h, w, 3) and (back == px).all(), (h, w)
+
+
+def test_png_corrupt_payloads_raise_valueerror():
+    import zlib
+
+    from flink_state_eviction_spark.functions.codecs import decode_png
+
+    good = _golden_png()
+    sig = good[:8]
+    ihdr_ok = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    raw_ok = (
+        b"\x00" + bytes([255, 0, 0, 0, 255, 0])
+        + b"\x00" + bytes([0, 0, 255, 255, 255, 255])
+    )
+    # CRC flip inside IHDR payload (length/tag untouched)
+    crc_bad = bytearray(good)
+    crc_bad[16] ^= 0xFF
+    # filter type 1 (Sub) on the first scanline — valid PNG, but
+    # non-canonical for this decoder: must raise, not mis-decode
+    raw_filt = b"\x01" + raw_ok[1:7] + raw_ok[7:]
+    filt = (
+        sig
+        + _png_chunk(b"IHDR", ihdr_ok)
+        + _png_chunk(b"IDAT", zlib.compress(raw_filt))
+        + _png_chunk(b"IEND", b"")
+    )
+    # grayscale color type with a correctly-stamped CRC
+    gray = (
+        sig
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x00\x03\x04"))
+        + _png_chunk(b"IEND", b"")
+    )
+    # raster shorter than h*(1+3w) with valid chunk framing
+    short = (
+        sig
+        + _png_chunk(b"IHDR", ihdr_ok)
+        + _png_chunk(b"IDAT", zlib.compress(raw_ok[:-3]))
+        + _png_chunk(b"IEND", b"")
+    )
+    bad = [
+        b"\x88PNG\r\n\x1a\n" + good[8:],        # wrong signature
+        bytes(crc_bad),                          # chunk CRC mismatch
+        good[:-4],                               # truncated final chunk
+        good[: len(good) - 12],                  # IEND missing entirely
+        filt,                                    # non-None scanline filter
+        gray,                                    # unsupported color type
+        short,                                   # raster length mismatch
+    ]
+    for buf in bad:
+        with pytest.raises(ValueError):
+            decode_png(buf)
+
+
+def test_png_header_probe_crafted_payloads(spark):
+    """X285 pinned on crafted containers: an 8x4 PNG (keep), 15x5
+    (aspect 3000 > 2000, dropped), 10x2 (min side, dropped), wrong
+    magic and a truncated buffer (NULL fields, keep=false — never an
+    executor error), a GRAYSCALE image and an INTERLACED image (IHDR
+    layout valid so the fields are exposed, but keep=false — pixel
+    semantics differ, route to the Python decoder)."""
+    import zlib
+
+    from flink_state_eviction_spark.functions.codecs import encode_png
+    from flink_state_eviction_spark.operators.multimodal import (
+        png_header_probe,
+    )
+
+    def png(w, h):
+        return bytearray(encode_png(np.zeros((h, w, 3), dtype=np.uint8)))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    gray = bytearray(
+        sig
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 4, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(4 * 9)))
+        + _png_chunk(b"IEND", b"")
+    )
+    interlaced = bytearray(
+        sig
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 4, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(4 * 25)))
+        + _png_chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [
+            (1, png(8, 4)),
+            (2, png(15, 5)),
+            (3, png(10, 2)),
+            (4, bytearray(b"GIF89a" + bytes(40))),
+            (5, bytearray(sig + b"\x00\x00")),
+            (6, gray),
+            (7, interlaced),
+        ],
+        "doc_id long, media binary",
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in png_header_probe(media).collect()
+    }
+    assert got[1]["sig_ok"] and got[1]["keep"]
+    assert (
+        got[1]["width"],
+        got[1]["height"],
+        got[1]["bit_depth"],
+        got[1]["color_type"],
+        got[1]["interlace"],
+        got[1]["aspect_milli"],
+    ) == (8, 4, 8, 2, 0, 2000)
+    assert got[2]["sig_ok"] and not got[2]["keep"]
+    assert got[2]["aspect_milli"] == 3000
+    assert got[3]["sig_ok"] and not got[3]["keep"]
+    assert not got[4]["sig_ok"] and not got[4]["keep"]
+    assert got[4]["width"] is None and got[4]["aspect_milli"] is None
+    assert not got[5]["sig_ok"] and got[5]["width"] is None
+    # valid IHDR layout, non-truecolor/interlaced content: fields
+    # exposed, keep=false (decoder path decides)
+    assert got[6]["sig_ok"] and not got[6]["keep"]
+    assert got[6]["color_type"] == 0
+    assert got[7]["sig_ok"] and not got[7]["keep"]
+    assert got[7]["interlace"] == 1
+
+
+# ---------------------------------------------------------------------------
 # multi-frame PPM stream (X155): extent walk + strict per-frame decode
 
 
