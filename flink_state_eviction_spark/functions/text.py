@@ -815,3 +815,80 @@ def normalize_url(url: Column) -> Column:
     r = F.concat(p, q)
     full = F.concat(auth, F.when(r == "", F.lit("/")).otherwise(r))
     return F.when(scheme_host == "", url).otherwise(full)
+
+
+# ---------------------------------------------------------------------------
+# sitemap parsing (sitemaps.org protocol; the discovery feed a crawl
+# frontier reads next to robots.txt Sitemap: lines — RFC 9309 §2.3
+# points at it). Extension beyond the reference surface (X286).
+
+# block + field regexes in the Java/RE2 common subset (inline flags,
+# lazy quantifiers; no lookaround/backrefs) so Spark and DuckDB parse
+# the same entries from the same bytes
+SITEMAP_URL_BLOCK_RE = r"(?is)<url\b[^>]*>(.*?)</url>"
+SITEMAP_INDEX_BLOCK_RE = r"(?is)<sitemap\b[^>]*>(.*?)</sitemap>"
+SITEMAP_IS_INDEX_RE = r"(?is)<sitemapindex\b"
+SITEMAP_LOC_RE = r"(?is)<loc>\s*(.*?)\s*</loc>"
+SITEMAP_LASTMOD_RE = r"(?is)<lastmod>\s*(.*?)\s*</lastmod>"
+SITEMAP_CHANGEFREQ_RE = r"(?is)<changefreq>\s*(.*?)\s*</changefreq>"
+SITEMAP_PRIORITY_RE = r"(?is)<priority>\s*(.*?)\s*</priority>"
+
+# W3C-date DAY subset (YYYY-MM-DD): the validity gate before to_date —
+# a malformed lastmod in wild sitemaps yields NULL, never an ANSI
+# datetime error aborting the scan. Full datetime lastmods keep their
+# day prefix via the anchored extract.
+SITEMAP_DAY_RE = r"^(\d{4}-\d{2}-\d{2})"
+
+
+def sitemap_is_index(xml: Column) -> Column:
+    """True when the document is a <sitemapindex> (child sitemaps)
+    rather than a <urlset> (page URLs)."""
+    return xml.rlike(SITEMAP_IS_INDEX_RE)
+
+
+def sitemap_blocks(xml: Column) -> Column:
+    """Array of entry-block inner strings: <sitemap> blocks for an
+    index document, <url> blocks otherwise. Pure regexp codegen; a
+    document with no entries (or no sitemap markup at all) yields an
+    empty array, never an error."""
+    return F.when(
+        sitemap_is_index(xml),
+        F.regexp_extract_all(xml, F.lit(SITEMAP_INDEX_BLOCK_RE), 1),
+    ).otherwise(F.regexp_extract_all(xml, F.lit(SITEMAP_URL_BLOCK_RE), 1))
+
+
+def sitemap_field(block: Column, field_re: str) -> Column:
+    """One optional field from an entry block: trimmed inner text,
+    NULL when the tag is absent (the '' -> NULL lift keeps absence
+    distinct from an empty value downstream)."""
+    return F.nullif(F.regexp_extract(block, field_re, 1), F.lit(""))
+
+
+def sitemap_lastmod_epoch_day(block: Column) -> Column:
+    """<lastmod> as integer epoch days: the anchored W3C YYYY-MM-DD
+    prefix is validated by regex FIRST (total under ANSI mode — a
+    malformed date yields NULL, never a session-killing cast error),
+    then diffed against the epoch. Long output so the engines' date
+    arithmetic widths agree."""
+    day = F.nullif(
+        F.regexp_extract(sitemap_field(block, SITEMAP_LASTMOD_RE),
+                         SITEMAP_DAY_RE, 1),
+        F.lit(""),
+    )
+    return F.datediff(F.to_date(day), F.to_date(F.lit("1970-01-01"))).cast(
+        "long"
+    )
+
+
+def sitemap_priority_milli(block: Column) -> Column:
+    """<priority> (0.0-1.0, up to 3 decimals) as exact integer milli:
+    digit-level parse (integer part + right-padded fraction) — no
+    double multiply whose rounding could disagree across engines.
+    Out-of-grammar values (and absent tags) are NULL."""
+    p = sitemap_field(block, SITEMAP_PRIORITY_RE)
+    ip = F.regexp_extract(p, r"^([01])(?:\.[0-9]{1,3})?$", 1)
+    fp = F.regexp_extract(p, r"^[01]\.([0-9]{1,3})$", 1)
+    return F.when(
+        ip != "",
+        ip.cast("long") * 1000 + F.rpad(fp, 3, "0").cast("long"),
+    )

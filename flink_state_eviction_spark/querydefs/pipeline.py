@@ -9324,21 +9324,13 @@ GROUP BY 1
 """
 
 
-@register_supplementary(
-    "frontier_host_census",
-    _FRONTIER_CENSUS_ORACLE,
-    tags=("pipeline", "text"),
-)
-def frontier_host_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X224: per-host frontier census — distinct canonical URLs vs raw
-    sightings (module comment above; non-URL passthroughs land in the
-    '' host bucket, kept visible rather than dropped). Scan-side
-    canonicalization + one host-keyed partial+final fold; at crawl
-    scale the census is what politeness budgets and per-host fetch
-    quotas read."""
+def frontier_canon_frame(docs: DataFrame) -> DataFrame:
+    """The X224 frontier mint + canonicalization as a frame:
+    (doc_id, canon_url) — THE batch seen-set, shared by the census
+    below and the X287 sitemap-discovery join so the two read the
+    same crawl state."""
     from flink_state_eviction_spark.functions.text import normalize_url
 
-    docs = load_table(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     url = (
         F.when(
@@ -9361,9 +9353,23 @@ def frontier_host_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("https://Dup.Example/shared"))
     )
-    canon = docs.select(
-        normalize_url(url).alias("canon_url")
-    )
+    return docs.select("doc_id", normalize_url(url).alias("canon_url"))
+
+
+@register_supplementary(
+    "frontier_host_census",
+    _FRONTIER_CENSUS_ORACLE,
+    tags=("pipeline", "text"),
+)
+def frontier_host_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X224: per-host frontier census — distinct canonical URLs vs raw
+    sightings (module comment above; non-URL passthroughs land in the
+    '' host bucket, kept visible rather than dropped). Scan-side
+    canonicalization + one host-keyed partial+final fold; at crawl
+    scale the census is what politeness budgets and per-host fetch
+    quotas read."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = frontier_canon_frame(docs).select("canon_url")
     return canon.groupBy(
         F.regexp_extract(F.col("canon_url"), _HOST_RE, 1).alias("host")
     ).agg(
@@ -9495,6 +9501,357 @@ def fetch_plan_frame(
         F.coalesce(
             F.col("host_rank") <= _FETCH_QUOTA, F.lit(False)
         ).alias("fetch_now"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X286/X287: SITEMAP ingestion (sitemaps.org protocol — the discovery
+# feed robots.txt's `Sitemap:` lines point a crawler at, RFC 9309
+# §2.3). X286 parses <urlset>/<sitemapindex> documents into entry rows
+# (loc / lastmod / changefreq / priority) with pure regexp codegen in
+# the Java/RE2 common subset — no XML library in the row path, and a
+# document with no sitemap markup yields zero rows, never an error.
+# X287 is the composition the parse exists for: canonicalize the
+# discovered locs (X218 kernel), collapse duplicate references, and
+# join the X224 frontier seen-set to mark which URLs are genuinely
+# NEW. The fixture has no sitemap column, so the mint wraps doc_id
+# into deterministic XML with per-entry optional fields, a cross-doc
+# shared URL (n_refs > 1 non-vacuous), a normalization-needing quirk
+# loc, a deliberate overlap with the X224 mint (seen=true non-vacuous)
+# and every-7th doc minted as a <sitemapindex>.
+
+
+def _sitemap_entry_sql(i: int) -> str:
+    """DuckDB SQL for minted <url> entry ``i`` (mirrors
+    :func:`_sitemap_entry_col` — the two mints must stay twins)."""
+    loc = {
+        0: "'https://s' || CAST(doc_id % 50 AS VARCHAR) || '.example/p0'",
+        1: "'HTTP://S' || CAST(doc_id % 50 AS VARCHAR) || '.Example:80//q/'",
+        2: "'https://crawl.example/p/d' || CAST(doc_id AS VARCHAR)",
+    }[i]
+    return f"""'<url><loc> ' || {loc} || ' </loc>'
+        || CASE WHEN (doc_id + {i}) % 2 = 0
+                THEN '<lastmod>2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                     || '-1{i}</lastmod>' ELSE '' END
+        || CASE (doc_id + {i}) % 3
+                WHEN 0 THEN '<changefreq>daily</changefreq>'
+                WHEN 1 THEN '<changefreq>weekly</changefreq>'
+                ELSE '' END
+        || CASE (doc_id + {i}) % 4
+                WHEN 0 THEN '<priority>0.'
+                            || CAST((doc_id + {i}) % 10 AS VARCHAR)
+                            || '</priority>'
+                WHEN 1 THEN '<priority>1.0</priority>'
+                ELSE '' END
+        || '</url>'"""
+
+
+def _sitemap_entry_col(i: int):
+    """Spark twin of :func:`_sitemap_entry_sql`."""
+    did = F.col("doc_id")
+    m = (did % 50).cast("string")
+    if i == 0:
+        loc = F.concat(F.lit("https://s"), m, F.lit(".example/p0"))
+    elif i == 1:
+        loc = F.concat(F.lit("HTTP://S"), m, F.lit(".Example:80//q/"))
+    else:
+        loc = F.concat(
+            F.lit("https://crawl.example/p/d"), did.cast("string")
+        )
+    lastmod = F.when(
+        (did + i) % 2 == 0,
+        F.concat(
+            F.lit("<lastmod>2024-0"),
+            (did % 9 + 1).cast("string"),
+            F.lit(f"-1{i}</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    cf = (
+        F.when((did + i) % 3 == 0, F.lit("<changefreq>daily</changefreq>"))
+        .when((did + i) % 3 == 1, F.lit("<changefreq>weekly</changefreq>"))
+        .otherwise(F.lit(""))
+    )
+    pr = (
+        F.when(
+            (did + i) % 4 == 0,
+            F.concat(
+                F.lit("<priority>0."),
+                ((did + i) % 10).cast("string"),
+                F.lit("</priority>"),
+            ),
+        )
+        .when((did + i) % 4 == 1, F.lit("<priority>1.0</priority>"))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        F.lit("<url><loc> "), loc, F.lit(" </loc>"), lastmod, cf, pr,
+        F.lit("</url>"),
+    )
+
+
+_SITEMAP_XML_PROLOG = '<?xml version="1.0" encoding="UTF-8"?>'
+_SITEMAP_NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+def _minted_sitemap_col():
+    """The deterministic sitemap XML per fixture doc: a 2-entry
+    <sitemapindex> every 7th doc, else a <urlset> with doc_id%3+1
+    entries (entry grammar in :func:`_sitemap_entry_col`)."""
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    idx = F.concat(
+        F.lit(f"{_SITEMAP_XML_PROLOG}<sitemapindex {_SITEMAP_NS}>"),
+        F.lit("<sitemap><loc> https://idx"), ds,
+        F.lit(".example/sitemap0.xml </loc>"
+              "<lastmod>2024-01-15</lastmod></sitemap>"),
+        F.lit("<sitemap><loc> https://idx"), ds,
+        F.lit(".example/sitemap1.xml </loc></sitemap></sitemapindex>"),
+    )
+    urlset = F.concat(
+        F.lit(f"{_SITEMAP_XML_PROLOG}<urlset {_SITEMAP_NS}>"),
+        _sitemap_entry_col(0),
+        F.when(did % 3 + 1 >= 2, _sitemap_entry_col(1)).otherwise(F.lit("")),
+        F.when(did % 3 + 1 >= 3, _sitemap_entry_col(2)).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    return F.when(did % 7 == 6, idx).otherwise(urlset)
+
+
+def sitemap_entries_frame(docs: DataFrame) -> DataFrame:
+    """X286 frame kernel: minted sitemap XML -> one row per entry
+    (doc_id, kind 'url'|'sitemap', entry_idx, loc, lastmod_epoch_day,
+    changefreq, priority_milli). Parsing is the functions/text.py
+    sitemap kernel — block regexp_extract_all projected to a NAMED
+    array column before the posexplode (the no-CSE rule), then
+    per-block field extracts; all fields total under ANSI mode (the
+    lastmod date is regex-validated before to_date). Scan + generate
+    only — zero exchanges at any corpus size."""
+    from flink_state_eviction_spark.functions.text import (
+        SITEMAP_CHANGEFREQ_RE,
+        SITEMAP_LOC_RE,
+        sitemap_blocks,
+        sitemap_field,
+        sitemap_is_index,
+        sitemap_lastmod_epoch_day,
+        sitemap_priority_milli,
+    )
+
+    staged = docs.select("doc_id", _minted_sitemap_col().alias("xml"))
+    arr = staged.select(
+        "doc_id",
+        F.when(sitemap_is_index(F.col("xml")), F.lit("sitemap"))
+        .otherwise(F.lit("url"))
+        .alias("kind"),
+        sitemap_blocks(F.col("xml")).alias("blocks"),
+    )
+    ent = arr.select(
+        "doc_id",
+        "kind",
+        F.posexplode("blocks").alias("entry_idx", "block"),
+    )
+    return ent.select(
+        "doc_id",
+        "kind",
+        F.col("entry_idx").cast("long").alias("entry_idx"),
+        sitemap_field(F.col("block"), SITEMAP_LOC_RE).alias("loc"),
+        sitemap_lastmod_epoch_day(F.col("block")).alias(
+            "lastmod_epoch_day"
+        ),
+        sitemap_field(F.col("block"), SITEMAP_CHANGEFREQ_RE).alias(
+            "changefreq"
+        ),
+        sitemap_priority_milli(F.col("block")).alias("priority_milli"),
+    )
+
+
+def _sitemap_extract_oracle() -> str:
+    from flink_state_eviction_spark.functions.text import (
+        SITEMAP_CHANGEFREQ_RE,
+        SITEMAP_DAY_RE,
+        SITEMAP_INDEX_BLOCK_RE,
+        SITEMAP_IS_INDEX_RE,
+        SITEMAP_LASTMOD_RE,
+        SITEMAP_LOC_RE,
+        SITEMAP_PRIORITY_RE,
+        SITEMAP_URL_BLOCK_RE,
+    )
+
+    pri_ip = r"^([01])(?:\.[0-9]{1,3})?$"
+    pri_fp = r"^[01]\.([0-9]{1,3})$"
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 6 THEN
+               '{_SITEMAP_XML_PROLOG}<sitemapindex {_SITEMAP_NS}>'
+               || '<sitemap><loc> https://idx' || CAST(doc_id AS VARCHAR)
+               || '.example/sitemap0.xml </loc>'
+               || '<lastmod>2024-01-15</lastmod></sitemap>'
+               || '<sitemap><loc> https://idx' || CAST(doc_id AS VARCHAR)
+               || '.example/sitemap1.xml </loc></sitemap></sitemapindex>'
+           ELSE
+               '{_SITEMAP_XML_PROLOG}<urlset {_SITEMAP_NS}>'
+               || {_sitemap_entry_sql(0)}
+               || CASE WHEN doc_id % 3 + 1 >= 2
+                       THEN {_sitemap_entry_sql(1)} ELSE '' END
+               || CASE WHEN doc_id % 3 + 1 >= 3
+                       THEN {_sitemap_entry_sql(2)} ELSE '' END
+               || '</urlset>'
+           END AS xml
+    FROM documents
+),
+lst AS (
+    SELECT doc_id,
+           CASE WHEN regexp_matches(xml, '{SITEMAP_IS_INDEX_RE}')
+                THEN 'sitemap' ELSE 'url' END AS kind,
+           CASE WHEN regexp_matches(xml, '{SITEMAP_IS_INDEX_RE}')
+                THEN regexp_extract_all(xml, '{SITEMAP_INDEX_BLOCK_RE}', 1)
+                ELSE regexp_extract_all(xml, '{SITEMAP_URL_BLOCK_RE}', 1)
+           END AS l
+    FROM base
+),
+e AS (
+    SELECT doc_id, kind,
+           unnest(generate_series(0, len(l) - 1)) AS entry_idx,
+           unnest(l) AS block
+    FROM lst
+),
+f AS (
+    SELECT doc_id, kind, CAST(entry_idx AS BIGINT) AS entry_idx,
+           nullif(regexp_extract(block, '{SITEMAP_LOC_RE}', 1), '')
+               AS loc,
+           nullif(regexp_extract(block, '{SITEMAP_LASTMOD_RE}', 1), '')
+               AS lastmod,
+           nullif(regexp_extract(block, '{SITEMAP_CHANGEFREQ_RE}', 1), '')
+               AS changefreq,
+           nullif(regexp_extract(block, '{SITEMAP_PRIORITY_RE}', 1), '')
+               AS pri
+    FROM e
+)
+SELECT doc_id, kind, entry_idx, loc,
+       CAST(CAST(nullif(regexp_extract(lastmod, '{SITEMAP_DAY_RE}', 1),
+                        '') AS DATE)
+            - DATE '1970-01-01' AS BIGINT) AS lastmod_epoch_day,
+       changefreq,
+       CASE WHEN regexp_extract(pri, '{pri_ip}', 1) <> ''
+            THEN CAST(regexp_extract(pri, '{pri_ip}', 1) AS BIGINT) * 1000
+                 + CAST(rpad(regexp_extract(pri, '{pri_fp}', 1), 3, '0')
+                        AS BIGINT)
+       END AS priority_milli
+FROM f
+"""
+
+
+_SITEMAP_EXTRACT_ORACLE = _sitemap_extract_oracle()
+
+
+@register_supplementary(
+    "sitemap_extract_urls", _SITEMAP_EXTRACT_ORACLE, tags=("pipeline", "text")
+)
+def sitemap_extract_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X286: sitemaps.org parse over minted sitemap XML
+    (sitemap_entries_frame; parsing kernel in functions/text.py) —
+    urlset entries AND sitemapindex children as typed rows: loc,
+    lastmod as integer epoch days (regex-validated before to_date, so
+    malformed dates are NULL — never an ANSI abort), changefreq, and
+    digit-exact priority milli. Scan + one generate, zero exchanges.
+    Extension beyond the reference surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sitemap_entries_frame(docs)
+
+
+def _sitemap_discovery_oracle() -> str:
+    return f"""
+WITH ext AS ({_SITEMAP_EXTRACT_ORACLE}),
+base AS (
+    SELECT doc_id * 4 + entry_idx AS doc_id, loc AS url
+    FROM ext WHERE kind = 'url' AND loc IS NOT NULL
+    UNION ALL
+    SELECT -(doc_id + 1) AS doc_id,
+           CASE doc_id % 5
+                WHEN 0 THEN 'HTTP://Crawl.Example:80/p//d'
+                            || CAST(doc_id AS VARCHAR) || '/#f'
+                WHEN 1 THEN 'https://crawl.example/p/d'
+                            || CAST(doc_id AS VARCHAR)
+                WHEN 2 THEN 'https://Other.Example/q?d='
+                            || CAST(doc_id AS VARCHAR)
+                WHEN 3 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                ELSE 'https://Dup.Example/shared' END AS url
+    FROM documents
+),
+{_URL_CANON_CTES},
+canon AS (
+    SELECT doc_id,
+           CASE WHEN sh = '' THEN url
+                ELSE a || CASE WHEN r = '' THEN '/' ELSE r END END
+               AS canon_url
+    FROM fixed
+),
+sm AS (
+    SELECT c.canon_url, e.lastmod_epoch_day, e.priority_milli
+    FROM ext e JOIN canon c ON c.doc_id = e.doc_id * 4 + e.entry_idx
+    WHERE e.kind = 'url' AND e.loc IS NOT NULL
+),
+disc AS (
+    SELECT canon_url,
+           CAST(COUNT(*) AS BIGINT) AS n_refs,
+           MAX(lastmod_epoch_day) AS latest_epoch_day,
+           MAX(priority_milli) AS best_priority_milli
+    FROM sm GROUP BY 1
+),
+seen AS (SELECT DISTINCT canon_url FROM canon WHERE doc_id < 0)
+SELECT d.canon_url, d.n_refs,
+       CAST(d.latest_epoch_day AS BIGINT) AS latest_epoch_day,
+       CAST(d.best_priority_milli AS BIGINT) AS best_priority_milli,
+       (s.canon_url IS NOT NULL) AS seen
+FROM disc d LEFT JOIN seen s ON s.canon_url = d.canon_url
+"""
+
+
+@register_supplementary(
+    "sitemap_frontier_discovery",
+    _sitemap_discovery_oracle(),
+    tags=("pipeline", "text"),
+)
+def sitemap_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X287: sitemap -> frontier discovery — the composition X286
+    exists for: urlset locs canonicalized through the X218 kernel,
+    duplicate references collapsed (n_refs, latest lastmod, best
+    priority), then LEFT-joined against the X224 frontier seen-set
+    (frontier_canon_frame — the SAME mint+canon the census reads) to
+    flag which discovered URLs are genuinely new. <sitemapindex>
+    children are NOT schedulable page URLs and stay out by the kind
+    filter (they feed the fetch-of-sitemaps loop instead). The
+    seen-set join carries NO broadcast hint — crawl-sized state (the
+    round-8 frame class); one group-fold exchange + one join exchange
+    at any corpus size."""
+    from flink_state_eviction_spark.functions.text import normalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    ext = sitemap_entries_frame(docs)
+    urls = ext.where(
+        (F.col("kind") == "url") & F.col("loc").isNotNull()
+    ).select(
+        normalize_url(F.col("loc")).alias("canon_url"),
+        "lastmod_epoch_day",
+        "priority_milli",
+    )
+    disc = urls.groupBy("canon_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+        F.max("lastmod_epoch_day").alias("latest_epoch_day"),
+        F.max("priority_milli").alias("best_priority_milli"),
+    )
+    seen = (
+        frontier_canon_frame(docs)
+        .select("canon_url")
+        .distinct()
+        .withColumn("_s", F.lit(1))
+    )
+    return disc.join(seen, "canon_url", "left").select(
+        "canon_url",
+        "n_refs",
+        "latest_epoch_day",
+        "best_priority_milli",
+        F.col("_s").isNotNull().alias("seen"),
     )
 
 

@@ -1,0 +1,174 @@
+"""X286/X287 sitemap ingestion: crafted-XML pins for the parse kernel
+(whitespace, absent fields, malformed dates, out-of-grammar
+priorities, index detection, markup-free documents) plus discovery
+non-vacuity on the fixture. Oracle parity is covered by
+tests/test_oracle_parity.py; these pins cover inputs the mint never
+produces."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_state_eviction_spark.functions.text import (
+    SITEMAP_CHANGEFREQ_RE,
+    SITEMAP_LOC_RE,
+    sitemap_blocks,
+    sitemap_field,
+    sitemap_is_index,
+    sitemap_lastmod_epoch_day,
+    sitemap_priority_milli,
+)
+
+
+def _parse(spark, xmls):
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xmls)], "doc_id long, xml string"
+    )
+    arr = df.select(
+        "doc_id",
+        F.when(sitemap_is_index(F.col("xml")), F.lit("sitemap"))
+        .otherwise(F.lit("url"))
+        .alias("kind"),
+        sitemap_blocks(F.col("xml")).alias("blocks"),
+    )
+    ent = arr.select(
+        "doc_id", "kind", F.posexplode("blocks").alias("entry_idx", "block")
+    )
+    out = ent.select(
+        "doc_id",
+        "kind",
+        "entry_idx",
+        sitemap_field(F.col("block"), SITEMAP_LOC_RE).alias("loc"),
+        sitemap_lastmod_epoch_day(F.col("block")).alias("epoch_day"),
+        sitemap_field(F.col("block"), SITEMAP_CHANGEFREQ_RE).alias("cf"),
+        sitemap_priority_milli(F.col("block")).alias("pri"),
+    )
+    return [r.asDict() for r in out.orderBy("doc_id", "entry_idx").collect()]
+
+
+def test_sitemap_parse_crafted_documents(spark):
+    urlset = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>
+      https://a.example/one
+    </loc>
+    <lastmod>2024-03-15T09:30:00+00:00</lastmod>
+    <changefreq>
+      hourly
+    </changefreq>
+    <priority>0.85</priority>
+  </url>
+  <url><loc>https://a.example/two</loc></url>
+  <url>
+    <lastmod>not-a-date</lastmod>
+    <priority>2.5</priority>
+  </url>
+  <url><loc>https://a.example/three</loc><priority>1</priority></url>
+</urlset>"""
+    index = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://a.example/maps/0.xml</loc>
+    <lastmod>2024-01-02</lastmod></sitemap>
+</sitemapindex>"""
+    rows = _parse(spark, [urlset, index, "just prose, no markup", ""])
+    by_key = {(r["doc_id"], r["entry_idx"]): r for r in rows}
+
+    # markup-free and empty docs: zero rows, never an error
+    assert {r["doc_id"] for r in rows} == {0, 1}
+
+    # entry 0: multiline whitespace trimmed everywhere; full datetime
+    # lastmod keeps its day prefix; digit-exact priority
+    r = by_key[(0, 0)]
+    assert r["kind"] == "url"
+    assert r["loc"] == "https://a.example/one"
+    assert r["epoch_day"] == 19797  # 2024-03-15
+    assert r["cf"] == "hourly"
+    assert r["pri"] == 850
+
+    # entry 1: loc only — every optional field NULL
+    r = by_key[(0, 1)]
+    assert r["loc"] == "https://a.example/two"
+    assert r["epoch_day"] is None and r["cf"] is None and r["pri"] is None
+
+    # entry 2: loc ABSENT (NULL, not ''), malformed lastmod and
+    # out-of-grammar priority both NULL — total under ANSI mode
+    r = by_key[(0, 2)]
+    assert r["loc"] is None
+    assert r["epoch_day"] is None and r["pri"] is None
+
+    # entry 3: integer priority '1' -> 1000 milli
+    assert by_key[(0, 3)]["pri"] == 1000
+
+    # index doc: kind flips, children parsed with their lastmod
+    r = by_key[(1, 0)]
+    assert r["kind"] == "sitemap"
+    assert r["loc"] == "https://a.example/maps/0.xml"
+    assert r["epoch_day"] == 19724  # 2024-01-02
+    assert (1, 1) not in by_key
+
+
+def test_sitemap_priority_grammar_edges(spark):
+    cases = [
+        ("0.0", 0),
+        ("0.5", 500),
+        ("1.0", 1000),
+        ("1", 1000),
+        ("0", 0),
+        ("0.123", 123),
+        ("0.1234", None),  # >3 decimals: out of grammar
+        # textually inside the [01].ddd grammar though above the
+        # spec's 1.0 ceiling: parses to 1500 milli — clamping
+        # spec-invalid priorities is the consumer's policy, as in
+        # real crawlers
+        ("1.5", 1500),
+        (".5", None),
+        ("high", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, f"<url><priority>{p}</priority></url>") for i, (p, _) in enumerate(cases)],
+        "doc_id long, block string",
+    )
+    got = {
+        r["doc_id"]: r["pri"]
+        for r in df.select(
+            "doc_id", sitemap_priority_milli(F.col("block")).alias("pri")
+        ).collect()
+    }
+    for i, (p, want) in enumerate(cases):
+        assert got[i] == want, p
+
+
+def test_sitemap_discovery_non_vacuous(spark, sf_dir):
+    """Fixture-level pins: both seen verdicts occur, duplicate refs
+    collapse (n_refs > 1), quirky locs canonicalized (no uppercase
+    scheme/host survives), and index children stay out."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        sitemap_frontier_discovery,
+    )
+
+    rows = sitemap_frontier_discovery(spark, sf_dir).collect()
+    assert rows
+    seen_vals = {r["seen"] for r in rows}
+    assert seen_vals == {True, False}
+    assert max(r["n_refs"] for r in rows) > 1
+    for r in rows:
+        assert not r["canon_url"].startswith("HTTP://")
+        assert ":80/" not in r["canon_url"]
+        assert "idx" not in r["canon_url"].split("/")[2][:3]
+
+
+def test_sitemap_extract_plan_scan_only(spark, sf_dir):
+    """X286 is scan + generate: no Exchange in the physical plan."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        sitemap_extract_urls,
+    )
+
+    plan = (
+        sitemap_extract_urls(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" in plan
