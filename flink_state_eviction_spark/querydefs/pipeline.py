@@ -9324,15 +9324,12 @@ GROUP BY 1
 """
 
 
-def frontier_canon_frame(docs: DataFrame) -> DataFrame:
-    """The X224 frontier mint + canonicalization as a frame:
-    (doc_id, canon_url) — THE batch seen-set, shared by the census
-    below and the X287 sitemap-discovery join so the two read the
-    same crawl state."""
-    from flink_state_eviction_spark.functions.text import normalize_url
-
+def frontier_minted_url() -> F.Column:
+    """The RAW X224 frontier mint (pre-canonicalization) — shared by
+    :func:`frontier_canon_frame` and the X288 streaming twin's frontier
+    feed, so batch and streaming seen-sets ingest identical URLs."""
     did = F.col("doc_id").cast("string")
-    url = (
+    return (
         F.when(
             F.col("doc_id") % 5 == 0,
             F.concat(
@@ -9353,7 +9350,18 @@ def frontier_canon_frame(docs: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit("https://Dup.Example/shared"))
     )
-    return docs.select("doc_id", normalize_url(url).alias("canon_url"))
+
+
+def frontier_canon_frame(docs: DataFrame) -> DataFrame:
+    """The X224 frontier mint + canonicalization as a frame:
+    (doc_id, canon_url) — THE batch seen-set, shared by the census
+    below and the X287 sitemap-discovery join so the two read the
+    same crawl state."""
+    from flink_state_eviction_spark.functions.text import normalize_url
+
+    return docs.select(
+        "doc_id", normalize_url(frontier_minted_url()).alias("canon_url")
+    )
 
 
 @register_supplementary(
@@ -9823,10 +9831,23 @@ def sitemap_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (they feed the fetch-of-sitemaps loop instead). The
     seen-set join carries NO broadcast hint — crawl-sized state (the
     round-8 frame class); one group-fold exchange + one join exchange
-    at any corpus size."""
+    at any corpus size. Kernels (`sitemap_disc_partials` fold +
+    `sitemap_discovery_join` tail) are shared verbatim with the X288
+    streaming maintainer so batch and served discovery cannot
+    diverge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sitemap_discovery_join(
+        sitemap_disc_partials(docs), frontier_canon_frame(docs)
+    )
+
+
+def sitemap_disc_partials(docs: DataFrame) -> DataFrame:
+    """X287 per-URL discovery fold over a (doc_id,) frame: canonical
+    loc -> (n_refs, latest_epoch_day, best_priority_milli). Associative
+    (SUM/MAX/MAX), so micro-batch partials re-fold to the corpus fold —
+    the X288 maintainer's state rows."""
     from flink_state_eviction_spark.functions.text import normalize_url
 
-    docs = load_table(spark, sf_dir, "documents")
     ext = sitemap_entries_frame(docs)
     urls = ext.where(
         (F.col("kind") == "url") & F.col("loc").isNotNull()
@@ -9835,16 +9856,20 @@ def sitemap_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lastmod_epoch_day",
         "priority_milli",
     )
-    disc = urls.groupBy("canon_url").agg(
+    return urls.groupBy("canon_url").agg(
         F.count(F.lit(1)).cast("long").alias("n_refs"),
         F.max("lastmod_epoch_day").alias("latest_epoch_day"),
         F.max("priority_milli").alias("best_priority_milli"),
     )
+
+
+def sitemap_discovery_join(disc: DataFrame, seen_urls: DataFrame) -> DataFrame:
+    """X287 serving tail: LEFT-join the seen-set (a frame carrying
+    ``canon_url``) onto the per-URL discovery fold — shared by the
+    batch query and the X288 maintained-state serve. No broadcast
+    hint: both sides are crawl-sized."""
     seen = (
-        frontier_canon_frame(docs)
-        .select("canon_url")
-        .distinct()
-        .withColumn("_s", F.lit(1))
+        seen_urls.select("canon_url").distinct().withColumn("_s", F.lit(1))
     )
     return disc.join(seen, "canon_url", "left").select(
         "canon_url",

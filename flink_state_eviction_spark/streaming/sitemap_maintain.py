@@ -1,0 +1,101 @@
+"""Streaming sitemap-discovery maintainer (X288): an always-ingesting
+crawl maintains per-canonical-URL discovery partials (reference count,
+latest lastmod, best priority) from each micro-batch of sitemap
+documents, and the X287 frontier-discovery table serves from the
+maintained state joined against the X224 frontier seen-set — the loop
+that turns freshly published sitemap entries into schedulable fetch
+candidates one micro-batch after they appear.
+
+Standard partials pattern (X191/X261 model):
+
+- ``sitemap_maintain_batch`` — ``foreachBatch`` body: the batch's
+  per-URL fold (the SAME ``sitemap_disc_partials`` kernel as the batch
+  query — parse, canonicalize, SUM/MAX/MAX) lands in an idempotent
+  ``batch=<id>`` partition.
+- ``partials_from_state`` — summed partials (SUM n_refs, MAX lastmod,
+  MAX priority — all associative, so re-folds equal the corpus fold).
+- ``discovery_from_state`` — the X287 table through the SAME
+  ``sitemap_discovery_join`` tail, with the seen-set read from the
+  X224 frontier maintainer's state; bit-equal to the batch
+  `sitemap_frontier_discovery` once the corpus has streamed in
+  (tests/test_streaming_sitemap.py).
+
+HONEST state note: per-URL rows are crawl-linear state (the frontier
+seen-set class) — why the serve carries no broadcast hint; each
+batch's partition is bounded by the batch's DISTINCT discovered URLs.
+
+Extension beyond the reference surface (twins the batch X287 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("canon_url").agg(
+        F.sum("n_refs").cast("bigint").alias("n_refs"),
+        F.max("latest_epoch_day").alias("latest_epoch_day"),
+        F.max("best_priority_milli").alias("best_priority_milli"),
+    )
+
+
+def sitemap_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of discovery maintenance (module docstring).
+    Call from ``foreachBatch`` forwarding its batch id. ``batch_df``
+    must carry (doc_id,) — the sitemap mint is doc_id-keyed like every
+    fixture staging."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        sitemap_disc_partials,
+    )
+
+    sitemap_disc_partials(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "sitemap", f"batch={batch_id}")
+    )
+
+
+def compact_sitemap_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — partials
+    re-fold under SUM/MAX/MAX. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark, os.path.join(state_dir, "sitemap"), through_batch, _fold
+    )
+
+
+def partials_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained per-URL discovery partials: re-folded over batch
+    partitions."""
+    return _fold(spark.read.parquet(os.path.join(state_dir, "sitemap")))
+
+
+def discovery_from_state(
+    spark: SparkSession, state_dir: str, frontier_state_dir: str
+) -> DataFrame:
+    """The X287 discovery table from MAINTAINED state: summed sitemap
+    partials joined against the X224 frontier maintainer's seen-set
+    through the shared ``sitemap_discovery_join`` tail — bit-equal to
+    the batch query once the corpus has streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        sitemap_discovery_join,
+    )
+    from flink_state_eviction_spark.streaming.frontier_maintain import (
+        seen_from_state,
+    )
+
+    return sitemap_discovery_join(
+        partials_from_state(spark, state_dir),
+        seen_from_state(spark, frontier_state_dir),
+    )

@@ -1,0 +1,99 @@
+"""Streaming twin for sitemap frontier discovery (X288): serving from
+the maintained sitemap partials + frontier seen-set must reproduce the
+batch `sitemap_frontier_discovery` bit-for-bit; redelivery must not
+change the state; compaction preserves it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.querydefs.pipeline import (
+    frontier_minted_url,
+)
+from flink_state_eviction_spark.sources.fixtures import as_file_stream
+from flink_state_eviction_spark.streaming.frontier_maintain import (
+    frontier_maintain_batch,
+)
+from flink_state_eviction_spark.streaming.sitemap_maintain import (
+    compact_sitemap_state,
+    discovery_from_state,
+    partials_from_state,
+    sitemap_maintain_batch,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_streaming_sitemap_discovery_matches_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    stream = as_file_stream(
+        docs, str(tmp_path), num_batches=3, order_col="doc_id"
+    )
+    sm_state = os.path.join(str(tmp_path), "sm-state")
+    fr_state = os.path.join(str(tmp_path), "fr-state")
+
+    def upd(batch_df, batch_id):
+        sitemap_maintain_batch(batch_df, sm_state, batch_id)
+        # the frontier maintainer ingests the SAME raw mint the batch
+        # seen-set canonicalizes (frontier_minted_url — one mint, no
+        # divergence)
+        frontier_maintain_batch(
+            batch_df.select(
+                "doc_id", frontier_minted_url().alias("target_uri")
+            ),
+            fr_state,
+            batch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = _rows(discovery_from_state(spark, sm_state, fr_state))
+    want = _rows(all_queries()["sitemap_frontier_discovery"](spark, sf_dir))
+    assert got == want and got
+    # non-vacuous: both seen verdicts and a multi-ref URL reached state
+    assert {r[4] for r in got} == {True, False}
+    assert max(r[1] for r in got) > 1
+
+
+def test_sitemap_state_redelivery_and_compaction(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = sorted(r["doc_id"] for r in docs.collect())
+    n = len(ids)
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, docs.where(F.col("doc_id") < cut1)),
+        (1, docs.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, docs.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "sm-state")
+    for bid, b in batches:
+        sitemap_maintain_batch(b, state, bid)
+
+    def snapshot():
+        return _rows(partials_from_state(spark, state))
+
+    once = snapshot()
+    # redelivery of a batch id is idempotent (overwrite semantics)
+    sitemap_maintain_batch(batches[1][1], state, 1)
+    assert snapshot() == once
+
+    # compaction only BELOW the max committed batch id; state preserved
+    with pytest.raises(ValueError):
+        compact_sitemap_state(spark, state, 2)
+    compact_sitemap_state(spark, state, 1)
+    assert snapshot() == once
+    sitemap_maintain_batch(batches[2][1], state, 2)
+    assert snapshot() == once
