@@ -892,3 +892,20 @@ def sitemap_priority_milli(block: Column) -> Column:
         ip != "",
         ip.cast("long") * 1000 + F.rpad(fp, 3, "0").cast("long"),
     )
+
+
+# Sitemap: directives inside robots.txt (RFC 9309 §2.3 — the codegen
+# twin of sources/warc.py:parse_robots_sitemaps for parquet-staged
+# robots text; X290). Line-anchored, case-insensitive key, optional
+# space around the colon, value = first run not containing whitespace
+# or '#' (comment start; a '#' fragment is not meaningful to a
+# fetcher). Group-independent per spec, so no User-agent tracking.
+ROBOTS_SITEMAP_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^ \t\r\n#]+)"
+
+
+def robots_sitemap_urls(text: Column) -> Column:
+    """Array of Sitemap: directive URLs from a robots.txt text column,
+    in file order (duplicates kept — the discovery fold de-dups and
+    the raw count is a signal). Pure regexp codegen in the Java/RE2
+    common subset; a body with no directives yields an empty array."""
+    return F.regexp_extract_all(text, F.lit(ROBOTS_SITEMAP_RE), 1)

@@ -982,6 +982,108 @@ def multimodal_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X289: the X25 mixed-media sniffer path extended to FOUR containers
+# (doc_id % 4 picks BMP / WAV / PPM / PNG) — the heterogeneous-lake
+# case now covering both endiannesses and a compressed raster. A new
+# query rather than a change to multimodal_mixed_media so the X25
+# parity history stays comparable.
+
+_MIXED_MEDIA4_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS h,
+           doc_id % 256 AS d, doc_id % 4 AS pick
+    FROM documents
+),
+bmp AS (
+    SELECT doc_id, 'bmp' AS container, (h % 12 + 1) * (h % 10 + 1) * 3 AS n,
+           d FROM m WHERE pick = 0
+),
+wav AS (
+    SELECT doc_id, 'wav' AS container, h % 300 + 10 AS n, d
+    FROM m WHERE pick = 1
+),
+ppm AS (
+    SELECT doc_id, 'ppm' AS container, (h % 9 + 1) * (h % 7 + 1) * 3 AS n,
+           d FROM m WHERE pick = 2
+),
+png AS (
+    SELECT doc_id, 'png' AS container, (h % 11 + 1) * (h % 8 + 1) * 3 AS n,
+           d FROM m WHERE pick = 3
+),
+allm AS (
+    SELECT * FROM bmp UNION ALL SELECT * FROM wav UNION ALL
+    SELECT * FROM ppm UNION ALL SELECT * FROM png
+),
+vals AS (
+    SELECT doc_id, container, n, d,
+           unnest(generate_series(0, n - 1)) AS j
+    FROM allm
+),
+pv AS (
+    SELECT doc_id, container, n,
+           CASE container
+               WHEN 'bmp' THEN (d + j) % 256
+               WHEN 'ppm' THEN (d * 3 + j * 5) % 256
+               WHEN 'png' THEN (d * 7 + j * 11) % 256
+               ELSE ((d * 31 + j * 7) % 2048) - 1024
+           END AS v
+    FROM vals
+)
+SELECT container, COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(v) AS BIGINT) AS sum_values
+FROM pv GROUP BY container
+"""
+
+
+@register_supplementary(
+    "multimodal_mixed_media4",
+    _MIXED_MEDIA4_ORACLE,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_mixed_media4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X289: one media table holding ALL FOUR real containers
+    (doc_id % 4 picks BMP / WAV / PPM / PNG), decoded through the
+    magic-byte sniffer — X25 extended with the big-endian compressed
+    container, so the sniffer path now spans both endiannesses, raw
+    and zlib rasters, and PCM audio in one pass. Per-container doc
+    counts and exact value sums; the oracle regenerates each
+    container's formula behind the same pick.
+
+    Scale shape: union of four scan-parallel generators, one
+    mapInPandas decode pass, |containers|-row aggregate."""
+    from flink_state_eviction_spark.operators.multimodal import (
+        bmp_media_from_documents,
+        decode_media,
+        png_media_from_documents,
+        ppm_media_from_documents,
+        wav_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        bmp_media_from_documents(docs.where(F.col("doc_id") % 4 == 0))
+        .unionByName(
+            wav_media_from_documents(docs.where(F.col("doc_id") % 4 == 1))
+        )
+        .unionByName(
+            ppm_media_from_documents(docs.where(F.col("doc_id") % 4 == 2))
+        )
+        .unionByName(
+            png_media_from_documents(docs.where(F.col("doc_id") % 4 == 3))
+        )
+    )
+    return (
+        decode_media(media)
+        .groupBy("container")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("sum_values").alias("sum_values"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # split leakage check: near-dup pairs crossing the train/val/test split
 
 

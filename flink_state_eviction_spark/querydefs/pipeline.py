@@ -9881,6 +9881,113 @@ def sitemap_discovery_join(disc: DataFrame, seen_urls: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X290: Sitemap: directives in robots.txt — the missing hop between
+# the X219/X221 robots machinery and the X286/X287 sitemap family: a
+# crawler learns WHERE the sitemaps are from robots.txt (RFC 9309
+# §2.3), fetches them, then X286 parses what comes back. The codegen
+# kernel (functions/text.py:robots_sitemap_urls) twins the Python
+# parser the WARC path uses (sources/warc.py:parse_robots_sitemaps) —
+# equality pinned on crafted bodies in test_sitemap.py. The mint
+# exercises the grammar: canonical-case directive, lowercase +
+# space-before-colon variant with a trailing comment, a commented-out
+# line that must NOT extract, and non-directive lines.
+
+
+def _robots_sitemap_oracle() -> str:
+    from flink_state_eviction_spark.functions.text import (
+        ROBOTS_SITEMAP_RE,
+    )
+
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           '# robots for d' || CAST(doc_id AS VARCHAR) || chr(10)
+           || 'User-agent: *' || chr(10)
+           || 'Disallow: /private/' || chr(10)
+           || 'Sitemap: https://h' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example/sitemap' || CAST(doc_id % 3 AS VARCHAR)
+           || '.xml' || chr(10)
+           || CASE WHEN doc_id % 4 = 0
+                   THEN 'sitemap : https://h'
+                        || CAST(doc_id % 20 AS VARCHAR)
+                        || '.example/extra.xml # primary' || chr(10)
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN '# Sitemap: https://ignored.example/x.xml'
+                        || chr(10)
+                   ELSE '' END
+           || 'Crawl-delay: 5' || chr(10) AS body
+    FROM documents
+),
+lst AS (
+    SELECT doc_id, regexp_extract_all(body, '{ROBOTS_SITEMAP_RE}', 1) AS l
+    FROM base
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, len(l) - 1)) AS BIGINT) AS sm_idx,
+       unnest(l) AS sitemap_url
+FROM lst
+"""
+
+
+def _minted_robots_col():
+    """The deterministic robots.txt body per fixture doc (X290 mint —
+    mirrors the oracle's base CTE)."""
+    did = F.col("doc_id")
+    h20 = (did % 20).cast("string")
+    return F.concat(
+        F.lit("# robots for d"), did.cast("string"),
+        F.lit("\nUser-agent: *\nDisallow: /private/\n"),
+        F.lit("Sitemap: https://h"), h20, F.lit(".example/sitemap"),
+        (did % 3).cast("string"), F.lit(".xml\n"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("sitemap : https://h"), h20,
+                F.lit(".example/extra.xml # primary\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.lit("# Sitemap: https://ignored.example/x.xml\n"),
+        ).otherwise(F.lit("")),
+        F.lit("Crawl-delay: 5\n"),
+    )
+
+
+@register_supplementary(
+    "robots_sitemap_directives",
+    _robots_sitemap_oracle(),
+    tags=("pipeline", "text"),
+)
+def robots_sitemap_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X290: Sitemap: directive extraction from robots.txt bodies
+    (module comment above) — (doc_id, sm_idx, sitemap_url) rows via
+    line-anchored case-insensitive regexp codegen, group-independent
+    per RFC 9309 §2.3. Scan + one generate, zero exchanges; the
+    WARC-native twin (sources/warc.py:robots_sitemaps_from_records)
+    runs the Python parser over real robots.txt responses. Extension
+    beyond the reference surface."""
+    from flink_state_eviction_spark.functions.text import (
+        robots_sitemap_urls,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", _minted_robots_col().alias("body"))
+    arr = staged.select(
+        "doc_id", robots_sitemap_urls(F.col("body")).alias("urls")
+    )
+    ent = arr.select(
+        "doc_id", F.posexplode("urls").alias("sm_idx", "sitemap_url")
+    )
+    return ent.select(
+        "doc_id",
+        F.col("sm_idx").cast("long").alias("sm_idx"),
+        "sitemap_url",
+    )
+
+
+# ---------------------------------------------------------------------------
 # X226/X227: the crawl LINK GRAPH — href extraction from page HTML
 # (both quote styles), RFC 3986-subset resolution against the page URL
 # (functions/text.py:html_extract_links / resolve_link), host-level

@@ -389,6 +389,65 @@ def parse_robots(payload: bytes) -> list[str]:
     return prefixes
 
 
+def parse_robots_sitemaps(payload: bytes) -> list[str]:
+    """``Sitemap:`` directive URLs from a robots.txt body, in file
+    order. Per RFC 9309 §2.3 / sitemaps.org, Sitemap lines are
+    GROUP-INDEPENDENT — they apply regardless of any surrounding
+    User-agent group, so this walk ignores grouping entirely (unlike
+    :func:`parse_robots`). Comments strip at '#' (a fragment in a
+    sitemap URL is not meaningful to a fetcher); the URL value is the
+    first whitespace-delimited token after the colon. Duplicate lines
+    are kept — de-dup is the discovery fold's job, and the raw count
+    is itself a signal (X290)."""
+    urls: list[str] = []
+    for raw in payload.decode("utf-8", "replace").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            val = val.strip().split()[0] if val.strip() else ""
+            if val:
+                urls.append(val)
+    return urls
+
+
+def robots_sitemaps_from_records(recs: DataFrame) -> DataFrame:
+    """The ONE sitemap-directive kernel over a WARC records frame
+    (robots.txt 200-OK responses -> distinct (host, sitemap_url)
+    rows) — the X290 WARC-native path, sharing the response filter
+    shape of :func:`robots_rules_from_records` and the group-free
+    directive semantics of :func:`parse_robots_sitemaps`. The same
+    broadcast caveat as the rules frame applies: rows per host are
+    bounded by the robots file, the FRAME grows with crawled hosts."""
+    from urllib.parse import urlsplit
+
+    from pyspark.sql import functions as F
+
+    robots = recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("error").isNull()
+        & F.col("target_uri").endswith("/robots.txt")
+    ).select("target_uri", "http_body")
+
+    def explode_sitemaps(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, urls = [], []
+            for uri, body in zip(pdf["target_uri"], pdf["http_body"]):
+                host = urlsplit(uri).hostname or ""
+                for u in parse_robots_sitemaps(bytes(body or b"")):
+                    hosts.append(host.lower())
+                    urls.append(u)
+            yield pd.DataFrame({"host": hosts, "sitemap_url": urls})
+
+    return robots.mapInPandas(
+        explode_sitemaps, "host string, sitemap_url string"
+    ).distinct()
+
+
 def robots_disallow_rules(spark: SparkSession, path: str) -> DataFrame:
     """(host, disallow_prefix) rules harvested from the crawl's own
     robots.txt responses. A robots file is a few KB, which bounds the

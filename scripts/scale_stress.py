@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c,r9d,r9e,r9f,r9g,r9h,r9i,r9j,r9k,r9l,r9m,r9n,r9o,r9p,r9q,r9r,r10,r10b,r10c",
+        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c,r9d,r9e,r9f,r9g,r9h,r9i,r9j,r9k,r9l,r9m,r9n,r9o,r9p,r9q,r9r,r10,r10b,r10c,r10d",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -477,6 +477,17 @@ def main() -> None:
             rec["dup_cluster_census_sec"] = timed(lambda: all_qs["dup_cluster_census"](spark, d))
             # X275: gopher scan + doc_id join + |sources| fold
             rec["quality_filter_ablation_sec"] = timed(lambda: all_qs["quality_filter_ablation"](spark, d))
+        if "r10d" in only:
+            # X285: PNG stage + zlib decode, one Arrow pass each way
+            rec["multimodal_decode_png_sec"] = timed(lambda: all_qs["multimodal_decode_png"](spark, d))
+            # X285: codegen IHDR probe over staged PNG bytes
+            rec["multimodal_png_probe_sec"] = timed(lambda: all_qs["multimodal_image_header_filter_png"](spark, d))
+            # X289: four-container sniffer decode + |containers| fold
+            rec["multimodal_mixed_media4_sec"] = timed(lambda: all_qs["multimodal_mixed_media4"](spark, d))
+            # X286: regexp parse + generate, zero exchanges
+            rec["sitemap_extract_urls_sec"] = timed(lambda: all_qs["sitemap_extract_urls"](spark, d))
+            # X287: canon fold + seen-set join (no broadcast hint)
+            rec["sitemap_frontier_discovery_sec"] = timed(lambda: all_qs["sitemap_frontier_discovery"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path

@@ -172,3 +172,98 @@ def test_sitemap_extract_plan_scan_only(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "Generate" in plan
+
+
+# ---------------------------------------------------------------------------
+# X290: Sitemap: directives in robots.txt — Python parser (WARC path)
+# and codegen kernel (parquet path) must extract identically
+
+
+_ROBOTS_BODIES = [
+    # canonical, lowercase, spaced colon, trailing comment
+    b"User-agent: *\nSitemap: https://a.example/s.xml\n"
+    b"sitemap : https://a.example/t.xml # primary\n",
+    # commented-out line must NOT extract; mid-line key must not match
+    b"# Sitemap: https://no.example/x.xml\n"
+    b"Disallow: /p Sitemap: https://no.example/y.xml\n",
+    # value-less and whitespace-only directives drop; duplicates kept
+    b"Sitemap:\nSitemap:   \nSitemap: https://d.example/s.xml\n"
+    b"Sitemap: https://d.example/s.xml\n",
+    # CRLF endings, indented directive, mixed case key
+    b"  SiteMap: https://c.example/s.xml\r\nUser-agent: *\r\n",
+    # fragment/comment '#' truncates the value
+    b"Sitemap: https://f.example/s.xml#frag\n",
+    b"no directives at all\n",
+]
+
+
+def test_robots_sitemap_parser_and_codegen_agree(spark):
+    from flink_state_eviction_spark.functions.text import (
+        robots_sitemap_urls,
+    )
+    from flink_state_eviction_spark.sources.warc import (
+        parse_robots_sitemaps,
+    )
+
+    want = [parse_robots_sitemaps(b) for b in _ROBOTS_BODIES]
+    # pin the Python side absolutely, not just the agreement
+    assert want == [
+        ["https://a.example/s.xml", "https://a.example/t.xml"],
+        [],
+        ["https://d.example/s.xml", "https://d.example/s.xml"],
+        ["https://c.example/s.xml"],
+        ["https://f.example/s.xml"],
+        [],
+    ]
+    df = spark.createDataFrame(
+        [(i, b.decode()) for i, b in enumerate(_ROBOTS_BODIES)],
+        "doc_id long, body string",
+    )
+    got = {
+        r["doc_id"]: list(r["urls"])
+        for r in df.select(
+            "doc_id", robots_sitemap_urls(F.col("body")).alias("urls")
+        ).collect()
+    }
+    assert [got[i] for i in range(len(_ROBOTS_BODIES))] == want
+
+
+def test_robots_sitemaps_from_warc_records(spark, tmp_path):
+    """The WARC-native path: directives harvested from robots.txt
+    200-OK responses only — non-robots pages and non-200 responses
+    contribute nothing; host key is the lowercased hostname."""
+    from flink_state_eviction_spark.sources.warc import (
+        read_warc,
+        robots_sitemaps_from_records,
+    )
+
+    def record(wtype, uri, payload):
+        heads = [
+            b"WARC/1.0",
+            f"WARC-Type: {wtype}".encode(),
+            b"WARC-Date: 2026-08-16T00:00:00Z",
+        ]
+        if uri:
+            heads.append(f"WARC-Target-URI: {uri}".encode())
+        heads.append(f"Content-Length: {len(payload)}".encode())
+        return b"\r\n".join(heads) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    ok = b"HTTP/1.1 200 OK\r\n\r\nSitemap: https://A.Example/s.xml\nSitemap: https://a.example/t.xml\n"
+    gone = b"HTTP/1.1 404 Not Found\r\n\r\nSitemap: https://a.example/404.xml\n"
+    page = b"HTTP/1.1 200 OK\r\n\r\nSitemap: https://a.example/not-robots.xml\n"
+    archive = (
+        record("response", "http://A.Example/robots.txt", ok)
+        + record("response", "http://a.example/robots.txt", gone)
+        + record("response", "http://a.example/page", page)
+    )
+    (tmp_path / "r.warc").write_bytes(archive)
+    got = {
+        tuple(r)
+        for r in robots_sitemaps_from_records(
+            read_warc(spark, str(tmp_path), include_payload=True)
+        ).collect()
+    }
+    assert got == {
+        ("a.example", "https://A.Example/s.xml"),
+        ("a.example", "https://a.example/t.xml"),
+    }
