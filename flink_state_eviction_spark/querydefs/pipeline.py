@@ -2135,6 +2135,135 @@ def embedding_cluster_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X291: margin-based bitext mining (Artetxe & Schwenk 2019,
+# arXiv:1811.01136 §3; the CCMatrix harvesting criterion) — mine
+# aligned cross-"language" pairs from embedding space: a pair is
+# mined when its cosine stands OUT relative to both vectors' local
+# neighborhoods (the ratio margin), which kills the hubness failure
+# absolute-threshold mining suffers. Sides come from vec_id parity
+# (the fixture has no language column on embeddings; the ALGEBRA is
+# what's gated — the X225 fetch-plan precedent). The neighborhoods
+# are the learned-cell k-NN graph (X128) filtered to cross-side
+# edges — exactly the FAISS-ANN practice of the paper — so the whole
+# query is a composition over the already-gated graph: zero new
+# geometry. Deterministic-arithmetic note: per-side neighborhood sums
+# pivot the (<= 4) rank-ordered round-6 sims into columns and add in
+# fixed syntactic order — no float SUM whose partial-aggregation
+# order could split the engines.
+
+BITEXT_K = 4  # cross-side neighborhood size entering the margin
+BITEXT_MARGIN_MIN = 1.02  # ratio-margin mining threshold
+
+_BITEXT_STATS_SQL = """
+SELECT query_id,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       coalesce(MAX(CASE WHEN rn = 1 THEN sim END), 0)
+       + coalesce(MAX(CASE WHEN rn = 2 THEN sim END), 0)
+       + coalesce(MAX(CASE WHEN rn = 3 THEN sim END), 0)
+       + coalesce(MAX(CASE WHEN rn = 4 THEN sim END), 0) AS s
+FROM ce WHERE rn <= 4 GROUP BY 1
+"""
+
+_BITEXT_ORACLE = f"""
+WITH {_KNN_GRAPH_BODY},
+g AS (
+    SELECT query_id, neighbor_id, rank, round(sim0, 6) AS sim
+    FROM r WHERE rank <= 5
+),
+cross_e AS (
+    SELECT query_id, neighbor_id, rank, sim
+    FROM g WHERE query_id % 2 <> neighbor_id % 2
+),
+ce AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rn
+    FROM cross_e
+),
+stats AS ({_BITEXT_STATS_SQL.strip()}),
+best AS (
+    SELECT query_id AS src_id, neighbor_id AS tgt_id, sim AS cos_sim
+    FROM ce WHERE rn = 1 AND query_id % 2 = 0
+)
+SELECT b.src_id, b.tgt_id, b.cos_sim,
+       round(b.cos_sim / ((f.s / f.cnt + t.s / t.cnt) / 2), 6) AS margin,
+       (b.cos_sim / ((f.s / f.cnt + t.s / t.cnt) / 2)
+            >= {BITEXT_MARGIN_MIN}) AS mined
+FROM best b
+JOIN stats f ON f.query_id = b.src_id
+JOIN stats t ON t.query_id = b.tgt_id
+"""
+
+
+@register_supplementary(
+    "bitext_mining_margin", _BITEXT_ORACLE, tags=("pipeline", "similarity")
+)
+def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X291: ratio-margin bitext mining (module comment above) — per
+    even-side vector, its best cross-side candidate with
+    margin = cos / mean(fwd-neighborhood avg, bwd-neighborhood avg)
+    and the mined verdict at ratio 1.02 (BITEXT_MARGIN_MIN — the
+    interpolation rule: constants are written literally, round-7
+    docstring gotcha). Composition over the
+    X128 learned-cell graph (the oracle wraps _KNN_GRAPH_BODY —
+    zero re-implemented geometry); beyond the graph's own shuffles
+    this adds one bounded per-query window (<= 5 rows/group), one
+    |queries|-row fold, and two id-keyed joins. A candidate whose
+    backward neighborhood has no cross-side edge is unratable:
+    dropped by the inner join, exactly the paper's 'no margin
+    evidence' case. Extension beyond the reference surface.
+    """
+    from pyspark.sql import Window
+
+    g = _learned_knn_graph(spark, sf_dir)
+    cross = g.where(
+        F.col("query_id") % 2 != F.col("neighbor_id") % 2
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    ce = (
+        cross.select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= BITEXT_K)
+        .localCheckpoint(eager=False)
+    )
+    piv = [
+        F.coalesce(
+            F.max(F.when(F.col("rn") == i, F.col("sim"))), F.lit(0.0)
+        )
+        for i in range(1, BITEXT_K + 1)
+    ]
+    stats = ce.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        (piv[0] + piv[1] + piv[2] + piv[3]).alias("s"),
+    )
+    best = ce.where((F.col("rn") == 1) & (F.col("query_id") % 2 == 0)).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        F.col("sim").alias("cos_sim"),
+    )
+    f, t = stats.alias("f"), stats.alias("t")
+    denom = (
+        F.col("f.s") / F.col("f.cnt") + F.col("t.s") / F.col("t.cnt")
+    ) / 2
+    return (
+        best.join(f, F.col("f.query_id") == F.col("src_id"))
+        .join(t, F.col("t.query_id") == F.col("tgt_id"))
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_sim",
+            F.round(F.col("cos_sim") / denom, 6).alias("margin"),
+            (F.col("cos_sim") / denom >= BITEXT_MARGIN_MIN).alias(
+                "mined"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # X192: SemDeDup — semantic dedup over learned clusters (Abbas et al.
 # 2023, arXiv:2303.09540). The embedding-space complement of the
 # minhash/simhash families: near-duplicate PAIRING is scoped to each

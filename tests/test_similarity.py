@@ -458,3 +458,26 @@ def test_semdedup_keep_rule_crafted(spark):
     pruned = [v for v, f in pair_flags.items() if f][0]
     assert got[kept][1] < got[pruned][1]
     assert not got[3][2] and not got[4][2] and not got[5][2]
+
+
+def test_bitext_margin_non_vacuous_and_consistent(spark, sf_dir):
+    """X291 fixture pins: one row per even-side vector with a rated
+    cross-side candidate; sides are disjoint by construction; both
+    mined verdicts occur; the verdict is consistent with the reported
+    (rounded) margin up to the rounding half-step."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        BITEXT_MARGIN_MIN,
+        bitext_mining_margin,
+    )
+
+    rows = bitext_mining_margin(spark, sf_dir).collect()
+    assert rows
+    assert len({r["src_id"] for r in rows}) == len(rows)
+    assert {r["mined"] for r in rows} == {True, False}
+    for r in rows:
+        assert r["src_id"] % 2 == 0 and r["tgt_id"] % 2 == 1
+        assert r["margin"] is not None and r["margin"] > 0
+        if r["mined"]:
+            assert r["margin"] >= BITEXT_MARGIN_MIN - 5e-7
+        else:
+            assert r["margin"] < BITEXT_MARGIN_MIN + 5e-7
