@@ -2212,9 +2212,16 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped by the inner join, exactly the paper's 'no margin
     evidence' case. Extension beyond the reference surface.
     """
+    return bitext_margin_from_graph(_learned_knn_graph(spark, sf_dir))
+
+
+def bitext_margin_from_graph(g: DataFrame) -> DataFrame:
+    """The X291 margin tail over any frame in knn_graph's output shape
+    (query_id, neighbor_id, rank, sim) — THE kernel shared by the
+    batch query and the maintained-graph serve
+    (streaming/bitext_serve.py), so the two cannot diverge."""
     from pyspark.sql import Window
 
-    g = _learned_knn_graph(spark, sf_dir)
     cross = g.where(
         F.col("query_id") % 2 != F.col("neighbor_id") % 2
     )

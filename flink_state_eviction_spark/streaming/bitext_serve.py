@@ -1,0 +1,33 @@
+"""Maintained-graph bitext serving (X292): after any micro-batch of
+the X129 incremental k-NN maintainer, the X291 ratio-margin mining
+table serves from the maintained edges through the SAME
+``bitext_margin_from_graph`` tail as the batch query — this module
+owns ZERO mining logic. The trajectory a parallel-corpus harvester
+needs: vectors stream in, the frozen-index maintainer keeps every
+vector's top-k current, and freshly minable cross-side pairs surface
+one micro-batch after both sides have arrived.
+
+Serving is bit-equal to the batch tail over ``knn_graph(final corpus,
+centroids=frozen)`` because the maintained edges are (the X129 pin);
+the margin tail adds one bounded window, one |queries|-row fold, and
+two id-keyed joins on top of the state read.
+
+Extension beyond the reference surface (twins the batch X291 query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def bitext_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The X291 mining table from MAINTAINED k-NN state (module
+    docstring)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        bitext_margin_from_graph,
+    )
+    from flink_state_eviction_spark.streaming.knn_maintain import (
+        knn_edges,
+    )
+
+    return bitext_margin_from_graph(knn_edges(spark, state_dir))

@@ -107,6 +107,29 @@ def test_streaming_knn_maintenance_matches_batch(spark, sf_dir, tmp_path):
     # non-trivial: at least one real (size > 1) cluster formed
     assert any(sz > 1 for _, _, sz in got_c)
 
+    # the bitext serving path (X292): the ratio-margin mining table
+    # over the maintained graph must equal the SAME tail over the
+    # batch graph, and stay non-vacuous (both verdicts)
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        bitext_margin_from_graph,
+    )
+    from flink_state_eviction_spark.streaming.bitext_serve import (
+        bitext_from_state,
+    )
+
+    got_b = {tuple(r) for r in bitext_from_state(spark, state).collect()}
+    want_b = {
+        tuple(r)
+        for r in bitext_margin_from_graph(
+            knn_graph(
+                corpus, "vec_id", "embedding", "cell",
+                k=K, nprobe=NPROBE, centroids=cent,
+            )
+        ).collect()
+    }
+    assert got_b == want_b and got_b
+    assert {r[4] for r in got_b} == {True, False}
+
 
 def test_assign_cells_matches_kmeans_final_assignment(spark, sf_dir):
     # the frozen-index assignment must reproduce the index build's own
