@@ -100,3 +100,59 @@ def robots_gate_from_state(
     from flink_state_eviction_spark.sources.warc import apply_robots_gate
 
     return apply_robots_gate(pages, rules_from_state(spark, state_dir))
+
+
+# ---------------------------------------------------------------------------
+# X293: the Sitemap: directive state family — same record stream, same
+# distinct-union census pattern, the X290 kernel. Maintained (host,
+# sitemap_url) rows tell the crawler WHERE the sitemaps are as robots
+# responses land; the X288 discovery loop fetches and parses them.
+
+
+def robots_sitemaps_maintain_batch(
+    batch_recs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of sitemap-directive maintenance: the batch's
+    (host, sitemap_url) rows via the SAME
+    ``robots_sitemaps_from_records`` kernel as the batch path land in
+    an idempotent ``batch=<id>`` partition. Distinct-union state, so
+    at-least-once redelivery needs no accounting caveat (the X221
+    argument verbatim)."""
+    from flink_state_eviction_spark.sources.warc import (
+        robots_sitemaps_from_records,
+    )
+
+    robots_sitemaps_from_records(batch_recs).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "sitemaps", f"batch={batch_id}"))
+
+
+def compact_robots_sitemaps_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — directives
+    are a distinct union. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "sitemaps"),
+        through_batch,
+        lambda df: df.select("host", "sitemap_url").distinct(),
+    )
+
+
+def sitemaps_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (host, sitemap_url) directive table: distinct
+    union over the batch partitions — bit-equal to
+    ``robots_sitemaps_from_records`` over the whole crawl once it has
+    streamed in."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "sitemaps"))
+        .select("host", "sitemap_url")
+        .distinct()
+    )

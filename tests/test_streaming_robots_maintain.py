@@ -162,3 +162,118 @@ def test_robots_redelivery_and_compaction_preserve_state(spark, tmp_path):
     assert snapshot() == once
     robots_maintain_batch(segs[2][1], state, 2)
     assert snapshot() == once
+
+
+# ---------------------------------------------------------------------------
+# X293: the Sitemap: directive state family on the same record stream
+
+
+def _robots_with_sitemaps(rules, sitemaps) -> bytes:
+    body = (
+        "User-agent: *\r\n"
+        + "".join(f"Disallow: {r}\r\n" for r in rules)
+        + "".join(f"Sitemap: {s}\r\n" for s in sitemaps)
+    )
+    return b"HTTP/1.1 200 OK\r\n\r\n" + body.encode()
+
+
+def _sitemap_crawl(tmp_path):
+    """a.example's robots appears twice with an overlapping directive
+    (distinct-union path) plus a seg1-only one; b.example contributes
+    one; the page fetch contributes nothing."""
+    d = tmp_path / "sm-crawl"
+    d.mkdir()
+    (d / "seg0.warc").write_bytes(
+        _record(
+            "response",
+            "http://a.example/robots.txt",
+            _robots_with_sitemaps(
+                ["/private/"], ["https://a.example/sitemap.xml"]
+            ),
+        )
+        + _record("response", "http://a.example/ok", _PAGE)
+    )
+    (d / "seg1.warc").write_bytes(
+        _record(
+            "response",
+            "http://a.example/robots.txt",
+            _robots_with_sitemaps(
+                ["/private/"],
+                [
+                    "https://a.example/sitemap.xml",
+                    "https://a.example/news.xml",
+                ],
+            ),
+        )
+        + _record(
+            "response",
+            "http://b.example/robots.txt",
+            _robots_with_sitemaps([], ["https://b.example/sm.xml"]),
+        )
+    )
+    return str(d)
+
+
+def test_streaming_robots_sitemaps_state(spark, tmp_path):
+    from flink_state_eviction_spark.sources.warc import (
+        robots_sitemaps_from_records,
+    )
+    from flink_state_eviction_spark.streaming.robots_maintain import (
+        compact_robots_sitemaps_state,
+        robots_sitemaps_maintain_batch,
+        sitemaps_from_state,
+    )
+
+    crawl = _sitemap_crawl(tmp_path)
+    stream = read_warc_records_stream(
+        spark, crawl, include_payload=True, decode_text=False
+    )
+    state = os.path.join(str(tmp_path), "robots-state")
+
+    def upd(batch_df, batch_id):
+        robots_sitemaps_maintain_batch(batch_df, state, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def snapshot():
+        return {tuple(r) for r in sitemaps_from_state(spark, state).collect()}
+
+    got = snapshot()
+    want = {
+        tuple(r)
+        for r in robots_sitemaps_from_records(
+            read_warc(spark, crawl, include_payload=True)
+        ).collect()
+    }
+    assert got == want
+    assert got == {
+        ("a.example", "https://a.example/sitemap.xml"),
+        ("a.example", "https://a.example/news.xml"),
+        ("b.example", "https://b.example/sm.xml"),
+    }
+
+    # redelivery: replay every observed batch id with the FULL record
+    # set — distinct union, state unchanged
+    recs = read_warc(spark, crawl, include_payload=True)
+    import glob as _glob
+
+    bids = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(os.path.join(state, "sitemaps", "batch=*"))
+    )
+    robots_sitemaps_maintain_batch(recs, state, bids[-1])
+    assert snapshot() == got
+
+    # compaction below the max committed id preserves the state
+    if len(bids) > 1:
+        compact_robots_sitemaps_state(spark, state, bids[-2])
+        assert snapshot() == got
+    with pytest.raises(ValueError):
+        compact_robots_sitemaps_state(spark, state, bids[-1])
+    assert snapshot() == got
