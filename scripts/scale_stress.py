@@ -204,7 +204,7 @@ def main() -> None:
         help="comma subset of mws,lsh,topk,pack,span,bloom,postings,"
         "pagerank,anomaly,resample,hh,tri,trans,pfx,rank,para,knn,"
         "bm25,mix,robust,r5b,decon,chunk,frames,lm,r6,r7,r7b,r7c,r7d,"
-        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c,r9d,r9e,r9f,r9g,r9h,r9i,r9j,r9k,r9l,r9m,r9n,r9o,r9p,r9q,r9r,r10,r10b,r10c,r10d",
+        "r8,r8b,r8c,r8d,r8e,r8f,r8g,r8h,r8i,r8j,r8k,r8l,vdiff,r9,r9b,r9c,r9d,r9e,r9f,r9g,r9h,r9i,r9j,r9k,r9l,r9m,r9n,r9o,r9p,r9q,r9r,r10,r10b,r10c,r10d,r10e",
     )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
@@ -488,6 +488,9 @@ def main() -> None:
             rec["sitemap_extract_urls_sec"] = timed(lambda: all_qs["sitemap_extract_urls"](spark, d))
             # X287: canon fold + seen-set join (no broadcast hint)
             rec["sitemap_frontier_discovery_sec"] = timed(lambda: all_qs["sitemap_frontier_discovery"](spark, d))
+        if "r10e" in only:
+            # X291: learned-cell graph + margin tail (window/fold/joins)
+            rec["bitext_mining_margin_sec"] = timed(lambda: all_qs["bitext_mining_margin"](spark, d))
         if "vdiff" in only:
             # diff_versions GENERAL path (round-6 verdict item 8): two
             # overwrite snapshots (dir sets disjoint -> the fast path
