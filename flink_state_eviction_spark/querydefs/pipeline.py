@@ -10435,6 +10435,87 @@ def crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X294: TrustRank over the host link graph (Gyöngyi et al. 2004) — the
+# seed-personalized companion to X227: teleport mass restricted to a
+# trusted whitelist, so trust DECAYS with link distance from the seeds
+# and an unreachable host scores exactly zero (integer arithmetic, no
+# epsilon floor to hide behind). On the minted ring graph
+# (s_i -> s_{(i+1)%4}) seeded at s0.example the decay is strictly
+# monotone around the ring and s3 — three hops out, beyond the
+# 2-iteration horizon — pins at 0; the shared-CDN sink collects trust
+# from exactly the trusted prefix. The oracle replays the seeded
+# integer chain over the same mirrored edge build as the X227 oracle.
+
+_TRUST_SEED_HOST = "s0.example"
+
+
+def _host_trustrank_oracle(iters: int = 2) -> str:
+    base = 15 * 1_000_000_000_000
+    head = (
+        "WITH "
+        + _link_mint_sql()
+        + f""",
+dedges AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM edges),
+nodes AS (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),
+deg AS (SELECT src, count(*) AS outdeg FROM dedges GROUP BY src),
+seeded AS (SELECT node,
+                  CASE WHEN node = '{_TRUST_SEED_HOST}'
+                       THEN CAST({base} AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS b
+           FROM nodes),
+r0 AS (SELECT node, b,
+              CASE WHEN b > 0 THEN CAST(1000000000000 AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS rank_micro
+       FROM seeded)"""
+    )
+    prev = "r0"
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""",
+r{i} AS (
+    SELECT n.node, n.b,
+           CAST((n.b + 85 * COALESCE(SUM(c.contrib), 0)) // 100
+               AS BIGINT) AS rank_micro
+    FROM r0 n LEFT JOIN (
+        SELECT e.dst, p.rank_micro // d.outdeg AS contrib
+        FROM dedges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+    ) c ON c.dst = n.node
+    GROUP BY n.node, n.b
+)""")
+        prev = f"r{i}"
+    return head + "".join(its) + f"""
+SELECT node AS host, rank_micro AS trust_micro FROM {prev}
+"""
+
+
+@register_supplementary(
+    "crawl_host_trustrank",
+    _host_trustrank_oracle(),
+    tags=("pipeline", "text"),
+)
+def crawl_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X294: TrustRank (2 iterations, d=0.85, integer micro-units,
+    seed = s0.example) over the DISTINCT host link graph — the
+    spam-resistant authority prior (module comment above), through
+    the seed-personalized operators/pagerank.py:trustrank kernel
+    (propagation anatomy identical to X227's; only the teleport
+    vector changes). Extension beyond the reference surface."""
+    from flink_state_eviction_spark.operators.pagerank import trustrank
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _minted_edge_census(docs).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    seeds = spark.createDataFrame([(_TRUST_SEED_HOST,)], "node string")
+    return trustrank(edges, seeds, iters=2).select(
+        F.col("node").alias("host"),
+        F.col("rank_micro").alias("trust_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X229/X230: per-source BOILERPLATE line removal (CCNet/RefinedWeb
 # repeated-line stage — Wenzek et al. 2020 dedupe "very common lines
 # such as disclaimers"; Penedo et al. 2023 strip nav/footer lines that

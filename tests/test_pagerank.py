@@ -76,3 +76,66 @@ def test_null_endpoint_edges_do_not_inflate_outdeg(spark):
     # 0.15 + 0.85*rank(1) = 0.2775 — i.e. 1's FULL mass (div 1, not
     # div 2: the NULL edge did not inflate outdeg)
     assert got[2] == (15 * RANK_SCALE + 85 * ((15 * RANK_SCALE) // 100)) // 100
+
+
+def test_trustrank_seed_decay_and_unreachable_zero(spark, sf_dir):
+    """X294 pins: trust decays strictly around the minted ring from
+    the s0 seed; a host beyond the 2-iteration horizon (s3) scores
+    EXACTLY zero (integer arithmetic — no epsilon floor); the CDN
+    sink collects positive trust from the trusted prefix; the seed
+    outranks every other host."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        crawl_host_trustrank,
+    )
+
+    t = {
+        r["host"]: r["trust_micro"]
+        for r in crawl_host_trustrank(spark, sf_dir).collect()
+    }
+    assert t["s0.example"] > t["s1.example"] > t["s2.example"]
+    assert t["s3.example"] == 0
+    assert t["cdn.example"] > 0
+    assert t["s0.example"] == max(t.values())
+
+
+def test_trustrank_crafted_graph(spark):
+    """Kernel-level pins on a crafted graph: an unreachable clique
+    scores zero however densely it links itself (the link-farm case
+    TrustRank exists for); a multi-seed run splits teleport mass."""
+    from flink_state_eviction_spark.operators.pagerank import (
+        RANK_SCALE,
+        trustrank,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("seed", "good"),
+            ("good", "seed"),
+            # a dense spam clique with no inbound path from the seed
+            ("spam1", "spam2"),
+            ("spam2", "spam3"),
+            ("spam3", "spam1"),
+            ("spam1", "spam3"),
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("seed",)], "node string")
+    t = {
+        r["node"]: r["rank_micro"]
+        for r in trustrank(edges, seeds, iters=3).collect()
+    }
+    # a pure 2-cycle oscillates its mass between the endpoints (at
+    # iters=3 most sits on 'good'); the trust CLAIM is reachability:
+    # both cycle nodes positive, the whole spam clique exactly zero
+    assert t["seed"] > 0 and t["good"] > 0
+    assert t["spam1"] == t["spam2"] == t["spam3"] == 0
+
+    # two seeds: both carry base mass; totals stay bounded by the
+    # damping geometry (sum <= |S| * SCALE * 1/(1-d) in micro-units)
+    seeds2 = spark.createDataFrame([("seed",), ("spam1",)], "node string")
+    t2 = {
+        r["node"]: r["rank_micro"]
+        for r in trustrank(edges, seeds2, iters=3).collect()
+    }
+    assert t2["spam2"] > 0 and t2["good"] > 0
+    assert sum(t2.values()) <= 2 * RANK_SCALE * 100 // 15
