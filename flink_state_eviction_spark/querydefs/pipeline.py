@@ -10516,6 +10516,166 @@ def crawl_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X295: link-spam mass estimation (Gyöngyi, Garcia-Molina & Pedersen
+# 2006, 'Link Spam Detection Based on Mass Estimation') — the X227 +
+# X294 composition both exist for: a host whose PageRank share far
+# exceeds its TrustRank share earns its rank from UNTRUSTED links,
+# and relative spam mass = max(0, pr_share - trust_share) / pr_share
+# is the scheduler's demotion signal. Each distribution normalizes to
+# its own total in ppm; the shares and the quotient are exact integer
+# algebra — Spark bounded-precision DECIMAL `div` (every product
+# <= 31 digits), DuckDB HUGEINT `//` (the round-10 decimal-div
+# lesson; operands non-negative so trunc == floor on both). The two
+# 1-row total folds ride partial aggregation (one partial row per
+# upstream partition — the events_heavy_hitters audit argument) and
+# broadcast back as scalars.
+
+
+def _spam_mass_chains(iters: int = 2) -> str:
+    """Shared dedges/nodes/deg build + BOTH integer rank chains
+    (pr{i} = X227's, tr{i} = X294's) under non-colliding CTE names."""
+    base = 15 * 1_000_000_000_000
+    head = f"""dedges AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM edges),
+nodes AS (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),
+deg AS (SELECT src, count(*) AS outdeg FROM dedges GROUP BY src),
+pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_micro
+        FROM nodes),
+tr0 AS (SELECT node,
+               CASE WHEN node = '{_TRUST_SEED_HOST}'
+                    THEN CAST({base} AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS b,
+               CASE WHEN node = '{_TRUST_SEED_HOST}'
+                    THEN CAST(1000000000000 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS rank_micro
+        FROM nodes)"""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""",
+pr{i} AS (
+    SELECT n.node,
+           CAST(({base} + 85 * COALESCE(SUM(c.contrib), 0)) // 100
+               AS BIGINT) AS rank_micro
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst, p.rank_micro // d.outdeg AS contrib
+        FROM dedges e
+        JOIN pr{i - 1} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+    ) c ON c.dst = n.node
+    GROUP BY n.node
+),
+tr{i} AS (
+    SELECT n.node, n.b,
+           CAST((n.b + 85 * COALESCE(SUM(c.contrib), 0)) // 100
+               AS BIGINT) AS rank_micro
+    FROM tr0 n LEFT JOIN (
+        SELECT e.dst, p.rank_micro // d.outdeg AS contrib
+        FROM dedges e
+        JOIN tr{i - 1} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+    ) c ON c.dst = n.node
+    GROUP BY n.node, n.b
+)""")
+    return head + "".join(its)
+
+
+def _spam_mass_oracle(iters: int = 2) -> str:
+    return (
+        "WITH "
+        + _link_mint_sql()
+        + ",\n"
+        + _spam_mass_chains(iters)
+        + f""",
+pt AS (SELECT SUM(rank_micro) AS pt FROM pr{iters}),
+tt AS (SELECT SUM(rank_micro) AS tt FROM tr{iters}),
+shares AS (
+    SELECT p.node,
+           p.rank_micro AS pagerank_micro,
+           t.rank_micro AS trust_micro,
+           CAST(CAST(p.rank_micro AS HUGEINT) * 1000000 // pt.pt
+                AS BIGINT) AS pr_share_ppm,
+           CAST(CAST(t.rank_micro AS HUGEINT) * 1000000 // tt.tt
+                AS BIGINT) AS trust_share_ppm
+    FROM pr{iters} p
+    JOIN tr{iters} t ON t.node = p.node
+    CROSS JOIN pt CROSS JOIN tt
+)
+SELECT node AS host, pagerank_micro, trust_micro,
+       pr_share_ppm, trust_share_ppm,
+       CASE WHEN pr_share_ppm > 0 THEN
+           CAST(CAST(greatest(0, pr_share_ppm - trust_share_ppm)
+                     AS HUGEINT) * 1000000 // pr_share_ppm AS BIGINT)
+       END AS spam_mass_ppm
+FROM shares
+"""
+    )
+
+
+@register_supplementary(
+    "host_spam_mass", _spam_mass_oracle(), tags=("pipeline", "text")
+)
+def host_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X295: relative link-spam mass per host (module comment above) —
+    PageRank share vs TrustRank share in ppm and the clamped relative
+    deficit, over the same distinct host graph as X227/X294 (both
+    rank chains run off ONE checkpointed edge build). Extension
+    beyond the reference surface."""
+    from flink_state_eviction_spark.operators.pagerank import (
+        pagerank,
+        trustrank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        _minted_edge_census(docs)
+        .select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        .localCheckpoint(eager=False)
+    )
+    seeds = spark.createDataFrame([(_TRUST_SEED_HOST,)], "node string")
+    p = pagerank(edges, iters=2).select(
+        "node", F.col("rank_micro").alias("pagerank_micro")
+    )
+    t = trustrank(edges, seeds, iters=2).select(
+        "node", F.col("rank_micro").alias("trust_micro")
+    )
+    pt = p.agg(F.sum("pagerank_micro").alias("_pt"))
+    tt = t.agg(F.sum("trust_micro").alias("_tt"))
+    j = (
+        p.join(t, "node")
+        .crossJoin(F.broadcast(pt))
+        .crossJoin(F.broadcast(tt))
+    )
+    shares = j.select(
+        "node",
+        "pagerank_micro",
+        "trust_micro",
+        F.expr(
+            "cast(cast(pagerank_micro as decimal(38,0)) * 1000000 "
+            "div _pt as long)"
+        ).alias("pr_share_ppm"),
+        F.expr(
+            "cast(cast(trust_micro as decimal(38,0)) * 1000000 "
+            "div _tt as long)"
+        ).alias("trust_share_ppm"),
+    )
+    return shares.select(
+        F.col("node").alias("host"),
+        "pagerank_micro",
+        "trust_micro",
+        "pr_share_ppm",
+        "trust_share_ppm",
+        F.when(
+            F.col("pr_share_ppm") > 0,
+            F.expr(
+                "cast(cast(greatest(0, pr_share_ppm - trust_share_ppm) "
+                "as decimal(38,0)) * 1000000 div pr_share_ppm as long)"
+            ),
+        ).alias("spam_mass_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X229/X230: per-source BOILERPLATE line removal (CCNet/RefinedWeb
 # repeated-line stage — Wenzek et al. 2020 dedupe "very common lines
 # such as disclaimers"; Penedo et al. 2023 strip nav/footer lines that

@@ -139,3 +139,20 @@ def test_trustrank_crafted_graph(spark):
     }
     assert t2["spam2"] > 0 and t2["good"] > 0
     assert sum(t2.values()) <= 2 * RANK_SCALE * 100 // 15
+
+
+def test_spam_mass_extremes(spark, sf_dir):
+    """X295 pins: the zero-trust host (s3, beyond the seed horizon)
+    carries FULL relative spam mass (1e6 ppm); the seed host's trust
+    share exceeds its rank share, clamping its spam mass to 0; shares
+    each sum to ~1e6 ppm (integer-division dust only)."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        host_spam_mass,
+    )
+
+    rows = {r["host"]: r for r in host_spam_mass(spark, sf_dir).collect()}
+    assert rows["s3.example"]["spam_mass_ppm"] == 1_000_000
+    assert rows["s0.example"]["spam_mass_ppm"] == 0
+    for col in ("pr_share_ppm", "trust_share_ppm"):
+        total = sum(r[col] for r in rows.values())
+        assert 1_000_000 - len(rows) <= total <= 1_000_000

@@ -50,6 +50,11 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "domain_mix_weights": 1,  # tiny: total over per-language aggregate
     "dq_orders_report": 3,  # scalar: report-wide totals/rates
     "events_heavy_hitters": 1,  # scalar: global N for the N/k threshold
+    # X295: Σ pagerank + Σ trustrank normalizers — each fold's exchange
+    # carries one partial row per upstream partition of the |hosts|-row
+    # rank table (map-side combine), and the 1-row results broadcast
+    # back into the share joins
+    "host_spam_mass": 2,
     # X223: the slope fold + rank window run on the <= 64-row
     # TakeOrdered cut (bounded by _ZIPF_TOP_K, never the census)
     "zipf_rank_frequency": 1,
