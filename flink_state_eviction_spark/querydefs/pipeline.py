@@ -10676,6 +10676,161 @@ def host_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X296: recrawl scheduling — the capstone the sitemap family feeds: a
+# crawler revisits URLs by (how stale) x (how often the publisher says
+# it changes) x (how trusted the host is). Per discovered urlset URL:
+# staleness in days against a FIXED as-of day (19875 = 2024-06-01 —
+# deterministic-time rule: the clock is a constant, never now());
+# NULL lastmod = never-dated = max staleness; changefreq collapses to
+# an integer weight (daily 4, weekly 2, else 1; MAX across duplicate
+# references — the most urgent claim wins); the X294 host trust joins
+# as a milli bonus (hosts outside the link graph coalesce to 0). All
+# integer algebra; the priority is a transparent product a scheduler
+# can invert.
+
+_RECRAWL_ASOF_EPOCH_DAY = 19875  # 2024-06-01
+_RECRAWL_MAX_STALE_DAYS = 365
+
+
+def _recrawl_schedule_oracle() -> str:
+    return f"""
+WITH ext AS ({_SITEMAP_EXTRACT_ORACLE}),
+base AS (
+    SELECT doc_id * 4 + entry_idx AS doc_id, loc AS url
+    FROM ext WHERE kind = 'url' AND loc IS NOT NULL
+    UNION ALL
+    SELECT -(doc_id + 1) AS doc_id,
+           CASE doc_id % 5
+                WHEN 0 THEN 'HTTP://Crawl.Example:80/p//d'
+                            || CAST(doc_id AS VARCHAR) || '/#f'
+                WHEN 1 THEN 'https://crawl.example/p/d'
+                            || CAST(doc_id AS VARCHAR)
+                WHEN 2 THEN 'https://Other.Example/q?d='
+                            || CAST(doc_id AS VARCHAR)
+                WHEN 3 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                ELSE 'https://Dup.Example/shared' END AS url
+    FROM documents
+),
+{_URL_CANON_CTES},
+canon AS (
+    SELECT doc_id,
+           CASE WHEN sh = '' THEN url
+                ELSE a || CASE WHEN r = '' THEN '/' ELSE r END END
+               AS canon_url
+    FROM fixed
+),
+sm AS (
+    SELECT c.canon_url, e.lastmod_epoch_day,
+           CASE e.changefreq WHEN 'daily' THEN 4
+                             WHEN 'weekly' THEN 2
+                             ELSE 1 END AS cfw
+    FROM ext e JOIN canon c ON c.doc_id = e.doc_id * 4 + e.entry_idx
+    WHERE e.kind = 'url' AND e.loc IS NOT NULL
+),
+agg AS (
+    SELECT canon_url,
+           least(CAST({_RECRAWL_MAX_STALE_DAYS} AS BIGINT), greatest(
+               CAST(0 AS BIGINT),
+               coalesce({_RECRAWL_ASOF_EPOCH_DAY}
+                        - MAX(lastmod_epoch_day),
+                        CAST({_RECRAWL_MAX_STALE_DAYS} AS BIGINT))))
+               AS staleness_days,
+           CAST(MAX(cfw) AS BIGINT) AS cf_weight
+    FROM sm GROUP BY 1
+),
+seen AS (SELECT DISTINCT canon_url FROM canon WHERE doc_id < 0),
+trust AS ({_host_trustrank_oracle()})
+SELECT a.canon_url, a.staleness_days, a.cf_weight,
+       CAST(coalesce(t.trust_micro, 0) // 1000000000 AS BIGINT)
+           AS trust_bonus_milli,
+       (s.canon_url IS NOT NULL) AS seen,
+       CAST(a.staleness_days * a.cf_weight * 1000
+            + coalesce(t.trust_micro, 0) // 1000000000 AS BIGINT)
+           AS priority_milli
+FROM agg a
+LEFT JOIN seen s ON s.canon_url = a.canon_url
+LEFT JOIN trust t
+  ON t.host = lower(regexp_extract(a.canon_url, '{_HOST_RE}', 1))
+"""
+
+
+@register_supplementary(
+    "recrawl_schedule", _recrawl_schedule_oracle(), tags=("pipeline", "text")
+)
+def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X296: per-URL recrawl priority (module comment above) —
+    staleness x changefreq weight x 1000 + host-trust milli bonus,
+    over the X286 entries with the X224 seen flag and the X294 trust
+    join (shared kernels and mints throughout; the oracle wraps the
+    member oracles as CTEs — zero re-implemented logic). Beyond the
+    members' own shuffles this adds one canon-keyed fold and two
+    no-hint left joins (seen-set is crawl-sized; the trust side is
+    \\|hosts\\|-bounded and AQE picks its strategy). Extension beyond
+    the reference surface."""
+    from flink_state_eviction_spark.functions.text import normalize_url
+    from flink_state_eviction_spark.operators.pagerank import trustrank
+
+    docs = load_table(spark, sf_dir, "documents")
+    ext = sitemap_entries_frame(docs)
+    sm = ext.where(
+        (F.col("kind") == "url") & F.col("loc").isNotNull()
+    ).select(
+        normalize_url(F.col("loc")).alias("canon_url"),
+        "lastmod_epoch_day",
+        F.when(F.col("changefreq") == "daily", F.lit(4))
+        .when(F.col("changefreq") == "weekly", F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("cfw"),
+    )
+    agg = sm.groupBy("canon_url").agg(
+        F.least(
+            F.lit(_RECRAWL_MAX_STALE_DAYS).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.coalesce(
+                    F.lit(_RECRAWL_ASOF_EPOCH_DAY)
+                    - F.max("lastmod_epoch_day"),
+                    F.lit(_RECRAWL_MAX_STALE_DAYS).cast("long"),
+                ),
+            ),
+        ).alias("staleness_days"),
+        F.max("cfw").cast("long").alias("cf_weight"),
+    )
+    seen = (
+        frontier_canon_frame(docs)
+        .select("canon_url")
+        .distinct()
+        .withColumn("_s", F.lit(1))
+    )
+    edges = _minted_edge_census(docs).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    seeds = spark.createDataFrame([(_TRUST_SEED_HOST,)], "node string")
+    trust = trustrank(edges, seeds, iters=2).select(
+        F.col("node").alias("_host"),
+        F.col("rank_micro").alias("_trust"),
+    )
+    j = agg.join(seen, "canon_url", "left").join(
+        trust,
+        F.lower(F.regexp_extract(F.col("canon_url"), _HOST_RE, 1))
+        == F.col("_host"),
+        "left",
+    )
+    bonus = F.expr("coalesce(_trust, 0) div 1000000000")
+    return j.select(
+        "canon_url",
+        "staleness_days",
+        "cf_weight",
+        bonus.cast("long").alias("trust_bonus_milli"),
+        F.col("_s").isNotNull().alias("seen"),
+        (
+            F.col("staleness_days") * F.col("cf_weight") * 1000
+            + bonus
+        ).cast("long").alias("priority_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X229/X230: per-source BOILERPLATE line removal (CCNet/RefinedWeb
 # repeated-line stage — Wenzek et al. 2020 dedupe "very common lines
 # such as disclaimers"; Penedo et al. 2023 strip nav/footer lines that

@@ -267,3 +267,33 @@ def test_robots_sitemaps_from_warc_records(spark, tmp_path):
         ("a.example", "https://A.Example/s.xml"),
         ("a.example", "https://a.example/t.xml"),
     }
+
+
+def test_recrawl_schedule_non_vacuous(spark, sf_dir):
+    """X296 pins: every priority decomposes exactly as
+    staleness * cf_weight * 1000 + bonus; all three changefreq
+    weights, both seen verdicts, the never-dated 365-day cap, and a
+    positive trust bonus (link-graph hosts s0-s3 overlap the sitemap
+    mint's s0-s49) all occur on the fixture."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        recrawl_schedule,
+    )
+
+    rows = recrawl_schedule(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["priority_milli"]
+            == r["staleness_days"] * r["cf_weight"] * 1000
+            + r["trust_bonus_milli"]
+        )
+        assert 0 <= r["staleness_days"] <= 365
+    # weight 1 needs a URL whose EVERY duplicate reference omits
+    # changefreq — the mint's cross-doc groups always include a dated
+    # claim, so the fixture exercises the MAX-across-refs path (2, 4);
+    # the absent->1 branch is covered by the crafted parse pins
+    assert {r["cf_weight"] for r in rows} == {2, 4}
+    assert {r["seen"] for r in rows} == {True, False}
+    assert any(r["staleness_days"] == 365 for r in rows)
+    assert any(r["trust_bonus_milli"] > 0 for r in rows)
+    assert any(r["trust_bonus_milli"] == 0 for r in rows)
