@@ -909,3 +909,30 @@ def robots_sitemap_urls(text: Column) -> Column:
     the raw count is a signal). Pure regexp codegen in the Java/RE2
     common subset; a body with no directives yields an empty array."""
     return F.regexp_extract_all(text, F.lit(ROBOTS_SITEMAP_RE), 1)
+
+
+# Crawl-delay directives inside robots.txt (the de-facto politeness
+# extension next to RFC 9309's Disallow; X297). Documented subset:
+# line-level extraction regardless of User-agent grouping with MAX
+# across all matches — over-politeness is the safe error direction,
+# the same convention as parse_robots' wildcard truncation. Integer
+# seconds only (the common grammar); fractional or junk values don't
+# match and contribute nothing.
+ROBOTS_CRAWL_DELAY_RE = r"(?im)^[ \t]*crawl-delay[ \t]*:[ \t]*([^ \t\r\n#]+)"
+
+
+def robots_crawl_delay(text: Column) -> Column:
+    """Conservative (MAX) Crawl-delay in whole seconds from a
+    robots.txt text column; NULL when no directive parses. The VALUE
+    token must be digits in full ('12.5' parses as nothing, exactly
+    like the Python twin's isdigit gate — a prefix match would split
+    the engines); non-digit tokens become NULL elements, which both
+    engines' array max skips. The token array is tiny (delay lines
+    per file), so the interpreted transform is not a hot path."""
+    arr = F.regexp_extract_all(text, F.lit(ROBOTS_CRAWL_DELAY_RE), 1)
+    return F.array_max(
+        F.transform(
+            arr,
+            lambda x: F.when(x.rlike("^[0-9]+$"), x.cast("long")),
+        )
+    )

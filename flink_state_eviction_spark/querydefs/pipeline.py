@@ -9609,7 +9609,10 @@ def fetch_plan_candidates(docs: DataFrame) -> DataFrame:
 
 
 def fetch_plan_frame(
-    cand: DataFrame, rules: DataFrame, rules_rows: int | None = None
+    cand: DataFrame,
+    rules: DataFrame,
+    rules_rows: int | None = None,
+    quotas: DataFrame | None = None,
 ) -> DataFrame:
     """X225 planning algebra over candidates carrying (doc_id,
     target_uri CANONICAL, seen) and a (host, disallow_prefix) rules
@@ -9617,7 +9620,15 @@ def fetch_plan_frame(
     the X263 streaming serve (streaming/fetch_plan_serve.py), so the
     two cannot diverge. Robots verdicts via the one shared
     apply_robots_gate (budget-gated broadcast + shuffled fallback);
-    the per-host rank window runs over the ELIGIBLE subset only."""
+    the per-host rank window runs over the ELIGIBLE subset only.
+
+    ``quotas`` (X297): an optional (host, host_quota) frame — per-host
+    cycle quotas derived from Crawl-delay directives; hosts without a
+    row fall back to the flat ``_FETCH_QUOTA``, and ``None`` keeps
+    the original fixed-quota plan bit-for-bit (the default every
+    existing caller, including the streaming serve, rides). The join
+    carries no broadcast hint — the quota frame is \\|hosts\\|-bounded
+    but hosts grow with the crawl, the rules-frame class."""
     from flink_state_eviction_spark.sources.warc import apply_robots_gate
     from pyspark.sql import Window
 
@@ -9635,17 +9646,171 @@ def fetch_plan_frame(
         flagged.where("eligible")
         .select("doc_id", F.row_number().over(w).alias("host_rank"))
     )
-    return flagged.join(ranked, "doc_id", "left").select(
+    out = flagged.join(ranked, "doc_id", "left")
+    if quotas is None:
+        return out.select(
+            "doc_id",
+            "host",
+            "canon_url",
+            "seen",
+            "disallowed",
+            F.col("host_rank").cast("long").alias("host_rank"),
+            F.coalesce(
+                F.col("host_rank") <= _FETCH_QUOTA, F.lit(False)
+            ).alias("fetch_now"),
+        )
+    out = out.join(
+        quotas.select("host", F.col("host_quota").alias("_q")),
+        "host",
+        "left",
+    )
+    q = F.coalesce(F.col("_q"), F.lit(_FETCH_QUOTA).cast("long"))
+    return out.select(
         "doc_id",
         "host",
         "canon_url",
         "seen",
         "disallowed",
         F.col("host_rank").cast("long").alias("host_rank"),
-        F.coalesce(
-            F.col("host_rank") <= _FETCH_QUOTA, F.lit(False)
-        ).alias("fetch_now"),
+        q.cast("long").alias("host_quota"),
+        F.coalesce(F.col("host_rank") <= q, F.lit(False)).alias(
+            "fetch_now"
+        ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X297: Crawl-delay politeness — the third robots.txt directive family
+# (Disallow X219, Sitemap X290, Crawl-delay here): per-host cycle
+# quotas derived from the declared delay replace the flat X225 quota
+# in the SAME fetch_plan_frame kernel (optional quotas arg; None
+# keeps every existing caller, incl. the X263 streaming serve,
+# bit-for-bit). quota = clamp(cycle_seconds div delay) — a host
+# asking for 7 s between fetches gets 1 slot in a 12 s cycle while
+# the default host keeps 8. Value grammar: whole-token digits only
+# ('soon' and '12.5' parse as nothing and fall back to the default —
+# the Python twin's isdigit gate, pinned equal in test_sitemap.py).
+
+_POLITE_CYCLE_S = 12
+
+_ROBOTS_DELAY_BODIES = [
+    ("h0.example",
+     "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"),
+    ("h1.example",
+     "User-agent: *\nDisallow: /private/\ncrawl-delay: 7 # be nice\n"),
+    ("h2.example",
+     "User-agent: *\nDisallow: /private/\nCrawl-delay: soon\n"),
+]
+
+
+def _polite_plan_oracle() -> str:
+    from flink_state_eviction_spark.functions.text import (
+        ROBOTS_CRAWL_DELAY_RE,
+    )
+
+    body_sql = ",\n    ".join(
+        "('{h}', 'User-agent: *' || chr(10) || 'Disallow: /private/'"
+        " || chr(10) || '{line}' || chr(10))".format(h=h, line=line)
+        for h, line in (
+            ("h0.example", "Crawl-delay: 2"),
+            ("h1.example", "crawl-delay: 7 # be nice"),
+            ("h2.example", "Crawl-delay: soon"),
+        )
+    )
+    return f"""
+WITH cand AS (
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 3 AS VARCHAR) || '.example'
+           || CASE WHEN doc_id % 4 = 3 THEN '/private/p' ELSE '/p' END
+           || CAST(doc_id AS VARCHAR) AS canon_url,
+           doc_id % 5 = 0 AS seen,
+           doc_id % 4 = 3 AS disallowed
+    FROM documents
+),
+flagged AS (
+    SELECT doc_id,
+           regexp_extract(canon_url, '{_HOST_RE}', 1) AS host,
+           canon_url, seen, disallowed,
+           NOT seen AND NOT disallowed AS eligible
+    FROM cand
+),
+ranked AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY host ORDER BY doc_id)
+               AS host_rank
+    FROM flagged WHERE eligible
+),
+bodies(host, body) AS (VALUES
+    {body_sql}),
+delays AS (
+    SELECT host,
+           list_max(list_transform(
+               regexp_extract_all(body, '{ROBOTS_CRAWL_DELAY_RE}', 1),
+               x -> CASE WHEN regexp_matches(x, '^[0-9]+$')
+                         THEN CAST(x AS BIGINT) END)) AS d
+    FROM bodies
+),
+quotas AS (
+    SELECT host,
+           CAST(greatest(1, least({_FETCH_QUOTA},
+                                  {_POLITE_CYCLE_S} // d)) AS BIGINT)
+               AS host_quota
+    FROM delays WHERE d IS NOT NULL
+)
+SELECT f.doc_id, f.host, f.canon_url, f.seen, f.disallowed,
+       CAST(r.host_rank AS BIGINT) AS host_rank,
+       CAST(coalesce(q.host_quota, {_FETCH_QUOTA}) AS BIGINT)
+           AS host_quota,
+       COALESCE(r.host_rank <= coalesce(q.host_quota, {_FETCH_QUOTA}),
+                FALSE) AS fetch_now
+FROM flagged f
+LEFT JOIN ranked r ON r.doc_id = f.doc_id
+LEFT JOIN quotas q ON q.host = f.host
+"""
+
+
+@register_supplementary(
+    "frontier_fetch_plan_polite",
+    _polite_plan_oracle(),
+    tags=("pipeline", "text"),
+)
+def frontier_fetch_plan_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X297: the X225 fetch plan under Crawl-delay politeness (module
+    comment above) — per-host quotas extracted from minted robots
+    bodies by the functions/text.py:robots_crawl_delay codegen kernel
+    and threaded through the SAME fetch_plan_frame algebra (the
+    optional quotas arg; the flat-quota plan and the X263 streaming
+    serve are untouched by default). Extension beyond the reference
+    surface."""
+    from flink_state_eviction_spark.functions.text import (
+        robots_crawl_delay,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = fetch_plan_candidates(docs).withColumn(
+        "seen", F.col("doc_id") % 5 == 0
+    )
+    rules = spark.createDataFrame(
+        [(f"h{k}.example", "/private/") for k in range(3)],
+        "host string, disallow_prefix string",
+    )
+    bodies = spark.createDataFrame(
+        _ROBOTS_DELAY_BODIES, "host string, body string"
+    )
+    quotas = (
+        bodies.select(
+            "host", robots_crawl_delay(F.col("body")).alias("_d")
+        )
+        .where(F.col("_d").isNotNull())
+        .select(
+            "host",
+            F.expr(
+                f"cast(greatest(1, least({_FETCH_QUOTA}, "
+                f"{_POLITE_CYCLE_S} div _d)) as long)"
+            ).alias("host_quota"),
+        )
+    )
+    return fetch_plan_frame(cand, rules, rules_rows=3, quotas=quotas)
 
 
 # ---------------------------------------------------------------------------

@@ -412,6 +412,28 @@ def parse_robots_sitemaps(payload: bytes) -> list[str]:
     return urls
 
 
+def parse_robots_crawl_delay(payload: bytes) -> int | None:
+    """Conservative (MAX) Crawl-delay in whole seconds from a
+    robots.txt body — the Python twin of
+    functions/text.py:robots_crawl_delay for the WARC path, pinned
+    equal on crafted bodies (test_sitemap.py). Same documented
+    subset: line-level regardless of User-agent grouping (MAX across
+    all groups over-waits, never under-waits — the parse_robots safe
+    error direction); integer seconds only; comments strip at '#'."""
+    best: int | None = None
+    for raw in payload.decode("utf-8", "replace").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "crawl-delay":
+            tok = val.strip().split()[0] if val.strip() else ""
+            if tok.isdigit():
+                v = int(tok)
+                best = v if best is None else max(best, v)
+    return best
+
+
 def robots_sitemaps_from_records(recs: DataFrame) -> DataFrame:
     """The ONE sitemap-directive kernel over a WARC records frame
     (robots.txt 200-OK responses -> distinct (host, sitemap_url)

@@ -297,3 +297,71 @@ def test_recrawl_schedule_non_vacuous(spark, sf_dir):
     assert any(r["staleness_days"] == 365 for r in rows)
     assert any(r["trust_bonus_milli"] > 0 for r in rows)
     assert any(r["trust_bonus_milli"] == 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# X297: Crawl-delay — Python parser and codegen kernel must agree
+
+
+def test_crawl_delay_parser_and_codegen_agree(spark):
+    from flink_state_eviction_spark.functions.text import (
+        robots_crawl_delay,
+    )
+    from flink_state_eviction_spark.sources.warc import (
+        parse_robots_crawl_delay,
+    )
+
+    bodies = [
+        b"Crawl-delay: 2\n",
+        b"crawl-delay : 7 # be nice\n",
+        # MAX across groups (conservative over-wait)
+        b"User-agent: a\nCrawl-delay: 3\nUser-agent: *\nCrawl-delay: 9\n",
+        b"Crawl-delay: soon\n",       # junk token
+        b"Crawl-delay: 12.5\n",       # fractional: whole-token digits only
+        b"Crawl-delay:\n",            # value-less
+        b"# Crawl-delay: 4\n",        # commented out
+        b"no directives\n",
+    ]
+    want = [parse_robots_crawl_delay(b) for b in bodies]
+    assert want == [2, 7, 9, None, None, None, None, None]
+    df = spark.createDataFrame(
+        [(i, b.decode()) for i, b in enumerate(bodies)],
+        "doc_id long, body string",
+    )
+    got = {
+        r["doc_id"]: r["d"]
+        for r in df.select(
+            "doc_id", robots_crawl_delay(F.col("body")).alias("d")
+        ).collect()
+    }
+    assert [got[i] for i in range(len(bodies))] == want
+
+
+def test_polite_plan_flips_quota_non_vacuously(spark, sf_dir):
+    """X297: h1 (delay 7 -> quota 1) must demote rows the flat-quota
+    plan fetched; h2 (junk delay) keeps the default quota exactly."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        frontier_fetch_plan,
+        frontier_fetch_plan_polite,
+    )
+
+    plain = {
+        r["doc_id"]: r for r in frontier_fetch_plan(spark, sf_dir).collect()
+    }
+    polite = {
+        r["doc_id"]: r
+        for r in frontier_fetch_plan_polite(spark, sf_dir).collect()
+    }
+    assert set(plain) == set(polite)
+    quotas = {r["host"]: r["host_quota"] for r in polite.values()}
+    assert quotas == {"h0.example": 6, "h1.example": 1, "h2.example": 8}
+    flips = [
+        d
+        for d in plain
+        if plain[d]["fetch_now"] and not polite[d]["fetch_now"]
+    ]
+    assert flips
+    assert all(polite[d]["host"] != "h2.example" for d in flips)
+    for d in plain:  # the quota only ever demotes; ranks are identical
+        assert polite[d]["host_rank"] == plain[d]["host_rank"]
+        assert not (polite[d]["fetch_now"] and not plain[d]["fetch_now"])
