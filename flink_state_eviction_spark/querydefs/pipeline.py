@@ -9830,18 +9830,28 @@ def frontier_fetch_plan_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and every-7th doc minted as a <sitemapindex>.
 
 
-def _sitemap_entry_sql(i: int) -> str:
+def _sitemap_entry_sql(i: int, cycle: int = 0) -> str:
     """DuckDB SQL for minted <url> entry ``i`` (mirrors
-    :func:`_sitemap_entry_col` — the two mints must stay twins)."""
+    :func:`_sitemap_entry_col` — the two mints must stay twins).
+    ``cycle=1`` is the X298 second crawl cycle: every doc_id%6==0
+    URL's lastmod day moves from 1i to 2i (the CHANGED class);
+    cycle 0 emits byte-identical text to the original mint."""
     loc = {
         0: "'https://s' || CAST(doc_id % 50 AS VARCHAR) || '.example/p0'",
         1: "'HTTP://S' || CAST(doc_id % 50 AS VARCHAR) || '.Example:80//q/'",
         2: "'https://crawl.example/p/d' || CAST(doc_id AS VARCHAR)",
+        3: "'https://crawl.example/new/d' || CAST(doc_id AS VARCHAR)",
     }[i]
+    day = (
+        f"'-1{i}</lastmod>'"
+        if cycle == 0
+        else f"CASE WHEN doc_id % 6 = 0 THEN '-2{i}</lastmod>' "
+             f"ELSE '-1{i}</lastmod>' END"
+    )
     return f"""'<url><loc> ' || {loc} || ' </loc>'
         || CASE WHEN (doc_id + {i}) % 2 = 0
                 THEN '<lastmod>2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
-                     || '-1{i}</lastmod>' ELSE '' END
+                     || {day} ELSE '' END
         || CASE (doc_id + {i}) % 3
                 WHEN 0 THEN '<changefreq>daily</changefreq>'
                 WHEN 1 THEN '<changefreq>weekly</changefreq>'
@@ -9855,7 +9865,7 @@ def _sitemap_entry_sql(i: int) -> str:
         || '</url>'"""
 
 
-def _sitemap_entry_col(i: int):
+def _sitemap_entry_col(i: int, cycle: int = 0):
     """Spark twin of :func:`_sitemap_entry_sql`."""
     did = F.col("doc_id")
     m = (did % 50).cast("string")
@@ -9863,16 +9873,26 @@ def _sitemap_entry_col(i: int):
         loc = F.concat(F.lit("https://s"), m, F.lit(".example/p0"))
     elif i == 1:
         loc = F.concat(F.lit("HTTP://S"), m, F.lit(".Example:80//q/"))
-    else:
+    elif i == 2:
         loc = F.concat(
             F.lit("https://crawl.example/p/d"), did.cast("string")
+        )
+    else:
+        loc = F.concat(
+            F.lit("https://crawl.example/new/d"), did.cast("string")
+        )
+    if cycle == 0:
+        day = F.lit(f"-1{i}</lastmod>")
+    else:
+        day = F.when(did % 6 == 0, F.lit(f"-2{i}</lastmod>")).otherwise(
+            F.lit(f"-1{i}</lastmod>")
         )
     lastmod = F.when(
         (did + i) % 2 == 0,
         F.concat(
             F.lit("<lastmod>2024-0"),
             (did % 9 + 1).cast("string"),
-            F.lit(f"-1{i}</lastmod>"),
+            day,
         ),
     ).otherwise(F.lit(""))
     cf = (
@@ -9902,10 +9922,15 @@ _SITEMAP_XML_PROLOG = '<?xml version="1.0" encoding="UTF-8"?>'
 _SITEMAP_NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
 
 
-def _minted_sitemap_col():
+def _minted_sitemap_col(cycle: int = 0):
     """The deterministic sitemap XML per fixture doc: a 2-entry
     <sitemapindex> every 7th doc, else a <urlset> with doc_id%3+1
-    entries (entry grammar in :func:`_sitemap_entry_col`)."""
+    entries (entry grammar in :func:`_sitemap_entry_col`).
+
+    ``cycle=1`` is the X298 second crawl cycle: doc_id%6==0 lastmods
+    shift (changed), the unique per-doc URL disappears for
+    doc_id%10<2 (gone), and a /new/ URL appears for doc_id%10==5
+    (new); cycle 0 is byte-identical to the original mint."""
     did = F.col("doc_id")
     ds = did.cast("string")
     idx = F.concat(
@@ -9916,17 +9941,33 @@ def _minted_sitemap_col():
         F.lit("<sitemap><loc> https://idx"), ds,
         F.lit(".example/sitemap1.xml </loc></sitemap></sitemapindex>"),
     )
+    if cycle == 0:
+        e2 = F.when(did % 3 + 1 >= 3, _sitemap_entry_col(2)).otherwise(
+            F.lit("")
+        )
+        e3 = F.lit("")
+    else:
+        e2 = F.when(
+            (did % 3 + 1 >= 3) & ~(did % 10 < 2),
+            _sitemap_entry_col(2, cycle),
+        ).otherwise(F.lit(""))
+        e3 = F.when(did % 10 == 5, _sitemap_entry_col(3, cycle)).otherwise(
+            F.lit("")
+        )
     urlset = F.concat(
         F.lit(f"{_SITEMAP_XML_PROLOG}<urlset {_SITEMAP_NS}>"),
-        _sitemap_entry_col(0),
-        F.when(did % 3 + 1 >= 2, _sitemap_entry_col(1)).otherwise(F.lit("")),
-        F.when(did % 3 + 1 >= 3, _sitemap_entry_col(2)).otherwise(F.lit("")),
+        _sitemap_entry_col(0, cycle),
+        F.when(did % 3 + 1 >= 2, _sitemap_entry_col(1, cycle)).otherwise(
+            F.lit("")
+        ),
+        e2,
+        e3,
         F.lit("</urlset>"),
     )
     return F.when(did % 7 == 6, idx).otherwise(urlset)
 
 
-def sitemap_entries_frame(docs: DataFrame) -> DataFrame:
+def sitemap_entries_frame(docs: DataFrame, cycle: int = 0) -> DataFrame:
     """X286 frame kernel: minted sitemap XML -> one row per entry
     (doc_id, kind 'url'|'sitemap', entry_idx, loc, lastmod_epoch_day,
     changefreq, priority_milli). Parsing is the functions/text.py
@@ -9945,7 +9986,9 @@ def sitemap_entries_frame(docs: DataFrame) -> DataFrame:
         sitemap_priority_milli,
     )
 
-    staged = docs.select("doc_id", _minted_sitemap_col().alias("xml"))
+    staged = docs.select(
+        "doc_id", _minted_sitemap_col(cycle).alias("xml")
+    )
     arr = staged.select(
         "doc_id",
         F.when(sitemap_is_index(F.col("xml")), F.lit("sitemap"))
@@ -9973,7 +10016,7 @@ def sitemap_entries_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def _sitemap_extract_oracle() -> str:
+def _sitemap_extract_oracle(cycle: int = 0) -> str:
     from flink_state_eviction_spark.functions.text import (
         SITEMAP_CHANGEFREQ_RE,
         SITEMAP_DAY_RE,
@@ -9987,6 +10030,15 @@ def _sitemap_extract_oracle() -> str:
 
     pri_ip = r"^([01])(?:\.[0-9]{1,3})?$"
     pri_fp = r"^[01]\.([0-9]{1,3})$"
+    if cycle == 0:
+        e2 = f"""CASE WHEN doc_id % 3 + 1 >= 3
+                       THEN {_sitemap_entry_sql(2)} ELSE '' END"""
+        e3 = "''"
+    else:
+        e2 = f"""CASE WHEN doc_id % 3 + 1 >= 3 AND NOT doc_id % 10 < 2
+                       THEN {_sitemap_entry_sql(2, cycle)} ELSE '' END"""
+        e3 = f"""CASE WHEN doc_id % 10 = 5
+                       THEN {_sitemap_entry_sql(3, cycle)} ELSE '' END"""
     return f"""
 WITH base AS (
     SELECT doc_id,
@@ -9999,11 +10051,11 @@ WITH base AS (
                || '.example/sitemap1.xml </loc></sitemap></sitemapindex>'
            ELSE
                '{_SITEMAP_XML_PROLOG}<urlset {_SITEMAP_NS}>'
-               || {_sitemap_entry_sql(0)}
+               || {_sitemap_entry_sql(0, cycle)}
                || CASE WHEN doc_id % 3 + 1 >= 2
-                       THEN {_sitemap_entry_sql(1)} ELSE '' END
-               || CASE WHEN doc_id % 3 + 1 >= 3
-                       THEN {_sitemap_entry_sql(2)} ELSE '' END
+                       THEN {_sitemap_entry_sql(1, cycle)} ELSE '' END
+               || {e2}
+               || {e3}
                || '</urlset>'
            END AS xml
     FROM documents
@@ -10119,6 +10171,9 @@ FROM disc d LEFT JOIN seen s ON s.canon_url = d.canon_url
 @register_supplementary(
     "sitemap_frontier_discovery",
     _sitemap_discovery_oracle(),
+    # bench headliner (late round 10): the sitemap family's end-to-end
+    # representative — parse + canon fold + seen-set join
+    headline=True,
     tags=("pipeline", "text"),
 )
 def sitemap_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10142,14 +10197,15 @@ def sitemap_frontier_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sitemap_disc_partials(docs: DataFrame) -> DataFrame:
+def sitemap_disc_partials(docs: DataFrame, cycle: int = 0) -> DataFrame:
     """X287 per-URL discovery fold over a (doc_id,) frame: canonical
     loc -> (n_refs, latest_epoch_day, best_priority_milli). Associative
     (SUM/MAX/MAX), so micro-batch partials re-fold to the corpus fold —
-    the X288 maintainer's state rows."""
+    the X288 maintainer's state rows. ``cycle`` selects the X298
+    crawl-cycle mint (default 0: the original)."""
     from flink_state_eviction_spark.functions.text import normalize_url
 
-    ext = sitemap_entries_frame(docs)
+    ext = sitemap_entries_frame(docs, cycle)
     urls = ext.where(
         (F.col("kind") == "url") & F.col("loc").isNotNull()
     ).select(
@@ -10178,6 +10234,116 @@ def sitemap_discovery_join(disc: DataFrame, seen_urls: DataFrame) -> DataFrame:
         "latest_epoch_day",
         "best_priority_milli",
         F.col("_s").isNotNull().alias("seen"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X298: sitemap delta across crawl cycles — the incremental-recrawl
+# driver: comparing two cycles' discovery folds on the canonical key
+# classifies every URL as new / gone / changed (lastmod or reference
+# count moved) / unchanged, which is exactly the worklist an
+# incremental crawler fetches instead of re-walking the whole urlset.
+# The second cycle is a parameterized variant of the SAME mint
+# (cycle=1: doc_id%6==0 lastmods shift, doc_id%10<2 unique URLs
+# disappear, doc_id%10==5 gain a /new/ URL; cycle 0 stays
+# byte-identical to the original, so X286/X287/X288 parity is
+# untouched). One canon chain runs over the UNION of both cycles'
+# entries (cycle-tagged keys — the X287 oracle's union trick), then
+# the two folds full-outer-join on canon_url.
+
+
+def _sitemap_delta_oracle() -> str:
+    return f"""
+WITH e0 AS ({_sitemap_extract_oracle(0)}),
+e1 AS ({_sitemap_extract_oracle(1)}),
+base AS (
+    SELECT (doc_id * 4 + entry_idx) * 2 AS doc_id, loc AS url
+    FROM e0 WHERE kind = 'url' AND loc IS NOT NULL
+    UNION ALL
+    SELECT (doc_id * 4 + entry_idx) * 2 + 1 AS doc_id, loc AS url
+    FROM e1 WHERE kind = 'url' AND loc IS NOT NULL
+),
+{_URL_CANON_CTES},
+canon AS (
+    SELECT doc_id,
+           CASE WHEN sh = '' THEN url
+                ELSE a || CASE WHEN r = '' THEN '/' ELSE r END END
+               AS canon_url
+    FROM fixed
+),
+f0 AS (
+    SELECT c.canon_url, CAST(COUNT(*) AS BIGINT) AS n_refs,
+           MAX(e.lastmod_epoch_day) AS latest
+    FROM e0 e
+    JOIN canon c ON c.doc_id = (e.doc_id * 4 + e.entry_idx) * 2
+    WHERE e.kind = 'url' AND e.loc IS NOT NULL
+    GROUP BY 1
+),
+f1 AS (
+    SELECT c.canon_url, CAST(COUNT(*) AS BIGINT) AS n_refs,
+           MAX(e.lastmod_epoch_day) AS latest
+    FROM e1 e
+    JOIN canon c ON c.doc_id = (e.doc_id * 4 + e.entry_idx) * 2 + 1
+    WHERE e.kind = 'url' AND e.loc IS NOT NULL
+    GROUP BY 1
+)
+SELECT coalesce(f0.canon_url, f1.canon_url) AS canon_url,
+       CAST(f0.n_refs AS BIGINT) AS refs_prev,
+       CAST(f1.n_refs AS BIGINT) AS refs_cur,
+       CAST(f0.latest AS BIGINT) AS lastmod_prev,
+       CAST(f1.latest AS BIGINT) AS lastmod_cur,
+       CASE WHEN f0.canon_url IS NULL THEN 'new'
+            WHEN f1.canon_url IS NULL THEN 'gone'
+            WHEN f0.latest IS DISTINCT FROM f1.latest
+                 OR f0.n_refs <> f1.n_refs THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM f0 FULL OUTER JOIN f1 ON f1.canon_url = f0.canon_url
+"""
+
+
+@register_supplementary(
+    "sitemap_delta", _sitemap_delta_oracle(), tags=("pipeline", "text")
+)
+def sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X298: per-URL delta between two crawl cycles' sitemap
+    discovery folds (module comment above) — new / gone / changed /
+    unchanged with both cycles' reference counts and latest lastmods.
+    Two parse+fold passes (the X287 kernel at cycle 0 and 1) and one
+    canon-keyed full outer join; lastmod comparison is null-safe
+    (an undated URL that stays undated is unchanged, not changed).
+    Extension beyond the reference surface."""
+    p0 = sitemap_disc_partials(
+        load_table(spark, sf_dir, "documents"), 0
+    ).select(
+        "canon_url",
+        F.col("n_refs").alias("refs_prev"),
+        F.col("latest_epoch_day").alias("lastmod_prev"),
+    )
+    p1 = sitemap_disc_partials(
+        load_table(spark, sf_dir, "documents"), 1
+    ).select(
+        "canon_url",
+        F.col("n_refs").alias("refs_cur"),
+        F.col("latest_epoch_day").alias("lastmod_cur"),
+    )
+    j = p0.join(p1, "canon_url", "full")
+    status = (
+        F.when(F.col("refs_prev").isNull(), F.lit("new"))
+        .when(F.col("refs_cur").isNull(), F.lit("gone"))
+        .when(
+            ~F.col("lastmod_prev").eqNullSafe(F.col("lastmod_cur"))
+            | (F.col("refs_prev") != F.col("refs_cur")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "canon_url",
+        "refs_prev",
+        "refs_cur",
+        "lastmod_prev",
+        "lastmod_cur",
+        status.alias("status"),
     )
 
 

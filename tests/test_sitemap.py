@@ -365,3 +365,36 @@ def test_polite_plan_flips_quota_non_vacuously(spark, sf_dir):
     for d in plain:  # the quota only ever demotes; ranks are identical
         assert polite[d]["host_rank"] == plain[d]["host_rank"]
         assert not (polite[d]["fetch_now"] and not plain[d]["fetch_now"])
+
+
+def test_sitemap_delta_all_classes(spark, sf_dir):
+    """X298 pins: all four delta classes occur; class membership
+    matches the cycle-1 mint by construction (every /new/ URL is
+    'new'; gone URLs are unique per-doc p/d URLs with doc_id%10<2);
+    an undated-on-both-sides URL never lands in 'changed' via the
+    null-safe compare."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        sitemap_delta,
+    )
+
+    rows = sitemap_delta(spark, sf_dir).collect()
+    by_status: dict[str, list] = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r)
+    assert set(by_status) == {"new", "gone", "changed", "unchanged"}
+    for r in by_status["new"]:
+        assert "/new/d" in r["canon_url"]
+        assert r["refs_prev"] is None and r["refs_cur"] is not None
+    for r in by_status["gone"]:
+        assert r["refs_cur"] is None
+        doc_id = int(r["canon_url"].rsplit("/p/d", 1)[1])
+        assert doc_id % 10 < 2
+    for r in by_status["changed"]:
+        assert r["lastmod_prev"] != r["lastmod_cur"] or (
+            r["refs_prev"] != r["refs_cur"]
+        )
+    for r in by_status["unchanged"]:
+        assert r["refs_prev"] == r["refs_cur"]
+        assert r["lastmod_prev"] == r["lastmod_cur"] or (
+            r["lastmod_prev"] is None and r["lastmod_cur"] is None
+        )
