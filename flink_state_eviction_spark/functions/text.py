@@ -936,3 +936,27 @@ def robots_crawl_delay(text: Column) -> Column:
             lambda x: F.when(x.rlike("^[0-9]+$"), x.cast("long")),
         )
     )
+
+
+# URL path templating for crawl-trap detection (X300): collapse the
+# variable runs of a path+query so an infinite URL space (calendars,
+# session ids, cursors) folds to few templates. Order matters: long
+# hex runs first (a hex id contains digits — digit-collapse first
+# would shred it into mixed tokens), then digit runs.
+URL_HEX_RUN_RE = "[0-9a-fA-F]{8,}"
+URL_DIGIT_RUN_RE = "[0-9]+"
+
+
+def url_path_template(url: Column) -> Column:
+    """The templated path+query of a URL: everything after the
+    authority with hex runs (>= 8) then digit runs collapsed to '*'.
+    A non-URL (no scheme://) yields NULL — callers decide whether the
+    passthrough bucket matters. Pure regexp codegen."""
+    pq = F.regexp_extract(
+        url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    t = F.regexp_replace(pq, URL_HEX_RUN_RE, "*")
+    t = F.regexp_replace(t, URL_DIGIT_RUN_RE, "*")
+    return F.when(
+        url.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), t
+    )

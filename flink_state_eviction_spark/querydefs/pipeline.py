@@ -10312,21 +10312,29 @@ def sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon-keyed full outer join; lastmod comparison is null-safe
     (an undated URL that stays undated is unchanged, not changed).
     Extension beyond the reference surface."""
-    p0 = sitemap_disc_partials(
-        load_table(spark, sf_dir, "documents"), 0
-    ).select(
+    docs = load_table(spark, sf_dir, "documents")
+    return sitemap_delta_join(
+        sitemap_disc_partials(docs, 0), sitemap_disc_partials(docs, 1)
+    )
+
+
+def sitemap_delta_join(p0: DataFrame, p1: DataFrame) -> DataFrame:
+    """The X298 delta tail over two discovery folds (frames carrying
+    canon_url, n_refs, latest_epoch_day) — THE kernel shared by the
+    batch query and the two-state streaming serve
+    (streaming/sitemap_maintain.py:delta_from_states), so the two
+    cannot diverge."""
+    a = p0.select(
         "canon_url",
         F.col("n_refs").alias("refs_prev"),
         F.col("latest_epoch_day").alias("lastmod_prev"),
     )
-    p1 = sitemap_disc_partials(
-        load_table(spark, sf_dir, "documents"), 1
-    ).select(
+    b = p1.select(
         "canon_url",
         F.col("n_refs").alias("refs_cur"),
         F.col("latest_epoch_day").alias("lastmod_cur"),
     )
-    j = p0.join(p1, "canon_url", "full")
+    j = a.join(b, "canon_url", "full")
     status = (
         F.when(F.col("refs_prev").isNull(), F.lit("new"))
         .when(F.col("refs_cur").isNull(), F.lit("gone"))
@@ -10344,6 +10352,129 @@ def sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lastmod_prev",
         "lastmod_cur",
         status.alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X300: crawl-trap detection via URL templating — an infinite URL
+# space (calendar pages, session ids, cursors) is the classic frontier
+# killer: distinct URLs explode while their TEMPLATE count stays flat.
+# Collapsing hex runs (>= 8, FIRST — a hex id contains digits) then
+# digit runs to '*' folds each host's URL set to templates; a host
+# whose urls-per-template ratio blows past the threshold is flagged
+# before its frontier share does the damage. The mint exhibits all
+# four shapes: a date-exploding calendar host, a hex-session host,
+# a bounded catalog, and a single static page.
+
+_TRAP_URLS_PER_TEMPLATE = 50
+
+
+def _url_trap_oracle() -> str:
+    from flink_state_eviction_spark.functions.text import (
+        URL_DIGIT_RUN_RE,
+        URL_HEX_RUN_RE,
+    )
+
+    return f"""
+WITH base AS (
+    SELECT CASE doc_id % 4
+            WHEN 0 THEN 'https://cal.example/d/2024/'
+                        || CAST(doc_id % 12 + 1 AS VARCHAR) || '/'
+                        || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN 'https://sess.example/view?sid='
+                        || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+            WHEN 2 THEN 'https://shop.example/item/'
+                        || CAST(doc_id % 25 AS VARCHAR)
+            ELSE 'https://docs.example/about' END AS url
+    FROM documents
+),
+t AS (
+    SELECT regexp_extract(url, '{_HOST_RE}', 1) AS host, url,
+           regexp_replace(
+               regexp_replace(
+                   regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1),
+                   '{URL_HEX_RUN_RE}', '*', 'g'),
+               '{URL_DIGIT_RUN_RE}', '*', 'g') AS tpl
+    FROM base
+),
+census AS (
+    SELECT host,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT tpl) AS BIGINT) AS n_templates
+    FROM t GROUP BY 1
+)
+SELECT host, n_urls, n_templates,
+       CAST(n_urls * 1000 // n_templates AS BIGINT)
+           AS urls_per_template_milli,
+       n_urls * 1000 // n_templates
+           >= {_TRAP_URLS_PER_TEMPLATE} * 1000 AS trap
+FROM census
+"""
+
+
+@register_supplementary(
+    "url_trap_census", _url_trap_oracle(), tags=("pipeline", "text")
+)
+def url_trap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X300: per-host crawl-trap census (module comment above) —
+    distinct URLs vs distinct collapsed templates
+    (functions/text.py:url_path_template) and the trap verdict at 50
+    URLs/template. Scan-side templating codegen + one host fold (the
+    two-distinct expand); at crawl scale this census is the frontier
+    guard that stops a calendar host from eating the fetch budget.
+    Extension beyond the reference surface. NOTE the dialect split
+    the oracle bakes in: Spark regexp_replace is always-global while
+    DuckDB needs the explicit 'g' flag — a first-match hex collapse
+    would leave later runs digit-shredded."""
+    from flink_state_eviction_spark.functions.text import (
+        url_path_template,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("https://cal.example/d/2024/"),
+                (did % 12 + 1).cast("string"),
+                F.lit("/"),
+                did.cast("string"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit("https://sess.example/view?sid="),
+                F.substring(F.md5(did.cast("string")), 1, 16),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("https://shop.example/item/"),
+                (did % 25).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("https://docs.example/about"))
+    )
+    t = docs.select(url.alias("url")).select(
+        F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("host"),
+        "url",
+        url_path_template(F.col("url")).alias("tpl"),
+    )
+    census = t.groupBy("host").agg(
+        F.countDistinct("url").cast("long").alias("n_urls"),
+        F.countDistinct("tpl").cast("long").alias("n_templates"),
+    )
+    ratio = F.expr("n_urls * 1000 div n_templates")
+    return census.select(
+        "host",
+        "n_urls",
+        "n_templates",
+        ratio.cast("long").alias("urls_per_template_milli"),
+        (ratio >= _TRAP_URLS_PER_TEMPLATE * 1000).alias("trap"),
     )
 
 

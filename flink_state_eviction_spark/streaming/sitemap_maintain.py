@@ -47,18 +47,21 @@ def sitemap_maintain_batch(
     batch_df: DataFrame,
     state_dir: str,
     batch_id: int,
+    cycle: int = 0,
 ) -> None:
     """One micro-batch of discovery maintenance (module docstring).
     Call from ``foreachBatch`` forwarding its batch id. ``batch_df``
     must carry (doc_id,) — the sitemap mint is doc_id-keyed like every
-    fixture staging."""
+    fixture staging. ``cycle`` selects the X298 crawl-cycle mint
+    (default 0) — a per-cycle state dir is how the two-cycle delta
+    serves (:func:`delta_from_states`)."""
     from flink_state_eviction_spark.querydefs.pipeline import (
         sitemap_disc_partials,
     )
 
-    sitemap_disc_partials(batch_df).write.mode("overwrite").parquet(
-        os.path.join(state_dir, "sitemap", f"batch={batch_id}")
-    )
+    sitemap_disc_partials(batch_df, cycle).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, "sitemap", f"batch={batch_id}"))
 
 
 def compact_sitemap_state(
@@ -98,4 +101,23 @@ def discovery_from_state(
     return sitemap_discovery_join(
         partials_from_state(spark, state_dir),
         seen_from_state(spark, frontier_state_dir),
+    )
+
+
+def delta_from_states(
+    spark: SparkSession, prev_state_dir: str, cur_state_dir: str
+) -> DataFrame:
+    """The X298 cycle delta from TWO maintained discovery states
+    (previous crawl cycle vs current) through the SAME
+    ``sitemap_delta_join`` tail as the batch query — the incremental
+    recrawl worklist, available after any micro-batch of the current
+    cycle; bit-equal to the batch ``sitemap_delta`` once both cycles
+    have streamed in."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        sitemap_delta_join,
+    )
+
+    return sitemap_delta_join(
+        partials_from_state(spark, prev_state_dir),
+        partials_from_state(spark, cur_state_dir),
     )

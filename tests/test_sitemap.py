@@ -398,3 +398,58 @@ def test_sitemap_delta_all_classes(spark, sf_dir):
         assert r["lastmod_prev"] == r["lastmod_cur"] or (
             r["lastmod_prev"] is None and r["lastmod_cur"] is None
         )
+
+
+# ---------------------------------------------------------------------------
+# X300: URL templating / crawl-trap census
+
+
+def test_url_path_template_collapse_order(spark):
+    from flink_state_eviction_spark.functions.text import (
+        url_path_template,
+    )
+
+    cases = [
+        # hex run collapses as ONE token (digit-first would shred it)
+        ("https://h.example/a/deadbeef1234/x", "/a/*/x"),
+        ("https://h.example/d/2024/3/15", "/d/*/*/*"),
+        ("https://h.example/view?sid=0123456789abcdef", "/view?sid=*"),
+        # short hex-ish segment (< 8) is NOT an id: digits collapse,
+        # letters stay
+        ("https://h.example/v1/abc4", "/v*/abc*"),
+        ("https://h.example/about", "/about"),
+        ("https://h.example", ""),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["tpl"]
+        for r in df.select(
+            "doc_id", url_path_template(F.col("url")).alias("tpl")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i])
+
+
+def test_url_trap_census_verdicts(spark, sf_dir):
+    """X300 fixture pins: the calendar and hex-session hosts flag as
+    traps (125 URLs on one template each), the bounded catalog and
+    static page do not — both verdicts and both collapse classes
+    populated."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        url_trap_census,
+    )
+
+    rows = {r["host"]: r for r in url_trap_census(spark, sf_dir).collect()}
+    assert rows["cal.example"]["trap"] and rows["sess.example"]["trap"]
+    assert not rows["shop.example"]["trap"]
+    assert not rows["docs.example"]["trap"]
+    for r in rows.values():
+        assert (
+            r["urls_per_template_milli"]
+            == r["n_urls"] * 1000 // r["n_templates"]
+        )

@@ -97,3 +97,29 @@ def test_sitemap_state_redelivery_and_compaction(spark, sf_dir, tmp_path):
     assert snapshot() == once
     sitemap_maintain_batch(batches[2][1], state, 2)
     assert snapshot() == once
+
+
+def test_two_state_delta_matches_batch(spark, sf_dir, tmp_path):
+    """X299: the delta served from two maintained cycle states must
+    equal the batch `sitemap_delta` bit-for-bit, with all four
+    classes populated."""
+    from flink_state_eviction_spark.streaming.sitemap_maintain import (
+        delta_from_states,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = sorted(r["doc_id"] for r in docs.collect())
+    cut = ids[len(ids) // 2]
+    s0 = os.path.join(str(tmp_path), "cycle0")
+    s1 = os.path.join(str(tmp_path), "cycle1")
+    for bid, b in [
+        (0, docs.where(F.col("doc_id") < cut)),
+        (1, docs.where(F.col("doc_id") >= cut)),
+    ]:
+        sitemap_maintain_batch(b, s0, bid, cycle=0)
+        sitemap_maintain_batch(b, s1, bid, cycle=1)
+
+    got = _rows(delta_from_states(spark, s0, s1))
+    want = _rows(all_queries()["sitemap_delta"](spark, sf_dir))
+    assert got == want and got
+    assert {r[5] for r in got} == {"new", "gone", "changed", "unchanged"}
