@@ -10426,9 +10426,13 @@ def url_trap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     Extension beyond the reference surface. NOTE the dialect split
     the oracle bakes in: Spark regexp_replace is always-global while
     DuckDB needs the explicit 'g' flag — a first-match hex collapse
-    would leave later runs digit-shredded."""
-    from flink_state_eviction_spark.functions.text import (
-        url_path_template,
+    would leave later runs digit-shredded. Census kernels
+    (trap_triples + trap_census_fold) live in
+    streaming/trap_maintain.py and are shared with the X301
+    maintainer — one kernel, no divergence."""
+    from flink_state_eviction_spark.streaming.trap_maintain import (
+        trap_census_fold,
+        trap_triples,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -10459,23 +10463,7 @@ def url_trap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("https://docs.example/about"))
     )
-    t = docs.select(url.alias("url")).select(
-        F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("host"),
-        "url",
-        url_path_template(F.col("url")).alias("tpl"),
-    )
-    census = t.groupBy("host").agg(
-        F.countDistinct("url").cast("long").alias("n_urls"),
-        F.countDistinct("tpl").cast("long").alias("n_templates"),
-    )
-    ratio = F.expr("n_urls * 1000 div n_templates")
-    return census.select(
-        "host",
-        "n_urls",
-        "n_templates",
-        ratio.cast("long").alias("urls_per_template_milli"),
-        (ratio >= _TRAP_URLS_PER_TEMPLATE * 1000).alias("trap"),
-    )
+    return trap_census_fold(trap_triples(docs.select(url.alias("url"))))
 
 
 # ---------------------------------------------------------------------------

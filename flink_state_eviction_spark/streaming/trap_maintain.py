@@ -1,0 +1,115 @@
+"""Streaming crawl-trap census maintainer (X301): the X300 frontier
+guard always-on — a calendar host's URL explosion shows one
+micro-batch after it starts, BEFORE its frontier share does the
+damage.
+
+Distinct counts are not summable partials, so this is the
+distinct-union census class (the X221 rules / decontam-census
+pattern): state is distinct (host, url, tpl) rows per batch partition
+— HONEST bound: crawl-linear in distinct URLs, exactly the signal
+being measured (a trap host's state rows ARE its explosion; the
+serve's COUNT(DISTINCT ...) fold is what flags it). Re-observation is
+free, so at-least-once redelivery needs no accounting caveat.
+
+- ``trap_maintain_batch`` — ``foreachBatch`` body over (url,) rows:
+  the batch's distinct (host, url, tpl) triples via the SAME
+  ``url_path_template`` kernel land in an idempotent ``batch=<id>``
+  partition.
+- ``census_from_state`` — the X300 census shape over the distinct
+  union, through the SAME fold; bit-equal to the batch
+  `url_trap_census` once the URL stream has all arrived
+  (tests/test_streaming_trap.py).
+
+Extension beyond the reference surface (twins the batch X300 query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def trap_triples(urls: DataFrame) -> DataFrame:
+    """Distinct (host, url, tpl) triples of a frame carrying ``url``
+    — THE kernel shared by the maintainer and the batch census
+    staging."""
+    from flink_state_eviction_spark.functions.text import (
+        url_path_template,
+    )
+    from flink_state_eviction_spark.querydefs.pipeline import _HOST_RE
+
+    return (
+        urls.select(
+            F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("host"),
+            "url",
+            url_path_template(F.col("url")).alias("tpl"),
+        )
+        .distinct()
+    )
+
+
+def trap_census_fold(triples: DataFrame) -> DataFrame:
+    """The X300 census fold over (host, url, tpl) rows — shared by
+    the batch query's shape and the serving path."""
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _TRAP_URLS_PER_TEMPLATE,
+    )
+
+    census = triples.groupBy("host").agg(
+        F.countDistinct("url").cast("long").alias("n_urls"),
+        F.countDistinct("tpl").cast("long").alias("n_templates"),
+    )
+    ratio = F.expr("n_urls * 1000 div n_templates")
+    return census.select(
+        "host",
+        "n_urls",
+        "n_templates",
+        ratio.cast("long").alias("urls_per_template_milli"),
+        (ratio >= _TRAP_URLS_PER_TEMPLATE * 1000).alias("trap"),
+    )
+
+
+def trap_maintain_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """One micro-batch of trap-census maintenance (module docstring).
+    ``batch_df`` must carry a ``url`` column."""
+    trap_triples(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "trap", f"batch={batch_id}")
+    )
+
+
+def compact_trap_state(
+    spark: SparkSession, state_dir: str, through_batch: int
+) -> None:
+    """Fold sealed ``batch <= through_batch`` partitions — triples are
+    a distinct union. Contract: streaming/compaction.py."""
+    from flink_state_eviction_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    compact_batch_partitions(
+        spark,
+        os.path.join(state_dir, "trap"),
+        through_batch,
+        lambda df: df.select("host", "url", "tpl").distinct(),
+    )
+
+
+def triples_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained distinct (host, url, tpl) triples."""
+    return (
+        spark.read.parquet(os.path.join(state_dir, "trap"))
+        .select("host", "url", "tpl")
+        .distinct()
+    )
+
+
+def census_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The X300 census from MAINTAINED state through the shared
+    fold — bit-equal to the batch census once the stream is in."""
+    return trap_census_fold(triples_from_state(spark, state_dir))

@@ -1,0 +1,92 @@
+"""Streaming crawl-trap census maintainer (X301): serving from the
+maintained distinct triples must reproduce the batch `url_trap_census`
+bit-for-bit; redelivery must not change the state; compaction
+preserves it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_state_eviction_spark.queries import all_queries
+from flink_state_eviction_spark.streaming.trap_maintain import (
+    census_from_state,
+    compact_trap_state,
+    trap_maintain_batch,
+    triples_from_state,
+)
+from flink_state_eviction_spark.tables import load_table
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _minted_urls(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("https://cal.example/d/2024/"),
+                (did % 12 + 1).cast("string"),
+                F.lit("/"),
+                did.cast("string"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit("https://sess.example/view?sid="),
+                F.substring(F.md5(did.cast("string")), 1, 16),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("https://shop.example/item/"),
+                (did % 25).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("https://docs.example/about"))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def test_streaming_trap_census_matches_batch(spark, sf_dir, tmp_path):
+    urls = _minted_urls(spark, sf_dir)
+    ids = sorted(r["doc_id"] for r in urls.select("doc_id").collect())
+    n = len(ids)
+    cut1, cut2 = ids[n // 3], ids[2 * n // 3]
+    batches = [
+        (0, urls.where(F.col("doc_id") < cut1)),
+        (1, urls.where((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2))),
+        (2, urls.where(F.col("doc_id") >= cut2)),
+    ]
+    state = os.path.join(str(tmp_path), "trap-state")
+    for bid, b in batches:
+        trap_maintain_batch(b.select("url"), state, bid)
+
+    got = _rows(census_from_state(spark, state))
+    want = _rows(all_queries()["url_trap_census"](spark, sf_dir))
+    assert got == want and got
+    # both verdicts reached state
+    assert {r[4] for r in got} == {True, False}
+
+    def snapshot():
+        return _rows(triples_from_state(spark, state))
+
+    once = snapshot()
+    # redelivery: distinct union, state unchanged
+    trap_maintain_batch(batches[1][1].select("url"), state, 1)
+    assert snapshot() == once
+
+    with pytest.raises(ValueError):
+        compact_trap_state(spark, state, 2)
+    compact_trap_state(spark, state, 1)
+    assert snapshot() == once
+    trap_maintain_batch(batches[2][1].select("url"), state, 2)
+    assert snapshot() == once
