@@ -11126,6 +11126,84 @@ def host_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X302: HITS hubs & authorities (Kleinberg 1999) over the host link
+# graph — the third classic next to PageRank (X227) and TrustRank
+# (X294): authorities are what good hubs point AT, hubs are what
+# point at good authorities — the mutually-recursive pair a crawler
+# reads differently from PageRank (a directory page is a great hub
+# and a poor authority; PageRank conflates the two). Integer
+# arithmetic with per-half-step MAX normalization
+# (operators/pagerank.py:hits — the overflow-honest formulation; see
+# its docstring for the degree bound).
+
+
+def _host_hits_oracle(iters: int = 2) -> str:
+    s = 1_000_000_000
+    head = (
+        "WITH "
+        + _link_mint_sql()
+        + f""",
+dedges AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM edges),
+nodes AS (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),
+hn0 AS (SELECT node, CAST({s} AS BIGINT) AS hub FROM nodes)"""
+    )
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""",
+a{i} AS (
+    SELECT e.dst, SUM(h.hub) AS a
+    FROM dedges e JOIN hn{i - 1} h ON h.node = e.src GROUP BY 1
+),
+an{i} AS (
+    SELECT n.node,
+           CAST(coalesce(a.a, 0) * {s}
+                // greatest((SELECT MAX(a) FROM a{i}), 1) AS BIGINT)
+               AS auth
+    FROM nodes n LEFT JOIN a{i} a ON a.dst = n.node
+),
+hs{i} AS (
+    SELECT e.src, SUM(x.auth) AS h
+    FROM dedges e JOIN an{i} x ON x.node = e.dst GROUP BY 1
+),
+hn{i} AS (
+    SELECT n.node,
+           CAST(coalesce(s.h, 0) * {s}
+                // greatest((SELECT MAX(h) FROM hs{i}), 1) AS BIGINT)
+               AS hub
+    FROM nodes n LEFT JOIN hs{i} s ON s.src = n.node
+)""")
+    return head + "".join(its) + f"""
+SELECT n.node AS host, a.auth AS auth_nano, h.hub AS hub_nano
+FROM nodes n
+JOIN an{iters} a ON a.node = n.node
+JOIN hn{iters} h ON h.node = n.node
+"""
+
+
+@register_supplementary(
+    "crawl_host_hits", _host_hits_oracle(), tags=("pipeline", "text")
+)
+def crawl_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X302: HITS (2 iterations, nano-units, per-half-step MAX
+    normalization) over the DISTINCT host link graph (module comment
+    above) — (host, auth_nano, hub_nano) through the
+    operators/pagerank.py:hits kernel; the oracle replays the seeded
+    integer chain with scalar-subquery maxima. The shared-CDN sink is
+    the canonical test shape: every site links it, it links nobody —
+    a pure authority with hub exactly 0. Extension beyond the
+    reference surface."""
+    from flink_state_eviction_spark.operators.pagerank import hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _minted_edge_census(docs).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return hits(edges, iters=2).select(
+        F.col("node").alias("host"), "auth_nano", "hub_nano"
+    )
+
+
+# ---------------------------------------------------------------------------
 # X296: recrawl scheduling — the capstone the sitemap family feeds: a
 # crawler revisits URLs by (how stale) x (how often the publisher says
 # it changes) x (how trusted the host is). Per discovered urlset URL:

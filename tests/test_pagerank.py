@@ -156,3 +156,38 @@ def test_spam_mass_extremes(spark, sf_dir):
     for col in ("pr_share_ppm", "trust_share_ppm"):
         total = sum(r[col] for r in rows.values())
         assert 1_000_000 - len(rows) <= total <= 1_000_000
+
+
+def test_hits_roles_on_fixture_and_crafted_star(spark, sf_dir):
+    """X302 pins: the shared CDN is a PURE authority (every site
+    links it, it links nobody — hub exactly 0, top authority at the
+    MAX-normalized ceiling); site hosts carry both roles; on a
+    crafted star the center is the unit hub with zero authority and
+    the leaves are unit authorities with zero hub."""
+    from flink_state_eviction_spark.operators.pagerank import (
+        HITS_SCALE,
+        hits,
+    )
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        crawl_host_hits,
+    )
+
+    t = {
+        r["host"]: (r["auth_nano"], r["hub_nano"])
+        for r in crawl_host_hits(spark, sf_dir).collect()
+    }
+    assert t["cdn.example"][1] == 0
+    assert t["cdn.example"][0] == HITS_SCALE
+    for h in ("s0.example", "s1.example", "s2.example", "s3.example"):
+        assert t[h][0] > 0 and t[h][1] > 0
+
+    star = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(4)], "src string, dst string"
+    )
+    got = {
+        r["node"]: (r["auth_nano"], r["hub_nano"])
+        for r in hits(star, iters=2).collect()
+    }
+    assert got["hub"] == (0, HITS_SCALE)
+    for i in range(4):
+        assert got[f"leaf{i}"] == (HITS_SCALE, 0)
