@@ -2032,7 +2032,15 @@ def _learned_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = kmeans_cells(
         emb, "vec_id", "embedding", k=k_cells, iters=2
     ).localCheckpoint(eager=False)
-    corpus = emb.join(cells, "vec_id")
+    # the (id, vec, cell) corpus feeds THREE subtrees inside knn_graph
+    # (centroids, probes, members) — cut it once (the round-5 rule:
+    # >= 2 consumers -> checkpoint) so the emb-x-cells join runs once,
+    # not per consumer. Lazy, so it materializes inside the first
+    # consuming action. r10 interleaved warm A/B at sf0.1: flat within
+    # host noise locally (AQE already dedups the join-input exchanges;
+    # only the post-shuffle join map work was repeated) — kept because
+    # at corpus scale the three repeated join computations are real.
+    corpus = emb.join(cells, "vec_id").localCheckpoint(eager=False)
     return knn_graph(corpus, "vec_id", "embedding", "cell", k=5, nprobe=4)
 
 

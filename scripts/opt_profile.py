@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Round-10 optimization profiler: time individual headline queries at
+$SPARK_GRAFT_SF_DIR (default sf0.1) with the noop sink, warm min-of-2
+(same methodology as bench.py), and optionally dump
+`.explain("formatted")` to plans/r10/<name>_<tag>.txt.
+
+Usage:
+  python scripts/opt_profile.py q1 q2 ...          # time queries
+  python scripts/opt_profile.py --plans tag q1 ... # also dump plans
+  python scripts/opt_profile.py --all              # all headliners
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_state_eviction_spark import queries as Q
+from flink_state_eviction_spark.session import get_spark
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    plans_tag = None
+    plans_only = False
+    if args and args[0] == "--plans-only":
+        plans_tag = args[1]
+        plans_only = True
+        args = args[2:]
+    elif args and args[0] == "--plans":
+        plans_tag = args[1]
+        args = args[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    hq = Q.headline_queries()
+    names = list(hq) if (args and args[0] == "--all") else args
+    spark = get_spark("fse-opt-profile")
+    warm_dir = "/root/testdata/sf0.001"
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r10",
+    )
+    all_q = Q.all_queries()
+    for name in names:
+        fn = all_q[name]
+        spark.sparkContext.setJobDescription(f"opt-profile: {name}")
+        if not plans_only:
+            try:
+                fn(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
+            # untimed steady-state pass, then min of 2 timed
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            print(f"{name}\t{best:.3f}s", flush=True)
+        if plans_tag:
+            from flink_state_eviction_spark.plans.explain import physical_plan
+
+            os.makedirs(out_dir, exist_ok=True)
+            plan = physical_plan(fn(spark, sf_dir))
+            with open(os.path.join(out_dir, f"{name}_{plans_tag}.txt"), "w") as f:
+                f.write(plan)
+        spark.sparkContext.setJobDescription(None)
+
+
+if __name__ == "__main__":
+    main()
