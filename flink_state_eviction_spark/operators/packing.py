@@ -62,8 +62,19 @@ def pack_chunk_spans(
     # and dropping the token filter lets this scan prune down to the
     # id column — no second tokenization pass.
     bounds = docs.agg(F.max(id_col).alias("max_id"))
-    bucketed = counts.crossJoin(F.broadcast(bounds)).withColumn(
-        "bucket", F.expr(f"{id_col} div (max_id div {n_buckets} + 1)")
+    # the prefix-sum decomposition consumes its input in TWO subtrees
+    # (bucket-local window + per-bucket subtotal agg) — cut the
+    # tokenize-and-bucket frame once or the full tokenization scan and
+    # the max-id agg execute twice (the round-5 no-CSE rule; r10 plan
+    # audit found the duplicated subtree: documents scanned 3x, the
+    # bounds agg computed 2x). Projected to 24-byte rows first.
+    bucketed = (
+        counts.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bucket", F.expr(f"{id_col} div (max_id div {n_buckets} + 1)")
+        )
+        .select(id_col, "n_tok", "bucket")
+        .localCheckpoint(eager=False)
     )
     offs = bucketed_prefix_sum(
         bucketed, "bucket", [id_col], "n_tok", out_col="off"

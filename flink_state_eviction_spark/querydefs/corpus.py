@@ -684,6 +684,10 @@ def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartitionByRange does) and keep the same plan shape.
     lo, hi = -3.0, 4.0
     width = (hi - lo) / b
+    # two prefix-sum consumers (subtotal agg + bucket-local window) —
+    # cut once or the tokenize-and-score scan runs twice (the round-5
+    # no-CSE rule; the X186 budget twin at corpus.py:_BUDGET_BUCKET_MB
+    # already carries the same cut)
     bucketed = scored.withColumn(
         "bucket",
         F.least(
@@ -693,7 +697,7 @@ def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor((F.lit(hi) - F.col("quality_score")) / width),
             ),
         ),
-    )
+    ).localCheckpoint(eager=False)
     return (
         bucketed_prefix_sum(
             bucketed,

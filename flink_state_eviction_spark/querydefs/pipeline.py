@@ -14151,6 +14151,11 @@ def curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "_bucket", F.expr(f"shard_idx div {_PACING_BUCKET_SHARDS}")
         )
+        # two prefix-sum consumers — cut the per-shard fold once or the
+        # whole curriculum_order + token join upstream executes twice
+        # (round-5 no-CSE rule; rows are |shards|-bounded, so the
+        # checkpoint is tiny at any corpus size)
+        .localCheckpoint(eager=False)
     )
     out = bucketed_prefix_sum(
         shard, "_bucket", [F.col("shard_idx")], "shard_tokens",

@@ -71,10 +71,11 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     # partition count table (skew-proof sampled-boundary rank), never
     # the scored corpus
     "curriculum_order": 1,
-    # X278: inherits X251's offsets window + the X55 prefix-sum's
-    # bucket-offsets and grand-total windows — each over bucket-count
-    # rows (shards div 4096), never the shard table
-    "curriculum_pacing": 3,
+    # X278: the X55 prefix-sum's bucket-offsets window over
+    # bucket-count rows (shards div 4096), never the shard table —
+    # r10: the per-shard fold is checkpointed, so the formerly
+    # duplicated offsets subtree (3 sites) now plans once
+    "curriculum_pacing": 1,
     # X268: the 1-row (budget, wsum) fold — input is the checkpointed
     # |sources|-row per-source table, never the corpus
     "data_constrained_epoch_plan": 1,
@@ -88,8 +89,11 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "part_association_rules": 1,  # scalar: basket count for support
     "part_copurchase_triangles": 3,  # scalar: census totals
     "quality_budget_select": 1,  # offsets: score-bucket prefix counts
-    "pack_loss_masks": 3,  # offsets/scalar: inherits X55's doc-range prefix sums
-    "sequence_pack_chunks": 3,  # offsets/scalar: doc-range prefix sums
+    # offsets: X55's doc-range bucket-offset window over n_buckets
+    # rows — r10: the bucketed frame is checkpointed, so the formerly
+    # duplicated offsets subtree plans once (3 -> 1)
+    "pack_loss_masks": 1,
+    "sequence_pack_chunks": 1,  # offsets: same X55 cut (3 -> 1)
     "similarity_ivf_pq_topk": 5,  # tiny: k-row codebooks + probe lists
     "similarity_assign_frozen": 1,  # tiny: k-row centroid init window
     "similarity_kmeans_cells": 1,  # tiny: k-row centroid table
