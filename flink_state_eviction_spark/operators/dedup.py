@@ -183,11 +183,19 @@ def blocked_jaccard_pairs(
     sh = shingle_sets(base, id_col, text_col, k).join(
         base.select(id_col, "_blk"), id_col
     )
-    hashed = sh.select(
-        F.col(id_col),
-        "_blk",
-        F.array_distinct(shingle_hash_udf()(F.col("sh"))).alias("bh"),
-    ).withColumn("_n", F.size("bh"))
+    # the hashed shingle-set frame feeds BOTH sides of the block
+    # self-join below — cut it once or the Arrow shingle pack + hash
+    # runs twice (the round-5 no-CSE rule; r10 plan audit found the
+    # duplicated subtree: documents tokenized/shingled 2x per query)
+    hashed = (
+        sh.select(
+            F.col(id_col),
+            "_blk",
+            F.array_distinct(shingle_hash_udf()(F.col("sh"))).alias("bh"),
+        )
+        .withColumn("_n", F.size("bh"))
+        .localCheckpoint(eager=False)
+    )
     a = hashed.select(
         "_blk",
         F.col(id_col).alias("doc_a"),
@@ -673,11 +681,19 @@ def blocked_containment_pairs(
     sh = shingle_sets(base, id_col, text_col, k).join(
         base.select(id_col, "_blk"), id_col
     )
-    hashed = sh.select(
-        F.col(id_col),
-        "_blk",
-        F.array_distinct(shingle_hash_udf()(F.col("sh"))).alias("bh"),
-    ).withColumn("_n", F.size("bh"))
+    # the hashed shingle-set frame feeds BOTH sides of the block
+    # self-join below — cut it once or the Arrow shingle pack + hash
+    # runs twice (the round-5 no-CSE rule; r10 plan audit found the
+    # duplicated subtree: documents tokenized/shingled 2x per query)
+    hashed = (
+        sh.select(
+            F.col(id_col),
+            "_blk",
+            F.array_distinct(shingle_hash_udf()(F.col("sh"))).alias("bh"),
+        )
+        .withColumn("_n", F.size("bh"))
+        .localCheckpoint(eager=False)
+    )
     a = hashed.select(
         "_blk",
         F.col(id_col).alias("doc_src"),

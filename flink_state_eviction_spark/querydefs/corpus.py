@@ -781,10 +781,23 @@ def vocab_numericalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "t")
+    # the token stream has TWO consumers (global counts + the mapped
+    # join) and counts feeds the rank operator's two subtrees — cut the
+    # per-doc token arrays once (tokenization runs once; each consumer
+    # explodes the materialized arrays) and the |vocab|-bounded fold
+    # once (round-5 no-CSE rule; r10 plan audit: documents were
+    # tokenized 3x per query before the cuts)
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    ).localCheckpoint(eager=False)
+    tok = toked.select(
+        "doc_id", F.posexplode(F.col("tk")).alias("pos0", "t")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
-    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     vocab = (
         bucketed_global_row_number(
             counts,
@@ -865,8 +878,8 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     across prefix sub-buckets. The doc-side join is rank-table-sized,
     broadcast when it fits."""
     from flink_state_eviction_spark.functions.text import (
+        shingle_strings_udf,
         tokens,
-        word_shingles,
     )
     from flink_state_eviction_spark.operators.windows import (
         bucketed_global_row_number,
@@ -875,10 +888,23 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
-    bg = toked.select(
-        "doc_id", F.explode(word_shingles(F.col("tk"), 2)).alias("b")
+    # the bigram stream has TWO consumers (global counts + the doc-side
+    # rank join) — per the round-8 gram-frame rule: ONE Arrow pack pass
+    # (bit-identical " ".join strings, the lm_score_docs convention) +
+    # ONE lazy checkpoint of the packed per-doc frame, so tokenization
+    # and shingling never re-run per consumer (each consumer explodes
+    # the materialized arrays instead)
+    packed = toked.select(
+        "doc_id", shingle_strings_udf(2)(F.col("tk")).alias("_bs")
+    ).localCheckpoint(eager=False)
+    bg = packed.select("doc_id", F.explode("_bs").alias("b"))
+    # counts also has two consumers (the rank operator's bucket-count
+    # agg + its join side) — cut the |distinct bigrams|-bounded fold
+    counts = (
+        bg.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    counts = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
     rank_tbl = bucketed_global_row_number(
         counts,
         count_rank_bucket(F.col("cnt"), F.col("b")),

@@ -5497,7 +5497,16 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
-    tf = t.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf has THREE consumers (term stats -> query terms, doc lengths,
+    # the scored join) — cut it once or the tokenize+explode+agg chain
+    # re-runs per consumer, exactly the re-tokenization the docstring
+    # promises away (r10 plan audit: documents scanned 4x before the
+    # cut, once after)
+    tf = (
+        t.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     ts = tf.groupBy("token").agg(
         F.count(F.lit(1)).alias("doc_freq"),
         F.sum("tf").cast("bigint").alias("cnt"),
@@ -7292,6 +7301,11 @@ def phash_banded_pairs(dh: DataFrame, widths, ham_max: int) -> DataFrame:
     adversarial recall pytest. Candidates are generated per band via
     a band-keyed self-equi-join over DISTINCT hashes, verified by
     xor+popcount, then re-joined to the census for group sizes."""
+    # the census feeds FOUR subtrees (both band sides + both group-size
+    # join sides) — cut it once or the upstream BMP decode + dhash56
+    # pass runs four times (round-5 no-CSE rule; r10 plan audit found
+    # documents scanned 4x per near-dup query). |distinct hashes| rows.
+    dh = dh.localCheckpoint(eager=False)
     spec = F.array(
         *[
             F.struct(
