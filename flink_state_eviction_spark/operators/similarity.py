@@ -228,9 +228,15 @@ def ivf_cosine_topk(
     """
     cent = _cell_centroids(corpus, cell_col, vec_col)
     probes = _probe_cells(queries, id_col, vec_col, cent, nprobe)
+    # one projection: the member side carries its own vectors — the
+    # old corpus self-join on id to re-attach them cost a second scan
+    # plus a corpus-wide exchange pair (the semdedup r10-close fix,
+    # applied here too; bit-identical _v/_n expressions)
     c = corpus.select(
-        F.col(id_col), F.col(cell_col).alias("_cell")
-    ).join(_with_vec_and_norm(corpus, id_col, vec_col), id_col)
+        F.col(id_col),
+        F.col(cell_col).alias("_cell"),
+        as_double_vec(F.col(vec_col)).alias("_v"),
+    ).withColumn("_n", l2_norm(F.col("_v")))
     sim = (
         c.join(F.broadcast(probes), "_cell")
         .where(F.col(id_col) != F.col("query_id"))

@@ -352,10 +352,14 @@ def bloom_digest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 256 keys; merging shards = bit_or of their word tables.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # hist feeds BOTH the register build and the exact-membership join
+    # — cut the post-distinct digest set once or the md5 pass over the
+    # history slice runs twice (round-5 no-CSE rule)
     hist = (
         docs.where(F.col("doc_id") < 250)
         .select(F.md5("text").alias("digest"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     batch = (
         docs.where(F.col("doc_id") >= 250)

@@ -2647,7 +2647,10 @@ def split_leakage_audit_frame(docs_with_split: DataFrame) -> DataFrame:
     the registered query and the crafted-frame pytest; split into the
     hash/census/join pieces the X273 streaming monitor reuses
     verbatim."""
-    t = leak_hashed(docs_with_split)
+    # t feeds BOTH the eval-side filter and the census fold — cut it
+    # once or the upstream split-assign join + md5 pass runs twice
+    # (round-5 no-CSE rule); rows are (id, split, 32-byte md5) only
+    t = leak_hashed(docs_with_split).localCheckpoint(eager=False)
     return leak_audit_from(
         t.where(F.col("split") != "train"), leak_census_partials(t)
     )
