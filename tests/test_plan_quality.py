@@ -1279,3 +1279,26 @@ def test_license_scan_only(spark, sf_dir):
     cplan = physical_plan(census, "simple")
     assert cplan.count("Exchange") == 1, cplan
     assert "EvalPython" not in cplan, cplan
+
+
+def test_r10_single_pass_cuts(spark, sf_dir):
+    # r10 optimization round: frames feeding >= 2 consumers are cut
+    # behind one lazy localCheckpoint, so the expensive kernel pass
+    # (tokenize / shingle+hash / dhash / prefix-sum input) plans ONCE.
+    # Gate = visible parquet-scan count; the pre-cut plans re-derived
+    # the chain per consumer (plans/r10/<q>_before.txt: 3-5 scans).
+    # NOTE (r9 lesson): a lazy localCheckpoint replaces lineage in the
+    # VISIBLE plan, so these counts assert the cut exists — the hidden
+    # chain itself is still exercised (oracle parity at two SFs).
+    expected = {
+        "sequence_pack_chunks": 0,   # was 3 (tokenize x2 + bounds x2)
+        "text_bm25_search": 1,       # was 5 (tf re-tokenized x3)
+        "dedup_ngram_jaccard": 0,    # was 4 (shingle+hash per side)
+        "dedup_containment": 0,      # was 4
+        "multimodal_phash_neardup": 0,  # was 4 (dhash census x4)
+        "vocab_numericalize": 0,     # was 3 (tokenize x3)
+        "text_bigram_surprisal": 0,  # was 3
+    }
+    for name, n_scans in expected.items():
+        plan = physical_plan(_q(name, spark, sf_dir), "simple")
+        assert plan.count("Scan parquet") == n_scans, (name, plan)
