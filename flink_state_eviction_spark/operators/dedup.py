@@ -44,9 +44,14 @@ def exact_dedup_mapping(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3,
+    passthrough: tuple = (),
 ) -> DataFrame:
-    """(id, distinct k-word shingles) for rows with >= k tokens.
+    """(id, [passthrough...,] distinct k-word shingles) for rows with
+    >= k tokens. ``passthrough`` columns ride along untouched so a
+    blocked caller does not have to join its block key back on the id
+    afterwards (r11: removed a corpus-wide join from the blocked
+    jaccard/containment operators).
 
     Tokens are projected into their own column BEFORE shingling:
     ``word_shingles`` indexes the token array 3x per shingle, and
@@ -54,14 +59,18 @@ def shingle_sets(
     tokenizer would re-split the whole document on every access
     (measured 4x slowdown at sf0.1).
     """
+    pt = list(passthrough)
     # Filter on token count against the BASE table, not on the computed
     # shingle column: a predicate on `sh` would be pushed below the
     # projection and re-inline the whole tokenize+shingle expression
     # into the filter (interpreted HOFs don't CSE — measured 5x cost).
     filtered = df.where(F.size(tokens(F.col(text_col))) >= k)
-    toked = filtered.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    toked = filtered.select(
+        F.col(id_col), *pt, tokens(F.col(text_col)).alias("_toks")
+    )
     return toked.select(
         F.col(id_col),
+        *pt,
         F.array_distinct(word_shingles(F.col("_toks"), k)).alias("sh"),
     )
 
@@ -180,9 +189,10 @@ def blocked_jaccard_pairs(
     Still O(block-pairs) in the worst case — minhash_lsh_pairs is the
     scale path for big blocks."""
     base = df.select(F.col(id_col), F.col(block_col).alias("_blk"), F.col(text_col))
-    sh = shingle_sets(base, id_col, text_col, k).join(
-        base.select(id_col, "_blk"), id_col
-    )
+    # _blk rides through the shingle pass (passthrough) — the old
+    # join-back of (id, _blk) onto the shingle frame was a corpus-wide
+    # exchange pair per run (r11)
+    sh = shingle_sets(base, id_col, text_col, k, passthrough=("_blk",))
     # the hashed shingle-set frame feeds BOTH sides of the block
     # self-join below — cut it once or the Arrow shingle pack + hash
     # runs twice (the round-5 no-CSE rule; r10 plan audit found the
@@ -678,9 +688,10 @@ def blocked_containment_pairs(
     same LSH bucketing as jaccard's (minhash also estimates
     containment under a size-ratio correction)."""
     base = df.select(F.col(id_col), F.col(block_col).alias("_blk"), F.col(text_col))
-    sh = shingle_sets(base, id_col, text_col, k).join(
-        base.select(id_col, "_blk"), id_col
-    )
+    # _blk rides through the shingle pass (passthrough) — the old
+    # join-back of (id, _blk) onto the shingle frame was a corpus-wide
+    # exchange pair per run (r11)
+    sh = shingle_sets(base, id_col, text_col, k, passthrough=("_blk",))
     # the hashed shingle-set frame feeds BOTH sides of the block
     # self-join below — cut it once or the Arrow shingle pack + hash
     # runs twice (the round-5 no-CSE rule; r10 plan audit found the

@@ -2026,21 +2026,22 @@ def _learned_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one count() on the index-build path — k must track the corpus
     # (floor 1 so an empty/tiny corpus still builds a valid index)
     k_cells = max(1, math.ceil(math.sqrt(emb.count())))
-    # lazy checkpoint: the (id, cell) table is consumed by three
-    # subtrees inside knn_graph (centroids, probes, members) — without
-    # the cut each would replay the k-means assignment scan
-    cells = kmeans_cells(
-        emb, "vec_id", "embedding", k=k_cells, iters=2
-    ).localCheckpoint(eager=False)
-    # the (id, vec, cell) corpus feeds THREE subtrees inside knn_graph
-    # (centroids, probes, members) — cut it once (the round-5 rule:
-    # >= 2 consumers -> checkpoint) so the emb-x-cells join runs once,
-    # not per consumer. Lazy, so it materializes inside the first
-    # consuming action. r10 interleaved warm A/B at sf0.1: flat within
-    # host noise locally (AQE already dedups the join-input exchanges;
-    # only the post-shuffle join map work was repeated) — kept because
-    # at corpus scale the three repeated join computations are real.
-    corpus = emb.join(cells, "vec_id").localCheckpoint(eager=False)
+    # keep_vec: the assignment already carries the double-cast vector,
+    # so the (id, vec, cell) corpus falls out of k-means directly — the
+    # old emb-x-cells join on vec_id cost a corpus-wide exchange pair
+    # plus a second embeddings scan per run (r11; the same fix
+    # semdedup_prune and ivf_cosine_topk got in r10). ONE lazy
+    # checkpoint replaces the former two (cells + joined corpus): the
+    # frame feeds three subtrees inside knn_graph (centroids, probes,
+    # members). as_double_vec over the already-double _v is a per-
+    # element double->double cast — bit-identical values, parity-gated.
+    corpus = (
+        kmeans_cells(
+            emb, "vec_id", "embedding", k=k_cells, iters=2, keep_vec=True
+        )
+        .select("vec_id", F.col("_v").alias("embedding"), "cell")
+        .localCheckpoint(eager=False)
+    )
     return knn_graph(corpus, "vec_id", "embedding", "cell", k=5, nprobe=4)
 
 
@@ -2431,19 +2432,25 @@ FROM r WHERE rank <= 10
 def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over LEARNED cells: k-means assignment (k=8, 2 rounds)
     replaces the label column as the coarse quantizer, then the same
-    nprobe-pruned two-phase cosine top-k. The cell table is tiny
-    ((id, cell)) and localCheckpointed so the IVF pass reuses it
-    without replaying the clustering."""
+    nprobe-pruned two-phase cosine top-k. The assignment carries the
+    double-cast vector (keep_vec), so the IVF pass consumes the
+    localCheckpointed (id, vec, cell) frame directly — no emb-x-cells
+    join on vec_id, no second embeddings scan (r11; bit-identical:
+    as_double_vec over the already-double _v is a per-element
+    double->double cast, parity-gated)."""
     from flink_state_eviction_spark.operators.similarity import (
         ivf_cosine_topk,
         kmeans_cells,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = kmeans_cells(
-        emb, "vec_id", "embedding", k=8, iters=2
-    ).localCheckpoint(eager=False)
-    corpus = emb.join(cells, "vec_id")
+    corpus = (
+        kmeans_cells(
+            emb, "vec_id", "embedding", k=8, iters=2, keep_vec=True
+        )
+        .select("vec_id", F.col("_v").alias("embedding"), "cell")
+        .localCheckpoint(eager=False)
+    )
     return ivf_cosine_topk(
         corpus,
         corpus.where(F.col("vec_id") < 8),
@@ -3281,7 +3288,7 @@ C4_TERMINAL_PUNCT = (".", "!", "?", '"')
 
 
 def c4_line_stats_frame(
-    lined: DataFrame, keep_cleaned: bool = False
+    lined: DataFrame, keep_cleaned: bool = False, passthrough: tuple = ()
 ) -> DataFrame:
     """Frame-level C4 line-rule kernel over (doc_id, t0) lined pages —
     the ONE kernel, reusable by a streaming maintainer and the
@@ -3289,14 +3296,19 @@ def c4_line_stats_frame(
     ``keep_cleaned=True`` to chain the doc-level batteries onto the
     CLEANED text). Intermediate arrays are projected to named columns
     (interpreted HOFs don't CSE; see CLAUDE.md), and nothing filters
-    on a HOF column."""
+    on a HOF column. ``passthrough`` columns ride along untouched so a
+    composition needing e.g. ``source`` does not have to join it back
+    on doc_id afterwards (r11: the funnel's exchange-pair cut)."""
+    pt = list(passthrough)
     split_lines = lined.select(
         "doc_id",
+        *pt,
         "t0",
         F.split("t0", "\n").alias("_ls"),
     )
     kept = split_lines.select(
         "doc_id",
+        *pt,
         "t0",
         "_ls",
         F.filter(
@@ -3308,6 +3320,7 @@ def c4_line_stats_frame(
     )
     flags = kept.select(
         "doc_id",
+        *pt,
         F.size("_ls").cast("long").alias("n_lines"),
         F.size("_kl").cast("long").alias("n_kept"),
         F.contains(F.lower("t0"), F.lit("lorem ipsum")).alias("has_lorem"),
@@ -3319,6 +3332,7 @@ def c4_line_stats_frame(
     )
     return flags.select(
         "doc_id",
+        *pt,
         "n_lines",
         "n_kept",
         "has_lorem",

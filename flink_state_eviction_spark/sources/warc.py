@@ -642,11 +642,15 @@ def crawl_curation_decisions(
 def curation_funnel_from_documents(docs: DataFrame) -> DataFrame:
     """The X220 funnel stage chain over any documents-contract frame
     whose ``text`` is raw HTML (see crawl_curation_decisions for the
-    semantics). The extracted frame is checkpointed ONCE — it feeds
-    the C4 kernel AND the source join-back, and without the boundary
-    the upstream lineage (for WARC input: the whole parse) executes
-    twice (the CLAUDE.md two-consumer gotcha, flagged by the round-8
-    review)."""
+    semantics). ``source`` rides THROUGH the C4 kernel (passthrough)
+    instead of joining back on doc_id afterwards — the old back-join
+    cost an exchange pair + sort-merge at corpus size and forced a
+    second checkpoint of the extracted frame, whose only remaining
+    consumer is now the C4 kernel itself (r11; one checkpoint instead
+    of two, 2 fewer exchanges, 1 fewer join — rows bit-identical: the
+    back-join was 1:1 on doc_id from the same frame). The C4 frame is
+    checkpointed ONCE: it feeds the Gopher battery AND the verdict
+    projection (the CLAUDE.md two-consumer gotcha)."""
     from pyspark.sql import functions as F
 
     from flink_state_eviction_spark.functions.text import html_to_text
@@ -657,18 +661,16 @@ def curation_funnel_from_documents(docs: DataFrame) -> DataFrame:
 
     lined = docs.select(
         "doc_id", "source", html_to_text(F.col("text")).alias("t0")
-    ).localCheckpoint(eager=False)
+    )
     c4 = c4_line_stats_frame(
-        lined.select("doc_id", "t0"), keep_cleaned=True
+        lined, keep_cleaned=True, passthrough=("source",)
     ).localCheckpoint(eager=False)
     gop = gopher_flags(
         c4.where(F.col("kept_doc")).select(
             "doc_id", F.col("cleaned").alias("text")
         )
     ).select("doc_id", F.col("passes").alias("gopher_passes"))
-    out = c4.join(lined.select("doc_id", "source"), "doc_id").join(
-        gop, "doc_id", "left"
-    )
+    out = c4.join(gop, "doc_id", "left")
     # kept_doc is NULL for a NULL-text page (three-valued logic all the
     # way down); the funnel's verdict coalesces it — a page with no
     # text is DROPPED, not undecided

@@ -1,8 +1,9 @@
 #!/usr/bin/env python3
-"""Round-10 optimization profiler: time individual headline queries at
+"""Optimization profiler: time individual headline queries at
 $SPARK_GRAFT_SF_DIR (default sf0.1) with the noop sink, warm min-of-2
 (same methodology as bench.py), and optionally dump
-`.explain("formatted")` to plans/r10/<name>_<tag>.txt.
+`.explain("formatted")` to plans/$SPARK_GRAFT_PLANS_ROUND (default
+r11) as <name>_<tag>.txt.
 
 Usage:
   python scripts/opt_profile.py q1 q2 ...          # time queries
@@ -26,12 +27,11 @@ def main() -> None:
     args = sys.argv[1:]
     plans_tag = None
     plans_only = False
-    if args and args[0] == "--plans-only":
+    if args and args[0] in ("--plans", "--plans-only"):
+        if len(args) < 2:
+            sys.exit(f"usage: {args[0]} <tag> <query> [...]")
         plans_tag = args[1]
-        plans_only = True
-        args = args[2:]
-    elif args and args[0] == "--plans":
-        plans_tag = args[1]
+        plans_only = args[0] == "--plans-only"
         args = args[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     hq = Q.headline_queries()
@@ -40,7 +40,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r10",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"),
     )
     all_q = Q.all_queries()
     for name in names:
@@ -51,8 +51,13 @@ def main() -> None:
                 fn(spark, warm_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-            except Exception:
-                pass
+            except Exception as e:
+                # a query broken at sf0.001 must not silently proceed
+                # to the timed run looking healthy (ADVICE r10)
+                print(
+                    f"WARM-FAIL {name}: {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
             # untimed steady-state pass, then min of 2 timed
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = float("inf")

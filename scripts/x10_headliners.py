@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""x10 measurement surface for ALL bench headliners (VERDICT r10 item
+2): sf0.1 is latency-bound (8c ~= 32c on every headliner), so cuts
+that win in the compute-bound regime are invisible at the bench SF.
+This script times every headline query on the x10 scaled fixture
+(scripts/scale_stress.py:build_scaled — perturbed replicas, 90%-hot
+events key) with the bench methodology (warm at sf0.001, one untimed
+steady-state pass, min of 2 timed noop-sink passes), solo, one JSON
+line per query. Results go into SCALE.md at round open and close.
+
+Usage:
+  python scripts/x10_headliners.py [--factor 10] [--out DIR] [--reuse]
+          [--only name1,name2]
+
+--reuse skips rebuilding the scaled tables if the directory exists
+(same-session A/Bs must reuse one fixture build).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_state_eviction_spark import queries as Q  # noqa: E402
+from flink_state_eviction_spark.session import get_spark  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARM_DIR = "/root/testdata/sf0.001"
+# dimension tables build_scaled does not replicate — copied verbatim
+# so every headliner (tpch, pagerank, asof) loads from ONE directory
+UNSCALED = ("region", "nation", "customer", "supplier", "part")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/scale_stress")
+    ap.add_argument("--reuse", action="store_true")
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    from scripts.scale_stress import build_scaled  # noqa: E402
+
+    spark = get_spark("fse-x10-headliners")
+    d = os.path.join(args.out, f"x{args.factor}")
+    if not (args.reuse and os.path.isdir(d)):
+        d = build_scaled(spark, args.factor, args.out)
+    for t in UNSCALED:
+        dst = os.path.join(d, f"{t}.parquet")
+        src = os.path.join(SRC, f"{t}.parquet")
+        if not os.path.exists(dst):
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy2(src, dst)
+
+    hq = Q.headline_queries()
+    names = [n for n in args.only.split(",") if n] or list(hq)
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = hq[name]
+        spark.sparkContext.setJobDescription(f"x10: {name} warm")
+        try:
+            fn(spark, WARM_DIR).write.format("noop").mode("overwrite").save()
+        except Exception as e:
+            print(f"WARM-FAIL {name}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        spark.sparkContext.setJobDescription(f"x10: {name}")
+        try:
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 2)
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = None
+        print(json.dumps({name: timings[name]}), flush=True)
+        spark.sparkContext.setJobDescription(None)
+    print(json.dumps({
+        "factor": args.factor,
+        "total": round(sum(t for t in timings.values() if t), 2),
+        "queries": timings,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
