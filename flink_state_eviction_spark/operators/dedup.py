@@ -188,10 +188,18 @@ def blocked_jaccard_pairs(
 
     Still O(block-pairs) in the worst case — minhash_lsh_pairs is the
     scale path for big blocks."""
-    base = df.select(F.col(id_col), F.col(block_col).alias("_blk"), F.col(text_col))
+    from flink_state_eviction_spark.tables import ensure_min_partitions
+
     # _blk rides through the shingle pass (passthrough) — the old
     # join-back of (id, _blk) onto the shingle frame was a corpus-wide
-    # exchange pair per run (r11)
+    # exchange pair per run (r11). ensure_min_partitions replaces the
+    # parallelism that join's shuffle incidentally provided: without
+    # it a single-file corpus runs the Arrow pack AND the whole pair
+    # stage on one core (r11 A/B: 7.9 -> 10.2 s regression before the
+    # floor, 7.9 -> ~6.5 s with it).
+    base = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(block_col).alias("_blk"), F.col(text_col))
+    )
     sh = shingle_sets(base, id_col, text_col, k, passthrough=("_blk",))
     # the hashed shingle-set frame feeds BOTH sides of the block
     # self-join below — cut it once or the Arrow shingle pack + hash
@@ -687,10 +695,16 @@ def blocked_containment_pairs(
     both directions can fire. The scale path for huge blocks is the
     same LSH bucketing as jaccard's (minhash also estimates
     containment under a size-ratio correction)."""
-    base = df.select(F.col(id_col), F.col(block_col).alias("_blk"), F.col(text_col))
+    from flink_state_eviction_spark.tables import ensure_min_partitions
+
     # _blk rides through the shingle pass (passthrough) — the old
     # join-back of (id, _blk) onto the shingle frame was a corpus-wide
-    # exchange pair per run (r11)
+    # exchange pair per run; the partition floor replaces the
+    # parallelism that join incidentally provided (see
+    # blocked_jaccard_pairs — same r11 A/B evidence)
+    base = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(block_col).alias("_blk"), F.col(text_col))
+    )
     sh = shingle_sets(base, id_col, text_col, k, passthrough=("_blk",))
     # the hashed shingle-set frame feeds BOTH sides of the block
     # self-join below — cut it once or the Arrow shingle pack + hash

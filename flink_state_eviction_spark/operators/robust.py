@@ -120,7 +120,15 @@ def grouped_robust_stats(
     cheap to recompute or localCheckpoint it (the registered query
     checkpoints the scored rows so tokenization runs once).
     """
-    med = grouped_exact_median(df, group_cols, value_col, bucket_of)
+    # med feeds TWO consumers (the deviation join and the final output
+    # join) and subtrees don't CSE — without the cut the ENTIRE median
+    # machinery (count fold, offsets windows, hit join, rank window)
+    # planned and ran twice per query (r11 plan dump: every median-pass
+    # operator appeared 2x). The frame is one row per group — bounded
+    # at any corpus size, the cheapest possible checkpoint.
+    med = grouped_exact_median(
+        df, group_cols, value_col, bucket_of
+    ).localCheckpoint(eager=False)
     dev = df.join(
         F.broadcast(med.select(*group_cols, "median")), list(group_cols)
     ).withColumn("_dev", F.abs(F.col(value_col) - F.col("median")))
@@ -128,7 +136,9 @@ def grouped_robust_stats(
         dev.select(*group_cols, "_dev"), group_cols, "_dev", bucket_of,
         out_col="mad",
     ).select(*group_cols, "mad")
-    return med.join(mad, list(group_cols))
+    # both sides are |groups| rows; broadcast keeps the tail join free
+    # of a sort-merge exchange pair regardless of stats estimates
+    return med.join(F.broadcast(mad), list(group_cols))
 
 
 def grouped_topk_frac(

@@ -790,7 +790,11 @@ def vocab_numericalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc token arrays once (tokenization runs once; each consumer
     # explodes the materialized arrays) and the |vocab|-bounded fold
     # once (round-5 no-CSE rule; r10 plan audit: documents were
-    # tokenized 3x per query before the cuts)
+    # tokenized 3x per query before the cuts).
+    # RETENTION (ADVICE r10): unpersist() is a no-op on checkpointed
+    # frames — the corpus-sized token-array blocks are released only
+    # when the Python reference drops; long sweep drivers should `del`
+    # the returned frame between queries.
     toked = docs.select(
         "doc_id", tokens(F.col("text")).alias("tk")
     ).localCheckpoint(eager=False)

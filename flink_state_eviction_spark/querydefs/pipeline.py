@@ -5518,7 +5518,11 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scored join) — cut it once or the tokenize+explode+agg chain
     # re-runs per consumer, exactly the re-tokenization the docstring
     # promises away (r10 plan audit: documents scanned 4x before the
-    # cut, once after)
+    # cut, once after).
+    # RETENTION (ADVICE r10): unpersist() is a no-op on checkpointed
+    # frames — the (doc, token) blocks release only when the Python
+    # reference drops; sweep drivers should `del` frames between
+    # queries.
     tf = (
         t.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))

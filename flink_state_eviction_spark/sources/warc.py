@@ -658,8 +658,13 @@ def curation_funnel_from_documents(docs: DataFrame) -> DataFrame:
         c4_line_stats_frame,
         gopher_flags,
     )
+    from flink_state_eviction_spark.tables import ensure_min_partitions
 
-    lined = docs.select(
+    # partition floor BEFORE the heavy per-row chain (html_to_text
+    # regex battery + C4 line HOFs + the Gopher Arrow pass): a
+    # single-file corpus otherwise runs the whole funnel on one core;
+    # no-op at scale where the scan is already split (r11)
+    lined = ensure_min_partitions(docs).select(
         "doc_id", "source", html_to_text(F.col("text")).alias("t0")
     )
     c4 = c4_line_stats_frame(

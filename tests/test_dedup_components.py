@@ -112,6 +112,7 @@ def test_paragraph_dedup_composes_with_exact_dedup(spark, tmp_path):
     assert doc_level[4] is True
 
 
+@pytest.mark.heavy  # deep property sweep: opt-in battery (r11)
 def test_star_cc_matches_propagation_on_deep_and_random_graphs(spark):
     # the O(log) alternating-star algorithm must produce EXACTLY the
     # propagation labels (component min per vertex) — deep chain (the

@@ -14,6 +14,11 @@ from flink_state_eviction_spark.operators.interval import (
     interval_join,
     interval_join_bucketed,
 )
+import pytest
+
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
 
 S = 1000  # work in whole seconds -> ms
 

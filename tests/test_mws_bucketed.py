@@ -119,6 +119,7 @@ _trace = st.lists(
 
 @settings(max_examples=8, deadline=None)
 @given(rows=_trace, bucket_ms=st.sampled_from([300, 700, 1000, 5000]))
+@pytest.mark.heavy  # deep property sweep: opt-in battery (r11)
 def test_bucketed_equals_plain_property(spark, rows, bucket_ms):
     ttl = 800
     df = spark.createDataFrame(

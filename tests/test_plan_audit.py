@@ -20,6 +20,10 @@ import pytest
 
 from flink_state_eviction_spark import queries as Q
 
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
+
 # query -> exact number of Exchange SinglePartition sites, each audited
 # bounded. Categories:
 #   scalar  — global 1-row aggregate (totals, thresholds, counts)

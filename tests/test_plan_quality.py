@@ -556,6 +556,34 @@ def test_grouped_robust_ranks_are_bucketed_not_per_source(spark, sf_dir):
             for l in rn_lines
         ), f"{name}: row_number window not (source, _bucket)-keyed:\n{plan}"
         assert plan.count("Exchange SinglePartition") == 0, (name, plan)
+    # the r11 median-once cut hides the MEDIAN pass behind a lazy
+    # localCheckpoint (it fed two consumers and planned twice), so the
+    # robust query's visible plan above only shows the MAD pass — per
+    # the r9 lesson, assert the median machinery's shape on the
+    # pre-checkpoint builder directly
+    from pyspark.sql import functions as F
+
+    from flink_state_eviction_spark.operators.robust import (
+        grouped_exact_median,
+    )
+    from flink_state_eviction_spark.querydefs.pipeline import (
+        _scored_sources,
+    )
+
+    scored = _scored_sources(spark, sf_dir).select(
+        "source", F.col("quality_score").alias("score")
+    )
+    med = grouped_exact_median(
+        scored, ["source"], "score", lambda c: F.floor(c * 16).cast("long")
+    )
+    mplan = med._jdf.queryExecution().executedPlan().toString()
+    rn_lines = [l for l in mplan.splitlines() if "row_number()" in l]
+    assert rn_lines, mplan
+    assert all(
+        "windowspecdefinition(source#" in l and ", _bucket#" in l
+        for l in rn_lines
+    ), f"median builder: row_number window not (source, _bucket)-keyed:\n{mplan}"
+    assert mplan.count("Exchange SinglePartition") == 0, mplan
 
 
 def test_novelty_query_join_reads_checkpointed_inputs(spark, sf_dir):

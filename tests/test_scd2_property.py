@@ -14,6 +14,11 @@ from flink_state_eviction_spark.operators.scd2 import (
     point_in_time_join,
     scd2_versions,
 )
+import pytest
+
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
 
 EPOCH = dt.datetime(2024, 1, 1)
 

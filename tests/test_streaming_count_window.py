@@ -17,6 +17,10 @@ from flink_state_eviction_spark.streaming.count_window import (
 )
 from flink_state_eviction_spark.streaming.testing import run_available_now
 
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
+
 # F4: (a,1),(b,2),(a,3),(c,4),(b,5),(c,7),(a,8),(c,9) — no gaps
 F4 = [("a", 1), ("b", 2), ("a", 3), ("c", 4), ("b", 5), ("c", 7), ("a", 8), ("c", 9)]
 

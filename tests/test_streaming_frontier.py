@@ -24,6 +24,10 @@ from flink_state_eviction_spark.streaming.frontier_maintain import (
 
 from test_warc_source import _record
 
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
+
 _PAGE = b"HTTP/1.1 200 OK\r\n\r\n<html><body>a page.</body></html>"
 
 

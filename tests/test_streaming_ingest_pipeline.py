@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 from flink_state_eviction_spark.functions.text import tokens
 from flink_state_eviction_spark.sources.fixtures import as_file_stream
 from flink_state_eviction_spark.tables import load_table
+import pytest
+
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
 
 MIN_TOKENS = 3
 

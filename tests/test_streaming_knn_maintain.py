@@ -23,6 +23,11 @@ from flink_state_eviction_spark.streaming.knn_maintain import (
     knn_maintain_batch,
 )
 from flink_state_eviction_spark.tables import load_table
+import pytest
+
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
 
 K, NPROBE, N_CELLS = 5, 3, 16
 

@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 
 from flink_state_eviction_spark.sources.fixtures import FIXTURE_EPOCH
 from flink_state_eviction_spark.streaming.testing import run_available_now
+import pytest
+
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
 
 
 def _write_batches(spark, path, batches):

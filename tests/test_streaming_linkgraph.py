@@ -23,6 +23,10 @@ from flink_state_eviction_spark.streaming.linkgraph_maintain import (
 )
 from flink_state_eviction_spark.tables import load_table
 
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
+
 
 def _pages(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")

@@ -23,6 +23,10 @@ from flink_state_eviction_spark.streaming.map_with_state import (
 )
 from flink_state_eviction_spark.streaming.testing import run_available_now
 
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
+
 # F1 (MapWithStateTest.java:45-52): addElem/addGap sequence
 F1_ENTRIES = [
     ("a", 2), gap(500),

@@ -27,6 +27,10 @@ from flink_state_eviction_spark.streaming.map_with_state import (
 )
 from flink_state_eviction_spark.streaming.testing import run_available_now
 
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
+
 TTL_MS = 1100
 
 

@@ -18,6 +18,11 @@ from flink_state_eviction_spark.streaming.novelty_maintain import (
     shingle_df_state,
 )
 from flink_state_eviction_spark.tables import load_table
+import pytest
+
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
 
 
 def _rows(df):

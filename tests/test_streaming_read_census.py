@@ -21,6 +21,10 @@ from flink_state_eviction_spark.streaming.read_census_maintain import (
 )
 from flink_state_eviction_spark.tables import load_table
 
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
+
 
 def _rows(df):
     return {tuple(r) for r in df.collect()}

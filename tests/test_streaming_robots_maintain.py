@@ -26,6 +26,10 @@ from flink_state_eviction_spark.streaming.robots_maintain import (
 
 from test_warc_source import _record
 
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
+
 
 def _robots_http(*rules: str) -> bytes:
     body = "User-agent: *\r\n" + "".join(f"Disallow: {r}\r\n" for r in rules)

@@ -20,6 +20,11 @@ from flink_state_eviction_spark.operators.scd2 import scd2_versions
 from flink_state_eviction_spark.sinks.merge import merge_upsert
 from flink_state_eviction_spark.sources.fixtures import as_file_stream
 from flink_state_eviction_spark.tables import load_table
+import pytest
+
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
 
 
 def test_streaming_scd2_matches_batch(spark, sf_dir, tmp_path):

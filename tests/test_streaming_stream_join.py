@@ -15,6 +15,11 @@ from flink_state_eviction_spark.streaming.testing import (
     assert_same_rows,
     run_available_now,
 )
+import pytest
+
+# heavy tier: opt-in battery (see conftest.py / pytest.ini) -- the
+# default suite must fit the driver verify window (r10 verdict item 1)
+pytestmark = pytest.mark.heavy
 
 
 def _df(spark, rows):
