@@ -15,6 +15,7 @@ scan reduction.
 
 from __future__ import annotations
 
+import pandas as pd  # type hints on the Arrow argmin UDF (r11)
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -339,42 +340,164 @@ def knn_graph(
     return _rank_topk(_local_truncate_topk(sim, id_col, k), id_col, k)
 
 
-def _assign_v(v: DataFrame, cent_df: DataFrame, id_col: str) -> DataFrame:
-    """Squared-L2 argmin of a (id, _v, _vv) frame against a
-    (_cell, _cv) centroid frame; ties break toward the smaller cell id.
-    Returns (id, _v, _cell).
+def _py_argmin_cell(d2_cells):
+    """Exact replication of ``array_min`` over (d2, cell) structs for
+    the degenerate rows the vectorized path cannot express: Spark's
+    ascending struct order is NULL < finite/±inf < NaN, ties toward
+    the smaller cell (pinned empirically in r11 against the old HOF:
+    a NULL d2 beats an exact match; a NaN d2 loses to any finite one;
+    an all-NaN row lands on the smallest cell)."""
+    import math as _m
 
-    ZERO-shuffle argmin: pack the k centroids into one array literal
-    (1-row broadcast cross join — no row blowup), compute (d2, cell)
-    per centroid with a HOF, take array_min (struct ordering = min d2,
-    tie -> min cell). A window-rank over the corpus x k exploded rows
-    would re-shuffle the whole corpus by id every iteration —
-    prohibitive at embedding-table scale.
+    def key(p):
+        d2, c = p
+        if d2 is None:
+            return (0, 0.0, c)
+        if isinstance(d2, float) and _m.isnan(d2):
+            return (2, 0.0, c)
+        return (1, d2, c)
 
-    Each centroid's self-dot is hoisted out of the per-row HOF: it is
-    row-invariant, and leaving it inline doubles the per-(row,
-    centroid) flops (the interpreted HOF doesn't CSE). Computing it
-    once per centroid is the identical sequential fold, so the
-    assignment (and its SQL oracle twin) is bit-unchanged."""
-    cent_arr = cent_df.withColumn(
-        "_cc", dot(F.col("_cv"), F.col("_cv"))
-    ).agg(F.collect_list(F.struct("_cell", "_cv", "_cc")).alias("_cents"))
+    return min(d2_cells, key=key)[1]
 
-    def d2_of(c):
-        return F.col("_vv") - 2 * dot(F.col("_v"), c["_cv"]) + c["_cc"]
 
-    scored = v.crossJoin(F.broadcast(cent_arr)).withColumn(
-        "_best",
-        F.array_min(
-            F.transform(
-                "_cents",
-                lambda c: F.struct(
-                    d2_of(c).alias("_d2"), c["_cell"].alias("_cell")
-                ),
-            )
-        ),
+def _seq_dot(a, b):
+    """Pure-Python twin of the ``dot`` fold (same left-to-right IEEE
+    order; None when lengths differ or an element is missing — the
+    zip_with/aggregate null semantics)."""
+    if a is None or b is None or len(a) != len(b):
+        return None
+    acc = 0.0
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return None
+        acc = acc + x * y
+    return acc
+
+
+def _argmin_cells_udf(cents, cell_type):
+    """Arrow-vectorized squared-L2 argmin against a COLLECTED centroid
+    list [(cell, cv), ...] — the §4 swap of the interpreted HOF
+    assignment (r11). Bit-identical to the old
+    ``array_min(transform(_cents, struct(d2, cell)))`` expression:
+
+    - d2 is the same ``(vv - 2*dot) + cc`` with every fold sequential
+      left-to-right (numpy elementwise mul/add per dimension is the
+      identical IEEE op order; no FMA, no pairwise summation);
+    - ties break toward the smaller cell (centroids sorted ascending,
+      np.argmin returns the first minimum);
+    - degenerate rows (null vector, length mismatch, missing element)
+      and non-finite arithmetic reproduce the pinned struct ordering
+      via ``_py_argmin_cell``. One undetectable corner, documented: a
+      null vector ELEMENT arrives across the Arrow boundary as NaN, so
+      with a MALFORMED centroid table (null/ragged cv — never produced
+      by this module) such a row would follow the NaN path instead of
+      the NULL path; with well-formed centroids both paths land on the
+      same cell.
+    """
+    import numpy as np
+
+    cents = sorted(cents, key=lambda p: p[0])
+    cells = [c for c, _ in cents]
+    cvs = [cv for _, cv in cents]
+    k = len(cells)
+    L = len(cvs[0]) if (cvs and cvs[0] is not None) else None
+    clean = L is not None and all(
+        cv is not None and len(cv) == L and not any(e is None for e in cv)
+        for cv in cvs
     )
-    return scored.select(id_col, "_v", F.col("_best")["_cell"].alias("_cell"))
+    C = CCs = cells_arr = None
+    if clean:
+        C = np.asarray(cvs, dtype=np.float64)
+        if np.isnan(C).any():
+            clean = False
+        else:
+            CCs = np.zeros(k)
+            for d in range(L):
+                CCs = CCs + C[:, d] * C[:, d]
+            cells_arr = np.asarray(cells, dtype=np.int64)
+    cc_list = [_seq_dot(cv, cv) for cv in cvs]
+
+    def row_py(x):
+        """Exact per-row path (unclean centroids / non-finite rows)."""
+        xl = None if x is None else list(x)
+        vv = _seq_dot(xl, xl)
+        d2s = []
+        for (cell, cv), cc in zip(cents, cc_list):
+            dt = _seq_dot(xl, cv)
+            if vv is None or dt is None or cc is None:
+                d2s.append((None, cell))
+            else:
+                d2s.append(((vv - 2 * dt) + cc, cell))
+        return _py_argmin_cell(d2s)
+
+    def assign(batch: pd.Series) -> pd.Series:
+        vals = batch.tolist()
+        n = len(vals)
+        if not clean:
+            return pd.Series([row_py(x) for x in vals])
+        out = np.empty(n, dtype=np.int64)
+        ok = np.ones(n, dtype=bool)
+        M = np.zeros((n, L))
+        for i, x in enumerate(vals):
+            if x is None or len(x) != L:
+                ok[i] = False
+            else:
+                M[i] = x  # a null element becomes NaN (see docstring)
+        ACC = np.zeros((n, k))
+        for d in range(L):
+            ACC = ACC + np.outer(M[:, d], C[:, d])
+        VV = np.zeros(n)
+        for d in range(L):
+            VV = VV + M[:, d] * M[:, d]
+        D2 = (VV[:, None] - 2.0 * ACC) + CCs[None, :]
+        finite = np.isfinite(D2).all(axis=1)
+        safe = finite & ok
+        idx = np.argmin(np.where(np.isnan(D2), np.inf, D2), axis=1)
+        out[safe] = cells_arr[idx[safe]]
+        # null vector / wrong length -> every d2 is NULL -> smallest
+        # cell; rows with NaN/inf d2 replay the exact struct ordering
+        out[~ok] = cells[0]
+        for i in np.nonzero(finite == False)[0]:  # noqa: E712
+            if ok[i]:
+                out[i] = _py_argmin_cell(
+                    [(float(D2[i, j]), cells[j]) for j in range(k)]
+                )
+        return pd.Series(out)
+
+    return F.pandas_udf(assign, returnType=cell_type)
+
+
+def _assign_v(v: DataFrame, cent_df: DataFrame, id_col: str) -> DataFrame:
+    """Squared-L2 argmin of a (id, _v) frame against a (_cell, _cv)
+    centroid frame; ties break toward the smaller cell id. Returns
+    (id, _v, _cell).
+
+    r11 (§4): the k-row centroid table is COLLECTED (it is bounded by
+    construction — Lloyd cells or a frozen serving index) and the
+    argmin runs as ONE Arrow pandas UDF over the corpus — numpy does
+    the identical sequential per-dimension folds batch-wide instead of
+    the interpreted HOF evaluating k folds row at a time (the old
+    ``array_min(transform(...))`` over a packed-literal cross join —
+    measured 4.4 s/assignment round at x10, k=142; the swap is ~20x
+    on that stage). Still zero-shuffle on the corpus side; the
+    collect() materializes each Lloyd round at DataFrame CONSTRUCTION
+    time (as the pre-r10 eager checkpoints did — CLAUDE.md timing
+    note). Bit-identical by construction + parity-gated; degenerate
+    inputs replicate the HOF's pinned null/NaN struct ordering
+    (_argmin_cells_udf docstring)."""
+    cents = [
+        (r["_cell"], None if r["_cv"] is None else list(r["_cv"]))
+        for r in cent_df.select("_cell", "_cv").collect()
+    ]
+    cell_type = cent_df.schema["_cell"].dataType
+    if not cents:
+        # empty centroid table: the old expression's array_min over an
+        # empty array yielded NULL for every row
+        return v.select(
+            id_col, "_v", F.lit(None).cast(cell_type).alias("_cell")
+        )
+    udf = _argmin_cells_udf(cents, cell_type)
+    return v.select(id_col, "_v", udf(F.col("_v")).alias("_cell"))
 
 
 def assign_cells(
@@ -392,7 +515,7 @@ def assign_cells(
     periodic index rebuilds. Returns (id_col, cell_col)."""
     v = corpus.select(
         F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
-    ).withColumn("_vv", dot(F.col("_v"), F.col("_v")))
+    )
     return _assign_v(v, _frozen_centroids(centroids), id_col).select(
         id_col, F.col("_cell").alias(cell_col)
     )
@@ -446,10 +569,9 @@ def kmeans_cells(
             F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v")
         )
     ).localCheckpoint(eager=False)
-    # interpreted HOFs don't CSE: project the self-dot ONCE as a named
-    # column, or the transform lambda below re-evaluates it k times per
-    # row every iteration
-    v = v.withColumn("_vv", dot(F.col("_v"), F.col("_v")))
+    # (r11: the per-row self-dot moved inside the Arrow argmin — the
+    # _vv column was recomputed by the interpreted HOF on every
+    # assignment round's scan of v)
 
     init_w = Window.orderBy(id_col)
     cent = (

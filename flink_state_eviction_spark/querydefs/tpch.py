@@ -489,23 +489,41 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
 @register("range_rolling_1h", _RANGE_ORACLE, headline=True, tags=("tpch", "range"))
 def range_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 1-hour interval aggregate per key — a range join
-    expressed as a native RANGE window frame: one shuffle + one sort,
-    no pairwise self-join. Range frames include ts ties in both
-    engines, so results are deterministic without a tiebreak."""
-    from pyspark.sql import Window
+    expressed as a RANGE window frame, computed through the
+    (key, time-bucket) decomposition (operators/windows.py:
+    trailing_range_agg_bucketed, X84): bucket width = frame width, so
+    each row's frame spans at most its own and the previous bucket;
+    every row shuffles once as itself and once as a frame-only copy,
+    the window runs per (user, hour-bucket), copies are dropped after.
+    Bit-identical to the plain per-user frame (r11 exceptAll
+    cross-check 0 rows both directions at sf0.001/sf0.1; range frames
+    include ts ties in both engines, so no tiebreak needed) — but a
+    mega-hot user's timeline parallelizes across its hour buckets
+    instead of serializing one window task. Measured (r11): the plain
+    frame on the 90%-hot x10 fixture ran 82.9 s in ONE straggler task
+    vs 15.4 s bucketed (5.4x, and the gap is unbounded with cluster
+    width); the 2x-shuffle price at sf0.1 is 0.34 -> 0.50 s."""
+    from flink_state_eviction_spark.operators.windows import (
+        trailing_range_agg_bucketed,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_millis("ts"))
-        .rangeBetween(-3600000, 0)
+    out = trailing_range_agg_bucketed(
+        ev,
+        keys=["user_id"],
+        ts_ms=F.unix_millis("ts"),
+        aggs={
+            "n_1h": F.count(F.lit(1)),
+            "sum_1h_dec": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        window_ms=3600000,
     )
-    return ev.select(
+    return out.select(
         "event_id",
         "user_id",
         F.unix_millis("ts").alias("ts_ms"),
-        F.count(F.lit(1)).over(w).alias("n_1h"),
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_1h"),
+        "n_1h",
+        F.col("sum_1h_dec").cast("double").alias("sum_1h"),
     )
 
 

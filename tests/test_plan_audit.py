@@ -48,9 +48,9 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     # visible plan = last rank call only (first two sit behind the
     # helper's boundary-pinning localCheckpoint): 1 offsets + scalar N
     "customer_rfm_segments": 2,
-    "dedup_semantic_clustered": 2,  # tiny: k-row centroid updates
-    # tiny: k-row centroid array pack, one per k-means assignment round
-    "embedding_cluster_exemplars": 2,
+    # (r11: dedup_semantic_clustered / embedding_cluster_exemplars
+    # lost their k-row centroid-pack single-partition aggs — the
+    # Arrow argmin collects the centroid table instead; tightened)
     "domain_mix_weights": 1,  # tiny: total over per-language aggregate
     "dq_orders_report": 3,  # scalar: report-wide totals/rates
     "events_heavy_hitters": 1,  # scalar: global N for the N/k threshold
@@ -93,15 +93,16 @@ _SINGLE_PARTITION_ALLOWLIST: dict[str, int] = {
     "part_association_rules": 1,  # scalar: basket count for support
     "part_copurchase_triangles": 3,  # scalar: census totals
     "quality_budget_select": 1,  # offsets: score-bucket prefix counts
+    # r11: the kmeans/assign/pq single-partition packed-literal aggs
+    # disappeared fleet-wide — the centroid/codebook tables are now
+    # COLLECTED (bounded by construction) and the argmin runs as one
+    # Arrow pass (operators/similarity.py:_argmin_cells_udf), so the
+    # former similarity_* allowlist entries are gone (tightened)
     # offsets: X55's doc-range bucket-offset window over n_buckets
     # rows — r10: the bucketed frame is checkpointed, so the formerly
     # duplicated offsets subtree plans once (3 -> 1)
     "pack_loss_masks": 1,
     "sequence_pack_chunks": 1,  # offsets: same X55 cut (3 -> 1)
-    "similarity_ivf_pq_topk": 5,  # tiny: k-row codebooks + probe lists
-    "similarity_assign_frozen": 1,  # tiny: k-row centroid init window
-    "similarity_kmeans_cells": 1,  # tiny: k-row centroid table
-    "similarity_pq_topk": 4,  # tiny: k-row codebooks
     "text_bigram_surprisal": 1,  # offsets: count-bucket prefix table
     "text_bm25_search": 2,  # scalar: (avgdl, N) one-row stat aggregates
     "corpus_curation_decisions": 1,  # scalar: inherits X159's reference-vocab V
