@@ -496,6 +496,49 @@ def shingle_strings_udf(k: int = 2) -> Column:
     return F.pandas_udf("array<string>")(_pack)
 
 
+def shingle_hashes_udf(k: int = 2) -> Column:
+    """Arrow-vectorized ORDERED k-shingle 60-bit h64 hashes (duplicates
+    kept, positional) from a token array — :func:`shingle_strings_udf`
+    fused with the shared md5/h64 family, for consumers that only ever
+    key on ``h64(gram)``: the gram strings never cross the Arrow
+    boundary and are never re-md5'd in codegen (r11: the memorization
+    audit's pack stage was 10.2 s of its ~14.5 s x10 runtime, mostly
+    string materialization + the downstream double JVM md5).
+    Bit-identical to ``h64(shingle_strings_udf(k)(toks)[i])`` by
+    construction: the identical ``" ".join`` bytes through the
+    identical md5/first-15-hex rule (the r5 convention — the oracle
+    follows with sql_h64). Empty array below k tokens, mirroring
+    shingle_strings_udf."""
+    import numpy as np
+    import pandas as pd
+
+    def _pack(toks):
+        import hashlib
+
+        def one(arr):
+            if arr is None or len(arr) < k:
+                return np.empty(0, dtype=np.int64)
+            n = len(arr) - k + 1
+            return np.fromiter(
+                (
+                    int(
+                        hashlib.md5(
+                            ("0:" + " ".join(arr[i : i + k])).encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(n)
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+
+        return toks.map(one)
+
+    _pack.__annotations__ = {"toks": pd.Series, "return": pd.Series}
+    return F.pandas_udf("array<long>")(_pack)
+
+
 REP_TOP_NS = (2, 3, 4)
 REP_DUP_NS = (5, 6, 7, 8, 9, 10)
 

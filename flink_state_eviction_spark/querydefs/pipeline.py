@@ -13420,39 +13420,45 @@ def eval_memorization_frame(docs: DataFrame) -> DataFrame:
 
 
 def mem_packed_spans(docs: DataFrame) -> DataFrame:
-    """(doc_id, _sh): each doc's ORDERED 8-token span strings through
-    the shared Arrow pack — the one span convention the batch audit
-    and the X259 streaming maintainer share."""
+    """(doc_id, _shh): each doc's ORDERED 8-token span h64 HASHES
+    through the shared Arrow pack — the one span convention the batch
+    audit and the X259 streaming maintainer share. r11: the pack emits
+    hashes, not gram strings (shingle_hashes_udf) — every consumer
+    keys on ``h64(gram)`` only (positions, train distinct, state
+    rows), so the strings used to cross the Arrow boundary (~50 B/span
+    at 8 B of information) and then get md5'd AGAIN in codegen on both
+    the eval and train sides. Bit-identical downstream: the fused hash
+    is the same " ".join bytes through the same md5 rule, and the
+    intra-doc array_distinct-before-global-distinct is
+    collision-equivalent because the train side re-distincts on gh
+    globally anyway."""
     from flink_state_eviction_spark.functions.text import (
-        shingle_strings_udf,
+        shingle_hashes_udf,
     )
 
     words = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.split("text", " ").alias("_w")
     )
-    # shingle_strings_udf emits an EMPTY array (not null) below k
-    # tokens — size-guard, or under-k docs surface as n_spans=0 rows
-    # the oracle's len(w) >= k filter never produces (caught by the
+    # the pack emits an EMPTY array (not null) below k tokens —
+    # size-guard, or under-k docs surface as n_spans=0 rows the
+    # oracle's len(w) >= k filter never produces (caught by the
     # crafted under-k pin, invisible on the >= 9-token fixture)
     return words.select(
-        "doc_id", shingle_strings_udf(MEM_SPAN_K)("_w").alias("_sh")
-    ).where(F.size("_sh") >= 1)
+        "doc_id", shingle_hashes_udf(MEM_SPAN_K)("_w").alias("_shh")
+    ).where(F.size("_shh") >= 1)
 
 
 def mem_train_grams(packed: DataFrame) -> DataFrame:
     """(gh): the train side's DISTINCT span hashes. Hash-keyed on the
     shared 60-bit h64, not the ~50-byte gram string: 8-byte keys cut
-    the corpus-linear distinct's shuffle BYTES ~6x. Honest local
-    measurement: FLAT (16.7 s strings vs 17.6 s hashed at x10, cold
-    single-shot — JVM md5 over 25M grams costs what the narrower
-    exchange saves when no network is involved); kept because shuffle
-    bytes, not hash CPU, are the binding constraint once the exchange
-    crosses a real cluster fabric. The oracle follows with the shared
-    sql_h64 twin."""
+    the corpus-linear distinct's shuffle BYTES ~6x (r10 note: flat
+    locally, kept for fabric bytes). r11: the pack already emits the
+    hashes (shingle_hashes_udf), so this is now a plain explode —
+    the former explode-strings-then-codegen-md5 pass is gone. The
+    oracle follows with the shared sql_h64 twin."""
     return (
         packed.where(F.col("doc_id") % 97 != 0)
-        .select(F.explode(F.array_distinct("_sh")).alias("gram"))
-        .select(h64(F.col("gram")).alias("gh"))
+        .select(F.explode(F.array_distinct("_shh")).alias("gh"))
         .distinct()
     )
 
@@ -13473,11 +13479,11 @@ def mem_audit_from(ev_packed: DataFrame, train_g: DataFrame) -> DataFrame:
 
     k = MEM_SPAN_K
     base = ev_packed.select(
-        "doc_id", F.size("_sh").cast("long").alias("n_spans")
+        "doc_id", F.size("_shh").cast("long").alias("n_spans")
     )
     ev_pos = ev_packed.select(
-        "doc_id", F.posexplode("_sh").alias("pos", "gram")
-    ).select("doc_id", "pos", h64(F.col("gram")).alias("gh"))
+        "doc_id", F.posexplode("_shh").alias("pos", "gh")
+    )
     # probe materializes the checkpoint AND sizes the broadcast side
     ev_rows = ev_pos.count()
     probe = (
