@@ -183,6 +183,118 @@ def _frozen_centroids(centroids: DataFrame) -> DataFrame:
     ).withColumn("_cn", l2_norm(F.col("_cv")))
 
 
+def _py_csim(qv, cv, cn):
+    """Pure-Python twin of ``cosine`` for the degenerate-row path:
+    sequential dot folds, sqrt, try_divide's divisor==0 -> NULL."""
+    import math as _m
+
+    d = _seq_dot(qv, cv)
+    vv = _seq_dot(qv, qv)
+    qn = None
+    if vv is not None:
+        qn = _m.sqrt(vv) if vv == vv and vv >= 0.0 else float("nan")
+    if d is None or qn is None or cn is None:
+        return None
+    denom = qn * cn
+    if denom == 0.0:
+        return None
+    return d / denom
+
+
+def _top_cells_udf(cents, nprobe, cell_type):
+    """Arrow-vectorized top-``nprobe`` cells by centroid cosine — the
+    §4/§2.3 swap of the probe phase's crossJoin + per-query rank
+    window (r11): the old shape shuffled corpus x k rows CARRYING THE
+    QUERY VECTOR through the window exchange and evaluated k
+    interpreted dot folds per row; this computes the same csims
+    batch-wide in numpy (identical sequential fold / sqrt / divide)
+    and returns each row's probed cells with zero shuffle.
+    Bit-identical membership to the pinned window ordering
+    (desc csim with NaN FIRST and NULL LAST — try_divide's
+    divisor==0 — ties toward the smaller cell): finite rows use a
+    stable argsort over ascending-cell centroids; rows with any
+    non-finite csim and malformed-centroid tables replay the exact
+    ordering in pure Python. Same Arrow null-element caveat as
+    _argmin_cells_udf."""
+    import numpy as np
+
+    cents = sorted(cents, key=lambda p: p[0])
+    cells = [c for c, _, _ in cents]
+    k = len(cells)
+    cvs = [cv for _, cv, _ in cents]
+    cns = [cn for _, _, cn in cents]
+    take = min(nprobe, k)
+    L = len(cvs[0]) if (cvs and cvs[0] is not None) else None
+    clean = L is not None and all(
+        cv is not None and len(cv) == L and not any(e is None for e in cv)
+        and cn is not None
+        for cv, cn in zip(cvs, cns)
+    )
+    C = CN = cells_arr = None
+    if clean:
+        C = np.asarray(cvs, dtype=np.float64)
+        CN = np.asarray(cns, dtype=np.float64)
+        if np.isnan(C).any() or not np.isfinite(CN).all():
+            clean = False
+        else:
+            cells_arr = np.asarray(cells, dtype=np.int64)
+
+    def row_py(x):
+        xl = None if x is None else list(x)
+        scored = []
+        for (cell, cv, cn) in cents:
+            scored.append((_py_csim(xl, cv, cn), cell))
+
+        def key(p):
+            s, c = p
+            if s is not None and s != s:  # NaN: first under desc
+                return (0, 0.0, c)
+            if s is None:  # NULL: last under desc
+                return (2, 0.0, c)
+            return (1, -s, c)
+
+        return [c for _, c in sorted(scored, key=key)[:take]]
+
+    def top_cells(batch: pd.Series) -> pd.Series:
+        import numpy as np
+
+        vals = batch.tolist()
+        out = []
+        if not clean:
+            return pd.Series([row_py(x) for x in vals])
+        head = list(cells[:take])
+        for x in vals:
+            if x is None or len(x) != L:
+                # every csim NULL -> ties toward the smallest cells
+                out.append(head)
+                continue
+            v = np.asarray(x, dtype=np.float64)
+            acc = np.zeros(k)
+            vv = 0.0
+            for d in range(L):
+                acc = acc + v[d] * C[:, d]
+                vv = vv + v[d] * v[d]
+            qn = np.sqrt(vv)
+            denom = qn * CN
+            null = denom == 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                csim = acc / denom
+            if not np.isfinite(csim[~null]).all():
+                # NaN/inf csim (NaN inputs, overflow): exact replay
+                out.append(row_py(x))
+                continue
+            key = np.where(null, np.inf, -csim)
+            idx = np.argsort(key, kind="stable")[:take]
+            out.append([int(c) for c in cells_arr[idx]])
+        return pd.Series(out)
+
+    import pyspark.sql.types as T
+
+    return F.pandas_udf(
+        top_cells, returnType=T.ArrayType(cell_type, containsNull=False)
+    )
+
+
 def _probe_cells(
     queries: DataFrame, id_col: str, vec_col: str, cent: DataFrame, nprobe: int
 ) -> DataFrame:
@@ -190,24 +302,40 @@ def _probe_cells(
     (ties: cell id) — the ONE probe implementation shared by
     ivf_cosine_topk and knn_graph, so tie-break or norm-handling edits
     cannot diverge between their oracle twins. Output:
-    (query_id, _qv, _qn, _cell), one row per probed cell."""
+    (query_id, _qv, _qn, _cell), one row per probed cell.
+
+    r11: the centroid table (bounded by construction) is COLLECTED and
+    the per-query top-nprobe runs as one Arrow pass + explode
+    (_top_cells_udf) — the old crossJoin + rank window shuffled
+    corpus x k rows carrying the query vectors through the window
+    exchange. Probed-cell membership is bit-identical (pinned corner
+    battery + parity); the collect materializes the centroid job at
+    DataFrame construction time."""
     q = _with_vec_and_norm(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_n").alias("_qn"),
     )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("_csim"), F.col("_cell")
-    )
-    return (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "_csim",
-            cosine(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+    rows = cent.select("_cell", "_cv", "_cn").collect()
+    cents = [
+        (
+            r["_cell"],
+            None if r["_cv"] is None else list(r["_cv"]),
+            r["_cn"],
         )
-        .withColumn("_pr", F.row_number().over(probe_w))
-        .where(F.col("_pr") <= nprobe)
-        .select("query_id", "_qv", "_qn", "_cell")
+        for r in rows
+    ]
+    cell_type = cent.schema["_cell"].dataType
+    if not cents:
+        # crossJoin against an empty centroid table produced no rows
+        return q.select(
+            "query_id", "_qv", "_qn",
+            F.lit(None).cast(cell_type).alias("_cell"),
+        ).where(F.lit(False))
+    udf = _top_cells_udf(cents, nprobe, cell_type)
+    return q.select(
+        "query_id", "_qv", "_qn",
+        F.explode(udf(F.col("_qv"))).alias("_cell"),
     )
 
 

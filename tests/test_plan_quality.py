@@ -512,16 +512,19 @@ def test_pagerank_one_new_shuffle_per_iteration(spark):
 
 def test_knn_graph_never_broadcasts_corpus(spark, sf_dir):
     # the probe side of the k-NN graph is corpus-proportional: with
-    # auto-broadcast off, the ONLY broadcast allowed is the k-row
-    # centroid table (the explicit hint); probes must meet cell
-    # members in a shuffled equi-join on the cell id
+    # auto-broadcast off, NO broadcast may appear at all (r11: the
+    # k-row centroid table is collected into the Arrow probe UDF, so
+    # even its former broadcast hint is gone — exactly one
+    # ArrowEvalPython probe pass); probes must meet cell members in a
+    # shuffled equi-join on the cell id
     conf = "spark.sql.autoBroadcastJoinThreshold"
     prev = spark.conf.get(conf)
     try:
         spark.conf.set(conf, "-1")
         df = _q("embedding_knn_graph", spark, sf_dir)
         plan = physical_plan(df, "simple")
-        assert plan.count("BroadcastExchange") == 1, plan
+        assert plan.count("BroadcastExchange") == 0, plan
+        assert plan.count("ArrowEvalPython") == 1, plan
         assert "CartesianProduct" not in plan, plan
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
     finally:
